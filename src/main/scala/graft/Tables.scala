@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Catalog of the TESTDATA tables (TESTDATA.md).
   *
@@ -9,8 +10,9 @@ import org.apache.spark.sql.functions._
   * Spark's type system doesn't have. With
   * `spark.sql.legacy.parquet.nanosAsLong=true` the column arrives as a raw
   * nanosecond count; we convert to a microsecond timestamp exactly the way
-  * DuckDB does when it reads the same file (truncation toward zero — all our
-  * data is post-epoch so integer division is truncation).
+  * DuckDB does when it reads the same file: integer division truncating
+  * toward zero (`div`, long division — NOT `/`, which is double division in
+  * Spark and rounds at ~1.7e18 magnitudes).
   */
 object Tables {
 
@@ -18,10 +20,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Ensure the session can read TIMESTAMP(NANOS) parquet. Runtime-settable. */
+  private def ensureNanosConf(spark: SparkSession): Unit =
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") ensureNanosConf(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

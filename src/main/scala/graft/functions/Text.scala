@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline column builders (tokenize / shingle / minhash / simhash /
+  * rolling fingerprint), all engine-portable (see [[Portable]]): every hash
+  * is md5-derived and every fold is an explicit left-to-right `aggregate`,
+  * so the DuckDB oracle can state the identical computation with
+  * `list_transform` / `list_reduce`.
+  *
+  * Everything here is built from Spark higher-order functions on array
+  * columns — no UDFs, no explode-shuffle for per-document signatures; the
+  * whole signature pipeline runs inside whole-stage codegen and scales
+  * linearly in documents (the 100 TB posture: signatures are a narrow map,
+  * only the candidate-pair join shuffles).
+  */
+object Text {
+
+  /** Normalize: lower, trim, collapse whitespace runs. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** k-token shingles: ["a b c","b c d",…]; empty array when < k tokens. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  /** Portable seeded 60-bit hash usable inside HOF lambdas. */
+  private def ph(seed: Column, s: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit("|"), s)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash signature: array of `n` minimums over the shingle hashes,
+    * one per hash-family member. Null-free as long as `sh` is non-empty. */
+  def minhashSignature(sh: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      j => array_min(transform(sh, s => ph(j, s))))
+
+  /** LSH band keys: md5 over each `rows`-wide slice of the signature.
+    * Docs sharing any band key become candidate pairs. */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws(",",
+        transform(slice(sig, b * lit(rows) + lit(1), lit(rows)), x => x.cast("string")))))
+
+  // functions.shiftright/shiftleft only take a literal Int shift; the
+  // catalyst expressions accept a dynamic one (needed inside HOF lambdas).
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+  import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
+  private def shr(c: Column, n: Column): Column = toCol(ShiftRight(toExpr(c), toExpr(n)))
+  private def shl(c: Column, n: Column): Column = toCol(ShiftLeft(toExpr(c), toExpr(n)))
+
+  /** 60-bit SimHash over the token multiset: bit b is set iff the majority
+    * of token hashes have bit b set. Pure integer arithmetic → portable. */
+  def simhash(toks: Column): Column = {
+    val hs = transform(toks, t => ph(lit(0), t))
+    aggregate(
+      sequence(lit(0), lit(59)),
+      lit(0L),
+      (acc, b) => acc + when(
+        aggregate(hs, lit(0),
+          (a2, h) => a2 + when(shr(h, b.cast("int")) % 2 === 1, 1).otherwise(-1)) > 0,
+        shl(lit(1L), b.cast("int"))).otherwise(lit(0L)))
+  }
+
+  /** 15-bit chunk `i` (0..3) of a 60-bit simhash — LSH band key for the
+    * hamming-distance join (pigeonhole: hamming ≤ 3 ⇒ ≥1 equal chunk). */
+  def simhashChunk(sh: Column, i: Int): Column =
+    shiftright(sh, 15 * i) % lit(32768)
+
+  /** Rolling polynomial fingerprint of the token stream:
+    * h ← (h*31 + tokenHash mod p) mod p, p = 1e9+7. Order-sensitive (it is
+    * a *rolling* hash), fold is left-to-right in both engines. */
+  def rollingFingerprint(toks: Column): Column = {
+    val p = 1000000007L
+    aggregate(
+      transform(toks, t => ph(lit(0), t)),
+      lit(0L),
+      (acc, h) => (acc * 31L + (h % p)) % p)
+  }
+}

@@ -1,0 +1,400 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{QueryDef, Tables}
+
+/** Core relational surface: SURVEY.md §2.3 Q1–Q15 re-expressed Spark-first.
+  *
+  * Generalizes the reference's single SQL operator (equi-join + CTAS,
+  * /root/reference/src/sparkSQL/SparkSQLOperator.java:18-23) and its
+  * projection operator (AddField.java:9-23) into a full declarative batch
+  * query surface. Catalyst owns all planning: filters/projections reach the
+  * parquet scans (PushedFilters), dim-table joins are broadcast explicitly,
+  * aggregations are two-phase hash-aggregates.
+  *
+  * Determinism contract vs the DuckDB oracle: money sums go through
+  * DECIMAL(12,2) (exact, order-free) and are cast to DOUBLE only at the end;
+  * averages divide that exact sum by a COUNT in double (single correctly-
+  * rounded IEEE op each — portable); every query ends in a total-order sort.
+  */
+object CoreQueries {
+
+  private val D = DecimalType(12, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  /** Exact decimal sum of a ≤2-decimal double column, surfaced as double. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  private def davg(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+  /** revenue term: extendedprice * (1 - discount), exact in decimal. */
+  private def revTerm(price: Column, disc: Column): Column =
+    dec(price) * (lit(1).cast(D) - dec(disc))
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- Q1
+  /** Pricing summary: scan → filter → derive → two-phase hash agg → sort.
+    * (TPC-H Q1 shape; exercises ref R2 AddField + R4 SQL agg surface.) */
+  val q01 = QueryDef("q01_pricing_summary",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.filter(col("l_shipdate") <= expr("TIMESTAMP '1998-09-01 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+          sum(revTerm(col("l_extendedprice"), col("l_discount")) *
+            (lit(1).cast(D) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM($revSql) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM($revSql * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  // ---------------------------------------------------------------- Q2
+  /** Revenue by nation: 6-table join chain; dims (supplier/nation/region)
+    * broadcast so the big fact joins shuffle only on their own keys.
+    * (TPC-H Q5 shape; generalizes ref R4 SparkSQLOperator.java:18.) */
+  val q02 = QueryDef("q02_revenue_by_nation",
+    (s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "ASIA" &&
+          o("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          o("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        .groupBy(n("n_name"))
+        .agg(sum(revTerm(l("l_extendedprice"), l("l_discount"))).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+    Some(s"""
+      SELECT n_name,
+        CAST(SUM($revSql) AS DOUBLE) AS revenue
+      FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""))
+
+  // ---------------------------------------------------------------- Q3
+  /** Top-10 orders by open revenue (TakeOrderedAndProject plan). */
+  val q03 = QueryDef("q03_topk_orders",
+    (s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .filter(o("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .filter(l("l_shipdate") > expr("TIMESTAMP '1998-01-01 00:00:00'"))
+        .groupBy(l("l_orderkey"), o("o_orderdate"))
+        .agg(sum(revTerm(l("l_extendedprice"), l("l_discount"))).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey, o_orderdate,
+        CAST(SUM($revSql) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  // ---------------------------------------------------------------- Q4
+  /** Left-semi join (EXISTS): orders with a lineitem shipped >60d after
+    * order date, counted per priority. */
+  val q04 = QueryDef("q04_late_orders_semi",
+    (s, dir) => {
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAY"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- Q5
+  /** Left-anti join (NOT EXISTS): customers with no orders, per segment. */
+  val q05 = QueryDef("q05_idle_customers_anti",
+    (s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  // ---------------------------------------------------------------- Q6
+  /** Window functions: top-3 orders per customer by price (row_number) +
+    * running per-customer spend (frame agg, exact decimal then double). */
+  val q06 = QueryDef("q06_window_rank",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.withColumn("rn", row_number().over(byPrice))
+        .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(byDate).cast("double"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn, running_spend FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn"""))
+
+  // ---------------------------------------------------------------- Q7
+  /** Rollup with grouping discriminator (NULL group markers folded to
+    * 'ALL' so the oracle compare never hashes SQL NULL sort order). */
+  val q07 = QueryDef("q07_rollup",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"),
+          grouping_id().cast("long").as("grp"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"), col("grp"))
+        .orderBy("grp", "priority", "status")
+    },
+    Some("""
+      SELECT
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COALESCE(o_orderstatus, 'ALL') AS status,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS grp
+      FROM orders
+      GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      ORDER BY grp, priority, status"""))
+
+  // ---------------------------------------------------------------- Q8
+  /** Set ops: BUILDING-segment customers vs customers with >10 orders —
+    * union ∪, intersect ∩, except ∖, tagged into one relation. */
+  val q08 = QueryDef("q08_setops",
+    (s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 10).select(col("o_custkey").as("c_custkey"))
+      val u = a.union(b).distinct().withColumn("op", lit("union"))
+      val i = a.intersect(b).withColumn("op", lit("intersect"))
+      val e = a.except(b).withColumn("op", lit("except"))
+      u.union(i).union(e)
+        .select(col("op"), col("c_custkey"))
+        .orderBy("op", "c_custkey")
+    },
+    Some("""
+      WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+           b AS (SELECT o_custkey AS c_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 10)
+      SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+      UNION ALL
+      SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+      UNION ALL
+      SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+      ORDER BY op, c_custkey"""))
+
+  // ---------------------------------------------------------------- Q9
+  /** Scalar-function battery over lineitem ⋈ broadcast(part): strings,
+    * dates, math (only IEEE-exact fns: sqrt/abs/floor/ceil — libm fns like
+    * log/pow are not bit-portable across engines), conditionals. */
+  val q09 = QueryDef("q09_scalar_battery",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .select(
+          l("l_orderkey"), l("l_linenumber"),
+          upper(substring(p("p_name"), 1, 8)).as("name_prefix"),
+          length(p("p_name")).as("name_len"),
+          regexp_extract(p("p_name"), "([a-z]+)", 1).as("first_word"),
+          p("p_name").like("%re%").cast("int").as("has_re"),
+          year(l("l_shipdate")).as("ship_year"),
+          month(l("l_shipdate")).as("ship_month"),
+          dayofmonth(l("l_shipdate")).as("ship_day"),
+          date_trunc("month", l("l_shipdate")).as("ship_month_start"),
+          datediff(l("l_shipdate"), expr("TIMESTAMP '1995-01-01 00:00:00'")).as("days_since_95"),
+          abs(p("p_size") - lit(25)).as("size_dist"),
+          sqrt(p("p_size").cast("double")).as("size_sqrt"),
+          floor(l("l_quantity") / lit(7.0)).cast("long").as("qty_div7"),
+          ceil(l("l_quantity") / lit(7.0)).cast("long").as("qty_div7_up"),
+          when(p("p_size") > 25, "big").when(p("p_size") > 10, "mid")
+            .otherwise("small").as("size_class"),
+          coalesce(nullif(p("p_brand"), lit("Brand#1")), lit("DEFAULT")).as("brand_nn"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        upper(substring(p_name, 1, 8)) AS name_prefix,
+        CAST(length(p_name) AS INTEGER) AS name_len,
+        regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        CAST(p_name LIKE '%re%' AS INTEGER) AS has_re,
+        CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+        CAST(day(l_shipdate) AS INTEGER) AS ship_day,
+        date_trunc('month', l_shipdate) AS ship_month_start,
+        CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', l_shipdate) AS INTEGER) AS days_since_95,
+        CAST(abs(p_size - 25) AS INTEGER) AS size_dist,
+        sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+        CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_div7,
+        CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_div7_up,
+        CASE WHEN p_size > 25 THEN 'big' WHEN p_size > 10 THEN 'mid' ELSE 'small' END AS size_class,
+        COALESCE(NULLIF(p_brand, 'Brand#1'), 'DEFAULT') AS brand_nn
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---------------------------------------------------------------- Q10
+  /** Events: JSON prop extraction + tumbling 1h window agg (batch form of
+    * the streaming pipeline; ts arrives as TIMESTAMP(NANOS) → µs, see
+    * Tables.load). `value` is an arbitrary double, so its sum is made
+    * portable by exact integer cents: floor(value*100) summed as BIGINT. */
+  val q10 = QueryDef("q10_events_window",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      e.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * lit(100)).cast("long")).as("value_cents"),
+          sum(col("k").cast("long")).as("sum_k"))
+        .select(col("event_type"), col("window.start").as("window_start"),
+          col("n"), (col("value_cents").cast("double") / lit(100.0)).as("sum_value"),
+          col("sum_k"))
+        .orderBy("event_type", "window_start")
+    },
+    Some("""
+      SELECT event_type,
+        date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+        SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY event_type, window_start"""))
+
+  // ---------------------------------------------------------------- Q14
+  /** Theta/range join, banded: l_quantity BETWEEN p_size±5. The Spark plan
+    * explodes each lineitem row into its 11 integer candidate sizes and
+    * hash-joins on size — O(11n) shuffle instead of the O(n·m)
+    * BroadcastNestedLoopJoin a naive BETWEEN join would plan. The oracle
+    * states the same semantics as a plain range join. */
+  val q14 = QueryDef("q14_theta_band_join",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      val expanded = l
+        .withColumn("qty_i", col("l_quantity").cast("int"))
+        .withColumn("cand_size",
+          explode(sequence(col("qty_i") - lit(5), col("qty_i") + lit(5))))
+      expanded.join(p, expanded("cand_size") === p("p_size"))
+        .groupBy(p("p_brand"))
+        .agg(count(lit(1)).as("n_pairs"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    },
+    Some("""
+      SELECT p_brand, COUNT(*) AS n_pairs,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN part
+        ON p_size BETWEEN CAST(l_quantity AS INTEGER) - 5 AND CAST(l_quantity AS INTEGER) + 5
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+
+  // ---------------------------------------------------------------- Q15
+  /** Exact distinct aggregation (Catalyst expands to two-phase). The approx
+    * (HLL++) scale variant lives in ApproxQueries (rows-only checked:
+    * sketches aren't portable across engines). */
+  val q15 = QueryDef("q15_distinct_counts",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_suppkey) AS n_supp,
+        COUNT(DISTINCT l_partkey) AS n_part,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** Approx-distinct (HLL++) — 100 TB posture; no DuckDB hash parity
+    * (different sketch), driver records rows-only. */
+  val q15b = QueryDef("q15b_approx_distinct",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_suppkey")).as("approx_supp"),
+          approx_count_distinct(col("l_partkey")).as("approx_part"))
+        .orderBy("l_returnflag")
+    },
+    None)
+
+  val all: Seq[QueryDef] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q14, q15, q15b)
+}

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.{CosineSim, Text}
+
+/** SQL fragments shared by the DuckDB oracles of the text/dedup queries.
+  * Each mirrors a builder in [[graft.functions.Text]] — keep in lockstep. */
+private[operators] object Duck {
+  /** Whitespace tokens of normalized text (DuckDB needs the 'g' flag). */
+  val toks = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+  /** 3-token shingles over a `toks` column. */
+  val shingles3 =
+    """CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' '))
+      ELSE CAST([] AS VARCHAR[]) END"""
+  /** Portable 60-bit hash of a SQL string expression (see Portable.phashDuck). */
+  def ph(s: String): String = s"CAST('0x' || substring(md5($s), 1, 15) AS BIGINT)"
+  /** Bit-exact cosine similarity between two FLOAT[dim] list expressions:
+    * sequential left-to-right double folds, matching CosineSim's codegen. */
+  def cosine(a: String, b: String, dim: Int = 64): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+}
+
+/** Deduplication operator family (SURVEY.md §2.2 "dedup" rows; BASELINE
+  * north-star extensions): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine. All signatures are computed with array higher-order
+  * functions (no explode until the candidate join), so signature cost is a
+  * narrow map over documents — the 100 TB-safe shape: only candidate PAIRS
+  * shuffle, never the corpus cross product.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---------------------------------------------------------------- q11
+  /** Exact dedup on normalized text. Keeps the smallest doc_id per group
+    * (explicit deterministic survivor — `dropDuplicates` keeps an arbitrary
+    * row, which can't be oracle-checked). */
+  val q11 = QueryDef("q11_dedup_exact",
+    (s, dir) => {
+      docs(s, dir)
+        .withColumn("norm", Text.normText(col("text")))
+        .groupBy(col("norm"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
+      GROUP BY norm
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q16
+  /** MinHash + LSH near-dup: 3-token shingles → 16 portable minhashes →
+    * 4 bands × 4 rows → band-bucket self-join → estimated Jaccard ≥ 0.5.
+    * Signature step is a narrow map; only band-bucket pairs shuffle. */
+  val q16 = QueryDef("q16_minhash_lsh_dedup",
+    (s, dir) => {
+      val sig = docs(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .withColumn("sh", Text.shingles(col("toks"), 3))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", Text.minhashSignature(col("sh"), 16))
+        .select(col("doc_id"), col("sig"))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        posexplode(Text.lshBands(col("sig"), 4, 4)).as(Seq("b", "band_key")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sig").as("sa"), col("y.sig").as("sb"))
+        .distinct()
+      cand
+        .withColumn("m", size(filter(zip_with(col("sa"), col("sb"),
+          (x, y) => x === y), b => b)))
+        .filter(col("m") >= 8)
+        .select(col("doc_a"), col("doc_b"),
+          (col("m").cast("double") / 16.0).as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      shs AS (SELECT doc_id, ${Duck.shingles3} AS sh FROM t),
+      sig AS (
+        SELECT doc_id,
+          list_transform(range(0, 16), j ->
+            list_min(list_transform(sh, s -> ${Duck.ph("CAST(j AS VARCHAR) || '|' || s")}))) AS sig
+        FROM shs WHERE len(sh) > 0),
+      bands AS (
+        SELECT doc_id, sig, b,
+          md5(array_to_string(list_transform(list_slice(sig, b*4+1, b*4+4), x -> CAST(x AS VARCHAR)), ',')) AS band_key
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sa, y.sig AS sb
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b,
+        CAST(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) AS DOUBLE) / 16.0 AS est_jaccard
+      FROM cand
+      WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) >= 8
+      ORDER BY doc_a, doc_b"""))
+
+  // ---------------------------------------------------------------- q17
+  /** SimHash near-dup: 60-bit majority-vote fingerprint, then a BANDED
+    * hamming join — 4 × 15-bit chunks; hamming ≤ 3 guarantees ≥ 1 equal
+    * chunk (pigeonhole), so the equi-join on (chunk_idx, chunk) finds every
+    * qualifying pair without the O(n²) cross join the oracle uses. */
+  val q17 = QueryDef("q17_simhash_dedup",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), Text.simhash(Text.tokens(col("text"))).as("sh"))
+      val chunks = sh.select(col("doc_id"), col("sh"),
+        posexplode(array((0 to 3).map(i => Text.simhashChunk(col("sh"), i)): _*))
+          .as(Seq("c", "chunk")))
+      chunks.as("x").join(chunks.as("y"),
+          col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sh").as("ha"), col("y.sh").as("hb"))
+        .distinct()
+        .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      hs AS (SELECT doc_id, list_transform(toks, tk -> ${Duck.ph("'0|' || tk")}) AS hs FROM t),
+      sig AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+            THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh
+        FROM hs)
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+      FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.sh, y.sh)) <= 3
+      ORDER BY doc_a, doc_b"""))
+
+  // ---------------------------------------------------------------- q18
+  /** Exact n-gram Jaccard via inverted-index join: explode distinct
+    * 3-shingles, drop shingles hitting > 100 docs (df cap — bounds the
+    * join fanout at scale; applied identically in the oracle), count
+    * intersections pairwise, Jaccard ≥ 0.6. Never materializes the
+    * document cross product. */
+  val q18 = QueryDef("q18_ngram_jaccard_dedup",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(Text.shingles(Text.tokens(col("text")), 3))).as("sh"))
+      val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select(col("sh"))
+      val sf = sh.join(rare, "sh")
+      val sizes = sf.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sf.as("a").join(sf.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("za.sz") + col("zb.sz") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      s0 AS (SELECT doc_id, unnest(list_distinct(${Duck.shingles3})) AS sh FROM t),
+      rare AS (SELECT sh FROM s0 GROUP BY sh HAVING COUNT(*) <= 100),
+      sf AS (SELECT s0.doc_id, s0.sh FROM s0 JOIN rare USING (sh)),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sf GROUP BY doc_id),
+      iv AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sf a JOIN sf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) AS jaccard
+      FROM iv JOIN sz za ON doc_a = za.doc_id JOIN sz zb ON doc_b = zb.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.6
+      ORDER BY doc_a, doc_b"""))
+
+  // ---------------------------------------------------------------- q19
+  /** Embedding-cosine near-dup: all pairs with cosine ≥ 0.95. Correctness
+    * form is the broadcast block product (fine at test SF); the scale path
+    * is q20's hyperplane-LSH bucketing. Cosine is the custom codegen'd
+    * Catalyst expression — bit-identical to the oracle's fold. */
+  val q19 = QueryDef("q19_embedding_neardup",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .withColumn("sim", CosineSim(col("ea"), col("eb")))
+        .filter(col("sim") >= 0.95)
+        .select(col("vec_a"), col("vec_b"), col("sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        ${Duck.cosine("a.embedding", "b.embedding")} AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ${Duck.cosine("a.embedding", "b.embedding")} >= 0.95
+      ORDER BY vec_a, vec_b"""))
+
+  val all: Seq[QueryDef] = Seq(q11, q16, q17, q18, q19)
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.{CosineSim, Portable}
+
+/** Similarity-search operator family (SURVEY.md §2.2 ext rows):
+  * exact brute-force top-k (the correctness baseline), hyperplane-LSH
+  * bucketed ANN (the scale path — candidate set shrinks ~2^planes×), and
+  * per-label centroid aggregation.
+  *
+  * 100 TB posture: brute-force kNN broadcasts the (small) probe set and
+  * scans the corpus once — shuffle is only the per-probe top-k. The LSH
+  * variant turns the scan into an equi-join on bucket id, which partitions
+  * and prunes; both avoid a corpus×corpus product.
+  */
+object SimilarityOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private val DIM = 64
+  private val PLANES = 6
+
+  /** Deterministic pseudo-random hyperplanes, baked from the portable md5
+    * hash so BOTH the Spark plan and the generated oracle SQL carry the
+    * identical integer constants (scaled by 1000.0 at use site). */
+  private[operators] val hyperInt: Array[Array[Long]] =
+    Array.tabulate(PLANES, DIM)((j, i) => Portable.phashJvm(s"hp${j}_$i") % 2001 - 1000)
+
+  /** dot(embedding, plane j) in sequential double arithmetic. */
+  private def planeDot(e: Column, j: Int): Column = {
+    val w = typedLit(hyperInt(j).map(_.toDouble / 1000.0).toSeq)
+    aggregate(zip_with(e, w, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** LSH bucket id: sign bits of the 6 hyperplane dots. */
+  private def bucket(e: Column): Column =
+    (0 until PLANES).map(j => when(planeDot(e, j) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** DuckDB rendering of the same plane dot / bucket. */
+  private def planeDotSql(e: String, j: Int): String = {
+    val lst = hyperInt(j).map(v => s"($v)/1000.0").mkString("[", ", ", "]")
+    s"list_reduce(list_transform(range(1, ${DIM + 1}), i -> CAST($e[i] AS DOUBLE) * list_extract($lst, i)), (p, q) -> p + q)"
+  }
+  private def bucketSql(e: String): String =
+    (0 until PLANES).map(j => s"(CASE WHEN ${planeDotSql(e, j)} > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  // ---------------------------------------------------------------- q13
+  /** Exact kNN: 10 probe vectors × corpus, top-5 by cosine (desc, vec_id
+    * tiebreak). Probes broadcast; corpus scanned once; per-probe top-k via
+    * ranking window. Cosine is the codegen'd Catalyst expression. */
+  val q13 = QueryDef("q13_similarity_knn",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("vec_id"))
+      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", CosineSim(col("pe"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("rank"), col("sim"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(s"""
+      WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+      pairs AS (
+        SELECT probe_id, vec_id,
+          ${Duck.cosine("pe", "embedding")} AS sim
+        FROM probes, embeddings WHERE vec_id <> probe_id),
+      ranked AS (
+        SELECT probe_id, vec_id,
+          CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
+          sim
+        FROM pairs)
+      SELECT probe_id, vec_id, rank, sim
+      FROM ranked WHERE rank <= 5
+      ORDER BY probe_id, rank"""))
+
+  // ---------------------------------------------------------------- q20
+  /** ANN via random-hyperplane LSH: bucket both sides on 6 sign bits, then
+    * exact top-3 *within bucket* per probe. The equi-join on bucket is the
+    * scale path: cost ~ corpus/2^6 per probe instead of the full scan. */
+  val q20 = QueryDef("q20_ann_lsh",
+    (s, dir) => {
+      val e = emb(s, dir).withColumn("bkt", bucket(col("embedding")))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bkt"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("vec_id"))
+      e.join(broadcast(probes), Seq("bkt"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", CosineSim(col("pe"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("vec_id"), col("rank"), col("sim"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt FROM embeddings),
+      probes AS (
+        SELECT vec_id AS probe_id, embedding AS pe, bkt FROM b WHERE vec_id < 10),
+      pairs AS (
+        SELECT probe_id, b.vec_id,
+          ${Duck.cosine("pe", "b.embedding")} AS sim
+        FROM probes JOIN b USING (bkt) WHERE b.vec_id <> probe_id),
+      ranked AS (
+        SELECT probe_id, vec_id,
+          CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
+          sim
+        FROM pairs)
+      SELECT probe_id, vec_id, rank, sim
+      FROM ranked WHERE rank <= 3
+      ORDER BY probe_id, rank"""))
+
+  // ---------------------------------------------------------------- q21
+  /** Per-label centroids: posexplode the embedding, two-phase hash agg on
+    * (label, dim). Components are quantized to exact integer micros
+    * (floor(v·1e6) — float→double exact, one IEEE multiply, floor; all
+    * bit-portable) so the sum is order-free integer math; double→decimal
+    * casts turned out NOT to be portable (engines disagree at ulp scale on
+    * the scale-10 rounding). */
+  val q21 = QueryDef("q21_label_centroids",
+    (s, dir) => {
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(
+          (sum(floor(col("v").cast("double") * lit(1000000.0)).cast("long"))
+            .cast("double") / 1000000.0 / count(lit(1))).as("centroid"),
+          count(lit(1)).as("n"))
+        .orderBy("label", "dim")
+    },
+    Some("""
+      SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+          / 1000000.0 / COUNT(*) AS centroid,
+        COUNT(*) AS n
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+      GROUP BY label, dim
+      ORDER BY label, dim"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q20, q21)
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Event-time operator family over the `events` table: as-of join and
+  * gap-based sessionization — the batch forms; the streaming forms live in
+  * graft.streaming (same logic through watermarked windows / state).
+  *
+  * Scale shape: both are a single shuffle on user_id followed by in-
+  * partition ordered windows — no self-join, no cross product. At 100 TB
+  * the shuffle key (user_id) is the natural partitioner; skewed users
+  * would be handled by AQE skew-split since windows allow it per key-run.
+  */
+object TemporalOps {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  // ---------------------------------------------------------------- q27
+  /** As-of join: for every purchase, the latest click by the same user at
+    * or before the purchase time. Spark has no ASOF JOIN; the idiomatic
+    * distributed plan is the union-marker trick: interleave both streams
+    * in one ordered window and carry the last click forward — one shuffle
+    * on user_id, no range self-join. (The oracle states it with DuckDB's
+    * native ASOF LEFT JOIN.) */
+  val q27 = QueryDef("q27_asof_click_purchase",
+    (s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      val tagged = e.filter(col("event_type").isin("click", "purchase"))
+        // clicks sort before purchases at equal ts → 'at or before' (>=)
+        .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("click_id",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_id"), col("click_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT * FROM e WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, p.ts,
+        c.event_id AS click_id, c.ts AS click_ts,
+        epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id"""))
+
+  // ---------------------------------------------------------------- q28
+  /** Gap-based sessionization (30 min): lag → new-session flag → running
+    * session counter → per-session rollup. `value` sums are made portable
+    * via exact integer cents (floor(value*100)). */
+  val q28 = QueryDef("q28_sessionize",
+    (s, dir) => {
+      val gapUs = 30L * 60 * 1000000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(wRun).cast("long"))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          (sum(floor(col("value") * lit(100)).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .orderBy("user_id", "sess_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+      l AS (
+        SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM e),
+      f AS (
+        SELECT *,
+          CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+        FROM l),
+      g AS (
+        SELECT *,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        FROM f)
+      SELECT user_id, sess_id,
+        MIN(ts) AS session_start,
+        MAX(ts) AS session_end,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      FROM g
+      GROUP BY user_id, sess_id
+      ORDER BY user_id, sess_id"""))
+
+  val all: Seq[QueryDef] = Seq(q27, q28)
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Text
+
+/** Text-analysis operator family (SURVEY.md §2.2 ext rows): token
+  * statistics, top-k tokens, language-ID heuristic, quality scoring,
+  * rolling-hash fingerprinting. All per-document features are array
+  * higher-order functions (narrow, codegen'd, no shuffle); only the
+  * explicit aggregations shuffle.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // Stopword profiles for the language-ID heuristic. The synthetic corpus
+  // is English word-soup for every lang label, so this checks the MECHANISM
+  // (profile scoring + deterministic argmax), not label recovery.
+  private val prof: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "das"),
+    "es" -> Seq("el", "los", "que"),
+    "fr" -> Seq("le", "la", "de"))
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  // ---------------------------------------------------------------- q12
+  /** Top-20 tokens per language: explode → count → ranked window top-k. */
+  val q12 = QueryDef("q12_text_topk_tokens",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(desc("n"), col("token"))
+      docs(s, dir)
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("token"), col("n"), col("rn"))
+        .orderBy("lang", "rn")
+    },
+    Some(s"""
+      SELECT lang, token, n, rn FROM (
+        SELECT lang, token, n,
+          CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS INTEGER) AS rn
+        FROM (
+          SELECT lang, token, COUNT(*) AS n
+          FROM (SELECT lang, unnest(${Duck.toks}) AS token FROM documents) u
+          WHERE token <> ''
+          GROUP BY lang, token
+        ) c
+      ) ranked
+      WHERE rn <= 20
+      ORDER BY lang, rn"""))
+
+  // ---------------------------------------------------------------- q22
+  /** Language-ID heuristic: stopword-profile hit counts + deterministic
+    * argmax (fixed precedence en > de > es > fr, 'und' when all zero). */
+  val q22 = QueryDef("q22_text_langid",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+      val scored = prof.foldLeft(base) { case (df, (l, ws)) =>
+        df.withColumn(s"s_$l",
+          size(filter(col("toks"), t => t.isin(ws: _*))))
+      }
+      scored
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+               col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+                col("s_de") > 0, "de")
+          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("und"))
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, lang, ${Duck.toks} AS toks FROM documents),
+      sc AS (
+        SELECT doc_id, lang,
+          ${prof.map { case (l, ws) =>
+            s"CAST(len(list_filter(toks, tk -> tk IN ${inList(ws)})) AS INTEGER) AS s_$l"
+          }.mkString(",\n          ")}
+        FROM t)
+      SELECT doc_id, lang,
+        CASE
+          WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+          WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+          WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+          WHEN s_fr > 0 THEN 'fr'
+          ELSE 'und'
+        END AS pred_lang,
+        s_en, s_de, s_es, s_fr
+      FROM sc
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q23
+  /** Quality scoring: token counts, mean token length, stopword ratio,
+    * type/token ratio, composite score. All ratios derive from integer
+    * counts (exact), so the doubles are portable. */
+  val q23 = QueryDef("q23_text_quality",
+    (s, dir) => {
+      val stop = Seq("the", "a", "of", "and")
+      docs(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("sum_len",
+          aggregate(col("toks"), lit(0), (a, t) => a + length(t)))
+        .withColumn("n_stop",
+          size(filter(col("toks"), t => t.isin(stop: _*))))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))))
+        .withColumn("avg_token_len", col("sum_len").cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+        .withColumn("quality_score",
+          col("avg_token_len") * 0.2 + col("ttr") * 0.5 - col("stop_ratio") * 0.3)
+        .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+          col("stop_ratio"), col("ttr"), col("quality_score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      f AS (
+        SELECT doc_id,
+          CAST(len(toks) AS INTEGER) AS n_tokens,
+          list_sum(list_transform(toks, tk -> length(tk))) AS sum_len,
+          len(list_filter(toks, tk -> tk IN ('the', 'a', 'of', 'and'))) AS n_stop,
+          len(list_distinct(toks)) AS n_distinct
+        FROM t)
+      SELECT doc_id, n_tokens,
+        CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+        CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+        (CAST(sum_len AS DOUBLE) / n_tokens) * 0.2
+          + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5
+          - (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 AS quality_score
+      FROM f
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q24
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * tokenizer (letter runs capped at 4 chars, digits, punctuation) —
+    * the regex subset is RE2/Java-portable. */
+  val q24 = QueryDef("q24_token_stats",
+    (s, dir) => {
+      val pat = "[a-z]{1,4}|[0-9]|[^a-z0-9 ]"
+      docs(s, dir)
+        .withColumn("norm", Text.normText(col("text")))
+        .withColumn("n_ws_tokens", size(split(col("norm"), " ")))
+        .withColumn("n_bpe_tokens",
+          size(expr(s"regexp_extract_all(norm, '$pat', 0)")))
+        .withColumn("n_chars", length(col("norm")))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_ws_tokens"))
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+          col("n_chars"), col("chars_per_token"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
+      SELECT doc_id,
+        CAST(len(string_split(norm, ' ')) AS INTEGER) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(norm, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]', 0)) AS INTEGER) AS n_bpe_tokens,
+        CAST(length(norm) AS INTEGER) AS n_chars,
+        CAST(length(norm) AS DOUBLE) / len(string_split(norm, ' ')) AS chars_per_token
+      FROM t
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q25
+  /** Document fingerprint: left-to-right rolling polynomial hash over the
+    * token-hash stream, mod 1e9+7 — order-sensitive by design (detects
+    * reordering that bag-of-words hashes miss). */
+  val q25 = QueryDef("q25_doc_fingerprint",
+    (s, dir) => {
+      docs(s, dir)
+        .withColumn("fingerprint", Text.rollingFingerprint(Text.tokens(col("text"))))
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents)
+      SELECT doc_id,
+        list_reduce(
+          [CAST(0 AS BIGINT)] || list_transform(toks, tk -> ${Duck.ph("'0|' || tk")} % 1000000007),
+          (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+      FROM t
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q12, q22, q23, q24, q25)
+}

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: python3 tools/oracle_check.py [sfdir] [outdir]
+
+Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` has already produced
+<outdir>/<query>/ parquet dumps and <outdir>/oracle_sql.json. Runs each
+oracle SQL in DuckDB over views of the same parquet tables and compares:
+column names (sorted), dtypes (loose), row count, and exact values.
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+def cmp_vals(a, b):
+    """Exact compare with NaN==NaN and timestamp normalization."""
+    if a is None and b is None: return True
+    try:
+        if pd.isna(a) and pd.isna(b): return True
+    except (TypeError, ValueError): pass
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    if hasattr(a, 'timestamp') and hasattr(b, 'timestamp'):
+        return pd.Timestamp(a) == pd.Timestamp(b)
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        a = list(a); b = list(b)
+        return len(a) == len(b) and all(cmp_vals(x, y) for x, y in zip(a, b))
+    return a == b
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            results[name] = "MISSING_SPARK_OUTPUT"; continue
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        except Exception as e:
+            results[name] = f"SPARK_READ_ERROR: {e}"; continue
+        try:
+            exp = canon(con.sql(sql).df())
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {str(e)[:300]}"; continue
+        if list(got.columns) != list(exp.columns):
+            results[name] = f"SCHEMA_MISMATCH: spark={list(got.columns)} duck={list(exp.columns)}"
+            continue
+        if len(got) != len(exp):
+            results[name] = f"ROWCOUNT_MISMATCH: spark={len(got)} duck={len(exp)}"
+            continue
+        bad = None
+        for i in range(len(got)):
+            for c in got.columns:
+                if not cmp_vals(got.iloc[i][c], exp.iloc[i][c]):
+                    bad = (i, c, got.iloc[i][c], exp.iloc[i][c])
+                    break
+            if bad: break
+        if bad:
+            i, c, g, e = bad
+            results[name] = f"VALUE_MISMATCH row {i} col {c}: spark={g!r} duck={e!r}"
+        else:
+            results[name] = f"OK ({len(got)} rows)"
+    # queries with no oracle
+    for d in sorted(glob.glob(f"{outdir}/*/")):
+        qn = d.rstrip('/').split('/')[-1]
+        if qn not in oracle and qn != "oracle_sql.json":
+            n = 0
+            try:
+                n = sum(len(pd.read_parquet(f)) for f in glob.glob(f"{d}/*.parquet"))
+            except Exception: pass
+            results[qn] = f"ROWS_ONLY ({n} rows)"
+    ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for k, v in sorted(results.items()):
+        print(f"{'PASS' if v.startswith('OK') else ('INFO' if v.startswith('ROWS_ONLY') else 'FAIL'):4} {k}: {v}")
+    print(f"\n{ok}/{len(oracle)} oracle queries match")
+
+if __name__ == "__main__":
+    main()
