@@ -1,0 +1,165 @@
+package graft.plans
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import javax.xml.parsers.DocumentBuilderFactory
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import graft.Tables
+
+/** Declarative dataflow-DAG pipeline: the reference's control-plane model
+  * (SURVEY.md §1.3) re-done Spark-first.
+  *
+  * The reference parses an XML operator graph, Kahn-topo-sorts it, and
+  * reflectively dispatches operators that pass DStreams through a mutable
+  * global port map (OpContainer.java:56-63 parse, :197-223 topo sort,
+  * :92-150 dispatch, :43 RESULT_MAP). Here the spec compiles by FOLDING
+  * nodes in topological order into a pure `Map[port, DataFrame]` — lazy
+  * DataFrame composition gives "execute in dependency order" for free and
+  * Catalyst owns all actual planning. No reflection: a sealed registry of
+  * operator factories (the MySQL registry of OpContainerTest.java:124-145
+  * becomes a Map — no SQL-built-by-concat).
+  *
+  * Preserved error semantics: a cycle aborts compilation
+  * (OpContainer.java:207-210), and a failing operator fail-fasts with
+  * "<name> run failed." (OpContainer.java:138-145).
+  */
+final case class OpNode(name: String, opClass: String, args: Map[String, String])
+final case class Edge(from: String, to: String) // "nodeA.outport1" -> "nodeB.inport1"
+final case class PipelineSpec(nodes: Seq[OpNode], edges: Seq[Edge])
+
+class PipelineException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
+object PipelineSpec {
+
+  /** Parse the reference-shaped XML:
+    * {{{
+    * <pipeline>
+    *   <operator name="in" class="parquetInput"><arg key="table" value="lineitem"/></operator>
+    *   <operator name="f"  class="filter"><arg key="predicate" value="l_quantity &gt; 10"/></operator>
+    *   <connect from="in.outport1" to="f.inport1"/>
+    * </pipeline>
+    * }}}
+    * (JDK DOM — no external XML dependency.)
+    */
+  def parseXml(xml: String): PipelineSpec = {
+    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new ByteArrayInputStream(xml.getBytes(StandardCharsets.UTF_8)))
+    def attr(n: org.w3c.dom.Node, a: String): String =
+      Option(n.getAttributes.getNamedItem(a)).map(_.getNodeValue)
+        .getOrElse(throw new PipelineException(s"missing attribute '$a' on <${n.getNodeName}>"))
+    def elems(tag: String): Seq[org.w3c.dom.Node] = {
+      val nl = doc.getElementsByTagName(tag)
+      (0 until nl.getLength).map(nl.item)
+    }
+    val nodes = elems("operator").map { n =>
+      val args = {
+        val kids = n.getChildNodes
+        (0 until kids.getLength).map(kids.item)
+          .filter(_.getNodeName == "arg")
+          .map(a => attr(a, "key") -> attr(a, "value")).toMap
+      }
+      OpNode(attr(n, "name"), attr(n, "class"), args)
+    }
+    val edges = elems("connect").map(c => Edge(attr(c, "from"), attr(c, "to")))
+    PipelineSpec(nodes, edges)
+  }
+}
+
+/** An operator: input ports → output ports. Conventional ports are
+  * "inport1"/"inport2" and "outport1" (matching KafkaInput.java:19). */
+trait PipelineOperator {
+  def apply(spark: SparkSession, inputs: Map[String, DataFrame],
+      args: Map[String, String]): Map[String, DataFrame]
+}
+
+object PipelineCompiler {
+
+  private def arg(args: Map[String, String], k: String): String =
+    args.getOrElse(k, throw new PipelineException(s"missing operator arg '$k'"))
+
+  /** Sealed operator registry (ref R8 parity, minus reflection). */
+  val registry: Map[String, PipelineOperator] = Map(
+    // Sources. "parquetInput" doubles for KafkaInput in batch tests; the
+    // streaming twin is readStream on the same schema (StreamingOps).
+    "parquetInput" -> ((spark, _, args) =>
+      Map("outport1" -> Tables.load(spark, arg(args, "dir"), arg(args, "table")))),
+    "viewInput" -> ((spark, _, args) =>
+      Map("outport1" -> spark.table(arg(args, "table")))),
+    // Transforms (ref R2 AddField + the core relational verbs).
+    "addField" -> ((_, in, args) =>
+      Map("outport1" -> in("inport1").withColumn(arg(args, "name"), expr(arg(args, "expr"))))),
+    "filter" -> ((_, in, args) =>
+      Map("outport1" -> in("inport1").filter(expr(arg(args, "predicate"))))),
+    "select" -> ((_, in, args) =>
+      Map("outport1" -> in("inport1").selectExpr(arg(args, "exprs").split(';').toIndexedSeq: _*))),
+    "join" -> ((_, in, args) =>
+      Map("outport1" -> in("inport1").join(in("inport2"), expr(arg(args, "condition")),
+        args.getOrElse("joinType", "inner")))),
+    "aggregate" -> ((_, in, args) => {
+      val g = arg(args, "groupBy").split(';').toIndexedSeq.map(col)
+      val aggs = arg(args, "aggs").split(';').toIndexedSeq.map(expr)
+      Map("outport1" -> in("inport1").groupBy(g: _*).agg(aggs.head, aggs.tail: _*))
+    }),
+    // Sinks: terminal, empty port map (ref R3 KafkaOutput returns no
+    // downstream ports, KafkaOutput.java:18-19).
+    "viewSink" -> ((_, in, args) => {
+      in("inport1").createOrReplaceTempView(arg(args, "name")); Map.empty
+    }),
+    "tableSink" -> ((_, in, args) => { // ref R6 CTAS parity
+      in("inport1").write.mode(args.getOrElse("mode", "overwrite"))
+        .saveAsTable(arg(args, "name")); Map.empty
+    }))
+
+  /** Kahn topological order; aborts on a cycle (ref OpContainer.java:207-210). */
+  private[plans] def topoOrder(spec: PipelineSpec): Seq[OpNode] = {
+    val byName = spec.nodes.map(n => n.name -> n).toMap
+    def nodeOf(port: String): String = port.split('.').head
+    val deps = spec.edges.map(e => (nodeOf(e.from), nodeOf(e.to)))
+    deps.flatMap { case (a, b) => Seq(a, b) }.foreach { n =>
+      if (!byName.contains(n)) throw new PipelineException(s"connect references unknown operator '$n'")
+    }
+    val indeg = mutable.Map(spec.nodes.map(n => n.name -> 0): _*)
+    deps.foreach { case (_, b) => indeg(b) += 1 }
+    val queue = mutable.Queue(spec.nodes.filter(n => indeg(n.name) == 0): _*)
+    val out = mutable.ArrayBuffer.empty[OpNode]
+    while (queue.nonEmpty) {
+      val n = queue.dequeue(); out += n
+      deps.filter(_._1 == n.name).foreach { case (_, b) =>
+        indeg(b) -= 1
+        if (indeg(b) == 0) queue.enqueue(byName(b))
+      }
+    }
+    if (out.size != spec.nodes.size)
+      throw new PipelineException(
+        s"pipeline has a cycle involving: ${indeg.filter(_._2 > 0).keys.toSeq.sorted.mkString(", ")}")
+    out.toSeq
+  }
+
+  /** Compile a spec into its port→DataFrame bindings (pure, lazy — no
+    * data moves until a sink/action). Fail-fast on the first bad operator
+    * with the reference's "<name> run failed." message. */
+  def compile(spec: PipelineSpec, spark: SparkSession): Map[String, DataFrame] = {
+    val inputsOf: Map[String, Seq[Edge]] = spec.edges.groupBy(e => e.to.split('.').head)
+    topoOrder(spec).foldLeft(Map.empty[String, DataFrame]) { (ports, node) =>
+      val op = registry.getOrElse(node.opClass,
+        throw new PipelineException(s"${node.name} run failed. Unknown operator class '${node.opClass}'"))
+      val ins: Map[String, DataFrame] = inputsOf.getOrElse(node.name, Nil).map { e =>
+        val inPort = e.to.split('.')(1)
+        val bound = ports.getOrElse(e.from,
+          throw new PipelineException(s"${node.name} run failed. Unbound input port '${e.from}'"))
+        inPort -> bound
+      }.toMap
+      val outs =
+        try op(spark, ins, node.args)
+        catch {
+          case p: PipelineException => throw p
+          case e: Exception =>
+            throw new PipelineException(s"${node.name} run failed. ${e.getMessage}", e)
+        }
+      ports ++ outs.map { case (p, df) => s"${node.name}.$p" -> df }
+    }
+  }
+}

@@ -1,0 +1,35 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.collection.mutable
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** R9 parity: the reference writes a startup log document to HDFS recording
+  * per-operator success/failure (writeStartupLog, OpContainer.java:71-90,
+  * START_LOG accumulation :138-145). The Structured-Streaming-native
+  * equivalent is a StreamingQueryListener: query lifecycle events append
+  * one line each to an in-memory buffer and (optionally) a local log file.
+  */
+final class JobLogListener(logPath: Option[String] = None)
+    extends StreamingQueryListener {
+
+  private val buf = mutable.ArrayBuffer.empty[String]
+
+  private def log(line: String): Unit = synchronized {
+    buf += line
+    logPath.foreach { p =>
+      Files.writeString(Paths.get(p), line + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+  }
+
+  def lines: Seq[String] = synchronized(buf.toSeq)
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit =
+    log(s"started ${e.name} ${e.id}")
+  override def onQueryProgress(e: QueryProgressEvent): Unit =
+    log(s"progress ${e.progress.name} batch=${e.progress.batchId} rows=${e.progress.numInputRows}")
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+    log(s"terminated ${e.id} ${e.exception.map(x => s"FAILED: $x").getOrElse("ok")}")
+}

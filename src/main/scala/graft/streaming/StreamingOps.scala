@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming operator surface (SURVEY.md §2.2 "Streaming").
+  *
+  * The reference's core abstraction is a schema-attached micro-batch
+  * stream (`DStreamWithSchema`, OpContainer.java:43) flowing through
+  * KafkaInput → AddField → KafkaOutput stubs with a fixed 10 s trigger
+  * (OpContainer.java:47-49). A streaming `DataFrame` IS that abstraction
+  * done right, so every operator here is a plain `DataFrame => DataFrame`
+  * usable in both batch and streaming plans — the same declarative graph,
+  * executed by MicroBatchExecution when the source is streaming.
+  *
+  * Scale posture: all stateful ops are keyed by the natural partition key
+  * and bounded by watermarks, so state size is O(active keys × window),
+  * never O(stream).
+  */
+object StreamingOps {
+
+  /** R1 parity: decode a Kafka-shaped (key,value) byte stream into typed
+    * columns via from_json. Works on any DataFrame with a binary/string
+    * `value` column — real `format("kafka")` sources and test doubles. */
+  def parseKafkaJson(df: DataFrame, schema: StructType): DataFrame =
+    df.select(from_json(col("value").cast("string"), schema).as("r")).select("r.*")
+
+  /** R3 parity: encode all columns back to a Kafka-shaped JSON `value`. */
+  def toKafkaJson(df: DataFrame): DataFrame =
+    df.select(to_json(struct(col("*"))).as("value"))
+
+  /** R2 parity — the reference's eponymous AddField operator
+    * (AddField.java:9-23): pure narrow projection. */
+  def addField(df: DataFrame, name: String, e: Column): DataFrame =
+    df.withColumn(name, e)
+
+  /** Tumbling-window counts/sums with late-data drop via watermark. */
+  def tumblingAgg(df: DataFrame, ts: String, width: String,
+      watermark: String, keys: Column*): DataFrame =
+    df.withWatermark(ts, watermark)
+      .groupBy(window(col(ts), width) +: keys: _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select((col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +: keys) :+ col("n") :+ col("sum_value"): _*)
+
+  /** Sliding-window variant. */
+  def slidingAgg(df: DataFrame, ts: String, width: String, slide: String,
+      watermark: String, keys: Column*): DataFrame =
+    df.withWatermark(ts, watermark)
+      .groupBy(window(col(ts), width, slide) +: keys: _*)
+      .agg(count(lit(1)).as("n"))
+      .select((col("window.start").as("window_start") +: keys) :+ col("n"): _*)
+
+  /** Session windows (gap-merge semantics handled by Spark). */
+  def sessionAgg(df: DataFrame, ts: String, gap: String,
+      watermark: String, keys: Column*): DataFrame =
+    df.withWatermark(ts, watermark)
+      .groupBy(session_window(col(ts), gap) +: keys: _*)
+      .agg(count(lit(1)).as("n"))
+      .select((col("session_window.start").as("session_start") +:
+        col("session_window.end").as("session_end") +: keys) :+ col("n"): _*)
+
+  /** Streaming dedup bounded by watermark (state stays finite). */
+  def dedupWithinWatermark(df: DataFrame, ts: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(ts, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream–static broadcast join (ref R1+R4 composed): the static dim is
+    * broadcast, so the stream never shuffles. */
+  def streamStaticJoin(stream: DataFrame, static: DataFrame,
+      cond: Column): DataFrame =
+    stream.join(broadcast(static), cond)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CoreQueries
+
+/** Regression guards over the oracle-verified sf0.001 goldens (the full
+  * hash gate is tools/oracle_check.py; these pin a few exact values so
+  * `sbt test` alone catches drift). */
+class CoreQueriesSpec extends AnyFunSuite with SharedSpark {
+
+  test("every registry query runs at sf0.001 and has stable schema") {
+    SparkEntry.registry.foreach { q =>
+      val df = q.run(spark, sf001)
+      assert(df.columns.nonEmpty, s"${q.name} has empty schema")
+      assert(df.count() >= 0, s"${q.name} failed to execute")
+    }
+  }
+
+  test("q01 pricing summary matches golden first row") {
+    val r = CoreQueries.q01.run(spark, sf001).collect()
+    assert(r.length == 6)
+    val first = r.head
+    assert(first.getString(0) == "A" && first.getString(1) == "F")
+    assert(first.getAs[Double]("sum_qty") == 13096.0)
+    assert(first.getAs[Double]("sum_base_price") == 26731890.14)
+    assert(first.getAs[Double]("sum_disc_price") == 25368762.5198)
+    assert(first.getAs[Long]("count_order") == 510L)
+  }
+
+  test("q02 revenue by nation golden") {
+    val r = CoreQueries.q02.run(spark, sf001).collect()
+    assert(r.map(_.getString(0)).contains("NATION_12"))
+    val rev = r.find(_.getString(0) == "NATION_12").get.getAs[Double]("revenue")
+    assert(rev == 49750.989)
+  }
+
+  test("q03 returns exactly 10 ordered rows") {
+    val r = CoreQueries.q03.run(spark, sf001).collect()
+    assert(r.length == 10)
+    val revs = r.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+  }
+
+  test("q15 exact distincts golden") {
+    val r = CoreQueries.q15.run(spark, sf001).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq ==
+      Seq(("A", 10L, 200L, 1962L), ("N", 10L, 200L, 2070L), ("R", 10L, 200L, 1968L)))
+  }
+
+  test("q14 banded plan avoids nested-loop join") {
+    val plan = CoreQueries.q14.run(spark, sf001).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "theta join should be banded into an equi-join")
+  }
+
+  test("q02 broadcasts the dim tables") {
+    val plan = CoreQueries.q02.run(spark, sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dims should broadcast")
+  }
+
+  test("oracle SQL exists for every portable query and names match queries") {
+    val names = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names))
+    // every query except the explicitly rows-only ones has an oracle
+    val rowsOnly = names -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q15b_approx_distinct"), s"unexpected rows-only: $rowsOnly")
+  }
+}

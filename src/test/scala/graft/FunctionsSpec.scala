@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{CentroidAgg, CosineSim, Portable, Text}
+
+class FunctionsSpec extends AnyFunSuite with SharedSpark {
+
+  test("cosine_sim: known value, symmetry, bounds, self-similarity") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val Array(row) = df.select(
+      CosineSim(col("a"), col("b")).as("ab"),
+      CosineSim(col("b"), col("a")).as("ba"),
+      CosineSim(col("a"), col("a")).as("aa")).collect()
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(row.getDouble(0) == expected)
+    assert(row.getDouble(0) == row.getDouble(1), "symmetric")
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-12, "self-sim ~ 1")
+  }
+
+  test("cosine_sim: interpreted eval equals codegen result") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val a = Array(0.3f, -1.7f, 2.2f, 0.01f)
+    val b = Array(1.3f, 0.7f, -0.2f, 5.0f)
+    val e = graft.functions.CosineSim(
+      org.apache.spark.sql.catalyst.expressions.Literal(new GenericArrayData(a.map(x => x: Any)),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal(new GenericArrayData(b.map(x => x: Any)),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val interp = e.eval(null).asInstanceOf[Double]
+    import spark.implicits._
+    val viaPlan = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(CosineSim(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(interp == viaPlan, "codegen and interpreted paths must agree bit-exactly")
+  }
+
+  test("portable hash: JVM evaluation matches Spark expression") {
+    import spark.implicits._
+    val inputs = Seq("", "a", "hello world", "hp0_0", "0|the quick")
+    val sparkVals = inputs.toDF("s").select(Portable.phash(col("s"))).collect().map(_.getLong(0))
+    val jvmVals = inputs.map(Portable.phashJvm)
+    assert(sparkVals.toSeq == jvmVals)
+  }
+
+  test("tokens/shingles/fingerprint behave on fixtures") {
+    import spark.implicits._
+    val df = Seq("  The  quick brown fox  ", "ab", "").toDF("text")
+      .select(Text.tokens(col("text")).as("toks"))
+    val toks = df.collect().map(_.getSeq[String](0))
+    assert(toks(0) == Seq("the", "quick", "brown", "fox"))
+    val sh = df.select(Text.shingles(col("toks"), 3)).collect().map(_.getSeq[String](0))
+    assert(sh(0) == Seq("the quick brown", "quick brown fox"))
+    assert(sh(1) == Seq.empty, "short docs yield no shingles")
+    // fingerprint is order-sensitive
+    val fp = Seq("a b c", "c b a").toDF("text")
+      .select(Text.rollingFingerprint(Text.tokens(col("text")))).collect().map(_.getLong(0))
+    assert(fp(0) != fp(1), "rolling hash must detect reordering")
+  }
+
+  test("minhash signature: identical docs share signature, length = n") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps", "the quick brown fox jumps", "totally different words here now")
+      .toDF("text")
+      .select(Text.minhashSignature(Text.shingles(Text.tokens(col("text")), 3), 16).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0).length == 16)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("simhash: equal docs equal hash; near docs near hamming") {
+    import spark.implicits._
+    val df = Seq(
+      "spark query engine with hash join and sort merge",
+      "spark query engine with hash join and sort merge",
+      "spark query engine with hash join and sort partition")
+      .toDF("text").select(Text.simhash(Text.tokens(col("text"))).as("sh"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) < 20, "one-word change stays close")
+  }
+
+  test("centroid aggregator matches per-dimension mean") {
+    import spark.implicits._
+    val data = Seq((0, Seq(1f, 2f)), (0, Seq(3f, 4f)), (1, Seq(10f, 20f)))
+    val ds = data.toDF("label", "emb").as[(Int, Seq[Float])]
+    val agg = udaf(new CentroidAgg(2))
+    val r = ds.toDF("label", "emb").groupBy(col("label"))
+      .agg(agg(col("emb")).as("c")).orderBy("label").collect()
+    assert(r(0).getSeq[Double](1) == Seq(2.0, 3.0))
+    assert(r(1).getSeq[Double](1) == Seq(10.0, 20.0))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans._
+
+class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
+
+  private def xmlPipeline(extra: String = ""): String = s"""
+    <pipeline>
+      <operator name="in" class="parquetInput">
+        <arg key="dir" value="$sf001"/><arg key="table" value="lineitem"/>
+      </operator>
+      <operator name="af" class="addField">
+        <arg key="name" value="rev"/>
+        <arg key="expr" value="l_extendedprice * (1 - l_discount)"/>
+      </operator>
+      <operator name="f" class="filter">
+        <arg key="predicate" value="l_quantity &gt; 45"/>
+      </operator>
+      <connect from="in.outport1" to="af.inport1"/>
+      <connect from="af.outport1" to="f.inport1"/>
+      $extra
+    </pipeline>"""
+
+  test("XML spec parses and compiles; reference pipeline shape runs") {
+    val spec = PipelineSpec.parseXml(xmlPipeline())
+    assert(spec.nodes.map(_.name) == Seq("in", "af", "f"))
+    val ports = PipelineCompiler.compile(spec, spark)
+    val out = ports("f.outport1")
+    assert(out.columns.contains("rev"))
+    val n = out.count()
+    assert(n > 0 && n < out.sparkSession.read.parquet(s"$sf001/lineitem.parquet").count())
+  }
+
+  test("diamond DAG topology compiles (join of two branches)") {
+    val spec = PipelineSpec(
+      nodes = Seq(
+        OpNode("src", "parquetInput", Map("dir" -> sf001, "table" -> "orders")),
+        OpNode("hi", "filter", Map("predicate" -> "o_totalprice > 100000")),
+        OpNode("lo", "filter", Map("predicate" -> "o_totalprice <= 100000")),
+        OpNode("uni", "join", Map("condition" -> "true", "joinType" -> "inner"))),
+      edges = Seq(
+        Edge("src.outport1", "hi.inport1"), Edge("src.outport1", "lo.inport1"),
+        Edge("hi.outport1", "uni.inport1"), Edge("lo.outport1", "uni.inport2")))
+    val ports = PipelineCompiler.compile(spec, spark)
+    assert(ports.contains("uni.outport1"))
+  }
+
+  test("cycle is rejected with an explicit error") {
+    val spec = PipelineSpec(
+      nodes = Seq(
+        OpNode("a", "filter", Map("predicate" -> "true")),
+        OpNode("b", "filter", Map("predicate" -> "true"))),
+      edges = Seq(Edge("a.outport1", "b.inport1"), Edge("b.outport1", "a.inport1")))
+    val e = intercept[PipelineException](PipelineCompiler.compile(spec, spark))
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("unknown operator fail-fasts with the reference's message shape") {
+    val spec = PipelineSpec(
+      nodes = Seq(OpNode("x", "noSuchOp", Map())), edges = Nil)
+    val e = intercept[PipelineException](PipelineCompiler.compile(spec, spark))
+    assert(e.getMessage.startsWith("x run failed."))
+  }
+
+  test("bad operator args fail-fast with node name") {
+    val spec = PipelineSpec(
+      nodes = Seq(OpNode("in", "parquetInput", Map("dir" -> sf001, "table" -> "nope"))),
+      edges = Nil)
+    val e = intercept[PipelineException](PipelineCompiler.compile(spec, spark))
+    assert(e.getMessage.startsWith("in run failed."))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic laws (SURVEY.md §5.4), checked over seeded pseudo-random
+  * inputs (deterministic; expression-level cases evaluate the Catalyst
+  * expression directly, no Spark job per case). */
+class PropertySpec extends AnyFunSuite with SharedSpark {
+
+  private val rng = new scala.util.Random(42)
+  private def randVec(n: Int = 8): Array[Float] =
+    Array.fill(n)(rng.nextFloat() * 20 - 10).map(v => if (math.abs(v) < 1e-3) 1f else v)
+
+  private def cos(a: Array[Float], b: Array[Float]): Double =
+    graft.functions.CosineSim(
+      Literal(new GenericArrayData(a.map(x => x: Any)), ArrayType(FloatType)),
+      Literal(new GenericArrayData(b.map(x => x: Any)), ArrayType(FloatType)))
+      .eval(null).asInstanceOf[Double]
+
+  test("cosine_sim is symmetric, bounded, ~1 on self, ~-1 on negation (200 cases)") {
+    (1 to 200).foreach { _ =>
+      val a = randVec(); val b = randVec()
+      val ab = cos(a, b)
+      assert(ab == cos(b, a), "symmetry")
+      assert(ab >= -1.0000000001 && ab <= 1.0000000001, "bounds")
+      assert(math.abs(cos(a, a) - 1.0) < 1e-9, "self")
+      assert(math.abs(cos(a, a.map(-_)) + 1.0) < 1e-9, "negation")
+    }
+  }
+
+  test("portable hash is stable, 60-bit bounded, and seed-independent family (500 cases)") {
+    (1 to 500).foreach { i =>
+      val s = rng.alphanumeric.take(rng.nextInt(20)).mkString
+      val h = graft.functions.Portable.phashJvm(s)
+      assert(h >= 0 && h < (1L << 60))
+      assert(h == graft.functions.Portable.phashJvm(s), "deterministic")
+    }
+  }
+
+  test("filter commutes with projection on disjoint columns") {
+    import spark.implicits._
+    val df = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("k", "s", "v")
+    val left = df.filter($"k" > 1).select($"s", $"v").collect().toSet
+    val right = df.select($"s", $"v", $"k").filter($"k" > 1).select($"s", $"v").collect().toSet
+    assert(left == right)
+  }
+
+  test("union row-count additivity; except/intersect partition the left side") {
+    import spark.implicits._
+    val a = (1 to 20).toDF("x")
+    val b = (15 to 30).toDF("x")
+    assert(a.union(b).count() == a.count() + b.count())
+    assert(a.intersect(b).count() + a.except(b).count() == a.distinct().count())
+  }
+
+  test("dedup is idempotent") {
+    import spark.implicits._
+    val df = Seq(1, 1, 2, 2, 2, 3).toDF("x")
+    val once = df.dropDuplicates("x")
+    assert(once.count() == once.dropDuplicates("x").count())
+    assert(once.count() == 3)
+  }
+
+  test("window top-k rows are a subset of their group") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 10), (1, 20), (1, 30), (2, 5)).toDF("g", "v")
+    val w = Window.partitionBy($"g").orderBy(desc("v"))
+    val topk = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2).drop("rn")
+    assert(topk.except(df).count() == 0, "top-k ⊆ group rows")
+    assert(topk.count() == 3)
+  }
+}

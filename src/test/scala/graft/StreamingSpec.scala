@@ -1,0 +1,144 @@
+package graft
+
+import java.sql.Timestamp
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{JobLogListener, Sessionize, StreamingOps}
+
+/** S1–S5 (SURVEY.md §2.3 streaming set): deterministic replay through
+  * MemoryStream + processAllAvailable — the only reliably deterministic
+  * streaming harness (never wall-clock triggers in tests). */
+class StreamingSpec extends AnyFunSuite with SharedSpark {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("S1: kafka-shaped json ingest -> addField -> filter -> sink (R1->R2->R3)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val schema = StructType(Seq(
+      StructField("user", LongType), StructField("amount", DoubleType)))
+    val parsed = StreamingOps.parseKafkaJson(
+      input.toDF().select(col("value")), schema)
+    val shaped = StreamingOps.toKafkaJson(
+      StreamingOps.addField(parsed, "flag", expr("amount > 10"))
+        .filter(col("flag")))
+    val listener = new JobLogListener()
+    spark.streams.addListener(listener)
+    val q = shaped.writeStream.format("memory").queryName("s1").outputMode("append").start()
+    try {
+      input.addData("""{"user":1,"amount":5.0}""", """{"user":2,"amount":50.0}""")
+      q.processAllAvailable()
+      val rows = spark.table("s1").collect().map(_.getString(0))
+      assert(rows.length == 1 && rows(0).contains(""""user":2"""))
+      assert(listener.lines.exists(_.startsWith("started")), "job log records lifecycle (R9)")
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+  }
+
+  test("S2: tumbling window agg with watermark drops late rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = StreamingOps.tumblingAgg(
+      input.toDF().toDF("ts", "value"), "ts", "10 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("s2").outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:02:00"), 1.0), (ts("2024-01-01 10:07:00"), 2.0))
+      q.processAllAvailable()
+      // advance watermark past the 10:00 window: max ts 10:31 -> wm 10:21
+      input.addData((ts("2024-01-01 10:31:00"), 3.0))
+      q.processAllAvailable()
+      // late row behind the watermark: must be dropped, not revise the closed window
+      input.addData((ts("2024-01-01 10:04:00"), 99.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 11:00:00"), 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("s2").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+      assert(closed.contains(("2024-01-01 10:00:00.0", 2L, 3.0)),
+        s"10:00 window must close with 2 rows (late row dropped), got ${closed.toSeq}")
+    } finally q.stop()
+  }
+
+  test("S3: stream-static broadcast join") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val static = Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier")
+    val joined = StreamingOps.streamStaticJoin(
+      input.toDF().toDF("sid"), static, col("sid") === col("id"))
+      .select(col("tier"))
+    val q = joined.writeStream.format("memory").queryName("s3").outputMode("append").start()
+    try {
+      input.addData(1L, 3L)
+      q.processAllAvailable()
+      val tiers = spark.table("s3").collect().map(_.getString(0))
+      assert(tiers.toSeq == Seq("gold"), "only matching keys joined")
+    } finally q.stop()
+  }
+
+  test("S4: dropDuplicatesWithinWatermark dedups the stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val dedup = StreamingOps.dedupWithinWatermark(
+      input.toDF().toDF("id", "ts"), "ts", "10 minutes", Seq("id"))
+    val q = dedup.writeStream.format("memory").queryName("s4").outputMode("append").start()
+    try {
+      input.addData((7L, ts("2024-01-01 10:00:00")), (7L, ts("2024-01-01 10:01:00")),
+        (8L, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      assert(spark.table("s4").count() == 2, "duplicate id within watermark dropped")
+    } finally q.stop()
+  }
+
+  test("S5: stateful sessionization via flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize(input.toDS())
+    val q = sessions.writeStream.format("memory").queryName("s5").outputMode("append").start()
+    try {
+      input.addData(
+        Sessionize.Event(1L, ts("2024-01-01 10:00:00"), 5.0),
+        Sessionize.Event(1L, ts("2024-01-01 10:10:00"), 7.0))
+      q.processAllAvailable()
+      // gap > 30 min closes the first session
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 11:30:00"), 1.0))
+      q.processAllAvailable()
+      val done = spark.table("s5").as[Sessionize.Session].collect()
+      assert(done.length == 1)
+      assert(done(0).n_events == 2 && done(0).sum_value == 12.0)
+      assert(done(0).session_start == ts("2024-01-01 10:00:00"))
+      assert(done(0).session_end == ts("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
+
+  test("checkpoint recovery: windowed agg state survives a restart") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ckpt").toFile
+    val srcDir = new java.io.File(dir, "src"); srcDir.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val schema = StructType(Seq(StructField("user", LongType), StructField("n", LongType)))
+    Seq((1L, 10L)).toDF("user", "n").write.mode("append").parquet(srcDir.getAbsolutePath)
+    def start() = spark.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+      .groupBy("user").agg(sum("n").as("total"))
+      .writeStream.format("memory").queryName("ckpt_out").outputMode("complete")
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(spark.table("ckpt_out").collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+    q1.stop()
+    Seq((1L, 5L)).toDF("user", "n").write.mode("append").parquet(srcDir.getAbsolutePath)
+    val q2 = start()
+    q2.processAllAvailable()
+    try {
+      val after = spark.table("ckpt_out").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == Set((1L, 15L)), s"state restored + new batch applied, got $after")
+    } finally q2.stop()
+  }
+}
