@@ -36,11 +36,10 @@ object Text {
     conv(substring(md5(concat(seed.cast("string"), lit("|"), s)), 1, 15), 16, 10)
       .cast("long")
 
-  /** MinHash signature: array of `n` minimums over the shingle hashes,
-    * one per hash-family member. Null-free as long as `sh` is non-empty. */
-  def minhashSignature(sh: Column, n: Int): Column =
-    transform(sequence(lit(0), lit(n - 1)),
-      j => array_min(transform(sh, s => ph(j, s))))
+  /** MinHash signature — delegates to the codegen'd [[MinHashSig]]
+    * expression (one md5 per shingle + Carter–Wegman family; the HOF
+    * formulation ran interpreted and was 16× heavier on md5). */
+  def minhashSignature(sh: Column, n: Int): Column = MinHashSig(sh, n)
 
   /** LSH band keys: md5 over each `rows`-wide slice of the signature.
     * Docs sharing any band key become candidate pairs. */
@@ -49,25 +48,9 @@ object Text {
       b => md5(concat_ws(",",
         transform(slice(sig, b * lit(rows) + lit(1), lit(rows)), x => x.cast("string")))))
 
-  // functions.shiftright/shiftleft only take a literal Int shift; the
-  // catalyst expressions accept a dynamic one (needed inside HOF lambdas).
-  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-  import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
-  private def shr(c: Column, n: Column): Column = toCol(ShiftRight(toExpr(c), toExpr(n)))
-  private def shl(c: Column, n: Column): Column = toCol(ShiftLeft(toExpr(c), toExpr(n)))
-
   /** 60-bit SimHash over the token multiset: bit b is set iff the majority
-    * of token hashes have bit b set. Pure integer arithmetic → portable. */
-  def simhash(toks: Column): Column = {
-    val hs = transform(toks, t => ph(lit(0), t))
-    aggregate(
-      sequence(lit(0), lit(59)),
-      lit(0L),
-      (acc, b) => acc + when(
-        aggregate(hs, lit(0),
-          (a2, h) => a2 + when(shr(h, b.cast("int")) % 2 === 1, 1).otherwise(-1)) > 0,
-        shl(lit(1L), b.cast("int"))).otherwise(lit(0L)))
-  }
+    * of token hashes have bit b set — codegen'd [[SimHash60]] expression. */
+  def simhash(toks: Column): Column = SimHash60(toks)
 
   /** 15-bit chunk `i` (0..3) of a 60-bit simhash — LSH band key for the
     * hamming-distance join (pigeonhole: hamming ≤ 3 ⇒ ≥1 equal chunk). */

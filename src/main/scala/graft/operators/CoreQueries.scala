@@ -178,8 +178,10 @@ object CoreQueries {
       ORDER BY c_mktsegment"""))
 
   // ---------------------------------------------------------------- Q6
-  /** Window functions: top-3 orders per customer by price (row_number) +
-    * running per-customer spend (frame agg, exact decimal then double). */
+  /** Window-function battery: ranking (row_number/rank/dense_rank/ntile),
+    * analytic (lag/lead/first), and a running frame agg (exact decimal
+    * then double). All windows carry an o_orderkey tiebreak so every
+    * ranking is total-ordered and engine-portable. */
   val q06 = QueryDef("q06_window_rank",
     (s, dir) => {
       val o = t(s, dir, "orders")
@@ -189,20 +191,36 @@ object CoreQueries {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       o.withColumn("rn", row_number().over(byPrice))
+        .withColumn("rnk", rank().over(byPrice))
+        .withColumn("drnk", dense_rank().over(byPrice))
+        .withColumn("quartile", ntile(4).over(byPrice))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(byPrice))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(byPrice))
+        .withColumn("top_price", first(col("o_totalprice")).over(byPrice))
         .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(byDate).cast("double"))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          col("rn"), col("running_spend"))
+          col("rn"), col("rnk"), col("drnk"), col("quartile"),
+          col("prev_price"), col("next_price"), col("top_price"),
+          col("running_spend"))
         .orderBy(col("o_custkey"), col("rn"))
     },
     Some("""
-      SELECT o_custkey, o_orderkey, o_totalprice, rn, running_spend FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk, quartile,
+             prev_price, next_price, top_price, running_spend FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
-          CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+          CAST(row_number() OVER w AS INTEGER) AS rn,
+          CAST(rank() OVER w AS INTEGER) AS rnk,
+          CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+          CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+          lag(o_totalprice, 1) OVER w AS prev_price,
+          lead(o_totalprice, 1) OVER w AS next_price,
+          first_value(o_totalprice) OVER w AS top_price,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
-        FROM orders)
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
       WHERE rn <= 3
       ORDER BY o_custkey, rn"""))
 
@@ -231,6 +249,28 @@ object CoreQueries {
         CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS grp
       FROM orders
       GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      ORDER BY grp, priority, status"""))
+
+  /** Cube over (priority, status): all 2^2 grouping sets. */
+  val q07b = QueryDef("q07b_cube",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("grp"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("grp"))
+        .orderBy("grp", "priority", "status")
+    },
+    Some("""
+      SELECT
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COALESCE(o_orderstatus, 'ALL') AS status,
+        COUNT(*) AS n,
+        CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS grp
+      FROM orders
+      GROUP BY CUBE(o_orderpriority, o_orderstatus)
       ORDER BY grp, priority, status"""))
 
   // ---------------------------------------------------------------- Q8
@@ -265,26 +305,34 @@ object CoreQueries {
     * log/pow are not bit-portable across engines), conditionals. */
   val q09 = QueryDef("q09_scalar_battery",
     (s, dir) => {
-      val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      // Part-derived scalars (regex/string fns are the per-row cost pigs)
+      // are computed on the 20k-row dim side BEFORE the join fans them out
+      // across 600k+ fact rows — 30× less string work, same semantics.
+      val p = t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        col("p_name").like("%re%").cast("int").as("has_re"),
+        abs(col("p_size") - lit(25)).as("size_dist"),
+        sqrt(col("p_size").cast("double")).as("size_sqrt"),
+        when(col("p_size") > 25, "big").when(col("p_size") > 10, "mid")
+          .otherwise("small").as("size_class"),
+        coalesce(nullif(col("p_brand"), lit("Brand#1")), lit("DEFAULT")).as("brand_nn"))
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
         .select(
           l("l_orderkey"), l("l_linenumber"),
-          upper(substring(p("p_name"), 1, 8)).as("name_prefix"),
-          length(p("p_name")).as("name_len"),
-          regexp_extract(p("p_name"), "([a-z]+)", 1).as("first_word"),
-          p("p_name").like("%re%").cast("int").as("has_re"),
+          col("name_prefix"), col("name_len"), col("first_word"), col("has_re"),
           year(l("l_shipdate")).as("ship_year"),
           month(l("l_shipdate")).as("ship_month"),
           dayofmonth(l("l_shipdate")).as("ship_day"),
           date_trunc("month", l("l_shipdate")).as("ship_month_start"),
           datediff(l("l_shipdate"), expr("TIMESTAMP '1995-01-01 00:00:00'")).as("days_since_95"),
-          abs(p("p_size") - lit(25)).as("size_dist"),
-          sqrt(p("p_size").cast("double")).as("size_sqrt"),
+          col("size_dist"), col("size_sqrt"),
           floor(l("l_quantity") / lit(7.0)).cast("long").as("qty_div7"),
           ceil(l("l_quantity") / lit(7.0)).cast("long").as("qty_div7_up"),
-          when(p("p_size") > 25, "big").when(p("p_size") > 10, "mid")
-            .otherwise("small").as("size_class"),
-          coalesce(nullif(p("p_brand"), lit("Brand#1")), lit("DEFAULT")).as("brand_nn"))
+          col("size_class"), col("brand_nn"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
     Some("""
@@ -315,7 +363,12 @@ object CoreQueries {
   val q10 = QueryDef("q10_events_window",
     (s, dir) => {
       val e = t(s, dir, "events")
-      e.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      // JSON → map<string,string> → element_at: exercises the map-column
+      // surface (get_json_object is the other JSON path, used in tests)
+      e.withColumn("props_map",
+          from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+        .withColumn("k", element_at(col("props_map"), "k").cast("int"))
         .groupBy(col("event_type"), window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * lit(100)).cast("long")).as("value_cents"),
@@ -336,21 +389,28 @@ object CoreQueries {
       ORDER BY event_type, window_start"""))
 
   // ---------------------------------------------------------------- Q14
-  /** Theta/range join, banded: l_quantity BETWEEN p_size±5. The Spark plan
-    * explodes each lineitem row into its 11 integer candidate sizes and
-    * hash-joins on size — O(11n) shuffle instead of the O(n·m)
-    * BroadcastNestedLoopJoin a naive BETWEEN join would plan. The oracle
-    * states the same semantics as a plain range join. */
+  /** Theta/range join, banded + aggregate-pushdown: the query is an
+    * aggregate over pairs satisfying `l_quantity BETWEEN p_size±5`, whose
+    * key columns are tiny-domain (50 quantities × 50 sizes). A naive range
+    * join materializes O(n·m/|sizes|) pairs — billions at sf0.1 (the join
+    * key has 50 distinct values: worst-case skew AND fanout). Instead both
+    * sides pre-aggregate to their key domains (two cheap shuffles), the
+    * 11-wide band explode happens on the ~50-row aggregate, and pair
+    * counts multiply out — identical result, O(|qty|·|size·brand|) join
+    * work, scale-independent. */
   val q14 = QueryDef("q14_theta_band_join",
     (s, dir) => {
       val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
-      val expanded = l
-        .withColumn("qty_i", col("l_quantity").cast("int"))
-        .withColumn("cand_size",
-          explode(sequence(col("qty_i") - lit(5), col("qty_i") + lit(5))))
-      expanded.join(p, expanded("cand_size") === p("p_size"))
-        .groupBy(p("p_brand"))
-        .agg(count(lit(1)).as("n_pairs"), dsum(col("l_quantity")).as("sum_qty"))
+      val lagg = l.withColumn("qty_i", col("l_quantity").cast("int"))
+        .groupBy(col("qty_i"))
+        .agg(count(lit(1)).as("nl"), sum(dec(col("l_quantity"))).as("sq"))
+      val pagg = p.groupBy(col("p_size"), col("p_brand")).agg(count(lit(1)).as("np"))
+      val expanded = lagg.withColumn("cand_size",
+        explode(sequence(col("qty_i") - lit(5), col("qty_i") + lit(5))))
+      expanded.join(broadcast(pagg), expanded("cand_size") === pagg("p_size"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("nl") * col("np")).as("n_pairs"),
+          sum(col("sq") * col("np")).cast("double").as("sum_qty"))
         .orderBy("p_brand")
     },
     Some("""
@@ -395,6 +455,121 @@ object CoreQueries {
     },
     None)
 
+  // ---------------------------------------------------------------- Q29
+  /** Exact interpolated percentiles per group (Spark `percentile` =
+    * DuckDB `quantile_cont`: index p·(n−1), linear interpolation over the
+    * same decimal-exact doubles). The HLL/approx twin lives in q15b. */
+  val q29 = QueryDef("q29_percentiles",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.withColumn("price", dec(col("o_totalprice")).cast("double"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(price, 0.5)").as("p50"),
+          expr("percentile(price, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+        quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 0.5) AS p50,
+        quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 0.9) AS p90,
+        COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- Q30
+  /** collect_list / collect_set surface — wrapped in sort_array so the
+    * nondeterministic accumulation order never reaches the output. */
+  val q30 = QueryDef("q30_collect",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      c.groupBy(col("c_mktsegment"))
+        .agg(
+          sort_array(collect_set(col("c_nationkey"))).as("nations"),
+          size(collect_list(col("c_nationkey"))).as("n_rows"),
+          sort_array(collect_list(col("c_nationkey"))).as("all_nations_sorted"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment,
+        list_sort(list(DISTINCT c_nationkey)) AS nations,
+        CAST(len(list(c_nationkey)) AS INTEGER) AS n_rows,
+        list_sort(list(c_nationkey)) AS all_nations_sorted
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  // ---------------------------------------------------------------- Q31
+  /** Outer-join family: full outer of (customers ≤ 1000) vs (order counts
+    * of custkeys ≥ 500) — exercises matched, left-only and right-only
+    * rows; the coalesced key keeps the sort total and null-free. */
+  val q31 = QueryDef("q31_full_outer_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = t(s, dir, "orders").filter(col("o_custkey") >= 500)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+          c("c_mktsegment").as("segment"),
+          o("n_orders"))
+        .orderBy("custkey")
+    },
+    Some("""
+      SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+             c_mktsegment AS segment, n_orders
+      FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 1000) c
+      FULL OUTER JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        WHERE o_custkey >= 500 GROUP BY o_custkey) o
+      ON c_custkey = o_custkey
+      ORDER BY custkey"""))
+
+  // ---------------------------------------------------------------- Q32
+  /** Explicit cross join (ref R4's syntactic form before the WHERE
+    * rewrite): region × region pair matrix. */
+  val q32 = QueryDef("q32_cross_join",
+    (s, dir) => {
+      val r = t(s, dir, "region")
+      val a = r.select(col("r_name").as("r_a"))
+      val b = r.select(col("r_name").as("r_b"))
+      a.crossJoin(b).orderBy("r_a", "r_b")
+    },
+    Some("""
+      SELECT a.r_name AS r_a, b.r_name AS r_b
+      FROM region a CROSS JOIN region b
+      ORDER BY r_a, r_b"""))
+
+  // ---------------------------------------------------------------- Q33
+  /** RANGE window frame: trailing-30-day spend per customer, ordered by
+    * epoch micros (range frames need a numeric order key in Spark; ties
+    * on order date are frame *peers* in both engines, so the result is
+    * deterministic without a unique tiebreak). */
+  val q33 = QueryDef("q33_range_frame",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val us30d = 30L * 86400 * 1000000
+      val w = Window.partitionBy(col("o_custkey"))
+        // parquet TIMESTAMP(isAdjustedToUTC=false) arrives as NTZ; cast to
+        // LTZ (session tz = UTC) for unix_micros — same instant either way
+        .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-us30d, 0)
+      o.withColumn("trailing_30d", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("trailing_30d"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+          PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+          RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+      FROM orders
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
   val all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q14, q15, q15b)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q07b, q08, q09, q10, q14, q15, q15b,
+      q29, q30, q31, q32, q33)
 }

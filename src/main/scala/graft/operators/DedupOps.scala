@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.{CosineSim, Text}
@@ -69,15 +70,19 @@ object DedupOps {
         .filter(size(col("sh")) > 0)
         .withColumn("sig", Text.minhashSignature(col("sh"), 16))
         .select(col("doc_id"), col("sig"))
-      val bands = sig.select(col("doc_id"), col("sig"),
+      // Bands stay SLIM (doc_id, band idx, key) — the 16-long signatures
+      // are joined back per candidate pair from the (small, broadcast)
+      // signature table instead of riding through the band shuffle.
+      val bands = sig.select(col("doc_id"),
         posexplode(Text.lshBands(col("sig"), 4, 4)).as(Seq("b", "band_key")))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.b") === col("y.b") && col("x.band_key") === col("y.band_key") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.sig").as("sa"), col("y.sig").as("sb"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
       cand
+        .join(broadcast(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))), "doc_a")
+        .join(broadcast(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))), "doc_b")
         .withColumn("m", size(filter(zip_with(col("sa"), col("sb"),
           (x, y) => x === y), b => b)))
         .filter(col("m") >= 8)
@@ -88,11 +93,15 @@ object DedupOps {
     Some(s"""
       WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
       shs AS (SELECT doc_id, ${Duck.shingles3} AS sh FROM t),
+      hm AS (SELECT doc_id, list_transform(sh, s -> md5('mh|' || s)) AS hm
+             FROM shs WHERE len(sh) > 0),
       sig AS (
         SELECT doc_id,
           list_transform(range(0, 16), j ->
-            list_min(list_transform(sh, s -> ${Duck.ph("CAST(j AS VARCHAR) || '|' || s")}))) AS sig
-        FROM shs WHERE len(sh) > 0),
+            list_min(list_transform(hm, m ->
+              CAST('0x' || substring(m, 1, 15) AS BIGINT)
+                + j * (CAST('0x' || substring(m, 16, 15) AS BIGINT) % 1000000007)))) AS sig
+        FROM hm),
       bands AS (
         SELECT doc_id, sig, b,
           md5(array_to_string(list_transform(list_slice(sig, b*4+1, b*4+4), x -> CAST(x AS VARCHAR)), ',')) AS band_key
@@ -147,36 +156,43 @@ object DedupOps {
 
   // ---------------------------------------------------------------- q18
   /** Exact n-gram Jaccard via inverted-index join: explode distinct
-    * 3-shingles, drop shingles hitting > 100 docs (df cap — bounds the
-    * join fanout at scale; applied identically in the oracle), count
-    * intersections pairwise, Jaccard ≥ 0.6. Never materializes the
-    * document cross product. */
+    * 3-shingles (as portable 60-bit hashes — int64 join keys shuffle ~3×
+    * cheaper than the shingle strings and both engines hash identically,
+    * so any collision merges the same way), drop shingles hitting > 100
+    * docs (df cap — bounds the join fanout at scale; applied identically
+    * in the oracle), count intersections pairwise, Jaccard ≥ 0.6. Never
+    * materializes the document cross product. */
   val q18 = QueryDef("q18_ngram_jaccard_dedup",
     (s, dir) => {
       val sh = docs(s, dir)
         .select(col("doc_id"),
-          explode(array_distinct(Text.shingles(Text.tokens(col("text")), 3))).as("sh"))
-      val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 100).select(col("sh"))
-      val sf = sh.join(rare, "sh")
+          explode(array_distinct(Text.shingles(Text.tokens(col("text")), 3))).as("sh_raw"))
+        .select(col("doc_id"), graft.functions.Portable.phash(col("sh_raw")).as("sh"))
+      // df-cap via a window over the SAME shuffle the self-join needs —
+      // one exchange, reused for both join sides (vs a separate
+      // count+join, which re-derived the posting list three times).
+      val wDf = Window.partitionBy(col("sh"))
+      val sf = sh.withColumn("df", count(lit(1)).over(wDf)).filter(col("df") <= 100)
+        .select(col("doc_id"), col("sh"))
       val sizes = sf.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = sf.as("a").join(sf.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
       inter
-        .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza"))), "doc_a")
+        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb"))), "doc_b")
         .withColumn("jaccard",
           col("inter").cast("double") /
-            (col("za.sz") + col("zb.sz") - col("inter")).cast("double"))
+            (col("sza") + col("szb") - col("inter")).cast("double"))
         .filter(col("jaccard") >= 0.6)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""
       WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
-      s0 AS (SELECT doc_id, unnest(list_distinct(${Duck.shingles3})) AS sh FROM t),
+      sr AS (SELECT doc_id, unnest(list_distinct(${Duck.shingles3})) AS sh_raw FROM t),
+      s0 AS (SELECT doc_id, ${Duck.ph("sh_raw")} AS sh FROM sr),
       rare AS (SELECT sh FROM s0 GROUP BY sh HAVING COUNT(*) <= 100),
       sf AS (SELECT s0.doc_id, s0.sh FROM s0 JOIN rare USING (sh)),
       sz AS (SELECT doc_id, COUNT(*) AS sz FROM sf GROUP BY doc_id),

@@ -88,6 +88,21 @@ object PipelineCompiler {
       Map("outport1" -> Tables.load(spark, arg(args, "dir"), arg(args, "table")))),
     "viewInput" -> ((spark, _, args) =>
       Map("outport1" -> spark.table(arg(args, "table")))),
+    "csvInput" -> ((spark, _, args) =>
+      Map("outport1" -> spark.read.schema(arg(args, "schema"))
+        .option("header", args.getOrElse("header", "false"))
+        .csv(arg(args, "path")))),
+    "jsonInput" -> ((spark, _, args) =>
+      Map("outport1" -> spark.read.schema(arg(args, "schema"))
+        .json(arg(args, "path")))),
+    // Kafka endpoints (ref R1/R3). The connector jar isn't in this
+    // container, so these are exercised via the file/memory test doubles
+    // (parseKafkaJson/toKafkaJson in StreamingOps); on a real cluster the
+    // spec binds brokers/topic here.
+    "kafkaInput" -> ((spark, _, args) =>
+      Map("outport1" -> spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", arg(args, "brokers"))
+        .option("subscribe", arg(args, "topic")).load())),
     // Transforms (ref R2 AddField + the core relational verbs).
     "addField" -> ((_, in, args) =>
       Map("outport1" -> in("inport1").withColumn(arg(args, "name"), expr(arg(args, "expr"))))),

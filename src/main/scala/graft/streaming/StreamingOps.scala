@@ -72,4 +72,19 @@ object StreamingOps {
   def streamStaticJoin(stream: DataFrame, static: DataFrame,
       cond: Column): DataFrame =
     stream.join(broadcast(static), cond)
+
+  /** Stream–stream equi-join with watermarks on both sides and a
+    * time-range condition bounding join state (SURVEY.md §2.2). */
+  def streamStreamJoin(left: DataFrame, leftTs: String, right: DataFrame,
+      rightTs: String, watermark: String, cond: Column): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark), cond)
+
+  /** foreachBatch sink (ref R8 generalized — JDBC-ish sinks without a
+    * connector: each micro-batch arrives as a plain batch DataFrame). */
+  def foreachBatchSink(df: DataFrame, queryName: String, checkpoint: String)(
+      f: (DataFrame, Long) => Unit) =
+    df.writeStream.queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(f)
 }

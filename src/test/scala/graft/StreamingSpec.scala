@@ -118,6 +118,43 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("S6: stream-stream join with watermarks and time-range condition") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingOps.streamStreamJoin(
+      imps.toDF().toDF("ad_id", "imp_ts"), "imp_ts",
+      clicks.toDF().toDF("c_ad", "click_ts"), "click_ts",
+      "10 minutes",
+      expr("ad_id = c_ad AND click_ts BETWEEN imp_ts AND imp_ts + INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("s6").outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      clicks.addData((1L, ts("2024-01-01 10:03:00")), // within 5 min -> match
+        (2L, ts("2024-01-01 10:09:00")))              // beyond 5 min -> no match
+      q.processAllAvailable()
+      val matched = spark.table("s6").collect().map(_.getLong(0))
+      assert(matched.toSeq == Seq(1L), s"only the in-range click joins, got ${matched.toSeq}")
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink receives micro-batches as batch DataFrames") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt = Files.createTempDirectory("graft-feb").toString
+    val q = StreamingOps.foreachBatchSink(input.toDF().toDF("x"), "feb", ckpt) {
+      (batch, _) => seen ++= batch.collect().map(_.getLong(0))
+    }.start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      assert(seen.sorted == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: windowed agg state survives a restart") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ckpt").toFile

@@ -20,7 +20,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 def cmp_vals(a, b):
-    """Exact compare with NaN==NaN and timestamp normalization."""
+    """Exact compare with NaN==NaN, arrays, and timestamp normalization."""
+    import numpy as np
+    if isinstance(a, np.ndarray) or isinstance(b, np.ndarray) or \
+       isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        try:
+            a = list(a); b = list(b)
+        except TypeError:
+            return False
+        return len(a) == len(b) and all(cmp_vals(x, y) for x, y in zip(a, b))
     if a is None and b is None: return True
     try:
         if pd.isna(a) and pd.isna(b): return True
@@ -29,9 +37,6 @@ def cmp_vals(a, b):
         return a == b or (math.isnan(a) and math.isnan(b))
     if hasattr(a, 'timestamp') and hasattr(b, 'timestamp'):
         return pd.Timestamp(a) == pd.Timestamp(b)
-    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
-        a = list(a); b = list(b)
-        return len(a) == len(b) and all(cmp_vals(x, y) for x, y in zip(a, b))
     return a == b
 
 def main():
