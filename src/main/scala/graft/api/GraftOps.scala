@@ -1,0 +1,187 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{CosineSim, Portable, Text}
+
+/** The reusable operator API: every LLM-data-pipeline operator as a
+  * parametric `DataFrame => DataFrame` transformation, independent of any
+  * fixture schema. `SparkEntry.queries` instantiates these against the
+  * TESTDATA tables for the oracle gate; library users call them directly.
+  *
+  * All operators keep the 100 TB shape: signatures are narrow maps,
+  * candidate generation is index-shaped (bands / chunks / inverted lists),
+  * per-pair verification touches only candidate pairs, and every output is
+  * deterministic (explicit survivors, tiebreaks, total-order sorts are the
+  * caller's choice).
+  */
+object GraftOps {
+
+  // ------------------------------------------------------------ dedup
+
+  /** Exact dedup: keep the row with the smallest `tiebreak` per key.
+    * Deterministic survivor (unlike dropDuplicates' arbitrary row). */
+  def dedupExact(df: DataFrame, key: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tiebreak)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash+LSH near-dup candidates: (idA, idB, est_jaccard) for document
+    * pairs whose signatures agree on ≥ `minMatches` of `numHashes` family
+    * members, found via `bands` LSH bands. */
+  def minhashNearDup(df: DataFrame, id: Column, text: Column,
+      shingleWidth: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      minMatches: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(id.as("__id"), Text.tokens(text).as("__toks"))
+      .withColumn("__sh", Text.shingles(col("__toks"), shingleWidth))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", Text.minhashSignature(col("__sh"), numHashes))
+      .select(col("__id"), col("__sig"))
+    val bandsDf = sig.select(col("__id"),
+      posexplode(Text.lshBands(col("__sig"), bands, rows)).as(Seq("__b", "__key")))
+    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.__b") === col("y.__b") && col("x.__key") === col("y.__key") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(broadcast(sig.select(col("__id").as("id_a"), col("__sig").as("__sa"))), "id_a")
+      .join(broadcast(sig.select(col("__id").as("id_b"), col("__sig").as("__sb"))), "id_b")
+      .withColumn("__m", size(filter(zip_with(col("__sa"), col("__sb"),
+        (x, y) => x === y), b => b)))
+      .filter(col("__m") >= minMatches)
+      .select(col("id_a"), col("id_b"),
+        (col("__m").cast("double") / numHashes.toDouble).as("est_jaccard"))
+  }
+
+  /** SimHash near-dup: pairs within `maxHamming` (≤ 3 with 4 chunks is
+    * exact by pigeonhole; larger radii need more chunks). */
+  def simhashNearDup(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(id.as("__id"), Text.simhash(Text.tokens(text)).as("__sh"))
+    val chunks = sh.select(col("__id"), col("__sh"),
+      posexplode(array((0 to 3).map(i => Text.simhashChunk(col("__sh"), i)): _*))
+        .as(Seq("__c", "__chunk")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.__c") === col("y.__c") && col("x.__chunk") === col("y.__chunk") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
+        col("x.__sh").as("__ha"), col("y.__sh").as("__hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(expr("__ha ^ __hb")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard ≥ `threshold` via inverted-index join with a
+    * document-frequency cap (shingles in > `dfCap` docs are dropped from
+    * BOTH sides — bounds fanout; semantics documented to the caller). */
+  def ngramJaccard(df: DataFrame, id: Column, text: Column,
+      shingleWidth: Int = 3, dfCap: Int = 100, threshold: Double = 0.6): DataFrame = {
+    val sh = df.select(id.as("__id"),
+        explode(array_distinct(Text.shingles(Text.tokens(text), shingleWidth))).as("__raw"))
+      .select(col("__id"), Portable.phash(col("__raw")).as("__sh"))
+    val wDf = Window.partitionBy(col("__sh"))
+    val sf = sh.withColumn("__df", count(lit(1)).over(wDf)).filter(col("__df") <= dfCap)
+      .select(col("__id"), col("__sh"))
+    val sizes = sf.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+    sf.as("a").join(sf.as("b"),
+        col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+      .join(broadcast(sizes.select(col("__id").as("id_a"), col("__sz").as("__sza"))), "id_a")
+      .join(broadcast(sizes.select(col("__id").as("id_b"), col("__sz").as("__szb"))), "id_b")
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__sza") + col("__szb") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs ≥ `threshold` (broadcast block
+    * product — correctness/small-corpus form; see [[annLsh]] for the
+    * bucketed scale path). */
+  def embeddingNearDup(df: DataFrame, id: Column, vec: Column,
+      threshold: Double): DataFrame = {
+    val a = df.select(id.as("id_a"), vec.as("__ea"))
+    val b = df.select(id.as("id_b"), vec.as("__eb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim", CosineSim(col("__ea"), col("__eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  // ------------------------------------------------------- similarity
+
+  /** Exact top-k cosine neighbors of each probe (probes broadcast, corpus
+    * scanned once, per-probe ranking window). */
+  def knn(corpus: DataFrame, probes: DataFrame, id: Column, vec: Column,
+      probeId: Column, probeVec: Column, k: Int): DataFrame = {
+    val p = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), id)
+    corpus.join(broadcast(p), id =!= col("probe_id"))
+      .withColumn("sim", CosineSim(col("__pv"), vec))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), id.as("id"), col("rank"), col("sim"))
+  }
+
+  // ------------------------------------------------------------- text
+
+  /** Per-document text-quality features (integer-derived, deterministic). */
+  def textQuality(df: DataFrame, text: Column,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and")): DataFrame = {
+    df.withColumn("__toks", Text.tokens(text))
+      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("avg_token_len",
+        aggregate(col("__toks"), lit(0), (a, t) => a + length(t))
+          .cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio",
+        size(filter(col("__toks"), t => t.isin(stopwords: _*)))
+          .cast("double") / col("n_tokens"))
+      .withColumn("ttr", size(array_distinct(col("__toks"))).cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        col("avg_token_len") * 0.2 + col("ttr") * 0.5 - col("stop_ratio") * 0.3)
+      .drop("__toks")
+  }
+
+  /** Order-sensitive rolling-hash document fingerprint. */
+  def fingerprint(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("fingerprint", Text.rollingFingerprint(Text.tokens(text)))
+
+  // ------------------------------------------------------- event time
+
+  /** As-of join: for each `right` row, the latest `left` row with the same
+    * key at-or-before its timestamp (union-marker window plan — one
+    * shuffle on the key, no range self-join). Left columns are prefixed. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      leftPrefix: String = "asof_"): DataFrame = {
+    val lCols = left.columns.filter(c => c != key && c != ts)
+    val lTagged = left.withColumn("__kind", lit(0))
+    val rTagged = right.withColumn("__kind", lit(1))
+    val all = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withAsof = (lCols :+ ts).foldLeft(all) { (df, c) =>
+      df.withColumn(s"$leftPrefix$c",
+        last(when(col("__kind") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    withAsof.filter(col("__kind") === 1)
+      .drop("__kind").drop(lCols.toIndexedSeq: _*)
+  }
+
+  /** Gap-based sessionization: assigns `sess_id` per key, sessions split
+    * when consecutive events are more than `gapUs` micros apart. */
+  def sessionize(df: DataFrame, key: Column, ts: Column, gapUs: Long,
+      tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(ts, 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_micros(ts) - unix_micros(col("__prev")) > gapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("__new")).over(wRun).cast("long"))
+      .drop("__prev", "__new")
+  }
+}

@@ -63,33 +63,11 @@ object DedupOps {
     * 4 bands × 4 rows → band-bucket self-join → estimated Jaccard ≥ 0.5.
     * Signature step is a narrow map; only band-bucket pairs shuffle. */
   val q16 = QueryDef("q16_minhash_lsh_dedup",
-    (s, dir) => {
-      val sig = docs(s, dir)
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-        .withColumn("sh", Text.shingles(col("toks"), 3))
-        .filter(size(col("sh")) > 0)
-        .withColumn("sig", Text.minhashSignature(col("sh"), 16))
-        .select(col("doc_id"), col("sig"))
-      // Bands stay SLIM (doc_id, band idx, key) — the 16-long signatures
-      // are joined back per candidate pair from the (small, broadcast)
-      // signature table instead of riding through the band shuffle.
-      val bands = sig.select(col("doc_id"),
-        posexplode(Text.lshBands(col("sig"), 4, 4)).as(Seq("b", "band_key")))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.b") === col("y.b") && col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(broadcast(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))), "doc_a")
-        .join(broadcast(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))), "doc_b")
-        .withColumn("m", size(filter(zip_with(col("sa"), col("sb"),
-          (x, y) => x === y), b => b)))
-        .filter(col("m") >= 8)
-        .select(col("doc_a"), col("doc_b"),
-          (col("m").cast("double") / 16.0).as("est_jaccard"))
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, dir) =>
+      graft.api.GraftOps.minhashNearDup(docs(s, dir), col("doc_id"), col("text"),
+          shingleWidth = 3, numHashes = 16, bands = 4, minMatches = 8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("est_jaccard"))
+        .orderBy("doc_a", "doc_b"),
     Some(s"""
       WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
       shs AS (SELECT doc_id, ${Duck.shingles3} AS sh FROM t),
@@ -122,23 +100,11 @@ object DedupOps {
     * chunk (pigeonhole), so the equi-join on (chunk_idx, chunk) finds every
     * qualifying pair without the O(n²) cross join the oracle uses. */
   val q17 = QueryDef("q17_simhash_dedup",
-    (s, dir) => {
-      val sh = docs(s, dir)
-        .select(col("doc_id"), Text.simhash(Text.tokens(col("text"))).as("sh"))
-      val chunks = sh.select(col("doc_id"), col("sh"),
-        posexplode(array((0 to 3).map(i => Text.simhashChunk(col("sh"), i)): _*))
-          .as(Seq("c", "chunk")))
-      chunks.as("x").join(chunks.as("y"),
-          col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.sh").as("ha"), col("y.sh").as("hb"))
-        .distinct()
-        .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("int"))
-        .filter(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, dir) =>
+      graft.api.GraftOps.simhashNearDup(docs(s, dir), col("doc_id"), col("text"),
+          maxHamming = 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b"),
     Some(s"""
       WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
       hs AS (SELECT doc_id, list_transform(toks, tk -> ${Duck.ph("'0|' || tk")}) AS hs FROM t),
@@ -163,32 +129,11 @@ object DedupOps {
     * in the oracle), count intersections pairwise, Jaccard ≥ 0.6. Never
     * materializes the document cross product. */
   val q18 = QueryDef("q18_ngram_jaccard_dedup",
-    (s, dir) => {
-      val sh = docs(s, dir)
-        .select(col("doc_id"),
-          explode(array_distinct(Text.shingles(Text.tokens(col("text")), 3))).as("sh_raw"))
-        .select(col("doc_id"), graft.functions.Portable.phash(col("sh_raw")).as("sh"))
-      // df-cap via a window over the SAME shuffle the self-join needs —
-      // one exchange, reused for both join sides (vs a separate
-      // count+join, which re-derived the posting list three times).
-      val wDf = Window.partitionBy(col("sh"))
-      val sf = sh.withColumn("df", count(lit(1)).over(wDf)).filter(col("df") <= 100)
-        .select(col("doc_id"), col("sh"))
-      val sizes = sf.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = sf.as("a").join(sf.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza"))), "doc_a")
-        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb"))), "doc_b")
-        .withColumn("jaccard",
-          col("inter").cast("double") /
-            (col("sza") + col("szb") - col("inter")).cast("double"))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, dir) =>
+      graft.api.GraftOps.ngramJaccard(docs(s, dir), col("doc_id"), col("text"),
+          shingleWidth = 3, dfCap = 100, threshold = 0.6)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b"),
     Some(s"""
       WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
       sr AS (SELECT doc_id, unnest(list_distinct(${Duck.shingles3})) AS sh_raw FROM t),
@@ -212,16 +157,11 @@ object DedupOps {
     * is q20's hyperplane-LSH bucketing. Cosine is the custom codegen'd
     * Catalyst expression — bit-identical to the oracle's fold. */
   val q19 = QueryDef("q19_embedding_neardup",
-    (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      a.join(broadcast(b), col("vec_a") < col("vec_b"))
-        .withColumn("sim", CosineSim(col("ea"), col("eb")))
-        .filter(col("sim") >= 0.95)
-        .select(col("vec_a"), col("vec_b"), col("sim"))
-        .orderBy("vec_a", "vec_b")
-    },
+    (s, dir) =>
+      graft.api.GraftOps.embeddingNearDup(Tables.load(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), threshold = 0.95)
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("sim"))
+        .orderBy("vec_a", "vec_b"),
     Some(s"""
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         ${Duck.cosine("a.embedding", "b.embedding")} AS sim

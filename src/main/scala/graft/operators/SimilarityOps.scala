@@ -58,14 +58,9 @@ object SimilarityOps {
   val q13 = QueryDef("q13_similarity_knn",
     (s, dir) => {
       val e = emb(s, dir)
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-      val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("vec_id"))
-      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-        .withColumn("sim", CosineSim(col("pe"), col("embedding")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("probe_id"), col("vec_id"), col("rank"), col("sim"))
+      graft.api.GraftOps.knn(e, e.filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
+        .select(col("probe_id"), col("id").as("vec_id"), col("rank"), col("sim"))
         .orderBy("probe_id", "rank")
     },
     Some(s"""

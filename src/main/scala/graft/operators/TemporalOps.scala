@@ -63,16 +63,8 @@ object TemporalOps {
     * via exact integer cents (floor(value*100)). */
   val q28 = QueryDef("q28_sessionize",
     (s, dir) => {
-      val gapUs = 30L * 60 * 1000000
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      events(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1)
-            .otherwise(0))
-        .withColumn("sess_id", sum(col("new_sess")).over(wRun).cast("long"))
+      graft.api.GraftOps.sessionize(events(s, dir), col("user_id"), col("ts"),
+          gapUs = 30L * 60 * 1000000, tiebreak = col("event_id"))
         .groupBy(col("user_id"), col("sess_id"))
         .agg(
           min(col("ts")).as("session_start"),

@@ -104,25 +104,11 @@ object TextOps {
     * type/token ratio, composite score. All ratios derive from integer
     * counts (exact), so the doubles are portable. */
   val q23 = QueryDef("q23_text_quality",
-    (s, dir) => {
-      val stop = Seq("the", "a", "of", "and")
-      docs(s, dir)
-        .withColumn("toks", Text.tokens(col("text")))
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("sum_len",
-          aggregate(col("toks"), lit(0), (a, t) => a + length(t)))
-        .withColumn("n_stop",
-          size(filter(col("toks"), t => t.isin(stop: _*))))
-        .withColumn("n_distinct", size(array_distinct(col("toks"))))
-        .withColumn("avg_token_len", col("sum_len").cast("double") / col("n_tokens"))
-        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
-        .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
-        .withColumn("quality_score",
-          col("avg_token_len") * 0.2 + col("ttr") * 0.5 - col("stop_ratio") * 0.3)
+    (s, dir) =>
+      graft.api.GraftOps.textQuality(docs(s, dir), col("text"))
         .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
           col("stop_ratio"), col("ttr"), col("quality_score"))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some(s"""
       WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
       f AS (
@@ -176,12 +162,10 @@ object TextOps {
     * token-hash stream, mod 1e9+7 — order-sensitive by design (detects
     * reordering that bag-of-words hashes miss). */
   val q25 = QueryDef("q25_doc_fingerprint",
-    (s, dir) => {
-      docs(s, dir)
-        .withColumn("fingerprint", Text.rollingFingerprint(Text.tokens(col("text"))))
+    (s, dir) =>
+      graft.api.GraftOps.fingerprint(docs(s, dir), col("text"))
         .select(col("doc_id"), col("fingerprint"))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some(s"""
       WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents)
       SELECT doc_id,

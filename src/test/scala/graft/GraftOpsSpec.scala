@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.GraftOps
+
+/** The reusable operator API on schema-agnostic fixtures (the fixed
+  * queries exercise the same code against TESTDATA + the oracle). */
+class GraftOpsSpec extends AnyFunSuite with SharedSpark {
+
+  test("dedupExact keeps the deterministic survivor per key") {
+    import spark.implicits._
+    val df = Seq((1, "x", 30), (1, "y", 10), (2, "z", 5)).toDF("k", "payload", "age")
+    val out = GraftOps.dedupExact(df, col("k"), col("age"))
+      .orderBy("k").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("y", "z"), "smallest age survives")
+  }
+
+  test("minhashNearDup finds planted near-duplicates on arbitrary schema") {
+    import spark.implicits._
+    val base = "spark is a unified analytics engine for large scale data processing with apis"
+    val df = Seq(
+      (100L, base),
+      (200L, base + " in scala"),                 // near-dup of 100
+      (300L, "completely different text about cooking pasta with tomatoes and basil sauce"))
+      .toDF("my_id", "body")
+    val pairs = GraftOps.minhashNearDup(df, col("my_id"), col("body"),
+      minMatches = 6).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 200L)))
+  }
+
+  test("asofJoin picks the latest left row at-or-before each right ts") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 99.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 10:00:00"), 50.0)).toDF("sym", "t", "px")
+    val trades = Seq((1L, ts("2024-01-01 10:03:00"), 10),
+      (1L, ts("2024-01-01 10:07:00"), 20),
+      (2L, ts("2024-01-01 09:59:00"), 30)).toDF("sym", "t", "qty")
+    val out = GraftOps.asofJoin(quotes, trades, "sym", "t")
+      .orderBy("sym", "t").collect()
+    val px = out.map(r => Option(r.getAs[Any]("asof_px")))
+    assert(px(0).contains(99.0), "10:03 trade sees 10:00 quote")
+    assert(px(1).contains(101.0), "10:07 trade sees 10:05 quote")
+    assert(px(2).isEmpty, "09:59 trade has no prior quote")
+  }
+
+  test("sessionize splits on the gap and respects the tiebreak") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), 1L), (1L, ts("2024-01-01 10:10:00"), 2L),
+      (1L, ts("2024-01-01 11:30:00"), 3L)).toDF("u", "t", "eid")
+    val out = GraftOps.sessionize(df, col("u"), col("t"),
+      gapUs = 30L * 60 * 1000000, tiebreak = col("eid"))
+      .orderBy("eid").collect().map(_.getAs[Long]("sess_id"))
+    assert(out.toSeq == Seq(1L, 1L, 2L))
+  }
+
+  test("knn is schema-agnostic and excludes self") {
+    import spark.implicits._
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)))
+      .toDF("vid", "v")
+    val out = GraftOps.knn(vecs, vecs.filter(col("vid") === 1),
+      col("vid"), col("v"), col("vid"), col("v"), k = 1).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("id") == 2L)
+  }
+}
