@@ -35,11 +35,17 @@ object GraftOps {
       shingleWidth: Int = 3, numHashes: Int = 16, bands: Int = 4,
       minMatches: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val sig = df.select(id.as("__id"), Text.tokens(text).as("__toks"))
-      .withColumn("__sh", Text.shingles(col("__toks"), shingleWidth))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", Text.minhashSignature(col("__sh"), numHashes))
-      .select(col("__id"), col("__sig"))
+    // Signature hashing is CPU-bound: rebalance the (narrow) id+text
+    // projection across all cores first — a single-row-group parquet file
+    // otherwise pins the whole corpus hash on one task. The shuffle moves
+    // only id+text, and a dedup pipeline shuffles the corpus by band key
+    // right after anyway.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sig = df.select(id.as("__id"), text.as("__text")).repartition(par)
+      .select(col("__id"),
+        graft.functions.MinHashSigTokens.asColumn(
+          Text.tokens(col("__text")), shingleWidth, numHashes).as("__sig"))
+      .filter(col("__sig").isNotNull)
     val bandsDf = sig.select(col("__id"),
       posexplode(Text.lshBands(col("__sig"), bands, rows)).as(Seq("__b", "__key")))
     val cand = bandsDf.as("x").join(bandsDf.as("y"),

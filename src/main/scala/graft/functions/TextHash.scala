@@ -72,6 +72,40 @@ object TextHash {
     new GenericArrayData(sig)
   }
 
+  /** MinHash signature computed straight from the TOKEN array: shingles of
+    * `width` tokens are assembled in a reused StringBuilder (never
+    * materialized as a Spark array — the interpreted shingle HOF was the
+    * cost pig), hashed once, combined into the family. Same shingle
+    * strings ("tok tok tok") and same family arithmetic as [[minhash]],
+    * so the q16 oracle is unchanged. Returns null when fewer than `width`
+    * tokens (callers filter nulls — the shingle-less-doc semantics). */
+  def minhashTokens(toks: ArrayData, width: Int, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < width) return null
+    val sig = Array.fill(n)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= len - width) {
+      sb.setLength(0); sb.append("mh|")
+      var k = 0
+      while (k < width) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + k).toString)
+        k += 1
+      }
+      val (h1, h2raw) = pair(sb.toString.getBytes("UTF-8"))
+      val h2 = h2raw % P
+      var j = 0
+      while (j < n) {
+        val v = h1 + j * h2
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** 60-bit majority-vote SimHash over token hashes (same '0|' seed and
     * first-15-hex derivation as Portable.phash / the q17 oracle). */
   def simhash(arr: ArrayData): Long = {
@@ -105,6 +139,31 @@ case class MinHashSig(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** `minhash_sig_tokens(tokens, width, n)`: array<string> tokens →
+  * array<long> signature (null when < width tokens). */
+case class MinHashSigTokens(child: Expression, width: Int, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_tokens"
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHash.minhashTokens(v.asInstanceOf[ArrayData], width, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.functions.TextHash.minhashTokens(${c.value}, $width, $n);
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSigTokens =
+    copy(child = c)
+}
+
 /** `simhash60(tokens)`: array<string> → long. */
 case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -119,6 +178,10 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 object MinHashSig {
   def apply(shingles: Column, n: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), n))
+}
+object MinHashSigTokens {
+  def asColumn(tokens: Column, width: Int, n: Int): Column =
+    ColumnBridge.column(MinHashSigTokens(ColumnBridge.expression(tokens), width, n))
 }
 object SimHash60 {
   def apply(tokens: Column): Column =

@@ -53,6 +53,16 @@ class CoreQueriesSpec extends AnyFunSuite with SharedSpark {
       "theta join should be banded into an equi-join")
   }
 
+  test("q01 pushes the shipdate filter into the parquet scan and prunes columns") {
+    val plan = CoreQueries.q01.run(spark, sf001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(l_shipdate"), "filter must reach the scan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"),
+      s"scan must prune unused columns, got $readSchema")
+  }
+
   test("q02 broadcasts the dim tables") {
     val plan = CoreQueries.q02.run(spark, sf001).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "dims should broadcast")

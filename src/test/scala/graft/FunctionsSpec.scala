@@ -81,6 +81,21 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) < 20, "one-word change stays close")
   }
 
+  test("fused MinHashSigTokens equals shingle-array MinHashSig") {
+    import spark.implicits._
+    import graft.functions.{MinHashSigTokens, Text => T}
+    val df = Seq("the quick brown fox jumps over the lazy dog", "ab", "one two three")
+      .toDF("text").select(T.tokens(col("text")).as("toks"))
+    val fused = df.select(MinHashSigTokens.asColumn(col("toks"), 3, 16)).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    val viaShingles = df.select(
+      when(size(T.shingles(col("toks"), 3)) > 0,
+        T.minhashSignature(T.shingles(col("toks"), 3), 16))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    assert(fused.toSeq == viaShingles.toSeq)
+    assert(fused(1) == null, "short doc yields null signature")
+  }
+
   test("centroid aggregator matches per-dimension mean") {
     import spark.implicits._
     val data = Seq((0, Seq(1f, 2f)), (0, Seq(3f, 4f)), (1, Seq(10f, 20f)))
