@@ -134,6 +134,22 @@ object GraftOps {
       .select(col("probe_id"), id.as("id"), col("rank"), col("sim"))
   }
 
+  /** Skew-safe equi-join: the big side's hot keys are spread over `salts`
+    * sub-partitions (salt = fast hash of the whole row, NOT the key — so
+    * one hot key lands in `salts` different reducers) and the small side
+    * is replicated once per salt. Result identical to
+    * `big.join(small, key)`; only the shuffle layout changes. Use when a
+    * key's row count dwarfs the rest and AQE's skew split can't apply
+    * (e.g. aggregation-free pipelines on a pinned partitioner). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val bigS = big.withColumn("__salt",
+      pmod(Portable.fastHash(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
   // ------------------------------------------------------------- text
 
   /** Per-document text-quality features (integer-derived, deterministic). */

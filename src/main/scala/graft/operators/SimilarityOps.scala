@@ -142,5 +142,84 @@ object SimilarityOps {
       GROUP BY label, dim
       ORDER BY label, dim"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q20, q21)
+  // ---------------------------------------------------------------- q34
+  /** ANN via IVF (inverted file): coarse centroids = the exact per-label
+    * centroids of q21 (integer-micros quantized → engine-portable);
+    * every vector is assigned to its nearest centroid by dot score
+    * (sequential double fold, label tiebreak); probes search ONLY their
+    * own cell (nprobe=1), exact cosine top-3 inside. The centroid
+    * assignment join is broadcast (centroid table is tiny by
+    * construction); the per-cell search is an equi-join on cell id —
+    * corpus/|cells| work per probe at scale. */
+  val q34 = QueryDef("q34_ann_ivf",
+    (s, dir) => {
+      val e = emb(s, dir)
+      // centroid table: label -> array<double>[64] of exact micro-means
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(floor(col("v").cast("double") * lit(1000000.0)).cast("long"))
+          .cast("double") / 1000000.0 / count(lit(1))).as("cv"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+        .select(col("label").as("c_label"),
+          transform(col("pairs"), p => p.getField("cv")).as("cvec"))
+      // assignment: nearest centroid by dot product (desc, label asc)
+      val scored = e.join(broadcast(cent))
+        .withColumn("score", aggregate(
+          zip_with(col("embedding"), col("cvec"), (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("score"), col("c_label"))
+      val assigned = scored.withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_label").as("cell"))
+      val probes = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cell"))
+      val wTop = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("vec_id"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", CosineSim(col("pe"), col("embedding")))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("vec_id"), col("rank"), col("sim"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(s"""
+      WITH cdim AS (
+        SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+          CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 / COUNT(*) AS cv
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+        GROUP BY label, dim),
+      cent AS (
+        SELECT label AS c_label,
+          list_transform(list_sort(list({'dim': dim, 'cv': cv})), p -> p.cv) AS cvec
+        FROM cdim GROUP BY label),
+      scored AS (
+        SELECT vec_id, embedding, c_label,
+          list_reduce(list_transform(range(1, 65),
+            i -> CAST(embedding[i] AS DOUBLE) * list_extract(cvec, i)), (p, q) -> p + q) AS score
+        FROM embeddings, cent),
+      assigned AS (
+        SELECT vec_id, embedding, c_label AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label) AS arn
+          FROM scored) WHERE arn = 1),
+      probes AS (
+        SELECT vec_id AS probe_id, embedding AS pe, cell FROM assigned WHERE vec_id < 10),
+      pairs AS (
+        SELECT probe_id, a.vec_id,
+          ${Duck.cosine("pe", "a.embedding")} AS sim
+        FROM probes JOIN assigned a USING (cell)
+        WHERE a.vec_id <> probe_id),
+      ranked AS (
+        SELECT probe_id, vec_id,
+          CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
+          sim
+        FROM pairs)
+      SELECT probe_id, vec_id, rank, sim
+      FROM ranked WHERE rank <= 3
+      ORDER BY probe_id, rank"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34)
 }

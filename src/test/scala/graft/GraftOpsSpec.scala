@@ -58,6 +58,18 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out.toSeq == Seq(1L, 1L, 2L))
   }
 
+  test("saltedJoin equals the plain join (only shuffle layout differs)") {
+    import spark.implicits._
+    // hot key 1 dominates — the shape salting exists for
+    val big = (1 to 500).map(i => (if (i % 10 == 0) i else 1, s"row$i")).toDF("k", "payload")
+    val small = Seq((1, "hot"), (10, "ten"), (20, "twenty")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = GraftOps.saltedJoin(big, small, "k", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "payload", "name").except(plain.select("k", "payload", "name")).count() == 0)
+    assert(plain.select("k", "payload", "name").except(salted.select("k", "payload", "name")).count() == 0)
+  }
+
   test("knn is schema-agnostic and excludes self") {
     import spark.implicits._
     val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)))
