@@ -38,16 +38,29 @@ object StreamBench {
       .schema(e.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.getAbsolutePath)
-    val agg = StreamingOps.tumblingAgg(stream, "ts", "1 hour", "1 hour", col("event_type"))
+    // mode "window" (default): watermarked tumbling agg.
+    // mode "stateful": transformWithState sessionization (RocksDB store).
+    val mode = args.lift(2).getOrElse("window")
+    val out = mode match {
+      case "stateful" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import spark.implicits._
+        graft.streaming.SessionizeTws(
+          stream.select(col("user_id"), col("ts"), col("value"))
+            .as[graft.streaming.Sessionize.Event]).toDF()
+      case _ =>
+        StreamingOps.tumblingAgg(stream, "ts", "1 hour", "1 hour", col("event_type"))
+    }
     val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
     val t0 = System.nanoTime()
-    val q = agg.writeStream.format("memory").queryName("sb_out")
+    val q = out.writeStream.format("memory").queryName("sb_out")
       .outputMode("append").option("checkpointLocation", ckpt).start()
     q.processAllAvailable()
     val sec = (System.nanoTime() - t0) / 1e9
     q.stop()
     val batches = q.recentProgress.length
-    println(f"""{"metric":"stream_rows_per_sec","value":${total / sec}%.0f,"unit":"rows/sec","rows":$total,"sec":$sec%.2f,"batches":$batches,"sf":"$sfDir"}""")
+    println(f"""{"metric":"stream_rows_per_sec","value":${total / sec}%.0f,"unit":"rows/sec","mode":"$mode","rows":$total,"sec":$sec%.2f,"batches":$batches,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

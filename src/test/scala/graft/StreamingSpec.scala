@@ -118,6 +118,76 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("S2b: sliding window counts overlap correctly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = StreamingOps.slidingAgg(
+      input.toDF().toDF("ts", "value"), "ts", "10 minutes", "5 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("s2b").outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:07:00"), 1.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 11:00:00"), 2.0)) // closes the 10:00/10:05 windows
+      q.processAllAvailable()
+      val closed = spark.table("s2b").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[Long]("n"))).toSet
+      // a 10-min window sliding by 5 covers 10:07 twice: starts 10:00 and 10:05
+      assert(closed.contains(("2024-01-01 10:00:00.0", 1L)) &&
+        closed.contains(("2024-01-01 10:05:00.0", 1L)), s"got $closed")
+    } finally q.stop()
+  }
+
+  test("S2c: session windows merge within gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    // session windows need a grouping key in streaming (global session agg
+    // is unsupported) — keyed by user, like the reference's event streams
+    val agg = StreamingOps.sessionAgg(
+      input.toDF().toDF("user", "ts", "value"), "ts", "5 minutes", "10 minutes",
+      col("user"))
+    val q = agg.writeStream.format("memory").queryName("s2c").outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1.0), (1L, ts("2024-01-01 10:03:00"), 1.0),
+        (1L, ts("2024-01-01 10:20:00"), 1.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 11:00:00"), 1.0)) // advance watermark, close sessions
+      q.processAllAvailable()
+      val sessions = spark.table("s2c").collect()
+        .map(r => (r.getAs[Timestamp]("session_start").toString, r.getAs[Long]("n"))).toSet
+      assert(sessions.contains(("2024-01-01 10:00:00.0", 2L)),
+        s"first two events merge into one session, got $sessions")
+      assert(sessions.contains(("2024-01-01 10:20:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("S5b: transformWithState sessionization matches flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Sessionize.Event]
+    val sessions = graft.streaming.SessionizeTws(input.toDS())
+    val ckpt = Files.createTempDirectory("graft-tws").toString
+    // transformWithState needs the RocksDB provider (multi column families)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = sessions.writeStream.format("memory").queryName("s5b")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(
+        Sessionize.Event(1L, ts("2024-01-01 10:00:00"), 5.0),
+        Sessionize.Event(1L, ts("2024-01-01 10:10:00"), 7.0))
+      q.processAllAvailable()
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 11:30:00"), 1.0))
+      q.processAllAvailable()
+      val done = spark.table("s5b").as[Sessionize.Session].collect()
+      assert(done.length == 1 && done(0).n_events == 2 && done(0).sum_value == 12.0)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("S6: stream-stream join with watermarks and time-range condition") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
