@@ -39,6 +39,29 @@ def cmp_vals(a, b):
         return pd.Timestamp(a) == pd.Timestamp(b)
     return a == b
 
+def find_mismatch(got: pd.DataFrame, exp: pd.DataFrame):
+    """Vectorized per-column compare; returns (row, col, got, exp) or None.
+    Falls back to the exact cell comparator only on the rows a fast filter
+    flags (600k-row outputs would take minutes cell-by-cell)."""
+    import numpy as np
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if g.dtype == object or e.dtype == object:
+            gt = g.map(lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v)
+            et = e.map(lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v)
+            neq = ~((gt == et) | (gt.isna() & et.isna()))
+        else:
+            try:
+                ga, ea = g.to_numpy(), e.to_numpy()
+                neq = ~((ga == ea) | (pd.isna(ga) & pd.isna(ea)))
+            except Exception:
+                neq = pd.Series([True] * len(g))
+        idx = list(pd.Series(neq).to_numpy().nonzero()[0][:50])
+        for i in idx:
+            if not cmp_vals(g.iloc[i], e.iloc[i]):
+                return (int(i), c, g.iloc[i], e.iloc[i])
+    return None
+
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -66,13 +89,7 @@ def main():
         if len(got) != len(exp):
             results[name] = f"ROWCOUNT_MISMATCH: spark={len(got)} duck={len(exp)}"
             continue
-        bad = None
-        for i in range(len(got)):
-            for c in got.columns:
-                if not cmp_vals(got.iloc[i][c], exp.iloc[i][c]):
-                    bad = (i, c, got.iloc[i][c], exp.iloc[i][c])
-                    break
-            if bad: break
+        bad = find_mismatch(got, exp)
         if bad:
             i, c, g, e = bad
             results[name] = f"VALUE_MISMATCH row {i} col {c}: spark={g!r} duck={e!r}"
