@@ -70,6 +70,23 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(plain.select("k", "payload", "name").except(salted.select("k", "payload", "name")).count() == 0)
   }
 
+  test("multimodal decodeFrames: batched mapPartitions plumbing produces one row per frame") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 250), (2L, "y" * 10)).toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val frames = graft.operators.MultimodalOps.decodeFrames(
+      docs.select(col("doc_id"), col("payload")), frameStride = 100)
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    assert(byDoc(1L).length == 3, "250 bytes / stride 100 -> 3 frames")
+    assert(byDoc(2L).length == 1)
+    assert(byDoc(1L).map(_.frame_offset).sorted.toSeq == Seq(0L, 100L, 200L))
+    // deterministic fake features: stable across runs
+    val again = graft.operators.MultimodalOps.decodeFrames(
+      docs.select(col("doc_id"), col("payload")), frameStride = 100)
+    assert(frames.collect().map(_.feature).sorted.toSeq ==
+      again.collect().map(_.feature).sorted.toSeq)
+  }
+
   test("knn is schema-agnostic and excludes self") {
     import spark.implicits._
     val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)))
