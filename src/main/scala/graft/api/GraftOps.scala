@@ -87,9 +87,11 @@ object GraftOps {
     * BOTH sides — bounds fanout; semantics documented to the caller). */
   def ngramJaccard(df: DataFrame, id: Column, text: Column,
       shingleWidth: Int = 3, dfCap: Int = 100, threshold: Double = 0.6): DataFrame = {
+    // codegen'd one-pass shingle hashing (tokens → distinct int64 keys);
+    // the posting list feeds 3 consumers, so per-recompute cost matters
     val sh = df.select(id.as("__id"),
-        explode(array_distinct(Text.shingles(Text.tokens(text), shingleWidth))).as("__raw"))
-      .select(col("__id"), Portable.phash(col("__raw")).as("__sh"))
+        explode(graft.functions.ShingleHashes.asColumn(
+          Text.tokens(text), shingleWidth)).as("__sh"))
     val wDf = Window.partitionBy(col("__sh"))
     val sf = sh.withColumn("__df", count(lit(1)).over(wDf)).filter(col("__df") <= dfCap)
       .select(col("__id"), col("__sh"))

@@ -106,6 +106,33 @@ object TextHash {
     new GenericArrayData(sig)
   }
 
+  /** Distinct portable hashes of the k-token shingles, straight from the
+    * token array (same values as Portable.phash over the shingle strings —
+    * the q18 oracle's `md5(sh_raw)` derivation — but one tight JVM pass
+    * instead of interpreted shingle materialization + re-hash). */
+  def shingleHashes(toks: ArrayData, width: Int): ArrayData = {
+    val len = toks.numElements()
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= len - width) {
+      sb.setLength(0)
+      var k = 0
+      while (k < width) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + k).toString)
+        k += 1
+      }
+      val (h1, _) = pair(sb.toString.getBytes("UTF-8"))
+      out.add(h1)
+      i += 1
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator(); var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** 60-bit majority-vote SimHash over token hashes (same '0|' seed and
     * first-15-hex derivation as Portable.phash / the q17 oracle). */
   def simhash(arr: ArrayData): Long = {
@@ -164,6 +191,18 @@ case class MinHashSigTokens(child: Expression, width: Int, n: Int)
     copy(child = c)
 }
 
+/** `shingle_hashes(tokens, width)`: array<string> → array<long> of
+  * distinct portable shingle hashes (empty when < width tokens). */
+case class ShingleHashes(child: Expression, width: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.shingleHashes(v.asInstanceOf[ArrayData], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashes($c, $width)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
 /** `simhash60(tokens)`: array<string> → long. */
 case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -182,6 +221,10 @@ object MinHashSig {
 object MinHashSigTokens {
   def asColumn(tokens: Column, width: Int, n: Int): Column =
     ColumnBridge.column(MinHashSigTokens(ColumnBridge.expression(tokens), width, n))
+}
+object ShingleHashes {
+  def asColumn(tokens: Column, width: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), width))
 }
 object SimHash60 {
   def apply(tokens: Column): Column =
