@@ -53,9 +53,14 @@ object GraftOps {
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
+    // NOTE: sig is O(corpus) — no broadcast hint; AQE broadcasts it when it
+    // is actually small, a shuffle join otherwise. (At very large scale,
+    // persist/checkpoint the signature table upstream — it is consumed by
+    // both band sides and both lookups; locally persist() measured slower
+    // than recompute, so the API leaves that choice to the caller.)
     cand
-      .join(broadcast(sig.select(col("__id").as("id_a"), col("__sig").as("__sa"))), "id_a")
-      .join(broadcast(sig.select(col("__id").as("id_b"), col("__sig").as("__sb"))), "id_b")
+      .join(sig.select(col("__id").as("id_a"), col("__sig").as("__sa")), "id_a")
+      .join(sig.select(col("__id").as("id_b"), col("__sig").as("__sb")), "id_b")
       .withColumn("__m", size(filter(zip_with(col("__sa"), col("__sb"),
         (x, y) => x === y), b => b)))
       .filter(col("__m") >= minMatches)
@@ -67,6 +72,9 @@ object GraftOps {
     * exact by pigeonhole; larger radii need more chunks). */
   def simhashNearDup(df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"simhashNearDup with 4 x 15-bit chunks is only exhaustive for maxHamming <= 3 " +
+        s"(pigeonhole); got $maxHamming — raise the chunk count instead of the radius")
     val sh = df.select(id.as("__id"), Text.simhash(Text.tokens(text)).as("__sh"))
     val chunks = sh.select(col("__id"), col("__sh"),
       posexplode(array((0 to 3).map(i => Text.simhashChunk(col("__sh"), i)): _*))
@@ -100,8 +108,9 @@ object GraftOps {
         col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .agg(count(lit(1)).as("__inter"))
-      .join(broadcast(sizes.select(col("__id").as("id_a"), col("__sz").as("__sza"))), "id_a")
-      .join(broadcast(sizes.select(col("__id").as("id_b"), col("__sz").as("__szb"))), "id_b")
+      // sizes is O(corpus): no broadcast hint, AQE decides (see minhashNearDup)
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sza")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__szb")), "id_b")
       .withColumn("jaccard", col("__inter").cast("double") /
         (col("__sza") + col("__szb") - col("__inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -179,21 +188,33 @@ object GraftOps {
 
   /** As-of join: for each `right` row, the latest `left` row with the same
     * key at-or-before its timestamp (union-marker window plan — one
-    * shuffle on the key, no range self-join). Left columns are prefixed. */
+    * shuffle on the key, no range self-join). Left value columns surface
+    * prefixed (`asof_<col>`); right columns pass through untouched — the
+    * left side is renamed BEFORE the union so same-named right columns
+    * are never merged/dropped. `tiebreak` orders left rows sharing a
+    * (key, ts): the greatest tiebreak value wins deterministically. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-      leftPrefix: String = "asof_"): DataFrame = {
-    val lCols = left.columns.filter(c => c != key && c != ts)
-    val lTagged = left.withColumn("__kind", lit(0))
-    val rTagged = right.withColumn("__kind", lit(1))
-    val all = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__kind"))
+      leftPrefix: String = "asof_", tiebreak: Option[String] = None): DataFrame = {
+    val lCols = left.columns.filter(c => c != key && c != ts).toIndexedSeq
+    val pre = s"__l_"
+    val lRenamed = lCols.foldLeft(left)((df, c) => df.withColumnRenamed(c, s"$pre$c"))
+      .withColumnRenamed(ts, s"$pre$ts")
+      .withColumn(key, col(key)) // keep the join key shared
+      .withColumn("__kind", lit(0))
+      .withColumn("__ts", col(s"$pre$ts"))
+    val rTagged = right.withColumn("__kind", lit(1)).withColumn("__ts", col(ts))
+    val all = lRenamed.unionByName(rTagged, allowMissingColumns = true)
+    val orderCols = Seq(col("__ts"), col("__kind")) ++
+      tiebreak.map(t => col(s"$pre$t").asc_nulls_first)
+    val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withAsof = (lCols :+ ts).foldLeft(all) { (df, c) =>
       df.withColumn(s"$leftPrefix$c",
-        last(when(col("__kind") === 0, col(c)), ignoreNulls = true).over(w))
+        last(when(col("__kind") === 0, col(s"$pre$c")), ignoreNulls = true).over(w))
     }
     withAsof.filter(col("__kind") === 1)
-      .drop("__kind").drop(lCols.toIndexedSeq: _*)
+      .drop("__kind", "__ts")
+      .drop((lCols :+ ts).map(c => s"$pre$c"): _*)
   }
 
   /** Gap-based sessionization: assigns `sess_id` per key, sessions split

@@ -8,9 +8,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * flatMapGroupsWithState (SURVEY.md §2.2 "stateful per-key processing").
   *
   * State is one open session per user (O(active users)); a session is
-  * emitted when a new event arrives more than `gapMs` after the previous
-  * one, or on state timeout. This is the streaming twin of the batch
-  * TemporalOps.q28 window plan.
+  * emitted when a new event arrives more than `gapMs` after the session's
+  * latest event. The last session per key stays open in state until a
+  * later event closes it (no timer-based flush — finite replays should
+  * append a past-gap sentinel event per key if they need every session
+  * emitted). This is the streaming twin of the batch TemporalOps.q28
+  * window plan.
   */
 object Sessionize {
 
@@ -39,7 +42,11 @@ object Sessionize {
             val cents = math.floor(e.value * 100).toLong
             cur match {
               case Some(s) if t - s.end <= gapMs =>
-                cur = Some(s.copy(end = t, n = s.n + 1, sumCents = s.sumCents + cents))
+                // min/max: a cross-batch late event inside the gap must
+                // widen the session, never shrink its end
+                cur = Some(s.copy(start = math.min(s.start, t),
+                  end = math.max(s.end, t), n = s.n + 1,
+                  sumCents = s.sumCents + cents))
               case Some(s) =>
                 out ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end),
                   s.n, s.sumCents / 100.0)

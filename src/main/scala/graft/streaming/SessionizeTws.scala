@@ -32,7 +32,10 @@ object SessionizeTws {
         val cents = math.floor(e.value * 100).toLong
         cur match {
           case Some(s) if t - s.end <= gapMs =>
-            cur = Some(s.copy(end = t, n = s.n + 1, sumCents = s.sumCents + cents))
+            // widen, never shrink, on cross-batch late events (see Sessionize)
+            cur = Some(s.copy(start = math.min(s.start, t),
+              end = math.max(s.end, t), n = s.n + 1,
+              sumCents = s.sumCents + cents))
           case Some(s) =>
             out ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end),
               s.n, s.sumCents / 100.0)

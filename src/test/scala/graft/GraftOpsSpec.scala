@@ -47,6 +47,37 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(px(2).isEmpty, "09:59 trade has no prior quote")
   }
 
+  test("asofJoin keeps same-named right columns intact (no union merge)") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // both sides carry a 'px' column — the right side's must survive
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 99.0)).toDF("sym", "t", "px")
+    val trades = Seq((1L, ts("2024-01-01 10:03:00"), 77.0, 10)).toDF("sym", "t", "px", "qty")
+    val out = GraftOps.asofJoin(quotes, trades, "sym", "t").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Double]("px") == 77.0, "right side's own px preserved")
+    assert(r.getAs[Double]("asof_px") == 99.0, "left's px arrives prefixed")
+  }
+
+  test("asofJoin tiebreak makes equal-ts left rows deterministic") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 1.0, 5L),
+      (1L, ts("2024-01-01 10:00:00"), 2.0, 9L)).toDF("sym", "t", "px", "seq")
+    val trades = Seq((1L, ts("2024-01-01 10:01:00"), 10)).toDF("sym", "t", "qty")
+    val out = GraftOps.asofJoin(quotes, trades, "sym", "t", tiebreak = Some("seq")).collect()
+    assert(out(0).getAs[Double]("asof_px") == 2.0, "greatest tiebreak (seq=9) wins")
+  }
+
+  test("simhashNearDup rejects radii the chunk scheme cannot cover") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException](
+      GraftOps.simhashNearDup(df, col("id"), col("text"), maxHamming = 4))
+    assert(e.getMessage.contains("maxHamming"))
+  }
+
   test("sessionize splits on the gap and respects the tiebreak") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)

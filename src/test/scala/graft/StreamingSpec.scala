@@ -188,6 +188,32 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("S5c: late in-gap event in a later batch widens, never shrinks, the open session") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Sessionize.Event]
+    val q = Sessionize(input.toDS()).writeStream.format("memory").queryName("s5c")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Sessionize.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Sessionize.Event(1L, ts("2024-01-01 10:20:00"), 1.0))
+      q.processAllAvailable()
+      // late event at 10:05 (within gap of end=10:20) must NOT reset end to 10:05
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 10:05:00"), 1.0))
+      q.processAllAvailable()
+      // 10:40 is within 30min of the TRUE end (10:20) -> still same session
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 10:40:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 12:00:00"), 1.0)) // close it
+      q.processAllAvailable()
+      val done = spark.table("s5c").as[Sessionize.Session].collect()
+      assert(done.length == 1, s"one session expected, got ${done.toSeq}")
+      assert(done(0).n_events == 4)
+      assert(done(0).session_end == ts("2024-01-01 10:40:00"))
+    } finally q.stop()
+  }
+
   test("S6: stream-stream join with watermarks and time-range condition") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

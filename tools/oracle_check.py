@@ -56,7 +56,9 @@ def find_mismatch(got: pd.DataFrame, exp: pd.DataFrame):
                 neq = ~((ga == ea) | (pd.isna(ga) & pd.isna(ea)))
             except Exception:
                 neq = pd.Series([True] * len(g))
-        idx = list(pd.Series(neq).to_numpy().nonzero()[0][:50])
+        # verify EVERY flagged row (a cap here would let a true mismatch
+        # past the gate when many rows are false-flagged by the fast filter)
+        idx = list(pd.Series(neq).to_numpy().nonzero()[0])
         for i in idx:
             if not cmp_vals(g.iloc[i], e.iloc[i]):
                 return (int(i), c, g.iloc[i], e.iloc[i])
