@@ -24,6 +24,11 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type, so
       // read the physical int64 and convert explicitly (Tables.load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOTE on dump timestamps: keep the default (INT96) writer type.
+      // TIMESTAMP_MICROS annotates isAdjustedToUTC=true, which pandas
+      // reads as tz-AWARE and the DuckDB side reads naive — every
+      // timestamp column then fails value compare. INT96 round-trips
+      // tz-naive, matching DuckDB (driver-verified green in round 2).
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cores]").appName(appName))

@@ -46,26 +46,24 @@ object GraftOps {
         graft.functions.MinHashSigTokens.asColumn(
           Text.tokens(col("__text")), shingleWidth, numHashes).as("__sig"))
       .filter(col("__sig").isNotNull)
-    val bandsDf = sig.select(col("__id"),
+    // Carry the (narrow, 16-int) signature THROUGH the band explode so the
+    // band self-join yields both pair signatures directly: the two sides
+    // are the identical subplan — one shuffle, computed once, reused — and
+    // the md5 signature map runs exactly once over the corpus, vs the
+    // candidates-then-two-lookup-joins form which recomputes it 3× and
+    // shuffles twice more. Multi-band collisions are deduped AFTER the
+    // (cheap, 16-element) match count, on the final narrow columns.
+    val bandsDf = sig.select(col("__id"), col("__sig"),
       posexplode(Text.lshBands(col("__sig"), bands, rows)).as(Seq("__b", "__key")))
-    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+    bandsDf.as("x").join(bandsDf.as("y"),
         col("x.__b") === col("y.__b") && col("x.__key") === col("y.__key") &&
           col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-      .distinct()
-    // NOTE: sig is O(corpus) — no broadcast hint; AQE broadcasts it when it
-    // is actually small, a shuffle join otherwise. (At very large scale,
-    // persist/checkpoint the signature table upstream — it is consumed by
-    // both band sides and both lookups; locally persist() measured slower
-    // than recompute, so the API leaves that choice to the caller.)
-    cand
-      .join(sig.select(col("__id").as("id_a"), col("__sig").as("__sa")), "id_a")
-      .join(sig.select(col("__id").as("id_b"), col("__sig").as("__sb")), "id_b")
-      .withColumn("__m", size(filter(zip_with(col("__sa"), col("__sb"),
+      .withColumn("__m", size(filter(zip_with(col("x.__sig"), col("y.__sig"),
         (x, y) => x === y), b => b)))
       .filter(col("__m") >= minMatches)
-      .select(col("id_a"), col("id_b"),
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
         (col("__m").cast("double") / numHashes.toDouble).as("est_jaccard"))
+      .distinct()
   }
 
   /** SimHash near-dup: pairs within `maxHamming` (≤ 3 with 4 chunks is
@@ -100,8 +98,13 @@ object GraftOps {
     val sh = df.select(id.as("__id"),
         explode(graft.functions.ShingleHashes.asColumn(
           Text.tokens(text), shingleWidth)).as("__sh"))
-    val wDf = Window.partitionBy(col("__sh"))
-    val sf = sh.withColumn("__df", count(lit(1)).over(wDf)).filter(col("__df") <= dfCap)
+    // df-cap via aggregate + semi join, NOT count().over(partitionBy(__sh)):
+    // the window form is a full sort-shuffle of the posting list; the
+    // aggregate is map-side-combined and its (filtered) survivor list is
+    // broadcastable by AQE.
+    val good = sh.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select(col("__sh"))
+    val sf = sh.join(good, Seq("__sh"), "left_semi")
       .select(col("__id"), col("__sh"))
     val sizes = sf.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
     sf.as("a").join(sf.as("b"),
@@ -117,15 +120,52 @@ object GraftOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Embedding-cosine near-dup pairs ≥ `threshold` (broadcast block
-    * product — correctness/small-corpus form; see [[annLsh]] for the
-    * bucketed scale path). */
+  /** Deterministic hyperplane component for the near-dup LSH bands (same
+    * portable-hash recipe as SimilarityOps' ANN planes, distinct salt). */
+  private def ndPlane(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i =>
+      (graft.functions.Portable.phashJvm(s"nd${j}_$i") % 2001 - 1000).toDouble / 1000.0)
+
+  /** Embedding-cosine near-dup pairs ≥ `threshold`. Corpora at or under
+    * `quadraticLimit` rows (or `allowQuadratic = true`) use the exact
+    * broadcast block product; anything larger is routed through banded
+    * random-hyperplane LSH candidate generation (`bands` OR-amplified
+    * bands of `rowsPerBand` sign bits → band-bucket equi-join, no n²
+    * product) with exact cosine verification of every candidate — the
+    * brute-force form must never run silently on a real corpus. Recall of
+    * the LSH path at thr 0.9+ with 8×4 bands is ≥ ~0.998 (1−(1−p^r)^b);
+    * pairs in no shared bucket are missed, which is the documented
+    * approximate contract at scale. */
   def embeddingNearDup(df: DataFrame, id: Column, vec: Column,
-      threshold: Double): DataFrame = {
-    val a = df.select(id.as("id_a"), vec.as("__ea"))
-    val b = df.select(id.as("id_b"), vec.as("__eb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("sim", CosineSim(col("__ea"), col("__eb")))
+      threshold: Double, dim: Int = 64, bands: Int = 8, rowsPerBand: Int = 4,
+      allowQuadratic: Boolean = false, quadraticLimit: Long = 65536L): DataFrame = {
+    val quadratic = allowQuadratic ||
+      df.select(id).limit((quadraticLimit + 1).toInt).count() <= quadraticLimit
+    val pairs =
+      if (quadratic) {
+        val a = df.select(id.as("id_a"), vec.as("__ea"))
+        val b = df.select(id.as("id_b"), vec.as("__eb"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+      } else {
+        val sig = df.select(id.as("__id"), vec.as("__e"))
+        val bandKeys = array((0 until bands).map { bnd =>
+          val key = (0 until rowsPerBand).map { r =>
+            val w = typedLit(ndPlane(bnd * rowsPerBand + r, dim))
+            when(aggregate(zip_with(col("__e"), w, (x, y) => x.cast("double") * y),
+              lit(0.0), (acc, v) => acc + v) > 0, lit(1 << r)).otherwise(lit(0))
+          }.reduce(_ + _)
+          struct(lit(bnd).as("b"), key.as("k"))
+        }.toIndexedSeq: _*)
+        val bd = sig.select(col("__id"), explode(bandKeys).as("__bk"))
+        val cand = bd.as("x").join(bd.as("y"),
+            col("x.__bk") === col("y.__bk") && col("x.__id") < col("y.__id"))
+          .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+          .distinct()
+        cand
+          .join(sig.select(col("__id").as("id_a"), col("__e").as("__ea")), "id_a")
+          .join(sig.select(col("__id").as("id_b"), col("__e").as("__eb")), "id_b")
+      }
+    pairs.withColumn("sim", CosineSim(col("__ea"), col("__eb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
@@ -146,16 +186,18 @@ object GraftOps {
   }
 
   /** Skew-safe equi-join: the big side's hot keys are spread over `salts`
-    * sub-partitions (salt = fast hash of the whole row, NOT the key — so
-    * one hot key lands in `salts` different reducers) and the small side
-    * is replicated once per salt. Result identical to
-    * `big.join(small, key)`; only the shuffle layout changes. Use when a
-    * key's row count dwarfs the rest and AQE's skew split can't apply
-    * (e.g. aggregation-free pipelines on a pinned partitioner). */
+    * sub-partitions and the small side is replicated once per salt. Result
+    * identical to `big.join(small, key)`; only the shuffle layout changes.
+    * The salt source is per-row and content-independent
+    * (`monotonically_increasing_id`) — hashing row CONTENT would send
+    * fully-duplicate hot rows (exactly the skew case) to one salt, and
+    * fails analysis on map-typed columns. Use when a key's row count
+    * dwarfs the rest and AQE's skew split can't apply (e.g.
+    * aggregation-free pipelines on a pinned partitioner). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     val bigS = big.withColumn("__salt",
-      pmod(Portable.fastHash(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+      pmod(Portable.fastHash(col(key), monotonically_increasing_id()), lit(salts)).cast("int"))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
@@ -208,13 +250,21 @@ object GraftOps {
       tiebreak.map(t => col(s"$pre$t").asc_nulls_first)
     val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withAsof = (lCols :+ ts).foldLeft(all) { (df, c) =>
-      df.withColumn(s"$leftPrefix$c",
-        last(when(col("__kind") === 0, col(s"$pre$c")), ignoreNulls = true).over(w))
-    }
-    withAsof.filter(col("__kind") === 1)
-      .drop("__kind", "__ts")
-      .drop((lCols :+ ts).map(c => s"$pre$c"): _*)
+    // Carry the WHOLE left row as one struct through a single last(...)
+    // window: per-column carries would backfill a null field from an OLDER
+    // left row, mixing values across rows. The struct is non-null iff the
+    // row is a left row, so ignoreNulls picks the latest left row intact.
+    val lValueCols = lCols :+ ts
+    val lStruct = struct(lValueCols.map(c => col(s"$pre$c").as(c)): _*)
+    val withAsof = all
+      .withColumn("__lrow",
+        last(when(col("__kind") === 0, lStruct), ignoreNulls = true).over(w))
+    lValueCols.foldLeft(withAsof) { (df, c) =>
+        df.withColumn(s"$leftPrefix$c", col("__lrow").getField(c))
+      }
+      .filter(col("__kind") === 1)
+      .drop("__kind", "__ts", "__lrow")
+      .drop(lValueCols.map(c => s"$pre$c"): _*)
   }
 
   /** Gap-based sessionization: assigns `sess_id` per key, sessions split

@@ -299,6 +299,32 @@ object CoreQueries {
       SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
       ORDER BY op, c_custkey"""))
 
+  /** Multiset set ops (`intersectAll` / `exceptAll`): bag semantics over
+    * duplicate-bearing part-key multisets (low-quantity vs high-quantity
+    * lineitems), rolled up to (op, key, multiplicity) so the output stays
+    * compact and totally ordered. Integer-valued double thresholds keep
+    * the predicates bit-identical across engines. */
+  val q08b = QueryDef("q08b_setops_all",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val a = l.filter(col("l_quantity") < 10).select(col("l_partkey"))
+      val b = l.filter(col("l_quantity") >= 40).select(col("l_partkey"))
+      val i = a.intersectAll(b).withColumn("op", lit("intersect_all"))
+      val e = a.exceptAll(b).withColumn("op", lit("except_all"))
+      i.unionByName(e)
+        .groupBy(col("op"), col("l_partkey")).agg(count(lit(1)).as("n"))
+        .orderBy("op", "l_partkey")
+    },
+    Some("""
+      WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity < 10),
+           b AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 40)
+      SELECT op, l_partkey, COUNT(*) AS n FROM (
+        SELECT 'intersect_all' AS op, l_partkey FROM (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
+        UNION ALL
+        SELECT 'except_all' AS op, l_partkey FROM (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+      ) GROUP BY op, l_partkey
+      ORDER BY op, l_partkey"""))
+
   // ---------------------------------------------------------------- Q9
   /** Scalar-function battery over lineitem ⋈ broadcast(part): strings,
     * dates, math (only IEEE-exact fns: sqrt/abs/floor/ceil — libm fns like
@@ -383,7 +409,7 @@ object CoreQueries {
         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
         COUNT(*) AS n,
         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
-        SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k
+        CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
       FROM events
       GROUP BY 1, 2
       ORDER BY event_type, window_start"""))
@@ -401,7 +427,7 @@ object CoreQueries {
   val q14 = QueryDef("q14_theta_band_join",
     (s, dir) => {
       val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
-      val lagg = l.withColumn("qty_i", col("l_quantity").cast("int"))
+      val lagg = l.withColumn("qty_i", floor(col("l_quantity")).cast("int"))
         .groupBy(col("qty_i"))
         .agg(count(lit(1)).as("nl"), sum(dec(col("l_quantity"))).as("sq"))
       val pagg = p.groupBy(col("p_size"), col("p_brand")).agg(count(lit(1)).as("np"))
@@ -417,7 +443,7 @@ object CoreQueries {
       SELECT p_brand, COUNT(*) AS n_pairs,
         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       FROM lineitem JOIN part
-        ON p_size BETWEEN CAST(l_quantity AS INTEGER) - 5 AND CAST(l_quantity AS INTEGER) + 5
+        ON p_size BETWEEN CAST(floor(l_quantity) AS INTEGER) - 5 AND CAST(floor(l_quantity) AS INTEGER) + 5
       GROUP BY p_brand
       ORDER BY p_brand"""))
 
@@ -479,24 +505,47 @@ object CoreQueries {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** Approx percentiles (GK sketch, `percentile_approx`) — the 100 TB
+    * posture twin of q29: a mergeable fixed-size sketch instead of the
+    * exact sort-based aggregate. Like q15b, sketches are not portable
+    * across engines, so the driver records rows-only; the error bound vs
+    * exact `percentile` is spec-asserted (CoreQueriesSpec). */
+  val q29b = QueryDef("q29b_percentiles_approx",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.withColumn("price", dec(col("o_totalprice")).cast("double"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile_approx(price, 0.5, 10000)").as("p50_approx"),
+          expr("percentile_approx(price, 0.9, 10000)").as("p90_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    None)
+
   // ---------------------------------------------------------------- Q30
   /** collect_list / collect_set surface — wrapped in sort_array so the
-    * nondeterministic accumulation order never reaches the output. */
+    * nondeterministic accumulation order never reaches the output, then
+    * joined to a CSV string: the driver's comparator canonicalizes rows via
+    * pandas sort_values, which cannot hash ndarray cells, so list columns
+    * must leave the query as scalars to stay gate-checkable. */
   val q30 = QueryDef("q30_collect",
     (s, dir) => {
       val c = t(s, dir, "customer")
       c.groupBy(col("c_mktsegment"))
         .agg(
-          sort_array(collect_set(col("c_nationkey"))).as("nations"),
+          array_join(sort_array(collect_set(col("c_nationkey"))).cast("array<string>"), ",")
+            .as("nations"),
           size(collect_list(col("c_nationkey"))).as("n_rows"),
-          sort_array(collect_list(col("c_nationkey"))).as("all_nations_sorted"))
+          array_join(sort_array(collect_list(col("c_nationkey"))).cast("array<string>"), ",")
+            .as("all_nations_sorted"))
         .orderBy("c_mktsegment")
     },
     Some("""
       SELECT c_mktsegment,
-        list_sort(list(DISTINCT c_nationkey)) AS nations,
+        array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
         CAST(len(list(c_nationkey)) AS INTEGER) AS n_rows,
-        list_sort(list(c_nationkey)) AS all_nations_sorted
+        array_to_string(list_sort(list(c_nationkey)), ',') AS all_nations_sorted
       FROM customer
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
@@ -570,6 +619,6 @@ object CoreQueries {
       ORDER BY o_custkey, o_orderdate, o_orderkey"""))
 
   val all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q07b, q08, q09, q10, q14, q15, q15b,
-      q29, q30, q31, q32, q33)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q07b, q08, q08b, q09, q10, q14, q15,
+      q15b, q29, q29b, q30, q31, q32, q33)
 }

@@ -147,10 +147,14 @@ object SimilarityOps {
     * centroids of q21 (integer-micros quantized → engine-portable);
     * every vector is assigned to its nearest centroid by dot score
     * (sequential double fold, label tiebreak); probes search ONLY their
-    * own cell (nprobe=1), exact cosine top-3 inside. The centroid
-    * assignment join is broadcast (centroid table is tiny by
-    * construction); the per-cell search is an equi-join on cell id —
-    * corpus/|cells| work per probe at scale. */
+    * own cell (nprobe=1), exact cosine top-3 inside. Centroid ASSIGNMENT
+    * is a narrow per-row argmax projection: the K-row centroid table is
+    * computed distributed, collected (K·64 doubles — tiny by
+    * construction, like a trained KMeans model), and baked into a
+    * max-of-struct literal — zero shuffle, no corpus×K intermediate, vs
+    * the cross-join + row_number window form which shuffle-amplifies K×
+    * at scale. The per-cell search stays an equi-join on cell id —
+    * corpus/|cells| work per probe. */
   val q34 = QueryDef("q34_ann_ivf",
     (s, dir) => {
       val e = emb(s, dir)
@@ -164,16 +168,20 @@ object SimilarityOps {
         .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
         .select(col("label").as("c_label"),
           transform(col("pairs"), p => p.getField("cv")).as("cvec"))
-      // assignment: nearest centroid by dot product (desc, label asc)
-      val scored = e.join(broadcast(cent))
-        .withColumn("score", aggregate(
-          zip_with(col("embedding"), col("cvec"), (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, v) => acc + v))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(desc("score"), col("c_label"))
-      val assigned = scored.withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_label").as("cell"))
+      val centRows = cent.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+      // assignment: nearest centroid by dot (desc, label asc) — the
+      // negated label makes lexicographic struct-max pick the SMALLEST
+      // label on score ties, matching the oracle's ORDER BY ... , c_label
+      val scoreStructs = array(centRows.map { case (lbl, v) =>
+        struct(
+          aggregate(zip_with(col("embedding"), typedLit(v), (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, vv) => acc + vv).as("s"),
+          lit(-lbl).as("nl"))
+      }.toIndexedSeq: _*)
+      val assigned = e
+        .withColumn("cell", (-array_max(scoreStructs).getField("nl")).cast("int"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
       val probes = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cell"))
       val wTop = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("vec_id"))

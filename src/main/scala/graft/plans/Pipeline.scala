@@ -66,6 +66,17 @@ object PipelineSpec {
     val edges = elems("connect").map(c => Edge(attr(c, "from"), attr(c, "to")))
     PipelineSpec(nodes, edges)
   }
+
+  /** Load a spec from any Hadoop-visible path — `file://`, `hdfs://`,
+    * `s3a://` — matching the reference's HDFS spec load
+    * (OpContainer.java:236-262) without hardcoding a filesystem. */
+  def parseXmlFile(spark: SparkSession, path: String): PipelineSpec = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try parseXml(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    finally in.close()
+  }
 }
 
 /** An operator: input ports → output ports. Conventional ports are
@@ -95,8 +106,10 @@ object PipelineCompiler {
     "jsonInput" -> ((spark, _, args) =>
       Map("outport1" -> spark.read.schema(arg(args, "schema"))
         .json(arg(args, "path")))),
-    // Kafka endpoints (ref R1/R3). The connector jar isn't in this
-    // container, so these are exercised via the file/memory test doubles
+    // Kafka endpoints (ref R1/R3). Requires the spark-sql-kafka-0-10
+    // connector jar on the classpath for a real broker (see README
+    // "Kafka connectivity"); that jar isn't in this offline container, so
+    // these are exercised via the file/memory test doubles
     // (parseKafkaJson/toKafkaJson in StreamingOps); on a real cluster the
     // spec binds brokers/topic here.
     "kafkaInput" -> ((spark, _, args) =>

@@ -41,12 +41,20 @@ object Sessionize {
             val t = e.ts.getTime
             val cents = math.floor(e.value * 100).toLong
             cur match {
-              case Some(s) if t - s.end <= gapMs =>
-                // min/max: a cross-batch late event inside the gap must
-                // widen the session, never shrink its end
+              // merge only when the event is within gap of the session
+              // INTERVAL: `t <= end+gap` alone would also merge a late
+              // event arbitrarily far BEFORE the session start, widening
+              // across a real gap. min/max still let an in-gap late event
+              // widen the session, never shrink it.
+              case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
                 cur = Some(s.copy(start = math.min(s.start, t),
                   end = math.max(s.end, t), n = s.n + 1,
                   sumCents = s.sumCents + cents))
+              case Some(s) if t < s.start - gapMs =>
+                // past-gap late event: a completed earlier session of its
+                // own (single-open-session state can't reopen history)
+                out ::= Session(userId, new Timestamp(t), new Timestamp(t),
+                  1, cents / 100.0)
               case Some(s) =>
                 out ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end),
                   s.n, s.sumCents / 100.0)

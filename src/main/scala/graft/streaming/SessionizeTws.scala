@@ -31,11 +31,16 @@ object SessionizeTws {
         val t = e.ts.getTime
         val cents = math.floor(e.value * 100).toLong
         cur match {
-          case Some(s) if t - s.end <= gapMs =>
-            // widen, never shrink, on cross-batch late events (see Sessionize)
+          // interval guard + widen-never-shrink (see Sessionize for the
+          // full rationale; semantics kept identical across both APIs)
+          case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
             cur = Some(s.copy(start = math.min(s.start, t),
               end = math.max(s.end, t), n = s.n + 1,
               sumCents = s.sumCents + cents))
+          case Some(s) if t < s.start - gapMs =>
+            // past-gap late event: emitted as its own earlier session
+            out ::= Session(userId, new Timestamp(t), new Timestamp(t),
+              1, cents / 100.0)
           case Some(s) =>
             out ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end),
               s.n, s.sumCents / 100.0)

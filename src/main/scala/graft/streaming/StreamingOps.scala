@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming operator surface (SURVEY.md §2.2 "Streaming").
@@ -87,4 +88,14 @@ object StreamingOps {
     df.writeStream.queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .foreachBatch(f)
+
+  /** The reference's one latency semantic: a fixed 10-second micro-batch
+    * interval (`OpContainer.java:47-49`, `new Duration(10000)`). */
+  val ReferenceTrigger: Trigger = Trigger.ProcessingTime("10 seconds")
+
+  /** Start a streaming write on the reference's 10 s micro-batch cadence
+    * (the first batch still fires immediately — ProcessingTime paces
+    * subsequent batches, matching the reference's StreamingContext). */
+  def startWithReferenceTrigger[T](w: DataStreamWriter[T]): StreamingQuery =
+    w.trigger(ReferenceTrigger).start()
 }

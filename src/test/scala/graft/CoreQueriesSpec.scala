@@ -73,6 +73,33 @@ class CoreQueriesSpec extends AnyFunSuite with SharedSpark {
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
     // every query except the explicitly rows-only ones has an oracle
     val rowsOnly = names -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q15b_approx_distinct"), s"unexpected rows-only: $rowsOnly")
+    assert(rowsOnly == Set("q15b_approx_distinct", "q29b_percentiles_approx"),
+      s"unexpected rows-only: $rowsOnly")
+  }
+
+  // 2%: percentile_approx surfaces an actual data value, exact percentile
+  // interpolates between order statistics — on sf0.001 group sizes that
+  // discretization alone can exceed 1%
+  test("q29b approx percentiles stay within 2% of the exact q29 values") {
+    val exact = CoreQueries.q29.run(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    val approx = CoreQueries.q29b.run(spark, sf001).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      assert(math.abs(r.getAs[Double]("p50_approx") - p50) / p50 < 0.02,
+        s"${r.getString(0)} p50 off: ${r.getAs[Double]("p50_approx")} vs $p50")
+      assert(math.abs(r.getAs[Double]("p90_approx") - p90) / p90 < 0.02,
+        s"${r.getString(0)} p90 off: ${r.getAs[Double]("p90_approx")} vs $p90")
+    }
+  }
+
+  test("q34 assignment is a narrow projection: no window over corpus x cells") {
+    val plan = graft.operators.SimilarityOps.q34.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // exactly one window (the per-probe top-k); the old assignment plan had
+    // a second one partitioned by vec_id over the corpus x centroid product
+    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 1, s"expected only the top-k window, got $windows:\n$plan")
   }
 }

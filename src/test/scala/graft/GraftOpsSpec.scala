@@ -70,6 +70,43 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out(0).getAs[Double]("asof_px") == 2.0, "greatest tiebreak (seq=9) wins")
   }
 
+  test("asofJoin carries the matched left row INTACT (null fields never backfill)") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // latest quote has px = null: the asof row must surface THAT row's
+    // null, not mix in the px of the older 10:00 row
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(99.0), Option("old")),
+      (1L, ts("2024-01-01 10:05:00"), Option.empty[Double], Option("new")))
+      .toDF("sym", "t", "px", "tag")
+    val trades = Seq((1L, ts("2024-01-01 10:07:00"), 10)).toDF("sym", "t", "qty")
+    val out = GraftOps.asofJoin(quotes, trades, "sym", "t").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("asof_tag") == "new")
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_px")),
+      "null px of the latest left row must not be filled from the older row")
+  }
+
+  test("embeddingNearDup: guarded LSH path finds the same pairs as brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+    val distinct = (10L to 25L).map(i => (i, vec()))
+    val d1 = vec(); val d2 = vec()
+    val rows = distinct ++ Seq(
+      (1L, d1), (2L, d1),                                       // exact dup pair
+      (3L, d2), (4L, d2.updated(0, d2.head + 0.01f)))           // near-dup pair
+    val df = rows.toDF("vid", "v")
+    val brute = GraftOps.embeddingNearDup(df, col("vid"), col("v"),
+        threshold = 0.95, dim = 8, allowQuadratic = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = GraftOps.embeddingNearDup(df, col("vid"), col("v"),
+        threshold = 0.95, dim = 8, quadraticLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.contains((1L, 2L)) && brute.contains((3L, 4L)), s"fixture sanity: $brute")
+    assert(lsh == brute, s"guarded path must match brute force: lsh=$lsh brute=$brute")
+  }
+
   test("simhashNearDup rejects radii the chunk scheme cannot cover") {
     import spark.implicits._
     val df = Seq((1L, "a b c")).toDF("id", "text")

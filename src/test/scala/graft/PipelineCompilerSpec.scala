@@ -32,6 +32,16 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(n > 0 && n < out.sparkSession.read.parquet(s"$sf001/lineitem.parquet").count())
   }
 
+  test("spec loads from a Hadoop-visible file path (ref HDFS spec load)") {
+    val f = java.nio.file.Files.createTempFile("pipeline", ".xml")
+    java.nio.file.Files.writeString(f, xmlPipeline())
+    try {
+      val spec = PipelineSpec.parseXmlFile(spark, f.toUri.toString)
+      assert(spec.nodes.map(_.name) == Seq("in", "af", "f"))
+      assert(spec.edges.length == 2)
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("diamond DAG topology compiles (join of two branches)") {
     val spec = PipelineSpec(
       nodes = Seq(

@@ -214,6 +214,44 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("S5d: past-gap late event becomes its own session, never widens the open one") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Sessionize.Event]
+    val q = Sessionize(input.toDS()).writeStream.format("memory").queryName("s5d")
+      .outputMode("append").start()
+    try {
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // 08:00 is > 30min BEFORE the open session's start: merging would
+      // widen across a real gap — must surface as its own past session
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 08:00:00"), 2.0))
+      q.processAllAvailable()
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 12:00:00"), 1.0)) // close 10:00
+      q.processAllAvailable()
+      val done = spark.table("s5d").as[Sessionize.Session].collect().sortBy(_.session_start.getTime)
+      assert(done.length == 2, s"late singleton + closed 10:00 session, got ${done.toSeq}")
+      assert(done(0).session_start == ts("2024-01-01 08:00:00") && done(0).n_events == 1)
+      assert(done(1).session_start == ts("2024-01-01 10:00:00") &&
+        done(1).session_end == ts("2024-01-01 10:00:00") && done(1).n_events == 1)
+    } finally q.stop()
+  }
+
+  test("S7: reference 10 s micro-batch trigger parity (OpContainer.java:47-49)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    assert(StreamingOps.ReferenceTrigger == Trigger.ProcessingTime("10 seconds"))
+    val input = MemoryStream[Long]
+    input.addData(1L, 2L, 3L) // enqueued before start -> consumed by the immediate first batch
+    val q = StreamingOps.startWithReferenceTrigger(
+      input.toDF().writeStream.format("memory").queryName("s7").outputMode("append"))
+    try {
+      q.processAllAvailable()
+      assert(spark.table("s7").count() == 3)
+    } finally q.stop()
+  }
+
   test("S6: stream-stream join with watermarks and time-range condition") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
