@@ -14,7 +14,8 @@ object SparkEntry {
   /** Full registry (operator families keep their own files). */
   val registry: Seq[QueryDef] =
     CoreQueries.all ++ DedupOps.all ++ TextOps.all ++
-      SimilarityOps.all ++ MultimodalOps.all ++ TemporalOps.all
+      SimilarityOps.all ++ MultimodalOps.all ++ TemporalOps.all ++
+      CurationOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -226,6 +226,71 @@ object GraftOps {
   def fingerprint(df: DataFrame, text: Column): DataFrame =
     df.withColumn("fingerprint", Text.rollingFingerprint(Text.tokens(text)))
 
+  /** Top-`k` TF-IDF terms per document. The idf factor is the exact
+    * rational `n_docs / df` (one IEEE divide — portable), not `log(N/df)`
+    * (libm, not bit-portable): same ranking monotonicity for fixed tf.
+    * Plan shape: explode → (doc,term) count → term df (map-side combined)
+    * joined back on term (AQE broadcasts the df table when small) → one
+    * ranking window per doc. No driver-side state; `n_docs` rides along
+    * as a broadcast 1-row cross join. */
+  def tfidfTopK(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val tok = df.select(id.as("__id"), explode(Text.tokens(text)).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.groupBy(col("__id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("__id")).orderBy(desc("tfidf"), col("token"))
+    tf.join(dft, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("__id").as("id"), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rk"))
+  }
+
+  /** Deterministic stratified Bernoulli sample: keep a row iff the
+    * portable hash of its `key` lands under the stratum's rate (in
+    * millionths). Pure narrow filter — zero shuffle, reproducible across
+    * runs/engines, and each stratum's kept fraction converges to its
+    * rate. `rates` maps stratum value → ppm; misses use `defaultPpm`. */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column,
+      rates: Map[String, Int], defaultPpm: Int): DataFrame = {
+    val bucket = pmod(Portable.phash(concat(lit("smp|"), key.cast("string"))),
+      lit(1000000))
+    val rate = rates.foldLeft(lit(defaultPpm)) { case (acc, (s, ppm)) =>
+      when(strata === s, lit(ppm)).otherwise(acc)
+    }
+    df.withColumn("__bucket", bucket).filter(col("__bucket") < rate)
+  }
+
+  /** PII redaction: replaces email/phone shapes with placeholder tags and
+    * counts the hits. Patterns restricted to the RE2-compatible subset
+    * both Spark (Java regex) and the oracle (RE2) evaluate identically.
+    * Narrow projection — at 100 TB this is a pure map stage. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  def redactPii(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_emails", size(regexp_extract_all(text, lit(EmailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(text, lit(PhoneRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+
+  /** Trigram repetition score: 1 − distinct/total trigrams — the
+    * boilerplate/repetition quality signal. Distinct trigrams reuse the
+    * codegen'd one-pass shingle hasher (no shingle strings materialize). */
+  def repetitionScore(df: DataFrame, text: Column, width: Int = 3): DataFrame =
+    df.withColumn("__toks", Text.tokens(text))
+      .withColumn("n_ngrams", greatest(size(col("__toks")) - lit(width - 1), lit(0)))
+      .withColumn("n_uniq",
+        size(graft.functions.ShingleHashes.asColumn(col("__toks"), width)))
+      .withColumn("rep_ratio",
+        when(col("n_ngrams") > 0,
+          lit(1.0) - col("n_uniq").cast("double") / col("n_ngrams").cast("double"))
+        .otherwise(lit(0.0)))
+      .drop("__toks")
+
   // ------------------------------------------------------- event time
 
   /** As-of join: for each `right` row, the latest `left` row with the same

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.api.GraftOps
+
+/** Training-data curation operator family (the mandate's "operations a
+  * large-scale training-data pipeline would need", beyond the dedup /
+  * similarity / text-analysis families): TF-IDF term importance,
+  * deterministic stratified sampling, PII redaction, and repetition
+  * (boilerplate) scoring — each oracle-checked on the `documents` table.
+  *
+  * Scale shapes: q36/q37/q38 are pure narrow maps/filters (zero shuffle —
+  * at 100 TB they run at scan speed); q35 shuffles once per aggregation
+  * level on its own keys with map-side combine, and the doc-frequency
+  * side is AQE-broadcastable.
+  */
+object CurationOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---------------------------------------------------------------- q35
+  /** Top-5 TF-IDF terms per document. idf = exact rational n_docs/df (one
+    * IEEE divide), not log(N/df): libm log is not bit-portable and the
+    * per-document ranking it induces is identical for fixed tf. */
+  val q35 = QueryDef("q35_tfidf_topk",
+    (s, dir) =>
+      GraftOps.tfidfTopK(docs(s, dir), col("doc_id"), col("text"), k = 5)
+        .select(col("id").as("doc_id"), col("token"), col("tf"), col("df"),
+          col("tfidf"), col("rk"))
+        .orderBy("doc_id", "rk"),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, token
+        FROM (SELECT doc_id, unnest(${Duck.toks}) AS token FROM documents) u
+        WHERE token <> ''),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, token, tf, df,
+          CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf
+        FROM tf JOIN dft USING (token), n),
+      ranked AS (
+        SELECT doc_id, token, tf, df, tfidf,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INTEGER) AS rk
+        FROM scored)
+      SELECT doc_id, token, tf, df, tfidf, rk
+      FROM ranked WHERE rk <= 5
+      ORDER BY doc_id, rk"""))
+
+  // ---------------------------------------------------------------- q36
+  /** Deterministic stratified sample: sources src0–src4 kept at 20%, the
+    * rest at 50%, decided by the portable hash of doc_id — reproducible
+    * on any engine/run, zero shuffle. */
+  private val smpRates: Map[String, Int] =
+    (0 to 4).map(i => s"src$i" -> 200000).toMap
+  val q36 = QueryDef("q36_stratified_sample",
+    (s, dir) =>
+      GraftOps.stratifiedSample(docs(s, dir), col("source"), col("doc_id"),
+          smpRates, defaultPpm = 500000)
+        .select(col("doc_id"), col("source"), col("__bucket").as("bucket"))
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id, source, bucket FROM (
+        SELECT doc_id, source,
+          ${Duck.ph("'smp|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+        FROM documents)
+      WHERE bucket < CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        THEN 200000 ELSE 500000 END
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q37
+  /** PII redaction over text augmented with a synthetic contact line (the
+    * word-soup corpus carries no organic PII, so the fixture plants one
+    * deterministic email + phone per doc — the operator itself is
+    * fixture-agnostic). Output carries counts + md5 of the redacted text
+    * (not the full text) to keep the checked row narrow. */
+  val q37 = QueryDef("q37_pii_redact",
+    (s, dir) => {
+      val aug = docs(s, dir).withColumn("aug",
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      GraftOps.redactPii(aug, col("aug"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("redacted")).as("redacted_len"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH a AS (
+        SELECT doc_id,
+          concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+            '@example.com or call +1-555-',
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS aug
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(aug, '${GraftOps.EmailRe}')) AS INTEGER) AS n_emails,
+          CAST(len(regexp_extract_all(aug, '${GraftOps.PhoneRe}')) AS INTEGER) AS n_phones,
+          regexp_replace(regexp_replace(aug, '${GraftOps.EmailRe}', '<EMAIL>', 'g'),
+            '${GraftOps.PhoneRe}', '<PHONE>', 'g') AS redacted
+        FROM a)
+      SELECT doc_id, n_emails, n_phones,
+        CAST(length(redacted) AS INTEGER) AS redacted_len,
+        md5(redacted) AS redacted_md5
+      FROM r
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q38
+  /** Trigram repetition ratio (boilerplate signal): 1 − distinct/total
+    * trigrams per document; distinct counted over the same 60-bit shingle
+    * hashes the dedup family joins on. */
+  val q38 = QueryDef("q38_repetition_score",
+    (s, dir) =>
+      GraftOps.repetitionScore(docs(s, dir), col("text"), width = 3)
+        .select(col("doc_id"), col("n_ngrams"), col("n_uniq"), col("rep_ratio"))
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      s AS (
+        SELECT doc_id,
+          CAST(greatest(len(toks) - 2, 0) AS INTEGER) AS n_ngrams,
+          CAST(len(list_distinct(list_transform(${Duck.shingles3},
+            x -> ${Duck.ph("x")}))) AS INTEGER) AS n_uniq
+        FROM t)
+      SELECT doc_id, n_ngrams, n_uniq,
+        CASE WHEN n_ngrams > 0
+          THEN CAST(1 AS DOUBLE) - CAST(n_uniq AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+          ELSE CAST(0 AS DOUBLE) END AS rep_ratio
+      FROM s
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37, q38)
+}

@@ -155,6 +155,60 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       again.collect().map(_.feature).sorted.toSeq)
   }
 
+  test("tfidfTopK ranks rare terms above common ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha alpha beta common common"),
+      (2L, "gamma beta beta common common"),
+      (3L, "delta delta delta common beta")).toDF("d", "body")
+    val out = GraftOps.tfidfTopK(df, col("d"), col("body"), k = 2)
+    val top = out.filter(col("rk") === 1).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("token")).toMap
+    // doc-unique terms (df=1) beat 'common'/'beta' (df=3) at any tf here
+    assert(top == Map(1L -> "alpha", 2L -> "gamma", 3L -> "delta"), s"got $top")
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "hot" else "cold"))
+      .toDF("k", "grp")
+    val once = GraftOps.stratifiedSample(df, col("grp"), col("k"),
+      Map("hot" -> 100000), defaultPpm = 900000)
+    val again = GraftOps.stratifiedSample(df, col("grp"), col("k"),
+      Map("hot" -> 100000), defaultPpm = 900000)
+    assert(once.select("k").except(again.select("k")).count() == 0 &&
+      once.count() == again.count(), "same sample every run")
+    val byGrp = once.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("hot") < 200 && byGrp("hot") > 40, s"hot ~10% of 1000: $byGrp")
+    assert(byGrp("cold") > 800, s"cold ~90% of 1000: $byGrp")
+  }
+
+  test("redactPii replaces emails and phones and counts them") {
+    import spark.implicits._
+    val df = Seq((1L, "write to jane.doe@corp.io or bob@x.co, call +1-555-0199 now"))
+      .toDF("id", "body")
+    val r = GraftOps.redactPii(df, col("body")).collect()(0)
+    assert(r.getAs[Int]("n_emails") == 2 && r.getAs[Int]("n_phones") == 1)
+    val red = r.getAs[String]("redacted")
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>"))
+    assert(!red.contains("@") && !red.contains("555"), s"got: $red")
+  }
+
+  test("repetitionScore separates boilerplate from varied text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "buy now " * 20),                       // 2-token loop: few distinct trigrams
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ")), // all-distinct trigrams
+      (3L, "a b"))                                 // shorter than a trigram
+      .toDF("id", "body")
+    val m = GraftOps.repetitionScore(df, col("body")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("rep_ratio")).toMap
+    assert(m(1L) > 0.9, s"looped text must score high: $m")
+    assert(m(2L) == 0.0, s"all-distinct text must score zero: $m")
+    assert(m(3L) == 0.0, s"sub-trigram text scores zero: $m")
+  }
+
   test("knn is schema-agnostic and excludes self") {
     import spark.implicits._
     val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)))
