@@ -273,6 +273,32 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("S8: curation narrow ops run unchanged on a stream (batch/stream unification)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.api.GraftOps
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    // stateless narrow ops (sample filter, redaction, repetition score)
+    // need no watermark/state — the same DataFrame code streams as-is
+    val out = GraftOps.repetitionScore(
+      GraftOps.redactPii(
+        GraftOps.stratifiedSample(df, lit("all"), col("doc_id"),
+          Map.empty, defaultPpm = 1000000),
+        col("text")),
+      col("text"))
+    val q = out.writeStream.format("memory").queryName("s8").outputMode("append").start()
+    try {
+      input.addData((1L, "mail me at a.b@c.io " + ("now " * 12).trim))
+      q.processAllAvailable()
+      val rows = spark.table("s8").collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert(r.getAs[Int]("n_emails") == 1 && r.getAs[String]("redacted").contains("<EMAIL>"))
+      assert(r.getAs[Double]("rep_ratio") > 0.5, "repeated tail must score repetitive")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink receives micro-batches as batch DataFrames") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
