@@ -64,6 +64,36 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     assert(once.count() == 3)
   }
 
+  test("repetitionScore is bounded to [0, 1) and monotone under repetition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = (1 to 50).map { i =>
+      val toks = Seq.fill(3 + rng.nextInt(30))(s"t${rng.nextInt(8)}")
+      (i.toLong, toks.mkString(" "))
+    }
+    val scores = graft.api.GraftOps.repetitionScore(texts.toDF("id", "body"), col("body"))
+      .collect().map(_.getAs[Double]("rep_ratio"))
+    assert(scores.forall(s => s >= 0.0 && s < 1.0), "bounds")
+    // pure repetition of one trigram approaches 1, varied text stays 0
+    val extremes = graft.api.GraftOps.repetitionScore(
+      Seq((1L, ("x " * 50).trim), (2L, (1 to 50).map("u" + _).mkString(" ")))
+        .toDF("id", "body"), col("body"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("rep_ratio")).toMap
+    assert(extremes(1L) > 0.9 && extremes(2L) == 0.0)
+  }
+
+  test("stratifiedSample kept-fraction is monotone in the rate and rate-1 keeps all") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 3000).map(i => (i.toLong, "g")).toDF("k", "grp")
+    def kept(ppm: Int): Long =
+      graft.api.GraftOps.stratifiedSample(df, col("grp"), col("k"),
+        Map.empty, defaultPpm = ppm).count()
+    val ks = Seq(0, 100000, 500000, 900000, 1000000).map(kept)
+    assert(ks.zip(ks.tail).forall { case (a, b) => a <= b }, s"monotone: $ks")
+    assert(ks.head == 0 && ks.last == 3000, s"rate-0 drops all, rate-1 keeps all: $ks")
+  }
+
   test("window top-k rows are a subset of their group") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
