@@ -26,6 +26,19 @@ final class JobLogListener(logPath: Option[String] = None)
 
   def lines: Seq[String] = synchronized(buf.toSeq)
 
+  /** One-shot dump of the accumulated log to any Hadoop-visible path
+    * (`hdfs://`, `file://`, `s3a://`) — the exact shape of the reference's
+    * writeStartupLog (OpContainer.java:71-90), which writes the whole
+    * startup document to HDFS once, rather than streaming appends. */
+  def flush(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = synchronized {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write((buf.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   override def onQueryStarted(e: QueryStartedEvent): Unit =
     log(s"started ${e.name} ${e.id}")
   override def onQueryProgress(e: QueryProgressEvent): Unit =

@@ -36,6 +36,12 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       val rows = spark.table("s1").collect().map(_.getString(0))
       assert(rows.length == 1 && rows(0).contains(""""user":2"""))
       assert(listener.lines.exists(_.startsWith("started")), "job log records lifecycle (R9)")
+      // R9 one-shot HDFS-style dump (writeStartupLog parity) via Hadoop FS API
+      val logDir = Files.createTempDirectory("joblog")
+      val logPath = s"file://$logDir/startup.log"
+      listener.flush(logPath, spark.sparkContext.hadoopConfiguration)
+      val written = Files.readString(java.nio.file.Path.of(logDir.toString, "startup.log"))
+      assert(written.linesIterator.exists(_.startsWith("started")), s"flushed log: $written")
     } finally { q.stop(); spark.streams.removeListener(listener) }
   }
 
