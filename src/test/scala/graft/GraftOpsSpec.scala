@@ -209,6 +209,28 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(m(3L) == 0.0, s"sub-trigram text scores zero: $m")
   }
 
+  test("bucketed tables join with zero exchanges (co-located 100TB join shape)") {
+    import spark.implicits._
+    import graft.api.Bucketing
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val facts = (1 to 5000).map(i => (i.toLong % 97, s"f$i")).toDF("k", "payload")
+      val dims = (0L to 96L).map(k => (k, s"dim$k")).toDF("k", "name")
+      Bucketing.writeBucketed(facts, "b_facts", "k", 8)
+      Bucketing.writeBucketed(dims, "b_dims", "k", 8)
+      val joined = Bucketing.bucketedJoin(spark, "b_facts", "b_dims", "k")
+      assert(joined.count() == 5000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
+
   test("knn is schema-agnostic and excludes self") {
     import spark.implicits._
     val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)))
