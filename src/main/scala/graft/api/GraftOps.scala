@@ -147,27 +147,30 @@ object GraftOps {
         val b = df.select(id.as("id_b"), vec.as("__eb"))
         a.join(broadcast(b), col("id_a") < col("id_b"))
       } else {
+        // all band sign bits in ONE codegen'd pass over the embedding
+        // (PlaneSigns), then each band's key is a cheap shift/mask slice
+        val planes = (0 until bands * rowsPerBand)
+          .map(j => ndPlane(j, dim).toIndexedSeq)
         val sig = df.select(id.as("__id"), vec.as("__e"))
+          .withColumn("__sg", graft.functions.PlaneSigns(col("__e"), planes))
         val bandKeys = array((0 until bands).map { bnd =>
-          val key = (0 until rowsPerBand).map { r =>
-            val w = typedLit(ndPlane(bnd * rowsPerBand + r, dim))
-            when(aggregate(zip_with(col("__e"), w, (x, y) => x.cast("double") * y),
-              lit(0.0), (acc, v) => acc + v) > 0, lit(1 << r)).otherwise(lit(0))
-          }.reduce(_ + _)
-          struct(lit(bnd).as("b"), key.as("k"))
+          struct(lit(bnd).as("b"),
+            shiftright(col("__sg"), bnd * rowsPerBand)
+              .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("k"))
         }.toIndexedSeq: _*)
-        val bd = sig.select(col("__id"), explode(bandKeys).as("__bk"))
-        val cand = bd.as("x").join(bd.as("y"),
+        // carry the vectors through the band self-join (reused exchange,
+        // like minhashNearDup) instead of two lookup joins back to sig;
+        // multi-band collisions dedup after the verify on narrow columns
+        val bd = sig.select(col("__id"), col("__e"), explode(bandKeys).as("__bk"))
+        bd.as("x").join(bd.as("y"),
             col("x.__bk") === col("y.__bk") && col("x.__id") < col("y.__id"))
-          .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-          .distinct()
-        cand
-          .join(sig.select(col("__id").as("id_a"), col("__e").as("__ea")), "id_a")
-          .join(sig.select(col("__id").as("id_b"), col("__e").as("__eb")), "id_b")
+          .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
+            col("x.__e").as("__ea"), col("y.__e").as("__eb"))
       }
-    pairs.withColumn("sim", CosineSim(col("__ea"), col("__eb")))
+    val out = pairs.withColumn("sim", CosineSim(col("__ea"), col("__eb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+    if (quadratic) out else out.distinct() // multi-band collisions
   }
 
   // ------------------------------------------------------- similarity

@@ -30,17 +30,13 @@ object SimilarityOps {
   private[operators] val hyperInt: Array[Array[Long]] =
     Array.tabulate(PLANES, DIM)((j, i) => Portable.phashJvm(s"hp${j}_$i") % 2001 - 1000)
 
-  /** dot(embedding, plane j) in sequential double arithmetic. */
-  private def planeDot(e: Column, j: Int): Column = {
-    val w = typedLit(hyperInt(j).map(_.toDouble / 1000.0).toSeq)
-    aggregate(zip_with(e, w, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, v) => acc + v)
-  }
-
-  /** LSH bucket id: sign bits of the 6 hyperplane dots. */
+  /** LSH bucket id: sign bits of the 6 hyperplane dots, in one codegen'd
+    * pass ([[graft.functions.PlaneSigns]] — the HOF fold form runs
+    * interpreted and re-walks the embedding per plane). */
   private def bucket(e: Column): Column =
-    (0 until PLANES).map(j => when(planeDot(e, j) > 0, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
+    graft.functions.PlaneSigns(e,
+      hyperInt.map(_.toIndexedSeq.map(_.toDouble / 1000.0)).toIndexedSeq)
+      .cast("int")
 
   /** DuckDB rendering of the same plane dot / bucket. */
   private def planeDotSql(e: String, j: Int): String = {
