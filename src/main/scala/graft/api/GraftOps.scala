@@ -188,6 +188,55 @@ object GraftOps {
       .select(col("probe_id"), id.as("id"), col("rank"), col("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k similarity search.
+    *
+    * Cells are the per-`label` centroids (exact integer-micros means —
+    * engine-portable, see SimilarityOps q21); the K-cell table is computed
+    * distributed, collected (K·dim doubles, tiny — a trained-model
+    * constant), and baked into ONE sorted-struct literal per row, giving
+    * BOTH the corpus assignment (first cell) and each probe's `nprobe`
+    * search cells (first n) with zero extra shuffle. The search itself is
+    * an equi-join on cell id — corpus/K work per probed cell. `nprobe`
+    * trades recall for cost; `nprobe = K` degenerates to exact kNN
+    * (spec-asserted). Ordering ties: score desc, label asc; rank ties:
+    * sim desc, id asc — all deterministic. */
+  def ivfTopK(corpus: DataFrame, id: Column, vec: Column, label: Column,
+      isProbe: Column, k: Int, nprobe: Int = 1): DataFrame = {
+    val e = corpus.select(id.as("__vid"), vec.as("__v"), isProbe.as("__isp"),
+      label.as("__lbl"))
+    val cent = e
+      .select(col("__lbl"), posexplode(col("__v")).as(Seq("dim", "v0")))
+      .groupBy(col("__lbl"), col("dim"))
+      .agg((sum(floor(col("v0").cast("double") * lit(1000000.0)).cast("long"))
+        .cast("double") / 1000000.0 / count(lit(1))).as("cv"))
+      .groupBy(col("__lbl"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .select(col("__lbl"), transform(col("pairs"), p => p.getField("cv")).as("cvec"))
+    val centRows = cent.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    // one sorted array of (−score, label): element 1 = assignment cell,
+    // elements 1..nprobe = the probe's search cells
+    val sortedCells = array_sort(array(centRows.map { case (lbl, v) =>
+      struct((-aggregate(zip_with(col("__v"), typedLit(v), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, vv) => acc + vv)).as("ns"), lit(lbl).as("l"))
+    }.toIndexedSeq: _*))
+    val scored = e.withColumn("__sc", sortedCells)
+    val assigned = scored
+      .withColumn("cell", element_at(col("__sc"), 1).getField("l"))
+      .select(col("__vid"), col("__v"), col("cell"))
+    val probes = scored.filter(col("__isp"))
+      .select(col("__vid").as("probe_id"), col("__v").as("__pv"),
+        explode(transform(slice(col("__sc"), 1, nprobe), c => c.getField("l")))
+          .as("cell"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("__vid"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("__vid") =!= col("probe_id"))
+      .withColumn("sim", CosineSim(col("__pv"), col("__v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("sim"))
+  }
+
   /** Skew-safe equi-join: the big side's hot keys are spread over `salts`
     * sub-partitions and the small side is replicated once per salt. Result
     * identical to `big.join(small, key)`; only the shuffle layout changes.

@@ -152,43 +152,11 @@ object SimilarityOps {
     * at scale. The per-cell search stays an equi-join on cell id —
     * corpus/|cells| work per probe. */
   val q34 = QueryDef("q34_ann_ivf",
-    (s, dir) => {
-      val e = emb(s, dir)
-      // centroid table: label -> array<double>[64] of exact micro-means
-      val cent = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("label"), col("dim"))
-        .agg((sum(floor(col("v").cast("double") * lit(1000000.0)).cast("long"))
-          .cast("double") / 1000000.0 / count(lit(1))).as("cv"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
-        .select(col("label").as("c_label"),
-          transform(col("pairs"), p => p.getField("cv")).as("cvec"))
-      val centRows = cent.collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-      // assignment: nearest centroid by dot (desc, label asc) — the
-      // negated label makes lexicographic struct-max pick the SMALLEST
-      // label on score ties, matching the oracle's ORDER BY ... , c_label
-      val scoreStructs = array(centRows.map { case (lbl, v) =>
-        struct(
-          aggregate(zip_with(col("embedding"), typedLit(v), (x, y) => x.cast("double") * y),
-            lit(0.0), (acc, vv) => acc + vv).as("s"),
-          lit(-lbl).as("nl"))
-      }.toIndexedSeq: _*)
-      val assigned = e
-        .withColumn("cell", (-array_max(scoreStructs).getField("nl")).cast("int"))
-        .select(col("vec_id"), col("embedding"), col("cell"))
-      val probes = assigned.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cell"))
-      val wTop = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("vec_id"))
-      assigned.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("sim", CosineSim(col("pe"), col("embedding")))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 3)
-        .select(col("probe_id"), col("vec_id"), col("rank"), col("sim"))
-        .orderBy("probe_id", "rank")
-    },
+    (s, dir) =>
+      graft.api.GraftOps.ivfTopK(emb(s, dir), col("vec_id"), col("embedding"),
+          col("label"), col("vec_id") < 10, k = 3, nprobe = 1)
+        .select(col("probe_id"), col("id").as("vec_id"), col("rank"), col("sim"))
+        .orderBy("probe_id", "rank"),
     Some(s"""
       WITH cdim AS (
         SELECT label, CAST(i - 1 AS INTEGER) AS dim,

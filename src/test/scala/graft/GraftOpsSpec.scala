@@ -231,6 +231,31 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("ivfTopK with nprobe = all cells recovers exact kNN") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1), (i % 4).toInt))
+      .toDF("vid", "v", "lab")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("id"))).toSet
+    val exact = rows(GraftOps.knn(vecs, vecs.filter(col("vid") <= 3),
+      col("vid"), col("v"), col("vid"), col("v"), k = 3))
+    val ivfAll = rows(GraftOps.ivfTopK(vecs, col("vid"), col("v"), col("lab"),
+      col("vid") <= 3, k = 3, nprobe = 4))
+    assert(ivfAll == exact, s"nprobe=|cells| must equal exact kNN\nivf=$ivfAll\nknn=$exact")
+    // nprobe=1 searches one cell: per-probe results are ≤ k contiguous ranks
+    val ivf1 = rows(GraftOps.ivfTopK(vecs, col("vid"), col("v"), col("lab"),
+      col("vid") <= 3, k = 3, nprobe = 1))
+    assert(ivf1.nonEmpty)
+    ivf1.groupBy(_._1).foreach { case (p, s) =>
+      val ranks = s.map(_._2).toSeq.sorted
+      assert(ranks == (1 to ranks.size), s"probe $p ranks not contiguous: $ranks")
+      assert(ranks.size <= 3)
+    }
+  }
+
   test("knn is schema-agnostic and excludes self") {
     import spark.implicits._
     val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)))
