@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration of the engine's custom Catalyst expressions, so the
+  * `spark.sql(...)` surface (ref R4, SparkSQLOperator.java:18-23) can call
+  * them like built-ins:
+  *
+  *   SELECT cosine_sim(a.embedding, b.embedding) FROM ...
+  *   SELECT portable_hash(text) FROM documents
+  *
+  * Two entry points, same registrations:
+  *  - [[GraftFunctions.register]] — imperative, on an existing session
+  *    (what tests and notebooks use);
+  *  - [[GraftExtensions]] — `SparkSessionExtensions` injector for
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`, the
+  *    config-driven path a cluster deployment uses.
+  */
+object GraftFunctions {
+
+  /** name → (usage, builder). All builders validate arity here; type
+    * checking happens in each expression's checkInputDataTypes. */
+  private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", "cosine_sim(array<float>, array<float>) - sequential-fold cosine",
+      { args =>
+        require(args.length == 2, "cosine_sim takes 2 arguments")
+        CosineSim(args(0), args(1))
+      }),
+    ("portable_hash", "portable_hash(str) - engine-portable 60-bit md5 hash",
+      { args =>
+        require(args.length == 1, "portable_hash takes 1 argument")
+        // built directly in Catalyst (a Column round-trip would leave an
+        // unresolvable ColumnNodeExpression inside the function builder);
+        // same derivation as Portable.phash: conv(substr(md5(s),1,15),16,10)::long
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
+        import org.apache.spark.sql.types.LongType
+        Cast(Conv(Substring(Md5(args.head), Literal(1), Literal(15)),
+          Literal(16), Literal(10)), LongType)
+      }))
+
+  // 2-arg ExpressionInfo(className, name): the 3-arg overload's middle
+  // parameter is the DATABASE, not the usage string
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions.GraftFunctions", name)
+
+  /** Imperative registration on a live session. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name), builder)
+    }
+
+  /** The injections shared with [[GraftExtensions]]. */
+  private[functions] def inject(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, _, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
+}
+
+/** Config-driven injector: `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

@@ -6,6 +6,17 @@ import graft.functions.{CentroidAgg, CosineSim, Portable, Text}
 
 class FunctionsSpec extends AnyFunSuite with SharedSpark {
 
+  test("SQL surface: registered custom functions work in spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |             CAST(array(0.6, 0.8) AS ARRAY<FLOAT>)) AS cs,
+        |  portable_hash('abc') AS ph""".stripMargin).collect()(0)
+    assert(math.abs(r.getAs[Double]("cs") - 0.6) < 1e-6) // float32 literals
+    assert(r.getAs[Long]("ph") == graft.functions.Portable.phashJvm("abc"))
+  }
+
   test("cosine_sim: known value, symmetry, bounds, self-similarity") {
     import spark.implicits._
     val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
