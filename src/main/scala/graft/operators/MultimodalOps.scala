@@ -44,6 +44,25 @@ object MultimodalOps {
       }
   }
 
+  /** Frame sampling: keep every `n`-th frame (the cheap end of the
+    * decode pipeline — a pure narrow filter, applied BEFORE expensive
+    * per-frame work at scale). */
+  def sampleEveryNth(df: DataFrame, frameIdx: org.apache.spark.sql.Column,
+      n: Int): DataFrame =
+    df.filter(pmod(frameIdx, lit(n)) === 0)
+
+  /** Resize metadata: media stays an opaque binary payload (the real
+    * pixel transform is codec territory — stubbed per container); the
+    * engine-side contract is the typed metadata math: target dims + exact
+    * double scale factors. `greatest(dim, 1)` guards the synthetic 0-size
+    * edge identically on both engines. */
+  def resizeMeta(df: DataFrame, width: org.apache.spark.sql.Column,
+      height: org.apache.spark.sql.Column, targetW: Int, targetH: Int): DataFrame =
+    df.withColumn("target_w", lit(targetW))
+      .withColumn("target_h", lit(targetH))
+      .withColumn("scale_x", lit(targetW).cast("double") / greatest(width, lit(1)))
+      .withColumn("scale_y", lit(targetH).cast("double") / greatest(height, lit(1)))
+
   // ---------------------------------------------------------------- q26
   /** Binary-payload metadata + frame sampling, fully expression-based so
     * the oracle can state it: payload = utf-8 bytes of the text (the test
@@ -81,5 +100,49 @@ object MultimodalOps {
       FROM d, LATERAL (SELECT unnest(range(0, n_frames)) AS f) frames
       ORDER BY doc_id, frame_idx"""))
 
-  val all: Seq[QueryDef] = Seq(q26)
+  // ---------------------------------------------------------------- q39
+  /** Frame-sample + resize over the q26 frame relation: every 3rd frame,
+    * resized to 224×224 metadata, with a resize-stamped feature hash —
+    * the downstream half of a media ingest (sample → resize → featurize),
+    * all narrow. */
+  val q39 = QueryDef("q39_multimodal_resize_sample",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val frames = d
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("width", (Portable.phash(concat(lit("w|"), col("doc_id").cast("string"))) % 640).cast("int"))
+        .withColumn("height", (Portable.phash(concat(lit("h|"), col("doc_id").cast("string"))) % 480).cast("int"))
+        .withColumn("n_frames", (length(col("payload")) / 100).cast("int") + 1)
+        .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1)))
+      resizeMeta(sampleEveryNth(frames, col("frame_idx"), 3),
+          col("width"), col("height"), targetW = 224, targetH = 224)
+        .withColumn("feature",
+          Portable.phash(concat_ws("|", lit("resize"),
+            col("doc_id").cast("string"), col("frame_idx").cast("string"),
+            col("target_w").cast("string"), col("target_h").cast("string"))))
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("target_w"), col("target_h"), col("scale_x"), col("scale_y"),
+          col("feature"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(${Duck.ph("'w|' || CAST(doc_id AS VARCHAR)")} % 640 AS INTEGER) AS width,
+          CAST(${Duck.ph("'h|' || CAST(doc_id AS VARCHAR)")} % 480 AS INTEGER) AS height,
+          CAST(octet_length(encode(text)) // 100 AS INTEGER) + 1 AS n_frames
+        FROM documents),
+      f AS (
+        SELECT doc_id, width, height, CAST(fi AS INTEGER) AS frame_idx
+        FROM d, LATERAL (SELECT unnest(range(0, n_frames)) AS fi) frames
+        WHERE fi % 3 = 0)
+      SELECT doc_id, frame_idx, width, height,
+        224 AS target_w, 224 AS target_h,
+        CAST(224 AS DOUBLE) / greatest(width, 1) AS scale_x,
+        CAST(224 AS DOUBLE) / greatest(height, 1) AS scale_y,
+        ${Duck.ph("'resize|' || CAST(doc_id AS VARCHAR) || '|' || CAST(frame_idx AS VARCHAR) || '|224|224'")} AS feature
+      FROM f
+      ORDER BY doc_id, frame_idx"""))
+
+  val all: Seq[QueryDef] = Seq(q26, q39)
 }
