@@ -214,20 +214,18 @@ object GraftOps {
       .select(col("__lbl"), transform(col("pairs"), p => p.getField("cv")).as("cvec"))
     val centRows = cent.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    // one sorted array of (−score, label): element 1 = assignment cell,
-    // elements 1..nprobe = the probe's search cells
-    val sortedCells = array_sort(array(centRows.map { case (lbl, v) =>
-      struct((-aggregate(zip_with(col("__v"), typedLit(v), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, vv) => acc + vv)).as("ns"), lit(lbl).as("l"))
-    }.toIndexedSeq: _*))
-    val scored = e.withColumn("__sc", sortedCells)
+    // nearest-first label list in ONE codegen'd pass over the embedding
+    // (NearestCells): element 1 = assignment cell, 1..nprobe = the
+    // probe's search cells
+    val cellsOrdered = graft.functions.NearestCells(col("__v"),
+      centRows.map(_._2).toIndexedSeq, centRows.map(_._1).toIndexedSeq)
+    val scored = e.withColumn("__sc", cellsOrdered)
     val assigned = scored
-      .withColumn("cell", element_at(col("__sc"), 1).getField("l"))
+      .withColumn("cell", element_at(col("__sc"), 1))
       .select(col("__vid"), col("__v"), col("cell"))
     val probes = scored.filter(col("__isp"))
       .select(col("__vid").as("probe_id"), col("__v").as("__pv"),
-        explode(transform(slice(col("__sc"), 1, nprobe), c => c.getField("l")))
-          .as("cell"))
+        explode(slice(col("__sc"), 1, nprobe)).as("cell"))
     val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("__vid"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("__vid") =!= col("probe_id"))
