@@ -305,6 +305,33 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("S9: streaming as-of enrichment joins each right event to the latest prior left") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingAsof
+    import graft.streaming.StreamingAsof.{LeftEvent, RightEvent}
+    val lefts = MemoryStream[LeftEvent]
+    val rights = MemoryStream[RightEvent]
+    val q = StreamingAsof(StreamingAsof.tag(lefts.toDS(), rights.toDS()))
+      .writeStream.format("memory").queryName("s9").outputMode("append").start()
+    try {
+      lefts.addData(LeftEvent(1L, ts("2024-01-01 10:00:00"), 99.0))
+      rights.addData(
+        RightEvent(1L, ts("2024-01-01 09:59:00"), "early"),  // before any left
+        RightEvent(1L, ts("2024-01-01 10:03:00"), "mid"))
+      q.processAllAvailable()
+      lefts.addData(LeftEvent(1L, ts("2024-01-01 10:05:00"), 101.0))
+      q.processAllAvailable()
+      rights.addData(RightEvent(1L, ts("2024-01-01 10:07:00"), "late"))
+      q.processAllAvailable()
+      val rows = spark.table("s9").as[StreamingAsof.Enriched].collect()
+        .map(e => e.payload -> e.asofValue).toMap
+      assert(rows("early").isEmpty, "right before any left is unmatched")
+      assert(rows("mid").contains(99.0), "10:03 sees the 10:00 left")
+      assert(rows("late").contains(101.0), "10:07 sees the 10:05 left")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink receives micro-batches as batch DataFrames") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
