@@ -33,6 +33,28 @@ object TextHash {
   private val HEX = "0123456789abcdef".toCharArray
   private val P = 1000000007L
 
+  /** Per-profile membership counts of a token array (see ProfileCounts). */
+  def profileCounts(toks: ArrayData,
+      profiles: Array[Array[org.apache.spark.unsafe.types.UTF8String]]): ArrayData = {
+    val counts = new Array[Int](profiles.length)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      var p = 0
+      while (p < profiles.length) {
+        val ws = profiles(p)
+        var w = 0
+        var hit = false
+        while (w < ws.length && !hit) { hit = t.equals(ws(w)); w += 1 }
+        if (hit) counts(p) += 1
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** 60-bit ints from the first 15 and next 15 hex chars of md5(bytes). */
   private def pair(bytes: Array[Byte]): (Long, Long) = {
     val d = md5.get(); d.reset()
@@ -229,4 +251,38 @@ object ShingleHashes {
 object SimHash60 {
   def apply(tokens: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(tokens)))
+}
+
+/** `profile_counts(tokens)`: array<string> → array<int> — per-profile
+  * membership counts in one codegen'd pass (q22 langid / stopword
+  * scoring; the `size(filter(toks, isin(...)))` HOF form runs interpreted
+  * once PER profile). Profiles are tiny word lists, so membership is an
+  * allocation-free linear scan over UTF8String equality — identical
+  * counting to SQL `IN` equality. */
+case class ProfileCounts(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+  require(profiles.nonEmpty, "at least one profile")
+
+  @transient private lazy val profArr: Array[Array[org.apache.spark.unsafe.types.UTF8String]] =
+    profiles.map(_.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray).toArray
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "profile_counts"
+
+  override def nullSafeEval(v: Any): Any =
+    TextHash.profileCounts(v.asInstanceOf[ArrayData], profArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("profiles", profArr,
+      "org.apache.spark.unsafe.types.UTF8String[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.profileCounts($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): ProfileCounts =
+    copy(child = c)
+}
+
+object ProfileCounts {
+  def asColumn(tokens: Column, profiles: Seq[Seq[String]]): Column =
+    ColumnBridge.column(ProfileCounts(ColumnBridge.expression(tokens), profiles))
 }

@@ -62,9 +62,12 @@ object TextOps {
     (s, dir) => {
       val base = docs(s, dir)
         .withColumn("toks", Text.tokens(col("text")))
-      val scored = prof.foldLeft(base) { case (df, (l, ws)) =>
-        df.withColumn(s"s_$l",
-          size(filter(col("toks"), t => t.isin(ws: _*))))
+        // all four profile counts in one codegen'd pass (ProfileCounts);
+        // the per-profile size(filter(isin)) HOFs ran interpreted ×4
+        .withColumn("__pc",
+          graft.functions.ProfileCounts.asColumn(col("toks"), prof.map(_._2)))
+      val scored = prof.zipWithIndex.foldLeft(base) { case (df, ((l, _), i)) =>
+        df.withColumn(s"s_$l", element_at(col("__pc"), i + 1))
       }
       scored
         .withColumn("pred_lang",
