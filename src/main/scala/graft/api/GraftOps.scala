@@ -255,21 +255,22 @@ object GraftOps {
 
   // ------------------------------------------------------------- text
 
-  /** Per-document text-quality features (integer-derived, deterministic). */
+  /** Per-document text-quality features (integer-derived, deterministic).
+    * All integer inputs come from one codegen'd TokenStats pass; the
+    * ratios are single IEEE divides of those exact ints (portable). */
   def textQuality(df: DataFrame, text: Column,
       stopwords: Seq[String] = Seq("the", "a", "of", "and")): DataFrame = {
-    df.withColumn("__toks", Text.tokens(text))
-      .withColumn("n_tokens", size(col("__toks")))
+    df.withColumn("__ts",
+        graft.functions.TokenStats.asColumn(Text.tokens(text), stopwords))
+      .withColumn("n_tokens", col("__ts.n_tokens"))
       .withColumn("avg_token_len",
-        aggregate(col("__toks"), lit(0), (a, t) => a + length(t))
-          .cast("double") / col("n_tokens"))
+        col("__ts.sum_len").cast("double") / col("n_tokens"))
       .withColumn("stop_ratio",
-        size(filter(col("__toks"), t => t.isin(stopwords: _*)))
-          .cast("double") / col("n_tokens"))
-      .withColumn("ttr", size(array_distinct(col("__toks"))).cast("double") / col("n_tokens"))
+        col("__ts.n_stop").cast("double") / col("n_tokens"))
+      .withColumn("ttr", col("__ts.n_distinct").cast("double") / col("n_tokens"))
       .withColumn("quality_score",
         col("avg_token_len") * 0.2 + col("ttr") * 0.5 - col("stop_ratio") * 0.3)
-      .drop("__toks")
+      .drop("__ts")
   }
 
   /** Order-sensitive rolling-hash document fingerprint. */

@@ -55,6 +55,27 @@ object TextHash {
     new GenericArrayData(counts)
   }
 
+  /** Token stats for quality scoring (see TokenStats expression). */
+  def tokenStats(toks: ArrayData,
+      stop: Array[org.apache.spark.unsafe.types.UTF8String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    var sumLen = 0
+    var nStop = 0
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      sumLen += t.numChars()
+      var w = 0
+      var hit = false
+      while (w < stop.length && !hit) { hit = t.equals(stop(w)); w += 1 }
+      if (hit) nStop += 1
+      seen.add(t)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, sumLen, nStop, seen.size())
+  }
+
   /** 60-bit ints from the first 15 and next 15 hex chars of md5(bytes). */
   private def pair(bytes: Array[Byte]): (Long, Long) = {
     val d = md5.get(); d.reset()
@@ -285,4 +306,39 @@ case class ProfileCounts(child: Expression, profiles: Seq[Seq[String]])
 object ProfileCounts {
   def asColumn(tokens: Column, profiles: Seq[Seq[String]]): Column =
     ColumnBridge.column(ProfileCounts(ColumnBridge.expression(tokens), profiles))
+}
+
+/** `token_stats(tokens)`: array<string> → struct(n_tokens, sum_len,
+  * n_stop, n_distinct) — every integer input of the text-quality features
+  * in one codegen'd pass (replaces interpreted aggregate/filter/
+  * array_distinct HOFs). Lengths are character counts (SQL `length`);
+  * distinctness is exact string equality, matching `list_distinct`. */
+case class TokenStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val stopArr: Array[org.apache.spark.unsafe.types.UTF8String] =
+    stopwords.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_len", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_stop", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  override def nullSafeEval(v: Any): Any =
+    TextHash.tokenStats(v.asInstanceOf[ArrayData], stopArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwords", stopArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.tokenStats($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): TokenStats =
+    copy(child = c)
+}
+
+object TokenStats {
+  def asColumn(tokens: Column, stopwords: Seq[String]): Column =
+    ColumnBridge.column(TokenStats(ColumnBridge.expression(tokens), stopwords))
 }
