@@ -275,7 +275,8 @@ object GraftOps {
 
   /** Order-sensitive rolling-hash document fingerprint. */
   def fingerprint(df: DataFrame, text: Column): DataFrame =
-    df.withColumn("fingerprint", Text.rollingFingerprint(Text.tokens(text)))
+    df.withColumn("fingerprint",
+      graft.functions.RollingFingerprint(Text.tokens(text)))
 
   /** Top-`k` TF-IDF terms per document. The idf factor is the exact
     * rational `n_docs / df` (one IEEE divide — portable), not `log(N/df)`

@@ -176,6 +176,21 @@ object TextHash {
     new GenericArrayData(arr)
   }
 
+  /** Rolling polynomial fingerprint over the token stream (see q25):
+    * h ← (h·31 + (tokenHash mod p)) mod p, left-to-right — same '0|'
+    * seeded token hash as simhash / Portable.phash(0, t). */
+  def rollingFingerprint(toks: ArrayData): Long = {
+    var acc = 0L
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val (h1, _) = pair(("0|" + toks.getUTF8String(i).toString).getBytes("UTF-8"))
+      acc = (acc * 31L + (h1 % P)) % P
+      i += 1
+    }
+    acc
+  }
+
   /** 60-bit majority-vote SimHash over token hashes (same '0|' seed and
     * first-15-hex derivation as Portable.phash / the q17 oracle). */
   def simhash(arr: ArrayData): Long = {
@@ -341,4 +356,23 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
 object TokenStats {
   def asColumn(tokens: Column, stopwords: Seq[String]): Column =
     ColumnBridge.column(TokenStats(ColumnBridge.expression(tokens), stopwords))
+}
+
+/** `rolling_fingerprint(tokens)`: array<string> → long — the q25
+  * order-sensitive document fingerprint in one codegen'd pass (the HOF
+  * form pays one interpreted md5 lambda per token). */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.rollingFingerprint(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.rollingFingerprint($c)")
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+    copy(child = c)
+}
+
+object RollingFingerprint {
+  def apply(tokens: Column): Column =
+    ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(tokens)))
 }

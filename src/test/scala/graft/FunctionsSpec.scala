@@ -107,6 +107,17 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     assert(fused(1) == null, "short doc yields null signature")
   }
 
+  test("codegen RollingFingerprint equals the HOF fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("the quick brown fox", "a b c d e f", "", "one").toDF("text")
+    val both = df.select(
+      graft.functions.RollingFingerprint(graft.functions.Text.tokens(col("text"))).as("cg"),
+      graft.functions.Text.rollingFingerprint(graft.functions.Text.tokens(col("text"))).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch: $r"))
+  }
+
   test("centroid aggregator matches per-dimension mean") {
     import spark.implicits._
     val data = Seq((0, Seq(1f, 2f)), (0, Seq(3f, 4f)), (1, Seq(10f, 20f)))
