@@ -21,16 +21,29 @@ object Bench {
     val wanted = args.toSet
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
+    // Per-query MEDIAN of `runs` timings (default 3). A single-shot timing
+    // can't distinguish a plan regression from transient host contention —
+    // the median of three back-to-back runs is robust to one contended run,
+    // so the recorded artifact defends itself without re-adjudication.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          if (!failed.contains(name)) failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
+      val sec =
+        if (times.isEmpty) 0.0
+        else times.sorted.apply((times.size - 1) / 2) // lower median
+      System.err.println(
+        f"[bench] $name%-28s $sec%8.2f s  (runs: ${times.map(t => f"$t%.2f").mkString(" ")})")
       name -> sec
     }
     // a failed query must not masquerade as a fast one in the JSON record

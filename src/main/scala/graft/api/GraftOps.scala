@@ -120,6 +120,69 @@ object GraftOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected-component resolution of near-dup candidate pairs — the last
+    * stage of a real dedup pipeline: q16–q19-style `(id_a, id_b)` pairs
+    * become `(survivor, member)` cluster assignments where the survivor is
+    * the minimum id of each connected component (deterministic, so
+    * "keep the survivor, drop other members" is reproducible).
+    *
+    * Algorithm: iterative min-label propagation. Every id starts labeled
+    * with itself; each round, every vertex takes the min of its own label
+    * and its neighbors' labels (one equi-join on the symmetric edge list +
+    * one map-side-combined min agg — no driver state beyond the loop
+    * counter). Labels are monotone non-increasing and reach the component
+    * minimum in ≤ diameter rounds; near-dup components are shallow
+    * (star/clique-ish), so convergence is typically 2–4 rounds. Each round
+    * is persisted+materialized so round N reads round N−1 from cache
+    * rather than re-executing the whole chain (bounded lineage). The
+    * convergence check is exact (labels only decrease ⇒ fixpoint iff no
+    * label decreased); a non-converged result would be silently wrong, so
+    * exceeding `maxIter` (pathological chain-shaped components) throws
+    * rather than returns.
+    *
+    * Scale shape: per round, work is O(|edges|) shuffled on vertex id —
+    * never materializes anything quadratic; `maxIter` bounds total cost at
+    * O(maxIter·|edges|). Input ids are cast to long. */
+  def dedupClusters(pairs: DataFrame, idA: Column, idB: Column,
+      maxIter: Int = 30): DataFrame = {
+    val half = pairs.select(idA.cast("long").as("a"), idB.cast("long").as("b"))
+    // symmetric closure; distinct collapses multi-edges from overlapping
+    // candidate generators (e.g. union of q16+q18 pairs)
+    val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var cached = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    cached.count() // materialize so each round starts from cache
+    var labels = cached
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("__nlbl")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("__nlbl")).as("__nmin"))
+      val next = labels.select(col("id"), col("lbl").as("__old"))
+        .join(nbrMin, Seq("id")) // every vertex has ≥1 edge by construction
+        .select(col("id"), least(col("__old"), col("__nmin")).as("lbl"),
+          col("__old"))
+        .persist()
+      next.count() // materialize before dropping the previous round's cache
+      converged = next.filter(col("lbl") < col("__old")).isEmpty
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("lbl"))
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIter rounds — component " +
+          "diameter exceeds the bound; raise maxIter")
+    // `cached` (the final round) stays persisted: the returned frame reads
+    // it directly; callers running many downstream actions may unpersist
+    // via sparkSession.catalog.clearCache() when done.
+    labels.select(col("lbl").as("survivor"), col("id").as("member"))
+  }
+
   /** Deterministic hyperplane component for the near-dup LSH bands (same
     * portable-hash recipe as SimilarityOps' ANN planes, distinct salt). */
   private def ndPlane(j: Int, dim: Int): Seq[Double] =
@@ -135,12 +198,24 @@ object GraftOps {
     * brute-force form must never run silently on a real corpus. Recall of
     * the LSH path at thr 0.9+ with 8×4 bands is ≥ ~0.998 (1−(1−p^r)^b);
     * pairs in no shared bucket are missed, which is the documented
-    * approximate contract at scale. */
+    * approximate contract at scale.
+    *
+    * Routing: pass `sizeHint` (approximate row count — e.g. from catalog
+    * stats or a prior count) to pick the path without any eager work. With
+    * no hint and `allowQuadratic = false`, a bounded count job runs ONCE at
+    * plan-construction time (an eager action — it re-executes the upstream
+    * plan and is illegal on streaming inputs; hint or flag avoid it).
+    * The LSH path requires every vector to have exactly `dim` components
+    * and fails loudly otherwise — silently hashing a prefix would degrade
+    * recall with no signal. */
   def embeddingNearDup(df: DataFrame, id: Column, vec: Column,
       threshold: Double, dim: Int = 64, bands: Int = 8, rowsPerBand: Int = 4,
-      allowQuadratic: Boolean = false, quadraticLimit: Long = 65536L): DataFrame = {
-    val quadratic = allowQuadratic ||
-      df.select(id).limit((quadraticLimit + 1).toInt).count() <= quadraticLimit
+      allowQuadratic: Boolean = false, quadraticLimit: Long = 65536L,
+      sizeHint: Option[Long] = None): DataFrame = {
+    require(quadraticLimit > 0 && quadraticLimit < Int.MaxValue,
+      s"quadraticLimit must be in (0, Int.MaxValue); got $quadraticLimit")
+    val quadratic = allowQuadratic || sizeHint.map(_ <= quadraticLimit).getOrElse(
+      df.select(id).limit(quadraticLimit.toInt + 1).count() <= quadraticLimit)
     val pairs =
       if (quadratic) {
         val a = df.select(id.as("id_a"), vec.as("__ea"))
@@ -151,7 +226,13 @@ object GraftOps {
         // (PlaneSigns), then each band's key is a cheap shift/mask slice
         val planes = (0 until bands * rowsPerBand)
           .map(j => ndPlane(j, dim).toIndexedSeq)
-        val sig = df.select(id.as("__id"), vec.as("__e"))
+        val checkedVec = when(size(col("__e0")) === dim, col("__e0"))
+          .otherwise(raise_error(concat(
+            lit(s"embeddingNearDup: LSH path expects $dim-component vectors, got "),
+            size(col("__e0")).cast("string"),
+            lit(" — pass the actual dim or fix the input"))))
+        val sig = df.select(id.as("__id"), vec.as("__e0"))
+          .select(col("__id"), checkedVec.as("__e"))
           .withColumn("__sg", graft.functions.PlaneSigns(col("__e"), planes))
         val bandKeys = array((0 until bands).map { bnd =>
           struct(lit(bnd).as("b"),
@@ -199,9 +280,16 @@ object GraftOps {
     * an equi-join on cell id — corpus/K work per probed cell. `nprobe`
     * trades recall for cost; `nprobe = K` degenerates to exact kNN
     * (spec-asserted). Ordering ties: score desc, label asc; rank ties:
-    * sim desc, id asc — all deterministic. */
+    * sim desc, id asc — all deterministic.
+    *
+    * `broadcastProbes` (default true) hints the probe side — right for the
+    * common few-probes case, but each probe row is replicated `nprobe`
+    * times carrying its full embedding, so a LARGE probe set would exceed
+    * the broadcast limit: pass false there and AQE picks the join strategy
+    * from the runtime size instead. */
   def ivfTopK(corpus: DataFrame, id: Column, vec: Column, label: Column,
-      isProbe: Column, k: Int, nprobe: Int = 1): DataFrame = {
+      isProbe: Column, k: Int, nprobe: Int = 1,
+      broadcastProbes: Boolean = true): DataFrame = {
     val e = corpus.select(id.as("__vid"), vec.as("__v"), isProbe.as("__isp"),
       label.as("__lbl"))
     val cent = e
@@ -227,7 +315,8 @@ object GraftOps {
       .select(col("__vid").as("probe_id"), col("__v").as("__pv"),
         explode(slice(col("__sc"), 1, nprobe)).as("cell"))
     val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("__vid"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    assigned.join(probeSide, Seq("cell"))
       .filter(col("__vid") =!= col("probe_id"))
       .withColumn("sim", CosineSim(col("__pv"), col("__v")))
       .withColumn("rank", row_number().over(w))
@@ -306,23 +395,41 @@ object GraftOps {
     * portable hash of its `key` lands under the stratum's rate (in
     * millionths). Pure narrow filter — zero shuffle, reproducible across
     * runs/engines, and each stratum's kept fraction converges to its
-    * rate. `rates` maps stratum value → ppm; misses use `defaultPpm`. */
+    * rate. `rates` maps stratum value → ppm; misses use `defaultPpm`.
+    * Output schema equals the input's; pass `bucketCol` to additionally
+    * surface the row's hash bucket (0..999999) under that name — no
+    * undocumented temporary leaks otherwise. */
   def stratifiedSample(df: DataFrame, strata: Column, key: Column,
-      rates: Map[String, Int], defaultPpm: Int): DataFrame = {
+      rates: Map[String, Int], defaultPpm: Int,
+      bucketCol: Option[String] = None): DataFrame = {
     val bucket = pmod(Portable.phash(concat(lit("smp|"), key.cast("string"))),
       lit(1000000))
     val rate = rates.foldLeft(lit(defaultPpm)) { case (acc, (s, ppm)) =>
       when(strata === s, lit(ppm)).otherwise(acc)
     }
-    df.withColumn("__bucket", bucket).filter(col("__bucket") < rate)
+    val kept = df.withColumn("__bucket", bucket).filter(col("__bucket") < rate)
+    bucketCol match {
+      case Some(c) => kept.withColumnRenamed("__bucket", c)
+      case None    => kept.drop("__bucket")
+    }
   }
 
   /** PII redaction: replaces email/phone shapes with placeholder tags and
     * counts the hits. Patterns restricted to the RE2-compatible subset
     * both Spark (Java regex) and the oracle (RE2) evaluate identically.
-    * Narrow projection — at 100 TB this is a pure map stage. */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    * Narrow projection — at 100 TB this is a pure map stage.
+    *
+    * Matched shapes (the contract — anything else passes through):
+    *  - Email: `local@domain.tld`, case-insensitive (`(?i)`), local part
+    *    over `[a-z0-9._%+-]`, ≥ 2-letter TLD.
+    *  - Phone: `[+C[-. ]] [(AAA) |AAA[-. ]] NNN[-. ]NNNN` — optional 1-2
+    *    digit country code, optional 3-digit area code (parenthesized or
+    *    separator-delimited), then 3+4 digits; separators `-`, `.`, space.
+    *    Covers `+1-555-0042`, `(555) 123-4567`, `555.123.4567`, `123-4567`.
+    * Both patterns avoid lookaround/backrefs so Java regex and RE2 agree
+    * (leftmost-first, greedy — identical spans on both engines). */
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "(\\+[0-9]{1,2}[-. ])?(\\([0-9]{3}\\) ?|[0-9]{3}[-. ])?[0-9]{3}[-. ][0-9]{4}"
   def redactPii(df: DataFrame, text: Column): DataFrame =
     df.withColumn("n_emails", size(regexp_extract_all(text, lit(EmailRe), lit(0))))
       .withColumn("n_phones", size(regexp_extract_all(text, lit(PhoneRe), lit(0))))

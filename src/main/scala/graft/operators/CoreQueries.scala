@@ -381,6 +381,29 @@ object CoreQueries {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       ORDER BY l_orderkey, l_linenumber"""))
 
+  // ---------------------------------------------------------------- Q9b
+  /** Transcendental math battery (log/ln/log10/pow/exp/cbrt) — the libm
+    * surface q09 deliberately excludes: these are NOT correctly-rounded
+    * IEEE ops, so DuckDB's libm and the JVM's StrictMath-free Math can
+    * disagree in the last ulp and the value-hash gate would flap. Checked
+    * rows-only (like q15b's sketches); the functions themselves are plain
+    * Spark built-ins inside whole-stage codegen. */
+  val q09b = QueryDef("q09b_math_libm",
+    (s, dir) =>
+      t(s, dir, "part").select(
+          col("p_partkey"),
+          log(col("p_size").cast("double")).as("ln_size"),
+          log10(col("p_size").cast("double")).as("log10_size"),
+          log2(col("p_size").cast("double")).as("log2_size"),
+          pow(col("p_size").cast("double"), lit(1.5)).as("pow_15"),
+          exp(col("p_size").cast("double") / lit(50.0)).as("exp_norm"),
+          cbrt(col("p_size").cast("double")).as("cbrt_size"),
+          (sin(col("p_size").cast("double")) + cos(col("p_size").cast("double")))
+            .as("trig_mix"),
+          atan2(col("p_size").cast("double"), col("p_retailprice")).as("angle"))
+        .orderBy("p_partkey"),
+    None) // rows-only: libm results are not bit-portable across engines
+
   // ---------------------------------------------------------------- Q10
   /** Events: JSON prop extraction + tumbling 1h window agg (batch form of
     * the streaming pipeline; ts arrives as TIMESTAMP(NANOS) → µs, see
@@ -619,6 +642,6 @@ object CoreQueries {
       ORDER BY o_custkey, o_orderdate, o_orderkey"""))
 
   val all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q07b, q08, q08b, q09, q10, q14, q15,
+    Seq(q01, q02, q03, q04, q05, q06, q07, q07b, q08, q08b, q09, q09b, q10, q14, q15,
       q15b, q29, q29b, q30, q31, q32, q33)
 }

@@ -60,8 +60,8 @@ object CurationOps {
   val q36 = QueryDef("q36_stratified_sample",
     (s, dir) =>
       GraftOps.stratifiedSample(docs(s, dir), col("source"), col("doc_id"),
-          smpRates, defaultPpm = 500000)
-        .select(col("doc_id"), col("source"), col("__bucket").as("bucket"))
+          smpRates, defaultPpm = 500000, bucketCol = Some("bucket"))
+        .select(col("doc_id"), col("source"), col("bucket"))
         .orderBy("doc_id"),
     Some(s"""
       SELECT doc_id, source, bucket FROM (

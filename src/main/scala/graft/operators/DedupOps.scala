@@ -25,6 +25,34 @@ private[operators] object Duck {
       s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)"
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
+  /** The q16 MinHash+LSH candidate-pair CTE chain (ending in `mh_pairs`
+    * with doc_a < doc_b). Shared verbatim between q16 and q40 so the
+    * cluster-resolution oracle consumes the exact pairs q16 checks. */
+  val minhashCtes: String = s"""
+      t AS (SELECT doc_id, $toks AS toks FROM documents),
+      shs AS (SELECT doc_id, $shingles3 AS sh FROM t),
+      hm AS (SELECT doc_id, list_transform(sh, s -> md5('mh|' || s)) AS hm
+             FROM shs WHERE len(sh) > 0),
+      sig AS (
+        SELECT doc_id,
+          list_transform(range(0, 16), j ->
+            list_min(list_transform(hm, m ->
+              CAST('0x' || substring(m, 1, 15) AS BIGINT)
+                + j * (CAST('0x' || substring(m, 16, 15) AS BIGINT) % 1000000007)))) AS sig
+        FROM hm),
+      bands AS (
+        SELECT doc_id, sig, b,
+          md5(array_to_string(list_transform(list_slice(sig, b*4+1, b*4+4), x -> CAST(x AS VARCHAR)), ',')) AS band_key
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sa, y.sig AS sb
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+      mh_pairs AS (
+        SELECT doc_a, doc_b,
+          CAST(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) AS DOUBLE) / 16.0 AS est_jaccard
+        FROM cand
+        WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) >= 8)"""
 }
 
 /** Deduplication operator family (SURVEY.md §2.2 "dedup" rows; BASELINE
@@ -69,29 +97,9 @@ object DedupOps {
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("est_jaccard"))
         .orderBy("doc_a", "doc_b"),
     Some(s"""
-      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
-      shs AS (SELECT doc_id, ${Duck.shingles3} AS sh FROM t),
-      hm AS (SELECT doc_id, list_transform(sh, s -> md5('mh|' || s)) AS hm
-             FROM shs WHERE len(sh) > 0),
-      sig AS (
-        SELECT doc_id,
-          list_transform(range(0, 16), j ->
-            list_min(list_transform(hm, m ->
-              CAST('0x' || substring(m, 1, 15) AS BIGINT)
-                + j * (CAST('0x' || substring(m, 16, 15) AS BIGINT) % 1000000007)))) AS sig
-        FROM hm),
-      bands AS (
-        SELECT doc_id, sig, b,
-          md5(array_to_string(list_transform(list_slice(sig, b*4+1, b*4+4), x -> CAST(x AS VARCHAR)), ',')) AS band_key
-        FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-      cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sa, y.sig AS sb
-        FROM bands x JOIN bands y
-          ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
-      SELECT doc_a, doc_b,
-        CAST(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) AS DOUBLE) / 16.0 AS est_jaccard
-      FROM cand
-      WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) >= 8
+      WITH ${Duck.minhashCtes}
+      SELECT doc_a, doc_b, est_jaccard
+      FROM mh_pairs
       ORDER BY doc_a, doc_b"""))
 
   // ---------------------------------------------------------------- q17
@@ -169,5 +177,36 @@ object DedupOps {
       WHERE ${Duck.cosine("a.embedding", "b.embedding")} >= 0.95
       ORDER BY vec_a, vec_b"""))
 
-  val all: Seq[QueryDef] = Seq(q11, q16, q17, q18, q19)
+  // ---------------------------------------------------------------- q40
+  /** Near-dup CLUSTER resolution — the stage every real dedup pipeline
+    * needs after candidate pairs: q16's MinHash pairs → connected
+    * components → one deterministic survivor (min doc_id) per cluster.
+    * Spark side is bounded min-label propagation (join+agg per round, no
+    * driver state — see [[graft.api.GraftOps.dedupClusters]]); the oracle
+    * resolves the same components with a recursive reachability CTE over
+    * the identical pair SQL (Duck.minhashCtes, shared with q16). */
+  val q40 = QueryDef("q40_dedup_clusters",
+    (s, dir) =>
+      graft.api.GraftOps.dedupClusters(
+          graft.api.GraftOps.minhashNearDup(docs(s, dir), col("doc_id"),
+            col("text"), shingleWidth = 3, numHashes = 16, bands = 4,
+            minMatches = 8),
+          col("id_a"), col("id_b"))
+        .orderBy("survivor", "member"),
+    Some(s"""
+      WITH RECURSIVE ${Duck.minhashCtes},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM mh_pairs),
+      reach AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst)
+      SELECT LEAST(MIN(dst), src) AS survivor, src AS member
+      FROM reach
+      GROUP BY src
+      ORDER BY survivor, member"""))
+
+  val all: Seq[QueryDef] = Seq(q11, q16, q17, q18, q19, q40)
 }

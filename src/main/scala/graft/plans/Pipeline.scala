@@ -91,6 +91,18 @@ object PipelineCompiler {
   private def arg(args: Map[String, String], k: String): String =
     args.getOrElse(k, throw new PipelineException(s"missing operator arg '$k'"))
 
+  /** Streaming sinks honor an optional `triggerMs` arg; absent, they run on
+    * the reference's fixed 10 s micro-batch cadence (OpContainer.java:47-49
+    * → StreamingOps.ReferenceTrigger). `triggerMs=0` = as-fast-as-possible
+    * micro-batches (what tests want under processAllAvailable). */
+  private def triggerOf(args: Map[String, String]) =
+    args.get("triggerMs").map(_.toLong) match {
+      case Some(ms) if ms > 0 =>
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms)
+      case Some(_) => org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+      case None    => graft.streaming.StreamingOps.ReferenceTrigger
+    }
+
   /** Sealed operator registry (ref R8 parity, minus reflection). */
   val registry: Map[String, PipelineOperator] = Map(
     // Sources. "parquetInput" doubles for KafkaInput in batch tests; the
@@ -116,6 +128,17 @@ object PipelineCompiler {
       Map("outport1" -> spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", arg(args, "brokers"))
         .option("subscribe", arg(args, "topic")).load())),
+    // Streaming file source: the connector-free way to compile the
+    // reference's S1 flow (R1→R2→R3) as a STREAMING spec end-to-end —
+    // schema'd readStream over a directory, micro-batched like KafkaInput.
+    "fileStreamInput" -> ((spark, _, args) =>
+      Map("outport1" -> spark.readStream
+        .schema(arg(args, "schema")) // DDL string, e.g. "id BIGINT, v STRING"
+        .format(args.getOrElse("format", "json"))
+        .load(arg(args, "path")))),
+    "rateInput" -> ((spark, _, args) =>
+      Map("outport1" -> spark.readStream.format("rate")
+        .option("rowsPerSecond", args.getOrElse("rowsPerSecond", "1")).load())),
     // Transforms (ref R2 AddField + the core relational verbs).
     "addField" -> ((_, in, args) =>
       Map("outport1" -> in("inport1").withColumn(arg(args, "name"), expr(arg(args, "expr"))))),
@@ -139,6 +162,37 @@ object PipelineCompiler {
     "tableSink" -> ((_, in, args) => { // ref R6 CTAS parity
       in("inport1").write.mode(args.getOrElse("mode", "overwrite"))
         .saveAsTable(arg(args, "name")); Map.empty
+    }),
+    // Streaming sinks: compiling a spec that ends in one STARTS the query
+    // (the streaming analogue of the batch sinks' eager action); the
+    // handle is discoverable as spark.streams.active by queryName, and the
+    // trigger honors `triggerMs` / defaults to the reference 10 s cadence.
+    "memoryStreamSink" -> ((_, in, args) => {
+      in("inport1").writeStream.format("memory")
+        .queryName(arg(args, "name"))
+        .outputMode(args.getOrElse("outputMode", "append"))
+        .trigger(triggerOf(args)).start()
+      Map.empty
+    }),
+    "parquetStreamSink" -> ((_, in, args) => {
+      in("inport1").writeStream.format("parquet")
+        .queryName(args.getOrElse("name", "parquetStreamSink"))
+        .option("path", arg(args, "path"))
+        .option("checkpointLocation", arg(args, "checkpoint"))
+        .trigger(triggerOf(args)).start()
+      Map.empty
+    }),
+    // R3 KafkaOutput: declared for real-broker deployments (needs the
+    // spark-sql-kafka connector jar — absent in this offline container,
+    // see README "Kafka connectivity"; memoryStreamSink is the test twin).
+    "kafkaOutput" -> ((_, in, args) => {
+      graft.streaming.StreamingOps.toKafkaJson(in("inport1"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", arg(args, "brokers"))
+        .option("topic", arg(args, "topic"))
+        .option("checkpointLocation", arg(args, "checkpoint"))
+        .trigger(triggerOf(args)).start()
+      Map.empty
     }))
 
   /** Kahn topological order; aborts on a cycle (ref OpContainer.java:207-210). */

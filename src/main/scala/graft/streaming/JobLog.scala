@@ -11,13 +11,20 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * equivalent is a StreamingQueryListener: query lifecycle events append
   * one line each to an in-memory buffer and (optionally) a local log file.
   */
-final class JobLogListener(logPath: Option[String] = None)
-    extends StreamingQueryListener {
+final class JobLogListener(logPath: Option[String] = None,
+    maxLines: Int = 10000) extends StreamingQueryListener {
+  require(maxLines > 0, "maxLines must be positive")
 
-  private val buf = mutable.ArrayBuffer.empty[String]
+  // Ring-capped: a long-running streaming job emits one progress line per
+  // micro-batch forever; an unbounded buffer is a slow driver leak. The
+  // file append (when configured) still records every line — only the
+  // in-memory tail is bounded, and `dropped` says how many rolled off.
+  private val buf = mutable.ArrayDeque.empty[String]
+  private var nDropped = 0L
 
   private def log(line: String): Unit = synchronized {
     buf += line
+    if (buf.size > maxLines) { buf.removeHead(); nDropped += 1 }
     logPath.foreach { p =>
       Files.writeString(Paths.get(p), line + "\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -25,6 +32,7 @@ final class JobLogListener(logPath: Option[String] = None)
   }
 
   def lines: Seq[String] = synchronized(buf.toSeq)
+  def dropped: Long = synchronized(nDropped)
 
   /** One-shot dump of the accumulated log to any Hadoop-visible path
     * (`hdfs://`, `file://`, `s3a://`) — the exact shape of the reference's

@@ -56,6 +56,42 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(ports.contains("uni.outport1"))
   }
 
+  test("STREAMING spec compiles from XML end-to-end (ref S1 flow, 10 s trigger)") {
+    // The reference's defining capability is a *streaming* XML DAG
+    // (KafkaInput→AddField→KafkaOutput on a 10 s cadence). Connector-free
+    // twin: fileStreamInput → addField → memoryStreamSink, default trigger
+    // = the reference 10 s ProcessingTime (first batch fires immediately,
+    // so processAllAvailable drains pre-written data without waiting).
+    val dir = java.nio.file.Files.createTempDirectory("stream-in")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      """{"id": 1, "v": "x"}""" + "\n" + """{"id": 2, "v": "y"}""" + "\n")
+    val xml = s"""
+      <pipeline>
+        <operator name="src" class="fileStreamInput">
+          <arg key="schema" value="id BIGINT, v STRING"/>
+          <arg key="format" value="json"/>
+          <arg key="path" value="${dir.toUri}"/>
+        </operator>
+        <operator name="af" class="addField">
+          <arg key="name" value="doubled"/><arg key="expr" value="id * 2"/>
+        </operator>
+        <operator name="sink" class="memoryStreamSink">
+          <arg key="name" value="s1_pipeline_out"/>
+        </operator>
+        <connect from="src.outport1" to="af.inport1"/>
+        <connect from="af.outport1" to="sink.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(xml), spark)
+    val q = spark.streams.active.find(_.name == "s1_pipeline_out")
+      .getOrElse(fail("compiled streaming sink did not start a query"))
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("s1_pipeline_out")
+        .select("id", "doubled").orderBy("id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (2L, 4L)))
+    } finally q.stop()
+  }
+
   test("cycle is rejected with an explicit error") {
     val spec = PipelineSpec(
       nodes = Seq(
