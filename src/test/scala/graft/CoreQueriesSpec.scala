@@ -73,7 +73,8 @@ class CoreQueriesSpec extends AnyFunSuite with SharedSpark {
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
     // every query except the explicitly rows-only ones has an oracle
     val rowsOnly = names -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q15b_approx_distinct", "q29b_percentiles_approx"),
+    assert(rowsOnly == Set("q15b_approx_distinct", "q29b_percentiles_approx",
+      "q09b_math_libm"), // sketches aren't engine-portable; libm isn't bit-exact
       s"unexpected rows-only: $rowsOnly")
   }
 

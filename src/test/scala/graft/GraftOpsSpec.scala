@@ -256,6 +256,49 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("dedupClusters resolves pairs into min-survivor components") {
+    import spark.implicits._
+    // components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {10,11}, singleton pair {20,21}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L), (21L, 20L))
+      .toDF("a", "b")
+    val out = GraftOps.dedupClusters(pairs, col("a"), col("b"))
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(out == expect, s"got $out")
+  }
+
+  test("dedupClusters throws rather than returning a non-converged result") {
+    import spark.implicits._
+    // a path graph 0-1-2-...-9 needs ~diameter rounds; maxIter=1 cannot finish
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException](
+      GraftOps.dedupClusters(chain, col("a"), col("b"), maxIter = 1))
+  }
+
+  test("decodeFrames stub decoder matches the q26 expression-path frame relation") {
+    // The mapPartitions decoder and q26's pure-expression path must agree
+    // row-for-row, so swapping a real codec into decodeFrames has a pinned
+    // contract against the oracle-checked relation.
+    val q26 = graft.operators.MultimodalOps.q26.run(spark, sf001)
+      .select("doc_id", "frame_idx", "frame_offset", "feature")
+    val payload = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val decoded = graft.operators.MultimodalOps.decodeFrames(payload, frameStride = 100)
+      .toDF().select("doc_id", "frame_idx", "frame_offset", "feature")
+    assert(decoded.except(q26).isEmpty && q26.except(decoded).isEmpty,
+      "mapPartitions decode and expression path must produce identical frames")
+  }
+
+  test("embeddingNearDup LSH path fails loudly on wrong-dim vectors") {
+    import spark.implicits._
+    val df = (1L to 4L).map(i => (i, Seq.fill(8)(0.5f))).toDF("vid", "v")
+    val e = intercept[Exception](
+      GraftOps.embeddingNearDup(df, col("vid"), col("v"),
+        threshold = 0.9, dim = 16, quadraticLimit = 1L).collect())
+    assert(e.getMessage != null)
+  }
+
   test("knn is schema-agnostic and excludes self") {
     import spark.implicits._
     val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)))

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard over the ENTIRE query registry: a query can
+  * stay hash-green while its physical plan silently degrades (a join
+  * condition stops being equi, a broadcast hint is lost, a cartesian
+  * sneaks in). This spec pins the nested-loop/cartesian surface to the
+  * declared set so rounds can't regress a plan unnoticed.
+  */
+class PlanGuardSpec extends AnyFunSuite with SharedSpark {
+
+  /** Queries whose plans legitimately contain a nested-loop or cartesian
+    * join — each deliberate and bounded:
+    *  - q13: exact kNN broadcasts the tiny probe set with a non-equi
+    *    self-exclusion predicate (id != probe_id) — BNLJ over k probes.
+    *  - q19: at test SF the corpus is under quadraticLimit, so the exact
+    *    broadcast block product runs (the guarded LSH path is equi-join).
+    *  - q32: the cross-join query — cartesian IS the semantics.
+    *  - q35: tf-idf joins the 1-row corpus-count via broadcast cross join.
+    */
+  private val allowNestedLoop = Set(
+    "q13_similarity_knn", "q19_embedding_neardup", "q32_cross_join",
+    "q35_tfidf_topk")
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] =
+    p +: p.children.flatMap(nodes)
+
+  private lazy val plans: Map[String, SparkPlan] =
+    SparkEntry.registry.map { q =>
+      q.name -> q.run(spark, sf001).queryExecution.sparkPlan
+    }.toMap
+
+  test("nested-loop/cartesian joins appear ONLY in the declared queries") {
+    val offenders = plans.collect {
+      case (name, plan) if nodes(plan).exists(n =>
+          n.nodeName.contains("BroadcastNestedLoopJoin") ||
+            n.nodeName.contains("CartesianProduct")) && !allowNestedLoop(name) =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"undeclared nested-loop/cartesian join in: ${offenders.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("the declared nested-loop set is not stale") {
+    val stale = allowNestedLoop.filter { name =>
+      !nodes(plans(name)).exists(n =>
+        n.nodeName.contains("BroadcastNestedLoopJoin") ||
+          n.nodeName.contains("CartesianProduct"))
+    }
+    assert(stale.isEmpty,
+      s"allowlisted queries no longer plan a nested loop (shrink the list): $stale")
+  }
+
+  test("q14's range join keeps both sides pre-aggregated (scale-safe band join)") {
+    // The defining property of the banded range join: BOTH join inputs
+    // collapse to their tiny key domains BEFORE the band explode, so join
+    // work is O(|domain|) regardless of row count. A regression to raw-side
+    // banding would still hash-match while shuffle-amplifying at scale.
+    val joins = nodes(plans("q14_theta_band_join"))
+      .filter(n => n.nodeName.contains("Join"))
+    assert(joins.nonEmpty, "q14 must contain the band join")
+    joins.foreach { j =>
+      j.children.foreach { side =>
+        assert(nodes(side).exists(_.nodeName.contains("Aggregate")),
+          s"q14 join side lost its pre-aggregation:\n$side")
+      }
+    }
+  }
+}
