@@ -44,6 +44,12 @@ object Bench {
         else times.sorted.apply((times.size - 1) / 2) // lower median
       System.err.println(
         f"[bench] $name%-28s $sec%8.2f s  (runs: ${times.map(t => f"$t%.2f").mkString(" ")})")
+      // Cross-query hygiene: drop any DataFrame caches the query pinned
+      // (the iterative ops persist intermediates) and nudge GC, so one
+      // query's leftover executor memory doesn't inflate the next
+      // query's timings deep into the 45-query suite.
+      spark.catalog.clearCache()
+      System.gc()
       name -> sec
     }
     // a failed query must not masquerade as a fast one in the JSON record

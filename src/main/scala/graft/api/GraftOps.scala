@@ -183,6 +183,20 @@ object GraftOps {
     labels.select(col("lbl").as("survivor"), col("id").as("member"))
   }
 
+  /** The apply step of near-dup dedup: given the corpus and candidate
+    * pairs (from any of the near-dup generators, or a union of several),
+    * drop every non-survivor cluster member and keep the rest of the
+    * corpus untouched. Composition of [[dedupClusters]] + one left-anti
+    * join on id — the complete pairs → components → filtered-corpus
+    * pipeline in one call. */
+  def applyDedup(df: DataFrame, id: Column, pairs: DataFrame,
+      idA: Column, idB: Column, maxIter: Int = 30): DataFrame = {
+    val nonSurvivors = dedupClusters(pairs, idA, idB, maxIter)
+      .filter(col("member") =!= col("survivor"))
+      .select(col("member").as("__drop_id"))
+    df.join(nonSurvivors, id === col("__drop_id"), "left_anti")
+  }
+
   /** Deterministic hyperplane component for the near-dup LSH bands (same
     * portable-hash recipe as SimilarityOps' ANN planes, distinct salt). */
   private def ndPlane(j: Int, dim: Int): Seq[Double] =

@@ -208,5 +208,37 @@ object DedupOps {
       GROUP BY src
       ORDER BY survivor, member"""))
 
-  val all: Seq[QueryDef] = Seq(q11, q16, q17, q18, q19, q40)
+  // ---------------------------------------------------------------- q41
+  /** End-to-end dedup APPLY: the corpus with every non-survivor near-dup
+    * cluster member removed (q16 pairs → q40 components → left-anti join)
+    * — what a training-data pipeline actually ships. Emits the surviving
+    * doc ids + metadata (not text — keeps the checked rows narrow). */
+  val q41 = QueryDef("q41_dedup_apply",
+    (s, dir) => {
+      val d = docs(s, dir)
+      graft.api.GraftOps.applyDedup(d, col("doc_id"),
+          graft.api.GraftOps.minhashNearDup(d, col("doc_id"), col("text"),
+            shingleWidth = 3, numHashes = 16, bands = 4, minMatches = 8),
+          col("id_a"), col("id_b"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${Duck.minhashCtes},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM mh_pairs),
+      reach AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst),
+      assign AS (
+        SELECT LEAST(MIN(dst), src) AS survivor, src AS member
+        FROM reach GROUP BY src)
+      SELECT doc_id, lang, source FROM documents
+      WHERE doc_id NOT IN (SELECT member FROM assign WHERE member <> survivor)
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q11, q16, q17, q18, q19, q40, q41)
 }

@@ -22,7 +22,7 @@ final class JobLogListener(logPath: Option[String] = None,
   private val buf = mutable.ArrayDeque.empty[String]
   private var nDropped = 0L
 
-  private def log(line: String): Unit = synchronized {
+  private[graft] def log(line: String): Unit = synchronized {
     buf += line
     if (buf.size > maxLines) { buf.removeHead(); nDropped += 1 }
     logPath.foreach { p =>

@@ -268,6 +268,17 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out == expect, s"got $out")
   }
 
+  test("applyDedup keeps cluster survivors and untouched rows only") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (10L, "b"),
+      (11L, "b'"), (42L, "unique")).toDF("id", "body")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("pa", "pb")
+    val kept = GraftOps.applyDedup(corpus, col("id"), pairs, col("pa"), col("pb"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 42L),
+      s"min-id survivors + non-clustered rows survive: $kept")
+  }
+
   test("dedupClusters throws rather than returning a non-converged result") {
     import spark.implicits._
     // a path graph 0-1-2-...-9 needs ~diameter rounds; maxIter=1 cannot finish

@@ -45,6 +45,13 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally { q.stop(); spark.streams.removeListener(listener) }
   }
 
+  test("JobLogListener ring-caps its buffer (long-running jobs can't leak)") {
+    val l = new JobLogListener(maxLines = 3)
+    (1 to 10).foreach(i => l.log(s"line$i"))
+    assert(l.lines == Seq("line8", "line9", "line10"), "newest lines kept")
+    assert(l.dropped == 7L)
+  }
+
   test("S2: tumbling window agg with watermark drops late rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
