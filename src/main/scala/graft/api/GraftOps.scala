@@ -165,8 +165,10 @@ object GraftOps {
         .select(col("id"), least(col("__old"), col("__nmin")).as("lbl"),
           col("__old"))
         .persist()
-      next.count() // materialize before dropping the previous round's cache
-      converged = next.filter(col("lbl") < col("__old")).isEmpty
+      // ONE job per round: the changed-label count both materializes the
+      // persist (full scan) and decides convergence — labels are monotone
+      // non-increasing, so "no label decreased" is an exact fixpoint test.
+      converged = next.filter(col("lbl") < col("__old")).count() == 0
       cached.unpersist()
       cached = next
       labels = next.select(col("id"), col("lbl"))
@@ -428,6 +430,39 @@ object GraftOps {
       case Some(c) => kept.withColumnRenamed("__bucket", c)
       case None    => kept.drop("__bucket")
     }
+  }
+
+  /** Concat-and-chunk sequence packing — the batching step of an LLM
+    * training pipeline: documents are conceptually concatenated per
+    * `strata` in `order`, the token stream is cut every `budget` tokens,
+    * and each document is assigned the bin its first token lands in.
+    * Adds `tok_offset` (the document's start position in its stratum's
+    * token stream) and `bin`. One shuffle on strata + an in-partition
+    * running sum — deterministic, integer-exact, and a document may
+    * straddle a cut (bin totals ≤ budget + max doc tokens), which is the
+    * standard concat-then-chunk contract. */
+  def packByTokenBudget(df: DataFrame, strata: Column, order: Column,
+      nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive; got $budget")
+    val w = Window.partitionBy(strata).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("tok_offset", (sum(nTokens).over(w) - nTokens).cast("long"))
+      .withColumn("bin", expr(s"tok_offset div ${budget}L")) // exact int div
+  }
+
+  /** Fixed-size deterministic stratified sample: exactly `n` rows per
+    * stratum (fewer if the stratum is smaller), chosen by ranking the
+    * portable hash of `key` — reproducible across runs and engines, and
+    * complementary to [[stratifiedSample]]'s rate-based variant. One
+    * shuffle on strata + an in-partition top-n. Adds `smp_rank` (1..n
+    * within stratum). */
+  def stratifiedFixedSample(df: DataFrame, strata: Column, key: Column,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive; got $n")
+    val w = Window.partitionBy(strata)
+      .orderBy(Portable.phash(concat(lit("fix|"), key.cast("string"))), key)
+    df.withColumn("smp_rank", row_number().over(w))
+      .filter(col("smp_rank") <= n)
   }
 
   /** PII redaction: replaces email/phone shapes with placeholder tags and

@@ -134,5 +134,55 @@ object CurationOps {
       FROM s
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q35, q36, q37, q38)
+  // ---------------------------------------------------------------- q42
+  /** Concat-and-chunk sequence packing: per source, documents concatenate
+    * in doc_id order and the token stream is cut every 1000 tokens; each
+    * doc reports its stream offset and the bin its first token lands in.
+    * Pure integer window math — bit-portable. */
+  val q42 = QueryDef("q42_token_pack",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
+      GraftOps.packByTokenBudget(d, col("source"), col("doc_id"),
+          col("n_tokens"), budget = 1000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("tok_offset"), col("bin"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, source, CAST(len(${Duck.toks}) AS INTEGER) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT doc_id, source, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_offset
+        FROM t)
+      SELECT doc_id, source, n_tokens, tok_offset,
+        tok_offset // 1000 AS bin
+      FROM o
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q43
+  /** Fixed-size stratified sample: exactly 10 docs per source (the
+    * fixture has 25/source, so the rank cut genuinely drops rows), ranked
+    * by the portable hash of doc_id — the deterministic "N examples per
+    * source" complement to q36's rate-based sampling. */
+  val q43 = QueryDef("q43_stratified_fixed",
+    (s, dir) =>
+      GraftOps.stratifiedFixedSample(docs(s, dir), col("source"),
+          col("doc_id"), n = 10)
+        .select(col("doc_id"), col("source"), col("smp_rank"))
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id, source, smp_rank FROM (
+        SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY ${Duck.ph("'fix|' || CAST(doc_id AS VARCHAR)")}, doc_id)
+            AS INTEGER) AS smp_rank
+        FROM documents)
+      WHERE smp_rank <= 10
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37, q38, q42, q43)
 }

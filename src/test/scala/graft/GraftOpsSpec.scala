@@ -184,6 +184,32 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(byGrp("cold") > 800, s"cold ~90% of 1000: $byGrp")
   }
 
+  test("packByTokenBudget assigns bins by stream offset per stratum") {
+    import spark.implicits._
+    val df = Seq((1L, "s", 400), (2L, "s", 400), (3L, "s", 400),
+      (4L, "s", 400), (5L, "t", 50)).toDF("id", "src", "nt")
+    val out = GraftOps.packByTokenBudget(df, col("src"), col("id"),
+        col("nt"), budget = 1000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("tok_offset"), r.getAs[Long]("bin"))).toMap
+    assert(out(1L) == (0L, 0L) && out(2L) == (400L, 0L))
+    assert(out(3L) == (800L, 0L), "straddles the cut but starts in bin 0")
+    assert(out(4L) == (1200L, 1L), "first doc past the 1000-token cut")
+    assert(out(5L) == (0L, 0L), "each stratum has its own stream")
+  }
+
+  test("stratifiedFixedSample keeps exactly n per stratum, reproducibly") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("k", "g")
+    val once = GraftOps.stratifiedFixedSample(df, col("g"), col("k"), n = 10)
+    val counts = once.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 10L, "b" -> 10L), s"got $counts")
+    val again = GraftOps.stratifiedFixedSample(df, col("g"), col("k"), n = 10)
+    assert(once.select("k").except(again.select("k")).isEmpty, "deterministic")
+  }
+
   test("redactPii replaces emails and phones and counts them") {
     import spark.implicits._
     val df = Seq((1L, "write to jane.doe@corp.io or bob@x.co, call +1-555-0199 now"))
