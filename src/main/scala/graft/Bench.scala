@@ -50,15 +50,23 @@ object Bench {
       // query's timings deep into the 45-query suite.
       spark.catalog.clearCache()
       System.gc()
-      name -> sec
+      (name, sec, times)
     }
     // a failed query must not masquerade as a fast one in the JSON record
-    val qs = results.filterNot(r => failed.contains(r._1))
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val ok = results.filterNot(r => failed.contains(r._1))
+    val qs = ok.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    // Every individual run time goes into the artifact: a median that fell
+    // inside one contended host window (e.g. three back-to-back slow runs)
+    // is then self-diagnosing from the JSON alone, no stderr archaeology.
+    val runsJson = ok.map { case (k, _, ts) =>
+        "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // total sums the SAME filtered set as `queries` — a failed query's
+    // partial/zero time must not silently skew the headline number
+    val total = ok.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

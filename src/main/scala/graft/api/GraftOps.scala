@@ -126,23 +126,41 @@ object GraftOps {
     * the minimum id of each connected component (deterministic, so
     * "keep the survivor, drop other members" is reproducible).
     *
-    * Algorithm: iterative min-label propagation. Every id starts labeled
-    * with itself; each round, every vertex takes the min of its own label
-    * and its neighbors' labels (one equi-join on the symmetric edge list +
-    * one map-side-combined min agg — no driver state beyond the loop
-    * counter). Labels are monotone non-increasing and reach the component
-    * minimum in ≤ diameter rounds; near-dup components are shallow
-    * (star/clique-ish), so convergence is typically 2–4 rounds. Each round
-    * is persisted+materialized so round N reads round N−1 from cache
-    * rather than re-executing the whole chain (bounded lineage). The
-    * convergence check is exact (labels only decrease ⇒ fixpoint iff no
-    * label decreased); a non-converged result would be silently wrong, so
-    * exceeding `maxIter` (pathological chain-shaped components) throws
-    * rather than returns.
+    * Algorithm: min-label propagation with pointer jumping (the
+    * Shiloach–Vishkin shortcut, same O(log n) round bound as the
+    * large-star/small-star MapReduce formulation). Every id starts labeled
+    * with itself; each round, every vertex takes the min of (its own
+    * label, its neighbors' labels, its label's label). The neighbor step
+    * is one equi-join on the symmetric edge list + one map-side-combined
+    * min agg; the jump step is one self-equi-join of the (narrow) label
+    * table — lbl(lbl(v)) halves the distance to the component minimum each
+    * round, so chain-shaped components (web-scale near-dup graphs have
+    * them) converge in O(log diameter) rounds instead of O(diameter):
+    * a 500-vertex path resolves in ~10 rounds (spec-asserted). Shallow
+    * star/clique-ish components still finish in 2–3 rounds. No driver
+    * state beyond the loop counter. Each round is eagerly
+    * LOCAL-CHECKPOINTED, not persisted: a persist caches the data but
+    * leaves the logical plan referencing every prior round (with the jump
+    * self-join the tree grows ~4^rounds — analysis itself OOMs near round
+    * 10), while the checkpoint truncates lineage to a leaf, keeping
+    * per-round planning O(1). The convergence check is exact (labels only
+    * decrease ⇒ fixpoint iff no label decreased); a non-converged result
+    * would be silently wrong, so exceeding `maxIter` throws rather than
+    * returns.
     *
-    * Scale shape: per round, work is O(|edges|) shuffled on vertex id —
-    * never materializes anything quadratic; `maxIter` bounds total cost at
-    * O(maxIter·|edges|). Input ids are cast to long. */
+    * Scale shape: per round, work is O(|edges| + |vertices|) shuffled on
+    * vertex id — never materializes anything quadratic; `maxIter` bounds
+    * total cost. Input ids are cast to long.
+    *
+    * Caching contract: nothing is registered in the catalog-level cache
+    * except the edge list, which is unpersisted before returning (on the
+    * throw path too) — library callers' own persisted frames are never
+    * touched, and `spark.sharedState.cacheManager` stays as the caller
+    * left it (spec-asserted). Round checkpoints live in executor
+    * block storage and are reclaimed by the ContextCleaner as the loop
+    * drops its references. (localCheckpoint trades fault recovery for
+    * speed — an executor loss mid-consumption fails the job; on a
+    * long-lived cluster pipeline, write the result out instead.) */
   def dedupClusters(pairs: DataFrame, idA: Column, idB: Column,
       maxIter: Int = 30): DataFrame = {
     val half = pairs.select(idA.cast("long").as("a"), idB.cast("long").as("b"))
@@ -150,38 +168,43 @@ object GraftOps {
     // candidate generators (e.g. union of q16+q18 pairs)
     val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
-    var cached = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
-    cached.count() // materialize so each round starts from cache
-    var labels = cached
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("lbl").as("__nlbl")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("__nlbl")).as("__nmin"))
-      val next = labels.select(col("id"), col("lbl").as("__old"))
-        .join(nbrMin, Seq("id")) // every vertex has ≥1 edge by construction
-        .select(col("id"), least(col("__old"), col("__nmin")).as("lbl"),
-          col("__old"))
-        .persist()
-      // ONE job per round: the changed-label count both materializes the
-      // persist (full scan) and decides convergence — labels are monotone
-      // non-increasing, so "no label decreased" is an exact fixpoint test.
-      converged = next.filter(col("lbl") < col("__old")).count() == 0
-      cached.unpersist()
-      cached = next
-      labels = next.select(col("id"), col("lbl"))
-      iter += 1
+    var labels: DataFrame = null
+    try {
+      labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint(eager = true)
+      while (!converged && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("b"), col("lbl").as("__nlbl")), "b")
+          .groupBy(col("a").as("id")).agg(min(col("__nlbl")).as("__nmin"))
+        // pointer jump: lbl(lbl(v)). Every label value is a vertex id
+        // (init = self; each round propagates existing labels), so the
+        // inner self-join on lbl = id always finds its row.
+        val jump = labels
+          .join(labels.select(col("id").as("lbl"), col("lbl").as("__jlbl")),
+            Seq("lbl"))
+          .select(col("id"), col("__jlbl"))
+        val next = labels.select(col("id"), col("lbl").as("__old"))
+          .join(nbrMin, Seq("id")) // every vertex has ≥1 edge by construction
+          .join(jump, Seq("id"))
+          .select(col("id"),
+            least(col("__old"), col("__nmin"), col("__jlbl")).as("lbl"),
+            col("__old"))
+          .localCheckpoint(eager = true) // materialize round + cut lineage
+        // labels are monotone non-increasing, so "no label decreased" is an
+        // exact fixpoint test; the count is a cheap checkpoint scan.
+        converged = next.filter(col("lbl") < col("__old")).count() == 0
+        labels = next.select(col("id"), col("lbl"))
+        iter += 1
+      }
+    } finally {
+      edges.unpersist()
     }
-    edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"dedupClusters did not converge in $maxIter rounds — component " +
-          "diameter exceeds the bound; raise maxIter")
-    // `cached` (the final round) stays persisted: the returned frame reads
-    // it directly; callers running many downstream actions may unpersist
-    // via sparkSession.catalog.clearCache() when done.
+          "diameter exceeds the pointer-jumping bound; raise maxIter")
     labels.select(col("lbl").as("survivor"), col("id").as("member"))
   }
 
@@ -244,10 +267,16 @@ object GraftOps {
         // (PlaneSigns), then each band's key is a cheap shift/mask slice
         val planes = (0 until bands * rowsPerBand)
           .map(j => ndPlane(j, dim).toIndexedSeq)
-        val checkedVec = when(size(col("__e0")) === dim, col("__e0"))
+        // coalesce both the test and the message: a NULL vector makes
+        // size(...) null, which would otherwise null the === (falling to
+        // raise_error) AND null the concat'd message — the job would die
+        // with a blank error. This way null vectors fail with a readable
+        // diagnostic like any other wrong-shape input.
+        val vecSize = coalesce(size(col("__e0")), lit(-1))
+        val checkedVec = when(vecSize === dim, col("__e0"))
           .otherwise(raise_error(concat(
             lit(s"embeddingNearDup: LSH path expects $dim-component vectors, got "),
-            size(col("__e0")).cast("string"),
+            when(vecSize === -1, lit("null")).otherwise(vecSize.cast("string")),
             lit(" — pass the actual dim or fix the input"))))
         val sig = df.select(id.as("__id"), vec.as("__e0"))
           .select(col("__id"), checkedVec.as("__e"))
@@ -304,7 +333,13 @@ object GraftOps {
     * common few-probes case, but each probe row is replicated `nprobe`
     * times carrying its full embedding, so a LARGE probe set would exceed
     * the broadcast limit: pass false there and AQE picks the join strategy
-    * from the runtime size instead. */
+    * from the runtime size instead.
+    *
+    * Note: cell assignment ranks centroids by raw dot product (see
+    * NearestCells), which assumes ~unit-norm embeddings — for strongly
+    * unnormalized vectors it biases assignment toward long-norm centroids.
+    * Normalize embeddings upstream (or accept the bias; the final `sim` is
+    * always true cosine, only the cell routing is dot-scored). */
   def ivfTopK(corpus: DataFrame, id: Column, vec: Column, label: Column,
       isProbe: Column, k: Int, nprobe: Int = 1,
       broadcastProbes: Boolean = true): DataFrame = {
@@ -477,15 +512,26 @@ object GraftOps {
     *    digit country code, optional 3-digit area code (parenthesized or
     *    separator-delimited), then 3+4 digits; separators `-`, `.`, space.
     *    Covers `+1-555-0042`, `(555) 123-4567`, `555.123.4567`, `123-4567`.
+    *    The phone must sit at a token boundary: RE2 has no lookaround, so
+    *    the boundary is a CONSUMED char on each side (group 1 before:
+    *    start-of-string or anything but a digit/`.`/`-`; group 5 after:
+    *    end-of-string or a non-digit), reinserted by the replacement.
+    *    This stops matches inside longer digit/separator runs — version
+    *    strings `10.123.45678`, IDs `987-654-32101` pass through intact.
+    *    Consumed boundaries mean two phones separated by a SINGLE
+    *    character redact only the first (documented contract edge).
     * Both patterns avoid lookaround/backrefs so Java regex and RE2 agree
-    * (leftmost-first, greedy — identical spans on both engines). */
+    * (leftmost-first, greedy — identical spans on both engines); the
+    * replacement templates differ only in syntax (`$1` vs `\1`). */
   val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  val PhoneRe = "(\\+[0-9]{1,2}[-. ])?(\\([0-9]{3}\\) ?|[0-9]{3}[-. ])?[0-9]{3}[-. ][0-9]{4}"
+  /** Group 2 = the phone itself; groups 1/5 = the consumed boundary chars. */
+  val PhoneRe = "(^|[^0-9.-])((\\+[0-9]{1,2}[-. ])?(\\([0-9]{3}\\) ?|[0-9]{3}[-. ])?[0-9]{3}[-. ][0-9]{4})([^0-9]|$)"
   def redactPii(df: DataFrame, text: Column): DataFrame =
     df.withColumn("n_emails", size(regexp_extract_all(text, lit(EmailRe), lit(0))))
-      .withColumn("n_phones", size(regexp_extract_all(text, lit(PhoneRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(text, lit(PhoneRe), lit(2))))
       .withColumn("redacted",
-        regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+        regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe,
+          "$1<PHONE>$5"))
 
   /** Trigram repetition score: 1 − distinct/total trigrams — the
     * boilerplate/repetition quality signal. Distinct trigrams reuse the

@@ -100,9 +100,9 @@ object CurationOps {
       r AS (
         SELECT doc_id,
           CAST(len(regexp_extract_all(aug, '${GraftOps.EmailRe}')) AS INTEGER) AS n_emails,
-          CAST(len(regexp_extract_all(aug, '${GraftOps.PhoneRe}')) AS INTEGER) AS n_phones,
+          CAST(len(regexp_extract_all(aug, '${GraftOps.PhoneRe}', 2)) AS INTEGER) AS n_phones,
           regexp_replace(regexp_replace(aug, '${GraftOps.EmailRe}', '<EMAIL>', 'g'),
-            '${GraftOps.PhoneRe}', '<PHONE>', 'g') AS redacted
+            '${GraftOps.PhoneRe}', '\\1<PHONE>\\5', 'g') AS redacted
         FROM a)
       SELECT doc_id, n_emails, n_phones,
         CAST(length(redacted) AS INTEGER) AS redacted_len,

@@ -307,10 +307,79 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
 
   test("dedupClusters throws rather than returning a non-converged result") {
     import spark.implicits._
-    // a path graph 0-1-2-...-9 needs ~diameter rounds; maxIter=1 cannot finish
+    // a path graph 0-1-2-...-9 needs ≥ 2 rounds even with pointer jumping;
+    // maxIter=1 cannot finish
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalStateException](
       GraftOps.dedupClusters(chain, col("a"), col("b"), maxIter = 1))
+  }
+
+  test("dedupClusters resolves a 500-long path graph within default maxIter") {
+    import spark.implicits._
+    // Chain-shaped components are the adversarial case for plain min-label
+    // propagation (O(diameter) rounds — 500 > maxIter=30 would throw).
+    // Pointer jumping halves the distance-to-minimum per round, so this
+    // must converge in ~log2(500) ≈ 9-10 rounds.
+    val chain = (0L until 499L).map(i => (i + 1, i)).toDF("a", "b")
+    val out = GraftOps.dedupClusters(chain, col("a"), col("b"))
+      .collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getLong(0) == 0L), "every member labels to the min id 0")
+    assert(out.map(_.getLong(1)).toSet == (0L until 500L).toSet)
+  }
+
+  test("dedupClusters/applyDedup leave no catalog-level cache behind") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val corpus = Seq((1L, "a"), (2L, "a'"), (3L, "b"), (9L, "c")).toDF("id", "body")
+    val pairs = Seq((1L, 2L)).toDF("pa", "pb")
+    val kept = GraftOps.applyDedup(corpus, col("id"), pairs, col("pa"), col("pb"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 9L))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "library contract: no persisted frame outlives the call")
+    // the throw path must also drop its caches
+    val deep = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException](
+      GraftOps.dedupClusters(deep, col("a"), col("b"), maxIter = 1))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "non-convergence throw must unpersist its rounds")
+  }
+
+  test("embeddingNearDup LSH path reports null vectors readably") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("id", "v")
+    val ex = intercept[Throwable] {
+      // sizeHint forces the LSH path without an eager count
+      GraftOps.embeddingNearDup(df, col("id"), col("v"), threshold = 0.9,
+        dim = 2, sizeHint = Some(1000000L)).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("got null"),
+      s"null vec must produce a readable diagnostic, not a blank error:\n$msgs")
+  }
+
+  test("redactPii phone boundaries: no matches inside longer digit runs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "version 10.123.45678 shipped"),        // digit tail — not a phone
+      (2L, "ticket 987-654-32101 open"),           // digit tail — not a phone
+      (3L, "call 555.123.4567 now"),               // real phone, dot separators
+      (4L, "call (555) 123-4567 now"),             // real phone, parens area
+      (5L, "+1-555-0042"),                         // whole-string phone
+      (6L, "v10.123.4567 build"))                  // preceded by '.' run — not a phone
+      .toDF("id", "text")
+    val out = GraftOps.redactPii(df, col("text"))
+      .select("id", "n_phones", "redacted")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out(1L) == (0, "version 10.123.45678 shipped"))
+    assert(out(2L) == (0, "ticket 987-654-32101 open"))
+    assert(out(3L) == (1, "call <PHONE> now"))
+    assert(out(4L) == (1, "call <PHONE> now"))
+    assert(out(5L) == (1, "<PHONE>"))
+    assert(out(6L) == (0, "v10.123.4567 build"))
   }
 
   test("decodeFrames stub decoder matches the q26 expression-path frame relation") {
