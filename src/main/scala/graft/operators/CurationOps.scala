@@ -184,5 +184,80 @@ object CurationOps {
       WHERE smp_rank <= 10
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q35, q36, q37, q38, q42, q43)
+  // ---------------------------------------------------------------- q44
+  /** End-to-end curation COMPOSITION — the realistic pipeline chained as
+    * one optimizer pass: near-dup apply (q16 pairs → clusters → anti-join)
+    * → quality-score filter → deterministic stratified sample → token
+    * packing. Every stage is individually oracle-checked (q41, q23, q36,
+    * q42); this query proves they compose (window-over-anti-join,
+    * filter-through-sample plan interactions) against a single DuckDB CTE
+    * chain. The reference's R7 DAG is precisely operator composition
+    * (OpContainer.java:92-150) — this is its batch-curation analogue.
+    * Threshold 1.1 ≈ fixture median quality_score, so the filter
+    * genuinely bisects; all doubles are integer-derived (portable). */
+  val q44 = QueryDef("q44_curation_pipeline",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val deduped = GraftOps.applyDedup(d, col("doc_id"),
+        GraftOps.minhashNearDup(d, col("doc_id"), col("text"),
+          shingleWidth = 3, numHashes = 16, bands = 4, minMatches = 8),
+        col("id_a"), col("id_b"))
+      val filtered = GraftOps.textQuality(deduped, col("text"))
+        .filter(col("quality_score") >= 1.1)
+      val sampled = GraftOps.stratifiedSample(filtered, col("source"),
+        col("doc_id"), smpRates, defaultPpm = 500000)
+      GraftOps.packByTokenBudget(sampled, col("source"), col("doc_id"),
+          col("n_tokens"), budget = 1000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("quality_score"), col("tok_offset"), col("bin"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${Duck.minhashCtes},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM mh_pairs),
+      reach AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst),
+      assign AS (
+        SELECT LEAST(MIN(dst), src) AS survivor, src AS member
+        FROM reach GROUP BY src),
+      dedup AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE doc_id NOT IN (SELECT member FROM assign WHERE member <> survivor)),
+      dt AS (SELECT doc_id, source, ${Duck.toks} AS toks FROM dedup),
+      feat AS (
+        SELECT doc_id, source,
+          CAST(len(toks) AS INTEGER) AS n_tokens,
+          list_sum(list_transform(toks, tk -> length(tk))) AS sum_len,
+          len(list_filter(toks, tk -> tk IN ('the', 'a', 'of', 'and'))) AS n_stop,
+          len(list_distinct(toks)) AS n_distinct
+        FROM dt),
+      filt AS (
+        SELECT * FROM (
+          SELECT doc_id, source, n_tokens,
+            (CAST(sum_len AS DOUBLE) / n_tokens) * 0.2
+              + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5
+              - (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 AS quality_score
+          FROM feat)
+        WHERE quality_score >= 1.1),
+      samp AS (
+        SELECT * FROM filt
+        WHERE ${Duck.ph("'smp|' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+          CASE WHEN source IN ('src0','src1','src2','src3','src4')
+            THEN 200000 ELSE 500000 END),
+      o AS (
+        SELECT doc_id, source, n_tokens, quality_score,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_offset
+        FROM samp)
+      SELECT doc_id, source, n_tokens, quality_score, tok_offset,
+        tok_offset // 1000 AS bin
+      FROM o
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37, q38, q42, q43, q44)
 }
