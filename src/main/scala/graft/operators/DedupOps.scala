@@ -181,8 +181,9 @@ object DedupOps {
   /** Near-dup CLUSTER resolution — the stage every real dedup pipeline
     * needs after candidate pairs: q16's MinHash pairs → connected
     * components → one deterministic survivor (min doc_id) per cluster.
-    * Spark side is bounded min-label propagation (join+agg per round, no
-    * driver state — see [[graft.api.GraftOps.dedupClusters]]); the oracle
+    * Spark side is min-label propagation with pointer jumping (O(log
+    * diameter) rounds, join+agg per round, no driver state — see
+    * [[graft.api.GraftOps.dedupClusters]]); the oracle
     * resolves the same components with a recursive reachability CTE over
     * the identical pair SQL (Duck.minhashCtes, shared with q16). */
   val q40 = QueryDef("q40_dedup_clusters",
