@@ -171,9 +171,19 @@ object GraftOps {
     var converged = false
     var iter = 0
     var labels: DataFrame = null
+    // Each round both CHECKPOINTS (truncate lineage — the plan otherwise
+    // grows ~4^rounds and analysis OOMs) and DROPS the checkpoint's
+    // inherited statistics (size-only join estimation multiplies child
+    // sizes, so preserved stats compound ~4× in exponent per round — by
+    // round ~12 one stats pass is minutes of BigInteger math; see
+    // StatsBridge). Both costs are invisible at 2–4 rounds and fatal on
+    // deep graphs — exactly the case pointer jumping exists for.
+    def roundCheckpoint(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.StatsBridge.dropInheritedStats(
+        df.localCheckpoint(eager = true))
     try {
-      labels = edges.select(col("a").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint(eager = true)
+      labels = roundCheckpoint(edges.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id")))
       while (!converged && iter < maxIter) {
         val nbrMin = edges
           .join(labels.select(col("id").as("b"), col("lbl").as("__nlbl")), "b")
@@ -185,13 +195,13 @@ object GraftOps {
           .join(labels.select(col("id").as("lbl"), col("lbl").as("__jlbl")),
             Seq("lbl"))
           .select(col("id"), col("__jlbl"))
-        val next = labels.select(col("id"), col("lbl").as("__old"))
-          .join(nbrMin, Seq("id")) // every vertex has ≥1 edge by construction
-          .join(jump, Seq("id"))
-          .select(col("id"),
-            least(col("__old"), col("__nmin"), col("__jlbl")).as("lbl"),
-            col("__old"))
-          .localCheckpoint(eager = true) // materialize round + cut lineage
+        val next = roundCheckpoint(
+          labels.select(col("id"), col("lbl").as("__old"))
+            .join(nbrMin, Seq("id")) // every vertex has ≥1 edge by construction
+            .join(jump, Seq("id"))
+            .select(col("id"),
+              least(col("__old"), col("__nmin"), col("__jlbl")).as("lbl"),
+              col("__old")))
         // labels are monotone non-increasing, so "no label decreased" is an
         // exact fixpoint test; the count is a cheap checkpoint scan.
         converged = next.filter(col("lbl") < col("__old")).count() == 0

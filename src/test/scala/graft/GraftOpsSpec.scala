@@ -328,6 +328,40 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out.map(_.getLong(1)).toSet == (0L until 500L).toSet)
   }
 
+  test("dedupClusters matches a union-find reference on seeded random graphs") {
+    import spark.implicits._
+    // Property check of the pointer-jumping algorithm against a trivially
+    // correct driver-side union-find, across graph shapes that stress
+    // different convergence behavior: sparse random, dense random, and a
+    // mix of chains+cliques. Seeded — reproducible, no wall-clock/random
+    // in the assertion path.
+    val rnd = new scala.util.Random(42)
+    val shapes = Seq(
+      (0 until 300).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)),
+      (0 until 800).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)),
+      // two 40-chains + one 15-clique + random noise
+      (0L until 39L).map(i => (i, i + 1)) ++
+        (100L until 139L).map(i => (i, i + 1)) ++
+        (for (i <- 200 until 215; j <- (i + 1) until 215) yield (i.toLong, j.toLong)) ++
+        (0 until 50).map(_ => (rnd.nextInt(250).toLong, rnd.nextInt(250).toLong)))
+    for ((edges, si) <- shapes.zipWithIndex) {
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(v => v -> find(v)).toMap
+      val got = GraftOps.dedupClusters(edges.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+      assert(got == expect, s"shape $si: spark components != union-find reference")
+    }
+  }
+
   test("dedupClusters/applyDedup leave no catalog-level cache behind") {
     import spark.implicits._
     spark.catalog.clearCache()
