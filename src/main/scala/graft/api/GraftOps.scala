@@ -172,15 +172,24 @@ object GraftOps {
     var iter = 0
     var labels: DataFrame = null
     // Each round both CHECKPOINTS (truncate lineage — the plan otherwise
-    // grows ~4^rounds and analysis OOMs) and DROPS the checkpoint's
+    // grows ~4^rounds and analysis OOMs) and REPLACES the checkpoint's
     // inherited statistics (size-only join estimation multiplies child
     // sizes, so preserved stats compound ~4× in exponent per round — by
     // round ~12 one stats pass is minutes of BigInteger math; see
-    // StatsBridge). Both costs are invisible at 2–4 rounds and fatal on
-    // deep graphs — exactly the case pointer jumping exists for.
-    def roundCheckpoint(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.StatsBridge.dropInheritedStats(
-        df.localCheckpoint(eager = true))
+    // StatsBridge) with the honest estimate rows × width: the vertex
+    // count is invariant across rounds (inner joins on id preserve every
+    // vertex), so one count on the first checkpoint prices all of them —
+    // small label tables keep broadcasting, huge ones keep shuffling.
+    // Both failure modes are invisible at 2–4 rounds and bite on deep
+    // graphs — exactly the case pointer jumping exists for.
+    var nVertices = -1L
+    def roundCheckpoint(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(eager = true)
+      if (nVertices < 0) nVertices = ck.count()
+      org.apache.spark.sql.graftbridge.StatsBridge.withStats(ck,
+        BigInt(nVertices) * (16L + 8L * ck.schema.length),
+        Some(BigInt(nVertices)))
+    }
     try {
       labels = roundCheckpoint(edges.select(col("a").as("id")).distinct()
         .withColumn("lbl", col("id")))
