@@ -163,7 +163,12 @@ object GraftOps {
     * long-lived cluster pipeline, write the result out instead.) */
   def dedupClusters(pairs: DataFrame, idA: Column, idB: Column,
       maxIter: Int = 30): DataFrame = {
+    // Null ids are dropped EXPLICITLY: left in, they would fall out of the
+    // round joins silently (null never equi-matches), yielding a result
+    // that quietly ignored some input pairs — an explicit filter makes the
+    // contract visible (pairs with a null endpoint carry no information).
     val half = pairs.select(idA.cast("long").as("a"), idB.cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
     // symmetric closure; distinct collapses multi-edges from overlapping
     // candidate generators (e.g. union of q16+q18 pairs)
     val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
