@@ -571,6 +571,34 @@ object GraftOps {
         .otherwise(lit(0.0)))
       .drop("__toks")
 
+  /** Benchmark decontamination — the training-data hygiene step: annotate
+    * each corpus document with the count of its distinct `width`-gram
+    * shingles that also occur anywhere in `eval` (a benchmark/test set).
+    * Docs with `n_contam > 0` share verbatim n-grams with the eval set
+    * and are candidate leaks; callers filter at their chosen threshold.
+    *
+    * Scale shape: both sides reduce to distinct int64 shingle hashes
+    * (codegen'd one-pass, no shingle strings materialize), the eval set
+    * collapses to ONE distinct hash set (benchmarks are small relative to
+    * a training corpus → AQE broadcasts it), and the overlap count is a
+    * map-side-combined aggregate over the corpus posting list — no string
+    * shuffles, nothing quadratic. Standard practice uses widths around
+    * 8–13; the default is 13 (the common n-gram decontamination
+    * convention in LLM training pipelines). */
+  def decontaminate(corpus: DataFrame, id: Column, text: Column,
+      eval: DataFrame, evalText: Column, width: Int = 13): DataFrame = {
+    val evalSh = eval.select(explode(graft.functions.ShingleHashes.asColumn(
+        Text.tokens(evalText), width)).as("__sh")).distinct()
+    val docSh = corpus.select(id.as("__cid"), explode(
+        graft.functions.ShingleHashes.asColumn(Text.tokens(text), width))
+        .as("__sh"))
+    val overlap = docSh.join(evalSh, Seq("__sh"))
+      .groupBy(col("__cid")).agg(count(lit(1)).as("__n"))
+    corpus.join(overlap, id === col("__cid"), "left")
+      .withColumn("n_contam", coalesce(col("__n"), lit(0L)))
+      .drop("__cid", "__n")
+  }
+
   // ------------------------------------------------------- event time
 
   /** As-of join: for each `right` row, the latest `left` row with the same

@@ -259,5 +259,41 @@ object CurationOps {
       FROM o
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q35, q36, q37, q38, q42, q43, q44)
+  // ---------------------------------------------------------------- q45
+  /** Benchmark decontamination: docs sharing doc_id % 10 == 0 play the
+    * eval/benchmark set; every other doc is annotated with how many of
+    * its distinct 3-gram shingles appear anywhere in the eval set
+    * (width 3 because the fixture docs are short — the operator default
+    * is the conventional 13). The count rides the same portable 60-bit
+    * shingle hashes the dedup family joins on, so the oracle reuses
+    * Duck.shingles3/ph verbatim. */
+  val q45 = QueryDef("q45_decontaminate",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val evalSet = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      GraftOps.decontaminate(corpus, col("doc_id"), col("text"),
+          evalSet, col("text"), width = 3)
+        .select(col("doc_id"), col("n_contam"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      dh AS (
+        SELECT doc_id, ${Duck.ph("sh_raw")} AS sh
+        FROM (SELECT doc_id, unnest(list_distinct(${Duck.shingles3})) AS sh_raw
+              FROM t WHERE doc_id % 10 <> 0)),
+      es AS (
+        SELECT DISTINCT ${Duck.ph("sh_raw")} AS sh
+        FROM (SELECT unnest(list_distinct(${Duck.shingles3})) AS sh_raw
+              FROM t WHERE doc_id % 10 = 0)),
+      ov AS (
+        SELECT doc_id, COUNT(*) AS n_contam
+        FROM dh JOIN es USING (sh) GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(ov.n_contam, 0) AS BIGINT) AS n_contam
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+      LEFT JOIN ov USING (doc_id)
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37, q38, q42, q43, q44, q45)
 }

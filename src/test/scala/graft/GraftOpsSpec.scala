@@ -395,6 +395,26 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       s"null vec must produce a readable diagnostic, not a blank error:\n$msgs")
   }
 
+  test("decontaminate counts distinct shared n-grams against the eval set") {
+    import spark.implicits._
+    val eval = Seq((900L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("eid", "etext")
+    val corpus = Seq(
+      (1L, "a sentence with the quick brown fox inside it"), // shares 2 trigrams
+      (2L, "quick brown fox"),                               // shares exactly 1
+      (3L, "completely unrelated words about cooking pasta"),
+      (4L, "the quick brown fox appears twice here the quick brown fox"))
+      .toDF("id", "body")
+    val out = GraftOps.decontaminate(corpus, col("id"), col("body"),
+        eval, col("etext"), width = 3)
+      .select("id", "n_contam")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: trigrams "the quick brown", "quick brown fox" → 2
+    // doc 2: only "quick brown fox" → 1; doc 3: none → 0
+    // doc 4: repeats don't double-count (distinct shingles) → 2
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 2L), s"got $out")
+  }
+
   test("redactPii phone boundaries: no matches inside longer digit runs") {
     import spark.implicits._
     val df = Seq(
