@@ -38,7 +38,33 @@ object GraftFunctions {
         import org.apache.spark.sql.types.LongType
         Cast(Conv(Substring(Md5(args.head), Literal(1), Literal(15)),
           Literal(16), Literal(10)), LongType)
+      }),
+    ("shingle_hashes",
+      "shingle_hashes(array<string>, width) - distinct portable n-gram shingle hashes",
+      { args =>
+        require(args.length == 2, "shingle_hashes takes 2 arguments")
+        ShingleHashes(args(0), litInt(args(1), "shingle_hashes width"))
+      }),
+    ("simhash60", "simhash60(array<string>) - 60-bit majority-vote fingerprint",
+      { args =>
+        require(args.length == 1, "simhash60 takes 1 argument")
+        SimHash60(args.head)
+      }),
+    ("rolling_fingerprint",
+      "rolling_fingerprint(array<string>) - order-sensitive rolling polynomial hash",
+      { args =>
+        require(args.length == 1, "rolling_fingerprint takes 1 argument")
+        RollingFingerprint(args.head)
       }))
+
+  /** Width-style parameters must be integer literals — they are baked
+    * into the generated code, not evaluated per row. */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(i: Int,
+      org.apache.spark.sql.types.IntegerType) => i
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
 
   // 2-arg ExpressionInfo(className, name): the 3-arg overload's middle
   // parameter is the DATABASE, not the usage string

@@ -15,6 +15,20 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
         |  portable_hash('abc') AS ph""".stripMargin).collect()(0)
     assert(math.abs(r.getAs[Double]("cs") - 0.6) < 1e-6) // float32 literals
     assert(r.getAs[Long]("ph") == graft.functions.Portable.phashJvm("abc"))
+    val t = spark.sql(
+      """SELECT
+        |  shingle_hashes(array('a','b','c','a','b','c'), 3) AS sh,
+        |  simhash60(array('x','y')) AS sim,
+        |  rolling_fingerprint(array('a','b')) AS fp""".stripMargin).collect()(0)
+    val sh = t.getSeq[Long](t.fieldIndex("sh"))
+    assert(sh.nonEmpty)
+    assert(sh.distinct.size == sh.size, "shingle_hashes returns distinct hashes")
+    assert(t.getAs[Long]("sim") != 0L)
+    assert(t.getAs[Long]("fp") != 0L)
+    // width must be a literal — a column reference fails loudly at analysis
+    val err = intercept[Exception](spark.sql(
+      "SELECT shingle_hashes(array('a'), id) FROM range(1)").collect())
+    assert(err.getMessage != null)
   }
 
   test("cosine_sim: known value, symmetry, bounds, self-similarity") {
