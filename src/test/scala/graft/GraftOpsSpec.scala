@@ -395,6 +395,88 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       s"null vec must produce a readable diagnostic, not a blank error:\n$msgs")
   }
 
+  test("asofJoin matches a driver-side reference on seeded random data") {
+    import spark.implicits._
+    // Random quotes/trades over few keys with COLLIDING timestamps — the
+    // reference picks, per trade, the latest quote at-or-before its ts
+    // (greatest seq wins ties), which is exactly the documented contract.
+    val rnd = new scala.util.Random(7)
+    val quotes = (1 to 120).map { i =>
+      (rnd.nextInt(4).toLong, new Timestamp(1700000000000L + rnd.nextInt(50) * 1000L),
+        rnd.nextInt(1000).toDouble, i.toLong)
+    }
+    val trades = (1 to 150).map { i =>
+      (rnd.nextInt(5).toLong, new Timestamp(1700000000000L + rnd.nextInt(60) * 1000L), i)
+    }
+    val expect = trades.map { case (k, t, i) =>
+      val m = quotes.filter(q => q._1 == k && !q._2.after(t))
+        .sortBy(q => (q._2.getTime, q._4)).lastOption
+      (k, t.getTime, i) -> m.map(_._3)
+    }.toMap
+    val out = GraftOps.asofJoin(
+        quotes.toDF("sym", "t", "px", "seq"), trades.toDF("sym", "t", "qty"),
+        "sym", "t", tiebreak = Some("seq"))
+      .collect().map { r =>
+        (r.getAs[Long]("sym"), r.getAs[Timestamp]("t").getTime, r.getAs[Int]("qty")) ->
+          Option(r.getAs[Any]("asof_px")).map(_.asInstanceOf[Double])
+      }.toMap
+    assert(out.size == trades.size, "every trade surfaces exactly once")
+    assert(out == expect, "asofJoin diverges from the reference")
+  }
+
+  test("sessionize matches a driver-side gap-split reference on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val events = (1 to 200).map { i =>
+      (rnd.nextInt(5).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(2000) * 1000L), i.toLong)
+    }
+    val gapUs = 120L * 1000000 // 120 s
+    // reference: sort per key by (ts, seq), split when gap exceeded
+    val expect = events.groupBy(_._1).flatMap { case (k, es) =>
+      val sorted = es.sortBy(e => (e._2.getTime, e._3))
+      var sess = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || (e._2.getTime - prev) * 1000 > gapUs) sess += 1
+        prev = e._2.getTime
+        (k, e._3) -> sess
+      }
+    }.toMap
+    val out = GraftOps.sessionize(events.toDF("u", "t", "seq"),
+        col("u"), col("t"), gapUs, col("seq"))
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("seq")) ->
+        r.getAs[Long]("sess_id")).toMap
+    assert(out == expect, "sessionize diverges from the gap-split reference")
+  }
+
+  test("packByTokenBudget invariants hold on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"src${rnd.nextInt(4)}", 1 + rnd.nextInt(400)))
+    val budget = 1000L
+    val rows = GraftOps.packByTokenBudget(docs.toDF("id", "src", "n"),
+        col("src"), col("id"), col("n"), budget)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("id"),
+        r.getAs[Int]("n"), r.getAs[Long]("tok_offset"), r.getAs[Long]("bin")))
+    assert(rows.length == docs.length)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // offsets are the exact running sum in id order, bins are offset/budget
+      var acc = 0L
+      sorted.foreach { case (_, id, n, off, bin) =>
+        assert(off == acc, s"$src/$id offset $off != running sum $acc")
+        assert(bin == off / budget, s"$src/$id bin mismatch")
+        acc += n
+      }
+      // bins are contiguous from 0
+      val bins = sorted.map(_._5).distinct.sorted.toVector
+      assert(bins == (0L to bins.last).toVector,
+        s"$src bins not contiguous: $bins")
+    }
+  }
+
   test("decontaminate counts distinct shared n-grams against the eval set") {
     import spark.implicits._
     val eval = Seq((900L, "the quick brown fox jumps over the lazy dog"))
