@@ -477,6 +477,36 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("knn matches a driver-side brute-force reference on seeded random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def vec() = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val corpus = (1L to 80L).map(i => (i, vec()))
+    val probes = corpus.filter(_._1 <= 5).map { case (i, v) => (i, v) }
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      // sequential left-to-right double folds — CosineSim's exact recipe
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p.toDouble * q.toDouble }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val expect = probes.flatMap { case (pid, pv) =>
+      corpus.filter(_._1 != pid)
+        .map { case (cid, cv) => (cid, cosine(pv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) } // sim desc, id asc — knn's order
+        .take(3).zipWithIndex
+        .map { case ((cid, s), rk) => (pid, cid) -> ((rk + 1), s) }
+    }.toMap
+    val out = GraftOps.knn(corpus.toDF("cid", "cv"), probes.toDF("pid", "pv"),
+        col("cid"), col("cv"), col("pid"), col("pv"), k = 3)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("id")) ->
+        ((r.getAs[Int]("rank"), r.getAs[Double]("sim")))).toMap
+    assert(out.size == expect.size)
+    expect.foreach { case (k2, (rk, s)) =>
+      val (ork, os) = out(k2)
+      assert(ork == rk && os == s, s"$k2: got ($ork,$os) want ($rk,$s)")
+    }
+  }
+
   test("decontaminate counts distinct shared n-grams against the eval set") {
     import spark.implicits._
     val eval = Seq((900L, "the quick brown fox jumps over the lazy dog"))
