@@ -204,18 +204,27 @@ object GraftOps {
           .groupBy(col("a").as("id")).agg(min(col("__nlbl")).as("__nmin"))
         // pointer jump: lbl(lbl(v)). Every label value is a vertex id
         // (init = self; each round propagates existing labels), so the
-        // inner self-join on lbl = id always finds its row.
-        val jump = labels
-          .join(labels.select(col("id").as("lbl"), col("lbl").as("__jlbl")),
-            Seq("lbl"))
-          .select(col("id"), col("__jlbl"))
-        val next = roundCheckpoint(
-          labels.select(col("id"), col("lbl").as("__old"))
-            .join(nbrMin, Seq("id")) // every vertex has ≥1 edge by construction
-            .join(jump, Seq("id"))
-            .select(col("id"),
-              least(col("__old"), col("__nmin"), col("__jlbl")).as("lbl"),
-              col("__old")))
+        // inner self-join on lbl = id always finds its row. Round 1 skips
+        // it — labels are still the identity map, so lbl(lbl(v)) = v and
+        // the self-join would be pure overhead (shallow graphs finish in
+        // 2-3 rounds; one join saved matters there).
+        val withNbr = labels.select(col("id"), col("lbl").as("__old"))
+          .join(nbrMin, Seq("id")) // every vertex has ≥1 edge by construction
+        val stepped =
+          if (iter == 0)
+            withNbr.select(col("id"),
+              least(col("__old"), col("__nmin")).as("lbl"), col("__old"))
+          else {
+            val jump = labels
+              .join(labels.select(col("id").as("lbl"), col("lbl").as("__jlbl")),
+                Seq("lbl"))
+              .select(col("id"), col("__jlbl"))
+            withNbr.join(jump, Seq("id"))
+              .select(col("id"),
+                least(col("__old"), col("__nmin"), col("__jlbl")).as("lbl"),
+                col("__old"))
+          }
+        val next = roundCheckpoint(stepped)
         // labels are monotone non-increasing, so "no label decreased" is an
         // exact fixpoint test; the count is a cheap checkpoint scan.
         converged = next.filter(col("lbl") < col("__old")).count() == 0
