@@ -533,6 +533,53 @@ object GraftOps {
       .filter(col("smp_rank") <= n)
   }
 
+  /** Weighted corpus mixing — the epoch-weighting step of an LLM training
+    * pipeline: each stratum gets a fractional repeat factor (in millionths
+    * of a copy, e.g. 2_250_000 ppm = 2.25 epochs). A row emits
+    * `floor(w)` copies plus one more iff the portable hash of its `key`
+    * lands under the fractional remainder — so upsampling (w > 1),
+    * passthrough (w = 1), and downsampling (w < 1) are one operator, all
+    * integer-exact and reproducible across runs/engines. Adds `copy_idx`
+    * (1..n per surviving row). Pure narrow map + explode — zero shuffle;
+    * at 100 TB this runs at scan speed and the output lands directly in
+    * the writer's partitioning. */
+  def mixCorpus(df: DataFrame, strata: Column, key: Column,
+      weightsPpm: Map[String, Long], defaultPpm: Long): DataFrame = {
+    require(defaultPpm >= 0, s"defaultPpm must be >= 0; got $defaultPpm")
+    require(weightsPpm.values.forall(_ >= 0), "weights must be >= 0")
+    val wppm = weightsPpm.foldLeft(lit(defaultPpm)) { case (acc, (s, w)) =>
+      when(strata === s, lit(w)).otherwise(acc)
+    }
+    val bucket = pmod(Portable.phash(concat(lit("mix|"), key.cast("string"))),
+      lit(1000000L))
+    df.withColumn("__w", wppm)
+      .withColumn("__n", // exact integer div/mod — no double rounding
+        expr("__w div 1000000") +
+          when(bucket < pmod(col("__w"), lit(1000000L)), 1L).otherwise(0L))
+      .filter(col("__n") >= 1)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("__n"))))
+      .drop("__w", "__n")
+  }
+
+  /** Deterministic shard-shuffle — the write-layout step of a training
+    * pipeline: assigns each row a shard (0..nShards-1) and an in-shard
+    * order key, both from independent seeded portable hashes of `key`.
+    * Writing with `partitionBy("shard")` + `sortWithinPartitions
+    * ("shuffle_key")` yields a globally shuffled, reproducible corpus
+    * layout without any global sort: the op itself is a pure narrow
+    * projection (zero shuffle), and the write is range-free — no
+    * single-partition bottleneck at 100 TB. A different `seed` reshuffles
+    * the corpus without touching the data. */
+  def shardCorpus(df: DataFrame, key: Column, seed: Int,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive; got $nShards")
+    df.withColumn("shard",
+        pmod(Portable.phash(concat(lit(s"shard|$seed|"), key.cast("string"))),
+          lit(nShards.toLong)).cast("int"))
+      .withColumn("shuffle_key",
+        Portable.phash(concat(lit(s"ord|$seed|"), key.cast("string"))))
+  }
+
   /** PII redaction: replaces email/phone shapes with placeholder tags and
     * counts the hits. Patterns restricted to the RE2-compatible subset
     * both Spark (Java regex) and the oracle (RE2) evaluate identically.

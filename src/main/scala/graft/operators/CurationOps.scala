@@ -295,5 +295,54 @@ object CurationOps {
       LEFT JOIN ov USING (doc_id)
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q35, q36, q37, q38, q42, q43, q44, q45)
+  // ---------------------------------------------------------------- q46
+  /** Weighted epoch mixing: en down-weighted to 0.5 epochs, zh up-weighted
+    * to 2.25, everything else 1.0 — the three regimes (down/pass/up) of
+    * [[GraftOps.mixCorpus]] in one oracle-checked query. Integer-ppm
+    * arithmetic end-to-end; copy fan-out decided by the portable hash of
+    * doc_id, so both engines emit the identical multiset of copies. */
+  private val mixWeights: Map[String, Long] =
+    Map("en" -> 500000L, "zh" -> 2250000L)
+  val q46 = QueryDef("q46_mix_epochs",
+    (s, dir) =>
+      GraftOps.mixCorpus(docs(s, dir), col("lang"), col("doc_id"),
+          mixWeights, defaultPpm = 1000000L)
+        .select(col("doc_id"), col("lang"), col("copy_idx"))
+        .orderBy("doc_id", "copy_idx"),
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, lang,
+          CAST(CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 2250000
+               ELSE 1000000 END AS BIGINT) AS wppm,
+          ${Duck.ph("'mix|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+        FROM documents),
+      n AS (
+        SELECT doc_id, lang,
+          wppm // 1000000
+            + CASE WHEN bucket < wppm % 1000000 THEN 1 ELSE 0 END AS n
+        FROM w)
+      SELECT doc_id, lang, copy_idx FROM (
+        SELECT doc_id, lang,
+          unnest(generate_series(1, n)) AS copy_idx
+        FROM n WHERE n >= 1)
+      ORDER BY doc_id, copy_idx"""))
+
+  // ---------------------------------------------------------------- q47
+  /** Deterministic shard-shuffle layout: 8 shards, seed 7. The checked
+    * row is (shard, shuffle_key) per doc — i.e. the complete shuffled
+    * write layout, reproducible on any engine. */
+  val q47 = QueryDef("q47_shard_shuffle",
+    (s, dir) =>
+      GraftOps.shardCorpus(docs(s, dir), col("doc_id"), seed = 7, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("shuffle_key"))
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id,
+        CAST(${Duck.ph("'shard|7|' || CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER) AS shard,
+        ${Duck.ph("'ord|7|' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47)
 }

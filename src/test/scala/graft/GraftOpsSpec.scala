@@ -210,6 +210,50 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(once.select("k").except(again.select("k")).isEmpty, "deterministic")
   }
 
+  test("mixCorpus emits floor(w) copies plus a hash-decided extra, all regimes") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (i.toLong,
+      i % 3 match { case 0 => "down"; case 1 => "pass"; case _ => "up" }))
+      .toDF("k", "grp")
+    val weights = Map("down" -> 500000L, "up" -> 2250000L) // 0.5x / 2.25x
+    val out = GraftOps.mixCorpus(df, col("grp"), col("k"), weights,
+      defaultPpm = 1000000L)
+    val n = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("pass") == 1000L, s"w=1.0 is a passthrough: $n")
+    assert(n("down") > 350 && n("down") < 650, s"w=0.5 halves: $n")
+    assert(n("up") > 2050 && n("up") < 2450, s"w=2.25 emits ~2250: $n")
+    // per-key copy counts: contiguous 1..n, and every key's count is
+    // floor(w) or floor(w)+1
+    val perKey = out.filter(col("grp") === "up").groupBy("k")
+      .agg(count(lit(1)).as("c"), max("copy_idx").as("m")).collect()
+    assert(perKey.forall(r => r.getAs[Long]("c") == r.getAs[Long]("m")),
+      "copy_idx is 1..n")
+    assert(perKey.forall(r => { val c = r.getAs[Long]("c"); c == 2 || c == 3 }),
+      "up-weighted keys emit 2 or 3 copies")
+    val again = GraftOps.mixCorpus(df, col("grp"), col("k"), weights,
+      defaultPpm = 1000000L)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty,
+      "deterministic across runs")
+  }
+
+  test("shardCorpus spreads keys evenly and reshuffles under a new seed") {
+    import spark.implicits._
+    val df = (1 to 4000).map(_.toLong).toDF("k")
+    val out = GraftOps.shardCorpus(df, col("k"), seed = 7, nShards = 8)
+    val counts = out.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 to 7).toSet, s"all shards populated: $counts")
+    assert(counts.values.forall(c => c > 350 && c < 650),
+      s"~500 per shard: $counts")
+    val again = GraftOps.shardCorpus(df, col("k"), seed = 7, nShards = 8)
+    assert(out.except(again).isEmpty, "same seed → identical layout")
+    val reseeded = GraftOps.shardCorpus(df, col("k"), seed = 8, nShards = 8)
+    val moved = out.select("k", "shard")
+      .except(reseeded.select("k", "shard")).count()
+    assert(moved > 3000, s"new seed reassigns most keys (moved=$moved)")
+  }
+
   test("redactPii replaces emails and phones and counts them") {
     import spark.implicits._
     val df = Seq((1L, "write to jane.doe@corp.io or bob@x.co, call +1-555-0199 now"))

@@ -94,6 +94,35 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     assert(ks.head == 0 && ks.last == 3000, s"rate-0 drops all, rate-1 keeps all: $ks")
   }
 
+  test("mixCorpus copy counts match a driver-side md5 reference exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val keys = (1 to 500).map(_.toLong)
+    val df = keys.map(k => (k, if (k % 2 == 0) "a" else "b")).toDF("k", "grp")
+    val w = Map("a" -> 1750000L) // 1.75 epochs; b defaults to 0.4
+    val out = graft.api.GraftOps.mixCorpus(df, col("grp"), col("k"), w,
+        defaultPpm = 400000L)
+      .groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = keys.map { k =>
+      val wppm = if (k % 2 == 0) 1750000L else 400000L
+      val bucket = graft.functions.Portable.phashJvm(s"mix|$k") % 1000000L
+      k -> (wppm / 1000000L + (if (bucket < wppm % 1000000L) 1L else 0L))
+    }.filter(_._2 >= 1).toMap
+    assert(out == expected, "Spark multiset == driver-side reference")
+  }
+
+  test("mixCorpus at weight 0 drops every row; shardCorpus covers 0..n-1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 200).map(_.toLong).toDF("k").withColumn("grp", lit("g"))
+    assert(graft.api.GraftOps.mixCorpus(df, col("grp"), col("k"), Map.empty,
+      defaultPpm = 0L).count() == 0, "w=0 is an empty mix")
+    val shards = graft.api.GraftOps.shardCorpus(df, col("k"), seed = 1, nShards = 4)
+      .select("shard").distinct().collect().map(_.getInt(0)).toSet
+    assert(shards.subsetOf((0 to 3).toSet) && shards.nonEmpty)
+  }
+
   test("window top-k rows are a subset of their group") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
