@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.api.GraftOps
+
+/** Scale-stress harness for the corpus-curation chain at ~2000× the sf0.1
+  * documents row count: stratified sample → epoch mixing → shard-shuffle
+  * → token packing over a synthetic 10M-doc corpus. All four ops are
+  * designed to be narrow (sample/mix/shard) or one-shuffle (pack), so
+  * wall-clock here should scale with input size, not pair counts — this
+  * harness is the evidence. The synthetic corpus comes from spark.range
+  * (deterministic hash-derived strata and token counts — no Random, no
+  * files), so the run is reproducible and touches no test data.
+  *
+  * Usage: sbt "runMain graft.tools.StressCuration [nDocs]"
+  * (default 10,000,000). Prints one JSON line with row counts + timings.
+  */
+object StressCuration {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt, "graft-stress-cur")
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 10M docs, 8 sources, 5 langs, 50-2050 tokens each — all derived
+    // from the doc id so the corpus needs no storage and no shuffle.
+    val docs = spark.range(nDocs).repartition(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt * 2)
+      .select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(8))).as("source"),
+        element_at(array(lit("en"), lit("zh"), lit("es"), lit("de"), lit("fr")),
+          (pmod(col("id"), lit(5)) + 1).cast("int")).as("lang"),
+        (pmod(graft.functions.Portable.fastHash(col("id")), lit(2000)) + 50)
+          .as("n_tokens"))
+
+    val t0 = System.nanoTime()
+    val sampled = GraftOps.stratifiedSample(docs, col("source"), col("doc_id"),
+      Map("src0" -> 200000, "src1" -> 200000), defaultPpm = 800000)
+    val mixed = GraftOps.mixCorpus(sampled, col("lang"), col("doc_id"),
+      Map("en" -> 500000L, "zh" -> 2250000L), defaultPpm = 1000000L)
+    val sharded = GraftOps.shardCorpus(mixed, col("doc_id"), seed = 7,
+      nShards = 256)
+    // pack per shard: 256 bounded strata → 256-way parallel window
+    val packed = GraftOps.packByTokenBudget(sharded, col("shard"),
+      col("shuffle_key"), col("n_tokens"), budget = 4096L)
+    val out = packed.agg(
+      count(lit(1)).as("rows"),
+      countDistinct(col("shard")).as("shards"),
+      max(col("bin")).as("max_bin")).collect()(0)
+    val done = System.nanoTime()
+    println(f"""{"metric":"stress_curation","in_docs":$nDocs,"out_rows":${out.getLong(0)},"shards":${out.getLong(1)},"max_bin":${out.getLong(2)},"total_sec":${(done - t0) / 1e9}%.1f}""")
+    spark.stop()
+  }
+}
