@@ -53,6 +53,28 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
       s"allowlisted queries no longer plan a nested loop (shrink the list): $stale")
   }
 
+  test("sample/mix/shard ops plan zero exchanges (scan-speed at any scale)") {
+    // The defining property of the narrow curation ops: no Exchange node
+    // anywhere in the raw operator's plan (the registry queries add an
+    // ORDER BY only for oracle determinism). A regression that sneaks a
+    // shuffle in would still hash-match while costing a full repartition
+    // of the corpus at 100 TB.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf001, "documents")
+    val narrow = Map(
+      "stratifiedSample" -> graft.api.GraftOps.stratifiedSample(
+        docs, col("source"), col("doc_id"), Map("src0" -> 200000), 500000),
+      "mixCorpus" -> graft.api.GraftOps.mixCorpus(
+        docs, col("lang"), col("doc_id"), Map("en" -> 500000L), 1000000L),
+      "shardCorpus" -> graft.api.GraftOps.shardCorpus(
+        docs, col("doc_id"), seed = 7, nShards = 8))
+    narrow.foreach { case (name, df) =>
+      val ex = nodes(df.queryExecution.sparkPlan)
+        .filter(_.nodeName.contains("Exchange"))
+      assert(ex.isEmpty, s"$name plans an exchange:\n${ex.mkString("\n")}")
+    }
+  }
+
   test("q14's range join keeps both sides pre-aggregated (scale-safe band join)") {
     // The defining property of the banded range join: BOTH join inputs
     // collapse to their tiny key domains BEFORE the band explode, so join

@@ -294,21 +294,27 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     val df = input.toDF().toDF("doc_id", "text")
     // stateless narrow ops (sample filter, redaction, repetition score)
     // need no watermark/state — the same DataFrame code streams as-is
-    val out = GraftOps.repetitionScore(
-      GraftOps.redactPii(
-        GraftOps.stratifiedSample(df, lit("all"), col("doc_id"),
-          Map.empty, defaultPpm = 1000000),
-        col("text")),
-      col("text"))
+    val out = GraftOps.shardCorpus(
+      GraftOps.mixCorpus( // w=2.0 exactly: every row emits 2 copies
+        GraftOps.repetitionScore(
+          GraftOps.redactPii(
+            GraftOps.stratifiedSample(df, lit("all"), col("doc_id"),
+              Map.empty, defaultPpm = 1000000),
+            col("text")),
+          col("text")),
+        lit("all"), col("doc_id"), Map.empty, defaultPpm = 2000000L),
+      col("doc_id"), seed = 7, nShards = 4)
     val q = out.writeStream.format("memory").queryName("s8").outputMode("append").start()
     try {
       input.addData((1L, "mail me at a.b@c.io " + ("now " * 12).trim))
       q.processAllAvailable()
       val rows = spark.table("s8").collect()
-      assert(rows.length == 1)
+      assert(rows.length == 2, "w=2.0 mixCorpus duplicates the doc on the stream")
+      assert(rows.map(_.getAs[Long]("copy_idx")).sorted.toSeq == Seq(1L, 2L))
       val r = rows(0)
       assert(r.getAs[Int]("n_emails") == 1 && r.getAs[String]("redacted").contains("<EMAIL>"))
       assert(r.getAs[Double]("rep_ratio") > 0.5, "repeated tail must score repetitive")
+      assert(rows.forall(x => x.getAs[Int]("shard") >= 0 && x.getAs[Int]("shard") < 4))
     } finally q.stop()
   }
 
