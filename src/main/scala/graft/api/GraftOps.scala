@@ -126,7 +126,18 @@ object GraftOps {
     * the minimum id of each connected component (deterministic, so
     * "keep the survivor, drop other members" is reproducible).
     *
-    * Algorithm: min-label propagation with pointer jumping (the
+    * Routing (broadcast-join logic applied to graph resolution): the
+    * distinct pair count is measured once; at or under `driverLimit`
+    * (default 2M pairs ≈ a broadcast-sized 32 MB) the pairs collect to
+    * the driver and resolve via iterative union-find — one job, exact
+    * same (survivor, member) output, and the small result becomes a local
+    * relation that downstream anti-joins broadcast. Near-dup pair sets
+    * are naturally this small relative to the corpus (pairs exist only
+    * where documents nearly collide); the distributed loop below is the
+    * scale path for anything larger, and `driverLimit = 0` forces it.
+    *
+    * Algorithm (distributed path): min-label propagation with pointer
+    * jumping (the
     * Shiloach–Vishkin shortcut, same O(log n) round bound as the
     * large-star/small-star MapReduce formulation). Every id starts labeled
     * with itself; each round, every vertex takes the min of (its own
@@ -162,17 +173,58 @@ object GraftOps {
     * speed — an executor loss mid-consumption fails the job; on a
     * long-lived cluster pipeline, write the result out instead.) */
   def dedupClusters(pairs: DataFrame, idA: Column, idB: Column,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, driverLimit: Long = 2000000L): DataFrame = {
     // Null ids are dropped EXPLICITLY: left in, they would fall out of the
     // round joins silently (null never equi-matches), yielding a result
     // that quietly ignored some input pairs — an explicit filter makes the
     // contract visible (pairs with a null endpoint carry no information).
     val half = pairs.select(idA.cast("long").as("a"), idB.cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
-    // symmetric closure; distinct collapses multi-edges from overlapping
-    // candidate generators (e.g. union of q16+q18 pairs)
-    val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
+    // distinct collapses multi-edges from overlapping candidate
+    // generators (e.g. union of q16+q18 pairs); counted once to route.
+    val halfD = half.distinct().persist()
+    val nPairs =
+      try halfD.count()
+      catch { case t: Throwable => halfD.unpersist(); throw t }
+    // Small-graph fast path — the same routing logic as a broadcast join:
+    // near-dup candidate pairs are, by construction, orders of magnitude
+    // fewer than corpus rows (they only exist where two documents nearly
+    // collide), so the typical pair set fits on the driver like any
+    // broadcast side (2M pairs ≈ 32 MB of longs). Collect once, resolve
+    // with union-find (path-halving, iterative — no recursion depth
+    // limit), return a local relation: downstream consumers like
+    // applyDedup then get a BROADCAST anti-join for free instead of a
+    // shuffle. The distributed pointer-jumping loop below remains the
+    // path for genuinely large pair sets (StressClusters exercises it at
+    // 3M+ edges); `driverLimit = 0` forces it, e.g. for testing.
+    if (nPairs <= driverLimit) {
+      val sess = pairs.sparkSession
+      import sess.implicits._
+      val collected =
+        try halfD.collect()
+        finally halfD.unpersist()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = parent.getOrElseUpdate(x0, x0)
+        if (x == x0) return x0
+        while (parent(x) != x) { // path halving
+          parent(x0) = parent(x); x = parent(x)
+        }
+        parent(x0) = x; x
+      }
+      collected.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // union-by-min keeps every root at its component minimum, so the
+      // final find IS the deterministic survivor id
+      return parent.keys.toArray.sorted.map(v => (find(v), v)).toSeq
+        .toDF("survivor", "member")
+    }
+    // symmetric closure for the distributed rounds
+    val edges = halfD.union(halfD.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
+    halfD.unpersist()
     var converged = false
     var iter = 0
     var labels: DataFrame = null
@@ -248,8 +300,9 @@ object GraftOps {
     * join on id — the complete pairs → components → filtered-corpus
     * pipeline in one call. */
   def applyDedup(df: DataFrame, id: Column, pairs: DataFrame,
-      idA: Column, idB: Column, maxIter: Int = 30): DataFrame = {
-    val nonSurvivors = dedupClusters(pairs, idA, idB, maxIter)
+      idA: Column, idB: Column, maxIter: Int = 30,
+      driverLimit: Long = 2000000L): DataFrame = {
+    val nonSurvivors = dedupClusters(pairs, idA, idB, maxIter, driverLimit)
       .filter(col("member") =!= col("survivor"))
       .select(col("member").as("__drop_id"))
     df.join(nonSurvivors, id === col("__drop_id"), "left_anti")

@@ -35,7 +35,12 @@ object StressClusters {
     val edges = rand.union(path)
 
     val t0 = System.nanoTime()
-    val clusters = GraftOps.dedupClusters(edges, col("a"), col("b"))
+    // driverLimit = 0 pins the distributed pointer-jumping loop — this
+    // harness exists to stress it (the edge count exceeds the default
+    // routing threshold anyway, but the pin keeps that true under any
+    // future default).
+    val clusters = GraftOps.dedupClusters(edges, col("a"), col("b"),
+      driverLimit = 0)
     val resolved = System.nanoTime()
     val stats = clusters.agg(
       count(lit(1)).as("members"),

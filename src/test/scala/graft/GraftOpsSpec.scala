@@ -355,7 +355,8 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     // maxIter=1 cannot finish
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalStateException](
-      GraftOps.dedupClusters(chain, col("a"), col("b"), maxIter = 1))
+      GraftOps.dedupClusters(chain, col("a"), col("b"), maxIter = 1,
+        driverLimit = 0))
   }
 
   test("dedupClusters resolves a 500-long path graph within default maxIter") {
@@ -365,7 +366,8 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     // Pointer jumping halves the distance-to-minimum per round, so this
     // must converge in ~log2(500) ≈ 9-10 rounds.
     val chain = (0L until 499L).map(i => (i + 1, i)).toDF("a", "b")
-    val out = GraftOps.dedupClusters(chain, col("a"), col("b"))
+    val out = GraftOps.dedupClusters(chain, col("a"), col("b"),
+        driverLimit = 0) // pin the distributed loop — the subject under test
       .collect()
     assert(out.length == 500)
     assert(out.forall(_.getLong(0) == 0L), "every member labels to the min id 0")
@@ -400,9 +402,15 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expect = parent.keys.map(v => v -> find(v)).toMap
-      val got = GraftOps.dedupClusters(edges.toDF("a", "b"), col("a"), col("b"))
+      // BOTH routing paths must agree with the reference (and each other):
+      // the distributed pointer-jumping loop and the driver fast path.
+      val dist = GraftOps.dedupClusters(edges.toDF("a", "b"), col("a"), col("b"),
+          driverLimit = 0)
         .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
-      assert(got == expect, s"shape $si: spark components != union-find reference")
+      assert(dist == expect, s"shape $si: distributed loop != union-find reference")
+      val fast = GraftOps.dedupClusters(edges.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+      assert(fast == expect, s"shape $si: driver fast path != union-find reference")
     }
   }
 
@@ -419,7 +427,8 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     // the throw path must also drop its caches
     val deep = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalStateException](
-      GraftOps.dedupClusters(deep, col("a"), col("b"), maxIter = 1))
+      GraftOps.dedupClusters(deep, col("a"), col("b"), maxIter = 1,
+        driverLimit = 0))
     assert(spark.sharedState.cacheManager.isEmpty,
       "non-convergence throw must unpersist its rounds")
   }
