@@ -74,6 +74,59 @@ object StreamingOps {
       cond: Column): DataFrame =
     stream.join(broadcast(static), cond)
 
+  /** Static band index for [[nearDupAgainst]]: the corpus side of
+    * incremental near-dup dedup, built ONCE in batch (MinHash signatures
+    * → LSH band keys, same codegen'd expressions and parameters as
+    * `GraftOps.minhashNearDup`, so batch and streaming agree on what "near
+    * duplicate" means). The caller persists/reuses it across the stream's
+    * lifetime — the library never caches on your behalf. */
+  def nearDupIndex(corpus: DataFrame, id: Column, text: Column,
+      shingleWidth: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus.select(id.as("dup_of"), text.as("__text")).repartition(par)
+      .select(col("dup_of"),
+        graft.functions.MinHashSigTokens.asColumn(
+          graft.functions.Text.tokens(col("__text")), shingleWidth, numHashes)
+          .as("__csig"))
+      .filter(col("__csig").isNotNull)
+      .select(col("dup_of"), col("__csig"),
+        posexplode(graft.functions.Text.lshBands(col("__csig"), bands,
+          numHashes / bands)).as(Seq("__b", "__key")))
+  }
+
+  /** Incremental near-dup dedup — the streaming twin of the q16 family:
+    * flags documents arriving on a stream that near-duplicate an EXISTING
+    * corpus (the admission-control step of continuous corpus ingestion).
+    * Per micro-batch: narrow signature computation on the stream side,
+    * stream–static equi-join on (band, key) against the prebuilt index
+    * (the stream never shuffles the corpus), exact signature-agreement
+    * verify ≥ `minMatches`, then multi-band collision dedup on
+    * (id, dup_of). The dedup state is keyed by flagged pairs only —
+    * near-dups are rare by construction, but for unbounded streams wrap
+    * the result with [[dedupWithinWatermark]] instead to bound state by
+    * event time. Emits (id, dup_of, est_jaccard). */
+  def nearDupAgainst(stream: DataFrame, id: Column, text: Column,
+      index: DataFrame, shingleWidth: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, minMatches: Int = 8): DataFrame = {
+    val sBands = stream.select(id.as("id"), text.as("__text"))
+      .select(col("id"),
+        graft.functions.MinHashSigTokens.asColumn(
+          graft.functions.Text.tokens(col("__text")), shingleWidth, numHashes)
+          .as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col("id"), col("__sig"),
+        posexplode(graft.functions.Text.lshBands(col("__sig"), bands,
+          numHashes / bands)).as(Seq("__b", "__key")))
+    sBands.join(index, Seq("__b", "__key"))
+      .filter(col("id") =!= col("dup_of")) // re-ingested doc is not its own dup
+      .withColumn("__m", size(filter(zip_with(col("__sig"), col("__csig"),
+        (x, y) => x === y), b => b)))
+      .filter(col("__m") >= minMatches)
+      .select(col("id"), col("dup_of"),
+        (col("__m").cast("double") / numHashes.toDouble).as("est_jaccard"))
+      .dropDuplicates("id", "dup_of")
+  }
+
   /** Stream–stream equi-join with watermarks on both sides and a
     * time-range condition bounding join state (SURVEY.md §2.2). */
   def streamStreamJoin(left: DataFrame, leftTs: String, right: DataFrame,

@@ -318,6 +318,46 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("S10: streaming near-dup admission flags docs duplicating the static corpus") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    val base = "spark is a unified analytics engine for large scale data processing with apis"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "totally different cooking text about pasta tomatoes basil and olive oil"))
+      .toDF("doc_id", "text")
+    // index built once in batch; caller-persisted for the stream's lifetime
+    val index = StreamingOps.nearDupIndex(corpus, col("doc_id"), col("text"))
+      .persist()
+    try {
+      val arrivals = Seq(
+        (100L, base + " in scala"), // near-dup of corpus doc 1
+        (200L, "novel text on gardening tulips soil watering sunlight and bees"))
+      val input = MemoryStream[(Long, String)]
+      val out = StreamingOps.nearDupAgainst(
+        input.toDF().toDF("id", "text"), col("id"), col("text"), index,
+        minMatches = 6)
+      val q = out.writeStream.format("memory").queryName("s10")
+        .outputMode("append").start()
+      try {
+        input.addData(arrivals: _*)
+        q.processAllAvailable()
+        val flagged = spark.table("s10").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(flagged == Set((100L, 1L)),
+          s"near-dup arrival flagged against its corpus doc, novel doc admitted: $flagged")
+        // batch/stream unification: the same op over the same rows as a
+        // batch DataFrame must flag the identical pairs
+        val batch = StreamingOps.nearDupAgainst(
+          arrivals.toDF("id", "text"), col("id"), col("text"), index,
+          minMatches = 6)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(batch == flagged, "batch twin agrees with the stream")
+      } finally q.stop()
+    } finally index.unpersist()
+  }
+
   test("S9: streaming as-of enrichment joins each right event to the latest prior left") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
