@@ -633,6 +633,21 @@ object GraftOps {
         Portable.phash(concat(lit(s"ord|$seed|"), key.cast("string"))))
   }
 
+  /** The write-side completion of [[shardCorpus]]: materializes the
+    * shuffled corpus layout as `path/shard=N/` partitions whose files are
+    * internally ordered by `shuffle_key`. One hash exchange on the shard
+    * id groups each shard into a writing task (NOT a global range sort —
+    * no single hot partition at any scale), and the in-task sort is
+    * spill-safe. Readers that consume shards as files (training-data
+    * loaders) see a reproducible global shuffle; re-running with the same
+    * seed rewrites the identical layout. */
+  def writeShardedCorpus(df: DataFrame, path: String, key: Column,
+      seed: Int, nShards: Int, format: String = "parquet"): Unit =
+    shardCorpus(df, key, seed, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"))
+      .write.partitionBy("shard").format(format).mode("overwrite").save(path)
+
   /** PII redaction: replaces email/phone shapes with placeholder tags and
     * counts the hits. Patterns restricted to the RE2-compatible subset
     * both Spark (Java regex) and the oracle (RE2) evaluate identically.

@@ -254,6 +254,51 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(moved > 3000, s"new seed reassigns most keys (moved=$moved)")
   }
 
+  test("writeShardedCorpus lays out shard dirs with in-file shuffle_key order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"doc$i")).toDF("k", "body")
+    GraftOps.writeShardedCorpus(df, dir, col("k"), seed = 3, nShards = 4)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.sameElements((0 to 3).map(s => s"shard=$s")),
+      s"one directory per shard: ${shardDirs.toSeq}")
+    // roundtrip: every row lands exactly once
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000 &&
+      back.select("k").except(df.select("k")).isEmpty)
+    // each data file is internally ordered by shuffle_key (training
+    // loaders stream files sequentially — the order IS the shuffle)
+    new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+      .foreach { f =>
+        val keys = spark.read.parquet(f.toString)
+          .select("shuffle_key").collect().map(_.getLong(0))
+        assert(keys.sameElements(keys.sorted), s"unsorted file ${f.getName}")
+      }
+  }
+
+  test("Observed metrics match recomputed aggregates in one pass") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "grp")
+    val (sampled, mIn) = graft.api.Observed(
+      GraftOps.stratifiedSample(df, col("grp"), col("k"), Map.empty, 500000),
+      "sampled", count(lit(1)).as("rows"))
+    val (mixed, mOut) = graft.api.Observed(
+      GraftOps.mixCorpus(sampled, col("grp"), col("k"),
+        Map("a" -> 2000000L), defaultPpm = 1000000L),
+      // observed metrics forbid DISTINCT aggregates; copy_idx==1 marks
+      // each surviving doc exactly once, so this counts distinct docs
+      "mixed", count(lit(1)).as("rows"),
+      count(when(col("copy_idx") === 1, 1)).as("docs"))
+    val materialized = mixed.count() // ONE job fires both observations
+    assert(mIn.get("rows") == sampled.count(), "stage metric == recount")
+    assert(mOut.get("rows") == materialized)
+    assert(mOut.get("docs") == sampled.count(),
+      "every sampled doc survives a >=1x mix")
+  }
+
   test("redactPii replaces emails and phones and counts them") {
     import spark.implicits._
     val df = Seq((1L, "write to jane.doe@corp.io or bob@x.co, call +1-555-0199 now"))
