@@ -111,13 +111,27 @@ object PipelineCompiler {
       Map("outport1" -> Tables.load(spark, arg(args, "dir"), arg(args, "table")))),
     "viewInput" -> ((spark, _, args) =>
       Map("outport1" -> spark.table(arg(args, "table")))),
-    "csvInput" -> ((spark, _, args) =>
-      Map("outport1" -> spark.read.schema(arg(args, "schema"))
+    // Both text scans honor Spark's malformed-record contract: `mode`
+    // (PERMISSIVE default / DROPMALFORMED / FAILFAST) and, in PERMISSIVE
+    // runs, `corruptColumn` captures the raw bad line — the named column
+    // must also appear (as STRING) in the declared schema. At 100 TB a
+    // single bad line must neither kill the job (FAILFAST everywhere) nor
+    // vanish silently; a corrupt-record column makes the damage queryable.
+    "csvInput" -> ((spark, _, args) => {
+      val r = spark.read.schema(arg(args, "schema"))
         .option("header", args.getOrElse("header", "false"))
-        .csv(arg(args, "path")))),
-    "jsonInput" -> ((spark, _, args) =>
-      Map("outport1" -> spark.read.schema(arg(args, "schema"))
-        .json(arg(args, "path")))),
+        .option("mode", args.getOrElse("mode", "PERMISSIVE"))
+      Map("outport1" -> args.get("corruptColumn")
+        .fold(r)(c => r.option("columnNameOfCorruptRecord", c))
+        .csv(arg(args, "path")))
+    }),
+    "jsonInput" -> ((spark, _, args) => {
+      val r = spark.read.schema(arg(args, "schema"))
+        .option("mode", args.getOrElse("mode", "PERMISSIVE"))
+      Map("outport1" -> args.get("corruptColumn")
+        .fold(r)(c => r.option("columnNameOfCorruptRecord", c))
+        .json(arg(args, "path")))
+    }),
     // Kafka endpoints (ref R1/R3). Requires the spark-sql-kafka-0-10
     // connector jar on the classpath for a real broker (see README
     // "Kafka connectivity"); that jar isn't in this offline container, so

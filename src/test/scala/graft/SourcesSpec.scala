@@ -35,6 +35,32 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(out.count() == 2)
   }
 
+  test("jsonInput captures malformed lines in the corrupt column; DROPMALFORMED drops them") {
+    val dir = Files.createTempDirectory("graft-badjson").toFile
+    val f = new java.io.File(dir, "data.json")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"k":1,"v":"a"}""" + "\n" + """{"k":2,"v":"b""" + "\n" + // truncated line
+        """{"k":3,"v":"c"}""" + "\n")
+    val permissive = PipelineSpec(
+      nodes = Seq(OpNode("in", "jsonInput", Map(
+        "path" -> f.getAbsolutePath,
+        "schema" -> "k INT, v STRING, _bad STRING",
+        "corruptColumn" -> "_bad"))),
+      edges = Nil)
+    val rows = PipelineCompiler.compile(permissive, spark)("in.outport1").collect()
+    assert(rows.length == 3, "no row vanishes in PERMISSIVE mode")
+    val bad = rows.filter(!_.isNullAt(2))
+    assert(bad.length == 1 && bad(0).getString(2).contains("""{"k":2"""),
+      "the raw malformed line is queryable, not lost")
+    assert(rows.filter(_.isNullAt(2)).map(_.getInt(0)).toSet == Set(1, 3))
+    val dropping = PipelineSpec(
+      nodes = Seq(OpNode("in", "jsonInput", Map(
+        "path" -> f.getAbsolutePath, "schema" -> "k INT, v STRING",
+        "mode" -> "DROPMALFORMED"))),
+      edges = Nil)
+    assert(PipelineCompiler.compile(dropping, spark)("in.outport1").count() == 2)
+  }
+
   test("tableSink performs CTAS into the session catalog (ref R6)") {
     // spark.sql.warehouse.dir is static — the shared session uses the
     // default ./spark-warehouse (gitignored); drop the table afterwards.
