@@ -595,7 +595,10 @@ object GraftOps {
     * integer-exact and reproducible across runs/engines. Adds `copy_idx`
     * (1..n per surviving row). Pure narrow map + explode — zero shuffle;
     * at 100 TB this runs at scan speed and the output lands directly in
-    * the writer's partitioning. */
+    * the writer's partitioning. Nulls: a null stratum takes `defaultPpm`
+    * (it never equi-matches a weight entry); a null key hashes to null,
+    * so its fractional extra never fires — exactly floor(w) copies,
+    * deterministically (spec-pinned). */
   def mixCorpus(df: DataFrame, strata: Column, key: Column,
       weightsPpm: Map[String, Long], defaultPpm: Long): DataFrame = {
     require(defaultPpm >= 0, s"defaultPpm must be >= 0; got $defaultPpm")
@@ -622,7 +625,8 @@ object GraftOps {
     * layout without any global sort: the op itself is a pure narrow
     * projection (zero shuffle), and the write is range-free — no
     * single-partition bottleneck at 100 TB. A different `seed` reshuffles
-    * the corpus without touching the data. */
+    * the corpus without touching the data. Nulls: a null key yields a
+    * null shard/order key — surfaced, never silently bucketed. */
   def shardCorpus(df: DataFrame, key: Column, seed: Int,
       nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive; got $nShards")

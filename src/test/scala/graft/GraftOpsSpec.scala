@@ -254,6 +254,29 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(moved > 3000, s"new seed reassigns most keys (moved=$moved)")
   }
 
+  test("mixCorpus/shardCorpus null contract: null strata default, null keys deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b"))
+      .toDF("k", "grp")
+    // null strata never equi-match a weight entry → defaultPpm applies
+    val mixed = GraftOps.mixCorpus(df, col("grp"), col("k"),
+        Map("a" -> 3000000L), defaultPpm = 1000000L)
+      .groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mixed == Map(1L -> 3L, 2L -> 1L, 3L -> 1L),
+      s"null stratum falls to the default weight: $mixed")
+    // a null KEY hashes to null → the fractional-extra test is null →
+    // exactly floor(w) copies, reproducibly (no silent row loss)
+    val nullKey = Seq((Option.empty[Long], "a")).toDF("k", "grp")
+    val nk = GraftOps.mixCorpus(nullKey, col("grp"), col("k"),
+      Map("a" -> 2500000L), defaultPpm = 1000000L).collect()
+    assert(nk.length == 2, s"null key emits floor(2.5)=2 copies: ${nk.length}")
+    val sharded = GraftOps.shardCorpus(nullKey, col("k"), seed = 1, nShards = 4)
+      .collect()
+    assert(sharded.length == 1 && sharded(0).isNullAt(
+        sharded(0).fieldIndex("shard")),
+      "null key yields a null shard (surface it, never invent a bucket)")
+  }
+
   test("writeShardedCorpus lays out shard dirs with in-file shuffle_key order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
