@@ -126,8 +126,10 @@ object GraftOps {
     * the minimum id of each connected component (deterministic, so
     * "keep the survivor, drop other members" is reproducible).
     *
-    * Routing (broadcast-join logic applied to graph resolution): the
-    * distinct pair count is measured once; at or under `driverLimit`
+    * Routing (broadcast-join logic applied to graph resolution): the raw
+    * pair count is measured once (map-side-combined count, no shuffle —
+    * an upper bound on the distinct count, so routing errs distributed);
+    * at or under `driverLimit`
     * (default 2M pairs ≈ a broadcast-sized 32 MB) the pairs collect to
     * the driver and resolve via iterative union-find — one job, exact
     * same (survivor, member) output, and the small result becomes a local
@@ -180,12 +182,14 @@ object GraftOps {
     // contract visible (pairs with a null endpoint carry no information).
     val half = pairs.select(idA.cast("long").as("a"), idB.cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
-    // distinct collapses multi-edges from overlapping candidate
-    // generators (e.g. union of q16+q18 pairs); counted once to route.
-    val halfD = half.distinct().persist()
+    // Routed on the RAW pair count (a map-side-combined count, no
+    // shuffle): an upper bound on the distinct count, so routing is
+    // conservative, and the fast path then needs no distinct at all —
+    // union-find absorbs duplicate and self edges natively.
+    val halfP = half.persist()
     val nPairs =
-      try halfD.count()
-      catch { case t: Throwable => halfD.unpersist(); throw t }
+      try halfP.count()
+      catch { case t: Throwable => halfP.unpersist(); throw t }
     // Small-graph fast path — the same routing logic as a broadcast join:
     // near-dup candidate pairs are, by construction, orders of magnitude
     // fewer than corpus rows (they only exist where two documents nearly
@@ -201,8 +205,8 @@ object GraftOps {
       val sess = pairs.sparkSession
       import sess.implicits._
       val collected =
-        try halfD.collect()
-        finally halfD.unpersist()
+        try halfP.collect()
+        finally halfP.unpersist()
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x0: Long): Long = {
         var x = parent.getOrElseUpdate(x0, x0)
@@ -221,10 +225,12 @@ object GraftOps {
       return parent.keys.toArray.sorted.map(v => (find(v), v)).toSeq
         .toDF("survivor", "member")
     }
-    // symmetric closure for the distributed rounds
-    val edges = halfD.union(halfD.select(col("b").as("a"), col("a").as("b")))
+    // symmetric closure for the distributed rounds; the single distinct
+    // collapses multi-edges from overlapping candidate generators (e.g. a
+    // union of q16+q18 pairs) in the same exchange that symmetrizes
+    val edges = halfP.union(halfP.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
-    halfD.unpersist()
+    halfP.unpersist()
     var converged = false
     var iter = 0
     var labels: DataFrame = null
