@@ -23,9 +23,18 @@ import org.apache.spark.sql.{Column, DataFrame, Observation}
   * }}}
   */
 object Observed {
+  /** Batch form: read the Observation after the materializing action. */
   def apply(df: DataFrame, name: String, first: Column,
       rest: Column*): (DataFrame, Observation) = {
     val obs = Observation(name)
     (df.observe(obs, first, rest: _*), obs)
   }
+
+  /** Streaming form (an Observation handle would be ambiguous across
+    * micro-batches, so Spark rejects it on streams): metrics land in each
+    * micro-batch's `QueryProgress.observedMetrics(name)` — read them from
+    * `query.lastProgress`/`recentProgress` or a StreamingQueryListener. */
+  def streaming(df: DataFrame, name: String, first: Column,
+      rest: Column*): DataFrame =
+    df.observe(name, first, rest: _*)
 }

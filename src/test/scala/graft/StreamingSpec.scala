@@ -358,6 +358,29 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally index.unpersist()
   }
 
+  test("S11: Observed metrics surface per micro-batch on a stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val observed = graft.api.Observed.streaming(
+      graft.api.GraftOps.mixCorpus(input.toDF().toDF("k", "grp"),
+        col("grp"), col("k"), Map.empty, defaultPpm = 2000000L),
+      "mix", count(lit(1)).as("rows_out"))
+    val q = observed.writeStream.format("memory").queryName("s11")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "g"), (2L, "g"))
+      q.processAllAvailable()
+      // streaming observations surface in QueryProgress, not Observation.get
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("mix"))).lastOption
+      assert(m.isDefined, "micro-batch progress carries the named metrics")
+      assert(m.get.getAs[Long]("rows_out") == 4L,
+        s"w=2.0 mix doubles the 2-row batch: ${m.get}")
+      assert(spark.table("s11").count() == 4)
+    } finally q.stop()
+  }
+
   test("S9: streaming as-of enrichment joins each right event to the latest prior left") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
