@@ -58,8 +58,10 @@ object GraftOps {
     bandsDf.as("x").join(bandsDf.as("y"),
         col("x.__b") === col("y.__b") && col("x.__key") === col("y.__key") &&
           col("x.__id") < col("y.__id"))
-      .withColumn("__m", size(filter(zip_with(col("x.__sig"), col("y.__sig"),
-        (x, y) => x === y), b => b)))
+      // codegen'd signature-agreement count (the HOF zip_with/filter/size
+      // form runs interpreted per candidate row; same values)
+      .withColumn("__m", graft.functions.SigMatchCount.asColumn(
+        col("x.__sig"), col("y.__sig")))
       .filter(col("__m") >= minMatches)
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
         (col("__m").cast("double") / numHashes.toDouble).as("est_jaccard"))
@@ -129,14 +131,17 @@ object GraftOps {
     * Routing (broadcast-join logic applied to graph resolution): the raw
     * pair count is measured once (map-side-combined count, no shuffle —
     * an upper bound on the distinct count, so routing errs distributed);
-    * at or under `driverLimit`
-    * (default 2M pairs ≈ a broadcast-sized 32 MB) the pairs collect to
-    * the driver and resolve via iterative union-find — one job, exact
-    * same (survivor, member) output, and the small result becomes a local
-    * relation that downstream anti-joins broadcast. Near-dup pair sets
-    * are naturally this small relative to the corpus (pairs exist only
-    * where documents nearly collide); the distributed loop below is the
-    * scale path for anything larger, and `driverLimit = 0` forces it.
+    * at or under `driverLimit` (default 1M pairs — collected as
+    * primitive-specialized (Long, Long) tuples that's ~32 MB transient,
+    * plus the union-find map and the ≤ 2·pairs result array: ~100 MB
+    * worst-case on the driver, sized like a broadcast side) the pairs
+    * collect to the driver and resolve via iterative union-find — one
+    * job, exact same (survivor, member) output, returned as a
+    * parallelized dataset with an explicit broadcast hint so downstream
+    * anti-joins broadcast it. Near-dup pair sets are naturally this
+    * small relative to the corpus (pairs exist only where documents
+    * nearly collide); the distributed loop below is the scale path for
+    * anything larger, and `driverLimit = 0` forces it.
     *
     * Algorithm (distributed path): min-label propagation with pointer
     * jumping (the
@@ -175,7 +180,7 @@ object GraftOps {
     * speed — an executor loss mid-consumption fails the job; on a
     * long-lived cluster pipeline, write the result out instead.) */
   def dedupClusters(pairs: DataFrame, idA: Column, idB: Column,
-      maxIter: Int = 30, driverLimit: Long = 2000000L): DataFrame = {
+      maxIter: Int = 30, driverLimit: Long = 1000000L): DataFrame = {
     // Null ids are dropped EXPLICITLY: left in, they would fall out of the
     // round joins silently (null never equi-matches), yielding a result
     // that quietly ignored some input pairs — an explicit filter makes the
@@ -194,18 +199,18 @@ object GraftOps {
     // near-dup candidate pairs are, by construction, orders of magnitude
     // fewer than corpus rows (they only exist where two documents nearly
     // collide), so the typical pair set fits on the driver like any
-    // broadcast side (2M pairs ≈ 32 MB of longs). Collect once, resolve
-    // with union-find (path-halving, iterative — no recursion depth
-    // limit), return a local relation: downstream consumers like
-    // applyDedup then get a BROADCAST anti-join for free instead of a
-    // shuffle. The distributed pointer-jumping loop below remains the
-    // path for genuinely large pair sets (StressClusters exercises it at
-    // 3M+ edges); `driverLimit = 0` forces it, e.g. for testing.
+    // broadcast side. Collect once via the primitive tuple encoder
+    // (specialized (Long, Long) tuples, ~32 B/pair — a Row collect boxes
+    // every field and costs several× more at the limit), resolve with
+    // union-find (path-halving, iterative — no recursion depth limit).
+    // The distributed pointer-jumping loop below remains the path for
+    // genuinely large pair sets (StressClusters exercises it at 3M+
+    // edges); `driverLimit = 0` forces it, e.g. for testing.
     if (nPairs <= driverLimit) {
       val sess = pairs.sparkSession
       import sess.implicits._
       val collected =
-        try halfP.collect()
+        try halfP.as[(Long, Long)].collect()
         finally halfP.unpersist()
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x0: Long): Long = {
@@ -216,21 +221,31 @@ object GraftOps {
         }
         parent(x0) = x; x
       }
-      collected.foreach { r =>
-        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      collected.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       // union-by-min keeps every root at its component minimum, so the
-      // final find IS the deterministic survivor id
-      return parent.keys.toArray.sorted.map(v => (find(v), v)).toSeq
-        .toDF("survivor", "member")
+      // final find IS the deterministic survivor id.
+      val resolved = parent.keys.toArray.sorted.map(v => (find(v), v)).toIndexedSeq
+      // Parallelized, NOT a LocalRelation: a local relation embeds the
+      // rows in the logical plan and re-serializes them into every
+      // downstream plan that references the result; an RDD holds them
+      // once on the driver and tasks pull partitions. The explicit
+      // broadcast hint keeps what LocalRelation stats used to give for
+      // free — downstream joins (applyDedup's anti-join) broadcast the
+      // small cluster table instead of shuffling the corpus; the size is
+      // bounded by driverLimit, so the hint is always safe.
+      val slices = math.max(1, math.min(sess.sparkContext.defaultParallelism,
+        resolved.length / 100000 + 1))
+      return broadcast(
+        sess.sparkContext.parallelize(resolved, slices).toDF("survivor", "member"))
     }
     // symmetric closure for the distributed rounds; the single distinct
     // collapses multi-edges from overlapping candidate generators (e.g. a
     // union of q16+q18 pairs) in the same exchange that symmetrizes
     val edges = halfP.union(halfP.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
-    halfP.unpersist()
     var converged = false
     var iter = 0
     var labels: DataFrame = null
@@ -256,6 +271,12 @@ object GraftOps {
     try {
       labels = roundCheckpoint(edges.select(col("a").as("id")).distinct()
         .withColumn("lbl", col("id")))
+      // halfP is released only AFTER the eager checkpoint above has
+      // materialized `edges` into its cache — unpersisting earlier lets
+      // the pair blocks be evicted before the union's two branches read
+      // them, rescanning the upstream source twice. (The finally below
+      // covers the throw path; unpersist is idempotent.)
+      halfP.unpersist()
       while (!converged && iter < maxIter) {
         val nbrMin = edges
           .join(labels.select(col("id").as("b"), col("lbl").as("__nlbl")), "b")
@@ -290,6 +311,7 @@ object GraftOps {
         iter += 1
       }
     } finally {
+      halfP.unpersist()
       edges.unpersist()
     }
     if (!converged)
@@ -307,7 +329,7 @@ object GraftOps {
     * pipeline in one call. */
   def applyDedup(df: DataFrame, id: Column, pairs: DataFrame,
       idA: Column, idB: Column, maxIter: Int = 30,
-      driverLimit: Long = 2000000L): DataFrame = {
+      driverLimit: Long = 1000000L): DataFrame = {
     val nonSurvivors = dedupClusters(pairs, idA, idB, maxIter, driverLimit)
       .filter(col("member") =!= col("survivor"))
       .select(col("member").as("__drop_id"))
@@ -604,7 +626,14 @@ object GraftOps {
     * the writer's partitioning. Nulls: a null stratum takes `defaultPpm`
     * (it never equi-matches a weight entry); a null key hashes to null,
     * so its fractional extra never fires — exactly floor(w) copies,
-    * deterministically (spec-pinned). */
+    * deterministically (spec-pinned).
+    *
+    * Composing with [[shardCorpus]]: shard on a key that INCLUDES
+    * `copy_idx` (e.g. `concat(key, lit("|"), col("copy_idx"))`), not on
+    * `key` alone — every epoch copy of a document shares its `key`, so
+    * sharding on the bare key gives all copies an identical
+    * (shard, shuffle_key) and they land adjacent in the written layout,
+    * defeating exactly the shuffle quality the shard op provides. */
   def mixCorpus(df: DataFrame, strata: Column, key: Column,
       weightsPpm: Map[String, Long], defaultPpm: Long): DataFrame = {
     require(defaultPpm >= 0, s"defaultPpm must be >= 0; got $defaultPpm")
@@ -632,7 +661,13 @@ object GraftOps {
     * projection (zero shuffle), and the write is range-free — no
     * single-partition bottleneck at 100 TB. A different `seed` reshuffles
     * the corpus without touching the data. Nulls: a null key yields a
-    * null shard/order key — surfaced, never silently bucketed. */
+    * null shard/order key — surfaced, never silently bucketed.
+    *
+    * `key` must be UNIQUE PER ROW for the layout to be a true shuffle:
+    * rows sharing a key (e.g. epoch copies from [[mixCorpus]], which
+    * share the document key) get identical (shard, shuffle_key) and land
+    * adjacent — include the disambiguator in the key
+    * (`concat(key, lit("|"), col("copy_idx"))`). */
   def shardCorpus(df: DataFrame, key: Column, seed: Int,
       nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive; got $nShards")

@@ -55,6 +55,12 @@ object GraftFunctions {
       { args =>
         require(args.length == 1, "rolling_fingerprint takes 1 argument")
         RollingFingerprint(args.head)
+      }),
+    ("sig_match_count",
+      "sig_match_count(array<long>, array<long>) - positions where two signatures agree",
+      { args =>
+        require(args.length == 2, "sig_match_count takes 2 arguments")
+        SigMatchCount(args(0), args(1))
       }))
 
   /** Width-style parameters must be integer literals — they are baked

@@ -2,10 +2,10 @@ package graft.functions
 
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** JVM implementations of the portable text-hash signatures, exposed as
@@ -176,6 +176,20 @@ object TextHash {
     new GenericArrayData(arr)
   }
 
+  /** Count of positions where two int64 signatures agree (the verify
+    * step of every near-dup band join; see SigMatchCount). Counts over
+    * the shorter length — identical to the HOF form's zip semantics. */
+  def sigMatchCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) m += 1
+      i += 1
+    }
+    m
+  }
+
   /** Rolling polynomial fingerprint over the token stream (see q25):
     * h ← (h·31 + (tokenHash mod p)) mod p, left-to-right — same '0|'
     * seeded token hash as simhash / Portable.phash(0, t). */
@@ -261,6 +275,27 @@ case class ShingleHashes(child: Expression, width: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
+/** `sig_match_count(a, b)`: number of positions where two array<long>
+  * signatures agree — the codegen'd form of
+  * `size(filter(zip_with(a, b, _ === _), identity))`, which runs
+  * interpreted per row (HOF lambdas never join whole-stage codegen).
+  * This sits on the verify step of every near-dup band join, batch AND
+  * per-micro-batch streaming, where the interpreted form's latency is
+  * hottest; one expression in both paths also keeps the batch/stream
+  * agreement guarantee (S10) trivially true. */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_match_count"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.sigMatchCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHash.sigMatchCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SigMatchCount = copy(left = l, right = r)
+}
+
 /** `simhash60(tokens)`: array<string> → long. */
 case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -287,6 +322,11 @@ object ShingleHashes {
 object SimHash60 {
   def apply(tokens: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(tokens)))
+}
+object SigMatchCount {
+  def asColumn(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SigMatchCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** `profile_counts(tokens)`: array<string> → array<int> — per-profile

@@ -119,8 +119,11 @@ object StreamingOps {
           numHashes / bands)).as(Seq("__b", "__key")))
     sBands.join(index, Seq("__b", "__key"))
       .filter(col("id") =!= col("dup_of")) // re-ingested doc is not its own dup
-      .withColumn("__m", size(filter(zip_with(col("__sig"), col("__csig"),
-        (x, y) => x === y), b => b)))
+      // same codegen'd agreement count as the batch minhashNearDup — one
+      // expression in both paths keeps S10's batch/stream agreement exact
+      // and takes the interpreted HOF off the per-micro-batch hot path
+      .withColumn("__m", graft.functions.SigMatchCount.asColumn(
+        col("__sig"), col("__csig")))
       .filter(col("__m") >= minMatches)
       .select(col("id"), col("dup_of"),
         (col("__m").cast("double") / numHashes.toDouble).as("est_jaccard"))

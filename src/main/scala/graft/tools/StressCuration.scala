@@ -39,8 +39,12 @@ object StressCuration {
       Map("src0" -> 200000, "src1" -> 200000), defaultPpm = 800000)
     val mixed = GraftOps.mixCorpus(sampled, col("lang"), col("doc_id"),
       Map("en" -> 500000L, "zh" -> 2250000L), defaultPpm = 1000000L)
-    val sharded = GraftOps.shardCorpus(mixed, col("doc_id"), seed = 7,
-      nShards = 256)
+    // shard on doc_id + copy_idx: epoch copies share doc_id, and sharding
+    // on it alone would give every copy an identical (shard, shuffle_key)
+    // — adjacent in the layout, defeating the shuffle (see shardCorpus doc)
+    val sharded = GraftOps.shardCorpus(mixed,
+      concat(col("doc_id").cast("string"), lit("|"), col("copy_idx")),
+      seed = 7, nShards = 256)
     // pack per shard: 256 bounded strata → 256-way parallel window
     val packed = GraftOps.packByTokenBudget(sharded, col("shard"),
       col("shuffle_key"), col("n_tokens"), budget = 4096L)
