@@ -121,6 +121,26 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     assert(fused(1) == null, "short doc yields null signature")
   }
 
+  test("SigMatchCount equals the HOF zip_with form, codegen and SQL") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((Seq.fill(16)(rnd.nextLong()), Seq.fill(16)(rnd.nextLong()))) ++
+      // planted agreements + a short-vs-long pair (counts over min length)
+      Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),
+        (Seq(5L, 6L), Seq(5L, 6L, 7L, 8L)))
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      graft.functions.SigMatchCount.asColumn(col("a"), col("b")).as("cg"),
+      size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), b => b)).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1), s"mismatch: $r"))
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("sigs")
+    val sql = spark.sql(
+      "SELECT sig_match_count(a, b) AS m FROM sigs").collect().map(_.getInt(0))
+    assert(sql.toSeq == both.map(_.getInt(0)).toSeq)
+  }
+
   test("codegen RollingFingerprint equals the HOF fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -482,6 +482,22 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("fast-path applyDedup broadcasts the cluster table, no LocalRelation") {
+    import spark.implicits._
+    val corpus = spark.range(2000).select(col("id"), (col("id") % 7).as("grp"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("pa", "pb")
+    val out = GraftOps.applyDedup(corpus, col("id"), pairs, col("pa"), col("pb"))
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin") && physical.contains("LeftAnti"),
+      s"small cluster sets must anti-join by broadcast, not shuffle:\n$physical")
+    // the resolved clusters must NOT be embedded in the plan as a
+    // LocalRelation — a local relation re-serializes its rows into every
+    // downstream plan that references the result (round-5 advice)
+    val logical = out.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("LocalRelation"),
+      s"fast-path result must be parallelized, not plan-embedded:\n$logical")
+  }
+
   test("dedupClusters/applyDedup leave no catalog-level cache behind") {
     import spark.implicits._
     spark.catalog.clearCache()
