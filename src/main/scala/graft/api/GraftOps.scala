@@ -491,6 +491,103 @@ object GraftOps {
       .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("sim"))
   }
 
+  /** Distributed Lloyd's k-means trainer — the training seam for
+    * [[ivfTopK]]'s coarse quantizer (IVF assumes a trained centroid
+    * table; this produces one, with the same integer-micros +
+    * sequential-dot engine-portable arithmetic as the q21/q34 family).
+    *
+    * Deterministic end to end: seeds are the `k` rows with the smallest
+    * portable hash of `id` (id tiebreak), quantized to exact micros;
+    * each round assigns every vector to its argmax-dot centroid (one
+    * codegen'd NearestCells pass; score ties → lower cluster id) and
+    * recomputes centroids as exact integer-micros means. Dot-scored
+    * assignment assumes ~unit-norm embeddings (see [[ivfTopK]]).
+    * Clusters that lose every member are DROPPED from subsequent rounds
+    * and the output — the documented contract (silently carrying a dead
+    * centroid forward would claim a cluster the data no longer has).
+    *
+    * Scale shape: per round, assignment is a NARROW per-row projection
+    * against the k·dim baked model (no corpus×k join, no shuffle) and
+    * the update is one map-side-combined hash agg on (cluster, dim) —
+    * the canonical 100 TB Lloyd's round: broadcast the model out,
+    * aggregate the update back. The per-round k·dim collect is a
+    * trained-model constant, same as ivfTopK's cell table. `iters`
+    * bounds total cost explicitly; there is deliberately no per-round
+    * convergence job (one more scan per check — callers choose depth).
+    *
+    * Eager at plan-construction: running `iters` rounds executes
+    * `iters` Spark jobs when CALLED (the returned frame's plan bakes
+    * the final assignment) — like any trainer, illegal on streaming
+    * inputs.
+    *
+    * Returns (cluster, dim, centroid, n): the trained model exploded
+    * per dimension (n = member count, repeated across a cluster's
+    * dims). */
+  def kmeansFit(df: DataFrame, id: Column, vec: Column, k: Int,
+      iters: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(iters >= 1, s"iters must be >= 1; got $iters")
+    val base = df.select(id.as("__id"), vec.as("__v"))
+      .filter(col("__v").isNotNull)
+    val seeds = base
+      .orderBy(Portable.phash(concat(lit("km|"), col("__id").cast("string"))),
+        col("__id"))
+      .limit(k).select(col("__v")).collect()
+    require(seeds.nonEmpty, "kmeansFit on an empty corpus")
+    // Seed centroids quantized to exact micros: float→double is exact,
+    // then one IEEE multiply + floor + one divide — bit-identical in any
+    // IEEE-754 engine (the raw float values would be portable too, but
+    // quantizing keeps EVERY centroid the model ever has on the same
+    // exact-integer-derived footing as the round updates).
+    var cents: IndexedSeq[(Int, Seq[Double])] = seeds.toIndexedSeq.zipWithIndex
+      .map { case (r, j) =>
+        j -> r.getSeq[Float](0).map(f => math.floor(f.toDouble * 1e6) / 1e6)
+      }
+    def assign(m: IndexedSeq[(Int, Seq[Double])]): DataFrame =
+      base.withColumn("cluster",
+        element_at(graft.functions.NearestCells(col("__v"),
+          m.map(_._2), m.map(_._1)), 1))
+    // integer-micros mean — order-free long sums, one double divide
+    // chain, same derivation as the q21 oracle
+    def update(assigned: DataFrame): DataFrame = assigned
+      .select(col("cluster"), posexplode(col("__v")).as(Seq("dim", "__val")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg((sum(floor(col("__val").cast("double") * lit(1000000.0)).cast("long"))
+        .cast("double") / 1000000.0 / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n"))
+    var model: DataFrame = update(assign(cents))
+    for (_ <- 2 to iters) {
+      cents = collectModel(model)
+      model = update(assign(cents))
+    }
+    model
+  }
+
+  /** Collects a (cluster, dim, centroid) model table into the baked-
+    * constant form NearestCells wants: per-cluster dim-ordered vectors,
+    * cluster-ascending. */
+  private def collectModel(model: DataFrame): IndexedSeq[(Int, Seq[Double])] =
+    model
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("ps"))
+      .select(col("cluster"),
+        transform(col("ps"), p => p.getField("centroid")).as("cvec"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toIndexedSeq
+
+  /** The inference half of [[kmeansFit]]: tag each row with its
+    * argmax-dot cluster from a trained model (collected once at call
+    * time — a trained-model constant; the tagging itself is a narrow
+    * codegen'd projection, zero shuffle at any scale). The `cluster`
+    * column then slots straight into [[ivfTopK]]'s `label` argument. */
+  def kmeansAssign(df: DataFrame, vec: Column, model: DataFrame): DataFrame = {
+    val cents = collectModel(model)
+    require(cents.nonEmpty, "kmeansAssign with an empty model")
+    df.withColumn("cluster",
+      element_at(graft.functions.NearestCells(vec,
+        cents.map(_._2), cents.map(_._1)), 1))
+  }
+
   /** Skew-safe equi-join: the big side's hot keys are spread over `salts`
     * sub-partitions and the small side is replicated once per salt. Result
     * identical to `big.join(small, key)`; only the shuffle layout changes.

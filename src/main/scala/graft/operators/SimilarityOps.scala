@@ -193,5 +193,70 @@ object SimilarityOps {
       FROM ranked WHERE rank <= 3
       ORDER BY probe_id, rank"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34)
+  // ---------------------------------------------------------------- q48
+  /** DuckDB sequential-fold dot of an embedding against a DOUBLE[] list
+    * column — same op order as NearestCells' JVM loop (q34-proven). */
+  private def dotColSql(e: String, c: String): String =
+    s"list_reduce(list_transform(range(1, ${DIM + 1}), i -> CAST($e[i] AS DOUBLE) * list_extract($c, i)), (p, q) -> p + q)"
+
+  /** k-means trainer, 2 Lloyd rounds at k=5 with hash-min seeds — the
+    * training seam of the IVF family (q34 consumes a centroid table
+    * exactly like the one this trains). Every arithmetic step is the
+    * proven-portable machinery of q21/q34: portable-hash seed pick,
+    * micros-quantized centroids, sequential-fold dot assignment with
+    * (score desc, cluster asc) ties, integer-micros mean updates. */
+  val q48 = QueryDef("q48_kmeans_train",
+    (s, dir) =>
+      graft.api.GraftOps.kmeansFit(emb(s, dir), col("vec_id"), col("embedding"),
+          k = 5, iters = 2)
+        .orderBy("cluster", "dim"),
+    Some(s"""
+      WITH hashed AS (
+        SELECT vec_id, embedding,
+          ${Duck.ph("'km|' || CAST(vec_id AS VARCHAR)")} AS h
+        FROM embeddings),
+      seeds AS (
+        SELECT embedding,
+          CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cluster
+        FROM hashed ORDER BY h, vec_id LIMIT 5),
+      cvec0 AS (
+        SELECT cluster,
+          list_transform(range(1, ${DIM + 1}),
+            i -> floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) / 1000000.0) AS cvec
+        FROM seeds),
+      scored1 AS (
+        SELECT e.vec_id, e.embedding, c.cluster,
+          ${dotColSql("e.embedding", "c.cvec")} AS score
+        FROM embeddings e, cvec0 c),
+      asg1 AS (
+        SELECT vec_id, embedding, cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+          FROM scored1) WHERE rn = 1),
+      cent1 AS (
+        SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
+          CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 / COUNT(*) AS centroid
+        FROM asg1, (SELECT unnest(range(1, ${DIM + 1})) AS i) idx
+        GROUP BY cluster, dim),
+      cvec1 AS (
+        SELECT cluster,
+          list_transform(list_sort(list({'dim': dim, 'cv': centroid})), p -> p.cv) AS cvec
+        FROM cent1 GROUP BY cluster),
+      scored2 AS (
+        SELECT e.vec_id, e.embedding, c.cluster,
+          ${dotColSql("e.embedding", "c.cvec")} AS score
+        FROM embeddings e, cvec1 c),
+      asg2 AS (
+        SELECT vec_id, embedding, cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+          FROM scored2) WHERE rn = 1)
+      SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
+        CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+          / 1000000.0 / COUNT(*) AS centroid,
+        COUNT(*) AS n
+      FROM asg2, (SELECT unnest(range(1, ${DIM + 1})) AS i) idx
+      GROUP BY cluster, dim
+      ORDER BY cluster, dim"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48)
 }

@@ -482,6 +482,55 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("kmeansFit recovers planted blobs and kmeansAssign matches a driver reference") {
+    import spark.implicits._
+    // Seeds are the k ids with the smallest portable hash — compute them
+    // in the test and PLANT one seed inside each blob, so 2 Lloyd rounds
+    // must converge to the blob partition (near-orthogonal blob axes).
+    val ids = (0L until 30L)
+    val seedIds = ids.sortBy(i => (graft.functions.Portable.phashJvm(s"km|$i"), i)).take(3)
+    val blobOf: Long => Int = { id =>
+      val s = seedIds.indexOf(id)
+      if (s >= 0) s else (id % 3).toInt
+    }
+    val axis = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val rows = ids.map { id =>
+      val b = blobOf(id)
+      val jit = 0.01f * (id % 5)
+      (id, axis(b).zipWithIndex.map { case (v, d) =>
+        if (d == 3) jit else v + (if (d == b) 0f else jit * 0.1f) }.toSeq)
+    }
+    val df = rows.toDF("id", "emb")
+    val model = GraftOps.kmeansFit(df, col("id"), col("emb"), k = 3, iters = 2)
+    val collected = model.collect()
+    assert(collected.map(_.getInt(0)).distinct.sorted.toSeq == Seq(0, 1, 2))
+    assert(collected.length == 12, "3 clusters x 4 dims")
+    // member counts: n is repeated per dim — each cluster must hold a
+    // whole blob (10 rows)
+    val ns = collected.map(r => r.getInt(0) -> r.getLong(3)).distinct.toMap
+    val planted = ids.groupBy(blobOf).map { case (b, xs) => b -> xs.size.toLong }
+    assert(ns == planted, s"cluster sizes $ns must equal planted blob sizes $planted")
+    // assignment purity: every row lands in its blob's seed cluster
+    val tagged = GraftOps.kmeansAssign(df, col("emb"), model)
+      .select(col("id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ids.foreach(id => assert(tagged(id) == blobOf(id),
+      s"row $id should sit with seed ${blobOf(id)}: got ${tagged(id)}"))
+    // kmeansAssign equals an exact driver-side argmax-dot reference
+    val cents = collected.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.sortBy(_._2).map(_._3) }
+    rows.foreach { case (id, emb) =>
+      val best = cents.toSeq.map { case (c, w) =>
+        (emb.zip(w).map { case (x, y) => x.toDouble * y }.sum, c) }
+        .maxBy { case (d, c) => (d, -c) }._2
+      assert(tagged(id) == best, s"row $id: engine ${tagged(id)} vs reference $best")
+    }
+    // determinism: an identical second fit produces identical output
+    val again = GraftOps.kmeansFit(df, col("id"), col("emb"), k = 3, iters = 2)
+      .orderBy("cluster", "dim").collect().toSeq
+    assert(model.orderBy("cluster", "dim").collect().toSeq == again)
+  }
+
   test("fast-path applyDedup broadcasts the cluster table, no LocalRelation") {
     import spark.implicits._
     val corpus = spark.range(2000).select(col("id"), (col("id") % 7).as("grp"))
