@@ -6,10 +6,12 @@ import graft.{QueryDef, Tables}
 import graft.functions.Portable
 
 /** Multimodal-column plumbing (SURVEY.md §2.2 ext): media ride through the
-  * engine as opaque `binary` payload columns + typed metadata structs; the
-  * per-frame decode/feature step is a batched `mapPartitions` operator
-  * whose actual codec is STUBBED (no image/audio libs in this container) —
-  * the Spark-side shape (schema, partitioning, batch iteration) is real.
+  * engine as opaque `binary` payload columns + typed metadata structs.
+  * [[MultimodalOps.decodeImages]] is a REAL image decoder (JDK ImageIO —
+  * PNG/BMP/GIF/JPEG ship with the JVM); the frame/video decode step
+  * ([[MultimodalOps.decodeFrames]]) stays a deterministic STUB (no video
+  * codec libs in this container) with the Spark-side shape — schema,
+  * partitioning, batched iteration — real and contract-pinned.
   */
 object MultimodalOps {
 
@@ -39,6 +41,55 @@ object MultimodalOps {
             val feature = java.lang.Long.parseLong(
               d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
             Frame(docId, f, f.toLong * frameStride, feature)
+          }
+        }
+      }
+  }
+
+  /** One decoded image row: real pixel stats from a real codec. */
+  case class DecodedImage(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, mean_luma: Double, ok: Boolean)
+
+  /** REAL image decoding over the same batched-mapPartitions seam as
+    * [[decodeFrames]]: JDK `javax.imageio.ImageIO` — PNG/BMP/GIF/JPEG
+    * readers ship inside the JVM, no external libraries (works headless).
+    * Emits per-image dimensions and mean RGB luma (the cheapest honest
+    * "feature extract"). A payload no codec accepts (or that throws
+    * mid-stream) comes back `ok = false` with zeroed stats instead of
+    * failing the task — the 100 TB contract for dirty media corpora: a
+    * corrupt blob must neither kill the job nor vanish silently (same
+    * stance as the text scans' PERMISSIVE corrupt-record capture).
+    *
+    * The q26/q39 fixture queries intentionally keep the deterministic
+    * stub (their payloads are synthetic text bytes, not media); this is
+    * the drop-in real codec for corpora that carry actual images. */
+  def decodeImages(payload: DataFrame): Dataset[DecodedImage] = {
+    val spark = payload.sparkSession
+    import spark.implicits._
+    payload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null } // corrupt stream ≠ job failure
+          if (img == null) DecodedImage(docId, 0, 0, 0L, 0.0, ok = false)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            DecodedImage(docId, w, h, w.toLong * h,
+              sum.toDouble / (3.0 * w * h), ok = true)
           }
         }
       }

@@ -734,6 +734,33 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out(6L) == (0, "v10.123.4567 build"))
   }
 
+  test("decodeImages: real JDK ImageIO decode of PNG/BMP payloads, corrupt-safe") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // real encoded images, built in-test: a solid-color PNG and a
+    // two-tone BMP whose mean luma is analytically exact
+    def encoded(w: Int, h: Int, fmt: String)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK must encode $fmt")
+      bos.toByteArray
+    }
+    val solid = encoded(8, 4, "png")((_, _) => 0x406080) // r=64 g=96 b=128
+    val twoTone = encoded(4, 4, "bmp")((x, _) => if (x < 2) 0x000000 else 0xffffff)
+    val corrupt = Array[Byte](1, 2, 3, 4)
+    val df = Seq((1L, solid), (2L, twoTone), (3L, corrupt))
+      .toDF("doc_id", "payload")
+    val out = graft.operators.MultimodalOps.decodeImages(df)
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out(1L).ok && out(1L).width == 8 && out(1L).height == 4 &&
+      out(1L).n_pixels == 32L)
+    assert(out(1L).mean_luma == (64 + 96 + 128) / 3.0, "solid color is exact")
+    assert(out(2L).ok && out(2L).mean_luma == 127.5, "half black half white")
+    assert(!out(3L).ok && out(3L).n_pixels == 0L,
+      "a corrupt payload degrades to ok=false, never kills the task")
+  }
+
   test("decodeFrames stub decoder matches the q26 expression-path frame relation") {
     // The mapPartitions decoder and q26's pure-expression path must agree
     // row-for-row, so swapping a real codec into decodeFrames has a pinned
