@@ -95,6 +95,77 @@ object MultimodalOps {
       }
   }
 
+  /** One resized-image row: the re-encoded payload plus its new dims. */
+  case class ResizedImage(doc_id: Long, payload: Array[Byte], width: Int,
+      height: Int, ok: Boolean)
+
+  /** REAL pixel resize (not just the [[resizeMeta]] metadata math): JDK
+    * ImageIO decode → Graphics2D bilinear scaled draw → PNG re-encode,
+    * headless-safe, no external libraries. Un-decodable payloads pass
+    * through unchanged with `ok = false` (never dropped, never fatal) so
+    * a downstream audit can count and inspect them. */
+  def resizeImages(payload: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedImage] = {
+    require(targetW > 0 && targetH > 0, s"target dims must be positive; got ${targetW}x$targetH")
+    val spark = payload.sparkSession
+    import spark.implicits._
+    payload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) ResizedImage(docId, bytes, 0, 0, ok = false)
+          else {
+            val dst = new java.awt.image.BufferedImage(targetW, targetH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            ResizedImage(docId, bos.toByteArray, targetW, targetH, ok = true)
+          }
+        }
+      }
+  }
+
+  /** One parsed audio row: real WAV/AIFF/AU header metadata. */
+  case class AudioMeta(doc_id: Long, encoding: String, sample_rate: Float,
+      channels: Int, frames: Long, duration_sec: Double, ok: Boolean)
+
+  /** REAL audio metadata extraction via JDK `javax.sound.sampled` (WAV /
+    * AIFF / AU parsers ship with the JVM): sample rate, channels, frame
+    * count, duration. Header-only — it never decodes sample data, so at
+    * 100 TB this reads a few hundred bytes per blob. Unparseable
+    * payloads → `ok = false`, zeroed fields. */
+  def decodeAudioMeta(payload: DataFrame): Dataset[AudioMeta] = {
+    val spark = payload.sparkSession
+    import spark.implicits._
+    payload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          try {
+            val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = aff.getFormat
+            val frames = aff.getFrameLength.toLong
+            val dur =
+              if (fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble else 0.0
+            AudioMeta(docId, fmt.getEncoding.toString, fmt.getSampleRate,
+              fmt.getChannels, frames, dur, ok = true)
+          } catch { case _: Exception =>
+            AudioMeta(docId, "", 0f, 0, 0L, 0.0, ok = false)
+          }
+        }
+      }
+  }
+
   /** Frame sampling: keep every `n`-th frame (the cheap end of the
     * decode pipeline — a pure narrow filter, applied BEFORE expensive
     * per-frame work at scale). */

@@ -761,6 +761,43 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       "a corrupt payload degrades to ok=false, never kills the task")
   }
 
+  test("resizeImages really rescales pixels; decodeAudioMeta parses real WAV headers") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // resize: an 8x8 solid image resized to 4x2 must decode back at 4x2
+    // with the same solid color (bilinear of a constant is the constant)
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x204060)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val in = Seq((1L, bos.toByteArray), (2L, Array[Byte](9, 9, 9)))
+      .toDF("doc_id", "payload")
+    val rz = graft.operators.MultimodalOps.resizeImages(in, 4, 2)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(rz(1L).ok && rz(1L).width == 4 && rz(1L).height == 2)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rz(1L).payload))
+    assert(back.getWidth == 4 && back.getHeight == 2)
+    assert((back.getRGB(2, 1) & 0xffffff) == 0x204060, "constant image stays constant")
+    assert(!rz(2L).ok && rz(2L).payload.toSeq == Seq[Byte](9, 9, 9),
+      "undecodable payload passes through unchanged, flagged")
+    // audio: a real 16-bit mono 8kHz WAV synthesized in-test
+    val afmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](1600) // 800 frames = 0.1 s
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), afmt, 800)
+    val wav = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wav)
+    val audio = Seq((10L, wav.toByteArray), (11L, Array[Byte](0, 1)))
+      .toDF("doc_id", "payload")
+    val am = graft.operators.MultimodalOps.decodeAudioMeta(audio)
+      .collect().map(a => a.doc_id -> a).toMap
+    assert(am(10L).ok && am(10L).sample_rate == 8000f && am(10L).channels == 1 &&
+      am(10L).frames == 800L && math.abs(am(10L).duration_sec - 0.1) < 1e-9)
+    assert(!am(11L).ok)
+  }
+
   test("decodeFrames stub decoder matches the q26 expression-path frame relation") {
     // The mapPartitions decoder and q26's pure-expression path must agree
     // row-for-row, so swapping a real codec into decodeFrames has a pinned
