@@ -482,6 +482,27 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("trained kmeans clusters slot into ivfTopK as its coarse quantizer") {
+    import spark.implicits._
+    // the advertised integration: fit -> assign -> use `cluster` as
+    // ivfTopK's label; nprobe = |trained cells| must still equal exact kNN
+    val rnd = new scala.util.Random(23)
+    val vecs = (1L to 60L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vid", "v")
+    val model = GraftOps.kmeansFit(vecs, col("vid"), col("v"), k = 4, iters = 2)
+    val tagged = GraftOps.kmeansAssign(vecs, col("v"), model)
+    val nCells = model.select("cluster").distinct().count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("id"))).toSet
+    val exact = rows(GraftOps.knn(vecs, vecs.filter(col("vid") <= 3),
+      col("vid"), col("v"), col("vid"), col("v"), k = 3))
+    val viaTrained = rows(GraftOps.ivfTopK(tagged, col("vid"), col("v"),
+      col("cluster"), col("vid") <= 3, k = 3, nprobe = nCells))
+    assert(viaTrained == exact,
+      "ivf over TRAINED cells at nprobe=|cells| must equal exact kNN")
+  }
+
   test("kmeansFit recovers planted blobs and kmeansAssign matches a driver reference") {
     import spark.implicits._
     // Seeds are the k ids with the smallest portable hash — compute them
