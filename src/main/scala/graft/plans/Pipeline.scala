@@ -168,6 +168,20 @@ object PipelineCompiler {
       val aggs = arg(args, "aggs").split(';').toIndexedSeq.map(expr)
       Map("outport1" -> in("inport1").groupBy(g: _*).agg(aggs.head, aggs.tail: _*))
     }),
+    // Multimodal transforms: real JDK codecs behind the batched
+    // mapPartitions seam (MultimodalOps) — a media ingest
+    // (decode → resize → audio meta) composes in XML like any operator.
+    // Inputs need (doc_id, payload binary) columns; un-decodable payloads
+    // surface as ok=false rows, never task failures.
+    "decodeImages" -> ((_, in, _) =>
+      Map("outport1" ->
+        graft.operators.MultimodalOps.decodeImages(in("inport1")).toDF())),
+    "resizeImages" -> ((_, in, args) =>
+      Map("outport1" -> graft.operators.MultimodalOps.resizeImages(in("inport1"),
+        arg(args, "targetW").toInt, arg(args, "targetH").toInt).toDF())),
+    "decodeAudioMeta" -> ((_, in, _) =>
+      Map("outport1" ->
+        graft.operators.MultimodalOps.decodeAudioMeta(in("inport1")).toDF())),
     // Sinks: terminal, empty port map (ref R3 KafkaOutput returns no
     // downstream ports, KafkaOutput.java:18-19).
     "viewSink" -> ((_, in, args) => {

@@ -42,6 +42,35 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     } finally java.nio.file.Files.delete(f)
   }
 
+  test("multimodal ops compose in XML: decode -> resize over real PNG payloads") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(6, 6, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 6) img.setRGB(x, y, 0x804020)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    Seq((1L, bos.toByteArray), (2L, Array[Byte](3)))
+      .toDF("doc_id", "payload").createOrReplaceTempView("media_payloads")
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="src" class="viewInput">
+          <arg key="table" value="media_payloads"/>
+        </operator>
+        <operator name="dec" class="decodeImages"/>
+        <operator name="rz" class="resizeImages">
+          <arg key="targetW" value="3"/><arg key="targetH" value="3"/>
+        </operator>
+        <connect from="src.outport1" to="dec.inport1"/>
+        <connect from="src.outport1" to="rz.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val dec = ports("dec.outport1").collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Boolean]("ok")).toMap
+    assert(dec == Map(1L -> true, 2L -> false))
+    val rz = ports("rz.outport1").filter("ok").collect()
+    assert(rz.length == 1 && rz(0).getAs[Int]("width") == 3)
+  }
+
   test("diamond DAG topology compiles (join of two branches)") {
     val spec = PipelineSpec(
       nodes = Seq(
