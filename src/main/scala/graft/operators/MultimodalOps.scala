@@ -266,5 +266,47 @@ object MultimodalOps {
       FROM f
       ORDER BY doc_id, frame_idx"""))
 
-  val all: Seq[QueryDef] = Seq(q26, q39)
+  // ---------------------------------------------------------------- q49
+  /** Real-codec roundtrip over the documents table: synthesize one
+    * deterministic PNG per doc (dims + pixels hash-derived from doc_id),
+    * decode it back through [[decodeImages]], emit the decoded stats.
+    * Rows-only at the gate — no SQL engine decodes PNG, so there is no
+    * oracle (q09b/q15b/q29b precedent); the EXACT pixel-stat contract is
+    * spec-asserted instead (GraftOpsSpec), and the output here is fully
+    * deterministic: decoded dimensions and luma depend only on the
+    * pixels we set, never on encoder byte layout. */
+  val q49 = QueryDef("q49_image_codec_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (id % 7 + 2).toInt
+            val h = (id % 5 + 2).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = ((id * 31 + x * 7 + y * 3) % 256).toInt
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("doc_id", "payload")
+      decodeImages(payloads).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          col("mean_luma"), col("ok"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(q26, q39, q49)
 }

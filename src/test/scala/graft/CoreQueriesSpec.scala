@@ -74,7 +74,8 @@ class CoreQueriesSpec extends AnyFunSuite with SharedSpark {
     // every query except the explicitly rows-only ones has an oracle
     val rowsOnly = names -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q15b_approx_distinct", "q29b_percentiles_approx",
-      "q09b_math_libm"), // sketches aren't engine-portable; libm isn't bit-exact
+      "q09b_math_libm", // sketches aren't engine-portable; libm isn't bit-exact
+      "q49_image_codec_roundtrip"), // no SQL engine decodes PNG; spec-exact instead
       s"unexpected rows-only: $rowsOnly")
   }
 

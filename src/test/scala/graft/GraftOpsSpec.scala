@@ -819,6 +819,23 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(!am(11L).ok)
   }
 
+  test("q49 image-codec roundtrip stats match the analytic pixel values") {
+    val out = graft.SparkEntry.queries("q49_image_codec_roundtrip")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.nonEmpty && out.values.forall(_.getAs[Boolean]("ok")),
+      "every synthesized PNG must decode")
+    for (id <- Seq(0L, 13L, 199L) if out.contains(id)) {
+      val w = (id % 7 + 2).toInt
+      val h = (id % 5 + 2).toInt
+      val mean = (for (y <- 0 until h; x <- 0 until w)
+        yield ((id * 31 + x * 7 + y * 3) % 256).toDouble).sum / (w * h)
+      val r = out(id)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(math.abs(r.getAs[Double]("mean_luma") - mean) < 1e-9,
+        s"id $id: decoded luma must equal the analytic gray mean")
+    }
+  }
+
   test("decodeFrames stub decoder matches the q26 expression-path frame relation") {
     // The mapPartitions decoder and q26's pure-expression path must agree
     // row-for-row, so swapping a real codec into decodeFrames has a pinned
