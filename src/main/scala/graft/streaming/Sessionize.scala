@@ -22,6 +22,44 @@ object Sessionize {
   case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, sum_value: Double)
 
+  /** The shared per-batch interval sweep, used by BOTH stateful APIs so
+    * their semantics are identical by construction: gap-merge the open
+    * interval + this batch's arrivals exactly like the batch q28
+    * algorithm, emit every closed interval, keep the latest open.
+    * Consequences, all deterministic:
+    *  - in-gap events (early OR late) widen the session they touch and
+    *    never shrink it (start/end take min/max);
+    *  - past-gap late events form their OWN earlier sessions, and several
+    *    near each other in the SAME batch merge into one session —
+    *    matching batch semantics (they used to emit as per-event
+    *    singletons, the one knowing batch divergence before round 6);
+    *  - past-gap late events split across DIFFERENT batches still cannot
+    *    merge with each other — the inherent cost of O(1)-per-key state;
+    *    batch q28 with its global view remains the reconciliation path
+    *    for heavily-late replays. */
+  private[streaming] def sweep(userId: Long, openOpt: Option[OpenSession],
+      rows: Iterator[Event], gapMs: Long)
+      : (Iterator[Session], Option[OpenSession]) = {
+    val items = (openOpt.toSeq ++ rows.map(e =>
+        OpenSession(e.ts.getTime, e.ts.getTime, 1,
+          math.floor(e.value * 100).toLong)))
+      .sortBy(s => (s.start, s.end))
+    if (items.isEmpty) (Iterator.empty, None)
+    else {
+      var closed = List.empty[OpenSession]
+      var cur = items.head
+      for (s <- items.tail) {
+        if (s.start <= cur.end + gapMs)
+          cur = OpenSession(cur.start, math.max(cur.end, s.end),
+            cur.n + s.n, cur.sumCents + s.sumCents)
+        else { closed ::= cur; cur = s }
+      }
+      (closed.reverse.iterator.map(s =>
+        Session(userId, new Timestamp(s.start), new Timestamp(s.end),
+          s.n, s.sumCents / 100.0)), Some(cur))
+    }
+  }
+
   def apply(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000)
       : Dataset[Session] = {
     val spark = events.sparkSession
@@ -32,39 +70,9 @@ object Sessionize {
       .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
-          // micro-batch arrivals must be processed in event-time order for
-          // deterministic gap detection
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var out = List.empty[Session]
-          var cur = state.getOption
-          for (e <- sorted) {
-            val t = e.ts.getTime
-            val cents = math.floor(e.value * 100).toLong
-            cur match {
-              // merge only when the event is within gap of the session
-              // INTERVAL: `t <= end+gap` alone would also merge a late
-              // event arbitrarily far BEFORE the session start, widening
-              // across a real gap. min/max still let an in-gap late event
-              // widen the session, never shrink it.
-              case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
-                cur = Some(s.copy(start = math.min(s.start, t),
-                  end = math.max(s.end, t), n = s.n + 1,
-                  sumCents = s.sumCents + cents))
-              case Some(s) if t < s.start - gapMs =>
-                // past-gap late event: a completed earlier session of its
-                // own (single-open-session state can't reopen history)
-                out ::= Session(userId, new Timestamp(t), new Timestamp(t),
-                  1, cents / 100.0)
-              case Some(s) =>
-                out ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end),
-                  s.n, s.sumCents / 100.0)
-                cur = Some(OpenSession(t, t, 1, cents))
-              case None =>
-                cur = Some(OpenSession(t, t, 1, cents))
-            }
-          }
-          cur.foreach(state.update)
-          out.reverse.iterator
+          val (closed, nextOpen) = sweep(userId, state.getOption, rows, gapMs)
+          nextOpen.foreach(state.update)
+          closed
       }
   }
 }

@@ -24,33 +24,12 @@ object SessionizeTws {
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[Session] = {
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      var out = List.empty[Session]
-      var cur = if (open.exists()) Some(open.get()) else None
-      for (e <- sorted) {
-        val t = e.ts.getTime
-        val cents = math.floor(e.value * 100).toLong
-        cur match {
-          // interval guard + widen-never-shrink (see Sessionize for the
-          // full rationale; semantics kept identical across both APIs)
-          case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
-            cur = Some(s.copy(start = math.min(s.start, t),
-              end = math.max(s.end, t), n = s.n + 1,
-              sumCents = s.sumCents + cents))
-          case Some(s) if t < s.start - gapMs =>
-            // past-gap late event: emitted as its own earlier session
-            out ::= Session(userId, new Timestamp(t), new Timestamp(t),
-              1, cents / 100.0)
-          case Some(s) =>
-            out ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end),
-              s.n, s.sumCents / 100.0)
-            cur = Some(OpenSession(t, t, 1, cents))
-          case None =>
-            cur = Some(OpenSession(t, t, 1, cents))
-        }
-      }
-      cur.foreach(open.update)
-      out.reverse.iterator
+      // identical semantics to Sessionize BY CONSTRUCTION: both APIs run
+      // the same shared interval sweep (see Sessionize.sweep)
+      val (closed, nextOpen) = Sessionize.sweep(userId,
+        if (open.exists()) Some(open.get()) else None, rows, gapMs)
+      nextOpen.foreach(open.update)
+      closed
     }
   }
 

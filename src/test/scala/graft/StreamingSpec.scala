@@ -250,6 +250,34 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("S5e: past-gap late events in ONE batch gap-merge like batch q28") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Sessionize.Event]
+    val q = Sessionize(input.toDS()).writeStream.format("memory").queryName("s5e")
+      .outputMode("append").start()
+    try {
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // two late events within gap of EACH OTHER, both past-gap before the
+      // open session: batch semantics makes them ONE 2-event session, not
+      // two singletons (the pre-round-6 behavior)
+      input.addData(
+        Sessionize.Event(1L, ts("2024-01-01 08:00:00"), 2.0),
+        Sessionize.Event(1L, ts("2024-01-01 08:10:00"), 3.0))
+      q.processAllAvailable()
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 12:00:00"), 1.0)) // close 10:00
+      q.processAllAvailable()
+      val done = spark.table("s5e").as[Sessionize.Session].collect()
+        .sortBy(_.session_start.getTime)
+      assert(done.length == 2, s"merged late session + closed 10:00, got ${done.toSeq}")
+      assert(done(0).session_start == ts("2024-01-01 08:00:00") &&
+        done(0).session_end == ts("2024-01-01 08:10:00") &&
+        done(0).n_events == 2 && done(0).sum_value == 5.0)
+      assert(done(1).session_start == ts("2024-01-01 10:00:00") && done(1).n_events == 1)
+    } finally q.stop()
+  }
+
   test("S7: reference 10 s micro-batch trigger parity (OpContainer.java:47-49)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
