@@ -94,13 +94,24 @@ object PipelineCompiler {
   /** Streaming sinks honor an optional `triggerMs` arg; absent, they run on
     * the reference's fixed 10 s micro-batch cadence (OpContainer.java:47-49
     * → StreamingOps.ReferenceTrigger). `triggerMs=0` = as-fast-as-possible
-    * micro-batches (what tests want under processAllAvailable). */
+    * micro-batches (what tests want under processAllAvailable).
+    * `trigger=availableNow` instead runs the catch-up mode: consume
+    * everything currently available in bounded micro-batches, then STOP —
+    * how a 100 TB backfill replays a stream pipeline as a finite job with
+    * the same exactly-once state/checkpoint semantics. */
   private def triggerOf(args: Map[String, String]) =
-    args.get("triggerMs").map(_.toLong) match {
-      case Some(ms) if ms > 0 =>
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms)
-      case Some(_) => org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
-      case None    => graft.streaming.StreamingOps.ReferenceTrigger
+    args.get("trigger") match {
+      case Some("availableNow") =>
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      case Some(other) =>
+        throw new PipelineException(
+          s"unknown trigger '$other' (supported: availableNow, or use triggerMs)")
+      case None => args.get("triggerMs").map(_.toLong) match {
+        case Some(ms) if ms > 0 =>
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms)
+        case Some(_) => org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+        case None    => graft.streaming.StreamingOps.ReferenceTrigger
+      }
     }
 
   /** Sealed operator registry (ref R8 parity, minus reflection). */

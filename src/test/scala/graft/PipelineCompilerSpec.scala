@@ -85,6 +85,39 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(ports.contains("uni.outport1"))
   }
 
+  test("trigger=availableNow runs the spec as a finite catch-up job that self-stops") {
+    val dir = java.nio.file.Files.createTempDirectory("an-in")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      """{"id": 7, "v": "x"}""" + "\n" + """{"id": 8, "v": "y"}""" + "\n")
+    val xml = s"""
+      <pipeline>
+        <operator name="src" class="fileStreamInput">
+          <arg key="schema" value="id BIGINT, v STRING"/>
+          <arg key="format" value="json"/>
+          <arg key="path" value="${dir.toUri}"/>
+        </operator>
+        <operator name="sink" class="memoryStreamSink">
+          <arg key="name" value="an_out"/>
+          <arg key="trigger" value="availableNow"/>
+        </operator>
+        <connect from="src.outport1" to="sink.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(xml), spark)
+    val q = spark.streams.active.find(_.name == "an_out")
+      .getOrElse(fail("availableNow query not started"))
+    try {
+      // AvailableNow consumes what exists, then TERMINATES on its own —
+      // the backfill contract (a ProcessingTime query would idle forever)
+      assert(q.awaitTermination(60000), "query must self-stop after catch-up")
+      assert(spark.table("an_out").count() == 2)
+    } finally if (q.isActive) q.stop()
+    // unknown trigger names fail the compile loudly, not silently default
+    val bad = xml.replace("availableNow", "continuousish")
+    val e = intercept[PipelineException](
+      PipelineCompiler.compile(PipelineSpec.parseXml(bad), spark))
+    assert(e.getMessage.contains("unknown trigger"))
+  }
+
   test("STREAMING spec compiles from XML end-to-end (ref S1 flow, 10 s trigger)") {
     // The reference's defining capability is a *streaming* XML DAG
     // (KafkaInput→AddField→KafkaOutput on a 10 s cadence). Connector-free
