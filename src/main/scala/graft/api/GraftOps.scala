@@ -588,6 +588,93 @@ object GraftOps {
         cents.map(_._2), cents.map(_._1)), 1))
   }
 
+  /** Product-quantization trainer: one [[kmeansFit]] per length-`dim/m`
+    * subvector slice — the memory-compression half of an IVF-PQ index
+    * (IVF prunes WHICH rows a probe scores; PQ shrinks WHAT each scored
+    * row stores, `dim` floats → `m` small ints). All arithmetic is the
+    * kmeansFit family's engine-portable machinery (portable-hash seeds —
+    * the same `k` seed ROWS in every subspace — micros-quantized
+    * centroids, sequential-dot assignment, integer-micros means).
+    *
+    * Returns (subspace, cluster, dim, centroid, n) with `dim` the
+    * within-subspace index; feed it to [[pqEncode]] / [[pqTopK]]. Eager
+    * like any trainer (runs `m`·`iters` rounds when called). */
+  def pqFit(df: DataFrame, id: Column, vec: Column, dim: Int, m: Int,
+      ksub: Int, iters: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      kmeansFit(df, id, slice(vec, s * sub + 1, sub), ksub, iters)
+        .select(lit(s).as("subspace"), col("cluster"), col("dim"),
+          col("centroid"), col("n"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Collects a pqFit model into per-subspace (ascending labels, matching
+    * centroid vectors) — the baked-constant form the PQ expressions want.
+    * A trained-model constant: m·ksub·(dim/m) doubles total. */
+  private def collectPqModel(model: DataFrame): IndexedSeq[(IndexedSeq[Int], IndexedSeq[Seq[Double]])] = {
+    val rows = model
+      .groupBy(col("subspace"), col("cluster"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("ps"))
+      .select(col("subspace"), col("cluster"),
+        transform(col("ps"), p => p.getField("centroid")).as("cvec"))
+      .collect()
+    require(rows.nonEmpty, "pq model is empty")
+    val bySub = rows.groupBy(_.getInt(0))
+    (0 to bySub.keys.max).map { s =>
+      val cs = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+        .map(r => (r.getInt(1), r.getSeq[Double](2))).sortBy(_._1)
+      require(cs.nonEmpty, s"pq model has no centroids for subspace $s")
+      (cs.map(_._1).toIndexedSeq, cs.map(_._2).toIndexedSeq)
+    }
+  }
+
+  private def pqCodesCol(vec: Column,
+      mdl: IndexedSeq[(IndexedSeq[Int], IndexedSeq[Seq[Double]])], dim: Int): Column = {
+    val m = mdl.size
+    require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val sub = dim / m
+    array((0 until m).map { s =>
+      element_at(graft.functions.NearestCells(
+        slice(vec, s * sub + 1, sub), mdl(s)._2, mdl(s)._1), 1)
+    }: _*)
+  }
+
+  /** The encode half of PQ: adds `codes` (array<int>, one sub-centroid id
+    * per subspace — argmax sequential dot, cluster-asc ties, one codegen'd
+    * NearestCells pass per subspace). A narrow zero-shuffle projection; at
+    * rest the codes column replaces the embedding at ~`4·m` bytes/row. */
+  def pqEncode(df: DataFrame, vec: Column, model: DataFrame, dim: Int): DataFrame =
+    df.withColumn("codes", pqCodesCol(vec, collectPqModel(model), dim))
+
+  /** PQ approximate top-k by asymmetric distance (ADC): corpus rows carry
+    * ONLY their codes (the probe keeps its full vector), each candidate is
+    * scored by one codegen'd [[graft.functions.PqAdcScore]] — the dot of
+    * the probe against the row's reconstruction, never materializing it.
+    *
+    * Scale shape: the scan side is (id, m ints) — the point of PQ: at
+    * 100 TB the ADC pass reads the compact code column, not the `dim`
+    * floats; probes broadcast (same non-equi shape as [[knn]], so this
+    * scans corpus×probes — compose with IVF routing ([[kmeansAssign]] →
+    * filter on the probe's cells) when the corpus side needs pruning
+    * too). Ordering: adc desc, id asc — deterministic. */
+  def pqTopK(corpus: DataFrame, id: Column, vec: Column, isProbe: Column,
+      model: DataFrame, dim: Int, k: Int): DataFrame = {
+    val mdl = collectPqModel(model)
+    val e = corpus.select(id.as("__vid"), vec.as("__v"), isProbe.as("__isp"))
+    val coded = e.select(col("__vid"), pqCodesCol(col("__v"), mdl, dim).as("codes"))
+    val probes = e.filter(col("__isp"))
+      .select(col("__vid").as("probe_id"), col("__v").as("__pv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("__vid"))
+    coded.join(broadcast(probes), col("__vid") =!= col("probe_id"))
+      .withColumn("adc", graft.functions.PqAdcScore(col("__pv"), col("codes"),
+        mdl.map(_._2), mdl.map(_._1)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
+  }
+
   /** Skew-safe equi-join: the big side's hot keys are spread over `salts`
     * sub-partitions and the small side is replicated once per salt. Result
     * identical to `big.join(small, key)`; only the shuffle layout changes.

@@ -2,15 +2,47 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** JVM helpers for baked-constant vector math (called from generated code —
   * the TextHash pattern: the loop-heavy part lives in one static method the
   * codegen emits a single call to). */
 object VectorOps {
+
+  /** Asymmetric-distance (ADC) score of a full probe vector against a
+    * PQ-coded corpus row: per subspace, the sequential-fold dot of the
+    * probe's slice with the coded sub-centroid, summed in subspace order
+    * (subspace-0 dot seeds the accumulator so the fold is exactly
+    * d0+d1+…+d(m−1) left-associated — the same order the oracle SQL
+    * states). `labels(s)` holds subspace s's surviving cluster ids
+    * ascending; an unknown code is a model/encode mismatch and throws
+    * rather than scoring garbage. */
+  def adcScore(pe: ArrayData, codes: ArrayData, cb: Array[Array[Array[Double]]],
+      labels: Array[Array[Int]]): Double = {
+    var acc = 0.0
+    var off = 0
+    var s = 0
+    while (s < cb.length) {
+      val code = codes.getInt(s)
+      val ls = labels(s)
+      var idx = -1
+      var j = 0
+      while (j < ls.length && idx < 0) { if (ls(j) == code) idx = j; j += 1 }
+      if (idx < 0) throw new IllegalStateException(
+        s"pq_adc_score: code $code absent from subspace $s codebook")
+      val w = cb(s)(idx)
+      var dot = 0.0
+      var i = 0
+      while (i < w.length) { dot += pe.getFloat(off + i).toDouble * w(i); i += 1 }
+      acc = if (s == 0) dot else acc + dot
+      off += w.length
+      s += 1
+    }
+    acc
+  }
 
   /** Labels of all centroids argsorted by (sequential-fold dot desc,
     * label asc). `labels` must arrive pre-sorted ascending — the stable
@@ -76,4 +108,55 @@ object NearestCells {
   def apply(vec: Column, cents: Seq[Seq[Double]], labels: Seq[Int]): Column =
     ColumnBridge.column(
       NearestCells(ColumnBridge.expression(vec), cents, labels))
+}
+
+/** `pq_adc_score(probe, codes)`: (array<float>, array<int>) → double —
+  * the PQ asymmetric-distance score of a probe vector against one coded
+  * row, with the whole codebook baked as a constant. One codegen'd call
+  * per candidate row; the interpreted form (per-subspace element_at into
+  * a nested lit + zip_with dot) re-walks structures per subspace outside
+  * whole-stage codegen. `cb(s)` is subspace s's centroid matrix, row
+  * order matching ascending `labels(s)`. */
+case class PqAdcScore(left: Expression, right: Expression,
+    cb: Seq[Seq[Seq[Double]]], labels: Seq[Seq[Int]]) extends BinaryExpression {
+  require(cb.nonEmpty && cb.size == labels.size, "one label list per subspace")
+  require(cb.indices.forall(s => cb(s).size == labels(s).size),
+    "one label per sub-centroid")
+  require(labels.forall(ls => ls == ls.sorted), "labels must be ascending")
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    cb.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val labelsArr: Array[Array[Int]] =
+    labels.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_score expects (array<float>, array<int>), got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  override def nullSafeEval(pe: Any, codes: Any): Any =
+    VectorOps.adcScore(pe.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      cbArr, labelsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cb", cbArr, "double[][][]")
+    val lRef = ctx.addReferenceObj("labels", labelsArr, "int[][]")
+    defineCodeGen(ctx, ev, (p, c) =>
+      s"graft.functions.VectorOps.adcScore($p, $c, $cRef, $lRef)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcScore = copy(left = newLeft, right = newRight)
+}
+
+object PqAdcScore {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(probe: Column, codes: Column, cb: Seq[Seq[Seq[Double]]],
+      labels: Seq[Seq[Int]]): Column =
+    ColumnBridge.column(PqAdcScore(ColumnBridge.expression(probe),
+      ColumnBridge.expression(codes), cb, labels))
 }

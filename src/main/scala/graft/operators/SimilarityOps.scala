@@ -258,5 +258,100 @@ object SimilarityOps {
       GROUP BY cluster, dim
       ORDER BY cluster, dim"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48)
+  // ---------------------------------------------------------------- q50
+  private val PQ_M = 4
+  private val PQ_SUBDIM = DIM / PQ_M
+  private val PQ_KSUB = 4
+
+  /** DuckDB sequential-fold dot of embedding slice [off+1, off+SUBDIM]
+    * against a SUBDIM-long DOUBLE[] list — the subspace form of q48's
+    * dotColSql (same left-fold op order as the JVM loop). */
+  private def dotSubSql(e: String, c: String, off: Int): String =
+    s"list_reduce(list_transform(range(${off + 1}, ${off + PQ_SUBDIM + 1}), i -> CAST($e[i] AS DOUBLE) * list_extract($c, i - $off)), (p, q) -> p + q)"
+
+  /** One subspace's training + encode CTE chain: quantized seed slices →
+    * one Lloyd assignment → integer-micros sub-centroids → per-vector
+    * argmax code. Mechanically the q48 chain restricted to a slice. */
+  private def pqSubspaceSql(s: Int): String = {
+    val off = s * PQ_SUBDIM
+    s"""cvec0_$s AS (
+        SELECT cluster,
+          list_transform(range(${off + 1}, ${off + PQ_SUBDIM + 1}),
+            i -> floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) / 1000000.0) AS cvec
+        FROM seeds),
+      scored1_$s AS (
+        SELECT e.vec_id, e.embedding, c.cluster,
+          ${dotSubSql("e.embedding", "c.cvec", off)} AS score
+        FROM embeddings e, cvec0_$s c),
+      asg_$s AS (
+        SELECT vec_id, embedding, cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+          FROM scored1_$s) WHERE rn = 1),
+      cent_$s AS (
+        SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
+          CAST(SUM(CAST(floor(CAST(embedding[i + $off] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 / COUNT(*) AS centroid
+        FROM asg_$s, (SELECT unnest(range(1, ${PQ_SUBDIM + 1})) AS i) idx
+        GROUP BY cluster, dim),
+      cvec_$s AS (
+        SELECT cluster,
+          list_transform(list_sort(list({'dim': dim, 'cv': centroid})), p -> p.cv) AS cvec
+        FROM cent_$s GROUP BY cluster),
+      scored2_$s AS (
+        SELECT e.vec_id, c.cluster,
+          ${dotSubSql("e.embedding", "c.cvec", off)} AS score
+        FROM embeddings e, cvec_$s c),
+      code_$s AS (
+        SELECT vec_id, cluster AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+          FROM scored2_$s) WHERE rn = 1)"""
+  }
+
+  /** Product-quantization ANN: per-subspace sub-codebooks trained with the
+    * q48 machinery (one Lloyd round, hash-min seeds — the same seed rows
+    * in every subspace), every vector coded to `PQ_M` sub-centroid ids,
+    * probes scored by ADC — the corpus side of the scan carries ONLY the
+    * codes. Every arithmetic step is the proven-portable q21/q34/q48
+    * family, so the whole train→encode→search path hash-matches DuckDB. */
+  val q50 = QueryDef("q50_ann_pq",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val model = graft.api.GraftOps.pqFit(e, col("vec_id"), col("embedding"),
+        dim = DIM, m = PQ_M, ksub = PQ_KSUB, iters = 1)
+      graft.api.GraftOps.pqTopK(e, col("vec_id"), col("embedding"),
+          col("vec_id") < 10, model, dim = DIM, k = 3)
+        .select(col("probe_id"), col("id").as("vec_id"), col("rank"), col("adc"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(s"""
+      WITH hashed AS (
+        SELECT vec_id, embedding,
+          ${Duck.ph("'km|' || CAST(vec_id AS VARCHAR)")} AS h
+        FROM embeddings),
+      seeds AS (
+        SELECT embedding,
+          CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cluster
+        FROM hashed ORDER BY h, vec_id LIMIT $PQ_KSUB),
+      ${(0 until PQ_M).map(pqSubspaceSql).mkString(",\n      ")},
+      codes AS (
+        SELECT c0.vec_id, ${(0 until PQ_M).map(s => s"c$s.code AS code$s").mkString(", ")}
+        FROM code_0 c0 ${(1 until PQ_M).map(s => s"JOIN code_$s c$s USING (vec_id)").mkString(" ")}),
+      probes AS (
+        SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+      pairs AS (
+        SELECT probe_id, v.vec_id,
+          (${(0 until PQ_M).map(s => dotSubSql("pe", s"cv$s.cvec", s * PQ_SUBDIM)).mkString(" + ")}) AS adc
+        FROM probes, codes v
+          ${(0 until PQ_M).map(s => s"JOIN cvec_$s cv$s ON cv$s.cluster = v.code$s").mkString("\n          ")}
+        WHERE v.vec_id <> probe_id),
+      ranked AS (
+        SELECT probe_id, vec_id,
+          CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adc DESC, vec_id) AS INTEGER) AS rank,
+          adc
+        FROM pairs)
+      SELECT probe_id, vec_id, rank, adc
+      FROM ranked WHERE rank <= 3
+      ORDER BY probe_id, rank"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50)
 }

@@ -19,10 +19,12 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     *    broadcast block product runs (the guarded LSH path is equi-join).
     *  - q32: the cross-join query — cartesian IS the semantics.
     *  - q35: tf-idf joins the 1-row corpus-count via broadcast cross join.
+    *  - q50: PQ ADC scan — same broadcast-probes non-equi shape as q13,
+    *    but the scanned side carries only the m-int code column.
     */
   private val allowNestedLoop = Set(
     "q13_similarity_knn", "q19_embedding_neardup", "q32_cross_join",
-    "q35_tfidf_topk")
+    "q35_tfidf_topk", "q50_ann_pq")
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(nodes)

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.GraftOps
+
+/** Product-quantization family: code validity/determinism, exact
+  * agreement of the codegen'd ADC expression with a driver-side
+  * reconstruction reference (same fold order → exact double equality),
+  * and measured recall against exact kNN on the oracle fixture.
+  */
+class PqSpec extends AnyFunSuite with SharedSpark {
+
+  private val sf01 = "/root/testdata/sf0.01"
+  private val DIM = 64
+  private val M = 4
+  private val SUB = DIM / M
+
+  private lazy val emb = Tables.load(spark, sf01, "embeddings")
+  private lazy val model = GraftOps.pqFit(emb, col("vec_id"), col("embedding"),
+    dim = DIM, m = M, ksub = 4, iters = 1)
+
+  /** (subspace, cluster) → dim-ordered sub-centroid, from the model table. */
+  private def modelMap(): Map[(Int, Int), Array[Double]] =
+    model.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .map { case (k, a) => k -> a.sortBy(_._2).map(_._3) }
+
+  test("pqEncode emits one in-codebook code per subspace, deterministically") {
+    val labels = modelMap().keys.toSeq.groupBy(_._1)
+      .map { case (s, ks) => s -> ks.map(_._2).toSet }
+    def run() = GraftOps.pqEncode(emb, col("embedding"), model, DIM)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val codes = run()
+    assert(codes.nonEmpty)
+    codes.values.foreach { cs =>
+      assert(cs.length == M, s"expected $M codes, got ${cs.length}")
+      cs.zipWithIndex.foreach { case (c, s) =>
+        assert(labels(s).contains(c), s"code $c outside subspace $s codebook")
+      }
+    }
+    assert(run() == codes, "pqEncode must be deterministic")
+    // the codebook must actually discriminate: >1 distinct code per subspace
+    (0 until M).foreach { s =>
+      assert(codes.values.map(_(s)).toSet.size > 1,
+        s"subspace $s collapsed to one code")
+    }
+  }
+
+  test("ADC scores equal the driver-side reconstruction dot exactly") {
+    val mm = modelMap()
+    val codes = GraftOps.pqEncode(emb, col("embedding"), model, DIM)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val probeVecs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val out = GraftOps.pqTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") < 10, model, DIM, k = 3).collect()
+    assert(out.length == probeVecs.size * 3)
+    out.foreach { r =>
+      val pe = probeVecs(r.getAs[Long]("probe_id"))
+      val cs = codes(r.getAs[Long]("id"))
+      // same left-associated fold the expression and the oracle state
+      var acc = 0.0
+      (0 until M).foreach { s =>
+        val w = mm((s, cs(s)))
+        var dot = 0.0
+        var i = 0
+        while (i < SUB) { dot += pe(s * SUB + i).toDouble * w(i); i += 1 }
+        acc = if (s == 0) dot else acc + dot
+      }
+      assert(r.getAs[Double]("adc") == acc,
+        s"ADC mismatch for (${r.getAs[Long]("probe_id")}, ${r.getAs[Long]("id")})")
+    }
+  }
+
+  test("measured PQ recall@3 vs exact kNN; richer codebooks help") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("probe_id"), r.getAs[Long]("id"))).toSet
+    val exact = pairs(GraftOps.knn(emb, emb.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3))
+    def recallAt(m: Int, ksub: Int, iters: Int): Double = {
+      val mdl = GraftOps.pqFit(emb, col("vec_id"), col("embedding"),
+        dim = DIM, m = m, ksub = ksub, iters = iters)
+      val pq = pairs(GraftOps.pqTopK(emb, col("vec_id"), col("embedding"),
+        col("vec_id") < 10, mdl, DIM, k = 3))
+      (exact intersect pq).size.toDouble / exact.size
+    }
+    val coarse = recallAt(M, 4, 1)     // the q50 oracle configuration
+    val rich = recallAt(8, 16, 2)      // 8 subspaces x 16 centroids, 2 rounds
+    info(f"PQ recall@3 coarse (m=4,k=4,1 round)  = $coarse%.3f")
+    info(f"PQ recall@3 rich   (m=8,k=16,2 rounds) = $rich%.3f")
+    // Near-orthogonal fixture embeddings are PQ's adversarial regime (the
+    // exact top-3 sit at low cosine, quantization error comparable to the
+    // score gaps) — floors catch collapse, not jitter; the richer codebook
+    // must not do worse than the oracle-sized one.
+    assert(coarse > 0.0, "coarse PQ found no true neighbors at all")
+    assert(rich >= coarse - 0.1,
+      f"richer codebooks regressed recall: $rich%.3f < $coarse%.3f - 0.1")
+  }
+}
