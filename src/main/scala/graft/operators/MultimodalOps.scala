@@ -95,6 +95,82 @@ object MultimodalOps {
       }
   }
 
+  /** One decoded multi-frame row: real per-frame pixel stats. */
+  case class DecodedFrame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, mean_luma: Double, ok: Boolean)
+
+  /** REAL multi-frame decoding — the animated-GIF instantiation of the
+    * frame-decoder seam ([[decodeFrames]] stays the stub only for true
+    * video codecs like H.264, which the JDK genuinely lacks): JDK
+    * ImageIO's GIF reader iterates every stored frame of an animated
+    * image (`getNumImages` + indexed `read`), emitting per-frame
+    * dimensions and mean RGB luma. `everyNth` subsamples DURING decode —
+    * at 100 TB you skip the codec work for dropped frames, not just the
+    * rows ([[sampleEveryNth]] is the post-decode filter form).
+    *
+    * Frames are the raw stored rasters (no disposal-method compositing —
+    * an animation frame can be a partial-update rectangle; stats describe
+    * exactly the stored pixels, deterministically). A payload no reader
+    * accepts yields one `ok = false` row; a frame that fails mid-stream
+    * emits its own `ok = false` row and ends that payload's frame list —
+    * corrupt media is COUNTED, never silent, and never kills the task. */
+  def decodeGifFrames(payload: DataFrame, everyNth: Int = 1): Dataset[DecodedFrame] = {
+    require(everyNth >= 1, s"everyNth must be >= 1; got $everyNth")
+    val spark = payload.sparkSession
+    import spark.implicits._
+    payload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext)
+              Seq(DecodedFrame(docId, -1, 0, 0, 0.0, ok = false))
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = try reader.getNumImages(true) catch { case _: Exception => 0 }
+                if (n <= 0) Seq(DecodedFrame(docId, -1, 0, 0, 0.0, ok = false))
+                else {
+                  val rows = (0 until n by everyNth).iterator.map { f =>
+                    try {
+                      val img = reader.read(f)
+                      val w = img.getWidth
+                      val h = img.getHeight
+                      var sum = 0L
+                      var y = 0
+                      while (y < h) {
+                        var x = 0
+                        while (x < w) {
+                          val rgb = img.getRGB(x, y)
+                          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                          x += 1
+                        }
+                        y += 1
+                      }
+                      DecodedFrame(docId, f, w, h, sum.toDouble / (3.0 * w * h), ok = true)
+                    } catch { case _: Exception =>
+                      DecodedFrame(docId, f, 0, 0, 0.0, ok = false)
+                    }
+                  }
+                  // keep through the FIRST bad frame (counted, not
+                  // silent), stop after — the rest of a broken stream
+                  // is unreadable
+                  var stop = false
+                  rows.takeWhile { r =>
+                    val keep = !stop; stop = !r.ok; keep
+                  }.toSeq
+                }
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        }
+      }
+  }
+
   /** One resized-image row: the re-encoded payload plus its new dims. */
   case class ResizedImage(doc_id: Long, payload: Array[Byte], width: Int,
       height: Int, ok: Boolean)
@@ -308,5 +384,58 @@ object MultimodalOps {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(q26, q39, q49)
+  // ---------------------------------------------------------------- q51
+  /** Real multi-frame codec roundtrip: synthesize one deterministic
+    * animated GIF per doc (constant-gray frames — a 1-color palette is
+    * encoder-exact, so decoded luma equals the gray value bit-for-bit),
+    * decode every 2nd frame back through [[decodeGifFrames]]. Rows-only
+    * at the gate (no SQL engine decodes GIF — q49 precedent); the exact
+    * frame-stat contract is spec-asserted in GraftOpsSpec. */
+  val q51 = QueryDef("q51_gif_frames_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id => (id, MultimodalOps.syntheticGif(id)) }
+        }.toDF("doc_id", "payload")
+      decodeGifFrames(payloads, everyNth = 2).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("mean_luma"), col("ok"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    None)
+
+  /** Deterministic animated-GIF fixture: `id % 4 + 2` constant-gray
+    * frames at (id%7+2)×(id%5+2), gray = (id·31 + frame·17) % 256.
+    * Shared by q51 and its spec so the analytic expectation is stated
+    * once. */
+  def syntheticGif(id: Long): Array[Byte] = {
+    val w = (id % 7 + 2).toInt
+    val h = (id % 5 + 2).toInt
+    val nf = (id % 4 + 2).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val param = writer.getDefaultWriteParam
+      (0 until nf).foreach { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val v = ((id * 31 + f * 17) % 256).toInt
+        val g = img.createGraphics()
+        try { g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h) }
+        finally g.dispose()
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), param)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), param)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  val all: Seq[QueryDef] = Seq(q26, q39, q49, q51)
 }
