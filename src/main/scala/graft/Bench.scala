@@ -17,6 +17,13 @@ object Bench {
     // reflect steady-state execution, not first-query classloading.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Warm the OS page cache on the MEASURED SF too: without this the first
+    // measured query (q01, alphabetically) absorbs the entire cold read of
+    // the sf0.1 parquet files and records 2-3x its steady-state time
+    // (round-6 adjudication: q01 runs [3.05, 3.06, 0.92]).
+    try Tables.names.foreach { n =>
+      Tables.load(spark, sfDir, n).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // optional args: restrict to named queries (profiling aid)
     val wanted = args.toSet
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

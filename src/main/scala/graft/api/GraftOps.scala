@@ -656,9 +656,9 @@ object GraftOps {
     * Scale shape: the scan side is (id, m ints) — the point of PQ: at
     * 100 TB the ADC pass reads the compact code column, not the `dim`
     * floats; probes broadcast (same non-equi shape as [[knn]], so this
-    * scans corpus×probes — compose with IVF routing ([[kmeansAssign]] →
-    * filter on the probe's cells) when the corpus side needs pruning
-    * too). Ordering: adc desc, id asc — deterministic. */
+    * scans corpus×probes — [[ivfPqTopK]] is the composed form that also
+    * prunes the corpus side via coarse-cell routing). Ordering: adc desc,
+    * id asc — deterministic. */
   def pqTopK(corpus: DataFrame, id: Column, vec: Column, isProbe: Column,
       model: DataFrame, dim: Int, k: Int): DataFrame = {
     val mdl = collectPqModel(model)
@@ -668,6 +668,65 @@ object GraftOps {
       .select(col("__vid").as("probe_id"), col("__v").as("__pv"))
     val w = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("__vid"))
     coded.join(broadcast(probes), col("__vid") =!= col("probe_id"))
+      .withColumn("adc", graft.functions.PqAdcScore(col("__pv"), col("codes"),
+        mdl.map(_._2), mdl.map(_._1)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
+  }
+
+  /** The at-rest search entry point for PQ: scores STORED [[pqEncode]]
+    * output (corpus = id + codes — the embeddings can be dropped after
+    * encoding) against full-vector probes. Identical scoring/ordering to
+    * [[pqTopK]] (spec-asserted equal); this overload is what makes the
+    * compression story real — at 100 TB the corpus keeps `4·m` bytes/row
+    * and only probes retain floats. */
+  def pqTopKCoded(coded: DataFrame, codedId: Column, codes: Column,
+      probes: DataFrame, probeId: Column, probeVec: Column,
+      model: DataFrame, k: Int): DataFrame = {
+    val mdl = collectPqModel(model)
+    val c = coded.select(codedId.as("__vid"), codes.as("__codes"))
+    val p = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("__vid"))
+    c.join(broadcast(p), col("__vid") =!= col("probe_id"))
+      .withColumn("adc", graft.functions.PqAdcScore(col("__pv"), col("__codes"),
+        mdl.map(_._2), mdl.map(_._1)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
+  }
+
+  /** The composed IVF×PQ index — the full 100 TB ANN story in one
+    * operator: a coarse [[kmeansFit]] model routes (IVF prunes WHICH rows
+    * a probe scores), a [[pqFit]] model compresses (PQ shrinks WHAT each
+    * scored row stores), and the search is an equi-join on cell id where
+    * the corpus side carries ONLY (cell, id, m ints).
+    *
+    * Per row, ONE codegen'd NearestCells pass against the baked coarse
+    * model yields both the corpus assignment (element 1) and each probe's
+    * `nprobe` search cells (elements 1..nprobe) — same zero-extra-shuffle
+    * trick as [[ivfTopK]]. ADC work per probe is ~corpus·nprobe/K instead
+    * of [[pqTopK]]'s full corpus scan. Both model collects are
+    * trained-model constants. Ordering: adc desc, id asc — deterministic. */
+  def ivfPqTopK(corpus: DataFrame, id: Column, vec: Column, isProbe: Column,
+      coarseModel: DataFrame, pqModel: DataFrame, dim: Int, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
+    val cents = collectModel(coarseModel)
+    require(cents.nonEmpty, "ivfPqTopK with an empty coarse model")
+    val mdl = collectPqModel(pqModel)
+    val e = corpus.select(id.as("__vid"), vec.as("__v"), isProbe.as("__isp"))
+    val scored = e.withColumn("__sc", graft.functions.NearestCells(col("__v"),
+      cents.map(_._2), cents.map(_._1)))
+    val coded = scored.select(col("__vid"),
+      element_at(col("__sc"), 1).as("cell"),
+      pqCodesCol(col("__v"), mdl, dim).as("codes"))
+    val probes = scored.filter(col("__isp"))
+      .select(col("__vid").as("probe_id"), col("__v").as("__pv"),
+        explode(slice(col("__sc"), 1, nprobe)).as("cell"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("__vid"))
+    coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("__vid") =!= col("probe_id"))
       .withColumn("adc", graft.functions.PqAdcScore(col("__pv"), col("codes"),
         mdl.map(_._2), mdl.map(_._1)))
       .withColumn("rank", row_number().over(w))

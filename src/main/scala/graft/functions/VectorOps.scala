@@ -22,6 +22,9 @@ object VectorOps {
     * rather than scoring garbage. */
   def adcScore(pe: ArrayData, codes: ArrayData, cb: Array[Array[Array[Double]]],
       labels: Array[Array[Int]]): Double = {
+    if (codes.numElements() != cb.length) throw new IllegalStateException(
+      s"pq_adc_score: codes array has ${codes.numElements()} entries but the " +
+        s"model has ${cb.length} subspaces — codes/model mismatch")
     var acc = 0.0
     var off = 0
     var s = 0

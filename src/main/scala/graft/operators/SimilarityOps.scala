@@ -353,5 +353,94 @@ object SimilarityOps {
       FROM ranked WHERE rank <= 3
       ORDER BY probe_id, rank"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50)
+  // ---------------------------------------------------------------- q52
+  private val IVFPQ_K = 4      // coarse cells = PQ_KSUB so ONE seeds CTE serves both trainers
+  private val IVFPQ_NPROBE = 2
+
+  /** The composed IVF×PQ index end-to-end: a 1-round k-means coarse
+    * quantizer routes (each corpus vector lives in its argmax-dot cell;
+    * each probe searches its nearest `IVFPQ_NPROBE` cells), the q50 PQ
+    * model compresses (the scan side carries only cell + 4 codes), and
+    * ADC scores only WITHIN probed cells — corpus·nprobe/K work per
+    * probe instead of q50's full scan. Every arithmetic step is the
+    * proven-portable q48 (coarse) + q50 (PQ) machinery, so the whole
+    * train→route→encode→search path hash-matches DuckDB. */
+  val q52 = QueryDef("q52_ann_ivf_pq",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val coarse = graft.api.GraftOps.kmeansFit(e, col("vec_id"), col("embedding"),
+        k = IVFPQ_K, iters = 1)
+      val pq = graft.api.GraftOps.pqFit(e, col("vec_id"), col("embedding"),
+        dim = DIM, m = PQ_M, ksub = PQ_KSUB, iters = 1)
+      graft.api.GraftOps.ivfPqTopK(e, col("vec_id"), col("embedding"),
+          col("vec_id") < 10, coarse, pq, dim = DIM, k = 3, nprobe = IVFPQ_NPROBE)
+        .select(col("probe_id"), col("id").as("vec_id"), col("rank"), col("adc"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(s"""
+      WITH hashed AS (
+        SELECT vec_id, embedding,
+          ${Duck.ph("'km|' || CAST(vec_id AS VARCHAR)")} AS h
+        FROM embeddings),
+      seeds AS (
+        SELECT embedding,
+          CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cluster
+        FROM hashed ORDER BY h, vec_id LIMIT $IVFPQ_K),
+      gcvec0 AS (
+        SELECT cluster,
+          list_transform(range(1, ${DIM + 1}),
+            i -> floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) / 1000000.0) AS cvec
+        FROM seeds),
+      gscored AS (
+        SELECT e.vec_id, e.embedding, c.cluster,
+          ${dotColSql("e.embedding", "c.cvec")} AS score
+        FROM embeddings e, gcvec0 c),
+      gasg AS (
+        SELECT vec_id, embedding, cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+          FROM gscored) WHERE rn = 1),
+      gcent AS (
+        SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
+          CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 / COUNT(*) AS centroid
+        FROM gasg, (SELECT unnest(range(1, ${DIM + 1})) AS i) idx
+        GROUP BY cluster, dim),
+      gcvec1 AS (
+        SELECT cluster,
+          list_transform(list_sort(list({'dim': dim, 'cv': centroid})), p -> p.cv) AS cvec
+        FROM gcent GROUP BY cluster),
+      cranked AS (
+        SELECT vec_id, embedding, cluster,
+          row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS crn
+        FROM (
+          SELECT e.vec_id, e.embedding, c.cluster,
+            ${dotColSql("e.embedding", "c.cvec")} AS score
+          FROM embeddings e, gcvec1 c)),
+      assigned AS (
+        SELECT vec_id, cluster AS cell FROM cranked WHERE crn = 1),
+      probecells AS (
+        SELECT vec_id AS probe_id, embedding AS pe, cluster AS cell
+        FROM cranked WHERE vec_id < 10 AND crn <= $IVFPQ_NPROBE),
+      ${(0 until PQ_M).map(pqSubspaceSql).mkString(",\n      ")},
+      codes AS (
+        SELECT c0.vec_id, ${(0 until PQ_M).map(s => s"c$s.code AS code$s").mkString(", ")}
+        FROM code_0 c0 ${(1 until PQ_M).map(s => s"JOIN code_$s c$s USING (vec_id)").mkString(" ")}),
+      pairs AS (
+        SELECT probe_id, v.vec_id,
+          (${(0 until PQ_M).map(s => dotSubSql("pe", s"cv$s.cvec", s * PQ_SUBDIM)).mkString(" + ")}) AS adc
+        FROM probecells p
+          JOIN assigned a ON a.cell = p.cell
+          JOIN codes v ON v.vec_id = a.vec_id
+          ${(0 until PQ_M).map(s => s"JOIN cvec_$s cv$s ON cv$s.cluster = v.code$s").mkString("\n          ")}
+        WHERE v.vec_id <> probe_id),
+      ranked AS (
+        SELECT probe_id, vec_id,
+          CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adc DESC, vec_id) AS INTEGER) AS rank,
+          adc
+        FROM pairs)
+      SELECT probe_id, vec_id, rank, adc
+      FROM ranked WHERE rank <= 3
+      ORDER BY probe_id, rank"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52)
 }

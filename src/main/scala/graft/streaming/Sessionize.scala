@@ -60,6 +60,51 @@ object Sessionize {
     }
   }
 
+  /** Cross-batch late-late reconciliation — the batch closure over a
+    * checkpointed stream output. [[apply]]'s one remaining divergence from
+    * batch q28 is structural: past-gap late events split across DIFFERENT
+    * micro-batches emit as separate sessions (O(1)-per-key state cannot
+    * remember closed intervals). This helper closes it as an operator:
+    * read the emitted sessions back as a batch table and gap-merge the
+    * INTERVALS under the same rule. Correct because a batch session is
+    * the transitive within-gap closure of its events and every emitted
+    * session is a sub-chain of exactly one: merging sub-chain intervals
+    * whose endpoints chain within `gapMs` recomputes the closure; counts
+    * add, and sums re-enter exact integer cents (`round(sum_value·100)`
+    * recovers the cents each emitted session was built from, so the
+    * merged sum is bit-identical to batch q28's cents math, never a
+    * double-accumulation drift). Sessions still OPEN in state are not in
+    * the sink — same replay contract as [[apply]] (flush with a past-gap
+    * sentinel per key). One shuffle on user_id; scales like any
+    * windowed-then-agg plan. Result == batch q28's rollup over the same
+    * events (spec S5f). */
+  def reconcile(sessions: Dataset[Session], gapMs: Long = 30L * 60 * 1000)
+      : Dataset[Session] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = sessions.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("session_start"), col("session_end"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    sessions.toDF()
+      .withColumn("__prevEnd", max(col("session_end")).over(prev))
+      .withColumn("__new", when(col("__prevEnd").isNull ||
+        unix_millis(col("session_start")) - unix_millis(col("__prevEnd")) > gapMs,
+        1).otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(run))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(
+        min(col("session_start")).as("session_start"),
+        max(col("session_end")).as("session_end"),
+        sum(col("n_events")).as("n_events"),
+        (sum(round(col("sum_value") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_value"))
+      .drop("__sid")
+      .as[Session]
+  }
+
   def apply(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000)
       : Dataset[Session] = {
     val spark = events.sparkSession

@@ -75,7 +75,8 @@ class CoreQueriesSpec extends AnyFunSuite with SharedSpark {
     val rowsOnly = names -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q15b_approx_distinct", "q29b_percentiles_approx",
       "q09b_math_libm", // sketches aren't engine-portable; libm isn't bit-exact
-      "q49_image_codec_roundtrip"), // no SQL engine decodes PNG; spec-exact instead
+      "q49_image_codec_roundtrip", // no SQL engine decodes PNG; spec-exact instead
+      "q51_gif_frames_roundtrip"), // ditto for GIF; spec-exact in MultimodalSpec
       s"unexpected rows-only: $rowsOnly")
   }
 

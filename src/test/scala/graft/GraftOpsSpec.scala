@@ -782,6 +782,33 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       "a corrupt payload degrades to ok=false, never kills the task")
   }
 
+  test("decodeGifFrames: q51's synthetic-GIF roundtrip is encoder-exact, corrupt-safe") {
+    import spark.implicits._
+    // the q51 contract, stated analytically: syntheticGif(id) has
+    // (id%4+2) constant-gray frames at (id%7+2)x(id%5+2), gray value
+    // (id*31 + f*17) % 256 — a 1-color palette roundtrips bit-exact
+    val ids = Seq(0L, 3L, 5L, 11L, 26L)
+    val df = ids.map(id => (id, graft.operators.MultimodalOps.syntheticGif(id)))
+      .toDF("doc_id", "payload")
+    val out = graft.operators.MultimodalOps.decodeGifFrames(df, everyNth = 2)
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    ids.foreach { id =>
+      val frames = (0 until (id % 4 + 2).toInt).filter(_ % 2 == 0)
+      assert(out.keys.count(_._1 == id) == frames.size,
+        s"doc $id: everyNth=2 keeps exactly frames ${frames.mkString(",")}")
+      frames.foreach { f =>
+        val r = out((id, f))
+        assert(r.ok && r.width == (id % 7 + 2).toInt && r.height == (id % 5 + 2).toInt)
+        assert(r.mean_luma == ((id * 31 + f * 17) % 256).toDouble,
+          s"doc $id frame $f: constant-gray luma is encoder-exact")
+      }
+    }
+    // corrupt payload: one counted ok=false row, no task failure
+    val bad = graft.operators.MultimodalOps.decodeGifFrames(
+      Seq((99L, Array[Byte](7, 7, 7))).toDF("doc_id", "payload")).collect()
+    assert(bad.length == 1 && !bad(0).ok)
+  }
+
   test("resizeImages really rescales pixels; decodeAudioMeta parses real WAV headers") {
     import spark.implicits._
     import java.awt.image.BufferedImage

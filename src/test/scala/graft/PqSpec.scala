@@ -101,5 +101,47 @@ class PqSpec extends AnyFunSuite with SharedSpark {
     assert(coarse > 0.0, "coarse PQ found no true neighbors at all")
     assert(rich >= coarse - 0.1,
       f"richer codebooks regressed recall: $rich%.3f < $coarse%.3f - 0.1")
+    // absolute floor on the rich configuration: the fixture is
+    // deterministic (measured 0.100), so a collapse to zero recall must
+    // FAIL even when coarse happens to be low enough that the relative
+    // check alone would pass
+    assert(rich >= 0.1, f"rich PQ recall collapsed: $rich%.3f < 0.1")
+  }
+
+  test("pqTopKCoded over stored pqEncode output matches inline pqTopK exactly") {
+    val inline = GraftOps.pqTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") < 10, model, DIM, k = 3).collect().toSet
+    // at-rest path: encode once, DROP the embeddings, search the codes
+    val coded = GraftOps.pqEncode(emb, col("embedding"), model, DIM)
+      .select(col("vec_id"), col("codes"))
+    val probes = emb.filter(col("vec_id") < 10)
+    val stored = GraftOps.pqTopKCoded(coded, col("vec_id"), col("codes"),
+      probes, col("vec_id"), col("embedding"), model, k = 3).collect().toSet
+    assert(stored == inline, "stored-codes search must equal inline re-encode")
+  }
+
+  test("ivfPqTopK: nprobe=all-cells equals unrouted pqTopK; nprobe=2 keeps recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("probe_id"), r.getAs[Long]("id"))).toSet
+    val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val ncells = coarse.select("cluster").distinct.count.toInt
+    val unrouted = GraftOps.pqTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") < 10, model, DIM, k = 3).collect().toSet
+    // probing EVERY cell restores the full candidate set — routed search
+    // must then equal the unrouted scan row-for-row (scores included)
+    val full = GraftOps.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") < 10, coarse, model, DIM, k = 3, nprobe = ncells)
+      .collect().toSet
+    assert(full == unrouted, "nprobe=K must degenerate to the unrouted ADC scan")
+    // the routed configuration (q52's): measure recall of routed pairs vs
+    // the unrouted ADC top-3 — pruning 2/4 cells must not collapse it
+    val routed = pairs(GraftOps.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") < 10, coarse, model, DIM, k = 3, nprobe = 2))
+    val base = unrouted.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("id")))
+    val recall = (base intersect routed).size.toDouble / base.size
+    info(f"IVFxPQ routed recall@3 vs unrouted ADC (nprobe=2/$ncells) = $recall%.3f")
+    assert(recall >= 0.5, f"cell routing collapsed ADC recall: $recall%.3f")
   }
 }

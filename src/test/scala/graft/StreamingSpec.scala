@@ -131,6 +131,56 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("S5f: reconcile merges cross-batch late-late sessions to batch q28 semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Sessionize.Event]
+    val q = Sessionize(input.toDS()).writeStream.format("memory")
+      .queryName("s5f").outputMode("append").start()
+    try {
+      // batch 1: an on-time noon event holds a session open
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // batches 2 and 3: past-gap LATE events that belong to ONE morning
+      // session but arrive in DIFFERENT micro-batches — the structural
+      // stream divergence: each emits as its own session
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 09:00:00"), 2.25))
+      q.processAllAvailable()
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 09:10:00"), 3.50))
+      q.processAllAvailable()
+      // past-gap sentinel flushes the open noon session (replay contract)
+      input.addData(Sessionize.Event(1L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val emitted = spark.table("s5f").as[Sessionize.Session]
+      assert(emitted.count() == 3,
+        "stream must have emitted the two late events as separate sessions")
+      val merged = Sessionize.reconcile(emitted).collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.sum_value))
+        .toSet
+      // batch twin: GraftOps.sessionize (q28's rollup) over the SAME real
+      // events — the global view the reconciled stream output must equal
+      val evDf = Seq(
+        (1L, ts("2024-01-01 12:00:00"), 1.0, 1L),
+        (1L, ts("2024-01-01 09:00:00"), 2.25, 2L),
+        (1L, ts("2024-01-01 09:10:00"), 3.50, 3L))
+        .toDF("user_id", "ts", "value", "event_id")
+      val batch = graft.api.GraftOps.sessionize(evDf, col("user_id"), col("ts"),
+          gapUs = 30L * 60 * 1000000, tiebreak = col("event_id"))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          (sum(floor(col("value") * lit(100)).cast("long")).cast("double") / 100.0)
+            .as("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+          r.getLong(4), r.getDouble(5)))
+        .toSet
+      assert(merged == batch,
+        s"reconciled stream output must equal batch q28: $merged vs $batch")
+    } finally q.stop()
+  }
+
   test("S2b: sliding window counts overlap correctly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
