@@ -734,6 +734,54 @@ object GraftOps {
       .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
   }
 
+  /** The build half of a STORED IVF×PQ index: tag each row with its
+    * coarse cell (argmax-dot against the baked [[kmeansFit]] model) and
+    * its PQ codes — the (id, cell, codes) table you persist to parquet,
+    * partitioned by cell if you like. A narrow zero-shuffle projection;
+    * after writing it the embedding column can be dropped. Search with
+    * [[ivfPqTopKCoded]]. */
+  def ivfPqEncode(df: DataFrame, id: Column, vec: Column,
+      coarseModel: DataFrame, pqModel: DataFrame, dim: Int): DataFrame = {
+    val cents = collectModel(coarseModel)
+    require(cents.nonEmpty, "ivfPqEncode with an empty coarse model")
+    val mdl = collectPqModel(pqModel)
+    df.select(id.as("id"),
+      element_at(graft.functions.NearestCells(vec,
+        cents.map(_._2), cents.map(_._1)), 1).as("cell"),
+      pqCodesCol(vec, mdl, dim).as("codes"))
+  }
+
+  /** The search half over a STORED index ([[ivfPqEncode]] output read
+    * back — id + cell + codes, NO vectors): probes carry full vectors and
+    * route to their `nprobe` nearest cells via the same baked coarse
+    * model; ADC scores only inside probed cells. Spec-asserted equal to
+    * the inline [[ivfPqTopK]] — together with [[pqTopKCoded]] this makes
+    * the whole index family build-once/search-many: at 100 TB the index
+    * build is one pass over the embeddings, and every search afterwards
+    * reads only the compact code table plus two tiny model tables. */
+  def ivfPqTopKCoded(coded: DataFrame, codedId: Column, cell: Column,
+      codes: Column, probes: DataFrame, probeId: Column, probeVec: Column,
+      coarseModel: DataFrame, pqModel: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
+    val cents = collectModel(coarseModel)
+    require(cents.nonEmpty, "ivfPqTopKCoded with an empty coarse model")
+    val mdl = collectPqModel(pqModel)
+    val c = coded.select(codedId.as("__vid"), cell.as("cell"), codes.as("__codes"))
+    val p = probes
+      .select(probeId.as("probe_id"), probeVec.as("__pv"),
+        explode(slice(graft.functions.NearestCells(probeVec,
+          cents.map(_._2), cents.map(_._1)), 1, nprobe)).as("cell"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("__vid"))
+    c.join(broadcast(p), Seq("cell"))
+      .filter(col("__vid") =!= col("probe_id"))
+      .withColumn("adc", graft.functions.PqAdcScore(col("__pv"), col("__codes"),
+        mdl.map(_._2), mdl.map(_._1)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
+  }
+
   /** Skew-safe equi-join: the big side's hot keys are spread over `salts`
     * sub-partitions and the small side is replicated once per salt. Result
     * identical to `big.join(small, key)`; only the shuffle layout changes.

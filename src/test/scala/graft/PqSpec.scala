@@ -144,4 +144,28 @@ class PqSpec extends AnyFunSuite with SharedSpark {
     info(f"IVFxPQ routed recall@3 vs unrouted ADC (nprobe=2/$ncells) = $recall%.3f")
     assert(recall >= 0.5, f"cell routing collapsed ADC recall: $recall%.3f")
   }
+
+  test("stored IVFxPQ index: encode -> parquet roundtrip -> coded search == inline") {
+    val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val inline = GraftOps.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") < 10, coarse, model, DIM, k = 3, nprobe = 2).collect().toSet
+    // build once: the (id, cell, codes) table is the WHOLE persisted index
+    // state for the corpus side — embeddings dropped at rest
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    try {
+      GraftOps.ivfPqEncode(emb, col("vec_id"), col("embedding"),
+        coarse, model, DIM).write.mode("overwrite").parquet(dir)
+      val index = spark.read.parquet(dir)
+      val probes = emb.filter(col("vec_id") < 10)
+      val stored = GraftOps.ivfPqTopKCoded(index, col("id"), col("cell"),
+        col("codes"), probes, col("vec_id"), col("embedding"),
+        coarse, model, k = 3, nprobe = 2).collect().toSet
+      assert(stored == inline,
+        "search over the persisted index must equal the inline composition")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
