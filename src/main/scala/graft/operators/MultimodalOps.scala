@@ -8,10 +8,14 @@ import graft.functions.Portable
 /** Multimodal-column plumbing (SURVEY.md §2.2 ext): media ride through the
   * engine as opaque `binary` payload columns + typed metadata structs.
   * [[MultimodalOps.decodeImages]] is a REAL image decoder (JDK ImageIO —
-  * PNG/BMP/GIF/JPEG ship with the JVM); the frame/video decode step
-  * ([[MultimodalOps.decodeFrames]]) stays a deterministic STUB (no video
-  * codec libs in this container) with the Spark-side shape — schema,
-  * partitioning, batched iteration — real and contract-pinned.
+  * PNG/BMP/GIF/JPEG ship with the JVM), [[MultimodalOps.decodeGifFrames]]
+  * real multi-frame decode, and [[MultimodalOps.decodeMjpegFrames]] REAL
+  * video decode for MJPEG-in-AVI (pure-byte RIFF container walk + the
+  * JDK's own JPEG reader per frame). Only true inter-frame video codecs
+  * (H.264/VP9 — genuinely absent from the JDK) remain behind the
+  * deterministic STUB seam ([[MultimodalOps.decodeFrames]]) with the
+  * Spark-side shape — schema, partitioning, batched iteration — real
+  * and contract-pinned.
   */
 object MultimodalOps {
 
@@ -406,6 +410,177 @@ object MultimodalOps {
     },
     None)
 
+  // ------------------------------------------------------- MJPEG video
+
+  /** Little-endian 32-bit at `off` (RIFF sizes/fields). */
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** (offset, length) of every video frame payload ('##dc'/'##db' chunk
+    * inside the 'movi' LIST) of a RIFF-AVI byte stream, in stream order;
+    * None when the container isn't parseable RIFF-AVI (magic mismatch,
+    * truncated chunk, negative size). Pure byte walking — the container
+    * layer of a video decoder has no codec in it. */
+  private[operators] def aviFramePayloads(b: Array[Byte]): Option[Vector[(Int, Int)]] =
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") None
+    else {
+      val frames = Vector.newBuilder[(Int, Int)]
+      var bad = false
+      var off = 12
+      val end = math.min(b.length.toLong, 8L + (le32(b, 4) & 0xffffffffL)).toInt
+      while (off + 8 <= end && !bad) {
+        val id = fourcc(b, off)
+        val size = le32(b, off + 4)
+        if (size < 0 || off + 8 + size > end) bad = true
+        else {
+          if (id == "LIST" && size >= 4 && fourcc(b, off + 8) == "movi") {
+            var p = off + 12
+            val lend = off + 8 + size
+            while (p + 8 <= lend && !bad) {
+              val cid = fourcc(b, p)
+              val csz = le32(b, p + 4)
+              if (csz < 0 || p + 8 + csz > lend) bad = true
+              else {
+                if (cid.endsWith("dc") || cid.endsWith("db")) frames += ((p + 8, csz))
+                p += 8 + csz + (csz & 1) // RIFF chunks pad to even
+              }
+            }
+          }
+          off += 8 + size + (size & 1)
+        }
+      }
+      if (bad) None else Some(frames.result())
+    }
+
+  /** REAL video-frame decoding for MJPEG-in-AVI — the one video codec the
+    * JVM can honestly decode with zero external libraries: the container
+    * is the pure-byte RIFF walk above and every '##dc'/'##db' chunk is a
+    * JPEG the JDK's own reader decodes. Same contract and stats as
+    * [[decodeGifFrames]]: `everyNth` skips the codec work (not just the
+    * rows) for dropped frames; an unparseable container yields one
+    * `ok = false` row; a frame that fails mid-stream emits its own
+    * `ok = false` row and ends that payload's frame list. True
+    * inter-frame codecs (H.264/VP9 — genuinely absent from the JDK)
+    * remain the [[decodeFrames]] contract-pinned seam. */
+  def decodeMjpegFrames(payload: DataFrame, everyNth: Int = 1): Dataset[DecodedFrame] = {
+    require(everyNth >= 1, s"everyNth must be >= 1; got $everyNth")
+    val spark = payload.sparkSession
+    import spark.implicits._
+    payload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          aviFramePayloads(bytes) match {
+            case None | Some(Vector()) =>
+              Seq(DecodedFrame(docId, -1, 0, 0, 0.0, ok = false))
+            case Some(frames) =>
+              val rows = (0 until frames.length by everyNth).iterator.map { f =>
+                val (o, len) = frames(f)
+                try {
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes, o, len))
+                  if (img == null) DecodedFrame(docId, f, 0, 0, 0.0, ok = false)
+                  else {
+                    val w = img.getWidth
+                    val h = img.getHeight
+                    var sum = 0L
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        val rgb = img.getRGB(x, y)
+                        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    DecodedFrame(docId, f, w, h, sum.toDouble / (3.0 * w * h), ok = true)
+                  }
+                } catch { case _: Exception =>
+                  DecodedFrame(docId, f, 0, 0, 0.0, ok = false)
+                }
+              }
+              var stop = false
+              rows.takeWhile { r => val keep = !stop; stop = !r.ok; keep }.toSeq
+          }
+        }
+      }
+  }
+
+  /** Deterministic MJPEG-AVI fixture: `id % 4 + 2` constant-gray JPEG
+    * frames at (id%7+2)·8 × (id%5+2)·8, gray = (id·31 + frame·17) % 256,
+    * wrapped in a structurally-valid RIFF (hdrl: avih + strl(strh+strf
+    * with 'MJPG' fourcc); movi: one '00dc' chunk per frame). JPEG is
+    * lossy, so decoded luma is near-exact (solid frames round-trip
+    * within a few levels); dims and frame count are exact. Shared by
+    * q53 and its spec. */
+  def syntheticAviMjpeg(id: Long): Array[Byte] = {
+    val w = ((id % 7) + 2).toInt * 8
+    val h = ((id % 5) + 2).toInt * 8
+    val nf = ((id % 4) + 2).toInt
+    def le(v: Int): Array[Byte] = Array[Byte]((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id4: String, body: Array[Byte]): Array[Byte] =
+      cc(id4) ++ le(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(type4: String, body: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ le(4 + body.length) ++ cc(type4) ++ body
+    val jpegs = (0 until nf).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = ((id * 31 + f * 17) % 256).toInt
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // avih: usec/frame, maxBytes/s, padding, flags, totalFrames, initial,
+    // streams, bufSize, width, height, reserved[4] — 14 LE ints = 56 B
+    val avih = chunk("avih", Array(100000, 0, 0, 0, nf, 0, 1, 0, w, h, 0, 0, 0, 0)
+      .flatMap(le))
+    // strh: fccType, fccHandler, then flags, prio/lang, initial, scale,
+    // rate, start, length, bufSize, quality, sampleSize (10 ints), rcFrame
+    val strh = chunk("strh", cc("vids") ++ cc("MJPG") ++
+      Array(0, 0, 0, 1, 10, 0, nf, 0, 0, 0).flatMap(le) ++
+      Array.fill[Byte](8)(0))
+    // strf: BITMAPINFOHEADER — size, w, h, planes|bits, 'MJPG', sizeImage,
+    // ppm×2, clrUsed, clrImportant = 40 B
+    val strf = chunk("strf", le(40) ++ le(w) ++ le(h) ++ le(1 | (24 << 16)) ++
+      cc("MJPG") ++ le(w * h * 3) ++ Array(0, 0, 0, 0).flatMap(le))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", jpegs.toArray.flatMap(j => chunk("00dc", j)))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le(body.length) ++ body
+  }
+
+  // ---------------------------------------------------------------- q53
+  /** Real video-codec roundtrip: synthesize one deterministic MJPEG-AVI
+    * per doc, decode every 2nd frame back through [[decodeMjpegFrames]].
+    * Rows-only at the gate (no SQL engine parses AVI or decodes JPEG —
+    * q49/q51 precedent); dims/frame-count exactness and the near-exact
+    * luma bound are spec-asserted in GraftOpsSpec. */
+  val q53 = QueryDef("q53_mjpeg_video_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id => (id, MultimodalOps.syntheticAviMjpeg(id)) }
+        }.toDF("doc_id", "payload")
+      decodeMjpegFrames(payloads, everyNth = 2).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("mean_luma"), col("ok"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    None)
+
   /** Deterministic animated-GIF fixture: `id % 4 + 2` constant-gray
     * frames at (id%7+2)×(id%5+2), gray = (id·31 + frame·17) % 256.
     * Shared by q51 and its spec so the analytic expectation is stated
@@ -437,5 +612,5 @@ object MultimodalOps {
     bos.toByteArray
   }
 
-  val all: Seq[QueryDef] = Seq(q26, q39, q49, q51)
+  val all: Seq[QueryDef] = Seq(q26, q39, q49, q51, q53)
 }

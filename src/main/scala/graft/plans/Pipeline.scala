@@ -196,6 +196,9 @@ object PipelineCompiler {
     "decodeGifFrames" -> ((_, in, args) =>
       Map("outport1" -> graft.operators.MultimodalOps.decodeGifFrames(in("inport1"),
         args.getOrElse("everyNth", "1").toInt).toDF())),
+    "decodeMjpegFrames" -> ((_, in, args) =>
+      Map("outport1" -> graft.operators.MultimodalOps.decodeMjpegFrames(in("inport1"),
+        args.getOrElse("everyNth", "1").toInt).toDF())),
     // Sinks: terminal, empty port map (ref R3 KafkaOutput returns no
     // downstream ports, KafkaOutput.java:18-19).
     "viewSink" -> ((_, in, args) => {

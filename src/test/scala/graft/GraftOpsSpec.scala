@@ -809,6 +809,39 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(bad.length == 1 && !bad(0).ok)
   }
 
+  test("decodeMjpegFrames: real RIFF-AVI walk + JDK JPEG decode, corrupt-safe") {
+    import spark.implicits._
+    // the q53 contract: syntheticAviMjpeg(id) has (id%4+2) solid-gray
+    // JPEG frames at (id%7+2)*8 x (id%5+2)*8, gray (id*31 + f*17) % 256.
+    // JPEG is lossy: dims and frame count are EXACT, solid-frame luma is
+    // bounded (DC-only blocks round-trip within a few quantizer levels)
+    val ids = Seq(0L, 3L, 5L, 11L, 26L)
+    val df = ids.map(id => (id, graft.operators.MultimodalOps.syntheticAviMjpeg(id)))
+      .toDF("doc_id", "payload")
+    val out = graft.operators.MultimodalOps.decodeMjpegFrames(df, everyNth = 2)
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    ids.foreach { id =>
+      val frames = (0 until (id % 4 + 2).toInt).filter(_ % 2 == 0)
+      assert(out.keys.count(_._1 == id) == frames.size,
+        s"doc $id: everyNth=2 keeps exactly frames ${frames.mkString(",")}")
+      frames.foreach { f =>
+        val r = out((id, f))
+        assert(r.ok && r.width == (id % 7 + 2).toInt * 8 &&
+          r.height == (id % 5 + 2).toInt * 8)
+        val expect = ((id * 31 + f * 17) % 256).toDouble
+        assert(math.abs(r.mean_luma - expect) <= 4.0,
+          s"doc $id frame $f: luma ${r.mean_luma} strayed from $expect")
+      }
+    }
+    // garbage bytes and a truncated container both degrade to counted rows
+    val good = graft.operators.MultimodalOps.syntheticAviMjpeg(3L)
+    val bad = graft.operators.MultimodalOps.decodeMjpegFrames(
+      Seq((98L, Array[Byte](1, 2, 3, 4)), (99L, good.take(good.length / 2)))
+        .toDF("doc_id", "payload")).collect()
+    assert(bad.forall(!_.ok) && bad.map(_.doc_id).toSet == Set(98L, 99L),
+      "corrupt/truncated AVIs must surface as ok=false rows, never task failures")
+  }
+
   test("resizeImages really rescales pixels; decodeAudioMeta parses real WAV headers") {
     import spark.implicits._
     import java.awt.image.BufferedImage
