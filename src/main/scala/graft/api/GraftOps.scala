@@ -943,6 +943,63 @@ object GraftOps {
       .drop("__w", "__n")
   }
 
+  /** Mixture PLANNING — the budgeting step before sampling a blended
+    * training corpus: given per-row token counts, a target share per
+    * source (ppm of the token budget), and the budget itself, emit one
+    * row per source with its deterministic keep-rate:
+    *   target_tokens = floor(share_ppm · budget / 1e6)
+    *   rate_ppm      = least(1e6, floor(target_tokens · 1e6 / total_tokens))
+    *   deficit_tokens = greatest(0, target_tokens − total_tokens)
+    * An under-provisioned source (fewer tokens than its target) keeps
+    * everything and the shortfall is SURFACED as `deficit_tokens` —
+    * never silently re-spread over the other sources; re-weighting is
+    * the caller's policy decision. The ratio arithmetic is plain IEEE
+    * double division of exact long aggregates (identical in any IEEE
+    * engine — oracle-hashed); `budgetTokens` must stay below 2^53 so
+    * the double math is exact (9e15 tokens ≈ a 36-PB text corpus).
+    *
+    * Scale shape: ONE map-side-combined hash agg on source; output rows
+    * = |sources| (tiny — broadcastable into [[applyMixture]]). */
+  def mixtureRates(df: DataFrame, source: Column, tokens: Column,
+      sharesPpm: Map[String, Int], defaultSharePpm: Int,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0 && budgetTokens <= (1L << 53),
+      s"budgetTokens must be in [0, 2^53]; got $budgetTokens")
+    require(defaultSharePpm >= 0 && sharesPpm.values.forall(_ >= 0),
+      "shares must be >= 0")
+    val share = sharesPpm.foldLeft(lit(defaultSharePpm)) { case (acc, (s, p)) =>
+      when(col("source") === s, lit(p)).otherwise(acc)
+    }
+    df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("total_tokens"))
+      .withColumn("share_ppm", share.cast("long"))
+      .withColumn("target_tokens",
+        floor(col("share_ppm").cast("double") * lit(budgetTokens.toDouble) /
+          lit(1000000.0)))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), floor(col("target_tokens").cast("double") *
+          lit(1000000.0) / col("total_tokens").cast("double"))))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), col("target_tokens") - col("total_tokens")))
+  }
+
+  /** Apply a [[mixtureRates]] plan: deterministic per-source Bernoulli
+    * keep at the planned `rate_ppm` — the |sources|-row plan broadcasts
+    * back onto the corpus and the keep decision is the q36 portable-hash
+    * bucket test (prefix `mixw|`, so mixture sampling is independent of
+    * any other sampler on the same keys). Output schema equals the
+    * input's. Zero shuffle on the corpus side at any scale. */
+  def applyMixture(df: DataFrame, source: Column, key: Column,
+      rates: DataFrame): DataFrame = {
+    val bucket = pmod(Portable.phash(concat(lit("mixw|"), key.cast("string"))),
+      lit(1000000L))
+    df.withColumn("__src", source)
+      .join(broadcast(rates.select(col("source").as("__src"), col("rate_ppm"))),
+        "__src")
+      .filter(bucket < col("rate_ppm"))
+      .drop("__src", "rate_ppm")
+  }
+
   /** Deterministic shard-shuffle — the write-layout step of a training
     * pipeline: assigns each row a shard (0..nShards-1) and an in-shard
     * order key, both from independent seeded portable hashes of `key`.

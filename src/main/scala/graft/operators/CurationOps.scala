@@ -343,6 +343,43 @@ object CurationOps {
       FROM documents
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q54
+  /** Mixture planning: per-source token budgeting with surfaced deficits.
+    * Target shares in ppm of a 50k-token budget; keep-rates derived from
+    * the same portable token counting as q42. The ratio math is plain
+    * IEEE double division of exact long aggregates — hash-portable. */
+  private val mixShares: Map[String, Int] =
+    Map("src0" -> 300000, "src1" -> 200000, "src2" -> 100000)
+  val q54 = QueryDef("q54_mixture_plan",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
+      GraftOps.mixtureRates(d, col("source"), col("n_tokens"),
+          mixShares, defaultSharePpm = 40000, budgetTokens = 50000L)
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT source, CAST(len(${Duck.toks}) AS BIGINT) AS n_tokens
+        FROM documents),
+      a AS (
+        SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+          CAST(CASE source WHEN 'src0' THEN 300000 WHEN 'src1' THEN 200000
+               WHEN 'src2' THEN 100000 ELSE 40000 END AS BIGINT) AS share_ppm
+        FROM t GROUP BY source),
+      p AS (
+        SELECT source, n_docs, total_tokens, share_ppm,
+          CAST(floor(CAST(share_ppm AS DOUBLE) * 50000.0 / 1000000.0) AS BIGINT)
+            AS target_tokens
+        FROM a)
+      SELECT source, n_docs, total_tokens, share_ppm, target_tokens,
+        least(CAST(1000000 AS BIGINT),
+          CAST(floor(CAST(target_tokens AS DOUBLE) * 1000000.0
+            / CAST(total_tokens AS DOUBLE)) AS BIGINT)) AS rate_ppm,
+        greatest(CAST(0 AS BIGINT), target_tokens - total_tokens) AS deficit_tokens
+      FROM p
+      ORDER BY source"""))
+
   val all: Seq[QueryDef] =
-    Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47)
+    Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54)
 }

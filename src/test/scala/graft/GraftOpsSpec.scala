@@ -809,6 +809,35 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(bad.length == 1 && !bad(0).ok)
   }
 
+  test("applyMixture keeps exactly the rows whose mixw-bucket clears the planned rate") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, sf001, "documents")
+      .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
+    val rates = graft.api.GraftOps.mixtureRates(d, col("source"), col("n_tokens"),
+      Map("src0" -> 300000, "src1" -> 200000), defaultSharePpm = 40000,
+      budgetTokens = 20000L)
+    val plan = rates.collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("rate_ppm")).toMap
+    assert(plan.nonEmpty && plan.values.forall(p => p >= 0 && p <= 1000000))
+    // every source's target is bounded by its share of the budget; a
+    // saturated source (rate = 1e6) must surface its deficit
+    rates.collect().foreach { r =>
+      if (r.getAs[Long]("rate_ppm") == 1000000L)
+        assert(r.getAs[Long]("deficit_tokens") ==
+          math.max(0L, r.getAs[Long]("target_tokens") - r.getAs[Long]("total_tokens")))
+      else assert(r.getAs[Long]("deficit_tokens") == 0L)
+    }
+    val kept = graft.api.GraftOps.applyMixture(d, col("source"), col("doc_id"), rates)
+    assert(kept.schema == d.schema, "applyMixture must preserve the input schema")
+    // independent reference: keep iff the mixw-hash bucket < the source's rate
+    val expected = d.withColumn("__b",
+        pmod(graft.functions.Portable.phash(
+          concat(lit("mixw|"), col("doc_id").cast("string"))), lit(1000000L)))
+      .collect().filter(r => r.getAs[Long]("__b") <
+        plan(r.getAs[String]("source"))).map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.collect().map(_.getAs[Long]("doc_id")).toSet == expected)
+  }
+
   test("decodeMjpegFrames: real RIFF-AVI walk + JDK JPEG decode, corrupt-safe") {
     import spark.implicits._
     // the q53 contract: syntheticAviMjpeg(id) has (id%4+2) solid-gray
