@@ -380,6 +380,43 @@ object CurationOps {
       FROM p
       ORDER BY source"""))
 
+  // ---------------------------------------------------------------- q55
+  /** The apply half of mixture planning: the q54 plan joins back onto the
+    * corpus (broadcast — |sources| rows) and a row survives iff its
+    * independent `mixw|` portable-hash bucket clears its source's planned
+    * rate. Plan + apply both hash-gated ⇒ the whole blending step is
+    * oracle-proven end to end. */
+  val q55 = QueryDef("q55_mixture_apply",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
+      val rates = GraftOps.mixtureRates(d, col("source"), col("n_tokens"),
+        mixShares, defaultSharePpm = 40000, budgetTokens = 50000L)
+      GraftOps.applyMixture(d, col("source"), col("doc_id"), rates)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, source, CAST(len(${Duck.toks}) AS BIGINT) AS n_tokens
+        FROM documents),
+      a AS (
+        SELECT source, SUM(n_tokens) AS total_tokens,
+          CAST(CASE source WHEN 'src0' THEN 300000 WHEN 'src1' THEN 200000
+               WHEN 'src2' THEN 100000 ELSE 40000 END AS BIGINT) AS share_ppm
+        FROM t GROUP BY source),
+      p AS (
+        SELECT source,
+          least(CAST(1000000 AS BIGINT),
+            CAST(floor(CAST(CAST(floor(CAST(share_ppm AS DOUBLE) * 50000.0
+              / 1000000.0) AS BIGINT) AS DOUBLE) * 1000000.0
+              / CAST(total_tokens AS DOUBLE)) AS BIGINT)) AS rate_ppm
+        FROM a)
+      SELECT doc_id, source
+      FROM t JOIN p USING (source)
+      WHERE ${Duck.ph("'mixw|' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54)
+    Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55)
 }
