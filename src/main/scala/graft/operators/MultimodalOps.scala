@@ -246,6 +246,90 @@ object MultimodalOps {
       }
   }
 
+  /** One decoded-audio row: real sample-level stats. */
+  case class AudioPcm(doc_id: Long, channels: Int, n_samples: Long,
+      mean_abs: Double, rms: Double, peak: Int, ok: Boolean)
+
+  /** REAL audio sample decoding — the feature-extract step above
+    * [[decodeAudioMeta]]'s header-only parse: `AudioSystem
+    * .getAudioInputStream` yields the decoded PCM stream (JDK-shipped
+    * WAV/AU/AIFF codecs) and every 16-bit sample across all channels is
+    * folded into exact integer aggregates (Σ|s|, Σs², max|s|). The
+    * emitted stats are IEEE operations on those exact sums, so a fixture
+    * with analytic stats (e.g. a square wave) round-trips EXACTLY —
+    * spec-asserted. Non-16-bit/non-PCM encodings and unparseable
+    * payloads degrade to `ok = false` rows, never task failures. */
+  def decodeAudioPcm(payload: DataFrame): Dataset[AudioPcm] = {
+    val spark = payload.sparkSession
+    import spark.implicits._
+    payload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                AudioPcm(docId, 0, 0L, 0.0, 0.0, 0, ok = false)
+              else {
+                val pcm = ais.readAllBytes()
+                val be = fmt.isBigEndian
+                var i = 0
+                var n = 0L
+                var sumAbs = 0L
+                var sumSq = 0L
+                var peak = 0
+                while (i + 1 < pcm.length) {
+                  val s =
+                    if (be) ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort.toInt
+                    else ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort.toInt
+                  val a = math.abs(s)
+                  sumAbs += a
+                  sumSq += s.toLong * s
+                  if (a > peak) peak = a
+                  n += 1
+                  i += 2
+                }
+                if (n == 0) AudioPcm(docId, fmt.getChannels, 0L, 0.0, 0.0, 0, ok = false)
+                else AudioPcm(docId, fmt.getChannels, n,
+                  sumAbs.toDouble / n, math.sqrt(sumSq.toDouble / n), peak,
+                  ok = true)
+              }
+            } finally ais.close()
+          } catch { case _: Exception =>
+            AudioPcm(docId, 0, 0L, 0.0, 0.0, 0, ok = false)
+          }
+        }
+      }
+  }
+
+  /** Deterministic WAV fixture: 16-bit PCM mono square wave, `(id%5+1)·100`
+    * samples alternating ±A with A = (id·37) % 1000 + 100 — so mean |s|,
+    * RMS, and peak are all EXACTLY A (√(A²) is exact in IEEE for these
+    * magnitudes). Shared by q56 and its spec. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = ((id % 5) + 1).toInt * 100
+    val amp = ((id * 37) % 1000 + 100).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = if (i % 2 == 0) amp else -amp
+      pcm(i * 2) = (s & 0xff).toByte          // little-endian
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Frame sampling: keep every `n`-th frame (the cheap end of the
     * decode pipeline — a pure narrow filter, applied BEFORE expensive
     * per-frame work at scale). */
@@ -581,6 +665,27 @@ object MultimodalOps {
     },
     None)
 
+  // ---------------------------------------------------------------- q56
+  /** Real audio-codec roundtrip: synthesize one deterministic square-wave
+    * WAV per doc, decode the PCM samples back through [[decodeAudioPcm]].
+    * Rows-only at the gate (no SQL engine parses WAV — q49/q51/q53
+    * precedent); the EXACT mean/RMS/peak == amplitude contract is
+    * spec-asserted in GraftOpsSpec. */
+  val q56 = QueryDef("q56_audio_pcm_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id => (id, MultimodalOps.syntheticWav(id)) }
+        }.toDF("doc_id", "payload")
+      decodeAudioPcm(payloads).toDF()
+        .select(col("doc_id"), col("channels"), col("n_samples"),
+          col("mean_abs"), col("rms"), col("peak"), col("ok"))
+        .orderBy("doc_id")
+    },
+    None)
+
   /** Deterministic animated-GIF fixture: `id % 4 + 2` constant-gray
     * frames at (id%7+2)×(id%5+2), gray = (id·31 + frame·17) % 256.
     * Shared by q51 and its spec so the analytic expectation is stated
@@ -612,5 +717,5 @@ object MultimodalOps {
     bos.toByteArray
   }
 
-  val all: Seq[QueryDef] = Seq(q26, q39, q49, q51, q53)
+  val all: Seq[QueryDef] = Seq(q26, q39, q49, q51, q53, q56)
 }

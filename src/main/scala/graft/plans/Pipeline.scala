@@ -199,6 +199,9 @@ object PipelineCompiler {
     "decodeMjpegFrames" -> ((_, in, args) =>
       Map("outport1" -> graft.operators.MultimodalOps.decodeMjpegFrames(in("inport1"),
         args.getOrElse("everyNth", "1").toInt).toDF())),
+    "decodeAudioPcm" -> ((_, in, _) =>
+      Map("outport1" ->
+        graft.operators.MultimodalOps.decodeAudioPcm(in("inport1")).toDF())),
     // Sinks: terminal, empty port map (ref R3 KafkaOutput returns no
     // downstream ports, KafkaOutput.java:18-19).
     "viewSink" -> ((_, in, args) => {

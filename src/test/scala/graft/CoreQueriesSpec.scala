@@ -77,7 +77,8 @@ class CoreQueriesSpec extends AnyFunSuite with SharedSpark {
       "q09b_math_libm", // sketches aren't engine-portable; libm isn't bit-exact
       "q49_image_codec_roundtrip", // no SQL engine decodes PNG; spec-exact instead
       "q51_gif_frames_roundtrip",  // ditto for GIF; spec-exact in GraftOpsSpec
-      "q53_mjpeg_video_roundtrip"), // ditto for AVI/JPEG; spec-bounded luma
+      "q53_mjpeg_video_roundtrip",  // ditto for AVI/JPEG; spec-bounded luma
+      "q56_audio_pcm_roundtrip"),   // ditto for WAV; spec-exact square wave
       s"unexpected rows-only: $rowsOnly")
   }
 

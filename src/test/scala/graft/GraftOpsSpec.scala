@@ -871,6 +871,30 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       "corrupt/truncated AVIs must surface as ok=false rows, never task failures")
   }
 
+  test("decodeAudioPcm: real JDK sample decode — square-wave stats are EXACT") {
+    import spark.implicits._
+    // the q56 contract: syntheticWav(id) is a mono 16-bit square wave of
+    // (id%5+1)*100 samples at amplitude A=(id*37)%1000+100, so mean|s|,
+    // RMS and peak all equal A exactly (integer sums; sqrt(A^2)==A)
+    val ids = Seq(0L, 3L, 7L, 42L, 199L)
+    val df = ids.map(id => (id, graft.operators.MultimodalOps.syntheticWav(id)))
+      .toDF("doc_id", "payload")
+    val out = graft.operators.MultimodalOps.decodeAudioPcm(df)
+      .collect().map(r => r.doc_id -> r).toMap
+    ids.foreach { id =>
+      val r = out(id)
+      val amp = ((id * 37) % 1000 + 100).toDouble
+      assert(r.ok && r.channels == 1 && r.n_samples == (id % 5 + 1) * 100)
+      assert(r.mean_abs == amp && r.rms == amp && r.peak == amp.toInt,
+        s"doc $id: square-wave stats must be exactly $amp, " +
+          s"got (${r.mean_abs}, ${r.rms}, ${r.peak})")
+    }
+    // corrupt payload: counted, never fatal
+    val bad = graft.operators.MultimodalOps.decodeAudioPcm(
+      Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")).collect()
+    assert(bad.length == 1 && !bad(0).ok)
+  }
+
   test("resizeImages really rescales pixels; decodeAudioMeta parses real WAV headers") {
     import spark.implicits._
     import java.awt.image.BufferedImage

@@ -181,6 +181,41 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("S11: applyMixture is stream-ready — streamed keep set equals batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    // plan computed ONCE on the static corpus (mixtureRates is a trainer-
+    // style eager agg — illegal on a stream); the apply side is a pure
+    // stream-static broadcast join + narrow filter, so admission control
+    // for continuous ingestion reuses the exact batch operator
+    val d = Tables.load(spark, sf001, "documents")
+      .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
+    val rates = graft.api.GraftOps.mixtureRates(d, col("source"), col("n_tokens"),
+      Map("src0" -> 300000, "src1" -> 200000), defaultSharePpm = 50000,
+      budgetTokens = 20000L)
+    val batchKept = graft.api.GraftOps.applyMixture(
+        d.select("doc_id", "source"), col("source"), col("doc_id"), rates)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val input = MemoryStream[(Long, String)]
+    val stream = graft.api.GraftOps.applyMixture(
+      input.toDF().toDF("doc_id", "source"), col("source"), col("doc_id"), rates)
+    val q = stream.writeStream.format("memory").queryName("s11")
+      .outputMode("append").start()
+    try {
+      val rows = d.select("doc_id", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s11").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(streamed == batchKept,
+        "the same rows through the streaming plan must keep the same set")
+      assert(batchKept.nonEmpty && batchKept.size < rows.size,
+        "fixture must exercise both keep and drop")
+    } finally q.stop()
+  }
+
   test("S2b: sliding window counts overlap correctly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
