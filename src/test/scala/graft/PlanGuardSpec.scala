@@ -77,6 +77,24 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("applyMixture stays broadcast-only on the corpus side") {
+    // The defining property of the mixture apply: the |sources|-row plan
+    // reaches the corpus via a broadcast hash join — never a sort-merge
+    // join, whose shuffle would repartition the full corpus at 100 TB.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf001, "documents")
+      .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
+    val rates = graft.api.GraftOps.mixtureRates(docs, col("source"),
+      col("n_tokens"), Map("src0" -> 300000), 50000, 20000L)
+    val applied = graft.api.GraftOps.applyMixture(
+      docs.select("doc_id", "source"), col("source"), col("doc_id"), rates)
+    val plan = nodes(applied.queryExecution.sparkPlan)
+    assert(plan.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "the rate plan must broadcast")
+    assert(!plan.exists(_.nodeName.contains("SortMergeJoin")),
+      "applyMixture must never sort-merge the corpus against the tiny plan")
+  }
+
   test("q14's range join keeps both sides pre-aggregated (scale-safe band join)") {
     // The defining property of the banded range join: BOTH join inputs
     // collapse to their tiny key domains BEFORE the band explode, so join
