@@ -71,6 +71,37 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(rz.length == 1 && rz(0).getAs[Int]("width") == 3)
   }
 
+  test("gif/mjpeg/audio registry ops compile in a declarative media DAG") {
+    import spark.implicits._
+    Seq(
+      (1L, graft.operators.MultimodalOps.syntheticGif(3L)),
+      (2L, graft.operators.MultimodalOps.syntheticAviMjpeg(3L)),
+      (3L, graft.operators.MultimodalOps.syntheticWav(3L)))
+      .toDF("doc_id", "payload").createOrReplaceTempView("media_mixed")
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="src" class="viewInput">
+          <arg key="table" value="media_mixed"/>
+        </operator>
+        <operator name="gif" class="decodeGifFrames">
+          <arg key="everyNth" value="2"/>
+        </operator>
+        <operator name="vid" class="decodeMjpegFrames"/>
+        <operator name="aud" class="decodeAudioPcm"/>
+        <connect from="src.outport1" to="gif.inport1"/>
+        <connect from="src.outport1" to="vid.inport1"/>
+        <connect from="src.outport1" to="aud.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    // each decoder accepts its own format and counts the others as ok=false
+    val gifOk = ports("gif.outport1").filter("ok").collect()
+    assert(gifOk.nonEmpty && gifOk.forall(_.getAs[Long]("doc_id") == 1L))
+    val vidOk = ports("vid.outport1").filter("ok").collect()
+    assert(vidOk.nonEmpty && vidOk.forall(_.getAs[Long]("doc_id") == 2L))
+    val audOk = ports("aud.outport1").filter("ok").collect()
+    assert(audOk.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L))
+  }
+
   test("diamond DAG topology compiles (join of two branches)") {
     val spec = PipelineSpec(
       nodes = Seq(
