@@ -512,24 +512,29 @@ object MultimodalOps {
   private[operators] def aviFramePayloads(b: Array[Byte]): Option[Vector[(Int, Int)]] =
     if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") None
     else {
+      // All offsets/sizes walk in LONG arithmetic with RIFF sizes read
+      // UNSIGNED: a hostile chunk claiming a ~2^31 size must fail the
+      // bounds check, not overflow the cursor into a negative index.
       val frames = Vector.newBuilder[(Int, Int)]
       var bad = false
-      var off = 12
-      val end = math.min(b.length.toLong, 8L + (le32(b, 4) & 0xffffffffL)).toInt
+      var off = 12L
+      val end = math.min(b.length.toLong, 8L + (le32(b, 4) & 0xffffffffL))
       while (off + 8 <= end && !bad) {
-        val id = fourcc(b, off)
-        val size = le32(b, off + 4)
-        if (size < 0 || off + 8 + size > end) bad = true
+        val id = fourcc(b, off.toInt)
+        val size = le32(b, off.toInt + 4) & 0xffffffffL
+        if (off + 8 + size > end) bad = true
         else {
-          if (id == "LIST" && size >= 4 && fourcc(b, off + 8) == "movi") {
+          if (id == "LIST" && size >= 4 && fourcc(b, off.toInt + 8) == "movi") {
             var p = off + 12
             val lend = off + 8 + size
             while (p + 8 <= lend && !bad) {
-              val cid = fourcc(b, p)
-              val csz = le32(b, p + 4)
-              if (csz < 0 || p + 8 + csz > lend) bad = true
+              val cid = fourcc(b, p.toInt)
+              val csz = le32(b, p.toInt + 4) & 0xffffffffL
+              if (p + 8 + csz > lend) bad = true
               else {
-                if (cid.endsWith("dc") || cid.endsWith("db")) frames += ((p + 8, csz))
+                // csz <= lend - p - 8 <= b.length here, so toInt is exact
+                if (cid.endsWith("dc") || cid.endsWith("db"))
+                  frames += ((p.toInt + 8, csz.toInt))
                 p += 8 + csz + (csz & 1) // RIFF chunks pad to even
               }
             }
@@ -558,7 +563,7 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (docId, bytes) =>
-          aviFramePayloads(bytes) match {
+          (try aviFramePayloads(bytes) catch { case _: Exception => None }) match {
             case None | Some(Vector()) =>
               Seq(DecodedFrame(docId, -1, 0, 0, 0.0, ok = false))
             case Some(frames) =>

@@ -869,6 +869,20 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
         .toDF("doc_id", "payload")).collect()
     assert(bad.forall(!_.ok) && bad.map(_.doc_id).toSet == Set(98L, 99L),
       "corrupt/truncated AVIs must surface as ok=false rows, never task failures")
+    // fuzz the container walk: EVERY truncation of a valid AVI plus
+    // hostile claimed chunk sizes (~2^31 — would overflow an int cursor)
+    // must decode to counted rows, never a task failure
+    def le(v: Long): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val hostile = "RIFF".getBytes("US-ASCII") ++ le(0xfffffff0L) ++
+      "AVI LIST".getBytes("US-ASCII") ++ le(0x7ffffff0L) ++
+      "movi00dc".getBytes("US-ASCII") ++ le(0x7fffffffL) ++ Array.fill[Byte](16)(0)
+    val fuzz = (1 until good.length by 7).map(n => (n.toLong, good.take(n))) :+
+      (0L, hostile)
+    val fz = graft.operators.MultimodalOps.decodeMjpegFrames(
+      fuzz.toDF("doc_id", "payload")).collect()
+    assert(fz.map(_.doc_id).toSet == fuzz.map(_._1).toSet,
+      "every fuzzed payload must produce rows (no crash, no silent drop)")
   }
 
   test("decodeAudioPcm: real JDK sample decode — square-wave stats are EXACT") {
