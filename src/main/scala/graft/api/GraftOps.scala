@@ -943,6 +943,26 @@ object GraftOps {
       .drop("__w", "__n")
   }
 
+  /** Declarative corpus validation — the admission-control step of a
+    * training-data pipeline: each named check is a boolean Column; the op
+    * adds `violations` (array of the FAILED check names, declaration
+    * order) and `is_valid`. A pure narrow projection — zero shuffle,
+    * works unchanged on streams — so the common 100 TB pattern is one
+    * pass that routes `is_valid` rows onward and quarantines the rest
+    * WITH their reasons (a dropped row that can't say why it was dropped
+    * is un-debuggable at corpus scale). NULL check results count as
+    * violations: an unevaluable constraint is a failed constraint. */
+  def withViolations(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "withViolations needs at least one named check")
+    require(checks.map(_._1).distinct.size == checks.size,
+      "check names must be unique")
+    val tagged = array(checks.map { case (name, c) =>
+      when(coalesce(c, lit(false)), lit(null).cast("string")).otherwise(lit(name))
+    }: _*)
+    df.withColumn("violations", filter(tagged, v => v.isNotNull))
+      .withColumn("is_valid", size(col("violations")) === 0)
+  }
+
   /** Mixture PLANNING — the budgeting step before sampling a blended
     * training corpus: given per-row token counts, a target share per
     * source (ppm of the token budget), and the budget itself, emit one

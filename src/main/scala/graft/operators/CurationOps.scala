@@ -417,6 +417,40 @@ object CurationOps {
       WHERE ${Duck.ph("'mixw|' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q57
+  /** Declarative validation: named row-level checks → violations array +
+    * is_valid flag, all narrow. NULL check results count as violations
+    * (an unevaluable constraint is a failed constraint — both engines
+    * state this via coalesce(check, false)). */
+  val q57 = QueryDef("q57_validate",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
+      GraftOps.withViolations(d, Seq(
+          "nonempty" -> (length(trim(col("text"))) > 0),
+          "lang_known" -> col("lang").isin("en", "zh", "de", "fr"),
+          "tokens_cap" -> (col("n_tokens") <= 120),
+          "id_positive" -> (col("doc_id") >= 0)))
+        .select(col("doc_id"), col("violations"), col("is_valid"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang, text, CAST(len(${Duck.toks}) AS INTEGER) AS n_tokens
+        FROM documents),
+      v AS (
+        SELECT doc_id,
+          list_filter([
+            CASE WHEN NOT coalesce(length(trim(text)) > 0, FALSE) THEN 'nonempty' END,
+            CASE WHEN NOT coalesce(lang IN ('en','zh','de','fr'), FALSE) THEN 'lang_known' END,
+            CASE WHEN NOT coalesce(n_tokens <= 120, FALSE) THEN 'tokens_cap' END,
+            CASE WHEN NOT coalesce(doc_id >= 0, FALSE) THEN 'id_positive' END
+          ], x -> x IS NOT NULL) AS violations
+        FROM t)
+      SELECT doc_id, violations, len(violations) = 0 AS is_valid
+      FROM v
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55)
+    Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57)
 }

@@ -809,6 +809,29 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(bad.length == 1 && !bad(0).ok)
   }
 
+  test("withViolations names every failed check; NULL results count as violations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "good text", 10),
+      (2L, "", 10),
+      (3L, "x", 200),
+      (4L, null.asInstanceOf[String], 10)).toDF("id", "text", "n")
+    val out = graft.api.GraftOps.withViolations(df, Seq(
+        "nonempty" -> (length(trim(col("text"))) > 0),
+        "cap" -> (col("n") <= 120)))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[String](3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((Seq(), true)))
+    assert(out(2L) == ((Seq("nonempty"), false)))
+    assert(out(3L) == ((Seq("cap"), false)))
+    assert(out(4L) == ((Seq("nonempty"), false)),
+      "an unevaluable (NULL) constraint must count as a violation")
+    intercept[IllegalArgumentException] {
+      graft.api.GraftOps.withViolations(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+  }
+
   test("applyMixture keeps exactly the rows whose mixw-bucket clears the planned rate") {
     import org.apache.spark.sql.functions._
     val d = Tables.load(spark, sf001, "documents")
