@@ -997,8 +997,11 @@ object GraftOps {
         floor(col("share_ppm").cast("double") * lit(budgetTokens.toDouble) /
           lit(1000000.0)))
       .withColumn("rate_ppm",
-        least(lit(1000000L), floor(col("target_tokens").cast("double") *
-          lit(1000000.0) / col("total_tokens").cast("double"))))
+        // a zero-token source has no sampleable mass: rate 0, stated
+        // explicitly (0/0 NaN handling differs between engines)
+        when(col("total_tokens") <= 0, lit(0L)).otherwise(
+          least(lit(1000000L), floor(col("target_tokens").cast("double") *
+            lit(1000000.0) / col("total_tokens").cast("double")))))
       .withColumn("deficit_tokens",
         greatest(lit(0L), col("target_tokens") - col("total_tokens")))
   }
@@ -1008,7 +1011,14 @@ object GraftOps {
     * back onto the corpus and the keep decision is the q36 portable-hash
     * bucket test (prefix `mixw|`, so mixture sampling is independent of
     * any other sampler on the same keys). Output schema equals the
-    * input's. Zero shuffle on the corpus side at any scale. */
+    * input's. Zero shuffle on the corpus side at any scale.
+    *
+    * A source with NO row in `rates` is dropped entirely (inner join):
+    * no plan = no budget. That is the right default when the plan came
+    * from [[mixtureRates]] over the SAME corpus (every present source
+    * gets a row); if the plan was trained elsewhere, union a default
+    * row per missing source first — silence here would be a policy
+    * decision this operator refuses to make implicitly. */
   def applyMixture(df: DataFrame, source: Column, key: Column,
       rates: DataFrame): DataFrame = {
     val bucket = pmod(Portable.phash(concat(lit("mixw|"), key.cast("string"))),

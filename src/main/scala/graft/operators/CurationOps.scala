@@ -373,9 +373,10 @@ object CurationOps {
             AS target_tokens
         FROM a)
       SELECT source, n_docs, total_tokens, share_ppm, target_tokens,
-        least(CAST(1000000 AS BIGINT),
-          CAST(floor(CAST(target_tokens AS DOUBLE) * 1000000.0
-            / CAST(total_tokens AS DOUBLE)) AS BIGINT)) AS rate_ppm,
+        CASE WHEN total_tokens <= 0 THEN CAST(0 AS BIGINT) ELSE
+          least(CAST(1000000 AS BIGINT),
+            CAST(floor(CAST(target_tokens AS DOUBLE) * 1000000.0
+              / CAST(total_tokens AS DOUBLE)) AS BIGINT)) END AS rate_ppm,
         greatest(CAST(0 AS BIGINT), target_tokens - total_tokens) AS deficit_tokens
       FROM p
       ORDER BY source"""))
@@ -407,10 +408,11 @@ object CurationOps {
         FROM t GROUP BY source),
       p AS (
         SELECT source,
-          least(CAST(1000000 AS BIGINT),
-            CAST(floor(CAST(CAST(floor(CAST(share_ppm AS DOUBLE) * 50000.0
-              / 1000000.0) AS BIGINT) AS DOUBLE) * 1000000.0
-              / CAST(total_tokens AS DOUBLE)) AS BIGINT)) AS rate_ppm
+          CASE WHEN total_tokens <= 0 THEN CAST(0 AS BIGINT) ELSE
+            least(CAST(1000000 AS BIGINT),
+              CAST(floor(CAST(CAST(floor(CAST(share_ppm AS DOUBLE) * 50000.0
+                / 1000000.0) AS BIGINT) AS DOUBLE) * 1000000.0
+                / CAST(total_tokens AS DOUBLE)) AS BIGINT)) END AS rate_ppm
         FROM a)
       SELECT doc_id, source
       FROM t JOIN p USING (source)
