@@ -181,6 +181,64 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("S5g: reconcile edge cases — overlap widening and the exact-gap boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Sessionize.Event]
+    val q = Sessionize(input.toDS()).writeStream.format("memory")
+      .queryName("s5g").outputMode("append").start()
+    try {
+      // u1: morning session emitted in batch 1; a later batch delivers a
+      // late event INSIDE the already-emitted interval (overlap — the
+      // merged end must stay 09:10 via max-over-prev-ends, not shrink)
+      input.addData(
+        Sessionize.Event(1L, ts("2024-01-01 09:00:00"), 1.0),
+        Sessionize.Event(1L, ts("2024-01-01 09:10:00"), 1.0),
+        Sessionize.Event(1L, ts("2024-01-01 12:00:00"), 1.0),
+        // u2: an open noon anchor; the two morning events arrive later,
+        // in separate batches, exactly 30 min apart (== gap: must merge —
+        // the split rule is strictly-greater)
+        Sessionize.Event(2L, ts("2024-01-01 11:30:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Sessionize.Event(1L, ts("2024-01-01 09:05:00"), 1.0),
+        Sessionize.Event(2L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(Sessionize.Event(2L, ts("2024-01-01 10:30:00"), 1.0))
+      q.processAllAvailable()
+      // sentinels flush both open sessions
+      input.addData(
+        Sessionize.Event(1L, ts("2024-01-02 00:00:00"), 0.0),
+        Sessionize.Event(2L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val merged = Sessionize.reconcile(spark.table("s5g").as[Sessionize.Session])
+        .collect().map(s => (s.user_id, s.session_start, s.session_end,
+          s.n_events)).toSet
+      val batch = graft.api.GraftOps.sessionize(
+          Seq((1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 09:05:00")),
+            (1L, ts("2024-01-01 09:10:00")), (1L, ts("2024-01-01 12:00:00")),
+            (2L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:30:00")),
+            (2L, ts("2024-01-01 11:30:00"))).zipWithIndex
+            .map { case ((u, t), i) => (u, t, 1.0, i.toLong) }
+            .toDF("user_id", "ts", "value", "event_id"),
+          col("user_id"), col("ts"), gapUs = 30L * 60 * 1000000,
+          tiebreak = col("event_id"))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+          r.getLong(4))).toSet
+      assert(merged == batch,
+        s"overlap/boundary reconciliation diverged: $merged vs $batch")
+      // the u2 exact-gap pair (10:00, 10:30 — delta == gap) must be ONE
+      // session; 11:30 sits 60 min past 10:30 and stays separate
+      assert(merged.contains((2L, ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 10:30:00"), 2L)))
+      assert(merged.contains((2L, ts("2024-01-01 11:30:00"),
+        ts("2024-01-01 11:30:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("S11: applyMixture is stream-ready — streamed keep set equals batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
