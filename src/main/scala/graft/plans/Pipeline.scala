@@ -122,6 +122,11 @@ object PipelineCompiler {
       Map("outport1" -> Tables.load(spark, arg(args, "dir"), arg(args, "table")))),
     "viewInput" -> ((spark, _, args) =>
       Map("outport1" -> spark.table(arg(args, "table")))),
+    // Columnar file scan by explicit path+format (parquet default; orc
+    // ships in Spark — both self-describing, no schema arg needed).
+    "fileInput" -> ((spark, _, args) =>
+      Map("outport1" -> spark.read.format(args.getOrElse("format", "parquet"))
+        .load(arg(args, "path")))),
     // Both text scans honor Spark's malformed-record contract: `mode`
     // (PERMISSIVE default / DROPMALFORMED / FAILFAST) and, in PERMISSIVE
     // runs, `corruptColumn` captures the raw bad line — the named column
@@ -210,6 +215,16 @@ object PipelineCompiler {
     "tableSink" -> ((_, in, args) => { // ref R6 CTAS parity
       in("inport1").write.mode(args.getOrElse("mode", "overwrite"))
         .saveAsTable(arg(args, "name")); Map.empty
+    }),
+    // Path-based batch file sink (parquet/orc/csv/json), the write twin
+    // of fileInput; `partitionBy` takes ;-separated column names for a
+    // partitioned layout (e.g. the shardCorpus shard column).
+    "fileSink" -> ((_, in, args) => {
+      val w = in("inport1").write.mode(args.getOrElse("mode", "overwrite"))
+        .format(args.getOrElse("format", "parquet"))
+      args.get("partitionBy").fold(w)(p => w.partitionBy(p.split(';').toIndexedSeq: _*))
+        .save(arg(args, "path"))
+      Map.empty
     }),
     // Streaming sinks: compiling a spec that ends in one STARTS the query
     // (the streaming analogue of the batch sinks' eager action); the

@@ -23,6 +23,37 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
       Set((1, "a"), (2, "b")))
   }
 
+  test("fileSink/fileInput roundtrip ORC (and partitioned parquet) through the pipeline") {
+    val dir = Files.createTempDirectory("graft-orc").toFile
+    val orcPath = new java.io.File(dir, "orc_out").getAbsolutePath
+    import spark.implicits._
+    Seq((1L, "a", "s0"), (2L, "b", "s0"), (3L, "c", "s1"))
+      .toDF("k", "v", "part").createOrReplaceTempView("file_sink_src")
+    val spec = PipelineSpec(
+      nodes = Seq(
+        OpNode("in", "viewInput", Map("table" -> "file_sink_src")),
+        OpNode("out", "fileSink", Map("path" -> orcPath, "format" -> "orc"))),
+      edges = Seq(Edge("in.outport1", "out.inport1")))
+    PipelineCompiler.compile(spec, spark)
+    val back = PipelineCompiler.compile(PipelineSpec(
+      nodes = Seq(OpNode("rd", "fileInput",
+        Map("path" -> orcPath, "format" -> "orc"))), edges = Nil),
+      spark)("rd.outport1")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")), "ORC roundtrip must be lossless")
+    // partitioned parquet layout: partitionBy materializes part=N dirs
+    val pqPath = new java.io.File(dir, "pq_out").getAbsolutePath
+    PipelineCompiler.compile(PipelineSpec(
+      nodes = Seq(
+        OpNode("in", "viewInput", Map("table" -> "file_sink_src")),
+        OpNode("out", "fileSink",
+          Map("path" -> pqPath, "partitionBy" -> "part"))),
+      edges = Seq(Edge("in.outport1", "out.inport1"))), spark)
+    assert(new java.io.File(pqPath, "part=s0").exists &&
+      new java.io.File(pqPath, "part=s1").exists,
+      "partitionBy must materialize the partitioned layout")
+  }
+
   test("jsonInput reads with explicit schema through the pipeline") {
     val dir = Files.createTempDirectory("graft-json").toFile
     val f = new java.io.File(dir, "data.json")
