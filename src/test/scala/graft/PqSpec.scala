@@ -126,7 +126,7 @@ class PqSpec extends AnyFunSuite with SharedSpark {
         (r.getAs[Long]("probe_id"), r.getAs[Long]("id"))).toSet
     val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
       k = 4, iters = 1)
-    val ncells = coarse.select("cluster").distinct.count.toInt
+    val ncells = coarse.select("cluster").distinct().count().toInt
     val unrouted = GraftOps.pqTopK(emb, col("vec_id"), col("embedding"),
       col("vec_id") < 10, model, DIM, k = 3).collect().toSet
     // probing EVERY cell restores the full candidate set — routed search
