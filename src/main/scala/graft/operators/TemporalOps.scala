@@ -98,5 +98,47 @@ object TemporalOps {
       GROUP BY user_id, sess_id
       ORDER BY user_id, sess_id"""))
 
-  val all: Seq[QueryDef] = Seq(q27, q28)
+  // ---------------------------------------------------------------- q58
+  /** Time-bucket gap filling (1-hour buckets): densify each user's event
+    * series — one row per user per bucket from the user's first to last
+    * event, with n = 0 where the series is silent. The bucket spine is
+    * generated PER KEY with sequence() off a per-key min/max agg (no
+    * driver-side calendar, no cross join); counts left-join back on
+    * (user, bucket). Integer bucket ids via `div` (trunc division —
+    * identical to DuckDB's floor `//` on the post-epoch timestamps the
+    * data has; pre-1970 data would need explicit floor semantics).
+    *
+    * Scale shape: one agg + one equi-join shuffle, both keyed by
+    * (user, bucket); spine size = keys × their active spans, never
+    * keys × global calendar. */
+  val q58 = QueryDef("q58_time_gapfill",
+    (s, dir) => {
+      val b = events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("bucket"))
+      val counts = b.groupBy(col("user_id"), col("bucket"))
+        .agg(count(lit(1)).as("__n"))
+      val spine = b.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+        .select(col("user_id"),
+          explode(sequence(col("__mn"), col("__mx"))).as("bucket"))
+      spine.join(counts, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), col("bucket"),
+          coalesce(col("__n"), lit(0L)).as("n"))
+        .orderBy("user_id", "bucket")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket
+        FROM events),
+      agg AS (
+        SELECT user_id, bucket, COUNT(*) AS n FROM e GROUP BY user_id, bucket),
+      rng AS (
+        SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM e GROUP BY user_id),
+      spine AS (
+        SELECT user_id, unnest(range(mn, mx + 1)) AS bucket FROM rng)
+      SELECT s.user_id, s.bucket, coalesce(agg.n, 0) AS n
+      FROM spine s LEFT JOIN agg USING (user_id, bucket)
+      ORDER BY user_id, bucket"""))
+
+  val all: Seq[QueryDef] = Seq(q27, q28, q58)
 }
