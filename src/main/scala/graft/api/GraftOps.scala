@@ -943,6 +943,28 @@ object GraftOps {
       .drop("__w", "__n")
   }
 
+  /** Time-bucket gap filling — densify a per-key time series: one row
+    * per key per `stepUs` bucket between that key's first and last
+    * events, with `n` = event count (0 where the series is silent). The
+    * bucket spine is generated PER KEY with sequence() off one min/max
+    * agg — no driver-side calendar, no cross join — and counts rejoin on
+    * (key, bucket). Bucket ids are `unix_micros div stepUs` (trunc
+    * division; equals floor division for post-epoch data — pre-1970
+    * timestamps would need explicit floor semantics). Output:
+    * (key, bucket, n). One agg + one equi-join shuffle, both keyed by
+    * (key, bucket); spine size = keys × their ACTIVE spans. */
+  def gapFill(df: DataFrame, key: Column, ts: Column, stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive; got $stepUs")
+    val b = df.select(key.as("key"), unix_micros(ts).as("__um"))
+      .select(col("key"), expr(s"__um div ${stepUs}L").as("bucket"))
+    val counts = b.groupBy(col("key"), col("bucket")).agg(count(lit(1)).as("__n"))
+    val spine = b.groupBy(col("key"))
+      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(col("key"), explode(sequence(col("__mn"), col("__mx"))).as("bucket"))
+    spine.join(counts, Seq("key", "bucket"), "left")
+      .select(col("key"), col("bucket"), coalesce(col("__n"), lit(0L)).as("n"))
+  }
+
   /** Declarative corpus validation — the admission-control step of a
     * training-data pipeline: each named check is a boolean Column; the op
     * adds `violations` (array of the FAILED check names, declaration

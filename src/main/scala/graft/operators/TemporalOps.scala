@@ -112,20 +112,11 @@ object TemporalOps {
     * (user, bucket); spine size = keys × their active spans, never
     * keys × global calendar. */
   val q58 = QueryDef("q58_time_gapfill",
-    (s, dir) => {
-      val b = events(s, dir)
-        .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("bucket"))
-      val counts = b.groupBy(col("user_id"), col("bucket"))
-        .agg(count(lit(1)).as("__n"))
-      val spine = b.groupBy(col("user_id"))
-        .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
-        .select(col("user_id"),
-          explode(sequence(col("__mn"), col("__mx"))).as("bucket"))
-      spine.join(counts, Seq("user_id", "bucket"), "left")
-        .select(col("user_id"), col("bucket"),
-          coalesce(col("__n"), lit(0L)).as("n"))
-        .orderBy("user_id", "bucket")
-    },
+    (s, dir) =>
+      graft.api.GraftOps.gapFill(events(s, dir), col("user_id"), col("ts"),
+          stepUs = 3600000000L)
+        .select(col("key").as("user_id"), col("bucket"), col("n"))
+        .orderBy("user_id", "bucket"),
     Some("""
       WITH e AS (
         SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket
