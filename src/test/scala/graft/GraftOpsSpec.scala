@@ -809,6 +809,28 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(bad.length == 1 && !bad(0).ok)
   }
 
+  test("gapFill: contiguous per-key spine, conserved counts, zeros where silent") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sf001, "events")
+    val out = graft.api.GraftOps.gapFill(ev, col("user_id"), col("ts"),
+      stepUs = 3600000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byKey = out.groupBy(_._1)
+    val evCounts = ev.groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKey.keySet == evCounts.keySet, "every key with events gets a spine")
+    byKey.foreach { case (k, rows) =>
+      val buckets = rows.map(_._2).sorted
+      assert(buckets.last - buckets.head + 1 == buckets.length &&
+        buckets.distinct.length == buckets.length,
+        s"key $k: spine must be contiguous [min..max] with no dup buckets")
+      assert(rows.map(_._3).sum == evCounts(k),
+        s"key $k: bucket counts must conserve the key's event count")
+    }
+    assert(out.exists(_._3 == 0L),
+      "fixture must exercise silent buckets (n = 0 rows)")
+  }
+
   test("withViolations names every failed check; NULL results count as violations") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
