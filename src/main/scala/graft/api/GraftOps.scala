@@ -943,6 +943,30 @@ object GraftOps {
       .drop("__w", "__n")
   }
 
+  /** Score-quantile filtering — score-BASED selection, the complement of
+    * the hash-based random samplers: keep each stratum's rows whose
+    * `score` clears the stratum's EXACT q-quantile (the same
+    * interpolated order statistic the q29 family proved engine-portable:
+    * Spark `percentile` == DuckDB `quantile_cont`). Ties at the
+    * threshold all survive — deterministic; with discrete scores the
+    * kept fraction is >= (1−q) rather than exact. The |strata|-row
+    * threshold table broadcasts back; the corpus side is one scan +
+    * filter (the percentile agg is the one shuffle). Adds `q_threshold`;
+    * otherwise schema-preserving. The common instantiation: keep each
+    * source's top 30% by quality score before packing. */
+  def topQuantileFilter(df: DataFrame, strata: Column, score: Column,
+      quantile: Double): DataFrame = {
+    require(quantile > 0.0 && quantile < 1.0,
+      s"quantile must be in (0,1); got $quantile")
+    val thr = df.select(strata.as("__s"), score.cast("double").as("__sc"))
+      .groupBy(col("__s"))
+      .agg(expr(s"percentile(__sc, $quantile)").as("q_threshold"))
+    df.withColumn("__s", strata)
+      .join(broadcast(thr), "__s")
+      .filter(score.cast("double") >= col("q_threshold"))
+      .drop("__s")
+  }
+
   /** Time-bucket gap filling — densify a per-key time series: one row
     * per key per `stepUs` bucket between that key's first and last
     * events, with `n` = event count (0 where the series is silent). The

@@ -453,6 +453,31 @@ object CurationOps {
       FROM v
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q59
+  /** Score-quantile filtering: keep each source's docs at or above the
+    * source's exact 0.7-quantile of token count (top ~30% by length,
+    * threshold ties all kept). Spark `percentile` == DuckDB
+    * `quantile_cont` — the q29-proven portability. */
+  val q59 = QueryDef("q59_quantile_filter",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
+      GraftOps.topQuantileFilter(d, col("source"), col("n_tokens"), quantile = 0.7)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("q_threshold"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, source, CAST(len(${Duck.toks}) AS INTEGER) AS n_tokens
+        FROM documents),
+      thr AS (
+        SELECT source, quantile_cont(CAST(n_tokens AS DOUBLE), 0.7) AS q_threshold
+        FROM t GROUP BY source)
+      SELECT doc_id, source, n_tokens, q_threshold
+      FROM t JOIN thr USING (source)
+      WHERE CAST(n_tokens AS DOUBLE) >= q_threshold
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57)
+    Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59)
 }

@@ -809,6 +809,28 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(bad.length == 1 && !bad(0).ok)
   }
 
+  test("topQuantileFilter keeps >= (1-q) per stratum and every threshold tie") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, sf001, "documents")
+      .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
+    val kept = graft.api.GraftOps.topQuantileFilter(d, col("source"),
+      col("n_tokens"), quantile = 0.7).collect()
+    val total = d.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.nonEmpty)
+    kept.groupBy(_.getAs[String]("source")).foreach { case (s, rows) =>
+      val thr = rows.head.getAs[Double]("q_threshold")
+      assert(rows.forall(_.getAs[Double]("q_threshold") == thr),
+        s"$s: one threshold per stratum")
+      assert(rows.forall(_.getAs[Int]("n_tokens").toDouble >= thr),
+        s"$s: every survivor clears the threshold")
+      assert(rows.length >= math.ceil(0.3 * total(s)).toInt - 1,
+        s"$s: kept ${rows.length} of ${total(s)} — below the (1-q) floor")
+    }
+    // the filter must actually drop something (fixture sanity)
+    assert(kept.length < total.values.sum)
+  }
+
   test("gapFill: contiguous per-key spine, conserved counts, zeros where silent") {
     import org.apache.spark.sql.functions._
     val ev = Tables.load(spark, sf001, "events")
