@@ -21,9 +21,14 @@ object Bench {
     // measured query (q01, alphabetically) absorbs the entire cold read of
     // the sf0.1 parquet files and records 2-3x its steady-state time
     // (round-6 adjudication: q01 runs [3.05, 3.06, 0.92]).
-    try Tables.names.foreach { n =>
-      Tables.load(spark, sfDir, n).write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    // try/catch sits INSIDE the loop: one unloadable table must not leave
+    // every table after it cold (that silently reintroduces the skew).
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up skipped table $n: ${e.getMessage}")
+      }
+    }
     // optional args: restrict to named queries (profiling aid)
     val wanted = args.toSet
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

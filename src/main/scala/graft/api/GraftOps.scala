@@ -707,11 +707,26 @@ object GraftOps {
     * `nprobe` search cells (elements 1..nprobe) — same zero-extra-shuffle
     * trick as [[ivfTopK]]. ADC work per probe is ~corpus·nprobe/K instead
     * of [[pqTopK]]'s full corpus scan. Both model collects are
-    * trained-model constants. Ordering: adc desc, id asc — deterministic. */
+    * trained-model constants. Ordering: adc desc, id asc — deterministic.
+    *
+    * `rerank` > 0 switches on the standard TWO-STAGE search: the ADC pass
+    * shortlists `rerank` candidates per probe (cheap, quantization-
+    * approximate), then the shortlist alone is scored by EXACT cosine
+    * against the stored vectors and the final `k` keep the exact order
+    * (sim desc, id asc). Recall@k improves strictly whenever ADC's
+    * code-level ordering misranks inside the shortlist — the usual case
+    * at small m — and the exact work is |probes|·rerank dot products
+    * instead of the corpus scan a fully-exact search would need: the
+    * shortlist (with its probe vectors) broadcasts back onto ONE pass
+    * over the vector table. Output gains a `sim` column (the exact
+    * score; `adc` stays for diagnostics) and `rank` becomes the exact
+    * rank. `rerank = 0` (default) = raw-ADC ranks, output unchanged. */
   def ivfPqTopK(corpus: DataFrame, id: Column, vec: Column, isProbe: Column,
       coarseModel: DataFrame, pqModel: DataFrame, dim: Int, k: Int,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1, rerank: Int = 0): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
+    require(rerank == 0 || rerank >= k,
+      s"rerank shortlist must be 0 (off) or >= k=$k; got $rerank")
     val cents = collectModel(coarseModel)
     require(cents.nonEmpty, "ivfPqTopK with an empty coarse model")
     val mdl = collectPqModel(pqModel)
@@ -725,13 +740,49 @@ object GraftOps {
       .select(col("__vid").as("probe_id"), col("__v").as("__pv"),
         explode(slice(col("__sc"), 1, nprobe)).as("cell"))
     val w = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("__vid"))
-    coded.join(broadcast(probes), Seq("cell"))
+    val adcRanked = coded.join(broadcast(probes), Seq("cell"))
       .filter(col("__vid") =!= col("probe_id"))
       .withColumn("adc", graft.functions.PqAdcScore(col("__pv"), col("codes"),
         mdl.map(_._2), mdl.map(_._1)))
       .withColumn("rank", row_number().over(w))
+    if (rerank == 0)
+      adcRanked.filter(col("rank") <= k)
+        .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
+    else {
+      val shortlist = adcRanked.filter(col("rank") <= rerank)
+        .select(col("probe_id"), col("__pv"), col("__vid"), col("adc"))
+      val w2 = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("__vid"))
+      // one scan of the vector table with the tiny shortlist broadcast in
+      e.select(col("__vid"), col("__v")).join(broadcast(shortlist), Seq("__vid"))
+        .withColumn("sim", CosineSim(col("__pv"), col("__v")))
+        .withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("__vid").as("id"), col("rank"),
+          col("adc"), col("sim"))
+    }
+  }
+
+  /** The standalone exact re-rank stage for the STORED-index path: takes
+    * any ANN shortlist (probe id, candidate id — e.g. [[ivfPqTopKCoded]]
+    * run at k = k′), the probe vectors, and the full vector table, and
+    * returns the exact-cosine top-`k` per probe. This is how a two-stage
+    * search composes over a persisted [[ivfPqEncode]] index at 100 TB:
+    * the code table answers the cheap shortlist, and ONE equi-join pass
+    * over the at-rest vector table — shortlist and probes both broadcast
+    * (|probes|·k′ rows) — refunds the quantization error for the final
+    * k. Ordering: sim desc, id asc — deterministic. */
+  def rerankTopK(shortlist: DataFrame, slProbeId: Column, slCandId: Column,
+      probes: DataFrame, probeId: Column, probeVec: Column,
+      vectors: DataFrame, vecId: Column, vecCol: Column, k: Int): DataFrame = {
+    val sl = shortlist.select(slProbeId.as("probe_id"), slCandId.as("id"))
+    val p = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
+    val v = vectors.select(vecId.as("id"), vecCol.as("__cv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("id"))
+    v.join(broadcast(sl.join(broadcast(p), Seq("probe_id"))), Seq("id"))
+      .withColumn("sim", CosineSim(col("__pv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
+      .select(col("probe_id"), col("id"), col("rank"), col("sim"))
   }
 
   /** The build half of a STORED IVF×PQ index: tag each row with its
@@ -951,20 +1002,29 @@ object GraftOps {
     * threshold all survive — deterministic; with discrete scores the
     * kept fraction is >= (1−q) rather than exact. The |strata|-row
     * threshold table broadcasts back; the corpus side is one scan +
-    * filter (the percentile agg is the one shuffle). Adds `q_threshold`;
-    * otherwise schema-preserving. The common instantiation: keep each
-    * source's top 30% by quality score before packing. */
+    * filter (the percentile agg is the one shuffle). Adds `q_threshold`
+    * (the input must not already carry that column — checked); otherwise
+    * schema-preserving. The threshold join is NULL-SAFE: rows with a
+    * NULL stratum form their own group, get their own threshold, and are
+    * filtered against it like any other stratum (a plain equi-join would
+    * silently drop them). Rows whose SCORE is NULL never clear any
+    * threshold (SQL three-valued filter) — dropped, as for any
+    * non-qualifying score. The common instantiation: keep each source's
+    * top 30% by quality score before packing. */
   def topQuantileFilter(df: DataFrame, strata: Column, score: Column,
       quantile: Double): DataFrame = {
     require(quantile > 0.0 && quantile < 1.0,
       s"quantile must be in (0,1); got $quantile")
-    val thr = df.select(strata.as("__s"), score.cast("double").as("__sc"))
-      .groupBy(col("__s"))
+    require(!df.columns.contains("q_threshold"),
+      "topQuantileFilter adds a q_threshold column; the input already has " +
+        "one — rename it first")
+    val thr = df.select(strata.as("__st"), score.cast("double").as("__sc"))
+      .groupBy(col("__st"))
       .agg(expr(s"percentile(__sc, $quantile)").as("q_threshold"))
     df.withColumn("__s", strata)
-      .join(broadcast(thr), "__s")
+      .join(broadcast(thr), col("__s") <=> col("__st"))
       .filter(score.cast("double") >= col("q_threshold"))
-      .drop("__s")
+      .drop("__s", "__st")
   }
 
   /** Time-bucket gap filling — densify a per-key time series: one row
@@ -976,14 +1036,41 @@ object GraftOps {
     * division; equals floor division for post-epoch data — pre-1970
     * timestamps would need explicit floor semantics). Output:
     * (key, bucket, n). One agg + one equi-join shuffle, both keyed by
-    * (key, bucket); spine size = keys × their ACTIVE spans. */
-  def gapFill(df: DataFrame, key: Column, ts: Column, stepUs: Long): DataFrame = {
+    * (key, bucket); spine size = keys × their ACTIVE spans.
+    *
+    * Rows with a NULL key or NULL timestamp are EXCLUDED up front — from
+    * the spine AND the counts (without the explicit filter they'd land in
+    * a NULL counts group that the spine's NULL-ignoring min/max and the
+    * equi-join both silently miss, breaking the conserved-counts
+    * invariant: sum(n) == number of non-NULL input events, exactly).
+    *
+    * `maxBucketsPerKey` caps the PER-KEY spine: one key whose span covers
+    * decades at a small `stepUs` makes `sequence(mn, mx)` emit one
+    * enormous array (Spark hard-fails past ~2³¹ elements; well before
+    * that it OOMs an executor). Past the cap the job fails LOUDLY with
+    * the offending key and its span — a hostile key must be a diagnosed
+    * data problem, not a 3-day-in OOM. Default Long.MaxValue = unguarded. */
+  def gapFill(df: DataFrame, key: Column, ts: Column, stepUs: Long,
+      maxBucketsPerKey: Long = Long.MaxValue): DataFrame = {
     require(stepUs > 0, s"stepUs must be positive; got $stepUs")
+    require(maxBucketsPerKey > 0,
+      s"maxBucketsPerKey must be positive; got $maxBucketsPerKey")
     val b = df.select(key.as("key"), unix_micros(ts).as("__um"))
+      .filter(col("key").isNotNull && col("__um").isNotNull)
       .select(col("key"), expr(s"__um div ${stepUs}L").as("bucket"))
     val counts = b.groupBy(col("key"), col("bucket")).agg(count(lit(1)).as("__n"))
-    val spine = b.groupBy(col("key"))
+    val bounds = b.groupBy(col("key"))
       .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+    val guarded =
+      if (maxBucketsPerKey == Long.MaxValue) bounds
+      else bounds.withColumn("__mn",
+        when(col("__mx") - col("__mn") >= maxBucketsPerKey,
+          raise_error(concat(
+            lit("gapFill: key "), col("key").cast("string"),
+            lit(" spans "), (col("__mx") - col("__mn") + 1L).cast("string"),
+            lit(s" buckets > maxBucketsPerKey=$maxBucketsPerKey at stepUs=$stepUs"))))
+          .otherwise(col("__mn")))
+    val spine = guarded
       .select(col("key"), explode(sequence(col("__mn"), col("__mx"))).as("bucket"))
     spine.join(counts, Seq("key", "bucket"), "left")
       .select(col("key"), col("bucket"), coalesce(col("__n"), lit(0L)).as("n"))
@@ -1021,16 +1108,17 @@ object GraftOps {
     * never silently re-spread over the other sources; re-weighting is
     * the caller's policy decision. The ratio arithmetic is plain IEEE
     * double division of exact long aggregates (identical in any IEEE
-    * engine — oracle-hashed); `budgetTokens` must stay below 2^53 so
-    * the double math is exact (9e15 tokens ≈ a 36-PB text corpus).
+    * engine — oracle-hashed); `budgetTokens` must stay strictly below
+    * 2^53 so the double math is exact (9e15 tokens ≈ a 36-PB text
+    * corpus).
     *
     * Scale shape: ONE map-side-combined hash agg on source; output rows
     * = |sources| (tiny — broadcastable into [[applyMixture]]). */
   def mixtureRates(df: DataFrame, source: Column, tokens: Column,
       sharesPpm: Map[String, Int], defaultSharePpm: Int,
       budgetTokens: Long): DataFrame = {
-    require(budgetTokens >= 0 && budgetTokens <= (1L << 53),
-      s"budgetTokens must be in [0, 2^53]; got $budgetTokens")
+    require(budgetTokens >= 0 && budgetTokens < (1L << 53),
+      s"budgetTokens must be in [0, 2^53); got $budgetTokens")
     require(defaultSharePpm >= 0 && sharesPpm.values.forall(_ >= 0),
       "shares must be >= 0")
     val share = sharesPpm.foldLeft(lit(defaultSharePpm)) { case (acc, (s, p)) =>
@@ -1057,23 +1145,27 @@ object GraftOps {
     * back onto the corpus and the keep decision is the q36 portable-hash
     * bucket test (prefix `mixw|`, so mixture sampling is independent of
     * any other sampler on the same keys). Output schema equals the
-    * input's. Zero shuffle on the corpus side at any scale.
+    * input's — the joined rate rides under a reserved `__rate_ppm`
+    * alias, so a user column named `rate_ppm` on `df` passes through
+    * untouched. Zero shuffle on the corpus side at any scale.
     *
     * A source with NO row in `rates` is dropped entirely (inner join):
-    * no plan = no budget. That is the right default when the plan came
-    * from [[mixtureRates]] over the SAME corpus (every present source
-    * gets a row); if the plan was trained elsewhere, union a default
-    * row per missing source first — silence here would be a policy
-    * decision this operator refuses to make implicitly. */
+    * no plan = no budget. Rows whose `source` is NULL are likewise
+    * always dropped — an equi-join never matches NULL keys, even
+    * against a NULL-source plan row. That is the right default when the
+    * plan came from [[mixtureRates]] over the SAME corpus (every present
+    * non-NULL source gets a row); if the plan was trained elsewhere,
+    * union a default row per missing source first — silence here would
+    * be a policy decision this operator refuses to make implicitly. */
   def applyMixture(df: DataFrame, source: Column, key: Column,
       rates: DataFrame): DataFrame = {
     val bucket = pmod(Portable.phash(concat(lit("mixw|"), key.cast("string"))),
       lit(1000000L))
     df.withColumn("__src", source)
-      .join(broadcast(rates.select(col("source").as("__src"), col("rate_ppm"))),
-        "__src")
-      .filter(bucket < col("rate_ppm"))
-      .drop("__src", "rate_ppm")
+      .join(broadcast(rates.select(col("source").as("__src"),
+        col("rate_ppm").as("__rate_ppm"))), "__src")
+      .filter(bucket < col("__rate_ppm"))
+      .drop("__src", "__rate_ppm")
   }
 
   /** Deterministic shard-shuffle — the write-layout step of a training

@@ -363,7 +363,12 @@ object CurationOps {
         SELECT source, CAST(len(${Duck.toks}) AS BIGINT) AS n_tokens
         FROM documents),
       a AS (
-        SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+        -- DuckDB SUM(BIGINT) widens to HUGEINT, which pandas materializes
+        -- as float64 and the driver's hash then sees 1435.0 vs Spark's
+        -- int64 1435 (round-7 gate red). CAST back to BIGINT so both
+        -- engines emit the same dtype, not just the same value.
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
           CAST(CASE source WHEN 'src0' THEN 300000 WHEN 'src1' THEN 200000
                WHEN 'src2' THEN 100000 ELSE 40000 END AS BIGINT) AS share_ppm
         FROM t GROUP BY source),
@@ -377,7 +382,8 @@ object CurationOps {
           least(CAST(1000000 AS BIGINT),
             CAST(floor(CAST(target_tokens AS DOUBLE) * 1000000.0
               / CAST(total_tokens AS DOUBLE)) AS BIGINT)) END AS rate_ppm,
-        greatest(CAST(0 AS BIGINT), target_tokens - total_tokens) AS deficit_tokens
+        CAST(greatest(CAST(0 AS BIGINT), target_tokens - total_tokens) AS BIGINT)
+          AS deficit_tokens
       FROM p
       ORDER BY source"""))
 
@@ -423,7 +429,13 @@ object CurationOps {
   /** Declarative validation: named row-level checks → violations array +
     * is_valid flag, all narrow. NULL check results count as violations
     * (an unevaluable constraint is a failed constraint — both engines
-    * state this via coalesce(check, false)). */
+    * state this via coalesce(check, false)).
+    *
+    * The GATED row joins `violations` to one comma-separated string (the
+    * q30 convention): the driver's canonicalizer sorts rows over all
+    * columns and an array column is an unhashable numpy.ndarray there
+    * (round-7 gate `err`). Declaration order is deterministic, so the
+    * joined string is too; the operator API keeps the array form. */
   val q57 = QueryDef("q57_validate",
     (s, dir) => {
       val d = docs(s, dir)
@@ -433,7 +445,8 @@ object CurationOps {
           "lang_known" -> col("lang").isin("en", "zh", "de", "fr"),
           "tokens_cap" -> (col("n_tokens") <= 120),
           "id_positive" -> (col("doc_id") >= 0)))
-        .select(col("doc_id"), col("violations"), col("is_valid"))
+        .select(col("doc_id"),
+          array_join(col("violations"), ",").as("violations"), col("is_valid"))
         .orderBy("doc_id")
     },
     Some(s"""
@@ -449,7 +462,9 @@ object CurationOps {
             CASE WHEN NOT coalesce(doc_id >= 0, FALSE) THEN 'id_positive' END
           ], x -> x IS NOT NULL) AS violations
         FROM t)
-      SELECT doc_id, violations, len(violations) = 0 AS is_valid
+      SELECT doc_id,
+        coalesce(array_to_string(violations, ','), '') AS violations,
+        len(violations) = 0 AS is_valid
       FROM v
       ORDER BY doc_id"""))
 

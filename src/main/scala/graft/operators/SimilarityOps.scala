@@ -442,5 +442,107 @@ object SimilarityOps {
       FROM ranked WHERE rank <= 3
       ORDER BY probe_id, rank"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52)
+  // ---------------------------------------------------------------- q60
+  private val RERANK = 6
+
+  /** The two-stage IVF×PQ search: the q52 ADC pass SHORTLISTS `RERANK`
+    * candidates per probe, then exact cosine (the q13-proven portable
+    * fold) re-scores only the shortlist and the final top-3 keep the
+    * exact order. This is the standard ANN refinement — ADC quantization
+    * error is refunded for |probes|·RERANK dot products instead of a
+    * full-corpus exact scan. Every stage is individually hash-proven
+    * (q52 routing/ADC + q13 cosine), so the composition hash-matches. */
+  val q60 = QueryDef("q60_ann_ivf_pq_rerank",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val coarse = graft.api.GraftOps.kmeansFit(e, col("vec_id"), col("embedding"),
+        k = IVFPQ_K, iters = 1)
+      val pq = graft.api.GraftOps.pqFit(e, col("vec_id"), col("embedding"),
+        dim = DIM, m = PQ_M, ksub = PQ_KSUB, iters = 1)
+      graft.api.GraftOps.ivfPqTopK(e, col("vec_id"), col("embedding"),
+          col("vec_id") < 10, coarse, pq, dim = DIM, k = 3,
+          nprobe = IVFPQ_NPROBE, rerank = RERANK)
+        .select(col("probe_id"), col("id").as("vec_id"), col("rank"),
+          col("adc"), col("sim"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(s"""
+      WITH hashed AS (
+        SELECT vec_id, embedding,
+          ${Duck.ph("'km|' || CAST(vec_id AS VARCHAR)")} AS h
+        FROM embeddings),
+      seeds AS (
+        SELECT embedding,
+          CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cluster
+        FROM hashed ORDER BY h, vec_id LIMIT $IVFPQ_K),
+      gcvec0 AS (
+        SELECT cluster,
+          list_transform(range(1, ${DIM + 1}),
+            i -> floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) / 1000000.0) AS cvec
+        FROM seeds),
+      gscored AS (
+        SELECT e.vec_id, e.embedding, c.cluster,
+          ${dotColSql("e.embedding", "c.cvec")} AS score
+        FROM embeddings e, gcvec0 c),
+      gasg AS (
+        SELECT vec_id, embedding, cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+          FROM gscored) WHERE rn = 1),
+      gcent AS (
+        SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
+          CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 / COUNT(*) AS centroid
+        FROM gasg, (SELECT unnest(range(1, ${DIM + 1})) AS i) idx
+        GROUP BY cluster, dim),
+      gcvec1 AS (
+        SELECT cluster,
+          list_transform(list_sort(list({'dim': dim, 'cv': centroid})), p -> p.cv) AS cvec
+        FROM gcent GROUP BY cluster),
+      cranked AS (
+        SELECT vec_id, embedding, cluster,
+          row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS crn
+        FROM (
+          SELECT e.vec_id, e.embedding, c.cluster,
+            ${dotColSql("e.embedding", "c.cvec")} AS score
+          FROM embeddings e, gcvec1 c)),
+      assigned AS (
+        SELECT vec_id, cluster AS cell FROM cranked WHERE crn = 1),
+      probecells AS (
+        SELECT vec_id AS probe_id, embedding AS pe, cluster AS cell
+        FROM cranked WHERE vec_id < 10 AND crn <= $IVFPQ_NPROBE),
+      ${(0 until PQ_M).map(pqSubspaceSql).mkString(",\n      ")},
+      codes AS (
+        SELECT c0.vec_id, ${(0 until PQ_M).map(s => s"c$s.code AS code$s").mkString(", ")}
+        FROM code_0 c0 ${(1 until PQ_M).map(s => s"JOIN code_$s c$s USING (vec_id)").mkString(" ")}),
+      pairs AS (
+        SELECT probe_id, v.vec_id,
+          (${(0 until PQ_M).map(s => dotSubSql("pe", s"cv$s.cvec", s * PQ_SUBDIM)).mkString(" + ")}) AS adc
+        FROM probecells p
+          JOIN assigned a ON a.cell = p.cell
+          JOIN codes v ON v.vec_id = a.vec_id
+          ${(0 until PQ_M).map(s => s"JOIN cvec_$s cv$s ON cv$s.cluster = v.code$s").mkString("\n          ")}
+        WHERE v.vec_id <> probe_id),
+      shortlist AS (
+        SELECT probe_id, vec_id, adc FROM (
+          SELECT probe_id, vec_id, adc,
+            row_number() OVER (PARTITION BY probe_id ORDER BY adc DESC, vec_id) AS arn
+          FROM pairs) WHERE arn <= $RERANK),
+      pvec AS (
+        SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+      rr AS (
+        SELECT s.probe_id, s.vec_id, s.adc,
+          ${Duck.cosine("p.pe", "e.embedding")} AS sim
+        FROM shortlist s
+          JOIN pvec p ON p.probe_id = s.probe_id
+          JOIN embeddings e ON e.vec_id = s.vec_id),
+      ranked AS (
+        SELECT probe_id, vec_id,
+          CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank,
+          adc, sim
+        FROM rr)
+      SELECT probe_id, vec_id, rank, adc, sim
+      FROM ranked WHERE rank <= 3
+      ORDER BY probe_id, rank"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52, q60)
 }

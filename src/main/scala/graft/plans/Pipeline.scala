@@ -184,6 +184,46 @@ object PipelineCompiler {
       val aggs = arg(args, "aggs").split(';').toIndexedSeq.map(expr)
       Map("outport1" -> in("inport1").groupBy(g: _*).agg(aggs.head, aggs.tail: _*))
     }),
+    // Curation family (GraftOps) as declarative ops, so the reference's
+    // XML DAG surface (OpContainer.java:56-63) expresses a full curation
+    // chain — validate → mixturePlan/mixtureApply → quantileFilter →
+    // gapFill — not just the relational verbs. Args mirror the Scala API;
+    // column/predicate args are SQL expressions over the input schema.
+    // `checks` = ;-separated `name:predicate` entries, applied in
+    // declaration order (the order the violations array reports).
+    "validate" -> ((_, in, args) => {
+      val checks = arg(args, "checks").split(';').toIndexedSeq.map { spec =>
+        val i = spec.indexOf(':')
+        if (i <= 0) throw new PipelineException(
+          s"validate checks must be 'name:predicate'; got '$spec'")
+        spec.substring(0, i).trim -> expr(spec.substring(i + 1))
+      }
+      Map("outport1" -> graft.api.GraftOps.withViolations(in("inport1"), checks))
+    }),
+    // `shares` = ;-separated `source:ppm`; the plan (outport1) is the
+    // |sources|-row rates table mixtureApply consumes on inport2.
+    "mixturePlan" -> ((_, in, args) => {
+      val shares = args.get("shares").map(_.split(';').toIndexedSeq.map { s =>
+        val i = s.lastIndexOf(':')
+        if (i <= 0) throw new PipelineException(
+          s"mixturePlan shares must be 'source:ppm'; got '$s'")
+        s.substring(0, i).trim -> s.substring(i + 1).trim.toInt
+      }.toMap).getOrElse(Map.empty[String, Int])
+      Map("outport1" -> graft.api.GraftOps.mixtureRates(in("inport1"),
+        expr(arg(args, "source")), expr(arg(args, "tokens")), shares,
+        arg(args, "defaultSharePpm").toInt, arg(args, "budgetTokens").toLong))
+    }),
+    "mixtureApply" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.applyMixture(in("inport1"),
+        expr(arg(args, "source")), expr(arg(args, "key")), in("inport2")))),
+    "gapFill" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.gapFill(in("inport1"),
+        expr(arg(args, "key")), expr(arg(args, "ts")), arg(args, "stepUs").toLong,
+        args.get("maxBucketsPerKey").map(_.toLong).getOrElse(Long.MaxValue)))),
+    "quantileFilter" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.topQuantileFilter(in("inport1"),
+        expr(arg(args, "strata")), expr(arg(args, "score")),
+        arg(args, "quantile").toDouble))),
     // Multimodal transforms: real JDK codecs behind the batched
     // mapPartitions seam (MultimodalOps) — a media ingest
     // (decode → resize → audio meta) composes in XML like any operator.

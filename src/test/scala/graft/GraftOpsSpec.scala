@@ -905,6 +905,86 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(kept.collect().map(_.getAs[Long]("doc_id")).toSet == expected)
   }
 
+  test("applyMixture leaves a pre-existing user rate_ppm column untouched") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, sf001, "documents")
+      .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
+    val rates = graft.api.GraftOps.mixtureRates(d, col("source"), col("n_tokens"),
+      Map("src0" -> 300000), defaultSharePpm = 40000, budgetTokens = 20000L)
+    // the user's own rate_ppm must survive (the joined plan rate rides a
+    // reserved alias, so drop() can't eat the user column)
+    val userCol = d.withColumn("rate_ppm", lit(42L))
+    val kept = graft.api.GraftOps.applyMixture(userCol, col("source"),
+      col("doc_id"), rates)
+    assert(kept.schema == userCol.schema)
+    val vals = kept.select("rate_ppm").distinct().collect().map(_.getLong(0))
+    assert(vals.toSeq == Seq(42L), s"user rate_ppm clobbered: ${vals.toSeq}")
+  }
+
+  test("gapFill excludes NULL keys/timestamps from spine AND counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq[(java.lang.Long, String)](
+        (1L, "2024-01-01 00:30:00"),
+        (1L, "2024-01-01 02:30:00"),
+        (1L, null),                        // NULL ts on a live key
+        (null, "2024-01-01 01:30:00"))     // NULL key
+      .toDF("k", "s").withColumn("ts", to_timestamp(col("s")))
+    val out = graft.api.GraftOps.gapFill(df, col("k"), col("ts"),
+      stepUs = 3600000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only key 1 gets a spine (NULL keys excluded), 3 contiguous buckets,
+    // and sum(n) == the key's NON-NULL events (2, not 3) — the conserved-
+    // counts invariant is over rows that can land in a bucket at all
+    assert(out.map(_._1).toSet == Set(1L))
+    assert(out.length == 3 && out.map(_._3).sum == 2L)
+    assert(out.count(_._3 == 0L) == 1)
+  }
+
+  test("gapFill maxBucketsPerKey fails loudly naming the offending key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "2024-01-01 00:30:00"), (1L, "2024-01-01 02:30:00"),
+        (2L, "2024-01-01 00:45:00"))
+      .toDF("k", "s").withColumn("ts", to_timestamp(col("s")))
+    // key 1 spans 3 hourly buckets; a cap of 2 must fail and SAY which key
+    val e = intercept[Exception] {
+      graft.api.GraftOps.gapFill(df, col("k"), col("ts"),
+        stepUs = 3600000000L, maxBucketsPerKey = 2L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("gapFill: key 1 spans 3 buckets"),
+      s"guard must name the key and span; got: $msg")
+    // at or under the cap the guard is inert: identical output
+    val guarded = graft.api.GraftOps.gapFill(df, col("k"), col("ts"),
+      stepUs = 3600000000L, maxBucketsPerKey = 3L).collect().toSet
+    val free = graft.api.GraftOps.gapFill(df, col("k"), col("ts"),
+      stepUs = 3600000000L).collect().toSet
+    assert(guarded == free)
+  }
+
+  test("topQuantileFilter: NULL strata form their own group; q_threshold collision rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Seq[(String, java.lang.Double)](
+        ("a", 1.0), ("a", 2.0), ("a", 3.0), (null, 5.0), (null, 1.0))
+      .toDF("s", "sc")
+    val kept = graft.api.GraftOps.topQuantileFilter(d, col("s"), col("sc"),
+      quantile = 0.5).collect()
+    // NULL stratum survives via the null-safe join: median of (1,5) = 3,
+    // so the 5.0 row is kept
+    val nullRows = kept.filter(_.isNullAt(0))
+    assert(nullRows.map(_.getDouble(1)).toSeq == Seq(5.0),
+      "NULL-stratum rows must be filtered against their own threshold, not dropped")
+    assert(kept.filter(_.getAs[String]("s") == "a").map(_.getDouble(1)).sorted.toSeq
+      == Seq(2.0, 3.0))
+    intercept[IllegalArgumentException] {
+      graft.api.GraftOps.topQuantileFilter(d.withColumn("q_threshold", lit(0.0)),
+        col("s"), col("sc"), quantile = 0.5)
+    }
+  }
+
   test("decodeMjpegFrames: real RIFF-AVI walk + JDK JPEG decode, corrupt-safe") {
     import spark.implicits._
     // the q53 contract: syntheticAviMjpeg(id) has (id%4+2) solid-gray

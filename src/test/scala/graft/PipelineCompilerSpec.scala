@@ -102,6 +102,87 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(audOk.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L))
   }
 
+  test("curation chain composes in XML: validate -> mixturePlan/apply -> quantileFilter") {
+    import org.apache.spark.sql.functions._
+    import graft.api.GraftOps
+    Tables.load(spark, sf001, "documents")
+      .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
+      .createOrReplaceTempView("docs_curation")
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="src" class="viewInput">
+          <arg key="table" value="docs_curation"/>
+        </operator>
+        <operator name="val" class="validate">
+          <arg key="checks"
+            value="nonempty:length(trim(text)) &gt; 0;tokens_cap:n_tokens &lt;= 120"/>
+        </operator>
+        <operator name="ok" class="filter">
+          <arg key="predicate" value="is_valid"/>
+        </operator>
+        <operator name="plan" class="mixturePlan">
+          <arg key="source" value="source"/><arg key="tokens" value="n_tokens"/>
+          <arg key="shares" value="src0:300000;src1:200000"/>
+          <arg key="defaultSharePpm" value="40000"/>
+          <arg key="budgetTokens" value="20000"/>
+        </operator>
+        <operator name="mix" class="mixtureApply">
+          <arg key="source" value="source"/><arg key="key" value="doc_id"/>
+        </operator>
+        <operator name="qf" class="quantileFilter">
+          <arg key="strata" value="source"/><arg key="score" value="n_tokens"/>
+          <arg key="quantile" value="0.5"/>
+        </operator>
+        <connect from="src.outport1" to="val.inport1"/>
+        <connect from="val.outport1" to="ok.inport1"/>
+        <connect from="ok.outport1" to="plan.inport1"/>
+        <connect from="ok.outport1" to="mix.inport1"/>
+        <connect from="plan.outport1" to="mix.inport2"/>
+        <connect from="mix.outport1" to="qf.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val out = ports("qf.outport1")
+    assert(out.columns.contains("q_threshold") && out.columns.contains("violations"))
+    // the declarative chain must equal the direct Scala-API composition
+    val d = spark.table("docs_curation")
+    val valid = GraftOps.withViolations(d, Seq(
+        "nonempty" -> (length(trim(col("text"))) > 0),
+        "tokens_cap" -> (col("n_tokens") <= 120)))
+      .filter(col("is_valid"))
+    val rates = GraftOps.mixtureRates(valid, col("source"), col("n_tokens"),
+      Map("src0" -> 300000, "src1" -> 200000), defaultSharePpm = 40000,
+      budgetTokens = 20000L)
+    val expect = GraftOps.topQuantileFilter(
+      GraftOps.applyMixture(valid, col("source"), col("doc_id"), rates),
+      col("source"), col("n_tokens"), quantile = 0.5)
+    val gotIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expIds = expect.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds.nonEmpty && gotIds == expIds,
+      s"XML chain diverged from the Scala API: ${gotIds.size} vs ${expIds.size} rows")
+  }
+
+  test("gapFill registry op densifies a time series declaratively") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="ev" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="events"/>
+        </operator>
+        <operator name="gf" class="gapFill">
+          <arg key="key" value="user_id"/><arg key="ts" value="ts"/>
+          <arg key="stepUs" value="3600000000"/>
+          <arg key="maxBucketsPerKey" value="100000"/>
+        </operator>
+        <connect from="ev.outport1" to="gf.inport1"/>
+      </pipeline>""")
+    val out = PipelineCompiler.compile(spec, spark)("gf.outport1")
+    assert(out.columns.toSeq == Seq("key", "bucket", "n"))
+    val expect = graft.api.GraftOps.gapFill(
+      Tables.load(spark, sf001, "events"), col("user_id"), col("ts"),
+      stepUs = 3600000000L).count()
+    assert(out.count() == expect && expect > 0)
+  }
+
   test("diamond DAG topology compiles (join of two branches)") {
     val spec = PipelineSpec(
       nodes = Seq(

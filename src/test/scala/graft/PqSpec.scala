@@ -145,6 +145,74 @@ class PqSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.5, f"cell routing collapsed ADC recall: $recall%.3f")
   }
 
+  test("ivfPqTopK rerank: all-cells + full shortlist degenerates to exact kNN") {
+    val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val ncells = coarse.select("cluster").distinct().count().toInt
+    val n = emb.count().toInt
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "id", "rank", "sim").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val exact = tuples(GraftOps.knn(emb, emb.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3))
+    // probing every cell + shortlisting everything leaves only the exact
+    // cosine stage — ranks AND sim doubles must equal kNN bit-for-bit
+    // (same CosineSim expression, same (sim desc, id) order)
+    val reranked = tuples(GraftOps.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") < 10, coarse, model, DIM, k = 3, nprobe = ncells, rerank = n))
+    assert(reranked == exact,
+      "exhaustive two-stage search must degenerate to exact kNN")
+  }
+
+  test("rerank strictly improves recall@3 vs exact kNN at fixed nprobe") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("probe_id"), r.getAs[Long]("id"))).toSet
+    val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val exact = pairs(GraftOps.knn(emb, emb.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3))
+    def recall(rerank: Int): Double = {
+      val got = pairs(GraftOps.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+        col("vec_id") < 10, coarse, model, DIM, k = 3, nprobe = 2, rerank = rerank))
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val adcOnly = recall(0)
+    val reranked = recall(12)
+    info(f"IVFxPQ recall@3 vs exact kNN: raw ADC = $adcOnly%.3f, rerank=12 = $reranked%.3f")
+    // the two-stage search exists to refund quantization error: at the
+    // q52 codebook size (m=4, ksub=4) ADC misranks inside the shortlist,
+    // so the exact re-rank must strictly beat raw ADC on this fixture
+    assert(reranked > adcOnly,
+      f"re-rank did not improve recall: $reranked%.3f <= $adcOnly%.3f")
+  }
+
+  test("rerankTopK over the stored index equals inline ivfPqTopK(rerank)") {
+    val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val index = GraftOps.ivfPqEncode(emb, col("vec_id"), col("embedding"),
+      coarse, model, DIM)
+    val probes = emb.filter(col("vec_id") < 10)
+    // build-once/search-many two-stage: ADC shortlist (k' = 6) from the
+    // code table, then the standalone exact re-rank against the at-rest
+    // vector table
+    val shortlist = GraftOps.ivfPqTopKCoded(index, col("id"), col("cell"),
+      col("codes"), probes, col("vec_id"), col("embedding"),
+      coarse, model, k = 6, nprobe = 2)
+    val stored = GraftOps.rerankTopK(shortlist, col("probe_id"), col("id"),
+      probes, col("vec_id"), col("embedding"),
+      emb, col("vec_id"), col("embedding"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    val inline = GraftOps.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+        col("vec_id") < 10, coarse, model, DIM, k = 3, nprobe = 2, rerank = 6)
+      .select(col("probe_id"), col("id"), col("rank"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(stored == inline,
+      "composed stored-index two-stage must equal the inline rerank path")
+  }
+
   test("stored IVFxPQ index: encode -> parquet roundtrip -> coded search == inline") {
     val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
       k = 4, iters = 1)

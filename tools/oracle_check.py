@@ -6,10 +6,25 @@ Usage: python3 tools/oracle_check.py [sfdir] [outdir]
 Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` has already produced
 <outdir>/<query>/ parquet dumps and <outdir>/oracle_sql.json. Runs each
 oracle SQL in DuckDB over views of the same parquet tables and compares:
-column names (sorted), dtypes (loose), row count, and exact values.
+column names (sorted), dtypes (EXACT — see below), row count, exact values.
+
+This gate must be AT LEAST as strict as the driver's. Round 7 proved why:
+the driver hashes canonicalized scalar values, so DuckDB SUM(BIGINT)
+widening to HUGEINT (pandas float64 `1435.0`) hash-mismatches Spark's
+int64 `1435` even though a loose value compare calls them equal (q54),
+and an array-typed output column is an unhashable numpy.ndarray inside
+the driver's sort_values canonicalizer (q57 `err`). Hence two strict
+checks the loose r7 version lacked:
+  * per-column pandas dtype equality, after normalizing only datetime64
+    resolution (ns vs us is a pyarrow/duckdb artifact the driver's
+    timestamp canonicalization already tolerates — r7 q10/q33 green);
+  * any list/ndarray-valued column in an ORACLE-GATED output is an
+    outright FAIL — gated queries must pre-join arrays to strings
+    (the q30/q57 convention).
 """
 import sys, json, glob, math
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -17,7 +32,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # normalize datetime64 resolution (ns/us) so the EXACT dtype compare
+    # below only fires on genuine type leaks, not pyarrow unit artifacts
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
     return df.reset_index(drop=True)
+
+def array_cols(df: pd.DataFrame):
+    """Columns holding list/ndarray values — the driver cannot sort these."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            s = df[c].dropna()
+            if len(s) and isinstance(s.iloc[0], (list, tuple, np.ndarray)):
+                bad.append(c)
+    return bad
+
+def dtype_mismatches(got: pd.DataFrame, exp: pd.DataFrame):
+    return [(c, str(got[c].dtype), str(exp[c].dtype))
+            for c in got.columns if got[c].dtype != exp[c].dtype]
 
 def cmp_vals(a, b):
     """Exact compare with NaN==NaN, arrays, and timestamp normalization."""
@@ -87,6 +121,15 @@ def main():
             results[name] = f"ORACLE_SQL_ERROR: {str(e)[:300]}"; continue
         if list(got.columns) != list(exp.columns):
             results[name] = f"SCHEMA_MISMATCH: spark={list(got.columns)} duck={list(exp.columns)}"
+            continue
+        bad_arrays = sorted(set(array_cols(got)) | set(array_cols(exp)))
+        if bad_arrays:
+            results[name] = (f"ARRAY_COLUMN: {bad_arrays} — driver cannot "
+                             "canonicalize arrays; join to string in the gated query")
+            continue
+        dt = dtype_mismatches(got, exp)
+        if dt:
+            results[name] = f"DTYPE_MISMATCH: {dt} — driver hash sees different scalars"
             continue
         if len(got) != len(exp):
             results[name] = f"ROWCOUNT_MISMATCH: spark={len(got)} duck={len(exp)}"
