@@ -91,6 +91,17 @@ object PipelineCompiler {
   private def arg(args: Map[String, String], k: String): String =
     args.getOrElse(k, throw new PipelineException(s"missing operator arg '$k'"))
 
+  /** ;-separated `name:ppm` entries → map (split on the LAST ':' so names
+    * may contain one). Absent arg = empty map (callers pair it with a
+    * default-rate arg). */
+  private def ratesOf(args: Map[String, String], k: String): Map[String, Long] =
+    args.get(k).map(_.split(';').toIndexedSeq.map { s =>
+      val i = s.lastIndexOf(':')
+      if (i <= 0) throw new PipelineException(
+        s"$k entries must be 'name:ppm'; got '$s'")
+      s.substring(0, i).trim -> s.substring(i + 1).trim.toLong
+    }.toMap).getOrElse(Map.empty)
+
   /** Streaming sinks honor an optional `triggerMs` arg; absent, they run on
     * the reference's fixed 10 s micro-batch cadence (OpContainer.java:47-49
     * → StreamingOps.ReferenceTrigger). `triggerMs=0` = as-fast-as-possible
@@ -186,9 +197,10 @@ object PipelineCompiler {
     }),
     // Curation family (GraftOps) as declarative ops, so the reference's
     // XML DAG surface (OpContainer.java:56-63) expresses a full curation
-    // chain — validate → mixturePlan/mixtureApply → quantileFilter →
-    // gapFill — not just the relational verbs. Args mirror the Scala API;
-    // column/predicate args are SQL expressions over the input schema.
+    // chain — dedup → validate → mixture → sample → pack → shard — not
+    // just the relational verbs. Args mirror the Scala API; column/
+    // predicate args are SQL expressions over the input schema; rate
+    // maps are ;-separated `name:ppm` entries.
     // `checks` = ;-separated `name:predicate` entries, applied in
     // declaration order (the order the violations array reports).
     "validate" -> ((_, in, args) => {
@@ -202,17 +214,12 @@ object PipelineCompiler {
     }),
     // `shares` = ;-separated `source:ppm`; the plan (outport1) is the
     // |sources|-row rates table mixtureApply consumes on inport2.
-    "mixturePlan" -> ((_, in, args) => {
-      val shares = args.get("shares").map(_.split(';').toIndexedSeq.map { s =>
-        val i = s.lastIndexOf(':')
-        if (i <= 0) throw new PipelineException(
-          s"mixturePlan shares must be 'source:ppm'; got '$s'")
-        s.substring(0, i).trim -> s.substring(i + 1).trim.toInt
-      }.toMap).getOrElse(Map.empty[String, Int])
+    "mixturePlan" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.mixtureRates(in("inport1"),
-        expr(arg(args, "source")), expr(arg(args, "tokens")), shares,
-        arg(args, "defaultSharePpm").toInt, arg(args, "budgetTokens").toLong))
-    }),
+        expr(arg(args, "source")), expr(arg(args, "tokens")),
+        ratesOf(args, "shares").map { case (k, v) => k -> v.toInt },
+        arg(args, "defaultSharePpm").toInt,
+        arg(args, "budgetTokens").toLong))),
     "mixtureApply" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.applyMixture(in("inport1"),
         expr(arg(args, "source")), expr(arg(args, "key")), in("inport2")))),
@@ -224,6 +231,68 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.topQuantileFilter(in("inport1"),
         expr(arg(args, "strata")), expr(arg(args, "score")),
         arg(args, "quantile").toDouble))),
+    // Dedup family: near-dup pair generation, cluster resolution, and
+    // the survivor-only apply (inport1 = corpus, inport2 = pairs).
+    "minhashPairs" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.minhashNearDup(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        shingleWidth = args.getOrElse("shingleWidth", "3").toInt,
+        numHashes = args.getOrElse("numHashes", "16").toInt,
+        bands = args.getOrElse("bands", "4").toInt,
+        minMatches = args.getOrElse("minMatches", "8").toInt))),
+    "dedupClusters" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.dedupClusters(in("inport1"),
+        expr(arg(args, "idA")), expr(arg(args, "idB"))))),
+    "dedupApply" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.applyDedup(in("inport1"),
+        expr(arg(args, "id")), in("inport2"),
+        expr(arg(args, "idA")), expr(arg(args, "idB"))))),
+    // Sampling / blending / layout family.
+    "stratifiedSample" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.stratifiedSample(in("inport1"),
+        expr(arg(args, "strata")), expr(arg(args, "key")),
+        ratesOf(args, "rates").map { case (k, v) => k -> v.toInt },
+        arg(args, "defaultPpm").toInt))),
+    "stratifiedFixedSample" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.stratifiedFixedSample(in("inport1"),
+        expr(arg(args, "strata")), expr(arg(args, "key")),
+        arg(args, "n").toInt))),
+    "mixCorpus" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.mixCorpus(in("inport1"),
+        expr(arg(args, "strata")), expr(arg(args, "key")),
+        ratesOf(args, "weights"), arg(args, "defaultPpm").toLong))),
+    "shardCorpus" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.shardCorpus(in("inport1"),
+        expr(arg(args, "key")), arg(args, "seed").toInt,
+        arg(args, "nShards").toInt))),
+    "tokenPack" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.packByTokenBudget(in("inport1"),
+        expr(arg(args, "strata")), expr(arg(args, "order")),
+        expr(arg(args, "tokens")), arg(args, "budget").toLong))),
+    // Decontamination: inport1 = training corpus, inport2 = eval set.
+    "decontaminate" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.decontaminate(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        in("inport2"), expr(arg(args, "evalText")),
+        width = args.getOrElse("width", "13").toInt))),
+    // Text-analysis family (all pure narrow — stream-ready).
+    "textQuality" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.textQuality(in("inport1"),
+        expr(arg(args, "text"))))),
+    "redactPii" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.redactPii(in("inport1"),
+        expr(arg(args, "text"))))),
+    "repetitionScore" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.repetitionScore(in("inport1"),
+        expr(arg(args, "text")),
+        width = args.getOrElse("width", "3").toInt))),
+    "fingerprint" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.fingerprint(in("inport1"),
+        expr(arg(args, "text"))))),
+    "tfidfTopK" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.tfidfTopK(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        arg(args, "k").toInt))),
     // Multimodal transforms: real JDK codecs behind the batched
     // mapPartitions seam (MultimodalOps) — a media ingest
     // (decode → resize → audio meta) composes in XML like any operator.

@@ -161,6 +161,90 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       s"XML chain diverged from the Scala API: ${gotIds.size} vs ${expIds.size} rows")
   }
 
+  test("dedup family composes in XML: minhashPairs -> dedupApply -> sample -> pack (the q44 chain)") {
+    import org.apache.spark.sql.functions._
+    import graft.api.GraftOps
+    Tables.load(spark, sf001, "documents").createOrReplaceTempView("docs_dedup")
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="src" class="viewInput">
+          <arg key="table" value="docs_dedup"/>
+        </operator>
+        <operator name="pairs" class="minhashPairs">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+        </operator>
+        <operator name="dd" class="dedupApply">
+          <arg key="id" value="doc_id"/>
+          <arg key="idA" value="id_a"/><arg key="idB" value="id_b"/>
+        </operator>
+        <operator name="tq" class="textQuality">
+          <arg key="text" value="text"/>
+        </operator>
+        <operator name="smp" class="stratifiedSample">
+          <arg key="strata" value="source"/><arg key="key" value="doc_id"/>
+          <arg key="rates" value="src0:200000;src1:200000"/>
+          <arg key="defaultPpm" value="500000"/>
+        </operator>
+        <operator name="pk" class="tokenPack">
+          <arg key="strata" value="source"/><arg key="order" value="doc_id"/>
+          <arg key="tokens" value="n_tokens"/><arg key="budget" value="1000"/>
+        </operator>
+        <connect from="src.outport1" to="pairs.inport1"/>
+        <connect from="src.outport1" to="dd.inport1"/>
+        <connect from="pairs.outport1" to="dd.inport2"/>
+        <connect from="dd.outport1" to="tq.inport1"/>
+        <connect from="tq.outport1" to="smp.inport1"/>
+        <connect from="smp.outport1" to="pk.inport1"/>
+      </pipeline>""")
+    val out = PipelineCompiler.compile(spec, spark)("pk.outport1")
+    assert(out.columns.contains("tok_offset") && out.columns.contains("bin"))
+    // row-for-row equal to the direct Scala-API composition
+    val d = spark.table("docs_dedup")
+    val deduped = GraftOps.applyDedup(d, col("doc_id"),
+      GraftOps.minhashNearDup(d, col("doc_id"), col("text")),
+      col("id_a"), col("id_b"))
+    val sampled = GraftOps.stratifiedSample(GraftOps.textQuality(deduped,
+        col("text")), col("source"), col("doc_id"),
+      Map("src0" -> 200000, "src1" -> 200000), defaultPpm = 500000)
+    val expect = GraftOps.packByTokenBudget(sampled, col("source"),
+      col("doc_id"), col("n_tokens"), budget = 1000L)
+    val gotRows = out.select("doc_id", "tok_offset", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expRows = expect.select("doc_id", "tok_offset", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotRows.nonEmpty && gotRows == expRows)
+  }
+
+  test("decontaminate and shardCorpus registry ops bind declaratively") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, sf001, "documents")
+    d.filter(pmod(col("doc_id"), lit(10)) === 0).createOrReplaceTempView("eval_docs")
+    d.filter(pmod(col("doc_id"), lit(10)) =!= 0).createOrReplaceTempView("train_docs")
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="corpus" class="viewInput"><arg key="table" value="train_docs"/></operator>
+        <operator name="eval" class="viewInput"><arg key="table" value="eval_docs"/></operator>
+        <operator name="dc" class="decontaminate">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+          <arg key="evalText" value="text"/><arg key="width" value="3"/>
+        </operator>
+        <operator name="sh" class="shardCorpus">
+          <arg key="key" value="doc_id"/><arg key="seed" value="7"/>
+          <arg key="nShards" value="8"/>
+        </operator>
+        <connect from="corpus.outport1" to="dc.inport1"/>
+        <connect from="eval.outport1" to="dc.inport2"/>
+        <connect from="corpus.outport1" to="sh.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val dc = ports("dc.outport1")
+    assert(dc.columns.contains("n_contam") &&
+      dc.count() == spark.table("train_docs").count())
+    val sh = ports("sh.outport1")
+    val shards = sh.select("shard").distinct().collect().map(_.getInt(0)).toSet
+    assert(shards.subsetOf((0 until 8).toSet) && shards.size > 1)
+  }
+
   test("gapFill registry op densifies a time series declaratively") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
@@ -263,6 +347,47 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       val rows = spark.table("s1_pipeline_out")
         .select("id", "doubled").orderBy("id").collect()
       assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (2L, 4L)))
+    } finally q.stop()
+  }
+
+  test("validate is stream-ready: runs inside a STREAMING XML pipeline") {
+    // the admission-control claim (withViolations is a pure narrow
+    // projection) proven end-to-end: file stream -> validate -> memory
+    // sink, violations surfacing per-row with their reasons
+    val dir = java.nio.file.Files.createTempDirectory("val-stream-in")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      """{"id": 1, "txt": "ok text"}""" + "\n" +
+      """{"id": 2, "txt": ""}""" + "\n" +
+      """{"id": 3, "txt": null}""" + "\n")
+    val xml = s"""
+      <pipeline>
+        <operator name="src" class="fileStreamInput">
+          <arg key="schema" value="id BIGINT, txt STRING"/>
+          <arg key="format" value="json"/>
+          <arg key="path" value="${dir.toUri}"/>
+        </operator>
+        <operator name="val" class="validate">
+          <arg key="checks" value="nonempty:length(trim(txt)) &gt; 0;id_positive:id &gt; 0"/>
+        </operator>
+        <operator name="sink" class="memoryStreamSink">
+          <arg key="name" value="validate_stream_out"/>
+          <arg key="triggerMs" value="0"/>
+        </operator>
+        <connect from="src.outport1" to="val.inport1"/>
+        <connect from="val.outport1" to="sink.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(xml), spark)
+    val q = spark.streams.active.find(_.name == "validate_stream_out")
+      .getOrElse(fail("streaming validate pipeline did not start"))
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("validate_stream_out")
+        .selectExpr("id", "array_join(violations, ',')", "is_valid")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+      assert(rows(1L) == (("", true)))
+      assert(rows(2L) == (("nonempty", false)))
+      assert(rows(3L) == (("nonempty", false)),
+        "NULL text must be an unevaluable -> failed constraint on a stream too")
     } finally q.stop()
   }
 
