@@ -95,6 +95,26 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
       "applyMixture must never sort-merge the corpus against the tiny plan")
   }
 
+  test("rerank's vector-table fetch is broadcast-only (never shuffles the corpus)") {
+    // The defining property of the two-stage search: the exact stage reads
+    // the at-rest vector table ONCE with the |probes|·k' shortlist
+    // broadcast in. A sort-merge regression would repartition the 100 TB
+    // vector table to refund quantization error on a few thousand rows.
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val coarse = graft.api.GraftOps.kmeansFit(emb, col("vec_id"),
+      col("embedding"), k = 4, iters = 1)
+    val pq = graft.api.GraftOps.pqFit(emb, col("vec_id"), col("embedding"),
+      dim = 64, m = 4, ksub = 4, iters = 1)
+    val plan = nodes(graft.api.GraftOps.ivfPqTopK(emb, col("vec_id"),
+      col("embedding"), col("vec_id") < 10, coarse, pq, dim = 64, k = 3,
+      nprobe = 2, rerank = 6).queryExecution.sparkPlan)
+    assert(plan.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "rerank must broadcast the shortlist into the vector scan")
+    assert(!plan.exists(_.nodeName.contains("SortMergeJoin")),
+      "rerank must never sort-merge the vector table against the shortlist")
+  }
+
   test("q14's range join keeps both sides pre-aggregated (scale-safe band join)") {
     // The defining property of the banded range join: BOTH join inputs
     // collapse to their tiny key domains BEFORE the band explode, so join
