@@ -1027,6 +1027,34 @@ object GraftOps {
       .drop("__s", "__st")
   }
 
+  /** The SCALE tier of [[topQuantileFilter]]: identical contract, but the
+    * per-stratum threshold comes from `approx_percentile` (Greenwald-
+    * Khanna sketch, bounded memory) instead of exact `percentile`. The
+    * exact aggregate buffers EVERY value of a stratum in one aggregation
+    * buffer — at 100 TB a hot stratum is an executor OOM, not a slow
+    * query; the sketch holds O(accuracy) per stratum regardless of row
+    * count. The threshold lands within 1/accuracy quantile rank of
+    * exact (so the kept fraction is (1−q) ± 1/accuracy); ties at the
+    * sketched threshold all survive, same as the exact tier.
+    * `accuracy` trades memory for rank error (default 10000 = ±0.01%). */
+  def topQuantileFilterApprox(df: DataFrame, strata: Column, score: Column,
+      quantile: Double, accuracy: Int = 10000): DataFrame = {
+    require(quantile > 0.0 && quantile < 1.0,
+      s"quantile must be in (0,1); got $quantile")
+    require(accuracy > 0, s"accuracy must be positive; got $accuracy")
+    require(!df.columns.contains("q_threshold"),
+      "topQuantileFilterApprox adds a q_threshold column; the input " +
+        "already has one — rename it first")
+    val thr = df.select(strata.as("__st"), score.cast("double").as("__sc"))
+      .groupBy(col("__st"))
+      .agg(expr(s"approx_percentile(__sc, $quantile, $accuracy)")
+        .as("q_threshold"))
+    df.withColumn("__s", strata)
+      .join(broadcast(thr), col("__s") <=> col("__st"))
+      .filter(score.cast("double") >= col("q_threshold"))
+      .drop("__s", "__st")
+  }
+
   /** Time-bucket gap filling — densify a per-key time series: one row
     * per key per `stepUs` bucket between that key's first and last
     * events, with `n` = event count (0 where the series is silent). The

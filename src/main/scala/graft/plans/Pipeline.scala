@@ -231,6 +231,11 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.topQuantileFilter(in("inport1"),
         expr(arg(args, "strata")), expr(arg(args, "score")),
         arg(args, "quantile").toDouble))),
+    "quantileFilterApprox" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.topQuantileFilterApprox(in("inport1"),
+        expr(arg(args, "strata")), expr(arg(args, "score")),
+        arg(args, "quantile").toDouble,
+        args.getOrElse("accuracy", "10000").toInt))),
     // Dedup family: near-dup pair generation, cluster resolution, and
     // the survivor-only apply (inport1 = corpus, inport2 = pairs).
     "minhashPairs" -> ((_, in, args) =>

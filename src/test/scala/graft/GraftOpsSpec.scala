@@ -964,6 +964,29 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(guarded == free)
   }
 
+  test("topQuantileFilterApprox matches the exact tier at fixture scale") {
+    import org.apache.spark.sql.functions._
+    // GK with accuracy >> n is rank-exact, so at fixture scale the sketch
+    // tier must reproduce the exact tier's kept set bit-for-bit — the
+    // divergence budget (±1/accuracy quantile rank) only spends at volumes
+    // where the exact tier would be buffering a stratum into an OOM anyway
+    val d = Tables.load(spark, sf001, "documents")
+      .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(graft.api.GraftOps.topQuantileFilter(d, col("source"),
+      col("n_tokens"), quantile = 0.7))
+    val approx = ids(graft.api.GraftOps.topQuantileFilterApprox(d, col("source"),
+      col("n_tokens"), quantile = 0.7))
+    assert(approx.nonEmpty && approx == exact,
+      s"sketch tier diverged at rank-exact scale: ${(approx diff exact).size} extra, " +
+        s"${(exact diff approx).size} missing")
+    intercept[IllegalArgumentException] {
+      graft.api.GraftOps.topQuantileFilterApprox(
+        d.withColumn("q_threshold", lit(0.0)), col("source"), col("n_tokens"), 0.7)
+    }
+  }
+
   test("topQuantileFilter: NULL strata form their own group; q_threshold collision rejected") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
