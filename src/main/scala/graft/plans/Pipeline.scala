@@ -280,6 +280,14 @@ object PipelineCompiler {
         expr(arg(args, "id")), expr(arg(args, "text")),
         in("inport2"), expr(arg(args, "evalText")),
         width = args.getOrElse("width", "13").toInt))),
+    // Exact kNN (inport1 = corpus, inport2 = probes) — the similarity
+    // family's declarative entry; ANN variants stay Scala-API (they need
+    // trained model tables, which a spec would have to reference by view).
+    "knn" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.knn(in("inport1"), in("inport2"),
+        expr(arg(args, "id")), expr(arg(args, "vec")),
+        expr(arg(args, "probeId")), expr(arg(args, "probeVec")),
+        arg(args, "k").toInt))),
     // Text-analysis family (all pure narrow — stream-ready).
     "textQuality" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.textQuality(in("inport1"),
@@ -338,6 +346,17 @@ object PipelineCompiler {
         .format(args.getOrElse("format", "parquet"))
       args.get("partitionBy").fold(w)(p => w.partitionBy(p.split(';').toIndexedSeq: _*))
         .save(arg(args, "path"))
+      Map.empty
+    }),
+    // The training-data layout sink: shardCorpus + repartition-on-shard +
+    // in-shard sort + partitioned write in one terminal op — fileSink with
+    // partitionBy alone would lose the in-file shuffle_key ordering that
+    // makes the written layout a reproducible global shuffle.
+    "shardedFileSink" -> ((_, in, args) => {
+      graft.api.GraftOps.writeShardedCorpus(in("inport1"),
+        arg(args, "path"), expr(arg(args, "key")),
+        arg(args, "seed").toInt, arg(args, "nShards").toInt,
+        args.getOrElse("format", "parquet"))
       Map.empty
     }),
     // Streaming sinks: compiling a spec that ends in one STARTS the query

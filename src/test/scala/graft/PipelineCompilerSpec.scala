@@ -245,6 +245,55 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(shards.subsetOf((0 until 8).toSet) && shards.size > 1)
   }
 
+  test("shardedFileSink writes the ordered shard layout; knn binds two inports") {
+    import org.apache.spark.sql.functions._
+    Tables.load(spark, sf001, "documents").createOrReplaceTempView("docs_shard")
+    Tables.load(spark, sf001, "embeddings").createOrReplaceTempView("emb_knn")
+    spark.table("emb_knn").filter(col("vec_id") < 5)
+      .createOrReplaceTempView("emb_probes")
+    val dir = java.nio.file.Files.createTempDirectory("sharded-out")
+    try {
+      val ports = PipelineCompiler.compile(PipelineSpec.parseXml(s"""
+        <pipeline>
+          <operator name="src" class="viewInput"><arg key="table" value="docs_shard"/></operator>
+          <operator name="w" class="shardedFileSink">
+            <arg key="path" value="${dir.toUri}"/><arg key="key" value="doc_id"/>
+            <arg key="seed" value="7"/><arg key="nShards" value="4"/>
+          </operator>
+          <operator name="corpus" class="viewInput"><arg key="table" value="emb_knn"/></operator>
+          <operator name="probes" class="viewInput"><arg key="table" value="emb_probes"/></operator>
+          <operator name="nn" class="knn">
+            <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+            <arg key="probeId" value="vec_id"/><arg key="probeVec" value="embedding"/>
+            <arg key="k" value="3"/>
+          </operator>
+          <connect from="src.outport1" to="w.inport1"/>
+          <connect from="corpus.outport1" to="nn.inport1"/>
+          <connect from="probes.outport1" to="nn.inport2"/>
+        </pipeline>"""), spark)
+      // sharded layout: shard=N dirs on disk, full corpus conserved, and
+      // each written file internally ordered by shuffle_key
+      val back = spark.read.parquet(dir.toString)
+      assert(back.select("shard").distinct().count() == 4)
+      assert(back.count() == spark.table("docs_shard").count())
+      val inOrder = back.select(input_file_name().as("f"), col("shuffle_key"))
+        .collect().groupBy(_.getString(0)).values
+        .forall(rows => { val ks = rows.map(_.getLong(1)); ks.sameElements(ks.sorted) })
+      assert(inOrder, "rows inside each written file must be shuffle_key-ordered")
+      // knn: 5 probes x top-3, equal to the Scala API
+      val got = ports("nn.outport1").collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("id"), r.getAs[Int]("rank"))).toSet
+      val expect = graft.api.GraftOps.knn(spark.table("emb_knn"),
+          spark.table("emb_probes"), col("vec_id"), col("embedding"),
+          col("vec_id"), col("embedding"), k = 3).collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("id"), r.getAs[Int]("rank"))).toSet
+      assert(got.size == 15 && got == expect)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("gapFill registry op densifies a time series declaratively") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
