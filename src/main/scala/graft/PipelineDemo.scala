@@ -9,7 +9,9 @@ import graft.streaming.{JobLogListener, StreamingOps}
   * 1. an XML-specified batch DAG (parquet → addField → filter → view sink),
   * 2. the reference streaming pipeline shape (KafkaInput → AddField →
   *    KafkaOutput, R1→R2→R3) on a file-stream test double with the job-log
-  *    listener attached.
+  *    listener attached,
+  * 3. an XML training-data curation chain (validate → dedup → quality
+  *    filter → mixture plan/apply → quantile filter) over `documents`.
   *
   * Usage: sbt "runMain graft.PipelineDemo [sfDir]"
   */
@@ -63,6 +65,59 @@ object PipelineDemo {
     println(s"[demo] streaming pipeline emitted ${spark.table("demo_out").count()} row(s):")
     spark.table("demo_out").show(false)
     println(s"[demo] job log:\n${listener.lines.map("  " + _).mkString("\n")}")
+
+    // -- 3. curation chain in XML (the LLM-data-pipeline surface) -------
+    val curation = s"""
+      <pipeline>
+        <operator name="docs" class="parquetInput">
+          <arg key="dir" value="$sfDir"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="tok" class="addField">
+          <arg key="name" value="n_tokens"/>
+          <arg key="expr" value="size(split(trim(lower(text)), '[^a-z0-9]+'))"/>
+        </operator>
+        <operator name="val" class="validate">
+          <arg key="checks" value="nonempty:length(trim(text)) &gt; 0;id_positive:doc_id &gt;= 0"/>
+        </operator>
+        <operator name="ok" class="filter"><arg key="predicate" value="is_valid"/></operator>
+        <operator name="pairs" class="minhashPairs">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+        </operator>
+        <operator name="dd" class="dedupApply">
+          <arg key="id" value="doc_id"/>
+          <arg key="idA" value="id_a"/><arg key="idB" value="id_b"/>
+        </operator>
+        <operator name="plan" class="mixturePlan">
+          <arg key="source" value="source"/><arg key="tokens" value="n_tokens"/>
+          <arg key="shares" value="src0:300000;src1:200000"/>
+          <arg key="defaultSharePpm" value="50000"/>
+          <arg key="budgetTokens" value="20000"/>
+        </operator>
+        <operator name="mix" class="mixtureApply">
+          <arg key="source" value="source"/><arg key="key" value="doc_id"/>
+        </operator>
+        <operator name="qf" class="quantileFilter">
+          <arg key="strata" value="source"/><arg key="score" value="n_tokens"/>
+          <arg key="quantile" value="0.5"/>
+        </operator>
+        <operator name="outc" class="viewSink"><arg key="name" value="curated"/></operator>
+        <connect from="docs.outport1" to="tok.inport1"/>
+        <connect from="tok.outport1" to="val.inport1"/>
+        <connect from="val.outport1" to="ok.inport1"/>
+        <connect from="ok.outport1" to="pairs.inport1"/>
+        <connect from="ok.outport1" to="dd.inport1"/>
+        <connect from="pairs.outport1" to="dd.inport2"/>
+        <connect from="dd.outport1" to="plan.inport1"/>
+        <connect from="dd.outport1" to="mix.inport1"/>
+        <connect from="plan.outport1" to="mix.inport2"/>
+        <connect from="mix.outport1" to="qf.inport1"/>
+        <connect from="qf.outport1" to="outc.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(curation), spark)
+    val curated = spark.table("curated")
+    println(s"[demo] curation pipeline: ${curated.count()} docs survived " +
+      "validate -> dedup -> mixture -> quantile filter")
+    curated.select("doc_id", "source", "n_tokens", "q_threshold").show(5)
     spark.stop()
   }
 }
