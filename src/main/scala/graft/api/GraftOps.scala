@@ -833,6 +833,42 @@ object GraftOps {
       .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
   }
 
+  /** The deterministic ±1/√k projection plane family used by
+    * [[randomProject]]: sign of entry (j, i) comes from the portable md5
+    * hash of `rp<seed>|<j>_<i>`, so the SAME constants can be baked into
+    * both the Spark plan and a generated oracle SQL literal (the
+    * [[graft.functions.PlaneSigns]] hyperplane trick). 1/√k is a single
+    * IEEE sqrt + divide — correctly rounded in any IEEE engine, so the
+    * pre-scaled entries are bit-identical on both sides. */
+  def rpPlanes(inDim: Int, outDim: Int, seed: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    IndexedSeq.tabulate(outDim, inDim) { (j, i) =>
+      if (Portable.phashJvm(s"rp$seed|${j}_$i") % 2 == 0) scale else -scale
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection — the dim-reduction step a
+    * 100 TB embedding pipeline runs BEFORE indexing: project
+    * `array<float>` vectors onto `outDim` deterministic ±1/√k planes
+    * (Achlioptas-style sign matrix; pairwise distances are preserved
+    * within the JL ε with high probability, and k counts far less than
+    * the constant in front). Adds `proj` (array<double>, length
+    * `outDim`). A pure narrow map — zero shuffle, scan speed at any
+    * scale — and the k-plane product is ONE codegen'd
+    * [[graft.functions.PlaneDots]] pass (the HOF form re-walks the
+    * embedding once per output dim, interpreted). Deterministic across
+    * runs/engines: planes derive from the portable hash via
+    * [[rpPlanes]], so projected corpora are reproducible and
+    * oracle-checkable (q61). A different `seed` draws an independent
+    * projection without touching the data. */
+  def randomProject(df: DataFrame, vec: Column, inDim: Int, outDim: Int,
+      seed: Int = 0): DataFrame = {
+    require(inDim > 0 && outDim > 0 && outDim <= inDim,
+      s"need 0 < outDim <= inDim; got inDim=$inDim outDim=$outDim")
+    df.withColumn("proj",
+      graft.functions.PlaneDots(vec, rpPlanes(inDim, outDim, seed)))
+  }
+
   /** Skew-safe equi-join: the big side's hot keys are spread over `salts`
     * sub-partitions and the small side is replicated once per salt. Result
     * identical to `big.join(small, key)`; only the shuffle layout changes.

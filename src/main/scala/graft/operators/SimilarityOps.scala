@@ -544,5 +544,36 @@ object SimilarityOps {
       FROM ranked WHERE rank <= 3
       ORDER BY probe_id, rank"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52, q60)
+  // ---------------------------------------------------------------- q61
+  private val RP_K = 16
+
+  /** Johnson–Lindenstrauss random projection 64 → 16: every component of
+    * every projected vector is hash-checked. The ±1/√16 = ±0.25 plane
+    * entries derive from the portable md5 hash on BOTH sides (the
+    * PlaneSigns hyperplane-baking trick), the fold is the q13-proven
+    * sequential dot, and the gated row posexplodes to (vec_id, dim,
+    * value) so no array column reaches the driver. */
+  val q61 = QueryDef("q61_random_projection",
+    (s, dir) =>
+      graft.api.GraftOps.randomProject(emb(s, dir), col("embedding"),
+          inDim = DIM, outDim = RP_K, seed = 0)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "value")))
+        .orderBy("vec_id", "dim"),
+    Some {
+      val planesLit = graft.api.GraftOps.rpPlanes(DIM, RP_K, 0)
+        .map(_.mkString("[", ", ", "]")).mkString("[", ",\n          ", "]")
+      s"""
+      WITH planes AS (SELECT $planesLit AS pl),
+      dims AS (SELECT unnest(range(0, $RP_K)) AS dim),
+      proj AS (
+        SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+          list_reduce(list_transform(range(1, ${DIM + 1}),
+            i -> CAST(embedding[i] AS DOUBLE) * list_extract(list_extract(pl, dim + 1), i)),
+            (a, b) -> a + b) AS value
+        FROM embeddings, dims, planes)
+      SELECT vec_id, dim, value FROM proj
+      ORDER BY vec_id, dim"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52, q60, q61)
 }

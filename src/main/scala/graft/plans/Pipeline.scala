@@ -288,6 +288,12 @@ object PipelineCompiler {
         expr(arg(args, "id")), expr(arg(args, "vec")),
         expr(arg(args, "probeId")), expr(arg(args, "probeVec")),
         arg(args, "k").toInt))),
+    // Random projection (JL dim-reduction before indexing) — narrow map.
+    "randomProject" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.randomProject(in("inport1"),
+        expr(arg(args, "vec")), arg(args, "inDim").toInt,
+        arg(args, "outDim").toInt,
+        args.getOrElse("seed", "0").toInt))),
     // Text-analysis family (all pure narrow — stream-ready).
     "textQuality" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.textQuality(in("inport1"),
