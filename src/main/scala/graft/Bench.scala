@@ -39,34 +39,71 @@ object Bench {
     // so the recorded artifact defends itself without re-adjudication.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
-        val t0 = System.nanoTime()
+    // Per-run environment counters, captured AFTER each run: when a runs
+    // array disagrees with a clean re-run (r6-r8 drivers vs builder on
+    // q41), the artifact itself should say what accumulated — driver heap
+    // in use, storage memory in use across block managers, live
+    // persistent RDDs, live broadcast blocks. All best-effort: a counter
+    // that can't be read records -1 rather than failing the bench.
+    def diag(): (Long, Long, Int, Int) = {
+      val heapMb = {
+        val rt = Runtime.getRuntime
+        (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      }
+      val (storeMb, nBcast) =
         try {
+          val statuses = org.apache.spark.SparkEnv.get.blockManager.master
+            .getStorageStatus
+          val used = statuses.map(s => s.maxMem - s.memRemaining).sum / (1024 * 1024)
+          val bcast = statuses.iterator.flatMap(_.blocks.keys)
+            .count(_.isInstanceOf[org.apache.spark.storage.BroadcastBlockId])
+          (used, bcast)
+        } catch { case _: Throwable => (-1L, -1) }
+      val nRdds =
+        try spark.sparkContext.getPersistentRDDs.size
+        catch { case _: Throwable => -1 }
+      (heapMb, storeMb, nRdds, nBcast)
+    }
+    val results = selected.map { case (name, fn) =>
+      val timed = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val res = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          Some(((System.nanoTime() - t0) / 1e9, diag()))
         } catch { case e: Throwable =>
           if (!failed.contains(name)) failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
         }
+        // PER-RUN hygiene (untimed — runs after the clock stops): drop
+        // any DataFrame caches the run pinned and nudge GC so the
+        // ContextCleaner can reclaim the run's broadcast/RDD blocks.
+        // This was per-QUERY until round 9; the r8 driver bench showed
+        // q41 growing monotonically across its own 3 back-to-back runs
+        // ([1.28, 3.64, 6.21]) while its diag counters (captured ABOVE,
+        // before this hygiene, so accumulation stays observable) show
+        // exactly what accumulates: each run of a query whose plan
+        // EXECUTES a BroadcastExchange leaves TorrentBroadcast blocks +
+        // driver garbage pinned until the next GC lets the cleaner run.
+        // q40 builds the same cluster table but is immune because its
+        // result IS the broadcast-hinted frame — no downstream join ever
+        // consumes the hint, so no broadcast is materialized per run.
+        spark.catalog.clearCache()
+        System.gc()
+        res
       }
+      val times = timed.map(_._1)
+      val diags = timed.map(_._2)
       val sec =
         if (times.isEmpty) 0.0
         else times.sorted.apply((times.size - 1) / 2) // lower median
       System.err.println(
         f"[bench] $name%-28s $sec%8.2f s  (runs: ${times.map(t => f"$t%.2f").mkString(" ")})")
-      // Cross-query hygiene: drop any DataFrame caches the query pinned
-      // (the iterative ops persist intermediates) and nudge GC, so one
-      // query's leftover executor memory doesn't inflate the next
-      // query's timings deep into the 45-query suite.
-      spark.catalog.clearCache()
-      System.gc()
-      (name, sec, times)
+      (name, sec, times, diags)
     }
     // a failed query must not masquerade as a fast one in the JSON record
     val ok = results.filterNot(r => failed.contains(r._1))
-    val qs = ok.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+    val qs = ok.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     // Every individual run time goes into BENCH_RUNS.json: a median that
     // fell inside one contended host window (e.g. three back-to-back slow
@@ -77,15 +114,21 @@ object Bench {
     // truncating the line start and making it unparseable (this is
     // exactly what nulled BENCH_r05's parse). The stdout line stays
     // compact (~1.5 KB): medians only.
-    val runsJson = ok.map { case (k, _, ts) =>
+    val runsJson = ok.map { case (k, _, ts, _) =>
         "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    // one diag object per run: [heapMB, storageUsedMB, persistentRdds,
+    // broadcastBlocks] — see diag() above
+    val diagJson = ok.map { case (k, _, _, ds) =>
+        "\"" + k + "\":" + ds.map { case (h, st, r, b) => s"[$h,$st,$r,$b]" }
+          .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total sums the SAME filtered set as `queries` — a failed query's
     // partial/zero time must not silently skew the headline number
     val total = ok.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"diag":$diagJson,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_RUNS.json", "UTF-8")
       try w.println(full) finally w.close()

@@ -865,8 +865,19 @@ object GraftOps {
       seed: Int = 0): DataFrame = {
     require(inDim > 0 && outDim > 0 && outDim <= inDim,
       s"need 0 < outDim <= inDim; got inDim=$inDim outDim=$outDim")
+    // Wrong-shape vectors fail loudly: PlaneDots (like the rest of the
+    // CosineSim family) folds over min(len, planeLen) elements, so a short
+    // embedding would silently project a PREFIX — degraded geometry with
+    // no signal. NULL vectors null-propagate (proj = null), matching the
+    // family convention; null ELEMENTS inside the array remain the
+    // caller's contract (embedding columns are containsNull=false).
+    val vecSize = coalesce(size(vec), lit(-1))
+    val checked = when(vecSize === inDim || vecSize === -1, vec)
+      .otherwise(raise_error(concat(
+        lit(s"randomProject: expected $inDim-component vectors, got "),
+        vecSize.cast("string"), lit(" — pass the actual inDim or fix the input"))))
     df.withColumn("proj",
-      graft.functions.PlaneDots(vec, rpPlanes(inDim, outDim, seed)))
+      graft.functions.PlaneDots(checked, rpPlanes(inDim, outDim, seed)))
   }
 
   /** Skew-safe equi-join: the big side's hot keys are spread over `salts`
@@ -1063,9 +1074,16 @@ object GraftOps {
       .drop("__s", "__st")
   }
 
-  /** The SCALE tier of [[topQuantileFilter]]: identical contract, but the
-    * per-stratum threshold comes from `approx_percentile` (Greenwald-
-    * Khanna sketch, bounded memory) instead of exact `percentile`. The
+  /** The SCALE tier of [[topQuantileFilter]]: same selection contract,
+    * but the per-stratum threshold comes from `approx_percentile`
+    * (Greenwald-Khanna sketch, bounded memory) instead of exact
+    * `percentile`. One real semantic difference survives even a
+    * rank-exact sketch: exact `percentile` INTERPOLATES between adjacent
+    * data values at fractional quantile ranks, while `approx_percentile`
+    * returns an actual data value — so this tier's threshold can sit one
+    * distinct score below the exact tier's, keeping that boundary value's
+    * rows too (exact-kept ⊆ approx-kept; the extras all score exactly the
+    * sketched threshold). The
     * exact aggregate buffers EVERY value of a stratum in one aggregation
     * buffer — at 100 TB a hot stratum is an executor OOM, not a slow
     * query; the sketch holds O(accuracy) per stratum regardless of row

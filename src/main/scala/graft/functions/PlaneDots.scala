@@ -19,6 +19,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Arithmetic contract: identical sequential fold to the oracle's
   * `list_reduce(list_transform(...))` — see CosineSim — so every output
   * component is bit-portable.
+  *
+  * Length contract (family convention, same as CosineSim): the fold runs
+  * over `min(embedding length, plane length)` — a shorter embedding dots
+  * only its prefix, with NO error from this expression. Callers that need
+  * the full-dimension guarantee must validate the length upstream, the
+  * way [[graft.api.GraftOps.randomProject]] does (a `when(size(v)===dim)`
+  * guard with `raise_error`); null elements inside the array are likewise
+  * the caller's contract (embedding columns are containsNull=false).
   */
 case class PlaneDots(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression {

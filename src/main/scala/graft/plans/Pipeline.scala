@@ -86,6 +86,23 @@ trait PipelineOperator {
       args: Map[String, String]): Map[String, DataFrame]
 }
 
+/** SPI for runtime-pluggable operators — the one reference-R8 capability
+  * the sealed Map alone drops: OpContainer resolves operator names at
+  * RUNTIME (XML attrs OpContainer.java:181-195; MySQL registry
+  * OpContainerTest.java:124-145), so a user can ship an operator without
+  * recompiling the container. Implementations are discovered via
+  * `java.util.ServiceLoader` (a `META-INF/services/
+  * graft.plans.PipelineOperatorProvider` entry in the extension jar) and
+  * merged UNDER the sealed registry — the sealed side wins on name
+  * collision, so an external jar can extend the operator vocabulary but
+  * never shadow a built-in operator's semantics (the safety property the
+  * reference's reflective `Class.forName` dispatch lacked). Providers
+  * need a public no-arg constructor. */
+trait PipelineOperatorProvider {
+  /** operator-class-name → implementation, as [[PipelineCompiler.registry]]. */
+  def operators: Map[String, PipelineOperator]
+}
+
 object PipelineCompiler {
 
   private def arg(args: Map[String, String], k: String): String =
@@ -101,6 +118,13 @@ object PipelineCompiler {
         s"$k entries must be 'name:ppm'; got '$s'")
       s.substring(0, i).trim -> s.substring(i + 1).trim.toLong
     }.toMap).getOrElse(Map.empty)
+
+  /** Long→Int for ppm-scale rate values: a value outside Int range is a
+    * malformed spec and must fail the compile loudly — `.toInt` would wrap
+    * silently (4294967296 becomes 0, i.e. "drop everything"). */
+  private def ppmInt(k: String)(v: Long): Int =
+    if (v >= Int.MinValue && v <= Int.MaxValue) v.toInt
+    else throw new PipelineException(s"$k value $v out of Int range")
 
   /** Streaming sinks honor an optional `triggerMs` arg; absent, they run on
     * the reference's fixed 10 s micro-batch cadence (OpContainer.java:47-49
@@ -217,7 +241,7 @@ object PipelineCompiler {
     "mixturePlan" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.mixtureRates(in("inport1"),
         expr(arg(args, "source")), expr(arg(args, "tokens")),
-        ratesOf(args, "shares").map { case (k, v) => k -> v.toInt },
+        ratesOf(args, "shares").map { case (k, v) => k -> ppmInt("shares")(v) },
         arg(args, "defaultSharePpm").toInt,
         arg(args, "budgetTokens").toLong))),
     "mixtureApply" -> ((_, in, args) =>
@@ -256,7 +280,7 @@ object PipelineCompiler {
     "stratifiedSample" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.stratifiedSample(in("inport1"),
         expr(arg(args, "strata")), expr(arg(args, "key")),
-        ratesOf(args, "rates").map { case (k, v) => k -> v.toInt },
+        ratesOf(args, "rates").map { case (k, v) => k -> ppmInt("rates")(v) },
         arg(args, "defaultPpm").toInt))),
     "stratifiedFixedSample" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.stratifiedFixedSample(in("inport1"),
@@ -422,13 +446,31 @@ object PipelineCompiler {
     out.toSeq
   }
 
+  /** Extension operators discovered at runtime via [[PipelineOperatorProvider]]
+    * ServiceLoader entries on the classpath, loaded once per JVM. Failure
+    * to instantiate a provider fails loudly at first compile — a
+    * half-loaded operator vocabulary would make "unknown operator" errors
+    * environment-dependent and undebuggable. */
+  private lazy val extensionRegistry: Map[String, PipelineOperator] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[PipelineOperatorProvider])
+      .iterator().asScala.flatMap(_.operators).toMap
+  }
+
+  /** The effective operator vocabulary: runtime extensions merged UNDER
+    * the sealed registry (sealed wins on collision — see
+    * [[PipelineOperatorProvider]]). */
+  def resolvedRegistry: Map[String, PipelineOperator] =
+    extensionRegistry ++ registry
+
   /** Compile a spec into its port→DataFrame bindings (pure, lazy — no
     * data moves until a sink/action). Fail-fast on the first bad operator
     * with the reference's "<name> run failed." message. */
   def compile(spec: PipelineSpec, spark: SparkSession): Map[String, DataFrame] = {
     val inputsOf: Map[String, Seq[Edge]] = spec.edges.groupBy(e => e.to.split('.').head)
+    val resolved = resolvedRegistry
     topoOrder(spec).foldLeft(Map.empty[String, DataFrame]) { (ports, node) =>
-      val op = registry.getOrElse(node.opClass,
+      val op = resolved.getOrElse(node.opClass,
         throw new PipelineException(s"${node.name} run failed. Unknown operator class '${node.opClass}'"))
       val ins: Map[String, DataFrame] = inputsOf.getOrElse(node.name, Nil).map { e =>
         val inPort = e.to.split('.')(1)

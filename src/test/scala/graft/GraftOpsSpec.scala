@@ -964,23 +964,36 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(guarded == free)
   }
 
-  test("topQuantileFilterApprox matches the exact tier at fixture scale") {
+  test("topQuantileFilterApprox keeps an exact-tier superset bounded at the boundary value") {
     import org.apache.spark.sql.functions._
-    // GK with accuracy >> n is rank-exact, so at fixture scale the sketch
-    // tier must reproduce the exact tier's kept set bit-for-bit — the
-    // divergence budget (±1/accuracy quantile rank) only spends at volumes
-    // where the exact tier would be buffering a stratum into an OOM anyway
+    // GK with accuracy >> n is rank-exact, but the two tiers still differ
+    // at fractional quantile ranks: exact `percentile` INTERPOLATES
+    // between adjacent data values while `approx_percentile` returns an
+    // actual data value — so the sketched threshold can sit one distinct
+    // value BELOW the interpolated one and keep that boundary value's
+    // rows too. The contract is therefore exact ⊆ approx, with every
+    // extra row scoring exactly its stratum's sketched threshold (never a
+    // second value below it). Set EQUALITY here would rest on the fixture
+    // happening to tie at each stratum boundary — a fixture change away
+    // from a false failure.
     val d = Tables.load(spark, sf001, "documents")
       .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
     val exact = ids(graft.api.GraftOps.topQuantileFilter(d, col("source"),
       col("n_tokens"), quantile = 0.7))
-    val approx = ids(graft.api.GraftOps.topQuantileFilterApprox(d, col("source"),
-      col("n_tokens"), quantile = 0.7))
-    assert(approx.nonEmpty && approx == exact,
-      s"sketch tier diverged at rank-exact scale: ${(approx diff exact).size} extra, " +
-        s"${(exact diff approx).size} missing")
+    val approxDf = graft.api.GraftOps.topQuantileFilterApprox(d, col("source"),
+      col("n_tokens"), quantile = 0.7)
+    val approx = ids(approxDf)
+    assert(approx.nonEmpty && exact.subsetOf(approx),
+      s"sketch tier lost exact-tier rows: ${(exact diff approx).size} missing")
+    val extras = approxDf
+      .filter(!col("doc_id").isin(exact.toSeq: _*))
+      .select(col("n_tokens").cast("double"), col("q_threshold"))
+      .collect()
+    assert(extras.forall(r => r.getDouble(0) == r.getDouble(1)),
+      "every approx-only row must sit exactly ON its stratum's sketched " +
+        s"threshold; got ${extras.filterNot(r => r.getDouble(0) == r.getDouble(1)).mkString(",")}")
     intercept[IllegalArgumentException] {
       graft.api.GraftOps.topQuantileFilterApprox(
         d.withColumn("q_threshold", lit(0.0)), col("source"), col("n_tokens"), 0.7)

@@ -42,6 +42,29 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     } finally java.nio.file.Files.delete(f)
   }
 
+  test("ServiceLoader extension op compiles in XML; sealed registry wins collisions") {
+    // TestOpProvider is wired ONLY via the test-classpath
+    // META-INF/services entry (the extension-jar path — nothing references
+    // it by name): resolvedRegistry must have discovered its new op.
+    assert(PipelineCompiler.resolvedRegistry.contains("testTag"))
+    assert(!PipelineCompiler.registry.contains("testTag"),
+      "testTag must come from the ServiceLoader side, not the sealed Map")
+    val spec = PipelineSpec.parseXml(xmlPipeline(
+      """<operator name="t" class="testTag">
+           <arg key="name" value="origin"/><arg key="value" value="ext"/>
+         </operator>
+         <connect from="f.outport1" to="t.inport1"/>"""))
+    val out = PipelineCompiler.compile(spec, spark)("t.outport1")
+    assert(out.columns.contains("origin"))
+    // The provider ALSO declares a hostile "filter" that drops every row.
+    // Sealed-wins-on-collision means the chain's filter stage above ran
+    // the BUILT-IN semantics — rows survive and carry the extension tag.
+    val n = out.count()
+    assert(n > 0, "collision resolution let an extension shadow a built-in")
+    assert(out.select("origin").distinct().collect().map(_.getString(0))
+      .toSeq == Seq("ext"))
+  }
+
   test("multimodal ops compose in XML: decode -> resize over real PNG payloads") {
     import spark.implicits._
     import java.awt.image.BufferedImage

@@ -187,6 +187,59 @@ class PqSpec extends AnyFunSuite with SharedSpark {
       f"re-rank did not improve recall: $reranked%.3f <= $adcOnly%.3f")
   }
 
+  test("rerank LAW: true-positive set grows monotonically in shortlist size (seeded configs)") {
+    // The provable two-stage invariant, as a law over configs rather than
+    // one measured point: per probe the ADC shortlist is a PREFIX of a
+    // deterministic total order (adc desc, id asc), so shortlist(r1) ⊆
+    // shortlist(r2) for r1 <= r2; and any exact-kNN member x that made the
+    // re-ranked top-k at r1 has fewer than k corpus elements preceding it
+    // in the exact order (sim desc, id asc), hence fewer than k in any
+    // superset shortlist — x stays in the top-k at r2. So the TRUE-POSITIVE
+    // SET itself is monotone in rerank (set containment, strictly stronger
+    // than scalar recall monotonicity), at every nprobe independently.
+    val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val ncells = coarse.select("cluster").distinct().count().toInt
+    def pairs(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("id"))).toSet
+    val exact = pairs(GraftOps.knn(emb, emb.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      k = 3).collect())
+    // driver-side exact-cosine reference (same sequential fold as
+    // CosineSim/the oracle) for the stage-2 exactness law
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < x.length) { d += x(i).toDouble * y(i).toDouble; i += 1 }
+      d
+    }
+    for (nprobe <- Seq(1, 2, ncells)) {
+      var prevTrue = Set.empty[(Long, Long)]
+      var prevR = 0
+      for (rerank <- Seq(3, 6, 12, 24)) {
+        val rows = GraftOps.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+          col("vec_id") < 10, coarse, model, DIM, k = 3,
+          nprobe = nprobe, rerank = rerank).collect()
+        // stage-2 exactness: every emitted sim IS the true cosine, bit-equal
+        rows.foreach { r =>
+          val a = vecs(r.getAs[Long]("probe_id")); val b = vecs(r.getAs[Long]("id"))
+          val want = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+          assert(r.getAs[Double]("sim") == want,
+            s"re-rank sim is not the exact cosine for " +
+              s"(${r.getAs[Long]("probe_id")}, ${r.getAs[Long]("id")})")
+        }
+        val truePos = pairs(rows) intersect exact
+        assert(prevTrue.subsetOf(truePos),
+          s"nprobe=$nprobe: growing the shortlist $prevR -> $rerank LOST " +
+            s"true neighbors ${prevTrue diff truePos}")
+        prevTrue = truePos; prevR = rerank
+      }
+      info(s"nprobe=$nprobe: true positives at rerank=24 -> " +
+        f"${prevTrue.size}/${exact.size} (${prevTrue.size.toDouble / exact.size}%.3f)")
+    }
+  }
+
   test("rerankTopK over the stored index equals inline ivfPqTopK(rerank)") {
     val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
       k = 4, iters = 1)
