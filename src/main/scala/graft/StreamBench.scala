@@ -52,15 +52,23 @@ object StreamBench {
       case _ =>
         StreamingOps.tumblingAgg(stream, "ts", "1 hour", "1 hour", col("event_type"))
     }
+    // Auto-size shuffle partitions to the micro-batch volume (the
+    // BASELINE.md footnote turned operator feature): ~total/nChunks rows
+    // per batch, clamped by cores. SPARK_GRAFT_STREAM_PARTS overrides
+    // (e.g. =32 reproduces the old fixed-partition behavior for A/B).
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt)
+      .getOrElse(StreamingOps.sizedShufflePartitions(
+        math.max(1L, total / nChunks), cpus.toInt))
+    val sizedOut = StreamingOps.withShufflePartitions(out, parts)
     val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
     val t0 = System.nanoTime()
-    val q = out.writeStream.format("memory").queryName("sb_out")
+    val q = sizedOut.writeStream.format("memory").queryName("sb_out")
       .outputMode("append").option("checkpointLocation", ckpt).start()
     q.processAllAvailable()
     val sec = (System.nanoTime() - t0) / 1e9
     q.stop()
     val batches = q.recentProgress.length
-    println(f"""{"metric":"stream_rows_per_sec","value":${total / sec}%.0f,"unit":"rows/sec","mode":"$mode","rows":$total,"sec":$sec%.2f,"batches":$batches,"sf":"$sfDir"}""")
+    println(f"""{"metric":"stream_rows_per_sec","value":${total / sec}%.0f,"unit":"rows/sec","mode":"$mode","rows":$total,"sec":$sec%.2f,"batches":$batches,"partitions":$parts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

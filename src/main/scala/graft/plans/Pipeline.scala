@@ -393,33 +393,71 @@ object PipelineCompiler {
     // (the streaming analogue of the batch sinks' eager action); the
     // handle is discoverable as spark.streams.active by queryName, and the
     // trigger honors `triggerMs` / defaults to the reference 10 s cadence.
-    "memoryStreamSink" -> ((_, in, args) => {
-      in("inport1").writeStream.format("memory")
-        .queryName(arg(args, "name"))
-        .outputMode(args.getOrElse("outputMode", "append"))
-        .trigger(triggerOf(args)).start()
+    // All of them honor an optional `shufflePartitions` arg: stateful
+    // streaming pays a per-partition per-batch state-store tax, so a
+    // query over small micro-batches should run FEWER shuffle partitions
+    // than the session default (see StreamingOps.sizedShufflePartitions;
+    // BASELINE.md has the measured 8-vs-32-partition replay numbers).
+    "memoryStreamSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        in("inport1").writeStream.format("memory")
+          .queryName(arg(args, "name"))
+          .outputMode(args.getOrElse("outputMode", "append"))
+          .trigger(triggerOf(args)).start()
+      }
       Map.empty
     }),
-    "parquetStreamSink" -> ((_, in, args) => {
-      in("inport1").writeStream.format("parquet")
-        .queryName(args.getOrElse("name", "parquetStreamSink"))
-        .option("path", arg(args, "path"))
-        .option("checkpointLocation", arg(args, "checkpoint"))
-        .trigger(triggerOf(args)).start()
+    "parquetStreamSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        in("inport1").writeStream.format("parquet")
+          .queryName(args.getOrElse("name", "parquetStreamSink"))
+          .option("path", arg(args, "path"))
+          .option("checkpointLocation", arg(args, "checkpoint"))
+          .trigger(triggerOf(args)).start()
+      }
       Map.empty
     }),
     // R3 KafkaOutput: declared for real-broker deployments (needs the
     // spark-sql-kafka connector jar — absent in this offline container,
     // see README "Kafka connectivity"; memoryStreamSink is the test twin).
-    "kafkaOutput" -> ((_, in, args) => {
-      graft.streaming.StreamingOps.toKafkaJson(in("inport1"))
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", arg(args, "brokers"))
-        .option("topic", arg(args, "topic"))
-        .option("checkpointLocation", arg(args, "checkpoint"))
-        .trigger(triggerOf(args)).start()
+    "kafkaOutput" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        graft.streaming.StreamingOps.toKafkaJson(in("inport1"))
+          .writeStream.format("kafka")
+          .option("kafka.bootstrap.servers", arg(args, "brokers"))
+          .option("topic", arg(args, "topic"))
+          .option("checkpointLocation", arg(args, "checkpoint"))
+          .trigger(triggerOf(args)).start()
+      }
       Map.empty
     }))
+
+  /** Apply a streaming sink's optional `shufflePartitions` arg around its
+    * `.start()`: Spark's StreamExecution clones the session when the
+    * query starts and plans every batch against the CLONE's conf, so a
+    * set/restore window around start scopes the override to exactly this
+    * query — already-running queries keep their own cloned conf, and the
+    * session value is restored before compile returns. (The query stays
+    * discoverable via `spark.streams.active`, which a cloned-session
+    * rebind — StreamingOps.withShufflePartitions, the library-API form —
+    * would not give; that form instead hands the caller the handle.)
+    * Compiling pipelines concurrently on ONE session could observe the
+    * window; compile is driver-side and sequential in every entry point
+    * here. */
+  private def withQueryShufflePartitions[T](spark: SparkSession,
+      args: Map[String, String])(start: => T): T =
+    args.get("shufflePartitions") match {
+      case None => start
+      case Some(n) =>
+        require(n.toInt >= 1, s"shufflePartitions must be >= 1; got $n")
+        val key = "spark.sql.shuffle.partitions"
+        val old = spark.conf.getOption(key)
+        spark.conf.set(key, n.toInt.toString)
+        try start finally old match {
+          case Some(o) => spark.conf.set(key, o)
+          case None => spark.conf.unset(key)
+        }
+    }
 
   /** Kahn topological order; aborts on a cycle (ref OpContainer.java:207-210). */
   private[plans] def topoOrder(spec: PipelineSpec): Seq[OpNode] = {

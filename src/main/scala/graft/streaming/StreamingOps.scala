@@ -36,6 +36,44 @@ object StreamingOps {
   def addField(df: DataFrame, name: String, e: Column): DataFrame =
     df.withColumn(name, e)
 
+  /** Shuffle-partition count sized to micro-batch volume. Stateful
+    * streaming pays a per-partition per-batch state-store tax (store
+    * open/commit, snapshot bookkeeping) that is independent of row
+    * count: BASELINE.md measures the sf0.1 events replay dropping from
+    * ~17k rows/s at 8 partitions to ~10k at 32 on ~14k-row batches —
+    * partitions beyond rows/`targetRowsPerPartition` buy no parallelism
+    * and bill pure overhead. `clamp(batchRows / target, 1,
+    * maxPartitions)` keeps small-batch pipelines cheap and still opens
+    * up to `maxPartitions` (≈ cores) when batches are genuinely large.
+    * NOTE: Spark pins a stateful query's state partitioning into the
+    * checkpoint at FIRST start — size it before the first run; changing
+    * it later needs a fresh checkpoint. */
+  def sizedShufflePartitions(expectedBatchRows: Long, maxPartitions: Int,
+      targetRowsPerPartition: Long = 2000L): Int = {
+    require(maxPartitions >= 1, s"maxPartitions must be >= 1; got $maxPartitions")
+    require(targetRowsPerPartition >= 1,
+      s"targetRowsPerPartition must be >= 1; got $targetRowsPerPartition")
+    val want = expectedBatchRows / targetRowsPerPartition
+    math.max(1L, math.min(maxPartitions.toLong, want)).toInt
+  }
+
+  /** Scope a `spark.sql.shuffle.partitions` override to ONE query: the
+    * plan is rebound to a cloned session (shared SparkContext/catalog,
+    * own SQLConf) carrying the override, so starting the returned frame
+    * plans with `n` partitions while every other query in the JVM keeps
+    * the session default. Pair with [[sizedShufflePartitions]]; works on
+    * batch frames too (any conf-sensitive one-off). Caveat: a streaming
+    * query started from the returned frame registers in the CLONE's
+    * `StreamingQueryManager` — hold the handle `start()` returns rather
+    * than discovering it via the origin session's `spark.streams` (the
+    * XML sink ops' `shufflePartitions` arg uses a set/restore around
+    * start instead, exactly to keep that discovery path). */
+  def withShufflePartitions(df: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"shuffle partitions must be >= 1; got $n")
+    org.apache.spark.sql.graftbridge.SessionBridge.withConf(df,
+      Map("spark.sql.shuffle.partitions" -> n.toString))
+  }
+
   /** Tumbling-window counts/sums with late-data drop via watermark. */
   def tumblingAgg(df: DataFrame, ts: String, width: String,
       watermark: String, keys: Column*): DataFrame =

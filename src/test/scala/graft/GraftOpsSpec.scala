@@ -964,6 +964,42 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(guarded == free)
   }
 
+  test("gapFill: NULL keys/timestamps and maxBucketsPerKey interact correctly on one input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the two r8 hardenings TOGETHER: NULL-keyed/NULL-ts rows must be
+    // excluded BEFORE the cap counts spans (a NULL key must never trip —
+    // or be named by — the guard), and the guard must still fire on the
+    // real offender with NULLs present in the same input
+    val df = Seq[(java.lang.Long, String)](
+        (1L, "2024-01-01 00:30:00"),
+        (1L, "2024-01-01 02:30:00"),   // key 1 spans 3 hourly buckets
+        (1L, null),                    // NULL ts on the offending key
+        (2L, "2024-01-01 00:45:00"),   // key 2 spans 1 bucket
+        (null, "2024-01-01 01:30:00"), // NULL key
+        (null, "1970-01-01 00:00:00")) // NULL key with a hostile span
+      .toDF("k", "s").withColumn("ts", to_timestamp(col("s")))
+    // cap 3: key 1 is AT the cap, NULL rows excluded — must pass, and the
+    // NULL-key rows (which span ~473k hourly buckets 1970->2024 if counted)
+    // must not produce a spine
+    val ok = graft.api.GraftOps.gapFill(df, col("k"), col("ts"),
+      stepUs = 3600000000L, maxBucketsPerKey = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(ok.map(_._1).toSet == Set(1L, 2L))
+    assert(ok.count(_._1 == 1L) == 3 && ok.count(_._1 == 2L) == 1)
+    assert(ok.filter(_._1 == 1L).map(_._2).sum == 2L,
+      "key 1 counts only its non-NULL-ts events")
+    // cap 2: the guard fires and names key 1 — not the NULL rows
+    val e = intercept[Exception] {
+      graft.api.GraftOps.gapFill(df, col("k"), col("ts"),
+        stepUs = 3600000000L, maxBucketsPerKey = 2L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("gapFill: key 1 spans 3 buckets"),
+      s"guard must name key 1 with NULL rows present; got: $msg")
+  }
+
   test("topQuantileFilterApprox keeps an exact-tier superset bounded at the boundary value") {
     import org.apache.spark.sql.functions._
     // GK with accuracy >> n is rank-exact, but the two tiers still differ

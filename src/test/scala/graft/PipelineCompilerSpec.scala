@@ -184,6 +184,42 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       s"XML chain diverged from the Scala API: ${gotIds.size} vs ${expIds.size} rows")
   }
 
+  test("mixtureApply XML op preserves a user rate_ppm column (r8 alias fix, declarative path)") {
+    // the round-8 alias-survival fix was spec'd on the Scala API; this is
+    // the INTERACTION with the registry: a corpus that already carries a
+    // user column named rate_ppm (the same name the plan table uses
+    // internally) must come through the XML mixtureApply op with its
+    // schema and values intact.
+    import org.apache.spark.sql.functions._
+    Tables.load(spark, sf001, "documents")
+      .withColumn("n_tokens", size(graft.functions.Text.tokens(col("text"))))
+      .withColumn("rate_ppm", lit(42L))
+      .createOrReplaceTempView("docs_user_rate")
+    val ports = PipelineCompiler.compile(PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="src" class="viewInput">
+          <arg key="table" value="docs_user_rate"/>
+        </operator>
+        <operator name="plan" class="mixturePlan">
+          <arg key="source" value="source"/><arg key="tokens" value="n_tokens"/>
+          <arg key="shares" value="src0:300000;src1:200000"/>
+          <arg key="defaultSharePpm" value="40000"/>
+          <arg key="budgetTokens" value="20000"/>
+        </operator>
+        <operator name="mix" class="mixtureApply">
+          <arg key="source" value="source"/><arg key="key" value="doc_id"/>
+        </operator>
+        <connect from="src.outport1" to="plan.inport1"/>
+        <connect from="src.outport1" to="mix.inport1"/>
+        <connect from="plan.outport1" to="mix.inport2"/>
+      </pipeline>"""), spark)
+    val out = ports("mix.outport1")
+    assert(out.schema == spark.table("docs_user_rate").schema,
+      s"mixtureApply must be schema-preserving; got ${out.schema.simpleString}")
+    val vals = out.select("rate_ppm").distinct().collect().map(_.getLong(0))
+    assert(vals.toSeq == Seq(42L), s"user rate_ppm clobbered: ${vals.toSeq}")
+  }
+
   test("dedup family composes in XML: minhashPairs -> dedupApply -> sample -> pack (the q44 chain)") {
     import org.apache.spark.sql.functions._
     import graft.api.GraftOps
@@ -419,6 +455,53 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       val rows = spark.table("s1_pipeline_out")
         .select("id", "doubled").orderBy("id").collect()
       assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (2L, 4L)))
+    } finally q.stop()
+  }
+
+  test("sink shufflePartitions arg sizes the state store and restores the session conf") {
+    // the declarative form of StreamingOps.sizedShufflePartitions: a
+    // stateful XML pipeline whose sink declares its own shuffle-partition
+    // count — the override must reach the state store, the session conf
+    // must come back untouched, and spark.streams discovery must survive
+    // (the set/restore-around-start contract).
+    val dir = java.nio.file.Files.createTempDirectory("sized-stream-in")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      """{"id": 1, "v": "x"}""" + "\n" + """{"id": 2, "v": "y"}""" + "\n" +
+      """{"id": 3, "v": "x"}""" + "\n")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val xml = s"""
+      <pipeline>
+        <operator name="src" class="fileStreamInput">
+          <arg key="schema" value="id BIGINT, v STRING"/>
+          <arg key="format" value="json"/>
+          <arg key="path" value="${dir.toUri}"/>
+        </operator>
+        <operator name="agg" class="aggregate">
+          <arg key="groupBy" value="v"/>
+          <arg key="aggs" value="count(1) AS n"/>
+        </operator>
+        <operator name="sink" class="memoryStreamSink">
+          <arg key="name" value="sized_sink_out"/>
+          <arg key="outputMode" value="complete"/>
+          <arg key="triggerMs" value="0"/>
+          <arg key="shufflePartitions" value="3"/>
+        </operator>
+        <connect from="src.outport1" to="agg.inport1"/>
+        <connect from="agg.outport1" to="sink.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(xml), spark)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "sink compile must restore the session's shuffle-partition conf")
+    val q = spark.streams.active.find(_.name == "sized_sink_out")
+      .getOrElse(fail("sized streaming sink did not start a discoverable query"))
+    try {
+      q.processAllAvailable()
+      val so = q.lastProgress.stateOperators
+      assert(so.nonEmpty && so.head.numShufflePartitions == 3L,
+        s"state operator must run 3 partitions; progress: ${q.lastProgress.json}")
+      val rows = spark.table("sized_sink_out").orderBy("v").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq == Seq(("x", 2L), ("y", 1L)))
     } finally q.stop()
   }
 

@@ -77,6 +77,33 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("S12: per-query shuffle-partition sizing — math, isolation, and effect") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the sizing function: batch volume over target, clamped to [1, cores]
+    assert(StreamingOps.sizedShufflePartitions(14000L, 32) == 7)
+    assert(StreamingOps.sizedShufflePartitions(100L, 32) == 1)
+    assert(StreamingOps.sizedShufflePartitions(Long.MaxValue / 4, 32) == 32)
+    assert(StreamingOps.sizedShufflePartitions(0L, 32) == 1)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = StreamingOps.tumblingAgg(
+      input.toDF().toDF("ts", "value"), "ts", "10 minutes", "10 minutes")
+    val q = StreamingOps.withShufflePartitions(agg, 3)
+      .writeStream.format("memory").queryName("s12").outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:02:00"), 1.0))
+      q.processAllAvailable()
+      // the override really reached the stateful operator: the state
+      // store ran 3 partitions, not the session default
+      val so = q.lastProgress.stateOperators
+      assert(so.nonEmpty && so.head.numShufflePartitions == 3L,
+        s"state operator must run 3 partitions; progress: ${q.lastProgress.json}")
+      // ...and the origin session's conf never moved (isolation)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    } finally q.stop()
+  }
+
   test("S3: stream-static broadcast join") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
