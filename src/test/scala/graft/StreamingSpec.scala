@@ -102,6 +102,23 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       // ...and the origin session's conf never moved (isolation)
       assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
     } finally q.stop()
+    // the clone must INHERIT runtime conf the caller already set (it is
+    // cloneSession, not newSession — newSession resets to the initial
+    // conf and silently dropped e.g. a RocksDB state-store provider)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val beforeProvider = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bound = StreamingOps.withShufflePartitions(
+        spark.range(1).toDF(), 2).sparkSession
+      assert(bound.conf.get(key).contains("RocksDBStateStoreProvider"),
+        "query-scoped clone dropped a runtime conf override")
+      assert(bound.conf.get("spark.sql.shuffle.partitions") == "2")
+    } finally beforeProvider match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("S3: stream-static broadcast join") {
