@@ -276,6 +276,25 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.applyDedup(in("inport1"),
         expr(arg(args, "id")), in("inport2"),
         expr(arg(args, "idA")), expr(arg(args, "idB"))))),
+    // Streaming admission control (the q16 family's incremental twin):
+    // nearDupIndex builds the band index over a BATCH corpus (persist the
+    // outport yourself for many-batch reuse), nearDupAdmit flags stream
+    // rows near-duplicating it (inport1 = stream, inport2 = index) via a
+    // stream-static band equi-join — the stream never shuffles the corpus.
+    "nearDupIndex" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.nearDupIndex(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
+        shingleWidth = args.getOrElse("shingleWidth", "3").toInt,
+        numHashes = args.getOrElse("numHashes", "16").toInt,
+        bands = args.getOrElse("bands", "4").toInt))),
+    "nearDupAdmit" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.nearDupAgainst(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
+        in("inport2"),
+        shingleWidth = args.getOrElse("shingleWidth", "3").toInt,
+        numHashes = args.getOrElse("numHashes", "16").toInt,
+        bands = args.getOrElse("bands", "4").toInt,
+        minMatches = args.getOrElse("minMatches", "8").toInt))),
     // Sampling / blending / layout family.
     "stratifiedSample" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.stratifiedSample(in("inport1"),

@@ -505,6 +505,58 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("nearDupIndex/nearDupAdmit compose in XML: streaming admission control") {
+    // the q16 family's incremental twin, declaratively: a batch corpus
+    // builds the band index, a file stream of arrivals joins it, and the
+    // flagged (id, dup_of) pairs land in the sink — the S10 semantics
+    // through the reference's XML DAG surface.
+    import spark.implicits._
+    val base = "spark is a unified analytics engine for large scale data processing with apis"
+    Seq((1L, base),
+        (2L, "totally different cooking text about pasta tomatoes basil and olive oil"))
+      .toDF("doc_id", "text").createOrReplaceTempView("admit_corpus")
+    val dir = java.nio.file.Files.createTempDirectory("admit-stream-in")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      s"""{"id": 100, "text": "$base in scala"}""" + "\n" +
+      """{"id": 200, "text": "novel text on gardening tulips soil watering sunlight and bees"}""" + "\n")
+    val xml = s"""
+      <pipeline>
+        <operator name="corpus" class="viewInput">
+          <arg key="table" value="admit_corpus"/>
+        </operator>
+        <operator name="idx" class="nearDupIndex">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+        </operator>
+        <operator name="arrivals" class="fileStreamInput">
+          <arg key="schema" value="id BIGINT, text STRING"/>
+          <arg key="format" value="json"/>
+          <arg key="path" value="${dir.toUri}"/>
+        </operator>
+        <operator name="admit" class="nearDupAdmit">
+          <arg key="id" value="id"/><arg key="text" value="text"/>
+          <arg key="minMatches" value="6"/>
+        </operator>
+        <operator name="sink" class="memoryStreamSink">
+          <arg key="name" value="admit_out"/>
+          <arg key="triggerMs" value="0"/>
+        </operator>
+        <connect from="corpus.outport1" to="idx.inport1"/>
+        <connect from="arrivals.outport1" to="admit.inport1"/>
+        <connect from="idx.outport1" to="admit.inport2"/>
+        <connect from="admit.outport1" to="sink.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(xml), spark)
+    val q = spark.streams.active.find(_.name == "admit_out")
+      .getOrElse(fail("admission pipeline did not start"))
+    try {
+      q.processAllAvailable()
+      val flagged = spark.table("admit_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flagged == Set((100L, 1L)),
+        s"near-dup arrival flagged, novel doc admitted: $flagged")
+    } finally q.stop()
+  }
+
   test("validate is stream-ready: runs inside a STREAMING XML pipeline") {
     // the admission-control claim (withViolations is a pure narrow
     // projection) proven end-to-end: file stream -> validate -> memory
