@@ -332,6 +332,47 @@ object PipelineCompiler {
         expr(arg(args, "probeId")), expr(arg(args, "probeVec")),
         arg(args, "k").toInt))),
     // Random projection (JL dim-reduction before indexing) — narrow map.
+    // ANN index family as declarative ops: trainers produce MODEL tables
+    // on their outport (trained-model-as-data — persist them like any
+    // other port), the encoder produces the at-rest (id, cell, codes)
+    // index, and the search ops consume index + probes + models by port.
+    // An XML DAG can therefore express the full build-once/search-many
+    // story: kmeansFit + pqFit -> ivfPqEncode -> [write/read] ->
+    // ivfPqSearch -> annRerank. NOTE the trainers run Spark jobs at
+    // COMPILE of the node (eager, like any trainer) — batch inputs only.
+    "kmeansFit" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.kmeansFit(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "vec")),
+        k = arg(args, "k").toInt, iters = arg(args, "iters").toInt))),
+    "kmeansAssign" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.kmeansAssign(in("inport1"),
+        expr(arg(args, "vec")), in("inport2")))),
+    "pqFit" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.pqFit(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "vec")),
+        dim = arg(args, "dim").toInt, m = arg(args, "m").toInt,
+        ksub = arg(args, "ksub").toInt, iters = arg(args, "iters").toInt))),
+    // inport1 = corpus, inport2 = coarse (kmeansFit) model, inport3 = pq model
+    "ivfPqEncode" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.ivfPqEncode(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "vec")),
+        in("inport2"), in("inport3"), dim = arg(args, "dim").toInt))),
+    // inport1 = at-rest index (id, cell, codes), inport2 = probes,
+    // inport3 = coarse model, inport4 = pq model
+    "ivfPqSearch" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.ivfPqTopKCoded(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "cell")), expr(arg(args, "codes")),
+        in("inport2"), expr(arg(args, "probeId")), expr(arg(args, "probeVec")),
+        in("inport3"), in("inport4"), k = arg(args, "k").toInt,
+        nprobe = args.getOrElse("nprobe", "1").toInt))),
+    // inport1 = shortlist (probe_id, id), inport2 = probes, inport3 = the
+    // full vector table — the exact re-rank stage over a stored index
+    "annRerank" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.rerankTopK(in("inport1"),
+        expr(arg(args, "slProbeId")), expr(arg(args, "slCandId")),
+        in("inport2"), expr(arg(args, "probeId")), expr(arg(args, "probeVec")),
+        in("inport3"), expr(arg(args, "vecId")), expr(arg(args, "vec")),
+        k = arg(args, "k").toInt))),
     "randomProject" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.randomProject(in("inport1"),
         expr(arg(args, "vec")), arg(args, "inDim").toInt,

@@ -505,6 +505,71 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("ANN index family composes in XML: kmeansFit + pqFit -> encode -> search -> rerank") {
+    // the full build-once/search-many story as a declarative DAG,
+    // asserted row-for-row equal to the inline Scala two-stage search
+    // (every trainer is deterministic, so XML-trained models == API-
+    // trained models and the final exact-rank rows must bit-match)
+    import org.apache.spark.sql.functions._
+    import graft.api.GraftOps
+    val emb = Tables.load(spark, sf001, "embeddings")
+    emb.createOrReplaceTempView("emb_ann")
+    emb.filter(col("vec_id") < 10).createOrReplaceTempView("emb_ann_probes")
+    val ports = PipelineCompiler.compile(PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="src" class="viewInput"><arg key="table" value="emb_ann"/></operator>
+        <operator name="probes" class="viewInput"><arg key="table" value="emb_ann_probes"/></operator>
+        <operator name="coarse" class="kmeansFit">
+          <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+          <arg key="k" value="4"/><arg key="iters" value="1"/>
+        </operator>
+        <operator name="pq" class="pqFit">
+          <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+          <arg key="dim" value="64"/><arg key="m" value="4"/>
+          <arg key="ksub" value="4"/><arg key="iters" value="1"/>
+        </operator>
+        <operator name="enc" class="ivfPqEncode">
+          <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+          <arg key="dim" value="64"/>
+        </operator>
+        <operator name="search" class="ivfPqSearch">
+          <arg key="id" value="id"/><arg key="cell" value="cell"/>
+          <arg key="codes" value="codes"/>
+          <arg key="probeId" value="vec_id"/><arg key="probeVec" value="embedding"/>
+          <arg key="k" value="6"/><arg key="nprobe" value="2"/>
+        </operator>
+        <operator name="rr" class="annRerank">
+          <arg key="slProbeId" value="probe_id"/><arg key="slCandId" value="id"/>
+          <arg key="probeId" value="vec_id"/><arg key="probeVec" value="embedding"/>
+          <arg key="vecId" value="vec_id"/><arg key="vec" value="embedding"/>
+          <arg key="k" value="3"/>
+        </operator>
+        <connect from="src.outport1" to="coarse.inport1"/>
+        <connect from="src.outport1" to="pq.inport1"/>
+        <connect from="src.outport1" to="enc.inport1"/>
+        <connect from="coarse.outport1" to="enc.inport2"/>
+        <connect from="pq.outport1" to="enc.inport3"/>
+        <connect from="enc.outport1" to="search.inport1"/>
+        <connect from="probes.outport1" to="search.inport2"/>
+        <connect from="coarse.outport1" to="search.inport3"/>
+        <connect from="pq.outport1" to="search.inport4"/>
+        <connect from="search.outport1" to="rr.inport1"/>
+        <connect from="probes.outport1" to="rr.inport2"/>
+        <connect from="src.outport1" to="rr.inport3"/>
+      </pipeline>"""), spark)
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "id", "rank", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val got = tuples(ports("rr.outport1"))
+    val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"), k = 4, iters = 1)
+    val model = GraftOps.pqFit(emb, col("vec_id"), col("embedding"),
+      dim = 64, m = 4, ksub = 4, iters = 1)
+    val want = tuples(GraftOps.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") < 10, coarse, model, 64, k = 3, nprobe = 2, rerank = 6))
+    assert(got.nonEmpty && got == want,
+      s"XML ANN chain diverged from the inline two-stage search: got ${got.size}, want ${want.size}")
+  }
+
   test("nearDupIndex/nearDupAdmit compose in XML: streaming admission control") {
     // the q16 family's incremental twin, declaratively: a batch corpus
     // builds the band index, a file stream of arrivals joins it, and the
