@@ -47,7 +47,15 @@ object StreamingOps {
     * up to `maxPartitions` (≈ cores) when batches are genuinely large.
     * NOTE: Spark pins a stateful query's state partitioning into the
     * checkpoint at FIRST start — size it before the first run; changing
-    * it later needs a fresh checkpoint. */
+    * it later needs a fresh checkpoint.
+    *
+    * Tuning: useful parallelism is ultimately bounded by STATE
+    * CARDINALITY (distinct group keys alive per batch), which no static
+    * formula sees. The BASELINE.md round-9 sweep over the events replay
+    * (~24 active windows) measured throughput FLAT from 2–8 partitions
+    * and cliffing ≥16 regardless of batch size — so for low-cardinality
+    * aggregations raise `targetRowsPerPartition` (fewer partitions);
+    * the default is tuned to the measured small-batch sweet spot. */
   def sizedShufflePartitions(expectedBatchRows: Long, maxPartitions: Int,
       targetRowsPerPartition: Long = 2000L): Int = {
     require(maxPartitions >= 1, s"maxPartitions must be >= 1; got $maxPartitions")
