@@ -11,7 +11,9 @@ import graft.streaming.{JobLogListener, StreamingOps}
   *    KafkaOutput, R1→R2→R3) on a file-stream test double with the job-log
   *    listener attached,
   * 3. an XML training-data curation chain (validate → dedup → quality
-  *    filter → mixture plan/apply → quantile filter) over `documents`.
+  *    filter → mixture plan/apply → quantile filter) over `documents`,
+  * 4. the declarative ANN index lifecycle (kmeansFit + pqFit →
+  *    ivfPqEncode → ivfPqSearch → annRerank) over `embeddings`.
   *
   * Usage: sbt "runMain graft.PipelineDemo [sfDir]"
   */
@@ -118,6 +120,58 @@ object PipelineDemo {
     println(s"[demo] curation pipeline: ${curated.count()} docs survived " +
       "validate -> dedup -> mixture -> quantile filter")
     curated.select("doc_id", "source", "n_tokens", "q_threshold").show(5)
+
+    // -- 4. ANN index lifecycle in XML (train -> encode -> search -> rerank)
+    Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("demo_emb")
+    spark.table("demo_emb").filter(col("vec_id") < 5)
+      .createOrReplaceTempView("demo_probes")
+    val ann = s"""
+      <pipeline>
+        <operator name="src" class="viewInput"><arg key="table" value="demo_emb"/></operator>
+        <operator name="probes" class="viewInput"><arg key="table" value="demo_probes"/></operator>
+        <operator name="coarse" class="kmeansFit">
+          <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+          <arg key="k" value="4"/><arg key="iters" value="1"/>
+        </operator>
+        <operator name="pq" class="pqFit">
+          <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+          <arg key="dim" value="64"/><arg key="m" value="4"/>
+          <arg key="ksub" value="4"/><arg key="iters" value="1"/>
+        </operator>
+        <operator name="enc" class="ivfPqEncode">
+          <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+          <arg key="dim" value="64"/>
+        </operator>
+        <operator name="search" class="ivfPqSearch">
+          <arg key="id" value="id"/><arg key="cell" value="cell"/>
+          <arg key="codes" value="codes"/>
+          <arg key="probeId" value="vec_id"/><arg key="probeVec" value="embedding"/>
+          <arg key="k" value="6"/><arg key="nprobe" value="2"/>
+        </operator>
+        <operator name="rr" class="annRerank">
+          <arg key="slProbeId" value="probe_id"/><arg key="slCandId" value="id"/>
+          <arg key="probeId" value="vec_id"/><arg key="probeVec" value="embedding"/>
+          <arg key="vecId" value="vec_id"/><arg key="vec" value="embedding"/>
+          <arg key="k" value="3"/>
+        </operator>
+        <operator name="outa" class="viewSink"><arg key="name" value="ann_hits"/></operator>
+        <connect from="src.outport1" to="coarse.inport1"/>
+        <connect from="src.outport1" to="pq.inport1"/>
+        <connect from="src.outport1" to="enc.inport1"/>
+        <connect from="coarse.outport1" to="enc.inport2"/>
+        <connect from="pq.outport1" to="enc.inport3"/>
+        <connect from="enc.outport1" to="search.inport1"/>
+        <connect from="probes.outport1" to="search.inport2"/>
+        <connect from="coarse.outport1" to="search.inport3"/>
+        <connect from="pq.outport1" to="search.inport4"/>
+        <connect from="search.outport1" to="rr.inport1"/>
+        <connect from="probes.outport1" to="rr.inport2"/>
+        <connect from="src.outport1" to="rr.inport3"/>
+        <connect from="rr.outport1" to="outa.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(ann), spark)
+    println(s"[demo] ANN pipeline: top-3 exact-reranked neighbors per probe")
+    spark.table("ann_hits").orderBy("probe_id", "rank").show(9)
     spark.stop()
   }
 }
