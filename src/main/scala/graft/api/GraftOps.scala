@@ -880,6 +880,25 @@ object GraftOps {
       graft.functions.PlaneDots(checked, rpPlanes(inDim, outDim, seed)))
   }
 
+  /** L2 (unit-norm) embedding normalization — the preprocessing step the
+    * dot-scored routing family ASSUMES (see [[ivfTopK]]/[[kmeansFit]]:
+    * cell assignment ranks raw dot products, which biases toward
+    * long-norm vectors unless inputs are ~unit-norm; this op closes that
+    * documented caveat). Adds `unit` (array<double>). Pure narrow HOF
+    * map, zero shuffle, scan speed at any scale: ONE codegen'd
+    * [[graft.functions.L2Unit]] pass per row (sequential zero-seeded
+    * sum-of-squares fold — bit-identical to the oracle's first-element-
+    * seeded `list_reduce` since squares are non-negative — then one
+    * divide per component; the HOF `aggregate`+`transform` form ran
+    * interpreted and ~5× slower, measured). Zero-norm vectors yield NULL
+    * components — 0/0 would be an engine-dependent NaN/Inf; NULL
+    * *vectors* null-propagate to a NULL array (the family convention). */
+  def l2Normalize(df: DataFrame, vec: Column): DataFrame = {
+    require(!df.columns.contains("unit"),
+      "l2Normalize adds a `unit` column; the input already has one — rename it first")
+    df.withColumn("unit", graft.functions.L2Unit(vec))
+  }
+
   /** Skew-safe equi-join: the big side's hot keys are spread over `salts`
     * sub-partitions and the small side is replicated once per salt. Result
     * identical to `big.join(small, key)`; only the shuffle layout changes.

@@ -575,5 +575,31 @@ object SimilarityOps {
       ORDER BY vec_id, dim"""
     })
 
-  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52, q60, q61)
+  // ---------------------------------------------------------------- q62
+  /** L2 normalization — the unit-norm preprocessing the dot-scored
+    * routing family assumes: every component of every normalized vector
+    * is hash-checked. The norm is a sequential sum-of-squares fold
+    * (zero-seeded on the Spark side, first-element-seeded in DuckDB's
+    * list_reduce — bit-identical because squares are non-negative and
+    * 0.0 + x ≡ x), the divide is one IEEE op, and the gated row
+    * posexplodes to (vec_id, dim, value) so no array reaches the
+    * driver. Zero-norm vectors emit NULL components on BOTH sides. */
+  val q62 = QueryDef("q62_l2_normalize",
+    (s, dir) =>
+      graft.api.GraftOps.l2Normalize(emb(s, dir), col("embedding"))
+        .select(col("vec_id"), posexplode(col("unit")).as(Seq("dim", "value")))
+        .orderBy("vec_id", "dim"),
+    Some(s"""
+      WITH n AS (
+        SELECT vec_id,
+          sqrt(list_reduce(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        FROM embeddings),
+      dims AS (SELECT unnest(range(0, $DIM)) AS dim)
+      SELECT e.vec_id, CAST(d.dim AS INTEGER) AS dim,
+        CASE WHEN n.nrm > 0 THEN CAST(e.embedding[d.dim + 1] AS DOUBLE) / n.nrm END AS value
+      FROM embeddings e JOIN n USING (vec_id), dims d
+      ORDER BY vec_id, dim"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52, q60, q61, q62)
 }

@@ -373,6 +373,9 @@ object PipelineCompiler {
         in("inport2"), expr(arg(args, "probeId")), expr(arg(args, "probeVec")),
         in("inport3"), expr(arg(args, "vecId")), expr(arg(args, "vec")),
         k = arg(args, "k").toInt))),
+    "l2Normalize" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.l2Normalize(in("inport1"),
+        expr(arg(args, "vec"))))),
     "randomProject" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.randomProject(in("inport1"),
         expr(arg(args, "vec")), arg(args, "inDim").toInt,

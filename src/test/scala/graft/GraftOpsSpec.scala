@@ -964,6 +964,32 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(guarded == free)
   }
 
+  test("l2Normalize: unit norms, zero-vector NULLs, routing-assumption closure") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+        (1L, Array(3.0f, 4.0f, 0.0f)),
+        (2L, Array(0.0f, 0.0f, 0.0f)),   // zero norm -> NULL components
+        (3L, Array(-1.0f, 0.0f, 0.0f)))
+      .toDF("id", "v")
+    val out = graft.api.GraftOps.l2Normalize(df, col("v"))
+      .select(col("id"), col("unit")).collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[java.lang.Double](1))).toMap
+    assert(out(1L).get.map(_.doubleValue) == Seq(0.6, 0.8, 0.0))
+    assert(out(3L).get.map(_.doubleValue) == Seq(-1.0, 0.0, 0.0))
+    assert(out(2L).get.forall(_ == null),
+      s"zero-norm vector must yield NULL components, got ${out(2L)}")
+    // the op exists to satisfy the dot-routing assumption: after
+    // normalization every surviving vector has unit L2 norm
+    out.filter(_._1 != 2L).values.foreach { u =>
+      val n = u.get.map(x => x * x.doubleValue).sum
+      assert(math.abs(n - 1.0) < 1e-12, s"norm^2 = $n")
+    }
+    intercept[IllegalArgumentException] {
+      graft.api.GraftOps.l2Normalize(df.withColumn("unit", lit(1)), col("v"))
+    }
+  }
+
   test("gapFill: NULL keys/timestamps and maxBucketsPerKey interact correctly on one input") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
