@@ -61,6 +61,11 @@ object GraftFunctions {
       { args =>
         require(args.length == 2, "sig_match_count takes 2 arguments")
         SigMatchCount(args(0), args(1))
+      }),
+    ("l2_unit", "l2_unit(array<float>) - unit-norm projection; zero-norm -> NULL components",
+      { args =>
+        require(args.length == 1, "l2_unit takes 1 argument")
+        L2Unit(args.head)
       }))
 
   /** Width-style parameters must be integer literals — they are baked

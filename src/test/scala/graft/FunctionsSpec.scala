@@ -29,6 +29,9 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     val err = intercept[Exception](spark.sql(
       "SELECT shingle_hashes(array('a'), id) FROM range(1)").collect())
     assert(err.getMessage != null)
+    val u = spark.sql(
+      "SELECT l2_unit(CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS u").collect()(0)
+    assert(u.getSeq[Double](0) == Seq(0.6, 0.8))
   }
 
   test("cosine_sim: known value, symmetry, bounds, self-similarity") {
