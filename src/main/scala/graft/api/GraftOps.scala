@@ -989,6 +989,37 @@ object GraftOps {
     }
   }
 
+  /** Deterministic train/validation/test splitting — the dataset-split
+    * step every training pipeline runs before anything touches the data:
+    * each row is assigned the split whose cumulative ppm range its
+    * portable key-hash bucket (0..999999) lands in, so membership is a
+    * pure function of the key — reproducible across runs, engines, and
+    * re-partitioning, and a row can never drift between splits as the
+    * corpus grows (the q36-proven hash machinery, distinct salt). Adds
+    * `split`; rows past the last range (when ppms sum < 1e6) get NULL —
+    * surfaced, never silently binned. Pure narrow projection, zero
+    * shuffle. `splits` is (name, ppm) in DECLARED order; ppms must be
+    * positive and sum to at most 1e6. */
+  def assignSplits(df: DataFrame, key: Column,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty, "assignSplits needs at least one split")
+    require(splits.forall(_._2 > 0),
+      s"split ppms must be positive; got ${splits.map(_._2).mkString(",")}")
+    require(splits.map(_._2.toLong).sum <= 1000000L,
+      s"split ppms sum to ${splits.map(_._2.toLong).sum} > 1e6")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be distinct; got ${splits.map(_._1).mkString(",")}")
+    require(!df.columns.contains("split"),
+      "assignSplits adds a `split` column; the input already has one — rename it first")
+    val bucket = pmod(Portable.phash(concat(lit("spl|"), key.cast("string"))),
+      lit(1000000))
+    val bounds = splits.scanLeft(0L) { case (acc, (_, ppm)) => acc + ppm }.tail
+    val assigned = splits.zip(bounds).foldRight(lit(null).cast("string")) {
+      case (((name, _), upper), acc) => when(bucket < upper, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Concat-and-chunk sequence packing — the batching step of an LLM
     * training pipeline: documents are conceptually concatenated per
     * `strata` in `order`, the token stream is cut every `budget` tokens,

@@ -493,6 +493,30 @@ object CurationOps {
       WHERE CAST(n_tokens AS DOUBLE) >= q_threshold
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q63
+  /** Deterministic train/val/test split assignment: every doc tagged
+    * with the split whose cumulative ppm range its portable key-hash
+    * bucket lands in — 90/5/4 with a deliberate 1% unassigned tail, so
+    * the NULL-split (surfaced, never silently binned) contract is
+    * hash-gated too. Membership is a pure function of doc_id: stable
+    * under re-partitioning and corpus growth. */
+  val q63 = QueryDef("q63_split_assign",
+    (s, dir) =>
+      GraftOps.assignSplits(docs(s, dir), col("doc_id"),
+          Seq("train" -> 900000, "valid" -> 50000, "test" -> 40000))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id, source,
+        CASE WHEN bucket < 900000 THEN 'train'
+             WHEN bucket < 950000 THEN 'valid'
+             WHEN bucket < 990000 THEN 'test' END AS split
+      FROM (SELECT doc_id, source,
+        ${Duck.ph("'spl|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+        FROM documents)
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59)
+    Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
+      q63)
 }

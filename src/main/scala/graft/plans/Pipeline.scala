@@ -373,6 +373,18 @@ object PipelineCompiler {
         in("inport2"), expr(arg(args, "probeId")), expr(arg(args, "probeVec")),
         in("inport3"), expr(arg(args, "vecId")), expr(arg(args, "vec")),
         k = arg(args, "k").toInt))),
+    // `splits` = ;-separated `name:ppm` in DECLARED order (ranges are
+    // cumulative, so order is part of the contract — NOT ratesOf's map)
+    "assignSplits" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.assignSplits(in("inport1"),
+        expr(arg(args, "key")),
+        arg(args, "splits").split(';').toIndexedSeq.map { s0 =>
+          val i = s0.lastIndexOf(':')
+          if (i <= 0) throw new PipelineException(
+            s"splits entries must be 'name:ppm'; got '$s0'")
+          s0.substring(0, i).trim ->
+            ppmInt("splits")(s0.substring(i + 1).trim.toLong)
+        }))),
     "l2Normalize" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.l2Normalize(in("inport1"),
         expr(arg(args, "vec"))))),

@@ -964,6 +964,40 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(guarded == free)
   }
 
+  test("assignSplits: partition of the key space, stable under repartition, loud validation") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, sf001, "documents")
+    val splits = Seq("train" -> 800000, "valid" -> 100000, "test" -> 100000)
+    val out = graft.api.GraftOps.assignSplits(d, col("doc_id"), splits)
+    val byName = out.groupBy("split").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // ppms sum to exactly 1e6 -> a PARTITION: no NULL split, all named
+    assert(!byName.contains(None), s"unexpected unassigned rows: $byName")
+    assert(byName.keys.flatten.toSet == splits.map(_._1).toSet)
+    val n = d.count().toDouble
+    splits.foreach { case (name, ppm) =>
+      val frac = byName(Some(name)).toDouble / n
+      assert(math.abs(frac - ppm / 1e6) < 0.06,
+        f"$name fraction $frac%.3f far from ${ppm / 1e6}%.3f")
+    }
+    // membership is a pure function of the key: physical layout changes nothing
+    val a = out.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.api.GraftOps.assignSplits(d.repartition(7), col("doc_id"), splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split membership must be layout-independent")
+    // loud validation: over-full ranges, duplicate names, column collision
+    intercept[IllegalArgumentException] {
+      graft.api.GraftOps.assignSplits(d, col("doc_id"), Seq("a" -> 900000, "b" -> 200000))
+    }
+    intercept[IllegalArgumentException] {
+      graft.api.GraftOps.assignSplits(d, col("doc_id"), Seq("a" -> 1000, "a" -> 1000))
+    }
+    intercept[IllegalArgumentException] {
+      graft.api.GraftOps.assignSplits(d.withColumn("split", lit("x")), col("doc_id"),
+        Seq("a" -> 1000))
+    }
+  }
+
   test("l2Normalize: unit norms, zero-vector NULLs, routing-assumption closure") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
