@@ -622,6 +622,50 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("assignSplits is stream-ready: splits assigned inside a STREAMING XML pipeline") {
+    // split assignment is a pure narrow projection of the key hash, so a
+    // stream can tag arrivals with their split on ingestion — and because
+    // membership is a pure function of the key, the streamed assignment
+    // must equal the batch assignment row-for-row
+    val dir = java.nio.file.Files.createTempDirectory("split-stream-in")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      (1 to 40).map(i => s"""{"id": $i}""").mkString("\n") + "\n")
+    val xml = s"""
+      <pipeline>
+        <operator name="src" class="fileStreamInput">
+          <arg key="schema" value="id BIGINT"/>
+          <arg key="format" value="json"/>
+          <arg key="path" value="${dir.toUri}"/>
+        </operator>
+        <operator name="spl" class="assignSplits">
+          <arg key="key" value="id"/>
+          <arg key="splits" value="train:800000;valid:200000"/>
+        </operator>
+        <operator name="sink" class="memoryStreamSink">
+          <arg key="name" value="split_stream_out"/>
+          <arg key="triggerMs" value="0"/>
+        </operator>
+        <connect from="src.outport1" to="spl.inport1"/>
+        <connect from="spl.outport1" to="sink.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(xml), spark)
+    val q = spark.streams.active.find(_.name == "split_stream_out")
+      .getOrElse(fail("streaming split pipeline did not start"))
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("split_stream_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed.keySet == (1L to 40L).toSet)
+      assert(streamed.values.toSet.subsetOf(Set("train", "valid")))
+      import spark.implicits._
+      val batch = graft.api.GraftOps.assignSplits(
+          (1L to 40L).toDF("id"), org.apache.spark.sql.functions.col("id"),
+          Seq("train" -> 800000, "valid" -> 200000))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch, "streamed assignment must equal batch")
+    } finally q.stop()
+  }
+
   test("validate is stream-ready: runs inside a STREAMING XML pipeline") {
     // the admission-control claim (withViolations is a pure narrow
     // projection) proven end-to-end: file stream -> validate -> memory
