@@ -516,7 +516,45 @@ object CurationOps {
         FROM documents)
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q64
+  /** The canonical post-split check, COMPOSED from q63 + q45: assign
+    * train/valid/test splits, then count each train doc's distinct
+    * 3-gram shingles that also appear anywhere in the test split — the
+    * "did my split leak?" query every training pipeline runs after
+    * splitting. Proves assignSplits composes with the decontamination
+    * family under one optimizer pass; the oracle derives both sides
+    * from the identical split CASE. */
+  val q64 = QueryDef("q64_split_decontam",
+    (s, dir) => {
+      val tagged = GraftOps.assignSplits(docs(s, dir), col("doc_id"),
+        Seq("train" -> 900000, "valid" -> 50000, "test" -> 40000))
+      GraftOps.decontaminate(
+          tagged.filter(col("split") === "train"), col("doc_id"), col("text"),
+          tagged.filter(col("split") === "test"), col("text"), width = 3)
+        .select(col("doc_id"), col("n_contam"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH b AS (SELECT doc_id, ${Duck.toks} AS toks,
+          ${Duck.ph("'spl|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+        FROM documents),
+      dh AS (
+        SELECT doc_id, ${Duck.ph("sh_raw")} AS sh
+        FROM (SELECT doc_id, unnest(list_distinct(${Duck.shingles3})) AS sh_raw
+              FROM b WHERE bucket < 900000)),
+      es AS (
+        SELECT DISTINCT ${Duck.ph("sh_raw")} AS sh
+        FROM (SELECT unnest(list_distinct(${Duck.shingles3})) AS sh_raw
+              FROM b WHERE bucket >= 950000 AND bucket < 990000)),
+      ov AS (
+        SELECT doc_id, COUNT(*) AS n_contam
+        FROM dh JOIN es USING (sh) GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(ov.n_contam, 0) AS BIGINT) AS n_contam
+      FROM (SELECT doc_id FROM b WHERE bucket < 900000) d
+      LEFT JOIN ov USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
-      q63)
+      q63, q64)
 }
