@@ -31,6 +31,26 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("l2_unit preserves cosine geometry and lands on the unit sphere (200 cases)") {
+    // the law connecting the two vector expressions: normalization must
+    // not move angles — cos(a, b) == dot(unit(a), unit(b)) — and every
+    // normalized vector must have norm ~1. Both checked expression-level
+    // on seeded cases (interpreted eval path; the codegen path is pinned
+    // equal by the q62 oracle + FunctionsSpec SQL round-trip).
+    def unit(a: Array[Float]): Array[Double] =
+      graft.functions.L2Unit(
+        Literal(new GenericArrayData(a.map(x => x: Any)), ArrayType(FloatType)))
+        .eval(null).asInstanceOf[GenericArrayData].toDoubleArray()
+    (1 to 200).foreach { _ =>
+      val a = randVec(); val b = randVec()
+      val ua = unit(a); val ub = unit(b)
+      assert(math.abs(ua.map(x => x * x).sum - 1.0) < 1e-12, "unit norm")
+      val dot = ua.zip(ub).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - cos(a, b)) < 1e-9,
+        "normalization must preserve cosine geometry")
+    }
+  }
+
   test("portable hash is stable, 60-bit bounded, and seed-independent family (500 cases)") {
     (1 to 500).foreach { i =>
       val s = rng.alphanumeric.take(rng.nextInt(20)).mkString
