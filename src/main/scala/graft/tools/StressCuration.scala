@@ -35,7 +35,17 @@ object StressCuration {
           .as("n_tokens"))
 
     val t0 = System.nanoTime()
-    val sampled = GraftOps.stratifiedSample(docs, col("source"), col("doc_id"),
+    // round 9: split assignment joins the measured chain — another pure
+    // narrow stage riding the same scan. Its md5-per-row cost is NOT free
+    // (it is the 4th portable hash in the chain); SPARK_GRAFT_STRESS_SPLIT=off
+    // reruns the round-6 chain for a same-host A/B of exactly that stage.
+    val withSplit = !sys.env.get("SPARK_GRAFT_STRESS_SPLIT").contains("off")
+    val split =
+      if (withSplit)
+        GraftOps.assignSplits(docs, col("doc_id"),
+          Seq("train" -> 900000, "valid" -> 50000, "test" -> 50000))
+      else docs.withColumn("split", lit("all"))
+    val sampled = GraftOps.stratifiedSample(split, col("source"), col("doc_id"),
       Map("src0" -> 200000, "src1" -> 200000), defaultPpm = 800000)
     val mixed = GraftOps.mixCorpus(sampled, col("lang"), col("doc_id"),
       Map("en" -> 500000L, "zh" -> 2250000L), defaultPpm = 1000000L)
@@ -48,12 +58,17 @@ object StressCuration {
     // pack per shard: 256 bounded strata → 256-way parallel window
     val packed = GraftOps.packByTokenBudget(sharded, col("shard"),
       col("shuffle_key"), col("n_tokens"), budget = 4096L)
+    // split presence probed with min/max (cheap) rather than a second
+    // countDistinct — two countDistincts in one agg plan an EXPAND that
+    // roughly doubles the final pass and would pollute the timing record
     val out = packed.agg(
       count(lit(1)).as("rows"),
       countDistinct(col("shard")).as("shards"),
+      min(col("split")).as("split_min"),
+      max(col("split")).as("split_max"),
       max(col("bin")).as("max_bin")).collect()(0)
     val done = System.nanoTime()
-    println(f"""{"metric":"stress_curation","in_docs":$nDocs,"out_rows":${out.getLong(0)},"shards":${out.getLong(1)},"max_bin":${out.getLong(2)},"total_sec":${(done - t0) / 1e9}%.1f}""")
+    println(f"""{"metric":"stress_curation","in_docs":$nDocs,"out_rows":${out.getLong(0)},"shards":${out.getLong(1)},"split_range":"${out.getString(2)}..${out.getString(3)}","max_bin":${out.getLong(4)},"total_sec":${(done - t0) / 1e9}%.1f}""")
     spark.stop()
   }
 }
