@@ -1020,6 +1020,32 @@ object GraftOps {
     df.withColumn("split", assigned)
   }
 
+  /** Snapshot diff between two corpus versions — the dataset-versioning
+    * primitive: classify every key as added / removed / changed /
+    * unchanged by comparing the md5 of its content across versions.
+    * Presence is tracked with explicit indicator columns, NOT the hash
+    * (a present row with NULL content must read as present — its hash is
+    * NULL); content equality is null-safe (`<=>`), so NULL==NULL content
+    * is `unchanged`. One full-outer equi-join on the key — the canonical
+    * shape; at 100 TB both sides shuffle once on the key (or co-locate
+    * via bucketing) and the hash is computed in the scan projection.
+    * Returns (key, status). Keys must be unique per side — this is a
+    * version diff, not a multiset diff. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      oldKey: Column, newKey: Column,
+      oldContent: Column, newContent: Column): DataFrame = {
+    val o = oldDf.select(oldKey.as("key"), md5(oldContent.cast("string")).as("__ho"),
+      lit(true).as("__po"))
+    val n = newDf.select(newKey.as("key"), md5(newContent.cast("string")).as("__hn"),
+      lit(true).as("__pn"))
+    o.join(n, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(!(col("__ho") <=> col("__hn")), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Concat-and-chunk sequence packing — the batching step of an LLM
     * training pipeline: documents are conceptually concatenated per
     * `strata` in `order`, the token stream is cut every `budget` tokens,

@@ -554,7 +554,40 @@ object CurationOps {
       LEFT JOIN ov USING (doc_id)
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q65
+  /** Snapshot diff between two deterministic corpus versions: v2 drops
+    * every 7th doc (removed), suffixes every 5th's text (changed), and
+    * appends shifted copies of the first 20 ids (added) — all four
+    * statuses exercised and hash-gated; md5 content hashes agree across
+    * engines byte-for-byte. */
+  val q65 = QueryDef("q65_corpus_diff",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val v2 = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      GraftOps.corpusDiff(d, v2, col("doc_id"), col("doc_id"),
+          col("text"), col("text"))
+        .orderBy("key")
+    },
+    Some("""
+      WITH v2 AS (
+        SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20)
+      SELECT COALESCE(o.doc_id, n.doc_id) AS key,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN md5(o.text) IS DISTINCT FROM md5(n.text) THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+      ORDER BY key"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
-      q63, q64)
+      q63, q64, q65)
 }

@@ -385,6 +385,14 @@ object PipelineCompiler {
           s0.substring(0, i).trim ->
             ppmInt("splits")(s0.substring(i + 1).trim.toLong)
         }))),
+    // Snapshot diff: inport1 = old version, inport2 = new version;
+    // newKey/newContent default to key/content (same schema both sides).
+    "corpusDiff" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.corpusDiff(
+        in("inport1"), in("inport2"),
+        expr(arg(args, "key")), expr(args.getOrElse("newKey", arg(args, "key"))),
+        expr(arg(args, "content")),
+        expr(args.getOrElse("newContent", arg(args, "content")))))),
     "l2Normalize" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.l2Normalize(in("inport1"),
         expr(arg(args, "vec"))))),

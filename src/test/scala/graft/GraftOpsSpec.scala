@@ -998,6 +998,25 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("corpusDiff: four statuses, NULL content is presence not absence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val old = Seq[(Long, String)]((1L, "a"), (2L, "b"), (3L, "c"), (4L, null),
+        (5L, null)).toDF("id", "txt")
+    val neu = Seq[(Long, String)]((1L, "a"), (2L, "B2"), (4L, null), (5L, "now"),
+        (6L, "new")).toDF("id", "txt")
+    val got = graft.api.GraftOps.corpusDiff(old, neu, col("id"), col("id"),
+        col("txt"), col("txt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "unchanged",  // same content
+      2L -> "changed",    // content differs
+      3L -> "removed",    // gone from v2
+      4L -> "unchanged",  // NULL -> NULL: present both sides, null-safe equal
+      5L -> "changed",    // NULL -> value
+      6L -> "added"))     // new key
+  }
+
   test("l2Normalize: unit norms, zero-vector NULLs, routing-assumption closure") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
