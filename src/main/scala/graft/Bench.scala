@@ -58,10 +58,10 @@ object Bench {
           val bcast = statuses.iterator.flatMap(_.blocks.keys)
             .count(_.isInstanceOf[org.apache.spark.storage.BroadcastBlockId])
           (used, bcast)
-        } catch { case _: Throwable => (-1L, -1) }
+        } catch { case scala.util.control.NonFatal(_) => (-1L, -1) }
       val nRdds =
         try spark.sparkContext.getPersistentRDDs.size
-        catch { case _: Throwable => -1 }
+        catch { case scala.util.control.NonFatal(_) => -1 }
       (heapMb, storeMb, nRdds, nBcast)
     }
     val results = selected.map { case (name, fn) =>

@@ -1030,7 +1030,12 @@ object GraftOps {
     * shape; at 100 TB both sides shuffle once on the key (or co-locate
     * via bucketing) and the hash is computed in the scan projection.
     * Returns (key, status). Keys must be unique per side — this is a
-    * version diff, not a multiset diff. */
+    * version diff, not a multiset diff; a duplicated key would cross-
+    * match in the full-outer join and emit one status row per pair.
+    * Content is canonicalized by `cast(string)` before hashing, so two
+    * distinct values with identical string renderings (or an md5
+    * collision, ~2^-64 odds) read as `unchanged` — acceptable for the
+    * change-detection contract, not a cryptographic guarantee. */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
       oldKey: Column, newKey: Column,
       oldContent: Column, newContent: Column): DataFrame = {

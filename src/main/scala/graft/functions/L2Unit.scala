@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * siblings [[PlaneDots]]/[[CosineSim]].
   *
   * Zero-norm vectors yield an array of NULL components (0/0 would be an
-  * engine-dependent NaN/Inf); NULL vectors null-propagate.
+  * engine-dependent NaN/Inf); NULL vectors null-propagate. NULL *elements*
+  * inside a vector read as 0.0f — the family convention shared with
+  * [[PlaneDots]]/[[PlaneSigns]]/[[CosineSim]] (`getFloat` on a null slot):
+  * a partially-null embedding is treated as zero-filled, not rejected.
   */
 case class L2Unit(child: Expression) extends UnaryExpression {
 

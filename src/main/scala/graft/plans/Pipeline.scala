@@ -97,7 +97,16 @@ trait PipelineOperator {
   * collision, so an external jar can extend the operator vocabulary but
   * never shadow a built-in operator's semantics (the safety property the
   * reference's reflective `Class.forName` dispatch lacked). Providers
-  * need a public no-arg constructor. */
+  * need a public no-arg constructor.
+  *
+  * Load-once semantics: the ServiceLoader scan runs ONCE per JVM, from
+  * `PipelineCompiler`'s defining classloader, at the first compile.
+  * Extension jars added to the classpath afterwards (REPL/notebook
+  * `:require`-style dynamic jars) are NOT discovered — restart the JVM
+  * (or a fresh classloader hosting PipelineCompiler) to pick them up.
+  * Deliberate: a per-compile rescan would make "unknown operator"
+  * resolution time-dependent, which is harder to debug than a documented
+  * static vocabulary. */
 trait PipelineOperatorProvider {
   /** operator-class-name → implementation, as [[PipelineCompiler.registry]]. */
   def operators: Map[String, PipelineOperator]
@@ -524,14 +533,17 @@ object PipelineCompiler {
     * discoverable via `spark.streams.active`, which a cloned-session
     * rebind — StreamingOps.withShufflePartitions, the library-API form —
     * would not give; that form instead hands the caller the handle.)
-    * Compiling pipelines concurrently on ONE session could observe the
-    * window; compile is driver-side and sequential in every entry point
-    * here. */
+    * The set/restore window is synchronized on the session so external
+    * callers compiling pipelines concurrently on ONE session serialize
+    * through it rather than observing each other's override (every entry
+    * point in this file is already driver-side sequential; the lock makes
+    * the contract hold for library users of `PipelineCompiler.compile`
+    * too — `.start()` is cheap, so the critical section is short). */
   private def withQueryShufflePartitions[T](spark: SparkSession,
       args: Map[String, String])(start: => T): T =
     args.get("shufflePartitions") match {
       case None => start
-      case Some(n) =>
+      case Some(n) => spark.synchronized {
         require(n.toInt >= 1, s"shufflePartitions must be >= 1; got $n")
         val key = "spark.sql.shuffle.partitions"
         val old = spark.conf.getOption(key)
@@ -540,6 +552,7 @@ object PipelineCompiler {
           case Some(o) => spark.conf.set(key, o)
           case None => spark.conf.unset(key)
         }
+      }
     }
 
   /** Kahn topological order; aborts on a cycle (ref OpContainer.java:207-210). */
