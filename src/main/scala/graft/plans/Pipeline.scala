@@ -67,14 +67,81 @@ object PipelineSpec {
     PipelineSpec(nodes, edges)
   }
 
+  /** Parse the JSON twin of the XML spec (SURVEY §1.3's second declared
+    * serialization) into the SAME [[PipelineSpec]] ADT — one parser per
+    * format, one compiler:
+    * {{{
+    * { "operators": [
+    *     {"name": "in", "class": "parquetInput", "args": {"table": "lineitem"}},
+    *     {"name": "f",  "class": "filter", "args": {"predicate": "l_quantity > 10"}} ],
+    *   "connect": [ {"from": "in.outport1", "to": "f.inport1"} ] }
+    * }}}
+    * `args` is optional (defaults empty), arg values may be JSON strings,
+    * numbers, or booleans (canonicalized to the registry's string-typed
+    * args — the XML attr model). Uses the Jackson tree model shipped with
+    * Spark; no new dependency. */
+  def parseJson(json: String): PipelineSpec = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import scala.jdk.CollectionConverters._
+    val root =
+      try new ObjectMapper().readTree(json)
+      catch { case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new PipelineException(s"malformed JSON pipeline spec: ${e.getMessage}", e) }
+    if (root == null || !root.isObject)
+      throw new PipelineException("JSON pipeline spec must be an object")
+    def field(n: JsonNode, f: String, where: String): JsonNode = {
+      val v = n.get(f)
+      if (v == null || v.isNull)
+        throw new PipelineException(s"missing field '$f' on $where")
+      v
+    }
+    def scalarText(v: JsonNode, where: String): String =
+      if (v.isTextual) v.asText()
+      else if (v.isNumber || v.isBoolean) v.asText()
+      else throw new PipelineException(
+        s"arg values must be scalars on $where; got ${v.getNodeType}")
+    def arr(f: String): Seq[JsonNode] = root.get(f) match {
+      case null => Seq.empty
+      case a if a.isArray => a.elements().asScala.toSeq
+      case other => throw new PipelineException(
+        s"field '$f' must be an array; got ${other.getNodeType}")
+    }
+    val nodes = arr("operators").map { n =>
+      val name = scalarText(field(n, "name", "operator"), "operator.name")
+      val args = n.get("args") match {
+        case null => Map.empty[String, String]
+        case a if a.isObject =>
+          a.properties().asScala.map(e =>
+            e.getKey -> scalarText(e.getValue, s"operator '$name' arg '${e.getKey}'")).toMap
+        case other => throw new PipelineException(
+          s"'args' of operator '$name' must be an object; got ${other.getNodeType}")
+      }
+      OpNode(name, scalarText(field(n, "class", s"operator '$name'"), "operator.class"), args)
+    }
+    val edges = arr("connect").map { c =>
+      Edge(scalarText(field(c, "from", "connect"), "connect.from"),
+        scalarText(field(c, "to", "connect"), "connect.to"))
+    }
+    PipelineSpec(nodes, edges)
+  }
+
   /** Load a spec from any Hadoop-visible path — `file://`, `hdfs://`,
     * `s3a://` — matching the reference's HDFS spec load
     * (OpContainer.java:236-262) without hardcoding a filesystem. */
-  def parseXmlFile(spark: SparkSession, path: String): PipelineSpec = {
+  def parseXmlFile(spark: SparkSession, path: String): PipelineSpec =
+    parseFile(spark, path, parseXml)
+
+  /** [[parseJson]] over a Hadoop-visible path, the JSON twin of
+    * [[parseXmlFile]]. */
+  def parseJsonFile(spark: SparkSession, path: String): PipelineSpec =
+    parseFile(spark, path, parseJson)
+
+  private def parseFile(spark: SparkSession, path: String,
+      parse: String => PipelineSpec): PipelineSpec = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
-    try parseXml(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    try parse(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
     finally in.close()
   }
 }

@@ -32,6 +32,56 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(n > 0 && n < out.sparkSession.read.parquet(s"$sf001/lineitem.parquet").count())
   }
 
+  private def jsonPipeline: String = s"""
+    { "operators": [
+        {"name": "in", "class": "parquetInput",
+         "args": {"dir": "$sf001", "table": "lineitem"}},
+        {"name": "af", "class": "addField",
+         "args": {"name": "rev", "expr": "l_extendedprice * (1 - l_discount)"}},
+        {"name": "f", "class": "filter",
+         "args": {"predicate": "l_quantity > 45"}} ],
+      "connect": [
+        {"from": "in.outport1", "to": "af.inport1"},
+        {"from": "af.outport1", "to": "f.inport1"} ] }"""
+
+  test("JSON spec parses to the same ADT as XML and compiles to row-equal results") {
+    val fromJson = PipelineSpec.parseJson(jsonPipeline)
+    val fromXml = PipelineSpec.parseXml(xmlPipeline())
+    assert(fromJson == fromXml) // identical PipelineSpec, not merely similar
+    val a = PipelineCompiler.compile(fromJson, spark)("f.outport1")
+    val b = PipelineCompiler.compile(fromXml, spark)("f.outport1")
+    assert(a.columns.sameElements(b.columns))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() > 0)
+  }
+
+  test("JSON spec: scalar coercion, optional args, and loud malformed-spec errors") {
+    val spec = PipelineSpec.parseJson(
+      """{ "operators": [
+           {"name": "n", "class": "filter", "args": {"limit": 10, "flag": true}},
+           {"name": "bare", "class": "union"} ],
+         "connect": [] }""")
+    assert(spec.nodes.head.args == Map("limit" -> "10", "flag" -> "true"))
+    assert(spec.nodes(1).args.isEmpty) // args object optional
+    val badJson = intercept[PipelineException](PipelineSpec.parseJson("{ not json"))
+    assert(badJson.getMessage.contains("malformed JSON"))
+    val noClass = intercept[PipelineException](
+      PipelineSpec.parseJson("""{"operators": [{"name": "x"}]}"""))
+    assert(noClass.getMessage.contains("missing field 'class'"))
+    val badArgs = intercept[PipelineException](
+      PipelineSpec.parseJson("""{"operators": [{"name": "x", "class": "c", "args": {"a": [1]}}]}"""))
+    assert(badArgs.getMessage.contains("must be scalars"))
+  }
+
+  test("JSON spec loads from a Hadoop-visible file path like its XML twin") {
+    val f = java.nio.file.Files.createTempFile("pipeline", ".json")
+    java.nio.file.Files.writeString(f, jsonPipeline)
+    try {
+      val spec = PipelineSpec.parseJsonFile(spark, f.toUri.toString)
+      assert(spec == PipelineSpec.parseXml(xmlPipeline()))
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("spec loads from a Hadoop-visible file path (ref HDFS spec load)") {
     val f = java.nio.file.Files.createTempFile("pipeline", ".xml")
     java.nio.file.Files.writeString(f, xmlPipeline())
