@@ -792,11 +792,22 @@ object GraftOps {
     * after writing it the embedding column can be dropped. Search with
     * [[ivfPqTopKCoded]]. */
   def ivfPqEncode(df: DataFrame, id: Column, vec: Column,
-      coarseModel: DataFrame, pqModel: DataFrame, dim: Int): DataFrame = {
+      coarseModel: DataFrame, pqModel: DataFrame, dim: Int): DataFrame =
+    ivfPqEncoder(id, vec, coarseModel, pqModel, dim)(df)
+
+  /** The reusable-encoder form of [[ivfPqEncode]]: collects both model
+    * tables ONCE and returns a pure `DataFrame => DataFrame` that tags any
+    * frame with (id, cell, codes) against those frozen constants. This is
+    * the seam incremental index maintenance needs — a foreachBatch append
+    * path encodes every micro-batch with the SAME baked models instead of
+    * re-running the model plans per batch (see
+    * [[graft.streaming.StreamingOps.ivfPqAppendSink]]). */
+  def ivfPqEncoder(id: Column, vec: Column, coarseModel: DataFrame,
+      pqModel: DataFrame, dim: Int): DataFrame => DataFrame = {
     val cents = collectModel(coarseModel)
     require(cents.nonEmpty, "ivfPqEncode with an empty coarse model")
     val mdl = collectPqModel(pqModel)
-    df.select(id.as("id"),
+    df => df.select(id.as("id"),
       element_at(graft.functions.NearestCells(vec,
         cents.map(_._2), cents.map(_._1)), 1).as("cell"),
       pqCodesCol(vec, mdl, dim).as("codes"))

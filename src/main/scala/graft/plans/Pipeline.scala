@@ -287,9 +287,25 @@ object PipelineCompiler {
       Map("outport1" -> in("inport1").filter(expr(arg(args, "predicate"))))),
     "select" -> ((_, in, args) =>
       Map("outport1" -> in("inport1").selectExpr(arg(args, "exprs").split(';').toIndexedSeq: _*))),
+    // Optional `salt` turns the declarative join into the skew-safe form
+    // (GraftOps.saltedJoin): the big side (inport1) spreads each hot key
+    // over `salt` sub-partitions, the small side (inport2) replicates once
+    // per salt — same rows as the plain join, shuffle layout changed. The
+    // salted form is inner equi-join on the single `key` column (the
+    // shape where one hot key actually concentrates on one reducer);
+    // arbitrary `condition`/`joinType` stay on the unsalted path.
     "join" -> ((_, in, args) =>
-      Map("outport1" -> in("inport1").join(in("inport2"), expr(arg(args, "condition")),
-        args.getOrElse("joinType", "inner")))),
+      Map("outport1" -> (args.get("salt") match {
+        case Some(s) =>
+          if (args.contains("condition") || args.get("joinType").exists(_ != "inner"))
+            throw new PipelineException(
+              "salted join is inner equi-join on `key`; drop condition/joinType or drop salt")
+          graft.api.GraftOps.saltedJoin(in("inport1"), in("inport2"),
+            arg(args, "key"), s.toInt)
+        case None =>
+          in("inport1").join(in("inport2"), expr(arg(args, "condition")),
+            args.getOrElse("joinType", "inner"))
+      }))),
     "aggregate" -> ((_, in, args) => {
       val g = arg(args, "groupBy").split(';').toIndexedSeq.map(col)
       val aggs = arg(args, "aggs").split(';').toIndexedSeq.map(expr)
@@ -572,6 +588,24 @@ object PipelineCompiler {
           .queryName(args.getOrElse("name", "parquetStreamSink"))
           .option("path", arg(args, "path"))
           .option("checkpointLocation", arg(args, "checkpoint"))
+          .trigger(triggerOf(args)).start()
+      }
+      Map.empty
+    }),
+    // Incremental ANN index maintenance: the streaming completion of the
+    // ivfPqEncode/ivfPqSearch lifecycle — each micro-batch of new vectors
+    // (inport1, streaming) is encoded against the frozen models (inport2 =
+    // coarse, inport3 = pq; batch inputs, collected once at compile) and
+    // appended to the at-rest (id, cell, codes) parquet index at `path`.
+    // Search-after-append equals search-over-rebuild exactly (PqSpec).
+    "indexAppendSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        graft.streaming.StreamingOps.ivfPqAppendSink(in("inport1"),
+          expr(arg(args, "id")), expr(arg(args, "vec")),
+          in("inport2"), in("inport3"), dim = arg(args, "dim").toInt,
+          path = arg(args, "path"),
+          queryName = args.getOrElse("name", "indexAppendSink"),
+          checkpoint = arg(args, "checkpoint"))
           .trigger(triggerOf(args)).start()
       }
       Map.empty

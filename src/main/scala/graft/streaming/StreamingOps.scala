@@ -191,6 +191,31 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch(f)
 
+  /** Incremental maintenance of a STORED IVF×PQ index: every arriving
+    * micro-batch is encoded against the SAME frozen coarse/PQ models
+    * (collected ONCE here, not per batch) and its (id, cell, codes) rows
+    * are appended to the at-rest parquet index at `path`. Because
+    * raw-vector encode is a pure per-row function of the frozen models
+    * (the SURVEY §2.4 design choice — codes never depend on other rows or
+    * on when they were encoded), append-then-search is EXACTLY
+    * rebuild-then-search over the union: the stored index stays valid as
+    * the corpus grows, no re-encode of existing rows ever needed.
+    *
+    * Delivery: parquet-append under foreachBatch is at-least-once across
+    * failure/retry — a re-run batch appends duplicate (id, cell, codes)
+    * rows (identical by determinism). Searches tolerate duplicates up to
+    * rank ties; for exactly-once layouts dedup on id downstream or write
+    * batch-id-suffixed files. Returns the writer — call `.start()`
+    * (optionally with a trigger) to run. */
+  def ivfPqAppendSink(stream: DataFrame, id: Column, vec: Column,
+      coarseModel: DataFrame, pqModel: DataFrame, dim: Int, path: String,
+      queryName: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val encode = graft.api.GraftOps.ivfPqEncoder(id, vec, coarseModel, pqModel, dim)
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
+      encode(batch).write.mode("append").parquet(path)
+    }
+  }
+
   /** The reference's one latency semantic: a fixed 10-second micro-batch
     * interval (`OpContainer.java:47-49`, `new Duration(10000)`). */
   val ReferenceTrigger: Trigger = Trigger.ProcessingTime("10 seconds")

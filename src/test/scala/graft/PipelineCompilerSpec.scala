@@ -82,6 +82,64 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     } finally java.nio.file.Files.delete(f)
   }
 
+  test("declarative salted join: planted skewed key, row-equal, salted shuffle shape") {
+    // planted skew: 90% of the big side concentrates on key 1 — the shape
+    // where one reducer owns the hot key and AQE skew-split can't help
+    // (no agg downstream, pinned partitioner)
+    spark.range(0, 20000)
+      .selectExpr("CASE WHEN id % 10 = 0 THEN id % 5 ELSE 1 END AS k", "id AS v")
+      .createOrReplaceTempView("skew_big")
+    spark.range(0, 5).selectExpr("id AS k2", "concat('d', id) AS d")
+      .createOrReplaceTempView("skew_small")
+    def joinXml(joinArgs: String) = s"""
+      <pipeline>
+        <operator name="b" class="viewInput"><arg key="table" value="skew_big"/></operator>
+        <operator name="s" class="viewInput"><arg key="table" value="skew_small"/></operator>
+        <operator name="j" class="join">$joinArgs</operator>
+        <connect from="b.outport1" to="j.inport1"/>
+        <connect from="s.outport1" to="j.inport2"/>
+      </pipeline>"""
+    // the salted path needs the same-named key column on both sides
+    spark.range(0, 5).selectExpr("id AS k", "concat('d', id) AS d")
+      .createOrReplaceTempView("skew_small_k")
+    // disable auto-broadcast so the plan shows the SHUFFLED layout salting
+    // exists for (a broadcastable dim needs no salt in the first place);
+    // stays disabled until the LAZY plan below is forced
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldBc = spark.conf.get(bcKey)
+    spark.conf.set(bcKey, "-1")
+    try {
+      val salted = PipelineCompiler.compile(PipelineSpec.parseXml(joinXml(
+        """<arg key="key" value="k"/><arg key="salt" value="8"/>""")
+        .replace("skew_small", "skew_small_k")), spark)("j.outport1")
+      val plain = PipelineCompiler.compile(PipelineSpec.parseXml(joinXml(
+        """<arg key="condition" value="k = k2"/>""")), spark)("j.outport1")
+      // identical rows, salt column never leaks into the result
+      assert(!salted.columns.contains("__salt"))
+      val a = salted.select("k", "v", "d")
+      val b = plain.select("k", "v", "d")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      assert(a.count() == 20000)
+      // plan shape: the equi-join keys must include the salt column (that
+      // IS the skew fix — hot-key rows spread over `salt` reducers), and
+      // the salted form must not degrade to nested-loop/cartesian
+      val plan = salted.queryExecution.sparkPlan
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: p.children.flatMap(nodes)
+      val joinNodes = nodes(plan).filter(_.nodeName.contains("Join"))
+      assert(joinNodes.nonEmpty && joinNodes.forall(_.toString.contains("__salt")),
+        s"salted join must key on __salt; got:\n$plan")
+      assert(!nodes(plan).exists(n => n.nodeName.contains("BroadcastNestedLoopJoin") ||
+        n.nodeName.contains("CartesianProduct")))
+    } finally spark.conf.set(bcKey, oldBc)
+    // misuse fails loudly, not silently unsalted
+    val bad = intercept[PipelineException](PipelineCompiler.compile(
+      PipelineSpec.parseXml(joinXml(
+        """<arg key="key" value="k"/><arg key="salt" value="8"/><arg key="joinType" value="left"/>""")
+        .replace("skew_small", "skew_small_k")), spark))
+    assert(bad.getMessage.contains("salted join"))
+  }
+
   test("spec loads from a Hadoop-visible file path (ref HDFS spec load)") {
     val f = java.nio.file.Files.createTempFile("pipeline", ".xml")
     java.nio.file.Files.writeString(f, xmlPipeline())

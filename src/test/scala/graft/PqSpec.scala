@@ -266,6 +266,108 @@ class PqSpec extends AnyFunSuite with SharedSpark {
       "composed stored-index two-stage must equal the inline rerank path")
   }
 
+  test("incremental index append: search-after-append equals search over rebuild") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    // day-0 index: even ids encoded in batch; the odd ids then ARRIVE on a
+    // stream in two micro-batches through the append sink
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idx-ckpt").toString
+    try {
+      GraftOps.ivfPqEncode(base, col("vec_id"), col("embedding"),
+        coarse, model, DIM).write.mode("append").parquet(dir)
+      val newRows = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.StreamingOps.ivfPqAppendSink(
+        input.toDF().select(col("_1").as("vec_id"), col("_2").as("embedding")),
+        col("vec_id"), col("embedding"), coarse, model, DIM,
+        dir, "idxAppend", ckpt).start()
+      try {
+        val (a, b) = newRows.splitAt(newRows.length / 2)
+        input.addData(a.toIndexedSeq); q.processAllAvailable()
+        input.addData(b.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val appended = spark.read.parquet(dir)
+      assert(appended.count() == emb.count(),
+        "append must cover every corpus row exactly once")
+      val probes = emb.filter(col("vec_id") < 10)
+      def search(index: org.apache.spark.sql.DataFrame) =
+        GraftOps.ivfPqTopKCoded(index, col("id"), col("cell"), col("codes"),
+          probes, col("vec_id"), col("embedding"), coarse, model,
+          k = 3, nprobe = 2).collect().toSet
+      val rebuilt = GraftOps.ivfPqEncode(emb, col("vec_id"), col("embedding"),
+        coarse, model, DIM)
+      assert(search(appended) == search(rebuilt),
+        "search over the appended index must equal search over a full rebuild")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      new Directory(new java.io.File(ckpt)).deleteRecursively()
+    }
+  }
+
+  test("declarative indexAppendSink: XML-compiled append equals rebuild search") {
+    val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    coarse.createOrReplaceTempView("pq_coarse_model")
+    model.createOrReplaceTempView("pq_pq_model")
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idx2-ckpt").toString
+    val staging = java.nio.file.Files.createTempDirectory("graft-idx2-in").toString
+    try {
+      GraftOps.ivfPqEncode(emb.filter(col("vec_id") % 2 === 0),
+        col("vec_id"), col("embedding"), coarse, model, DIM)
+        .write.mode("append").parquet(dir)
+      // new vectors land as files; fileStreamInput micro-batches them
+      emb.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(staging)
+      val spec = graft.plans.PipelineSpec.parseXml(s"""
+        <pipeline>
+          <operator name="nv" class="fileStreamInput">
+            <arg key="path" value="$staging"/><arg key="format" value="parquet"/>
+            <arg key="schema" value="vec_id BIGINT, embedding ARRAY&lt;FLOAT&gt;"/>
+          </operator>
+          <operator name="cm" class="viewInput"><arg key="table" value="pq_coarse_model"/></operator>
+          <operator name="pm" class="viewInput"><arg key="table" value="pq_pq_model"/></operator>
+          <operator name="sink" class="indexAppendSink">
+            <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+            <arg key="dim" value="$DIM"/><arg key="path" value="$dir"/>
+            <arg key="checkpoint" value="$ckpt"/><arg key="name" value="idxAppendXml"/>
+            <arg key="trigger" value="availableNow"/>
+          </operator>
+          <connect from="nv.outport1" to="sink.inport1"/>
+          <connect from="cm.outport1" to="sink.inport2"/>
+          <connect from="pm.outport1" to="sink.inport3"/>
+        </pipeline>""")
+      graft.plans.PipelineCompiler.compile(spec, spark)
+      val q = spark.streams.active.find(_.name == "idxAppendXml")
+        .getOrElse(fail("indexAppendSink did not start a named query"))
+      // availableNow: the query consumes the staged files then stops itself
+      try assert(q.awaitTermination(120000), "availableNow append did not finish")
+      finally q.stop()
+      val appended = spark.read.parquet(dir)
+      assert(appended.count() == emb.count())
+      val probes = emb.filter(col("vec_id") < 10)
+      def search(index: org.apache.spark.sql.DataFrame) =
+        GraftOps.ivfPqTopKCoded(index, col("id"), col("cell"), col("codes"),
+          probes, col("vec_id"), col("embedding"), coarse, model,
+          k = 3, nprobe = 2).collect().toSet
+      val rebuilt = GraftOps.ivfPqEncode(emb, col("vec_id"), col("embedding"),
+        coarse, model, DIM)
+      assert(search(appended) == search(rebuilt),
+        "declaratively-appended index must equal the full rebuild")
+    } finally {
+      import scala.reflect.io.Directory
+      Seq(dir, ckpt, staging).foreach(d =>
+        new Directory(new java.io.File(d)).deleteRecursively())
+    }
+  }
+
   test("stored IVFxPQ index: encode -> parquet roundtrip -> coded search == inline") {
     val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
       k = 4, iters = 1)
