@@ -602,12 +602,57 @@ object GraftOps {
   def pqFit(df: DataFrame, id: Column, vec: Column, dim: Int, m: Int,
       ksub: Int, iters: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    require(ksub > 0, s"ksub must be positive; got $ksub")
+    require(iters >= 1, s"iters must be >= 1; got $iters")
     val sub = dim / m
-    (0 until m).map { s =>
-      kmeansFit(df, id, slice(vec, s * sub + 1, sub), ksub, iters)
-        .select(lit(s).as("subspace"), col("cluster"), col("dim"),
-          col("centroid"), col("n"))
-    }.reduce(_.unionByName(_))
+    val base = df.select(id.as("__id"), vec.as("__v"))
+      .filter(col("__v").isNotNull)
+    // The SAME ksub hash-min seed rows serve every subspace (sliced per
+    // subspace) — selected in ONE top-k pass, not m. Arithmetic is
+    // bit-identical to the per-subspace kmeansFit this fuses: quantized
+    // seed slices, argmax sequential-dot assignment (cluster-asc ties),
+    // integer-micros means, empty clusters dropped.
+    val seedRows = base
+      .orderBy(Portable.phash(concat(lit("km|"), col("__id").cast("string"))),
+        col("__id"))
+      .limit(ksub).select(col("__v")).collect()
+    require(seedRows.nonEmpty, "pqFit on an empty corpus")
+    var models: IndexedSeq[IndexedSeq[(Int, Seq[Double])]] =
+      IndexedSeq.tabulate(m) { s =>
+        seedRows.toIndexedSeq.zipWithIndex.map { case (r, j) =>
+          j -> r.getSeq[Float](0).slice(s * sub, s * sub + sub)
+            .map(f => math.floor(f.toDouble * 1e6) / 1e6)
+        }
+      }
+    // One Lloyd round for ALL m subspaces in ONE corpus scan: per row,
+    // m codegen'd NearestCells passes (each over its slice against its
+    // baked sub-model), explode to (subspace, cluster, dim, component) —
+    // the same dim rows/input-row a single full-vector posexplode costs —
+    // and one map-side-combined hash agg. The unioned per-subspace form
+    // this replaces scanned the corpus m times per round; at 100 TB that
+    // factor is the difference between one pass and sixteen.
+    def round(ms: IndexedSeq[IndexedSeq[(Int, Seq[Double])]]): DataFrame =
+      base.select(explode(array((0 until m).map { s =>
+          struct(lit(s).as("subspace"),
+            element_at(graft.functions.NearestCells(
+              slice(col("__v"), s * sub + 1, sub),
+              ms(s).map(_._2), ms(s).map(_._1)), 1).as("cluster"),
+            slice(col("__v"), s * sub + 1, sub).as("sv"))
+        }: _*)).as("e"))
+        .select(col("e.subspace").as("subspace"), col("e.cluster").as("cluster"),
+          posexplode(col("e.sv")).as(Seq("dim", "__val")))
+        .groupBy(col("subspace"), col("cluster"), col("dim"))
+        .agg((sum(floor(col("__val").cast("double") * lit(1000000.0)).cast("long"))
+          .cast("double") / 1000000.0 / count(lit(1))).as("centroid"),
+          count(lit(1)).as("n"))
+    var model: DataFrame = round(models)
+    for (_ <- 2 to iters) {
+      models = collectPqModel(model).map { case (labels, cvecs) =>
+        (labels zip cvecs).toIndexedSeq
+      }
+      model = round(models)
+    }
+    model
   }
 
   /** Collects a pqFit model into per-subspace (ascending labels, matching
