@@ -102,11 +102,19 @@ def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata ships single parquet FILES; Spark-generated
+        # scale-stress fixtures (tools/GenSf) are parquet DIRECTORIES —
+        # glob their part files so both layouts read identically
+        path = f"{sfdir}/{t}.parquet"
+        pat = path if os.path.isfile(path) else f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
+    import time
     for name in sorted(oracle):
+        t0 = time.time()
         sql = oracle[name]
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
@@ -139,7 +147,7 @@ def main():
             i, c, g, e = bad
             results[name] = f"VALUE_MISMATCH row {i} col {c}: spark={g!r} duck={e!r}"
         else:
-            results[name] = f"OK ({len(got)} rows)"
+            results[name] = f"OK ({len(got)} rows, oracle {time.time() - t0:.1f} s)"
     # queries with no oracle
     for d in sorted(glob.glob(f"{outdir}/*/")):
         qn = d.rstrip('/').split('/')[-1]
