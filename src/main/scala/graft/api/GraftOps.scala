@@ -579,7 +579,12 @@ object GraftOps {
     * argmax-dot cluster from a trained model (collected once at call
     * time — a trained-model constant; the tagging itself is a narrow
     * codegen'd projection, zero shuffle at any scale). The `cluster`
-    * column then slots straight into [[ivfTopK]]'s `label` argument. */
+    * column then slots straight into [[ivfTopK]]'s `label` argument.
+    * Model-size ceiling: baking k·dim doubles into the plan is ideal at
+    * the declared scales (k ≤ 64 coarse, 16/subspace PQ) but a flat
+    * index with k ≫ 10⁴ would bloat the plan/task binaries — at that
+    * size switch to a broadcast-join assign (corpus ⋈ broadcast(model)
+    * with a per-row argmax), trading one broadcast for plan bloat. */
   def kmeansAssign(df: DataFrame, vec: Column, model: DataFrame): DataFrame = {
     val cents = collectModel(model)
     require(cents.nonEmpty, "kmeansAssign with an empty model")
