@@ -38,7 +38,20 @@ object CoreQueries {
 
   // ---------------------------------------------------------------- Q1
   /** Pricing summary: scan → filter → derive → two-phase hash agg → sort.
-    * (TPC-H Q1 shape; exercises ref R2 AddField + R4 SQL agg surface.) */
+    * (TPC-H Q1 shape; exercises ref R2 AddField + R4 SQL agg surface.)
+    * Oracle portability note (found by the round-10 sf1 parity run, where
+    * sum_charge went one ulp off at 6M rows): two stacked engine traps.
+    * (1) The (12,2)-cast triple product reaches DuckDB's 38-digit decimal
+    * width ceiling ((25,4)×(13,2)) and silently demotes to an
+    * order-dependent double sum — the oracle now casts at the columns'
+    * TRUE widths ((10,2) price, (3,2) rates → (18,6) product), exact at
+    * any SF. (2) Even with both decimal sums exact and equal, DuckDB's
+    * decimal→double cast converts the underlying hugeint FIRST (rounding
+    * at 2^53 micro-units, i.e. sums past ~9e9) and divides after, while
+    * Spark rounds the rational correctly — so the final render goes
+    * through an exact integer-MICROS long on BOTH sides, then one
+    * long→double conversion + one IEEE divide (the q21 centroid
+    * pattern), which every IEEE engine rounds identically. */
   val q01 = QueryDef("q01_pricing_summary",
     (s, dir) => {
       val l = t(s, dir, "lineitem")
@@ -48,8 +61,9 @@ object CoreQueries {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
           sum(revTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
-          sum(revTerm(col("l_extendedprice"), col("l_discount")) *
-            (lit(1).cast(D) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          ((sum(revTerm(col("l_extendedprice"), col("l_discount")) *
+            (lit(1).cast(D) + dec(col("l_tax")))) * lit(1000000L))
+            .cast("long").cast("double") / 1000000.0).as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -61,7 +75,10 @@ object CoreQueries {
         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
         CAST(SUM($revSql) AS DOUBLE) AS sum_disc_price,
-        CAST(SUM($revSql * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(10,2))
+          * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+          * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))
+          * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
         CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
