@@ -13,6 +13,15 @@ object Verify {
     val Array(sfDir, outDir) = args
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Fail loudly on names that match no registered query: a misspelled
+    // SPARK_GRAFT_ONLY would otherwise filter EVERYTHING out — empty dump,
+    // `{}` oracle json — and a targeted adjudication run would read as
+    // "no failures" when nothing was verified.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(

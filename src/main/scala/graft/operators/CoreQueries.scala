@@ -44,8 +44,10 @@ object CoreQueries {
     * (1) The (12,2)-cast triple product reaches DuckDB's 38-digit decimal
     * width ceiling ((25,4)×(13,2)) and silently demotes to an
     * order-dependent double sum — the oracle now casts at the columns'
-    * TRUE widths ((10,2) price, (3,2) rates → (18,6) product), exact at
-    * any SF. (2) Even with both decimal sums exact and equal, DuckDB's
+    * TRUE widths ((10,2) price, (3,2) rates → (18,6) product), exact
+    * until sum_charge·1e6 overflows the 2^63 micro-units long render
+    * (~sf 4000 — far past any gated scale, but not literally any SF).
+    * (2) Even with both decimal sums exact and equal, DuckDB's
     * decimal→double cast converts the underlying hugeint FIRST (rounding
     * at 2^53 micro-units, i.e. sums past ~9e9) and divides after, while
     * Spark rounds the rational correctly — so the final render goes

@@ -203,9 +203,11 @@ object StreamingOps {
     *
     * Delivery: parquet-append under foreachBatch is at-least-once across
     * failure/retry — a re-run batch appends duplicate (id, cell, codes)
-    * rows (identical by determinism). Searches tolerate duplicates up to
-    * rank ties; for exactly-once layouts dedup on id downstream or write
-    * batch-id-suffixed files. Returns the writer — call `.start()`
+    * rows (identical by determinism). Duplicates are NOT free for search:
+    * a duplicated candidate id can occupy two top-k slots and displace a
+    * distinct neighbor, so search-after-crash-retry may differ from
+    * search-over-rebuild. For exactly-once layouts dedup on id downstream
+    * or write batch-id-deterministic file paths. Returns the writer — call `.start()`
     * (optionally with a trigger) to run. */
   def ivfPqAppendSink(stream: DataFrame, id: Column, vec: Column,
       coarseModel: DataFrame, pqModel: DataFrame, dim: Int, path: String,

@@ -126,7 +126,7 @@ object GenSf {
         (pmod(h("lsd", col("o_orderkey"), col("l_linenumber")), lit(95)) + 1).cast("int")))
         .cast("timestamp").as("l_shipdate")))
 
-    // events: monotone-with-jitter µs instants over 30 days, 100 users per
+    // events: monotone-with-jitter µs instants over 30 days, 150 users per
     // sf0.01-unit (15k at sf1), 5 types, 2dp values, {"k": n} props
     val nUsers = 150L * scale
     val spanUs = 30L * 86400L * 1000000L
