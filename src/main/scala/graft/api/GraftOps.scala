@@ -583,14 +583,38 @@ object GraftOps {
     * Model-size ceiling: baking k·dim doubles into the plan is ideal at
     * the declared scales (k ≤ 64 coarse, 16/subspace PQ) but a flat
     * index with k ≫ 10⁴ would bloat the plan/task binaries — at that
-    * size switch to a broadcast-join assign (corpus ⋈ broadcast(model)
-    * with a per-row argmax), trading one broadcast for plan bloat. */
+    * size switch to [[kmeansAssignJoin]] (corpus ⋈ broadcast(model) with
+    * a per-row argmax), trading one broadcast for plan bloat. */
   def kmeansAssign(df: DataFrame, vec: Column, model: DataFrame): DataFrame = {
     val cents = collectModel(model)
     require(cents.nonEmpty, "kmeansAssign with an empty model")
     df.withColumn("cluster",
       element_at(graft.functions.NearestCells(vec,
         cents.map(_._2), cents.map(_._1)), 1))
+  }
+
+  /** The broadcast-join tier of [[kmeansAssign]]: identical output (same
+    * argmax-dot fold, same lowest-cluster tie rule — spec-asserted
+    * bit-equal), but the model travels as DATA. The model table is
+    * aggregated to ONE row holding the cluster-ascending (cluster, cvec)
+    * cell array, broadcast-cross-joined onto the corpus (a 1-row
+    * BroadcastNestedLoopJoin — no shuffle of the corpus side), and a
+    * codegen'd [[graft.functions.NearestCellDyn]] folds the per-row
+    * argmax. Use when k·dim is too large to bake as a plan constant
+    * (k ≫ 10⁴: codegen references and task binaries grow linearly on the
+    * baked path — `tools/StressKmeans` measures the cliff); below that,
+    * [[kmeansAssign]]'s baked form stays preferable (no join node at
+    * all). Null vectors get a null cluster on both paths. */
+  def kmeansAssignJoin(df: DataFrame, vec: Column, model: DataFrame): DataFrame = {
+    val cells = model
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("ps"))
+      .select(struct(col("cluster"),
+        transform(col("ps"), p => p.getField("centroid")).as("cvec")).as("cell"))
+      .agg(array_sort(collect_list(col("cell"))).as("__cells"))
+    df.crossJoin(broadcast(cells))
+      .withColumn("cluster", graft.functions.NearestCellDyn(vec, col("__cells")))
+      .drop("__cells")
   }
 
   /** Product-quantization trainer: one [[kmeansFit]] per length-`dim/m`
@@ -863,6 +887,34 @@ object GraftOps {
       pqCodesCol(vec, mdl, dim).as("codes"))
   }
 
+  /** Coarse-model maintenance for a STORED index: re-route every at-rest
+    * (id, cell, codes) row to its cell under a NEW coarse model WITHOUT
+    * re-encoding the PQ codes. Valid because codes are a pure function of
+    * (raw vector, pq model) and never of the coarse model — the SURVEY
+    * §2.4 raw-vector-encode design choice — so after a coarse retrain
+    * (e.g. on a corpus an [[graft.streaming.StreamingOps.ivfPqAppendSink]]
+    * stream has grown) only the routing column goes stale. One equi-join
+    * of the index against the vector table re-reads each vector for the
+    * new assignment (same baked NearestCells routing as [[ivfPqEncode]]);
+    * the `m` code ints per row pass through untouched. Output is
+    * (id, cell, codes), bit-identical to a full re-encode under
+    * (new coarse, same pq) — the PqSpec drift law. At 100 TB this is the
+    * difference between one join pass and re-running the PQ encode's
+    * m·NearestCells work per row — and it needs no PQ model at all. */
+  def reindexCells(coded: DataFrame, codedId: Column, codes: Column,
+      vectors: DataFrame, vecId: Column, vecCol: Column,
+      coarseModel: DataFrame): DataFrame = {
+    val cents = collectModel(coarseModel)
+    require(cents.nonEmpty, "reindexCells with an empty coarse model")
+    val c = coded.select(codedId.as("id"), codes.as("codes"))
+    val v = vectors.select(vecId.as("id"), vecCol.as("__v"))
+    c.join(v, Seq("id"))
+      .select(col("id"),
+        element_at(graft.functions.NearestCells(col("__v"),
+          cents.map(_._2), cents.map(_._1)), 1).as("cell"),
+        col("codes"))
+  }
+
   /** The search half over a STORED index ([[ivfPqEncode]] output read
     * back — id + cell + codes, NO vectors): probes carry full vectors and
     * route to their `nprobe` nearest cells via the same baked coarse
@@ -962,20 +1014,32 @@ object GraftOps {
 
   /** Skew-safe equi-join: the big side's hot keys are spread over `salts`
     * sub-partitions and the small side is replicated once per salt. Result
-    * identical to `big.join(small, key)`; only the shuffle layout changes.
-    * The salt source is per-row and content-independent
+    * identical to `big.join(small, key, joinType)`; only the shuffle
+    * layout changes. The salt source is per-row and content-independent
     * (`monotonically_increasing_id`) — hashing row CONTENT would send
     * fully-duplicate hot rows (exactly the skew case) to one salt, and
-    * fails analysis on map-typed columns. Use when a key's row count
-    * dwarfs the rest and AQE's skew split can't apply (e.g.
-    * aggregation-free pipelines on a pinned partitioner). */
+    * fails analysis on map-typed columns. (Salt ids themselves are NOT
+    * deterministic across repartitions — output rows are.) Use when a
+    * key's row count dwarfs the rest and AQE's skew split can't apply
+    * (e.g. aggregation-free pipelines on a pinned partitioner).
+    *
+    * `joinType` may be `inner` (default) or `left_outer`/`left`: a big
+    * row carries exactly ONE salt, so an unmatched big-side key
+    * null-extends exactly once — same rows as the unsalted left join
+    * (spec-asserted under planted skew). Right/full outer are rejected:
+    * the small side is REPLICATED per salt, so its unmatched keys would
+    * null-extend `salts` times — that shape needs the plain join. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-      salts: Int): DataFrame = {
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer", "left").contains(joinType),
+      s"saltedJoin supports inner and left_outer (small side replicates " +
+        s"per salt — right/full would null-extend its misses $salts times); " +
+        s"got '$joinType'")
     val bigS = big.withColumn("__salt",
       pmod(Portable.fastHash(col(key), monotonically_increasing_id()), lit(salts)).cast("int"))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+    bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
   // ------------------------------------------------------------- text

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
 
 /** JVM helpers for baked-constant vector math (called from generated code —
   * the TextHash pattern: the loop-heavy part lives in one static method the
@@ -66,6 +66,31 @@ object VectorOps {
     }
     val idx = (0 until k).sortBy(i => -dots(i)) // stable: ties keep label asc
     new GenericArrayData(idx.map(labels(_)).toArray)
+  }
+
+  /** Argmax-dot cluster of a vector against a RUNTIME cell table (array
+    * of (cluster, cvec) structs, cluster-ascending): [[nearestCells]]'s
+    * element 1 with the model as data. Same sequential-fold dot per cell
+    * in array order; strict `>` keeps the first (lowest-cluster) winner
+    * on ties — bit-equal to the baked expression's stable argsort. */
+  def nearestCellDyn(e: ArrayData, cells: ArrayData): Int = {
+    val k = cells.numElements()
+    if (k == 0) throw new IllegalStateException(
+      "nearest_cell_dyn: empty cell table (model aggregated to zero cells)")
+    var best = 0.0
+    var bestCl = 0
+    var j = 0
+    while (j < k) {
+      val cell = cells.getStruct(j, 2)
+      val w = cell.getArray(1)
+      val n = math.min(e.numElements(), w.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += e.getFloat(i).toDouble * w.getDouble(i); i += 1 }
+      if (j == 0 || dot > best) { best = dot; bestCl = cell.getInt(0) }
+      j += 1
+    }
+    bestCl
   }
 }
 
@@ -162,4 +187,47 @@ object PqAdcScore {
       labels: Seq[Seq[Int]]): Column =
     ColumnBridge.column(PqAdcScore(ColumnBridge.expression(probe),
       ColumnBridge.expression(codes), cb, labels))
+}
+
+/** `nearest_cell_dyn(vec, cells)`: (array<float>, array<struct<cluster:int,
+  * cvec:array<double>>>) → int — [[NearestCells]]'s element 1 with the
+  * model as runtime DATA instead of a plan-baked constant. The cell table
+  * arrives by column (one broadcast-joined row in practice), so a k ≫ 10⁴
+  * model costs one broadcast instead of plan/task-binary bloat (the
+  * [[graft.api.GraftOps.kmeansAssignJoin]] tier; StressKmeans measures the
+  * baked path's cliff). Scoring is bit-identical to the baked expression:
+  * the same sequential-fold dot per cell in array order, strict `>` keeps
+  * the FIRST winner on ties — cells must arrive cluster-ascending so that
+  * first-wins is the label-asc tiebreak. */
+case class NearestCellDyn(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(StructType(
+            Array(StructField(_, IntegerType, _, _),
+              StructField(_, ArrayType(DoubleType, _), _, _))), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "nearest_cell_dyn expects (array<float>, array<struct<cluster:int, " +
+          s"cvec:array<double>>>), got ${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell_dyn"
+
+  override def nullSafeEval(v: Any, cs: Any): Any =
+    VectorOps.nearestCellDyn(v.asInstanceOf[ArrayData], cs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, c) =>
+      s"graft.functions.VectorOps.nearestCellDyn($e, $c)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NearestCellDyn = copy(left = newLeft, right = newRight)
+}
+
+object NearestCellDyn {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(vec: Column, cells: Column): Column =
+    ColumnBridge.column(
+      NearestCellDyn(ColumnBridge.expression(vec), ColumnBridge.expression(cells)))
 }

@@ -291,17 +291,22 @@ object PipelineCompiler {
     // (GraftOps.saltedJoin): the big side (inport1) spreads each hot key
     // over `salt` sub-partitions, the small side (inport2) replicates once
     // per salt — same rows as the plain join, shuffle layout changed. The
-    // salted form is inner equi-join on the single `key` column (the
-    // shape where one hot key actually concentrates on one reducer);
-    // arbitrary `condition`/`joinType` stay on the unsalted path.
+    // salted form is an equi-join on the single `key` column (the shape
+    // where one hot key actually concentrates on one reducer), inner or
+    // left_outer (big rows carry ONE salt each, so left misses
+    // null-extend exactly once); right/full outer and arbitrary
+    // `condition` stay on the unsalted path.
     "join" -> ((_, in, args) =>
       Map("outport1" -> (args.get("salt") match {
         case Some(s) =>
-          if (args.contains("condition") || args.get("joinType").exists(_ != "inner"))
+          val saltedTypes = Set("inner", "left_outer", "left")
+          if (args.contains("condition") ||
+              args.get("joinType").exists(!saltedTypes.contains(_)))
             throw new PipelineException(
-              "salted join is inner equi-join on `key`; drop condition/joinType or drop salt")
+              "salted join is inner or left_outer equi-join on `key`; " +
+                "drop condition/joinType or drop salt")
           graft.api.GraftOps.saltedJoin(in("inport1"), in("inport2"),
-            arg(args, "key"), s.toInt)
+            arg(args, "key"), s.toInt, args.getOrElse("joinType", "inner"))
         case None =>
           in("inport1").join(in("inport2"), expr(arg(args, "condition")),
             args.getOrElse("joinType", "inner"))
@@ -439,6 +444,11 @@ object PipelineCompiler {
     "kmeansAssign" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.kmeansAssign(in("inport1"),
         expr(arg(args, "vec")), in("inport2")))),
+    // The broadcast-join assign tier (k >> 10^4 models that would bloat
+    // the baked plan): same output as kmeansAssign, model rides as data.
+    "kmeansAssignJoin" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.kmeansAssignJoin(in("inport1"),
+        expr(arg(args, "vec")), in("inport2")))),
     "pqFit" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.pqFit(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "vec")),
@@ -457,6 +467,14 @@ object PipelineCompiler {
         in("inport2"), expr(arg(args, "probeId")), expr(arg(args, "probeVec")),
         in("inport3"), in("inport4"), k = arg(args, "k").toInt,
         nprobe = args.getOrElse("nprobe", "1").toInt))),
+    // Coarse-retrain maintenance over a stored index: inport1 = at-rest
+    // (id, cell, codes) index, inport2 = vector table, inport3 = the NEW
+    // coarse model. Cells re-route; PQ codes pass through untouched.
+    "reindexCells" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.reindexCells(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "codes")),
+        in("inport2"), expr(arg(args, "vecId")), expr(arg(args, "vec")),
+        in("inport3")))),
     // inport1 = shortlist (probe_id, id), inport2 = probes, inport3 = the
     // full vector table — the exact re-rank stage over a stored index
     "annRerank" -> ((_, in, args) =>

@@ -138,6 +138,25 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(plain.select("k", "payload", "name").except(salted.select("k", "payload", "name")).count() == 0)
   }
 
+  test("saltedJoin left_outer equals the plain left join; right/full rejected") {
+    import spark.implicits._
+    // hot key 1 dominates AND keys 3,7,13,… miss the small side entirely —
+    // the skewed-left-outer shape (misses must null-extend exactly once,
+    // not once per salt)
+    val big = (1 to 500).map(i => (if (i % 10 == 0) i else 1, s"row$i")).toDF("k", "payload")
+    val small = Seq((1, "hot"), (10, "ten"), (20, "twenty")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"), "left_outer")
+      .select("k", "payload", "name")
+    val salted = GraftOps.saltedJoin(big, small, "k", salts = 8,
+      joinType = "left_outer").select("k", "payload", "name")
+    assert(salted.count() == plain.count(), "left misses must null-extend once")
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+    // replicated-small-side outer shapes are wrong by construction: loud no
+    val e = intercept[IllegalArgumentException](
+      GraftOps.saltedJoin(big, small, "k", salts = 8, joinType = "right_outer"))
+    assert(e.getMessage.contains("saltedJoin"))
+  }
+
   test("multimodal decodeFrames: batched mapPartitions plumbing produces one row per frame") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 250), (2L, "y" * 10)).toDF("doc_id", "text")
@@ -1291,5 +1310,43 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     val out = GraftOps.knn(vecs, vecs.filter(col("vid") === 1),
       col("vid"), col("v"), col("vid"), col("v"), k = 1).collect()
     assert(out.length == 1 && out(0).getAs[Long]("id") == 2L)
+  }
+
+  test("kmeansAssignJoin is bit-equal to the baked kmeansAssign (q48 fixture)") {
+    // the broadcast-join tier exists for k >> 10^4 models; its CONTRACT is
+    // exact agreement with the baked path at any k — same argmax fold,
+    // same lowest-cluster tie rule
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val model = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 8, iters = 2)
+    val baked = GraftOps.kmeansAssign(emb, col("embedding"), model)
+    val joined = GraftOps.kmeansAssignJoin(emb, col("embedding"), model)
+    // identical schema (all corpus columns pass through, cluster appended)
+    assert(joined.columns.toSeq == baked.columns.toSeq)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cluster")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = rows(baked)
+    assert(b.nonEmpty && rows(joined) == b,
+      "broadcast-join assign diverged from the baked expression")
+    // the model must ride as DATA: a broadcast join node, not a plan
+    // constant (that absence is the whole point of the tier)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a 1-row broadcast join in the assign plan:\n$plan")
+  }
+
+  test("kmeansAssignJoin null-vector rows get a null cluster, like the baked path") {
+    import spark.implicits._
+    val train = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vid", "v")
+    val model = GraftOps.kmeansFit(train, col("vid"), col("v"), k = 2, iters = 1)
+    val df = Seq((1L, Some(Seq(1f, 0f))), (2L, Option.empty[Seq[Float]]))
+      .toDF("vid", "v")
+    def byId(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    val baked = byId(GraftOps.kmeansAssign(df, col("v"), model))
+    val joined = byId(GraftOps.kmeansAssignJoin(df, col("v"), model))
+    assert(baked(2L).isEmpty, "baked path must null out a null vector")
+    assert(joined == baked, s"null handling diverged: $joined vs $baked")
   }
 }

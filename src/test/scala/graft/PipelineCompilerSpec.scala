@@ -132,12 +132,59 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       assert(!nodes(plan).exists(n => n.nodeName.contains("BroadcastNestedLoopJoin") ||
         n.nodeName.contains("CartesianProduct")))
     } finally spark.conf.set(bcKey, oldBc)
-    // misuse fails loudly, not silently unsalted
+    // misuse fails loudly, not silently unsalted (the small side
+    // replicates per salt, so right/full outer would multiply its misses)
     val bad = intercept[PipelineException](PipelineCompiler.compile(
       PipelineSpec.parseXml(joinXml(
-        """<arg key="key" value="k"/><arg key="salt" value="8"/><arg key="joinType" value="left"/>""")
+        """<arg key="key" value="k"/><arg key="salt" value="8"/><arg key="joinType" value="full_outer"/>""")
         .replace("skew_small", "skew_small_k")), spark))
     assert(bad.getMessage.contains("salted join"))
+  }
+
+  test("declarative salted LEFT join: planted skew + missing keys, row-equal") {
+    // the common skewed shape: a hot fact key left-joins an incomplete
+    // dim — misses must null-extend exactly ONCE (big rows carry one salt
+    // each), not once per salt
+    spark.range(0, 20000)
+      .selectExpr("CASE WHEN id % 10 = 0 THEN CAST(id / 10 AS BIGINT) % 10 ELSE 1 END AS k",
+        "id AS v")
+      .createOrReplaceTempView("lskew_big")
+    // keys 5..9 are absent from the dim: every big row with them misses
+    spark.range(0, 5).selectExpr("id AS k", "concat('d', id) AS d")
+      .createOrReplaceTempView("lskew_small")
+    def joinXml(joinArgs: String) = s"""
+      <pipeline>
+        <operator name="b" class="viewInput"><arg key="table" value="lskew_big"/></operator>
+        <operator name="s" class="viewInput"><arg key="table" value="lskew_small"/></operator>
+        <operator name="j" class="join">$joinArgs</operator>
+        <connect from="b.outport1" to="j.inport1"/>
+        <connect from="s.outport1" to="j.inport2"/>
+      </pipeline>"""
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldBc = spark.conf.get(bcKey)
+    spark.conf.set(bcKey, "-1")
+    try {
+      val salted = PipelineCompiler.compile(PipelineSpec.parseXml(joinXml(
+        """<arg key="key" value="k"/><arg key="salt" value="8"/>
+           <arg key="joinType" value="left_outer"/>""")), spark)("j.outport1")
+      val plain = spark.table("lskew_big")
+        .join(spark.table("lskew_small"), Seq("k"), "left_outer")
+      assert(salted.count() == 20000,
+        "left misses must null-extend exactly once per big row")
+      val a = salted.select("k", "v", "d")
+      val b = plain.select("k", "v", "d")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "salted left join must equal the unsalted left join row-for-row")
+      // still the salted shuffle shape: join keyed on __salt, no BNLJ
+      val plan = salted.queryExecution.sparkPlan
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: p.children.flatMap(nodes)
+      val joinNodes = nodes(plan).filter(_.nodeName.contains("Join"))
+      assert(joinNodes.nonEmpty && joinNodes.forall(_.toString.contains("__salt")),
+        s"salted left join must key on __salt; got:\n$plan")
+      assert(!nodes(plan).exists(n => n.nodeName.contains("BroadcastNestedLoopJoin") ||
+        n.nodeName.contains("CartesianProduct")))
+    } finally spark.conf.set(bcKey, oldBc)
   }
 
   test("spec loads from a Hadoop-visible file path (ref HDFS spec load)") {

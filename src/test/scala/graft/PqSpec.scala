@@ -368,6 +368,192 @@ class PqSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("rich-tier (m=16) declarative lifecycle: XML train+encode+append+search == inline q66 path") {
+    // VERDICT r10 #6: the recall tier must be choosable from the
+    // declarative surface. One XML DAG trains the RICH models (m=16,
+    // ksub=16 — the q66 configuration), base-encodes the even ids,
+    // streams the odd ids through indexAppendSink against the SAME
+    // in-DAG models, then a second DAG searches the at-rest table —
+    // bit-equal (adc doubles included) to the inline q66 composition.
+    val dir = java.nio.file.Files.createTempDirectory("graft-rich-idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rich-ckpt").toString
+    val staging = java.nio.file.Files.createTempDirectory("graft-rich-in").toString
+    try {
+      emb.createOrReplaceTempView("rich_emb")
+      emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView("rich_base")
+      emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+        .createOrReplaceTempView("rich_probes")
+      emb.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(staging)
+      val ports = graft.plans.PipelineCompiler.compile(
+        graft.plans.PipelineSpec.parseXml(s"""
+        <pipeline>
+          <operator name="src" class="viewInput"><arg key="table" value="rich_emb"/></operator>
+          <operator name="base" class="viewInput"><arg key="table" value="rich_base"/></operator>
+          <operator name="coarse" class="kmeansFit">
+            <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+            <arg key="k" value="4"/><arg key="iters" value="1"/>
+          </operator>
+          <operator name="rich" class="pqFit">
+            <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+            <arg key="dim" value="$DIM"/><arg key="m" value="16"/>
+            <arg key="ksub" value="16"/><arg key="iters" value="1"/>
+          </operator>
+          <operator name="enc" class="ivfPqEncode">
+            <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+            <arg key="dim" value="$DIM"/>
+          </operator>
+          <operator name="baseOut" class="fileSink">
+            <arg key="path" value="$dir"/><arg key="mode" value="append"/>
+          </operator>
+          <operator name="nv" class="fileStreamInput">
+            <arg key="path" value="$staging"/><arg key="format" value="parquet"/>
+            <arg key="schema" value="vec_id BIGINT, embedding ARRAY&lt;FLOAT&gt;"/>
+          </operator>
+          <operator name="sink" class="indexAppendSink">
+            <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+            <arg key="dim" value="$DIM"/><arg key="path" value="$dir"/>
+            <arg key="checkpoint" value="$ckpt"/><arg key="name" value="richAppend"/>
+            <arg key="trigger" value="availableNow"/>
+          </operator>
+          <connect from="src.outport1" to="coarse.inport1"/>
+          <connect from="src.outport1" to="rich.inport1"/>
+          <connect from="base.outport1" to="enc.inport1"/>
+          <connect from="coarse.outport1" to="enc.inport2"/>
+          <connect from="rich.outport1" to="enc.inport3"/>
+          <connect from="enc.outport1" to="baseOut.inport1"/>
+          <connect from="nv.outport1" to="sink.inport1"/>
+          <connect from="coarse.outport1" to="sink.inport2"/>
+          <connect from="rich.outport1" to="sink.inport3"/>
+        </pipeline>"""), spark)
+      val q = spark.streams.active.find(_.name == "richAppend")
+        .getOrElse(fail("rich indexAppendSink did not start a named query"))
+      try assert(q.awaitTermination(120000), "availableNow append did not finish")
+      finally q.stop()
+      // the at-rest table now covers the whole corpus, coded at m=16
+      val atRest = spark.read.parquet(dir)
+      assert(atRest.count() == emb.count())
+      assert(atRest.select(size(col("codes"))).distinct().collect()
+        .map(_.getInt(0)).toSeq == Seq(16), "rich tier must store 16 codes/row")
+      // search DAG over the stored index, models re-read from the first
+      // DAG's ports (trainers are deterministic: XML == API models)
+      ports("coarse.outport1").createOrReplaceTempView("rich_coarse_v")
+      ports("rich.outport1").createOrReplaceTempView("rich_pq_v")
+      val ports2 = graft.plans.PipelineCompiler.compile(
+        graft.plans.PipelineSpec.parseXml(s"""
+        <pipeline>
+          <operator name="idx" class="fileInput"><arg key="path" value="$dir"/></operator>
+          <operator name="probes" class="viewInput"><arg key="table" value="rich_probes"/></operator>
+          <operator name="cm" class="viewInput"><arg key="table" value="rich_coarse_v"/></operator>
+          <operator name="pm" class="viewInput"><arg key="table" value="rich_pq_v"/></operator>
+          <operator name="search" class="ivfPqSearch">
+            <arg key="id" value="id"/><arg key="cell" value="cell"/>
+            <arg key="codes" value="codes"/>
+            <arg key="probeId" value="vec_id"/><arg key="probeVec" value="embedding"/>
+            <arg key="k" value="3"/><arg key="nprobe" value="2"/>
+          </operator>
+          <connect from="idx.outport1" to="search.inport1"/>
+          <connect from="probes.outport1" to="search.inport2"/>
+          <connect from="cm.outport1" to="search.inport3"/>
+          <connect from="pm.outport1" to="search.inport4"/>
+        </pipeline>"""), spark)
+      def tuples(df: org.apache.spark.sql.DataFrame) =
+        df.select("probe_id", "id", "rank", "adc").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val got = tuples(ports2("search.outport1"))
+      // the inline q66 composition (SimilarityOps.q66): same k/nprobe/m/ksub
+      val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+        k = 4, iters = 1)
+      val rich = GraftOps.pqFit(emb, col("vec_id"), col("embedding"),
+        dim = DIM, m = 16, ksub = 16, iters = 1)
+      val want = tuples(GraftOps.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+        col("vec_id") < 10, coarse, rich, DIM, k = 3, nprobe = 2))
+      assert(got.nonEmpty && got == want,
+        "declarative rich-tier lifecycle diverged from the inline q66 path")
+    } finally {
+      import scala.reflect.io.Directory
+      Seq(dir, ckpt, staging).foreach(d =>
+        new Directory(new java.io.File(d)).deleteRecursively())
+    }
+  }
+
+  test("reindexCells: coarse retrain re-routes the stored index without touching codes") {
+    // The model-drift law the raw-vector-encode design buys (SURVEY §2.4):
+    // codes are a pure function of (vector, pq model) — NEVER of the
+    // coarse model — so after the corpus grows and coarse is retrained,
+    // re-celling the at-rest table must be bit-identical to a full
+    // re-encode under (new coarse, same pq), with every code byte
+    // untouched. No PQ work, one join pass.
+    val dayZero = emb.filter(col("vec_id") % 2 === 0)
+    val coarse0 = GraftOps.kmeansFit(dayZero, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    // at-rest index as it stands after growth: day-0 rows encoded under
+    // the ORIGINAL coarse model, appended rows under the same frozen
+    // models (the ivfPqAppendSink contract)
+    val encodeOld = GraftOps.ivfPqEncoder(col("vec_id"), col("embedding"),
+      coarse0, model, DIM)
+    val atRest = encodeOld(dayZero)
+      .unionAll(encodeOld(emb.filter(col("vec_id") % 2 === 1)))
+    // corpus grew -> retrain coarse on ALL rows (different seeds, different
+    // cells than coarse0); pq model deliberately stays frozen
+    val coarse1 = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val reindexed = GraftOps.reindexCells(atRest, col("id"), col("codes"),
+      emb, col("vec_id"), col("embedding"), coarse1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val rebuilt = GraftOps.ivfPqEncode(emb, col("vec_id"), col("embedding"),
+      coarse1, model, DIM)
+    assert(rows(reindexed) == rows(rebuilt),
+      "re-celled index must equal a full re-encode under (new coarse, same pq)")
+    // the codes really passed through from the OLD table (not recomputed):
+    // per id they equal the at-rest codes byte-for-byte
+    val oldCodes = atRest.collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    reindexed.collect().foreach(r =>
+      assert(r.getSeq[Int](2) == oldCodes(r.getLong(0)),
+        s"codes changed for id ${r.getLong(0)} — reindex must not re-encode"))
+    // and search over the re-celled index == search over the rebuild
+    val probes = emb.filter(col("vec_id") < 10)
+    def search(index: org.apache.spark.sql.DataFrame) =
+      GraftOps.ivfPqTopKCoded(index, col("id"), col("cell"), col("codes"),
+        probes, col("vec_id"), col("embedding"), coarse1, model,
+        k = 3, nprobe = 2).collect().toSet
+    assert(search(reindexed) == search(rebuilt),
+      "search after reindexCells must equal search over the full rebuild")
+  }
+
+  test("declarative reindexCells: XML re-route equals the API path") {
+    val coarseNew = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val index = GraftOps.ivfPqEncode(emb.filter(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"),
+      GraftOps.kmeansFit(emb.filter(col("vec_id") % 2 === 0),
+        col("vec_id"), col("embedding"), k = 4, iters = 1), model, DIM)
+    index.createOrReplaceTempView("ric_index")
+    emb.createOrReplaceTempView("ric_vectors")
+    coarseNew.createOrReplaceTempView("ric_coarse_new")
+    val ports = graft.plans.PipelineCompiler.compile(
+      graft.plans.PipelineSpec.parseXml("""
+        <pipeline>
+          <operator name="idx" class="viewInput"><arg key="table" value="ric_index"/></operator>
+          <operator name="vecs" class="viewInput"><arg key="table" value="ric_vectors"/></operator>
+          <operator name="cm" class="viewInput"><arg key="table" value="ric_coarse_new"/></operator>
+          <operator name="ric" class="reindexCells">
+            <arg key="id" value="id"/><arg key="codes" value="codes"/>
+            <arg key="vecId" value="vec_id"/><arg key="vec" value="embedding"/>
+          </operator>
+          <connect from="idx.outport1" to="ric.inport1"/>
+          <connect from="vecs.outport1" to="ric.inport2"/>
+          <connect from="cm.outport1" to="ric.inport3"/>
+        </pipeline>"""), spark)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val api = GraftOps.reindexCells(index, col("id"), col("codes"),
+      emb, col("vec_id"), col("embedding"), coarseNew)
+    assert(rows(ports("ric.outport1")) == rows(api),
+      "XML reindexCells must equal the library call row-for-row")
+  }
+
   test("stored IVFxPQ index: encode -> parquet roundtrip -> coded search == inline") {
     val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
       k = 4, iters = 1)
