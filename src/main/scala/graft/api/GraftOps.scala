@@ -1572,6 +1572,60 @@ object GraftOps {
       .drop("__cid", "__n")
   }
 
+  /** The bloom tier of [[decontaminate]] — bit-identical output, built for
+    * eval sets too large to broadcast as a hash relation. [[decontaminate]]
+    * relies on AQE broadcasting the distinct eval-shingle set; once that
+    * set outgrows the broadcast threshold (~10⁸ shingles) the overlap join
+    * shuffles the ENTIRE corpus posting list — the classic 100 TB cliff.
+    * Here the eval set is first collapsed to a bloom filter (~`bloomBits`/8
+    * bytes regardless of eval size — a MODEL, like a k-means codebook, so
+    * the one driver collect is bounded by the parameter, never by data)
+    * embedded as a literal into a codegen'd `might_contain` predicate.
+    * Corpus shingles that miss the bloom — in a decontamination setting,
+    * almost all of them — are dropped map-side, BEFORE any shuffle; only
+    * bloom-positive candidates reach the exact confirm join, which kills
+    * the false positives. `fpp` therefore affects only the candidate
+    * volume, never the answer: output == [[decontaminate]] exactly
+    * (spec-asserted), which is also why the two share one oracle shape.
+    *
+    * Sizing: ~1.44·n·log₂(1/fpp) bits for n distinct eval shingles — the
+    * default 2²³ bits (1 MB, Spark's own runtime-filter default) holds
+    * ~600k shingles at 1% fpp; size UP for big eval sets (the literal
+    * rides in every task binary, so keep it ≤ a few MB). The bloom is
+    * built distributed (one [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+    * pass, partial blooms OR-merged), not on the driver. */
+  def decontaminateBloom(corpus: DataFrame, id: Column, text: Column,
+      eval: DataFrame, evalText: Column, width: Int = 13,
+      expectedItems: Long = 1L << 20, bloomBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val evalSh = eval.select(explode(graft.functions.ShingleHashes.asColumn(
+        Text.tokens(evalText), width)).as("__sh")).distinct()
+    val bloomBytes = evalSh.agg(ColumnBridge.column(
+        new BloomFilterAggregate(ColumnBridge.expression(col("__sh")),
+          Literal(expectedItems), Literal(bloomBits)).toAggregateExpression())
+        .as("__bf")).head().getAs[Array[Byte]](0)
+    val docSh = corpus.select(id.as("__cid"), explode(
+        graft.functions.ShingleHashes.asColumn(Text.tokens(text), width))
+        .as("__sh"))
+    // empty eval set -> no bloom (aggregate over zero rows yields NULL):
+    // nothing can overlap, skip both joins
+    val overlap =
+      if (bloomBytes == null)
+        docSh.select(col("__cid"), lit(0L).as("__n")).limit(0)
+      else
+        docSh.filter(ColumnBridge.column(BloomFilterMightContain(
+            Literal(bloomBytes, BinaryType),
+            ColumnBridge.expression(col("__sh")))))
+          .join(evalSh, Seq("__sh"))
+          .groupBy(col("__cid")).agg(count(lit(1)).as("__n"))
+    corpus.join(overlap, id === col("__cid"), "left")
+      .withColumn("n_contam", coalesce(col("__n"), lit(0L)))
+      .drop("__cid", "__n")
+  }
+
   // ------------------------------------------------------- event time
 
   /** As-of join: for each `right` row, the latest `left` row with the same

@@ -660,7 +660,75 @@ object CoreQueries {
       FROM orders
       ORDER BY o_custkey, o_orderdate, o_orderkey"""))
 
+  // ---------------------------------------------------------------- Q67
+  /** Pivot: order counts + exact money totals per priority, statuses
+    * spread into columns. The value list is EXPLICIT (`Seq("O","F","P")`)
+    * — at 100 TB an unlisted pivot costs a full distinct-scan of the
+    * pivot column before planning even starts, and makes the output
+    * schema data-dependent; listing values keeps the plan a single
+    * two-phase hash agg (Catalyst rewrites pivot to one `groupBy` with
+    * `count/sum ... FILTER`-style branches — no join, no second pass).
+    * Count cells for absent (priority, status) combos surface as 0 via
+    * coalesce (Spark's pivot yields NULL there, the oracle's FILTER
+    * count yields 0); sum cells stay NULL in both engines. */
+  val q67 = QueryDef("q67_pivot",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(col("priority"),
+          coalesce(col("O_n"), lit(0L)).as("n_o"), col("O_total").as("total_o"),
+          coalesce(col("F_n"), lit(0L)).as("n_f"), col("F_total").as("total_f"),
+          coalesce(col("P_n"), lit(0L)).as("n_p"), col("P_total").as("total_p"))
+        .orderBy("priority")
+    },
+    Some("""
+      SELECT o_orderpriority AS priority,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+          FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS total_o,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+          FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_f,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+          FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS total_p
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY priority"""))
+
+  // ---------------------------------------------------------------- Q68
+  /** Unpivot (melt): the wide per-returnflag measure table back to long
+    * (flag, measure, value) form — the inverse reshape of q67. The wide
+    * side is a 3-row aggregate, so the unpivot itself is a zero-shuffle
+    * Expand over already-reduced data: reshape AFTER reducing, never
+    * melt a raw 100 TB fact table (3× row inflation pre-aggregation). */
+  val q68 = QueryDef("q68_unpivot",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val wide = l.groupBy(col("l_returnflag").as("flag"))
+        .agg(dsum(col("l_quantity")).as("qty"),
+          dsum(col("l_extendedprice")).as("price"),
+          dsum(col("l_discount")).as("disc"))
+      wide.unpivot(Array(col("flag")),
+          Array(col("qty"), col("price"), col("disc")), "measure", "value")
+        .orderBy("flag", "measure")
+    },
+    Some("""
+      WITH wide AS (
+        SELECT l_returnflag AS flag,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price,
+          CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT flag, measure, value FROM (
+        SELECT flag, 'qty' AS measure, qty AS value FROM wide
+        UNION ALL SELECT flag, 'price', price FROM wide
+        UNION ALL SELECT flag, 'disc', disc FROM wide)
+      ORDER BY flag, measure"""))
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q07b, q08, q08b, q09, q09b, q10, q14, q15,
-      q15b, q29, q29b, q30, q31, q32, q33)
+      q15b, q29, q29b, q30, q31, q32, q33, q67, q68)
 }

@@ -295,6 +295,44 @@ object CurationOps {
       LEFT JOIN ov USING (doc_id)
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q69
+  /** The bloom tier of q45: same annotate-overlap semantics, but docs with
+    * doc_id % 7 == 0 play the eval set and the corpus side is pre-filtered
+    * through the distributed-built bloom before the exact confirm join
+    * ([[GraftOps.decontaminateBloom]]). The oracle is the EXACT overlap
+    * count — the bloom is a pure pre-filter, so fpp never reaches the
+    * answer; hash-matching this query proves the tier end-to-end. */
+  val q69 = QueryDef("q69_decontaminate_bloom",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val evalSet = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val corpus = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      GraftOps.decontaminateBloom(corpus, col("doc_id"), col("text"),
+          evalSet, col("text"), width = 3,
+          // fixture-scale bloom (128 KB): the gated docs table holds ~30k
+          // distinct trigrams; the 1 MB default is sized for real eval sets
+          expectedItems = 1L << 16, bloomBits = 1L << 20)
+        .select(col("doc_id"), col("n_contam"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      dh AS (
+        SELECT doc_id, ${Duck.ph("sh_raw")} AS sh
+        FROM (SELECT doc_id, unnest(list_distinct(${Duck.shingles3})) AS sh_raw
+              FROM t WHERE doc_id % 7 <> 0)),
+      es AS (
+        SELECT DISTINCT ${Duck.ph("sh_raw")} AS sh
+        FROM (SELECT unnest(list_distinct(${Duck.shingles3})) AS sh_raw
+              FROM t WHERE doc_id % 7 = 0)),
+      ov AS (
+        SELECT doc_id, COUNT(*) AS n_contam
+        FROM dh JOIN es USING (sh) GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(ov.n_contam, 0) AS BIGINT) AS n_contam
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+      LEFT JOIN ov USING (doc_id)
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- q46
   /** Weighted epoch mixing: en down-weighted to 0.5 epochs, zh up-weighted
     * to 2.25, everything else 1.0 — the three regimes (down/pass/up) of
@@ -589,5 +627,5 @@ object CurationOps {
 
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
-      q63, q64, q65)
+      q63, q64, q65, q69)
 }

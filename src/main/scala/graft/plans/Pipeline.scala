@@ -316,6 +316,25 @@ object PipelineCompiler {
       val aggs = arg(args, "aggs").split(';').toIndexedSeq.map(expr)
       Map("outport1" -> in("inport1").groupBy(g: _*).agg(aggs.head, aggs.tail: _*))
     }),
+    // Pivot with an EXPLICIT value list (mandatory here: an open pivot
+    // needs a pre-pass distinct scan AND makes the output schema
+    // data-dependent — both wrong for a declarative DAG whose downstream
+    // ops reference columns by name).
+    "pivot" -> ((_, in, args) => {
+      val g = arg(args, "groupBy").split(';').toIndexedSeq.map(col)
+      val aggs = arg(args, "aggs").split(';').toIndexedSeq.map(expr)
+      Map("outport1" -> in("inport1").groupBy(g: _*)
+        .pivot(arg(args, "pivotCol"),
+          arg(args, "values").split(';').toIndexedSeq)
+        .agg(aggs.head, aggs.tail: _*))
+    }),
+    // Unpivot/melt: ids/values are ;-separated column lists.
+    "unpivot" -> ((_, in, args) =>
+      Map("outport1" -> in("inport1").unpivot(
+        arg(args, "ids").split(';').toIndexedSeq.map(col).toArray,
+        arg(args, "values").split(';').toIndexedSeq.map(col).toArray,
+        args.getOrElse("variable", "variable"),
+        args.getOrElse("value", "value")))),
     // Curation family (GraftOps) as declarative ops, so the reference's
     // XML DAG surface (OpContainer.java:56-63) expresses a full curation
     // chain — dedup → validate → mixture → sample → pack → shard — not
@@ -420,6 +439,16 @@ object PipelineCompiler {
         expr(arg(args, "id")), expr(arg(args, "text")),
         in("inport2"), expr(arg(args, "evalText")),
         width = args.getOrElse("width", "13").toInt))),
+    // The bloom tier (same output, eval set rides as a bloom literal
+    // instead of a broadcast hash relation — for eval sets beyond the
+    // broadcast threshold).
+    "decontaminateBloom" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.decontaminateBloom(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        in("inport2"), expr(arg(args, "evalText")),
+        width = args.getOrElse("width", "13").toInt,
+        expectedItems = args.getOrElse("expectedItems", (1L << 20).toString).toLong,
+        bloomBits = args.getOrElse("bloomBits", (1L << 23).toString).toLong))),
     // Exact kNN (inport1 = corpus, inport2 = probes) — the similarity
     // family's declarative entry; ANN variants stay Scala-API (they need
     // trained model tables, which a spec would have to reference by view).
@@ -569,6 +598,14 @@ object PipelineCompiler {
         .format(args.getOrElse("format", "parquet"))
       args.get("partitionBy").fold(w)(p => w.partitionBy(p.split(';').toIndexedSeq: _*))
         .save(arg(args, "path"))
+      Map.empty
+    }),
+    // Bucketed CTAS: the shuffle-elimination layout (api.Bucketing) as a
+    // terminal op — a fact table written bucketed+sorted on its join key
+    // joins any same-bucketed table with zero exchanges afterwards.
+    "bucketSink" -> ((_, in, args) => {
+      graft.api.Bucketing.writeBucketed(in("inport1"),
+        arg(args, "table"), arg(args, "key"), arg(args, "buckets").toInt)
       Map.empty
     }),
     // The training-data layout sink: shardCorpus + repartition-on-shard +

@@ -157,6 +157,46 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage.contains("saltedJoin"))
   }
 
+  test("decontaminateBloom is bit-equal to decontaminate; bloom prunes before the join") {
+    import spark.implicits._
+    // corpus doc 1 shares trigrams with the eval set, 2 and 3 don't; 4 is
+    // too short to shingle at all (n_contam must still surface as 0)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "red green blue cyan magenta"),
+      (4L, "tiny")).toDF("id", "body")
+    val evalSet = Seq(
+      (100L, "gamma delta epsilon zeta"),
+      (101L, "totally unrelated benchmark prompt")).toDF("eid", "etext")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "n_contam").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = rows(GraftOps.decontaminate(corpus, col("id"), col("body"),
+      evalSet, col("etext"), width = 3))
+    val bloomed = rows(GraftOps.decontaminateBloom(corpus, col("id"), col("body"),
+      evalSet, col("etext"), width = 3,
+      expectedItems = 1 << 10, bloomBits = 1 << 14))
+    assert(exact(1L) > 0 && exact(2L) == 0 && exact(4L) == 0, s"fixture sanity: $exact")
+    assert(bloomed == exact, "bloom tier must be bit-equal to the exact tier")
+    // the tier's reason to exist: a might_contain filter sits on the
+    // corpus shingle side BEFORE the confirm join reaches the shuffle
+    val plan = GraftOps.decontaminateBloom(corpus, col("id"), col("body"),
+      evalSet, col("etext"), width = 3, expectedItems = 1 << 10,
+      bloomBits = 1 << 14).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a bloom pre-filter in the plan:\n$plan")
+  }
+
+  test("decontaminateBloom with an empty eval set annotates everything 0") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("id", "body")
+    val evalSet = Seq.empty[(Long, String)].toDF("eid", "etext")
+    val out = GraftOps.decontaminateBloom(corpus, col("id"), col("body"),
+      evalSet, col("etext"), width = 3).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n_contam") == 0L)
+  }
+
   test("multimodal decodeFrames: batched mapPartitions plumbing produces one row per frame") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 250), (2L, "y" * 10)).toDF("doc_id", "text")

@@ -187,6 +187,107 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     } finally spark.conf.set(bcKey, oldBc)
   }
 
+  test("declarative pivot/unpivot roundtrip equals the DataFrame API") {
+    import org.apache.spark.sql.functions._
+    val ports = PipelineCompiler.compile(PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="in" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="orders"/>
+        </operator>
+        <operator name="p" class="pivot">
+          <arg key="groupBy" value="o_orderpriority"/>
+          <arg key="pivotCol" value="o_orderstatus"/>
+          <arg key="values" value="O;F;P"/>
+          <arg key="aggs" value="count(1) AS n"/>
+        </operator>
+        <operator name="u" class="unpivot">
+          <arg key="ids" value="o_orderpriority"/>
+          <arg key="values" value="O;F;P"/>
+          <arg key="variable" value="status"/>
+          <arg key="value" value="n"/>
+        </operator>
+        <connect from="in.outport1" to="p.inport1"/>
+        <connect from="p.outport1" to="u.inport1"/>
+      </pipeline>"""), spark)
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+    val apiWide = o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P")).agg(expr("count(1) AS n"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val apiLong = apiWide.unpivot(Array(col("o_orderpriority")),
+      Array(col("O"), col("F"), col("P")), "status", "n")
+    assert(rows(ports("u.outport1")) == rows(apiLong) && rows(apiLong).nonEmpty)
+    // pivot compiles to ONE two-phase agg over the listed values — no
+    // extra distinct pre-pass, no join (the explicit-values contract)
+    val plan = ports("p.outport1").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"pivot must not plan a join:\n$plan")
+  }
+
+  test("declarative decontaminateBloom equals the library call") {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .createOrReplaceTempView("bloom_docs")
+    val ports = PipelineCompiler.compile(PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="corp" class="viewInput"><arg key="table" value="bloom_docs"/></operator>
+        <operator name="fc" class="filter"><arg key="predicate" value="doc_id % 7 != 0"/></operator>
+        <operator name="fe" class="filter"><arg key="predicate" value="doc_id % 7 = 0"/></operator>
+        <operator name="d" class="decontaminateBloom">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+          <arg key="evalText" value="text"/><arg key="width" value="3"/>
+          <arg key="expectedItems" value="65536"/><arg key="bloomBits" value="1048576"/>
+        </operator>
+        <connect from="corp.outport1" to="fc.inport1"/>
+        <connect from="corp.outport1" to="fe.inport1"/>
+        <connect from="fc.outport1" to="d.inport1"/>
+        <connect from="fe.outport1" to="d.inport2"/>
+      </pipeline>"""), spark)
+    val docs = spark.table("bloom_docs")
+    val api = graft.api.GraftOps.decontaminateBloom(
+      docs.filter(expr("doc_id % 7 != 0")), col("doc_id"), col("text"),
+      docs.filter(expr("doc_id % 7 = 0")), col("text"), width = 3,
+      expectedItems = 65536L, bloomBits = 1048576L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_contam").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(ports("d.outport1")) == rows(api) && rows(api).nonEmpty)
+  }
+
+  test("bucketSink terminal writes a layout that joins shuffle-free") {
+    import org.apache.spark.sql.functions._
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldBc = spark.conf.get(bcKey)
+    spark.conf.set(bcKey, "-1")
+    try {
+      spark.range(0, 5000).selectExpr("id % 97 AS k", "id AS v")
+        .createOrReplaceTempView("bk_facts_src")
+      spark.range(0, 97).selectExpr("id AS k", "concat('d', id) AS name")
+        .createOrReplaceTempView("bk_dims_src")
+      PipelineCompiler.compile(PipelineSpec.parseXml("""
+        <pipeline>
+          <operator name="f" class="viewInput"><arg key="table" value="bk_facts_src"/></operator>
+          <operator name="d" class="viewInput"><arg key="table" value="bk_dims_src"/></operator>
+          <operator name="fs" class="bucketSink">
+            <arg key="table" value="bk_facts"/><arg key="key" value="k"/><arg key="buckets" value="8"/>
+          </operator>
+          <operator name="ds" class="bucketSink">
+            <arg key="table" value="bk_dims"/><arg key="key" value="k"/><arg key="buckets" value="8"/>
+          </operator>
+          <connect from="f.outport1" to="fs.inport1"/>
+          <connect from="d.outport1" to="ds.inport1"/>
+        </pipeline>"""), spark)
+      val joined = spark.table("bk_facts").join(spark.table("bk_dims"), "k")
+      assert(joined.count() == 5000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketSink layout must join with zero exchanges:\n$plan")
+    } finally {
+      spark.conf.set(bcKey, oldBc)
+      spark.sql("DROP TABLE IF EXISTS bk_facts")
+      spark.sql("DROP TABLE IF EXISTS bk_dims")
+    }
+  }
+
   test("spec loads from a Hadoop-visible file path (ref HDFS spec load)") {
     val f = java.nio.file.Files.createTempFile("pipeline", ".xml")
     java.nio.file.Files.writeString(f, xmlPipeline())
