@@ -1679,4 +1679,136 @@ object GraftOps {
       .withColumn("sess_id", sum(col("__new")).over(wRun).cast("long"))
       .drop("__prev", "__new")
   }
+
+  // ------------------------------------------------- frequent items
+
+  /** Exact heavy hitters: every key whose share of the input is at least
+    * `thrPpm` parts-per-million, with its exact count and integer-ppm
+    * share. All arithmetic is integer (count · 10⁶ compares and integer
+    * division), so the output is engine-portable bit-for-bit.
+    *
+    * Scale shape: one full hash aggregate over the key space — correct
+    * but shuffle-heavy when keys are high-cardinality (token/n-gram
+    * vocabularies at 100 TB); [[heavyHittersSketch]] is the tier that
+    * bounds the shuffle by `capacity` instead of the vocabulary. */
+  def heavyHitters(df: DataFrame, key: Column, thrPpm: Long): DataFrame = {
+    require(thrPpm > 0 && thrPpm <= 1000000L,
+      s"thrPpm must be in (0, 1e6]; got $thrPpm")
+    val ks = df.select(key.as("key")).filter(col("key").isNotNull)
+    val counts = ks.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    val total = ks.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") * lit(1000000L) >= lit(thrPpm) * col("__total"))
+      .select(col("key"), col("n"),
+        expr("(n * 1000000) div __total").as("ppm"))
+  }
+
+  /** Sketch-tier heavy hitters: a [[graft.functions.MisraGries]] summary
+    * finds a SUPERSET of the answer in one pass with O(capacity) state
+    * per task (map-side partials, one tiny final merge — no key-space
+    * shuffle), then one exact recount pass over just those candidates
+    * (broadcast semi-join, ≤ `capacity` rows) makes the result EXACT.
+    * Bit-equal to [[heavyHitters]] by construction — the guard below is
+    * the MG superset condition thr > n/(capacity+1) expressed in ppm, so
+    * no true heavy hitter can be evicted; sketch counters never reach the
+    * output. Two corpus scans instead of one full-vocabulary shuffle:
+    * at 100 TB vocabularies (n-grams, URLs) that trade wins by orders of
+    * magnitude; below broadcast-threshold key counts, prefer the exact
+    * tier's single pass. Keys must be strings (cast upstream). */
+  def heavyHittersSketch(df: DataFrame, key: Column, thrPpm: Long,
+      capacity: Int): DataFrame = {
+    require(thrPpm > 0 && thrPpm <= 1000000L,
+      s"thrPpm must be in (0, 1e6]; got $thrPpm")
+    require(thrPpm * (capacity + 1L) > 1000000L,
+      s"capacity $capacity too small for thrPpm=$thrPpm: need " +
+        s"thrPpm·(capacity+1) > 1e6 or a true heavy hitter could be evicted")
+    val ks = df.select(key.cast("string").as("key")).filter(col("key").isNotNull)
+    val mg = udaf(new graft.functions.MisraGries(capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    val cand = ks.agg(mg(col("key")).as("__s"))
+      .select(explode(map_keys(col("__s"))).as("key"))
+    val total = ks.agg(count(lit(1)).as("__total"))
+    ks.join(broadcast(cand), Seq("key"), "left_semi")
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * lit(1000000L) >= lit(thrPpm) * col("__total"))
+      .select(col("key"), col("n"),
+        expr("(n * 1000000) div __total").as("ppm"))
+  }
+
+  // --------------------------------------------- scalar quantization
+
+  /** SQ8 trainer: per-dimension [lo, hi] corpus ranges — the whole model
+    * is 2·dim doubles (vs PQ's m·ksub·sub codebooks), and encode/decode
+    * are pure arithmetic, no codebook search. Returns (dim, lo, hi) with
+    * `dim` 0-based. min/max of floats cast to double is value-exact, so
+    * the model is engine-portable with no quantization step. */
+  def sqFit(df: DataFrame, vec: Column): DataFrame =
+    df.select(posexplode(vec).as(Seq("dim", "__c")))
+      .groupBy(col("dim"))
+      .agg(min(col("__c").cast("double")).as("lo"),
+        max(col("__c").cast("double")).as("hi"))
+
+  private def collectSqModel(model: DataFrame): (Array[Double], Array[Double]) = {
+    val rows = model.select(col("dim"), col("lo"), col("hi")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    require(rows.nonEmpty, "sq model is empty")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"sq model dims must be exactly 0..${rows.length - 1}")
+    (rows.map(_._2), rows.map(_._3))
+  }
+
+  /** The encode half of SQ8: adds `codes` (array<tinyint>, one byte per
+    * dimension — code 0..255 stored offset by −128). A narrow zero-shuffle
+    * codegen'd projection; at rest the codes column replaces the embedding
+    * at 1 byte/dim — 4× smaller than the floats, model-free to decode.
+    * Code = floor((v−lo)·255/(hi−lo)) clamped to [0,255] (degenerate
+    * hi==lo dims encode 0) — the exact formulation the oracle SQL repeats,
+    * so scores derived from codes hash-match across engines. */
+  def sqEncode(df: DataFrame, vec: Column, model: DataFrame): DataFrame = {
+    val (lo, hi) = collectSqModel(model)
+    df.withColumn("codes", graft.functions.Sq8Encode(vec, lo.toSeq, hi.toSeq))
+  }
+
+  /** SQ8 approximate top-k: corpus rows carry ONLY their byte codes, each
+    * candidate scored by one codegen'd [[graft.functions.Sq8Dot]] — the
+    * sequential-fold dot of the full-precision probe against the row's
+    * dequantized reconstruction (lo + code·(hi−lo)/255 per dim), never
+    * materializing it. Same broadcast-probe / scan-corpus shape as
+    * [[pqTopK]]; ordering (score desc, id asc) is deterministic. */
+  def sqTopK(corpus: DataFrame, id: Column, vec: Column, isProbe: Column,
+      model: DataFrame, k: Int): DataFrame = {
+    val (lo, hi) = collectSqModel(model)
+    val e = corpus.select(id.as("__vid"), vec.as("__v"), isProbe.as("__isp"))
+    val coded = e.select(col("__vid"),
+      graft.functions.Sq8Encode(col("__v"), lo.toSeq, hi.toSeq).as("codes"))
+    val probes = e.filter(col("__isp"))
+      .select(col("__vid").as("probe_id"), col("__v").as("__pv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sq"), col("__vid"))
+    coded.join(broadcast(probes), col("__vid") =!= col("probe_id"))
+      .withColumn("sq", graft.functions.Sq8Dot(col("__pv"), col("codes"),
+        lo.toSeq, hi.toSeq))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("sq"))
+  }
+
+  /** At-rest SQ8 search: scores STORED [[sqEncode]] output against
+    * full-vector probes — identical scoring/ordering to [[sqTopK]]
+    * (spec-asserted equal). The compression story made real: the corpus
+    * keeps 1 byte/dim and only probes retain floats. */
+  def sqTopKCoded(coded: DataFrame, codedId: Column, codes: Column,
+      probes: DataFrame, probeId: Column, probeVec: Column,
+      model: DataFrame, k: Int): DataFrame = {
+    val (lo, hi) = collectSqModel(model)
+    val c = coded.select(codedId.as("__vid"), codes.as("__codes"))
+    val p = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sq"), col("__vid"))
+    c.join(broadcast(p), col("__vid") =!= col("probe_id"))
+      .withColumn("sq", graft.functions.Sq8Dot(col("__pv"), col("__codes"),
+        lo.toSeq, hi.toSeq))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("sq"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
 
 /** JVM helpers for baked-constant vector math (called from generated code —
   * the TextHash pattern: the loop-heavy part lives in one static method the
@@ -91,6 +91,48 @@ object VectorOps {
       j += 1
     }
     bestCl
+  }
+
+  /** SQ8 encode of one vector against per-dim [lo, hi]: code =
+    * floor((v−lo)·255/(hi−lo)) clamped [0,255], 0 when hi==lo; stored
+    * −128-offset as bytes. Dimensions beyond the model (or a short
+    * vector's missing tail) are a model/data mismatch and throw. */
+  def sq8Encode(v: ArrayData, lo: Array[Double], hi: Array[Double]): ArrayData = {
+    if (v.numElements() != lo.length) throw new IllegalStateException(
+      s"sq8_encode: vector has ${v.numElements()} dims but the model has ${lo.length}")
+    val out = new Array[Byte](lo.length)
+    var d = 0
+    while (d < lo.length) {
+      val code =
+        if (hi(d) == lo(d)) 0
+        else {
+          val c = Math.floor((v.getFloat(d).toDouble - lo(d)) * 255.0 / (hi(d) - lo(d))).toInt
+          if (c < 0) 0 else if (c > 255) 255 else c
+        }
+      out(d) = (code - 128).toByte
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric SQ8 score: sequential-fold dot (d ascending, left-
+    * associated) of the probe against lo + code·((hi−lo)/255) per dim —
+    * the same op order the oracle SQL's list_reduce states. */
+  def sq8Dot(pe: ArrayData, codes: ArrayData, lo: Array[Double],
+      hi: Array[Double]): Double = {
+    if (codes.numElements() != lo.length) throw new IllegalStateException(
+      s"sq8_dot: codes array has ${codes.numElements()} entries but the model has ${lo.length}")
+    var acc = 0.0
+    var d = 0
+    while (d < lo.length) {
+      val code = codes.getByte(d).toInt + 128
+      val term = pe.getFloat(d).toDouble * (lo(d) + code * ((hi(d) - lo(d)) / 255.0))
+      // d=0 seeds the fold (not 0.0+term) — exactly list_reduce's
+      // first-element seed, so even the −0.0 edge matches the oracle.
+      acc = if (d == 0) term else acc + term
+      d += 1
+    }
+    acc
   }
 }
 
@@ -230,4 +272,91 @@ object NearestCellDyn {
   def apply(vec: Column, cells: Column): Column =
     ColumnBridge.column(
       NearestCellDyn(ColumnBridge.expression(vec), ColumnBridge.expression(cells)))
+}
+
+/** `sq8_encode(vec)`: array<float> → array<tinyint> — per-dimension
+  * scalar quantization against baked [lo, hi] ranges: code =
+  * floor((v−lo)·255/(hi−lo)) clamped to [0,255] (a degenerate hi==lo
+  * dimension encodes 0), stored offset by −128 to fit the signed byte.
+  * That exact formulation (sub, mul by 255.0, div — in that order) is
+  * what the oracle SQL repeats, so downstream scores are bit-portable.
+  * One codegen'd pass per row; 1 byte/dim at rest — the 4× compression
+  * tier below PQ that needs no codebook search to encode. */
+case class Sq8Encode(child: Expression, lo: Seq[Double], hi: Seq[Double])
+    extends UnaryExpression {
+  require(lo.nonEmpty && lo.size == hi.size, "one [lo, hi] pair per dimension")
+
+  @transient private lazy val loArr: Array[Double] = lo.toArray
+  @transient private lazy val hiArr: Array[Double] = hi.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sq8_encode expects array<float>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "sq8_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.sq8Encode(v.asInstanceOf[ArrayData], loArr, hiArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("lo", loArr, "double[]")
+    val hiRef = ctx.addReferenceObj("hi", hiArr, "double[]")
+    defineCodeGen(ctx, ev, e =>
+      s"graft.functions.VectorOps.sq8Encode($e, $loRef, $hiRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+object Sq8Encode {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(vec: Column, lo: Seq[Double], hi: Seq[Double]): Column =
+    ColumnBridge.column(Sq8Encode(ColumnBridge.expression(vec), lo, hi))
+}
+
+/** `sq8_dot(probe, codes)`: (array<float>, array<tinyint>) → double —
+  * the asymmetric SQ8 score: sequential-fold dot (d ascending,
+  * left-associated, the oracle SQL's list_reduce order) of the
+  * full-precision probe against the row's dequantized reconstruction
+  * lo + code·((hi−lo)/255) per dimension, never materializing it.
+  * One codegen'd call per candidate row. */
+case class Sq8Dot(left: Expression, right: Expression,
+    lo: Seq[Double], hi: Seq[Double]) extends BinaryExpression {
+  require(lo.nonEmpty && lo.size == hi.size, "one [lo, hi] pair per dimension")
+
+  @transient private lazy val loArr: Array[Double] = lo.toArray
+  @transient private lazy val hiArr: Array[Double] = hi.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ByteType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sq8_dot expects (array<float>, array<tinyint>), got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_dot"
+
+  override def nullSafeEval(pe: Any, codes: Any): Any =
+    VectorOps.sq8Dot(pe.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      loArr, hiArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("lo", loArr, "double[]")
+    val hiRef = ctx.addReferenceObj("hi", hiArr, "double[]")
+    defineCodeGen(ctx, ev, (p, c) =>
+      s"graft.functions.VectorOps.sq8Dot($p, $c, $loRef, $hiRef)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Sq8Dot = copy(left = newLeft, right = newRight)
+}
+
+object Sq8Dot {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(probe: Column, codes: Column, lo: Seq[Double], hi: Seq[Double]): Column =
+    ColumnBridge.column(Sq8Dot(ColumnBridge.expression(probe),
+      ColumnBridge.expression(codes), lo, hi))
 }

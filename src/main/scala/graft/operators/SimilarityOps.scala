@@ -711,6 +711,60 @@ object SimilarityOps {
       FROM ranked WHERE rank <= 3
       ORDER BY probe_id, rank"""))
 
+  // ---------------------------------------------------------------- q71
+  /** SQ8 scalar-quantization ANN: per-dimension [lo, hi] ranges train in
+    * one aggregate (min/max are value-exact — no quantization step, no
+    * codebook search), every vector encodes to 1 byte/dim (4× smaller
+    * than the floats, the compression tier below PQ's 4·m bytes/row),
+    * probes score candidates asymmetrically against the dequantized
+    * reconstruction. Every arithmetic step (floor-encode, lo+code·step
+    * decode, sequential-fold dot) is stated identically here and in the
+    * SQL, so the whole train→encode→search path hash-matches DuckDB. */
+  val q71 = QueryDef("q71_ann_sq8",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val model = graft.api.GraftOps.sqFit(e, col("embedding"))
+      graft.api.GraftOps.sqTopK(e, col("vec_id"), col("embedding"),
+          col("vec_id") < 10, model, k = 3)
+        .select(col("probe_id"), col("id").as("vec_id"), col("rank"), col("sq"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(s"""
+      WITH stats AS (
+        SELECT CAST(i AS INTEGER) - 1 AS dim,
+          MIN(CAST(embedding[i] AS DOUBLE)) AS lo,
+          MAX(CAST(embedding[i] AS DOUBLE)) AS hi
+        FROM embeddings, (SELECT unnest(range(1, ${DIM + 1})) AS i) ix
+        GROUP BY dim),
+      mdl AS (
+        SELECT
+          list_transform(list_sort(list({'d': dim, 'v': lo})), p -> p.v) AS los,
+          list_transform(list_sort(list({'d': dim, 'v': hi})), p -> p.v) AS his
+        FROM stats),
+      codes AS (
+        SELECT vec_id, list_transform(range(1, ${DIM + 1}), i ->
+          CASE WHEN his[i] = los[i] THEN 0
+               ELSE LEAST(GREATEST(CAST(floor(
+                 (CAST(embedding[i] AS DOUBLE) - los[i]) * 255.0 / (his[i] - los[i])
+               ) AS INTEGER), 0), 255) END) AS cds
+        FROM embeddings, mdl),
+      probes AS (
+        SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+      pairs AS (
+        SELECT probe_id, c.vec_id,
+          list_reduce(list_transform(range(1, ${DIM + 1}), i ->
+            CAST(pe[i] AS DOUBLE) * (los[i] + cds[i] * ((his[i] - los[i]) / 255.0))),
+            (p, q) -> p + q) AS sq
+        FROM probes, codes c, mdl WHERE c.vec_id <> probe_id),
+      ranked AS (
+        SELECT probe_id, vec_id,
+          CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sq DESC, vec_id) AS INTEGER) AS rank,
+          sq
+        FROM pairs)
+      SELECT probe_id, vec_id, rank, sq
+      FROM ranked WHERE rank <= 3
+      ORDER BY probe_id, rank"""))
+
   val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52, q60, q61,
-    q62, q66)
+    q62, q66, q71)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -178,5 +178,61 @@ object TextOps {
       FROM t
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q12, q22, q23, q24, q25)
+  // ---------------------------------------------------------- q70/q70b
+  /** Adjacent token bigrams (1-based positions i, i+1; pairs with an
+    * empty side dropped) — the high-cardinality key space the heavy-
+    * hitter tiers aggregate. Mirrors the oracle's list_transform over
+    * range(1, len) exactly. */
+  private def bigrams(text: Column): Column = {
+    val tk = Text.tokens(text)
+    when(size(tk) >= 2,
+      filter(
+        transform(sequence(lit(1), size(tk) - 1),
+          i => when(element_at(tk, i) =!= "" && element_at(tk, i + 1) =!= "",
+            concat(element_at(tk, i), lit(" "), element_at(tk, i + 1)))),
+        x => x.isNotNull))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val HH_THR_PPM = 1200L
+  private val hhOracle = s"""
+      WITH t AS (SELECT ${Duck.toks} AS tk FROM documents),
+      b AS (SELECT unnest(list_filter(list_transform(range(1, len(tk)),
+          i -> CASE WHEN tk[i] <> '' AND tk[i+1] <> '' THEN tk[i] || ' ' || tk[i+1] ELSE NULL END),
+          x -> x IS NOT NULL)) AS bg FROM t),
+      c AS (SELECT bg, COUNT(*) AS n FROM b GROUP BY bg),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+      SELECT bg, n, (n * 1000000) // total AS ppm
+      FROM c, tot
+      WHERE n * 1000000 >= $HH_THR_PPM * total
+      ORDER BY n DESC, bg"""
+
+  /** Exact heavy hitters over token bigrams: every bigram holding at
+    * least 1200 ppm of all bigram instances, with exact count and
+    * integer-ppm share (all-integer arithmetic — portable). One full
+    * hash agg over the bigram vocabulary: the correctness baseline. */
+  val q70 = QueryDef("q70_heavy_hitters",
+    (s, dir) => {
+      val bg = docs(s, dir).select(explode(bigrams(col("text"))).as("bg"))
+      graft.api.GraftOps.heavyHitters(bg, col("bg"), thrPpm = HH_THR_PPM)
+        .withColumnRenamed("key", "bg")
+        .orderBy(desc("n"), col("bg"))
+    },
+    Some(hhOracle))
+
+  /** Sketch-tier heavy hitters: Misra–Gries summary (capacity 1024 —
+    * per-task state is 1024 pairs, never the vocabulary) finds the
+    * candidate superset, one exact recount pass makes the answer EXACT —
+    * bit-equal to q70, so the SAME oracle gates both tiers. */
+  val q70b = QueryDef("q70b_heavy_hitters_sketch",
+    (s, dir) => {
+      val bg = docs(s, dir).select(explode(bigrams(col("text"))).as("bg"))
+      graft.api.GraftOps.heavyHittersSketch(bg, col("bg"),
+          thrPpm = HH_THR_PPM, capacity = 1024)
+        .withColumnRenamed("key", "bg")
+        .orderBy(desc("n"), col("bg"))
+    },
+    Some(hhOracle))
+
+  val all: Seq[QueryDef] = Seq(q12, q22, q23, q24, q25, q70, q70b)
 }

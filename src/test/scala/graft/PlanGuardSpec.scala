@@ -21,10 +21,15 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     *  - q35: tf-idf joins the 1-row corpus-count via broadcast cross join.
     *  - q50: PQ ADC scan — same broadcast-probes non-equi shape as q13,
     *    but the scanned side carries only the m-int code column.
+    *  - q70/q70b: heavy hitters join the 1-row total-count via broadcast
+    *    cross join (the q35 shape; the sketch tier adds a second 1-row
+    *    broadcast for the candidate summary's recount).
+    *  - q71: SQ8 ADC scan — the q50 shape with byte codes.
     */
   private val allowNestedLoop = Set(
     "q13_similarity_knn", "q19_embedding_neardup", "q32_cross_join",
-    "q35_tfidf_topk", "q50_ann_pq")
+    "q35_tfidf_topk", "q50_ann_pq", "q70_heavy_hitters",
+    "q70b_heavy_hitters_sketch", "q71_ann_sq8")
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(nodes)
