@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Catalog of the TESTDATA tables (TESTDATA.md).
   *
@@ -30,6 +30,12 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      // parquet timestamp[us] (no tz) arrives as TIMESTAMP_NTZ in Spark 4;
+      // session tz is UTC, so this cast is instant-preserving and restores
+      // the TIMESTAMP(LTZ) type the rest of the engine (unix_micros etc.)
+      // and the DuckDB oracle (CAST(ts AS TIMESTAMP)) both operate on.
+      df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }
 
