@@ -1628,15 +1628,25 @@ object GraftOps {
 
   // ------------------------------------------------------- event time
 
-  /** As-of join: for each `right` row, the latest `left` row with the same
-    * key at-or-before its timestamp (union-marker window plan — one
-    * shuffle on the key, no range self-join). Left value columns surface
-    * prefixed (`asof_<col>`); right columns pass through untouched — the
-    * left side is renamed BEFORE the union so same-named right columns
-    * are never merged/dropped. `tiebreak` orders left rows sharing a
-    * (key, ts): the greatest tiebreak value wins deterministically. */
+  /** As-of join: for each `right` row, the nearest `left` row with the
+    * same key at-or-before its timestamp — or at-or-after with
+    * `forward = true` (union-marker window plan — one shuffle on the key,
+    * no range self-join). Left value columns surface prefixed
+    * (`asof_<col>`); right columns pass through untouched — the left side
+    * is renamed BEFORE the union so same-named right columns are never
+    * merged/dropped. `tiebreak` orders left rows sharing a (key, ts): the
+    * greatest tiebreak value wins deterministically, in either direction.
+    * `toleranceUs` bounds the match: a nearest left row farther than the
+    * tolerance yields NULL asof columns (the row is kept — as-of is a
+    * left-outer enrichment, never a filter).
+    *
+    * Scale shape is direction-independent: the forward plan is the same
+    * single shuffle with the sort order reversed, NOT a second pass or a
+    * reversed copy of the data. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-      leftPrefix: String = "asof_", tiebreak: Option[String] = None): DataFrame = {
+      leftPrefix: String = "asof_", tiebreak: Option[String] = None,
+      forward: Boolean = false, toleranceUs: Long = Long.MaxValue): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be non-negative; got $toleranceUs")
     val lCols = left.columns.filter(c => c != key && c != ts).toIndexedSeq
     val pre = s"__l_"
     val lRenamed = lCols.foldLeft(left)((df, c) => df.withColumnRenamed(c, s"$pre$c"))
@@ -1646,7 +1656,13 @@ object GraftOps {
       .withColumn("__ts", col(s"$pre$ts"))
     val rTagged = right.withColumn("__kind", lit(1)).withColumn("__ts", col(ts))
     val all = lRenamed.unionByName(rTagged, allowMissingColumns = true)
-    val orderCols = Seq(col("__ts"), col("__kind")) ++
+    // Backward: ts asc, so preceding rows are at-or-before. Forward: ts
+    // desc, so preceding rows are at-or-AFTER and last() picks the one
+    // closest to (i.e. the earliest at-or-after) the current right row.
+    // kind stays ascending either way: a left row at the exact right ts
+    // sorts before it, making both bounds inclusive.
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
+    val orderCols = Seq(tsOrder, col("__kind")) ++
       tiebreak.map(t => col(s"$pre$t").asc_nulls_first)
     val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1659,7 +1675,13 @@ object GraftOps {
     val withAsof = all
       .withColumn("__lrow",
         last(when(col("__kind") === 0, lStruct), ignoreNulls = true).over(w))
-    lValueCols.foldLeft(withAsof) { (df, c) =>
+    val bounded =
+      if (toleranceUs == Long.MaxValue) withAsof
+      else withAsof.withColumn("__lrow",
+        when(abs(unix_micros(col("__ts")) -
+            unix_micros(col("__lrow").getField(ts))) <= toleranceUs,
+          col("__lrow")))
+    lValueCols.foldLeft(bounded) { (df, c) =>
         df.withColumn(s"$leftPrefix$c", col("__lrow").getField(c))
       }
       .filter(col("__kind") === 1)

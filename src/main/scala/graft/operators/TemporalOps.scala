@@ -131,5 +131,45 @@ object TemporalOps {
       FROM spine s LEFT JOIN agg USING (user_id, bucket)
       ORDER BY user_id, bucket"""))
 
-  val all: Seq[QueryDef] = Seq(q27, q28, q58)
+  // ---------------------------------------------------------------- q72
+  /** Forward as-of with tolerance: for every click, the NEXT purchase by
+    * the same user at-or-after the click, but only within 2 hours —
+    * clicks with no purchase in the window keep NULLs (enrichment, not a
+    * filter). Exercises [[graft.api.GraftOps.asofJoin]]'s `forward` +
+    * `toleranceUs` surface; same single-shuffle union-marker plan as q27
+    * with the sort order reversed. Purchase ties at one (user, ts)
+    * resolve to the greatest event_id on both sides (tiebreak here, a
+    * max() pre-aggregate in the oracle — DuckDB's ASOF tie choice is
+    * unspecified, so the oracle must not leave ties to it). */
+  val q72 = QueryDef("q72_asof_forward",
+    (s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+      val clicks = e.filter(col("event_type") === "click").drop("event_type")
+      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+      graft.api.GraftOps.asofJoin(purchases, clicks, "user_id", "ts",
+          tiebreak = Some("event_id"), forward = true,
+          toleranceUs = 2L * 3600 * 1000000)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_event_id").as("purchase_id"),
+          col("asof_ts").as("purchase_ts"),
+          (unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("gap_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      c AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts, max(event_id) AS event_id
+            FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+      j AS (
+        SELECT c.event_id, c.user_id, c.ts, p.event_id AS pid, p.ts AS pts
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts)
+      SELECT event_id, user_id, ts,
+        CASE WHEN epoch_us(pts) - epoch_us(ts) <= 7200000000 THEN pid END AS purchase_id,
+        CASE WHEN epoch_us(pts) - epoch_us(ts) <= 7200000000 THEN pts END AS purchase_ts,
+        CASE WHEN epoch_us(pts) - epoch_us(ts) <= 7200000000
+          THEN epoch_us(pts) - epoch_us(ts) END AS gap_us
+      FROM j ORDER BY event_id"""))
+
+  val all: Seq[QueryDef] = Seq(q27, q28, q58, q72)
 }

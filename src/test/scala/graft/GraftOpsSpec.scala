@@ -87,6 +87,39 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       "null px of the latest left row must not be filled from the older row")
   }
 
+  test("asofJoin forward picks the earliest left row at-or-after each right ts") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 99.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 10:00:00"), 50.0)).toDF("sym", "t", "px")
+    val trades = Seq((1L, ts("2024-01-01 10:03:00"), 10),
+      (1L, ts("2024-01-01 10:05:00"), 15), // equal ts: bound is inclusive
+      (2L, ts("2024-01-01 10:01:00"), 30)).toDF("sym", "t", "qty")
+    val out = GraftOps.asofJoin(quotes, trades, "sym", "t", forward = true)
+      .orderBy("sym", "t").collect()
+    val px = out.map(r => Option(r.getAs[Any]("asof_px")))
+    assert(px(0).contains(101.0), "10:03 trade sees the NEXT quote at 10:05")
+    assert(px(1).contains(101.0), "equal-ts quote matches (at-or-after)")
+    assert(px(2).isEmpty, "10:01 trade on sym 2 has no following quote")
+  }
+
+  test("asofJoin toleranceUs nulls matches beyond the bound, keeps the row") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 99.0)).toDF("sym", "t", "px")
+    val trades = Seq((1L, ts("2024-01-01 10:04:00"), 10),
+      (1L, ts("2024-01-01 10:06:00"), 20)).toDF("sym", "t", "qty")
+    val out = GraftOps.asofJoin(quotes, trades, "sym", "t",
+        toleranceUs = 5L * 60 * 1000000)
+      .orderBy("t").collect()
+    assert(out.length == 2, "tolerance is an enrichment bound, not a filter")
+    assert(Option(out(0).getAs[Any]("asof_px")).contains(99.0),
+      "4-minute gap within the 5-minute tolerance")
+    assert(out(1).isNullAt(out(1).fieldIndex("asof_px")),
+      "6-minute gap beyond tolerance nulls the match")
+  }
+
   test("embeddingNearDup: guarded LSH path finds the same pairs as brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
