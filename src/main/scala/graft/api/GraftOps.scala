@@ -1702,6 +1702,35 @@ object GraftOps {
       .drop("__prev", "__new")
   }
 
+  // ------------------------------------------------- robust outliers
+
+  /** Robust per-group outlier scoring via median/MAD — the data-quality
+    * screen that survives the contamination it hunts (mean/stddev move
+    * with the outliers; median/MAD don't). Adds `med`, `mad` (group
+    * medians, exact interpolated percentile — same portable aggregate as
+    * q29) and `score` = |value − med| / mad (NULL when MAD is 0: a
+    * degenerate group where >half the values sit ON the median scores
+    * nothing rather than everything).
+    *
+    * Plan: two hash aggregates on the group key with the per-group stats
+    * broadcast back — group cardinality is assumed catalog-scale (langs,
+    * sources, shards), so each join is a broadcast, never a corpus
+    * shuffle; the corpus itself is scanned narrow, twice. At 100 TB the
+    * alternative single-pass approximate tier is `percentile_approx` on
+    * both aggs (GK sketch, not oracle-portable — q29b precedent). */
+  def robustOutliers(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val d = df.withColumn("__g", group).withColumn("__v", value.cast("double"))
+    val med = d.groupBy(col("__g"))
+      .agg(expr("percentile(__v, 0.5)").as("med"))
+    val withMed = d.join(broadcast(med), Seq("__g"))
+    val mad = withMed.groupBy(col("__g"))
+      .agg(expr("percentile(abs(__v - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), Seq("__g"))
+      .withColumn("score",
+        when(col("mad") > 0, abs(col("__v") - col("med")) / col("mad")))
+      .drop("__g", "__v")
+  }
+
   // ------------------------------------------------- frequent items
 
   /** Exact heavy hitters: every key whose share of the input is at least

@@ -242,5 +242,33 @@ object TextOps {
         .orderBy(desc("n"), col("bg")),
     Some(hhOracle))
 
-  val all: Seq[QueryDef] = Seq(q12, q22, q23, q24, q25, q70, q70b)
+  // ---------------------------------------------------------------- q73
+  /** Robust per-language length outliers: |len − median| / MAD > 2.0 —
+    * the quality screen for truncated/concatenated documents that a
+    * mean/stddev z-score would miss once the outliers drag the mean.
+    * Exercises [[graft.api.GraftOps.robustOutliers]] (exact interpolated
+    * medians, q29's portable aggregate; per-group stats broadcast). */
+  val q73 = QueryDef("q73_group_outliers",
+    (s, dir) =>
+      graft.api.GraftOps.robustOutliers(
+          docs(s, dir).select(col("doc_id"), col("lang"),
+            length(col("text")).cast("double").as("len")),
+          col("lang"), col("len"))
+        .filter(col("score") > 2.0)
+        .select(col("doc_id"), col("lang"), col("len"), col("med"),
+          col("mad"), col("score"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS len FROM documents),
+      m AS (SELECT lang, quantile_cont(len, 0.5) AS med FROM d GROUP BY lang),
+      a AS (SELECT d.doc_id, d.lang, d.len, m.med FROM d JOIN m USING (lang)),
+      s AS (SELECT lang, quantile_cont(abs(len - med), 0.5) AS mad FROM a GROUP BY lang),
+      f AS (SELECT a.doc_id, a.lang, a.len, a.med, s.mad,
+              CASE WHEN s.mad > 0 THEN abs(a.len - a.med) / s.mad END AS score
+            FROM a JOIN s USING (lang))
+      SELECT doc_id, lang, len, med, mad, score
+      FROM f WHERE score > 2.0
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q12, q22, q23, q24, q25, q70, q70b, q73)
 }

@@ -120,6 +120,25 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       "6-minute gap beyond tolerance nulls the match")
   }
 
+  test("robustOutliers: median/MAD scoring, NULL score when MAD is 0") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: values 1..5 + one wild point: med=3, mad=1ish
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0), ("a", 103.0),
+      // group b: >half the mass ON the median -> mad=0 -> score NULL
+      ("b", 7.0), ("b", 7.0), ("b", 7.0), ("b", 99.0))
+      .toDF("g", "v")
+    val out = GraftOps.robustOutliers(df, col("g"), col("v"))
+    val a = out.filter(col("g") === "a" && col("v") === 103.0).head()
+    assert(a.getAs[Double]("med") == 3.5, "exact interpolated median")
+    assert(a.getAs[Double]("mad") == 1.5)
+    assert(a.getAs[Double]("score") == (103.0 - 3.5) / 1.5)
+    val b = out.filter(col("g") === "b")
+    assert(b.count() == 4, "degenerate group keeps its rows")
+    assert(b.filter(col("score").isNotNull).count() == 0,
+      "MAD=0 scores nothing rather than everything")
+  }
+
   test("embeddingNearDup: guarded LSH path finds the same pairs as brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
