@@ -1114,6 +1114,38 @@ object GraftOps {
     }
   }
 
+  /** Deterministic WEIGHTED Bernoulli sample — quality-biased corpus
+    * selection: each row's inclusion probability is `weight · ratePpm/1e6`
+    * (capped at 1), decided by the same portable hash machinery as
+    * [[stratifiedSample]] (distinct salt), so membership is a pure
+    * function of (key, weight) — reproducible across runs, engines, and
+    * partitionings, and monotone in weight: raising a row's weight can
+    * only ever ADD it to the sample, never drop it (same bucket, higher
+    * bar). Zero shuffle, pure narrow filter.
+    *
+    * Weight handling is explicit, not clamped silently: weight ≤ 0 or
+    * NULL keeps nothing (a row with no weight has no business in a
+    * weighted sample), weight ≥ 1e6/ratePpm saturates to always-keep.
+    * `floor(weight · ratePpm)` is one IEEE double multiply of exact
+    * inputs — engine-portable (oracle-hashed, q74). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      ratePpm: Long, bucketCol: Option[String] = None): DataFrame = {
+    require(ratePpm > 0 && ratePpm <= 1000000L,
+      s"ratePpm must be in (0, 1e6]; got $ratePpm")
+    val bucket = pmod(Portable.phash(concat(lit("wsm|"), key.cast("string"))),
+      lit(1000000))
+    // least() skips NULLs in both Spark and DuckDB — least(1e6, NULL)
+    // would silently saturate a NULL weight to always-keep; gate on
+    // non-null explicitly so NULL keeps nothing, as documented.
+    val keepPpm = when(weight.isNotNull, least(lit(1000000L),
+      floor(weight.cast("double") * lit(ratePpm.toDouble)).cast("long")))
+    val kept = df.withColumn("__bucket", bucket).filter(col("__bucket") < keepPpm)
+    bucketCol match {
+      case Some(c) => kept.withColumnRenamed("__bucket", c)
+      case None    => kept.drop("__bucket")
+    }
+  }
+
   /** Deterministic train/validation/test splitting — the dataset-split
     * step every training pipeline runs before anything touches the data:
     * each row is assigned the split whose cumulative ppm range its

@@ -625,7 +625,48 @@ object CurationOps {
       FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
       ORDER BY key"""))
 
+  // ---------------------------------------------------------------- q74
+  /** Quality-weighted deterministic sampling: inclusion probability
+    * scales with the document's own [[GraftOps.textQuality]] composite
+    * (clamped into [0,1] as quality_score − 0.5), at a 60% base rate —
+    * the "sample good documents more" curation step, fully reproducible
+    * because membership is a pure function of (doc_id, weight). Composes
+    * q23's scorer with [[GraftOps.weightedSample]]; zero shuffle. */
+  val q74 = QueryDef("q74_weighted_sample",
+    (s, dir) => {
+      val scored = GraftOps.textQuality(docs(s, dir), col("text"))
+        .withColumn("weight",
+          greatest(lit(0.0), least(lit(1.0), col("quality_score") - 0.5)))
+      GraftOps.weightedSample(scored, col("doc_id"), col("weight"),
+          ratePpm = 600000, bucketCol = Some("bucket"))
+        .select(col("doc_id"), col("weight"), col("bucket"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      f AS (
+        SELECT doc_id,
+          CAST(len(toks) AS INTEGER) AS n_tokens,
+          list_sum(list_transform(toks, tk -> length(tk))) AS sum_len,
+          len(list_filter(toks, tk -> tk IN ('the', 'a', 'of', 'and'))) AS n_stop,
+          len(list_distinct(toks)) AS n_distinct
+        FROM t),
+      q AS (
+        SELECT doc_id,
+          (CAST(sum_len AS DOUBLE) / n_tokens) * 0.2
+            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5
+            - (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 AS quality_score
+        FROM f),
+      w AS (
+        SELECT doc_id,
+          greatest(0.0, least(1.0, quality_score - 0.5)) AS weight,
+          ${Duck.ph("'wsm|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+        FROM q)
+      SELECT doc_id, weight, bucket FROM w
+      WHERE bucket < least(1000000, CAST(floor(weight * 600000.0) AS BIGINT))
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
-      q63, q64, q65, q69)
+      q63, q64, q65, q69, q74)
 }

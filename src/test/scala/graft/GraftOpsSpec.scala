@@ -120,6 +120,27 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       "6-minute gap beyond tolerance nulls the match")
   }
 
+  test("weightedSample: weight edge cases and monotonicity in weight") {
+    import spark.implicits._
+    val ids = (1L to 2000L)
+    val base = ids.map(i => (i, 0.5)).toDF("id", "w")
+    val kept = GraftOps.weightedSample(base, col("id"), col("w"), 1000000L)
+      .select("id").as[Long].collect().toSet
+    // 0.5 weight at full rate ~ half the rows (hash-uniform)
+    assert(kept.size > 800 && kept.size < 1200, s"got ${kept.size}")
+    // monotone: raising every weight only ever ADDS rows
+    val keptHi = GraftOps.weightedSample(
+        ids.map(i => (i, 0.8)).toDF("id", "w"), col("id"), col("w"), 1000000L)
+      .select("id").as[Long].collect().toSet
+    assert(kept.subsetOf(keptHi), "raising weight must never drop a row")
+    // NULL / zero / negative weights keep nothing; >=1 saturates to all
+    val edge = Seq((1L, Option.empty[Double]), (2L, Some(0.0)),
+      (3L, Some(-2.0)), (4L, Some(1.0)), (5L, Some(7.0))).toDF("id", "w")
+    val e = GraftOps.weightedSample(edge, col("id"), col("w"), 1000000L)
+      .select("id").as[Long].collect().toSet
+    assert(e == Set(4L, 5L))
+  }
+
   test("robustOutliers: median/MAD scoring, NULL score when MAD is 0") {
     import spark.implicits._
     val df = Seq(
