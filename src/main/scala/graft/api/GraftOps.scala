@@ -1379,6 +1379,17 @@ object GraftOps {
       .filter(col("key").isNotNull && col("__um").isNotNull)
       .select(col("key"), expr(s"__um div ${stepUs}L").as("bucket"))
     val counts = b.groupBy(col("key"), col("bucket")).agg(count(lit(1)).as("__n"))
+    bucketSpine(b, "gapFill", stepUs, maxBucketsPerKey)
+      .join(counts, Seq("key", "bucket"), "left")
+      .select(col("key"), col("bucket"), coalesce(col("__n"), lit(0L)).as("n"))
+  }
+
+  /** The dense per-key (key, bucket) spine shared by [[gapFill]] and
+    * [[interpolate]]: min..max bucket per key via explode(sequence) —
+    * spine size = keys × their ACTIVE spans, never keys × global
+    * calendar — with the hostile-key guard failing loudly. */
+  private def bucketSpine(b: DataFrame, opName: String, stepUs: Long,
+      maxBucketsPerKey: Long): DataFrame = {
     val bounds = b.groupBy(col("key"))
       .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
     val guarded =
@@ -1386,14 +1397,76 @@ object GraftOps {
       else bounds.withColumn("__mn",
         when(col("__mx") - col("__mn") >= maxBucketsPerKey,
           raise_error(concat(
-            lit("gapFill: key "), col("key").cast("string"),
+            lit(s"$opName: key "), col("key").cast("string"),
             lit(" spans "), (col("__mx") - col("__mn") + 1L).cast("string"),
             lit(s" buckets > maxBucketsPerKey=$maxBucketsPerKey at stepUs=$stepUs"))))
           .otherwise(col("__mn")))
-    val spine = guarded
-      .select(col("key"), explode(sequence(col("__mn"), col("__mx"))).as("bucket"))
-    spine.join(counts, Seq("key", "bucket"), "left")
-      .select(col("key"), col("bucket"), coalesce(col("__n"), lit(0L)).as("n"))
+    guarded.select(col("key"), explode(sequence(col("__mn"), col("__mx"))).as("bucket"))
+  }
+
+  /** Linear interpolation over the gap-filled bucket spine — [[gapFill]]
+    * for a VALUE series: each key's silent buckets get the straight line
+    * between the nearest observed buckets either side; before the first
+    * (after the last) observation the series carries backward (forward)
+    * flat. `fill_method` says which rule produced every row (observed /
+    * interpolated / ffill / bfill) — a synthetic point that can't say it
+    * is synthetic poisons downstream statistics silently.
+    *
+    * Portability: per-bucket observations are exact integer-cent
+    * averages (`sum(floor(v·100)) / 100.0 / n` — the q28 recipe) and the
+    * interpolation is one fixed-order IEEE expression
+    * `ff + (bf − ff) · ((b − fb)/(nb − fb))`, so results hash-match any
+    * IEEE engine running the same shape (q75).
+    *
+    * Plan shape: one agg + one spine join keyed (key, bucket), then ONE
+    * window sort per key serving both direction frames — same single
+    * irreducible per-key ordering as sessionize; AQE skew-split applies.
+    * Same `maxBucketsPerKey` loud-fail guard as gapFill. */
+  def interpolate(df: DataFrame, key: Column, ts: Column, value: Column,
+      stepUs: Long, maxBucketsPerKey: Long = Long.MaxValue): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive; got $stepUs")
+    require(maxBucketsPerKey > 0,
+      s"maxBucketsPerKey must be positive; got $maxBucketsPerKey")
+    val b = df.select(key.as("key"), unix_micros(ts).as("__um"),
+        floor(value.cast("double") * lit(100)).cast("long").as("__cents"))
+      .filter(col("key").isNotNull && col("__um").isNotNull)
+      .select(col("key"), expr(s"__um div ${stepUs}L").as("bucket"), col("__cents"))
+    val obs = b.groupBy(col("key"), col("bucket"))
+      .agg(sum(col("__cents")).as("__sc"), count(lit(1)).as("__n"))
+      .select(col("key"), col("bucket"), col("__n"),
+        (col("__sc").cast("double") / 100.0 / col("__n").cast("double")).as("__v"))
+    val spine = bucketSpine(b.select(col("key"), col("bucket")),
+        "interpolate", stepUs, maxBucketsPerKey)
+      .join(obs, Seq("key", "bucket"), "left")
+      .select(col("key"), col("bucket"),
+        coalesce(col("__n"), lit(0L)).as("n"), col("__v"))
+    val wf = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val marked = spine
+      .withColumn("__fv", last(col("__v"), ignoreNulls = true).over(wf))
+      .withColumn("__fb",
+        last(when(col("__v").isNotNull, col("bucket")), ignoreNulls = true).over(wf))
+      .withColumn("__bv", first(col("__v"), ignoreNulls = true).over(wb))
+      .withColumn("__bb",
+        first(when(col("__v").isNotNull, col("bucket")), ignoreNulls = true).over(wb))
+    marked
+      .withColumn("value",
+        when(col("__v").isNotNull, col("__v"))
+          .when(col("__fv").isNotNull && col("__bv").isNotNull,
+            col("__fv") + (col("__bv") - col("__fv")) *
+              ((col("bucket") - col("__fb")).cast("double") /
+               (col("__bb") - col("__fb")).cast("double")))
+          .when(col("__fv").isNotNull, col("__fv"))
+          .otherwise(col("__bv")))
+      .withColumn("fill_method",
+        when(col("__v").isNotNull, "observed")
+          .when(col("__fv").isNotNull && col("__bv").isNotNull, "interpolated")
+          .when(col("__fv").isNotNull, "ffill")
+          .when(col("__bv").isNotNull, "bfill")
+          .otherwise("empty"))
+      .select(col("key"), col("bucket"), col("n"), col("value"), col("fill_method"))
   }
 
   /** Declarative corpus validation — the admission-control step of a

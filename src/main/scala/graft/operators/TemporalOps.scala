@@ -171,5 +171,58 @@ object TemporalOps {
           THEN epoch_us(pts) - epoch_us(ts) END AS gap_us
       FROM j ORDER BY event_id"""))
 
-  val all: Seq[QueryDef] = Seq(q27, q28, q58, q72)
+  // ---------------------------------------------------------------- q75
+  /** Linear interpolation over the 1-hour bucket spine: q58's densified
+    * series with VALUES — silent buckets get the straight line between
+    * their observed neighbors, tagged by `fill_method`. (The spine is
+    * bounded by each user's first/last OBSERVED bucket, so the ffill/
+    * bfill edge rules can't fire here — GraftOpsSpec covers them on a
+    * synthetic series.) Exercises [[graft.api.GraftOps.interpolate]]. */
+  val q75 = QueryDef("q75_interpolate",
+    (s, dir) =>
+      graft.api.GraftOps.interpolate(events(s, dir), col("user_id"), col("ts"),
+          col("value"), stepUs = 3600000000L)
+        .select(col("key").as("user_id"), col("bucket"), col("n"),
+          col("value"), col("fill_method"))
+        .orderBy("user_id", "bucket"),
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events),
+      obs AS (
+        SELECT user_id, bucket, COUNT(*) AS n,
+          CAST(SUM(cents) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS v
+        FROM e GROUP BY user_id, bucket),
+      rng AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM e GROUP BY user_id),
+      spine AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bucket FROM rng),
+      j AS (
+        SELECT s.user_id, s.bucket, coalesce(obs.n, 0) AS n, obs.v
+        FROM spine s LEFT JOIN obs USING (user_id, bucket)),
+      w AS (
+        SELECT user_id, bucket, n, v,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+          last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb,
+          first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bv,
+          first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bb
+        FROM j)
+      SELECT user_id, bucket, n,
+        CASE WHEN v IS NOT NULL THEN v
+             WHEN fv IS NOT NULL AND bv IS NOT NULL THEN
+               fv + (bv - fv) * (CAST(bucket - fb AS DOUBLE) / CAST(bb - fb AS DOUBLE))
+             WHEN fv IS NOT NULL THEN fv
+             ELSE bv END AS value,
+        CASE WHEN v IS NOT NULL THEN 'observed'
+             WHEN fv IS NOT NULL AND bv IS NOT NULL THEN 'interpolated'
+             WHEN fv IS NOT NULL THEN 'ffill'
+             ELSE 'bfill' END AS fill_method
+      FROM w ORDER BY user_id, bucket"""))
+
+  val all: Seq[QueryDef] = Seq(q27, q28, q58, q72, q75)
 }

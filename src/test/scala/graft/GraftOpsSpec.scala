@@ -141,6 +141,51 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(e == Set(4L, 5L))
   }
 
+  test("interpolate: straight line between neighbors, flagged fill methods") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // key 1: observations at buckets 10:00 (v=1.00) and 13:00 (v=4.00)
+    // with a double observation at 13:00 (4.00, 6.00 -> avg 5.00)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 1.0),
+      (1L, ts("2024-01-01 13:10:00"), 4.0),
+      (1L, ts("2024-01-01 13:40:00"), 6.0))
+      .toDF("k", "t", "v")
+    val out = GraftOps.interpolate(df, col("k"), col("t"), col("v"),
+        stepUs = 3600000000L)
+      .orderBy("bucket").collect()
+    assert(out.length == 4, "spine 10:00..13:00 inclusive")
+    assert(out(0).getAs[String]("fill_method") == "observed")
+    assert(out(0).getAs[Double]("value") == 1.0)
+    // interpolated: 1 + (5-1) * (1/3) and 1 + (5-1) * (2/3)
+    assert(out(1).getAs[String]("fill_method") == "interpolated")
+    assert(out(1).getAs[Double]("value") == 1.0 + 4.0 * (1.0 / 3.0))
+    assert(out(2).getAs[Double]("value") == 1.0 + 4.0 * (2.0 / 3.0))
+    assert(out(3).getAs[Double]("value") == 5.0, "two obs average exactly")
+    assert(out(3).getAs[Long]("n") == 2L)
+  }
+
+  test("interpolate: ffill/bfill fire at edges whose events carry NULL values") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // Edge buckets with events but all-NULL values: the bucket anchors
+    // the spine (n counts its events) yet contributes no observation, so
+    // the one-sided fill rules fire there — the only reachable path,
+    // since a VALUED min/max bucket always bounds the spine.
+    val df = Seq(
+      (1L, ts("2024-01-01 10:30:00"), Option.empty[Double]),
+      (1L, ts("2024-01-01 11:30:00"), Some(5.0)),
+      (1L, ts("2024-01-01 12:30:00"), Option.empty[Double]))
+      .toDF("k", "t", "v")
+    val out = GraftOps.interpolate(df, col("k"), col("t"), col("v"),
+        stepUs = 3600000000L).orderBy("bucket").collect()
+    assert(out.map(_.getAs[String]("fill_method")).toSeq ==
+      Seq("bfill", "observed", "ffill"))
+    assert(out.map(_.getAs[Double]("value")).toSeq == Seq(5.0, 5.0, 5.0))
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(1L, 1L, 1L),
+      "NULL-valued events still count as bucket activity")
+  }
+
   test("robustOutliers: median/MAD scoring, NULL score when MAD is 0") {
     import spark.implicits._
     val df = Seq(
