@@ -336,6 +336,33 @@ object GraftOps {
     df.join(nonSurvivors, id === col("__drop_id"), "left_anti")
   }
 
+  /** [[applyDedup]] with a QUALITY survivor policy: per near-dup cluster
+    * keep the member with the greatest `score` (ties → smallest id)
+    * instead of the smallest id — the curation-grade apply step: when
+    * near-dups differ (truncation, boilerplate, OCR noise), min-id keeps
+    * an arbitrary copy; this keeps the best one. Rows outside any
+    * cluster are untouched.
+    *
+    * Plan: cluster resolution is [[dedupClusters]] (pair-bounded, tiny
+    * vs corpus); scores join in on the member ids, one row_number window
+    * over clusters picks survivors, and the corpus sees a single
+    * left-anti join against the non-survivor ids — the cluster table
+    * never exceeds 2·|pairs| rows, so every join is AQE-broadcast-sized
+    * at any corpus scale. NULL scores rank below every non-NULL score
+    * (a member with no score never beats a scored one). */
+  def applyDedupBest(df: DataFrame, id: Column, score: Column,
+      pairs: DataFrame, idA: Column, idB: Column, maxIter: Int = 30,
+      driverLimit: Long = 1000000L): DataFrame = {
+    val clusters = dedupClusters(pairs, idA, idB, maxIter, driverLimit)
+    val members = df.select(id.as("__m_id"), score.as("__m_score"))
+      .join(clusters, col("__m_id") === col("member"))
+    val w = Window.partitionBy(col("survivor"))
+      .orderBy(col("__m_score").desc_nulls_last, col("member"))
+    val drop = members.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1).select(col("member").as("__drop_id"))
+    df.join(drop, id === col("__drop_id"), "left_anti")
+  }
+
   /** Deterministic hyperplane component for the near-dup LSH bands (same
     * portable-hash recipe as SimilarityOps' ANN planes, distinct salt). */
   private def ndPlane(j: Int, dim: Int): Seq[Double] =

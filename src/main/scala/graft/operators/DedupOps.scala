@@ -241,5 +241,62 @@ object DedupOps {
       WHERE doc_id NOT IN (SELECT member FROM assign WHERE member <> survivor)
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q11, q16, q17, q18, q19, q40, q41)
+  // ---------------------------------------------------------------- q76
+  /** Dedup apply with the QUALITY survivor policy: q41's pipeline but
+    * each near-dup cluster keeps its highest-[[GraftOps.textQuality]]
+    * member (ties → smallest id) instead of the smallest id — what a
+    * curation pipeline actually wants when near-dups differ in quality.
+    * Exercises [[graft.api.GraftOps.applyDedupBest]]. */
+  val q76 = QueryDef("q76_dedup_keep_best",
+    (s, dir) => {
+      val d = docs(s, dir)
+      graft.api.GraftOps.applyDedupBest(
+          graft.api.GraftOps.textQuality(d, col("text")),
+          col("doc_id"), col("quality_score"),
+          graft.api.GraftOps.minhashNearDup(d, col("doc_id"), col("text"),
+            shingleWidth = 3, numHashes = 16, bands = 4, minMatches = 8),
+          col("id_a"), col("id_b"))
+        .select(col("doc_id"), col("lang"), col("source"), col("quality_score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${Duck.minhashCtes},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM mh_pairs),
+      reach AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst),
+      comp AS (
+        SELECT LEAST(MIN(dst), src) AS survivor, src AS member
+        FROM reach GROUP BY src),
+      f AS (
+        SELECT doc_id,
+          CAST(len(toks) AS INTEGER) AS n_tokens,
+          list_sum(list_transform(toks, tk -> length(tk))) AS sum_len,
+          len(list_filter(toks, tk -> tk IN ('the', 'a', 'of', 'and'))) AS n_stop,
+          len(list_distinct(toks)) AS n_distinct
+        FROM t),
+      q AS (
+        SELECT doc_id,
+          (CAST(sum_len AS DOUBLE) / n_tokens) * 0.2
+            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5
+            - (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 AS quality_score
+        FROM f),
+      mem AS (
+        SELECT c.survivor, c.member, q.quality_score
+        FROM comp c JOIN q ON q.doc_id = c.member),
+      rk AS (
+        SELECT member, row_number() OVER (
+          PARTITION BY survivor ORDER BY quality_score DESC, member) AS rk
+        FROM mem),
+      dropped AS (SELECT member FROM rk WHERE rk > 1)
+      SELECT d.doc_id, d.lang, d.source, q.quality_score
+      FROM documents d JOIN q USING (doc_id)
+      WHERE d.doc_id NOT IN (SELECT member FROM dropped)
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q11, q16, q17, q18, q19, q40, q41, q76)
 }

@@ -120,6 +120,31 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       "6-minute gap beyond tolerance nulls the match")
   }
 
+  test("applyDedupBest keeps the highest-scored member, not the min id") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // cluster {1,2,3}: best = 2 (tie -> min id)
+      (7L, 0.5),                       // unclustered: untouched
+      (8L, 0.1), (9L, 0.4))            // cluster {8,9}: best = 9
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("a", "b")
+    val best = GraftOps.applyDedupBest(corpus, col("id"), col("score"),
+        pairs, col("a"), col("b"))
+      .select("id").as[Long].collect().toSet
+    assert(best == Set(2L, 7L, 9L))
+    // contrast: min-id policy keeps 1 and 8
+    val minId = GraftOps.applyDedup(corpus, col("id"), pairs, col("a"), col("b"))
+      .select("id").as[Long].collect().toSet
+    assert(minId == Set(1L, 7L, 8L))
+    // NULL scores never beat scored members
+    val withNull = Seq((1L, Option.empty[Double]), (2L, Some(0.1)))
+      .toDF("id", "score")
+    val n = GraftOps.applyDedupBest(withNull, col("id"), col("score"),
+        Seq((1L, 2L)).toDF("a", "b"), col("a"), col("b"))
+      .select("id").as[Long].collect().toSet
+    assert(n == Set(2L))
+  }
+
   test("weightedSample: weight edge cases and monotonicity in weight") {
     import spark.implicits._
     val ids = (1L to 2000L)
