@@ -1919,6 +1919,40 @@ object GraftOps {
         expr("(n * 1000000) div __total").as("ppm"))
   }
 
+  /** Collocation mining over an adjacent-token bigram column: ranks
+    * bigrams by LIFT — observed co-occurrence over the independence
+    * expectation from the bigram table's own margins,
+    * `n_xy · N / (n_x· · n_·y)` — the log-free core of PMI (log is
+    * monotone, so the ranking is identical and the arithmetic stays
+    * engine-portable: exact long counts, two IEEE multiplies, one
+    * divide; exact while counts stay under 2⁵³). `minCount` suppresses
+    * the classic PMI failure mode (rare pairs with sky-high lift).
+    *
+    * Plan: one hash agg over the bigram vocabulary, two margin aggs +
+    * equi-joins keyed by token, and a TakeOrderedAndProject for the
+    * top-k — no global sort materializes past k rows. */
+  def collocations(df: DataFrame, bigram: Column, minCount: Long,
+      k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1; got $minCount")
+    require(k >= 1, s"k must be >= 1; got $k")
+    val c = df.select(bigram.as("bg")).filter(col("bg").isNotNull)
+      .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val m1 = c.groupBy(col("w1")).agg(sum(col("n")).as("n1"))
+    val m2 = c.groupBy(col("w2")).agg(sum(col("n")).as("n2"))
+    val tot = c.agg(sum(col("n")).as("__total"))
+    c.filter(col("n") >= minCount)
+      .join(m1, "w1").join(m2, "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        col("n").cast("double") * col("__total").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")))
+      .select(col("bg"), col("n"), col("n1"), col("n2"), col("lift"))
+      .orderBy(desc("lift"), col("bg"))
+      .limit(k)
+  }
+
   // --------------------------------------------- scalar quantization
 
   /** SQ8 trainer: per-dimension [lo, hi] corpus ranges — the whole model

@@ -270,5 +270,35 @@ object TextOps {
       FROM f WHERE score > 2.0
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q12, q22, q23, q24, q25, q70, q70b, q73)
+  // ---------------------------------------------------------------- q77
+  /** Lift-ranked collocations over the q70 bigram space: top-100 bigrams
+    * by observed-over-expected co-occurrence (PMI without the log — the
+    * ranking is identical and the arithmetic oracle-portable), with the
+    * min-count floor that keeps rare-pair noise out. Exercises
+    * [[graft.api.GraftOps.collocations]]. */
+  val q77 = QueryDef("q77_collocations",
+    (s, dir) =>
+      graft.api.GraftOps.collocations(bigramRows(s, dir), col("bg"),
+          minCount = 20, k = 100)
+        .orderBy(desc("lift"), col("bg")),
+    Some(s"""
+      WITH t AS (SELECT ${Duck.toks} AS tk FROM documents),
+      b AS (SELECT unnest(list_filter(list_transform(range(1, len(tk)),
+          i -> CASE WHEN tk[i] <> '' AND tk[i+1] <> '' THEN tk[i] || ' ' || tk[i+1] ELSE NULL END),
+          x -> x IS NOT NULL)) AS bg FROM t),
+      c AS (SELECT bg, COUNT(*) AS n,
+              string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+            FROM b GROUP BY bg),
+      m1 AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n1 FROM c GROUP BY w1),
+      m2 AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS n2 FROM c GROUP BY w2),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+      SELECT c.bg, c.n, m1.n1, m2.n2,
+        CAST(c.n AS DOUBLE) * CAST(tot.total AS DOUBLE)
+          / (CAST(m1.n1 AS DOUBLE) * CAST(m2.n2 AS DOUBLE)) AS lift
+      FROM c JOIN m1 USING (w1) JOIN m2 USING (w2), tot
+      WHERE c.n >= 20
+      ORDER BY lift DESC, bg
+      LIMIT 100"""))
+
+  val all: Seq[QueryDef] = Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77)
 }

@@ -120,6 +120,22 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       "6-minute gap beyond tolerance nulls the match")
   }
 
+  test("collocations: lift = n_xy*N/(n_x*n_y), min-count floor, top-k order") {
+    import spark.implicits._
+    // 10 bigrams total: "a b" x4, "a c" x2, "d b" x1, "d e" x3
+    val bgs = (Seq.fill(4)("a b") ++ Seq.fill(2)("a c") ++ Seq("d b") ++
+      Seq.fill(3)("d e")).toDF("bg")
+    val out = GraftOps.collocations(bgs, col("bg"), minCount = 2, k = 10)
+      .collect()
+    assert(out.map(_.getAs[String]("bg")).toSeq == Seq("d e", "a c", "a b"),
+      "ordered by lift desc ('d b' suppressed by min-count)")
+    val de = out(0)
+    // n=3, N=10, n_d=4, n_e=3 -> lift = 30/12
+    assert(de.getAs[Long]("n") == 3 && de.getAs[Long]("n1") == 4 &&
+      de.getAs[Long]("n2") == 3)
+    assert(de.getAs[Double]("lift") == 3.0 * 10.0 / (4.0 * 3.0))
+  }
+
   test("applyDedupBest keeps the highest-scored member, not the min id") {
     import spark.implicits._
     val corpus = Seq(
