@@ -25,11 +25,13 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     *    cross join (the q35 shape; the sketch tier adds a second 1-row
     *    broadcast for the candidate summary's recount).
     *  - q71: SQ8 ADC scan — the q50 shape with byte codes.
+    *  - q77: collocations join the 1-row bigram-total via broadcast
+    *    cross join (the q35/q70 shape).
     */
   private val allowNestedLoop = Set(
     "q13_similarity_knn", "q19_embedding_neardup", "q32_cross_join",
     "q35_tfidf_topk", "q50_ann_pq", "q70_heavy_hitters",
-    "q70b_heavy_hitters_sketch", "q71_ann_sq8")
+    "q70b_heavy_hitters_sketch", "q71_ann_sq8", "q77_collocations")
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(nodes)
