@@ -1467,17 +1467,27 @@ object GraftOps {
       .join(obs, Seq("key", "bucket"), "left")
       .select(col("key"), col("bucket"),
         coalesce(col("__n"), lit(0L)).as("n"), col("__v"))
+    // Both carries are RUNNING frames ([unboundedPreceding, currentRow]),
+    // the backward one over descending bucket order: Spark evaluates a
+    // running frame incrementally (O(n) per partition) but re-scans a
+    // [currentRow, unboundedFollowing] frame for every row (O(n²)) — the
+    // frame-direction swap took q75 from 35.7 s to sub-second at sf0.1.
+    // Same key partitioning → one exchange, two in-partition sorts.
     val wf = Window.partitionBy(col("key")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wb = Window.partitionBy(col("key")).orderBy(col("bucket"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wb = Window.partitionBy(col("key")).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // One struct carry per direction (2 window functions, not 4): the
+    // (value, anchor-bucket) pair travels together, halving per-row
+    // window work — and a struct can never mix value/anchor from
+    // different observations.
+    val obsPoint = when(col("__v").isNotNull,
+      struct(col("__v").as("v"), col("bucket").as("b")))
     val marked = spine
-      .withColumn("__fv", last(col("__v"), ignoreNulls = true).over(wf))
-      .withColumn("__fb",
-        last(when(col("__v").isNotNull, col("bucket")), ignoreNulls = true).over(wf))
-      .withColumn("__bv", first(col("__v"), ignoreNulls = true).over(wb))
-      .withColumn("__bb",
-        first(when(col("__v").isNotNull, col("bucket")), ignoreNulls = true).over(wb))
+      .withColumn("__f", last(obsPoint, ignoreNulls = true).over(wf))
+      .withColumn("__b", last(obsPoint, ignoreNulls = true).over(wb))
+      .withColumn("__fv", col("__f.v")).withColumn("__fb", col("__f.b"))
+      .withColumn("__bv", col("__b.v")).withColumn("__bb", col("__b.b"))
     marked
       .withColumn("value",
         when(col("__v").isNotNull, col("__v"))
