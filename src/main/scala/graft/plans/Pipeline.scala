@@ -392,6 +392,43 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.applyDedup(in("inport1"),
         expr(arg(args, "id")), in("inport2"),
         expr(arg(args, "idA")), expr(arg(args, "idB"))))),
+    // Keep-best survivor policy (inport1 = corpus, inport2 = pairs):
+    // q76's curation-grade apply — `score` picks each cluster's survivor.
+    "dedupApplyBest" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.applyDedupBest(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "score")), in("inport2"),
+        expr(arg(args, "idA")), expr(arg(args, "idB"))))),
+    // Event-time family: directional as-of enrichment (inport1 = right/
+    // probe side, inport2 = left/enrich side — the side whose columns
+    // surface prefixed), linear interpolation, robust outlier scoring.
+    "asofJoin" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.asofJoin(
+        in("inport2"), in("inport1"), arg(args, "key"), arg(args, "ts"),
+        leftPrefix = args.getOrElse("prefix", "asof_"),
+        tiebreak = args.get("tiebreak"),
+        forward = args.getOrElse("forward", "false").toBoolean,
+        toleranceUs = args.get("toleranceUs").map(_.toLong)
+          .getOrElse(Long.MaxValue)))),
+    "interpolate" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.interpolate(in("inport1"),
+        expr(arg(args, "key")), expr(arg(args, "ts")),
+        expr(arg(args, "value")), arg(args, "stepUs").toLong,
+        args.get("maxBucketsPerKey").map(_.toLong).getOrElse(Long.MaxValue)))),
+    "robustOutliers" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.robustOutliers(in("inport1"),
+        expr(arg(args, "group")), expr(arg(args, "value"))))),
+    // Frequency family: exact + Misra-Gries heavy hitters, collocations.
+    "heavyHitters" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.heavyHitters(in("inport1"),
+        expr(arg(args, "key")), arg(args, "thrPpm").toLong))),
+    "heavyHittersSketch" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.heavyHittersSketch(in("inport1"),
+        expr(arg(args, "key")), arg(args, "thrPpm").toLong,
+        args.getOrElse("capacity", "1024").toInt))),
+    "collocations" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.collocations(in("inport1"),
+        expr(arg(args, "bigram")), arg(args, "minCount").toLong,
+        arg(args, "k").toInt))),
     // Streaming admission control (the q16 family's incremental twin):
     // nearDupIndex builds the band index over a BATCH corpus (persist the
     // outport yourself for many-batch reuse), nearDupAdmit flags stream
@@ -421,6 +458,10 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.stratifiedFixedSample(in("inport1"),
         expr(arg(args, "strata")), expr(arg(args, "key")),
         arg(args, "n").toInt))),
+    "weightedSample" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.weightedSample(in("inport1"),
+        expr(arg(args, "key")), expr(arg(args, "weight")),
+        arg(args, "ratePpm").toLong))),
     "mixCorpus" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.mixCorpus(in("inport1"),
         expr(arg(args, "strata")), expr(arg(args, "key")),

@@ -631,6 +631,157 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(out.count() == expect && expect > 0)
   }
 
+  test("round-12 event-time ops compose in XML: forward asofJoin with tolerance") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="ev" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="events"/>
+        </operator>
+        <operator name="clicks" class="filter">
+          <arg key="predicate" value="event_type = 'click'"/>
+        </operator>
+        <operator name="purch" class="filter">
+          <arg key="predicate" value="event_type = 'purchase'"/>
+        </operator>
+        <operator name="cc" class="select"><arg key="exprs" value="user_id;ts;event_id"/></operator>
+        <operator name="pp" class="select"><arg key="exprs" value="user_id;ts;event_id"/></operator>
+        <operator name="aj" class="asofJoin">
+          <arg key="key" value="user_id"/><arg key="ts" value="ts"/>
+          <arg key="tiebreak" value="event_id"/>
+          <arg key="forward" value="true"/>
+          <arg key="toleranceUs" value="7200000000"/>
+        </operator>
+        <connect from="ev.outport1" to="clicks.inport1"/>
+        <connect from="ev.outport1" to="purch.inport1"/>
+        <connect from="clicks.outport1" to="cc.inport1"/>
+        <connect from="purch.outport1" to="pp.inport1"/>
+        <connect from="cc.outport1" to="aj.inport1"/>
+        <connect from="pp.outport1" to="aj.inport2"/>
+      </pipeline>""")
+    val out = PipelineCompiler.compile(spec, spark)("aj.outport1")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("event_id"), Option(r.getAs[Any]("asof_event_id")))
+    val e = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val expect = graft.api.GraftOps.asofJoin(
+        e.filter(col("event_type") === "purchase").drop("event_type"),
+        e.filter(col("event_type") === "click").drop("event_type"),
+        "user_id", "ts", tiebreak = Some("event_id"), forward = true,
+        toleranceUs = 7200000000L)
+      .collect().map(key).toSet
+    val got = out.collect().map(key).toSet
+    assert(got == expect && got.nonEmpty, "XML asofJoin == library asofJoin")
+    assert(got.exists(_._2.isDefined), "some clicks match a purchase")
+  }
+
+  test("round-12 frequency/sampling/outlier ops compose in XML") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf001, "documents")
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="d" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="bg" class="addField">
+          <arg key="name" value="bg"/>
+          <arg key="expr" value="concat(lang, ' ', source)"/>
+        </operator>
+        <operator name="hh" class="heavyHittersSketch">
+          <arg key="key" value="bg"/><arg key="thrPpm" value="10000"/>
+          <arg key="capacity" value="256"/>
+        </operator>
+        <operator name="co" class="collocations">
+          <arg key="bigram" value="bg"/><arg key="minCount" value="2"/>
+          <arg key="k" value="50"/>
+        </operator>
+        <operator name="ro" class="robustOutliers">
+          <arg key="group" value="lang"/><arg key="value" value="n_chars"/>
+        </operator>
+        <operator name="ws" class="weightedSample">
+          <arg key="key" value="doc_id"/>
+          <arg key="weight" value="n_chars / 1000.0"/>
+          <arg key="ratePpm" value="500000"/>
+        </operator>
+        <connect from="d.outport1" to="bg.inport1"/>
+        <connect from="bg.outport1" to="hh.inport1"/>
+        <connect from="bg.outport1" to="co.inport1"/>
+        <connect from="d.outport1" to="ro.inport1"/>
+        <connect from="d.outport1" to="ws.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val withBg = docs.withColumn("bg", concat(col("lang"), lit(" "), col("source")))
+    // heavy hitters: sketch tier == exact tier == library, by construction
+    val hhGot = ports("hh.outport1").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("n"))).toSet
+    val hhExp = graft.api.GraftOps.heavyHitters(withBg, col("bg"), 10000L)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("n"))).toSet
+    assert(hhGot == hhExp && hhGot.nonEmpty)
+    val coGot = ports("co.outport1").collect()
+      .map(r => (r.getAs[String]("bg"), r.getAs[Double]("lift"))).toSeq
+    val coExp = graft.api.GraftOps.collocations(withBg, col("bg"), 2L, 50)
+      .collect().map(r => (r.getAs[String]("bg"), r.getAs[Double]("lift"))).toSeq
+    assert(coGot == coExp && coGot.nonEmpty, "ordered top-k identical")
+    val roGot = ports("ro.outport1").filter(col("score").isNotNull).count()
+    val roExp = graft.api.GraftOps.robustOutliers(docs, col("lang"), col("n_chars"))
+      .filter(col("score").isNotNull).count()
+    assert(roGot == roExp && roGot > 0)
+    val wsGot = ports("ws.outport1").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val wsExp = graft.api.GraftOps.weightedSample(docs, col("doc_id"),
+        col("n_chars") / 1000.0, 500000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(wsGot == wsExp && wsGot.nonEmpty)
+  }
+
+  test("round-12 interpolate + dedupApplyBest compose in XML") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="ev" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="events"/>
+        </operator>
+        <operator name="ip" class="interpolate">
+          <arg key="key" value="user_id"/><arg key="ts" value="ts"/>
+          <arg key="value" value="value"/><arg key="stepUs" value="3600000000"/>
+        </operator>
+        <operator name="d" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="mp" class="minhashPairs">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+        </operator>
+        <operator name="db" class="dedupApplyBest">
+          <arg key="id" value="doc_id"/><arg key="score" value="n_chars"/>
+          <arg key="idA" value="id_a"/><arg key="idB" value="id_b"/>
+        </operator>
+        <connect from="ev.outport1" to="ip.inport1"/>
+        <connect from="d.outport1" to="mp.inport1"/>
+        <connect from="d.outport1" to="db.inport1"/>
+        <connect from="mp.outport1" to="db.inport2"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val ip = ports("ip.outport1")
+    assert(ip.columns.toSeq == Seq("key", "bucket", "n", "value", "fill_method"))
+    val ipExp = graft.api.GraftOps.interpolate(
+      Tables.load(spark, sf001, "events"), col("user_id"), col("ts"),
+      col("value"), stepUs = 3600000000L)
+    assert(ip.count() == ipExp.count() &&
+      ip.filter(col("fill_method") === "interpolated").count() ==
+        ipExp.filter(col("fill_method") === "interpolated").count())
+    val d = Tables.load(spark, sf001, "documents")
+    val dbGot = ports("db.outport1").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val dbExp = graft.api.GraftOps.applyDedupBest(d, col("doc_id"),
+        col("n_chars"),
+        graft.api.GraftOps.minhashNearDup(d, col("doc_id"), col("text"),
+          shingleWidth = 3, numHashes = 16, bands = 4, minMatches = 8),
+        col("id_a"), col("id_b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dbGot == dbExp && dbGot.size < d.count(),
+      "XML keep-best == library keep-best, and it dropped something")
+  }
+
   test("diamond DAG topology compiles (join of two branches)") {
     val spec = PipelineSpec(
       nodes = Seq(
