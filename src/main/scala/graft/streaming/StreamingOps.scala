@@ -218,6 +218,33 @@ object StreamingOps {
     }
   }
 
+  /** Streaming heavy-hitter candidate summary — the streaming twin of
+    * [[graft.api.GraftOps.heavyHittersSketch]]'s sketch half: one
+    * Misra–Gries summary maintained as STREAMING AGGREGATION STATE
+    * (Spark's agg-state machinery runs the same partial/merge path it
+    * uses batch-side, so per-task state is `capacity` pairs, never the
+    * key space, and each micro-batch merges in one tiny final step).
+    * Emits the current (key, est) candidate set each batch (complete
+    * output mode: the summary is one logical row, re-emitted whole).
+    *
+    * Contract mirrors the batch tier's: the candidate set is a proven
+    * SUPERSET of every key whose true share exceeds 1/(capacity+1) of
+    * the rows seen so far, and `est` undercounts by at most
+    * n/(capacity+1). Counters are summary internals — callers needing
+    * exact counts recount candidates against stored data (the q70b
+    * recount shape); a stream cannot re-scan its own past. */
+  def heavyHittersStream(stream: DataFrame, key: Column,
+      capacity: Int): DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGries(capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    stream.select(key.cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .groupBy(lit(1).as("__g"))
+      .agg(mg(col("__k")).as("__s"))
+      .select(explode(col("__s")).as(Seq("key", "est")))
+  }
+
   /** The reference's one latency semantic: a fixed 10-second micro-batch
     * interval (`OpContainer.java:47-49`, `new Duration(10000)`). */
   val ReferenceTrigger: Trigger = Trigger.ProcessingTime("10 seconds")

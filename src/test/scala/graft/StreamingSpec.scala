@@ -573,6 +573,46 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally index.unpersist()
   }
 
+  test("S13: streaming heavy-hitter summary is a superset with the MG error bound") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    // Planted skew split across MULTIPLE micro-batches: "hot" is 40% of
+    // the stream, "warm" 20%, the rest 1-off noise keys.
+    val capacity = 8
+    val b1 = Seq.fill(40)("hot") ++ Seq.fill(10)("warm") ++ (1 to 10).map(i => s"n1_$i")
+    val b2 = Seq.fill(40)("hot") ++ Seq.fill(30)("warm") ++ (1 to 20).map(i => s"n2_$i")
+    val all = b1 ++ b2
+    val input = MemoryStream[String]
+    val out = StreamingOps.heavyHittersStream(input.toDF().toDF("k"),
+      col("k"), capacity)
+    val q = out.writeStream.format("memory").queryName("s13")
+      .outputMode("complete").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val summary = spark.table("s13").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = all.size.toLong
+      val trueCounts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = n / (capacity + 1)
+      // superset law: every key above the n/(capacity+1) share survives
+      // the cross-batch state merges
+      trueCounts.filter(_._2 > bound).keys.foreach { k =>
+        assert(summary.contains(k), s"true heavy hitter '$k' missing from summary")
+      }
+      // error law: counters undercount by at most n/(capacity+1)
+      summary.foreach { case (k, est) =>
+        val t = trueCounts(k)
+        assert(est <= t && est >= t - bound,
+          s"'$k' est=$est outside [${t - bound}, $t]")
+      }
+      assert(summary.size <= capacity, "summary never exceeds capacity")
+    } finally q.stop()
+  }
+
   test("S11: Observed metrics surface per micro-batch on a stream") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
