@@ -1268,6 +1268,31 @@ object GraftOps {
       .filter(col("smp_rank") <= n)
   }
 
+  /** Weighted FIXED-SIZE stratified sampling — priority sampling: per
+    * stratum keep the `n` rows with the smallest rank = u / weight,
+    * where u is the portable key-hash mapped into (0, 1] — inclusion
+    * probability scales with weight (probability-proportional-to-size
+    * without replacement), yet membership stays a pure function of
+    * (key, weight): deterministic across runs, engines, partitionings.
+    * The exact-size complement of [[weightedSample]] (rate-based) and
+    * the weighted complement of [[stratifiedFixedSample]] (uniform).
+    * Rows with NULL or non-positive weight never sample (filtered up
+    * front, same contract as weightedSample). Adds `smp_rank` (1..n
+    * within stratum, rank order). One shuffle on strata; the rank
+    * arithmetic is one IEEE double division of exact inputs —
+    * oracle-portable (q78). */
+  def weightedFixedSample(df: DataFrame, strata: Column, key: Column,
+      weight: Column, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive; got $n")
+    val u = (pmod(Portable.phash(concat(lit("wfx|"), key.cast("string"))),
+      lit(1000000)) + lit(1)).cast("double") / 1000000.0
+    val w = Window.partitionBy(strata)
+      .orderBy((u / weight.cast("double")).asc, key)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("smp_rank", row_number().over(w))
+      .filter(col("smp_rank") <= n)
+  }
+
   /** Weighted corpus mixing — the epoch-weighting step of an LLM training
     * pipeline: each stratum gets a fractional repeat factor (in millionths
     * of a copy, e.g. 2_250_000 ppm = 2.25 epochs). A row emits

@@ -666,7 +666,30 @@ object CurationOps {
       WHERE bucket < least(1000000, CAST(floor(weight * 600000.0) AS BIGINT))
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q78
+  /** Weighted fixed-size sampling: 10 docs per source, inclusion odds
+    * proportional to n_chars (longer docs likelier, count exact) —
+    * priority sampling via rank = u/weight over the portable hash.
+    * Exercises [[GraftOps.weightedFixedSample]]. */
+  val q78 = QueryDef("q78_weighted_fixed",
+    (s, dir) =>
+      GraftOps.weightedFixedSample(docs(s, dir), col("source"),
+          col("doc_id"), col("n_chars"), n = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("smp_rank"))
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id, source, n_chars, smp_rank FROM (
+        SELECT doc_id, source, n_chars,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY
+            (CAST((${Duck.ph("'wfx|' || CAST(doc_id AS VARCHAR)")} % 1000000) + 1 AS DOUBLE)
+              / 1000000.0) / CAST(n_chars AS DOUBLE), doc_id)
+            AS INTEGER) AS smp_rank
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0)
+      WHERE smp_rank <= 10
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
-      q63, q64, q65, q69, q74)
+      q63, q64, q65, q69, q74, q78)
 }

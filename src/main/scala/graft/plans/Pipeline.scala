@@ -462,6 +462,10 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.weightedSample(in("inport1"),
         expr(arg(args, "key")), expr(arg(args, "weight")),
         arg(args, "ratePpm").toLong))),
+    "weightedFixedSample" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.weightedFixedSample(in("inport1"),
+        expr(arg(args, "strata")), expr(arg(args, "key")),
+        expr(arg(args, "weight")), arg(args, "n").toInt))),
     "mixCorpus" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.mixCorpus(in("inport1"),
         expr(arg(args, "strata")), expr(arg(args, "key")),

@@ -227,6 +227,30 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       "NULL-valued events still count as bucket activity")
   }
 
+  test("weightedFixedSample: exact size, weight-proportional odds, exclusions") {
+    import spark.implicits._
+    // one stratum: 200 light rows (w=1) + 200 heavy rows (w=50)
+    val rows = (1L to 200L).map(i => ("s", i, 1.0)) ++
+      (201L to 400L).map(i => ("s", i, 50.0)) ++
+      Seq(("s", 401L, 0.0), ("s", 402L, -1.0),
+        ("s", 403L, Double.NaN)) // never sampled: non-positive
+    val df = rows.toDF("src", "id", "w")
+    val got = GraftOps.weightedFixedSample(df, col("src"), col("id"),
+        col("w"), n = 40).select("id").as[Long].collect()
+    assert(got.length == 40, "exactly n per stratum")
+    assert(!got.exists(_ >= 401L), "non-positive weights never sample")
+    val heavy = got.count(_ > 200L)
+    assert(heavy >= 30, s"50x-weighted rows should dominate the sample; got $heavy/40")
+    // deterministic: same inputs, same sample
+    val again = GraftOps.weightedFixedSample(df, col("src"), col("id"),
+        col("w"), n = 40).select("id").as[Long].collect()
+    assert(got.sorted.sameElements(again.sorted))
+    // monotone-ish law: a stratum with fewer than n eligible rows keeps all
+    val tiny = Seq(("t", 1L, 2.0), ("t", 2L, 3.0)).toDF("src", "id", "w")
+    assert(GraftOps.weightedFixedSample(tiny, col("src"), col("id"),
+      col("w"), n = 10).count() == 2)
+  }
+
   test("robustOutliers: median/MAD scoring, NULL score when MAD is 0") {
     import spark.implicits._
     val df = Seq(
