@@ -84,6 +84,51 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("round-12 op plan shapes: single-shuffle asof, broadcast outlier stats, one-exchange samplers") {
+    import org.apache.spark.sql.functions._
+    // Exchanges are inserted by EnsureRequirements, so they only appear
+    // in the EXECUTED plan (sparkPlan is pre-preparation); AQE wraps it,
+    // so count shapes on the plan string.
+    def planStr(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    def countOf(s: String, needle: String): Int =
+      s.sliding(needle.length).count(_ == needle)
+    val e = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    // asofJoin promises ONE hash exchange (the union-marker window) in
+    // either direction — a second would mean the forward path reverses
+    // the data instead of the sort.
+    Seq(false, true).foreach { fwd =>
+      val s = planStr(graft.api.GraftOps.asofJoin(
+        e.filter(col("event_type") === "purchase").drop("event_type"),
+        e.filter(col("event_type") === "click").drop("event_type"),
+        "user_id", "ts", forward = fwd, toleranceUs = 1000000L))
+      val n = countOf(s, "Exchange hashpartitioning")
+      assert(n == 1,
+        s"asofJoin(forward=$fwd) must plan exactly one hash exchange, got $n")
+    }
+    // robustOutliers: both stat joins broadcast — the corpus must never
+    // sort-merge (shuffle) against catalog-sized group stats.
+    val docs = Tables.load(spark, sf001, "documents")
+    val ro = planStr(graft.api.GraftOps.robustOutliers(docs, col("lang"),
+      col("n_chars")))
+    // 3, not 2: the med-join subtree feeds both the mad aggregate and
+    // the final join, so it plans twice — every instance must broadcast.
+    assert(countOf(ro, "BroadcastHashJoin") == 3,
+      "robustOutliers must broadcast med and mad back at every join site")
+    assert(!ro.contains("SortMergeJoin"),
+      "robustOutliers must never shuffle the corpus on the group key")
+    // weightedSample is a pure narrow filter: zero exchanges.
+    val ws = planStr(graft.api.GraftOps.weightedSample(docs, col("doc_id"),
+      col("n_chars") / 1000.0, 500000L))
+    assert(!ws.contains("Exchange"), "weightedSample must plan zero exchanges")
+    // weightedFixedSample: exactly the one per-stratum window exchange.
+    val wf = planStr(graft.api.GraftOps.weightedFixedSample(docs,
+      col("source"), col("doc_id"), col("n_chars"), 10))
+    assert(countOf(wf, "Exchange hashpartitioning") == 1,
+      "weightedFixedSample is one window shuffle on strata")
+  }
+
   test("applyMixture stays broadcast-only on the corpus side") {
     // The defining property of the mixture apply: the |sources|-row plan
     // reaches the corpus via a broadcast hash join — never a sort-merge
