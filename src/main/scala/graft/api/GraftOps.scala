@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{CosineSim, Portable, Text}
@@ -941,6 +941,25 @@ object GraftOps {
           cents.map(_._2), cents.map(_._1)), 1).as("cell"),
         col("codes"))
   }
+
+  /** Index compaction — the maintenance terminal of the at-rest ANN
+    * lifecycle (append → [[reindexCells]] → compact): rewrite the stored
+    * (id, cell, codes) table into a CELL-PARTITIONED layout with each
+    * cell's rows co-located in one task (`repartition(cell)` →
+    * `partitionBy("cell")` ⇒ exactly one file per cell instead of the
+    * one-file-per-(micro-batch × task) sprawl `ivfPqAppendSink`
+    * accumulates). The payoff is more than file count: the search side
+    * routes cells through a BROADCAST join ([[ivfPqTopKCoded]]), and a
+    * broadcast join against a partition column triggers Spark's dynamic
+    * partition pruning — after compaction a search with nprobe=p reads
+    * ~p/K of the index from disk instead of scanning everything and
+    * filtering (PqSpec asserts the `dynamicpruning` subquery in the
+    * plan and search parity with the uncompacted table). Pure layout:
+    * rows, schema, and every search result are unchanged. */
+  def compactIndex(spark: SparkSession, inPath: String, outPath: String): Unit =
+    spark.read.parquet(inPath)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(outPath)
 
   /** The search half over a STORED index ([[ivfPqEncode]] output read
     * back — id + cell + codes, NO vectors): probes carry full vectors and

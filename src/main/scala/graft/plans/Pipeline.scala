@@ -645,6 +645,14 @@ object PipelineCompiler {
         .save(arg(args, "path"))
       Map.empty
     }),
+    // Index-compaction terminal: rewrite an at-rest (id, cell, codes)
+    // index (ivfPqAppendSink accumulation) into the cell-partitioned
+    // layout that gives searches dynamic partition pruning.
+    "compactIndexSink" -> ((s, _, args) => {
+      graft.api.GraftOps.compactIndex(s, arg(args, "inPath"),
+        arg(args, "outPath"))
+      Map.empty
+    }),
     // Bucketed CTAS: the shuffle-elimination layout (api.Bucketing) as a
     // terminal op — a fact table written bucketed+sorted on its join key
     // joins any same-bucketed table with zero exchanges afterwards.

@@ -311,6 +311,52 @@ class PqSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("compactIndex: one file per cell, identical search, dynamic partition pruning") {
+    val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-raw-idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cmp-idx").toString
+    try {
+      // simulate append sprawl: 3 "micro-batches", each fanned over 8 tasks
+      val encoded = GraftOps.ivfPqEncode(emb, col("vec_id"), col("embedding"),
+        coarse, model, DIM)
+      (0 until 3).foreach { i =>
+        encoded.filter(col("id") % 3 === i).repartition(8)
+          .write.mode("append").parquet(dir)
+      }
+      def parquetFiles(root: String): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+        walk(new java.io.File(root))
+      }
+      val sprawl = parquetFiles(dir).size
+      GraftOps.compactIndex(spark, dir, out)
+      val nCells = spark.read.parquet(dir).select("cell").distinct().count()
+      val compacted = parquetFiles(out).size
+      assert(compacted == nCells && compacted < sprawl,
+        s"compaction must leave one file per cell ($nCells), was $sprawl, got $compacted")
+      val probes = emb.filter(col("vec_id") < 10)
+      def search(index: org.apache.spark.sql.DataFrame) =
+        GraftOps.ivfPqTopKCoded(index, col("id"), col("cell"), col("codes"),
+          probes, col("vec_id"), col("embedding"), coarse, model,
+          k = 3, nprobe = 2)
+      assert(search(spark.read.parquet(out)).collect().toSet ==
+        search(spark.read.parquet(dir)).collect().toSet,
+        "compaction is pure layout: search results identical")
+      // the broadcast cell-routing join against the partition column must
+      // plan a dynamic-partition-pruning subquery on the compacted scan
+      val plan = search(spark.read.parquet(out))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"compacted search must prune partitions dynamically:\n${plan.take(1500)}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("declarative indexAppendSink: XML-compiled append equals rebuild search") {
     val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
       k = 4, iters = 1)
