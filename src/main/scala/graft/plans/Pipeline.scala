@@ -429,6 +429,12 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.collocations(in("inport1"),
         expr(arg(args, "bigram")), arg(args, "minCount").toLong,
         arg(args, "k").toInt))),
+    // Streaming twin (S13): MG summary as streaming agg state; pair with
+    // a complete-mode stream sink.
+    "heavyHittersStream" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.heavyHittersStream(
+        in("inport1"), expr(arg(args, "key")),
+        args.getOrElse("capacity", "1024").toInt))),
     // Streaming admission control (the q16 family's incremental twin):
     // nearDupIndex builds the band index over a BATCH corpus (persist the
     // outport yourself for many-batch reuse), nearDupAdmit flags stream

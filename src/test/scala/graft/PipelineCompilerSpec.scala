@@ -1114,6 +1114,44 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("round-12 heavyHittersStream composes in a STREAMING XML pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("hh-stream-in")
+    // 30 "hot", 6 "warm", 4 singletons — capacity 4 keeps hot+warm
+    val lines = (Seq.fill(30)("hot") ++ Seq.fill(6)("warm") ++
+      (1 to 4).map(i => s"n$i")).map(k => s"""{"k": "$k"}""")
+    java.nio.file.Files.writeString(dir.resolve("a.json"), lines.mkString("\n") + "\n")
+    val xml = s"""
+      <pipeline>
+        <operator name="src" class="fileStreamInput">
+          <arg key="schema" value="k STRING"/>
+          <arg key="format" value="json"/>
+          <arg key="path" value="${dir.toUri}"/>
+        </operator>
+        <operator name="hh" class="heavyHittersStream">
+          <arg key="key" value="k"/><arg key="capacity" value="4"/>
+        </operator>
+        <operator name="sink" class="memoryStreamSink">
+          <arg key="name" value="hh_stream_out"/>
+          <arg key="outputMode" value="complete"/>
+        </operator>
+        <connect from="src.outport1" to="hh.inport1"/>
+        <connect from="hh.outport1" to="sink.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(xml), spark)
+    val q = spark.streams.active.find(_.name == "hh_stream_out")
+      .getOrElse(fail("compiled streaming sink did not start a query"))
+    try {
+      q.processAllAvailable()
+      val summary = spark.table("hh_stream_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(summary.contains("hot") && summary.contains("warm"),
+        s"true heavy keys must survive: $summary")
+      assert(summary.size <= 4, "summary bounded by capacity")
+      val n = lines.size; val bound = n / 5
+      assert(summary("hot") >= 30 - bound && summary("hot") <= 30)
+    } finally q.stop()
+  }
+
   test("cycle is rejected with an explicit error") {
     val spec = PipelineSpec(
       nodes = Seq(
