@@ -1917,6 +1917,36 @@ object GraftOps {
       .drop("__g", "__v")
   }
 
+  // ------------------------------------------------- score calibration
+
+  /** Per-group quantile normalization — cross-source score CALIBRATION:
+    * replaces each row's raw score with its quantile rank inside its own
+    * group (`percent_rank` = (rank−1)/(n−1) ∈ [0,1]), so scores from
+    * sources with different scales/distributions become comparable and a
+    * single global threshold means the same thing everywhere — the step
+    * before any cross-source quality cut ([[topQuantileFilter]] keeps
+    * per-stratum thresholds instead; this rewrites the scores
+    * themselves). Ties share a rank (equal raw scores get equal
+    * normalized scores — deterministic with no tiebreak), single-row
+    * groups normalize to 0.0, NULL scores stay NULL and consume no rank.
+    * The arithmetic is one integer ratio in IEEE double — exact, so the
+    * output is oracle-portable (q79).
+    *
+    * Plan: one window shuffle on the group key (the irreducible cost of
+    * exact ranks); the GK-sketch alternative for hot groups is the same
+    * trade [[topQuantileFilterApprox]] documents. */
+  def quantileNormalize(df: DataFrame, group: Column, value: Column,
+      outCol: String = "qrank"): DataFrame = {
+    // NULL scores must not CONSUME ranks (they'd shift every real row's
+    // ratio, and Spark/DuckDB disagree on NULL sort order) — rank only
+    // the non-null rows, pass NULL rows through with a NULL qrank.
+    val w = Window.partitionBy(group).orderBy(value.asc)
+    df.filter(value.isNotNull)
+      .withColumn(outCol, percent_rank().over(w))
+      .unionByName(df.filter(value.isNull)
+        .withColumn(outCol, lit(null).cast("double")))
+  }
+
   // ------------------------------------------------- frequent items
 
   /** Exact heavy hitters: every key whose share of the input is at least

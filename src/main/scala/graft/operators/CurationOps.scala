@@ -689,7 +689,24 @@ object CurationOps {
       WHERE smp_rank <= 10
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q79
+  /** Cross-source score calibration: each document's length score
+    * replaced by its quantile rank WITHIN its source (percent_rank —
+    * (rank−1)/(n−1), an exact integer ratio), so a single global
+    * threshold means the same thing in every source. Exercises
+    * [[GraftOps.quantileNormalize]]. */
+  val q79 = QueryDef("q79_quantile_normalize",
+    (s, dir) =>
+      GraftOps.quantileNormalize(docs(s, dir), col("source"), col("n_chars"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("qrank"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, source, n_chars,
+        percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS qrank
+      FROM documents
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
-      q63, q64, q65, q69, q74, q78)
+      q63, q64, q65, q69, q74, q78, q79)
 }

@@ -417,6 +417,10 @@ object PipelineCompiler {
     "robustOutliers" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.robustOutliers(in("inport1"),
         expr(arg(args, "group")), expr(arg(args, "value"))))),
+    "quantileNormalize" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.quantileNormalize(in("inport1"),
+        expr(arg(args, "group")), expr(arg(args, "value")),
+        args.getOrElse("out", "qrank")))),
     // Frequency family: exact + Misra-Gries heavy hitters, collocations.
     "heavyHitters" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.heavyHitters(in("inport1"),

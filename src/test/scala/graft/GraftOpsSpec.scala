@@ -227,6 +227,24 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       "NULL-valued events still count as bucket activity")
   }
 
+  test("quantileNormalize: exact ranks, tie sharing, NULLs pass through rankless") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)), ("a", 3L, Some(20.0)),
+      ("a", 4L, Some(40.0)), ("a", 5L, Option.empty[Double]),
+      ("b", 6L, Some(7.0))) // single-row group -> 0.0
+      .toDF("src", "id", "score")
+    val out = GraftOps.quantileNormalize(df, col("src"), col("score"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("qrank")).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L).contains(0.0))
+    assert(out(2L) == out(3L) && out(2L).contains(1.0 / 3.0),
+      "ties share the rank; NULL row consumes none (n=4 ranked rows)")
+    assert(out(4L).contains(1.0), "max of the group normalizes to 1")
+    assert(out(5L).isEmpty, "NULL score stays NULL")
+    assert(out(6L).contains(0.0), "single-row group normalizes to 0")
+  }
+
   test("weightedFixedSample: exact size, weight-proportional odds, exclusions") {
     import spark.implicits._
     // one stratum: 200 light rows (w=1) + 200 heavy rows (w=50)
