@@ -1917,6 +1917,60 @@ object GraftOps {
       .drop("__g", "__v")
   }
 
+  // ------------------------------------------------- corpus profiling
+
+  /** Per-group equi-width histogram — the corpus-audit primitive (length/
+    * score distributions per source before and after every curation
+    * step). `nBins` bins over [lo, hi); values below lo clamp into bin 0,
+    * at-or-above hi into bin nBins−1 (out-of-range data is SHOWN at the
+    * edges, not dropped — a spike at an edge bin is the audit signal
+    * that the range is wrong); NULL values are excluded. Emits one row
+    * per OCCUPIED (group, bin) with the bin's [lo, hi) edges and exact
+    * count. Bin ids are `floor((v−lo)/(hi−lo)·nBins)` clamped — one
+    * fixed-order IEEE expression, oracle-portable (q80).
+    *
+    * Plan: one map-side-combined hash agg on (group, bin) — cardinality
+    * ≤ groups·nBins, broadcast-size output at any corpus scale. */
+  def histogram(df: DataFrame, group: Column, value: Column,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive; got $nBins")
+    require(lo < hi, s"need lo < hi; got [$lo, $hi)")
+    val v = value.cast("double")
+    val bin = least(lit(nBins - 1), greatest(lit(0),
+      floor((v - lit(lo)) / lit(hi - lo) * lit(nBins)).cast("int")))
+    df.filter(v.isNotNull)
+      .groupBy(group.as("group"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("group"), col("bin"),
+        (lit(lo) + col("bin").cast("double") * lit((hi - lo)) / lit(nBins))
+          .as("bin_lo"),
+        (lit(lo) + (col("bin") + 1).cast("double") * lit((hi - lo)) / lit(nBins))
+          .as("bin_hi"),
+        col("n"))
+  }
+
+  /** Cumulative contribution report — "which sources make up the top 90%
+    * of the corpus": per-group exact totals of `weight` (e.g. token
+    * counts), ranked descending, with each group's integer-ppm share and
+    * RUNNING cumulative share. The budget-allocation view every mixture
+    * decision starts from; all arithmetic is exact longs + integer ppm
+    * division, oracle-portable (q81). One agg + one |groups|-row window
+    * — the window sorts group TOTALS, never corpus rows. */
+  def contributionReport(df: DataFrame, group: Column,
+      weight: Column): DataFrame = {
+    val totals = df.groupBy(group.as("group"))
+      .agg(sum(weight.cast("long")).as("w"))
+    val grand = totals.agg(sum(col("w")).as("__t"))
+    totals.crossJoin(broadcast(grand))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("w"), col("group"))))
+      .withColumn("share_ppm", expr("(w * 1000000) div __t"))
+      .withColumn("cum_ppm", expr("(sum(w) OVER (ORDER BY w DESC, group " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000) div __t"))
+      .select(col("group"), col("w"), col("rank"), col("share_ppm"),
+        col("cum_ppm"))
+  }
+
   // ------------------------------------------------- score calibration
 
   /** Per-group quantile normalization — cross-source score CALIBRATION:

@@ -706,7 +706,56 @@ object CurationOps {
       FROM documents
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q80
+  /** Corpus-audit histogram: document-length distribution per language,
+    * 20 equi-width bins over [0, 2000) chars with edge-clamping (an
+    * out-of-range spike shows AT the edge instead of vanishing).
+    * Exercises [[GraftOps.histogram]]. */
+  val q80 = QueryDef("q80_histogram",
+    (s, dir) =>
+      GraftOps.histogram(docs(s, dir), col("lang"), col("n_chars"),
+          lo = 0.0, hi = 2000.0, nBins = 20)
+        .withColumnRenamed("group", "lang")
+        .orderBy("lang", "bin"),
+    Some("""
+      WITH b AS (
+        SELECT lang,
+          CAST(least(19, greatest(0,
+            CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / 2000.0 * 20) AS INTEGER))) AS INTEGER) AS bin
+        FROM documents WHERE n_chars IS NOT NULL)
+      SELECT lang, bin,
+        0.0 + CAST(bin AS DOUBLE) * 2000.0 / 20 AS bin_lo,
+        0.0 + CAST(bin + 1 AS DOUBLE) * 2000.0 / 20 AS bin_hi,
+        COUNT(*) AS n
+      FROM b
+      GROUP BY lang, bin
+      ORDER BY lang, bin"""))
+
+  // ---------------------------------------------------------------- q81
+  /** Source-contribution report: exact char totals per source ranked
+    * descending with integer-ppm share and running cumulative share —
+    * "which sources make the top 90%". Exercises
+    * [[GraftOps.contributionReport]]. */
+  val q81 = QueryDef("q81_contribution",
+    (s, dir) =>
+      GraftOps.contributionReport(docs(s, dir), col("source"), col("n_chars"))
+        .withColumnRenamed("group", "source")
+        .orderBy("rank"),
+    Some("""
+      WITH t AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+        FROM documents GROUP BY source),
+      g AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM t)
+      SELECT source, w,
+        CAST(row_number() OVER (ORDER BY w DESC, source) AS INTEGER) AS rank,
+        (w * 1000000) // total AS share_ppm,
+        (CAST(SUM(w) OVER (ORDER BY w DESC, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          * 1000000) // total AS cum_ppm
+      FROM t, g
+      ORDER BY rank"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
-      q63, q64, q65, q69, q74, q78, q79)
+      q63, q64, q65, q69, q74, q78, q79, q80, q81)
 }

@@ -421,6 +421,14 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.quantileNormalize(in("inport1"),
         expr(arg(args, "group")), expr(arg(args, "value")),
         args.getOrElse("out", "qrank")))),
+    "histogram" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.histogram(in("inport1"),
+        expr(arg(args, "group")), expr(arg(args, "value")),
+        arg(args, "lo").toDouble, arg(args, "hi").toDouble,
+        arg(args, "nBins").toInt))),
+    "contributionReport" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.contributionReport(in("inport1"),
+        expr(arg(args, "group")), expr(arg(args, "weight"))))),
     // Frequency family: exact + Misra-Gries heavy hitters, collocations.
     "heavyHitters" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.heavyHitters(in("inport1"),

@@ -227,6 +227,35 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       "NULL-valued events still count as bucket activity")
   }
 
+  test("histogram: edge clamping shows out-of-range data, NULLs excluded") {
+    import spark.implicits._
+    val df = Seq(("a", Some(-5.0)), ("a", Some(0.0)), ("a", Some(9.9)),
+      ("a", Some(10.0)), ("a", Some(55.0)), ("a", Some(999.0)),
+      ("a", Option.empty[Double])).toDF("g", "v")
+    val out = GraftOps.histogram(df, col("g"), col("v"), 0.0, 100.0, 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n"),
+        r.getAs[Double]("bin_lo"), r.getAs[Double]("bin_hi")))
+    // -5 clamps into bin 0; 999 clamps into bin 9; NULL excluded
+    assert(out.toSeq == Seq((0, 3L, 0.0, 10.0), (1, 1L, 10.0, 20.0),
+      (5, 1L, 50.0, 60.0), (9, 1L, 90.0, 100.0)))
+  }
+
+  test("contributionReport: exact shares and running cumulative ppm") {
+    import spark.implicits._
+    val df = Seq(("big", 60L), ("big", 40L), ("mid", 50L), ("tiny", 10L))
+      .toDF("src", "tok")
+    val out = GraftOps.contributionReport(df, col("src"), col("tok"))
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("group"), r.getAs[Long]("w"),
+        r.getAs[Int]("rank"), r.getAs[Long]("share_ppm"),
+        r.getAs[Long]("cum_ppm")))
+    assert(out.toSeq == Seq(
+      ("big", 100L, 1, 625000L, 625000L),
+      ("mid", 50L, 2, 312500L, 937500L),
+      ("tiny", 10L, 3, 62500L, 1000000L)))
+  }
+
   test("quantileNormalize: exact ranks, tie sharing, NULLs pass through rankless") {
     import spark.implicits._
     val df = Seq(
