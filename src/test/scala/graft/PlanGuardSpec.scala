@@ -27,11 +27,14 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     *  - q71: SQ8 ADC scan — the q50 shape with byte codes.
     *  - q77: collocations join the 1-row bigram-total via broadcast
     *    cross join (the q35/q70 shape).
+    *  - q81: the contribution report joins the 1-row grand total via
+    *    broadcast cross join (same shape).
     */
   private val allowNestedLoop = Set(
     "q13_similarity_knn", "q19_embedding_neardup", "q32_cross_join",
     "q35_tfidf_topk", "q50_ann_pq", "q70_heavy_hitters",
-    "q70b_heavy_hitters_sketch", "q71_ann_sq8", "q77_collocations")
+    "q70b_heavy_hitters_sketch", "q71_ann_sq8", "q77_collocations",
+    "q81_contribution")
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(nodes)
