@@ -920,6 +920,36 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out == expect, "asofJoin diverges from the reference")
   }
 
+  test("asofJoin FORWARD+tolerance matches a driver-side reference on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val quotes = (1 to 120).map { i =>
+      (rnd.nextInt(4).toLong, new Timestamp(1700000000000L + rnd.nextInt(50) * 1000L),
+        rnd.nextInt(1000).toDouble, i.toLong)
+    }
+    val trades = (1 to 150).map { i =>
+      (rnd.nextInt(5).toLong, new Timestamp(1700000000000L + rnd.nextInt(60) * 1000L), i)
+    }
+    val tolUs = 8L * 1000 * 1000 // 8 s
+    // reference: earliest quote at-or-after, greatest seq on (ts) ties,
+    // nulled when farther than the tolerance
+    val expect = trades.map { case (k, t, i) =>
+      val m = quotes.filter(q => q._1 == k && !q._2.before(t))
+        .sortBy(q => (-q._2.getTime, q._4)).lastOption
+        .filter(q => (q._2.getTime - t.getTime) * 1000L <= tolUs)
+      (k, t.getTime, i) -> m.map(_._3)
+    }.toMap
+    val out = GraftOps.asofJoin(
+        quotes.toDF("sym", "t", "px", "seq"), trades.toDF("sym", "t", "qty"),
+        "sym", "t", tiebreak = Some("seq"), forward = true, toleranceUs = tolUs)
+      .collect().map { r =>
+        (r.getAs[Long]("sym"), r.getAs[Timestamp]("t").getTime, r.getAs[Int]("qty")) ->
+          Option(r.getAs[Any]("asof_px")).map(_.asInstanceOf[Double])
+      }.toMap
+    assert(out.size == trades.size, "tolerance never drops rows")
+    assert(out == expect, "forward asofJoin diverges from the reference")
+  }
+
   test("sessionize matches a driver-side gap-split reference on seeded random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
