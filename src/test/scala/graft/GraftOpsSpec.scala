@@ -950,6 +950,63 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out == expect, "forward asofJoin diverges from the reference")
   }
 
+  test("interpolate matches a driver-side reference on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val step = 3600000000L // 1 h in us
+    val events = (1 to 400).map { _ =>
+      (rnd.nextInt(5).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(72) * 600000L), // 12 h span
+        if (rnd.nextInt(10) == 0) Option.empty[Double]
+        else Some(rnd.nextInt(10000) / 100.0))
+    }
+    // driver-side reference mirroring the documented contract exactly
+    val byKey = events.groupBy(_._1)
+    val expect = byKey.flatMap { case (k, evs) =>
+      val buckets = evs.map(e => (e._2.getTime * 1000L) / step)
+      val (mn, mx) = (buckets.min, buckets.max)
+      val byBucket = evs.groupBy(e => (e._2.getTime * 1000L) / step)
+      // NULL values count toward n but contribute no cents (sum skips
+      // nulls, count counts every row in the bucket — the op's contract)
+      val obs: Map[Long, (Long, Option[Double])] = byBucket.map { case (b, es) =>
+        val known = es.flatMap(_._3.map(v => math.floor(v * 100).toLong))
+        b -> (es.size.toLong,
+          if (known.isEmpty) None
+          else Some(known.sum.toDouble / 100.0 / es.size.toDouble))
+      }
+      (mn to mx).map { b =>
+        val (n, v) = obs.getOrElse(b, (0L, None))
+        val prev = (mn to b).reverse.find(x => obs.get(x).exists(_._2.isDefined))
+        val next = (b to mx).find(x => obs.get(x).exists(_._2.isDefined))
+        val value = v.orElse((prev, next) match {
+          case (Some(p), Some(nx)) =>
+            val pv = obs(p)._2.get; val nv = obs(nx)._2.get
+            Some(pv + (nv - pv) * ((b - p).toDouble / (nx - p).toDouble))
+          case (Some(p), None) => Some(obs(p)._2.get)
+          case (None, Some(nx)) => Some(obs(nx)._2.get)
+          case _ => None
+        })
+        (k, b) -> (n, value)
+      }
+    }
+    val out = GraftOps.interpolate(events.toDF("k", "t", "v"),
+        col("k"), col("t"), col("v"), stepUs = step)
+      .collect().map { r =>
+        (r.getAs[Long]("key"), r.getAs[Long]("bucket")) ->
+          (r.getAs[Long]("n"),
+            Option(r.getAs[Any]("value")).map(_.asInstanceOf[Double]))
+      }.toMap
+    assert(out.keySet == expect.keySet, "spine coverage matches")
+    expect.foreach { case (kb, (n, v)) =>
+      assert(out(kb)._1 == n, s"n mismatch at $kb")
+      (out(kb)._2, v) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) < 1e-9, s"value mismatch at $kb: $a vs $b")
+        case (a, b) => assert(a == b, s"nullity mismatch at $kb: $a vs $b")
+      }
+    }
+  }
+
   test("sessionize matches a driver-side gap-split reference on seeded random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
