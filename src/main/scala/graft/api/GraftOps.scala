@@ -1904,13 +1904,34 @@ object GraftOps {
     * shuffle; the corpus itself is scanned narrow, twice. At 100 TB the
     * alternative single-pass approximate tier is `percentile_approx` on
     * both aggs (GK sketch, not oracle-portable — q29b precedent). */
-  def robustOutliers(df: DataFrame, group: Column, value: Column): DataFrame = {
+  def robustOutliers(df: DataFrame, group: Column, value: Column): DataFrame =
+    robustOutliersImpl(df, group, value, exact = true, accuracy = 0)
+
+  /** The bounded-memory tier of [[robustOutliers]] for groups too hot to
+    * buffer exactly: both medians come from `percentile_approx`'s GK
+    * sketch (O(accuracy) state per group vs the exact aggregate
+    * buffering every value — the q29b/topQuantileFilterApprox trade).
+    * Same output contract; scores are approximate with the sketch's
+    * rank-error bound (spec-asserted close to exact at fixture scale),
+    * so this tier is NOT oracle-portable — use it for scale, the exact
+    * tier for the gate. */
+  def robustOutliersApprox(df: DataFrame, group: Column, value: Column,
+      accuracy: Int = 10000): DataFrame = {
+    require(accuracy > 0, s"accuracy must be positive; got $accuracy")
+    robustOutliersImpl(df, group, value, exact = false, accuracy = accuracy)
+  }
+
+  private def robustOutliersImpl(df: DataFrame, group: Column, value: Column,
+      exact: Boolean, accuracy: Int): DataFrame = {
+    def med(c: String): String =
+      if (exact) s"percentile($c, 0.5)"
+      else s"percentile_approx($c, 0.5, $accuracy)"
     val d = df.withColumn("__g", group).withColumn("__v", value.cast("double"))
-    val med = d.groupBy(col("__g"))
-      .agg(expr("percentile(__v, 0.5)").as("med"))
-    val withMed = d.join(broadcast(med), Seq("__g"))
+    val m = d.groupBy(col("__g"))
+      .agg(expr(med("__v")).cast("double").as("med"))
+    val withMed = d.join(broadcast(m), Seq("__g"))
     val mad = withMed.groupBy(col("__g"))
-      .agg(expr("percentile(abs(__v - med), 0.5)").as("mad"))
+      .agg(expr(med("abs(__v - med)")).cast("double").as("mad"))
     withMed.join(broadcast(mad), Seq("__g"))
       .withColumn("score",
         when(col("mad") > 0, abs(col("__v") - col("med")) / col("mad")))

@@ -298,6 +298,35 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       col("w"), n = 10).count() == 2)
   }
 
+  test("robustOutliersApprox tracks the exact tier at fixture scale") {
+    // The sketch returns an ACTUAL data value where the exact tier
+    // interpolates between adjacent ones, so a row sitting ON the median
+    // has a tiny exact score with unbounded RELATIVE error — the
+    // meaningful laws are on the group stats and on who gets flagged.
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang"), col("med"), col("mad")).distinct().collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ex = GraftOps.robustOutliers(docs, col("lang"), col("n_chars"))
+    val ap = GraftOps.robustOutliersApprox(docs, col("lang"), col("n_chars"),
+      accuracy = 10000)
+    val (se, sa) = (stats(ex), stats(ap))
+    assert(se.keySet == sa.keySet)
+    se.foreach { case (g, (m1, d1)) =>
+      val (m2, d2) = sa(g)
+      assert(math.abs(m1 - m2) / m1 < 0.05, s"$g med drifted: $m1 vs $m2")
+      assert(math.abs(d1 - d2) / d1 < 0.05, s"$g mad drifted: $d1 vs $d2")
+    }
+    def flagged(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("score") > 2.0).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    val (fe, fa) = (flagged(ex), flagged(ap))
+    val sym = (fe diff fa) ++ (fa diff fe)
+    assert(fe.nonEmpty && sym.size <= math.max(2, fe.size / 5),
+      s"flagged sets diverged: exact ${fe.size}, approx ${fa.size}, sym ${sym.size}")
+  }
+
   test("robustOutliers: median/MAD scoring, NULL score when MAD is 0") {
     import spark.implicits._
     val df = Seq(
