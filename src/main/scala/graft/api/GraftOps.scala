@@ -122,6 +122,48 @@ object GraftOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** N-gram CONTAINMENT detection — the asymmetric near-dup case Jaccard
+    * misses: a document embedded inside a larger one (quoted articles,
+    * concatenated pages, boilerplate-wrapped reposts) shares most of ITS
+    * shingles while the union is dominated by the container, so Jaccard
+    * stays low but containment |sh(A)∩sh(B)| / |sh(A)| is high. Emits
+    * ORDERED pairs (contained_id, container_id, containment ≥ threshold);
+    * both directions of a pair can appear (mutual containment = exact
+    * near-dup).
+    *
+    * Same scale shape as [[ngramJaccard]]: codegen'd one-pass shingle
+    * hashing, df-cap via aggregate + semi join (never a window over the
+    * posting list), posting-list self-join bounded by the cap — the
+    * intersection is computed ONCE per unordered pair and emitted in
+    * whichever directions clear the threshold. */
+  def ngramContainment(df: DataFrame, id: Column, text: Column,
+      shingleWidth: Int = 3, dfCap: Int = 100,
+      threshold: Double = 0.9): DataFrame = {
+    val sh = df.select(id.as("__id"),
+        explode(graft.functions.ShingleHashes.asColumn(
+          Text.tokens(text), shingleWidth)).as("__sh"))
+    val good = sh.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select(col("__sh"))
+    val sf = sh.join(good, Seq("__sh"), "left_semi")
+      .select(col("__id"), col("__sh"))
+    val sizes = sf.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+    val inter = sf.as("a").join(sf.as("b"),
+        col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sza")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__szb")), "id_b")
+    val ab = inter.select(col("id_a").as("contained_id"),
+      col("id_b").as("container_id"),
+      (col("__inter").cast("double") / col("__sza").cast("double"))
+        .as("containment"))
+    val ba = inter.select(col("id_b").as("contained_id"),
+      col("id_a").as("container_id"),
+      (col("__inter").cast("double") / col("__szb").cast("double"))
+        .as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= threshold)
+  }
+
   /** Connected-component resolution of near-dup candidate pairs — the last
     * stage of a real dedup pipeline: q16–q19-style `(id_a, id_b)` pairs
     * become `(survivor, member)` cluster assignments where the survivor is

@@ -241,6 +241,40 @@ object DedupOps {
       WHERE doc_id NOT IN (SELECT member FROM assign WHERE member <> survivor)
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q82
+  /** Asymmetric containment dedup: ordered (contained, container) pairs
+    * with shingle containment ≥ 0.9 — catches documents embedded inside
+    * larger ones, where Jaccard (q18) stays low because the union is
+    * dominated by the container. Exercises
+    * [[graft.api.GraftOps.ngramContainment]]. */
+  val q82 = QueryDef("q82_ngram_containment",
+    (s, dir) =>
+      graft.api.GraftOps.ngramContainment(docs(s, dir), col("doc_id"),
+          col("text"), shingleWidth = 3, dfCap = 100, threshold = 0.9)
+        .orderBy("contained_id", "container_id"),
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      sr AS (SELECT doc_id, unnest(list_distinct(${Duck.shingles3})) AS sh_raw FROM t),
+      s0 AS (SELECT doc_id, ${Duck.ph("sh_raw")} AS sh FROM sr),
+      rare AS (SELECT sh FROM s0 GROUP BY sh HAVING COUNT(*) <= 100),
+      sf AS (SELECT s0.doc_id, s0.sh FROM s0 JOIN rare USING (sh)),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sf GROUP BY doc_id),
+      iv AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+        FROM sf a JOIN sf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      dirs AS (
+        SELECT ia AS contained_id, ib AS container_id,
+          CAST(inter AS DOUBLE) / CAST(za.sz AS DOUBLE) AS containment
+        FROM iv JOIN sz za ON ia = za.doc_id
+        UNION ALL
+        SELECT ib AS contained_id, ia AS container_id,
+          CAST(inter AS DOUBLE) / CAST(zb.sz AS DOUBLE) AS containment
+        FROM iv JOIN sz zb ON ib = zb.doc_id)
+      SELECT contained_id, container_id, containment
+      FROM dirs WHERE containment >= 0.9
+      ORDER BY contained_id, container_id"""))
+
   // ---------------------------------------------------------------- q76
   /** Dedup apply with the QUALITY survivor policy: q41's pipeline but
     * each near-dup cluster keeps its highest-[[GraftOps.textQuality]]
@@ -298,5 +332,5 @@ object DedupOps {
       WHERE d.doc_id NOT IN (SELECT member FROM dropped)
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q11, q16, q17, q18, q19, q40, q41, q76)
+  val all: Seq[QueryDef] = Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82)
 }

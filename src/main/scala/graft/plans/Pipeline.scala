@@ -378,6 +378,12 @@ object PipelineCompiler {
         args.getOrElse("accuracy", "10000").toInt))),
     // Dedup family: near-dup pair generation, cluster resolution, and
     // the survivor-only apply (inport1 = corpus, inport2 = pairs).
+    "ngramContainment" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.ngramContainment(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        shingleWidth = args.getOrElse("shingleWidth", "3").toInt,
+        dfCap = args.getOrElse("dfCap", "100").toInt,
+        threshold = args.getOrElse("threshold", "0.9").toDouble))),
     "minhashPairs" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.minhashNearDup(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "text")),

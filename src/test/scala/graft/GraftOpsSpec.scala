@@ -949,6 +949,29 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out == expect, "asofJoin diverges from the reference")
   }
 
+  test("ngramContainment flags doc-inside-doc that Jaccard misses") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 80).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, small),                     // contained verbatim in 2
+      (2L, s"$filler $small"),         // container
+      (3L, "totally different words about cooking pasta tonight friends"))
+      .toDF("id", "text")
+    val cont = GraftOps.ngramContainment(df, col("id"), col("text"),
+        threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("contained_id"),
+        r.getAs[Long]("container_id"), r.getAs[Double]("containment")))
+    assert(cont.map(c => (c._1, c._2)).toSet == Set((1L, 2L)),
+      s"1 is contained in 2, nothing else: ${cont.toSeq}")
+    assert(cont.head._3 == 1.0, "verbatim embedding -> containment exactly 1")
+    // the same pair is INVISIBLE to Jaccard at any useful threshold:
+    // union is dominated by the container's filler
+    val jac = GraftOps.ngramJaccard(df, col("id"), col("text"),
+      threshold = 0.3)
+    assert(jac.count() == 0, "Jaccard misses the asymmetric case by design")
+  }
+
   test("asofJoin FORWARD+tolerance matches a driver-side reference on seeded random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
