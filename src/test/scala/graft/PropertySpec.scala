@@ -20,6 +20,47 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
       Literal(new GenericArrayData(b.map(x => x: Any)), ArrayType(FloatType)))
       .eval(null).asInstanceOf[Double]
 
+  test("weightedSample is monotone in BOTH weight and rate (seeded sweep)") {
+    // raising any row's weight, or the global rate, must only ever ADD
+    // rows — the law that makes iterative curation tuning safe (a higher
+    // quality bar can't resurrect-and-drop different rows each run).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val base = (1L to 1500L).map(i => (i, rnd.nextDouble())).toDF("id", "w")
+    def kept(df: org.apache.spark.sql.DataFrame, rate: Long): Set[Long] =
+      graft.api.GraftOps.weightedSample(df, col("id"), col("w"), rate)
+        .select("id").as[Long].collect().toSet
+    val rates = Seq(100000L, 300000L, 600000L, 1000000L)
+    val byRate = rates.map(r => kept(base, r))
+    byRate.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi), "raising the rate only adds rows")
+    }
+    val boosted = base.withColumn("w", least(lit(1.0), col("w") * 1.7))
+    rates.zip(byRate).foreach { case (r, k) =>
+      assert(k.subsetOf(kept(boosted, r)), s"weight boost only adds at rate $r")
+    }
+  }
+
+  test("quantileNormalize lands distinct values exactly on the (n-1)-grid") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // distinct random scores per group: sorted qranks must be EXACTLY
+    // 0/(n-1), 1/(n-1), ..., 1 — the grid law that makes a global
+    // threshold mean the same thing in every group
+    val df = (1 to 3).flatMap { g =>
+      rnd.shuffle((1 to 50).toList).map(v => (s"g$g", v * 1.0 + g))
+    }.toDF("g", "v")
+    val out = graft.api.GraftOps.quantileNormalize(df, col("g"), col("v"))
+      .select("g", "qrank").collect()
+      .groupBy(_.getString(0)).map { case (g, rows) =>
+        g -> rows.map(_.getDouble(1)).sorted.toSeq
+      }
+    val grid = (0 until 50).map(i => i.toDouble / 49)
+    out.foreach { case (g, qs) => assert(qs == grid, s"group $g off-grid") }
+  }
+
   test("cosine_sim is symmetric, bounded, ~1 on self, ~-1 on negation (200 cases)") {
     (1 to 200).foreach { _ =>
       val a = randVec(); val b = randVec()
