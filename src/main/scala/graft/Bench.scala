@@ -105,15 +105,12 @@ object Bench {
     val ok = results.filterNot(r => failed.contains(r._1))
     val qs = ok.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    // Every individual run time goes into BENCH_RUNS.json: a median that
-    // fell inside one contended host window (e.g. three back-to-back slow
-    // runs) is then self-diagnosing from the repo artifact alone, no
-    // stderr archaeology. The runs arrays live in a FILE, not the stdout
-    // line — the driver keeps only the last ~2000 bytes of stdout, and a
-    // 52-query line with runs arrays (~4 KB) overflows that window,
-    // truncating the line start and making it unparseable (this is
-    // exactly what nulled BENCH_r05's parse). The stdout line stays
-    // compact (~1.5 KB): medians only.
+    // Every per-query number lives in BENCH_RUNS.json, NOT on stdout: the
+    // driver keeps only the last ~2000 bytes of stdout, and at 88+ queries
+    // even a medians-only map (~3 KB) overflows that window, truncating
+    // the line start and making it unparseable (this nulled BENCH_r05,
+    // _r11 and _r12's parse). The stdout line carries only the totals —
+    // metric/value/n/failed/sf, a few hundred bytes at any registry size.
     val runsJson = ok.map { case (k, _, ts, _) =>
         "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
@@ -127,7 +124,7 @@ object Bench {
     // total sums the SAME filtered set as `queries` — a failed query's
     // partial/zero time must not silently skew the headline number
     val total = ok.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${ok.size},"failed":$failedJson,"sf":"$sfDir"}"""
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"diag":$diagJson,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_RUNS.json", "UTF-8")
