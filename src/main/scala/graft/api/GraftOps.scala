@@ -1349,7 +1349,12 @@ object GraftOps {
       lit(1000000)) + lit(1)).cast("double") / 1000000.0
     val w = Window.partitionBy(strata)
       .orderBy((u / weight.cast("double")).asc, key)
-    df.filter(weight.isNotNull && weight > 0)
+    // NaN must be excluded EXPLICITLY: Spark orders NaN greater than
+    // every number, so `weight > 0` PASSES a NaN weight — in an
+    // underfull stratum (< n positive-weight rows) it would sample,
+    // violating the "NULL or non-positive weight never samples" contract.
+    df.filter(weight.isNotNull && weight > 0 &&
+        !isnan(weight.cast("double")))
       .withColumn("smp_rank", row_number().over(w))
       .filter(col("smp_rank") <= n)
   }
@@ -2016,9 +2021,12 @@ object GraftOps {
     * of the corpus": per-group exact totals of `weight` (e.g. token
     * counts), ranked descending, with each group's integer-ppm share and
     * RUNNING cumulative share. The budget-allocation view every mixture
-    * decision starts from; all arithmetic is exact longs + integer ppm
-    * division, oracle-portable (q81). One agg + one |groups|-row window
-    * — the window sorts group TOTALS, never corpus rows. */
+    * decision starts from; all arithmetic is exact (long totals, the
+    * ppm shares via decimal(38,0) so `w * 1e6` cannot overflow a long —
+    * token-count weights at corpus scale exceed 9.2e12, the point where
+    * long `w * 1000000` silently wraps), oracle-portable (q81). One agg
+    * + one |groups|-row window — the window sorts group TOTALS, never
+    * corpus rows. */
   def contributionReport(df: DataFrame, group: Column,
       weight: Column): DataFrame = {
     val totals = df.groupBy(group.as("group"))
@@ -2027,9 +2035,11 @@ object GraftOps {
     totals.crossJoin(broadcast(grand))
       .withColumn("rank", row_number().over(
         Window.orderBy(desc("w"), col("group"))))
-      .withColumn("share_ppm", expr("(w * 1000000) div __t"))
-      .withColumn("cum_ppm", expr("(sum(w) OVER (ORDER BY w DESC, group " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000) div __t"))
+      .withColumn("share_ppm",
+        expr("(cast(w as decimal(38,0)) * 1000000) div __t"))
+      .withColumn("cum_ppm", expr("(cast(sum(w) OVER (ORDER BY w DESC, " +
+        "group ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "as decimal(38,0)) * 1000000) div __t"))
       .select(col("group"), col("w"), col("rank"), col("share_ppm"),
         col("cum_ppm"))
   }

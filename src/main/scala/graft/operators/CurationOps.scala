@@ -703,7 +703,10 @@ object CurationOps {
     Some("""
       SELECT doc_id, source, n_chars,
         percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS qrank
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
+      UNION ALL
+      SELECT doc_id, source, n_chars, CAST(NULL AS DOUBLE) AS qrank
+      FROM documents WHERE n_chars IS NULL
       ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- q80

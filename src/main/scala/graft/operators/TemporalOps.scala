@@ -221,7 +221,8 @@ object TemporalOps {
         CASE WHEN v IS NOT NULL THEN 'observed'
              WHEN fv IS NOT NULL AND bv IS NOT NULL THEN 'interpolated'
              WHEN fv IS NOT NULL THEN 'ffill'
-             ELSE 'bfill' END AS fill_method
+             WHEN bv IS NOT NULL THEN 'bfill'
+             ELSE 'empty' END AS fill_method
       FROM w ORDER BY user_id, bucket"""))
 
   val all: Seq[QueryDef] = Seq(q27, q28, q58, q72, q75)

@@ -296,6 +296,15 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     val tiny = Seq(("t", 1L, 2.0), ("t", 2L, 3.0)).toDF("src", "id", "w")
     assert(GraftOps.weightedFixedSample(tiny, col("src"), col("id"),
       col("w"), n = 10).count() == 2)
+    // UNDERFULL stratum + NaN weight: Spark orders NaN above every
+    // number, so a bare `w > 0` filter would pass it and — with spare
+    // capacity below n — sample it. The contract says it never samples.
+    val underfull = Seq(("u", 1L, 2.0), ("u", 2L, Double.NaN),
+      ("u", 3L, Double.NaN)).toDF("src", "id", "w")
+    val kept = GraftOps.weightedFixedSample(underfull, col("src"),
+      col("id"), col("w"), n = 10).select("id").as[Long].collect()
+    assert(kept.sameElements(Array(1L)),
+      s"NaN weight must never sample, even in an underfull stratum; got ${kept.toSeq}")
   }
 
   test("robustOutliersApprox tracks the exact tier at fixture scale") {
