@@ -405,6 +405,62 @@ object GraftOps {
     df.join(drop, id === col("__drop_id"), "left_anti")
   }
 
+  /** SEMANTIC near-dup candidate pairs — embedding-CLUSTER routing:
+    * train a [[kmeansFit]] model on the corpus embeddings, route every
+    * row to its argmax-dot cell ([[kmeansAssign]] — a baked-constant
+    * narrow projection, zero shuffle), then emit exact-cosine pairs
+    * ≥ `threshold` WITHIN each cell only. The SemDeDup recipe: where
+    * [[embeddingNearDup]]'s hyperplane-LSH finds pairs that collide in
+    * random-projection buckets, this finds pairs that share a LEARNED
+    * cluster — the routing adapts to the corpus's actual density, and
+    * the same trained model is reusable across pipeline stages
+    * ([[ivfTopK]] cells, mixture audits).
+    *
+    * Scale shape: the pair step is an equi-join on the cell id — never a
+    * global product. Cost is O(Σ|cell|²) ≈ O(n²/k) expected, so k is the
+    * knob: grow it proportionally to corpus size to hold cell blocks
+    * constant (SemDeDup runs k ≈ n/10⁴ at corpus scale). Cells shuffle-
+    * partition independently, so a 1000-executor cluster works k cells
+    * in parallel; one hot cell is one skewed partition — AQE skew-join
+    * splits it. Rows with a NULL vector get a NULL cell and never pair
+    * (null never equi-matches), same contract as [[embeddingNearDup]].
+    * Cross-cell near-dups are missed by construction — the documented
+    * approximate contract of every clustered dedup; raise k-means
+    * `iters` or fall back to [[embeddingNearDup]] when recall across
+    * cell boundaries matters more than model reuse.
+    *
+    * Output: (id_a, id_b, sim), id_a < id_b, exact cosine — drop-in for
+    * the [[dedupClusters]] / [[applyDedupBest]] chain. Eager like every
+    * trainer (kmeansFit runs `iters` Lloyd rounds when called). */
+  def semanticDedupPairs(df: DataFrame, id: Column, vec: Column, k: Int,
+      threshold: Double, iters: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    val model = kmeansFit(df, id, vec, k, iters)
+    val assigned = kmeansAssign(
+      df.select(id.as("__sd_id"), vec.as("__sd_v")), col("__sd_v"), model)
+    val a = assigned.select(col("cluster").as("__ca"),
+      col("__sd_id").as("id_a"), col("__sd_v").as("__ea"))
+    val b = assigned.select(col("cluster").as("__cb"),
+      col("__sd_id").as("id_b"), col("__sd_v").as("__eb"))
+    a.join(b, col("__ca") === col("__cb") && col("id_a") < col("id_b"))
+      .withColumn("sim", graft.functions.CosineSim(col("__ea"), col("__eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** End-to-end semantic dedup: [[semanticDedupPairs]] → connected
+    * components ([[dedupClusters]]) → keep each cluster's best-`score`
+    * member ([[applyDedupBest]] policy — ties to smallest id), rest of
+    * the corpus untouched. One call from raw embeddings to the deduped
+    * corpus; the pair/cluster tables are pair-bounded (tiny vs corpus),
+    * so the corpus itself sees exactly one left-anti join. */
+  def semanticDedup(df: DataFrame, id: Column, score: Column, vec: Column,
+      k: Int, threshold: Double, iters: Int = 2, maxIter: Int = 30,
+      driverLimit: Long = 1000000L): DataFrame =
+    applyDedupBest(df, id, score,
+      semanticDedupPairs(df, id, vec, k, threshold, iters),
+      col("id_a"), col("id_b"), maxIter, driverLimit)
+
   /** Deterministic hyperplane component for the near-dup LSH bands (same
     * portable-hash recipe as SimilarityOps' ANN planes, distinct salt). */
   private def ndPlane(j: Int, dim: Int): Seq[Double] =

@@ -25,6 +25,66 @@ private[operators] object Duck {
       s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)"
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
+  /** DuckDB sequential-fold dot of an embedding against a DOUBLE[] list
+    * column — same op order as NearestCells' JVM loop (q34/q48-proven). */
+  private def dotCol(e: String, c: String, dim: Int = 64): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($e[i] AS DOUBLE) * list_extract($c, i)), (p, q) -> p + q)"
+
+  /** One k-means Lloyd step as CTE text: assignment of every embedding
+    * against `cvecIn` (argmax sequential-dot, cluster-asc ties) into
+    * `asg$r`, then integer-micros means into `cent$r`/`cvec$r`. The q48
+    * chain's repeating unit, shared so q83's oracle can run the EXTRA
+    * assignment round kmeansAssign performs after training. */
+  private def kmeansRound(r: Int, cvecIn: String): String = s"""
+      scored$r AS (
+        SELECT e.vec_id, e.embedding, c.cluster,
+          ${dotCol("e.embedding", "c.cvec")} AS score
+        FROM embeddings e, $cvecIn c),
+      asg$r AS (
+        SELECT vec_id, embedding, cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+          FROM scored$r) WHERE rn = 1),
+      cent$r AS (
+        SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
+          CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 / COUNT(*) AS centroid
+        FROM asg$r, (SELECT unnest(range(1, 65)) AS i) idx
+        GROUP BY cluster, dim),
+      cvec$r AS (
+        SELECT cluster,
+          list_transform(list_sort(list({'dim': dim, 'cv': centroid})), p -> p.cv) AS cvec
+        FROM cent$r GROUP BY cluster)"""
+
+  /** k-means train-then-assign CTE chain for the embeddings table —
+    * k = 5 hash-min seeds, 2 Lloyd rounds (bit-identical to q48's
+    * proven chain), plus the POST-TRAINING assignment of every row
+    * against the final model (what [[graft.api.GraftOps.kmeansAssign]]
+    * computes). Ends in `sd_asg(vec_id, embedding, cluster)`. */
+  val kmeansAsgCtes: String = s"""
+      hashed AS (
+        SELECT vec_id, embedding,
+          ${ph("'km|' || CAST(vec_id AS VARCHAR)")} AS h
+        FROM embeddings),
+      seeds AS (
+        SELECT embedding,
+          CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cluster
+        FROM hashed ORDER BY h, vec_id LIMIT 5),
+      cvec0 AS (
+        SELECT cluster,
+          list_transform(range(1, 65),
+            i -> floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) / 1000000.0) AS cvec
+        FROM seeds),
+      ${kmeansRound(1, "cvec0")},
+      ${kmeansRound(2, "cvec1")},
+      scored3 AS (
+        SELECT e.vec_id, e.embedding, c.cluster,
+          ${dotCol("e.embedding", "c.cvec")} AS score
+        FROM embeddings e, cvec2 c),
+      sd_asg AS (
+        SELECT vec_id, embedding, cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+          FROM scored3) WHERE rn = 1)"""
+
   /** The q16 MinHash+LSH candidate-pair CTE chain (ending in `mh_pairs`
     * with doc_a < doc_b). Shared verbatim between q16 and q40 so the
     * cluster-resolution oracle consumes the exact pairs q16 checks. */
@@ -332,5 +392,53 @@ object DedupOps {
       WHERE d.doc_id NOT IN (SELECT member FROM dropped)
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82)
+  // ---------------------------------------------------------------- q83
+  /** SEMANTIC dedup end-to-end: k-means cell routing (k=5, 2 Lloyd
+    * rounds — q48's trained model) → within-cell exact-cosine pairs
+    * ≥ 0.95 → connected components → keep each cluster's best member by
+    * first-embedding-component score (a deterministic stand-in for a
+    * model quality score; float→double cast is exact in both engines).
+    * The SemDeDup-shaped complement of q19's LSH routing: candidates
+    * come from a LEARNED cell equi-join, never an all-pairs product.
+    * Exercises [[graft.api.GraftOps.semanticDedup]] =
+    * semanticDedupPairs → dedupClusters → applyDedupBest. */
+  val q83 = QueryDef("q83_semantic_dedup",
+    (s, dir) =>
+      graft.api.GraftOps.semanticDedup(Tables.load(s, dir, "embeddings"),
+          col("vec_id"), element_at(col("embedding"), 1).cast("double"),
+          col("embedding"), k = 5, threshold = 0.4)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id"),
+    Some(s"""
+      WITH RECURSIVE ${Duck.kmeansAsgCtes},
+      sd_pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM sd_asg a JOIN sd_asg b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE ${Duck.cosine("a.embedding", "b.embedding")} >= 0.4),
+      edges AS (
+        SELECT ia AS a, ib AS b FROM sd_pairs
+        UNION
+        SELECT ib AS a, ia AS b FROM sd_pairs),
+      reach AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst),
+      comp AS (
+        SELECT LEAST(MIN(dst), src) AS survivor, src AS member
+        FROM reach GROUP BY src),
+      mem AS (
+        SELECT c.survivor, c.member, CAST(e.embedding[1] AS DOUBLE) AS sc
+        FROM comp c JOIN embeddings e ON e.vec_id = c.member),
+      rk AS (
+        SELECT member, row_number() OVER (
+          PARTITION BY survivor ORDER BY sc DESC, member) AS rk
+        FROM mem),
+      dropped AS (SELECT member FROM rk WHERE rk > 1)
+      SELECT vec_id, label FROM embeddings
+      WHERE vec_id NOT IN (SELECT member FROM dropped)
+      ORDER BY vec_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82, q83)
 }

@@ -404,6 +404,23 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.applyDedupBest(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "score")), in("inport2"),
         expr(arg(args, "idA")), expr(arg(args, "idB"))))),
+    // Semantic (embedding-cluster, SemDeDup-shaped) dedup: candidate
+    // pairs from a LEARNED k-means cell equi-join (never all-pairs),
+    // and the end-to-end pairs -> components -> keep-best apply.
+    // NOTE kmeansFit trains at COMPILE of the node — batch inputs only.
+    "semanticPairs" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.semanticDedupPairs(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "vec")),
+        k = arg(args, "k").toInt,
+        threshold = arg(args, "threshold").toDouble,
+        iters = args.getOrElse("iters", "2").toInt))),
+    "semanticDedup" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.semanticDedup(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "score")),
+        expr(arg(args, "vec")),
+        k = arg(args, "k").toInt,
+        threshold = arg(args, "threshold").toDouble,
+        iters = args.getOrElse("iters", "2").toInt))),
     // Event-time family: directional as-of enrichment (inport1 = right/
     // probe side, inport2 = left/enrich side — the side whose columns
     // surface prefixed), linear interpolation, robust outlier scoring.

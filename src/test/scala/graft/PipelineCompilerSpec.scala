@@ -782,6 +782,44 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       "XML keep-best == library keep-best, and it dropped something")
   }
 
+  test("round-13 semanticDedup XML == library (pairs and end-to-end)") {
+    import org.apache.spark.sql.functions._
+    val ports = PipelineCompiler.compile(PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="e" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="embeddings"/>
+        </operator>
+        <operator name="sp" class="semanticPairs">
+          <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+          <arg key="k" value="4"/><arg key="threshold" value="0.3"/>
+        </operator>
+        <operator name="sd" class="semanticDedup">
+          <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+          <arg key="score" value="CAST(element_at(embedding, 1) AS DOUBLE)"/>
+          <arg key="k" value="4"/><arg key="threshold" value="0.3"/>
+        </operator>
+        <connect from="e.outport1" to="sp.inport1"/>
+        <connect from="e.outport1" to="sd.inport1"/>
+      </pipeline>"""), spark)
+    val e = Tables.load(spark, sf001, "embeddings")
+    val spGot = ports("sp.outport1").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val spExp = graft.api.GraftOps.semanticDedupPairs(e, col("vec_id"),
+        col("embedding"), k = 4, threshold = 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spGot == spExp, "XML pair set == library pair set")
+    val sdGot = ports("sd.outport1").select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val sdExp = graft.api.GraftOps.semanticDedup(e, col("vec_id"),
+        element_at(col("embedding"), 1).cast("double"), col("embedding"),
+        k = 4, threshold = 0.3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sdGot == sdExp, "XML survivors == library survivors")
+    assert(spGot.isEmpty || sdGot.size < e.count(),
+      "when pairs exist the apply must drop members")
+  }
+
   test("diamond DAG topology compiles (join of two branches)") {
     val spec = PipelineSpec(
       nodes = Seq(

@@ -132,6 +132,25 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
       "weightedFixedSample is one window shuffle on strata")
   }
 
+  test("semanticDedupPairs is a cell equi-join, never an all-pairs product") {
+    import org.apache.spark.sql.functions._
+    def planStr(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val e = Tables.load(spark, sf001, "embeddings")
+    val s = planStr(graft.api.GraftOps.semanticDedupPairs(e,
+      col("vec_id"), col("embedding"), k = 4, threshold = 0.5))
+    // The defining scale property (SemDeDup shape): candidates come from
+    // an equi-join keyed on the learned cell id — the id_a < id_b and
+    // cosine predicates ride the SAME join as post-conditions. A
+    // cartesian or nested-loop here would be the O(n^2) plan this
+    // operator exists to avoid.
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "semantic pair generation must never plan an all-pairs product")
+    assert(s.contains("__ca"),
+      "pair join must key on the cell id (__ca = __cb)")
+  }
+
   test("applyMixture stays broadcast-only on the corpus side") {
     // The defining property of the mixture apply: the |sources|-row plan
     // reaches the corpus via a broadcast hash join — never a sort-merge

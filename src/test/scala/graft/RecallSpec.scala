@@ -130,4 +130,50 @@ class RecallSpec extends AnyFunSuite with SharedSpark {
     assert(lsh.subsetOf(exact), "LSH must verify candidates exactly (no false pairs)")
     assert(recall >= 0.95, f"banded LSH recall in its design regime: $recall%.4f")
   }
+
+  test("semantic dedup: planted near-dup recall through learned cells") {
+    // semanticDedupPairs routes candidates through k-means cells instead
+    // of random hyperplane buckets: a planted pair is missed ONLY when
+    // its two near-identical vectors straddle a cell boundary. With 100
+    // planted pairs at cosine ≥ ~0.98 the measured recall should be near
+    // 1 (boundary straddles are rare because the pair's two vectors are
+    // ~0.1 rad apart while cells are ~π/4 wide); the floor catches
+    // collapse (broken routing, empty cells), not jitter.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = (0 until 100).flatMap { i =>
+      val v = unit()
+      val near = v.map(x => x + (rnd.nextGaussian() * 0.02).toFloat)
+      Seq((i * 2L, v.toSeq), (i * 2L + 1, near.toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val found = graft.api.GraftOps.semanticDedupPairs(df,
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        k = 8, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 100).map(i => (i * 2L, i * 2L + 1)).toSet
+    val recall = (planted intersect found).size.toDouble / planted.size
+    info(f"semantic (k=8 cells) planted-pair recall at sim>=0.95: $recall%.4f")
+    assert(found.subsetOf(planted),
+      "cell routing must not invent pairs: every found pair is exact-cosine-verified")
+    assert(recall >= 0.9, f"semantic dedup recall collapsed: $recall%.4f")
+    // End-to-end: every found pair is disjoint (perfect matching), so
+    // the keep-best apply drops exactly one member per found pair.
+    val touched = found.toSeq.flatMap(p => Seq(p._1, p._2))
+    assert(touched.distinct.size == touched.size, "found pairs form a matching")
+    val kept = graft.api.GraftOps.semanticDedup(df,
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.col("embedding"), 1).cast("double"),
+      org.apache.spark.sql.functions.col("embedding"),
+      k = 8, threshold = 0.95).count()
+    assert(kept == 200 - found.size,
+      s"semanticDedup must drop one member per cluster: kept $kept of 200, ${found.size} pairs")
+  }
 }
