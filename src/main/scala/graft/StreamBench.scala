@@ -1,22 +1,36 @@
 package graft
 
 import java.nio.file.Files
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.streaming.StreamingOps
 
-/** Streaming replay benchmark (BASELINE.md streaming row): replays the
-  * `events` table through the windowed-agg pipeline as a file stream in
-  * micro-batches and reports sustained rows/sec. Deterministic input,
-  * wall-clock measured over processAllAvailable.
+/** Streaming replay benchmark (BASELINE.md "Streaming throughput"
+  * section; STREAMBENCH_rN.json artifact): replays the `events` table
+  * as a file stream in micro-batches through the registry's production
+  * streaming shapes and reports sustained rows/sec per shape:
   *
-  * Usage: sbt "runMain graft.StreamBench [sfDir] [nChunks]"
+  *  - s1_parse:    R1/R2/R3 parity — Kafka-shaped JSON decode →
+  *                 addField → JSON encode (stateless, scan-speed bound)
+  *  - s2_window:   watermarked tumbling window agg (agg state)
+  *  - s13_heavy:   Misra–Gries heavy-hitter summary as streaming
+  *                 aggregation state (complete mode)
+  *  - s5_stateful: transformWithState sessionization (RocksDB store)
+  *
+  * Deterministic input (event_id-chunked micro-batches), wall-clock
+  * measured over processAllAvailable per shape, fresh checkpoint per
+  * shape. One compact JSON line on stdout — redirect to
+  * STREAMBENCH_rN.json for the per-round artifact.
+  *
+  * Usage: sbt "runMain graft.StreamBench [sfDir] [nChunks] [mode ...]"
+  * (no modes = all four).
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val nChunks = args.lift(1).map(_.toInt).getOrElse(10)
+    val wanted = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.configure(
         SparkSession.builder().master(s"local[$cpus]").appName("graft-stream-bench"),
@@ -25,50 +39,92 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val tmp = Files.createTempDirectory("graft-sbench").toFile
-    val srcDir = new java.io.File(tmp, "src"); srcDir.mkdirs()
     // chunk the events table into nChunks files -> nChunks micro-batches
     val e = Tables.load(spark, sfDir, "events")
     val total = e.count()
-    e.withColumn("__chunk", pmod(col("event_id"), lit(nChunks)))
-      .repartition(nChunks, col("__chunk"))
-      .drop("__chunk")
-      .write.mode("overwrite").parquet(srcDir.getAbsolutePath)
-
-    val stream = spark.readStream
-      .schema(e.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir.getAbsolutePath)
-    // mode "window" (default): watermarked tumbling agg.
-    // mode "stateful": transformWithState sessionization (RocksDB store).
-    val mode = args.lift(2).getOrElse("window")
-    val out = mode match {
-      case "stateful" =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        import spark.implicits._
-        graft.streaming.SessionizeTws(
-          stream.select(col("user_id"), col("ts"), col("value"))
-            .as[graft.streaming.Sessionize.Event]).toDF()
-      case _ =>
-        StreamingOps.tumblingAgg(stream, "ts", "1 hour", "1 hour", col("event_type"))
+    def chunked(df: DataFrame, name: String): String = {
+      val dir = new java.io.File(tmp, name)
+      df.withColumn("__chunk", pmod(col("event_id"), lit(nChunks)))
+        .repartition(nChunks, col("__chunk"))
+        .drop("__chunk")
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      dir.getAbsolutePath
     }
+    val rawDir = chunked(e, "raw")
+    // Kafka-shaped replay input for s1: the full event row as a JSON
+    // `value` (event_id kept alongside only to drive the chunking).
+    val kafkaDir = chunked(
+      e.select(to_json(struct(col("*"))).as("value"), col("event_id")),
+      "kafka")
+
+    def rawStream = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(rawDir)
+
     // Auto-size shuffle partitions to the micro-batch volume (the
     // BASELINE.md footnote turned operator feature): ~total/nChunks rows
-    // per batch, clamped by cores. SPARK_GRAFT_STREAM_PARTS overrides
-    // (e.g. =32 reproduces the old fixed-partition behavior for A/B).
+    // per batch, clamped by cores. SPARK_GRAFT_STREAM_PARTS overrides.
     val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt)
       .getOrElse(StreamingOps.sizedShufflePartitions(
         math.max(1L, total / nChunks), cpus.toInt))
-    val sizedOut = StreamingOps.withShufflePartitions(out, parts)
-    val ckpt = new java.io.File(tmp, "ckpt").getAbsolutePath
-    val t0 = System.nanoTime()
-    val q = sizedOut.writeStream.format("memory").queryName("sb_out")
-      .outputMode("append").option("checkpointLocation", ckpt).start()
-    q.processAllAvailable()
-    val sec = (System.nanoTime() - t0) / 1e9
-    q.stop()
-    val batches = q.recentProgress.length
-    println(f"""{"metric":"stream_rows_per_sec","value":${total / sec}%.0f,"unit":"rows/sec","mode":"$mode","rows":$total,"sec":$sec%.2f,"batches":$batches,"partitions":$parts,"sf":"$sfDir"}""")
+
+    /** (stream to run, output mode) per shape. */
+    def shape(mode: String): (DataFrame, String) = mode match {
+      case "s1_parse" =>
+        val in = spark.readStream
+          .schema("value STRING, event_id BIGINT")
+          .option("maxFilesPerTrigger", "1").parquet(kafkaDir)
+        val parsed = StreamingOps.parseKafkaJson(in.select("value"), e.schema)
+        val enriched = StreamingOps.addField(parsed, "is_purchase",
+          col("event_type") === "purchase")
+        (StreamingOps.toKafkaJson(enriched), "append")
+      case "s2_window" =>
+        (StreamingOps.tumblingAgg(rawStream, "ts", "1 hour", "1 hour",
+          col("event_type")), "append")
+      case "s13_heavy" =>
+        (StreamingOps.heavyHittersStream(rawStream, col("user_id"),
+          capacity = 64), "complete")
+      case "s5_stateful" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import spark.implicits._
+        (graft.streaming.SessionizeTws(
+          rawStream.select(col("user_id"), col("ts"), col("value"))
+            .as[graft.streaming.Sessionize.Event]).toDF(), "append")
+      case other => sys.error(s"unknown StreamBench mode: $other")
+    }
+
+    val modes = Seq("s1_parse", "s2_window", "s13_heavy", "s5_stateful")
+      .filter(m => wanted.isEmpty || wanted(m))
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = modes.flatMap { mode =>
+      try {
+        val (out, outMode) = shape(mode)
+        val sized = StreamingOps.withShufflePartitions(out, parts)
+        val ckpt = new java.io.File(tmp, s"ckpt-$mode").getAbsolutePath
+        val t0 = System.nanoTime()
+        val q = sized.writeStream.format("memory").queryName(s"sb_$mode")
+          .outputMode(outMode).option("checkpointLocation", ckpt).start()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        val batches = q.recentProgress.length
+        System.err.println(
+          f"[sbench] $mode%-12s ${total / sec}%9.0f rows/s  ($sec%.2f s, $batches batches)")
+        Some(mode -> (total / sec, sec, batches))
+      } catch { case t: Throwable =>
+        failed += mode
+        System.err.println(s"[sbench] $mode failed: ${t.getMessage}")
+        None
+      }
+    }
+    val modesJson = results.map { case (m, (rps, _, _)) =>
+      "\"" + m + f"\":$rps%.0f" }.mkString("{", ",", "}")
+    val secJson = results.map { case (m, (_, s, b)) =>
+      "\"" + m + f"\":[$s%.2f,$b]" }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"stream_rows_per_sec","modes":$modesJson,""" +
+      s""""sec_batches":$secJson,"rows":$total,"chunks":$nChunks,""" +
+      s""""partitions":$parts,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
