@@ -489,6 +489,21 @@ object PipelineCompiler {
         numHashes = args.getOrElse("numHashes", "16").toInt,
         bands = args.getOrElse("bands", "4").toInt,
         minMatches = args.getOrElse("minMatches", "8").toInt))),
+    // Exact-fingerprint admission tier (the cheap filter in FRONT of the
+    // banded near-dup tier): fingerprintIndex is the batch content-md5
+    // index; fingerprintFlag emits (id, dup_of) matches; fingerprintAdmit
+    // passes only NOT-already-ingested rows through, schema untouched
+    // (inport1 = stream, inport2 = index on both).
+    "fingerprintIndex" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.fingerprintIndex(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "text"))))),
+    "fingerprintFlag" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.fingerprintAgainst(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
+        in("inport2")))),
+    "fingerprintAdmit" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.fingerprintAdmit(
+        in("inport1"), expr(arg(args, "text")), in("inport2")))),
     // Sampling / blending / layout family.
     "stratifiedSample" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.stratifiedSample(in("inport1"),

@@ -176,6 +176,46 @@ object StreamingOps {
       .dropDuplicates("id", "dup_of")
   }
 
+  /** Static exact-fingerprint index — the cheap FIRST tier of continuous
+    * corpus admission, in front of [[nearDupIndex]]'s banded tier: one
+    * md5 content fingerprint of the NORMALIZED text per corpus document
+    * (the same `Text.normText` canon as batch q11, so batch and stream
+    * agree on what "exact duplicate" means). Built once in batch;
+    * caller-persisted across the stream's lifetime, like every index
+    * here. Narrow projection — at any corpus scale this is one scan. */
+  def fingerprintIndex(corpus: DataFrame, id: Column, text: Column): DataFrame =
+    corpus.select(id.as("dup_of"),
+        md5(graft.functions.Text.normText(text).cast("binary")).as("__fp"))
+      .filter(col("__fp").isNotNull)
+
+  /** Exact-dup flags against the index: (id, dup_of) for every arriving
+    * document whose normalized content md5 already exists in the corpus
+    * — the exact twin of [[nearDupAgainst]] (equi-join on the
+    * fingerprint, so the stream never shuffles the corpus; a re-ingested
+    * id is not its own dup). */
+  def fingerprintAgainst(stream: DataFrame, id: Column, text: Column,
+      index: DataFrame): DataFrame =
+    stream.select(id.as("id"),
+        md5(graft.functions.Text.normText(text).cast("binary")).as("__fp"))
+      .join(index, Seq("__fp"))
+      .filter(col("id") =!= col("dup_of"))
+      .select(col("id"), col("dup_of"))
+
+  /** Exact-dup ADMISSION: the arriving rows whose content is NOT already
+    * in the corpus, original schema untouched — one stream–static
+    * LEFT-ANTI equi-join on the content md5. Admission is per-row
+    * against the STATIC corpus: two identical rows arriving in the same
+    * micro-batch are both admitted (neither is in the corpus yet) —
+    * compose with [[dedupWithinWatermark]] for within-stream dedup, and
+    * refresh/append the index between batches via [[foreachBatchSink]]
+    * when admitted rows should immediately block later arrivals. */
+  def fingerprintAdmit(stream: DataFrame, text: Column,
+      index: DataFrame): DataFrame =
+    stream.withColumn("__fp",
+        md5(graft.functions.Text.normText(text).cast("binary")))
+      .join(index.select(col("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+
   /** Stream–stream equi-join with watermarks on both sides and a
     * time-range condition bounding join state (SURVEY.md §2.2). */
   def streamStreamJoin(left: DataFrame, leftTs: String, right: DataFrame,

@@ -820,6 +820,44 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       "when pairs exist the apply must drop members")
   }
 
+  test("round-13 fingerprint admission ops XML == library") {
+    import org.apache.spark.sql.functions._
+    val ports = PipelineCompiler.compile(PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="d" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="fi" class="fingerprintIndex">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+        </operator>
+        <operator name="ff" class="fingerprintFlag">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+        </operator>
+        <operator name="fa" class="fingerprintAdmit">
+          <arg key="text" value="text"/>
+        </operator>
+        <connect from="d.outport1" to="fi.inport1"/>
+        <connect from="d.outport1" to="ff.inport1"/>
+        <connect from="fi.outport1" to="ff.inport2"/>
+        <connect from="d.outport1" to="fa.inport1"/>
+        <connect from="fi.outport1" to="fa.inport2"/>
+      </pipeline>"""), spark)
+    val d = Tables.load(spark, sf001, "documents")
+    val idx = graft.streaming.StreamingOps.fingerprintIndex(d,
+      col("doc_id"), col("text"))
+    // corpus admitted against its own index: exact-dup groups flag their
+    // other members (id != dup_of), and every row is rejected by admit
+    // (its own fingerprint is present) — both via the XML ports.
+    val ffGot = ports("ff.outport1").count()
+    val ffExp = graft.streaming.StreamingOps.fingerprintAgainst(d,
+      col("doc_id"), col("text"), idx).count()
+    assert(ffGot == ffExp, s"XML flag count $ffGot == library $ffExp")
+    assert(ports("fa.outport1").count() == 0,
+      "a corpus admitted against its own index is fully rejected")
+    assert(ports("fa.outport1").columns.toSeq == d.columns.toSeq,
+      "admit preserves the input schema")
+  }
+
   test("diamond DAG topology compiles (join of two branches)") {
     val spec = PipelineSpec(
       nodes = Seq(

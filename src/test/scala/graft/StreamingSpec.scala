@@ -573,6 +573,66 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally index.unpersist()
   }
 
+  test("S14: exact-fingerprint admission — flags, admits, batch/stream agree") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    val corpus = Seq(
+      (1L, "The quick   brown fox"), // normText canon: lower + ws collapse
+      (2L, "a corpus document about databases"))
+      .toDF("doc_id", "text")
+    val index = StreamingOps.fingerprintIndex(corpus, col("doc_id"),
+      col("text")).persist()
+    try {
+      val arrivals = Seq(
+        (100L, "the quick brown fox"),      // exact dup of 1 after normText
+        (200L, "a NOVEL document"),          // admitted
+        (300L, "A corpus document about DATABASES  ")) // exact dup of 2
+      val input = MemoryStream[(Long, String)]
+      val sdf = input.toDF().toDF("id", "text")
+      val flagQ = StreamingOps.fingerprintAgainst(sdf, col("id"),
+          col("text"), index)
+        .writeStream.format("memory").queryName("s14f")
+        .outputMode("append").start()
+      val admitQ = StreamingOps.fingerprintAdmit(sdf, col("text"), index)
+        .writeStream.format("memory").queryName("s14a")
+        .outputMode("append").start()
+      try {
+        input.addData(arrivals: _*)
+        flagQ.processAllAvailable(); admitQ.processAllAvailable()
+        val flagged = spark.table("s14f").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(flagged == Set((100L, 1L), (300L, 2L)),
+          s"normalized exact dups flagged against their corpus docs: $flagged")
+        val admitted = spark.table("s14a").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(admitted == Set((200L, "a NOVEL document")),
+          s"only novel content admitted, schema untouched: $admitted")
+        // batch/stream unification: both ops over the same rows as a
+        // batch DataFrame must produce identical results
+        val bFlag = StreamingOps.fingerprintAgainst(arrivals.toDF("id", "text"),
+            col("id"), col("text"), index)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val bAdmit = StreamingOps.fingerprintAdmit(arrivals.toDF("id", "text"),
+            col("text"), index)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(bFlag == flagged && bAdmit == admitted,
+          "batch twins agree with the stream")
+        // agreement with the batch q11 canon: a doc equal to a corpus doc
+        // under q11's normText groups must be exactly the flagged set
+        val canon = corpus.select(col("doc_id"),
+          graft.functions.Text.normText(col("text")).as("n"))
+        val arrCanon = arrivals.toDF("id", "text").select(col("id"),
+          graft.functions.Text.normText(col("text")).as("n"))
+        val viaQ11 = arrCanon.join(canon, "n")
+          .select(col("id"), col("doc_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(viaQ11 == flagged,
+          "fingerprint tier means EXACTLY q11's normalized-equality dedup")
+      } finally { flagQ.stop(); admitQ.stop() }
+    } finally index.unpersist()
+  }
+
   test("S13: streaming heavy-hitter summary is a superset with the MG error bound") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
