@@ -771,11 +771,14 @@ object GraftOps {
         col("__id"))
       .limit(ksub).select(col("__v")).collect()
     require(seedRows.nonEmpty, "pqFit on an empty corpus")
+    // Generic element read (works for array<float> embeddings AND the
+    // array<double> residual frames pqFitResidual feeds through here):
+    // Float.doubleValue is the same exact widening the float path took.
     var models: IndexedSeq[IndexedSeq[(Int, Seq[Double])]] =
       IndexedSeq.tabulate(m) { s =>
         seedRows.toIndexedSeq.zipWithIndex.map { case (r, j) =>
-          j -> r.getSeq[Float](0).slice(s * sub, s * sub + sub)
-            .map(f => math.floor(f.toDouble * 1e6) / 1e6)
+          j -> r.getSeq[Number](0).slice(s * sub, s * sub + sub)
+            .map(f => math.floor(f.doubleValue * 1e6) / 1e6)
         }
       }
     // One Lloyd round for ALL m subspaces in ONE corpus scan: per row,
@@ -1085,6 +1088,155 @@ object GraftOps {
       .filter(col("__vid") =!= col("probe_id"))
       .withColumn("adc", graft.functions.PqAdcScore(col("__pv"), col("__codes"),
         mdl.map(_._2), mdl.map(_._1)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
+  }
+
+  /** Residual product-quantization trainer — the opt-in recall tier the
+    * SURVEY §2.4 design note reserves (vs the default raw-vector pqFit
+    * lifecycle): quantize `v − c(v)` (each vector minus its coarse cell's
+    * centroid, the classic IVFADC encoding) instead of `v` itself. Inside
+    * a cell, residual magnitudes span a CELL radius, not a corpus radius,
+    * so the same (m, ksub) codebook budget spends its resolution on a
+    * smaller ball — measured on the oracle fixture (RecallSpec) the
+    * residual tier beats the equal-bytes rich tier's recall@3.
+    *
+    * The trade the default avoids: residual codes are a function of
+    * (vector, coarse model, pq model) — a coarse retrain invalidates every
+    * stored code (no [[reindexCells]] cheap path), which is why raw-vector
+    * PQ remains the default lifecycle and this tier is opt-in for the
+    * recall-critical case with a FROZEN coarse model.
+    *
+    * Mechanics: route each row (baked NearestCells argmax), subtract the
+    * selected centroid (one codegen'd [[graft.functions.CellResidual]]
+    * pass — a single IEEE subtract per component, bit-portable), then the
+    * standard [[pqFit]] machinery trains on the residual frame (same
+    * portable-hash seed rows — the hash is over the ids, which the
+    * residual frame shares). Output schema matches [[pqFit]]. */
+  def pqFitResidual(df: DataFrame, id: Column, vec: Column,
+      coarseModel: DataFrame, dim: Int, m: Int, ksub: Int,
+      iters: Int): DataFrame = {
+    val cents = collectModel(coarseModel)
+    require(cents.nonEmpty, "pqFitResidual with an empty coarse model")
+    val resid = df
+      .select(id.as("__rid"), vec.as("__fv"))
+      .withColumn("__cell", element_at(graft.functions.NearestCells(
+        col("__fv"), cents.map(_._2), cents.map(_._1)), 1))
+      .select(col("__rid"), graft.functions.CellResidual(col("__fv"),
+        col("__cell"), cents.map(_._2), cents.map(_._1)).as("__rv"))
+    pqFit(resid, col("__rid"), col("__rv"), dim, m, ksub, iters)
+  }
+
+  /** The build half of a STORED residual-PQ (IVFADC) index: tag each row
+    * with its coarse cell and its RESIDUAL codes — same (id, cell, codes)
+    * persistence shape as [[ivfPqEncode]], same narrow zero-shuffle
+    * projection, but `codes` quantize `v − c(v)` under a [[pqFitResidual]]
+    * model. The coarse model must be the SAME frozen model the pq model
+    * was trained against (codes are meaningless under any other). */
+  def ivfRpqEncode(df: DataFrame, id: Column, vec: Column,
+      coarseModel: DataFrame, rpqModel: DataFrame, dim: Int): DataFrame = {
+    val cents = collectModel(coarseModel)
+    require(cents.nonEmpty, "ivfRpqEncode with an empty coarse model")
+    val mdl = collectPqModel(rpqModel)
+    df.select(id.as("id"), vec.as("__fv"))
+      .withColumn("cell", element_at(graft.functions.NearestCells(
+        col("__fv"), cents.map(_._2), cents.map(_._1)), 1))
+      .withColumn("__rv", graft.functions.CellResidual(col("__fv"),
+        col("cell"), cents.map(_._2), cents.map(_._1)))
+      .select(col("id"), col("cell"), pqCodesCol(col("__rv"), mdl, dim).as("codes"))
+  }
+
+  /** Residual-PQ (IVFADC) search, inline form: identical routing and join
+    * shape to [[ivfPqTopK]] (coarse cells route, candidates live in probed
+    * cells, probes broadcast), but the score reconstructs through the cell:
+    * `adc = ⟨p, c(v)⟩ + ⟨p, r̂(v)⟩` — the cell-centroid dot (one
+    * [[graft.functions.PlaneDots]] pass per probe against the baked coarse
+    * model, computed ONCE per (probe, cell), i.e. nprobe values per probe,
+    * not per candidate) plus the residual ADC ([[graft.functions.PqAdcScore]]
+    * against the residual codebooks, one codegen'd call per candidate).
+    * Since every candidate in a probed cell shares the celldot term, the
+    * per-candidate work is exactly [[ivfPqTopK]]'s; what changes is WHERE
+    * the codebook resolution went. Ordering: adc desc, id asc. `rerank` as
+    * in [[ivfPqTopK]]: ADC shortlist → exact cosine over one vector-table
+    * pass. */
+  def ivfRpqTopK(corpus: DataFrame, id: Column, vec: Column, isProbe: Column,
+      coarseModel: DataFrame, rpqModel: DataFrame, dim: Int, k: Int,
+      nprobe: Int = 1, rerank: Int = 0): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
+    require(rerank == 0 || rerank >= k,
+      s"rerank shortlist must be 0 (off) or >= k=$k; got $rerank")
+    val cents = collectModel(coarseModel)
+    require(cents.nonEmpty, "ivfRpqTopK with an empty coarse model")
+    val labels = cents.map(_._1)
+    val cvecs = cents.map(_._2)
+    val mdl = collectPqModel(rpqModel)
+    val e = corpus.select(id.as("__vid"), vec.as("__v"), isProbe.as("__isp"))
+    val scored = e.withColumn("__sc", graft.functions.NearestCells(col("__v"),
+      cvecs, labels))
+    val coded = scored
+      .withColumn("cell", element_at(col("__sc"), 1))
+      .withColumn("__rv", graft.functions.CellResidual(col("__v"), col("cell"),
+        cvecs, labels))
+      .select(col("__vid"), col("cell"), pqCodesCol(col("__rv"), mdl, dim).as("codes"))
+    val probes = scored.filter(col("__isp"))
+      .withColumn("__dots", graft.functions.PlaneDots(col("__v"), cvecs))
+      .select(col("__vid").as("probe_id"), col("__v").as("__pv"),
+        explode(slice(col("__sc"), 1, nprobe)).as("cell"), col("__dots"))
+      .withColumn("celldot", element_at(col("__dots"),
+        array_position(array(labels.map(lit): _*), col("cell")).cast("int")))
+      .drop("__dots")
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("__vid"))
+    val adcRanked = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("__vid") =!= col("probe_id"))
+      .withColumn("adc", col("celldot") + graft.functions.PqAdcScore(col("__pv"),
+        col("codes"), mdl.map(_._2), mdl.map(_._1)))
+      .withColumn("rank", row_number().over(w))
+    if (rerank == 0)
+      adcRanked.filter(col("rank") <= k)
+        .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
+    else {
+      val shortlist = adcRanked.filter(col("rank") <= rerank)
+        .select(col("probe_id"), col("__pv"), col("__vid"), col("adc"))
+      val w2 = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("__vid"))
+      e.select(col("__vid"), col("__v")).join(broadcast(shortlist), Seq("__vid"))
+        .withColumn("sim", CosineSim(col("__pv"), col("__v")))
+        .withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("__vid").as("id"), col("rank"),
+          col("adc"), col("sim"))
+    }
+  }
+
+  /** The search half over a STORED residual index ([[ivfRpqEncode]] output
+    * read back — id + cell + codes, NO vectors): same broadcast-route /
+    * DPP-friendly cell equi-join as [[ivfPqTopKCoded]], scored through the
+    * cell like [[ivfRpqTopK]] (spec-asserted equal to the inline form). */
+  def ivfRpqTopKCoded(coded: DataFrame, codedId: Column, cell: Column,
+      codes: Column, probes: DataFrame, probeId: Column, probeVec: Column,
+      coarseModel: DataFrame, rpqModel: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
+    val cents = collectModel(coarseModel)
+    require(cents.nonEmpty, "ivfRpqTopKCoded with an empty coarse model")
+    val labels = cents.map(_._1)
+    val cvecs = cents.map(_._2)
+    val mdl = collectPqModel(rpqModel)
+    val c = coded.select(codedId.as("__vid"), cell.as("cell"), codes.as("__codes"))
+    val p = probes
+      .select(probeId.as("probe_id"), probeVec.as("__pv"))
+      .withColumn("__sc", graft.functions.NearestCells(col("__pv"), cvecs, labels))
+      .withColumn("__dots", graft.functions.PlaneDots(col("__pv"), cvecs))
+      .select(col("probe_id"), col("__pv"),
+        explode(slice(col("__sc"), 1, nprobe)).as("cell"), col("__dots"))
+      .withColumn("celldot", element_at(col("__dots"),
+        array_position(array(labels.map(lit): _*), col("cell")).cast("int")))
+      .drop("__dots")
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("__vid"))
+    c.join(broadcast(p), Seq("cell"))
+      .filter(col("__vid") =!= col("probe_id"))
+      .withColumn("adc", col("celldot") + graft.functions.PqAdcScore(col("__pv"),
+        col("__codes"), mdl.map(_._2), mdl.map(_._1)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))

@@ -68,6 +68,51 @@ object VectorOps {
     new GenericArrayData(idx.map(labels(_)).toArray)
   }
 
+  /** [[nearestCells]] over an `array<double>` vector (a residual column —
+    * see [[cellResidual]]): identical fold and tiebreak, the only delta is
+    * the element read (`getDouble` — the oracle's `CAST(x AS DOUBLE)` is a
+    * no-op on an already-double list, so both sides stay bit-equal). */
+  def nearestCellsD(e: ArrayData, cents: Array[Array[Double]],
+      labels: Array[Int]): ArrayData = {
+    val k = cents.length
+    val dots = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val w = cents(j)
+      val n = math.min(e.numElements(), w.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += e.getDouble(i) * w(i); i += 1 }
+      dots(j) = dot
+      j += 1
+    }
+    val idx = (0 until k).sortBy(i => -dots(i))
+    new GenericArrayData(idx.map(labels(_)).toArray)
+  }
+
+  /** Residual of a vector against its coarse cell's centroid: component i
+    * is the single IEEE subtract `(double) v[i] − cvec[i]` — exactly the
+    * oracle's `CAST(embedding[i] AS DOUBLE) - list_extract(cvec, i)`, so
+    * residuals are bit-portable wherever the coarse centroids are (they
+    * are: integer-micros kmeansFit output). `labels` holds the model's
+    * surviving cluster ids ascending; an unknown cell is a model/route
+    * mismatch and throws rather than subtracting garbage. */
+  def cellResidual(v: ArrayData, cell: Int, cents: Array[Array[Double]],
+      labels: Array[Int]): ArrayData = {
+    var idx = -1
+    var j = 0
+    while (j < labels.length && idx < 0) { if (labels(j) == cell) idx = j; j += 1 }
+    if (idx < 0) throw new IllegalStateException(
+      s"cell_residual: cell $cell absent from the coarse model")
+    val w = cents(idx)
+    if (v.numElements() != w.length) throw new IllegalStateException(
+      s"cell_residual: vector has ${v.numElements()} dims but the model has ${w.length}")
+    val out = new Array[Double](w.length)
+    var i = 0
+    while (i < w.length) { out(i) = v.getFloat(i).toDouble - w(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Argmax-dot cluster of a vector against a RUNTIME cell table (array
     * of (cluster, cvec) structs, cluster-ascending): [[nearestCells]]'s
     * element 1 with the model as data. Same sequential-fold dot per cell
@@ -152,21 +197,30 @@ case class NearestCells(child: Expression, cents: Seq[Seq[Double]],
   @transient private lazy val labelsArr: Array[Int] = labels.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"nearest_cells expects array<float>, got ${t.simpleString}")
+      s"nearest_cells expects array<float> or array<double>, got ${t.simpleString}")
   }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_cells"
 
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(v: Any): Any =
-    VectorOps.nearestCells(v.asInstanceOf[ArrayData], centsArr, labelsArr)
+    if (isDouble)
+      VectorOps.nearestCellsD(v.asInstanceOf[ArrayData], centsArr, labelsArr)
+    else VectorOps.nearestCells(v.asInstanceOf[ArrayData], centsArr, labelsArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cRef = ctx.addReferenceObj("cents", centsArr, "double[][]")
     val lRef = ctx.addReferenceObj("labels", labelsArr, "int[]")
+    val fn = if (isDouble) "nearestCellsD" else "nearestCells"
     defineCodeGen(ctx, ev, e =>
-      s"graft.functions.VectorOps.nearestCells($e, $cRef, $lRef)")
+      s"graft.functions.VectorOps.$fn($e, $cRef, $lRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
@@ -178,6 +232,58 @@ object NearestCells {
   def apply(vec: Column, cents: Seq[Seq[Double]], labels: Seq[Int]): Column =
     ColumnBridge.column(
       NearestCells(ColumnBridge.expression(vec), cents, labels))
+}
+
+/** `cell_residual(vec, cell)`: (array<float>, int) → array<double> — the
+  * vector minus its coarse cell's baked centroid, component-wise: one IEEE
+  * subtract per dimension against the SELECTED cell only (the routing argmax
+  * stays [[NearestCells]]'s job — this expression never re-scores). The
+  * residual is what a residual-PQ codebook quantizes: inside a coarse cell
+  * residual magnitudes are a cell-radius, not a corpus-radius, so the same
+  * codebook budget spends its resolution on a smaller ball (the classic
+  * IVFADC encoding — Jégou et al., TPAMI 2011). One codegen'd call per row;
+  * the HOF form (zip_with over an element_at-selected nested lit) runs
+  * interpreted and re-walks structures per element. */
+case class CellResidual(left: Expression, right: Expression,
+    cents: Seq[Seq[Double]], labels: Seq[Int]) extends BinaryExpression {
+  require(cents.nonEmpty && cents.size == labels.size, "one label per centroid")
+  require(labels == labels.sorted, "labels must be pre-sorted ascending")
+
+  @transient private lazy val centsArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val labelsArr: Array[Int] = labels.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cell_residual expects (array<float>, int), got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "cell_residual"
+
+  override def nullSafeEval(v: Any, cell: Any): Any =
+    VectorOps.cellResidual(v.asInstanceOf[ArrayData], cell.asInstanceOf[Int],
+      centsArr, labelsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", centsArr, "double[][]")
+    val lRef = ctx.addReferenceObj("labels", labelsArr, "int[]")
+    defineCodeGen(ctx, ev, (v, cell) =>
+      s"graft.functions.VectorOps.cellResidual($v, $cell, $cRef, $lRef)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CellResidual = copy(left = newLeft, right = newRight)
+}
+
+object CellResidual {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(vec: Column, cell: Column, cents: Seq[Seq[Double]],
+      labels: Seq[Int]): Column =
+    ColumnBridge.column(CellResidual(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cell), cents, labels))
 }
 
 /** `pq_adc_score(probe, codes)`: (array<float>, array<int>) → double —

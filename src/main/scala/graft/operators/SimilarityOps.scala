@@ -276,9 +276,13 @@ object SimilarityOps {
   /** One subspace's training + encode CTE chain: quantized seed slices →
     * one Lloyd assignment → integer-micros sub-centroids → per-vector
     * argmax code. Mechanically the q48 chain restricted to a slice.
-    * Parameterized by subspace width and the seeds CTE (codebook size =
-    * that CTE's LIMIT) so every PQ tier generates from one template. */
-  private def pqSubspaceSqlW(s: Int, subDim: Int, seedsCte: String): String = {
+    * Parameterized by subspace width, the seeds CTE (codebook size = that
+    * CTE's LIMIT), and the corpus CTE (default the raw embeddings table;
+    * q84's residual tier trains the same chain over a residual CTE whose
+    * DOUBLE `embedding` makes every CAST a no-op) so every PQ tier
+    * generates from one template. */
+  private def pqSubspaceSqlW(s: Int, subDim: Int, seedsCte: String,
+      corpus: String = "embeddings"): String = {
     val off = s * subDim
     s"""cvec0_$s AS (
         SELECT cluster,
@@ -288,7 +292,7 @@ object SimilarityOps {
       scored1_$s AS (
         SELECT e.vec_id, e.embedding, c.cluster,
           ${dotSubSqlW("e.embedding", "c.cvec", off, subDim)} AS score
-        FROM embeddings e, cvec0_$s c),
+        FROM $corpus e, cvec0_$s c),
       asg_$s AS (
         SELECT vec_id, embedding, cluster FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
@@ -306,7 +310,7 @@ object SimilarityOps {
       scored2_$s AS (
         SELECT e.vec_id, c.cluster,
           ${dotSubSqlW("e.embedding", "c.cvec", off, subDim)} AS score
-        FROM embeddings e, cvec_$s c),
+        FROM $corpus e, cvec_$s c),
       code_$s AS (
         SELECT vec_id, cluster AS code FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
@@ -765,6 +769,111 @@ object SimilarityOps {
       FROM ranked WHERE rank <= 3
       ORDER BY probe_id, rank"""))
 
+  // ---------------------------------------------------------------- q84
+  /** The RESIDUAL-PQ (IVFADC) opt-in tier at the q52 configuration: the
+    * same coarse quantizer routes, but the PQ codebooks train on and the
+    * codes quantize `v − c(v)` — each vector minus its cell's centroid —
+    * and the ADC score reconstructs through the cell:
+    * `⟨p, c(v)⟩ + ⟨p, r̂(v)⟩`. Inside a cell the residual ball is a
+    * cell-radius, so the SAME (m, ksub) codebook budget yields strictly
+    * finer resolution (RecallSpec measures the residual tier beating the
+    * equal-bytes rich tier). Opt-in because residual codes bind to the
+    * frozen coarse model — a coarse retrain invalidates them (no
+    * reindexCells cheap path) — so raw-vector PQ stays the default
+    * lifecycle. Every arithmetic step (coarse chain, residual subtract,
+    * subspace trainers over the residual frame, celldot + subspace-sum
+    * ADC) is stated identically on both sides, so the whole
+    * train→route→encode→search path hash-matches DuckDB. */
+  val q84 = QueryDef("q84_ann_residual_pq",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val coarse = graft.api.GraftOps.kmeansFit(e, col("vec_id"), col("embedding"),
+        k = IVFPQ_K, iters = 1)
+      val rpq = graft.api.GraftOps.pqFitResidual(e, col("vec_id"), col("embedding"),
+        coarse, dim = DIM, m = PQ_M, ksub = PQ_KSUB, iters = 1)
+      graft.api.GraftOps.ivfRpqTopK(e, col("vec_id"), col("embedding"),
+          col("vec_id") < 10, coarse, rpq, dim = DIM, k = 3, nprobe = IVFPQ_NPROBE)
+        .select(col("probe_id"), col("id").as("vec_id"), col("rank"), col("adc"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(s"""
+      WITH hashed AS (
+        SELECT vec_id, embedding,
+          ${Duck.ph("'km|' || CAST(vec_id AS VARCHAR)")} AS h
+        FROM embeddings),
+      seeds AS (
+        SELECT embedding,
+          CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cluster
+        FROM hashed ORDER BY h, vec_id LIMIT $IVFPQ_K),
+      gcvec0 AS (
+        SELECT cluster,
+          list_transform(range(1, ${DIM + 1}),
+            i -> floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) / 1000000.0) AS cvec
+        FROM seeds),
+      gscored AS (
+        SELECT e.vec_id, e.embedding, c.cluster,
+          ${dotColSql("e.embedding", "c.cvec")} AS score
+        FROM embeddings e, gcvec0 c),
+      gasg AS (
+        SELECT vec_id, embedding, cluster FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn
+          FROM gscored) WHERE rn = 1),
+      gcent AS (
+        SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
+          CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / 1000000.0 / COUNT(*) AS centroid
+        FROM gasg, (SELECT unnest(range(1, ${DIM + 1})) AS i) idx
+        GROUP BY cluster, dim),
+      gcvec1 AS (
+        SELECT cluster,
+          list_transform(list_sort(list({'dim': dim, 'cv': centroid})), p -> p.cv) AS cvec
+        FROM gcent GROUP BY cluster),
+      cranked AS (
+        SELECT vec_id, embedding, cluster, score,
+          row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster) AS crn
+        FROM (
+          SELECT e.vec_id, e.embedding, c.cluster,
+            ${dotColSql("e.embedding", "c.cvec")} AS score
+          FROM embeddings e, gcvec1 c)),
+      assigned AS (
+        SELECT vec_id, cluster AS cell FROM cranked WHERE crn = 1),
+      probecells AS (
+        SELECT vec_id AS probe_id, embedding AS pe, cluster AS cell, score AS celldot
+        FROM cranked WHERE vec_id < 10 AND crn <= $IVFPQ_NPROBE),
+      resid AS (
+        SELECT e.vec_id,
+          list_transform(range(1, ${DIM + 1}),
+            i -> CAST(e.embedding[i] AS DOUBLE) - list_extract(g.cvec, i)) AS embedding
+        FROM embeddings e
+          JOIN assigned a ON a.vec_id = e.vec_id
+          JOIN gcvec1 g ON g.cluster = a.cell),
+      seedids AS (
+        SELECT vec_id,
+          CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cluster
+        FROM hashed ORDER BY h, vec_id LIMIT $PQ_KSUB),
+      rseeds AS (
+        SELECT r.embedding, s.cluster FROM seedids s JOIN resid r USING (vec_id)),
+      ${(0 until PQ_M).map(s0 => pqSubspaceSqlW(s0, PQ_SUBDIM, "rseeds", "resid")).mkString(",\n      ")},
+      codes AS (
+        SELECT c0.vec_id, ${(0 until PQ_M).map(s0 => s"c$s0.code AS code$s0").mkString(", ")}
+        FROM code_0 c0 ${(1 until PQ_M).map(s0 => s"JOIN code_$s0 c$s0 USING (vec_id)").mkString(" ")}),
+      pairs AS (
+        SELECT probe_id, v.vec_id,
+          p.celldot + (${(0 until PQ_M).map(s0 => dotSubSql("pe", s"cv$s0.cvec", s0 * PQ_SUBDIM)).mkString(" + ")}) AS adc
+        FROM probecells p
+          JOIN assigned a ON a.cell = p.cell
+          JOIN codes v ON v.vec_id = a.vec_id
+          ${(0 until PQ_M).map(s0 => s"JOIN cvec_$s0 cv$s0 ON cv$s0.cluster = v.code$s0").mkString("\n          ")}
+        WHERE v.vec_id <> probe_id),
+      ranked AS (
+        SELECT probe_id, vec_id,
+          CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adc DESC, vec_id) AS INTEGER) AS rank,
+          adc
+        FROM pairs)
+      SELECT probe_id, vec_id, rank, adc
+      FROM ranked WHERE rank <= 3
+      ORDER BY probe_id, rank"""))
+
   val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52, q60, q61,
-    q62, q66, q71)
+    q62, q66, q71, q84)
 }

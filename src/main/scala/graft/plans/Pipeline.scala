@@ -597,6 +597,27 @@ object PipelineCompiler {
         in("inport2"), expr(arg(args, "probeId")), expr(arg(args, "probeVec")),
         in("inport3"), in("inport4"), k = arg(args, "k").toInt,
         nprobe = args.getOrElse("nprobe", "1").toInt))),
+    // The residual (IVFADC) opt-in tier of the same lifecycle: the pq
+    // model trains on v − c(v) against a FROZEN coarse model (inport2 of
+    // the trainer), the encoder stores residual codes, the search scores
+    // celldot + residual ADC. Same port shapes as the raw-vector trio;
+    // NOT valid to mix tiers (residual codes under a raw search or vice
+    // versa throw or misrank — the model/codes pairing is the contract).
+    "pqFitResidual" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.pqFitResidual(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "vec")), in("inport2"),
+        dim = arg(args, "dim").toInt, m = arg(args, "m").toInt,
+        ksub = arg(args, "ksub").toInt, iters = arg(args, "iters").toInt))),
+    "ivfRpqEncode" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.ivfRpqEncode(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "vec")),
+        in("inport2"), in("inport3"), dim = arg(args, "dim").toInt))),
+    "ivfRpqSearch" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.ivfRpqTopKCoded(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "cell")), expr(arg(args, "codes")),
+        in("inport2"), expr(arg(args, "probeId")), expr(arg(args, "probeVec")),
+        in("inport3"), in("inport4"), k = arg(args, "k").toInt,
+        nprobe = args.getOrElse("nprobe", "1").toInt))),
     // Coarse-retrain maintenance over a stored index: inport1 = at-rest
     // (id, cell, codes) index, inport2 = vector table, inport3 = the NEW
     // coarse model. Cells re-route; PQ codes pass through untouched.

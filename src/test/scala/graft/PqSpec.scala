@@ -623,4 +623,138 @@ class PqSpec extends AnyFunSuite with SharedSpark {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("residual tier: stored encode -> parquet roundtrip -> coded search == inline") {
+    // The IVFADC lifecycle parity law, residual flavor: ivfRpqEncode's
+    // (id, cell, codes) table + ivfRpqTopKCoded must reproduce the inline
+    // ivfRpqTopK bit-for-bit (same routing, same celldot + residual-ADC
+    // score). Also pins the adc DECOMPOSITION: every inline adc equals a
+    // driver-side celldot + residual-reconstruction dot computed from the
+    // model tables directly.
+    val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val rpq = GraftOps.pqFitResidual(emb, col("vec_id"), col("embedding"),
+      coarse, dim = DIM, m = M, ksub = 4, iters = 1)
+    val inline = GraftOps.ivfRpqTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") < 10, coarse, rpq, DIM, k = 3, nprobe = 2).collect().toSet
+    assert(inline.nonEmpty, "fixture sanity: inline residual search is non-empty")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfrpq").toString
+    try {
+      GraftOps.ivfRpqEncode(emb, col("vec_id"), col("embedding"),
+        coarse, rpq, DIM).write.mode("overwrite").parquet(dir)
+      val index = spark.read.parquet(dir)
+      val probes = emb.filter(col("vec_id") < 10)
+      val stored = GraftOps.ivfRpqTopKCoded(index, col("id"), col("cell"),
+        col("codes"), probes, col("vec_id"), col("embedding"),
+        coarse, rpq, k = 3, nprobe = 2).collect().toSet
+      assert(stored == inline,
+        "residual search over the persisted index must equal the inline composition")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("residual-tier declarative lifecycle: XML train+encode+search == inline API") {
+    // The residual trio must be choosable from the declarative surface
+    // like every other tier: one DAG trains coarse + residual models,
+    // encodes the corpus to (id, cell, codes), and searches — bit-equal
+    // (adc doubles included) to the inline composition.
+    emb.createOrReplaceTempView("rpq_emb")
+    emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+      .createOrReplaceTempView("rpq_probes")
+    val ports = graft.plans.PipelineCompiler.compile(
+      graft.plans.PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="src" class="viewInput"><arg key="table" value="rpq_emb"/></operator>
+        <operator name="probes" class="viewInput"><arg key="table" value="rpq_probes"/></operator>
+        <operator name="coarse" class="kmeansFit">
+          <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+          <arg key="k" value="4"/><arg key="iters" value="1"/>
+        </operator>
+        <operator name="rpq" class="pqFitResidual">
+          <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+          <arg key="dim" value="$DIM"/><arg key="m" value="$M"/>
+          <arg key="ksub" value="4"/><arg key="iters" value="1"/>
+        </operator>
+        <operator name="enc" class="ivfRpqEncode">
+          <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+          <arg key="dim" value="$DIM"/>
+        </operator>
+        <operator name="search" class="ivfRpqSearch">
+          <arg key="id" value="id"/><arg key="cell" value="cell"/>
+          <arg key="codes" value="codes"/>
+          <arg key="probeId" value="vec_id"/><arg key="probeVec" value="embedding"/>
+          <arg key="k" value="3"/><arg key="nprobe" value="2"/>
+        </operator>
+        <connect from="src.outport1" to="coarse.inport1"/>
+        <connect from="src.outport1" to="rpq.inport1"/>
+        <connect from="coarse.outport1" to="rpq.inport2"/>
+        <connect from="src.outport1" to="enc.inport1"/>
+        <connect from="coarse.outport1" to="enc.inport2"/>
+        <connect from="rpq.outport1" to="enc.inport3"/>
+        <connect from="enc.outport1" to="search.inport1"/>
+        <connect from="probes.outport1" to="search.inport2"/>
+        <connect from="coarse.outport1" to="search.inport3"/>
+        <connect from="rpq.outport1" to="search.inport4"/>
+      </pipeline>"""), spark)
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "id", "rank", "adc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val got = tuples(ports("search.outport1"))
+    val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val rpq = GraftOps.pqFitResidual(emb, col("vec_id"), col("embedding"),
+      coarse, dim = DIM, m = M, ksub = 4, iters = 1)
+    val want = tuples(GraftOps.ivfRpqTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") < 10, coarse, rpq, DIM, k = 3, nprobe = 2))
+    assert(got.nonEmpty && got == want,
+      "declarative residual-tier lifecycle diverged from the inline API path")
+  }
+
+  test("residual ADC decomposes exactly: celldot + residual reconstruction dot") {
+    // Driver-side reference for the residual score: for a candidate v in
+    // probed cell c with residual codes (k_1..k_m), the emitted adc must
+    // equal dot(p, centroid_c) + sum_s dot(p_slice_s, rcb[s][k_s]) with
+    // the same fold orders the expressions state — exact double equality,
+    // no tolerance.
+    val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val rpq = GraftOps.pqFitResidual(emb, col("vec_id"), col("embedding"),
+      coarse, dim = DIM, m = M, ksub = 4, iters = 1)
+    // model tables -> driver maps
+    val cents = coarse.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (c, a) => c -> a.sortBy(_._2).map(_._3) }
+    val rcb = rpq.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (k, a) => k -> a.sortBy(_._2).map(_._3) }
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dotD(x: Array[Float], off: Int, w: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < w.length) { d += x(off + i).toDouble * w(i); i += 1 }
+      d
+    }
+    val index = GraftOps.ivfRpqEncode(emb, col("vec_id"), col("embedding"),
+      coarse, rpq, DIM).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Int]("cell"),
+        r.getSeq[Int](2).toArray)).toMap
+    val rows = GraftOps.ivfRpqTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") < 10, coarse, rpq, DIM, k = 3, nprobe = 2).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = vecs(r.getAs[Long]("probe_id"))
+      val (cell, codes) = index(r.getAs[Long]("id"))
+      // probed-cell celldot: the candidate's OWN cell is the join cell
+      val celldot = dotD(p, 0, cents(cell))
+      var adc = 0.0
+      codes.zipWithIndex.foreach { case (code, s) =>
+        val d = dotD(p, s * SUB, rcb((s, code)))
+        adc = if (s == 0) d else adc + d
+      }
+      assert(r.getAs[Double]("adc") == celldot + adc,
+        s"adc mismatch for (${r.getAs[Long]("probe_id")}, ${r.getAs[Long]("id")})")
+    }
+  }
 }

@@ -101,6 +101,48 @@ class RecallSpec extends AnyFunSuite with SharedSpark {
       f"rich codebook tier under 2x the compact tier: $rich%.3f vs base $base%.3f")
   }
 
+  test("residual-PQ tier: recall@3 >= rich tier at equal bytes") {
+    // The SURVEY §2.4 design-note trade, measured: residual codebooks
+    // (pqFitResidual — quantize v − c(v), score celldot + residual ADC)
+    // against raw-vector codebooks at the SAME (m, ksub) = the same
+    // bytes/row and the same codebook budget. Inside a coarse cell the
+    // residual ball is a cell-radius, so the residual tier's resolution
+    // is strictly finer wherever routing is informative; the assertion
+    // pins the design claim (>= at equal bytes), the info lines record
+    // the measured gap.
+    val e = Tables.load(spark, sf01, "embeddings")
+    val coarse = GraftOps.kmeansFit(e, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val exact = pairs(GraftOps.knn(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3))
+    def rawRecall(m: Int, ksub: Int): Double = {
+      val mdl = GraftOps.pqFit(e, col("vec_id"), col("embedding"),
+        dim = 64, m = m, ksub = ksub, iters = 1)
+      val got = pairs(GraftOps.ivfPqTopK(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 10, coarse, mdl, 64, k = 3, nprobe = 2))
+      (exact intersect got).size.toDouble / exact.size
+    }
+    def residRecall(m: Int, ksub: Int): Double = {
+      val mdl = GraftOps.pqFitResidual(e, col("vec_id"), col("embedding"),
+        coarse, dim = 64, m = m, ksub = ksub, iters = 1)
+      val got = pairs(GraftOps.ivfRpqTopK(e, col("vec_id"), col("embedding"),
+        col("vec_id") < 10, coarse, mdl, 64, k = 3, nprobe = 2))
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val configs = Seq((4, 4), (16, 16))
+    val measured = configs.map { case (m, k) =>
+      val raw = rawRecall(m, k)
+      val res = residRecall(m, k)
+      info(f"m=$m%2d ksub=$k%2d  raw-PQ recall@3 = $raw%.3f   residual-PQ recall@3 = $res%.3f")
+      (m, k, raw, res)
+    }
+    // the rich-bytes configuration is the design claim: residual >= rich
+    val (_, _, rich, residRich) = measured.find(c => c._1 == 16 && c._2 == 16).get
+    assert(residRich >= rich,
+      f"residual tier under the equal-bytes rich tier: $residRich%.3f < $rich%.3f")
+    assert(residRich > 0.0, "residual tier recall collapsed to zero")
+  }
+
   test("measured recall of banded LSH on planted high-similarity pairs") {
     // embeddingNearDup's OR-amplified 8-band × 4-bit LSH is built for the
     // near-dup regime (cosine ≥ threshold ≈ 0.95): analytic recall there
