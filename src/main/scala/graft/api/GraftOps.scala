@@ -164,6 +164,113 @@ object GraftOps {
     ab.unionByName(ba).filter(col("containment") >= threshold)
   }
 
+  /** SPAN-level exact-substring dedup — the passage-granular family the
+    * document-level ops (q11 exact, q16–q18/q82 near-dup) can't express:
+    * a boilerplate paragraph or license header repeated across ≥ `minDf`
+    * documents is MASKED OUT of every document it appears in, while the
+    * surrounding unique text survives (the "remove repeated passages, keep
+    * the documents" dedup of Lee et al. 2022's ExactSubstr, re-expressed
+    * over a token inverted index instead of a suffix array — a suffix
+    * array needs a global corpus order, which is exactly what a
+    * distributed engine should not build; `width`-token window hashes
+    * give the same ≥width-token repeated-span guarantee).
+    *
+    * Semantics: token t of document d is masked iff some window
+    * [s, s+width) ∋ t of d has a window hash appearing in ≥ `minDf`
+    * DISTINCT documents. Output per input row: (doc_id, n_tokens,
+    * n_masked, masked_text) — masked_text is the kept tokens space-joined
+    * in order ('' when everything masked); docs with < width tokens pass
+    * through unmasked.
+    *
+    * Scale shape (the 100 TB posture): one codegen'd positional-hash pass
+    * ([[graft.functions.ShingleHashesAll]]) → posexplode; the repeated
+    * set is an aggregate + semi join on the window hash (map-side
+    * combined, never a window over the posting list — the q18 df-cap
+    * shape inverted: we KEEP hot shingles instead of capping them);
+    * coverage explodes each hot occurrence to its `width` covered
+    * positions (bounded by width × hot occurrences, and hot occurrences
+    * are the thing being removed — self-limiting); the rebuild is one
+    * anti join + one per-doc sorted aggregate. Everything shuffles on
+    * (doc_id) or (hash) — no all-pairs product anywhere. */
+  def maskRepeatedSpans(df: DataFrame, id: Column, text: Column,
+      width: Int = 5, minDf: Int = 2): DataFrame = {
+    require(width >= 1, s"width must be >= 1; got $width")
+    require(minDf >= 2, s"minDf must be >= 2 (1 would mask every token); got $minDf")
+    val base = df.select(id.as("doc_id"), Text.tokens(text).as("__toks"))
+    val occ = spanOccurrences(base, width)
+    val rep = occ.groupBy(col("__sh"))
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDf).select(col("__sh"))
+    maskWithRep(base, occ, rep, width)
+  }
+
+  /** Positional window-hash occurrences of a (doc_id, __toks) frame:
+    * (doc_id, __pos, __sh), one row per window start. */
+  private def spanOccurrences(base: DataFrame, width: Int): DataFrame =
+    base.filter(size(col("__toks")) >= width)
+      .select(col("doc_id"), posexplode(graft.functions.ShingleHashesAll
+        .asColumn(col("__toks"), width)).as(Seq("__pos", "__sh")))
+
+  /** The masking tail shared by [[maskRepeatedSpans]] (rep derived from
+    * the corpus itself) and [[maskSpansAgainst]] (rep = a prebuilt
+    * [[spanIndex]]): coverage explode → per-token anti join → ordered
+    * rebuild. `rep` needs one column `__sh`. */
+  private def maskWithRep(base: DataFrame, occ: DataFrame, rep: DataFrame,
+      width: Int): DataFrame = {
+    val hot = occ.join(rep, Seq("__sh"), "left_semi")
+    // each hot window start covers its width token positions; duplicates
+    // are fine (anti join is idempotent) so NO distinct pass
+    val cov = hot.select(col("doc_id"),
+      explode(sequence(col("__pos"), col("__pos") + lit(width - 1))).as("__tpos"))
+    val tokrows = base.select(col("doc_id"),
+      posexplode(col("__toks")).as(Seq("__tpos", "__tok")))
+    val kept = tokrows.join(cov, Seq("doc_id", "__tpos"), "left_anti")
+    val agg = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("__nkept"),
+      array_join(transform(array_sort(collect_list(struct(col("__tpos"),
+        col("__tok")))), p => p.getField("__tok")), " ").as("__kept_text"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("__toks")).as("n_tokens"),
+        (size(col("__toks")) - coalesce(col("__nkept").cast("int"), lit(0)))
+          .as("n_masked"),
+        coalesce(col("__kept_text"), lit("")).as("masked_text"))
+  }
+
+  /** The repeated-span INDEX of a corpus — the static half of continuous
+    * span-level dedup (the [[maskRepeatedSpans]] analog of the
+    * fingerprint/near-dup admission indexes in
+    * [[graft.streaming.StreamingOps]]): one `__sh` column holding every
+    * width-token window hash appearing in ≥ `minDf` distinct documents.
+    * Build once in batch, persist, reuse across a stream's lifetime;
+    * self-index law: masking a corpus against ITS OWN index equals
+    * [[maskRepeatedSpans]] exactly (spec-asserted). */
+  def spanIndex(corpus: DataFrame, id: Column, text: Column,
+      width: Int = 5, minDf: Int = 2): DataFrame = {
+    require(width >= 1, s"width must be >= 1; got $width")
+    require(minDf >= 2, s"minDf >= 2; got $minDf")
+    spanOccurrences(corpus.select(id.as("doc_id"),
+        Text.tokens(text).as("__toks")), width)
+      .groupBy(col("__sh"))
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDf).select(col("__sh"))
+  }
+
+  /** Mask arriving documents against a PREBUILT [[spanIndex]]: per-row
+    * semantics identical to [[maskRepeatedSpans]] except the repeated set
+    * is the frozen index, not the batch itself — so each document's
+    * masking depends only on (its text, the index), making per-micro-batch
+    * application over a stream EXACTLY equal to one batch application
+    * (the agreement law the S-series spec pins). Use inside foreachBatch
+    * for continuous ingestion: boilerplate already known to the corpus is
+    * stripped from every arriving document at admission time. */
+  def maskSpansAgainst(df: DataFrame, id: Column, text: Column,
+      index: DataFrame, width: Int = 5): DataFrame = {
+    require(width >= 1, s"width must be >= 1; got $width")
+    val base = df.select(id.as("doc_id"), Text.tokens(text).as("__toks"))
+    maskWithRep(base, spanOccurrences(base, width),
+      index.select(col("__sh")), width)
+  }
+
   /** Connected-component resolution of near-dup candidate pairs — the last
     * stage of a real dedup pipeline: q16–q19-style `(id_a, id_b)` pairs
     * become `(survivor, member)` cluster assignments where the survivor is

@@ -176,6 +176,34 @@ object TextHash {
     new GenericArrayData(arr)
   }
 
+  /** ALL portable k-token-shingle hashes in POSITIONAL order (one per
+    * window start, duplicates kept — [[shingleHashes]]' set semantics
+    * serve membership joins; span masking needs the position ↔ hash
+    * alignment, so element i IS window [i, i+width)'s hash). Same hash
+    * derivation as [[shingleHashes]] (md5 first-15-hex of the
+    * space-joined window = the oracle's `md5(array_to_string(...))`).
+    * Empty array when fewer than `width` tokens. */
+  def shingleHashesAll(toks: ArrayData, width: Int): ArrayData = {
+    val len = toks.numElements()
+    val n = len - width + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < width) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + k).toString)
+        k += 1
+      }
+      out(i) = pair(sb.toString.getBytes("UTF-8"))._1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of positions where two int64 signatures agree (the verify
     * step of every near-dup band join; see SigMatchCount). Counts over
     * the shorter length — identical to the HOF form's zip semantics. */
@@ -275,6 +303,22 @@ case class ShingleHashes(child: Expression, width: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
+/** `shingle_hashes_all(tokens, width)`: array<string> → array<long> of ALL
+  * window hashes in positional order (duplicates kept; element i is window
+  * [i, i+width)'s portable hash) — the posexplode-ready form span masking
+  * needs. Empty when < width tokens. */
+case class ShingleHashesAll(child: Expression, width: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_all"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.shingleHashesAll(v.asInstanceOf[ArrayData], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashesAll($c, $width)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashesAll =
+    copy(child = c)
+}
+
 /** `sig_match_count(a, b)`: number of positions where two array<long>
   * signatures agree — the codegen'd form of
   * `size(filter(zip_with(a, b, _ === _), identity))`, which runs
@@ -318,6 +362,10 @@ object MinHashSigTokens {
 object ShingleHashes {
   def asColumn(tokens: Column, width: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), width))
+}
+object ShingleHashesAll {
+  def asColumn(tokens: Column, width: Int): Column =
+    ColumnBridge.column(ShingleHashesAll(ColumnBridge.expression(tokens), width))
 }
 object SimHash60 {
   def apply(tokens: Column): Column =

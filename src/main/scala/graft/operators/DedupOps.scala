@@ -439,6 +439,55 @@ object DedupOps {
       WHERE vec_id NOT IN (SELECT member FROM dropped)
       ORDER BY vec_id"""))
 
+  // ---------------------------------------------------------------- q85
+  private val SPAN_W = 5
+  private val SPAN_MINDF = 2
+
+  /** Span-level exact-substring dedup (ExactSubstr, Lee et al. 2022,
+    * re-expressed over a token inverted index): any `SPAN_W`-token window
+    * whose hash appears in ≥ `SPAN_MINDF` distinct documents is masked out
+    * of EVERY document containing it; the surrounding unique text
+    * survives. The passage-granular family the document-level dedups
+    * (q11/q16–q18/q82) cannot express — boilerplate and license headers
+    * die, the documents live. Every step (portable window hashes, distinct-
+    * doc counts, position coverage, ordered rebuild) is stated identically
+    * on both sides, so the masked TEXT itself hash-matches DuckDB. */
+  val q85 = QueryDef("q85_mask_repeated_spans",
+    (s, dir) =>
+      graft.api.GraftOps.maskRepeatedSpans(docs(s, dir), col("doc_id"),
+          col("text"), width = SPAN_W, minDf = SPAN_MINDF)
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      occ AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - $SPAN_W + 2)) AS i
+        FROM t WHERE len(toks) >= $SPAN_W),
+      och AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+          ${Duck.ph(s"array_to_string(list_slice(toks, i, i + ${SPAN_W - 1}), ' ')")} AS h
+        FROM occ),
+      rep AS (SELECT h FROM och GROUP BY h HAVING COUNT(DISTINCT doc_id) >= $SPAN_MINDF),
+      hot AS (SELECT doc_id, pos FROM och JOIN rep USING (h)),
+      cov AS (
+        SELECT DISTINCT doc_id, pos + j AS tpos
+        FROM hot, (SELECT unnest(range(0, $SPAN_W)) AS j) widx),
+      tokrows AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS tpos, toks[i] AS tok
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t) u),
+      kept AS (
+        SELECT k.doc_id, k.tpos, k.tok
+        FROM tokrows k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.tpos = k.tpos
+        WHERE c.doc_id IS NULL),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS nkept,
+          string_agg(tok, ' ' ORDER BY tpos) AS kept_text
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS n_tokens,
+        CAST(len(t.toks) AS INTEGER) - CAST(COALESCE(a.nkept, 0) AS INTEGER) AS n_masked,
+        COALESCE(a.kept_text, '') AS masked_text
+      FROM t LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82, q83)
+    Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82, q83, q85)
 }

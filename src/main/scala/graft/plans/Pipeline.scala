@@ -384,6 +384,13 @@ object PipelineCompiler {
         shingleWidth = args.getOrElse("shingleWidth", "3").toInt,
         dfCap = args.getOrElse("dfCap", "100").toInt,
         threshold = args.getOrElse("threshold", "0.9").toDouble))),
+    // Span-level exact-substring dedup: mask width-token windows repeated
+    // across >= minDf documents, keep the documents (q85's ExactSubstr).
+    "maskRepeatedSpans" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.maskRepeatedSpans(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        width = args.getOrElse("width", "5").toInt,
+        minDf = args.getOrElse("minDf", "2").toInt))),
     "minhashPairs" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.minhashNearDup(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "text")),
@@ -504,6 +511,19 @@ object PipelineCompiler {
     "fingerprintAdmit" -> ((_, in, args) =>
       Map("outport1" -> graft.streaming.StreamingOps.fingerprintAdmit(
         in("inport1"), expr(arg(args, "text")), in("inport2")))),
+    // Span-level admission tier: spanIndex is the batch repeated-window
+    // index (q85 semantics); maskSpansAgainst strips indexed boilerplate
+    // spans from arriving docs (inport1 = docs, inport2 = index) — pure
+    // per-row vs the frozen index, so per-micro-batch == batch exactly.
+    "spanIndex" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.spanIndex(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        width = args.getOrElse("width", "5").toInt,
+        minDf = args.getOrElse("minDf", "2").toInt))),
+    "maskSpansAgainst" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.maskSpansAgainst(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")), in("inport2"),
+        width = args.getOrElse("width", "5").toInt))),
     // Sampling / blending / layout family.
     "stratifiedSample" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.stratifiedSample(in("inport1"),

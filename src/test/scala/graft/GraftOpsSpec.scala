@@ -1767,4 +1767,84 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(baked(2L).isEmpty, "baked path must null out a null vector")
     assert(joined == baked, s"null handling diverged: $joined vs $baked")
   }
+
+  test("maskRepeatedSpans: planted boilerplate dies, unique text survives") {
+    import spark.implicits._
+    // 6 docs share a 7-token license header; bodies are unique. width=5
+    // ⇒ repeated windows are exactly the starts fully inside the header
+    // (0, 1, 2), covering token positions 0..6 — the header and NOTHING
+    // else (a window straddling header+body differs per doc). Doc 7 is a
+    // 3-token doc (< width: no windows, passes through even though doc 8
+    // repeats it verbatim — the width-token guarantee). Doc 9's header
+    // is unique (minDf law: df=1 never masks).
+    val header = "licensed under the apache license version two"
+    val docs = (0 until 6).map(i => (i.toLong, s"$header body$i text$i unique$i")) ++
+      Seq((7L, "tiny shared doc"), (8L, "tiny shared doc"),
+        (9L, s"unique header only here once body9 text9 end9"))
+    val out = GraftOps.maskRepeatedSpans(docs.toDF("id", "txt"),
+        col("id"), col("txt"), width = 5, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    (0 until 6).foreach { i =>
+      val (n, masked, text) = out(i.toLong)
+      assert(n == 10 && masked == 7, s"doc $i: expected the 7 header tokens masked, got $masked/$n")
+      assert(text == s"body$i text$i unique$i",
+        s"doc $i kept text must be exactly the unique body: '$text'")
+    }
+    assert(out(7L) == ((3, 0, "tiny shared doc")) && out(8L) == ((3, 0, "tiny shared doc")),
+      "sub-width docs must pass through unmasked even when repeated verbatim")
+    assert(out(9L)._2 == 0 && out(9L)._3.startsWith("unique header"),
+      "a df=1 span must never mask")
+  }
+
+  test("maskRepeatedSpans: full-document repeat masks everything to ''") {
+    import spark.implicits._
+    val dup = "exactly the same ten tokens in every single copy here"
+    val docs = Seq((1L, dup), (2L, dup), (3L, "a wholly different document body"))
+    val out = GraftOps.maskRepeatedSpans(docs.toDF("id", "txt"),
+        col("id"), col("txt"), width = 5, minDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((10, "")) && out(2L) == ((10, "")),
+      "verbatim duplicate docs must mask to empty text")
+    assert(out(3L)._1 == 0, "the unique doc must be untouched")
+  }
+
+  test("spanIndex self-index law: masking a corpus against its own index == maskRepeatedSpans") {
+    import spark.implicits._
+    // the law that makes the streaming admission tier trustworthy: the
+    // index is exactly maskRepeatedSpans' internal repeated set, so
+    // maskSpansAgainst(df, spanIndex(df)) must be bit-equal to the
+    // one-shot batch operator on any corpus.
+    val docs = ((0 until 5).map(i =>
+        (i.toLong, s"common leading boilerplate run here body$i tail$i")) ++
+      Seq((7L, "short doc"), (8L, ""), (9L, "another unique document full of words")))
+      .toDF("id", "txt")
+    val direct = GraftOps.maskRepeatedSpans(docs, col("id"), col("txt"),
+      width = 5, minDf = 2).collect().map(_.toSeq).toSet
+    val idx = GraftOps.spanIndex(docs, col("id"), col("txt"), width = 5, minDf = 2)
+    val viaIndex = GraftOps.maskSpansAgainst(docs, col("id"), col("txt"),
+      idx, width = 5).collect().map(_.toSeq).toSet
+    assert(viaIndex == direct && direct.size == 8)
+  }
+
+  test("maskRepeatedSpans: declarative registry op equals the API path") {
+    import spark.implicits._
+    val docs = (0 until 4).map(i =>
+      (i.toLong, s"shared prefix tokens here always body$i tail$i")).toDF("id", "txt")
+    docs.createOrReplaceTempView("span_docs_v")
+    val ports = graft.plans.PipelineCompiler.compile(
+      graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="src" class="viewInput"><arg key="table" value="span_docs_v"/></operator>
+        <operator name="mask" class="maskRepeatedSpans">
+          <arg key="id" value="id"/><arg key="text" value="txt"/>
+          <arg key="width" value="5"/><arg key="minDf" value="2"/>
+        </operator>
+        <connect from="src.outport1" to="mask.inport1"/>
+      </pipeline>"""), spark)
+    val got = ports("mask.outport1").collect().map(_.toSeq).toSet
+    val want = GraftOps.maskRepeatedSpans(docs, col("id"), col("txt"),
+      width = 5, minDf = 2).collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }

@@ -858,6 +858,35 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       "admit preserves the input schema")
   }
 
+  test("round-13 span admission ops XML == library (self-index law via ports)") {
+    import org.apache.spark.sql.functions._
+    val ports = PipelineCompiler.compile(PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="d" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="si" class="spanIndex">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+          <arg key="width" value="5"/><arg key="minDf" value="2"/>
+        </operator>
+        <operator name="ms" class="maskSpansAgainst">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+          <arg key="width" value="5"/>
+        </operator>
+        <connect from="d.outport1" to="si.inport1"/>
+        <connect from="d.outport1" to="ms.inport1"/>
+        <connect from="si.outport1" to="ms.inport2"/>
+      </pipeline>"""), spark)
+    val d = Tables.load(spark, sf001, "documents")
+    // corpus masked against its own XML-built index == the one-shot batch
+    // operator (the q85 semantics), via the XML ports end to end
+    val got = ports("ms.outport1").collect().map(_.toSeq).toSet
+    val want = graft.api.GraftOps.maskRepeatedSpans(d, col("doc_id"),
+      col("text"), width = 5, minDf = 2).collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty,
+      "XML span admission must reproduce maskRepeatedSpans exactly")
+  }
+
   test("diamond DAG topology compiles (join of two branches)") {
     val spec = PipelineSpec(
       nodes = Seq(

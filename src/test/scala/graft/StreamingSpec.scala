@@ -633,6 +633,56 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally index.unpersist()
   }
 
+  test("S15: span-masking admission via foreachBatch equals one batch application") {
+    // The span tier of continuous ingestion (q85's streaming twin, the
+    // pattern of S10/S14): spanIndex is built ONCE over the corpus;
+    // arriving docs are masked against the frozen index inside
+    // foreachBatch. Each doc's masking depends only on (its text, the
+    // index) — so per-micro-batch application must equal one batch
+    // application EXACTLY, regardless of how arrivals were chunked.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.api.GraftOps
+    import graft.streaming.StreamingOps
+    val header = "licensed under the apache license version two point oh"
+    val corpus = (0 until 6).map(i => (i.toLong, s"$header corpus body$i"))
+      .toDF("doc_id", "text")
+    val index = GraftOps.spanIndex(corpus, col("doc_id"), col("text"),
+      width = 5, minDf = 2).persist()
+    try {
+      val arrivals = Seq(
+        (100L, s"$header fresh arrival text one"),
+        (200L, "wholly novel arrival with no known spans"),
+        (300L, s"prefix words then $header trailing"))
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, String)]
+      val input = MemoryStream[(Long, String)]
+      val ckpt = Files.createTempDirectory("graft-s15").toString
+      val q = StreamingOps.foreachBatchSink(
+          input.toDF().toDF("id", "text"), "s15", ckpt) { (batch, _) =>
+        val rows = GraftOps.maskSpansAgainst(batch, col("id"), col("text"),
+            index, width = 5)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        got.synchronized { got ++= rows }
+      }.start()
+      try {
+        input.addData(arrivals.take(2): _*); q.processAllAvailable()
+        input.addData(arrivals.drop(2): _*); q.processAllAvailable()
+      } finally q.stop()
+      val batch = GraftOps.maskSpansAgainst(arrivals.toDF("id", "text"),
+          col("id"), col("text"), index, width = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+      assert(got.toSet == batch && batch.size == 3,
+        s"per-micro-batch masking must equal one batch application: ${got.toSet} vs $batch")
+      // the indexed header dies wherever it appears (even mid-document);
+      // novel text survives byte-identical
+      val byId = batch.map(t => t._1 -> t).toMap
+      assert(byId(100L)._4 == "fresh arrival text one", byId(100L).toString)
+      assert(byId(200L)._3 == 0 &&
+        byId(200L)._4 == "wholly novel arrival with no known spans")
+      assert(byId(300L)._4 == "prefix words then trailing", byId(300L).toString)
+    } finally index.unpersist()
+  }
+
   test("S13: streaming heavy-hitter summary is a superset with the MG error bound") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
