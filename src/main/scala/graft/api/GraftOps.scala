@@ -193,16 +193,27 @@ object GraftOps {
     * anti join + one per-doc sorted aggregate. Everything shuffles on
     * (doc_id) or (hash) — no all-pairs product anywhere. */
   def maskRepeatedSpans(df: DataFrame, id: Column, text: Column,
-      width: Int = 5, minDf: Int = 2): DataFrame = {
+      width: Int = 5, minDf: Int = 2, minCount: Int = 0): DataFrame = {
     require(width >= 1, s"width must be >= 1; got $width")
     require(minDf >= 2, s"minDf must be >= 2 (1 would mask every token); got $minDf")
+    require(minCount == 0 || minCount >= 2,
+      s"minCount must be 0 (off) or >= 2; got $minCount")
     val base = df.select(id.as("doc_id"), Text.tokens(text).as("__toks"))
     val occ = spanOccurrences(base, width)
-    val rep = occ.groupBy(col("__sh"))
-      .agg(count_distinct(col("doc_id")).as("__df"))
-      .filter(col("__df") >= minDf).select(col("__sh"))
-    maskWithRep(base, occ, rep, width)
+    maskWithRep(base, occ, repeatedSet(occ, minDf, minCount), width)
   }
+
+  /** The repeated-window set of an occurrence frame: hashes in ≥ `minDf`
+    * distinct docs, OR (when `minCount` > 0 — the full ExactSubstr
+    * semantics) with ≥ `minCount` TOTAL occurrences, which also catches a
+    * passage repeated within ONE document. One map-side-combined agg
+    * computes both counts. */
+  private def repeatedSet(occ: DataFrame, minDf: Int, minCount: Int): DataFrame =
+    occ.groupBy(col("__sh"))
+      .agg(count_distinct(col("doc_id")).as("__df"), count(lit(1)).as("__n"))
+      .filter(col("__df") >= minDf ||
+        (if (minCount > 0) col("__n") >= minCount else lit(false)))
+      .select(col("__sh"))
 
   /** Positional window-hash occurrences of a (doc_id, __toks) frame:
     * (doc_id, __pos, __sh), one row per window start. */
@@ -245,14 +256,13 @@ object GraftOps {
     * self-index law: masking a corpus against ITS OWN index equals
     * [[maskRepeatedSpans]] exactly (spec-asserted). */
   def spanIndex(corpus: DataFrame, id: Column, text: Column,
-      width: Int = 5, minDf: Int = 2): DataFrame = {
+      width: Int = 5, minDf: Int = 2, minCount: Int = 0): DataFrame = {
     require(width >= 1, s"width must be >= 1; got $width")
     require(minDf >= 2, s"minDf >= 2; got $minDf")
-    spanOccurrences(corpus.select(id.as("doc_id"),
-        Text.tokens(text).as("__toks")), width)
-      .groupBy(col("__sh"))
-      .agg(count_distinct(col("doc_id")).as("__df"))
-      .filter(col("__df") >= minDf).select(col("__sh"))
+    require(minCount == 0 || minCount >= 2,
+      s"minCount must be 0 (off) or >= 2; got $minCount")
+    repeatedSet(spanOccurrences(corpus.select(id.as("doc_id"),
+      Text.tokens(text).as("__toks")), width), minDf, minCount)
   }
 
   /** Mask arriving documents against a PREBUILT [[spanIndex]]: per-row
@@ -1242,11 +1252,24 @@ object GraftOps {
     * model. The coarse model must be the SAME frozen model the pq model
     * was trained against (codes are meaningless under any other). */
   def ivfRpqEncode(df: DataFrame, id: Column, vec: Column,
-      coarseModel: DataFrame, rpqModel: DataFrame, dim: Int): DataFrame = {
+      coarseModel: DataFrame, rpqModel: DataFrame, dim: Int): DataFrame =
+    ivfRpqEncoder(id, vec, coarseModel, rpqModel, dim)(df)
+
+  /** The reusable-encoder form of [[ivfRpqEncode]] (the residual twin of
+    * [[ivfPqEncoder]]): collects both frozen models ONCE and returns a
+    * pure `DataFrame => DataFrame`. Residual encode is still a pure
+    * per-row function of the frozen (coarse, residual-pq) model PAIR —
+    * codes never depend on other rows — so append-then-search equals
+    * rebuild-then-search exactly, same as the raw tier
+    * ([[graft.streaming.StreamingOps.ivfRpqAppendSink]], spec-asserted).
+    * The lifecycle asymmetry is only in RETRAINS: a new coarse model
+    * invalidates residual codes (no [[reindexCells]] path). */
+  def ivfRpqEncoder(id: Column, vec: Column, coarseModel: DataFrame,
+      rpqModel: DataFrame, dim: Int): DataFrame => DataFrame = {
     val cents = collectModel(coarseModel)
     require(cents.nonEmpty, "ivfRpqEncode with an empty coarse model")
     val mdl = collectPqModel(rpqModel)
-    df.select(id.as("id"), vec.as("__fv"))
+    df => df.select(id.as("id"), vec.as("__fv"))
       .withColumn("cell", element_at(graft.functions.NearestCells(
         col("__fv"), cents.map(_._2), cents.map(_._1)), 1))
       .withColumn("__rv", graft.functions.CellResidual(col("__fv"),

@@ -390,7 +390,8 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.maskRepeatedSpans(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "text")),
         width = args.getOrElse("width", "5").toInt,
-        minDf = args.getOrElse("minDf", "2").toInt))),
+        minDf = args.getOrElse("minDf", "2").toInt,
+        minCount = args.getOrElse("minCount", "0").toInt))),
     "minhashPairs" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.minhashNearDup(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "text")),
@@ -519,7 +520,8 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.spanIndex(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "text")),
         width = args.getOrElse("width", "5").toInt,
-        minDf = args.getOrElse("minDf", "2").toInt))),
+        minDf = args.getOrElse("minDf", "2").toInt,
+        minCount = args.getOrElse("minCount", "0").toInt))),
     "maskSpansAgainst" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.maskSpansAgainst(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "text")), in("inport2"),
@@ -805,13 +807,25 @@ object PipelineCompiler {
     // Search-after-append equals search-over-rebuild exactly (PqSpec).
     "indexAppendSink" -> ((s, in, args) => {
       withQueryShufflePartitions(s, args) {
-        graft.streaming.StreamingOps.ivfPqAppendSink(in("inport1"),
-          expr(arg(args, "id")), expr(arg(args, "vec")),
-          in("inport2"), in("inport3"), dim = arg(args, "dim").toInt,
-          path = arg(args, "path"),
-          queryName = args.getOrElse("name", "indexAppendSink"),
-          checkpoint = arg(args, "checkpoint"))
-          .trigger(triggerOf(args)).start()
+        // tier=residual switches the encoder to the residual (IVFADC)
+        // codes — inport3 must then be a pqFitResidual model trained
+        // against the SAME frozen coarse model on inport2
+        val sink =
+          if (args.getOrElse("tier", "raw") == "residual")
+            graft.streaming.StreamingOps.ivfRpqAppendSink(in("inport1"),
+              expr(arg(args, "id")), expr(arg(args, "vec")),
+              in("inport2"), in("inport3"), dim = arg(args, "dim").toInt,
+              path = arg(args, "path"),
+              queryName = args.getOrElse("name", "indexAppendSink"),
+              checkpoint = arg(args, "checkpoint"))
+          else
+            graft.streaming.StreamingOps.ivfPqAppendSink(in("inport1"),
+              expr(arg(args, "id")), expr(arg(args, "vec")),
+              in("inport2"), in("inport3"), dim = arg(args, "dim").toInt,
+              path = arg(args, "path"),
+              queryName = args.getOrElse("name", "indexAppendSink"),
+              checkpoint = arg(args, "checkpoint"))
+        sink.trigger(triggerOf(args)).start()
       }
       Map.empty
     }),

@@ -258,6 +258,23 @@ object StreamingOps {
     }
   }
 
+  /** The residual-tier twin of [[ivfPqAppendSink]]: micro-batches encode
+    * through [[graft.api.GraftOps.ivfRpqEncoder]] (frozen coarse +
+    * residual-pq models, collected once) and append to the at-rest
+    * residual index. Residual codes are still a pure per-row function of
+    * the frozen model PAIR, so append == rebuild exactly (PqSpec); the
+    * delivery caveats of the raw sink apply unchanged. Remember the
+    * residual lifecycle rule: if the coarse model is ever retrained, the
+    * WHOLE index (appended batches included) must be re-encoded. */
+  def ivfRpqAppendSink(stream: DataFrame, id: Column, vec: Column,
+      coarseModel: DataFrame, rpqModel: DataFrame, dim: Int, path: String,
+      queryName: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val encode = graft.api.GraftOps.ivfRpqEncoder(id, vec, coarseModel, rpqModel, dim)
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
+      encode(batch).write.mode("append").parquet(path)
+    }
+  }
+
   /** Streaming heavy-hitter candidate summary — the streaming twin of
     * [[graft.api.GraftOps.heavyHittersSketch]]'s sketch half: one
     * Misra–Gries summary maintained as STREAMING AGGREGATION STATE

@@ -1809,6 +1809,30 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out(3L)._1 == 0, "the unique doc must be untouched")
   }
 
+  test("maskRepeatedSpans minCount: within-ONE-doc repeats mask only when enabled") {
+    import spark.implicits._
+    // full ExactSubstr semantics: doc 1 repeats its own 5-token passage
+    // twice but shares nothing with other docs (df=1 everywhere). The
+    // default (minCount=0, docs-based) must leave it alone; minCount=2
+    // must mask BOTH occurrences of the passage.
+    val phrase = "five exact tokens repeated verbatim"
+    val docs = Seq(
+      (1L, s"$phrase middle filler words $phrase"),
+      (2L, "an unrelated second document with its own words"))
+      .toDF("id", "txt")
+    val off = GraftOps.maskRepeatedSpans(docs, col("id"), col("txt"),
+        width = 5, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(off(1L) == 0 && off(2L) == 0,
+      s"df-based default must not mask within-doc repeats: $off")
+    val on = GraftOps.maskRepeatedSpans(docs, col("id"), col("txt"),
+        width = 5, minDf = 2, minCount = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(on(1L)._1 == 10 && on(1L)._2 == "middle filler words",
+      s"minCount=2 must mask both occurrences of the self-repeated passage: ${on(1L)}")
+    assert(on(2L)._1 == 0, "the unique doc stays untouched")
+  }
+
   test("spanIndex self-index law: masking a corpus against its own index == maskRepeatedSpans") {
     import spark.implicits._
     // the law that makes the streaming admission tier trustworthy: the

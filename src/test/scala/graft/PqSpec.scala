@@ -311,6 +311,54 @@ class PqSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("residual tier incremental append: search-after-append equals rebuild") {
+    // The append==rebuild law holds for the RESIDUAL tier too: residual
+    // codes are a pure per-row function of the frozen (coarse, rpq) model
+    // pair, so where a batch arrived from never matters. (The tier's
+    // lifecycle asymmetry is retrains, not appends.)
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 1)
+    val rpq = GraftOps.pqFitResidual(emb, col("vec_id"), col("embedding"),
+      coarse, dim = DIM, m = M, ksub = 4, iters = 1)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ridx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ridx-ckpt").toString
+    try {
+      GraftOps.ivfRpqEncode(base, col("vec_id"), col("embedding"),
+        coarse, rpq, DIM).write.mode("append").parquet(dir)
+      val newRows = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.StreamingOps.ivfRpqAppendSink(
+        input.toDF().select(col("_1").as("vec_id"), col("_2").as("embedding")),
+        col("vec_id"), col("embedding"), coarse, rpq, DIM,
+        dir, "ridxAppend", ckpt).start()
+      try {
+        val (a, b) = newRows.splitAt(newRows.length / 2)
+        input.addData(a.toIndexedSeq); q.processAllAvailable()
+        input.addData(b.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val appended = spark.read.parquet(dir)
+      assert(appended.count() == emb.count())
+      val probes = emb.filter(col("vec_id") < 10)
+      def search(index: org.apache.spark.sql.DataFrame) =
+        GraftOps.ivfRpqTopKCoded(index, col("id"), col("cell"), col("codes"),
+          probes, col("vec_id"), col("embedding"), coarse, rpq,
+          k = 3, nprobe = 2).collect().toSet
+      val rebuilt = GraftOps.ivfRpqEncode(emb, col("vec_id"), col("embedding"),
+        coarse, rpq, DIM)
+      assert(search(appended) == search(rebuilt),
+        "residual search over the appended index must equal a full rebuild")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      new Directory(new java.io.File(ckpt)).deleteRecursively()
+    }
+  }
+
   test("compactIndex: one file per cell, identical search, dynamic partition pruning") {
     val coarse = GraftOps.kmeansFit(emb, col("vec_id"), col("embedding"),
       k = 4, iters = 1)
