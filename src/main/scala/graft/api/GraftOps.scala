@@ -1652,6 +1652,43 @@ object GraftOps {
       .withColumn("bin", expr(s"tok_offset div ${budget}L")) // exact int div
   }
 
+  /** Document CHUNKING — the windowing step in front of embedding/training
+    * pipelines (the complement of [[packByTokenBudget]], which concatenates
+    * small docs; this SPLITS large ones): each document becomes overlapping
+    * fixed-token windows, chunk i covering token positions
+    * [i·stride, i·stride + maxTokens) with the tail clamped. Chunk count =
+    * 1 when n ≤ maxTokens else 1 + ⌈(n − maxTokens)/stride⌉ — every token
+    * is covered, the last chunk is the only short one, and overlap =
+    * maxTokens − stride is the usual context-continuity knob. Emits
+    * (doc_id, chunk_id, n_chunk_tokens, chunk_text) — all integer
+    * arithmetic plus deterministic token slices, so the chunk TEXT is
+    * oracle-portable (q86).
+    *
+    * Scale shape: pure narrow — tokenize, one integer chunk-count column,
+    * one explode (the row multiplier IS the output), per-row slice/join.
+    * Zero shuffles at any corpus size; Spark parallelizes by input
+    * partition. */
+  def chunkDocuments(df: DataFrame, id: Column, text: Column,
+      maxTokens: Int, stride: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1; got $maxTokens")
+    require(stride >= 1 && stride <= maxTokens,
+      s"stride must be in [1, maxTokens=$maxTokens]; got $stride")
+    val base = df.select(id.as("doc_id"), Text.tokens(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    // exact integer ceil-division — no doubles anywhere in the count
+    val nChunks = when(col("__n") <= maxTokens, lit(1))
+      .otherwise(lit(1) +
+        expr(s"(__n - $maxTokens + ${stride - 1}) div $stride").cast("int"))
+    base.withColumn("__nc", nChunks)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id"))
+      .withColumn("__ct", slice(col("__toks"),
+        col("chunk_id") * stride + 1, lit(maxTokens)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__ct")).as("n_chunk_tokens"),
+        array_join(col("__ct"), " ").as("chunk_text"))
+  }
+
   /** Fixed-size deterministic stratified sample: exactly `n` rows per
     * stratum (fewer if the stratum is smaller), chosen by ranking the
     * portable hash of `key` — reproducible across runs and engines, and

@@ -300,5 +300,44 @@ object TextOps {
       ORDER BY lift DESC, bg
       LIMIT 100"""))
 
-  val all: Seq[QueryDef] = Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77)
+  // ---------------------------------------------------------------- q86
+  private val CHUNK_MAX = 20
+  private val CHUNK_STRIDE = 15
+
+  /** Document chunking into overlapping fixed-token windows (maxTokens=20,
+    * stride=15 ⇒ 5-token overlap) — the windowing step in front of
+    * embedding/training pipelines. Chunk count is exact integer
+    * ceil-division, chunk text is a deterministic token slice, so every
+    * chunk of every document hash-matches DuckDB. */
+  val q86 = QueryDef("q86_chunk_documents",
+    (s, dir) =>
+      graft.api.GraftOps.chunkDocuments(docs(s, dir), col("doc_id"),
+          col("text"), maxTokens = CHUNK_MAX, stride = CHUNK_STRIDE)
+        .orderBy("doc_id", "chunk_id"),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      n AS (
+        SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n FROM t),
+      c AS (
+        SELECT doc_id, toks,
+          CASE WHEN n <= $CHUNK_MAX THEN 1
+               ELSE 1 + (n - $CHUNK_MAX + ${CHUNK_STRIDE - 1}) // $CHUNK_STRIDE
+          END AS nc
+        FROM n),
+      e AS (
+        SELECT doc_id, toks, CAST(unnest(range(0, nc)) AS INTEGER) AS chunk_id
+        FROM c),
+      s AS (
+        SELECT doc_id, chunk_id,
+          list_slice(toks, chunk_id * $CHUNK_STRIDE + 1,
+            chunk_id * $CHUNK_STRIDE + $CHUNK_MAX) AS ct
+        FROM e)
+      SELECT doc_id, chunk_id,
+        CAST(len(ct) AS INTEGER) AS n_chunk_tokens,
+        array_to_string(ct, ' ') AS chunk_text
+      FROM s
+      ORDER BY doc_id, chunk_id"""))
+
+  val all: Seq[QueryDef] = Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86)
 }

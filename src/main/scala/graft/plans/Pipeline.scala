@@ -384,6 +384,13 @@ object PipelineCompiler {
         shingleWidth = args.getOrElse("shingleWidth", "3").toInt,
         dfCap = args.getOrElse("dfCap", "100").toInt,
         threshold = args.getOrElse("threshold", "0.9").toDouble))),
+    // Document chunking: overlapping fixed-token windows (the splitter
+    // complement of tokenPack's concatenator) — q86 semantics.
+    "chunkDocuments" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.chunkDocuments(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        maxTokens = arg(args, "maxTokens").toInt,
+        stride = arg(args, "stride").toInt))),
     // Span-level exact-substring dedup: mask width-token windows repeated
     // across >= minDf documents, keep the documents (q85's ExactSubstr).
     "maskRepeatedSpans" -> ((_, in, args) =>

@@ -1809,6 +1809,67 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out(3L)._1 == 0, "the unique doc must be untouched")
   }
 
+  test("chunkDocuments laws: coverage, overlap continuity, single-chunk identity") {
+    import spark.implicits._
+    val maxT = 6; val stride = 4 // overlap 2
+    val docs = Seq(
+      (1L, (0 until 17).map(i => s"t$i").mkString(" ")), // 17 toks -> 4 chunks
+      (2L, "exactly six tokens fit one chunk"),          // 6 toks  -> 1 chunk
+      (3L, "short"),                                     // 1 tok   -> 1 chunk
+      (4L, (0 until 10).map(i => s"u$i").mkString(" "))) // 10 toks -> 2 chunks
+      .toDF("id", "txt")
+    val chunks = GraftOps.chunkDocuments(docs, col("id"), col("txt"),
+        maxTokens = maxT, stride = stride)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // chunk counts: 1 + ceil((n - max)/stride)
+    assert(chunks(1L).length == 4 && chunks(2L).length == 1 &&
+      chunks(3L).length == 1 && chunks(4L).length == 2)
+    // single-chunk identity: a doc that fits comes back verbatim
+    assert(chunks(2L).head._4 == "exactly six tokens fit one chunk")
+    assert(chunks(3L).head._4 == "short")
+    // coverage: chunk i holds tokens [i*stride, i*stride + len_i); the
+    // union must be exactly 0..n-1 with no gaps (consecutive starts differ
+    // by stride < maxT) and the last chunk must reach n
+    for ((id, n) <- Seq(1L -> 17, 4L -> 10)) {
+      val cs = chunks(id)
+      cs.foreach { case (_, cid, len, text) =>
+        val toks = text.split(" ")
+        assert(toks.length == len)
+        // token at position cid*stride + j is the original token
+        toks.zipWithIndex.foreach { case (t, j) =>
+          val p = cid * stride + j
+          assert(t == (if (id == 1L) s"t$p" else s"u$p"),
+            s"doc $id chunk $cid pos $j: got $t") }
+      }
+      assert(cs.last._2 * stride + cs.last._3 == n,
+        s"doc $id: last chunk must end at n=$n")
+      // overlap continuity: a full chunk's last (maxT - stride) tokens
+      // reappear as the next chunk's first tokens
+      cs.sliding(2).foreach { pair =>
+        if (pair.length == 2 && pair(0)._3 == maxT)
+          assert(pair(0)._4.split(" ").takeRight(maxT - stride).toSeq ==
+            pair(1)._4.split(" ").take(maxT - stride).toSeq)
+      }
+    }
+    // declarative parity
+    docs.createOrReplaceTempView("chunk_docs_v")
+    val ports = graft.plans.PipelineCompiler.compile(
+      graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="src" class="viewInput"><arg key="table" value="chunk_docs_v"/></operator>
+        <operator name="ch" class="chunkDocuments">
+          <arg key="id" value="id"/><arg key="text" value="txt"/>
+          <arg key="maxTokens" value="6"/><arg key="stride" value="4"/>
+        </operator>
+        <connect from="src.outport1" to="ch.inport1"/>
+      </pipeline>"""), spark)
+    val got = ports("ch.outport1").collect().map(_.toSeq).toSet
+    val want = GraftOps.chunkDocuments(docs, col("id"), col("txt"), 6, 4)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("maskRepeatedSpans minCount: within-ONE-doc repeats mask only when enabled") {
     import spark.implicits._
     // full ExactSubstr semantics: doc 1 repeats its own 5-token passage
