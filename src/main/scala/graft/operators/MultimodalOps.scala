@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.Portable
@@ -97,6 +97,98 @@ object MultimodalOps {
           }
         }
       }
+  }
+
+  /** One perceptual-hash row: the 64-bit average hash of a decoded image. */
+  case class ImageHash(doc_id: Long, ahash: Long, ok: Boolean)
+
+  /** Perceptual AVERAGE-HASH (aHash) of each image payload — the 64-bit
+    * fingerprint behind image near-dup dedup: decode (real JDK codec),
+    * partition the pixel grid into 8×8 cells (pixel (x, y) belongs to
+    * cell ((y·8) div h, (x·8) div w) — exact integer boundaries, no
+    * resampling/interpolation, so the hash is bit-deterministic across
+    * JVMs AND statable in plain SQL over the same pixel values), and set
+    * cell bit j (row-major) iff the cell's luma mean exceeds the image
+    * mean — compared CROSS-MULTIPLIED in exact Long arithmetic
+    * (cellSum·totalN > totalSum·cellN; strict >, ties → 0), never via
+    * doubles. Luma = r+g+b (no division). Sound to ~10⁸ pixels/image
+    * (765·N² < 2⁶³); a corrupt payload yields ok=false with ahash 0.
+    *
+    * Near-identical images (crops aside) agree on almost all 64 bits;
+    * unrelated images sit ~32 apart — [[imageNearDup]] exploits the gap. */
+  def imageAHash(payload: DataFrame): Dataset[ImageHash] = {
+    val spark = payload.sparkSession
+    import spark.implicits._
+    payload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) ImageHash(docId, 0L, ok = false)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val cellSum = new Array[Long](64)
+            val cellN = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                val c = cy * 8 + x * 8 / w
+                cellSum(c) += luma
+                cellN(c) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var totalSum = 0L
+            var totalN = 0L
+            var j = 0
+            while (j < 64) { totalSum += cellSum(j); totalN += cellN(j); j += 1 }
+            var hash = 0L
+            j = 0
+            while (j < 64) {
+              if (cellN(j) > 0 && cellSum(j) * totalN > totalSum * cellN(j))
+                hash |= 1L << j
+              j += 1
+            }
+            ImageHash(docId, hash, ok = true)
+          }
+        }
+      }
+  }
+
+  /** Image near-dup pairs within `maxHamming` bits of aHash — the image
+    * instantiation of the q17 SimHash shape: 4×16-bit chunk keys make the
+    * candidate join exhaustive for radius ≤ 3 by pigeonhole (≤ 3 flipped
+    * bits leave ≥ 1 of 4 chunks untouched), exact popcount verifies.
+    * Equi-join on (chunk index, chunk value) — never an all-pairs
+    * product; at 100 TB the join shuffles 2-column rows on the chunk
+    * key. Emits (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDup(hashes: DataFrame, id: Column, hash: Column,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"imageNearDup with 4 x 16-bit chunks is only exhaustive for maxHamming <= 3 " +
+        s"(pigeonhole); got $maxHamming — raise the chunk count instead of the radius")
+    val base = hashes.select(id.as("__id"), hash.as("__ah"))
+    val chunks = base.select(col("__id"), col("__ah"),
+      posexplode(array((0 to 3).map(i =>
+        shiftright(col("__ah"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("__c", "__chunk")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.__c") === col("y.__c") && col("x.__chunk") === col("y.__chunk") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
+        col("x.__ah").as("__ha"), col("y.__ah").as("__hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(expr("__ha ^ __hb")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** One decoded multi-frame row: real per-frame pixel stats. */
@@ -722,5 +814,82 @@ object MultimodalOps {
     bos.toByteArray
   }
 
-  val all: Seq[QueryDef] = Seq(q26, q39, q49, q51, q53, q56)
+  // ---------------------------------------------------------------- q87
+  /** Image near-dup through a REAL codec, hash-gated end to end — the
+    * multimodal dedup family joins the oracle-checked set (unlike the
+    * q49/q51/q53/q56 roundtrips, which are rows-only): one deterministic
+    * 16×16 PNG per doc with gray levels from the portable md5 hash
+    * (doc pairs share a base image; the odd member gets 2 pixels
+    * perturbed), REAL ImageIO encode→decode on the Spark side, exact
+    * integer [[imageAHash]], banded-hamming [[imageNearDup]]. The ORACLE
+    * never touches a codec: PNG is lossless for TYPE_INT_RGB, so the
+    * decoded pixels equal the analytic formula and DuckDB recomputes the
+    * same cell bits from `md5`-derived gray values in pure SQL — the
+    * whole synthesize→encode→decode→hash→band-join→verify chain
+    * hash-matches, which also PROVES the codec roundtrip is lossless at
+    * the driver gate, not just in-suite. Planted pairs differ in ≤ 1
+    * aHash bit; unrelated images sit ~32 bits apart, astronomically
+    * outside maxHamming = 3. */
+  val q87 = QueryDef("q87_image_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 100).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val base = id / 2
+            val perturb = id % 2 == 1
+            val img = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                var v = (Portable.phashJvm(s"img|$base|$x|$y") % 256).toInt
+                if (perturb && x == 0 && y < 2) v = (v + 96) % 256
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("doc_id", "payload")
+      imageNearDup(imageAHash(payloads).toDF(), col("doc_id"), col("ahash"),
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id < 100),
+      px AS (
+        SELECT doc_id, CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+          CASE WHEN doc_id % 2 = 1 AND x = 0 AND y < 2
+            THEN (${Duck.ph("'img|' || CAST(doc_id // 2 AS VARCHAR) || '|' || CAST(x AS VARCHAR) || '|' || CAST(y AS VARCHAR)")} % 256 + 96) % 256
+            ELSE ${Duck.ph("'img|' || CAST(doc_id // 2 AS VARCHAR) || '|' || CAST(x AS VARCHAR) || '|' || CAST(y AS VARCHAR)")} % 256
+          END AS g
+        FROM ids, (SELECT unnest(range(0, 16)) AS x) xs,
+          (SELECT unnest(range(0, 16)) AS y) ys),
+      cells AS (
+        SELECT doc_id, (y // 2) * 8 + (x // 2) AS cell,
+          SUM(3 * g) AS csum, COUNT(*) AS cn
+        FROM px GROUP BY doc_id, cell),
+      tot AS (
+        SELECT doc_id, SUM(csum) AS tsum, SUM(cn) AS tn FROM cells GROUP BY doc_id),
+      bits AS (
+        SELECT c.doc_id, c.cell,
+          CASE WHEN c.csum * t.tn > t.tsum * c.cn THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN tot t USING (doc_id)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+        FROM bits a JOIN bits b ON a.cell = b.cell AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, hamming FROM pairs
+      WHERE hamming <= 3
+      ORDER BY id_a, id_b"""))
+
+  val all: Seq[QueryDef] = Seq(q26, q39, q49, q51, q53, q56, q87)
 }

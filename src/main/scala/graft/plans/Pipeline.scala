@@ -729,6 +729,16 @@ object PipelineCompiler {
     "decodeMjpegFrames" -> ((_, in, args) =>
       Map("outport1" -> graft.operators.MultimodalOps.decodeMjpegFrames(in("inport1"),
         args.getOrElse("everyNth", "1").toInt).toDF())),
+    // Image near-dup family (q87): perceptual aHash over decoded payloads,
+    // then banded-hamming pairs (inport1 = (doc_id, payload) / the hash
+    // table respectively).
+    "imageAHash" -> ((_, in, _) =>
+      Map("outport1" ->
+        graft.operators.MultimodalOps.imageAHash(in("inport1")).toDF())),
+    "imageNearDup" -> ((_, in, args) =>
+      Map("outport1" -> graft.operators.MultimodalOps.imageNearDup(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "hash")),
+        maxHamming = args.getOrElse("maxHamming", "3").toInt))),
     "decodeAudioPcm" -> ((_, in, _) =>
       Map("outport1" ->
         graft.operators.MultimodalOps.decodeAudioPcm(in("inport1")).toDF())),

@@ -1809,6 +1809,74 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out(3L)._1 == 0, "the unique doc must be untouched")
   }
 
+  test("imageAHash: codec roundtrip preserves the hash; near-dup pairs are exact") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    // 20 base images + a jittered twin each (3 perturbed pixels), encoded
+    // to real PNG. Laws: (1) imageAHash through encode->decode equals the
+    // driver-side hash of the RAW pixels (PNG lossless for TYPE_INT_RGB);
+    // (2) imageNearDup returns exactly the driver-computed pairs within
+    // the radius — no false pairs, none missed.
+    val rnd = new scala.util.Random(11)
+    def pixels(seed: Int): Array[Array[Int]] =
+      Array.tabulate(16, 16)((y, x) =>
+        math.abs((seed * 7919 + x * 131 + y * 31) % 256))
+    def jitter(p: Array[Array[Int]]): Array[Array[Int]] = {
+      val q = p.map(_.clone())
+      (0 until 3).foreach { _ =>
+        q(rnd.nextInt(16))(rnd.nextInt(16)) = rnd.nextInt(256) }
+      q
+    }
+    def refHash(p: Array[Array[Int]]): Long = {
+      val cs = new Array[Long](64); val cn = new Array[Long](64)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val c = (y * 8 / 16) * 8 + x * 8 / 16
+        cs(c) += 3L * p(y)(x); cn(c) += 1
+      }
+      val ts = cs.sum; val tn = cn.sum
+      (0 until 64).foldLeft(0L)((h, j) =>
+        if (cn(j) > 0 && cs(j) * tn > ts * cn(j)) h | (1L << j) else h)
+    }
+    def png(p: Array[Array[Int]]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = p(y)(x); img.setRGB(x, y, (v << 16) | (v << 8) | v) }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val imgs = (0 until 20).flatMap { i =>
+      val base = pixels(i)
+      Seq((i * 2L, base), (i * 2L + 1, jitter(base)))
+    }
+    val payloads = imgs.map { case (id, p) => (id, png(p)) }.toDF("doc_id", "payload")
+    val got = MultimodalOps.imageAHash(payloads).collect()
+      .map(r => r.doc_id -> (r.ahash, r.ok)).toMap
+    val ref = imgs.map { case (id, p) => id -> refHash(p) }.toMap
+    imgs.foreach { case (id, _) =>
+      assert(got(id)._2, s"image $id failed to decode")
+      assert(got(id)._1 == ref(id),
+        s"image $id: hash through the codec ${got(id)._1} != raw-pixel hash ${ref(id)}")
+    }
+    // exact expected pair set from the reference hashes
+    val idsSorted = imgs.map(_._1).sorted
+    val want = (for {
+      a <- idsSorted; b <- idsSorted if a < b
+      h = java.lang.Long.bitCount(ref(a) ^ ref(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    val pairs = MultimodalOps.imageNearDup(
+        MultimodalOps.imageAHash(payloads).toDF(), col("doc_id"), col("ahash"),
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == want, s"pair set mismatch: got ${pairs.size}, want ${want.size}")
+    assert(want.nonEmpty, "fixture sanity: some jittered twins must stay within radius")
+    // a corrupt payload is counted, never thrown
+    val bad = Seq((999L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val badRow = MultimodalOps.imageAHash(bad).collect().head
+    assert(!badRow.ok && badRow.ahash == 0L)
+  }
+
   test("chunkDocuments laws: coverage, overlap continuity, single-chunk identity") {
     import spark.implicits._
     val maxT = 6; val stride = 4 // overlap 2
