@@ -254,11 +254,20 @@ object GraftOps {
     * width-token window hash appearing in ≥ `minDf` distinct documents.
     * Build once in batch, persist, reuse across a stream's lifetime;
     * self-index law: masking a corpus against ITS OWN index equals
-    * [[maskRepeatedSpans]] exactly (spec-asserted). */
+    * [[maskRepeatedSpans]] exactly (spec-asserted).
+    *
+    * `minDf = 1` is allowed HERE (unlike [[maskRepeatedSpans]], where it
+    * would mask every token) because the index is meant for a DIFFERENT
+    * corpus than the one being masked — the eval-span-scrubbing form of
+    * decontamination: index EVERY window of the eval/benchmark set
+    * (minDf = 1), then [[maskSpansAgainst]] the TRAINING corpus to excise
+    * quoted eval passages while keeping the documents ([[decontaminate]]
+    * is the doc-DROPPING tier of the same defense; this is the
+    * span-excising tier — spec-asserted on planted quotes). */
   def spanIndex(corpus: DataFrame, id: Column, text: Column,
       width: Int = 5, minDf: Int = 2, minCount: Int = 0): DataFrame = {
     require(width >= 1, s"width must be >= 1; got $width")
-    require(minDf >= 2, s"minDf >= 2; got $minDf")
+    require(minDf >= 1, s"minDf >= 1; got $minDf")
     require(minCount == 0 || minCount >= 2,
       s"minCount must be 0 (off) or >= 2; got $minCount")
     repeatedSet(spanOccurrences(corpus.select(id.as("doc_id"),

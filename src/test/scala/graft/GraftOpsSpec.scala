@@ -1809,6 +1809,33 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out(3L)._1 == 0, "the unique doc must be untouched")
   }
 
+  test("eval-span scrubbing: spanIndex(minDf=1) over the eval set excises quoted passages") {
+    import spark.implicits._
+    // the span-excising tier of decontamination (decontaminate drops the
+    // whole document; this keeps it minus the leaked passage): index
+    // EVERY width-window of the eval set, mask the training corpus.
+    val evalSet = Seq(
+      (1L, "what is the capital of france answer paris obviously"),
+      (2L, "compute two plus two answer four exactly"))
+      .toDF("eid", "etxt")
+    val train = Seq(
+      (10L, "some prose then what is the capital of france answer paris obviously and more prose"),
+      (11L, "a wholly clean training document with original content"),
+      (12L, "compute two plus two answer four exactly")) // pure eval quote
+      .toDF("id", "txt")
+    val idx = GraftOps.spanIndex(evalSet, col("eid"), col("etxt"),
+      width = 5, minDf = 1)
+    val out = GraftOps.maskSpansAgainst(train, col("id"), col("txt"),
+        idx, width = 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(out(10L)._2 == "some prose then and more prose",
+      s"the quoted eval passage must be excised exactly: '${out(10L)._2}'")
+    assert(out(11L) == ((0, "a wholly clean training document with original content")),
+      "clean docs pass through byte-identical")
+    assert(out(12L) == ((7, "")),
+      "a document that IS an eval row masks to empty")
+  }
+
   test("imageAHash: codec roundtrip preserves the hash; near-dup pairs are exact") {
     import spark.implicits._
     import graft.operators.MultimodalOps
