@@ -171,9 +171,16 @@ object MultimodalOps {
     * product; at 100 TB the join shuffles 2-column rows on the chunk
     * key. Emits (id_a, id_b, hamming), id_a < id_b. */
   def imageNearDup(hashes: DataFrame, id: Column, hash: Column,
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDup(hashes, id, hash, maxHamming)
+
+  /** The generic 64-bit banded-hamming pair joiner behind [[imageNearDup]]
+    * and [[audioNearDup]] — any perceptual 64-bit fingerprint column gets
+    * the same exhaustive-≤3 candidate join + exact popcount verify. */
+  def hammingNearDup(hashes: DataFrame, id: Column, hash: Column,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
-      s"imageNearDup with 4 x 16-bit chunks is only exhaustive for maxHamming <= 3 " +
+      s"hammingNearDup with 4 x 16-bit chunks is only exhaustive for maxHamming <= 3 " +
         s"(pigeonhole); got $maxHamming — raise the chunk count instead of the radius")
     val base = hashes.select(id.as("__id"), hash.as("__ah"))
     val chunks = base.select(col("__id"), col("__ah"),
@@ -397,6 +404,77 @@ object MultimodalOps {
         }
       }
   }
+
+  /** One audio-fingerprint row: the 64-bit energy-envelope hash. */
+  case class AudioHash(doc_id: Long, afp: Long, ok: Boolean)
+
+  /** Energy-envelope FINGERPRINT of each audio payload — the audio
+    * sibling of [[imageAHash]]: decode 16-bit PCM (real JDK codec, the
+    * [[decodeAudioPcm]] contract), partition the sample stream into 64
+    * equal windows (sample i of n belongs to window (i·64) div n — exact
+    * integer boundaries), and set bit j iff window j's mean |sample|
+    * exceeds the whole clip's mean — cross-multiplied in exact Long
+    * arithmetic (winSum·totalN > totalSum·winN; strict >, ties → 0).
+    * Loudness-profile near-dups (re-encodes, trims aside) agree on almost
+    * all 64 bits; unrelated clips sit ~32 apart — [[audioNearDup]]
+    * exploits the gap. Non-16-bit/unparseable payloads → ok=false. */
+  def audioFingerprint(payload: DataFrame): Dataset[AudioHash] = {
+    val spark = payload.sparkSession
+    import spark.implicits._
+    payload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                AudioHash(docId, 0L, ok = false)
+              else {
+                val pcm = ais.readAllBytes()
+                val be = fmt.isBigEndian
+                val n = pcm.length / 2
+                if (n == 0) AudioHash(docId, 0L, ok = false)
+                else {
+                  val winSum = new Array[Long](64)
+                  val winN = new Array[Long](64)
+                  var i = 0
+                  while (i < n) {
+                    val s =
+                      if (be) ((pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xff)).toShort.toInt
+                      else ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+                    val w = (i.toLong * 64 / n).toInt
+                    winSum(w) += math.abs(s)
+                    winN(w) += 1
+                    i += 1
+                  }
+                  var totalSum = 0L; var totalN = 0L
+                  var j = 0
+                  while (j < 64) { totalSum += winSum(j); totalN += winN(j); j += 1 }
+                  var hash = 0L
+                  j = 0
+                  while (j < 64) {
+                    if (winN(j) > 0 && winSum(j) * totalN > totalSum * winN(j))
+                      hash |= 1L << j
+                    j += 1
+                  }
+                  AudioHash(docId, hash, ok = true)
+                }
+              }
+            } finally ais.close()
+          } catch { case _: Exception => AudioHash(docId, 0L, ok = false) }
+        }
+      }
+  }
+
+  /** Audio near-dup pairs within `maxHamming` envelope bits — the audio
+    * face of [[hammingNearDup]]. */
+  def audioNearDup(hashes: DataFrame, id: Column, hash: Column,
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDup(hashes, id, hash, maxHamming)
 
   /** Deterministic WAV fixture: 16-bit PCM mono square wave, `(id%5+1)·100`
     * samples alternating ±A with A = (id·37) % 1000 + 100 — so mean |s|,
@@ -891,5 +969,75 @@ object MultimodalOps {
       WHERE hamming <= 3
       ORDER BY id_a, id_b"""))
 
-  val all: Seq[QueryDef] = Seq(q26, q39, q49, q51, q53, q56, q87)
+  // ---------------------------------------------------------------- q88
+  /** Audio near-dup through the REAL WAV codec, hash-gated end to end —
+    * the q87 pattern on the audio axis: one deterministic 256-sample
+    * 16-bit PCM mono clip per doc (samples from the portable md5 hash in
+    * ±1000; doc pairs share a base clip, the odd member gets its first 4
+    * samples shifted +700), REAL AudioSystem WAV encode→decode on the
+    * Spark side, exact integer [[audioFingerprint]], banded-hamming
+    * [[audioNearDup]]. The oracle recomputes the same envelope bits from
+    * the analytic sample formula in pure SQL (16-bit PCM roundtrips
+    * bit-exact — agreement proves it at the driver gate, the q56
+    * in-suite law promoted to the oracle). */
+  val q88 = QueryDef("q88_audio_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 100).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val base = id / 2
+            val perturb = id % 2 == 1
+            val n = 256
+            val pcm = new Array[Byte](n * 2)
+            var i = 0
+            while (i < n) {
+              var v = (Portable.phashJvm(s"aud|$base|$i") % 2001 - 1000).toInt
+              if (perturb && i < 4) v += 700
+              pcm(2 * i) = (v & 0xff).toByte // little-endian
+              pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("doc_id", "payload")
+      audioNearDup(audioFingerprint(payloads).toDF(), col("doc_id"), col("afp"),
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id < 100),
+      px AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS i,
+          (${Duck.ph("'aud|' || CAST(doc_id // 2 AS VARCHAR) || '|' || CAST(i AS VARCHAR)")} % 2001 - 1000)
+            + CASE WHEN doc_id % 2 = 1 AND i < 4 THEN 700 ELSE 0 END AS s
+        FROM ids, (SELECT unnest(range(0, 256)) AS i) samples),
+      wins AS (
+        SELECT doc_id, (i * 64) // 256 AS w,
+          SUM(ABS(s)) AS wsum, COUNT(*) AS wn
+        FROM px GROUP BY doc_id, w),
+      tot AS (
+        SELECT doc_id, SUM(wsum) AS tsum, SUM(wn) AS tn FROM wins GROUP BY doc_id),
+      bits AS (
+        SELECT c.doc_id, c.w,
+          CASE WHEN c.wsum * t.tn > t.tsum * c.wn THEN 1 ELSE 0 END AS bit
+        FROM wins c JOIN tot t USING (doc_id)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+        FROM bits a JOIN bits b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, hamming FROM pairs
+      WHERE hamming <= 3
+      ORDER BY id_a, id_b"""))
+
+  val all: Seq[QueryDef] = Seq(q26, q39, q49, q51, q53, q56, q87, q88)
 }

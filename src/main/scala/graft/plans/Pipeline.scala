@@ -739,6 +739,13 @@ object PipelineCompiler {
       Map("outport1" -> graft.operators.MultimodalOps.imageNearDup(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "hash")),
         maxHamming = args.getOrElse("maxHamming", "3").toInt))),
+    "audioFingerprint" -> ((_, in, _) =>
+      Map("outport1" ->
+        graft.operators.MultimodalOps.audioFingerprint(in("inport1")).toDF())),
+    "audioNearDup" -> ((_, in, args) =>
+      Map("outport1" -> graft.operators.MultimodalOps.audioNearDup(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "hash")),
+        maxHamming = args.getOrElse("maxHamming", "3").toInt))),
     "decodeAudioPcm" -> ((_, in, _) =>
       Map("outport1" ->
         graft.operators.MultimodalOps.decodeAudioPcm(in("inport1")).toDF())),

@@ -1904,6 +1904,51 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(!badRow.ok && badRow.ahash == 0L)
   }
 
+  test("audioFingerprint: WAV roundtrip preserves the envelope hash exactly") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    // driver-side reference over the RAW samples vs the codec path —
+    // 16-bit PCM WAV must roundtrip bit-exact (the q56 law, at the
+    // fingerprint level); plus the corrupt-payload contract.
+    val rnd = new scala.util.Random(23)
+    def clip(): Array[Int] = Array.fill(200)(rnd.nextInt(4001) - 2000)
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def refHash(samples: Array[Int]): Long = {
+      val ws = new Array[Long](64); val wn = new Array[Long](64)
+      val n = samples.length
+      samples.zipWithIndex.foreach { case (s, i) =>
+        val w = (i.toLong * 64 / n).toInt
+        ws(w) += math.abs(s); wn(w) += 1 }
+      val ts = ws.sum; val tn = wn.sum
+      (0 until 64).foldLeft(0L)((h, j) =>
+        if (wn(j) > 0 && ws(j) * tn > ts * wn(j)) h | (1L << j) else h)
+    }
+    val clips = (0 until 15).map(i => (i.toLong, clip()))
+    val payloads = clips.map { case (id, s) => (id, wav(s)) }.toDF("doc_id", "payload")
+    val got = MultimodalOps.audioFingerprint(payloads).collect()
+      .map(r => r.doc_id -> (r.afp, r.ok)).toMap
+    clips.foreach { case (id, s) =>
+      assert(got(id)._2, s"clip $id failed to decode")
+      assert(got(id)._1 == refHash(s),
+        s"clip $id: fingerprint through the codec != raw-sample reference")
+    }
+    val bad = Seq((99L, Array[Byte](9, 9))).toDF("doc_id", "payload")
+    val badRow = MultimodalOps.audioFingerprint(bad).collect().head
+    assert(!badRow.ok && badRow.afp == 0L)
+  }
+
   test("chunkDocuments laws: coverage, overlap continuity, single-chunk identity") {
     import spark.implicits._
     val maxT = 6; val stride = 4 // overlap 2
