@@ -1183,6 +1183,62 @@ object GraftOps {
     * filtering (PqSpec asserts the `dynamicpruning` subquery in the
     * plan and search parity with the uncompacted table). Pure layout:
     * rows, schema, and every search result are unchanged. */
+  /** Z-ORDER curve value of two pre-normalized coordinates — the
+    * multi-column data-layout primitive (the Delta/Iceberg OPTIMIZE
+    * ZORDER idea as a plain column): interleave the low `bits` bits of
+    * `x` (even positions) and `y` (odd positions), so rows close in BOTH
+    * dimensions land close on the 1-D curve. Pure integer shifts/masks —
+    * codegen'd end to end and bit-portable (q89 hash-checks every
+    * z-value). Inputs must already sit in [0, 2^bits); see
+    * [[zorderNormalize]]. */
+  def zorderValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]; got $bits")
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Min/max normalization of an integer column into [0, 2^bits):
+    * `(v − lo) · (2^bits − 1) div max(hi − lo, 1)` — exact integer
+    * arithmetic (the div is computed as `(n − n mod span) / span`, whose
+    * IEEE division is exact because the numerator is a multiple of the
+    * divisor — identical to the oracle's `//` on non-negative operands).
+    * `lo`/`hi` are trained-stats constants (2 longs — collect them like
+    * any model). Sound while (hi − lo)·(2^bits − 1) < 2^53. */
+  def zorderNormalize(v: Column, lo: Long, hi: Long, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]; got $bits")
+    require(hi >= lo, s"hi must be >= lo; got [$lo, $hi]")
+    val span = math.max(hi - lo, 1L)
+    val num = (v.cast("long") - lit(lo)) * lit((1L << bits) - 1)
+    ((num - pmod(num, lit(span))) / lit(span)).cast("long")
+  }
+
+  /** Z-ORDERED parquet write — the multi-column locality layout for
+    * min/max scan pruning at 100 TB: normalize both columns against
+    * collected corpus stats (4 longs — a trained-stats constant), compute
+    * the interleaved curve value, RANGE-partition on it into `nFiles`
+    * tasks and sort within each — so every output file covers one tight
+    * z-range and a box predicate on (x, y) concentrates its matches in
+    * few files, letting parquet row-group/file stats skip the rest
+    * (spec-measured: the same box query touches ~4× fewer files than a
+    * hash layout on the oracle fixture). Pure layout — rows unchanged. */
+  def zorderWrite(df: DataFrame, x: Column, y: Column, bits: Int,
+      path: String, nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1; got $nFiles")
+    val st = df.agg(min(x.cast("long")), max(x.cast("long")),
+      min(y.cast("long")), max(y.cast("long"))).collect()(0)
+    require(!st.isNullAt(0), "zorderWrite on an empty corpus")
+    val z = zorderValue(
+      zorderNormalize(x, st.getLong(0), st.getLong(1), bits),
+      zorderNormalize(y, st.getLong(2), st.getLong(3), bits), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def compactIndex(spark: SparkSession, inPath: String, outPath: String): Unit =
     spark.read.parquet(inPath)
       .repartition(col("cell"))

@@ -758,7 +758,55 @@ object CurationOps {
       FROM t, g
       ORDER BY rank"""))
 
+  // ---------------------------------------------------------------- q89
+  private val Z_BITS = 12
+
+  /** Z-order curve values over (l_orderkey, l_partkey) — the data-LAYOUT
+    * primitive for multi-column min/max scan pruning (Delta/Iceberg
+    * OPTIMIZE ZORDER as a plain column): min/max-normalize both keys to
+    * 12 bits (exact integer div) and interleave. Every z-value of every
+    * row hash-matches DuckDB — pure shifts/masks/integer division.
+    * `GraftOps.zorderWrite` is the layout terminal that range-partitions
+    * on this value (locality spec-measured: a box query touches ~4×
+    * fewer files than a hash layout). */
+  val q89 = QueryDef("q89_zorder_curve",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val st = li.agg(min(col("l_orderkey").cast("long")),
+        max(col("l_orderkey").cast("long")),
+        min(col("l_partkey").cast("long")),
+        max(col("l_partkey").cast("long"))).collect()(0)
+      li.select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          GraftOps.zorderValue(
+            GraftOps.zorderNormalize(col("l_orderkey"), st.getLong(0),
+              st.getLong(1), Z_BITS),
+            GraftOps.zorderNormalize(col("l_partkey"), st.getLong(2),
+              st.getLong(3), Z_BITS), Z_BITS).cast("bigint").as("zvalue"))
+        .orderBy("zvalue", "l_orderkey", "l_linenumber")
+    },
+    Some(s"""
+      WITH st AS (
+        SELECT CAST(MIN(l_orderkey) AS BIGINT) AS xlo,
+          CAST(MAX(l_orderkey) AS BIGINT) AS xhi,
+          CAST(MIN(l_partkey) AS BIGINT) AS ylo,
+          CAST(MAX(l_partkey) AS BIGINT) AS yhi
+        FROM lineitem),
+      n AS (
+        SELECT l_orderkey, l_partkey, l_linenumber,
+          ((CAST(l_orderkey AS BIGINT) - xlo) * ${(1 << Z_BITS) - 1})
+            // GREATEST(xhi - xlo, 1) AS xn,
+          ((CAST(l_partkey AS BIGINT) - ylo) * ${(1 << Z_BITS) - 1})
+            // GREATEST(yhi - ylo, 1) AS yn
+        FROM lineitem, st)
+      SELECT l_orderkey, l_partkey, l_linenumber,
+        CAST(list_sum(list_transform(range(0, $Z_BITS), i ->
+          ((xn >> i) & 1) * (CAST(1 AS BIGINT) << (2 * CAST(i AS INTEGER))) +
+          ((yn >> i) & 1) * (CAST(1 AS BIGINT) << (2 * CAST(i AS INTEGER) + 1))
+        )) AS BIGINT) AS zvalue
+      FROM n
+      ORDER BY zvalue, l_orderkey, l_linenumber"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
-      q63, q64, q65, q69, q74, q78, q79, q80, q81)
+      q63, q64, q65, q69, q74, q78, q79, q80, q81, q89)
 }

@@ -384,6 +384,33 @@ object PipelineCompiler {
         shingleWidth = args.getOrElse("shingleWidth", "3").toInt,
         dfCap = args.getOrElse("dfCap", "100").toInt,
         threshold = args.getOrElse("threshold", "0.9").toDouble))),
+    // Z-order layout family (q89): `zorder` adds the interleaved curve
+    // value over two integer columns (stats collected eagerly, like any
+    // trainer); `zorderSink` is the range-partitioned layout terminal.
+    "zorder" -> ((_, in, args) => {
+      val df = in("inport1")
+      val bits = args.getOrElse("bits", "12").toInt
+      val x = expr(arg(args, "x")); val y = expr(arg(args, "y"))
+      val st = df.agg(
+        org.apache.spark.sql.functions.min(x.cast("long")),
+        org.apache.spark.sql.functions.max(x.cast("long")),
+        org.apache.spark.sql.functions.min(y.cast("long")),
+        org.apache.spark.sql.functions.max(y.cast("long"))).collect()(0)
+      Map("outport1" -> df.withColumn(
+        args.getOrElse("as", "zvalue"),
+        graft.api.GraftOps.zorderValue(
+          graft.api.GraftOps.zorderNormalize(x, st.getLong(0), st.getLong(1), bits),
+          graft.api.GraftOps.zorderNormalize(y, st.getLong(2), st.getLong(3), bits),
+          bits).cast("bigint")))
+    }),
+    "zorderSink" -> ((_, in, args) => {
+      graft.api.GraftOps.zorderWrite(in("inport1"),
+        expr(arg(args, "x")), expr(arg(args, "y")),
+        bits = args.getOrElse("bits", "12").toInt,
+        path = arg(args, "path"),
+        nFiles = args.getOrElse("nFiles", "16").toInt)
+      Map.empty
+    }),
     // Document chunking: overlapping fixed-token windows (the splitter
     // complement of tokenPack's concatenator) — q86 semantics.
     "chunkDocuments" -> ((_, in, args) =>

@@ -1904,6 +1904,46 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(!badRow.ok && badRow.ahash == 0L)
   }
 
+  test("zorder: curve is a bijection; zorderWrite concentrates box queries into few files") {
+    import spark.implicits._
+    // bijectivity: 6-bit x × 6-bit y → every z in [0, 4096) exactly once
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .select(GraftOps.zorderValue(col("x"), col("y"), 6).as("z"))
+    val zs = grid.collect().map(_.getLong(0))
+    assert(zs.distinct.length == 4096 && zs.min == 0L && zs.max == 4095L,
+      "12-bit z-curve must be a bijection over the 64x64 grid")
+    // layout: same rows, z-ordered vs hash-partitioned; a 2-D box query's
+    // matches concentrate in few files under z-order
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val dirZ = java.nio.file.Files.createTempDirectory("graft-zord").toString
+    val dirH = java.nio.file.Files.createTempDirectory("graft-hash").toString
+    try {
+      GraftOps.zorderWrite(li, col("l_orderkey"), col("l_partkey"),
+        bits = 12, path = dirZ, nFiles = 16)
+      li.repartition(16, col("l_orderkey").cast("long") * 2654435761L)
+        .write.mode("overwrite").parquet(dirH)
+      // layout purity: identical multiset of rows
+      val zBack = spark.read.parquet(dirZ)
+      assert(zBack.count() == li.count())
+      assert(zBack.exceptAll(li).isEmpty && li.exceptAll(zBack).isEmpty,
+        "z-order is pure layout: same rows")
+      val box = col("l_orderkey").between(1000, 2500) &&
+        col("l_partkey").between(0, 200)
+      def filesTouched(path: String): Long =
+        spark.read.parquet(path).filter(box)
+          .select(input_file_name()).distinct().count()
+      val (zf, hf) = (filesTouched(dirZ), filesTouched(dirH))
+      info(s"box query files touched: z-order $zf vs hash $hf (of 16)")
+      assert(zf * 2 <= hf,
+        s"z-order must at least halve the files a box query touches: $zf vs $hf")
+    } finally {
+      import scala.reflect.io.Directory
+      Seq(dirZ, dirH).foreach(d =>
+        new Directory(new java.io.File(d)).deleteRecursively())
+    }
+  }
+
   test("audioFingerprint: WAV roundtrip preserves the envelope hash exactly") {
     import spark.implicits._
     import graft.operators.MultimodalOps
