@@ -66,6 +66,12 @@ object GraftFunctions {
       { args =>
         require(args.length == 1, "l2_unit takes 1 argument")
         L2Unit(args.head)
+      }),
+    ("shingle_hashes_all",
+      "shingle_hashes_all(array<string>, width) - ALL window hashes in positional order (span masking)",
+      { args =>
+        require(args.length == 2, "shingle_hashes_all takes 2 arguments")
+        ShingleHashesAll(args(0), litInt(args(1), "shingle_hashes_all width"))
       }))
 
   /** Width-style parameters must be integer literals — they are baked

@@ -176,7 +176,10 @@ object MultimodalOps {
 
   /** The generic 64-bit banded-hamming pair joiner behind [[imageNearDup]]
     * and [[audioNearDup]] — any perceptual 64-bit fingerprint column gets
-    * the same exhaustive-≤3 candidate join + exact popcount verify. */
+    * the same exhaustive-≤3 candidate join + exact popcount verify.
+    * Feed it DECODED rows only (filter `ok`): failed decodes all carry
+    * fingerprint 0 and would otherwise pair with EACH OTHER at hamming 0
+    * — corrupt media should be counted, not clustered. */
   def hammingNearDup(hashes: DataFrame, id: Column, hash: Column,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,

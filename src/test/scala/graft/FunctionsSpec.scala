@@ -32,6 +32,13 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     val u = spark.sql(
       "SELECT l2_unit(CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS u").collect()(0)
     assert(u.getSeq[Double](0) == Seq(0.6, 0.8))
+    // positional (non-distinct) window hashes: the span-masking primitive —
+    // a repeated window repeats its hash at both positions, in order
+    val sa = spark.sql(
+      "SELECT shingle_hashes_all(array('a','b','a','b'), 2) AS sa").collect()(0)
+      .getSeq[Long](0)
+    assert(sa.length == 3 && sa(0) == sa(2) && sa(0) != sa(1),
+      s"positional hashes must keep duplicates in window order: $sa")
   }
 
   test("cosine_sim: known value, symmetry, bounds, self-similarity") {
