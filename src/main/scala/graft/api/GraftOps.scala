@@ -180,7 +180,8 @@ object GraftOps {
     * DISTINCT documents. Output per input row: (doc_id, n_tokens,
     * n_masked, masked_text) — masked_text is the kept tokens space-joined
     * in order ('' when everything masked); docs with < width tokens pass
-    * through unmasked.
+    * through unmasked; NULL-text docs stay present with NULL counts and
+    * '' text (spec-pinned).
     *
     * Scale shape (the 100 TB posture): one codegen'd positional-hash pass
     * ([[graft.functions.ShingleHashesAll]]) → posexplode; the repeated
@@ -1732,7 +1733,9 @@ object GraftOps {
     * Scale shape: pure narrow — tokenize, one integer chunk-count column,
     * one explode (the row multiplier IS the output), per-row slice/join.
     * Zero shuffles at any corpus size; Spark parallelizes by input
-    * partition. */
+    * partition. NULL text ⇒ no token stream ⇒ the doc emits NO chunks
+    * (spec-pinned; [[maskRepeatedSpans]] instead keeps such rows with
+    * NULL counts — different ops, different row contracts). */
   def chunkDocuments(df: DataFrame, id: Column, text: Column,
       maxTokens: Int, stride: Int): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1; got $maxTokens")

@@ -2032,6 +2032,19 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
             pair(1)._4.split(" ").take(maxT - stride).toSeq)
       }
     }
+    // NULL-text contract: no token stream -> the doc emits NO chunks
+    // (sequence over a NULL count explodes to nothing); maskRepeatedSpans
+    // by contrast keeps the row with NULL counts (left join from base)
+    val withNull = Seq((1L, "some real tokens here"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "txt")
+    val chunkIds = GraftOps.chunkDocuments(withNull, col("id"), col("txt"), 6, 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(chunkIds == Set(1L), s"NULL-text docs emit no chunks: $chunkIds")
+    val maskRows = GraftOps.maskRepeatedSpans(withNull, col("id"), col("txt"),
+        width = 5, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(maskRows == Map(1L -> false, 2L -> true),
+      s"maskRepeatedSpans keeps NULL-text docs with NULL counts: $maskRows")
     // declarative parity
     docs.createOrReplaceTempView("chunk_docs_v")
     val ports = graft.plans.PipelineCompiler.compile(
