@@ -13,7 +13,10 @@ import graft.streaming.{JobLogListener, StreamingOps}
   * 3. an XML training-data curation chain (validate → dedup → quality
   *    filter → mixture plan/apply → quantile filter) over `documents`,
   * 4. the declarative ANN index lifecycle (kmeansFit + pqFit →
-  *    ivfPqEncode → ivfPqSearch → annRerank) over `embeddings`.
+  *    ivfPqEncode → ivfPqSearch → annRerank) over `embeddings`,
+  * 5. the passage-granular prep chain (spanIndex → maskSpansAgainst →
+  *    chunkDocuments): repeated passages masked corpus-wide, survivors
+  *    windowed into training chunks.
   *
   * Usage: sbt "runMain graft.PipelineDemo [sfDir]"
   */
@@ -172,6 +175,36 @@ object PipelineDemo {
     PipelineCompiler.compile(PipelineSpec.parseXml(ann), spark)
     println(s"[demo] ANN pipeline: top-3 exact-reranked neighbors per probe")
     spark.table("ann_hits").orderBy("probe_id", "rank").show(9)
+
+    // -- 5. span-dedup -> chunking prep chain (the passage-granular ops) --
+    val spans = s"""
+      <pipeline>
+        <operator name="docs" class="parquetInput">
+          <arg key="dir" value="$sfDir"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="si" class="spanIndex">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+          <arg key="width" value="5"/><arg key="minDf" value="2"/>
+        </operator>
+        <operator name="ms" class="maskSpansAgainst">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+          <arg key="width" value="5"/>
+        </operator>
+        <operator name="ch" class="chunkDocuments">
+          <arg key="id" value="doc_id"/><arg key="text" value="masked_text"/>
+          <arg key="maxTokens" value="20"/><arg key="stride" value="15"/>
+        </operator>
+        <operator name="outs" class="viewSink"><arg key="name" value="prep_chunks"/></operator>
+        <connect from="docs.outport1" to="si.inport1"/>
+        <connect from="docs.outport1" to="ms.inport1"/>
+        <connect from="si.outport1" to="ms.inport2"/>
+        <connect from="ms.outport1" to="ch.inport1"/>
+        <connect from="ch.outport1" to="outs.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(spans), spark)
+    println("[demo] span-dedup -> chunk prep: repeated passages masked " +
+      s"corpus-wide, then windowed into ${spark.table("prep_chunks").count()} chunks")
+    spark.table("prep_chunks").orderBy("doc_id", "chunk_id").show(5, 60)
     spark.stop()
   }
 }
