@@ -1215,6 +1215,17 @@ object GraftOps {
     ((num - pmod(num, lit(span))) / lit(span)).cast("long")
   }
 
+  /** HILBERT-curve value of two pre-normalized coordinates — the locality
+    * upgrade over [[zorderValue]]: consecutive curve positions are ALWAYS
+    * unit-adjacent cells (the Z curve takes long diagonal jumps at
+    * power-of-two boundaries), so range-partitioned files cover even
+    * tighter 2-D regions. One codegen'd [[graft.functions.HilbertD]] call
+    * per row; pure integer ops stated identically in the oracle's
+    * unrolled per-level SQL (q90 hash-checks every value). Inputs from
+    * [[zorderNormalize]]. */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column =
+    graft.functions.HilbertD(x, y, bits)
+
   /** Z-ORDERED parquet write — the multi-column locality layout for
     * min/max scan pruning at 100 TB: normalize both columns against
     * collected corpus stats (4 longs — a trained-stats constant), compute
@@ -1225,14 +1236,17 @@ object GraftOps {
     * (spec-measured: the same box query touches ~4× fewer files than a
     * hash layout on the oracle fixture). Pure layout — rows unchanged. */
   def zorderWrite(df: DataFrame, x: Column, y: Column, bits: Int,
-      path: String, nFiles: Int): Unit = {
+      path: String, nFiles: Int, curve: String = "z"): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1; got $nFiles")
+    require(curve == "z" || curve == "hilbert",
+      s"curve must be 'z' or 'hilbert'; got '$curve'")
     val st = df.agg(min(x.cast("long")), max(x.cast("long")),
       min(y.cast("long")), max(y.cast("long"))).collect()(0)
     require(!st.isNullAt(0), "zorderWrite on an empty corpus")
-    val z = zorderValue(
-      zorderNormalize(x, st.getLong(0), st.getLong(1), bits),
-      zorderNormalize(y, st.getLong(2), st.getLong(3), bits), bits)
+    val xn = zorderNormalize(x, st.getLong(0), st.getLong(1), bits)
+    val yn = zorderNormalize(y, st.getLong(2), st.getLong(3), bits)
+    val z = if (curve == "hilbert") hilbertValue(xn, yn, bits)
+            else zorderValue(xn, yn, bits)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -138,6 +138,30 @@ object VectorOps {
     bestCl
   }
 
+  /** Hilbert-curve distance of a 2-D cell — the locality upgrade over the
+    * Z curve (consecutive d are ALWAYS unit-adjacent cells; Z takes long
+    * diagonal jumps at power-of-two boundaries): the standard iterative
+    * xy→d walk from the top bit down, with quadrant rotation. Pure
+    * integer ops, stated identically in the oracle's unrolled per-level
+    * SQL. Inputs must sit in [0, 2^bits). */
+  def hilbertD(xIn: Long, yIn: Long, bits: Int): Long = {
+    var x = xIn
+    var y = yIn
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) { // rotate quadrant
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   /** SQ8 encode of one vector against per-dim [lo, hi]: code =
     * floor((v−lo)·255/(hi−lo)) clamped [0,255], 0 when hi==lo; stored
     * −128-offset as bytes. Dimensions beyond the model (or a short
@@ -378,6 +402,42 @@ object NearestCellDyn {
   def apply(vec: Column, cells: Column): Column =
     ColumnBridge.column(
       NearestCellDyn(ColumnBridge.expression(vec), ColumnBridge.expression(cells)))
+}
+
+/** `hilbert_d(x, y)`: (bigint, bigint) → bigint — the Hilbert-curve
+  * distance of cell (x, y) on a 2^bits × 2^bits grid, via
+  * [[VectorOps.hilbertD]]. One codegen'd call per row. */
+case class HilbertD(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]; got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hilbert_d expects (bigint, bigint), got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hilbert_d"
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    VectorOps.hilbertD(x.asInstanceOf[Long], y.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.VectorOps.hilbertD($x, $y, $bits)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HilbertD = copy(left = newLeft, right = newRight)
+}
+
+object HilbertD {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(x: Column, y: Column, bits: Int): Column =
+    ColumnBridge.column(HilbertD(ColumnBridge.expression(x),
+      ColumnBridge.expression(y), bits))
 }
 
 /** `sq8_encode(vec)`: array<float> → array<tinyint> — per-dimension

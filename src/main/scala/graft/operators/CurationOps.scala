@@ -806,7 +806,72 @@ object CurationOps {
       FROM n
       ORDER BY zvalue, l_orderkey, l_linenumber"""))
 
+  // ---------------------------------------------------------------- q90
+  /** One Hilbert level as CTE text: rx/ry from the CURRENT (hx, hy), the
+    * distance increment s²·((3·rx) xor ry), then the quadrant
+    * rotation+swap — exactly [[graft.functions.VectorOps.hilbertD]]'s
+    * loop body, unrolled per level (new values computed under fresh
+    * names in an inner projection so DuckDB's lateral column aliases
+    * can't make an expression read a same-level result). */
+  private def hilbertLevelSql(k: Int, s: Long): String = s"""
+      h$k AS (
+        SELECT l_orderkey, l_partkey, l_linenumber,
+          nhd AS hd, nhx AS hx, nhy AS hy
+        FROM (
+          SELECT *,
+            hd + ${s * s} * xor(3 * rx, ry) AS nhd,
+            CASE WHEN ry = 1 THEN hx
+                 ELSE CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END END AS nhx,
+            CASE WHEN ry = 1 THEN hy
+                 ELSE CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END END AS nhy
+          FROM (
+            SELECT *,
+              CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+              CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+            FROM h${k - 1})))"""
+
+  /** Hilbert-curve values over the q89 normalization — the locality
+    * upgrade whose consecutive positions are ALWAYS unit-adjacent cells
+    * (spec-proven adjacency law; the Z curve jumps at power-of-two
+    * seams). Every value of every row hash-matches DuckDB, whose oracle
+    * unrolls the 12 per-level integer steps as CTEs. */
+  val q90 = QueryDef("q90_hilbert_curve",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val st = li.agg(min(col("l_orderkey").cast("long")),
+        max(col("l_orderkey").cast("long")),
+        min(col("l_partkey").cast("long")),
+        max(col("l_partkey").cast("long"))).collect()(0)
+      li.select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          GraftOps.hilbertValue(
+            GraftOps.zorderNormalize(col("l_orderkey"), st.getLong(0),
+              st.getLong(1), Z_BITS),
+            GraftOps.zorderNormalize(col("l_partkey"), st.getLong(2),
+              st.getLong(3), Z_BITS), Z_BITS).cast("bigint").as("hvalue"))
+        .orderBy("hvalue", "l_orderkey", "l_linenumber")
+    },
+    Some(s"""
+      WITH st AS (
+        SELECT CAST(MIN(l_orderkey) AS BIGINT) AS xlo,
+          CAST(MAX(l_orderkey) AS BIGINT) AS xhi,
+          CAST(MIN(l_partkey) AS BIGINT) AS ylo,
+          CAST(MAX(l_partkey) AS BIGINT) AS yhi
+        FROM lineitem),
+      h0 AS (
+        SELECT l_orderkey, l_partkey, l_linenumber,
+          CAST(0 AS BIGINT) AS hd,
+          ((CAST(l_orderkey AS BIGINT) - xlo) * ${(1 << Z_BITS) - 1})
+            // GREATEST(xhi - xlo, 1) AS hx,
+          ((CAST(l_partkey AS BIGINT) - ylo) * ${(1 << Z_BITS) - 1})
+            // GREATEST(yhi - ylo, 1) AS hy
+        FROM lineitem, st),
+      ${(1 to Z_BITS).map(k => hilbertLevelSql(k, 1L << (Z_BITS - k))).mkString(",\n      ")}
+      SELECT l_orderkey, l_partkey, l_linenumber,
+        CAST(hd AS BIGINT) AS hvalue
+      FROM h$Z_BITS
+      ORDER BY hvalue, l_orderkey, l_linenumber"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
-      q63, q64, q65, q69, q74, q78, q79, q80, q81, q89)
+      q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90)
 }

@@ -396,19 +396,22 @@ object PipelineCompiler {
         org.apache.spark.sql.functions.max(x.cast("long")),
         org.apache.spark.sql.functions.min(y.cast("long")),
         org.apache.spark.sql.functions.max(y.cast("long"))).collect()(0)
+      val xn = graft.api.GraftOps.zorderNormalize(x, st.getLong(0), st.getLong(1), bits)
+      val yn = graft.api.GraftOps.zorderNormalize(y, st.getLong(2), st.getLong(3), bits)
+      val curveCol =
+        if (args.getOrElse("curve", "z") == "hilbert")
+          graft.api.GraftOps.hilbertValue(xn, yn, bits)
+        else graft.api.GraftOps.zorderValue(xn, yn, bits)
       Map("outport1" -> df.withColumn(
-        args.getOrElse("as", "zvalue"),
-        graft.api.GraftOps.zorderValue(
-          graft.api.GraftOps.zorderNormalize(x, st.getLong(0), st.getLong(1), bits),
-          graft.api.GraftOps.zorderNormalize(y, st.getLong(2), st.getLong(3), bits),
-          bits).cast("bigint")))
+        args.getOrElse("as", "zvalue"), curveCol.cast("bigint")))
     }),
     "zorderSink" -> ((_, in, args) => {
       graft.api.GraftOps.zorderWrite(in("inport1"),
         expr(arg(args, "x")), expr(arg(args, "y")),
         bits = args.getOrElse("bits", "12").toInt,
         path = arg(args, "path"),
-        nFiles = args.getOrElse("nFiles", "16").toInt)
+        nFiles = args.getOrElse("nFiles", "16").toInt,
+        curve = args.getOrElse("curve", "z"))
       Map.empty
     }),
     // Document chunking: overlapping fixed-token windows (the splitter

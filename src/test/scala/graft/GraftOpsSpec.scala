@@ -1944,6 +1944,45 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("hilbert: bijection + unit-adjacency law; hilbert layout prunes like z or better") {
+    import spark.implicits._
+    // the property that makes Hilbert the locality upgrade: consecutive
+    // curve positions are ALWAYS unit-adjacent cells (Manhattan distance
+    // exactly 1) — the Z curve violates this at every power-of-two seam.
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        GraftOps.hilbertValue(col("x"), col("y"), 5).as("d"))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+    val byD = grid.toMap
+    assert(byD.size == 1024 && byD.keys.min == 0L && byD.keys.max == 1023L,
+      "hilbert_d must be a bijection over the 32x32 grid")
+    (0L until 1023L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve step $d -> ${d + 1} is not unit-adjacent: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // layout: curve="hilbert" must prune the box query at least as well
+    // as the measured z-order layout (both collapse it to ~1 of 16 files)
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val dirH = java.nio.file.Files.createTempDirectory("graft-hilb").toString
+    try {
+      GraftOps.zorderWrite(li, col("l_orderkey"), col("l_partkey"),
+        bits = 12, path = dirH, nFiles = 16, curve = "hilbert")
+      val back = spark.read.parquet(dirH)
+      assert(back.count() == li.count() && back.exceptAll(li).isEmpty,
+        "hilbert layout is pure: same rows")
+      val box = col("l_orderkey").between(1000, 2500) &&
+        col("l_partkey").between(0, 200)
+      val files = back.filter(box).select(input_file_name()).distinct().count()
+      info(s"box query files touched under hilbert layout: $files of 16")
+      assert(files <= 4, s"hilbert layout must concentrate the box query: $files")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dirH)).deleteRecursively()
+    }
+  }
+
   test("audioFingerprint: WAV roundtrip preserves the envelope hash exactly") {
     import spark.implicits._
     import graft.operators.MultimodalOps
