@@ -408,6 +408,115 @@ object MultimodalOps {
       }
   }
 
+  /** One per-frame fingerprint row of a multi-frame (video) payload. */
+  case class VideoFrameHash(doc_id: Long, frame_idx: Int, fhash: Long,
+      ok: Boolean)
+
+  /** Per-FRAME perceptual hashes of a multi-frame payload (animated GIF —
+    * the real JDK multi-frame codec; MJPEG-AVI needs only a different
+    * frame iterator): every stored frame gets the [[imageAHash]] cell
+    * logic, masked to the LOW 63 BITS (bit 63 dropped) so the value is
+    * representable without sign games in any engine's BIGINT — the
+    * alignment-preserving signature [[videoNearDup]] joins on. A payload
+    * no reader accepts yields one ok=false row; a frame that fails
+    * mid-stream emits its own ok=false row and ends that payload's list
+    * (the decodeGifFrames corrupt-media contract). */
+  def videoFrameHashes(payload: DataFrame): Dataset[VideoFrameHash] = {
+    val spark = payload.sparkSession
+    import spark.implicits._
+    payload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) {
+            iis.close()
+            Seq(VideoFrameHash(docId, -1, 0L, ok = false))
+          } else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = try reader.getNumImages(true) catch { case _: Exception => 0 }
+              if (n <= 0) Seq(VideoFrameHash(docId, -1, 0L, ok = false))
+              else {
+                val out = scala.collection.mutable.ArrayBuffer.empty[VideoFrameHash]
+                var f = 0
+                var dead = false
+                while (f < n && !dead) {
+                  try {
+                    val img = reader.read(f)
+                    val w = img.getWidth
+                    val h = img.getHeight
+                    val cellSum = new Array[Long](64)
+                    val cellN = new Array[Long](64)
+                    var y = 0
+                    while (y < h) {
+                      val cy = y * 8 / h
+                      var x = 0
+                      while (x < w) {
+                        val rgb = img.getRGB(x, y)
+                        val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                        val c = cy * 8 + x * 8 / w
+                        cellSum(c) += luma; cellN(c) += 1
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    var ts = 0L; var tn = 0L; var j = 0
+                    while (j < 64) { ts += cellSum(j); tn += cellN(j); j += 1 }
+                    var hash = 0L
+                    j = 0
+                    while (j < 63) { // bit 63 dropped by design
+                      if (cellN(j) > 0 && cellSum(j) * tn > ts * cellN(j))
+                        hash |= 1L << j
+                      j += 1
+                    }
+                    out += VideoFrameHash(docId, f, hash, ok = true)
+                  } catch { case _: Exception =>
+                    out += VideoFrameHash(docId, f, 0L, ok = false)
+                    dead = true
+                  }
+                  f += 1
+                }
+                out.toSeq
+              }
+            } finally { reader.dispose(); iis.close() }
+          }
+        }
+      }
+  }
+
+  /** VIDEO near-dup pairs from aligned per-frame hashes — the sequence
+    * face of the perceptual family: two payloads are near-dups when
+    * ≥ `minMatches` frame INDICES carry identical frame hashes (q16's
+    * LSH shape with frame hashes as the band keys: the candidate join is
+    * an equi-join on (frame_idx, fhash) — one shared frame makes a
+    * candidate, never an all-pairs product — and the grouped join count
+    * IS the verify). Feed it ok=true rows only (corrupt frames carry
+    * hash 0 and would cross-match). Emits (id_a, id_b, matched_frames,
+    * n_a, n_b, sim = matched / max(n_a, n_b)), id_a < id_b. */
+  def videoNearDup(frameHashes: DataFrame, id: Column, frameIdx: Column,
+      fhash: Column, minMatches: Int = 2): DataFrame = {
+    require(minMatches >= 1, s"minMatches must be >= 1; got $minMatches")
+    val fh = frameHashes.select(id.as("__id"), frameIdx.as("__f"),
+      fhash.as("__fh"))
+    val sizes = fh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    fh.as("a").join(fh.as("b"),
+        col("a.__f") === col("b.__f") && col("a.__fh") === col("b.__fh") &&
+          col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .filter(col("matched_frames") >= minMatches)
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("n_a")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("n_b")), "id_b")
+      .withColumn("sim", col("matched_frames").cast("double") /
+        greatest(col("n_a"), col("n_b")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("matched_frames"),
+        col("n_a"), col("n_b"), col("sim"))
+  }
+
   /** One audio-fingerprint row: the 64-bit energy-envelope hash. */
   case class AudioHash(doc_id: Long, afp: Long, ok: Boolean)
 
@@ -1042,5 +1151,113 @@ object MultimodalOps {
       WHERE hamming <= 3
       ORDER BY id_a, id_b"""))
 
-  val all: Seq[QueryDef] = Seq(q26, q39, q49, q51, q53, q56, q87, q88)
+  /** Animated GIF with an EXPLICIT 256-gray indexed palette — lossless by
+    * construction (every sample maps to palette entry = its own gray
+    * level), unlike letting the writer quantize TYPE_INT_RGB input. The
+    * q91 fixture seam: pixel (x, y) of frame f is `g(f, x, y)`. */
+  def syntheticGrayGif(w: Int, h: Int, nFrames: Int,
+      g: (Int, Int, Int) => Int): Array[Byte] = {
+    val grays = Array.tabulate(256)(i => i.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val param = writer.getDefaultWriteParam
+      (0 until nFrames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, g(f, x, y)); x += 1 }
+          y += 1
+        }
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), param)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), param)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  // ---------------------------------------------------------------- q91
+  /** VIDEO near-dup through the REAL multi-frame codec, hash-gated — the
+    * q87/q88 pattern completes the media dedup matrix (image, audio,
+    * video): one deterministic 4-frame 8×8 animated GIF per doc
+    * (md5-derived gray levels on an explicit 256-gray palette — lossless
+    * by construction; doc pairs share base frames, the odd member gets 2
+    * pixels of frame 0 perturbed), REAL ImageIO sequence decode, exact
+    * per-frame [[videoFrameHashes]], frame-aligned [[videoNearDup]] at
+    * minMatches = 3. The oracle recomputes every frame hash from the
+    * analytic pixel formula (at 8×8 each aHash cell IS one pixel) and
+    * counts matching frame indices in pure SQL. Planted pairs match on
+    * the 3 untouched frames (4 when the perturbation doesn't flip frame
+    * 0's hash — either way ≥ 3, and the oracle agrees exactly);
+    * unrelated videos share no frame hash. */
+  val q91 = QueryDef("q91_video_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 100).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val base = id / 2
+            val perturb = id % 2 == 1
+            (id, syntheticGrayGif(8, 8, 4, (f, x, y) => {
+              val g = (Portable.phashJvm(s"vid|$base|$f|$x|$y") % 256).toInt
+              if (perturb && f == 0 && y == 0 && x < 2) (g + 96) % 256 else g
+            }))
+          }
+        }.toDF("doc_id", "payload")
+      val fh = videoFrameHashes(payloads).toDF().filter(col("ok"))
+      videoNearDup(fh, col("doc_id"), col("frame_idx"), col("fhash"),
+          minMatches = 3)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH ids AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id < 100),
+      px AS (
+        SELECT doc_id, CAST(f AS INTEGER) AS f, CAST(x AS INTEGER) AS x,
+          CAST(y AS INTEGER) AS y,
+          CASE WHEN doc_id % 2 = 1 AND f = 0 AND y = 0 AND x < 2
+            THEN (${Duck.ph("'vid|' || CAST(doc_id // 2 AS VARCHAR) || '|' || CAST(f AS VARCHAR) || '|' || CAST(x AS VARCHAR) || '|' || CAST(y AS VARCHAR)")} % 256 + 96) % 256
+            ELSE ${Duck.ph("'vid|' || CAST(doc_id // 2 AS VARCHAR) || '|' || CAST(f AS VARCHAR) || '|' || CAST(x AS VARCHAR) || '|' || CAST(y AS VARCHAR)")} % 256
+          END AS g
+        FROM ids, (SELECT unnest(range(0, 4)) AS f) fs,
+          (SELECT unnest(range(0, 8)) AS x) xs,
+          (SELECT unnest(range(0, 8)) AS y) ys),
+      fr AS (
+        SELECT doc_id, f, y * 8 + x AS cell, 3 * g AS csum FROM px),
+      tot AS (
+        SELECT doc_id, f, SUM(csum) AS tsum FROM fr GROUP BY doc_id, f),
+      bits AS (
+        SELECT fr.doc_id, fr.f, fr.cell,
+          CASE WHEN fr.csum * 64 > t.tsum THEN 1 ELSE 0 END AS bit
+        FROM fr JOIN tot t ON t.doc_id = fr.doc_id AND t.f = fr.f),
+      fh AS (
+        SELECT doc_id, f,
+          SUM(CASE WHEN cell < 63 THEN bit * (CAST(1 AS BIGINT) << cell)
+                   ELSE 0 END) AS fhash
+        FROM bits GROUP BY doc_id, f),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS matched_frames
+        FROM fh a JOIN fh b ON a.f = b.f AND a.fhash = b.fhash
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM fh GROUP BY doc_id)
+      SELECT id_a, id_b, matched_frames, za.n AS n_a, zb.n AS n_b,
+        CAST(matched_frames AS DOUBLE) / CAST(GREATEST(za.n, zb.n) AS DOUBLE) AS sim
+      FROM cand
+        JOIN sz za ON id_a = za.doc_id
+        JOIN sz zb ON id_b = zb.doc_id
+      WHERE matched_frames >= 3
+      ORDER BY id_a, id_b"""))
+
+  val all: Seq[QueryDef] = Seq(q26, q39, q49, q51, q53, q56, q87, q88, q91)
 }

@@ -776,6 +776,14 @@ object PipelineCompiler {
       Map("outport1" -> graft.operators.MultimodalOps.audioNearDup(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "hash")),
         maxHamming = args.getOrElse("maxHamming", "3").toInt))),
+    "videoFrameHashes" -> ((_, in, _) =>
+      Map("outport1" ->
+        graft.operators.MultimodalOps.videoFrameHashes(in("inport1")).toDF())),
+    "videoNearDup" -> ((_, in, args) =>
+      Map("outport1" -> graft.operators.MultimodalOps.videoNearDup(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "frameIdx")),
+        expr(arg(args, "hash")),
+        minMatches = args.getOrElse("minMatches", "2").toInt))),
     "decodeAudioPcm" -> ((_, in, _) =>
       Map("outport1" ->
         graft.operators.MultimodalOps.decodeAudioPcm(in("inport1")).toDF())),

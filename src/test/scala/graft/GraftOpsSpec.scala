@@ -1983,6 +1983,60 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("videoFrameHashes: GIF sequence roundtrip preserves every frame hash") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    // driver-side reference over the RAW frame pixels vs the codec path —
+    // the explicit 256-gray palette makes the GIF sequence lossless, so
+    // every per-frame hash must come back bit-equal; plus frame alignment
+    // (frame_idx order) and the corrupt-payload contract.
+    val rnd = new scala.util.Random(31)
+    def frames(): Array[Array[Array[Int]]] =
+      Array.fill(3)(Array.fill(16, 16)(rnd.nextInt(256)))
+    def refHash(p: Array[Array[Int]]): Long = {
+      val cs = new Array[Long](64); val cn = new Array[Long](64)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val c = (y * 8 / 16) * 8 + x * 8 / 16
+        cs(c) += 3L * p(y)(x); cn(c) += 1
+      }
+      val ts = cs.sum; val tn = cn.sum
+      (0 until 63).foldLeft(0L)((h, j) =>
+        if (cn(j) > 0 && cs(j) * tn > ts * cn(j)) h | (1L << j) else h)
+    }
+    val vids = (0 until 8).map(i => (i.toLong, frames()))
+    val payloads = vids.map { case (id, fs) =>
+      (id, MultimodalOps.syntheticGrayGif(16, 16, 3, (f, x, y) => fs(f)(y)(x)))
+    }.toDF("doc_id", "payload")
+    val got = MultimodalOps.videoFrameHashes(payloads).collect()
+      .map(r => (r.doc_id, r.frame_idx) -> (r.fhash, r.ok)).toMap
+    vids.foreach { case (id, fs) =>
+      fs.zipWithIndex.foreach { case (p, f) =>
+        assert(got((id, f))._2, s"video $id frame $f failed to decode")
+        assert(got((id, f))._1 == refHash(p),
+          s"video $id frame $f: hash through the codec != raw-pixel reference")
+      }
+    }
+    // a corrupt payload is one counted row, never a throw
+    val bad = Seq((99L, Array[Byte](4, 4))).toDF("doc_id", "payload")
+    val badRow = MultimodalOps.videoFrameHashes(bad).collect()
+    assert(badRow.length == 1 && !badRow.head.ok)
+    // videoNearDup: shared-frame videos pair with the exact matched count
+    val twin = vids.take(1).flatMap { case (_, fs) =>
+      val fs2 = fs.map(_.map(_.clone())) // copy, then replace frame 2
+      fs2(2) = Array.fill(16, 16)(rnd.nextInt(256))
+      Seq((100L, fs), (101L, fs2))
+    }
+    val tp = twin.map { case (id, fs) =>
+      (id, MultimodalOps.syntheticGrayGif(16, 16, 3, (f, x, y) => fs(f)(y)(x)))
+    }.toDF("doc_id", "payload")
+    val pairs = MultimodalOps.videoNearDup(
+        MultimodalOps.videoFrameHashes(tp).toDF().filter(col("ok")),
+        col("doc_id"), col("frame_idx"), col("fhash"), minMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(pairs.toSeq == Seq((100L, 101L, 2L, 2.0 / 3.0)),
+      s"twin videos share exactly their 2 untouched frames: ${pairs.toSeq}")
+  }
+
   test("audioFingerprint: WAV roundtrip preserves the envelope hash exactly") {
     import spark.implicits._
     import graft.operators.MultimodalOps
