@@ -116,6 +116,43 @@ object MultimodalOps {
     *
     * Near-identical images (crops aside) agree on almost all 64 bits;
     * unrelated images sit ~32 apart — [[imageNearDup]] exploits the gap. */
+  /** The shared aHash kernel: cell sums over exact integer boundaries,
+    * cross-multiplied mean compare, bits 0 until `nBits` (64 for
+    * [[imageAHash]]; 63 for the video paths, whose hashes must fit any
+    * engine's signed BIGINT without sign games). */
+  private def aHashOf(img: java.awt.image.BufferedImage, nBits: Int): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val c = cy * 8 + x * 8 / w
+        cellSum(c) += luma
+        cellN(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var totalSum = 0L
+    var totalN = 0L
+    var j = 0
+    while (j < 64) { totalSum += cellSum(j); totalN += cellN(j); j += 1 }
+    var hash = 0L
+    j = 0
+    while (j < nBits) {
+      if (cellN(j) > 0 && cellSum(j) * totalN > totalSum * cellN(j))
+        hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
+
   def imageAHash(payload: DataFrame): Dataset[ImageHash] = {
     val spark = payload.sparkSession
     import spark.implicits._
@@ -127,38 +164,7 @@ object MultimodalOps {
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             catch { case _: Exception => null }
           if (img == null) ImageHash(docId, 0L, ok = false)
-          else {
-            val w = img.getWidth
-            val h = img.getHeight
-            val cellSum = new Array[Long](64)
-            val cellN = new Array[Long](64)
-            var y = 0
-            while (y < h) {
-              val cy = y * 8 / h
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                val c = cy * 8 + x * 8 / w
-                cellSum(c) += luma
-                cellN(c) += 1
-                x += 1
-              }
-              y += 1
-            }
-            var totalSum = 0L
-            var totalN = 0L
-            var j = 0
-            while (j < 64) { totalSum += cellSum(j); totalN += cellN(j); j += 1 }
-            var hash = 0L
-            j = 0
-            while (j < 64) {
-              if (cellN(j) > 0 && cellSum(j) * totalN > totalSum * cellN(j))
-                hash |= 1L << j
-              j += 1
-            }
-            ImageHash(docId, hash, ok = true)
-          }
+          else ImageHash(docId, aHashOf(img, 64), ok = true)
         }
       }
   }
@@ -446,34 +452,8 @@ object MultimodalOps {
                 var dead = false
                 while (f < n && !dead) {
                   try {
-                    val img = reader.read(f)
-                    val w = img.getWidth
-                    val h = img.getHeight
-                    val cellSum = new Array[Long](64)
-                    val cellN = new Array[Long](64)
-                    var y = 0
-                    while (y < h) {
-                      val cy = y * 8 / h
-                      var x = 0
-                      while (x < w) {
-                        val rgb = img.getRGB(x, y)
-                        val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                        val c = cy * 8 + x * 8 / w
-                        cellSum(c) += luma; cellN(c) += 1
-                        x += 1
-                      }
-                      y += 1
-                    }
-                    var ts = 0L; var tn = 0L; var j = 0
-                    while (j < 64) { ts += cellSum(j); tn += cellN(j); j += 1 }
-                    var hash = 0L
-                    j = 0
-                    while (j < 63) { // bit 63 dropped by design
-                      if (cellN(j) > 0 && cellSum(j) * tn > ts * cellN(j))
-                        hash |= 1L << j
-                      j += 1
-                    }
-                    out += VideoFrameHash(docId, f, hash, ok = true)
+                    out += VideoFrameHash(docId, f,
+                      aHashOf(reader.read(f), 63), ok = true)
                   } catch { case _: Exception =>
                     out += VideoFrameHash(docId, f, 0L, ok = false)
                     dead = true
@@ -483,6 +463,49 @@ object MultimodalOps {
                 out.toSeq
               }
             } finally { reader.dispose(); iis.close() }
+          }
+        }
+      }
+  }
+
+  /** [[videoFrameHashes]] for MJPEG-in-AVI payloads — the promised second
+    * frame iterator: the pure-byte RIFF walk of [[decodeMjpegFrames]]
+    * yields each '00dc' JPEG, the shared aHash kernel fingerprints it.
+    * JPEG is LOSSY, so unlike the GIF path these hashes are not
+    * analytically checkable — but aHash compares 2×2-cell means against
+    * the frame mean, so on content whose cells sit far from the mean
+    * (real imagery; the spec uses 0/255 blocks with ~127 margin) the
+    * few-level JPEG error cannot flip a bit: hashes are deterministic
+    * and near-dup matching works through the lossy codec (spec-pinned).
+    * Same corrupt-media contract as [[decodeMjpegFrames]]. */
+  def videoFrameHashesAvi(payload: DataFrame): Dataset[VideoFrameHash] = {
+    val spark = payload.sparkSession
+    import spark.implicits._
+    payload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          (try aviFramePayloads(bytes) catch { case _: Exception => None }) match {
+            case None | Some(Vector()) =>
+              Seq(VideoFrameHash(docId, -1, 0L, ok = false))
+            case Some(frames) =>
+              val out = scala.collection.mutable.ArrayBuffer.empty[VideoFrameHash]
+              var f = 0
+              var dead = false
+              while (f < frames.length && !dead) {
+                val (o, len) = frames(f)
+                try {
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes, o, len))
+                  if (img == null) {
+                    out += VideoFrameHash(docId, f, 0L, ok = false); dead = true
+                  } else out += VideoFrameHash(docId, f, aHashOf(img, 63), ok = true)
+                } catch { case _: Exception =>
+                  out += VideoFrameHash(docId, f, 0L, ok = false); dead = true
+                }
+                f += 1
+              }
+              out.toSeq
           }
         }
       }
@@ -893,6 +916,26 @@ object MultimodalOps {
     val w = ((id % 7) + 2).toInt * 8
     val h = ((id % 5) + 2).toInt * 8
     val nf = ((id % 4) + 2).toInt
+    val imgs = (0 until nf).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = ((id * 31 + f * 17) % 256).toInt
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      img
+    }
+    syntheticAviFromImages(imgs)
+  }
+
+  /** MJPEG-AVI container around caller-provided frames (all same size) —
+    * the general form [[syntheticAviMjpeg]] wraps; specs use it to build
+    * patterned-frame fixtures for the lossy-codec near-dup laws. */
+  def syntheticAviFromImages(imgs: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    require(imgs.nonEmpty, "at least one frame")
+    val w = imgs.head.getWidth
+    val h = imgs.head.getHeight
+    val nf = imgs.length
     def le(v: Int): Array[Byte] = Array[Byte]((v & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
     def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
@@ -901,13 +944,7 @@ object MultimodalOps {
         (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
     def list(type4: String, body: Array[Byte]): Array[Byte] =
       cc("LIST") ++ le(4 + body.length) ++ cc(type4) ++ body
-    val jpegs = (0 until nf).map { f =>
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val v = ((id * 31 + f * 17) % 256).toInt
-      val g = img.createGraphics()
-      try { g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h) }
-      finally g.dispose()
+    val jpegs = imgs.map { img =>
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray

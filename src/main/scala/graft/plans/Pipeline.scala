@@ -779,6 +779,9 @@ object PipelineCompiler {
     "videoFrameHashes" -> ((_, in, _) =>
       Map("outport1" ->
         graft.operators.MultimodalOps.videoFrameHashes(in("inport1")).toDF())),
+    "videoFrameHashesAvi" -> ((_, in, _) =>
+      Map("outport1" ->
+        graft.operators.MultimodalOps.videoFrameHashesAvi(in("inport1")).toDF())),
     "videoNearDup" -> ((_, in, args) =>
       Map("outport1" -> graft.operators.MultimodalOps.videoNearDup(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "frameIdx")),

@@ -1983,6 +1983,64 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("videoFrameHashesAvi: frame hashes survive the LOSSY MJPEG codec on high-margin content") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    // JPEG error is a few gray levels; aHash compares cell means against
+    // the frame mean, so 0/255 block content (~127 margin) cannot flip a
+    // bit. Laws: (1) AVI hashes equal the driver reference computed from
+    // the RAW pattern; (2) twin videos sharing 2 of 3 frames pair with
+    // matched_frames = 2 through the lossy codec; (3) corrupt payloads
+    // are counted, never thrown.
+    val rnd = new scala.util.Random(41)
+    def pattern(): Array[Array[Boolean]] = Array.fill(8, 8)(rnd.nextBoolean())
+    def img(p: Array[Array[Boolean]]): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = if (p(y / 2)(x / 2)) 255 else 0
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    def refHash(p: Array[Array[Boolean]]): Long = {
+      // cell (cy, cx) is uniform v; bit = v*cells > mean*cells ⇔ v > mean
+      val vals = for (cy <- 0 until 8; cx <- 0 until 8)
+        yield if (p(cy)(cx)) 255L else 0L
+      val ts = vals.sum * 3 * 4; val tn = 256L // 3 channels × 4 px/cell
+      vals.take(63).zipWithIndex.foldLeft(0L) { case (h, (v, j)) =>
+        if (v * 3 * 4 * tn > ts * 4) h | (1L << j) else h
+      }
+    }
+    val vids = (0 until 6).map(i => (i.toLong, Array.fill(3)(pattern())))
+    val payloads = vids.map { case (id, ps) =>
+      (id, MultimodalOps.syntheticAviFromImages(ps.toSeq.map(img)))
+    }.toDF("doc_id", "payload")
+    val got = MultimodalOps.videoFrameHashesAvi(payloads).collect()
+      .map(r => (r.doc_id, r.frame_idx) -> (r.fhash, r.ok)).toMap
+    vids.foreach { case (id, ps) =>
+      ps.zipWithIndex.foreach { case (p, f) =>
+        assert(got((id, f))._2, s"video $id frame $f failed")
+        assert(got((id, f))._1 == refHash(p),
+          s"video $id frame $f: hash through the LOSSY codec != pattern reference")
+      }
+    }
+    // twins: share frames 0-1, differ in frame 2 -> matched exactly 2
+    val base = Array.fill(3)(pattern())
+    val twin = base.clone(); twin(2) = pattern()
+    val tp = Seq((100L, base), (101L, twin)).map { case (id, ps) =>
+      (id, MultimodalOps.syntheticAviFromImages(ps.toSeq.map(img)))
+    }.toDF("doc_id", "payload")
+    val pairs = MultimodalOps.videoNearDup(
+        MultimodalOps.videoFrameHashesAvi(tp).toDF().filter(col("ok")),
+        col("doc_id"), col("frame_idx"), col("fhash"), minMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((100L, 101L, 2L)),
+      s"AVI twins must share exactly their 2 untouched frames: ${pairs.toSeq}")
+    val bad = Seq((99L, Array[Byte](7))).toDF("doc_id", "payload")
+    assert(!MultimodalOps.videoFrameHashesAvi(bad).collect().head.ok)
+  }
+
   test("videoFrameHashes: GIF sequence roundtrip preserves every frame hash") {
     import spark.implicits._
     import graft.operators.MultimodalOps
