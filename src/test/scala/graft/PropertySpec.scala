@@ -194,4 +194,90 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     assert(topk.except(df).count() == 0, "top-k ⊆ group rows")
     assert(topk.count() == 3)
   }
+
+  test("maskRepeatedSpans equals a naive quadratic reference on random corpora (seeded)") {
+    // the distributed inverted-index implementation vs the direct
+    // definition: token t of doc d is masked iff ANY width-window of d
+    // containing t appears (as a token sequence) in >= minDf distinct
+    // docs. 30 random corpora over a tiny vocabulary so collisions and
+    // repeats are dense.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(57)
+    val vocab = Vector("a", "b", "c", "d")
+    val width = 3; val minDf = 2
+    (1 to 30).foreach { trial =>
+      val docs = (0 until 6).map(i =>
+        (i.toLong, Seq.fill(rnd.nextInt(12) + 1)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      // naive reference
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val windows: Map[Seq[String], Set[Long]] = toks.toSeq
+        .flatMap { case (id, ts) =>
+          ts.sliding(width).filter(_.size == width).map(w => (w, id)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def naiveMasked(id: Long): Set[Int] = {
+        val ts = toks(id)
+        (0 to ts.size - width).flatMap { s =>
+          if (ts.size >= width && windows(ts.slice(s, s + width)).size >= minDf)
+            (s until s + width) else Seq.empty
+        }.toSet
+      }
+      val want = docs.map { case (id, _) =>
+        val ts = toks(id)
+        val m = naiveMasked(id)
+        (id, ts.size, m.size,
+          ts.zipWithIndex.collect { case (t, i) if !m.contains(i) => t }.mkString(" "))
+      }.toSet
+      val got = graft.api.GraftOps.maskRepeatedSpans(docs.toDF("id", "txt"),
+          col("id"), col("txt"), width = width, minDf = minDf)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSet
+      assert(got == want, s"trial $trial diverged from the naive reference")
+    }
+  }
+
+  test("chunkDocuments reconstruction law on random docs (seeded)") {
+    // dropping each chunk's overlap prefix (except chunk 0) and
+    // concatenating must reproduce the original token stream exactly —
+    // coverage, order, and boundary correctness in one equation.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(63)
+    val maxT = 7; val stride = 4
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until (rnd.nextInt(40) + 1)).map(j => s"t${i}_$j").mkString(" ")))
+    val chunks = graft.api.GraftOps.chunkDocuments(docs.toDF("id", "txt"),
+        col("id"), col("txt"), maxTokens = maxT, stride = stride)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    docs.foreach { case (id, txt) =>
+      val rebuilt = chunks(id).zipWithIndex.map { case (c, i) =>
+        val ts = c.split(" ").toSeq
+        if (i == 0) ts else ts.drop(maxT - stride)
+      }.reduce(_ ++ _).mkString(" ")
+      assert(rebuilt == txt, s"doc $id failed chunk reconstruction")
+    }
+  }
+
+  test("zorderValue equals the bit-interleave reference; hilbert inverts (seeded)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val pts = (0 until 500).map(_ => (rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong))
+    def refZ(x: Long, y: Long): Long =
+      (0 until 12).map(i => (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1)))
+        .foldLeft(0L)(_ | _)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.api.GraftOps.zorderValue(col("x"), col("y"), 12).as("z"),
+        graft.api.GraftOps.hilbertValue(col("x"), col("y"), 12).as("hd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (x, y, z, _) =>
+      assert(z == refZ(x, y), s"z($x, $y) != reference interleave") }
+    // hilbert: distinct inputs -> distinct distances (injectivity on the
+    // sample; full-grid bijectivity is proven in GraftOpsSpec)
+    val ds = got.map(_._4)
+    assert(ds.distinct.length == pts.distinct.length)
+  }
 }
