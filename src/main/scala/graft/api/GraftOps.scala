@@ -275,6 +275,42 @@ object GraftOps {
       Text.tokens(text).as("__toks")), width), minDf, minCount)
   }
 
+  /** The AUDIT face of span-level dedup: the top-`k` repeated spans
+    * themselves — "what boilerplate dominates this corpus?" — with their
+    * document reach and total occurrence count. The curation analyst's
+    * view of what [[maskRepeatedSpans]] is about to remove (run it
+    * BEFORE masking: the report justifies the width/minDf choice).
+    *
+    * Shape: one positional-hash pass, one map-side-combined agg on the
+    * window hash (both counts at once), a deterministic REPRESENTATIVE
+    * occurrence per hash (min (doc_id, pos) — so the emitted span TEXT
+    * is reproducible), one equi-join back to that doc's token array for
+    * the slice, TakeOrderedAndProject top-k. The window sorts |repeated
+    * hashes| rows, never occurrences. Ordering: n_docs desc,
+    * n_occurrences desc, span_text asc — total (distinct spans have
+    * distinct texts, collisions aside). */
+  def topRepeatedSpans(df: DataFrame, id: Column, text: Column,
+      width: Int = 5, minDf: Int = 2, k: Int = 20): DataFrame = {
+    require(width >= 1, s"width must be >= 1; got $width")
+    require(minDf >= 2, s"minDf must be >= 2; got $minDf")
+    require(k >= 1, s"k must be >= 1; got $k")
+    val base = df.select(id.as("doc_id"), Text.tokens(text).as("__toks"))
+    val occ = spanOccurrences(base, width)
+    val stats = occ.groupBy(col("__sh")).agg(
+        count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(struct(col("doc_id"), col("__pos"))).as("__first"))
+      .filter(col("n_docs") >= minDf)
+      .select(col("__sh"), col("n_docs"), col("n_occurrences"),
+        col("__first.doc_id").as("__fdoc"), col("__first.__pos").as("__fpos"))
+    stats.join(base.select(col("doc_id").as("__fdoc"), col("__toks")), "__fdoc")
+      .select(array_join(slice(col("__toks"), col("__fpos") + 1, lit(width)), " ")
+          .as("span_text"),
+        col("n_docs"), col("n_occurrences"))
+      .orderBy(desc("n_docs"), desc("n_occurrences"), col("span_text"))
+      .limit(k)
+  }
+
   /** Mask arriving documents against a PREBUILT [[spanIndex]]: per-row
     * semantics identical to [[maskRepeatedSpans]] except the repeated set
     * is the frozen index, not the batch itself — so each document's

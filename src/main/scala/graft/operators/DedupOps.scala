@@ -488,6 +488,41 @@ object DedupOps {
       FROM t LEFT JOIN agg a USING (doc_id)
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q92
+  /** The audit report over q85's repeated-span machinery: the top-20
+    * repeated spans BY TEXT with document reach and occurrence counts —
+    * what boilerplate dominates the corpus, shown before masking removes
+    * it. Representative text comes from the deterministic min (doc, pos)
+    * occurrence, so the report hash-matches DuckDB verbatim. */
+  val q92 = QueryDef("q92_top_repeated_spans",
+    (s, dir) =>
+      graft.api.GraftOps.topRepeatedSpans(docs(s, dir), col("doc_id"),
+        col("text"), width = SPAN_W, minDf = SPAN_MINDF, k = 20),
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      occ AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - $SPAN_W + 2)) AS i
+        FROM t WHERE len(toks) >= $SPAN_W),
+      och AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+          ${Duck.ph(s"array_to_string(list_slice(toks, i, i + ${SPAN_W - 1}), ' ')")} AS h
+        FROM occ),
+      stats AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
+          MIN(doc_id * 1000000 + pos) AS firstkey
+        FROM och GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) >= $SPAN_MINDF),
+      rep AS (
+        SELECT h, n_docs, n_occurrences,
+          firstkey // 1000000 AS fdoc, firstkey % 1000000 AS fpos
+        FROM stats)
+      SELECT array_to_string(list_slice(t.toks, r.fpos + 1, r.fpos + $SPAN_W), ' ')
+          AS span_text,
+        r.n_docs, r.n_occurrences
+      FROM rep r JOIN t ON t.doc_id = r.fdoc
+      ORDER BY n_docs DESC, n_occurrences DESC, span_text
+      LIMIT 20"""))
+
   val all: Seq[QueryDef] =
-    Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82, q83, q85)
+    Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82, q83, q85, q92)
 }

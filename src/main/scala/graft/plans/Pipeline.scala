@@ -563,6 +563,12 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.maskSpansAgainst(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "text")), in("inport2"),
         width = args.getOrElse("width", "5").toInt))),
+    "topRepeatedSpans" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.topRepeatedSpans(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        width = args.getOrElse("width", "5").toInt,
+        minDf = args.getOrElse("minDf", "2").toInt,
+        k = args.getOrElse("k", "20").toInt))),
     // Sampling / blending / layout family.
     "stratifiedSample" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.stratifiedSample(in("inport1"),

@@ -2238,6 +2238,38 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(on(2L)._1 == 0, "the unique doc stays untouched")
   }
 
+  test("topRepeatedSpans: reported reach equals a direct recount; masking kills the report") {
+    import spark.implicits._
+    val docs = ((0 until 5).map(i => (i.toLong, s"common header run here now body$i")) ++
+      (5 until 8).map(i => (i.toLong, s"another shared phrase five long tail$i")) ++
+      Seq((9L, "a unique document with no repeats at all"))).toDF("id", "txt")
+    val report = GraftOps.topRepeatedSpans(docs, col("id"), col("txt"),
+        width = 5, minDf = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(report.nonEmpty)
+    // recount law: each reported span really occurs in n_docs distinct docs
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    report.foreach { case (span, nDocs, nOcc) =>
+      val st = span.split(" ").toSeq
+      val hits = toks.filter { case (_, ts) => ts.sliding(5).contains(st) }
+      val occ = toks.map { case (_, ts) => ts.sliding(5).count(_ == st) }.sum
+      assert(hits.length.toLong == nDocs && occ.toLong == nOcc,
+        s"'$span': reported ($nDocs, $nOcc) vs recount (${hits.length}, $occ)")
+      assert(nDocs >= 2)
+    }
+    // the report is what masking removes: on THIS fixture the masked
+    // corpus has no repeated spans left at the same (width, minDf).
+    // (Not a universal law — excising spans makes the surrounding tokens
+    // adjacent, and in adversarial corpora those new windows can collide
+    // across docs; here the unique bodies prevent it.)
+    val masked = GraftOps.maskRepeatedSpans(docs, col("id"), col("txt"),
+        width = 5, minDf = 2)
+      .select(col("doc_id").as("id"), col("masked_text").as("txt"))
+    val after = GraftOps.topRepeatedSpans(masked, col("id"), col("txt"),
+      width = 5, minDf = 2, k = 10).count()
+    assert(after == 0, s"masking left repeated spans on this fixture: $after")
+  }
+
   test("spanIndex self-index law: masking a corpus against its own index == maskRepeatedSpans") {
     import spark.implicits._
     // the law that makes the streaming admission tier trustworthy: the
