@@ -493,7 +493,13 @@ object DedupOps {
     * repeated spans BY TEXT with document reach and occurrence counts —
     * what boilerplate dominates the corpus, shown before masking removes
     * it. Representative text comes from the deterministic min (doc, pos)
-    * occurrence, so the report hash-matches DuckDB verbatim. */
+    * occurrence, so the report hash-matches DuckDB verbatim. ORACLE
+    * bound: the SQL encodes the representative as doc_id·10⁶ + pos
+    * (DuckDB min-of-struct ordering is less portable), equivalent to the
+    * operator's lexicographic struct-min only while every document has
+    * < 10⁶ tokens — true by orders of magnitude on every fixture (≤ ~60
+    * tokens/doc at sf1); a giant-doc corpus would need the multiplier
+    * raised in BOTH places. */
   val q92 = QueryDef("q92_top_repeated_spans",
     (s, dir) =>
       graft.api.GraftOps.topRepeatedSpans(docs(s, dir), col("doc_id"),
