@@ -549,6 +549,18 @@ object PipelineCompiler {
     "fingerprintAdmit" -> ((_, in, args) =>
       Map("outport1" -> graft.streaming.StreamingOps.fingerprintAdmit(
         in("inport1"), expr(arg(args, "text")), in("inport2")))),
+    // Media admission tier: imageDupIndex is the batch perceptual-hash
+    // band index; imageDupFlag emits (id, dup_of, hamming) for arriving
+    // images near-duplicating the corpus (inport1 = stream, inport2 =
+    // index) — the fingerprint/nearDup pattern on the image axis.
+    "imageDupIndex" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.imageDupIndex(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload"))))),
+    "imageDupFlag" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.imageDupAgainst(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
+        in("inport2"),
+        maxHamming = args.getOrElse("maxHamming", "3").toInt))),
     // Span-level admission tier: spanIndex is the batch repeated-window
     // index (q85 semantics); maskSpansAgainst strips indexed boilerplate
     // spans from arriving docs (inport1 = docs, inport2 = index) — pure

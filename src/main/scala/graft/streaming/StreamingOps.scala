@@ -216,6 +216,48 @@ object StreamingOps {
       .join(index.select(col("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")
 
+  /** Static image-fingerprint index — the MEDIA tier of continuous
+    * corpus admission (the [[fingerprintIndex]]/[[nearDupIndex]] pattern
+    * on the image axis): decode every corpus image once
+    * ([[graft.operators.MultimodalOps.imageAHash]]), keep decodable rows,
+    * and explode the 64-bit perceptual hash into its 4×16-bit chunk keys
+    * (the q17/q87 banded-hamming scheme — exhaustive for radius ≤ 3 by
+    * pigeonhole). Build once in batch; caller-persisted. */
+  def imageDupIndex(corpus: DataFrame, id: Column, payload: Column): DataFrame =
+    graft.operators.MultimodalOps.imageAHash(
+        corpus.select(id.cast("long").as("doc_id"), payload.as("payload")))
+      .toDF().filter(col("ok"))
+      .select(col("doc_id").as("dup_of"), col("ahash").as("__cah"),
+        posexplode(array((0 to 3).map(i =>
+          shiftright(col("ahash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("__c", "__chunk")))
+
+  /** Image near-dup flags against the index: (id, dup_of, hamming) for
+    * every ARRIVING image within `maxHamming` aHash bits of an indexed
+    * corpus image — per micro-batch: one decode+hash pass on the stream
+    * side, stream–static equi-join on the chunk key (the stream never
+    * shuffles the corpus), exact popcount verify, multi-chunk collision
+    * dedup. Undecodable arrivals flag nothing (their rows are ok=false
+    * and filtered — corrupt media is counted upstream, never clustered). */
+  def imageDupAgainst(stream: DataFrame, id: Column, payload: Column,
+      index: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4 x 16-bit chunks are only exhaustive for maxHamming <= 3; got $maxHamming")
+    val sHash = graft.operators.MultimodalOps.imageAHash(
+        stream.select(id.cast("long").as("doc_id"), payload.as("payload")))
+      .toDF().filter(col("ok"))
+      .select(col("doc_id").as("id"), col("ahash").as("__sah"),
+        posexplode(array((0 to 3).map(i =>
+          shiftright(col("ahash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("__c", "__chunk")))
+    sHash.join(index, Seq("__c", "__chunk"))
+      .filter(col("id") =!= col("dup_of")) // re-ingested image is not its own dup
+      .withColumn("hamming", bit_count(expr("__sah ^ __cah")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id"), col("dup_of"), col("hamming"))
+      .dropDuplicates("id", "dup_of")
+  }
+
   /** Stream–stream equi-join with watermarks on both sides and a
     * time-range condition bounding join state (SURVEY.md §2.2). */
   def streamStreamJoin(left: DataFrame, leftTs: String, right: DataFrame,

@@ -683,6 +683,57 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally index.unpersist()
   }
 
+  test("S16: image-dup admission — arriving near-dup images flag their corpus originals") {
+    // the media tier of continuous ingestion (the S10/S14/S15 pattern on
+    // the image axis): a perceptual-hash band index built once over the
+    // corpus; arriving images flag within maxHamming aHash bits of an
+    // indexed original, batch == stream exactly.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.MultimodalOps
+    import graft.streaming.StreamingOps
+    val rnd = new scala.util.Random(47)
+    def pixels(): Array[Array[Int]] = Array.fill(16, 16)(rnd.nextInt(256))
+    def png(p: Array[Array[Int]]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = p(y)(x); img.setRGB(x, y, (v << 16) | (v << 8) | v) }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val bases = (0 until 4).map(i => i.toLong -> pixels())
+    val corpus = bases.map { case (id, p) => (id, png(p)) }.toDF("doc_id", "payload")
+    val index = StreamingOps.imageDupIndex(corpus, col("doc_id"),
+      col("payload")).persist()
+    try {
+      // arrival 100 = byte-identical re-encode of corpus image 2 (same
+      // pixels -> identical hash, hamming 0); 200 = novel; 300 = corrupt
+      val arrivals = Seq(
+        (100L, png(bases(2)._2)),
+        (200L, png(pixels())),
+        (300L, Array[Byte](1, 2, 3)))
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = StreamingOps.imageDupAgainst(
+          input.toDF().toDF("id", "payload"), col("id"), col("payload"), index)
+        .writeStream.format("memory").queryName("s16")
+        .outputMode("append").start()
+      try {
+        input.addData(arrivals: _*)
+        q.processAllAvailable()
+        val flagged = spark.table("s16").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(flagged == Set((100L, 2L, 0)),
+          s"the re-encoded image flags its original at hamming 0: $flagged")
+        val batch = StreamingOps.imageDupAgainst(
+            arrivals.toDF("id", "payload"), col("id"), col("payload"), index)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(batch == flagged, "batch twin agrees with the stream")
+      } finally q.stop()
+    } finally index.unpersist()
+  }
+
   test("S13: streaming heavy-hitter summary is a superset with the MG error bound") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
