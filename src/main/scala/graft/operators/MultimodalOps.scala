@@ -1084,8 +1084,8 @@ object MultimodalOps {
             (id, bos.toByteArray)
           }
         }.toDF("doc_id", "payload")
-      imageNearDup(imageAHash(payloads).toDF(), col("doc_id"), col("ahash"),
-          maxHamming = 3)
+      imageNearDup(imageAHash(payloads).toDF().filter(col("ok")),
+          col("doc_id"), col("ahash"), maxHamming = 3)
         .orderBy("id_a", "id_b")
     },
     Some(s"""
@@ -1157,8 +1157,8 @@ object MultimodalOps {
             (id, bos.toByteArray)
           }
         }.toDF("doc_id", "payload")
-      audioNearDup(audioFingerprint(payloads).toDF(), col("doc_id"), col("afp"),
-          maxHamming = 3)
+      audioNearDup(audioFingerprint(payloads).toDF().filter(col("ok")),
+          col("doc_id"), col("afp"), maxHamming = 3)
         .orderBy("id_a", "id_b")
     },
     Some(s"""

@@ -396,6 +396,7 @@ object PipelineCompiler {
         org.apache.spark.sql.functions.max(x.cast("long")),
         org.apache.spark.sql.functions.min(y.cast("long")),
         org.apache.spark.sql.functions.max(y.cast("long"))).collect()(0)
+      require(!st.isNullAt(0), "zorder on an empty corpus")
       val xn = graft.api.GraftOps.zorderNormalize(x, st.getLong(0), st.getLong(1), bits)
       val yn = graft.api.GraftOps.zorderNormalize(y, st.getLong(2), st.getLong(3), bits)
       val curveCol =

@@ -236,9 +236,14 @@ object StreamingOps {
     * every ARRIVING image within `maxHamming` aHash bits of an indexed
     * corpus image — per micro-batch: one decode+hash pass on the stream
     * side, stream–static equi-join on the chunk key (the stream never
-    * shuffles the corpus), exact popcount verify, multi-chunk collision
-    * dedup. Undecodable arrivals flag nothing (their rows are ok=false
-    * and filtered — corrupt media is counted upstream, never clustered). */
+    * shuffles the corpus), exact popcount verify, STATELESS multi-chunk
+    * collision collapse: a (id, dup_of) pair is emitted only from the
+    * FIRST chunk position at which the two hashes agree — a pure per-row
+    * predicate over the two full hashes, so no dropDuplicates state
+    * accumulates across micro-batches (a long-running stream stays
+    * bounded) and no shuffle is added in the batch twin. Undecodable
+    * arrivals flag nothing (their rows are ok=false and filtered —
+    * corrupt media is counted upstream, never clustered). */
   def imageDupAgainst(stream: DataFrame, id: Column, payload: Column,
       index: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
@@ -250,12 +255,19 @@ object StreamingOps {
         posexplode(array((0 to 3).map(i =>
           shiftright(col("ahash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
           .as(Seq("__c", "__chunk")))
+    // first chunk position where the two hashes' 16-bit chunks are equal;
+    // hamming <= 3 over 4 chunks guarantees one exists (pigeonhole), so
+    // keeping only __c == firstEq emits each matched pair exactly once.
+    val diff = expr("__sah ^ __cah")
+    val firstEq = (0 to 3).foldRight(lit(-1): Column) { (i, rest) =>
+      when(shiftright(diff, i * 16).bitwiseAND(lit(0xffffL)) === 0, lit(i))
+        .otherwise(rest)
+    }
     sHash.join(index, Seq("__c", "__chunk"))
       .filter(col("id") =!= col("dup_of")) // re-ingested image is not its own dup
-      .withColumn("hamming", bit_count(expr("__sah ^ __cah")).cast("int"))
-      .filter(col("hamming") <= maxHamming)
+      .withColumn("hamming", bit_count(diff).cast("int"))
+      .filter(col("hamming") <= maxHamming && col("__c") === firstEq)
       .select(col("id"), col("dup_of"), col("hamming"))
-      .dropDuplicates("id", "dup_of")
   }
 
   /** Stream–stream equi-join with watermarks on both sides and a
