@@ -225,27 +225,28 @@ object GraftOps {
 
   /** The masking tail shared by [[maskRepeatedSpans]] (rep derived from
     * the corpus itself) and [[maskSpansAgainst]] (rep = a prebuilt
-    * [[spanIndex]]): coverage explode → per-token anti join → ordered
-    * rebuild. `rep` needs one column `__sh`. */
+    * [[spanIndex]]): hot window STARTS aggregated per doc (span-grain —
+    * one element per hot occurrence, never one row per token), then one
+    * linear-merge [[graft.functions.ExciseSpans]] pass per row rebuilds
+    * the kept text. Shuffles only (hash) for the semi join and (doc_id)
+    * for the starts agg + join — the former token-grain posexplode +
+    * anti-join (205M rows at the StressSpans top rung) is gone.
+    * `rep` needs one column `__sh`. */
   private def maskWithRep(base: DataFrame, occ: DataFrame, rep: DataFrame,
       width: Int): DataFrame = {
     val hot = occ.join(rep, Seq("__sh"), "left_semi")
-    // each hot window start covers its width token positions; duplicates
-    // are fine (anti join is idempotent) so NO distinct pass
-    val cov = hot.select(col("doc_id"),
-      explode(sequence(col("__pos"), col("__pos") + lit(width - 1))).as("__tpos"))
-    val tokrows = base.select(col("doc_id"),
-      posexplode(col("__toks")).as(Seq("__tpos", "__tok")))
-    val kept = tokrows.join(cov, Seq("doc_id", "__tpos"), "left_anti")
-    val agg = kept.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("__nkept"),
-      array_join(transform(array_sort(collect_list(struct(col("__tpos"),
-        col("__tok")))), p => p.getField("__tok")), " ").as("__kept_text"))
-    base.join(agg, Seq("doc_id"), "left")
+    // sorted hot-start array per doc; overlapping/adjacent starts are
+    // fine (ExciseSpans' covered-until merge is a max)
+    val starts = hot.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+    base.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__toks"),
+        when(col("__starts").isNull, col("__toks"))
+          .otherwise(graft.functions.ExciseSpans.asColumn(
+            col("__toks"), col("__starts"), width)).as("__kept"))
       .select(col("doc_id"), size(col("__toks")).as("n_tokens"),
-        (size(col("__toks")) - coalesce(col("__nkept").cast("int"), lit(0)))
-          .as("n_masked"),
-        coalesce(col("__kept_text"), lit("")).as("masked_text"))
+        (size(col("__toks")) - size(col("__kept"))).as("n_masked"),
+        coalesce(array_join(col("__kept"), " "), lit("")).as("masked_text"))
   }
 
   /** The repeated-span INDEX of a corpus — the static half of continuous

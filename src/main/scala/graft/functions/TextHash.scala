@@ -5,7 +5,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** JVM implementations of the portable text-hash signatures, exposed as
@@ -218,6 +218,44 @@ object TextHash {
     m
   }
 
+  /** Smallest position where two int64 signatures agree, −1 when none
+    * (over the shorter length — see FirstEqIndex): the stateless
+    * collapse key of every signature-banded admission join. */
+  def firstEqIndex(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** One linear merge pass of span excision (see ExciseSpans): given the
+    * token array and the SORTED (asc) hot-window start positions, return
+    * the tokens NOT covered by any [start, start+width) window, in order.
+    * O(tokens + starts) per row — the interval-rebuild replacement for
+    * the former token-grain posexplode + anti-join (VERDICT r13 task 1);
+    * duplicate or overlapping starts are fine (coveredUntil is a max). */
+  def exciseSpans(toks: ArrayData, starts: ArrayData, width: Int): ArrayData = {
+    val n = toks.numElements()
+    val h = starts.numElements()
+    val buf = new java.util.ArrayList[AnyRef](n)
+    var si = 0
+    var coveredUntil = -1L // inclusive token position
+    var p = 0
+    while (p < n) {
+      while (si < h && starts.getInt(si) <= p) {
+        val end = starts.getInt(si).toLong + width - 1
+        if (end > coveredUntil) coveredUntil = end
+        si += 1
+      }
+      if (p > coveredUntil) buf.add(toks.getUTF8String(p).clone())
+      p += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
   /** Rolling polynomial fingerprint over the token stream (see q25):
     * h ← (h·31 + (tokenHash mod p)) mod p, left-to-right — same '0|'
     * seeded token hash as simhash / Portable.phash(0, t). */
@@ -340,6 +378,46 @@ case class SigMatchCount(left: Expression, right: Expression)
       r: Expression): SigMatchCount = copy(left = l, right = r)
 }
 
+/** `excise_spans(tokens, starts, width)`: array<string> × array<int>
+  * (sorted asc hot-window starts) → array<string> of the tokens outside
+  * every [start, start+width) window, original order kept. The span-grain
+  * rebuild kernel of maskRepeatedSpans/maskSpansAgainst: one linear merge
+  * per row replaces the former corpus-wide per-token anti-join, so the
+  * masking tail shuffles only window STARTS (pair-bounded), never every
+  * token of every document. */
+case class ExciseSpans(left: Expression, right: Expression, width: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "excise_spans"
+  override def nullSafeEval(toks: Any, starts: Any): Any =
+    TextHash.exciseSpans(toks.asInstanceOf[ArrayData],
+      starts.asInstanceOf[ArrayData], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, s) => s"graft.functions.TextHash.exciseSpans($t, $s, $width)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ExciseSpans = copy(left = l, right = r)
+}
+
+/** `first_eq_index(a, b)`: smallest position where two array<long>
+  * signatures agree (−1 when none, zip over the shorter length) — the
+  * STATELESS collapse of a multi-band candidate join: a pair found via
+  * several band collisions is emitted only from the row whose band index
+  * equals this value, a pure per-row predicate over the two full
+  * signatures, so streaming admission needs no dropDuplicates state. */
+case class FirstEqIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "first_eq_index"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.firstEqIndex(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHash.firstEqIndex($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): FirstEqIndex = copy(left = l, right = r)
+}
+
 /** `simhash60(tokens)`: array<string> → long. */
 case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -371,10 +449,20 @@ object SimHash60 {
   def apply(tokens: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(tokens)))
 }
+object ExciseSpans {
+  def asColumn(tokens: Column, starts: Column, width: Int): Column =
+    ColumnBridge.column(ExciseSpans(ColumnBridge.expression(tokens),
+      ColumnBridge.expression(starts), width))
+}
 object SigMatchCount {
   def asColumn(a: Column, b: Column): Column =
     ColumnBridge.column(
       SigMatchCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+object FirstEqIndex {
+  def asColumn(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FirstEqIndex(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** `profile_counts(tokens)`: array<string> → array<int> — per-profile

@@ -177,24 +177,43 @@ object MultimodalOps {
     * product; at 100 TB the join shuffles 2-column rows on the chunk
     * key. Emits (id_a, id_b, hamming), id_a < id_b. */
   def imageNearDup(hashes: DataFrame, id: Column, hash: Column,
-      maxHamming: Int = 3): DataFrame =
-    hammingNearDup(hashes, id, hash, maxHamming)
+      maxHamming: Int = 3, nChunks: Int = 0): DataFrame =
+    hammingNearDup(hashes, id, hash, maxHamming, nChunks)
 
   /** The generic 64-bit banded-hamming pair joiner behind [[imageNearDup]]
     * and [[audioNearDup]] — any perceptual 64-bit fingerprint column gets
-    * the same exhaustive-≤3 candidate join + exact popcount verify.
+    * the same pigeonhole-exhaustive candidate join + exact popcount
+    * verify. The hash splits into `nChunks` equal bands: ≤ nChunks−1
+    * flipped bits leave ≥ 1 band untouched, so the band equi-join is
+    * EXHAUSTIVE for radius ≤ nChunks−1. `nChunks = 0` (default) picks the
+    * smallest of 4/8/16/32 that covers `maxHamming` — radius ≤ 3 keeps
+    * the historic 4×16-bit plan bit-for-bit; radius 4–7 (JPEG re-encodes
+    * and rescales routinely land there) gets 8×8-bit bands. The cost of
+    * more bands is linear fan-out (each row emits nChunks band rows) and
+    * shorter band values (more candidate collisions to verify) — the
+    * right trade up to ~radius 7 on a 64-bit hash; beyond that a 64-bit
+    * fingerprint itself stops being discriminative. An explicit `nChunks`
+    * below the pigeonhole bound is rejected, never silently lossy.
     * Feed it DECODED rows only (filter `ok`): failed decodes all carry
     * fingerprint 0 and would otherwise pair with EACH OTHER at hamming 0
     * — corrupt media should be counted, not clustered. */
   def hammingNearDup(hashes: DataFrame, id: Column, hash: Column,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      s"hammingNearDup with 4 x 16-bit chunks is only exhaustive for maxHamming <= 3 " +
-        s"(pigeonhole); got $maxHamming — raise the chunk count instead of the radius")
+      maxHamming: Int = 3, nChunks: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31]; got $maxHamming")
+    val nc = if (nChunks > 0) nChunks
+      else Seq(4, 8, 16, 32).find(_ > maxHamming).get
+    require(nc <= 64 && 64 % nc == 0,
+      s"nChunks must divide 64; got $nc")
+    require(maxHamming < nc,
+      s"$nc bands are only exhaustive for maxHamming <= ${nc - 1} (pigeonhole); " +
+        s"got $maxHamming — raise nChunks (or leave it 0 to auto-pick)")
+    val cb = 64 / nc
+    val mask = if (cb == 64) lit(-1L) else lit((1L << cb) - 1)
     val base = hashes.select(id.as("__id"), hash.as("__ah"))
     val chunks = base.select(col("__id"), col("__ah"),
-      posexplode(array((0 to 3).map(i =>
-        shiftright(col("__ah"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until nc).map(i =>
+        shiftright(col("__ah"), i * cb).bitwiseAND(mask)): _*))
         .as(Seq("__c", "__chunk")))
     chunks.as("x").join(chunks.as("y"),
         col("x.__c") === col("y.__c") && col("x.__chunk") === col("y.__chunk") &&
@@ -432,40 +451,67 @@ object MultimodalOps {
     import spark.implicits._
     payload.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (docId, bytes) =>
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) {
-            iis.close()
-            Seq(VideoFrameHash(docId, -1, 0L, ok = false))
-          } else {
-            val reader = readers.next()
+      .mapPartitions(it => it.flatMap { case (docId, bytes) =>
+        gifFrameRows(docId, bytes) })
+  }
+
+  /** The shared reader walk behind [[videoFrameHashes]] (row form) and
+    * [[videoFrameHashVec]] (array form): every stored frame of one
+    * payload, aHash-63 each, corrupt-media contract as documented on
+    * [[videoFrameHashes]]. */
+  private def gifFrameRows(docId: Long, bytes: Array[Byte]): Seq[VideoFrameHash] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) {
+      iis.close()
+      Seq(VideoFrameHash(docId, -1, 0L, ok = false))
+    } else {
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = try reader.getNumImages(true) catch { case _: Exception => 0 }
+        if (n <= 0) Seq(VideoFrameHash(docId, -1, 0L, ok = false))
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[VideoFrameHash]
+          var f = 0
+          var dead = false
+          while (f < n && !dead) {
             try {
-              reader.setInput(iis)
-              val n = try reader.getNumImages(true) catch { case _: Exception => 0 }
-              if (n <= 0) Seq(VideoFrameHash(docId, -1, 0L, ok = false))
-              else {
-                val out = scala.collection.mutable.ArrayBuffer.empty[VideoFrameHash]
-                var f = 0
-                var dead = false
-                while (f < n && !dead) {
-                  try {
-                    out += VideoFrameHash(docId, f,
-                      aHashOf(reader.read(f), 63), ok = true)
-                  } catch { case _: Exception =>
-                    out += VideoFrameHash(docId, f, 0L, ok = false)
-                    dead = true
-                  }
-                  f += 1
-                }
-                out.toSeq
-              }
-            } finally { reader.dispose(); iis.close() }
+              out += VideoFrameHash(docId, f,
+                aHashOf(reader.read(f), 63), ok = true)
+            } catch { case _: Exception =>
+              out += VideoFrameHash(docId, f, 0L, ok = false)
+              dead = true
+            }
+            f += 1
           }
+          out.toSeq
         }
-      }
+      } finally { reader.dispose(); iis.close() }
+    }
+  }
+
+  /** One per-payload frame-hash SIGNATURE row: the array form of
+    * [[videoFrameHashes]] that streaming admission needs (see
+    * `StreamingOps.videoDupAgainst`) — the whole ok-PREFIX of a payload's
+    * frame hashes in one `array<long>`, so a per-pair verify is a pure
+    * per-row array comparison instead of a stateful re-aggregation.
+    * `ok = false` (empty signature) when the payload is undecodable or
+    * its FIRST frame already fails; a mid-stream frame failure truncates
+    * the signature at the failure, matching [[videoFrameHashes]]'
+    * dead-stop contract row for row. */
+  case class VideoHashVec(doc_id: Long, fhashes: Array[Long], ok: Boolean)
+
+  def videoFrameHashVec(payload: DataFrame): Dataset[VideoHashVec] = {
+    val spark = payload.sparkSession
+    import spark.implicits._
+    payload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (docId, bytes) =>
+        val pre = gifFrameRows(docId, bytes).takeWhile(_.ok).map(_.fhash)
+        VideoHashVec(docId, pre.toArray, pre.nonEmpty)
+      })
   }
 
   /** [[videoFrameHashes]] for MJPEG-in-AVI payloads — the promised second
@@ -608,8 +654,8 @@ object MultimodalOps {
   /** Audio near-dup pairs within `maxHamming` envelope bits — the audio
     * face of [[hammingNearDup]]. */
   def audioNearDup(hashes: DataFrame, id: Column, hash: Column,
-      maxHamming: Int = 3): DataFrame =
-    hammingNearDup(hashes, id, hash, maxHamming)
+      maxHamming: Int = 3, nChunks: Int = 0): DataFrame =
+    hammingNearDup(hashes, id, hash, maxHamming, nChunks)
 
   /** Deterministic WAV fixture: 16-bit PCM mono square wave, `(id%5+1)·100`
     * samples alternating ±A with A = (id·37) % 1000 + 100 — so mean |s|,

@@ -562,6 +562,25 @@ object PipelineCompiler {
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
         in("inport2"),
         maxHamming = args.getOrElse("maxHamming", "3").toInt))),
+    // … and its audio/video twins (round 14 — the admission matrix
+    // completes: text S10, exact S14, span S15, image S16, audio S17,
+    // video S18; same inport1 = stream / inport2 = index contract).
+    "audioDupIndex" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.audioDupIndex(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload"))))),
+    "audioDupFlag" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.audioDupAgainst(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
+        in("inport2"),
+        maxHamming = args.getOrElse("maxHamming", "3").toInt))),
+    "videoDupIndex" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.videoDupIndex(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload"))))),
+    "videoDupFlag" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.videoDupAgainst(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
+        in("inport2"),
+        minMatches = args.getOrElse("minMatches", "2").toInt))),
     // Span-level admission tier: spanIndex is the batch repeated-window
     // index (q85 semantics); maskSpansAgainst strips indexed boilerplate
     // spans from arriving docs (inport1 = docs, inport2 = index) — pure
@@ -787,14 +806,16 @@ object PipelineCompiler {
     "imageNearDup" -> ((_, in, args) =>
       Map("outport1" -> graft.operators.MultimodalOps.imageNearDup(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "hash")),
-        maxHamming = args.getOrElse("maxHamming", "3").toInt))),
+        maxHamming = args.getOrElse("maxHamming", "3").toInt,
+        nChunks = args.getOrElse("nChunks", "0").toInt))),
     "audioFingerprint" -> ((_, in, _) =>
       Map("outport1" ->
         graft.operators.MultimodalOps.audioFingerprint(in("inport1")).toDF())),
     "audioNearDup" -> ((_, in, args) =>
       Map("outport1" -> graft.operators.MultimodalOps.audioNearDup(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "hash")),
-        maxHamming = args.getOrElse("maxHamming", "3").toInt))),
+        maxHamming = args.getOrElse("maxHamming", "3").toInt,
+        nChunks = args.getOrElse("nChunks", "0").toInt))),
     "videoFrameHashes" -> ((_, in, _) =>
       Map("outport1" ->
         graft.operators.MultimodalOps.videoFrameHashes(in("inport1")).toDF())),

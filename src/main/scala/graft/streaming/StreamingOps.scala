@@ -216,58 +216,139 @@ object StreamingOps {
       .join(index.select(col("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")
 
-  /** Static image-fingerprint index — the MEDIA tier of continuous
-    * corpus admission (the [[fingerprintIndex]]/[[nearDupIndex]] pattern
-    * on the image axis): decode every corpus image once
-    * ([[graft.operators.MultimodalOps.imageAHash]]), keep decodable rows,
-    * and explode the 64-bit perceptual hash into its 4×16-bit chunk keys
-    * (the q17/q87 banded-hamming scheme — exhaustive for radius ≤ 3 by
-    * pigeonhole). Build once in batch; caller-persisted. */
-  def imageDupIndex(corpus: DataFrame, id: Column, payload: Column): DataFrame =
-    graft.operators.MultimodalOps.imageAHash(
-        corpus.select(id.cast("long").as("doc_id"), payload.as("payload")))
-      .toDF().filter(col("ok"))
-      .select(col("doc_id").as("dup_of"), col("ahash").as("__cah"),
-        posexplode(array((0 to 3).map(i =>
-          shiftright(col("ahash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-          .as(Seq("__c", "__chunk")))
+  /** 4×16-bit band rows of a 64-bit fingerprint frame — the shared index
+    * half of the MEDIA admission tiers (image/audio): `hashed` must be
+    * (doc_id, __h) with decodable rows only. */
+  private def bandIndex64(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id").as("dup_of"), col("__h").as("__ch"),
+      posexplode(array((0 to 3).map(i =>
+        shiftright(col("__h"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("__c", "__chunk")))
 
-  /** Image near-dup flags against the index: (id, dup_of, hamming) for
-    * every ARRIVING image within `maxHamming` aHash bits of an indexed
-    * corpus image — per micro-batch: one decode+hash pass on the stream
-    * side, stream–static equi-join on the chunk key (the stream never
-    * shuffles the corpus), exact popcount verify, STATELESS multi-chunk
-    * collision collapse: a (id, dup_of) pair is emitted only from the
-    * FIRST chunk position at which the two hashes agree — a pure per-row
-    * predicate over the two full hashes, so no dropDuplicates state
-    * accumulates across micro-batches (a long-running stream stays
-    * bounded) and no shuffle is added in the batch twin. Undecodable
-    * arrivals flag nothing (their rows are ok=false and filtered —
-    * corrupt media is counted upstream, never clustered). */
-  def imageDupAgainst(stream: DataFrame, id: Column, payload: Column,
-      index: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** The shared stream-side half: stream–static equi-join on the band key
+    * (the stream never shuffles the corpus), exact popcount verify,
+    * STATELESS multi-band collision collapse — a (id, dup_of) pair is
+    * emitted only from the FIRST band at which the two hashes agree, a
+    * pure per-row predicate over the two full hashes, so no
+    * dropDuplicates state accumulates across micro-batches (a
+    * long-running stream stays bounded) and no shuffle is added in the
+    * batch twin. */
+  private def bandAgainst64(sHashed: DataFrame, index: DataFrame,
+      maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
-      s"4 x 16-bit chunks are only exhaustive for maxHamming <= 3; got $maxHamming")
-    val sHash = graft.operators.MultimodalOps.imageAHash(
-        stream.select(id.cast("long").as("doc_id"), payload.as("payload")))
-      .toDF().filter(col("ok"))
-      .select(col("doc_id").as("id"), col("ahash").as("__sah"),
-        posexplode(array((0 to 3).map(i =>
-          shiftright(col("ahash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-          .as(Seq("__c", "__chunk")))
-    // first chunk position where the two hashes' 16-bit chunks are equal;
-    // hamming <= 3 over 4 chunks guarantees one exists (pigeonhole), so
-    // keeping only __c == firstEq emits each matched pair exactly once.
-    val diff = expr("__sah ^ __cah")
+      s"4 x 16-bit bands are only exhaustive for maxHamming <= 3; got $maxHamming")
+    val sBands = sHashed.select(col("doc_id").as("id"), col("__h").as("__sh"),
+      posexplode(array((0 to 3).map(i =>
+        shiftright(col("__h"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("__c", "__chunk")))
+    // hamming <= 3 over 4 bands guarantees an equal band (pigeonhole), so
+    // keeping only __c == firstEq emits each matched pair exactly once
+    val diff = expr("__sh ^ __ch")
     val firstEq = (0 to 3).foldRight(lit(-1): Column) { (i, rest) =>
       when(shiftright(diff, i * 16).bitwiseAND(lit(0xffffL)) === 0, lit(i))
         .otherwise(rest)
     }
-    sHash.join(index, Seq("__c", "__chunk"))
-      .filter(col("id") =!= col("dup_of")) // re-ingested image is not its own dup
+    sBands.join(index, Seq("__c", "__chunk"))
+      .filter(col("id") =!= col("dup_of")) // a re-ingested item is not its own dup
       .withColumn("hamming", bit_count(diff).cast("int"))
       .filter(col("hamming") <= maxHamming && col("__c") === firstEq)
       .select(col("id"), col("dup_of"), col("hamming"))
+  }
+
+  /** Static image-fingerprint index — the MEDIA tier of continuous
+    * corpus admission (the [[fingerprintIndex]]/[[nearDupIndex]] pattern
+    * on the image axis): decode every corpus image once
+    * ([[graft.operators.MultimodalOps.imageAHash]]), keep decodable rows,
+    * and explode the 64-bit perceptual hash into its 4×16-bit band keys
+    * (the q17/q87 banded-hamming scheme — exhaustive for radius ≤ 3 by
+    * pigeonhole). Build once in batch; caller-persisted. */
+  def imageDupIndex(corpus: DataFrame, id: Column, payload: Column): DataFrame =
+    bandIndex64(graft.operators.MultimodalOps.imageAHash(
+        corpus.select(id.cast("long").as("doc_id"), payload.as("payload")))
+      .toDF().filter(col("ok"))
+      .select(col("doc_id"), col("ahash").as("__h")))
+
+  /** Image near-dup flags against the index: (id, dup_of, hamming) for
+    * every ARRIVING image within `maxHamming` aHash bits of an indexed
+    * corpus image — one decode+hash pass on the stream side, then the
+    * [[bandAgainst64]] stateless band join. Undecodable arrivals flag
+    * nothing (their rows are ok=false and filtered — corrupt media is
+    * counted upstream, never clustered). */
+  def imageDupAgainst(stream: DataFrame, id: Column, payload: Column,
+      index: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandAgainst64(graft.operators.MultimodalOps.imageAHash(
+        stream.select(id.cast("long").as("doc_id"), payload.as("payload")))
+      .toDF().filter(col("ok"))
+      .select(col("doc_id"), col("ahash").as("__h")), index, maxHamming)
+
+  /** Static audio-fingerprint index — [[imageDupIndex]] on the audio
+    * axis: decode every corpus clip once
+    * ([[graft.operators.MultimodalOps.audioFingerprint]], the 64-bit
+    * energy-envelope hash of real PCM), keep decodable rows, band-explode.
+    * Build once in batch; caller-persisted. */
+  def audioDupIndex(corpus: DataFrame, id: Column, payload: Column): DataFrame =
+    bandIndex64(graft.operators.MultimodalOps.audioFingerprint(
+        corpus.select(id.cast("long").as("doc_id"), payload.as("payload")))
+      .toDF().filter(col("ok"))
+      .select(col("doc_id"), col("afp").as("__h")))
+
+  /** Audio near-dup flags against the index — [[imageDupAgainst]] on the
+    * audio axis, same stateless band join, same corrupt-media contract. */
+  def audioDupAgainst(stream: DataFrame, id: Column, payload: Column,
+      index: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandAgainst64(graft.operators.MultimodalOps.audioFingerprint(
+        stream.select(id.cast("long").as("doc_id"), payload.as("payload")))
+      .toDF().filter(col("ok"))
+      .select(col("doc_id"), col("afp").as("__h")), index, maxHamming)
+
+  /** Static video frame-sequence index — the sequence member of the media
+    * admission matrix: every corpus payload's ok-prefix frame-hash
+    * SIGNATURE ([[graft.operators.MultimodalOps.videoFrameHashVec]]),
+    * exploded to (frame_idx, frame_hash) band rows with the full
+    * signature carried alongside, so the stream side can verify a pair
+    * per-row. Build once in batch; caller-persisted. */
+  def videoDupIndex(corpus: DataFrame, id: Column, payload: Column): DataFrame =
+    graft.operators.MultimodalOps.videoFrameHashVec(
+        corpus.select(id.cast("long").as("doc_id"), payload.as("payload")))
+      .toDF().filter(col("ok"))
+      .select(col("doc_id").as("dup_of"), col("fhashes").as("__cfh"),
+        posexplode(col("fhashes")).as(Seq("__f", "__fh")))
+
+  /** Video near-dup flags against the index: (id, dup_of, matched_frames,
+    * n_stream, n_corpus, sim) for every ARRIVING video sharing
+    * ≥ `minMatches` aligned identical frame hashes with an indexed
+    * original — q91's `videoNearDup` semantics as an admission tier. One
+    * decode+hash pass per arrival, candidate via stream–static equi-join
+    * on (frame_idx, frame_hash) — one shared frame makes a candidate,
+    * never all-pairs — then a PER-ROW verify over the two full
+    * signatures (codegen'd [[graft.functions.SigMatchCount]]: aligned
+    * positions with equal hashes — exactly the grouped join count
+    * `videoNearDup` aggregates, since ok-frames are always a prefix) and
+    * the [[graft.functions.FirstEqIndex]] stateless collapse (each pair
+    * emitted only from its first shared frame index) — so unlike a
+    * groupBy re-aggregation, NOTHING is stateful across micro-batches.
+    * Undecodable arrivals flag nothing. */
+  def videoDupAgainst(stream: DataFrame, id: Column, payload: Column,
+      index: DataFrame, minMatches: Int = 2): DataFrame = {
+    require(minMatches >= 1, s"minMatches must be >= 1; got $minMatches")
+    val s = graft.operators.MultimodalOps.videoFrameHashVec(
+        stream.select(id.cast("long").as("doc_id"), payload.as("payload")))
+      .toDF().filter(col("ok"))
+      .select(col("doc_id").as("id"), col("fhashes").as("__sfh"),
+        posexplode(col("fhashes")).as(Seq("__f", "__fh")))
+    s.join(index, Seq("__f", "__fh"))
+      .filter(col("id") =!= col("dup_of")) // a re-ingested video is not its own dup
+      .withColumn("matched_frames",
+        graft.functions.SigMatchCount.asColumn(col("__sfh"), col("__cfh"))
+          .cast("long"))
+      .filter(col("matched_frames") >= minMatches &&
+        col("__f") === graft.functions.FirstEqIndex.asColumn(
+          col("__sfh"), col("__cfh")))
+      .select(col("id"), col("dup_of"), col("matched_frames"),
+        size(col("__sfh")).as("n_stream"), size(col("__cfh")).as("n_corpus"),
+        (col("matched_frames").cast("double") /
+          greatest(size(col("__sfh")), size(col("__cfh"))).cast("double"))
+          .as("sim"))
   }
 
   /** Stream–stream equi-join with watermarks on both sides and a

@@ -1904,6 +1904,49 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(!badRow.ok && badRow.ahash == 0L)
   }
 
+  test("hammingNearDup nChunks: 8 bands find radius-4..6 pairs the 4-band join cannot") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    def flip(h: Long, bits: Seq[Int]) = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+    // three families on far-apart bases; each twin's flipped bits touch
+    // ALL FOUR 16-bit bands, so the historic 4-band candidate join has no
+    // equal band to route the pair through — the exact JPEG-re-encode
+    // regime (hamming 4-6) the radius generalization exists for
+    val fams = Seq(
+      (10L, 0x0123456789abcdefL, Seq(0, 16, 32, 48)),          // hamming 4
+      (20L, ~0x0123456789abcdefL, Seq(1, 17, 33, 49, 2)),      // hamming 5
+      (30L, 0x0f0f55aa33cc9966L, Seq(3, 19, 35, 51, 4, 20)))   // hamming 6
+    fams.foreach { case (_, base, bits) =>
+      val d = flip(base, bits) ^ base
+      (0 to 3).foreach(i => assert(((d >> (i * 16)) & 0xffffL) != 0L,
+        "fixture: every 16-bit band must carry a flip"))
+    }
+    // fixture sanity: cross-family distances stay far outside the radius
+    for (Seq((_, a, _), (_, b, _)) <- fams.combinations(2))
+      assert(java.lang.Long.bitCount(a ^ b) > 10)
+    val df = fams.flatMap { case (id, base, bits) =>
+      Seq((id, base), (id + 1, flip(base, bits))) }.toDF("id", "h")
+    val got6 = MultimodalOps.hammingNearDup(df, col("id"), col("h"), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got6 == Set((10L, 11L, 4), (20L, 21L, 5), (30L, 31L, 6)),
+      s"8-band join must find every planted pair exactly: $got6")
+    val got4 = MultimodalOps.hammingNearDup(df, col("id"), col("h"), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got4 == Set((10L, 11L, 4)), s"radius 4 keeps only the hamming-4 pair: $got4")
+    // an explicit band count below the pigeonhole bound is rejected,
+    // never silently lossy (4 bands WOULD miss all three planted pairs)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.hammingNearDup(df, col("id"), col("h"),
+        maxHamming = 5, nChunks = 4)
+    }
+    // defaults unchanged: radius <= 3 still runs (and finds) the 4-band plan
+    val close = Seq((40L, 0x7777000011112222L),
+      (41L, flip(0x7777000011112222L, Seq(5, 6)))).toDF("id", "h")
+    val got3 = MultimodalOps.hammingNearDup(close, col("id"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got3 == Set((40L, 41L, 2)))
+  }
+
   test("zorder: curve is a bijection; zorderWrite concentrates box queries into few files") {
     import spark.implicits._
     // bijectivity: 6-bit x × 6-bit y → every z in [0, 4096) exactly once

@@ -734,6 +734,108 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally index.unpersist()
   }
 
+  test("S17: audio-dup admission — arriving near-dup clips flag their corpus originals") {
+    // the audio member of the media admission matrix (S16's pattern on
+    // the audio axis): an energy-envelope band index built once over the
+    // corpus, arriving clips flag within maxHamming bits, batch == stream.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    val rnd = new scala.util.Random(53)
+    def clip(): Array[Int] = Array.fill(256)(rnd.nextInt(2001) - 1000)
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val bases = (0 until 4).map(i => i.toLong -> clip())
+    val corpus = bases.map { case (id, s) => (id, wav(s)) }.toDF("doc_id", "payload")
+    val index = StreamingOps.audioDupIndex(corpus, col("doc_id"),
+      col("payload")).persist()
+    try {
+      // 100 = re-encode of corpus clip 2 (16-bit PCM roundtrips bit-exact
+      // -> identical fingerprint, hamming 0); 200 = novel; 300 = corrupt
+      val arrivals = Seq(
+        (100L, wav(bases(2)._2)),
+        (200L, wav(clip())),
+        (300L, Array[Byte](9, 9, 9)))
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = StreamingOps.audioDupAgainst(
+          input.toDF().toDF("id", "payload"), col("id"), col("payload"), index)
+        .writeStream.format("memory").queryName("s17")
+        .outputMode("append").start()
+      try {
+        input.addData(arrivals: _*)
+        q.processAllAvailable()
+        val flagged = spark.table("s17").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(flagged == Set((100L, 2L, 0)),
+          s"the re-encoded clip flags its original at hamming 0: $flagged")
+        val batch = StreamingOps.audioDupAgainst(
+            arrivals.toDF("id", "payload"), col("id"), col("payload"), index)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(batch == flagged, "batch twin agrees with the stream")
+      } finally q.stop()
+    } finally index.unpersist()
+  }
+
+  test("S18: video-dup admission — arriving frame-sharing videos flag their originals") {
+    // the sequence member of the media admission matrix: a (frame_idx,
+    // frame_hash) index built once over the corpus; an arriving video
+    // sharing >= minMatches aligned frames flags its original with the
+    // q91 videoNearDup match count + sim, verified PER ROW over the two
+    // full signatures (no stateful re-aggregation), batch == stream.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.MultimodalOps
+    import graft.streaming.StreamingOps
+    def px(v: Int)(f: Int, x: Int, y: Int): Int =
+      math.abs((v * 7919 + f * 997 + x * 131 + y * 31) % 256)
+    def gif(v: Int, frames: Seq[Int]): Array[Byte] =
+      // frame slot i shows VIDEO `frames(i)`'s frame-i content, so two
+      // videos share exactly the aligned slots listing the same source
+      MultimodalOps.syntheticGrayGif(8, 8, frames.size,
+        (f, x, y) => px(frames(f))(f, x, y))
+    val corpus = (0 until 3).map(v => (v.toLong, gif(v, Seq.fill(4)(v))))
+      .toDF("doc_id", "payload")
+    val index = StreamingOps.videoDupIndex(corpus, col("doc_id"),
+      col("payload")).persist()
+    try {
+      val arrivals = Seq(
+        (100L, gif(0, Seq(1, 1, 7, 8))),  // frames 0,1 of video 1 -> matched 2
+        (200L, gif(0, Seq(0, 5, 6, 9))),  // only frame 0 of video 0 -> below minMatches
+        (300L, Array[Byte](4, 4, 4)))     // corrupt
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = StreamingOps.videoDupAgainst(
+          input.toDF().toDF("id", "payload"), col("id"), col("payload"), index)
+        .writeStream.format("memory").queryName("s18")
+        .outputMode("append").start()
+      try {
+        input.addData(arrivals: _*)
+        q.processAllAvailable()
+        val flagged = spark.table("s18").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getInt(3), r.getInt(4), r.getDouble(5))).toSet
+        assert(flagged == Set((100L, 1L, 2L, 4, 4, 0.5)),
+          s"two shared aligned frames of four flag at sim 0.5: $flagged")
+        val batch = StreamingOps.videoDupAgainst(
+            arrivals.toDF("id", "payload"), col("id"), col("payload"), index)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getInt(3), r.getInt(4), r.getDouble(5))).toSet
+        assert(batch == flagged, "batch twin agrees with the stream")
+      } finally q.stop()
+    } finally index.unpersist()
+  }
+
   test("S13: streaming heavy-hitter summary is a superset with the MG error bound") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
