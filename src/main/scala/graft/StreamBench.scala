@@ -56,9 +56,17 @@ object StreamBench {
     val kafkaDir = chunked(
       e.select(to_json(struct(col("*"))).as("value"), col("event_id")),
       "kafka")
+    // Tiny single-file twins of both inputs for the pre-warm pass.
+    val warmRawDir = new java.io.File(tmp, "warm-raw").getAbsolutePath
+    e.limit(1000).coalesce(1).write.mode("overwrite").parquet(warmRawDir)
+    val warmKafkaDir = new java.io.File(tmp, "warm-kafka").getAbsolutePath
+    e.limit(1000).select(to_json(struct(col("*"))).as("value"), col("event_id"))
+      .coalesce(1).write.mode("overwrite").parquet(warmKafkaDir)
 
     def rawStream = spark.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(rawDir)
+    def warmRawStream = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(warmRawDir)
 
     // Auto-size shuffle partitions to the micro-batch volume (the
     // BASELINE.md footnote turned operator feature): ~total/nChunks rows
@@ -67,30 +75,35 @@ object StreamBench {
       .getOrElse(StreamingOps.sizedShufflePartitions(
         math.max(1L, total / nChunks), cpus.toInt))
 
-    /** (stream to run, output mode) per shape. */
-    def shape(mode: String): (DataFrame, String) = mode match {
-      case "s1_parse" =>
-        val in = spark.readStream
-          .schema("value STRING, event_id BIGINT")
-          .option("maxFilesPerTrigger", "1").parquet(kafkaDir)
-        val parsed = StreamingOps.parseKafkaJson(in.select("value"), e.schema)
-        val enriched = StreamingOps.addField(parsed, "is_purchase",
-          col("event_type") === "purchase")
-        (StreamingOps.toKafkaJson(enriched), "append")
-      case "s2_window" =>
-        (StreamingOps.tumblingAgg(rawStream, "ts", "1 hour", "1 hour",
-          col("event_type")), "append")
-      case "s13_heavy" =>
-        (StreamingOps.heavyHittersStream(rawStream, col("user_id"),
-          capacity = 64), "complete")
-      case "s5_stateful" =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        import spark.implicits._
-        (graft.streaming.SessionizeTws(
-          rawStream.select(col("user_id"), col("ts"), col("value"))
-            .as[graft.streaming.Sessionize.Event]).toDF(), "append")
-      case other => sys.error(s"unknown StreamBench mode: $other")
+    /** (stream to run, output mode) per shape; `warm = true` builds the
+      * same shape over the tiny single-file input for the pre-warm pass. */
+    def shape(mode: String, warm: Boolean = false): (DataFrame, String) = {
+      val raw = if (warm) warmRawStream else rawStream
+      mode match {
+        case "s1_parse" =>
+          val in = spark.readStream
+            .schema("value STRING, event_id BIGINT")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(if (warm) warmKafkaDir else kafkaDir)
+          val parsed = StreamingOps.parseKafkaJson(in.select("value"), e.schema)
+          val enriched = StreamingOps.addField(parsed, "is_purchase",
+            col("event_type") === "purchase")
+          (StreamingOps.toKafkaJson(enriched), "append")
+        case "s2_window" =>
+          (StreamingOps.tumblingAgg(raw, "ts", "1 hour", "1 hour",
+            col("event_type")), "append")
+        case "s13_heavy" =>
+          (StreamingOps.heavyHittersStream(raw, col("user_id"),
+            capacity = 64), "complete")
+        case "s5_stateful" =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          import spark.implicits._
+          (graft.streaming.SessionizeTws(
+            raw.select(col("user_id"), col("ts"), col("value"))
+              .as[graft.streaming.Sessionize.Event]).toDF(), "append")
+        case other => sys.error(s"unknown StreamBench mode: $other")
+      }
     }
 
     val modes = Seq("s1_parse", "s2_window", "s13_heavy", "s5_stateful")
@@ -98,6 +111,22 @@ object StreamBench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = modes.flatMap { mode =>
       try {
+        // Pre-warm: one throwaway micro-batch of the SAME shape over the
+        // tiny input, scratch checkpoint — initializes the heavyweight
+        // lazies (RocksDB JNI + store instances for s5, codegen, state
+        // format writers) so the timed run measures steady state, not
+        // cold-init (r13's s5 spread was 6.0k–25.6k rows/s on cold
+        // RocksDB — a 4× spread that made the ½× regression rule
+        // untestable for that shape).
+        val (wout, wmode) = shape(mode, warm = true)
+        val wq = StreamingOps.withShufflePartitions(wout, parts)
+          .writeStream.format("memory").queryName(s"warm_$mode")
+          .outputMode(wmode)
+          .option("checkpointLocation",
+            new java.io.File(tmp, s"warm-ckpt-$mode").getAbsolutePath)
+          .start()
+        wq.processAllAvailable()
+        wq.stop()
         val (out, outMode) = shape(mode)
         val sized = StreamingOps.withShufflePartitions(out, parts)
         val ckpt = new java.io.File(tmp, s"ckpt-$mode").getAbsolutePath
