@@ -1237,6 +1237,30 @@ object GraftOps {
     }.reduce(_ + _)
   }
 
+  /** k-COLUMN z-order value with PER-COLUMN bit widths (round 14 — real
+    * OPTIMIZE-ZORDER takes 3–4 columns): round-robin bit interleave,
+    * ascending bit level, columns in declaration order, columns whose
+    * width is exhausted drop out of later rounds. The 2-column equal-bits
+    * case reproduces [[zorderValue]] bit for bit (spec-asserted — so the
+    * q89 oracle proof carries over to this form). Total bits ≤ 63. */
+  def zorderValueN(cols: Seq[(Column, Int)]): Column = {
+    require(cols.size >= 2, s"zorderValueN needs >= 2 columns; got ${cols.size}")
+    cols.foreach { case (_, b) =>
+      require(b >= 1 && b <= 31, s"bits must be in [1, 31]; got $b") }
+    require(cols.map(_._2).sum <= 63,
+      s"total interleaved bits must be <= 63; got ${cols.map(_._2).sum}")
+    var pos = 0
+    val terms = for {
+      i <- 0 until cols.map(_._2).max
+      (c, b) <- cols if i < b
+    } yield {
+      val t = shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << pos)
+      pos += 1
+      t
+    }
+    terms.reduce(_ + _)
+  }
+
   /** Min/max normalization of an integer column into [0, 2^bits):
     * `(v − lo) · (2^bits − 1) div max(hi − lo, 1)` — exact integer
     * arithmetic (the div is computed as `(n − n mod span) / span`, whose
@@ -1263,6 +1287,26 @@ object GraftOps {
   def hilbertValue(x: Column, y: Column, bits: Int): Column =
     graft.functions.HilbertD(x, y, bits)
 
+  /** k-DIMENSIONAL Hilbert value (round 14): Skilling's transpose
+    * algorithm ("Programming the Hilbert curve", AIP Conf. Proc. 707,
+    * 2004 — the standard public n-D formulation) via one codegen'd
+    * [[graft.functions.HilbertDN]] call per row. Same locality guarantee
+    * as the 2-D walk — consecutive curve positions are unit-adjacent
+    * cells in k-space (spec-proven over the full 3-D grid) — with
+    * uniform `bits` per column; columns of genuinely different
+    * cardinality normalize into the same [0, 2^bits) domain via
+    * [[zorderNormalize]] first (Hamilton's compact-Hilbert is the known
+    * per-column-bits extension; the Z tier [[zorderValueN]] covers that
+    * need here). NOTE: for k = 2 this is a different (reflected)
+    * orientation than [[hilbertValue]]'s classic walk — both are Hilbert
+    * curves; the 2-D op keeps its q90-hash-proven layout. */
+  def hilbertValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"hilbertValueN needs >= 2 columns; got ${cols.size}")
+    require(cols.size * bits <= 63,
+      s"k*bits must be <= 63; got ${cols.size} * $bits")
+    graft.functions.HilbertDN(array(cols: _*), bits)
+  }
+
   /** Z-ORDERED parquet write — the multi-column locality layout for
     * min/max scan pruning at 100 TB: normalize both columns against
     * collected corpus stats (4 longs — a trained-stats constant), compute
@@ -1284,6 +1328,33 @@ object GraftOps {
     val yn = zorderNormalize(y, st.getLong(2), st.getLong(3), bits)
     val z = if (curve == "hilbert") hilbertValue(xn, yn, bits)
             else zorderValue(xn, yn, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** k-COLUMN z-ordered/Hilbert parquet write — [[zorderWrite]] for the
+    * 3–4-column layouts real OPTIMIZE-ZORDER runs: normalize every
+    * column against collected corpus stats (2k longs), compute the
+    * k-column curve value ([[zorderValueN]] round-robin interleave or
+    * the Skilling [[hilbertValueN]] walk), range-partition + in-file
+    * sort. A k-D box predicate concentrates its matches in few files
+    * (spec-measured in 3-D); pure layout — rows unchanged. */
+  def zorderWriteN(df: DataFrame, cols: Seq[Column], bits: Int,
+      path: String, nFiles: Int, curve: String = "z"): Unit = {
+    require(cols.size >= 2, s"zorderWriteN needs >= 2 columns; got ${cols.size}")
+    require(nFiles >= 1, s"nFiles must be >= 1; got $nFiles")
+    require(curve == "z" || curve == "hilbert",
+      s"curve must be 'z' or 'hilbert'; got '$curve'")
+    val aggs = cols.flatMap(c => Seq(min(c.cast("long")), max(c.cast("long"))))
+    val st = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    require(!st.isNullAt(0), "zorderWriteN on an empty corpus")
+    val normed = cols.zipWithIndex.map { case (c, j) =>
+      zorderNormalize(c, st.getLong(2 * j), st.getLong(2 * j + 1), bits) }
+    val z = if (curve == "hilbert") hilbertValueN(normed, bits)
+            else zorderValueN(normed.map(_ -> bits))
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

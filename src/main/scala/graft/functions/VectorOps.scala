@@ -162,6 +162,54 @@ object VectorOps {
     d
   }
 
+  /** k-DIMENSIONAL Hilbert distance of one grid cell — Skilling's
+    * transpose algorithm (AIP Conf. Proc. 707, 2004; public standard for
+    * n-D Hilbert encoding): fold the axes into the "transposed" index
+    * form (per-level exchange/invert), Gray-encode across axes, undo the
+    * excess Gray work, then interleave the transposed words MSB-first
+    * (axis 0's MSB is the index MSB). Coordinates must sit in
+    * [0, 2^bits); the result covers [0, 2^(k*bits)) bijectively with
+    * unit-adjacent consecutive cells (spec-proven over the full 3-D
+    * grid). */
+  def hilbertDN(coords: ArrayData, bits: Int): Long = {
+    val n = coords.numElements()
+    val x = new Array[Long](n)
+    var i = 0
+    while (i < n) { x(i) = coords.getLong(i); i += 1 }
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) {
+      if ((x(n - 1) & q) != 0) t ^= q - 1
+      q >>= 1
+    }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    var d = 0L
+    var lvl = bits - 1
+    while (lvl >= 0) {
+      i = 0
+      while (i < n) {
+        d = (d << 1) | ((x(i) >> lvl) & 1L)
+        i += 1
+      }
+      lvl -= 1
+    }
+    d
+  }
+
   /** SQ8 encode of one vector against per-dim [lo, hi]: code =
     * floor((v−lo)·255/(hi−lo)) clamped [0,255], 0 when hi==lo; stored
     * −128-offset as bytes. Dimensions beyond the model (or a short
@@ -438,6 +486,39 @@ object HilbertD {
   def apply(x: Column, y: Column, bits: Int): Column =
     ColumnBridge.column(HilbertD(ColumnBridge.expression(x),
       ColumnBridge.expression(y), bits))
+}
+
+/** `hilbert_dn(coords, bits)`: array<bigint> → bigint — the k-dimensional
+  * Hilbert distance of cell `coords` on a (2^bits)^k grid via Skilling's
+  * transpose algorithm ([[VectorOps.hilbertDN]]). One codegen'd call per
+  * row; the k-column sibling of [[HilbertD]] (whose 2-D classic-walk
+  * layout stays as q90 hash-proved it). */
+case class HilbertDN(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]; got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hilbert_dn expects array<bigint>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hilbert_dn"
+
+  override def nullSafeEval(coords: Any): Any =
+    VectorOps.hilbertDN(coords.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.hilbertDN($c, $bits)")
+
+  override protected def withNewChildInternal(c: Expression): HilbertDN =
+    copy(child = c)
+}
+
+object HilbertDN {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(coords: Column, bits: Int): Column =
+    ColumnBridge.column(HilbertDN(ColumnBridge.expression(coords), bits))
 }
 
 /** `sq8_encode(vec)`: array<float> → array<tinyint> — per-dimension

@@ -871,7 +871,63 @@ object CurationOps {
       FROM h$Z_BITS
       ORDER BY hvalue, l_orderkey, l_linenumber"""))
 
+  // ---------------------------------------------------------------- q93
+  private val Z3_BITS = 8
+
+  /** THREE-column z-order values (round 14 — the k-column generalization
+    * real OPTIMIZE-ZORDER runs): (l_orderkey, l_partkey, l_suppkey)
+    * normalized to 8 bits each and round-robin interleaved by
+    * [[GraftOps.zorderValueN]] into a 24-bit curve value — bit i of
+    * column j lands at position 3i + j. Every value of every row
+    * hash-matches DuckDB (pure shifts/masks/integer division, the q89
+    * proof extended to k = 3); `GraftOps.zorderWriteN` is the layout
+    * terminal (3-D box pruning spec-measured). */
+  val q93 = QueryDef("q93_zorder3_curve",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val st = li.agg(
+        min(col("l_orderkey").cast("long")), max(col("l_orderkey").cast("long")),
+        min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long")),
+        min(col("l_suppkey").cast("long")), max(col("l_suppkey").cast("long")))
+        .collect()(0)
+      def norm(c: String, j: Int) = GraftOps.zorderNormalize(col(c),
+        st.getLong(2 * j), st.getLong(2 * j + 1), Z3_BITS)
+      li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"),
+          GraftOps.zorderValueN(Seq(
+            norm("l_orderkey", 0) -> Z3_BITS,
+            norm("l_partkey", 1) -> Z3_BITS,
+            norm("l_suppkey", 2) -> Z3_BITS)).cast("bigint").as("zvalue"))
+        .orderBy("zvalue", "l_orderkey", "l_linenumber")
+    },
+    Some(s"""
+      WITH st AS (
+        SELECT CAST(MIN(l_orderkey) AS BIGINT) AS xlo,
+          CAST(MAX(l_orderkey) AS BIGINT) AS xhi,
+          CAST(MIN(l_partkey) AS BIGINT) AS ylo,
+          CAST(MAX(l_partkey) AS BIGINT) AS yhi,
+          CAST(MIN(l_suppkey) AS BIGINT) AS zlo,
+          CAST(MAX(l_suppkey) AS BIGINT) AS zhi
+        FROM lineitem),
+      n AS (
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          ((CAST(l_orderkey AS BIGINT) - xlo) * ${(1 << Z3_BITS) - 1})
+            // GREATEST(xhi - xlo, 1) AS xn,
+          ((CAST(l_partkey AS BIGINT) - ylo) * ${(1 << Z3_BITS) - 1})
+            // GREATEST(yhi - ylo, 1) AS yn,
+          ((CAST(l_suppkey AS BIGINT) - zlo) * ${(1 << Z3_BITS) - 1})
+            // GREATEST(zhi - zlo, 1) AS zn
+        FROM lineitem, st)
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        CAST(list_sum(list_transform(range(0, $Z3_BITS), i ->
+          ((xn >> i) & 1) * (CAST(1 AS BIGINT) << (3 * CAST(i AS INTEGER))) +
+          ((yn >> i) & 1) * (CAST(1 AS BIGINT) << (3 * CAST(i AS INTEGER) + 1)) +
+          ((zn >> i) & 1) * (CAST(1 AS BIGINT) << (3 * CAST(i AS INTEGER) + 2))
+        )) AS BIGINT) AS zvalue
+      FROM n
+      ORDER BY zvalue, l_orderkey, l_linenumber"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
-      q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90)
+      q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93)
 }

@@ -415,6 +415,38 @@ object PipelineCompiler {
         curve = args.getOrElse("curve", "z"))
       Map.empty
     }),
+    // k-column curve family (round 14): `zorderN` adds the round-robin
+    // interleave (or Skilling Hilbert) value over `cols` (comma-separated,
+    // uniform bits); `zorderSinkN` is the k-D layout terminal.
+    "zorderN" -> ((_, in, args) => {
+      val df = in("inport1")
+      val bits = args.getOrElse("bits", "8").toInt
+      val cols = arg(args, "cols").split(",").map(c => expr(c.trim)).toSeq
+      require(cols.size >= 2, "zorderN needs >= 2 cols")
+      val aggs = cols.flatMap(c => Seq(
+        org.apache.spark.sql.functions.min(c.cast("long")),
+        org.apache.spark.sql.functions.max(c.cast("long"))))
+      val st = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      require(!st.isNullAt(0), "zorderN on an empty corpus")
+      val normed = cols.zipWithIndex.map { case (c, j) =>
+        graft.api.GraftOps.zorderNormalize(c, st.getLong(2 * j),
+          st.getLong(2 * j + 1), bits) }
+      val curveCol =
+        if (args.getOrElse("curve", "z") == "hilbert")
+          graft.api.GraftOps.hilbertValueN(normed, bits)
+        else graft.api.GraftOps.zorderValueN(normed.map(_ -> bits))
+      Map("outport1" -> df.withColumn(
+        args.getOrElse("as", "zvalue"), curveCol.cast("bigint")))
+    }),
+    "zorderSinkN" -> ((_, in, args) => {
+      graft.api.GraftOps.zorderWriteN(in("inport1"),
+        arg(args, "cols").split(",").map(c => expr(c.trim)).toSeq,
+        bits = args.getOrElse("bits", "8").toInt,
+        path = arg(args, "path"),
+        nFiles = args.getOrElse("nFiles", "16").toInt,
+        curve = args.getOrElse("curve", "z"))
+      Map.empty
+    }),
     // Document chunking: overlapping fixed-token windows (the splitter
     // complement of tokenPack's concatenator) — q86 semantics.
     "chunkDocuments" -> ((_, in, args) =>

@@ -2026,6 +2026,109 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("k-column curves: zorderValueN reproduces 2-D exactly, handles per-column bits, bijects in 3-D") {
+    import spark.implicits._
+    // law 1: the 2-column equal-bits case IS zorderValue bit for bit —
+    // so the q89 oracle proof carries over to the N form
+    val grid2 = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .select(GraftOps.zorderValue(col("x"), col("y"), 6).as("z2"),
+        GraftOps.zorderValueN(Seq(col("x") -> 6, col("y") -> 6)).as("zn"))
+    assert(grid2.filter(col("z2") =!= col("zn")).isEmpty,
+      "zorderValueN(2 cols, equal bits) must equal zorderValue")
+    // law 2: 3-D bijectivity — 4-bit cube, every value of [0, 4096) once
+    val grid3 = (0 until 16).flatMap(x => (0 until 16).flatMap(y =>
+        (0 until 16).map(z => (x.toLong, y.toLong, z.toLong))))
+      .toDF("x", "y", "z")
+      .select(GraftOps.zorderValueN(
+        Seq(col("x") -> 4, col("y") -> 4, col("z") -> 4)).as("zv"))
+      .collect().map(_.getLong(0))
+    assert(grid3.distinct.length == 4096 && grid3.min == 0L && grid3.max == 4095L,
+      "12-bit 3-D z-curve must biject over the 16^3 grid")
+    // law 3: per-column bits — (x: 2 bits, y: 1 bit) round-robin drops y
+    // out of level 1: z = x0 + (y0 << 1) + (x1 << 2), bijective over 4x2
+    val gridPB = (0 until 4).flatMap(x => (0 until 2).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        GraftOps.zorderValueN(Seq(col("x") -> 2, col("y") -> 1)).as("zv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    gridPB.foreach { case (x, y, zv) =>
+      val want = (x & 1) + ((y & 1) << 1) + (((x >> 1) & 1) << 2)
+      assert(zv == want, s"per-column-bits placement: ($x,$y) -> $zv, want $want")
+    }
+    assert(gridPB.map(_._3).distinct.length == 8, "3-bit mixed-width curve bijects")
+  }
+
+  test("hilbertDN: 3-D bijection + unit-adjacency law over the full 16^3 grid") {
+    import spark.implicits._
+    // Skilling's n-D walk keeps the Hilbert guarantee in 3-D: every
+    // consecutive curve position is a Manhattan-distance-1 cell move,
+    // and the curve bijects the cube — the two laws that make
+    // range-partitioned files cover tight 3-D regions.
+    val cells = (0 until 16).flatMap(x => (0 until 16).flatMap(y =>
+        (0 until 16).map(z => (x.toLong, y.toLong, z.toLong))))
+      .toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        GraftOps.hilbertValueN(Seq(col("x"), col("y"), col("z")), 4).as("d"))
+      .collect().map(r => r.getLong(3) -> (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byD = cells.toMap
+    assert(byD.size == 4096 && byD.keys.min == 0L && byD.keys.max == 4095L,
+      "hilbert_dn must biject over the 16^3 grid")
+    (0L until 4095L).foreach { d =>
+      val (x1, y1, z1) = byD(d); val (x2, y2, z2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+        s"3-D curve step $d -> ${d + 1} is not unit-adjacent")
+    }
+    // 2-D sanity: the Skilling orientation is also a proper Hilbert curve
+    val flat = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        GraftOps.hilbertValueN(Seq(col("x"), col("y")), 5).as("d"))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+    val byD2 = flat.toMap
+    assert(byD2.size == 1024, "2-D hilbert_dn bijects")
+    (0L until 1023L).foreach { d =>
+      val (x1, y1) = byD2(d); val (x2, y2) = byD2(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"2-D hilbert_dn step $d not unit-adjacent")
+    }
+  }
+
+  test("zorderWriteN: a 3-D box query touches few files under both 3-column curves") {
+    import spark.implicits._
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val cols = Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val box = col("l_orderkey").between(1000, 2500) &&
+      col("l_partkey").between(0, 200) && col("l_suppkey").between(0, 25)
+    val dirZ = java.nio.file.Files.createTempDirectory("graft-z3").toString
+    val dirH3 = java.nio.file.Files.createTempDirectory("graft-h3").toString
+    val dirHash = java.nio.file.Files.createTempDirectory("graft-hash3").toString
+    try {
+      GraftOps.zorderWriteN(li, cols, bits = 8, path = dirZ, nFiles = 16)
+      GraftOps.zorderWriteN(li, cols, bits = 8, path = dirH3, nFiles = 16,
+        curve = "hilbert")
+      li.repartition(16, col("l_orderkey").cast("long") * 2654435761L)
+        .write.mode("overwrite").parquet(dirHash)
+      val zBack = spark.read.parquet(dirZ)
+      assert(zBack.count() == li.count() && zBack.exceptAll(li).isEmpty,
+        "3-column z-order is pure layout: same rows")
+      def filesTouched(path: String): Long =
+        spark.read.parquet(path).filter(box)
+          .select(input_file_name()).distinct().count()
+      val (zf, hf, hashf) = (filesTouched(dirZ), filesTouched(dirH3),
+        filesTouched(dirHash))
+      info(s"3-D box files touched: z3 $zf, hilbert3 $hf, hash $hashf (of 16)")
+      assert(zf * 2 <= hashf,
+        s"3-col z-order must at least halve the files touched: $zf vs $hashf")
+      assert(hf * 2 <= hashf,
+        s"3-col hilbert must at least halve the files touched: $hf vs $hashf")
+    } finally {
+      import scala.reflect.io.Directory
+      Seq(dirZ, dirH3, dirHash).foreach(d =>
+        new Directory(new java.io.File(d)).deleteRecursively())
+    }
+  }
+
   test("videoFrameHashesAvi: frame hashes survive the LOSSY MJPEG codec on high-margin content") {
     import spark.implicits._
     import graft.operators.MultimodalOps

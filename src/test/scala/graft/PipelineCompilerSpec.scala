@@ -887,6 +887,39 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       "XML span admission must reproduce maskRepeatedSpans exactly")
   }
 
+  test("round-14 zorderN op XML == library k-column curve (both curves)") {
+    import org.apache.spark.sql.functions._
+    Seq("z", "hilbert").foreach { curve =>
+      val ports = PipelineCompiler.compile(PipelineSpec.parseXml(s"""
+        <pipeline>
+          <operator name="li" class="parquetInput">
+            <arg key="dir" value="$sf001"/><arg key="table" value="lineitem"/>
+          </operator>
+          <operator name="zn" class="zorderN">
+            <arg key="cols" value="l_orderkey,l_partkey,l_suppkey"/>
+            <arg key="bits" value="8"/><arg key="curve" value="$curve"/>
+          </operator>
+          <connect from="li.outport1" to="zn.inport1"/>
+        </pipeline>"""), spark)
+      val li = Tables.load(spark, sf001, "lineitem")
+      val cols = Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val aggs = cols.flatMap(c => Seq(min(c.cast("long")), max(c.cast("long"))))
+      val st = li.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val normed = cols.zipWithIndex.map { case (c, j) =>
+        graft.api.GraftOps.zorderNormalize(c, st.getLong(2 * j),
+          st.getLong(2 * j + 1), 8) }
+      val wantCol =
+        if (curve == "hilbert") graft.api.GraftOps.hilbertValueN(normed, 8)
+        else graft.api.GraftOps.zorderValueN(normed.map(_ -> 8))
+      val got = ports("zn.outport1").select(col("l_orderkey"),
+        col("l_linenumber"), col("zvalue")).collect().map(_.toSeq).toSet
+      val want = li.select(col("l_orderkey"), col("l_linenumber"),
+        wantCol.cast("bigint").as("zvalue")).collect().map(_.toSeq).toSet
+      assert(got == want && got.nonEmpty,
+        s"zorderN($curve) XML must equal the library curve column")
+    }
+  }
+
   test("diamond DAG topology compiles (join of two branches)") {
     val spec = PipelineSpec(
       nodes = Seq(
