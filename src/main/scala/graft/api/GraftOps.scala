@@ -595,21 +595,46 @@ object GraftOps {
     *
     * Output: (id_a, id_b, sim), id_a < id_b, exact cosine — drop-in for
     * the [[dedupClusters]] / [[applyDedupBest]] chain. Eager like every
-    * trainer (kmeansFit runs `iters` Lloyd rounds when called). */
+    * trainer (kmeansFit runs `iters` Lloyd rounds when called).
+    *
+    * `nprobe` (round 14) is the opt-in CROSS-CELL recall tier: each row
+    * routes to its top-`nprobe` cells (the same sorted argmax-dot list
+    * ivfTopK probes), and a pair forms when the two rows share ANY
+    * routed cell — so a near-dup pair straddling one cell boundary is
+    * found at nprobe = 2 (RecallSpec plants one and measures it missed
+    * at 1, found at 2). Still an equi-join on the cell id, never an
+    * all-pairs product (PlanGuard-pinned); expected cost scales ×~nprobe²
+    * candidate rows. nprobe = 1 keeps the historic single-cell plan
+    * bit-for-bit (the q83 oracle path). */
   def semanticDedupPairs(df: DataFrame, id: Column, vec: Column, k: Int,
-      threshold: Double, iters: Int = 2): DataFrame = {
+      threshold: Double, iters: Int = 2, nprobe: Int = 1): DataFrame = {
     require(k > 0, s"k must be positive; got $k")
+    require(nprobe >= 1 && nprobe <= k,
+      s"nprobe must be in [1, k=$k]; got $nprobe")
     val model = kmeansFit(df, id, vec, k, iters)
-    val assigned = kmeansAssign(
-      df.select(id.as("__sd_id"), vec.as("__sd_v")), col("__sd_v"), model)
+    val base = df.select(id.as("__sd_id"), vec.as("__sd_v"))
+    val assigned =
+      if (nprobe == 1) kmeansAssign(base, col("__sd_v"), model)
+      else {
+        val cents = collectModel(model)
+        require(cents.nonEmpty, "semanticDedupPairs with an empty model")
+        // NULL vectors yield a NULL cell list -> explode drops the row:
+        // same never-pairs contract as the argmax path
+        base.select(col("__sd_id"), col("__sd_v"),
+          explode(slice(graft.functions.NearestCells(col("__sd_v"),
+            cents.map(_._2), cents.map(_._1)), 1, nprobe)).as("cluster"))
+      }
     val a = assigned.select(col("cluster").as("__ca"),
       col("__sd_id").as("id_a"), col("__sd_v").as("__ea"))
     val b = assigned.select(col("cluster").as("__cb"),
       col("__sd_id").as("id_b"), col("__sd_v").as("__eb"))
-    a.join(b, col("__ca") === col("__cb") && col("id_a") < col("id_b"))
+    val pairs = a.join(b, col("__ca") === col("__cb") && col("id_a") < col("id_b"))
       .withColumn("sim", graft.functions.CosineSim(col("__ea"), col("__eb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+    // a pair sharing BOTH probed cells collides twice; identical rows
+    // (exact cosine of the same two vectors), so the collapse is safe
+    if (nprobe == 1) pairs else pairs.dropDuplicates("id_a", "id_b")
   }
 
   /** End-to-end semantic dedup: [[semanticDedupPairs]] → connected
@@ -620,9 +645,9 @@ object GraftOps {
     * so the corpus itself sees exactly one left-anti join. */
   def semanticDedup(df: DataFrame, id: Column, score: Column, vec: Column,
       k: Int, threshold: Double, iters: Int = 2, maxIter: Int = 30,
-      driverLimit: Long = 1000000L): DataFrame =
+      driverLimit: Long = 1000000L, nprobe: Int = 1): DataFrame =
     applyDedupBest(df, id, score,
-      semanticDedupPairs(df, id, vec, k, threshold, iters),
+      semanticDedupPairs(df, id, vec, k, threshold, iters, nprobe),
       col("id_a"), col("id_b"), maxIter, driverLimit)
 
   /** Deterministic hyperplane component for the near-dup LSH bands (same

@@ -491,14 +491,16 @@ object PipelineCompiler {
         expr(arg(args, "id")), expr(arg(args, "vec")),
         k = arg(args, "k").toInt,
         threshold = arg(args, "threshold").toDouble,
-        iters = args.getOrElse("iters", "2").toInt))),
+        iters = args.getOrElse("iters", "2").toInt,
+        nprobe = args.getOrElse("nprobe", "1").toInt))),
     "semanticDedup" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.semanticDedup(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "score")),
         expr(arg(args, "vec")),
         k = arg(args, "k").toInt,
         threshold = arg(args, "threshold").toDouble,
-        iters = args.getOrElse("iters", "2").toInt))),
+        iters = args.getOrElse("iters", "2").toInt,
+        nprobe = args.getOrElse("nprobe", "1").toInt))),
     // Event-time family: directional as-of enrichment (inport1 = right/
     // probe side, inport2 = left/enrich side — the side whose columns
     // surface prefixed), linear interpolation, robust outlier scoring.

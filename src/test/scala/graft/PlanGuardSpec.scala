@@ -149,6 +149,14 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
       "semantic pair generation must never plan an all-pairs product")
     assert(s.contains("__ca"),
       "pair join must key on the cell id (__ca = __cb)")
+    // the nprobe=2 recall tier widens routing, not the join shape: still
+    // a cell equi-join, still no all-pairs product
+    val s2 = planStr(graft.api.GraftOps.semanticDedupPairs(e,
+      col("vec_id"), col("embedding"), k = 4, threshold = 0.5, nprobe = 2))
+    assert(!s2.contains("CartesianProduct") &&
+      !s2.contains("BroadcastNestedLoopJoin"),
+      "nprobe=2 must stay an equi-join, never an all-pairs product")
+    assert(s2.contains("__ca"), "nprobe=2 pair join still keys on the cell id")
   }
 
   test("applyMixture stays broadcast-only on the corpus side") {

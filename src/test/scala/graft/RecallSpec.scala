@@ -218,4 +218,47 @@ class RecallSpec extends AnyFunSuite with SharedSpark {
     assert(kept == 200 - found.size,
       s"semanticDedup must drop one member per cluster: kept $kept of 200, ${found.size} pairs")
   }
+
+  test("semantic dedup nprobe=2: a planted cell-boundary pair is missed at 1, found at 2") {
+    // The documented approximate contract of clustered dedup is exactly
+    // this miss: two near-identical vectors straddling a cell boundary.
+    // Fixture: two tight blobs at +e0 and -e0 (so k=2 k-means converges
+    // onto them), plus ONE planted pair sitting on the boundary —
+    // orthogonal to the blob axis with a tiny +-eps tilt along it, so
+    // its members' argmax cells DIFFER while their mutual cosine is
+    // ~1-2eps^2. nprobe=2 routes each row to both cells, turning the
+    // boundary miss into an equi-join hit; nprobe=1 stays the q83 plan.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    def v(parts: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(dim)(0.0)
+      parts.foreach { case (i, x) => a(i) = x }
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(x => (x / n).toFloat).toSeq
+    }
+    val rnd = new scala.util.Random(13)
+    def blob(sign: Double, base: Long) = (0 until 20).map { j =>
+      (base + j, v(0 -> sign, 1 -> rnd.nextGaussian() * 0.05,
+        2 -> rnd.nextGaussian() * 0.05))
+    }
+    val eps = 0.02
+    val planted = Seq(
+      (1000L, v(0 -> eps, 3 -> 1.0)),
+      (1001L, v(0 -> -eps, 3 -> 1.0)))
+    val df = (blob(1.0, 0L) ++ blob(-1.0, 100L) ++ planted)
+      .toDF("vec_id", "embedding")
+    def pairsAt(nprobe: Int): Set[(Long, Long)] =
+      graft.api.GraftOps.semanticDedupPairs(df, col("vec_id"),
+          col("embedding"), k = 2, threshold = 0.99, iters = 2,
+          nprobe = nprobe)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val at1 = pairsAt(1)
+    val at2 = pairsAt(2)
+    assert(!at1.contains((1000L, 1001L)),
+      s"fixture sanity: the planted pair must straddle cells at nprobe=1: $at1")
+    assert(at2.contains((1000L, 1001L)),
+      s"nprobe=2 must recover the boundary pair: $at2")
+    assert(at1.subsetOf(at2), "raising nprobe only ADDS pairs, never loses any")
+  }
 }
