@@ -210,9 +210,17 @@ object GraftOps {
     * passage repeated within ONE document. One map-side-combined agg
     * computes both counts. */
   private def repeatedSet(occ: DataFrame, minDf: Int, minCount: Int): DataFrame =
+    countsFilter(occCounts(occ), minDf, minCount)
+
+  /** Per-hash (distinct-doc, total-occurrence) counts of an occurrence
+    * frame — the mergeable PARTIAL form behind [[spanIndexCounts]]. */
+  private def occCounts(occ: DataFrame): DataFrame =
     occ.groupBy(col("__sh"))
       .agg(count_distinct(col("doc_id")).as("__df"), count(lit(1)).as("__n"))
-      .filter(col("__df") >= minDf ||
+
+  private def countsFilter(counts: DataFrame, minDf: Int,
+      minCount: Int): DataFrame =
+    counts.filter(col("__df") >= minDf ||
         (if (minCount > 0) col("__n") >= minCount else lit(false)))
       .select(col("__sh"))
 
@@ -274,6 +282,38 @@ object GraftOps {
       s"minCount must be 0 (off) or >= 2; got $minCount")
     repeatedSet(spanOccurrences(corpus.select(id.as("doc_id"),
       Text.tokens(text).as("__toks")), width), minDf, minCount)
+  }
+
+  /** The MERGEABLE partial form of [[spanIndex]] — incremental index
+    * maintenance for the span admission tier (round 14, the
+    * ivfPqAppendSink idea on the span axis): one (__sh, __df, __n) row
+    * per window hash of THIS corpus slice. Because `__df` counts
+    * DISTINCT docs within the slice, partials merge EXACTLY (plain sums
+    * in [[spanIndexFromCounts]]) as long as each document lives in one
+    * slice — true of a stream where every doc arrives once; a
+    * crash-retried batch double-counts, the same at-least-once caveat
+    * [[graft.streaming.StreamingOps.ivfPqAppendSink]] documents.
+    * Append these per-batch to parquet, derive the index on read. */
+  def spanIndexCounts(corpus: DataFrame, id: Column, text: Column,
+      width: Int = 5): DataFrame = {
+    require(width >= 1, s"width must be >= 1; got $width")
+    occCounts(spanOccurrences(corpus.select(id.as("doc_id"),
+      Text.tokens(text).as("__toks")), width))
+  }
+
+  /** Re-aggregate accumulated [[spanIndexCounts]] partials into the
+    * `__sh` index [[maskSpansAgainst]] consumes. Law (spec'd):
+    * `spanIndexFromCounts(countsOf(A) ∪ countsOf(B)) == spanIndex(A ∪ B)`
+    * for doc-disjoint slices — so a corpus indexed incrementally masks
+    * exactly like one indexed in a single batch pass. */
+  def spanIndexFromCounts(counts: DataFrame, minDf: Int = 2,
+      minCount: Int = 0): DataFrame = {
+    require(minDf >= 1, s"minDf >= 1; got $minDf")
+    require(minCount == 0 || minCount >= 2,
+      s"minCount must be 0 (off) or >= 2; got $minCount")
+    countsFilter(counts.groupBy(col("__sh"))
+      .agg(sum(col("__df")).as("__df"), sum(col("__n")).as("__n")),
+      minDf, minCount)
   }
 
   /** The AUDIT face of span-level dedup: the top-`k` repeated spans

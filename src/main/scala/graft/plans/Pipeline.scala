@@ -968,6 +968,59 @@ object PipelineCompiler {
       }
       Map.empty
     }),
+    // Admission-index append maintenance (round 14): each micro-batch of
+    // admitted content appends its own index rows to the at-rest parquet
+    // index (append == rebuild, S19); the span tier appends MERGEABLE
+    // counts and `spanIndexFromCounts` derives the index on read.
+    "fingerprintAppendSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        graft.streaming.StreamingOps.fingerprintAppendSink(in("inport1"),
+          expr(arg(args, "id")), expr(arg(args, "text")),
+          path = arg(args, "path"),
+          queryName = args.getOrElse("name", "fingerprintAppendSink"),
+          checkpoint = arg(args, "checkpoint"))
+          .trigger(triggerOf(args)).start()
+      }
+      Map.empty
+    }),
+    "mediaDupAppendSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        val sink = args.getOrElse("kind", "image") match {
+          case "image" => graft.streaming.StreamingOps.imageDupAppendSink(
+            in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
+            arg(args, "path"), args.getOrElse("name", "mediaDupAppendSink"),
+            arg(args, "checkpoint"))
+          case "audio" => graft.streaming.StreamingOps.audioDupAppendSink(
+            in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
+            arg(args, "path"), args.getOrElse("name", "mediaDupAppendSink"),
+            arg(args, "checkpoint"))
+          case "video" => graft.streaming.StreamingOps.videoDupAppendSink(
+            in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
+            arg(args, "path"), args.getOrElse("name", "mediaDupAppendSink"),
+            arg(args, "checkpoint"))
+          case other => sys.error(s"mediaDupAppendSink kind must be " +
+            s"image/audio/video; got '$other'")
+        }
+        sink.trigger(triggerOf(args)).start()
+      }
+      Map.empty
+    }),
+    "spanIndexAppendSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        graft.streaming.StreamingOps.spanIndexAppendSink(in("inport1"),
+          expr(arg(args, "id")), expr(arg(args, "text")),
+          width = args.getOrElse("width", "5").toInt,
+          path = arg(args, "path"),
+          queryName = args.getOrElse("name", "spanIndexAppendSink"),
+          checkpoint = arg(args, "checkpoint"))
+          .trigger(triggerOf(args)).start()
+      }
+      Map.empty
+    }),
+    "spanIndexFromCounts" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.spanIndexFromCounts(in("inport1"),
+        minDf = args.getOrElse("minDf", "2").toInt,
+        minCount = args.getOrElse("minCount", "0").toInt))),
     // R3 KafkaOutput: declared for real-broker deployments (needs the
     // spark-sql-kafka connector jar — absent in this offline container,
     // see README "Kafka connectivity"; memoryStreamSink is the test twin).

@@ -410,6 +410,68 @@ object StreamingOps {
     }
   }
 
+  /** ADMISSION-INDEX append maintenance (round 14) — the
+    * [[ivfPqAppendSink]] idea applied to the S14–S18 admission indexes:
+    * each micro-batch of newly ADMITTED content computes its own index
+    * rows and appends them to the at-rest parquet index, so LATER
+    * arrivals dedup against everything admitted so far, not just the
+    * original batch-built corpus. Every index row is a pure per-row
+    * function of its payload (no model, no other rows), so
+    * append-then-flag EXACTLY equals rebuild-then-flag over the union
+    * (spec'd: S19, and the batch union laws) — with the same
+    * at-least-once delivery caveat as [[ivfPqAppendSink]]: a
+    * crash-retried batch appends duplicate index rows, which duplicate
+    * FLAG rows (never wrong flags) until a compaction pass dedups the
+    * index. Feed these sinks the ADMITTED stream (post
+    * [[fingerprintAdmit]]/flag filtering), or the raw one to index
+    * everything that arrives. */
+  def fingerprintAppendSink(stream: DataFrame, id: Column, text: Column,
+      path: String, queryName: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
+      fingerprintIndex(batch, id, text).write.mode("append").parquet(path)
+    }
+
+  /** [[fingerprintAppendSink]] for the image band index (S16). */
+  def imageDupAppendSink(stream: DataFrame, id: Column, payload: Column,
+      path: String, queryName: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
+      imageDupIndex(batch, id, payload).write.mode("append").parquet(path)
+    }
+
+  /** [[fingerprintAppendSink]] for the audio band index (S17). */
+  def audioDupAppendSink(stream: DataFrame, id: Column, payload: Column,
+      path: String, queryName: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
+      audioDupIndex(batch, id, payload).write.mode("append").parquet(path)
+    }
+
+  /** [[fingerprintAppendSink]] for the video frame-signature index
+    * (S18). */
+  def videoDupAppendSink(stream: DataFrame, id: Column, payload: Column,
+      path: String, queryName: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
+      videoDupIndex(batch, id, payload).write.mode("append").parquet(path)
+    }
+
+  /** The SPAN tier's append maintenance: the span index is NOT per-row
+    * (df counts aggregate across docs), so what appends is the MERGEABLE
+    * partial — [[graft.api.GraftOps.spanIndexCounts]] per micro-batch —
+    * and the reader derives the index with
+    * [[graft.api.GraftOps.spanIndexFromCounts]]. Exact under the
+    * each-doc-arrives-once contract (distinct-doc counts then merge as
+    * plain sums); the S19 law pins incremental == one-batch. */
+  def spanIndexAppendSink(stream: DataFrame, id: Column, text: Column,
+      width: Int, path: String, queryName: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
+      graft.api.GraftOps.spanIndexCounts(batch, id, text, width)
+        .write.mode("append").parquet(path)
+    }
+
   /** Streaming heavy-hitter candidate summary — the streaming twin of
     * [[graft.api.GraftOps.heavyHittersSketch]]'s sketch half: one
     * Misra–Gries summary maintained as STREAMING AGGREGATION STATE

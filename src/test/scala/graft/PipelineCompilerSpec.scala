@@ -920,6 +920,65 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("round-14 admission append: XML fingerprintAppendSink == rebuild; spanIndexFromCounts parity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val baseDocs = Seq((0L, "alpha beta gamma"), (1L, "delta epsilon"))
+    val newDocs = Seq((2L, "zeta eta theta"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fpx-ck").toString
+    val staging = java.nio.file.Files.createTempDirectory("graft-fpx-in").toString
+    try {
+      graft.streaming.StreamingOps.fingerprintIndex(baseDocs.toDF("id", "text"),
+        col("id"), col("text")).write.mode("append").parquet(dir)
+      newDocs.toDF("id", "text").write.mode("overwrite").parquet(staging)
+      PipelineCompiler.compile(PipelineSpec.parseXml(s"""
+        <pipeline>
+          <operator name="nd" class="fileStreamInput">
+            <arg key="path" value="$staging"/><arg key="format" value="parquet"/>
+            <arg key="schema" value="id BIGINT, text STRING"/>
+          </operator>
+          <operator name="sink" class="fingerprintAppendSink">
+            <arg key="id" value="id"/><arg key="text" value="text"/>
+            <arg key="path" value="$dir"/><arg key="checkpoint" value="$ckpt"/>
+            <arg key="name" value="fpAppendXml"/>
+            <arg key="trigger" value="availableNow"/>
+          </operator>
+          <connect from="nd.outport1" to="sink.inport1"/>
+        </pipeline>"""), spark)
+      val q = spark.streams.active.find(_.name == "fpAppendXml")
+        .getOrElse(fail("fingerprintAppendSink did not start a named query"))
+      try assert(q.awaitTermination(120000), "availableNow append did not finish")
+      finally q.stop()
+      val arrivals = Seq((100L, "zeta eta theta"), (200L, "novel")).toDF("id", "text")
+      val got = graft.streaming.StreamingOps.fingerprintAgainst(arrivals,
+          col("id"), col("text"), spark.read.parquet(dir))
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((100L, 2L)),
+        s"XML-appended fingerprint index must flag the appended dup: $got")
+    } finally {
+      import scala.reflect.io.Directory
+      Seq(dir, ckpt, staging).foreach(d =>
+        new Directory(new java.io.File(d)).deleteRecursively())
+    }
+    // spanIndexFromCounts: XML op row-equal to the library derivation
+    val docs = Seq((10L, "one two three four five six"),
+      (11L, "one two three four five seven")).toDF("id", "text")
+    graft.api.GraftOps.spanIndexCounts(docs, col("id"), col("text"), width = 5)
+      .createOrReplaceTempView("span_counts_v")
+    val ports = PipelineCompiler.compile(PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="c" class="viewInput"><arg key="table" value="span_counts_v"/></operator>
+        <operator name="ix" class="spanIndexFromCounts"><arg key="minDf" value="2"/></operator>
+        <connect from="c.outport1" to="ix.inport1"/>
+      </pipeline>"""), spark)
+    val gotIx = ports("ix.outport1").as[Long].collect().toSet
+    val wantIx = graft.api.GraftOps.spanIndex(docs, col("id"), col("text"),
+      width = 5, minDf = 2).as[Long].collect().toSet
+    assert(gotIx == wantIx && gotIx.nonEmpty,
+      "spanIndexFromCounts XML op must equal the one-shot spanIndex")
+  }
+
   test("diamond DAG topology compiles (join of two branches)") {
     val spec = PipelineSpec(
       nodes = Seq(

@@ -836,6 +836,115 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally index.unpersist()
   }
 
+  test("S19: admission-index append == rebuild (fingerprint stream, span counts, media union)") {
+    // The ivfPqAppendSink law extended to the admission matrix: an index
+    // grown incrementally (batch-built base + per-micro-batch appends of
+    // newly admitted content) must flag and admit EXACTLY like an index
+    // rebuilt from scratch over the union.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.api.GraftOps
+    import graft.streaming.StreamingOps
+    // --- fingerprint tier, through a real stream ---
+    val baseDocs = Seq((0L, "alpha beta gamma"), (1L, "delta epsilon"))
+    val newDocs = Seq((2L, "zeta eta theta"), (3L, "iota kappa"))
+    val arrivals = Seq(
+      (100L, "Alpha  beta GAMMA"), // dup of base doc 0 (normText canon)
+      (200L, "zeta eta theta"),    // dup of APPENDED doc 2
+      (300L, "wholly novel"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fpidx-ck").toString
+    try {
+      // base index built in batch
+      StreamingOps.fingerprintIndex(baseDocs.toDF("id", "text"),
+        col("id"), col("text")).write.mode("append").parquet(dir)
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingOps.fingerprintAppendSink(
+        input.toDF().toDF("id", "text"), col("id"), col("text"),
+        dir, "s19fp", ckpt).start()
+      try {
+        input.addData(newDocs.take(1): _*); q.processAllAvailable()
+        input.addData(newDocs.drop(1): _*); q.processAllAvailable()
+      } finally q.stop()
+      val grown = spark.read.parquet(dir)
+      val rebuilt = StreamingOps.fingerprintIndex(
+        (baseDocs ++ newDocs).toDF("id", "text"), col("id"), col("text"))
+      val aDf = arrivals.toDF("id", "text")
+      def flags(idx: org.apache.spark.sql.DataFrame) =
+        StreamingOps.fingerprintAgainst(aDf, col("id"), col("text"), idx)
+          .as[(Long, Long)].collect().toSet
+      assert(flags(grown) == flags(rebuilt) &&
+        flags(grown) == Set((100L, 0L), (200L, 2L)),
+        s"appended fingerprint index must flag like a rebuild: ${flags(grown)}")
+      def admitted(idx: org.apache.spark.sql.DataFrame) =
+        StreamingOps.fingerprintAdmit(aDf, col("text"), idx)
+          .select("id").as[Long].collect().toSet
+      assert(admitted(grown) == admitted(rebuilt) && admitted(grown) == Set(300L),
+        "appended index must admit like a rebuild")
+    } finally {
+      import scala.reflect.io.Directory
+      Seq(dir, ckpt).foreach(d =>
+        new Directory(new java.io.File(d)).deleteRecursively())
+    }
+    // --- span tier: mergeable counts through a stream ---
+    val sliceA = Seq((10L, "shared header words here plus unique tail one"),
+      (11L, "shared header words here plus other content"))
+    val sliceB = Seq((12L, "shared header words here plus a third body"),
+      (13L, "completely different text with no repeats"))
+    val sDir = java.nio.file.Files.createTempDirectory("graft-spidx").toString
+    val sCkpt = java.nio.file.Files.createTempDirectory("graft-spidx-ck").toString
+    try {
+      GraftOps.spanIndexCounts(sliceA.toDF("id", "text"), col("id"),
+        col("text"), width = 5).write.mode("append").parquet(sDir)
+      val sIn = MemoryStream[(Long, String)]
+      val sq = StreamingOps.spanIndexAppendSink(sIn.toDF().toDF("id", "text"),
+        col("id"), col("text"), width = 5, sDir, "s19span", sCkpt).start()
+      try { sIn.addData(sliceB: _*); sq.processAllAvailable() } finally sq.stop()
+      val incr = GraftOps.spanIndexFromCounts(spark.read.parquet(sDir),
+        minDf = 2).as[Long].collect().toSet
+      val oneShot = GraftOps.spanIndex((sliceA ++ sliceB).toDF("id", "text"),
+        col("id"), col("text"), width = 5, minDf = 2).as[Long].collect().toSet
+      assert(incr == oneShot && incr.nonEmpty,
+        s"incremental span index must equal the one-batch index: $incr vs $oneShot")
+      // and masking against it behaves identically
+      val probe = Seq((500L, "shared header words here plus novel suffix"))
+        .toDF("id", "text")
+      def masked(idx: Set[Long]) = GraftOps.maskSpansAgainst(probe, col("id"),
+          col("text"), idx.toSeq.toDF("__sh"), width = 5)
+        .select("masked_text").as[String].collect().head
+      assert(masked(incr) == masked(oneShot))
+    } finally {
+      import scala.reflect.io.Directory
+      Seq(sDir, sCkpt).foreach(d =>
+        new Directory(new java.io.File(d)).deleteRecursively())
+    }
+    // --- media tiers: per-row purity makes index union == union index ---
+    import graft.operators.MultimodalOps
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = math.abs((seed * 7919 + x * 131 + y * 31) % 256)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v) }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val imgA = Seq((0L, png(0)), (1L, png(1))).toDF("doc_id", "payload")
+    val imgB = Seq((2L, png(2))).toDF("doc_id", "payload")
+    val imgArr = Seq((100L, png(2))).toDF("id", "payload") // dup of APPENDED img 2
+    val unioned = StreamingOps.imageDupIndex(imgA, col("doc_id"), col("payload"))
+      .union(StreamingOps.imageDupIndex(imgB, col("doc_id"), col("payload")))
+    val oneIdx = StreamingOps.imageDupIndex(imgA.union(imgB), col("doc_id"),
+      col("payload"))
+    def iFlags(idx: org.apache.spark.sql.DataFrame) =
+      StreamingOps.imageDupAgainst(imgArr, col("id"), col("payload"), idx)
+        .as[(Long, Long, Int)].collect().toSet
+    assert(iFlags(unioned) == iFlags(oneIdx) &&
+      iFlags(unioned) == Set((100L, 2L, 0)),
+      s"image index union law: ${iFlags(unioned)}")
+  }
+
   test("S13: streaming heavy-hitter summary is a superset with the MG error bound") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
