@@ -1432,6 +1432,37 @@ object GraftOps {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(outPath)
 
+  /** Compaction for the PER-ROW admission indexes (fingerprint / image /
+    * audio / video append sinks) — closes the at-least-once caveat: a
+    * crash-retried micro-batch re-appends IDENTICAL index rows (every
+    * row is a pure function of its payload), so a full-row `distinct`
+    * restores exactly the rebuild-from-scratch index — flag outputs
+    * drop their duplicates and nothing else changes (spec'd with a
+    * simulated retry). Run it periodically, like any log-structured
+    * index's merge pass. */
+  def compactAdmissionIndex(spark: SparkSession, inPath: String,
+      outPath: String): Unit =
+    spark.read.parquet(inPath).distinct()
+      .write.mode("overwrite").parquet(outPath)
+
+  /** Compaction for the SPAN tier's accumulated [[spanIndexCounts]]
+    * partials: re-aggregate to ONE row per window hash (what
+    * [[spanIndexFromCounts]] would compute on read, materialized) — the
+    * derived index is identical before and after (spec'd), the table
+    * shrinks from O(batches × hashes) to O(hashes). NOTE this cannot
+    * un-double-count a crash-retried batch (partials with equal counts
+    * from different batches are legitimate and indistinguishable); a
+    * retry can only OVER-count, which only ADDS spans to the index —
+    * the conservative direction for dedup/decontamination (masks more,
+    * never leaks a repeated span). Exactly-once span counts need the
+    * affected slice re-counted, the documented recovery. */
+  def compactSpanCounts(spark: SparkSession, inPath: String,
+      outPath: String): Unit =
+    spark.read.parquet(inPath)
+      .groupBy(col("__sh"))
+      .agg(sum(col("__df")).as("__df"), sum(col("__n")).as("__n"))
+      .write.mode("overwrite").parquet(outPath)
+
   /** The search half over a STORED index ([[ivfPqEncode]] output read
     * back — id + cell + codes, NO vectors): probes carry full vectors and
     * route to their `nprobe` nearest cells via the same baked coarse

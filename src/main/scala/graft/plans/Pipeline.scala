@@ -1021,6 +1021,19 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.spanIndexFromCounts(in("inport1"),
         minDf = args.getOrElse("minDf", "2").toInt,
         minCount = args.getOrElse("minCount", "0").toInt))),
+    // periodic merge passes for the appended admission indexes: per-row
+    // tiers dedup exactly (retry-duplicate rows are identical); the span
+    // tier re-aggregates its mergeable partials to one row per hash.
+    "compactAdmissionIndexSink" -> ((s, _, args) => {
+      graft.api.GraftOps.compactAdmissionIndex(s, arg(args, "in"),
+        arg(args, "out"))
+      Map.empty
+    }),
+    "compactSpanCountsSink" -> ((s, _, args) => {
+      graft.api.GraftOps.compactSpanCounts(s, arg(args, "in"),
+        arg(args, "out"))
+      Map.empty
+    }),
     // R3 KafkaOutput: declared for real-broker deployments (needs the
     // spark-sql-kafka connector jar — absent in this offline container,
     // see README "Kafka connectivity"; memoryStreamSink is the test twin).

@@ -172,4 +172,49 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     assert(r(0).getSeq[Double](1) == Seq(2.0, 3.0))
     assert(r(1).getSeq[Double](1) == Seq(10.0, 20.0))
   }
+
+  test("ExciseSpans: linear-merge edge cases (overlaps, duplicates, edges, empty)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // (tokens, sorted starts, width) -> expected kept tokens
+    val width = 3
+    val cases = Seq(
+      // disjoint spans at both edges
+      (Seq("a", "b", "c", "d", "e", "f", "g"), Seq(0, 4), Seq("d")),
+      // overlapping + duplicate starts merge into one covered interval
+      (Seq("a", "b", "c", "d", "e", "f"), Seq(1, 1, 2), Seq("a", "f")),
+      // adjacent spans, no gap
+      (Seq("a", "b", "c", "d", "e", "f"), Seq(0, 3), Seq()),
+      // no starts: everything kept
+      (Seq("a", "b", "c"), Seq(), Seq("a", "b", "c")),
+      // span clipped at the tail (start + width past the end)
+      (Seq("a", "b", "c", "d"), Seq(3), Seq("a", "b", "c")),
+      // empty tokens
+      (Seq[String](), Seq(), Seq[String]()))
+    cases.foreach { case (toks, starts, want) =>
+      val got = Seq((toks, starts)).toDF("t", "s")
+        .select(graft.functions.ExciseSpans.asColumn(col("t"),
+          col("s").cast("array<int>"), width).as("k"))
+        .as[Seq[String]].collect().head
+      assert(got == want, s"excise($toks, starts=$starts): got $got want $want")
+    }
+  }
+
+  test("FirstEqIndex: first aligned equality, -1 when none, shorter-length zip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      (Seq(1L, 2L, 3L), Seq(9L, 2L, 3L), 1),   // first match at 1, not 2
+      (Seq(1L, 2L), Seq(1L, 2L), 0),
+      (Seq(1L, 2L), Seq(3L, 4L), -1),           // none
+      (Seq(1L, 2L, 3L), Seq(9L, 9L), -1),       // zip over shorter length
+      (Seq(5L), Seq(9L, 5L), -1),               // alignment matters
+      (Seq[Long](), Seq(1L), -1))
+    cases.foreach { case (a, b, want) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.FirstEqIndex.asColumn(col("a"), col("b")))
+        .as[Int].collect().head
+      assert(got == want, s"firstEq($a, $b): got $got want $want")
+    }
+  }
 }

@@ -2129,6 +2129,70 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("admission-index compaction: a simulated crash-retry dedups exactly; span partials re-aggregate") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    // per-row tier: append batch B twice (the at-least-once retry shape)
+    // -> duplicate FLAG rows; compactAdmissionIndex restores the rebuild
+    val a = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("id", "text")
+    val b = Seq((2L, "epsilon zeta")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cmp-out").toString
+    try {
+      StreamingOps.fingerprintIndex(a, col("id"), col("text"))
+        .write.mode("append").parquet(dir)
+      (1 to 2).foreach(_ => StreamingOps.fingerprintIndex(b, col("id"), col("text"))
+        .write.mode("append").parquet(dir))
+      val arrivals = Seq((100L, "epsilon zeta")).toDF("id", "text")
+      def flags(idx: org.apache.spark.sql.DataFrame) =
+        StreamingOps.fingerprintAgainst(arrivals, col("id"), col("text"), idx)
+          .as[(Long, Long)].collect().toSeq
+      assert(flags(spark.read.parquet(dir)) == Seq((100L, 2L), (100L, 2L)),
+        "the retried append duplicates the flag row (the documented caveat)")
+      GraftOps.compactAdmissionIndex(spark, dir, out)
+      val rebuilt = StreamingOps.fingerprintIndex(a.union(b).union(b),
+        col("id"), col("text")).distinct()
+      assert(flags(spark.read.parquet(out)) == Seq((100L, 2L)) &&
+        spark.read.parquet(out).count() == rebuilt.count(),
+        "compaction restores exactly the rebuild: one flag row, no dups")
+    } finally {
+      import scala.reflect.io.Directory
+      Seq(dir, out).foreach(d =>
+        new Directory(new java.io.File(d)).deleteRecursively())
+    }
+    // span tier: compaction preserves the DERIVED index exactly (one row
+    // per hash afterwards), and a retried partial only ever ADDS spans
+    val sliceA = Seq((10L, "common five token header block here tail a"),
+      (11L, "common five token header block here tail b")).toDF("id", "text")
+    val sliceB = Seq((12L, "another repeated window sentence body x"),
+      (13L, "another repeated window sentence body y")).toDF("id", "text")
+    val sDir = java.nio.file.Files.createTempDirectory("graft-scmp").toString
+    val sOut = java.nio.file.Files.createTempDirectory("graft-scmp-out").toString
+    try {
+      GraftOps.spanIndexCounts(sliceA, col("id"), col("text"), 5)
+        .write.mode("append").parquet(sDir)
+      (1 to 2).foreach(_ => GraftOps.spanIndexCounts(sliceB, col("id"), col("text"), 5)
+        .write.mode("append").parquet(sDir))
+      val before = GraftOps.spanIndexFromCounts(spark.read.parquet(sDir), 2)
+        .as[Long].collect().toSet
+      GraftOps.compactSpanCounts(spark, sDir, sOut)
+      val compacted = spark.read.parquet(sOut)
+      val after = GraftOps.spanIndexFromCounts(compacted, 2)
+        .as[Long].collect().toSet
+      assert(after == before, "compaction never changes the derived index")
+      assert(compacted.groupBy("__sh").count().filter(col("count") > 1).isEmpty,
+        "compacted counts hold one row per hash")
+      val clean = GraftOps.spanIndex(sliceA.union(sliceB), col("id"),
+        col("text"), width = 5, minDf = 2).as[Long].collect().toSet
+      assert(clean.subsetOf(before),
+        "a retried partial only ADDS spans (conservative over-mask), never loses one")
+    } finally {
+      import scala.reflect.io.Directory
+      Seq(sDir, sOut).foreach(d =>
+        new Directory(new java.io.File(d)).deleteRecursively())
+    }
+  }
+
   test("videoFrameHashesAvi: frame hashes survive the LOSSY MJPEG codec on high-margin content") {
     import spark.implicits._
     import graft.operators.MultimodalOps
