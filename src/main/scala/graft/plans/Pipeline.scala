@@ -983,6 +983,20 @@ object PipelineCompiler {
       }
       Map.empty
     }),
+    "nearDupAppendSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        graft.streaming.StreamingOps.nearDupAppendSink(in("inport1"),
+          expr(arg(args, "id")), expr(arg(args, "text")),
+          path = arg(args, "path"),
+          queryName = args.getOrElse("name", "nearDupAppendSink"),
+          checkpoint = arg(args, "checkpoint"),
+          shingleWidth = args.getOrElse("shingleWidth", "3").toInt,
+          numHashes = args.getOrElse("numHashes", "16").toInt,
+          bands = args.getOrElse("bands", "4").toInt)
+          .trigger(triggerOf(args)).start()
+      }
+      Map.empty
+    }),
     "mediaDupAppendSink" -> ((s, in, args) => {
       withQueryShufflePartitions(s, args) {
         val sink = args.getOrElse("kind", "image") match {

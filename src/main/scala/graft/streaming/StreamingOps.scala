@@ -432,6 +432,21 @@ object StreamingOps {
       fingerprintIndex(batch, id, text).write.mode("append").parquet(path)
     }
 
+  /** [[fingerprintAppendSink]] for the S10 TEXT near-dup band index —
+    * MinHash band rows are a pure per-row function of (text, the baked
+    * hash family), so the same append == rebuild law holds. Band
+    * parameters must match the index being grown (same shingleWidth /
+    * numHashes / bands as the original [[nearDupIndex]] build — a
+    * mismatch makes appended rows unreachable, not wrong). */
+  def nearDupAppendSink(stream: DataFrame, id: Column, text: Column,
+      path: String, queryName: String, checkpoint: String,
+      shingleWidth: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
+      nearDupIndex(batch, id, text, shingleWidth, numHashes, bands)
+        .write.mode("append").parquet(path)
+    }
+
   /** [[fingerprintAppendSink]] for the image band index (S16). */
   def imageDupAppendSink(stream: DataFrame, id: Column, payload: Column,
       path: String, queryName: String,

@@ -943,6 +943,21 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(iFlags(unioned) == iFlags(oneIdx) &&
       iFlags(unioned) == Set((100L, 2L, 0)),
       s"image index union law: ${iFlags(unioned)}")
+    // --- text near-dup tier (S10's index): same per-row purity law ---
+    val tA = Seq((0L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("id", "text")
+    val tB = Seq((1L, "pack my box with five dozen brown liquor jugs now"))
+      .toDF("id", "text")
+    val tArr = Seq((100L, "pack my box with five dozen brown liquor jugs now"))
+      .toDF("id", "text")
+    def tIdx(df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.nearDupIndex(df, col("id"), col("text"))
+    def tFlags(idx: org.apache.spark.sql.DataFrame) =
+      StreamingOps.nearDupAgainst(tArr, col("id"), col("text"), idx)
+        .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(tFlags(tIdx(tA).union(tIdx(tB))) == tFlags(tIdx(tA.union(tB))) &&
+      tFlags(tIdx(tA).union(tIdx(tB))) == Set((100L, 1L)),
+      "text near-dup index union law: appended == rebuilt")
   }
 
   test("S13: streaming heavy-hitter summary is a superset with the MG error bound") {
