@@ -1432,6 +1432,31 @@ object GraftOps {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(outPath)
 
+  /** GENERAL small-files compaction — the Delta/Iceberg OPTIMIZE
+    * bin-packing idea as an engine primitive (round 14): a long-running
+    * curation pipeline (streaming appends, per-batch writes, heavily
+    * partitioned sinks) accretes thousands of tiny parquet files whose
+    * per-file open/footer cost eventually dominates scans at 100 TB.
+    * This measures the directory's ACTUAL on-disk bytes via the Hadoop
+    * FS (not row counts — compression ratio varies), targets
+    * `ceil(bytes / targetBytes)` output files, and rewrites with a
+    * round-robin repartition (even sizes, no skew key needed). Pure
+    * layout: same rows (spec-asserted), fewer files. Sort-preserving
+    * layouts ([[zorderWrite]]/[[zorderWriteN]]) have their own
+    * terminals — re-run those instead when curve order must survive. */
+  def compactOutput(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1; got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(inPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    spark.read.parquet(inPath)
+      .repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Compaction for the PER-ROW admission indexes (fingerprint / image /
     * audio / video append sinks) — closes the at-least-once caveat: a
     * crash-retried micro-batch re-appends IDENTICAL index rows (every

@@ -1038,6 +1038,12 @@ object PipelineCompiler {
     // periodic merge passes for the appended admission indexes: per-row
     // tiers dedup exactly (retry-duplicate rows are identical); the span
     // tier re-aggregates its mergeable partials to one row per hash.
+    "compactOutputSink" -> ((s, _, args) => {
+      graft.api.GraftOps.compactOutput(s, arg(args, "in"), arg(args, "out"),
+        targetBytes = args.getOrElse("targetBytes",
+          (128L * 1024 * 1024).toString).toLong)
+      Map.empty
+    }),
     "compactAdmissionIndexSink" -> ((s, _, args) => {
       graft.api.GraftOps.compactAdmissionIndex(s, arg(args, "in"),
         arg(args, "out"))

@@ -2193,6 +2193,48 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("compactOutput: many tiny files collapse to byte-targeted few, rows unchanged") {
+    import spark.implicits._
+    val scattered = java.nio.file.Files.createTempDirectory("graft-tiny").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-tiny-out").toString
+    try {
+      // simulate streaming-append accretion: 40 one-file writes
+      (0 until 40).foreach { i =>
+        Seq.tabulate(50)(j => (i * 50L + j, s"row $i $j"))
+          .toDF("id", "v").coalesce(1).write.mode("append").parquet(scattered)
+      }
+      def parquetFiles(p: String) =
+        new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parquetFiles(scattered) == 40, "fixture: 40 scattered files")
+      // generous target -> everything packs into ONE file
+      val n = GraftOps.compactOutput(spark, scattered, out,
+        targetBytes = 1L * 1024 * 1024 * 1024)
+      assert(n == 1 && parquetFiles(out) == 1,
+        s"1 GiB target must pack 40 tiny files into one: n=$n")
+      val before = spark.read.parquet(scattered)
+      val after = spark.read.parquet(out)
+      assert(after.count() == 2000 && after.exceptAll(before).isEmpty &&
+        before.exceptAll(after).isEmpty, "compaction is pure layout: same rows")
+      // tiny target -> file count tracks ceil(bytes / target)
+      val bytes = new java.io.File(scattered).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val out2 = java.nio.file.Files.createTempDirectory("graft-tiny-out2").toString
+      try {
+        val target = math.max(1L, bytes / 7)
+        val n2 = GraftOps.compactOutput(spark, scattered, out2, target)
+        assert(n2 >= 2 && parquetFiles(out2) == n2,
+          s"byte-derived file target honored: n2=$n2")
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(out2)).deleteRecursively()
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      Seq(scattered, out).foreach(d =>
+        new Directory(new java.io.File(d)).deleteRecursively())
+    }
+  }
+
   test("videoFrameHashesAvi: frame hashes survive the LOSSY MJPEG codec on high-margin content") {
     import spark.implicits._
     import graft.operators.MultimodalOps
