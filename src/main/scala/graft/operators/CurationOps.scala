@@ -927,7 +927,73 @@ object CurationOps {
       FROM n
       ORDER BY zvalue, l_orderkey, l_linenumber"""))
 
+  // ---------------------------------------------------------------- q94
+  /** Per-column bit widths for the mixed-width curve: keys of genuinely
+    * different cardinality get proportional resolution (l_orderkey is
+    * ~30× l_suppkey's range at any SF). */
+  private val Z4_BITS = Seq(8, 6, 4)
+
+  /** The PER-COLUMN-BITS face of the k-column z-order (round 14): three
+    * keys at 8/6/4 bits round-robin-interleaved into an 18-bit value —
+    * wide keys keep placing bits after narrow ones drop out, exactly
+    * [[GraftOps.zorderValueN]]'s placement law. The oracle's interleave
+    * terms are GENERATED by the same round-robin loop (each term a
+    * literal shift), so both engines state the identical placement. */
+  val q94 = QueryDef("q94_zorder_mixed",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val st = li.agg(
+        min(col("l_orderkey").cast("long")), max(col("l_orderkey").cast("long")),
+        min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long")),
+        min(col("l_suppkey").cast("long")), max(col("l_suppkey").cast("long")))
+        .collect()(0)
+      def norm(c: String, j: Int) = GraftOps.zorderNormalize(col(c),
+        st.getLong(2 * j), st.getLong(2 * j + 1), Z4_BITS(j))
+      li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"),
+          GraftOps.zorderValueN(Seq(
+            norm("l_orderkey", 0) -> Z4_BITS(0),
+            norm("l_partkey", 1) -> Z4_BITS(1),
+            norm("l_suppkey", 2) -> Z4_BITS(2))).cast("bigint").as("zvalue"))
+        .orderBy("zvalue", "l_orderkey", "l_linenumber")
+    },
+    Some {
+      // mirror zorderValueN's round-robin placement as literal SQL terms
+      val names = Seq("xn", "yn", "zn")
+      var pos = 0
+      val terms = for {
+        i <- 0 until Z4_BITS.max
+        j <- names.indices if i < Z4_BITS(j)
+      } yield {
+        val t = s"((${names(j)} >> $i) & 1) * (CAST(1 AS BIGINT) << $pos)"
+        pos += 1
+        t
+      }
+      s"""
+      WITH st AS (
+        SELECT CAST(MIN(l_orderkey) AS BIGINT) AS xlo,
+          CAST(MAX(l_orderkey) AS BIGINT) AS xhi,
+          CAST(MIN(l_partkey) AS BIGINT) AS ylo,
+          CAST(MAX(l_partkey) AS BIGINT) AS yhi,
+          CAST(MIN(l_suppkey) AS BIGINT) AS zlo,
+          CAST(MAX(l_suppkey) AS BIGINT) AS zhi
+        FROM lineitem),
+      n AS (
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          ((CAST(l_orderkey AS BIGINT) - xlo) * ${(1 << Z4_BITS(0)) - 1})
+            // GREATEST(xhi - xlo, 1) AS xn,
+          ((CAST(l_partkey AS BIGINT) - ylo) * ${(1 << Z4_BITS(1)) - 1})
+            // GREATEST(yhi - ylo, 1) AS yn,
+          ((CAST(l_suppkey AS BIGINT) - zlo) * ${(1 << Z4_BITS(2)) - 1})
+            // GREATEST(zhi - zlo, 1) AS zn
+        FROM lineitem, st)
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        CAST(${terms.mkString(" + ")} AS BIGINT) AS zvalue
+      FROM n
+      ORDER BY zvalue, l_orderkey, l_linenumber"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
-      q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93)
+      q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94)
 }
