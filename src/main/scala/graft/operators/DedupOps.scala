@@ -493,13 +493,12 @@ object DedupOps {
     * repeated spans BY TEXT with document reach and occurrence counts —
     * what boilerplate dominates the corpus, shown before masking removes
     * it. Representative text comes from the deterministic min (doc, pos)
-    * occurrence, so the report hash-matches DuckDB verbatim. ORACLE
-    * bound: the SQL encodes the representative as doc_id·10⁶ + pos
-    * (DuckDB min-of-struct ordering is less portable), equivalent to the
-    * operator's lexicographic struct-min only while every document has
-    * < 10⁶ tokens — true by orders of magnitude on every fixture (≤ ~60
-    * tokens/doc at sf1); a giant-doc corpus would need the multiplier
-    * raised in BOTH places. */
+    * occurrence, so the report hash-matches DuckDB verbatim. The oracle
+    * computes that representative as a TRUE lexicographic first via
+    * `row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)` — the
+    * round-13 `doc_id·10⁶ + pos` encoding (and its silent <10⁶
+    * tokens/doc cliff) is gone as of round 14; both sides now state the
+    * identical unbounded struct-min. */
   val q92 = QueryDef("q92_top_repeated_spans",
     (s, dir) =>
       graft.api.GraftOps.topRepeatedSpans(docs(s, dir), col("doc_id"),
@@ -513,15 +512,20 @@ object DedupOps {
         SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
           ${Duck.ph(s"array_to_string(list_slice(toks, i, i + ${SPAN_W - 1}), ' ')")} AS h
         FROM occ),
-      stats AS (
-        SELECT h, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
-          MIN(doc_id * 1000000 + pos) AS firstkey
+      counts AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
         FROM och GROUP BY h
         HAVING COUNT(DISTINCT doc_id) >= $SPAN_MINDF),
+      first AS (
+        SELECT h, doc_id AS fdoc, pos AS fpos
+        FROM (
+          SELECT h, doc_id, pos,
+            row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+          FROM och)
+        WHERE rn = 1),
       rep AS (
-        SELECT h, n_docs, n_occurrences,
-          firstkey // 1000000 AS fdoc, firstkey % 1000000 AS fpos
-        FROM stats)
+        SELECT c.h, c.n_docs, c.n_occurrences, f.fdoc, f.fpos
+        FROM counts c JOIN first f USING (h))
       SELECT array_to_string(list_slice(t.toks, r.fpos + 1, r.fpos + $SPAN_W), ' ')
           AS span_text,
         r.n_docs, r.n_occurrences
