@@ -420,9 +420,17 @@ object PipelineCompiler {
     // uniform bits); `zorderSinkN` is the k-D layout terminal.
     "zorderN" -> ((_, in, args) => {
       val df = in("inport1")
-      val bits = args.getOrElse("bits", "8").toInt
       val cols = arg(args, "cols").split(",").map(c => expr(c.trim)).toSeq
       require(cols.size >= 2, "zorderN needs >= 2 cols")
+      // `bits` is one int (uniform) or a comma list matching `cols`
+      // (per-column widths — z curve only; the Skilling Hilbert walk
+      // needs a uniform hypercube)
+      val bitsList = args.getOrElse("bits", "8").split(",").map(_.trim.toInt)
+      val perCol =
+        if (bitsList.length == 1) Seq.fill(cols.size)(bitsList(0))
+        else { require(bitsList.length == cols.size,
+          s"bits list (${bitsList.length}) must match cols (${cols.size})")
+          bitsList.toSeq }
       val aggs = cols.flatMap(c => Seq(
         org.apache.spark.sql.functions.min(c.cast("long")),
         org.apache.spark.sql.functions.max(c.cast("long"))))
@@ -430,11 +438,13 @@ object PipelineCompiler {
       require(!st.isNullAt(0), "zorderN on an empty corpus")
       val normed = cols.zipWithIndex.map { case (c, j) =>
         graft.api.GraftOps.zorderNormalize(c, st.getLong(2 * j),
-          st.getLong(2 * j + 1), bits) }
+          st.getLong(2 * j + 1), perCol(j)) }
       val curveCol =
-        if (args.getOrElse("curve", "z") == "hilbert")
-          graft.api.GraftOps.hilbertValueN(normed, bits)
-        else graft.api.GraftOps.zorderValueN(normed.map(_ -> bits))
+        if (args.getOrElse("curve", "z") == "hilbert") {
+          require(perCol.distinct.size == 1,
+            "curve=hilbert needs uniform bits (use the z curve for mixed widths)")
+          graft.api.GraftOps.hilbertValueN(normed, perCol.head)
+        } else graft.api.GraftOps.zorderValueN(normed.zip(perCol))
       Map("outport1" -> df.withColumn(
         args.getOrElse("as", "zvalue"), curveCol.cast("bigint")))
     }),

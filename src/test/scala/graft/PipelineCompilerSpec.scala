@@ -918,6 +918,48 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       assert(got == want && got.nonEmpty,
         s"zorderN($curve) XML must equal the library curve column")
     }
+    // mixed per-column widths (the q94 form) via a comma bits list
+    val portsMixed = PipelineCompiler.compile(PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="li" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="lineitem"/>
+        </operator>
+        <operator name="zm" class="zorderN">
+          <arg key="cols" value="l_orderkey,l_partkey,l_suppkey"/>
+          <arg key="bits" value="8,6,4"/>
+        </operator>
+        <connect from="li.outport1" to="zm.inport1"/>
+      </pipeline>"""), spark)
+    val li = Tables.load(spark, sf001, "lineitem")
+    val widths = Seq(8, 6, 4)
+    val cols = Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val aggs = cols.flatMap(c => Seq(min(c.cast("long")), max(c.cast("long"))))
+    val st = li.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val normed = cols.zipWithIndex.map { case (c, j) =>
+      graft.api.GraftOps.zorderNormalize(c, st.getLong(2 * j),
+        st.getLong(2 * j + 1), widths(j)) }
+    val gotM = portsMixed("zm.outport1").select(col("l_orderkey"),
+      col("l_linenumber"), col("zvalue")).collect().map(_.toSeq).toSet
+    val wantM = li.select(col("l_orderkey"), col("l_linenumber"),
+      graft.api.GraftOps.zorderValueN(normed.zip(widths))
+        .cast("bigint").as("zvalue")).collect().map(_.toSeq).toSet
+    assert(gotM == wantM && gotM.nonEmpty,
+      "zorderN mixed bits list must equal the library per-column-width curve")
+    // hilbert rejects mixed widths loudly (wrapped in the compiler's
+    // fail-fast PipelineException), never silently degrades
+    intercept[graft.plans.PipelineException] {
+      PipelineCompiler.compile(PipelineSpec.parseXml(s"""
+        <pipeline>
+          <operator name="li" class="parquetInput">
+            <arg key="dir" value="$sf001"/><arg key="table" value="lineitem"/>
+          </operator>
+          <operator name="zh" class="zorderN">
+            <arg key="cols" value="l_orderkey,l_partkey"/>
+            <arg key="bits" value="8,6"/><arg key="curve" value="hilbert"/>
+          </operator>
+          <connect from="li.outport1" to="zh.inport1"/>
+        </pipeline>"""), spark)("zh.outport1").collect()
+    }
   }
 
   test("round-14 admission append: XML fingerprintAppendSink == rebuild; spanIndexFromCounts parity") {
