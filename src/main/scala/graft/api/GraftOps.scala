@@ -1369,7 +1369,11 @@ object GraftOps {
     require(cols.size >= 2, s"hilbertValueN needs >= 2 columns; got ${cols.size}")
     require(cols.size * bits <= 63,
       s"k*bits must be <= 63; got ${cols.size} * $bits")
-    graft.functions.HilbertDN(array(cols: _*), bits)
+    // NULL propagates like the z path's arithmetic does (CreateArray
+    // would otherwise hand ArrayData a null element that reads as
+    // coordinate 0 — a silently WRONG curve position)
+    when(cols.map(_.isNull).reduce(_ || _), lit(null).cast("bigint"))
+      .otherwise(graft.functions.HilbertDN(array(cols: _*), bits))
   }
 
   /** Z-ORDERED parquet write — the multi-column locality layout for
@@ -1408,18 +1412,28 @@ object GraftOps {
     * sort. A k-D box predicate concentrates its matches in few files
     * (spec-measured in 3-D); pure layout — rows unchanged. */
   def zorderWriteN(df: DataFrame, cols: Seq[Column], bits: Int,
+      path: String, nFiles: Int, curve: String = "z"): Unit =
+    zorderWriteNW(df, cols.map(_ -> bits), path, nFiles, curve)
+
+  /** [[zorderWriteN]] with PER-COLUMN bit widths (the q94 form — z curve
+    * only; the Skilling Hilbert walk needs a uniform hypercube and is
+    * rejected loudly rather than silently degraded). */
+  def zorderWriteNW(df: DataFrame, cols: Seq[(Column, Int)],
       path: String, nFiles: Int, curve: String = "z"): Unit = {
     require(cols.size >= 2, s"zorderWriteN needs >= 2 columns; got ${cols.size}")
     require(nFiles >= 1, s"nFiles must be >= 1; got $nFiles")
     require(curve == "z" || curve == "hilbert",
       s"curve must be 'z' or 'hilbert'; got '$curve'")
-    val aggs = cols.flatMap(c => Seq(min(c.cast("long")), max(c.cast("long"))))
+    require(curve == "z" || cols.map(_._2).distinct.size == 1,
+      "curve=hilbert needs uniform bits (use the z curve for mixed widths)")
+    val aggs = cols.flatMap { case (c, _) =>
+      Seq(min(c.cast("long")), max(c.cast("long"))) }
     val st = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     require(!st.isNullAt(0), "zorderWriteN on an empty corpus")
-    val normed = cols.zipWithIndex.map { case (c, j) =>
-      zorderNormalize(c, st.getLong(2 * j), st.getLong(2 * j + 1), bits) }
-    val z = if (curve == "hilbert") hilbertValueN(normed, bits)
-            else zorderValueN(normed.map(_ -> bits))
+    val normed = cols.zipWithIndex.map { case ((c, b), j) =>
+      zorderNormalize(c, st.getLong(2 * j), st.getLong(2 * j + 1), b) -> b }
+    val z = if (curve == "hilbert") hilbertValueN(normed.map(_._1), cols.head._2)
+            else zorderValueN(normed)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
@@ -1450,7 +1464,11 @@ object GraftOps {
     val path = new org.apache.hadoop.fs.Path(inPath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(path).getLength
+    require(bytes > 0, s"compactOutput on an empty directory: $inPath")
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    require(nFiles <= Int.MaxValue,
+      s"compactOutput: $bytes bytes at targetBytes=$targetBytes needs " +
+        s"$nFiles files — raise targetBytes (Int partition-count limit)")
     spark.read.parquet(inPath)
       .repartition(nFiles.toInt)
       .write.mode("overwrite").parquet(outPath)

@@ -449,9 +449,15 @@ object PipelineCompiler {
         args.getOrElse("as", "zvalue"), curveCol.cast("bigint")))
     }),
     "zorderSinkN" -> ((_, in, args) => {
-      graft.api.GraftOps.zorderWriteN(in("inport1"),
-        arg(args, "cols").split(",").map(c => expr(c.trim)).toSeq,
-        bits = args.getOrElse("bits", "8").toInt,
+      val cols = arg(args, "cols").split(",").map(c => expr(c.trim)).toSeq
+      // same `bits` contract as zorderN: one int or a comma list per col
+      val bitsList = args.getOrElse("bits", "8").split(",").map(_.trim.toInt)
+      val perCol =
+        if (bitsList.length == 1) Seq.fill(cols.size)(bitsList(0))
+        else { require(bitsList.length == cols.size,
+          s"bits list (${bitsList.length}) must match cols (${cols.size})")
+          bitsList.toSeq }
+      graft.api.GraftOps.zorderWriteNW(in("inport1"), cols.zip(perCol),
         path = arg(args, "path"),
         nFiles = args.getOrElse("nFiles", "16").toInt,
         curve = args.getOrElse("curve", "z"))
@@ -600,23 +606,27 @@ object PipelineCompiler {
     // index) — the fingerprint/nearDup pattern on the image axis.
     "imageDupIndex" -> ((_, in, args) =>
       Map("outport1" -> graft.streaming.StreamingOps.imageDupIndex(
-        in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload"))))),
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
+        nChunks = args.getOrElse("nChunks", "4").toInt))),
     "imageDupFlag" -> ((_, in, args) =>
       Map("outport1" -> graft.streaming.StreamingOps.imageDupAgainst(
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
         in("inport2"),
-        maxHamming = args.getOrElse("maxHamming", "3").toInt))),
+        maxHamming = args.getOrElse("maxHamming", "3").toInt,
+        nChunks = args.getOrElse("nChunks", "4").toInt))),
     // … and its audio/video twins (round 14 — the admission matrix
     // completes: text S10, exact S14, span S15, image S16, audio S17,
     // video S18; same inport1 = stream / inport2 = index contract).
     "audioDupIndex" -> ((_, in, args) =>
       Map("outport1" -> graft.streaming.StreamingOps.audioDupIndex(
-        in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload"))))),
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
+        nChunks = args.getOrElse("nChunks", "4").toInt))),
     "audioDupFlag" -> ((_, in, args) =>
       Map("outport1" -> graft.streaming.StreamingOps.audioDupAgainst(
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
         in("inport2"),
-        maxHamming = args.getOrElse("maxHamming", "3").toInt))),
+        maxHamming = args.getOrElse("maxHamming", "3").toInt,
+        nChunks = args.getOrElse("nChunks", "4").toInt))),
     "videoDupIndex" -> ((_, in, args) =>
       Map("outport1" -> graft.streaming.StreamingOps.videoDupIndex(
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload"))))),
@@ -1013,11 +1023,13 @@ object PipelineCompiler {
           case "image" => graft.streaming.StreamingOps.imageDupAppendSink(
             in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
             arg(args, "path"), args.getOrElse("name", "mediaDupAppendSink"),
-            arg(args, "checkpoint"))
+            arg(args, "checkpoint"),
+            nChunks = args.getOrElse("nChunks", "4").toInt)
           case "audio" => graft.streaming.StreamingOps.audioDupAppendSink(
             in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
             arg(args, "path"), args.getOrElse("name", "mediaDupAppendSink"),
-            arg(args, "checkpoint"))
+            arg(args, "checkpoint"),
+            nChunks = args.getOrElse("nChunks", "4").toInt)
           case "video" => graft.streaming.StreamingOps.videoDupAppendSink(
             in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
             arg(args, "path"), args.getOrElse("name", "mediaDupAppendSink"),

@@ -216,14 +216,20 @@ object StreamingOps {
       .join(index.select(col("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")
 
-  /** 4×16-bit band rows of a 64-bit fingerprint frame — the shared index
-    * half of the MEDIA admission tiers (image/audio): `hashed` must be
-    * (doc_id, __h) with decodable rows only. */
-  private def bandIndex64(hashed: DataFrame): DataFrame =
+  /** `nChunks` equal band rows of a 64-bit fingerprint frame — the shared
+    * index half of the MEDIA admission tiers (image/audio), the SAME
+    * banding as `MultimodalOps.hammingNearDup`: `hashed` must be
+    * (doc_id, __h) with decodable rows only. The band count is baked at
+    * INDEX BUILD time — the flag side must use the same value. */
+  private def bandIndex64(hashed: DataFrame, nChunks: Int): DataFrame = {
+    require(nChunks >= 2 && 64 % nChunks == 0,
+      s"nChunks must divide 64; got $nChunks")
+    val cb = 64 / nChunks
     hashed.select(col("doc_id").as("dup_of"), col("__h").as("__ch"),
-      posexplode(array((0 to 3).map(i =>
-        shiftright(col("__h"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until nChunks).map(i =>
+        shiftright(col("__h"), i * cb).bitwiseAND(lit((1L << cb) - 1))): _*))
         .as(Seq("__c", "__chunk")))
+  }
 
   /** The shared stream-side half: stream–static equi-join on the band key
     * (the stream never shuffles the corpus), exact popcount verify,
@@ -232,23 +238,33 @@ object StreamingOps {
     * pure per-row predicate over the two full hashes, so no
     * dropDuplicates state accumulates across micro-batches (a
     * long-running stream stays bounded) and no shuffle is added in the
-    * batch twin. */
+    * batch twin. `nChunks` must match the index's build-time banding
+    * (≤ nChunks−1 flips leave a band untouched — pigeonhole-exhaustive,
+    * same as the batch `hammingNearDup` generalization). */
   private def bandAgainst64(sHashed: DataFrame, index: DataFrame,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3,
-      s"4 x 16-bit bands are only exhaustive for maxHamming <= 3; got $maxHamming")
+      maxHamming: Int, nChunks: Int): DataFrame = {
+    require(nChunks >= 2 && 64 % nChunks == 0,
+      s"nChunks must divide 64; got $nChunks")
+    require(maxHamming < nChunks,
+      s"$nChunks bands are only exhaustive for maxHamming <= ${nChunks - 1} " +
+        s"(pigeonhole); got $maxHamming — rebuild the index at a higher nChunks")
+    val cb = 64 / nChunks
+    val mask = lit((1L << cb) - 1)
     val sBands = sHashed.select(col("doc_id").as("id"), col("__h").as("__sh"),
-      posexplode(array((0 to 3).map(i =>
-        shiftright(col("__h"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until nChunks).map(i =>
+        shiftright(col("__h"), i * cb).bitwiseAND(mask)): _*))
         .as(Seq("__c", "__chunk")))
-    // hamming <= 3 over 4 bands guarantees an equal band (pigeonhole), so
+    // round-13 persisted image indexes carry __cah; accept them unchanged
+    val idx = if (index.columns.contains("__cah"))
+      index.withColumnRenamed("__cah", "__ch") else index
+    // hamming <= nChunks-1 guarantees an equal band (pigeonhole), so
     // keeping only __c == firstEq emits each matched pair exactly once
     val diff = expr("__sh ^ __ch")
-    val firstEq = (0 to 3).foldRight(lit(-1): Column) { (i, rest) =>
-      when(shiftright(diff, i * 16).bitwiseAND(lit(0xffffL)) === 0, lit(i))
+    val firstEq = (0 until nChunks).foldRight(lit(-1): Column) { (i, rest) =>
+      when(shiftright(diff, i * cb).bitwiseAND(mask) === 0, lit(i))
         .otherwise(rest)
     }
-    sBands.join(index, Seq("__c", "__chunk"))
+    sBands.join(idx, Seq("__c", "__chunk"))
       .filter(col("id") =!= col("dup_of")) // a re-ingested item is not its own dup
       .withColumn("hamming", bit_count(diff).cast("int"))
       .filter(col("hamming") <= maxHamming && col("__c") === firstEq)
@@ -259,14 +275,18 @@ object StreamingOps {
     * corpus admission (the [[fingerprintIndex]]/[[nearDupIndex]] pattern
     * on the image axis): decode every corpus image once
     * ([[graft.operators.MultimodalOps.imageAHash]]), keep decodable rows,
-    * and explode the 64-bit perceptual hash into its 4×16-bit band keys
-    * (the q17/q87 banded-hamming scheme — exhaustive for radius ≤ 3 by
-    * pigeonhole). Build once in batch; caller-persisted. */
-  def imageDupIndex(corpus: DataFrame, id: Column, payload: Column): DataFrame =
+    * and explode the 64-bit perceptual hash into its `nChunks` band keys
+    * (the q17/q87 banded-hamming scheme — exhaustive for radius ≤
+    * nChunks−1 by pigeonhole; 4×16-bit default covers radius ≤ 3, build
+    * at nChunks = 8 for the JPEG-re-encode hamming-4..7 regime). Build
+    * once in batch; caller-persisted; the flag side must use the SAME
+    * nChunks. */
+  def imageDupIndex(corpus: DataFrame, id: Column, payload: Column,
+      nChunks: Int = 4): DataFrame =
     bandIndex64(graft.operators.MultimodalOps.imageAHash(
         corpus.select(id.cast("long").as("doc_id"), payload.as("payload")))
       .toDF().filter(col("ok"))
-      .select(col("doc_id"), col("ahash").as("__h")))
+      .select(col("doc_id"), col("ahash").as("__h")), nChunks)
 
   /** Image near-dup flags against the index: (id, dup_of, hamming) for
     * every ARRIVING image within `maxHamming` aHash bits of an indexed
@@ -275,43 +295,47 @@ object StreamingOps {
     * nothing (their rows are ok=false and filtered — corrupt media is
     * counted upstream, never clustered). */
   def imageDupAgainst(stream: DataFrame, id: Column, payload: Column,
-      index: DataFrame, maxHamming: Int = 3): DataFrame =
+      index: DataFrame, maxHamming: Int = 3, nChunks: Int = 4): DataFrame =
     bandAgainst64(graft.operators.MultimodalOps.imageAHash(
         stream.select(id.cast("long").as("doc_id"), payload.as("payload")))
       .toDF().filter(col("ok"))
-      .select(col("doc_id"), col("ahash").as("__h")), index, maxHamming)
+      .select(col("doc_id"), col("ahash").as("__h")), index, maxHamming, nChunks)
 
   /** Static audio-fingerprint index — [[imageDupIndex]] on the audio
     * axis: decode every corpus clip once
     * ([[graft.operators.MultimodalOps.audioFingerprint]], the 64-bit
     * energy-envelope hash of real PCM), keep decodable rows, band-explode.
     * Build once in batch; caller-persisted. */
-  def audioDupIndex(corpus: DataFrame, id: Column, payload: Column): DataFrame =
+  def audioDupIndex(corpus: DataFrame, id: Column, payload: Column,
+      nChunks: Int = 4): DataFrame =
     bandIndex64(graft.operators.MultimodalOps.audioFingerprint(
         corpus.select(id.cast("long").as("doc_id"), payload.as("payload")))
       .toDF().filter(col("ok"))
-      .select(col("doc_id"), col("afp").as("__h")))
+      .select(col("doc_id"), col("afp").as("__h")), nChunks)
 
   /** Audio near-dup flags against the index — [[imageDupAgainst]] on the
     * audio axis, same stateless band join, same corrupt-media contract. */
   def audioDupAgainst(stream: DataFrame, id: Column, payload: Column,
-      index: DataFrame, maxHamming: Int = 3): DataFrame =
+      index: DataFrame, maxHamming: Int = 3, nChunks: Int = 4): DataFrame =
     bandAgainst64(graft.operators.MultimodalOps.audioFingerprint(
         stream.select(id.cast("long").as("doc_id"), payload.as("payload")))
       .toDF().filter(col("ok"))
-      .select(col("doc_id"), col("afp").as("__h")), index, maxHamming)
+      .select(col("doc_id"), col("afp").as("__h")), index, maxHamming, nChunks)
 
   /** Static video frame-sequence index — the sequence member of the media
-    * admission matrix: every corpus payload's ok-prefix frame-hash
-    * SIGNATURE ([[graft.operators.MultimodalOps.videoFrameHashVec]]),
-    * exploded to (frame_idx, frame_hash) band rows with the full
-    * signature carried alongside, so the stream side can verify a pair
-    * per-row. Build once in batch; caller-persisted. */
+    * admission matrix: every corpus payload's ok-prefix frame hashes
+    * ([[graft.operators.MultimodalOps.videoFrameHashVec]]) exploded to
+    * LEAN (dup_of, frame_idx, frame_hash) band rows — O(frames) per
+    * video; the full signature a pair-verify needs is REBUILT from these
+    * rows at flag time (frame indices are an ok-prefix, so the sorted
+    * collect IS the signature), rather than duplicated onto every band
+    * row (which would make the persisted index O(frames²) per video).
+    * Build once in batch; caller-persisted. */
   def videoDupIndex(corpus: DataFrame, id: Column, payload: Column): DataFrame =
     graft.operators.MultimodalOps.videoFrameHashVec(
         corpus.select(id.cast("long").as("doc_id"), payload.as("payload")))
       .toDF().filter(col("ok"))
-      .select(col("doc_id").as("dup_of"), col("fhashes").as("__cfh"),
+      .select(col("doc_id").as("dup_of"),
         posexplode(col("fhashes")).as(Seq("__f", "__fh")))
 
   /** Video near-dup flags against the index: (id, dup_of, matched_frames,
@@ -336,8 +360,17 @@ object StreamingOps {
       .toDF().filter(col("ok"))
       .select(col("doc_id").as("id"), col("fhashes").as("__sfh"),
         posexplode(col("fhashes")).as(Seq("__f", "__fh")))
+    // rebuild each corpus video's ok-prefix signature from its lean band
+    // rows (collect_set: an append-sink crash retry re-appends IDENTICAL
+    // rows, so the rebuilt signature stays correct without compaction —
+    // retry-duplicate band rows still duplicate flag ROWS, the same
+    // documented caveat as the image/audio tiers)
+    val sigs = index.groupBy(col("dup_of")).agg(
+      transform(array_sort(collect_set(struct(col("__f"), col("__fh")))),
+        p => p.getField("__fh")).as("__cfh"))
     s.join(index, Seq("__f", "__fh"))
       .filter(col("id") =!= col("dup_of")) // a re-ingested video is not its own dup
+      .join(sigs, Seq("dup_of"))
       .withColumn("matched_frames",
         graft.functions.SigMatchCount.asColumn(col("__sfh"), col("__cfh"))
           .cast("long"))
@@ -447,20 +480,24 @@ object StreamingOps {
         .write.mode("append").parquet(path)
     }
 
-  /** [[fingerprintAppendSink]] for the image band index (S16). */
+  /** [[fingerprintAppendSink]] for the image band index (S16) — `nChunks`
+    * must match the banding the index was originally built at. */
   def imageDupAppendSink(stream: DataFrame, id: Column, payload: Column,
-      path: String, queryName: String,
-      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      path: String, queryName: String, checkpoint: String,
+      nChunks: Int = 4): DataStreamWriter[org.apache.spark.sql.Row] =
     foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
-      imageDupIndex(batch, id, payload).write.mode("append").parquet(path)
+      imageDupIndex(batch, id, payload, nChunks)
+        .write.mode("append").parquet(path)
     }
 
-  /** [[fingerprintAppendSink]] for the audio band index (S17). */
+  /** [[fingerprintAppendSink]] for the audio band index (S17) — same
+    * build-time `nChunks` contract. */
   def audioDupAppendSink(stream: DataFrame, id: Column, payload: Column,
-      path: String, queryName: String,
-      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      path: String, queryName: String, checkpoint: String,
+      nChunks: Int = 4): DataStreamWriter[org.apache.spark.sql.Row] =
     foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
-      audioDupIndex(batch, id, payload).write.mode("append").parquet(path)
+      audioDupIndex(batch, id, payload, nChunks)
+        .write.mode("append").parquet(path)
     }
 
   /** [[fingerprintAppendSink]] for the video frame-signature index
