@@ -2079,6 +2079,18 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
         s"3-D curve step $d -> ${d + 1} is not unit-adjacent")
     }
+    // NULL law: a null coordinate yields a null curve value (matching
+    // the z path's arithmetic), never a fabricated position-0 cell
+    val withNull = Seq((Some(1L), Some(2L), Some(3L)),
+      (Some(1L), None, Some(3L))).toDF("x", "y", "z")
+      .select(GraftOps.hilbertValueN(
+        Seq(col("x"), col("y"), col("z")), 4).as("d"),
+        GraftOps.zorderValueN(
+          Seq(col("x") -> 4, col("y") -> 4, col("z") -> 4)).as("zv"))
+      .collect()
+    assert(!withNull(0).isNullAt(0) && !withNull(0).isNullAt(1))
+    assert(withNull(1).isNullAt(0) && withNull(1).isNullAt(1),
+      "both curves must propagate NULL coordinates, not fabricate a cell")
     // 2-D sanity: the Skilling orientation is also a proper Hilbert curve
     val flat = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
       .toDF("x", "y")

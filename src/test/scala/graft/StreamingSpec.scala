@@ -731,6 +731,21 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
         assert(batch == flagged, "batch twin agrees with the stream")
       } finally q.stop()
+      // the nChunks generalization reaches the streaming tier: an index
+      // built at 8 bands flags the same exact dup at radius up to 7,
+      // while a radius beyond the build-time banding is rejected loudly
+      val idx8 = StreamingOps.imageDupIndex(corpus, col("doc_id"),
+        col("payload"), nChunks = 8)
+      val at8 = StreamingOps.imageDupAgainst(
+          arrivals.toDF("id", "payload"), col("id"), col("payload"), idx8,
+          maxHamming = 6, nChunks = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(at8 == Set((100L, 2L, 0)),
+        s"8-band index flags the same dup at radius 6: $at8")
+      intercept[IllegalArgumentException] {
+        StreamingOps.imageDupAgainst(arrivals.toDF("id", "payload"),
+          col("id"), col("payload"), idx8, maxHamming = 6, nChunks = 4)
+      }
     } finally index.unpersist()
   }
 
