@@ -1404,6 +1404,26 @@ object GraftOps {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** COMPACT Hilbert value with PER-COLUMN bit widths (round 14, closing
+    * the mixed-width Hilbert gap [[hilbertValueN]] documents): Hamilton &
+    * Rau-Chaplin's compact Hilbert index via one codegen'd
+    * [[graft.functions.CompactHilbertDN]] call per row — bijects
+    * [0, 2^Σbits) with NO index bits wasted on short columns, while
+    * preserving the uniform walk's visit order over the box (the
+    * spec-pinned defining law), so range-partitioned files keep Hilbert
+    * locality even when key cardinalities differ by orders of magnitude.
+    * Equal widths reduce to the uniform walk exactly. NULL coordinates
+    * yield NULL, matching [[zorderValueN]]. */
+  def compactHilbertValue(cols: Seq[(Column, Int)]): Column = {
+    require(cols.size >= 2,
+      s"compactHilbertValue needs >= 2 columns; got ${cols.size}")
+    require(cols.map(_._2).sum <= 63,
+      s"total bits must be <= 63; got ${cols.map(_._2).sum}")
+    when(cols.map(_._1.isNull).reduce(_ || _), lit(null).cast("bigint"))
+      .otherwise(graft.functions.CompactHilbertDN(
+        array(cols.map(_._1): _*), cols.map(_._2)))
+  }
+
   /** k-COLUMN z-ordered/Hilbert parquet write — [[zorderWrite]] for the
     * 3–4-column layouts real OPTIMIZE-ZORDER runs: normalize every
     * column against collected corpus stats (2k longs), compute the
@@ -1415,25 +1435,30 @@ object GraftOps {
       path: String, nFiles: Int, curve: String = "z"): Unit =
     zorderWriteNW(df, cols.map(_ -> bits), path, nFiles, curve)
 
-  /** [[zorderWriteN]] with PER-COLUMN bit widths (the q94 form — z curve
-    * only; the Skilling Hilbert walk needs a uniform hypercube and is
-    * rejected loudly rather than silently degraded). */
+  /** [[zorderWriteN]] with PER-COLUMN bit widths (the q94 form): the z
+    * curve and `curve = "compactHilbert"` (Hamilton — Hilbert locality
+    * at mixed widths) both accept them; the plain Skilling
+    * `curve = "hilbert"` needs a uniform hypercube and is rejected
+    * loudly rather than silently degraded. */
   def zorderWriteNW(df: DataFrame, cols: Seq[(Column, Int)],
       path: String, nFiles: Int, curve: String = "z"): Unit = {
     require(cols.size >= 2, s"zorderWriteN needs >= 2 columns; got ${cols.size}")
     require(nFiles >= 1, s"nFiles must be >= 1; got $nFiles")
-    require(curve == "z" || curve == "hilbert",
-      s"curve must be 'z' or 'hilbert'; got '$curve'")
-    require(curve == "z" || cols.map(_._2).distinct.size == 1,
-      "curve=hilbert needs uniform bits (use the z curve for mixed widths)")
+    require(curve == "z" || curve == "hilbert" || curve == "compactHilbert",
+      s"curve must be 'z', 'hilbert', or 'compactHilbert'; got '$curve'")
+    require(curve != "hilbert" || cols.map(_._2).distinct.size == 1,
+      "curve=hilbert needs uniform bits (use compactHilbert for mixed widths)")
     val aggs = cols.flatMap { case (c, _) =>
       Seq(min(c.cast("long")), max(c.cast("long"))) }
     val st = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     require(!st.isNullAt(0), "zorderWriteN on an empty corpus")
     val normed = cols.zipWithIndex.map { case ((c, b), j) =>
       zorderNormalize(c, st.getLong(2 * j), st.getLong(2 * j + 1), b) -> b }
-    val z = if (curve == "hilbert") hilbertValueN(normed.map(_._1), cols.head._2)
-            else zorderValueN(normed)
+    val z = curve match {
+      case "hilbert" => hilbertValueN(normed.map(_._1), cols.head._2)
+      case "compactHilbert" => compactHilbertValue(normed)
+      case _ => zorderValueN(normed)
+    }
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

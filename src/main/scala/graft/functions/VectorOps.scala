@@ -210,6 +210,70 @@ object VectorOps {
     d
   }
 
+  /** k-DIMENSIONAL COMPACT Hilbert distance with PER-DIMENSION bit
+    * widths — Hamilton & Rau-Chaplin's compact Hilbert index (IPL 2008 /
+    * Dalhousie TR CS-2006-07): the standard entry/direction Hilbert walk
+    * over the enclosing hypercube, except each level emits only the
+    * gray-code-rank bits of dimensions still live at that level, so the
+    * result bijects [0, 2^Σmᵢ) — no index bits wasted on short
+    * dimensions — while PRESERVING the full curve's visit order over the
+    * box (the spec's defining law: sorting box cells by this value ==
+    * sorting by the uniform walk at max-bits). `ms` are the per-dim
+    * widths; coordinates must sit in [0, 2^mᵢ). With all widths equal
+    * this IS the uniform walk (rank over a full mask is the identity),
+    * which the spec proves bijective + unit-adjacent. */
+  def compactHilbert(coords: ArrayData, ms: Array[Int]): Long = {
+    val n = ms.length
+    val full = (1L << n) - 1
+    def gc(i: Long) = i ^ (i >>> 1)
+    def gcInv(g: Long): Long = {
+      var i = g; var j = 1
+      while (j < n) { i ^= g >>> j; j += 1 }
+      i
+    }
+    def tsb(i: Long): Int = java.lang.Long.numberOfTrailingZeros(~i)
+    def entry(i: Long): Long = if (i == 0) 0L else gc(2L * ((i - 1) / 2))
+    def direction(i: Long): Int =
+      if (i == 0) 0
+      else if ((i & 1) == 0) tsb(i - 1) % n
+      else tsb(i) % n
+    def rotr(b: Long, r: Int): Long = {
+      val rr = ((r % n) + n) % n
+      if (rr == 0) b & full else ((b >>> rr) | (b << (n - rr))) & full
+    }
+    def rotl(b: Long, r: Int): Long = rotr(b, n - (((r % n) + n) % n))
+    var h = 0L
+    var e = 0L
+    var d = 0
+    var i = ms.max - 1
+    while (i >= 0) {
+      var mu = 0L
+      var j = 0
+      while (j < n) { if (ms(j) > i) mu |= 1L << j; j += 1 }
+      val muR = rotr(mu, d + 1) // mask in the transformed frame
+      val muCount = java.lang.Long.bitCount(mu)
+      var l = 0L
+      j = 0
+      while (j < n) {
+        if (((coords.getLong(j) >>> i) & 1L) != 0) l |= 1L << j
+        j += 1
+      }
+      val w = gcInv(rotr(l ^ e, d + 1))
+      // gray-code rank: w's bits at live positions, MSB-first
+      var r = 0L
+      j = n - 1
+      while (j >= 0) {
+        if (((muR >>> j) & 1L) != 0) r = (r << 1) | ((w >>> j) & 1L)
+        j -= 1
+      }
+      e = e ^ rotl(entry(w), d + 1)
+      d = (d + direction(w) + 1) % n
+      h = (h << muCount) | r
+      i -= 1
+    }
+    h
+  }
+
   /** SQ8 encode of one vector against per-dim [lo, hi]: code =
     * floor((v−lo)·255/(hi−lo)) clamped [0,255], 0 when hi==lo; stored
     * −128-offset as bytes. Dimensions beyond the model (or a short
@@ -519,6 +583,46 @@ object HilbertDN {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   def apply(coords: Column, bits: Int): Column =
     ColumnBridge.column(HilbertDN(ColumnBridge.expression(coords), bits))
+}
+
+/** `compact_hilbert(coords, ms)`: array<bigint> → bigint — Hamilton's
+  * compact Hilbert distance with per-dimension bit widths
+  * ([[VectorOps.compactHilbert]]); the mixed-width sibling of
+  * [[HilbertDN]]. */
+case class CompactHilbertDN(child: Expression, ms: Seq[Int])
+    extends UnaryExpression {
+  require(ms.size >= 2, s"compact_hilbert needs >= 2 dims; got ${ms.size}")
+  ms.foreach(m => require(m >= 1 && m <= 31, s"bits must be in [1, 31]; got $m"))
+  require(ms.sum <= 63, s"total bits must be <= 63; got ${ms.sum}")
+
+  private val msArr = ms.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"compact_hilbert expects array<bigint>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "compact_hilbert"
+
+  override def nullSafeEval(coords: Any): Any =
+    VectorOps.compactHilbert(coords.asInstanceOf[ArrayData], msArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val msRef = ctx.addReferenceObj("ms", msArr, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.compactHilbert($c, $msRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CompactHilbertDN =
+    copy(child = c)
+}
+
+object CompactHilbertDN {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(coords: Column, ms: Seq[Int]): Column =
+    ColumnBridge.column(CompactHilbertDN(ColumnBridge.expression(coords), ms))
 }
 
 /** `sq8_encode(vec)`: array<float> → array<tinyint> — per-dimension

@@ -439,12 +439,15 @@ object PipelineCompiler {
       val normed = cols.zipWithIndex.map { case (c, j) =>
         graft.api.GraftOps.zorderNormalize(c, st.getLong(2 * j),
           st.getLong(2 * j + 1), perCol(j)) }
-      val curveCol =
-        if (args.getOrElse("curve", "z") == "hilbert") {
+      val curveCol = args.getOrElse("curve", "z") match {
+        case "hilbert" =>
           require(perCol.distinct.size == 1,
-            "curve=hilbert needs uniform bits (use the z curve for mixed widths)")
+            "curve=hilbert needs uniform bits (use compactHilbert for mixed widths)")
           graft.api.GraftOps.hilbertValueN(normed, perCol.head)
-        } else graft.api.GraftOps.zorderValueN(normed.zip(perCol))
+        case "compactHilbert" =>
+          graft.api.GraftOps.compactHilbertValue(normed.zip(perCol))
+        case _ => graft.api.GraftOps.zorderValueN(normed.zip(perCol))
+      }
       Map("outport1" -> df.withColumn(
         args.getOrElse("as", "zvalue"), curveCol.cast("bigint")))
     }),

@@ -2106,6 +2106,45 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("compactHilbertValue: uniform == true Hilbert; mixed widths biject and preserve the walk's order") {
+    import spark.implicits._
+    // Law 1: at equal widths the compact walk IS a true Hilbert curve —
+    // bijective over the full grid and unit-adjacent at every step
+    // (gray-code rank over a full mask is the identity).
+    val uni = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        GraftOps.compactHilbertValue(Seq(col("x") -> 5, col("y") -> 5)).as("d"))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+    val byD = uni.toMap
+    assert(byD.size == 1024 && byD.keys.min == 0L && byD.keys.max == 1023L,
+      "uniform compact walk must biject over the 32x32 grid")
+    (0L until 1023L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"uniform compact walk step $d -> ${d + 1} is not unit-adjacent")
+    }
+    // Laws 2+3 on mixed widths (4,2,1) — a 16x4x2 box, 128 cells:
+    // bijectivity onto [0, 2^7), and ORDER-EQUIVALENCE with the uniform
+    // walk at max-bits over the same box cells (Hamilton's defining
+    // property: the compact index preserves the regular index's order).
+    val box = (0 until 16).flatMap(x => (0 until 4).flatMap(y =>
+        (0 until 2).map(z => (x.toLong, y.toLong, z.toLong))))
+      .toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        GraftOps.compactHilbertValue(
+          Seq(col("x") -> 4, col("y") -> 2, col("z") -> 1)).as("compact"),
+        GraftOps.compactHilbertValue(
+          Seq(col("x") -> 4, col("y") -> 4, col("z") -> 4)).as("uniform"))
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    val cs = box.map(_._1)
+    assert(cs.distinct.length == 128 && cs.min == 0L && cs.max == 127L,
+      "mixed-width compact index must biject onto [0, 2^7)")
+    val byCompact = box.sortBy(_._1).map(_._2).toSeq
+    assert(byCompact == byCompact.sorted,
+      "compact order must equal the uniform walk's order over the box")
+  }
+
   test("zorderWriteN: a 3-D box query touches few files under both 3-column curves") {
     import spark.implicits._
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
@@ -2134,6 +2173,22 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
         s"3-col z-order must at least halve the files touched: $zf vs $hashf")
       assert(hf * 2 <= hashf,
         s"3-col hilbert must at least halve the files touched: $hf vs $hashf")
+      // mixed-width compact Hilbert layout prunes the same box
+      val dirCH = java.nio.file.Files.createTempDirectory("graft-ch3").toString
+      try {
+        GraftOps.zorderWriteNW(li, cols.zip(Seq(8, 6, 4)), path = dirCH,
+          nFiles = 16, curve = "compactHilbert")
+        val chBack = spark.read.parquet(dirCH)
+        assert(chBack.count() == li.count() && chBack.exceptAll(li).isEmpty,
+          "compact-hilbert layout is pure: same rows")
+        val chf = filesTouched(dirCH)
+        info(s"3-D box files touched under mixed-width compactHilbert: $chf of 16")
+        assert(chf * 2 <= hashf,
+          s"mixed-width compact hilbert must at least halve the files: $chf vs $hashf")
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(dirCH)).deleteRecursively()
+      }
     } finally {
       import scala.reflect.io.Directory
       Seq(dirZ, dirH3, dirHash).foreach(d =>

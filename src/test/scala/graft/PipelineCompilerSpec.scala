@@ -945,6 +945,25 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
         .cast("bigint").as("zvalue")).collect().map(_.toSeq).toSet
     assert(gotM == wantM && gotM.nonEmpty,
       "zorderN mixed bits list must equal the library per-column-width curve")
+    // curve=compactHilbert with mixed widths: XML == library
+    val portsCH = PipelineCompiler.compile(PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="li" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="lineitem"/>
+        </operator>
+        <operator name="ch" class="zorderN">
+          <arg key="cols" value="l_orderkey,l_partkey,l_suppkey"/>
+          <arg key="bits" value="8,6,4"/><arg key="curve" value="compactHilbert"/>
+        </operator>
+        <connect from="li.outport1" to="ch.inport1"/>
+      </pipeline>"""), spark)
+    val gotCH = portsCH("ch.outport1").select(col("l_orderkey"),
+      col("l_linenumber"), col("zvalue")).collect().map(_.toSeq).toSet
+    val wantCH = li.select(col("l_orderkey"), col("l_linenumber"),
+      graft.api.GraftOps.compactHilbertValue(normed.zip(widths))
+        .cast("bigint").as("zvalue")).collect().map(_.toSeq).toSet
+    assert(gotCH == wantCH && gotCH.nonEmpty,
+      "zorderN compactHilbert XML must equal the library compact walk")
     // hilbert rejects mixed widths loudly (wrapped in the compiler's
     // fail-fast PipelineException), never silently degrades
     intercept[graft.plans.PipelineException] {
