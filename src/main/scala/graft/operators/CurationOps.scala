@@ -993,7 +993,107 @@ object CurationOps {
       ORDER BY zvalue, l_orderkey, l_linenumber"""
     })
 
+  // ---------------------------------------------------------------- q95
+  /** One compact-Hilbert level as CTE text — Hamilton's walk unrolled
+    * the way [[hilbertLevelSql]] unrolls the 2-D classic walk: from the
+    * carried (h, e, d) state, gather this level's coordinate bits,
+    * transform into the walk frame (a 3-case rotate on d), gray-decode,
+    * emit the gray-code-rank bits of the dimensions still LIVE at this
+    * level (mask and its rotation are GENERATION-TIME literals), and
+    * step the entry/direction state via the w-lookup tables. Every
+    * constant (masks, rotations, entry/direction tables) is derived at
+    * SQL-generation time from the same definitions the Scala walk uses. */
+  private def chLevelSql(k: Int, i: Int, ms: Seq[Int]): String = {
+    val mu = (0 until 3).filter(j => ms(j) > i).foldLeft(0)((a, j) => a | (1 << j))
+    val muCount = Integer.bitCount(mu)
+    def rotrI(x: Int, r: Int) = (((x >> (r % 3)) | (x << (3 - r % 3))) & 7)
+    def rotrSql(ex: String, r: Int) = r % 3 match {
+      case 0 => s"($ex)"
+      case 1 => s"(((($ex) >> 1) | ((($ex) << 2) & 7)) & 7)"
+      case _ => s"(((($ex) >> 2) | ((($ex) << 1) & 7)) & 7)"
+    }
+    def rotlSql(ex: String, r: Int) = rotrSql(ex, (3 - r % 3) % 3)
+    def rankSql(muR: Int) = {
+      val pos = (2 to 0 by -1).filter(j => ((muR >> j) & 1) != 0)
+      pos.zipWithIndex.map { case (j, idx) =>
+        s"(((w >> $j) & 1) << ${pos.length - 1 - idx})" }.mkString(" + ")
+    }
+    def caseD(f: Int => String) =
+      s"(CASE d WHEN 0 THEN ${f(0)} WHEN 1 THEN ${f(1)} ELSE ${f(2)} END)"
+    // entry/direction lookup tables for w in [0,8) — same definitions as
+    // functions.VectorOps.compactHilbert (gc(2*floor((w-1)/2)); tsb rule)
+    val entryTab = "(CASE w WHEN 3 THEN 3 WHEN 4 THEN 3 WHEN 5 THEN 6 " +
+      "WHEN 6 THEN 6 WHEN 7 THEN 5 ELSE 0 END)"
+    val dirTab = "(CASE w WHEN 0 THEN 0 WHEN 3 THEN 2 WHEN 4 THEN 2 " +
+      "WHEN 7 THEN 0 ELSE 1 END)"
+    val l = s"(((xn >> $i) & 1) + (((yn >> $i) & 1) << 1) + (((zn >> $i) & 1) << 2))"
+    s"""
+      c$k AS (
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, xn, yn, zn,
+          h * ${1 << muCount} + ${caseD(d => rankSql(rotrI(mu, (d + 1) % 3)))} AS h,
+          xor(e, ${caseD(d => rotlSql(entryTab, (d + 1) % 3))}) AS e,
+          (d + $dirTab + 1) % 3 AS d
+        FROM (
+          SELECT *, xor(xor(t, t >> 1), t >> 2) & 7 AS w
+          FROM (
+            SELECT *, ${caseD(d => rotrSql(s"xor($l, e)", (d + 1) % 3))} AS t
+            FROM c${k - 1})))"""
+  }
+
+  /** MIXED-WIDTH compact Hilbert values over three lineitem keys at
+    * (8, 6, 4) bits — the q94 normalization under Hamilton's walk
+    * instead of the z interleave, hash-gating `compactHilbertValue` end
+    * to end: the oracle carries the walk state (h, e, d) through eight
+    * unrolled levels whose masks, rotations, and lookup tables are all
+    * generation-time literals derived from the SAME definitions as the
+    * codegen'd Scala walk. Spec laws (bijectivity, order-preservation,
+    * true-Hilbert-at-equal-widths) pin the semantics; this pins every
+    * VALUE at the driver gate. */
+  val q95 = QueryDef("q95_compact_hilbert",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val st = li.agg(
+        min(col("l_orderkey").cast("long")), max(col("l_orderkey").cast("long")),
+        min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long")),
+        min(col("l_suppkey").cast("long")), max(col("l_suppkey").cast("long")))
+        .collect()(0)
+      def norm(c: String, j: Int) = GraftOps.zorderNormalize(col(c),
+        st.getLong(2 * j), st.getLong(2 * j + 1), Z4_BITS(j))
+      li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"),
+          GraftOps.compactHilbertValue(Seq(
+            norm("l_orderkey", 0) -> Z4_BITS(0),
+            norm("l_partkey", 1) -> Z4_BITS(1),
+            norm("l_suppkey", 2) -> Z4_BITS(2))).cast("bigint").as("hvalue"))
+        .orderBy("hvalue", "l_orderkey", "l_linenumber")
+    },
+    Some(s"""
+      WITH st AS (
+        SELECT CAST(MIN(l_orderkey) AS BIGINT) AS xlo,
+          CAST(MAX(l_orderkey) AS BIGINT) AS xhi,
+          CAST(MIN(l_partkey) AS BIGINT) AS ylo,
+          CAST(MAX(l_partkey) AS BIGINT) AS yhi,
+          CAST(MIN(l_suppkey) AS BIGINT) AS zlo,
+          CAST(MAX(l_suppkey) AS BIGINT) AS zhi
+        FROM lineitem),
+      c0 AS (
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          CAST(0 AS BIGINT) AS h, 0 AS e, 0 AS d,
+          ((CAST(l_orderkey AS BIGINT) - xlo) * ${(1 << Z4_BITS(0)) - 1})
+            // GREATEST(xhi - xlo, 1) AS xn,
+          ((CAST(l_partkey AS BIGINT) - ylo) * ${(1 << Z4_BITS(1)) - 1})
+            // GREATEST(yhi - ylo, 1) AS yn,
+          ((CAST(l_suppkey AS BIGINT) - zlo) * ${(1 << Z4_BITS(2)) - 1})
+            // GREATEST(zhi - zlo, 1) AS zn
+        FROM lineitem, st),
+      ${(1 to Z4_BITS.max).map(k => chLevelSql(k, Z4_BITS.max - k, Z4_BITS))
+        .mkString(",\n      ")}
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        CAST(h AS BIGINT) AS hvalue
+      FROM c${Z4_BITS.max}
+      ORDER BY hvalue, l_orderkey, l_linenumber"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
-      q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94)
+      q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95)
 }
