@@ -224,6 +224,8 @@ object VectorOps {
     * which the spec proves bijective + unit-adjacent. */
   def compactHilbert(coords: ArrayData, ms: Array[Int]): Long = {
     val n = ms.length
+    if (coords.numElements() != n) throw new IllegalStateException(
+      s"compact_hilbert: ${coords.numElements()} coordinates but ${n} widths")
     val full = (1L << n) - 1
     def gc(i: Long) = i ^ (i >>> 1)
     def gcInv(g: Long): Long = {

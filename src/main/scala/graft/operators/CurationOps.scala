@@ -1004,6 +1004,9 @@ object CurationOps {
     * constant (masks, rotations, entry/direction tables) is derived at
     * SQL-generation time from the same definitions the Scala walk uses. */
   private def chLevelSql(k: Int, i: Int, ms: Seq[Int]): String = {
+    require(ms.size == 3,
+      s"chLevelSql is generated for exactly 3 dimensions (xn/yn/zn gather, " +
+        s"mod-3 rotations, n=3 entry/direction tables); got ${ms.size}")
     val mu = (0 until 3).filter(j => ms(j) > i).foldLeft(0)((a, j) => a | (1 << j))
     val muCount = Integer.bitCount(mu)
     def rotrI(x: Int, r: Int) = (((x >> (r % 3)) | (x << (3 - r % 3))) & 7)

@@ -415,16 +415,17 @@ object PipelineCompiler {
         curve = args.getOrElse("curve", "z"))
       Map.empty
     }),
-    // k-column curve family (round 14): `zorderN` adds the round-robin
-    // interleave (or Skilling Hilbert) value over `cols` (comma-separated,
-    // uniform bits); `zorderSinkN` is the k-D layout terminal.
+    // k-column curve family (round 14): `zorderN` adds the curve value
+    // over `cols` (comma-separated) — curve = z (round-robin interleave),
+    // hilbert (Skilling, uniform bits only), or compactHilbert (Hamilton,
+    // per-column bits); `zorderSinkN` is the k-D layout terminal.
     "zorderN" -> ((_, in, args) => {
       val df = in("inport1")
       val cols = arg(args, "cols").split(",").map(c => expr(c.trim)).toSeq
       require(cols.size >= 2, "zorderN needs >= 2 cols")
       // `bits` is one int (uniform) or a comma list matching `cols`
-      // (per-column widths — z curve only; the Skilling Hilbert walk
-      // needs a uniform hypercube)
+      // (per-column widths — z and compactHilbert; the Skilling hilbert
+      // walk needs a uniform hypercube)
       val bitsList = args.getOrElse("bits", "8").split(",").map(_.trim.toInt)
       val perCol =
         if (bitsList.length == 1) Seq.fill(cols.size)(bitsList(0))
@@ -446,7 +447,9 @@ object PipelineCompiler {
           graft.api.GraftOps.hilbertValueN(normed, perCol.head)
         case "compactHilbert" =>
           graft.api.GraftOps.compactHilbertValue(normed.zip(perCol))
-        case _ => graft.api.GraftOps.zorderValueN(normed.zip(perCol))
+        case "z" => graft.api.GraftOps.zorderValueN(normed.zip(perCol))
+        case other => sys.error(
+          s"zorderN curve must be 'z', 'hilbert', or 'compactHilbert'; got '$other'")
       }
       Map("outport1" -> df.withColumn(
         args.getOrElse("as", "zvalue"), curveCol.cast("bigint")))
