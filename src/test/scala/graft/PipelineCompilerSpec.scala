@@ -1040,6 +1040,78 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       "spanIndexFromCounts XML op must equal the one-shot spanIndex")
   }
 
+  test("round-14 media admission ops XML == library (image/audio/video flags via ports)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    import graft.streaming.StreamingOps
+    // one deterministic payload family per modality; arrival 100 is a
+    // byte-exact re-encode of corpus item 1 in each
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = math.abs((seed * 7919 + x * 131 + y * 31) % 256)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v) }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    def wav(seed: Int): Array[Byte] = {
+      val n = 256
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val v = (seed * 131 + i * 17) % 1000
+        pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def gif(seed: Int): Array[Byte] =
+      MultimodalOps.syntheticGrayGif(8, 8, 3,
+        (f, x, y) => math.abs((seed * 997 + f * 131 + x * 31 + y * 7) % 256))
+    val cases = Seq(
+      ("image", "imageDupIndex", "imageDupFlag", png _,
+        (c: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =>
+          StreamingOps.imageDupAgainst(a, col("id"), col("payload"),
+            StreamingOps.imageDupIndex(c, col("doc_id"), col("payload")))),
+      ("audio", "audioDupIndex", "audioDupFlag", wav _,
+        (c: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =>
+          StreamingOps.audioDupAgainst(a, col("id"), col("payload"),
+            StreamingOps.audioDupIndex(c, col("doc_id"), col("payload")))),
+      ("video", "videoDupIndex", "videoDupFlag", gif _,
+        (c: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =>
+          StreamingOps.videoDupAgainst(a, col("id"), col("payload"),
+            StreamingOps.videoDupIndex(c, col("doc_id"), col("payload")))))
+    cases.foreach { case (kind, idxOp, flagOp, mk, lib) =>
+      val corpus = (0 until 3).map(i => (i.toLong, mk(i))).toDF("doc_id", "payload")
+      val arrivals = Seq((100L, mk(1)), (200L, mk(9))).toDF("id", "payload")
+      corpus.createOrReplaceTempView(s"ma_corpus_$kind")
+      arrivals.createOrReplaceTempView(s"ma_arrivals_$kind")
+      val ports = PipelineCompiler.compile(PipelineSpec.parseXml(s"""
+        <pipeline>
+          <operator name="c" class="viewInput"><arg key="table" value="ma_corpus_$kind"/></operator>
+          <operator name="a" class="viewInput"><arg key="table" value="ma_arrivals_$kind"/></operator>
+          <operator name="ix" class="$idxOp">
+            <arg key="id" value="doc_id"/><arg key="payload" value="payload"/>
+          </operator>
+          <operator name="fl" class="$flagOp">
+            <arg key="id" value="id"/><arg key="payload" value="payload"/>
+          </operator>
+          <connect from="c.outport1" to="ix.inport1"/>
+          <connect from="a.outport1" to="fl.inport1"/>
+          <connect from="ix.outport1" to="fl.inport2"/>
+        </pipeline>"""), spark)
+      val got = ports("fl.outport1").collect().map(_.toSeq).toSet
+      val want = lib(corpus, arrivals).collect().map(_.toSeq).toSet
+      assert(got == want && got.exists(_.take(2) == Seq(100L, 1L)),
+        s"$kind XML admission must equal the library path and flag the re-encode: $got")
+    }
+  }
+
   test("diamond DAG topology compiles (join of two branches)") {
     val spec = PipelineSpec(
       nodes = Seq(
