@@ -1488,7 +1488,17 @@ object GraftOps {
     require(targetBytes >= 1, s"targetBytes must be >= 1; got $targetBytes")
     val path = new org.apache.hadoop.fs.Path(inPath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(path).getLength
+    // Sum DATA files only (skip _SUCCESS / _metadata / .crc side files —
+    // getContentSummary counts them, inflating the target file count on
+    // heavily-partitioned sinks; ADVICE r14). Still an estimate of the
+    // rewritten size: re-encoding can change bytes either way.
+    var bytes = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) bytes += f.getLen
+    }
     require(bytes > 0, s"compactOutput on an empty directory: $inPath")
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     require(nFiles <= Int.MaxValue,

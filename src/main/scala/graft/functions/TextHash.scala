@@ -4,6 +4,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -367,6 +368,14 @@ case class ShingleHashesAll(child: Expression, width: Int)
   * agreement guarantee (S10) trivially true. */
 case class SigMatchCount(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sig_match_count expects (array<bigint>, array<bigint>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sig_match_count"
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -387,6 +396,14 @@ case class SigMatchCount(left: Expression, right: Expression)
   * token of every document. */
 case class ExciseSpans(left: Expression, right: Expression, width: Int)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"excise_spans expects (array<string>, array<int>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "excise_spans"
   override def nullSafeEval(toks: Any, starts: Any): Any =
@@ -407,6 +424,14 @@ case class ExciseSpans(left: Expression, right: Expression, width: Int)
   * signatures, so streaming admission needs no dropDuplicates state. */
 case class FirstEqIndex(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"first_eq_index expects (array<bigint>, array<bigint>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "first_eq_index"
   override def nullSafeEval(a: Any, b: Any): Any =

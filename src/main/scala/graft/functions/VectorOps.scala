@@ -173,6 +173,11 @@ object VectorOps {
     * grid). */
   def hilbertDN(coords: ArrayData, bits: Int): Long = {
     val n = coords.numElements()
+    // The wrapper (GraftOps.hilbertValueN) enforces this too, but a direct
+    // expression use must fail loudly rather than silently overflow the
+    // 63-bit interleave (ADVICE r14) — mirrors compactHilbert's check.
+    require(n >= 2 && n.toLong * bits <= 63,
+      s"hilbert_dn needs 2..k coords with k*bits <= 63; got k=$n, bits=$bits")
     val x = new Array[Long](n)
     var i = 0
     while (i < n) { x(i) = coords.getLong(i); i += 1 }

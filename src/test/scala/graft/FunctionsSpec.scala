@@ -217,4 +217,47 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
       assert(got == want, s"firstEq($a, $b): got $got want $want")
     }
   }
+
+  test("signature expressions fail at ANALYSIS time on wrong input types") {
+    import spark.implicits._
+    import org.apache.spark.sql.AnalysisException
+    // ExciseSpans reads starts via getInt: array<bigint> starts used to
+    // garble positions silently (ADVICE r14) — now an analysis error
+    val toks = Seq((Seq("a", "b", "c"), Seq(0L, 2L))).toDF("t", "s")
+    intercept[AnalysisException] {
+      toks.select(graft.functions.ExciseSpans.asColumn(col("t"), col("s"), 2))
+        .collect()
+    }
+    intercept[AnalysisException] { // non-array tokens
+      toks.select(graft.functions.ExciseSpans.asColumn(
+        lit("ab"), col("s").cast("array<int>"), 2)).collect()
+    }
+    val sigs = Seq((Seq(1, 2), Seq(1L, 2L))).toDF("i", "l")
+    intercept[AnalysisException] { // int32 signatures read as int64
+      sigs.select(graft.functions.FirstEqIndex.asColumn(col("i"), col("l")))
+        .collect()
+    }
+    intercept[AnalysisException] {
+      sigs.select(graft.functions.SigMatchCount.asColumn(col("l"), col("i")))
+        .collect()
+    }
+  }
+
+  test("hilbert_dn rejects k*bits > 63 loudly instead of overflowing") {
+    import spark.implicits._
+    // direct expression use bypasses the hilbertValueN wrapper's check;
+    // the kernel itself must refuse (ADVICE r14)
+    val df = Seq(Seq(1L, 2L, 3L)).toDF("c")
+    // surfaces as IllegalArgumentException (local eval) or SparkException
+    // (executor eval) depending on where the projection runs
+    val e = intercept[Exception] {
+      df.select(graft.functions.HilbertDN(col("c"), 31)).collect()
+    }
+    assert((e.getMessage != null && e.getMessage.contains("hilbert_dn")) ||
+      Option(e.getCause).exists(c =>
+        c.getMessage != null && c.getMessage.contains("hilbert_dn")))
+    // at the boundary (3 x 21 = 63) it still works
+    val ok = df.select(graft.functions.HilbertDN(col("c"), 21)).collect()
+    assert(ok.length == 1)
+  }
 }

@@ -2289,8 +2289,11 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       try {
         val target = math.max(1L, bytes / 7)
         val n2 = GraftOps.compactOutput(spark, scattered, out2, target)
-        assert(n2 >= 2 && parquetFiles(out2) == n2,
-          s"byte-derived file target honored: n2=$n2")
+        // exact: the op sizes from DATA-file bytes only (no _SUCCESS /
+        // .crc inflation — ADVICE r14), the same sum this spec computed
+        val want = (bytes + target - 1) / target
+        assert(n2 == want && parquetFiles(out2) == n2,
+          s"byte-derived file target honored: n2=$n2 want=$want")
       } finally {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(out2)).deleteRecursively()
