@@ -2674,6 +2674,58 @@ object GraftOps {
       .drop("__prev", "__new")
   }
 
+  // ---------------------------------------- changelog apply / SCD2
+
+  /** CDC apply — lakehouse MERGE-INTO semantics as one batch operator:
+    * reduce a changelog (insert/update/delete rows keyed by `key`,
+    * totally ordered per key by (`version`, `tiebreak`)) to the table
+    * state it describes. Each key's LATEST change wins; keys whose
+    * latest change satisfies `isDelete` vanish (tombstone). The same
+    * reduction Delta/Iceberg MERGE or a Flink upsert-changelog sink
+    * performs, expressed Spark-first as ONE two-phase hash aggregate:
+    * `max_by(struct(*), struct(version, tiebreak))` computes per-key
+    * maxima map-side BEFORE the shuffle, so a key with a million
+    * updates ships at most one row per input task — where the
+    * row_number-window formulation (the oracle states that form) would
+    * shuffle and sort every version of every key. `version` must be
+    * non-null (null ordering keys would silently lose to any non-null
+    * change); `tiebreak` makes the winner deterministic when versions
+    * collide. Streaming twin: [[graft.streaming.StreamingOps]] S20
+    * applies the same changelog continuously through keyed state. */
+  def applyChanges(df: DataFrame, key: Seq[Column], version: Column,
+      tiebreak: Column, isDelete: Column): DataFrame = {
+    require(key.nonEmpty, "applyChanges needs at least one key column")
+    val cols = df.columns
+    df.groupBy(key: _*)
+      .agg(max_by(struct(cols.map(col): _*), struct(version, tiebreak))
+        .as("__last"))
+      .select(cols.map(c => col(s"__last.`$c`").as(c)): _*)
+      .filter(!isDelete)
+  }
+
+  /** SCD Type-2 history build — the other consumer of the same
+    * changelog: every surviving change becomes a versioned dimension
+    * row effective [`effective_from`, `effective_to`) with
+    * `is_current` marking each key's open row. Delete tombstones emit
+    * no row of their own but still CLOSE the predecessor's interval
+    * (its `effective_to` is the delete's timestamp) and leave the key
+    * with no current row — the standard warehouse contract for hard
+    * deletes in a type-2 dimension.
+    *
+    * Plan: one shuffle on `key` + one in-partition ordered window
+    * (lead) — no self-join; at 100 TB the changelog partitions on its
+    * natural key and AQE skew-split handles hot keys, the q27/q28
+    * posture. */
+  def scd2(df: DataFrame, key: Seq[Column], ts: Column, tiebreak: Column,
+      isDelete: Column): DataFrame = {
+    require(key.nonEmpty, "scd2 needs at least one key column")
+    val w = Window.partitionBy(key: _*).orderBy(ts, tiebreak)
+    df.withColumn("effective_from", ts)
+      .withColumn("effective_to", lead(ts, 1).over(w))
+      .filter(!isDelete) // a closed-by-delete row keeps its non-null effective_to
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
   // ------------------------------------------------- robust outliers
 
   /** Robust per-group outlier scoring via median/MAD — the data-quality

@@ -225,5 +225,57 @@ object TemporalOps {
              ELSE 'empty' END AS fill_method
       FROM w ORDER BY user_id, bucket"""))
 
-  val all: Seq[QueryDef] = Seq(q27, q28, q58, q72, q75)
+  // ---------------------------------------------------------------- q96
+  /** CDC apply (lakehouse MERGE): the events table read as a changelog of
+    * per-user profile state — key user_id, version (ts, event_id),
+    * 'error' events as delete tombstones. One two-phase max_by hash agg
+    * (partial per-key maxima map-side — a hot key never ships its full
+    * update history); the oracle states the row_number-window form of the
+    * same reduction. */
+  val q96 = QueryDef("q96_changelog_apply",
+    (s, dir) =>
+      graft.api.GraftOps.applyChanges(events(s, dir), Seq(col("user_id")),
+          version = col("ts"), tiebreak = col("event_id"),
+          isDelete = col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"),
+          col("props"))
+        .orderBy("user_id"),
+    Some("""
+      WITH c AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value, props,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, ts, event_type, value, props
+      FROM c WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- q97
+  /** SCD Type-2 history from the same changelog: each surviving change
+    * becomes a row effective [ts, next change's ts) per user, deletes
+    * close their predecessor's interval without emitting a row, and
+    * is_current marks the open rows. One shuffle + one ordered window —
+    * the q27/q28 plan shape. */
+  val q97 = QueryDef("q97_scd2_history",
+    (s, dir) =>
+      graft.api.GraftOps.scd2(
+          events(s, dir).select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")),
+          Seq(col("user_id")), ts = col("ts"), tiebreak = col("event_id"),
+          isDelete = col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("effective_from"),
+          col("effective_to"), col("is_current"), col("value"))
+        .orderBy("user_id", "effective_from", "event_id"),
+    Some("""
+      WITH w AS (
+        SELECT user_id, event_id, event_type, value,
+          CAST(ts AS TIMESTAMP) AS effective_from,
+          lead(CAST(ts AS TIMESTAMP)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to
+        FROM events)
+      SELECT user_id, event_id, effective_from, effective_to,
+        (effective_to IS NULL) AS is_current, value
+      FROM w WHERE event_type <> 'error'
+      ORDER BY user_id, effective_from, event_id"""))
+
+  val all: Seq[QueryDef] = Seq(q27, q28, q58, q72, q75, q96, q97)
 }

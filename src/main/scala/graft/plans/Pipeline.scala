@@ -539,6 +539,16 @@ object PipelineCompiler {
         expr(arg(args, "key")), expr(arg(args, "ts")),
         expr(arg(args, "value")), arg(args, "stepUs").toLong,
         args.get("maxBucketsPerKey").map(_.toLong).getOrElse(Long.MaxValue)))),
+    "applyChanges" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.applyChanges(in("inport1"),
+        arg(args, "key").split(",").map(c => expr(c.trim)).toSeq,
+        expr(arg(args, "version")), expr(arg(args, "tiebreak")),
+        expr(arg(args, "isDelete"))))),
+    "scd2" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.scd2(in("inport1"),
+        arg(args, "key").split(",").map(c => expr(c.trim)).toSeq,
+        expr(arg(args, "ts")), expr(arg(args, "tiebreak")),
+        expr(arg(args, "isDelete"))))),
     "robustOutliers" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.robustOutliers(in("inport1"),
         expr(arg(args, "group")), expr(arg(args, "value"))))),

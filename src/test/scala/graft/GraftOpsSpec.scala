@@ -2630,4 +2630,74 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       width = 5, minDf = 2).collect().map(_.toSeq).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("applyChanges: latest wins, tombstones drop keys, ties break on tiebreak") {
+    import spark.implicits._
+    val log = Seq(
+      // key 1: two updates, latest (v=3) wins
+      (1L, 1L, 10L, "u", "a"), (1L, 3L, 11L, "u", "b"),
+      // key 2: update then delete -> key vanishes
+      (2L, 1L, 12L, "u", "c"), (2L, 2L, 13L, "d", ""),
+      // key 3: delete then REINSERT after -> key lives with the later row
+      (3L, 1L, 14L, "d", ""), (3L, 2L, 15L, "u", "e"),
+      // key 4: version tie -> larger tiebreak wins
+      (4L, 1L, 16L, "u", "first"), (4L, 1L, 17L, "u", "second"))
+      .toDF("k", "v", "seq", "op", "payload")
+    val got = GraftOps.applyChanges(log, Seq(col("k")), col("v"), col("seq"),
+        isDelete = col("op") === "d")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(4)))
+    assert(got.toSeq == Seq((1L, "b"), (3L, "e"), (4L, "second")))
+    // law: the one-agg max_by plan == the row_number-window formulation
+    // (what the q96 oracle states)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v").desc, col("seq").desc)
+    val viaWindow = log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "d").drop("__rn")
+    val a = GraftOps.applyChanges(log, Seq(col("k")), col("v"), col("seq"),
+      isDelete = col("op") === "d")
+    assert(a.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(a).isEmpty)
+  }
+
+  test("scd2: intervals chain per key, deletes close without emitting") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 100L, "u"),
+      (1L, ts("2024-01-02 00:00:00"), 101L, "u"),
+      (1L, ts("2024-01-03 00:00:00"), 102L, "u"),
+      (2L, ts("2024-01-01 00:00:00"), 103L, "u"),
+      (2L, ts("2024-01-05 00:00:00"), 104L, "d"), // hard delete closes key 2
+      (3L, ts("2024-01-04 00:00:00"), 105L, "u"))
+      .toDF("k", "t", "seq", "op")
+    val out = GraftOps.scd2(log, Seq(col("k")), col("t"), col("seq"),
+        isDelete = col("op") === "d")
+      .orderBy("k", "effective_from").collect()
+    // key 1: 3 chained rows, last one open + current
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.length == 3)
+    assert((0 until 2).forall(i =>
+      k1(i).getAs[Timestamp]("effective_to") ==
+        k1(i + 1).getAs[Timestamp]("effective_from")), "intervals chain")
+    assert(k1.map(_.getAs[Boolean]("is_current")).toSeq ==
+      Seq(false, false, true))
+    // key 2: ONE row (the delete emits none), closed by the delete's ts,
+    // and NOT current — a hard-deleted key has no open row
+    val k2 = out.filter(_.getLong(0) == 2L)
+    assert(k2.length == 1 &&
+      k2(0).getAs[Timestamp]("effective_to") == ts("2024-01-05 00:00:00") &&
+      !k2(0).getAs[Boolean]("is_current"))
+    // key 3: single open current row
+    val k3 = out.filter(_.getLong(0) == 3L)
+    assert(k3.length == 1 && k3(0).getAs[Boolean]("is_current") &&
+      k3(0).getAs[Timestamp]("effective_to") == null)
+    // law: current rows == applyChanges survivors (same changelog, same
+    // tombstone rule) — the two consumers of one changelog agree
+    val current = GraftOps.scd2(log, Seq(col("k")), col("t"), col("seq"),
+        isDelete = col("op") === "d")
+      .filter(col("is_current")).select(col("k"), col("t"), col("seq"), col("op"))
+    val applied = GraftOps.applyChanges(log, Seq(col("k")), col("t"), col("seq"),
+      isDelete = col("op") === "d")
+    assert(current.exceptAll(applied).isEmpty &&
+      applied.exceptAll(current).isEmpty)
+  }
 }

@@ -1499,6 +1499,40 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage.startsWith("x run failed."))
   }
 
+  test("changelog ops compose in XML: applyChanges + scd2 == library forms") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="ev" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="events"/>
+        </operator>
+        <operator name="ac" class="applyChanges">
+          <arg key="key" value="user_id"/><arg key="version" value="ts"/>
+          <arg key="tiebreak" value="event_id"/>
+          <arg key="isDelete" value="event_type = 'error'"/>
+        </operator>
+        <operator name="hist" class="scd2">
+          <arg key="key" value="user_id"/><arg key="ts" value="ts"/>
+          <arg key="tiebreak" value="event_id"/>
+          <arg key="isDelete" value="event_type = 'error'"/>
+        </operator>
+        <connect from="ev.outport1" to="ac.inport1"/>
+        <connect from="ev.outport1" to="hist.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val ev = Tables.load(spark, sf001, "events")
+    val acWant = graft.api.GraftOps.applyChanges(ev, Seq(col("user_id")),
+      col("ts"), col("event_id"), col("event_type") === "error")
+    val acGot = ports("ac.outport1")
+    assert(acGot.exceptAll(acWant).isEmpty && acWant.exceptAll(acGot).isEmpty &&
+      acGot.count() > 0, "XML applyChanges == library applyChanges")
+    val hWant = graft.api.GraftOps.scd2(ev, Seq(col("user_id")),
+      col("ts"), col("event_id"), col("event_type") === "error")
+    val hGot = ports("hist.outport1")
+    assert(hGot.exceptAll(hWant).isEmpty && hWant.exceptAll(hGot).isEmpty &&
+      hGot.count() > 0, "XML scd2 == library scd2")
+  }
+
   test("bad operator args fail-fast with node name") {
     val spec = PipelineSpec(
       nodes = Seq(OpNode("in", "parquetInput", Map("dir" -> sf001, "table" -> "nope"))),
