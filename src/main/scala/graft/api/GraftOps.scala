@@ -2726,6 +2726,60 @@ object GraftOps {
       .withColumn("is_current", col("effective_to").isNull)
   }
 
+  // ------------------------------------------------- interval join
+
+  /** Interval-overlap join: pairs every left row with every right row
+    * whose closed time interval [rStart, rEnd] overlaps the left's
+    * [lStart, lEnd] (overlap iff lStart ≤ rEnd AND rStart ≤ lEnd),
+    * optionally under an extra equi-key. Right columns surface under
+    * `rightPrefix`.
+    *
+    * Spark's own planner turns a pure range predicate into a broadcast
+    * nested-loop — all-pairs, the one shape this engine bans (q14
+    * precedent). Instead each interval explodes into the fixed-width
+    * `spanUs` BUCKETS it covers and the join is an EQUI-join on
+    * (bucket, key): two intervals can only overlap if they share a
+    * covered bucket, so candidates are bucket-local — shuffle-bounded
+    * by occupancy, never |L|×|R|. A pair sharing several buckets is
+    * emitted exactly once, STATELESSLY: only from the FIRST shared
+    * bucket, which for contiguous intervals is
+    * `greatest(bucket0(lStart), bucket0(rStart))` — a per-row
+    * predicate, no dropDuplicates (the S16 collapse idea in batch).
+    * Exact overlap is then verified on the real endpoints.
+    *
+    * `spanUs` is the scale knob: row inflation = interval length /
+    * span (pick span ≈ typical interval length — each side then
+    * explodes ~2×); bucket occupancy bounds the worst key's work, and
+    * AQE skew-split handles a hot bucket. Rows with NULL or inverted
+    * (end < start) intervals join nothing, on either side (documented:
+    * `sequence()` would walk BACKWARD on inverted bounds rather than
+    * fail). Bucket ids use `div` — trunc division, == floor on the
+    * post-1970 data (the gapFill precedent). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      lStart: Column, lEnd: Column, rStart: Column, rEnd: Column,
+      spanUs: Long, key: Option[(String, String)] = None,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(spanUs > 0, s"spanUs must be positive; got $spanUs")
+    def prep(df: DataFrame, s: Column, e: Column, tag: String): DataFrame =
+      df.filter(s.isNotNull && e.isNotNull && s <= e)
+        .withColumn(s"__${tag}s", unix_micros(s))
+        .withColumn(s"__${tag}e", unix_micros(e))
+        .withColumn("__b", explode(sequence(
+          expr(s"__${tag}s div ${spanUs}L"), expr(s"__${tag}e div ${spanUs}L"))))
+    val l = prep(left, lStart, lEnd, "l")
+    val r0 = prep(right, rStart, rEnd, "r")
+    val r = r0.select(r0.columns.map(c =>
+      if (c.startsWith("__")) col(c) else col(c).as(s"$rightPrefix$c")): _*)
+    val keyCond = key.map { case (lk, rk) =>
+      l(lk) === r(s"$rightPrefix$rk") }.getOrElse(lit(true))
+    l.join(r,
+        l("__b") === r("__b") && keyCond &&
+          l("__ls") <= r("__re") && r("__rs") <= l("__le") &&
+          l("__b") === greatest(expr(s"__ls div ${spanUs}L"),
+            expr(s"__rs div ${spanUs}L")))
+      .drop("__b", "__ls", "__le", "__rs", "__re")
+  }
+
   // ------------------------------------------------- robust outliers
 
   /** Robust per-group outlier scoring via median/MAD — the data-quality

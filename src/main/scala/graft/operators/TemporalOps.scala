@@ -277,5 +277,66 @@ object TemporalOps {
       FROM w WHERE event_type <> 'error'
       ORDER BY user_id, effective_from, event_id"""))
 
-  val all: Seq[QueryDef] = Seq(q27, q28, q58, q72, q75, q96, q97)
+  // ---------------------------------------------------------------- q98
+  /** Interval-overlap join: which user sessions (q28's 30-min rollup)
+    * overlap an incident window (±30 min around that user's error
+    * events)? Bucketized equi-join on (user, 1-hour bucket) with the
+    * stateless first-shared-bucket collapse — never a nested-loop
+    * range join (the oracle states the plain theta form). Overlap
+    * length in exact integer micros. */
+  val q98 = QueryDef("q98_interval_overlap_join",
+    (s, dir) => {
+      val e = events(s, dir)
+      val sess = graft.api.GraftOps.sessionize(e, col("user_id"), col("ts"),
+          gapUs = 30L * 60 * 1000000, tiebreak = col("event_id"))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      val inc = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("user_id"),
+          timestamp_micros(unix_micros(col("ts")) - 1800000000L).as("inc_start"),
+          timestamp_micros(unix_micros(col("ts")) + 1800000000L).as("inc_end"))
+      graft.api.GraftOps.intervalJoin(sess, inc,
+          col("session_start"), col("session_end"),
+          col("inc_start"), col("inc_end"),
+          spanUs = 3600000000L, key = Some(("user_id", "user_id")),
+          rightPrefix = "i_")
+        .select(col("user_id"), col("sess_id"),
+          col("session_start"), col("session_end"), col("i_incident_id"),
+          (unix_micros(least(col("session_end"), col("i_inc_end"))) -
+            unix_micros(greatest(col("session_start"), col("i_inc_start"))))
+            .as("overlap_us"))
+        .orderBy("user_id", "sess_id", "i_incident_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      l AS (
+        SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM e),
+      f AS (
+        SELECT *,
+          CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+        FROM l),
+      g AS (
+        SELECT *,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        FROM f),
+      sess AS (
+        SELECT user_id, sess_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM g GROUP BY user_id, sess_id),
+      inc AS (
+        SELECT event_id AS incident_id, user_id,
+          ts - INTERVAL 30 MINUTE AS inc_start,
+          ts + INTERVAL 30 MINUTE AS inc_end
+        FROM e WHERE event_type = 'error')
+      SELECT s.user_id, s.sess_id, s.session_start, s.session_end,
+        i.incident_id AS i_incident_id,
+        epoch_us(least(s.session_end, i.inc_end)) -
+          epoch_us(greatest(s.session_start, i.inc_start)) AS overlap_us
+      FROM sess s JOIN inc i ON s.user_id = i.user_id
+        AND s.session_start <= i.inc_end AND i.inc_start <= s.session_end
+      ORDER BY s.user_id, s.sess_id, i_incident_id"""))
+
+  val all: Seq[QueryDef] = Seq(q27, q28, q58, q72, q75, q96, q97, q98)
 }

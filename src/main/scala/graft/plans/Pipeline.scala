@@ -539,6 +539,19 @@ object PipelineCompiler {
         expr(arg(args, "key")), expr(arg(args, "ts")),
         expr(arg(args, "value")), arg(args, "stepUs").toLong,
         args.get("maxBucketsPerKey").map(_.toLong).getOrElse(Long.MaxValue)))),
+    // intervalJoin: inport1 = left, inport2 = right; key = 'lcol=rcol'
+    "intervalJoin" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.intervalJoin(
+        in("inport1"), in("inport2"),
+        expr(arg(args, "lStart")), expr(arg(args, "lEnd")),
+        expr(arg(args, "rStart")), expr(arg(args, "rEnd")),
+        arg(args, "spanUs").toLong,
+        args.get("key").map { spec =>
+          val i = spec.indexOf('=')
+          require(i > 0, s"key must be 'leftCol=rightCol'; got '$spec'")
+          (spec.substring(0, i).trim, spec.substring(i + 1).trim)
+        },
+        args.getOrElse("rightPrefix", "r_")))),
     "applyChanges" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.applyChanges(in("inport1"),
         arg(args, "key").split(",").map(c => expr(c.trim)).toSeq,

@@ -2631,6 +2631,50 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got == want && got.nonEmpty)
   }
 
+  test("intervalJoin == theta join, one row per pair, null/inverted drop") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      // spans 3 one-minute buckets — overlapping pairs must emit ONCE
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:02:30")),
+      (2L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:05:10")),
+      (3L, ts("2024-01-01 11:00:00"), ts("2024-01-01 10:00:00")), // inverted
+      (4L, null.asInstanceOf[Timestamp], ts("2024-01-01 10:00:00")))
+      .toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:01:00"), ts("2024-01-01 10:06:00")), // hits 1 AND 2
+      (11L, ts("2024-01-01 10:02:30"), ts("2024-01-01 10:02:40")), // touches 1 (closed)
+      (12L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:01:00")), // no overlap
+      (13L, ts("2024-01-01 10:00:00"), null.asInstanceOf[Timestamp]))
+      .toDF("rid", "rs", "re")
+    val got = GraftOps.intervalJoin(left, right, col("ls"), col("le"),
+        col("rs"), col("re"), spanUs = 60000000L)
+      .select(col("lid"), col("r_rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly once per overlapping pair, despite shared buckets
+    assert(got.length == got.toSet.size, "no duplicate pair emissions")
+    assert(got.toSet == Set((1L, 10L), (1L, 11L), (2L, 10L)))
+    // law: equals the all-pairs theta join (the shape the op refuses to plan)
+    val theta = left.filter(col("ls").isNotNull && col("le").isNotNull &&
+        col("ls") <= col("le"))
+      .crossJoin(right.filter(col("rs").isNotNull && col("re").isNotNull &&
+        col("rs") <= col("re")).select(col("rid").as("r_rid"),
+        col("rs").as("r_rs"), col("re").as("r_re")))
+      .filter(col("ls") <= col("r_re") && col("r_rs") <= col("le"))
+      .select(col("lid"), col("r_rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == theta.toSet && theta.length == theta.toSet.size)
+    // keyed form: same pairs restricted to matching keys
+    val lk = left.withColumn("k", col("lid") % 2)
+    val rk = right.withColumn("k", col("rid") % 2)
+    val keyed = GraftOps.intervalJoin(lk, rk, col("ls"), col("le"),
+        col("rs"), col("re"), spanUs = 60000000L, key = Some(("k", "k")))
+      .select(col("lid"), col("r_rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keyed == Set((1L, 11L), (2L, 10L)), // (1,10) differs in parity
+      s"keyed intervalJoin restricts by equi-key: $keyed")
+  }
+
   test("applyChanges: latest wins, tombstones drop keys, ties break on tiebreak") {
     import spark.implicits._
     val log = Seq(

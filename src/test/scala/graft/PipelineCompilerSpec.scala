@@ -1533,6 +1533,43 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       hGot.count() > 0, "XML scd2 == library scd2")
   }
 
+  test("intervalJoin registry op == library form (keyed, prefixed)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sf001, "events")
+    ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts").as("vs"),
+        timestamp_micros(unix_micros(col("ts")) + 600000000L).as("ve"))
+      .createOrReplaceTempView("iv_left_v")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"),
+        timestamp_micros(unix_micros(col("ts")) - 300000000L).as("cs"),
+        timestamp_micros(unix_micros(col("ts")) + 300000000L).as("ce"))
+      .createOrReplaceTempView("iv_right_v")
+    val spec = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="l" class="viewInput"><arg key="table" value="iv_left_v"/></operator>
+        <operator name="r" class="viewInput"><arg key="table" value="iv_right_v"/></operator>
+        <operator name="ij" class="intervalJoin">
+          <arg key="lStart" value="vs"/><arg key="lEnd" value="ve"/>
+          <arg key="rStart" value="cs"/><arg key="rEnd" value="ce"/>
+          <arg key="spanUs" value="600000000"/>
+          <arg key="key" value="user_id=user_id"/>
+        </operator>
+        <connect from="l.outport1" to="ij.inport1"/>
+        <connect from="r.outport1" to="ij.inport2"/>
+      </pipeline>""")
+    val got = graft.plans.PipelineCompiler.compile(spec, spark)("ij.outport1")
+      .select(col("event_id"), col("r_cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.api.GraftOps.intervalJoin(
+        spark.table("iv_left_v"), spark.table("iv_right_v"),
+        col("vs"), col("ve"), col("cs"), col("ce"),
+        spanUs = 600000000L, key = Some(("user_id", "user_id")))
+      .select(col("event_id"), col("r_cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty, "XML intervalJoin == library form")
+  }
+
   test("bad operator args fail-fast with node name") {
     val spec = PipelineSpec(
       nodes = Seq(OpNode("in", "parquetInput", Map("dir" -> sf001, "table" -> "nope"))),
