@@ -533,6 +533,45 @@ object DedupOps {
       ORDER BY n_docs DESC, n_occurrences DESC, span_text
       LIMIT 20"""))
 
+  // ---------------------------------------------------------------- q99
+  /** Unicode-fold dedup: canonical fold (lower → NFD → strip marks →
+    * NFC — [[graft.functions.UnicodeFold]], codegen'd) as the exact-dedup
+    * key, so `Café`/`café`/`CAFE` collapse. The fixture plants the noise
+    * deterministically ON BOTH SIDES (docs ≡0 mod 3 get accented vowels
+    * via translate, ≡0 mod 5 get upper-cased) and the oracle states the
+    * identical fold as `strip_accents(nfc_normalize(lower(x)))` — the
+    * fold itself is hash-gated, not just spec'd. Zero-shuffle fold +
+    * one group-by on the folded key. */
+  val q99 = QueryDef("q99_unicode_fold_dedup",
+    (s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      // plant accent/case VARIANT copies of every 10th doc (both engines
+      // state the same injection): the fold must collapse each planted
+      // pair back to one group — the collapse path is hash-gated, not
+      // just the fold's identity on clean text
+      val variants = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          upper(translate(col("text"), "aeiou", "áéíóü")).as("text"))
+      base.unionByName(variants)
+        .withColumn("folded", graft.functions.UnicodeFold(col("text")))
+        .groupBy(col("folded"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_variants"))
+        .select(col("keeper_id"), col("n_variants"), col("folded"))
+        .orderBy("keeper_id")
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+          upper(translate(text, 'aeiou', 'áéíóü')) AS text
+        FROM documents WHERE doc_id % 10 = 0),
+      f AS (
+        SELECT doc_id, strip_accents(nfc_normalize(lower(text))) AS folded
+        FROM corpus)
+      SELECT min(doc_id) AS keeper_id, count(*) AS n_variants, folded
+      FROM f GROUP BY folded ORDER BY keeper_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82, q83, q85, q92)
+    Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82, q83, q85, q92, q99)
 }

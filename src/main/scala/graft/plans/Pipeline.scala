@@ -539,6 +539,10 @@ object PipelineCompiler {
         expr(arg(args, "key")), expr(arg(args, "ts")),
         expr(arg(args, "value")), arg(args, "stepUs").toLong,
         args.get("maxBucketsPerKey").map(_.toLong).getOrElse(Long.MaxValue)))),
+    "foldText" -> ((_, in, args) =>
+      Map("outport1" -> in("inport1").withColumn(
+        args.getOrElse("out", "folded"),
+        graft.functions.UnicodeFold(expr(arg(args, "text")))))),
     // intervalJoin: inport1 = left, inport2 = right; key = 'lcol=rcol'
     "intervalJoin" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.intervalJoin(

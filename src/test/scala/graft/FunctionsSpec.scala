@@ -243,6 +243,37 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("fold_text: case+accent fold, composed==decomposed, idempotent, non-accents survive") {
+    import spark.implicits._
+    val cases = Seq(
+      ("Café", "cafe"),                  // composed e-acute
+      ("Café", "cafe"),                 // decomposed e + combining acute
+      ("ÁÈÎ Ñ Ç", "aei n c"),
+      ("plain ASCII Text", "plain ascii text"),
+      ("", ""),
+      ("straße", "straße"),         // ß is not an accent: survives
+      ("한글", "한글"),       // Hangul recomposes intact under NFD→NFC
+      ("ø", "ø"))                   // ø has no decomposition: survives
+    val df = cases.map(_._1).toDF("s")
+      .select(graft.functions.UnicodeFold(col("s")).as("f"))
+    assert(df.as[String].collect().toSeq == cases.map(_._2),
+      "fold semantics")
+    // idempotence: fold(fold(x)) == fold(x)
+    val twice = cases.map(_._1).toDF("s")
+      .select(graft.functions.UnicodeFold(
+        graft.functions.UnicodeFold(col("s"))).as("f"))
+    assert(twice.as[String].collect().toSeq == cases.map(_._2))
+    // composed and decomposed inputs land in the SAME group (the q99 point)
+    assert(cases(0)._2 == cases(1)._2)
+    // null passes through; non-string input is an analysis error
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(graft.functions.UnicodeFold(col("s"))).collect()
+    assert(n(0).isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("i").select(graft.functions.UnicodeFold(col("i"))).collect()
+    }
+  }
+
   test("hilbert_dn rejects k*bits > 63 loudly instead of overflowing") {
     import spark.implicits._
     // direct expression use bypasses the hilbertValueN wrapper's check;
