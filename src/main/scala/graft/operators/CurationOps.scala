@@ -1096,7 +1096,86 @@ object CurationOps {
       FROM c${Z4_BITS.max}
       ORDER BY hvalue, l_orderkey, l_linenumber"""))
 
+  // --------------------------------------------------------------- q100
+  /** URL canonicalization dedup ([[graft.functions.UrlCanon]], codegen'd):
+    * both engines synthesize the same messy URL per document (case noise,
+    * :443, trailing slash, shuffled params, utm_/gclid tracking, #fragment
+    * — every second doc pair differs in ALL of them but canonicalizes
+    * identically), canonicalize with the SAME seven stated steps, and
+    * roll up: one row per canonical URL with its raw-variant count and
+    * keeper. The canonicalizer itself is hash-gated, step by step, at
+    * sf0.01 and sf1. Zero-shuffle canon + one group-by. */
+  val q100 = QueryDef("q100_url_canonical_dedup",
+    (s, dir) => {
+      val k = expr("doc_id div 2")
+      val url = concat(
+        lit("https://"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("SITE")).otherwise(lit("site")),
+        pmod(k, lit(5)).cast("string"),
+        lit(".Example.COM"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/d/"), k.cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("?b=2&a=1&utm_source=x&gclid=1")).otherwise(lit("?a=1&b=2")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("#frag")).otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"), url.as("url"))
+        .withColumn("canon_url", graft.functions.UrlCanon(col("url")))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_raw"), min(col("doc_id")).as("keeper_id"))
+        .select(col("canon_url"),
+          regexp_extract(col("canon_url"), "^[a-z]+://([^/?#]+)", 1).as("host"),
+          col("n_raw"), col("keeper_id"))
+        .orderBy("keeper_id")
+    },
+    Some("""
+      WITH u0 AS (
+        SELECT doc_id,
+          concat('https://', CASE WHEN doc_id % 2 = 0 THEN 'SITE' ELSE 'site' END,
+            CAST((doc_id // 2) % 5 AS VARCHAR), '.Example.COM',
+            CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,
+            '/d/', CAST(doc_id // 2 AS VARCHAR),
+            CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+            CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=x&gclid=1'
+                 ELSE '?a=1&b=2' END,
+            CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+          lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS sch,
+          regexp_replace(url, '#.*$', '') AS rest
+        FROM u0),
+      q AS (
+        SELECT doc_id, sch,
+          lower(regexp_extract(rest, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+          regexp_replace(regexp_extract(rest, '^[^:/?#]+://[^/?#]*([^?]*)', 1),
+            '/+$', '') AS path,
+          CASE WHEN contains(rest, '?')
+            THEN regexp_extract(rest, '\?(.*)$', 1) ELSE NULL END AS qs
+        FROM p),
+      c AS (
+        SELECT doc_id,
+          concat(sch, '://',
+            CASE WHEN sch = 'http' THEN regexp_replace(hostport, ':80$', '')
+                 WHEN sch = 'https' THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END,
+            path,
+            CASE WHEN qs IS NOT NULL AND len(list_filter(string_split(qs, '&'),
+                x -> x <> '' AND NOT regexp_matches(lower(x),
+                  '^(utm_[^=&]*|gclid|fbclid)(=|$)'))) > 0
+              THEN concat('?', array_to_string(list_sort(list_filter(
+                string_split(qs, '&'),
+                x -> x <> '' AND NOT regexp_matches(lower(x),
+                  '^(utm_[^=&]*|gclid|fbclid)(=|$)'))), '&'))
+              ELSE '' END) AS canon_url
+        FROM q)
+      SELECT canon_url,
+        regexp_extract(canon_url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        count(*) AS n_raw, min(doc_id) AS keeper_id
+      FROM c GROUP BY canon_url ORDER BY keeper_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
-      q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95)
+      q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
+      q100)
 }

@@ -539,6 +539,10 @@ object PipelineCompiler {
         expr(arg(args, "key")), expr(arg(args, "ts")),
         expr(arg(args, "value")), arg(args, "stepUs").toLong,
         args.get("maxBucketsPerKey").map(_.toLong).getOrElse(Long.MaxValue)))),
+    "canonicalUrl" -> ((_, in, args) =>
+      Map("outport1" -> in("inport1").withColumn(
+        args.getOrElse("out", "canon_url"),
+        graft.functions.UrlCanon(expr(arg(args, "url")))))),
     "foldText" -> ((_, in, args) =>
       Map("outport1" -> in("inport1").withColumn(
         args.getOrElse("out", "folded"),

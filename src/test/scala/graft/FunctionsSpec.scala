@@ -274,6 +274,40 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("canonical_url: the seven framing steps, content untouched") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host case, default port, trailing slash, param sort,
+      // tracking drop, fragment — all at once
+      ("HTTPS://Site.COM:443/a/b/?b=2&a=1&utm_source=x&gclid=1#frag",
+        "https://site.com/a/b?a=1&b=2"),
+      ("http://h.com:80/x", "http://h.com/x"),
+      ("http://h.com:8080/x", "http://h.com:8080/x"),  // non-default port kept
+      ("https://h.com:80/x", "https://h.com:80/x"),    // :80 is not https' default
+      ("https://h.com/", "https://h.com"),
+      ("https://h.com/p?", "https://h.com/p"),          // empty query: '?' dropped
+      ("https://h.com/p?utm_campaign=c", "https://h.com/p"), // all params tracked
+      ("https://h.com/p?B=1&a=2", "https://h.com/p?B=1&a=2"), // ASCII sort: 'B'<'a'
+      ("https://h.com/P/Q?x=Y", "https://h.com/P/Q?x=Y"), // path/value case KEPT
+      ("https://u:PW@H.com/x", "https://u:PW@h.com/x"), // userinfo is content: kept
+      ("not a url", "not a url"),                          // no scheme: verbatim
+      ("https://h.com", "https://h.com"))                  // no path at all
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.functions.UrlCanon(col("u")).as("c"))
+      .as[String].collect().toSeq
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"canonical_url($in): got $g want $want") }
+    // idempotence: canonical form is a fixed point
+    val twice = cases.map(_._1).toDF("u")
+      .select(graft.functions.UrlCanon(
+        graft.functions.UrlCanon(col("u"))).as("c"))
+      .as[String].collect().toSeq
+    assert(twice == cases.map(_._2))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("i").select(graft.functions.UrlCanon(col("i"))).collect()
+    }
+  }
+
   test("hilbert_dn rejects k*bits > 63 loudly instead of overflowing") {
     import spark.implicits._
     // direct expression use bypasses the hilbertValueN wrapper's check;
