@@ -2780,6 +2780,31 @@ object GraftOps {
       .drop("__b", "__ls", "__le", "__rs", "__re")
   }
 
+  // --------------------------------------- intra-doc segment dedup
+
+  /** Intra-document repeated-segment trim — the Gopher-style boilerplate
+    * removal that operates INSIDE one document (repeated headers,
+    * footers, navigation blocks), complementing [[maskRepeatedSpans]]'s
+    * cross-document masking and q38's repetition SCORE (this one
+    * transforms): cut the token stream into consecutive `width`-token
+    * segments, drop every segment that already occurred in the same
+    * document (first occurrence kept, order preserved), re-join. One
+    * codegen'd [[graft.functions.DedupSegments]] pass per row — pure
+    * narrow, ZERO shuffles at any scale (the chunkDocuments posture).
+    * Adds `out` (trimmed text), `n_segs`, `n_kept`. */
+  def trimRepeatedSegments(df: DataFrame, text: Column, width: Int,
+      out: String = "trimmed_text"): DataFrame = {
+    require(width >= 1, s"width must be >= 1; got $width")
+    df.withColumn("__toks", graft.functions.Text.tokens(text))
+      .withColumn("__kept",
+        graft.functions.DedupSegments.asColumn(col("__toks"), width))
+      .withColumn("n_segs", // exact integer ceil-division (q86 precedent)
+        expr(s"(size(__toks) + ${width - 1}) div $width").cast("long"))
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .withColumn(out, array_join(col("__kept"), " "))
+      .drop("__toks", "__kept")
+  }
+
   // ------------------------------------------------- robust outliers
 
   /** Robust per-group outlier scoring via median/MAD — the data-quality

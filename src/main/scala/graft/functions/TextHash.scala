@@ -257,6 +257,41 @@ object TextHash {
     new GenericArrayData(buf.toArray)
   }
 
+  /** Intra-document segment dedup (see DedupSegments): cut the token
+    * array into consecutive `width`-token segments (last one may be
+    * short), keep each DISTINCT segment's first occurrence in order,
+    * return the kept segments as joined strings. One linear pass +
+    * hash-set per row — the Gopher-style boilerplate trim (repeated
+    * headers/footers/navigation INSIDE one document), complementing
+    * q85's cross-document span masking. */
+  def dedupSegments(toks: ArrayData, width: Int): ArrayData = {
+    val n = toks.numElements()
+    val nseg = (n + width - 1) / width
+    val seen = new java.util.LinkedHashSet[String](nseg * 2)
+    var s = 0
+    while (s < nseg) {
+      val from = s * width
+      val until = math.min(n, from + width)
+      val sb = new java.lang.StringBuilder
+      var i = from
+      while (i < until) {
+        if (i > from) sb.append(' ')
+        sb.append(toks.getUTF8String(i).toString)
+        i += 1
+      }
+      seen.add(sb.toString)
+      s += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Rolling polynomial fingerprint over the token stream (see q25):
     * h ← (h·31 + (tokenHash mod p)) mod p, left-to-right — same '0|'
     * seeded token hash as simhash / Portable.phash(0, t). */
@@ -414,6 +449,34 @@ case class ExciseSpans(left: Expression, right: Expression, width: Int)
       (t, s) => s"graft.functions.TextHash.exciseSpans($t, $s, $width)")
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): ExciseSpans = copy(left = l, right = r)
+}
+
+/** `dedup_segments(tokens, width)`: array<string> → array<string> —
+  * consecutive `width`-token segments with duplicate segments removed,
+  * first occurrence kept, order preserved (see
+  * [[TextHash.dedupSegments]]). */
+case class DedupSegments(child: Expression, width: Int)
+    extends UnaryExpression {
+  require(width >= 1, s"width must be >= 1; got $width")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dedup_segments expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "dedup_segments"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.dedupSegments(v.asInstanceOf[ArrayData], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.dedupSegments($c, $width)")
+  override protected def withNewChildInternal(c: Expression): DedupSegments =
+    copy(child = c)
+}
+
+object DedupSegments {
+  def asColumn(tokens: Column, width: Int): Column =
+    ColumnBridge.column(DedupSegments(ColumnBridge.expression(tokens), width))
 }
 
 /** `first_eq_index(a, b)`: smallest position where two array<long>

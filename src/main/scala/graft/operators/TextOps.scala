@@ -339,5 +339,53 @@ object TextOps {
       FROM s
       ORDER BY doc_id, chunk_id"""))
 
-  val all: Seq[QueryDef] = Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86)
+  // --------------------------------------------------------------- q101
+  /** Intra-document repeated-segment trim (Gopher-style boilerplate
+    * removal as a TRANSFORM — q38 only scores): 10-token segments,
+    * duplicates within one document dropped, first kept. Both engines
+    * plant the repetition deterministically (every 4th doc re-appends
+    * its own first 20 tokens after truncation to a segment boundary) so
+    * the trim path is hash-gated: planted docs lose exactly their 2
+    * planted segments unless the doc already repeated itself. Pure
+    * narrow — zero shuffles (chunkDocuments posture). */
+  val q101 = QueryDef("q101_segment_dedup_trim",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("__bt", expr(
+          "slice(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), " +
+            "1, (size(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')) div 10) * 10)"))
+        .withColumn("ptext",
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat_ws(" ", array_join(col("__bt"), " "),
+              array_join(slice(col("__bt"), 1, 20), " ")))
+          .otherwise(array_join(col("__bt"), " ")))
+      graft.api.GraftOps.trimRepeatedSegments(base, col("ptext"), width = 10)
+        .select(col("doc_id"), col("n_segs"), col("n_kept"), col("trimmed_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      b AS (
+        SELECT doc_id, list_slice(toks, 1, (len(toks) // 10) * 10) AS bt FROM t),
+      x AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN list_concat(bt, list_slice(bt, 1, 20))
+               ELSE bt END AS toks2
+        FROM b),
+      sg AS (
+        SELECT doc_id, toks2,
+          list_transform(range(1, CAST((len(toks2) + 9) // 10 AS INTEGER) + 1),
+            i -> array_to_string(list_slice(toks2, (i - 1) * 10 + 1, i * 10), ' ')) AS segs
+        FROM x),
+      k AS (
+        SELECT doc_id, len(segs) AS n_segs,
+          list_filter(segs, (s, i) -> list_position(segs, s) = i) AS kept
+        FROM sg)
+      SELECT doc_id, n_segs, len(kept) AS n_kept,
+        array_to_string(kept, ' ') AS trimmed_text
+      FROM k ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86, q101)
 }

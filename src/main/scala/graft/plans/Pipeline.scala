@@ -539,6 +539,10 @@ object PipelineCompiler {
         expr(arg(args, "key")), expr(arg(args, "ts")),
         expr(arg(args, "value")), arg(args, "stepUs").toLong,
         args.get("maxBucketsPerKey").map(_.toLong).getOrElse(Long.MaxValue)))),
+    "trimSegments" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.trimRepeatedSegments(in("inport1"),
+        expr(arg(args, "text")), arg(args, "width").toInt,
+        args.getOrElse("out", "trimmed_text")))),
     "canonicalUrl" -> ((_, in, args) =>
       Map("outport1" -> in("inport1").withColumn(
         args.getOrElse("out", "canon_url"),

@@ -274,6 +274,34 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("dedup_segments: first kept in order, tail segment, all-dup, empty") {
+    import spark.implicits._
+    def run(toks: Seq[String], w: Int): Seq[String] =
+      Seq(Tuple1(toks)).toDF("t")
+        .select(graft.functions.DedupSegments.asColumn(col("t"), w))
+        .as[Seq[String]].collect().head
+    // width 2: [a b | c d | a b | e] -> dup segment dropped, tail kept
+    assert(run(Seq("a", "b", "c", "d", "a", "b", "e"), 2) ==
+      Seq("a b", "c d", "e"))
+    // order: FIRST occurrence survives, later ones vanish
+    assert(run(Seq("x", "y", "x", "y", "x", "y"), 2) == Seq("x y"))
+    // a short tail equal to a full segment's text is still a dup
+    assert(run(Seq("a", "b", "a", "b"), 2) == Seq("a b"))
+    // tail shorter than width, not a dup
+    assert(run(Seq("a", "b", "c"), 2) == Seq("a b", "c"))
+    assert(run(Seq(), 3) == Seq())
+    // operator face: n_segs/n_kept/trimmed_text over real text
+    val df = Seq((1L, "a b c d a b c d x y")).toDF("id", "text")
+    val out = graft.api.GraftOps.trimRepeatedSegments(df, col("text"), 4)
+      .select(col("n_segs"), col("n_kept"), col("trimmed_text")).collect().head
+    assert(out.getLong(0) == 3 && out.getLong(1) == 2 &&
+      out.getString(2) == "a b c d x y")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(Seq(1, 2))).toDF("t")
+        .select(graft.functions.DedupSegments.asColumn(col("t"), 2)).collect()
+    }
+  }
+
   test("canonical_url: the seven framing steps, content untouched") {
     import spark.implicits._
     val cases = Seq(
