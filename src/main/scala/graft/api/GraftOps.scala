@@ -1523,6 +1523,21 @@ object GraftOps {
     spark.read.parquet(inPath).distinct()
       .write.mode("overwrite").parquet(outPath)
 
+  /** Compaction merge pass for the S20 upsert log
+    * ([[graft.streaming.StreamingOps.upsertAppendSink]]): reduce the
+    * accumulated per-batch winner rows to ONE row per key — TOMBSTONES
+    * INCLUDED (a compaction that dropped them would let an out-of-order
+    * older update resurrect a deleted key on the next merge; only the
+    * read face filters deletes). The derived table
+    * ([[graft.streaming.StreamingOps.upsertState]]) is identical before
+    * and after (spec'd — latestByKey is associative), the log shrinks
+    * from O(batches × keys) to O(keys). */
+  def compactUpsertLog(spark: SparkSession, inPath: String, outPath: String,
+      key: Seq[String], version: String, tiebreak: String): Unit =
+    latestByKey(spark.read.parquet(inPath), key.map(col),
+        col(version), col(tiebreak))
+      .write.mode("overwrite").parquet(outPath)
+
   /** Compaction for the SPAN tier's accumulated [[spanIndexCounts]]
     * partials: re-aggregate to ONE row per window hash (what
     * [[spanIndexFromCounts]] would compute on read, materialized) — the
@@ -2693,14 +2708,23 @@ object GraftOps {
     * collide. Streaming twin: [[graft.streaming.StreamingOps]] S20
     * applies the same changelog continuously through keyed state. */
   def applyChanges(df: DataFrame, key: Seq[Column], version: Column,
-      tiebreak: Column, isDelete: Column): DataFrame = {
-    require(key.nonEmpty, "applyChanges needs at least one key column")
+      tiebreak: Column, isDelete: Column): DataFrame =
+    latestByKey(df, key, version, tiebreak).filter(!isDelete)
+
+  /** The reduction inside [[applyChanges]] WITHOUT the tombstone filter:
+    * one winning row per key, deletes still present as rows. This is
+    * what a continuously-maintained upsert STATE must store — dropping
+    * tombstones from state would let an out-of-order older update
+    * resurrect a deleted key (S20 spec pins that exact scenario); the
+    * read face filters them ([[graft.streaming.StreamingOps.upsertState]]). */
+  def latestByKey(df: DataFrame, key: Seq[Column], version: Column,
+      tiebreak: Column): DataFrame = {
+    require(key.nonEmpty, "latestByKey needs at least one key column")
     val cols = df.columns
     df.groupBy(key: _*)
       .agg(max_by(struct(cols.map(col): _*), struct(version, tiebreak))
         .as("__last"))
       .select(cols.map(c => col(s"__last.`$c`").as(c)): _*)
-      .filter(!isDelete)
   }
 
   /** SCD Type-2 history build — the other consumer of the same

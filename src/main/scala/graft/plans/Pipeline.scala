@@ -1098,6 +1098,34 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.spanIndexFromCounts(in("inport1"),
         minDf = args.getOrElse("minDf", "2").toInt,
         minCount = args.getOrElse("minCount", "0").toInt))),
+    // S20 upsert family: per-batch winners append to a parquet log,
+    // state = reduce-on-read (tombstones filtered at read only),
+    // compaction = the same reduction materialized.
+    "upsertAppendSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        graft.streaming.StreamingOps.upsertAppendSink(in("inport1"),
+          key = arg(args, "key").split(",").map(_.trim).toSeq,
+          version = arg(args, "version"), tiebreak = arg(args, "tiebreak"),
+          path = arg(args, "path"),
+          queryName = args.getOrElse("name", "upsertAppendSink"),
+          checkpoint = arg(args, "checkpoint"))
+          .trigger(triggerOf(args)).start()
+      }
+      Map.empty
+    }),
+    "upsertState" -> ((s, _, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.upsertState(s,
+        arg(args, "path"),
+        key = arg(args, "key").split(",").map(_.trim).toSeq,
+        version = arg(args, "version"), tiebreak = arg(args, "tiebreak"),
+        isDelete = expr(arg(args, "isDelete"))))),
+    "compactUpsertLogSink" -> ((s, _, args) => {
+      graft.api.GraftOps.compactUpsertLog(s, arg(args, "in"),
+        arg(args, "out"),
+        key = arg(args, "key").split(",").map(_.trim).toSeq,
+        version = arg(args, "version"), tiebreak = arg(args, "tiebreak"))
+      Map.empty
+    }),
     // periodic merge passes for the appended admission indexes: per-row
     // tiers dedup exactly (retry-duplicate rows are identical); the span
     // tier re-aggregates its mergeable partials to one row per hash.

@@ -524,6 +524,45 @@ object StreamingOps {
         .write.mode("append").parquet(path)
     }
 
+  /** S20 — continuously-maintained upsert table (the streaming twin of
+    * [[graft.api.GraftOps.applyChanges]], completing the changelog
+    * family the way S14–S19 complete the dedup families): each arriving
+    * micro-batch of changes is pre-reduced to its per-key winners
+    * ([[graft.api.GraftOps.latestByKey]] — at most one row per key per
+    * batch crosses the sink) and APPENDED to a parquet upsert log at
+    * `path`. The log is reduce-on-read ([[upsertState]]) and compacted
+    * periodically ([[graft.api.GraftOps.compactUpsertLog]]) — the S19
+    * append + merge posture, NOT a per-batch read-modify-write of the
+    * whole state (which would re-write O(keys) every batch at 100 TB).
+    *
+    * Correctness rests on max-by being associative and insensitive to
+    * arrival order: latestByKey(log of per-batch winners) ==
+    * latestByKey(all changes), whatever the chunking — S20 pins
+    * stream == batch over unordered chunks. Tombstones stay IN the log
+    * (and in compacted state) so an out-of-order older update can never
+    * resurrect a deleted key; only the read face filters them. An
+    * at-least-once retry re-appends the identical winner rows, which
+    * the read-side reduction collapses — same crash caveat and cure as
+    * every other append sink (S19). Columns are passed BY NAME so a
+    * restarted sink binds against the restored plan. */
+  def upsertAppendSink(stream: DataFrame, key: Seq[String], version: String,
+      tiebreak: String, path: String, queryName: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
+      graft.api.GraftOps.latestByKey(batch, key.map(col),
+          col(version), col(tiebreak))
+        .write.mode("append").parquet(path)
+    }
+
+  /** Read face of [[upsertAppendSink]]'s log: the current table — one
+    * winning row per key, tombstones filtered HERE (never from the
+    * log). Equals `applyChanges` over everything ever appended. */
+  def upsertState(spark: org.apache.spark.sql.SparkSession, path: String,
+      key: Seq[String], version: String, tiebreak: String,
+      isDelete: Column): DataFrame =
+    graft.api.GraftOps.applyChanges(spark.read.parquet(path),
+      key.map(col), col(version), col(tiebreak), isDelete)
+
   /** Streaming heavy-hitter candidate summary — the streaming twin of
     * [[graft.api.GraftOps.heavyHittersSketch]]'s sketch half: one
     * Misra–Gries summary maintained as STREAMING AGGREGATION STATE

@@ -1570,6 +1570,49 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(got == want && got.nonEmpty, "XML intervalJoin == library form")
   }
 
+  test("upsert log ops compose in XML: upsertState + compactUpsertLogSink") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsx").toString
+    val cdir = java.nio.file.Files.createTempDirectory("graft-upsx-c").toString
+    try {
+      Seq((1L, 1L, 10L, "u", "a1"), (1L, 3L, 11L, "u", "a2"),
+          (2L, 2L, 12L, "d", ""), (3L, 1L, 13L, "u", "c1"))
+        .toDF("k", "v", "seq", "op", "payload")
+        .write.mode("append").parquet(dir)
+      // two pipelines: the compaction SINK must complete before the
+      // state pipeline reads its output (disconnected nodes carry no
+      // ordering guarantee inside one spec)
+      graft.plans.PipelineCompiler.compile(graft.plans.PipelineSpec.parseXml(s"""
+        <pipeline>
+          <operator name="compact" class="compactUpsertLogSink">
+            <arg key="in" value="$dir"/><arg key="out" value="$cdir"/>
+            <arg key="key" value="k"/><arg key="version" value="v"/>
+            <arg key="tiebreak" value="seq"/>
+          </operator>
+        </pipeline>"""), spark)
+      val spec = graft.plans.PipelineSpec.parseXml(s"""
+        <pipeline>
+          <operator name="st" class="upsertState">
+            <arg key="path" value="$cdir"/>
+            <arg key="key" value="k"/><arg key="version" value="v"/>
+            <arg key="tiebreak" value="seq"/>
+            <arg key="isDelete" value="op = 'd'"/>
+          </operator>
+        </pipeline>""")
+      val got = graft.plans.PipelineCompiler.compile(spec, spark)("st.outport1")
+        .collect().map(r => (r.getLong(0), r.getString(4))).toSet
+      assert(got == Set((1L, "a2"), (3L, "c1")),
+        s"XML compact+state == expected table: $got")
+      // compacted log kept the tombstone row for key 2
+      assert(spark.read.parquet(cdir).filter(col("op") === "d").count() == 1)
+    } finally {
+      import scala.reflect.io.Directory
+      Seq(dir, cdir).foreach(d =>
+        new Directory(new java.io.File(d)).deleteRecursively())
+    }
+  }
+
   test("bad operator args fail-fast with node name") {
     val spec = PipelineSpec(
       nodes = Seq(OpNode("in", "parquetInput", Map("dir" -> sf001, "table" -> "nope"))),

@@ -1104,4 +1104,64 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       assert(after == Set((1L, 15L)), s"state restored + new batch applied, got $after")
     } finally q2.stop()
   }
+
+  test("S20: streaming upsert log — stream == batch applyChanges, no resurrection, compaction-stable") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.api.GraftOps
+    import graft.streaming.StreamingOps
+    // changelog: (key, version, seq, op, payload)
+    val chunk1 = Seq(
+      (1L, 1L, 10L, "u", "a1"), (2L, 5L, 11L, "u", "b1"),
+      (3L, 2L, 12L, "u", "c1"), (3L, 9L, 13L, "d", ""))   // 3 deleted at v9
+    val chunk2 = Seq(
+      (1L, 3L, 14L, "u", "a2"),   // newer update for 1 -> wins
+      (2L, 2L, 15L, "u", "bOLD"), // OLDER than 2's v5 -> must lose
+      (3L, 5L, 16L, "u", "cOLD"), // OLDER than 3's delete -> must NOT resurrect
+      (4L, 1L, 17L, "u", "d1"))
+    val allRows = chunk1 ++ chunk2
+    val dir = java.nio.file.Files.createTempDirectory("graft-ups").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ups-ck").toString
+    val input = MemoryStream[(Long, Long, Long, String, String)]
+    val q = StreamingOps.upsertAppendSink(
+      input.toDF().toDF("k", "v", "seq", "op", "payload"),
+      key = Seq("k"), version = "v", tiebreak = "seq",
+      dir, "s20ups", ckpt).start()
+    try {
+      input.addData(chunk1: _*); q.processAllAvailable()
+      input.addData(chunk2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def state() = StreamingOps.upsertState(spark, dir, Seq("k"), "v", "seq",
+      isDelete = col("op") === "d")
+    val got = state().collect()
+      .map(r => (r.getLong(0), r.getString(4))).toSet
+    // stream == batch over the same (unordered) changelog
+    val want = GraftOps.applyChanges(
+        allRows.toDF("k", "v", "seq", "op", "payload"),
+        Seq(col("k")), col("v"), col("seq"), col("op") === "d")
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSet
+    assert(got == want, s"stream $got != batch $want")
+    // the delete held against the out-of-order older update; older
+    // versions lost; key 4 present
+    assert(got == Set((1L, "a2"), (2L, "b1"), (4L, "d1")))
+    // the LOG retains the tombstone (only the read face filters it)
+    assert(spark.read.parquet(dir).filter(col("op") === "d").count() == 1)
+    // compaction: derived state identical, log shrinks to one row/key,
+    // tombstone still present afterwards
+    val compact = java.nio.file.Files.createTempDirectory("graft-ups-c").toString
+    GraftOps.compactUpsertLog(spark, dir, compact, Seq("k"), "v", "seq")
+    val cState = StreamingOps.upsertState(spark, compact, Seq("k"), "v", "seq",
+        isDelete = col("op") === "d")
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSet
+    assert(cState == got, "compaction never changes the derived table")
+    val cLog = spark.read.parquet(compact)
+    assert(cLog.count() == 4 && cLog.filter(col("op") === "d").count() == 1,
+      "one row per key incl. the tombstone")
+    // at-least-once retry: re-appending a batch's winner rows is absorbed
+    GraftOps.latestByKey(chunk2.toDF("k", "v", "seq", "op", "payload"),
+        Seq(col("k")), col("v"), col("seq"))
+      .write.mode("append").parquet(dir)
+    assert(state().collect().map(r => (r.getLong(0), r.getString(4))).toSet
+      == got, "retried append collapses on read")
+  }
 }
