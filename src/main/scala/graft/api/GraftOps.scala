@@ -122,6 +122,46 @@ object GraftOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Edit-distance near-key join — typo-tolerant matching of short keys
+    * (titles, product codes, names): unordered pairs whose
+    * `levenshtein(key_a, key_b) <= maxDist`. Never all-pairs: candidates
+    * come from a character-q-gram inverted index (the [[ngramJaccard]]
+    * shape at character grain) — df-cap via aggregate + semi-join, pair
+    * distinct, then ONE exact levenshtein per surviving candidate pair.
+    *
+    * Recall contract (the q-gram lemma): two strings at edit distance
+    * ≤ d share at least `max(len) − gramWidth + 1 − d·gramWidth` grams,
+    * so for keys of length ≥ (d+1)·gramWidth the blocking is LOSSLESS;
+    * shorter keys are excluded entirely (they'd need all-pairs — the
+    * banned shape; documented, spec'd). A pair whose every shared gram
+    * exceeds `dfCap` is missed — same stopword-gram contract as
+    * q18/q82; size dfCap to the corpus' hot-gram profile (a pair of
+    * real near-dup keys virtually always shares a rare gram too). */
+  def editDistanceJoin(df: DataFrame, id: Column, key: Column,
+      maxDist: Int, gramWidth: Int = 3, dfCap: Int = 1000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0; got $maxDist")
+    require(gramWidth >= 1, s"gramWidth must be >= 1; got $gramWidth")
+    require(dfCap >= 1, s"dfCap must be >= 1; got $dfCap")
+    val base = df.select(id.as("__id"), key.as("__k"))
+      .filter(col("__k").isNotNull && length(col("__k")) >= gramWidth)
+    val grams = base.select(col("__id"),
+        explode(expr(s"transform(sequence(1, length(__k) - ${gramWidth - 1}), " +
+          s"i -> substring(__k, i, $gramWidth))")).as("__g"))
+      .distinct()
+    val good = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select(col("__g"))
+    val gf = grams.join(good, Seq("__g"), "left_semi")
+    val cands = gf.as("a").join(gf.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
+    cands
+      .join(base.select(col("__id").as("id_a"), col("__k").as("__ka")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__k").as("__kb")), "id_b")
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** N-gram CONTAINMENT detection — the asymmetric near-dup case Jaccard
     * misses: a document embedded inside a larger one (quoted articles,
     * concatenated pages, boilerplate-wrapped reposts) shares most of ITS

@@ -572,6 +572,66 @@ object DedupOps {
       SELECT min(doc_id) AS keeper_id, count(*) AS n_variants, folded
       FROM f GROUP BY folded ORDER BY keeper_id"""))
 
+  // --------------------------------------------------------------- q102
+  /** Edit-distance near-key join: every doc pair (2k, 2k+1) shares a
+    * high-entropy synthetic key (`item-` + 12 md5 hex chars of k) with
+    * the odd twin's chars 8–9 overwritten — levenshtein ≤ 2 by
+    * construction. The trigram-blocked join
+    * ([[graft.api.GraftOps.editDistanceJoin]]) must recover exactly the
+    * planted pairs; the oracle states the SAME blocking + verify (an
+    * all-pairs oracle would be 1.5B levenshteins at sf1). High-entropy
+    * keys keep every gram's df far under the cap — gramWidth=4 +
+    * dfCap=100 keep blocking selective AT SCALE: 3-gram hex classes
+    * saturate df≈73 at sf1 (df grows linearly with corpus — measured:
+    * 31 s and 1.1% recall loss), while 4-gram hex classes sit at df≈5
+    * and the low-entropy prefix classes get capped; the q-gram lemma
+    * still guarantees ≥6 shared tail grams per planted pair. */
+  val q102 = QueryDef("q102_edit_distance_join",
+    (s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        concat(lit("item-"),
+          substring(md5(expr("cast(doc_id div 2 as string)")), 1, 12))
+          .as("__b"))
+      val keyed = base.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 1,
+          concat(substring(col("__b"), 1, 7), lit("zz"),
+            substring(col("__b"), 10, 8)))
+          .otherwise(col("__b")).as("key"))
+      graft.api.GraftOps.editDistanceJoin(keyed, col("doc_id"), col("key"),
+          maxDist = 2, gramWidth = 4, dfCap = 100)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+          concat('item-', substr(md5(CAST(doc_id // 2 AS VARCHAR)), 1, 12)) AS bk
+        FROM documents),
+      k AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 1
+            THEN concat(substr(bk, 1, 7), 'zz', substr(bk, 10, 8))
+            ELSE bk END AS key
+        FROM b),
+      g AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, len(key) - 3 + 1),
+          i -> substr(key, CAST(i AS INTEGER), 4))) AS gram
+        FROM k WHERE len(key) >= 4),
+      good AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
+      gf AS (
+        SELECT doc_id, gram FROM g SEMI JOIN good USING (gram)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+        FROM gf a JOIN gf bb ON a.gram = bb.gram AND a.doc_id < bb.doc_id)
+      SELECT c.id_a, c.id_b,
+        CAST(levenshtein(ka.key, kb.key) AS BIGINT) AS dist
+      FROM cand c
+      JOIN k ka ON ka.doc_id = c.id_a
+      JOIN k kb ON kb.doc_id = c.id_b
+      WHERE levenshtein(ka.key, kb.key) <= 2
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[QueryDef] =
-    Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82, q83, q85, q92, q99)
+    Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82, q83, q85, q92, q99, q102)
 }

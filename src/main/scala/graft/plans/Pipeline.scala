@@ -539,6 +539,12 @@ object PipelineCompiler {
         expr(arg(args, "key")), expr(arg(args, "ts")),
         expr(arg(args, "value")), arg(args, "stepUs").toLong,
         args.get("maxBucketsPerKey").map(_.toLong).getOrElse(Long.MaxValue)))),
+    "editDistanceJoin" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.editDistanceJoin(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "key")),
+        maxDist = arg(args, "maxDist").toInt,
+        gramWidth = args.getOrElse("gramWidth", "3").toInt,
+        dfCap = args.getOrElse("dfCap", "1000").toInt))),
     "trimSegments" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.trimRepeatedSegments(in("inport1"),
         expr(arg(args, "text")), arg(args, "width").toInt,

@@ -2675,6 +2675,36 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       s"keyed intervalJoin restricts by equi-key: $keyed")
   }
 
+  test("editDistanceJoin: typo pairs found, short keys out, df-cap contract") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "wonderful-widget-2000"),
+      (2L, "wonderful-widgat-2000"),  // 1 substitution from 1
+      (3L, "wonderful-gadget-9999"),  // far from everything (dist > 2)
+      (4L, "xy"),                     // shorter than gramWidth: excluded
+      (5L, "zz"),                     // would match 4 at dist 2 — but excluded
+      (6L, "wonderful-widget-200"))   // 1 deletion from 1, 2 from 2
+      .toDF("id", "key")
+    val got = GraftOps.editDistanceJoin(df, col("id"), col("key"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 6L, 1L), (2L, 6L, 2L)),
+      s"planted typo pairs at their exact distances: $got")
+    // pairs always ordered id_a < id_b, each emitted once
+    assert(got.forall { case (a, b, _) => a < b })
+    // df-cap: two near keys whose EVERY gram is shared by > cap other
+    // rows are missed (the documented stopword-gram contract) and found
+    // again when the cap clears
+    val hot = (1L to 30L).map(i => (100L + i, "aaaaaaaaaa")) ++
+      Seq((200L, "aaaaaaaaab"))
+    val hotDf = hot.toDF("id", "key")
+    val capped = GraftOps.editDistanceJoin(hotDf, col("id"), col("key"),
+      maxDist = 2, dfCap = 5).count()
+    val uncapped = GraftOps.editDistanceJoin(hotDf, col("id"), col("key"),
+      maxDist = 2, dfCap = 1000).count()
+    assert(capped == 0 && uncapped == 30L * 29 / 2 + 30,
+      s"df-cap drops hot-gram-only pairs: capped=$capped uncapped=$uncapped")
+  }
+
   test("applyChanges: latest wins, tombstones drop keys, ties break on tiebreak") {
     import spark.implicits._
     val log = Seq(
