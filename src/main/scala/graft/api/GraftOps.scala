@@ -2790,6 +2790,87 @@ object GraftOps {
       .withColumn("is_current", col("effective_to").isNull)
   }
 
+  // -------------------------------------------------- funnel analysis
+
+  /** Ordered-sequence funnel: for every key, the first time each stage
+    * of `stages` was reached IN ORDER — stage i counts only strictly
+    * after stage i−1's first completion and within `horizonUs` of stage
+    * 0's (the classic product-analytics funnel; MATCH_RECOGNIZE-lite).
+    * Returns one row per key: `t_<stage>` timestamps (NULL from the
+    * first unreached stage on — reaching stage i without i−1 is
+    * impossible by construction) and `stage_reached` (0..n).
+    *
+    * Plan: ONE shuffle on `key`, then n windowed conditional-min passes
+    * over the same partitioning (Catalyst collapses them — no
+    * per-stage re-shuffle, no self-joins, no row explosion), then a
+    * same-key aggregate that reuses the partitioning. Skewed keys →
+    * AQE, the q27/q28 posture. */
+  def funnel(df: DataFrame, key: Column, ts: Column, stage: Column,
+      stages: Seq[String], horizonUs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size, "funnel stages must be distinct")
+    require(horizonUs > 0, s"horizonUs must be positive; got $horizonUs")
+    val w = Window.partitionBy(col("__key"))
+    var cur = df.select(key.as("__key"), ts.as("__ts"), stage.as("__st"))
+      .withColumn(s"t_${stages.head}",
+        min(when(col("__st") === stages.head, col("__ts"))).over(w))
+    val deadline = unix_micros(col(s"t_${stages.head}")) + horizonUs
+    for (i <- 1 until stages.size) {
+      cur = cur.withColumn(s"t_${stages(i)}",
+        min(when(col("__st") === stages(i) &&
+            col("__ts") > col(s"t_${stages(i - 1)}") &&
+            unix_micros(col("__ts")) <= deadline,
+          col("__ts"))).over(w))
+    }
+    val tAggs = stages.map(s => min(col(s"t_$s")).as(s"t_$s"))
+    val reached = stages
+      .map(s => when(col(s"t_$s").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    cur.groupBy(col("__key").as("key"))
+      .agg(tAggs.head, tAggs.tail: _*)
+      .withColumn("stage_reached", reached)
+  }
+
+  // ------------------------------------------------ cohort retention
+
+  /** Cohort retention: key grouped by the calendar period of its FIRST
+    * activity (`date_trunc(unit, min ts)`), then for every (cohort,
+    * period-offset) the count of cohort members active in that period —
+    * the standard growth-analytics retention triangle. `retention_ppm`
+    * is exact integer ppm (`n_active·10⁶ div n_cohort` — the q54/q80
+    * decimal-free share idiom).
+    *
+    * Plan: one agg on key (first activity), one (key, period) distinct,
+    * one key equi-join, one (cohort, period) agg, one broadcast-sized
+    * cohort-sizes join — every shuffle keyed by key or by the
+    * catalog-scale (cohort, period) pair; no window, no self-join over
+    * the event log. Period offsets are exact integer divisions of
+    * truncated-boundary differences (UTC — no DST shear). */
+  def cohortRetention(df: DataFrame, key: Column, ts: Column,
+      unit: String = "week"): DataFrame = {
+    val periodUs: Long = unit match {
+      case "week" => 7L * 86400 * 1000000
+      case "day" => 86400L * 1000000
+      case other => throw new IllegalArgumentException(
+        s"cohortRetention unit must be 'week' or 'day'; got '$other'")
+    }
+    val firsts = df.groupBy(key.as("__k")).agg(min(ts).as("__t0"))
+      .select(col("__k"), date_trunc(unit, col("__t0")).as("cohort"))
+    val active = df.select(key.as("__k"), date_trunc(unit, ts).as("__wk"))
+      .distinct()
+    val sizes = firsts.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    active.join(firsts, "__k")
+      .groupBy(col("cohort"), col("__wk"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort")
+      .withColumn("period_offset",
+        expr(s"(unix_micros(__wk) - unix_micros(cohort)) div ${periodUs}L"))
+      .withColumn("retention_ppm",
+        expr("(n_active * 1000000L) div n_cohort"))
+      .select(col("cohort"), col("period_offset"), col("n_active"),
+        col("n_cohort"), col("retention_ppm"))
+  }
+
   // ------------------------------------------------- interval join
 
   /** Interval-overlap join: pairs every left row with every right row

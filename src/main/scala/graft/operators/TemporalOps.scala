@@ -338,5 +338,76 @@ object TemporalOps {
         AND s.session_start <= i.inc_end AND i.inc_start <= s.session_end
       ORDER BY s.user_id, s.sess_id, i_incident_id"""))
 
-  val all: Seq[QueryDef] = Seq(q27, q28, q58, q72, q75, q96, q97, q98)
+  // --------------------------------------------------------------- q103
+  /** Product-analytics funnel click → view → purchase per user: first
+    * completion of each stage strictly after the previous and within 7
+    * days of the first click. One user_id shuffle + three windowed
+    * conditional-min passes + a partitioning-reusing aggregate; the
+    * oracle states the same chained window CTEs. */
+  val q103 = QueryDef("q103_funnel",
+    (s, dir) =>
+      graft.api.GraftOps.funnel(events(s, dir), col("user_id"), col("ts"),
+          col("event_type"), Seq("click", "view", "purchase"),
+          horizonUs = 7L * 86400 * 1000000)
+        .select(col("key").as("user_id"), col("t_click"), col("t_view"),
+          col("t_purchase"), col("stage_reached"))
+        .orderBy("user_id"),
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      w1 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' THEN ts END)
+          OVER (PARTITION BY user_id) AS t_click
+        FROM e),
+      w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'view' AND ts > t_click
+            AND epoch_us(ts) <= epoch_us(t_click) + 604800000000 THEN ts END)
+          OVER (PARTITION BY user_id) AS t_view
+        FROM w1),
+      w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_view
+            AND epoch_us(ts) <= epoch_us(t_click) + 604800000000 THEN ts END)
+          OVER (PARTITION BY user_id) AS t_purchase
+        FROM w2)
+      SELECT user_id, min(t_click) AS t_click, min(t_view) AS t_view,
+        min(t_purchase) AS t_purchase,
+        CASE WHEN min(t_click) IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN min(t_view) IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN min(t_purchase) IS NOT NULL THEN 1 ELSE 0 END
+          AS stage_reached
+      FROM w3 GROUP BY user_id ORDER BY user_id"""))
+
+  // --------------------------------------------------------------- q104
+  /** Weekly cohort retention triangle over events: users cohorted by
+    * first-activity week, counted in every later active week; exact
+    * integer-ppm retention. All shuffles keyed by user or by the
+    * catalog-scale (cohort, week) pair. */
+  val q104 = QueryDef("q104_cohort_retention",
+    (s, dir) =>
+      graft.api.GraftOps.cohortRetention(events(s, dir), col("user_id"),
+          col("ts"), unit = "week")
+        .orderBy("cohort", "period_offset"),
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      f AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM e GROUP BY user_id),
+      a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM e),
+      sizes AS (
+        SELECT cohort, count(*) AS n_cohort FROM f GROUP BY cohort),
+      r AS (
+        SELECT f.cohort, a.wk, count(*) AS n_active
+        FROM a JOIN f USING (user_id)
+        GROUP BY f.cohort, a.wk)
+      SELECT r.cohort,
+        (epoch_us(r.wk) - epoch_us(r.cohort)) // 604800000000 AS period_offset,
+        r.n_active, s.n_cohort,
+        (r.n_active * 1000000) // s.n_cohort AS retention_ppm
+      FROM r JOIN sizes s ON r.cohort = s.cohort
+      ORDER BY r.cohort, period_offset"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104)
 }

@@ -539,6 +539,16 @@ object PipelineCompiler {
         expr(arg(args, "key")), expr(arg(args, "ts")),
         expr(arg(args, "value")), arg(args, "stepUs").toLong,
         args.get("maxBucketsPerKey").map(_.toLong).getOrElse(Long.MaxValue)))),
+    "cohortRetention" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.cohortRetention(in("inport1"),
+        expr(arg(args, "key")), expr(arg(args, "ts")),
+        args.getOrElse("unit", "week")))),
+    "funnel" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.funnel(in("inport1"),
+        expr(arg(args, "key")), expr(arg(args, "ts")),
+        expr(arg(args, "stage")),
+        arg(args, "stages").split(",").map(_.trim).toSeq,
+        arg(args, "horizonUs").toLong))),
     "editDistanceJoin" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.editDistanceJoin(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "key")),

@@ -2675,6 +2675,66 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       s"keyed intervalJoin restricts by equi-key: $keyed")
   }
 
+  test("cohortRetention: triangle shape over multi-cohort fixture, exact ppm") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // cohort W1 (Mon 2024-01-01): users 1,2,3; W2: users 4,5
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-16 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00")), (2L, ts("2024-01-10 10:00:00")),
+      (3L, ts("2024-01-04 10:00:00")),
+      (4L, ts("2024-01-08 10:00:00")), (4L, ts("2024-01-15 10:00:00")),
+      (5L, ts("2024-01-09 10:00:00")))
+      .toDF("u", "t")
+    val out = GraftOps.cohortRetention(ev, col("u"), col("t"), "week")
+      .orderBy("cohort", "period_offset").collect()
+      .map(r => (r.getTimestamp(0).toString.substring(0, 10), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0L, 3L, 3L, 1000000L),
+      ("2024-01-01", 1L, 2L, 3L, 666666L), // users 1,2 back in W2 — trunc div
+      ("2024-01-01", 2L, 1L, 3L, 333333L),
+      ("2024-01-08", 0L, 2L, 2L, 1000000L),
+      ("2024-01-08", 1L, 1L, 2L, 500000L)), s"triangle: ${out.toSeq}")
+    intercept[IllegalArgumentException] {
+      GraftOps.cohortRetention(ev, col("u"), col("t"), "fortnight")
+    }
+  }
+
+  test("funnel: order, strictness, horizon, and no stage-skipping") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: clean A -> B -> C
+      (1L, ts("2024-01-01 10:00:00"), "A"), (1L, ts("2024-01-01 11:00:00"), "B"),
+      (1L, ts("2024-01-01 12:00:00"), "C"),
+      // user 2: B BEFORE the first A must not count; later B does
+      (2L, ts("2024-01-01 09:00:00"), "B"), (2L, ts("2024-01-01 10:00:00"), "A"),
+      (2L, ts("2024-01-01 11:00:00"), "B"),
+      // user 3: B at EXACTLY t_A — strictly-after excludes it
+      (3L, ts("2024-01-01 10:00:00"), "A"), (3L, ts("2024-01-01 10:00:00"), "B"),
+      // user 4: B beyond the horizon of A
+      (4L, ts("2024-01-01 10:00:00"), "A"), (4L, ts("2024-01-03 10:00:01"), "B"),
+      // user 5: C without B — must NOT reach stage 3 (no skipping)
+      (5L, ts("2024-01-01 10:00:00"), "A"), (5L, ts("2024-01-01 11:00:00"), "C"),
+      // user 6: never starts
+      (6L, ts("2024-01-01 10:00:00"), "Z"))
+      .toDF("u", "t", "s")
+    val out = GraftOps.funnel(ev, col("u"), col("t"), col("s"),
+        Seq("A", "B", "C"), horizonUs = 2L * 86400 * 1000000)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getInt(4))).toMap
+    assert(out == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 1, 5L -> 1, 6L -> 0),
+      s"stage semantics: $out")
+    // t columns are null from the first unreached stage on
+    val u5 = GraftOps.funnel(ev, col("u"), col("t"), col("s"),
+        Seq("A", "B", "C"), horizonUs = 2L * 86400 * 1000000)
+      .filter(col("key") === 5).collect().head
+    assert(!u5.isNullAt(1) && u5.isNullAt(2) && u5.isNullAt(3),
+      "C without B leaves both t_B and t_C null")
+  }
+
   test("editDistanceJoin: typo pairs found, short keys out, df-cap contract") {
     import spark.implicits._
     val df = Seq(
