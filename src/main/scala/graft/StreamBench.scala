@@ -106,11 +106,39 @@ object StreamBench {
       }
     }
 
-    val modes = Seq("s1_parse", "s2_window", "s13_heavy", "s5_stateful")
+    /** s20 is a foreachBatch TERMINAL (its work is the per-batch winner
+      * reduction + parquet append), so it can't flow through `shape`'s
+      * (DataFrame, outputMode) frame — it builds its writer directly. */
+    def upsertWriter(warm: Boolean) = {
+      val tag = if (warm) "warm-s20" else "s20"
+      StreamingOps.upsertAppendSink(
+        StreamingOps.withShufflePartitions(
+          if (warm) warmRawStream else rawStream, parts),
+        key = Seq("user_id"), version = "ts", tiebreak = "event_id",
+        path = new java.io.File(tmp, s"$tag-log").getAbsolutePath,
+        queryName = s"sb_$tag",
+        checkpoint = new java.io.File(tmp, s"$tag-ckpt").getAbsolutePath)
+    }
+
+    val modes = Seq("s1_parse", "s2_window", "s13_heavy", "s5_stateful",
+        "s20_upsert")
       .filter(m => wanted.isEmpty || wanted(m))
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = modes.flatMap { mode =>
       try {
+        if (mode == "s20_upsert") {
+          val wq = upsertWriter(warm = true).start()
+          wq.processAllAvailable(); wq.stop()
+          val t0 = System.nanoTime()
+          val q = upsertWriter(warm = false).start()
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          q.stop()
+          val batches = q.recentProgress.length
+          System.err.println(
+            f"[sbench] $mode%-12s ${total / sec}%9.0f rows/s  ($sec%.2f s, $batches batches)")
+          Some(mode -> (total / sec, sec, batches))
+        } else {
         // Pre-warm: one throwaway micro-batch of the SAME shape over the
         // tiny input, scratch checkpoint — initializes the heavyweight
         // lazies (RocksDB JNI + store instances for s5, codegen, state
@@ -140,6 +168,7 @@ object StreamBench {
         System.err.println(
           f"[sbench] $mode%-12s ${total / sec}%9.0f rows/s  ($sec%.2f s, $batches batches)")
         Some(mode -> (total / sec, sec, batches))
+        }
       } catch { case t: Throwable =>
         failed += mode
         System.err.println(s"[sbench] $mode failed: ${t.getMessage}")
