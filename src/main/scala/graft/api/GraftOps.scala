@@ -93,6 +93,18 @@ object GraftOps {
   /** Exact n-gram Jaccard ≥ `threshold` via inverted-index join with a
     * document-frequency cap (shingles in > `dfCap` docs are dropped from
     * BOTH sides — bounds fanout; semantics documented to the caller). */
+  /** df-cap a posting list on its `gram` column: aggregate gram
+    * frequencies (map-side-combined, the survivor list AQE-broadcastable)
+    * + LEFT SEMI back — never `count().over(partitionBy(gram))`, which
+    * would full-sort-shuffle the posting list. The shared skeleton of
+    * every inverted-index candidate generator (q18 / q82 / q102). */
+  private def dfCapPosting(posting: DataFrame, gram: String,
+      dfCap: Int): DataFrame = {
+    val good = posting.groupBy(col(gram)).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select(col(gram))
+    posting.join(good, Seq(gram), "left_semi")
+  }
+
   def ngramJaccard(df: DataFrame, id: Column, text: Column,
       shingleWidth: Int = 3, dfCap: Int = 100, threshold: Double = 0.6): DataFrame = {
     // codegen'd one-pass shingle hashing (tokens → distinct int64 keys);
@@ -100,13 +112,7 @@ object GraftOps {
     val sh = df.select(id.as("__id"),
         explode(graft.functions.ShingleHashes.asColumn(
           Text.tokens(text), shingleWidth)).as("__sh"))
-    // df-cap via aggregate + semi join, NOT count().over(partitionBy(__sh)):
-    // the window form is a full sort-shuffle of the posting list; the
-    // aggregate is map-side-combined and its (filtered) survivor list is
-    // broadcastable by AQE.
-    val good = sh.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= dfCap).select(col("__sh"))
-    val sf = sh.join(good, Seq("__sh"), "left_semi")
+    val sf = dfCapPosting(sh, "__sh", dfCap)
       .select(col("__id"), col("__sh"))
     val sizes = sf.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
     sf.as("a").join(sf.as("b"),
@@ -142,15 +148,18 @@ object GraftOps {
     require(maxDist >= 0, s"maxDist must be >= 0; got $maxDist")
     require(gramWidth >= 1, s"gramWidth must be >= 1; got $gramWidth")
     require(dfCap >= 1, s"dfCap must be >= 1; got $dfCap")
+    // exclusion matches the LOSSLESS domain exactly: below
+    // (maxDist+1)·gramWidth the lemma's bound hits zero and the blocking
+    // would silently lose pairs (review r15: >= gramWidth alone admitted
+    // a lossy band, e.g. "abcdef"/"azcdzf" at d=2 share no trigram)
+    val minLen = (maxDist + 1) * gramWidth
     val base = df.select(id.as("__id"), key.as("__k"))
-      .filter(col("__k").isNotNull && length(col("__k")) >= gramWidth)
+      .filter(col("__k").isNotNull && length(col("__k")) >= minLen)
     val grams = base.select(col("__id"),
         explode(expr(s"transform(sequence(1, length(__k) - ${gramWidth - 1}), " +
           s"i -> substring(__k, i, $gramWidth))")).as("__g"))
       .distinct()
-    val good = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= dfCap).select(col("__g"))
-    val gf = grams.join(good, Seq("__g"), "left_semi")
+    val gf = dfCapPosting(grams, "__g", dfCap)
     val cands = gf.as("a").join(gf.as("b"),
         col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
@@ -182,9 +191,7 @@ object GraftOps {
     val sh = df.select(id.as("__id"),
         explode(graft.functions.ShingleHashes.asColumn(
           Text.tokens(text), shingleWidth)).as("__sh"))
-    val good = sh.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= dfCap).select(col("__sh"))
-    val sf = sh.join(good, Seq("__sh"), "left_semi")
+    val sf = dfCapPosting(sh, "__sh", dfCap)
       .select(col("__id"), col("__sh"))
     val sizes = sf.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
     val inter = sf.as("a").join(sf.as("b"),
@@ -2749,7 +2756,11 @@ object GraftOps {
     * applies the same changelog continuously through keyed state. */
   def applyChanges(df: DataFrame, key: Seq[Column], version: Column,
       tiebreak: Column, isDelete: Column): DataFrame =
-    latestByKey(df, key, version, tiebreak).filter(!isDelete)
+    // NULL delete flag = NOT a tombstone (coalesce — a bare !isDelete
+    // would SQL-filter the winner out, silently deleting the key; a CDC
+    // source with occasional null op columns must not lose keys)
+    latestByKey(df, key, version, tiebreak)
+      .filter(coalesce(!isDelete, lit(true)))
 
   /** The reduction inside [[applyChanges]] WITHOUT the tombstone filter:
     * one winning row per key, deletes still present as rows. This is
@@ -2786,7 +2797,9 @@ object GraftOps {
     val w = Window.partitionBy(key: _*).orderBy(ts, tiebreak)
     df.withColumn("effective_from", ts)
       .withColumn("effective_to", lead(ts, 1).over(w))
-      .filter(!isDelete) // a closed-by-delete row keeps its non-null effective_to
+      // a closed-by-delete row keeps its non-null effective_to; NULL
+      // delete flags are NOT tombstones (the applyChanges contract)
+      .filter(coalesce(!isDelete, lit(true)))
       .withColumn("is_current", col("effective_to").isNull)
   }
 
@@ -2940,7 +2953,13 @@ object GraftOps {
   def trimRepeatedSegments(df: DataFrame, text: Column, width: Int,
       out: String = "trimmed_text"): DataFrame = {
     require(width >= 1, s"width must be >= 1; got $width")
-    df.withColumn("__toks", graft.functions.Text.tokens(text))
+    // empty/whitespace text is ZERO segments, not one: split("", " ")
+    // yields [""], which would re-enter as a phantom single-token segment
+    // and diverge from any list-arithmetic restatement (review r15 — the
+    // q101 oracle computes 0 for an empty token list)
+    df.withColumn("__toks",
+        when(length(trim(text)) === 0, array().cast("array<string>"))
+          .otherwise(graft.functions.Text.tokens(text)))
       .withColumn("__kept",
         graft.functions.DedupSegments.asColumn(col("__toks"), width))
       .withColumn("n_segs", // exact integer ceil-division (q86 precedent)

@@ -47,7 +47,10 @@ object UrlCanon {
     val si = s.indexOf("://")
     if (si <= 0) return u
     val scheme = s.substring(0, si).toLowerCase(java.util.Locale.ROOT)
-    val hashIdx = s.indexOf('#')
+    // only a '#' AFTER the authority start is a fragment — a '#' before
+    // '://' ("see item #5 at https://x.com") must not invert the cut
+    // points (it used to throw StringIndexOutOfBounds)
+    val hashIdx = s.indexOf('#', si + 3)
     val rest = if (hashIdx >= 0) s.substring(si + 3, hashIdx) else s.substring(si + 3)
     val qIdx = rest.indexOf('?')
     val beforeQ = if (qIdx >= 0) rest.substring(0, qIdx) else rest

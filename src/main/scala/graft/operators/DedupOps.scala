@@ -616,7 +616,7 @@ object DedupOps {
         SELECT DISTINCT doc_id, unnest(list_transform(
           range(1, len(key) - 3 + 1),
           i -> substr(key, CAST(i AS INTEGER), 4))) AS gram
-        FROM k WHERE len(key) >= 4),
+        FROM k WHERE len(key) >= 12),
       good AS (
         SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
       gf AS (

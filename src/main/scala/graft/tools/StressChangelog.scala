@@ -45,7 +45,7 @@ object StressChangelog {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    var rows = maxRows / 16
+    var rows = math.max(1L, maxRows / 16) // floor: maxRows<16 must not loop at 0 forever
     while (rows <= maxRows) {
       val log = changelog(rows)
       val (nApplied, tApply) = timed {

@@ -296,6 +296,16 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
       .select(col("n_segs"), col("n_kept"), col("trimmed_text")).collect().head
     assert(out.getLong(0) == 3 && out.getLong(1) == 2 &&
       out.getString(2) == "a b c d x y")
+    // empty / whitespace-only text is ZERO segments (review r15: the
+    // ""-split phantom token made Spark report 1 against a
+    // list-arithmetic oracle's 0)
+    val empty = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("id", "text")
+    val eo = graft.api.GraftOps.trimRepeatedSegments(empty, col("text"), 4)
+      .orderBy("id").select(col("n_segs"), col("n_kept"), col("trimmed_text"))
+      .collect()
+    assert(eo(0).getLong(0) == 0 && eo(0).getLong(1) == 0 &&
+      eo(0).getString(2) == "")
+    assert(eo(1).getLong(0) == 0 && eo(2).getLong(0) == 1)
     intercept[org.apache.spark.sql.AnalysisException] {
       Seq(Tuple1(Seq(1, 2))).toDF("t")
         .select(graft.functions.DedupSegments.asColumn(col("t"), 2)).collect()
@@ -319,6 +329,8 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
       ("https://h.com/P/Q?x=Y", "https://h.com/P/Q?x=Y"), // path/value case KEPT
       ("https://u:PW@H.com/x", "https://u:PW@h.com/x"), // userinfo is content: kept
       ("not a url", "not a url"),                          // no scheme: verbatim
+      // '#' BEFORE '://' is content, not a fragment (used to throw)
+      ("see item #5 at https://X.com/p#f", "see item #5 at https://x.com/p"),
       ("https://h.com", "https://h.com"))                  // no path at all
     val got = cases.map(_._1).toDF("u")
       .select(graft.functions.UrlCanon(col("u")).as("c"))

@@ -2775,18 +2775,22 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       // key 3: delete then REINSERT after -> key lives with the later row
       (3L, 1L, 14L, "d", ""), (3L, 2L, 15L, "u", "e"),
       // key 4: version tie -> larger tiebreak wins
-      (4L, 1L, 16L, "u", "first"), (4L, 1L, 17L, "u", "second"))
+      (4L, 1L, 16L, "u", "first"), (4L, 1L, 17L, "u", "second"),
+      // key 5: NULL op wins — a null delete flag is NOT a tombstone
+      // (op === "d" evaluates NULL; the key must survive, not vanish)
+      (5L, 1L, 18L, null.asInstanceOf[String], "n1"))
       .toDF("k", "v", "seq", "op", "payload")
     val got = GraftOps.applyChanges(log, Seq(col("k")), col("v"), col("seq"),
         isDelete = col("op") === "d")
       .orderBy("k").collect().map(r => (r.getLong(0), r.getString(4)))
-    assert(got.toSeq == Seq((1L, "b"), (3L, "e"), (4L, "second")))
+    assert(got.toSeq == Seq((1L, "b"), (3L, "e"), (4L, "second"), (5L, "n1")))
     // law: the one-agg max_by plan == the row_number-window formulation
     // (what the q96 oracle states)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("k")).orderBy(col("v").desc, col("seq").desc)
     val viaWindow = log.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("op") =!= "d").drop("__rn")
+      .filter(col("__rn") === 1 && coalesce(col("op") =!= "d", lit(true)))
+      .drop("__rn")
     val a = GraftOps.applyChanges(log, Seq(col("k")), col("v"), col("seq"),
       isDelete = col("op") === "d")
     assert(a.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(a).isEmpty)
