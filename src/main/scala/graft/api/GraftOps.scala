@@ -2778,6 +2778,33 @@ object GraftOps {
       .select(cols.map(c => col(s"__last.`$c`").as(c)): _*)
   }
 
+  /** Golden-record survivorship merge — the MDM consumer of a changelog:
+    * one row per key carrying, for EACH field independently, the value
+    * of the latest change where that field was NON-NULL (a sparse
+    * update stream — each change touches some fields — merges into the
+    * complete current profile), plus `last_<version>`. Extends
+    * [[applyChanges]] field-wise: apply keeps the whole winning row
+    * (a null field in the winner nulls the profile); survivorship keeps
+    * each field's own winner.
+    *
+    * ONE two-phase hash aggregate — per-field
+    * `max_by(field, (version, tiebreak)) FILTER (WHERE field IS NOT
+    * NULL)` — so partial per-key/per-field winners combine map-side and
+    * a hot key never ships its history (the q96 posture); no window, no
+    * per-field self-joins (the oracle states that per-field row_number
+    * form). Columns by NAME (the S20 restart contract). `version` must
+    * be non-null, ties break on `tiebreak`. */
+  def goldenRecord(df: DataFrame, key: Seq[Column], version: String,
+      tiebreak: String, fields: Seq[String]): DataFrame = {
+    require(key.nonEmpty, "goldenRecord needs at least one key column")
+    require(fields.nonEmpty, "goldenRecord needs at least one field")
+    val aggs = fields.map(f =>
+      expr(s"max_by(`$f`, struct(`$version`, `$tiebreak`)) " +
+        s"FILTER (WHERE `$f` IS NOT NULL)").as(f)) :+
+      max(col(version)).as(s"last_$version")
+    df.groupBy(key: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** SCD Type-2 history build — the other consumer of the same
     * changelog: every surviving change becomes a versioned dimension
     * row effective [`effective_from`, `effective_to`) with
@@ -3000,6 +3027,41 @@ object GraftOps {
       accuracy: Int = 10000): DataFrame = {
     require(accuracy > 0, s"accuracy must be positive; got $accuracy")
     robustOutliersImpl(df, group, value, exact = false, accuracy = accuracy)
+  }
+
+  /** Per-group winsorization — outlier CAPPING where [[robustOutliers]]
+    * only scores and [[topQuantileFilter]] drops: every value clamped to
+    * its group's exact [pLo, pHi] percentile band (`clamped` column;
+    * in-band values pass through BIT-identical — clamping must never
+    * alter inliers). The q29-portable exact interpolated percentile,
+    * computed once per group and broadcast back — the corpus never
+    * shuffles on the group key (the robustOutliers plan). NULL values
+    * pass through NULL. The GK-sketch tier for groups too hot to buffer
+    * exactly is [[topQuantileFilterApprox]]'s same trade — compose with
+    * `percentile_approx` directly when needed (not oracle-portable).
+    *
+    * Bounds are DISCRETE percentiles (inverse CDF — the smallest value
+    * whose cume_dist ≥ p): the textbook winsorization replaces tails
+    * with actual order STATISTICS, and a discrete bound is an existing
+    * data value, so no interpolation arithmetic exists to diverge
+    * between engines (the interpolated form lost a ulp to DuckDB's
+    * `lo + (hi−lo)·g` at sf1 — measured, round 15). */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+      pLo: Double, pHi: Double, out: String = "clamped"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1; got [$pLo, $pHi]")
+    val d = df.withColumn("__g", group).withColumn("__v", value.cast("double"))
+    val bounds = d.groupBy(col("__g")).agg(
+      expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY __v)")
+        .cast("double").as("__lo"),
+      expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY __v)")
+        .cast("double").as("__hi"))
+    d.join(broadcast(bounds), Seq("__g"))
+      .withColumn(out,
+        when(col("__v") < col("__lo"), col("__lo"))
+          .when(col("__v") > col("__hi"), col("__hi"))
+          .otherwise(col("__v")))
+      .drop("__g", "__v", "__lo", "__hi")
   }
 
   private def robustOutliersImpl(df: DataFrame, group: Column, value: Column,

@@ -1174,8 +1174,36 @@ object CurationOps {
         count(*) AS n_raw, min(doc_id) AS keeper_id
       FROM c GROUP BY canon_url ORDER BY keeper_id"""))
 
+  // --------------------------------------------------------------- q105
+  /** Per-event-type winsorization of `value` to the exact [p05, p95]
+    * band: outlier capping (q73 scores, q59 drops — this CLAMPS and
+    * keeps every row). In-band values pass through bit-identical;
+    * group stats broadcast back, the corpus never shuffles on the
+    * group key. */
+  val q105 = QueryDef("q105_winsorize",
+    (s, dir) =>
+      graft.api.GraftOps.winsorize(
+          Tables.load(s, dir, "events")
+            .select(col("event_id"), col("event_type"), col("value")),
+          col("event_type"), col("value"), pLo = 0.05, pHi = 0.95)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("clamped"))
+        .orderBy("event_id"),
+    Some("""
+      WITH b AS (
+        SELECT event_type,
+          quantile_disc(value, 0.05) AS lo,
+          quantile_disc(value, 0.95) AS hi
+        FROM events GROUP BY event_type)
+      SELECT e.event_id, e.event_type, e.value,
+        CASE WHEN e.value < b.lo THEN b.lo
+             WHEN e.value > b.hi THEN b.hi
+             ELSE e.value END AS clamped
+      FROM events e JOIN b USING (event_type)
+      ORDER BY event_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
-      q100)
+      q100, q105)
 }

@@ -408,6 +408,46 @@ object TemporalOps {
       FROM r JOIN sizes s ON r.cohort = s.cohort
       ORDER BY r.cohort, period_offset"""))
 
+  // --------------------------------------------------------------- q106
+  /** Golden-record survivorship over the events changelog read as a
+    * SPARSE profile stream (each change carries some fields): `value`
+    * is null on views, `props` null on errors — both sides state the
+    * same sparsification — and the merge keeps each field's own latest
+    * non-null writer. One two-phase filtered-max_by agg vs the oracle's
+    * per-field row_number CTEs. */
+  val q106 = QueryDef("q106_golden_record",
+    (s, dir) => {
+      val sparse = events(s, dir).select(col("event_id"), col("ts"),
+        col("user_id"),
+        when(col("event_type") =!= "view", col("value")).as("value"),
+        when(col("event_type") =!= "error", col("props")).as("props"))
+      graft.api.GraftOps.goldenRecord(sparse, Seq(col("user_id")),
+          version = "ts", tiebreak = "event_id",
+          fields = Seq("value", "props"))
+        .select(col("user_id"), col("value"), col("props"), col("last_ts"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+          CASE WHEN event_type <> 'view' THEN value END AS value,
+          CASE WHEN event_type <> 'error' THEN props END AS props
+        FROM events),
+      fv AS (
+        SELECT user_id, value FROM (
+          SELECT user_id, value, row_number() OVER
+            (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e WHERE value IS NOT NULL) WHERE rn = 1),
+      fp AS (
+        SELECT user_id, props FROM (
+          SELECT user_id, props, row_number() OVER
+            (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM e WHERE props IS NOT NULL) WHERE rn = 1),
+      lt AS (SELECT user_id, max(ts) AS last_ts FROM e GROUP BY user_id)
+      SELECT lt.user_id, fv.value, fp.props, lt.last_ts
+      FROM lt LEFT JOIN fv USING (user_id) LEFT JOIN fp USING (user_id)
+      ORDER BY user_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104)
+    Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104, q106)
 }

@@ -585,11 +585,21 @@ object PipelineCompiler {
         arg(args, "key").split(",").map(c => expr(c.trim)).toSeq,
         expr(arg(args, "version")), expr(arg(args, "tiebreak")),
         expr(arg(args, "isDelete"))))),
+    "goldenRecord" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.goldenRecord(in("inport1"),
+        arg(args, "key").split(",").map(c => expr(c.trim)).toSeq,
+        version = arg(args, "version"), tiebreak = arg(args, "tiebreak"),
+        fields = arg(args, "fields").split(",").map(_.trim).toSeq))),
     "scd2" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.scd2(in("inport1"),
         arg(args, "key").split(",").map(c => expr(c.trim)).toSeq,
         expr(arg(args, "ts")), expr(arg(args, "tiebreak")),
         expr(arg(args, "isDelete"))))),
+    "winsorize" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.winsorize(in("inport1"),
+        expr(arg(args, "group")), expr(arg(args, "value")),
+        pLo = arg(args, "pLo").toDouble, pHi = arg(args, "pHi").toDouble,
+        out = args.getOrElse("out", "clamped")))),
     "robustOutliers" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.robustOutliers(in("inport1"),
         expr(arg(args, "group")), expr(arg(args, "value"))))),

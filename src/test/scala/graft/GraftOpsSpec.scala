@@ -2675,6 +2675,59 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       s"keyed intervalJoin restricts by equi-key: $keyed")
   }
 
+  test("goldenRecord: per-field latest non-null winners, all-null field stays null") {
+    import spark.implicits._
+    val log = Seq(
+      // key 1: name set at v1, email at v2 (name null), name UPDATED v3
+      (1L, 1L, 10L, "alice", null.asInstanceOf[String]),
+      (1L, 2L, 11L, null.asInstanceOf[String], "a@x.com"),
+      (1L, 3L, 12L, "alicia", null.asInstanceOf[String]),
+      // key 2: email never set
+      (2L, 1L, 13L, "bob", null.asInstanceOf[String]))
+      .toDF("k", "v", "seq", "name", "email")
+    val out = GraftOps.goldenRecord(log, Seq(col("k")), "v", "seq",
+        Seq("name", "email"))
+      .orderBy("k").collect()
+    assert(out(0).getString(1) == "alicia" && out(0).getString(2) == "a@x.com",
+      "each field keeps its OWN latest non-null writer")
+    assert(out(0).getLong(3) == 3L, "last_v is the overall latest version")
+    assert(out(1).getString(1) == "bob" && out(1).isNullAt(2),
+      "a never-set field stays null")
+    // survivorship vs apply: key 1's whole-row winner (v3) carries a
+    // NULL email — applyChanges keeps that null, survivorship doesn't
+    val applied = GraftOps.applyChanges(log, Seq(col("k")), col("v"),
+        col("seq"), isDelete = lit(false))
+      .filter(col("k") === 1).collect().head
+    assert(applied.isNullAt(4) && out(0).getString(2) == "a@x.com",
+      "apply keeps the winner ROW (email null); survivorship merges fields")
+  }
+
+  test("winsorize: tails clamp to order statistics, inliers bit-identical") {
+    import spark.implicits._
+    val df = ((1 to 20).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 100.0), ("b", 200.0), ("b", 300.0))).toDF("g", "v")
+    val out = GraftOps.winsorize(df, col("g"), col("v"), 0.1, 0.9)
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val a = out.filter(_._1 == "a")
+    // discrete p10 of 1..20 = 2 (smallest with cume_dist >= .1), p90 = 18
+    assert(a.map(_._3).min == 2.0 && a.map(_._3).max == 18.0)
+    // inliers pass through bit-identical, rows never dropped
+    assert(a.count(t => t._2 == t._3) == 17 && out.length == 23)
+    // bounds are ACTUAL data values, never interpolations
+    val b = out.filter(_._1 == "b").map(_._3)
+    assert(b.forall(Set(100.0, 200.0, 300.0)), s"order statistics only: ${b.toSeq}")
+    // NULL values pass through NULL
+    val n = GraftOps.winsorize(
+        Seq(("a", Some(1.0)), ("a", None), ("a", Some(9.0))).toDF("g", "v"),
+        col("g"), col("v"), 0.1, 0.9)
+      .filter(col("v").isNull).collect()
+    assert(n.length == 1 && n(0).isNullAt(2))
+    intercept[IllegalArgumentException] {
+      GraftOps.winsorize(df, col("g"), col("v"), 0.9, 0.1)
+    }
+  }
+
   test("cohortRetention: triangle shape over multi-cohort fixture, exact ppm") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
