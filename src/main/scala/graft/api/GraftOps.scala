@@ -2798,6 +2798,10 @@ object GraftOps {
       tiebreak: String, fields: Seq[String]): DataFrame = {
     require(key.nonEmpty, "goldenRecord needs at least one key column")
     require(fields.nonEmpty, "goldenRecord needs at least one field")
+    require(fields.distinct.size == fields.size,
+      s"duplicate field names: ${fields.diff(fields.distinct).distinct.mkString(", ")}")
+    require(!fields.contains(s"last_$version"),
+      s"field 'last_$version' collides with the appended last-version column")
     val aggs = fields.map(f =>
       expr(s"max_by(`$f`, struct(`$version`, `$tiebreak`)) " +
         s"FILTER (WHERE `$f` IS NOT NULL)").as(f)) :+
@@ -3032,36 +3036,44 @@ object GraftOps {
   /** Per-group winsorization — outlier CAPPING where [[robustOutliers]]
     * only scores and [[topQuantileFilter]] drops: every value clamped to
     * its group's exact [pLo, pHi] percentile band (`clamped` column;
-    * in-band values pass through BIT-identical — clamping must never
-    * alter inliers). The q29-portable exact interpolated percentile,
-    * computed once per group and broadcast back — the corpus never
-    * shuffles on the group key (the robustOutliers plan). NULL values
-    * pass through NULL. The GK-sketch tier for groups too hot to buffer
-    * exactly is [[topQuantileFilterApprox]]'s same trade — compose with
-    * `percentile_approx` directly when needed (not oracle-portable).
+    * in-band values pass through BIT-identical in the value's own type —
+    * clamping must never alter inliers, and `clamped` keeps the input
+    * column's type). NULL values pass through NULL; a NULL GROUP is a
+    * group like any other (null-safe join — no row is ever dropped).
+    * Group stats broadcast back — the corpus never shuffles on the
+    * group key (the robustOutliers plan). The GK-sketch tier for groups
+    * too hot to buffer exactly is [[topQuantileFilterApprox]]'s same
+    * trade — compose with `percentile_approx` directly when needed (not
+    * oracle-portable).
     *
     * Bounds are DISCRETE percentiles (inverse CDF — the smallest value
     * whose cume_dist ≥ p): the textbook winsorization replaces tails
     * with actual order STATISTICS, and a discrete bound is an existing
     * data value, so no interpolation arithmetic exists to diverge
     * between engines (the interpolated form lost a ulp to DuckDB's
-    * `lo + (hi−lo)·g` at sf1 — measured, round 15). */
+    * `lo + (hi−lo)·g` at sf1 — measured, round 15). Spark's
+    * `percentile_disc` aggregate emits the bound as a double, so it is
+    * cast back to the value's type here; for integral values beyond
+    * 2^53 the BOUND itself travels through double and may round — only
+    * the bound, never an in-band value. */
   def winsorize(df: DataFrame, group: Column, value: Column,
       pLo: Double, pHi: Double, out: String = "clamped"): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1; got [$pLo, $pHi]")
-    val d = df.withColumn("__g", group).withColumn("__v", value.cast("double"))
+    val d = df.withColumn("__g", group).withColumn("__v", value)
+    val vType = d.schema("__v").dataType
     val bounds = d.groupBy(col("__g")).agg(
       expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY __v)")
-        .cast("double").as("__lo"),
+        .cast(vType).as("__lo"),
       expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY __v)")
-        .cast("double").as("__hi"))
-    d.join(broadcast(bounds), Seq("__g"))
+        .cast(vType).as("__hi"))
+      .withColumnRenamed("__g", "__gb")
+    d.join(broadcast(bounds), col("__g") <=> col("__gb"))
       .withColumn(out,
         when(col("__v") < col("__lo"), col("__lo"))
           .when(col("__v") > col("__hi"), col("__hi"))
           .otherwise(col("__v")))
-      .drop("__g", "__v", "__lo", "__hi")
+      .drop("__g", "__gb", "__v", "__lo", "__hi")
   }
 
   private def robustOutliersImpl(df: DataFrame, group: Column, value: Column,

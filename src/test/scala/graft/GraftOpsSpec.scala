@@ -2700,6 +2700,16 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       .filter(col("k") === 1).collect().head
     assert(applied.isNullAt(4) && out(0).getString(2) == "a@x.com",
       "apply keeps the winner ROW (email null); survivorship merges fields")
+    // output-name collisions fail loudly, not as AMBIGUOUS_REFERENCE
+    // three selects downstream
+    intercept[IllegalArgumentException] {
+      GraftOps.goldenRecord(log.withColumnRenamed("email", "last_v"),
+        Seq(col("k")), "v", "seq", Seq("name", "last_v"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.goldenRecord(log, Seq(col("k")), "v", "seq",
+        Seq("name", "name"))
+    }
   }
 
   test("winsorize: tails clamp to order statistics, inliers bit-identical") {
@@ -2726,6 +2736,27 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] {
       GraftOps.winsorize(df, col("g"), col("v"), 0.9, 0.1)
     }
+    // a NULL group is a group like any other: rows survive (null-safe
+    // join) and clamp against the null group's own band
+    val ng = GraftOps.winsorize(
+        (Seq((None: Option[String], 1.0), (None, 50.0), (None, 99.0)) ++
+          (1 to 10).map(i => (Some("a"), i.toDouble))).toDF("g", "v"),
+        col("g"), col("v"), 0.1, 0.9)
+      .filter(col("g").isNull).orderBy("v").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(ng.length == 3, "no NULL-group row may be dropped")
+    assert(ng.toSeq == Seq((1.0, 1.0), (50.0, 50.0), (99.0, 99.0)),
+      s"null group clamps within its own band: ${ng.toSeq}")
+    // the clamped column keeps the VALUE column's type — in-band
+    // integral values pass through without a double round-trip
+    val lt = GraftOps.winsorize(
+        (1L to 20L).map(i => ("a", i)).toDF("g", "v"),
+        col("g"), col("v"), 0.1, 0.9)
+    assert(lt.schema("clamped").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val lr = lt.orderBy("v").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(lr.count(t => t._1 == t._2) == 17 &&
+      lr.map(_._2).min == 2L && lr.map(_._2).max == 18L)
   }
 
   test("cohortRetention: triangle shape over multi-cohort fixture, exact ppm") {
