@@ -3152,6 +3152,56 @@ object GraftOps {
         col("cum_ppm"))
   }
 
+  /** Corpus drift report between two snapshots of one population — the
+    * audit that catches "this week's crawl has a different language /
+    * source / event mix than last week's" before the shift poisons a
+    * training run. Per category (null-safe — a NULL category is a
+    * category like any other): exact counts in both snapshots (absent
+    * = 0), each snapshot's integer-ppm share, the share delta, and the
+    * chi-square drift contribution `(n_cur − exp)² / exp` against the
+    * baseline mix, with `exp = total_cur · n_base / total_base` (NULL
+    * for categories NEW in the current snapshot — no smoothing constant
+    * is invented; a new category is its own signal, `delta_ppm ==
+    * cur_ppm`). Sum `chi2_contrib` for the classic statistic; quantize
+    * each contribution to micros first when the sum itself must be
+    * order-free exact (q107 gates the per-category micros — the k-means
+    * integer-quantization trade).
+    *
+    * Plan: one map-side-combined hash agg per snapshot (the shuffle
+    * moves category-cardinality rows per task, never the corpus — and
+    * each corpus is scanned exactly ONCE: the totals come from a
+    * single-partition window over the already-catalog-sized join, not
+    * from a second aggregation of the same lineage, which would
+    * re-execute both corpus scans), then a full-outer join of two
+    * catalog-sized aggregates — output stays catalog-sized at any
+    * corpus scale. */
+  def corpusDrift(base: DataFrame, cur: DataFrame,
+      category: Column): DataFrame = {
+    val b = base.groupBy(category.as("category"))
+      .agg(count(lit(1)).as("n_base"))
+    val c = cur.groupBy(category.as("category"))
+      .agg(count(lit(1)).as("n_cur"))
+    val j = b.join(c, b("category") <=> c("category"), "full_outer")
+      .select(coalesce(b("category"), c("category")).as("category"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val all = Window.partitionBy(lit(1))
+    j.withColumn("__tb", sum("n_base").over(all))
+      .withColumn("__tc", sum("n_cur").over(all))
+      .withColumn("base_ppm",
+        expr("(cast(n_base as decimal(38,0)) * 1000000) div __tb"))
+      .withColumn("cur_ppm",
+        expr("(cast(n_cur as decimal(38,0)) * 1000000) div __tc"))
+      .withColumn("delta_ppm", col("cur_ppm") - col("base_ppm"))
+      .withColumn("__exp",
+        col("__tc").cast("double") * col("n_base") / col("__tb"))
+      .withColumn("chi2_contrib",
+        when(col("n_base") > 0,
+          (col("n_cur") - col("__exp")) * (col("n_cur") - col("__exp"))
+            / col("__exp")))
+      .drop("__tb", "__tc", "__exp")
+  }
+
   // ------------------------------------------------- score calibration
 
   /** Per-group quantile normalization — cross-source score CALIBRATION:

@@ -1202,8 +1202,49 @@ object CurationOps {
       FROM events e JOIN b USING (event_type)
       ORDER BY event_id"""))
 
+  // --------------------------------------------------------------- q107
+  /** Corpus drift between the two halves of the events month (split at
+    * Jan 16): per-event-type counts, integer-ppm shares, share delta,
+    * and the chi-square drift contribution quantized to micros — every
+    * column integer-exact or a fixed-order IEEE chain, so the whole
+    * drift report is hash-gated. Exercises [[GraftOps.corpusDrift]]. */
+  val q107 = QueryDef("q107_corpus_drift",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val split = expr("TIMESTAMP '2024-01-16 00:00:00'")
+      GraftOps.corpusDrift(
+          e.filter(col("ts") < split), e.filter(col("ts") >= split),
+          col("event_type"))
+        .withColumn("chi2_us", floor(col("chi2_contrib") * lit(1000000.0)))
+        .drop("chi2_contrib")
+        .orderBy("category")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      b AS (SELECT event_type AS category, count(*) AS n_base FROM e
+            WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+      c AS (SELECT event_type AS category, count(*) AS n_cur FROM e
+            WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+      j AS (SELECT COALESCE(b.category, c.category) AS category,
+              COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+            FROM b FULL OUTER JOIN c ON b.category = c.category),
+      t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+                   CAST(SUM(n_cur) AS BIGINT) AS tc FROM j)
+      SELECT category, n_base, n_cur,
+        (n_base * 1000000) // tb AS base_ppm,
+        (n_cur * 1000000) // tc AS cur_ppm,
+        (n_cur * 1000000) // tc - (n_base * 1000000) // tb AS delta_ppm,
+        CASE WHEN n_base > 0 THEN CAST(floor(
+          (n_cur - CAST(tc AS DOUBLE) * n_base / tb)
+          * (n_cur - CAST(tc AS DOUBLE) * n_base / tb)
+          / (CAST(tc AS DOUBLE) * n_base / tb) * 1000000.0) AS BIGINT) END
+          AS chi2_us
+      FROM j, t
+      ORDER BY category"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
-      q100, q105)
+      q100, q105, q107)
 }

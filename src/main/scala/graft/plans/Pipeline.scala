@@ -872,6 +872,9 @@ object PipelineCompiler {
         expr(arg(args, "key")), expr(args.getOrElse("newKey", arg(args, "key"))),
         expr(arg(args, "content")),
         expr(args.getOrElse("newContent", arg(args, "content")))))),
+    "corpusDrift" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.corpusDrift(
+        in("inport1"), in("inport2"), expr(arg(args, "category"))))),
     "l2Normalize" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.l2Normalize(in("inport1"),
         expr(arg(args, "vec"))))),

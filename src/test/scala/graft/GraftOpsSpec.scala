@@ -256,6 +256,44 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       ("tiny", 10L, 3, 62500L, 1000000L)))
   }
 
+  test("corpusDrift: exact chi-square contributions; new/vanished/null categories") {
+    import spark.implicits._
+    // base mix a:8 b:2 (tb=10); cur mix a:6 b:2 c:2 (tc=10)
+    val base = (Seq.fill(8)("a") ++ Seq.fill(2)("b")).toDF("cat")
+    val cur = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c"))
+      .toDF("cat")
+    val out = GraftOps.corpusDrift(base, cur, col("cat"))
+      .orderBy("category").collect()
+      .map(r => (r.getAs[String]("category"), r.getAs[Long]("n_base"),
+        r.getAs[Long]("n_cur"), r.getAs[Long]("base_ppm"),
+        r.getAs[Long]("cur_ppm"), r.getAs[Long]("delta_ppm"),
+        Option(r.getAs[Any]("chi2_contrib")).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      // exp_a = 10*8/10 = 8 -> (6-8)^2/8 = 0.5
+      ("a", 8L, 6L, 800000L, 600000L, -200000L, Some(0.5)),
+      ("b", 2L, 2L, 200000L, 200000L, 0L, Some(0.0)),
+      // NEW category: no baseline expectation -> chi2 NULL, delta=cur share
+      ("c", 0L, 2L, 0L, 200000L, 200000L, None)))
+    // a VANISHED category contributes exactly exp ((0-exp)^2/exp = exp)
+    val van = GraftOps.corpusDrift(
+        (Seq.fill(5)("a") ++ Seq.fill(5)("gone")).toDF("cat"),
+        Seq.fill(10)("a").toDF("cat"), col("cat"))
+      .filter(col("category") === "gone").collect().head
+    assert(van.getAs[Long]("n_cur") == 0L &&
+      van.getAs[Double]("chi2_contrib") == 5.0)
+    // a NULL category is ONE row (null-safe full-outer join), not two
+    val nc = GraftOps.corpusDrift(
+        Seq(Some("a"), None, None).toDF("cat"),
+        Seq(Some("a"), None).toDF("cat"), col("cat"))
+      .filter(col("category").isNull).collect()
+    assert(nc.length == 1 &&
+      nc.head.getAs[Long]("n_base") == 2L && nc.head.getAs[Long]("n_cur") == 1L)
+    // identical snapshots drift nowhere
+    val same = GraftOps.corpusDrift(base, base, col("cat")).collect()
+    assert(same.forall(r => r.getAs[Long]("delta_ppm") == 0L &&
+      r.getAs[Double]("chi2_contrib") == 0.0))
+  }
+
   test("quantileNormalize: exact ranks, tie sharing, NULLs pass through rankless") {
     import spark.implicits._
     val df = Seq(

@@ -1533,6 +1533,38 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       hGot.count() > 0, "XML scd2 == library scd2")
   }
 
+  test("corpusDrift registry op == library form (two snapshot inports)") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="ev" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="events"/>
+        </operator>
+        <operator name="old" class="filter">
+          <arg key="predicate" value="ts &lt; TIMESTAMP '2024-01-16 00:00:00'"/>
+        </operator>
+        <operator name="new" class="filter">
+          <arg key="predicate" value="ts &gt;= TIMESTAMP '2024-01-16 00:00:00'"/>
+        </operator>
+        <operator name="drift" class="corpusDrift">
+          <arg key="category" value="event_type"/>
+        </operator>
+        <connect from="ev.outport1" to="old.inport1"/>
+        <connect from="ev.outport1" to="new.inport1"/>
+        <connect from="old.outport1" to="drift.inport1"/>
+        <connect from="new.outport1" to="drift.inport2"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val ev = Tables.load(spark, sf001, "events")
+    val split = expr("TIMESTAMP '2024-01-16 00:00:00'")
+    val want = graft.api.GraftOps.corpusDrift(
+      ev.filter(col("ts") < split), ev.filter(col("ts") >= split),
+      col("event_type"))
+    val got = ports("drift.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML corpusDrift == library corpusDrift")
+  }
+
   test("intervalJoin registry op == library form (keyed, prefixed)") {
     import org.apache.spark.sql.functions._
     val ev = Tables.load(spark, sf001, "events")
