@@ -656,6 +656,78 @@ object GraftOps {
     df.join(drop, id === col("__drop_id"), "left_anti")
   }
 
+  /** Link-graph authority scoring — EXACT-INTEGER PageRank over a
+    * directed edge list, the crawl-corpus quality signal ("which pages
+    * does the web itself vouch for") that ranks alongside content
+    * quality scores in a curation pipeline. All arithmetic is 64-bit
+    * integer: ranks are units of a fixed `totalMass` budget, damping is
+    * ppm, and every division truncates — so the result is bit-portable
+    * across engines (q108 hash-gates three full iterations against
+    * DuckDB) where the textbook double-precision iteration is not (the
+    * per-node inflow sum is order-dependent in floats). Truncation
+    * bleeds < 1 unit per division, so with `totalMass` = 10¹² the
+    * relative error per iteration is ~n/10¹² — noise for any ranking
+    * use (mass-conservation law spec'd).
+    *
+    * Per iteration: r'(v) = base + (d · (inflow(v) + dangle/n)) div 1M,
+    * with base = ((T div n) · (1M − d)) div 1M, inflow(v) =
+    * Σ_{u→v} r(u) div outdeg(u), and dangle = Σ ranks of nodes with no
+    * out-edges (their mass redistributes uniformly — the standard
+    * dangling-node treatment). Nodes = src ∪ dst.
+    *
+    * Plan: outdeg and the node set are computed once; each iteration is
+    * one equi-join of ranks to edges on src + one hash agg on dst + a
+    * left join back to the node set — rank-table-sized shuffles, never
+    * corpus-sized, the classic iterative-Spark shape. Ranks are
+    * eagerly `localCheckpoint`ed per round (the [[dedupClusters]]
+    * idiom: truncate lineage so the per-round dangling aggregate and
+    * the next join don't re-execute the whole chain); the dangling mass
+    * is ONE long collected per round — a model-sized scalar, not a
+    * corpus collect. At cluster scale, bucket the edge list by src once
+    * and every iteration's big join co-locates; `iterations` is bounded
+    * because authority signals saturate in single digits. */
+  def linkRank(edgeList: DataFrame, src: Column, dst: Column,
+      iterations: Int, dampingPpm: Long = 850000L,
+      totalMass: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100]; got $iterations")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000,
+      s"dampingPpm must be in [0, 1000000]; got $dampingPpm")
+    require(totalMass > 0, s"totalMass must be positive; got $totalMass")
+    val e = edgeList
+      .select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "linkRank needs at least one edge")
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("__deg")).localCheckpoint(true)
+    val base = ((totalMass / n) * (1000000L - dampingPpm)) / 1000000L
+    var ranks = nodes.withColumn("rank", lit(totalMass / n))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val degreed = ranks.join(outdeg, Seq("node"), "left_outer")
+      val dangle = degreed.filter(col("__deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0L))).collect()(0).getLong(0)
+      val dangleShare = dangle / n
+      val inflow = degreed.filter(col("__deg").isNotNull)
+        .select(col("node"), expr("rank div __deg").as("__contrib"))
+        .join(e.select(col("src").as("node"), col("dst")), Seq("node"))
+        .groupBy(col("dst").as("node")).agg(sum("__contrib").as("__in"))
+      // `div`, not `/`: Spark's Divide on bigints returns double — the
+      // truncating integral division is the portability contract here
+      ranks = nodes.join(inflow, Seq("node"), "left_outer")
+        .select(col("node"),
+          expr(s"${base}L + (${dampingPpm}L * (coalesce(__in, 0L) + " +
+            s"${dangleShare}L)) div 1000000").as("rank"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    ranks
+  }
+
   /** SEMANTIC near-dup candidate pairs — embedding-CLUSTER routing:
     * train a [[kmeansFit]] model on the corpus embeddings, route every
     * row to its argmax-dot cell ([[kmeansAssign]] — a baked-constant

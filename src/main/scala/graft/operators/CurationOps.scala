@@ -1243,8 +1243,65 @@ object CurationOps {
       FROM j, t
       ORDER BY category"""))
 
+  // --------------------------------------------------------------- q108
+  /** Link-graph authority over the documents corpus: two planted
+    * deterministic out-links per doc ((id·7+1) mod m and (id·13+5)
+    * mod m — both engines synthesize the same edge multiset, the
+    * q99/q100 planted-structure idiom), then THREE full exact-integer
+    * PageRank iterations. Every rank of every node hash-matches the
+    * oracle's unrolled-CTE restatement — the float form could never be
+    * gated (order-dependent inflow sums); the integer form is the
+    * operator's portability contract. Exercises [[GraftOps.linkRank]]. */
+  val q108 = QueryDef("q108_link_rank",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val m = d.agg(max("doc_id")).collect()(0).getLong(0) + 1
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % m).as("dst"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % m).as("dst")))
+      GraftOps.linkRank(edges, col("src"), col("dst"), iterations = 3)
+        .orderBy("node")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id FROM documents),
+      mm AS (SELECT MAX(doc_id) + 1 AS m FROM d),
+      e AS (SELECT doc_id AS src, (doc_id*7 + 1) % m AS dst FROM d, mm
+            UNION ALL
+            SELECT doc_id, (doc_id*13 + 5) % m FROM d, mm),
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      p AS (SELECT n, 1000000000000 // n AS init,
+        ((1000000000000 // n) * 150000) // 1000000 AS base FROM nn),
+      od AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+             FROM e GROUP BY 1),
+      -- every node of this fixture has out-edges (each doc_id is a src
+      -- and dst values land on doc_ids), so the dangling mass is 0 in
+      -- every iteration; the operator's dangling path is spec-pinned
+      r0 AS (SELECT node, (SELECT init FROM p) AS rank FROM nodes),
+      i1 AS (SELECT e.dst AS node, CAST(SUM(r0.rank // od.deg) AS BIGINT) AS f
+             FROM e JOIN r0 ON e.src = r0.node JOIN od ON od.node = e.src
+             GROUP BY 1),
+      r1 AS (SELECT nodes.node, (SELECT base FROM p)
+               + (850000 * COALESCE(i1.f, 0)) // 1000000 AS rank
+             FROM nodes LEFT JOIN i1 USING (node)),
+      i2 AS (SELECT e.dst AS node, CAST(SUM(r1.rank // od.deg) AS BIGINT) AS f
+             FROM e JOIN r1 ON e.src = r1.node JOIN od ON od.node = e.src
+             GROUP BY 1),
+      r2 AS (SELECT nodes.node, (SELECT base FROM p)
+               + (850000 * COALESCE(i2.f, 0)) // 1000000 AS rank
+             FROM nodes LEFT JOIN i2 USING (node)),
+      i3 AS (SELECT e.dst AS node, CAST(SUM(r2.rank // od.deg) AS BIGINT) AS f
+             FROM e JOIN r2 ON e.src = r2.node JOIN od ON od.node = e.src
+             GROUP BY 1),
+      r3 AS (SELECT nodes.node, (SELECT base FROM p)
+               + (850000 * COALESCE(i3.f, 0)) // 1000000 AS rank
+             FROM nodes LEFT JOIN i3 USING (node))
+      SELECT node, rank FROM r3 ORDER BY node"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
-      q100, q105, q107)
+      q100, q105, q107, q108)
 }

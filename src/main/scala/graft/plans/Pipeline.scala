@@ -875,6 +875,12 @@ object PipelineCompiler {
     "corpusDrift" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.corpusDrift(
         in("inport1"), in("inport2"), expr(arg(args, "category"))))),
+    "linkRank" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.linkRank(
+        in("inport1"), expr(arg(args, "src")), expr(arg(args, "dst")),
+        arg(args, "iterations").toInt,
+        args.getOrElse("dampingPpm", "850000").toLong,
+        args.getOrElse("totalMass", "1000000000000").toLong))),
     "l2Normalize" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.l2Normalize(in("inport1"),
         expr(arg(args, "vec"))))),

@@ -256,6 +256,48 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       ("tiny", 10L, 3, 62500L, 1000000L)))
   }
 
+  test("linkRank: exact integer PageRank — dangling mass, cycle fixpoint, star authority") {
+    import spark.implicits._
+    // 2-node hand-check incl. the dangling path: a(1)->b(2), b dangling.
+    // n=2, T=1e12, init=5e11, base=(5e11*150000) div 1e6 = 7.5e10;
+    // dangle=5e11 -> share 2.5e11; inflow(b)=5e11.
+    // r'(a) = 7.5e10 + (850000*2.5e11) div 1e6     = 287,500,000,000
+    // r'(b) = 7.5e10 + (850000*(5e11+2.5e11)) div 1e6 = 712,500,000,000
+    val two = GraftOps.linkRank(Seq((1L, 2L)).toDF("s", "d"),
+        col("s"), col("d"), iterations = 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(two.toSeq == Seq((1L, 287500000000L), (2L, 712500000000L)))
+    // mass conservation: the dangling redistribution keeps the budget
+    // exact here (both divisions land exact)
+    assert(two.map(_._2).sum == 1000000000000L)
+    // a pure cycle at damping=1 is a fixpoint: ranks never move
+    val cyc = GraftOps.linkRank(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d"),
+        col("s"), col("d"), iterations = 4, dampingPpm = 1000000L)
+      .collect().map(_.getLong(1))
+    assert(cyc.toSeq == Seq.fill(3)(1000000000000L / 3))
+    // star: the hub every spoke links to out-ranks all spokes
+    val star = GraftOps.linkRank(
+        (2L to 5L).map(sp => (sp, 1L)).toDF("s", "d"),
+        col("s"), col("d"), iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((2L to 5L).forall(sp => star(1L) > star(sp)),
+      s"hub must out-rank spokes: $star")
+    // mass stays within truncation noise of the budget on a graph where
+    // divisions do NOT land exact (relative loss bound ~iterations*n/T)
+    val total = star.values.sum
+    assert(total <= 1000000000000L &&
+      total > 1000000000000L - 1000000L, s"mass leak: $total")
+    intercept[IllegalArgumentException] {
+      GraftOps.linkRank(Seq((1L, 2L)).toDF("s", "d"), col("s"), col("d"),
+        iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.linkRank(Seq((1L, 2L)).toDF("s", "d"), col("s"), col("d"),
+        iterations = 1, dampingPpm = 1000001L)
+    }
+  }
+
   test("corpusDrift: exact chi-square contributions; new/vanished/null categories") {
     import spark.implicits._
     // base mix a:8 b:2 (tb=10); cur mix a:6 b:2 c:2 (tc=10)

@@ -1565,6 +1565,32 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML corpusDrift == library corpusDrift")
   }
 
+  test("linkRank registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="docs" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="edges" class="select">
+          <arg key="exprs" value="doc_id AS src; (doc_id * 7 + 1) % 500 AS dst"/>
+        </operator>
+        <operator name="pr" class="linkRank">
+          <arg key="src" value="src"/><arg key="dst" value="dst"/>
+          <arg key="iterations" value="2"/>
+        </operator>
+        <connect from="docs.outport1" to="edges.inport1"/>
+        <connect from="edges.outport1" to="pr.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val ed = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id").as("src"), ((col("doc_id") * 7 + 1) % 500).as("dst"))
+    val want = graft.api.GraftOps.linkRank(ed, col("src"), col("dst"), 2)
+    val got = ports("pr.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML linkRank == library linkRank")
+  }
+
   test("intervalJoin registry op == library form (keyed, prefixed)") {
     import org.apache.spark.sql.functions._
     val ev = Tables.load(spark, sf001, "events")
