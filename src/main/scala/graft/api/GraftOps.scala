@@ -673,19 +673,23 @@ object GraftOps {
     * with base = ((T div n) · (1M − d)) div 1M, inflow(v) =
     * Σ_{u→v} r(u) div outdeg(u), and dangle = Σ ranks of nodes with no
     * out-edges (their mass redistributes uniformly — the standard
-    * dangling-node treatment). Nodes = src ∪ dst.
+    * dangling-node treatment). Nodes = src ∪ dst; edges with a NULL (or
+    * un-castable) endpoint are ignored — a phantom NULL node would
+    * otherwise silently absorb rank as permanently-dangling mass.
     *
-    * Plan: outdeg and the node set are computed once; each iteration is
-    * one equi-join of ranks to edges on src + one hash agg on dst + a
-    * left join back to the node set — rank-table-sized shuffles, never
-    * corpus-sized, the classic iterative-Spark shape. Ranks are
-    * eagerly `localCheckpoint`ed per round (the [[dedupClusters]]
-    * idiom: truncate lineage so the per-round dangling aggregate and
-    * the next join don't re-execute the whole chain); the dangling mass
-    * is ONE long collected per round — a model-sized scalar, not a
-    * corpus collect. At cluster scale, bucket the edge list by src once
-    * and every iteration's big join co-locates; `iterations` is bounded
-    * because authority signals saturate in single digits. */
+    * Plan: outdeg, the node set, and the (iteration-invariant) dangling
+    * node set are computed once; each iteration is one inner join of
+    * ranks to outdeg feeding the per-edge contribution join + one hash
+    * agg on dst + a left join back to the node set — rank-table-sized
+    * shuffles, never corpus-sized, the classic iterative-Spark shape.
+    * Ranks are eagerly `localCheckpoint`ed per round (the
+    * [[dedupClusters]] idiom: truncate lineage so the per-round
+    * dangling aggregate and the next join don't re-execute the whole
+    * chain); the dangling mass is ONE long collected per round — a
+    * model-sized scalar, not a corpus collect. At cluster scale, bucket
+    * the edge list by src once and every iteration's big join
+    * co-locates; `iterations` is bounded because authority signals
+    * saturate in single digits. */
   def linkRank(edgeList: DataFrame, src: Column, dst: Column,
       iterations: Int, dampingPpm: Long = 850000L,
       totalMass: Long = 1000000000000L): DataFrame = {
@@ -693,26 +697,38 @@ object GraftOps {
       s"iterations must be in [1, 100]; got $iterations")
     require(dampingPpm >= 0 && dampingPpm <= 1000000,
       s"dampingPpm must be in [0, 1000000]; got $dampingPpm")
-    require(totalMass > 0, s"totalMass must be positive; got $totalMass")
+    // d·(inflow + dangleShare) ≤ 1e6·totalMass must fit a long (ANSI
+    // mode would otherwise kill an iteration mid-flight with an opaque
+    // ARITHMETIC_OVERFLOW); the base multiply has the same bound
+    require(totalMass > 0 && totalMass <= Long.MaxValue / 1000000L,
+      s"totalMass must be in (0, ${Long.MaxValue / 1000000L}]; got $totalMass")
     val e = edgeList
       .select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
-    require(n > 0, "linkRank needs at least one edge")
+    if (n == 0) {
+      e.unpersist()
+      throw new IllegalArgumentException(
+        "linkRank needs at least one edge with non-null endpoints")
+    }
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("__deg")).localCheckpoint(true)
+    // the dangling SET is iteration-invariant (who has out-edges never
+    // changes) — only its rank mass moves; classify once
+    val danglingNodes = nodes.join(outdeg, Seq("node"), "left_anti")
+      .localCheckpoint(true)
     val base = ((totalMass / n) * (1000000L - dampingPpm)) / 1000000L
     var ranks = nodes.withColumn("rank", lit(totalMass / n))
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val degreed = ranks.join(outdeg, Seq("node"), "left_outer")
-      val dangle = degreed.filter(col("__deg").isNull)
+      val dangle = ranks.join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum("rank"), lit(0L))).collect()(0).getLong(0)
       val dangleShare = dangle / n
-      val inflow = degreed.filter(col("__deg").isNotNull)
+      val inflow = ranks.join(outdeg, Seq("node"))
         .select(col("node"), expr("rank div __deg").as("__contrib"))
         .join(e.select(col("src").as("node"), col("dst")), Seq("node"))
         .groupBy(col("dst").as("node")).agg(sum("__contrib").as("__in"))
@@ -3234,7 +3250,10 @@ object GraftOps {
     * baseline mix, with `exp = total_cur · n_base / total_base` (NULL
     * for categories NEW in the current snapshot — no smoothing constant
     * is invented; a new category is its own signal, `delta_ppm ==
-    * cur_ppm`). Sum `chi2_contrib` for the classic statistic; quantize
+    * cur_ppm`). An EMPTY snapshot yields NULL shares (a share of
+    * nothing is undefined — the counts still report; spec'd) rather
+    * than an ANSI division error. Sum `chi2_contrib` for the classic
+    * statistic; quantize
     * each contribution to micros first when the sum itself must be
     * order-free exact (q107 gates the per-category micros — the k-means
     * integer-quantization trade).
@@ -3258,17 +3277,23 @@ object GraftOps {
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val all = Window.partitionBy(lit(1))
+    // an EMPTY snapshot has no mix to take a share of: its ppm columns
+    // (and everything derived from them) are NULL rather than a
+    // DIVIDE_BY_ZERO under ANSI mode — the degenerate all-new /
+    // all-vanished report still carries the exact counts
     j.withColumn("__tb", sum("n_base").over(all))
       .withColumn("__tc", sum("n_cur").over(all))
-      .withColumn("base_ppm",
-        expr("(cast(n_base as decimal(38,0)) * 1000000) div __tb"))
-      .withColumn("cur_ppm",
-        expr("(cast(n_cur as decimal(38,0)) * 1000000) div __tc"))
+      .withColumn("base_ppm", expr(
+        "CASE WHEN __tb > 0 THEN " +
+          "(cast(n_base as decimal(38,0)) * 1000000) div __tb END"))
+      .withColumn("cur_ppm", expr(
+        "CASE WHEN __tc > 0 THEN " +
+          "(cast(n_cur as decimal(38,0)) * 1000000) div __tc END"))
       .withColumn("delta_ppm", col("cur_ppm") - col("base_ppm"))
       .withColumn("__exp",
         col("__tc").cast("double") * col("n_base") / col("__tb"))
       .withColumn("chi2_contrib",
-        when(col("n_base") > 0,
+        when(col("n_base") > 0 && col("__tc") > 0,
           (col("n_cur") - col("__exp")) * (col("n_cur") - col("__exp"))
             / col("__exp")))
       .drop("__tb", "__tc", "__exp")

@@ -1228,7 +1228,8 @@ object CurationOps {
             WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
       j AS (SELECT COALESCE(b.category, c.category) AS category,
               COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
-            FROM b FULL OUTER JOIN c ON b.category = c.category),
+            FROM b FULL OUTER JOIN c
+              ON b.category IS NOT DISTINCT FROM c.category),
       t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
                    CAST(SUM(n_cur) AS BIGINT) AS tc FROM j)
       SELECT category, n_base, n_cur,
@@ -1241,7 +1242,7 @@ object CurationOps {
           / (CAST(tc AS DOUBLE) * n_base / tb) * 1000000.0) AS BIGINT) END
           AS chi2_us
       FROM j, t
-      ORDER BY category"""))
+      ORDER BY category NULLS FIRST"""))
 
   // --------------------------------------------------------------- q108
   /** Link-graph authority over the documents corpus: two planted

@@ -296,6 +296,26 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       GraftOps.linkRank(Seq((1L, 2L)).toDF("s", "d"), col("s"), col("d"),
         iterations = 1, dampingPpm = 1000001L)
     }
+    // totalMass beyond the ppm-multiply headroom fails loudly up front,
+    // not as a mid-iteration ANSI overflow
+    intercept[IllegalArgumentException] {
+      GraftOps.linkRank(Seq((1L, 2L)).toDF("s", "d"), col("s"), col("d"),
+        iterations = 1, totalMass = Long.MaxValue / 1000000L + 1)
+    }
+    // NULL-endpoint edges are ignored — no phantom NULL node absorbing
+    // mass as permanently-dangling; the 2-node result is unchanged
+    val withNulls = GraftOps.linkRank(
+        Seq((Some(1L), Some(2L)), (None, Some(2L)), (Some(1L), None))
+          .toDF("s", "d"),
+        col("s"), col("d"), iterations = 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(withNulls.toSeq == Seq((1L, 287500000000L), (2L, 712500000000L)),
+      s"null-endpoint edges must be ignored: ${withNulls.toSeq}")
+    intercept[IllegalArgumentException] {
+      GraftOps.linkRank(
+        Seq((Option.empty[Long], Option.empty[Long])).toDF("s", "d"),
+        col("s"), col("d"), iterations = 1)
+    }
   }
 
   test("corpusDrift: exact chi-square contributions; new/vanished/null categories") {
@@ -334,6 +354,19 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     val same = GraftOps.corpusDrift(base, base, col("cat")).collect()
     assert(same.forall(r => r.getAs[Long]("delta_ppm") == 0L &&
       r.getAs[Double]("chi2_contrib") == 0.0))
+    // an EMPTY snapshot: NULL shares (not a division error), counts
+    // still exact
+    val eb = GraftOps.corpusDrift(base.filter(lit(false)), cur, col("cat"))
+      .orderBy("category").collect()
+    assert(eb.length == 3 && eb.forall(r => r.getAs[Long]("n_base") == 0L &&
+      r.isNullAt(3) && r.isNullAt(5) && r.isNullAt(6)),
+      "empty base: base_ppm/delta/chi2 NULL, counts exact")
+    assert(eb.map(_.getAs[Long]("cur_ppm")).toSeq == Seq(600000L, 200000L,
+      200000L), "cur shares unaffected by an empty base")
+    val ec = GraftOps.corpusDrift(base, cur.filter(lit(false)), col("cat"))
+      .collect()
+    assert(ec.forall(r => r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6)),
+      "empty cur: cur_ppm/delta/chi2 NULL")
   }
 
   test("quantileNormalize: exact ranks, tie sharing, NULLs pass through rankless") {
