@@ -3419,6 +3419,95 @@ object GraftOps {
       .limit(k)
   }
 
+  // --------------------------------------------- vocabulary encoding
+
+  /** Frequency vocabulary over a token-array column: the `topK` most
+    * frequent tokens, each assigned a DENSE integer id 0..K−1 by
+    * (count desc, token asc) — a deterministic TOTAL order, so the id
+    * assignment (including ties at the K boundary) is engine-portable
+    * (q109 gates it). Returns (token, token_id int, n long). NULL
+    * tokens are ignored (an id for SQL-missing would be meaningless).
+    *
+    * Plan: one map-side-combined hash agg over the token vocabulary +
+    * a TakeOrderedAndProject at topK — the corpus ships partial
+    * per-token counts, never rows; the id assignment is a
+    * single-partition window over the ALREADY-topK-bounded rows,
+    * which is model-sized BY CONTRACT (topK is a tokenizer's vocab
+    * budget — 2¹⁵–2¹⁸ — not a corpus dimension; the k-centroid
+    * idiom). At 100 TB the vocabulary agg is the only corpus-wide
+    * cost and it is exactly [[heavyHitters]]'s shape. */
+  def buildVocab(df: DataFrame, toks: Column, topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= 1000000,
+      s"topK must be in [1, 1e6]; got $topK")
+    val counts = df.select(explode(toks).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token")).limit(topK)
+    val w = Window.orderBy(desc("n"), col("token"))
+    counts.withColumn("token_id", (row_number().over(w) - 1).cast("int"))
+      .select(col("token"), col("token_id"), col("n"))
+  }
+
+  /** Token→id encoding against a [[buildVocab]] vocabulary: adds
+    * `token_ids` (array<int>) — each token replaced by its vocab id,
+    * out-of-vocabulary tokens by `oovId`. A NULL token array stays
+    * NULL, an empty one encodes to `[]` (missing text and empty text
+    * are different facts). The vocabulary must carry dense unique ids
+    * 0..n−1 ([[buildVocab]]'s contract — anything else fails loudly
+    * here, not as silently-garbled ids).
+    *
+    * Plan: the vocabulary collects to the driver (topK-bounded —
+    * MODEL-sized, the sqEncode/k-centroid idiom, NOT a corpus collect)
+    * and ships once per task inside the codegen'd
+    * [[graft.functions.TokenIds]] expression, which probes a real
+    * HashMap — O(1) per token. The CORPUS NEVER SHUFFLES: no
+    * explode → join → re-assemble round trip on doc_id (two
+    * token-grain shuffles), and no `try_element_at` over a Catalyst
+    * map literal (an O(K) linear scan per token — measured 7× this
+    * query's cost at K=512). Pure narrow projection at any scale. */
+  def encodeTokens(df: DataFrame, toks: Column, vocab: DataFrame,
+      oovId: Int = -1): DataFrame = {
+    val rows = vocab.select(col("token"), col("token_id")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._2)
+    require(rows.nonEmpty, "vocabulary is empty")
+    require(rows.map(_._2).toSeq == rows.indices,
+      s"vocab ids must be exactly 0..${rows.length - 1} (buildVocab's contract)")
+    require(rows.map(_._1).distinct.length == rows.length,
+      "vocab tokens must be unique")
+    df.withColumn("token_ids",
+      graft.functions.TokenIds.asColumn(toks, rows.map(_._1).toSeq, oovId))
+  }
+
+  /** Markup→text extraction — the first transform a crawled HTML corpus
+    * goes through before any quality/dedup pass: drops `<script>` and
+    * `<style>` blocks WITH their contents, strips every remaining tag
+    * (replaced by a space so `a</p><p>b` never word-joins), decodes the
+    * five core entities (`&lt; &gt; &quot; &#39;` first, `&amp;`
+    * deliberately LAST — single-pass HTML semantics, so literal
+    * `&amp;lt;` decodes to `&lt;`, never double-decodes to `<`; entities
+    * outside the set pass through verbatim), then collapses whitespace
+    * runs (explicit `[ \t\n\r\f]` class — RE2 and Java disagree on `\s`
+    * vs vertical tab, so the contract names its characters) and trims.
+    * Every step is a stock codegen'd string function both engines can
+    * state verbatim — q110 hash-gates the full chain. NULL markup stays
+    * NULL.
+    *
+    * Plan: pure narrow projection, zero shuffles at any scale — the
+    * chunkDocuments posture; regex work is per-row and codegen'd
+    * (no UDF, no mapPartitions). */
+  def extractText(df: DataFrame, markup: Column,
+      out: String = "extracted"): DataFrame = {
+    val noScript =
+      regexp_replace(markup, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    df.withColumn(out, trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " ")))
+  }
+
   // --------------------------------------------- scalar quantization
 
   /** SQ8 trainer: per-dimension [lo, hi] corpus ranges — the whole model

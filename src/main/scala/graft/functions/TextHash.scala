@@ -327,6 +327,26 @@ object TextHash {
     while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  /** Token→dense-id encode against a vocabulary HashMap (see TokenIds):
+    * one O(1) content-hash probe per token, `oovId` for misses and NULL
+    * elements. */
+  def tokenIds(toks: ArrayData,
+      vocab: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer],
+      oovId: Int): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) out(i) = oovId
+      else {
+        val id = vocab.get(toks.getUTF8String(i))
+        out(i) = if (id == null) oovId else id.intValue()
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `minhash_sig(shingles, n)`: array<string> → array<long> signature. */
@@ -504,6 +524,51 @@ case class FirstEqIndex(left: Expression, right: Expression)
       (a, b) => s"graft.functions.TextHash.firstEqIndex($a, $b)")
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): FirstEqIndex = copy(left = l, right = r)
+}
+
+/** `token_ids(tokens)`: array<string> → array<int> — each token replaced
+  * by its dense vocabulary id (`vocab(i)` ↔ id `i`), `oovId` for
+  * out-of-vocabulary or NULL tokens. The vocabulary ships once per task
+  * as a reference-object HashMap (the Sq8Encode model idiom) and every
+  * lookup is O(1); the declarative alternative — `try_element_at` on a
+  * Catalyst map — is an O(K) LINEAR SCAN per token (ArrayBasedMapData
+  * has no index), measured 7× the whole-query cost at K=512. */
+case class TokenIds(child: Expression, vocab: Seq[String], oovId: Int)
+    extends UnaryExpression {
+  require(vocab.nonEmpty, "vocab must be non-empty")
+
+  @transient private lazy val map: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](vocab.size * 2)
+    var i = 0
+    vocab.foreach { t =>
+      require(m.put(org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        Integer.valueOf(i)) == null, s"duplicate vocab token '$t'")
+      i += 1
+    }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_ids expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "token_ids"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.tokenIds(v.asInstanceOf[ArrayData], map, oovId)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("vocabMap", map, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.tokenIds($c, $mapRef, $oovId)")
+  }
+  override protected def withNewChildInternal(c: Expression): TokenIds =
+    copy(child = c)
+}
+
+object TokenIds {
+  def asColumn(tokens: Column, vocab: Seq[String], oovId: Int): Column =
+    ColumnBridge.column(TokenIds(ColumnBridge.expression(tokens), vocab, oovId))
 }
 
 /** `simhash60(tokens)`: array<string> → long. */

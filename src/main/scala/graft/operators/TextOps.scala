@@ -386,6 +386,117 @@ object TextOps {
         array_to_string(kept, ' ') AS trimmed_text
       FROM k ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q109
+  /** Frequency-vocabulary build + token-id encoding — the step that
+    * turns a curated text corpus into model input: top-512 tokens get
+    * dense ids 0..511 by (count desc, token asc), every document's
+    * token stream re-expresses as `array<int>` with −1 for
+    * out-of-vocabulary. The WHOLE id assignment (including boundary
+    * ties) and every encoded id of every document are hash-gated —
+    * both engines state the same count→rank→map-lookup chain
+    * ([[graft.api.GraftOps.buildVocab]] /
+    * [[graft.api.GraftOps.encodeTokens]]; DuckDB rebuilds the map with
+    * `map(list, list)` and probes it per token). Encoding never
+    * shuffles the corpus — the vocab collapses to one broadcast map
+    * row and the lookup is a per-row HOF transform. */
+  val q109 = QueryDef("q109_vocab_encode",
+    (s, dir) => {
+      val t = docs(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val vocab = graft.api.GraftOps.buildVocab(t, col("toks"), topK = 512)
+      graft.api.GraftOps.encodeTokens(t, col("toks"), vocab, oovId = -1)
+        .select(col("doc_id"),
+          size(col("token_ids")).as("n_tokens"),
+          size(filter(col("token_ids"), i => i === -1)).as("n_oov"),
+          // the gate canonicalizes scalars only — ship the ids joined
+          array_join(transform(col("token_ids"), i => i.cast("string")), ",")
+            .as("ids_csv"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      tok AS (SELECT unnest(toks) AS token FROM t),
+      counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+      vocab AS (
+        SELECT token,
+          CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS INTEGER)
+            AS token_id
+        FROM counts ORDER BY n DESC, token LIMIT 512),
+      m AS (
+        SELECT map(list(token ORDER BY token_id),
+                   list(token_id ORDER BY token_id)) AS mm
+        FROM vocab)
+      SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        CAST(len(list_filter(toks, x -> mm[x][1] IS NULL)) AS INTEGER)
+          AS n_oov,
+        array_to_string(list_transform(toks,
+          x -> CAST(coalesce(mm[x][1], -1) AS INTEGER)), ',') AS ids_csv
+      FROM t, m
+      ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------- q110
+  /** Markup→text extraction over a deterministically synthesized HTML
+    * wrapper (the q99/q100 planted-structure idiom): each doc's text is
+    * entity-ESCAPED (& → &amp;, < → &lt;) and embedded in a full page —
+    * script block (containing raw `<` and `&&` that must vanish with
+    * the block, not leak into the tag-strip), style block, attributed
+    * tags, newlines, a literal `&copy;` (outside the decode set — must
+    * pass through) and a literal `&amp;lt;` (must single-decode to
+    * `&lt;`, never double-decode to `<`). Both engines state the same
+    * seven steps ([[graft.api.GraftOps.extractText]]), so the whole
+    * extraction chain is hash-gated end to end. Pure narrow — zero
+    * shuffles. */
+  val q110 = QueryDef("q110_markup_extract",
+    (s, dir) => {
+      val esc = docs(s, dir).withColumn("__esc",
+        expr("replace(replace(text, '&', '&amp;'), '<', '&lt;')"))
+      val html = esc.withColumn("markup", concat(
+        lit("<html><head><title>d"), col("doc_id").cast("string"),
+        lit("</title><script type=\"text/javascript\">var x = 1 < 2 && true;</script>" +
+          "<style media=\"all\">p { color: red; }</style></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1>\n<p>"), col("__esc"),
+        lit("</p>\n<div class=\"footer\">&copy; 2024 &amp; Co. &amp;lt;tm&amp;gt;</div></body></html>")))
+      graft.api.GraftOps.extractText(html, col("markup"))
+        .select(col("doc_id"), length(col("extracted")).as("ex_len"),
+          col("extracted"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH esc AS (
+        SELECT doc_id,
+          replace(replace(text, '&', '&amp;'), '<', '&lt;') AS e
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+          '<html><head><title>d' || CAST(doc_id AS VARCHAR) ||
+          '</title><script type="text/javascript">var x = 1 < 2 && true;</script>' ||
+          '<style media="all">p { color: red; }</style></head><body><h1>Doc ' ||
+          CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p>' || e ||
+          '</p>' || chr(10) ||
+          '<div class="footer">&copy; 2024 &amp; Co. &amp;lt;tm&amp;gt;</div></body></html>'
+            AS m
+        FROM esc),
+      x1 AS (SELECT doc_id,
+        regexp_replace(m, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+        FROM h),
+      x2 AS (SELECT doc_id,
+        regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+        FROM x1),
+      x3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+        FROM x2),
+      d AS (SELECT doc_id,
+        replace(replace(replace(replace(replace(t,
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&amp;', '&') AS t
+        FROM x3),
+      f AS (SELECT doc_id,
+        trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS extracted
+        FROM d)
+      SELECT doc_id, CAST(length(extracted) AS INTEGER) AS ex_len, extracted
+      FROM f ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86, q101)
+    Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86, q101, q109,
+      q110)
 }

@@ -881,6 +881,17 @@ object PipelineCompiler {
         arg(args, "iterations").toInt,
         args.getOrElse("dampingPpm", "850000").toLong,
         args.getOrElse("totalMass", "1000000000000").toLong))),
+    "buildVocab" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.buildVocab(in("inport1"),
+        expr(arg(args, "toks")), arg(args, "topK").toInt))),
+    // encodeTokens: inport1 = corpus, inport2 = vocabulary
+    "encodeTokens" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.encodeTokens(in("inport1"),
+        expr(arg(args, "toks")), in("inport2"),
+        args.getOrElse("oovId", "-1").toInt))),
+    "extractText" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.extractText(in("inport1"),
+        expr(arg(args, "markup")), args.getOrElse("out", "extracted")))),
     "l2Normalize" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.l2Normalize(in("inport1"),
         expr(arg(args, "vec"))))),

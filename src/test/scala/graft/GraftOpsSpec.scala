@@ -256,6 +256,85 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       ("tiny", 10L, 3, 62500L, 1000000L)))
   }
 
+  test("buildVocab/encodeTokens: dense ids, tie order, OOV, null/empty contracts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("b", "a", "b", "c")),
+      (2L, Seq("a", "b", "zz")),
+      (3L, Seq.empty[String]),
+      (4L, null.asInstanceOf[Seq[String]])).toDF("doc_id", "toks")
+    // counts: b=3, a=2, c=1, zz=1 → ids by (count desc, token asc):
+    // b=0, a=1, c=2, zz=3; topK=3 cuts at the c/zz TIE on count — token
+    // asc keeps c, drops zz (the boundary-determinism contract)
+    val vocab = GraftOps.buildVocab(docs, col("toks"), topK = 3)
+      .orderBy("token_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(vocab.toSeq == Seq(("b", 0, 3L), ("a", 1, 2L), ("c", 2, 1L)),
+      s"dense ids by (count desc, token asc): ${vocab.toSeq}")
+    val vdf = GraftOps.buildVocab(docs, col("toks"), topK = 3)
+    val enc = GraftOps.encodeTokens(docs, col("toks"), vdf, oovId = -1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getSeq[Int](2)).map(_.toSeq)))
+    assert(enc.toSeq == Seq(
+      (1L, Some(Seq(0, 1, 0, 2))),     // all in-vocab
+      (2L, Some(Seq(1, 0, -1))),       // zz fell at the boundary → OOV
+      (3L, Some(Seq.empty[Int])),      // empty text → empty ids
+      (4L, None)),                     // missing text → missing ids
+      s"encode contracts: ${enc.toSeq}")
+    // full-width vocab: zero OOV and ids decode back to the exact tokens
+    val full = GraftOps.buildVocab(docs, col("toks"), topK = 100)
+    val dec = GraftOps.encodeTokens(docs, col("toks"), full)
+      .filter(col("toks").isNotNull)
+      .select(col("doc_id"), col("toks"), col("token_ids"))
+    // decode via a join-free reverse map built from the SAME vocab
+    val ent = full.agg(
+      map_from_entries(collect_list(struct(col("token_id"), col("token"))))
+        .as("__rev"))
+    val roundtrip = dec.crossJoin(broadcast(ent))
+      .withColumn("decoded",
+        transform(col("token_ids"), i => element_at(col("__rev"), i)))
+      .filter(not(col("decoded") === col("toks"))).count()
+    assert(roundtrip == 0, "full-vocab encode must round-trip exactly")
+    intercept[IllegalArgumentException] {
+      GraftOps.buildVocab(docs, col("toks"), topK = 0)
+    }
+  }
+
+  test("extractText: blocks, tags, entity single-decode, whitespace, null") {
+    import spark.implicits._
+    val cases = Seq(
+      // script/style vanish WITH contents (incl. raw < and & inside)
+      (1L, "a<script>if (1 < 2 && x) {}</script>b<style>p>q{}</style>c"),
+      // tags become spaces — no word-joining across tags
+      (2L, "<p>a</p><p>b</p>"),
+      // entity decode set + amp-LAST ordering: &amp;lt; → &lt; (never <)
+      (3L, "&lt;x&gt; &quot;y&quot; &#39;z&#39; &amp; &amp;lt;tm&amp;gt; &copy;"),
+      // whitespace runs collapse, ends trim
+      (4L, "  a\t\tb\n\nc  "),
+      // plain text is already fixed-point
+      (5L, "plain text stays"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "m")
+    val out = GraftOps.extractText(cases, col("m"))
+      .orderBy("id").collect().map(r => Option(r.getString(2)))
+    assert(out.toSeq == Seq(
+      Some("a b c"),
+      Some("a b"),
+      Some("<x> \"y\" 'z' & &lt;tm&gt; &copy;"),
+      Some("a b c"),
+      Some("plain text stays"),
+      None), s"extractText contracts: ${out.toSeq}")
+    // idempotence: extracting already-extracted text changes nothing
+    // (no tags left, decoded entities don't re-decode structurally —
+    // except text that LOOKS like an entity after one decode, which is
+    // exactly the single-pass contract, so exclude case 3)
+    val once = GraftOps.extractText(cases.filter(col("id") =!= 3), col("m"))
+      .select(col("id"), col("extracted").as("m"))
+    val twice = GraftOps.extractText(once, col("m"))
+      .filter(not(col("extracted") <=> col("m"))).count()
+    assert(twice == 0, "extractText must be idempotent off the decode edge")
+  }
+
   test("linkRank: exact integer PageRank — dangling mass, cycle fixpoint, star authority") {
     import spark.implicits._
     // 2-node hand-check incl. the dangling path: a(1)->b(2), b dangling.

@@ -1591,6 +1591,66 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML linkRank == library linkRank")
   }
 
+  test("buildVocab/encodeTokens registry ops == library forms") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="docs" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="tok" class="select">
+          <arg key="exprs" value="doc_id; split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ') AS toks"/>
+        </operator>
+        <operator name="vocab" class="buildVocab">
+          <arg key="toks" value="toks"/><arg key="topK" value="64"/>
+        </operator>
+        <operator name="enc" class="encodeTokens">
+          <arg key="toks" value="toks"/><arg key="oovId" value="-7"/>
+        </operator>
+        <connect from="docs.outport1" to="tok.inport1"/>
+        <connect from="tok.outport1" to="vocab.inport1"/>
+        <connect from="tok.outport1" to="enc.inport1"/>
+        <connect from="vocab.outport1" to="enc.inport2"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val t = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+    val vWant = graft.api.GraftOps.buildVocab(t, col("toks"), 64)
+    val vGot = ports("vocab.outport1")
+    assert(vGot.exceptAll(vWant).isEmpty && vWant.exceptAll(vGot).isEmpty &&
+      vGot.count() > 0, "XML buildVocab == library buildVocab")
+    val eWant = graft.api.GraftOps.encodeTokens(t, col("toks"), vWant, -7)
+      .select(col("doc_id"), col("token_ids"))
+    val eGot = ports("enc.outport1").select(col("doc_id"), col("token_ids"))
+    assert(eGot.exceptAll(eWant).isEmpty && eWant.exceptAll(eGot).isEmpty &&
+      eGot.count() > 0, "XML encodeTokens == library encodeTokens")
+  }
+
+  test("extractText registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="docs" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="wrap" class="select">
+          <arg key="exprs" value="doc_id; concat('&lt;p&gt;', text, '&lt;/p&gt;') AS m"/>
+        </operator>
+        <operator name="ex" class="extractText">
+          <arg key="markup" value="m"/><arg key="out" value="clean"/>
+        </operator>
+        <connect from="docs.outport1" to="wrap.inport1"/>
+        <connect from="wrap.outport1" to="ex.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val w = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), concat(lit("<p>"), col("text"), lit("</p>")).as("m"))
+    val want = graft.api.GraftOps.extractText(w, col("m"), "clean")
+    val got = ports("ex.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML extractText == library extractText")
+  }
+
   test("intervalJoin registry op == library form (keyed, prefixed)") {
     import org.apache.spark.sql.functions._
     val ev = Tables.load(spark, sf001, "events")
