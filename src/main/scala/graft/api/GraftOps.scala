@@ -90,9 +90,6 @@ object GraftOps {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard ≥ `threshold` via inverted-index join with a
-    * document-frequency cap (shingles in > `dfCap` docs are dropped from
-    * BOTH sides — bounds fanout; semantics documented to the caller). */
   /** df-cap a posting list on its `gram` column: aggregate gram
     * frequencies (map-side-combined, the survivor list AQE-broadcastable)
     * + LEFT SEMI back — never `count().over(partitionBy(gram))`, which
@@ -105,6 +102,9 @@ object GraftOps {
     posting.join(good, Seq(gram), "left_semi")
   }
 
+  /** Exact n-gram Jaccard ≥ `threshold` via inverted-index join with a
+    * document-frequency cap (shingles in > `dfCap` docs are dropped from
+    * BOTH sides — bounds fanout; semantics documented to the caller). */
   def ngramJaccard(df: DataFrame, id: Column, text: Column,
       shingleWidth: Int = 3, dfCap: Int = 100, threshold: Double = 0.6): DataFrame = {
     // codegen'd one-pass shingle hashing (tokens → distinct int64 keys);
@@ -137,12 +137,18 @@ object GraftOps {
     *
     * Recall contract (the q-gram lemma): two strings at edit distance
     * ≤ d share at least `max(len) − gramWidth + 1 − d·gramWidth` grams,
-    * so for keys of length ≥ (d+1)·gramWidth the blocking is LOSSLESS;
-    * shorter keys are excluded entirely (they'd need all-pairs — the
-    * banned shape; documented, spec'd). A pair whose every shared gram
-    * exceeds `dfCap` is missed — same stopword-gram contract as
-    * q18/q82; size dfCap to the corpus' hot-gram profile (a pair of
-    * real near-dup keys virtually always shares a rare gram too). */
+    * so for keys of length ≥ (d+1)·gramWidth the blocking is LOSSLESS.
+    * Shorter keys skip the gram index but are NOT dropped: they take a
+    * cheap exact-equality self-join instead (equi-join on the key —
+    * occupancy-bounded, never all-pairs), so byte-identical short keys
+    * still pair at distance 0 (review r15: the old full exclusion made
+    * `dist <= maxDist` quietly return nothing for short keys). Short-key
+    * pairs at distance 1..maxDist remain out of contract — finding them
+    * needs all-pairs, the banned shape (documented, spec'd). A long-key
+    * pair whose every shared gram exceeds `dfCap` is missed — same
+    * stopword-gram contract as q18/q82; size dfCap to the corpus'
+    * hot-gram profile (a pair of real near-dup keys virtually always
+    * shares a rare gram too). */
   def editDistanceJoin(df: DataFrame, id: Column, key: Column,
       maxDist: Int, gramWidth: Int = 3, dfCap: Int = 1000): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0; got $maxDist")
@@ -153,8 +159,17 @@ object GraftOps {
     // would silently lose pairs (review r15: >= gramWidth alone admitted
     // a lossy band, e.g. "abcdef"/"azcdzf" at d=2 share no trigram)
     val minLen = (maxDist + 1) * gramWidth
-    val base = df.select(id.as("__id"), key.as("__k"))
-      .filter(col("__k").isNotNull && length(col("__k")) >= minLen)
+    val all = df.select(id.as("__id"), key.as("__k"))
+      .filter(col("__k").isNotNull)
+    val base = all.filter(length(col("__k")) >= minLen)
+    // sub-lemma-length keys: distance-0 pairs via exact-equality
+    // equi-join (quadratic only in per-value duplicate count, like any
+    // dedup equi-join; a hot identical key is one AQE-split partition)
+    val short0 = all.filter(length(col("__k")) < minLen)
+    val shortPairs = short0.as("a").join(short0.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        lit(0L).as("dist"))
     val grams = base.select(col("__id"),
         explode(expr(s"transform(sequence(1, length(__k) - ${gramWidth - 1}), " +
           s"i -> substring(__k, i, $gramWidth))")).as("__g"))
@@ -169,6 +184,7 @@ object GraftOps {
       .withColumn("dist", levenshtein(col("__ka"), col("__kb")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+      .unionAll(shortPairs)
   }
 
   /** N-gram CONTAINMENT detection — the asymmetric near-dup case Jaccard
@@ -706,42 +722,63 @@ object GraftOps {
       .select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
-    val n = nodes.count()
-    if (n == 0) {
-      e.unpersist()
-      throw new IllegalArgumentException(
-        "linkRank needs at least one edge with non-null endpoints")
-    }
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("__deg")).localCheckpoint(true)
-    // the dangling SET is iteration-invariant (who has out-edges never
-    // changes) — only its rank mass moves; classify once
-    val danglingNodes = nodes.join(outdeg, Seq("node"), "left_anti")
-      .localCheckpoint(true)
-    val base = ((totalMass / n) * (1000000L - dampingPpm)) / 1000000L
-    var ranks = nodes.withColumn("rank", lit(totalMass / n))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val dangle = ranks.join(danglingNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum("rank"), lit(0L))).collect()(0).getLong(0)
-      val dangleShare = dangle / n
-      val inflow = ranks.join(outdeg, Seq("node"))
-        .select(col("node"), expr("rank div __deg").as("__contrib"))
-        .join(e.select(col("src").as("node"), col("dst")), Seq("node"))
-        .groupBy(col("dst").as("node")).agg(sum("__contrib").as("__in"))
-      // `div`, not `/`: Spark's Divide on bigints returns double — the
-      // truncating integral division is the portability contract here
-      ranks = nodes.join(inflow, Seq("node"), "left_outer")
-        .select(col("node"),
-          expr(s"${base}L + (${dampingPpm}L * (coalesce(__in, 0L) + " +
-            s"${dangleShare}L)) div 1000000").as("rank"))
+    // every cached intermediate is released even if an iteration throws
+    // (review r15: the loop used to strand up to `iterations` superseded
+    // rank tables + the edge list in the block manager); the RETURNED
+    // ranks is the one survivor — its lineage is its own checkpoint, so
+    // freeing nodes/outdeg/dangling cannot invalidate it
+    var toFree: List[DataFrame] = Nil
+    var inFlight: DataFrame = null
+    var done = false
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
         .localCheckpoint(true)
+      toFree ::= nodes
+      val n = nodes.count()
+      if (n == 0)
+        throw new IllegalArgumentException(
+          "linkRank needs at least one edge with non-null endpoints")
+      val outdeg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("__deg")).localCheckpoint(true)
+      toFree ::= outdeg
+      // the dangling SET is iteration-invariant (who has out-edges never
+      // changes) — only its rank mass moves; classify once
+      val danglingNodes = nodes.join(outdeg, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      toFree ::= danglingNodes
+      val base = ((totalMass / n) * (1000000L - dampingPpm)) / 1000000L
+      var ranks = nodes.withColumn("rank", lit(totalMass / n))
+        .localCheckpoint(true)
+      inFlight = ranks
+      for (_ <- 1 to iterations) {
+        val dangle = ranks.join(danglingNodes, Seq("node"), "left_semi")
+          .agg(coalesce(sum("rank"), lit(0L))).collect()(0).getLong(0)
+        val dangleShare = dangle / n
+        val inflow = ranks.join(outdeg, Seq("node"))
+          .select(col("node"), expr("rank div __deg").as("__contrib"))
+          .join(e.select(col("src").as("node"), col("dst")), Seq("node"))
+          .groupBy(col("dst").as("node")).agg(sum("__contrib").as("__in"))
+        // `div`, not `/`: Spark's Divide on bigints returns double — the
+        // truncating integral division is the portability contract here
+        val prev = ranks
+        ranks = nodes.join(inflow, Seq("node"), "left_outer")
+          .select(col("node"),
+            expr(s"${base}L + (${dampingPpm}L * (coalesce(__in, 0L) + " +
+              s"${dangleShare}L)) div 1000000").as("rank"))
+          .localCheckpoint(true) // eager — prev's blocks are now dead
+        inFlight = ranks
+        prev.unpersist()
+      }
+      done = true
+      ranks
+    } finally {
+      e.unpersist()
+      toFree.foreach(_.unpersist())
+      // on the throw path the in-flight rank table is stranded too;
+      // on success it IS the returned survivor and must stay cached
+      if (!done && inFlight != null) inFlight.unpersist()
     }
-    e.unpersist()
-    ranks
   }
 
   /** SEMANTIC near-dup candidate pairs — embedding-CLUSTER routing:
@@ -2942,6 +2979,14 @@ object GraftOps {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size, "funnel stages must be distinct")
     require(horizonUs > 0, s"horizonUs must be positive; got $horizonUs")
+    // stage names become `t_<stage>` output columns referenced by name;
+    // a dot or backtick would parse as struct access / break resolution
+    // with an opaque AnalysisException deep in the plan — fail at the API
+    // boundary instead (review r15)
+    val badStages = stages.filterNot(_.matches("[A-Za-z0-9_\\- ]+"))
+    require(badStages.isEmpty,
+      s"funnel stage names must match [A-Za-z0-9_\\- ]+ (they become " +
+        s"t_<stage> output columns); got: ${badStages.mkString(", ")}")
     val w = Window.partitionBy(col("__key"))
     var cur = df.select(key.as("__key"), ts.as("__ts"), stage.as("__st"))
       .withColumn(s"t_${stages.head}",
@@ -3037,6 +3082,14 @@ object GraftOps {
       spanUs: Long, key: Option[(String, String)] = None,
       rightPrefix: String = "r_"): DataFrame = {
     require(spanUs > 0, s"spanUs must be positive; got $spanUs")
+    // the bucket/endpoint working columns are reserved: withColumn would
+    // silently OVERWRITE a user column of the same name and the final
+    // drop would remove it (review r15) — fail at the API boundary
+    val reserved = Set("__b", "__ls", "__le", "__rs", "__re")
+    val clashes = (left.columns ++ right.columns).filter(reserved)
+    require(clashes.isEmpty,
+      s"intervalJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the input column(s): ${clashes.distinct.mkString(", ")}")
     def prep(df: DataFrame, s: Column, e: Column, tag: String): DataFrame =
       df.filter(s.isNotNull && e.isNotNull && s <= e)
         .withColumn(s"__${tag}s", unix_micros(s))
@@ -3045,8 +3098,12 @@ object GraftOps {
           expr(s"__${tag}s div ${spanUs}L"), expr(s"__${tag}e div ${spanUs}L"))))
     val l = prep(left, lStart, lEnd, "l")
     val r0 = prep(right, rStart, rEnd, "r")
+    // prefix every ORIGINAL right column — including user columns that
+    // happen to start with __ (review r15: a startsWith("__") test let
+    // them escape the rename and collide ambiguously with left columns)
+    val rWorking = Set("__b", "__rs", "__re")
     val r = r0.select(r0.columns.map(c =>
-      if (c.startsWith("__")) col(c) else col(c).as(s"$rightPrefix$c")): _*)
+      if (rWorking(c)) col(c) else col(c).as(s"$rightPrefix$c")): _*)
     val keyCond = key.map { case (lk, rk) =>
       l(lk) === r(s"$rightPrefix$rk") }.getOrElse(lit(true))
     l.join(r,

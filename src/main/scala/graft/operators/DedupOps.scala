@@ -623,13 +623,22 @@ object DedupOps {
         SELECT doc_id, gram FROM g SEMI JOIN good USING (gram)),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
-        FROM gf a JOIN gf bb ON a.gram = bb.gram AND a.doc_id < bb.doc_id)
-      SELECT c.id_a, c.id_b,
-        CAST(levenshtein(ka.key, kb.key) AS BIGINT) AS dist
-      FROM cand c
-      JOIN k ka ON ka.doc_id = c.id_a
-      JOIN k kb ON kb.doc_id = c.id_b
-      WHERE levenshtein(ka.key, kb.key) <= 2
+        FROM gf a JOIN gf bb ON a.gram = bb.gram AND a.doc_id < bb.doc_id),
+      -- sub-lemma-length keys: exact-equality distance-0 pairs (the
+      -- operator's short-key tier; zero rows on this all-length-17
+      -- fixture, stated for contract fidelity)
+      shortp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS dist
+        FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
+        WHERE len(a.key) < 12)
+      SELECT id_a, id_b, dist FROM (
+        SELECT c.id_a, c.id_b,
+          CAST(levenshtein(ka.key, kb.key) AS BIGINT) AS dist
+        FROM cand c
+        JOIN k ka ON ka.doc_id = c.id_a
+        JOIN k kb ON kb.doc_id = c.id_b
+        WHERE levenshtein(ka.key, kb.key) <= 2
+        UNION ALL SELECT id_a, id_b, dist FROM shortp)
       ORDER BY id_a, id_b"""))
 
   val all: Seq[QueryDef] =

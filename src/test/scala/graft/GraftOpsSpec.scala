@@ -2865,6 +2865,20 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(keyed == Set((1L, 11L), (2L, 10L)), // (1,10) differs in parity
       s"keyed intervalJoin restricts by equi-key: $keyed")
+    // reserved working names fail loudly instead of being clobbered
+    val clash = left.withColumn("__b", lit(1))
+    val ex = intercept[IllegalArgumentException] {
+      GraftOps.intervalJoin(clash, right, col("ls"), col("le"),
+        col("rs"), col("re"), spanUs = 60000000L)
+    }
+    assert(ex.getMessage.contains("__b"), s"names the clash: ${ex.getMessage}")
+    // a right USER column starting with __ gets the prefix (it used to
+    // escape the rename and collide ambiguously with left columns)
+    val rUnd = right.withColumn("__note", lit("x"))
+    val cols = GraftOps.intervalJoin(left, rUnd, col("ls"), col("le"),
+      col("rs"), col("re"), spanUs = 60000000L).columns.toSet
+    assert(cols.contains("r___note") && !cols.contains("__note"),
+      s"right __-columns are prefixed too: $cols")
   }
 
   test("goldenRecord: per-field latest non-null winners, all-null field stays null") {
@@ -3009,22 +3023,30 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       .filter(col("key") === 5).collect().head
     assert(!u5.isNullAt(1) && u5.isNullAt(2) && u5.isNullAt(3),
       "C without B leaves both t_B and t_C null")
+    // stage names become t_<stage> columns: a dot would parse as struct
+    // access deep in the plan — the API boundary rejects it instead
+    val bad = intercept[IllegalArgumentException] {
+      GraftOps.funnel(ev, col("u"), col("t"), col("s"),
+        Seq("A", "b.c"), horizonUs = 1000000L)
+    }
+    assert(bad.getMessage.contains("b.c"), s"names the bad stage: ${bad.getMessage}")
   }
 
-  test("editDistanceJoin: typo pairs found, short keys out, df-cap contract") {
+  test("editDistanceJoin: typo pairs found, short keys exact-only, df-cap contract") {
     import spark.implicits._
     val df = Seq(
       (1L, "wonderful-widget-2000"),
       (2L, "wonderful-widgat-2000"),  // 1 substitution from 1
       (3L, "wonderful-gadget-9999"),  // far from everything (dist > 2)
-      (4L, "xy"),                     // shorter than gramWidth: excluded
-      (5L, "zz"),                     // would match 4 at dist 2 — but excluded
-      (6L, "wonderful-widget-200"))   // 1 deletion from 1, 2 from 2
+      (4L, "xy"),                     // short: near-miss of 5 NOT found…
+      (5L, "zz"),                     // …but identical short keys pair at 0
+      (6L, "wonderful-widget-200"),   // 1 deletion from 1, 2 from 2
+      (7L, "zz"))                     // byte-identical to 5 → (5,7,0)
       .toDF("id", "key")
     val got = GraftOps.editDistanceJoin(df, col("id"), col("key"), maxDist = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == Set((1L, 2L, 1L), (1L, 6L, 1L), (2L, 6L, 2L)),
-      s"planted typo pairs at their exact distances: $got")
+    assert(got == Set((1L, 2L, 1L), (1L, 6L, 1L), (2L, 6L, 2L), (5L, 7L, 0L)),
+      s"planted typo pairs at exact distances + short-key exact pair: $got")
     // pairs always ordered id_a < id_b, each emitted once
     assert(got.forall { case (a, b, _) => a < b })
     // df-cap: two near keys whose EVERY gram is shared by > cap other
