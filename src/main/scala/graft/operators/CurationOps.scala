@@ -1301,8 +1301,61 @@ object CurationOps {
              FROM nodes LEFT JOIN i3 USING (node))
       SELECT node, rank FROM r3 ORDER BY node"""))
 
+  // --------------------------------------------------------------- q111
+  /** Per-vertex triangle counts over a planted doc link graph: three
+    * deterministic edge families per doc — ring (+1), chord (+2), and a
+    * ×7 long-range link — so every consecutive triple closes a triangle
+    * and the ×7 family adds irregular extras, self-loops (6i+1 ≡ 0 mod
+    * m), and duplicate edges for the canonicalization path to eat. The
+    * full (node, degree, n_tri) report is integer-exact and hash-gated
+    * against the oracle's restatement of the same degree-ordered
+    * orientation. Exercises [[GraftOps.triangleCounts]]. */
+  val q111 = QueryDef("q111_triangle_counts",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val m = d.agg(max("doc_id")).collect()(0).getLong(0) + 1
+      val edges =
+        d.select(col("doc_id").as("src"), ((col("doc_id") + 1) % m).as("dst"))
+          .unionAll(d.select(col("doc_id").as("src"),
+            ((col("doc_id") + 2) % m).as("dst")))
+          .unionAll(d.select(col("doc_id").as("src"),
+            ((col("doc_id") * 7 + 1) % m).as("dst")))
+      GraftOps.triangleCounts(edges, col("src"), col("dst"))
+        .orderBy("node")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id FROM documents),
+      mm AS (SELECT MAX(doc_id) + 1 AS m FROM d),
+      raw AS (
+        SELECT doc_id AS s, (doc_id + 1) % m AS t FROM d, mm
+        UNION ALL SELECT doc_id, (doc_id + 2) % m FROM d, mm
+        UNION ALL SELECT doc_id, (doc_id*7 + 1) % m FROM d, mm),
+      und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+              FROM raw WHERE s <> t),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+        (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+      o AS (SELECT
+          CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+          CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+          CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+        FROM (SELECT a, b, x.degree AS da, y.degree AS db
+              FROM und JOIN deg x ON x.node = a JOIN deg y ON y.node = b)),
+      w AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
+            FROM o e1 JOIN o e2 ON e1.u = e2.u
+              AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))),
+      tri AS (SELECT w.u, w.v1, w.v2
+              FROM w JOIN o ON o.u = w.v1 AND o.v = w.v2),
+      pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM
+        (SELECT u AS node FROM tri
+         UNION ALL SELECT v1 FROM tri
+         UNION ALL SELECT v2 FROM tri) GROUP BY 1)
+      SELECT deg.node, deg.degree,
+        COALESCE(pern.n_tri, CAST(0 AS BIGINT)) AS n_tri
+      FROM deg LEFT JOIN pern USING (node)
+      ORDER BY node"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
-      q100, q105, q107, q108)
+      q100, q105, q107, q108, q111)
 }

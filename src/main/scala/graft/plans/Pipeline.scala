@@ -881,6 +881,9 @@ object PipelineCompiler {
         arg(args, "iterations").toInt,
         args.getOrElse("dampingPpm", "850000").toLong,
         args.getOrElse("totalMass", "1000000000000").toLong))),
+    "triangleCounts" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.triangleCounts(
+        in("inport1"), expr(arg(args, "src")), expr(arg(args, "dst"))))),
     "buildVocab" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.buildVocab(in("inport1"),
         expr(arg(args, "toks")), arg(args, "topK").toInt))),

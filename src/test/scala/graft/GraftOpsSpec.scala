@@ -397,6 +397,32 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("triangleCounts: canonicalization, orientation exactness, per-vertex counts") {
+    import spark.implicits._
+    val edges = Seq(
+      // triangle {1,2,3}: one edge reversed, one duplicated
+      (1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L),
+      // self loop + dangling path — no triangles
+      (4L, 4L), (4L, 5L),
+      // K4 on {6,7,8,9}: C(4,3) = 4 triangles, each vertex in 3
+      (6L, 7L), (6L, 8L), (6L, 9L), (7L, 8L), (7L, 9L), (8L, 9L))
+      .toDF("s", "d")
+    val got = GraftOps.triangleCounts(edges, col("s"), col("d"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Map(
+      1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (2L, 1L),
+      4L -> (1L, 0L), 5L -> (1L, 0L),
+      6L -> (3L, 3L), 7L -> (3L, 3L), 8L -> (3L, 3L), 9L -> (3L, 3L))
+    assert(got == want, s"per-vertex (degree, n_tri): $got")
+    // Σ n_tri = 3 × total triangles (each triangle counted at 3 vertices)
+    assert(got.values.map(_._2).sum == 3L * 5)
+    // null endpoints are ignored, not phantom vertices
+    val withNull = GraftOps.triangleCounts(
+      Seq((Some(1L), Some(2L)), (None, Some(2L)), (Some(1L), None))
+        .toDF("s", "d"), col("s"), col("d")).collect()
+    assert(withNull.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("corpusDrift: exact chi-square contributions; new/vanished/null categories") {
     import spark.implicits._
     // base mix a:8 b:2 (tb=10); cur mix a:6 b:2 c:2 (tc=10)

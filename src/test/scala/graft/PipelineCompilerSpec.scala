@@ -1591,6 +1591,31 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML linkRank == library linkRank")
   }
 
+  test("triangleCounts registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="docs" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="edges" class="select">
+          <arg key="exprs" value="doc_id AS src; (doc_id + 1) % 500 AS dst"/>
+        </operator>
+        <operator name="tc" class="triangleCounts">
+          <arg key="src" value="src"/><arg key="dst" value="dst"/>
+        </operator>
+        <connect from="docs.outport1" to="edges.inport1"/>
+        <connect from="edges.outport1" to="tc.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val ed = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id").as("src"), ((col("doc_id") + 1) % 500).as("dst"))
+    val want = graft.api.GraftOps.triangleCounts(ed, col("src"), col("dst"))
+    val got = ports("tc.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML triangleCounts == library triangleCounts")
+  }
+
   test("buildVocab/encodeTokens registry ops == library forms") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
