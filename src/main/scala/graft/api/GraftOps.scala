@@ -2130,6 +2130,81 @@ object GraftOps {
         col("tfidf"), col("rk"))
   }
 
+  /** BM25-style full-text retrieval: top-`k` documents per query by the
+    * Okapi relevance function, with the ONE substitution that makes the
+    * whole score hash-portable across engines: the idf factor is the
+    * RAW Robertson–Spärck Jones odds ratio (N − df + ½)/(df + ½) —
+    * stated as the exact-integer ratio (2(N−df)+1)/(2df+1) — instead of
+    * its logarithm (libm, never bit-portable; the ratio is strictly
+    * monotone in df, so per-term orderings are preserved — absolute
+    * scores are on a different scale than textbook BM25, rankings of
+    * single-term queries identical; multi-term mixes weigh rare terms
+    * harder, the documented contract). k1/b arrive as ppm integers and
+    * become doubles via one stated division each; every remaining step
+    * is a fixed-order IEEE chain, and the per-(query, doc) term sum is
+    * a SORTED left fold (collect terms, sort by term, fold) — never a
+    * float SUM aggregate, whose addend order is engine-dependent. q112
+    * hash-gates rank AND micros-quantized score end to end.
+    *
+    * Semantics: tf = term count in doc, dl = doc token count, both over
+    * non-empty tokens; N and total-token count over docs with ≥ 1
+    * token (empty docs are outside the collection — they can never
+    * match); duplicate query terms count once; query terms absent from
+    * the corpus contribute nothing; a query with no surviving terms
+    * emits no rows. Ties break (score desc, doc_id asc), exact.
+    *
+    * Plan: posting list tf/dl/df aggregates (map-side combined, keyed
+    * by (doc, term) / doc / term — the tfidfTopK shapes); corpus stats
+    * are ONE 1-row aggregate crossJoin-broadcast back (no driver
+    * collect); candidates = query-terms ⋈ posting on term — the
+    * inverted-index retrieval cost Σ_t df(t)·q(t), never |docs|×|queries|;
+    * per-(query, doc) agg + per-query top-k window both shuffle
+    * candidate-sized data only. A stopword-heavy query term is one hot
+    * key — AQE skew-split, or pre-drop stopwords from queries (the
+    * dfCapPosting contract applied query-side). */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+      queries: DataFrame, qid: Column, qtext: Column, k: Int,
+      k1Ppm: Long = 1200000L, bPpm: Long = 750000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    require(k1Ppm >= 0, s"k1Ppm must be >= 0; got $k1Ppm")
+    require(bPpm >= 0 && bPpm <= 1000000,
+      s"bPpm must be in [0, 1000000]; got $bPpm")
+    val k1 = k1Ppm.toDouble / 1000000.0
+    val b = bPpm.toDouble / 1000000.0
+    val tok = docs.select(id.as("__doc"), explode(Text.tokens(text)).as("__t"))
+      .filter(col("__t") =!= "")
+    val tf = tok.groupBy(col("__doc"), col("__t")).agg(count(lit(1)).as("__tf"))
+    // dl = Σ tf per doc — exactly the token count, but aggregated from
+    // the (far smaller) posting list, whose exchange the plan reuses,
+    // instead of a second pass over the raw token stream
+    val dl = tf.groupBy(col("__doc")).agg(sum("__tf").as("__dl"))
+    val st = dl.agg(count(lit(1)).as("__n"), sum("__dl").as("__tot"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val qterms = queries
+      .select(qid.as("__q"), explode(Text.tokens(qtext)).as("__t"))
+      .filter(col("__t") =!= "").distinct()
+    val cand = qterms.join(tf, "__t").join(dfreq, "__t")
+      .join(dl, "__doc")
+      .crossJoin(broadcast(st))
+      .withColumn("__x",
+        (col("__dl") * col("__n")).cast("double") / col("__tot").cast("double"))
+      .withColumn("__idf",
+        ((col("__n") - col("__df")) * 2 + 1).cast("double") /
+          (col("__df") * 2 + 1).cast("double"))
+      .withColumn("__tfp",
+        (col("__tf") * lit(k1 + 1.0)) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__x"))))
+      .withColumn("__c", col("__idf") * col("__tfp"))
+    val w = Window.partitionBy(col("__q")).orderBy(desc("score"), col("__doc"))
+    cand.groupBy(col("__q"), col("__doc"))
+      .agg(sort_array(collect_list(struct(col("__t"), col("__c")))).as("__lst"))
+      .withColumn("score", expr("aggregate(__lst, 0D, (acc, x) -> acc + x.__c)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__q").as("query_id"), col("__doc").as("doc_id"),
+        col("rank"), col("score"))
+  }
+
   /** Deterministic stratified Bernoulli sample: keep a row iff the
     * portable hash of its `key` lands under the stratum's rate (in
     * millionths). Pure narrow filter — zero shuffle, reproducible across

@@ -496,7 +496,69 @@ object TextOps {
       SELECT doc_id, CAST(length(extracted) AS INTEGER) AS ex_len, extracted
       FROM f ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q112
+  /** BM25-style retrieval: every 50th doc's first four tokens become a
+    * query; top-5 docs per query by the log-free Okapi score
+    * ([[graft.api.GraftOps.bm25TopK]] — rational RSJ idf, fixed-order
+    * IEEE chain, sorted per-(query, doc) term fold). Both rank AND the
+    * micros-quantized score hash-match: every arithmetic step is stated
+    * identically on both engines, so the fold produces bit-equal
+    * doubles. The query's own source doc ranks (it contains its terms)
+    * but need not win — ~5% exact-dup docs and tf/dl variation make the
+    * leaderboard non-trivial. */
+  val q112 = QueryDef("q112_bm25_topk",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val qs = d.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(expr("doc_id div 50").as("qid"),
+          concat_ws(" ", slice(
+            filter(Text.tokens(col("text")), t => t =!= lit("")),
+            1, 4)).as("qtext"))
+      graft.api.GraftOps.bm25TopK(d, col("doc_id"), col("text"),
+          qs, col("qid"), col("qtext"), k = 5)
+        .withColumn("score_us", floor(col("score") * lit(1000000.0)))
+        .drop("score")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id,
+        list_filter(${Duck.toks}, x -> x <> '') AS toks FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS t FROM t),
+      tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+             FROM tf GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+      dfq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      qt AS (SELECT DISTINCT doc_id // 50 AS qid,
+               unnest(list_slice(toks, 1, 4)) AS t
+             FROM t WHERE doc_id % 50 = 0),
+      c AS (SELECT qid, tf.doc_id, tf.t,
+              (CAST((n - df)*2 + 1 AS DOUBLE) / CAST(df*2 + 1 AS DOUBLE))
+              * ((tf * (1200000.0/1000000.0 + 1.0))
+                 / (tf + (1200000.0/1000000.0)
+                    * ((1.0 - 750000.0/1000000.0)
+                       + (750000.0/1000000.0)
+                         * (CAST(dl.dl * n AS DOUBLE) / CAST(tot AS DOUBLE)))))
+                AS c
+            FROM qt JOIN tf USING (t) JOIN dfq USING (t)
+            JOIN dl ON dl.doc_id = tf.doc_id, st),
+      s2 AS (SELECT qid, doc_id,
+               list_reduce(list_transform(
+                 list_sort(list(struct_pack(t := t, c := c))), x -> x.c),
+                 (a, b2) -> a + b2) AS score
+             FROM c GROUP BY 1, 2),
+      r AS (SELECT qid, doc_id, score,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, doc_id) AS rank
+            FROM s2)
+      SELECT qid AS query_id, doc_id, rank,
+        CAST(floor(score * 1000000.0) AS BIGINT) AS score_us
+      FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   val all: Seq[QueryDef] =
     Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86, q101, q109,
-      q110)
+      q110, q112)
 }

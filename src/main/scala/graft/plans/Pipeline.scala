@@ -884,6 +884,14 @@ object PipelineCompiler {
     "triangleCounts" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.triangleCounts(
         in("inport1"), expr(arg(args, "src")), expr(arg(args, "dst"))))),
+    // bm25TopK: inport1 = document corpus, inport2 = query batch
+    "bm25TopK" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.bm25TopK(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
+        in("inport2"), expr(arg(args, "qid")), expr(arg(args, "qtext")),
+        arg(args, "k").toInt,
+        args.getOrElse("k1Ppm", "1200000").toLong,
+        args.getOrElse("bPpm", "750000").toLong))),
     "buildVocab" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.buildVocab(in("inport1"),
         expr(arg(args, "toks")), arg(args, "topK").toInt))),

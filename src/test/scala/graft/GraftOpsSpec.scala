@@ -423,6 +423,42 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(withNull.map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("bm25TopK: reference scores bit-equal, dup/absent/empty query contracts") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana banana"),
+      (4L, ""))             // zero tokens: outside the collection
+      .toDF("id", "text")
+    val qsDf = Seq(
+      (10L, "apple banana apple"), // duplicate query term counts once
+      (11L, "durian"),             // absent from corpus: no rows
+      (12L, ""))                   // no terms: no rows
+      .toDF("qid", "qtext")
+    val got = GraftOps.bm25TopK(docsDf, col("id"), col("text"),
+        qsDf, col("qid"), col("qtext"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSet == Set(10L), "only q10 scores anything")
+    // reference implementation, same arithmetic in the same order
+    val n = 3L; val tot = 9L
+    val k1 = 1200000L.toDouble / 1000000.0; val b = 750000L.toDouble / 1000000.0
+    def contrib(tf: Long, dl: Long, df: Long): Double = {
+      val x = (dl * n).toDouble / tot.toDouble
+      val idf = ((n - df) * 2 + 1).toDouble / (df * 2 + 1).toDouble
+      idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * x)))
+    }
+    // terms sorted ("apple" < "banana"), folded left to right
+    val s1 = contrib(2, 3, 2) + contrib(1, 3, 2) // doc1: apple tf2, banana tf1
+    val s2 = contrib(1, 2, 2)                    // doc2: apple only
+    val s3 = contrib(4, 4, 2)                    // doc3: banana tf4
+    val want = Seq((1L, s1), (2L, s2), (3L, s3)).sortBy(p => (-p._2, p._1))
+      .zipWithIndex.map { case ((d, s), i) => (10L, d, (i + 1).toLong, s) }
+    assert(got.sortBy(_._3).toSeq == want,
+      s"bit-equal scores + deterministic ranks: got=${got.toSeq} want=$want")
+  }
+
   test("corpusDrift: exact chi-square contributions; new/vanished/null categories") {
     import spark.implicits._
     // base mix a:8 b:2 (tb=10); cur mix a:6 b:2 c:2 (tc=10)

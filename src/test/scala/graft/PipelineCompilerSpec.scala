@@ -1616,6 +1616,40 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML triangleCounts == library triangleCounts")
   }
 
+  test("bm25TopK registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="docs" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="qs" class="select">
+          <arg key="exprs" value="doc_id AS qid; text AS qtext"/>
+        </operator>
+        <operator name="f" class="filter">
+          <arg key="predicate" value="qid % 100 = 0"/>
+        </operator>
+        <operator name="bm" class="bm25TopK">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+          <arg key="qid" value="qid"/><arg key="qtext" value="qtext"/>
+          <arg key="k" value="3"/>
+        </operator>
+        <connect from="docs.outport1" to="qs.inport1"/>
+        <connect from="qs.outport1" to="f.inport1"/>
+        <connect from="docs.outport1" to="bm.inport1"/>
+        <connect from="f.outport1" to="bm.inport2"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val d = Tables.load(spark, sf001, "documents")
+    val qs = d.select(col("doc_id").as("qid"), col("text").as("qtext"))
+      .filter(col("qid") % 100 === 0)
+    val want = graft.api.GraftOps.bm25TopK(d, col("doc_id"), col("text"),
+      qs, col("qid"), col("qtext"), 3)
+    val got = ports("bm.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML bm25TopK == library bm25TopK")
+  }
+
   test("buildVocab/encodeTokens registry ops == library forms") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""

@@ -29,12 +29,14 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     *    cross join (the q35/q70 shape).
     *  - q81: the contribution report joins the 1-row grand total via
     *    broadcast cross join (same shape).
+    *  - q112: BM25 joins the 1-row (N, total-tokens) corpus stats via
+    *    broadcast cross join (the q35/q70/q81 shape).
     */
   private val allowNestedLoop = Set(
     "q13_similarity_knn", "q19_embedding_neardup", "q32_cross_join",
     "q35_tfidf_topk", "q50_ann_pq", "q70_heavy_hitters",
     "q70b_heavy_hitters_sketch", "q71_ann_sq8", "q77_collocations",
-    "q81_contribution")
+    "q81_contribution", "q112_bm25_topk")
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(nodes)
