@@ -3495,6 +3495,82 @@ object GraftOps {
       .drop("__tb", "__tc", "__exp")
   }
 
+  /** Per-group Pearson correlation matrix over pre-quantized LONG metric
+    * columns — the data-profiling step that surfaces redundant or
+    * entangled quality signals before they mislead a mixture plan (two
+    * scores at ρ ≈ 1 are one signal counted twice). Values must already
+    * be integer-exact (the caller quantizes doubles with the portable
+    * `floor(x·10^s)` idiom); all moment sums then run in decimal(38,0) —
+    * EXACT, order-free, so the whole statistic is reproducible run to
+    * run and hash-portable engine to engine: ρ's numerator n·Sxy − Sx·Sy
+    * and variance terms are exact integers, and only the final
+    * ratio/sqrt is a three-op IEEE chain on identically-rounded doubles
+    * (the float-sum covariance of textbook one-pass formulas is
+    * order-dependent and could never gate). NULL handling is pairwise-
+    * complete: each pair's stats count only rows where BOTH values are
+    * present. `corr` is NULL for a degenerate pair (either variance 0,
+    * e.g. a constant column, or n = 0) — never NaN, never ±∞.
+    *
+    * Output: one row per (grp, col_a, col_b), col_a < col_b by the
+    * caller's `values` order, with n (pairwise count) and corr.
+    *
+    * Plan: ONE map-side-combined hash aggregate computes every pair's
+    * five moments in a single corpus pass (C(m,2)·5 agg expressions —
+    * m is a handful of metrics by contract, so tens of counters per
+    * task, model-sized); the grouped result is group-cardinality-sized
+    * and the pair rows `inline` out of it narrow — the corpus shuffles
+    * ONCE, group-keyed, at any scale (q80/q81 posture). */
+  def corrMatrix(df: DataFrame, group: Column,
+      values: Seq[(String, Column)]): DataFrame = {
+    require(values.size >= 2,
+      s"corrMatrix needs at least two value columns; got ${values.size}")
+    require(values.map(_._1).distinct.size == values.size,
+      "corrMatrix value names must be distinct")
+    val names = values.map(_._1)
+    val base = df.select(
+      (group.as("grp") +: values.map { case (n, c) =>
+        c.cast("long").as(s"__v_$n") }): _*)
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    // row-grain products multiply as LONGS (codegen'd; exact while
+    // |v| < ~3.03e9 — ANSI mode makes a wider value fail LOUDLY with
+    // ARITHMETIC_OVERFLOW, never wrap; rescale the quantization if your
+    // metrics are that wide) and only the cross-row SUM accumulates in
+    // decimal(38,0) — the all-decimal product form was measured 2.4×
+    // slower (BigDecimal multiply per row per moment)
+    def dec38(c: Column): Column = c.cast("decimal(38,0)")
+    val aggs = pairs.flatMap { case (a, b) =>
+      val va = col(s"__v_$a"); val vb = col(s"__v_$b")
+      val both = va.isNotNull && vb.isNotNull
+      Seq(
+        sum(when(both, lit(1L))).as(s"__n_${a}_$b"),
+        sum(when(both, dec(va))).as(s"__sx_${a}_$b"),
+        sum(when(both, dec(vb))).as(s"__sy_${a}_$b"),
+        sum(when(both, dec38(va * vb))).as(s"__sxy_${a}_$b"),
+        sum(when(both, dec38(va * va))).as(s"__sxx_${a}_$b"),
+        sum(when(both, dec38(vb * vb))).as(s"__syy_${a}_$b"))
+    }
+    val rows = pairs.map { case (a, b) =>
+      val n = coalesce(col(s"__n_${a}_$b"), lit(0L))
+      val nd = dec(n)
+      val num = nd * col(s"__sxy_${a}_$b") -
+        col(s"__sx_${a}_$b") * col(s"__sy_${a}_$b")
+      val dx = nd * col(s"__sxx_${a}_$b") -
+        col(s"__sx_${a}_$b") * col(s"__sx_${a}_$b")
+      val dy = nd * col(s"__syy_${a}_$b") -
+        col(s"__sy_${a}_$b") * col(s"__sy_${a}_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), n.as("n"),
+        when(dx > 0 && dy > 0,
+          num.cast("double") /
+            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+          .as("corr"))
+    }
+    base.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+      .select(col("grp"), inline(array(rows: _*)))
+  }
+
   // ------------------------------------------------- score calibration
 
   /** Per-group quantile normalization — cross-source score CALIBRATION:

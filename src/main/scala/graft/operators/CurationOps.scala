@@ -1354,8 +1354,56 @@ object CurationOps {
       FROM deg LEFT JOIN pern USING (node)
       ORDER BY node"""))
 
+  // --------------------------------------------------------------- q113
+  /** Pearson correlation matrix of the four lineitem money/quantity
+    * metrics per returnflag: doubles quantized to exact integer cents
+    * (the portable floor(x·100) idiom), every moment sum exact in
+    * decimal(38,0)/HUGEINT, the final ratio a three-op IEEE chain on
+    * identically-rounded doubles, quantized to micros — the whole
+    * profiling report hash-gates. Exercises [[GraftOps.corrMatrix]]. */
+  private def corrPairSql(a: String, b: String): String = {
+    def s(v: String) = s"SUM(CAST(v$v AS HUGEINT))"
+    def sp(x: String, y: String) = s"SUM(CAST(v$x AS HUGEINT) * CAST(v$y AS HUGEINT))"
+    s"""SELECT grp, '$a' AS col_a, '$b' AS col_b, n,
+      CASE WHEN nh*sxx - sx*sx > 0 AND nh*syy - sy*sy > 0 THEN
+        CAST(floor(CAST(nh*sxy - sx*sy AS DOUBLE)
+          / (sqrt(CAST(nh*sxx - sx*sx AS DOUBLE))
+             * sqrt(CAST(nh*syy - sy*sy AS DOUBLE))) * 1000000.0) AS BIGINT)
+      END AS corr_us
+    FROM (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(*) AS HUGEINT) AS nh,
+            ${s(a)} AS sx, ${s(b)} AS sy, ${sp(a, b)} AS sxy,
+            ${sp(a, a)} AS sxx, ${sp(b, b)} AS syy
+          FROM b GROUP BY grp)"""
+  }
+
+  val q113 = QueryDef("q113_corr_matrix",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      GraftOps.corrMatrix(l, col("l_returnflag"), Seq(
+          "disc" -> floor(col("l_discount") * 100),
+          "price" -> floor(col("l_extendedprice") * 100),
+          "qty" -> floor(col("l_quantity") * 100),
+          "tax" -> floor(col("l_tax") * 100)))
+        .withColumn("corr_us", floor(col("corr") * lit(1000000.0)))
+        .drop("corr")
+        .orderBy("grp", "col_a", "col_b")
+    },
+    Some(s"""
+      WITH b AS (SELECT l_returnflag AS grp,
+        CAST(floor(l_discount*100) AS BIGINT) AS vdisc,
+        CAST(floor(l_extendedprice*100) AS BIGINT) AS vprice,
+        CAST(floor(l_quantity*100) AS BIGINT) AS vqty,
+        CAST(floor(l_tax*100) AS BIGINT) AS vtax
+      FROM lineitem)
+      ${Seq("disc" -> "price", "disc" -> "qty", "disc" -> "tax",
+            "price" -> "qty", "price" -> "tax", "qty" -> "tax")
+        .map { case (a, b) => corrPairSql(a, b) }
+        .mkString("", "\nUNION ALL\n", "")}
+      ORDER BY grp, col_a, col_b"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
-      q100, q105, q107, q108, q111)
+      q100, q105, q107, q108, q111, q113)
 }

@@ -892,6 +892,16 @@ object PipelineCompiler {
         arg(args, "k").toInt,
         args.getOrElse("k1Ppm", "1200000").toLong,
         args.getOrElse("bPpm", "750000").toLong))),
+    // corrMatrix: values is 'name:expr;name:expr;…' (the splits idiom)
+    "corrMatrix" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.corrMatrix(
+        in("inport1"), expr(arg(args, "group")),
+        arg(args, "values").split(';').toIndexedSeq.map { v0 =>
+          val i = v0.indexOf(':')
+          if (i <= 0) throw new PipelineException(
+            s"values entries must be 'name:expr'; got '$v0'")
+          v0.substring(0, i).trim -> expr(v0.substring(i + 1).trim)
+        }))),
     "buildVocab" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.buildVocab(in("inport1"),
         expr(arg(args, "toks")), arg(args, "topK").toInt))),

@@ -459,6 +459,56 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       s"bit-equal scores + deterministic ranks: got=${got.toSeq} want=$want")
   }
 
+  test("corrMatrix: exact moments, degenerate NULL, pairwise-complete counts") {
+    import spark.implicits._
+    val df = Seq(
+      // group g1: y = 2x (rho = 1), z = -x (rho = -1), c constant
+      ("g1", Some(1L), Some(2L), Some(-1L), Some(7L)),
+      ("g1", Some(2L), Some(4L), Some(-2L), Some(7L)),
+      ("g1", Some(3L), Some(6L), Some(-3L), Some(7L)),
+      // group g2: one NULL x row — pairwise-complete counts differ
+      ("g2", Some(1L), Some(5L), Some(2L), Some(1L)),
+      ("g2", None, Some(6L), Some(1L), Some(2L)),
+      ("g2", Some(3L), Some(4L), Some(9L), Some(3L)))
+      .toDF("g", "x", "y", "z", "c")
+    val got = GraftOps.corrMatrix(df, col("g"),
+        Seq("c" -> col("c"), "x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
+    // reference: same exact-integer moments, same 3-op IEEE tail
+    def ref(xs: Seq[Long], ys: Seq[Long]): Option[Double] = {
+      val n = xs.size.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val (sxy, sxx, syy) = (xs.zip(ys).map(p => p._1 * p._2).sum,
+        xs.map(v => v * v).sum, ys.map(v => v * v).sum)
+      val (num, dx, dy) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+      if (dx > 0 && dy > 0)
+        Some(num.toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)))
+      else None
+    }
+    val g1 = Map("c" -> Seq(7L, 7L, 7L), "x" -> Seq(1L, 2L, 3L),
+      "y" -> Seq(2L, 4L, 6L), "z" -> Seq(-1L, -2L, -3L))
+    val wantG1 = for {
+      (a, b) <- Seq("c" -> "x", "c" -> "y", "c" -> "z",
+        "x" -> "y", "x" -> "z", "y" -> "z")
+    } yield ("g1", a, b, 3L, ref(g1(a), g1(b)))
+    assert(got.filter(_._1 == "g1") == wantG1.toSet,
+      s"g1 rows: ${got.filter(_._1 == "g1")}")
+    // constant column: every pair with c is degenerate -> NULL, never NaN
+    assert(got.filter(r => r._1 == "g1" && r._2 == "c").forall(_._5.isEmpty))
+    // perfect linear pairs hit exactly the reference doubles
+    assert(got.find(r => r._1 == "g1" && r._2 == "x" && r._3 == "y").get._5 ==
+      ref(g1("x"), g1("y")))
+    // pairwise-complete: g2 pairs involving x count 2 rows, y-z counts 3
+    val g2n = got.filter(_._1 == "g2").map(r => (r._2, r._3) -> r._4).toMap
+    assert(g2n(("x", "y")) == 2L && g2n(("x", "z")) == 2L &&
+      g2n(("y", "z")) == 3L, s"pairwise counts: $g2n")
+    // and the x-involving stats use ONLY the complete rows
+    assert(got.find(r => r._1 == "g2" && r._2 == "x" && r._3 == "y").get._5 ==
+      ref(Seq(1L, 3L), Seq(5L, 4L)))
+  }
+
   test("corpusDrift: exact chi-square contributions; new/vanished/null categories") {
     import spark.implicits._
     // base mix a:8 b:2 (tb=10); cur mix a:6 b:2 c:2 (tc=10)

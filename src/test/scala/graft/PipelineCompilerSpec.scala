@@ -1650,6 +1650,30 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML bm25TopK == library bm25TopK")
   }
 
+  test("corrMatrix registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="li" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="lineitem"/>
+        </operator>
+        <operator name="cm" class="corrMatrix">
+          <arg key="group" value="l_returnflag"/>
+          <arg key="values"
+            value="qty:floor(l_quantity*100); price:floor(l_extendedprice*100)"/>
+        </operator>
+        <connect from="li.outport1" to="cm.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.corrMatrix(
+      Tables.load(spark, sf001, "lineitem"), col("l_returnflag"),
+      Seq("qty" -> floor(col("l_quantity") * 100),
+        "price" -> floor(col("l_extendedprice") * 100)))
+    val got = ports("cm.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML corrMatrix == library corrMatrix")
+  }
+
   test("buildVocab/encodeTokens registry ops == library forms") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
