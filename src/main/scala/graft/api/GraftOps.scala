@@ -187,6 +187,68 @@ object GraftOps {
       .unionAll(shortPairs)
   }
 
+  /** LOSSLESS exact-Jaccard similarity join via PREFIX FILTERING — the
+    * tier of [[ngramJaccard]] with NO recall caveat: where the df-cap
+    * drops hot shingles from both sides (pairs whose every shared
+    * shingle is hot are silently missed — the documented stopword-gram
+    * contract), the prefix filter keeps every shingle and still never
+    * goes all-pairs. The classic AllPairs/PPJoin recipe: order every
+    * document's shingle set by GLOBAL rarity — the (df, hash) pair IS
+    * the total order, no global rank table to materialize — and index
+    * only each set's PREFIX of length |S| − ⌈t·|S|⌉ + 1 (its rarest
+    * shingles). Any pair with Jaccard ≥ t shares ≥ ⌈t·max(|A|,|B|)⌉
+    * shingles, and the globally-first shared shingle provably falls in
+    * BOTH prefixes (else either side's suffix would have to hold more
+    * shared shingles than it has positions) — so the prefix equi-join
+    * loses nothing, while indexing the rare END of each set keeps
+    * posting lists short exactly where df-capping would have had to
+    * drop data. Exact verification on the full sorted sets follows.
+    *
+    * Plan: one df aggregate + posting join (shuffle on shingle), one
+    * per-doc sort-agg (shuffle on id), prefix explode + equi-join on
+    * shingle (candidates bounded by prefix-posting occupancy — prefixes
+    * hold each corpus's RAREST shingles, so lists are short by
+    * construction; a pathological corpus-wide-hot prefix shingle is one
+    * AQE-split key), distinct narrow id pairs, then two id-keyed joins
+    * fetch the full sets for the exact `array_intersect` verify. Higher
+    * thresholds ⇒ shorter prefixes ⇒ fewer candidates — cost scales
+    * DOWN with strictness, the signature PPJoin property (a df-cap's
+    * cost is threshold-blind). */
+  def jaccardJoinPrefix(df: DataFrame, id: Column, text: Column,
+      shingleWidth: Int = 3, threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]; got $threshold")
+    val sh = df.select(id.as("__id"),
+      explode(graft.functions.ShingleHashes.asColumn(
+        Text.tokens(text), shingleWidth)).as("__sh"))
+    val dfreq = sh.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+    val ordered = sh.join(dfreq, "__sh")
+      .groupBy(col("__id")).agg(
+        sort_array(collect_list(struct(col("__df"), col("__sh")))).as("__ord"))
+      .select(col("__id"),
+        expr("transform(__ord, x -> x.__sh)").as("__set"))
+      .withColumn("__sz", size(col("__set")))
+      .withColumn("__plen",
+        col("__sz") - ceil(col("__sz") * lit(threshold)).cast("int") + 1)
+    val pre = ordered.select(col("__id"),
+      explode(slice(col("__set"), lit(1), col("__plen"))).as("__sh"))
+    val cands = pre.as("a").join(pre.as("b"),
+        col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val sets = ordered.select(col("__id"), col("__set"), col("__sz"))
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__set").as("__sa"),
+        col("__sz").as("__za")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__set").as("__sb"),
+        col("__sz").as("__zb")), "id_b")
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__za") + col("__zb") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** N-gram CONTAINMENT detection — the asymmetric near-dup case Jaccard
     * misses: a document embedded inside a larger one (quoted articles,
     * concatenated pages, boilerplate-wrapped reposts) shares most of ITS

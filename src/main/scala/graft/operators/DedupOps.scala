@@ -641,6 +641,49 @@ object DedupOps {
         UNION ALL SELECT id_a, id_b, dist FROM shortp)
       ORDER BY id_a, id_b"""))
 
+  // --------------------------------------------------------------- q114
+  /** Lossless prefix-filter Jaccard join at the q18 parameters (w=3,
+    * t=0.6) but with NO df-cap: the oracle restates the same global
+    * (df, hash) ordering, per-set prefix, prefix equi-join, and exact
+    * intersection verify. Because the filter is lossless, the output is
+    * exactly "all pairs with true Jaccard ≥ 0.6" — a brute-force oracle
+    * would state the same rows, but the blocked restatement keeps the
+    * DuckDB side feasible at sf1 (the q102 precedent). Exercises
+    * [[graft.api.GraftOps.jaccardJoinPrefix]]. */
+  val q114 = QueryDef("q114_prefix_jaccard_join",
+    (s, dir) =>
+      graft.api.GraftOps.jaccardJoinPrefix(docs(s, dir), col("doc_id"),
+          col("text"), shingleWidth = 3, threshold = 0.6)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      sr AS (SELECT doc_id, unnest(list_distinct(${Duck.shingles3})) AS sh_raw FROM t),
+      s0 AS (SELECT doc_id, ${Duck.ph("sh_raw")} AS sh FROM sr),
+      dfr AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM s0 GROUP BY 1),
+      d AS (SELECT doc_id,
+              list_transform(list_sort(list(struct_pack(df := df, sh := sh))),
+                x -> x.sh) AS st
+            FROM s0 JOIN dfr USING (sh) GROUP BY doc_id),
+      dz AS (SELECT doc_id, st, len(st) AS sz,
+               len(st) - CAST(ceil(len(st) * 0.6) AS INTEGER) + 1 AS plen
+             FROM d),
+      p AS (SELECT doc_id, unnest(list_slice(st, 1, plen)) AS sh FROM dz),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      v AS (SELECT doc_a, doc_b,
+              len(list_intersect(da.st, db.st)) AS inter,
+              da.sz AS za, db.sz AS zb
+            FROM cand
+            JOIN dz da ON da.doc_id = doc_a
+            JOIN dz db ON db.doc_id = doc_b)
+      SELECT doc_a, doc_b,
+        CAST(inter AS DOUBLE) / CAST(za + zb - inter AS DOUBLE) AS jaccard
+      FROM v
+      WHERE CAST(inter AS DOUBLE) / CAST(za + zb - inter AS DOUBLE) >= 0.6
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[QueryDef] =
-    Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82, q83, q85, q92, q99, q102)
+    Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82, q83, q85, q92, q99,
+      q102, q114)
 }

@@ -892,6 +892,11 @@ object PipelineCompiler {
         arg(args, "k").toInt,
         args.getOrElse("k1Ppm", "1200000").toLong,
         args.getOrElse("bPpm", "750000").toLong))),
+    "jaccardJoinPrefix" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.jaccardJoinPrefix(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
+        args.getOrElse("shingleWidth", "3").toInt,
+        args.getOrElse("threshold", "0.6").toDouble))),
     // corrMatrix: values is 'name:expr;name:expr;…' (the splits idiom)
     "corrMatrix" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.corrMatrix(

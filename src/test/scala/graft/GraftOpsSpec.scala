@@ -509,6 +509,53 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       ref(Seq(1L, 3L), Seq(5L, 4L)))
   }
 
+  test("jaccardJoinPrefix: lossless law vs brute force, recovers df-cap misses") {
+    import spark.implicits._
+    // word-soup docs with planted near-dups and plenty of shared tokens
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(seed: Int, n: Int): String =
+      (0 until n).map(i => words((seed * 7 + i * 3) % words.size)).mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, doc(i, 12)))
+    // 5 planted near-dups: copy with one word changed
+    val dups = (0 until 5).map(i =>
+      (100L + i, base(i * 3)._2.replaceFirst("\\S+$", "omega")))
+    val df = (base ++ dups).toDF("id", "text")
+    val got = GraftOps.jaccardJoinPrefix(df, col("id"), col("text"),
+        shingleWidth = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: exact Jaccard over ALL pairs of distinct shingle sets
+    val sets = df.select(col("id"),
+        graft.functions.ShingleHashes.asColumn(
+          graft.functions.Text.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) intersect sets(b)).size
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(got == brute, s"lossless: got=$got brute=$brute")
+    assert(got.nonEmpty, "fixture must actually plant qualifying pairs")
+    // the q18 df-cap failure mode: 30 identical hot docs + 1 near miss —
+    // every shared shingle is hot, dfCap misses ALL pairs; prefix finds all
+    val hot = ((1L to 30L).map(i => (i, "aa bb cc dd ee ff gg")) :+
+      (31L, "aa bb cc dd ee ff zz")).toDF("id", "text")
+    val capped = GraftOps.ngramJaccard(hot, col("id"), col("text"),
+      dfCap = 5, threshold = 0.5).count()
+    val prefix = GraftOps.jaccardJoinPrefix(hot, col("id"), col("text"),
+      threshold = 0.5).count()
+    assert(capped == 0 && prefix == 30L * 29 / 2 + 30,
+      s"df-cap misses hot-only pairs, prefix filter cannot: capped=$capped prefix=$prefix")
+    // threshold = 1.0: prefix shrinks to the single rarest shingle and
+    // exactly the identical-set pairs survive
+    val exact = GraftOps.jaccardJoinPrefix(hot, col("id"), col("text"),
+      threshold = 1.0)
+    assert(exact.count() == 30L * 29 / 2 &&
+      exact.select(min(col("jaccard")), max(col("jaccard"))).collect()
+        .head.toSeq == Seq(1.0, 1.0))
+  }
+
   test("corpusDrift: exact chi-square contributions; new/vanished/null categories") {
     import spark.implicits._
     // base mix a:8 b:2 (tb=10); cur mix a:6 b:2 c:2 (tc=10)

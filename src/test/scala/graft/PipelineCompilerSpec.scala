@@ -1674,6 +1674,28 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML corrMatrix == library corrMatrix")
   }
 
+  test("jaccardJoinPrefix registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="docs" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="jp" class="jaccardJoinPrefix">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+          <arg key="threshold" value="0.5"/>
+        </operator>
+        <connect from="docs.outport1" to="jp.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.jaccardJoinPrefix(
+      Tables.load(spark, sf001, "documents"), col("doc_id"), col("text"),
+      3, 0.5)
+    val got = ports("jp.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML jaccardJoinPrefix == library jaccardJoinPrefix")
+  }
+
   test("buildVocab/encodeTokens registry ops == library forms") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
