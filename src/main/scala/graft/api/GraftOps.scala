@@ -3557,6 +3557,47 @@ object GraftOps {
       .drop("__tb", "__tc", "__exp")
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (BM25 ⊕ dense ANN ⊕ static priors) that needs NO score calibration
+    * because it consumes only RANKS: each input list contributes
+    * 1/(kRrf + rank) per (query, doc) and the fused score is the sum —
+    * a doc several retrievers agree on beats a doc one retriever loves,
+    * with `kRrf` (classically 60) damping the head. Every input must be
+    * a per-query ranking with columns (query_id, doc_id, rank) and one
+    * row per (query, doc) per list — a duplicated doc within one list
+    * would double-count by construction (the ranking contract, not a
+    * silent dedup).
+    *
+    * Hash-portable by the q112 recipe: each contribution is one IEEE
+    * divide of exact integers, and the per-(query, doc) sum is a fold
+    * in LIST-INDEX order (collect the ≤ |rankings| contributions, sort
+    * by source index, fold) — never a float SUM aggregate. Final ranks
+    * tie-break (score desc, doc_id asc), exact.
+    *
+    * Plan: union of the (already small — each list is a per-query
+    * top-k) inputs, ONE hash agg on (query, doc), one per-query window —
+    * everything is ranking-sized, the corpus never appears. */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int,
+      kRrf: Long = 60L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(topK >= 1, s"topK must be >= 1; got $topK")
+    require(kRrf >= 1, s"kRrf must be >= 1; got $kRrf")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("doc_id"), lit(i).as("__src"),
+        (lit(1.0) / (col("rank") + lit(kRrf)).cast("double")).as("__c"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("rrf"), col("doc_id"))
+    tagged.reduce(_ unionAll _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("__src"), col("__c"))))
+        .as("__l"))
+      .withColumn("rrf", expr("aggregate(__l, 0D, (a, x) -> a + x.__c)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("rrf"))
+  }
+
   /** Per-group Pearson correlation matrix over pre-quantized LONG metric
     * columns — the data-profiling step that surfaces redundant or
     * entangled quality signals before they mislead a mixture plan (two

@@ -506,22 +506,10 @@ object TextOps {
     * doubles. The query's own source doc ranks (it contains its terms)
     * but need not win — ~5% exact-dup docs and tf/dl variation make the
     * leaderboard non-trivial. */
-  val q112 = QueryDef("q112_bm25_topk",
-    (s, dir) => {
-      val d = docs(s, dir)
-      val qs = d.filter(pmod(col("doc_id"), lit(50)) === 0)
-        .select(expr("doc_id div 50").as("qid"),
-          concat_ws(" ", slice(
-            filter(Text.tokens(col("text")), t => t =!= lit("")),
-            1, 4)).as("qtext"))
-      graft.api.GraftOps.bm25TopK(d, col("doc_id"), col("text"),
-          qs, col("qid"), col("qtext"), k = 5)
-        .withColumn("score_us", floor(col("score") * lit(1000000.0)))
-        .drop("score")
-        .orderBy("query_id", "rank")
-    },
-    Some(s"""
-      WITH t AS (SELECT doc_id,
+  /** The q112 BM25 CTE chain through ranked candidates `r` — shared with
+    * q115's fusion oracle so both gates state the identical scoring. */
+  private val bm25Cte: String = s"""
+      t AS (SELECT doc_id,
         list_filter(${Duck.toks}, x -> x <> '') AS toks FROM documents),
       tok AS (SELECT doc_id, unnest(toks) AS t FROM t),
       tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
@@ -552,13 +540,88 @@ object TextOps {
       r AS (SELECT qid, doc_id, score,
               row_number() OVER (PARTITION BY qid
                 ORDER BY score DESC, doc_id) AS rank
-            FROM s2)
+            FROM s2)"""
+
+  /** The q112/q115 query batch: every 50th doc's first four tokens. */
+  private def bmQueries(d: DataFrame): DataFrame =
+    d.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(expr("doc_id div 50").as("qid"),
+        concat_ws(" ", slice(
+          filter(Text.tokens(col("text")), t => t =!= lit("")),
+          1, 4)).as("qtext"))
+
+  val q112 = QueryDef("q112_bm25_topk",
+    (s, dir) => {
+      val d = docs(s, dir)
+      graft.api.GraftOps.bm25TopK(d, col("doc_id"), col("text"),
+          bmQueries(d), col("qid"), col("qtext"), k = 5)
+        .withColumn("score_us", floor(col("score") * lit(1000000.0)))
+        .drop("score")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH $bm25Cte
       SELECT qid AS query_id, doc_id, rank,
         CAST(floor(score * 1000000.0) AS BIGINT) AS score_us
       FROM r WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  // --------------------------------------------------------------- q115
+  /** Hybrid-retrieval fusion: the q112 BM25 top-20 fused with a static
+    * quality prior (global top-20 docs by length, replicated per query —
+    * how a calibration-free prior actually enters an RRF mix) via
+    * [[graft.api.GraftOps.rrfFuse]]. Both engines state the identical
+    * BM25 CTE (shared string), the identical prior ranking, and the
+    * identical index-ordered contribution fold, so fused rank AND
+    * micros-quantized RRF score hash-gate end to end. */
+  val q115 = QueryDef("q115_rrf_fusion",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val qs = bmQueries(d)
+      val bm = graft.api.GraftOps.bm25TopK(d, col("doc_id"), col("text"),
+          qs, col("qid"), col("qtext"), k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val w = Window.orderBy(desc("n_chars"), col("doc_id"))
+      val prior20 = d.select(col("doc_id"), col("n_chars"))
+        .orderBy(desc("n_chars"), col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val prior = qs.select(col("qid").as("query_id")).crossJoin(prior20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      graft.api.GraftOps.rrfFuse(Seq(bm, prior), topK = 10)
+        .withColumn("rrf_us", floor(col("rrf") * lit(1000000.0)))
+        .drop("rrf")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH $bm25Cte,
+      bm AS (SELECT qid AS query_id, doc_id, rank FROM r WHERE rank <= 20),
+      pr AS (SELECT doc_id, CAST(row_number() OVER
+               (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+             FROM documents QUALIFY rank <= 20),
+      qids AS (SELECT DISTINCT doc_id // 50 AS query_id
+               FROM documents WHERE doc_id % 50 = 0),
+      u AS (
+        SELECT query_id, doc_id, 0 AS src,
+          1.0 / CAST(rank + 60 AS DOUBLE) AS c FROM bm
+        UNION ALL
+        SELECT q.query_id, p.doc_id, 1 AS src,
+          1.0 / CAST(p.rank + 60 AS DOUBLE) AS c FROM qids q, pr p),
+      f AS (SELECT query_id, doc_id,
+              list_reduce(list_transform(
+                list_sort(list(struct_pack(s := src, c := c))), x -> x.c),
+                (a, b2) -> a + b2) AS rrf
+            FROM u GROUP BY 1, 2),
+      fr AS (SELECT query_id, doc_id, rrf,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, doc_id) AS rank
+             FROM f)
+      SELECT query_id, doc_id, rank,
+        CAST(floor(rrf * 1000000.0) AS BIGINT) AS rrf_us
+      FROM fr WHERE rank <= 10
+      ORDER BY query_id, rank"""))
+
   val all: Seq[QueryDef] =
     Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86, q101, q109,
-      q110, q112)
+      q110, q112, q115)
 }

@@ -892,6 +892,20 @@ object PipelineCompiler {
         arg(args, "k").toInt,
         args.getOrElse("k1Ppm", "1200000").toLong,
         args.getOrElse("bPpm", "750000").toLong))),
+    // rrfFuse: fuses inport1..inportN (each a (query_id, doc_id, rank)
+    // per-query ranking) in port order
+    "rrfFuse" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.rrfFuse(
+        // numeric port order ("inport10" after "inport9", not after "inport1")
+        in.toSeq.sortBy { case (port, _) =>
+          port.filter(_.isDigit) match {
+            case "" => throw new PipelineException(
+              s"rrfFuse ports must be inportN; got '$port'")
+            case ds => ds.toInt
+          }
+        }.map(_._2),
+        arg(args, "topK").toInt,
+        args.getOrElse("kRrf", "60").toLong))),
     "jaccardJoinPrefix" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.jaccardJoinPrefix(
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),

@@ -556,6 +556,31 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
         .head.toSeq == Seq(1.0, 1.0))
   }
 
+  test("rrfFuse: index-ordered fold bit-equality, consensus beats solo, topK") {
+    import spark.implicits._
+    val l0 = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L),
+      (2L, 9L, 1L)).toDF("query_id", "doc_id", "rank")
+    val l1 = Seq((1L, 3L, 1L), (1L, 2L, 2L), (1L, 4L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = GraftOps.rrfFuse(Seq(l0, l1), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    def c(r: Long) = 1.0 / (r + 60L).toDouble
+    // reference fold in list-index order
+    val want1 = Map(1L -> c(1), 2L -> (c(2) + c(2)), 3L -> (c(3) + c(1)),
+      4L -> c(3))
+    val q1 = got.filter(_._1 == 1L).sortBy(_._3)
+    // doc3 (ranks 3+1) edges out doc2 (ranks 2+2): 1/63+1/61 > 2/62 —
+    // consensus ordering is a real float comparison, not a tie
+    assert(q1.map(_._2).toSeq == Seq(3L, 2L, 1L), s"fused order: ${q1.toSeq}")
+    assert(q1.forall(r => r._4 == want1(r._2)), s"bit-equal scores: ${q1.toSeq}")
+    assert(q1.size == 3 && !got.exists(r => r._1 == 1L && r._2 == 4L),
+      "topK cuts doc4")
+    // a query present in one list only fuses from that list alone
+    val q2 = got.filter(_._1 == 2L)
+    assert(q2.toSeq == Seq((2L, 9L, 1L, c(1))))
+  }
+
   test("corpusDrift: exact chi-square contributions; new/vanished/null categories") {
     import spark.implicits._
     // base mix a:8 b:2 (tb=10); cur mix a:6 b:2 c:2 (tc=10)

@@ -1696,6 +1696,39 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML jaccardJoinPrefix == library jaccardJoinPrefix")
   }
 
+  test("rrfFuse registry op == library form (numeric port order)") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="docs" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="ra" class="select">
+          <arg key="exprs"
+            value="doc_id % 7 AS query_id; doc_id; doc_id div 7 + 1 AS rank"/>
+        </operator>
+        <operator name="rb" class="select">
+          <arg key="exprs"
+            value="doc_id % 7 AS query_id; doc_id; doc_id div 5 + 1 AS rank"/>
+        </operator>
+        <operator name="fu" class="rrfFuse">
+          <arg key="topK" value="4"/>
+        </operator>
+        <connect from="docs.outport1" to="ra.inport1"/>
+        <connect from="docs.outport1" to="rb.inport1"/>
+        <connect from="ra.outport1" to="fu.inport1"/>
+        <connect from="rb.outport1" to="fu.inport2"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val d = Tables.load(spark, sf001, "documents")
+    def rk(div: Int) = d.select((col("doc_id") % 7).as("query_id"),
+      col("doc_id"), (expr(s"doc_id div $div") + 1).as("rank"))
+    val want = graft.api.GraftOps.rrfFuse(Seq(rk(7), rk(5)), 4)
+    val got = ports("fu.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML rrfFuse == library rrfFuse")
+  }
+
   test("buildVocab/encodeTokens registry ops == library forms") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""

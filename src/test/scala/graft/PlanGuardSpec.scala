@@ -31,12 +31,15 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     *    broadcast cross join (same shape).
     *  - q112: BM25 joins the 1-row (N, total-tokens) corpus stats via
     *    broadcast cross join (the q35/q70/q81 shape).
+    *  - q115: the fusion fixture replicates the 20-row static prior to
+    *    every query id via a broadcast cross join (bounded: queries ×
+    *    top-20), and embeds q112's 1-row stats cross.
     */
   private val allowNestedLoop = Set(
     "q13_similarity_knn", "q19_embedding_neardup", "q32_cross_join",
     "q35_tfidf_topk", "q50_ann_pq", "q70_heavy_hitters",
     "q70b_heavy_hitters_sketch", "q71_ann_sq8", "q77_collocations",
-    "q81_contribution", "q112_bm25_topk")
+    "q81_contribution", "q112_bm25_topk", "q115_rrf_fusion")
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(nodes)
