@@ -2456,6 +2456,53 @@ object GraftOps {
       .filter(col("smp_rank") <= n)
   }
 
+  /** Budgeted PROPORTIONAL stratified sample — the missing middle
+    * between [[stratifiedSample]] (per-stratum rates, total size
+    * floats) and [[stratifiedFixedSample]] (fixed n per stratum, mix
+    * distorted): "give me exactly `budget` rows that preserve the
+    * corpus mix". Quotas are the largest-remainder (Hamilton)
+    * apportionment of `budget` by stratum size — base floor((budget·n_g)
+    * div N) everywhere, the Σbase..budget leftover seats to the largest
+    * remainders ((budget·n_g) mod N desc, stratum asc — fully
+    * deterministic, NULL stratum first) — so Σ quotas == budget EXACTLY
+    * (for budget ≤ N; a budget ≥ N returns the whole input: every base
+    * is already ≥ n_g) and no stratum is off its exact share by more
+    * than one row. Rows within a stratum are picked by the portable-
+    * hash rank (the [[stratifiedFixedSample]] membership idiom — stable
+    * under corpus growth only in the fixed-n sense; quotas re-apportion
+    * by design). `budget·n_g` must fit int64 (ANSI fails loudly beyond).
+    * Adds `smp_rank` (1..quota within stratum).
+    *
+    * Plan: stratum sizes = one map-side-combined agg; apportionment =
+    * two single-partition windows over the CATALOG-sized stratum table
+    * (strata are langs/sources/shards by contract, never a corpus
+    * dimension — the buildVocab posture); quotas broadcast back; one
+    * per-stratum rank window over the corpus (the one corpus shuffle,
+    * keyed by stratum; hot strata are AQE-split). */
+  def sampleBudget(df: DataFrame, strata: Column, key: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1; got $budget")
+    val whole = Window.partitionBy()
+    // NB: "__N" would silently OVERWRITE "__n" (Spark resolution is
+    // case-insensitive by default) — hence "__tot"
+    val sizes = df.groupBy(strata.as("__st")).agg(count(lit(1)).as("__n"))
+      .withColumn("__tot", sum("__n").over(whole))
+      .withColumn("__base", expr(s"(${budget}L * __n) div __tot"))
+      .withColumn("__rem", expr(s"(${budget}L * __n) % __tot"))
+      .withColumn("__left", lit(budget) - sum("__base").over(whole))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(desc("__rem"), col("__st").asc_nulls_first)))
+    val quotas = sizes.select(col("__st"),
+      (col("__base") + when(col("__rk") <= col("__left"), lit(1L))
+        .otherwise(lit(0L))).as("__quota"))
+    val w = Window.partitionBy(strata)
+      .orderBy(Portable.phash(concat(lit("bud|"), key.cast("string"))), key)
+    df.withColumn("smp_rank", row_number().over(w))
+      .join(quotas, strata <=> col("__st"))
+      .filter(col("smp_rank") <= col("__quota"))
+      .drop("__st", "__quota")
+  }
+
   /** Weighted FIXED-SIZE stratified sampling — priority sampling: per
     * stratum keep the `n` rows with the smallest rank = u / weight,
     * where u is the portable key-hash mapped into (0, 1] — inclusion

@@ -1402,8 +1402,48 @@ object CurationOps {
         .mkString("", "\nUNION ALL\n", "")}
       ORDER BY grp, col_a, col_b"""))
 
+  // --------------------------------------------------------------- q116
+  /** Budgeted proportional sample: exactly 101 documents preserving the
+    * language mix via largest-remainder quotas (101 is odd and coprime
+    * to the lang counts, so the remainder seats genuinely exercise the
+    * deterministic (rem desc, stratum asc) tie order). Every quota and
+    * every sampled row id hash-gates. Exercises
+    * [[GraftOps.sampleBudget]]. */
+  val q116 = QueryDef("q116_budget_sample",
+    (s, dir) =>
+      GraftOps.sampleBudget(Tables.load(s, dir, "documents"),
+          col("lang"), col("doc_id"), budget = 101L)
+        .select(col("doc_id"), col("lang"), col("smp_rank"))
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH s AS (SELECT lang AS st, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM documents GROUP BY 1),
+      t AS (SELECT st, n,
+              CAST(SUM(n) OVER () AS BIGINT) AS nn FROM s),
+      t2 AS (SELECT st, n, nn,
+               (101 * n) // nn AS base, (101 * n) % nn AS rem FROM t),
+      t3 AS (SELECT st, base, rem,
+               101 - CAST(SUM(base) OVER () AS BIGINT) AS leftover,
+               row_number() OVER (ORDER BY rem DESC, st ASC NULLS FIRST)
+                 AS rk
+             FROM t2),
+      qta AS (SELECT st,
+                base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+              FROM t3),
+      r AS (SELECT doc_id, lang,
+              ${Duck.ph("'bud|' || CAST(doc_id AS VARCHAR)")} AS h
+            FROM documents),
+      rr AS (SELECT doc_id, lang,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY h, doc_id) AS INTEGER) AS smp_rank
+             FROM r)
+      SELECT rr.doc_id, rr.lang, rr.smp_rank
+      FROM rr JOIN qta ON rr.lang IS NOT DISTINCT FROM qta.st
+      WHERE rr.smp_rank <= qta.quota
+      ORDER BY rr.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
-      q100, q105, q107, q108, q111, q113)
+      q100, q105, q107, q108, q111, q113, q116)
 }

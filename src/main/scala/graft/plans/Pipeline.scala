@@ -906,6 +906,10 @@ object PipelineCompiler {
         }.map(_._2),
         arg(args, "topK").toInt,
         args.getOrElse("kRrf", "60").toLong))),
+    "sampleBudget" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.sampleBudget(
+        in("inport1"), expr(arg(args, "strata")), expr(arg(args, "key")),
+        arg(args, "budget").toLong))),
     "jaccardJoinPrefix" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.jaccardJoinPrefix(
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),

@@ -581,6 +581,39 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(q2.toSeq == Seq((2L, 9L, 1L, c(1))))
   }
 
+  test("sampleBudget: largest-remainder quotas, exact total, null stratum, full budget") {
+    import spark.implicits._
+    // strata sizes 5 / 3 / 2 (one NULL stratum), budget 7:
+    // shares 3.5 / 2.1 / 1.4 -> bases 3 / 2 / 1, leftover 1 seat to the
+    // largest remainder (a: rem 5). quotas 4 / 2 / 1.
+    val df = ((1 to 5).map(i => (Some("a"), i.toLong)) ++
+      (6 to 8).map(i => (Some("b"), i.toLong)) ++
+      (9 to 10).map(i => (Option.empty[String], i.toLong)))
+      .toDF("st", "id")
+    val got = GraftOps.sampleBudget(df, col("st"), col("id"), budget = 7L)
+    val byStratum = got.groupBy("st").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byStratum == Map(Some("a") -> 4L, Some("b") -> 2L, None -> 1L),
+      s"largest-remainder quotas incl. the NULL stratum: $byStratum")
+    assert(got.count() == 7L, "sum of quotas == budget exactly")
+    // remainder TIE broken by stratum value: sizes 2/2 budget 3 ->
+    // bases 1/1, rems equal, the one leftover seat goes to the
+    // lexicographically-first stratum
+    val tie = ((1 to 2).map(i => ("x", i.toLong)) ++
+      (3 to 4).map(i => ("y", i.toLong))).toDF("st", "id")
+    val tq = GraftOps.sampleBudget(tie, col("st"), col("id"), 3L)
+      .groupBy("st").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tq == Map("x" -> 2L, "y" -> 1L), s"deterministic tie seat: $tq")
+    // budget >= population: every base >= n_g, whole input returns
+    assert(GraftOps.sampleBudget(df, col("st"), col("id"), 10L).count() == 10L)
+    assert(GraftOps.sampleBudget(df, col("st"), col("id"), 25L).count() == 10L)
+    // membership = the stratum's lowest portable-hash ranks, 1..quota dense
+    val aRanks = got.filter(col("st") === "a").select("smp_rank").collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(aRanks == Seq(1, 2, 3, 4), s"dense hash ranks: $aRanks")
+  }
+
   test("corpusDrift: exact chi-square contributions; new/vanished/null categories") {
     import spark.implicits._
     // base mix a:8 b:2 (tb=10); cur mix a:6 b:2 c:2 (tc=10)

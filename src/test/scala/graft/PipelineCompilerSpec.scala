@@ -1729,6 +1729,27 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML rrfFuse == library rrfFuse")
   }
 
+  test("sampleBudget registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="docs" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="sb" class="sampleBudget">
+          <arg key="strata" value="lang"/><arg key="key" value="doc_id"/>
+          <arg key="budget" value="37"/>
+        </operator>
+        <connect from="docs.outport1" to="sb.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.sampleBudget(
+      Tables.load(spark, sf001, "documents"), col("lang"), col("doc_id"), 37L)
+    val got = ports("sb.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() == 37, "XML sampleBudget == library sampleBudget")
+  }
+
   test("buildVocab/encodeTokens registry ops == library forms") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
