@@ -2714,6 +2714,49 @@ object GraftOps {
     * window sort per key serving both direction frames — same single
     * irreducible per-key ordering as sessionize; AQE skew-split applies.
     * Same `maxBucketsPerKey` loud-fail guard as gapFill. */
+  /** Per-key exponentially-weighted moving average — the streaming-shaped
+    * smoother/anomaly baseline (s₁ = x₁; sₜ = α·xₜ + (1−α)·sₜ₋₁ over the
+    * (ts, tiebreak) order): one `ewma` column per input row. α arrives
+    * as ppm and becomes a double via one stated division, and the
+    * recursion is stated as EXACTLY that two-multiply-one-add chain per
+    * step — so the whole smoothed series is hash-portable (q117 gates
+    * every smoothed value against DuckDB's recursive-CTE restatement of
+    * the same recurrence; a closed-form power-sum restatement would NOT
+    * be bit-equal to the recursion). A NULL value poisons its key's
+    * tail from that point on (NULL propagates through the recurrence —
+    * the honest contract; pre-filter or gap-fill first).
+    *
+    * Plan: ONE shuffle on key, then a per-key sorted fold inside a
+    * single higher-order `aggregate` (the q112 fold idiom, but
+    * emitting the running array, re-exploded in place) — no self-join,
+    * no window-per-step. Each key's full history is buffered in ONE
+    * task row (the collect_list contract: per-key cardinality is
+    * bounded — days × events/day, never a corpus dimension; cap or
+    * bucket key history upstream if a key can grow unbounded, since an
+    * AQE skew split cannot divide a single row). Output: (key, ts,
+    * tiebreak, value, ewma). */
+  def ewma(df: DataFrame, key: Column, ts: Column, value: Column,
+      tiebreak: Column, alphaPpm: Long): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm <= 1000000,
+      s"alphaPpm must be in [0, 1000000]; got $alphaPpm")
+    val aSql = s"(CAST($alphaPpm AS DOUBLE) / 1000000.0)"
+    df.select(key.as("__k"), ts.as("__ts"), tiebreak.as("__tb"),
+        value.cast("double").as("__x"))
+      .groupBy(col("__k"))
+      .agg(sort_array(collect_list(
+        struct(col("__ts"), col("__tb"), col("__x")))).as("__seq"))
+      .withColumn("__sm", expr(
+        s"""aggregate(__seq, CAST(array() AS array<double>),
+            (acc, e) -> array_append(acc,
+              CASE WHEN size(acc) = 0 THEN e.__x
+                   ELSE $aSql * e.__x +
+                        (1.0 - $aSql) * element_at(acc, -1) END))"""))
+      .select(col("__k"), explode(arrays_zip(col("__seq"), col("__sm"))).as("__z"))
+      .select(col("__k").as("key"), col("__z.__seq.__ts").as("ts"),
+        col("__z.__seq.__tb").as("tiebreak"), col("__z.__seq.__x").as("value"),
+        col("__z.__sm").as("ewma"))
+  }
+
   def interpolate(df: DataFrame, key: Column, ts: Column, value: Column,
       stepUs: Long, maxBucketsPerKey: Long = Long.MaxValue): DataFrame = {
     require(stepUs > 0, s"stepUs must be positive; got $stepUs")

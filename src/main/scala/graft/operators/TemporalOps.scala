@@ -448,6 +448,38 @@ object TemporalOps {
       FROM lt LEFT JOIN fv USING (user_id) LEFT JOIN fp USING (user_id)
       ORDER BY user_id"""))
 
+  // --------------------------------------------------------------- q117
+  /** Per-user EWMA (α = 0.3) over every event value in (ts, event_id)
+    * order: the oracle restates the IDENTICAL recurrence as a recursive
+    * CTE stepping rn → rn+1 (≤ 100 steps — the per-user event cap), so
+    * every smoothed value of every row is bit-equal and the whole
+    * series hash-gates micros-quantized. Exercises
+    * [[graft.api.GraftOps.ewma]]. */
+  val q117 = QueryDef("q117_ewma",
+    (s, dir) =>
+      graft.api.GraftOps.ewma(events(s, dir), col("user_id"), col("ts"),
+          col("value"), col("event_id"), alphaPpm = 300000L)
+        .select(col("tiebreak").as("event_id"), col("key").as("user_id"),
+          col("value"), floor(col("ewma") * lit(1000000.0)).as("ewma_us"))
+        .orderBy("event_id"),
+    Some("""
+      WITH RECURSIVE o AS (
+        SELECT event_id, user_id, value,
+          CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS BIGINT) AS rn
+        FROM events),
+      r AS (
+        SELECT event_id, user_id, value, rn, CAST(value AS DOUBLE) AS s
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.event_id, o.user_id, o.value, o.rn,
+          (CAST(300000 AS DOUBLE) / 1000000.0) * o.value +
+          (1.0 - (CAST(300000 AS DOUBLE) / 1000000.0)) * r.s
+        FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+      SELECT event_id, user_id, value,
+        CAST(floor(s * 1000000.0) AS BIGINT) AS ewma_us
+      FROM r ORDER BY event_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104, q106)
+    Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104, q106, q117)
 }

@@ -906,6 +906,11 @@ object PipelineCompiler {
         }.map(_._2),
         arg(args, "topK").toInt,
         args.getOrElse("kRrf", "60").toLong))),
+    "ewma" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.ewma(
+        in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),
+        expr(arg(args, "value")), expr(arg(args, "tiebreak")),
+        arg(args, "alphaPpm").toLong))),
     "sampleBudget" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.sampleBudget(
         in("inport1"), expr(arg(args, "strata")), expr(arg(args, "key")),

@@ -614,6 +614,43 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(aRanks == Seq(1, 2, 3, 4), s"dense hash ranks: $aRanks")
   }
 
+  test("ewma: recurrence exactness, tie order, null poisoning, alpha edges") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1L, Some(10.0)),
+      ("a", ts("2024-01-01 11:00:00"), 2L, Some(20.0)),
+      ("a", ts("2024-01-01 12:00:00"), 3L, Some(40.0)),
+      // key b: ts TIE resolved by tiebreak (4 before 5)
+      ("b", ts("2024-01-01 10:00:00"), 5L, Some(100.0)),
+      ("b", ts("2024-01-01 10:00:00"), 4L, Some(0.0)),
+      // key c: NULL poisons the tail
+      ("c", ts("2024-01-01 10:00:00"), 6L, Some(10.0)),
+      ("c", ts("2024-01-01 11:00:00"), 7L, None),
+      ("c", ts("2024-01-01 12:00:00"), 8L, Some(20.0)))
+      .toDF("k", "t", "tb", "v")
+    val got = GraftOps.ewma(df, col("k"), col("t"), col("v"), col("tb"),
+        alphaPpm = 500000L)
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // alpha = 0.5 is exact: 10, 15, 27.5 — bit-equal doubles
+    assert(got(1L) == Some(10.0) && got(2L) == Some(15.0) &&
+      got(3L) == Some(27.5), s"recurrence: $got")
+    // tie order: tb 4 first (s=0), then tb 5: 0.5*100 + 0.5*0 = 50
+    assert(got(4L) == Some(0.0) && got(5L) == Some(50.0))
+    // null poisons everything after it in the key
+    assert(got(6L) == Some(10.0) && got(7L).isEmpty && got(8L).isEmpty)
+    // alpha = 1: ewma == value; alpha = 0: frozen at the first value
+    val a1 = GraftOps.ewma(df.filter(col("k") === "a"), col("k"), col("t"),
+        col("v"), col("tb"), 1000000L).collect()
+      .map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(a1 == Map(1L -> 10.0, 2L -> 20.0, 3L -> 40.0))
+    val a0 = GraftOps.ewma(df.filter(col("k") === "a"), col("k"), col("t"),
+        col("v"), col("tb"), 0L).collect()
+      .map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(a0 == Map(1L -> 10.0, 2L -> 10.0, 3L -> 10.0))
+  }
+
   test("corpusDrift: exact chi-square contributions; new/vanished/null categories") {
     import spark.implicits._
     // base mix a:8 b:2 (tb=10); cur mix a:6 b:2 c:2 (tc=10)

@@ -1750,6 +1750,28 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() == 37, "XML sampleBudget == library sampleBudget")
   }
 
+  test("ewma registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="ev" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="events"/>
+        </operator>
+        <operator name="sm" class="ewma">
+          <arg key="key" value="user_id"/><arg key="ts" value="ts"/>
+          <arg key="value" value="value"/><arg key="tiebreak" value="event_id"/>
+          <arg key="alphaPpm" value="250000"/>
+        </operator>
+        <connect from="ev.outport1" to="sm.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.ewma(Tables.load(spark, sf001, "events"),
+      col("user_id"), col("ts"), col("value"), col("event_id"), 250000L)
+    val got = ports("sm.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML ewma == library ewma")
+  }
+
   test("buildVocab/encodeTokens registry ops == library forms") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
