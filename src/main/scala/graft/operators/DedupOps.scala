@@ -683,7 +683,123 @@ object DedupOps {
       WHERE CAST(inter AS DOUBLE) / CAST(za + zb - inter AS DOUBLE) >= 0.6
       ORDER BY doc_a, doc_b"""))
 
+  // --------------------------------------------------------------- q118
+  /** End-to-end ENTITY RESOLUTION — the composed chain a master-data
+    * pipeline actually ships, all from existing operators: two synthetic
+    * "source systems" (A: every doc, v=1, name = the q102 item key; B:
+    * every even doc, v=2, the key typo'd at chars 8–9, each with
+    * deterministically-missing emails) → [[graft.api.GraftOps.editDistanceJoin]]
+    * blocking on the messy name → [[graft.api.GraftOps.dedupClusters]]
+    * components → [[graft.api.GraftOps.goldenRecord]] field-wise
+    * survivorship per entity (latest non-NULL wins: B's fresher typo
+    * name wins the name, but A's email survives wherever B's is
+    * missing — the field-level merge the row-level winner would lose).
+    * One oracle states the whole chain (q102 blocking + q40 reach CTE +
+    * q106 per-field idiom); hash-gated end to end. */
+  val q118 = QueryDef("q118_entity_resolution",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val bk = concat(lit("item-"),
+        substring(md5(expr("cast(doc_id as string)")), 1, 12))
+      val a = d.select((col("doc_id") * 2).as("rec_id"), bk.as("name"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(null).cast("string"))
+          .otherwise(concat(bk, lit("@a.example"))).as("email"),
+        lit(1L).as("v"))
+      val b = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select((col("doc_id") * 2 + 1).as("rec_id"),
+          concat(substring(bk, 1, 7), lit("zz"), substring(bk, 10, 8))
+            .as("name"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(null).cast("string"))
+            .otherwise(concat(bk, lit("@b.example"))).as("email"),
+          lit(2L).as("v"))
+      val recs = a.unionAll(b)
+      val pairs = graft.api.GraftOps.editDistanceJoin(recs, col("rec_id"),
+        col("name"), maxDist = 2, gramWidth = 4, dfCap = 100)
+      val clusters = graft.api.GraftOps.dedupClusters(pairs,
+        col("id_a"), col("id_b"))
+      val withEntity = recs
+        .join(clusters, col("rec_id") === col("member"), "left_outer")
+        .withColumn("entity_id", coalesce(col("survivor"), col("rec_id")))
+      val golden = graft.api.GraftOps.goldenRecord(
+        withEntity.select(col("entity_id"), col("v"), col("rec_id"),
+          col("name"), col("email")),
+        Seq(col("entity_id")), version = "v", tiebreak = "rec_id",
+        fields = Seq("name", "email"))
+      val sizes = withEntity.groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_records"))
+      golden.join(sizes, "entity_id")
+        .select(col("entity_id"), col("n_records"), col("name"),
+          col("email"), col("last_v"))
+        .orderBy("entity_id")
+    },
+    Some("""
+      WITH RECURSIVE b0 AS (
+        SELECT doc_id,
+          concat('item-', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS bk
+        FROM documents),
+      recs AS (
+        SELECT doc_id*2 AS rec_id, bk AS name,
+          CASE WHEN doc_id % 5 = 0 THEN NULL
+               ELSE bk || '@a.example' END AS email,
+          CAST(1 AS BIGINT) AS v
+        FROM b0
+        UNION ALL
+        SELECT doc_id*2 + 1,
+          concat(substr(bk, 1, 7), 'zz', substr(bk, 10, 8)),
+          CASE WHEN doc_id % 3 = 0 THEN NULL
+               ELSE bk || '@b.example' END,
+          CAST(2 AS BIGINT)
+        FROM b0 WHERE doc_id % 2 = 0),
+      g AS (
+        SELECT DISTINCT rec_id, unnest(list_transform(
+          range(1, len(name) - 3 + 1),
+          i -> substr(name, CAST(i AS INTEGER), 4))) AS gram
+        FROM recs),
+      good AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
+      gf AS (SELECT rec_id, gram FROM g SEMI JOIN good USING (gram)),
+      cand AS (
+        SELECT DISTINCT x.rec_id AS id_a, y.rec_id AS id_b
+        FROM gf x JOIN gf y ON x.gram = y.gram AND x.rec_id < y.rec_id),
+      pairs AS (
+        SELECT id_a, id_b FROM cand
+        JOIN recs ka ON ka.rec_id = id_a
+        JOIN recs kb ON kb.rec_id = id_b
+        WHERE levenshtein(ka.name, kb.name) <= 2),
+      edges AS (
+        SELECT id_a AS ea, id_b AS eb FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT ea AS src, eb AS dst FROM edges
+        UNION
+        SELECT r.src, e.eb AS dst FROM reach r JOIN edges e ON e.ea = r.dst),
+      clus AS (
+        SELECT src AS member, LEAST(MIN(dst), src) AS survivor
+        FROM reach GROUP BY src),
+      we AS (
+        SELECT recs.rec_id, recs.name, recs.email, recs.v,
+          COALESCE(clus.survivor, recs.rec_id) AS entity_id
+        FROM recs LEFT JOIN clus ON recs.rec_id = clus.member),
+      fn AS (
+        SELECT entity_id, name FROM (
+          SELECT entity_id, name, row_number() OVER
+            (PARTITION BY entity_id ORDER BY v DESC, rec_id DESC) AS rn
+          FROM we WHERE name IS NOT NULL) WHERE rn = 1),
+      fe AS (
+        SELECT entity_id, email FROM (
+          SELECT entity_id, email, row_number() OVER
+            (PARTITION BY entity_id ORDER BY v DESC, rec_id DESC) AS rn
+          FROM we WHERE email IS NOT NULL) WHERE rn = 1),
+      lv AS (
+        SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+          max(v) AS last_v
+        FROM we GROUP BY entity_id)
+      SELECT lv.entity_id, lv.n_records, fn.name, fe.email, lv.last_v
+      FROM lv
+      LEFT JOIN fn USING (entity_id)
+      LEFT JOIN fe USING (entity_id)
+      ORDER BY lv.entity_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82, q83, q85, q92, q99,
-      q102, q114)
+      q102, q114, q118)
 }
