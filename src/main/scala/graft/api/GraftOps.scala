@@ -2482,6 +2482,16 @@ object GraftOps {
   def sampleBudget(df: DataFrame, strata: Column, key: Column,
       budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1; got $budget")
+    // the quota join's working names are reserved (the intervalJoin
+    // loud-fail pattern): an input __st/__quota would make the join
+    // condition ambiguous / be silently dropped. smp_rank is the
+    // documented OUTPUT column (shared with stratifiedFixedSample) and
+    // overwrites any input column of that name.
+    val reserved = Set("__st", "__quota")
+    val clashes = df.columns.filter(c => reserved(c.toLowerCase))
+    require(clashes.isEmpty,
+      s"sampleBudget reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the input column(s): ${clashes.mkString(", ")}")
     val whole = Window.partitionBy()
     // NB: "__N" would silently OVERWRITE "__n" (Spark resolution is
     // case-insensitive by default) — hence "__tot"
@@ -3720,12 +3730,16 @@ object GraftOps {
     require(values.map(_._1).distinct.size == values.size,
       "corrMatrix value names must be distinct")
     val names = values.map(_._1)
+    // internal columns are keyed by INDEX, not by the caller's names —
+    // a name containing '_' or '.' can neither collide two pairs'
+    // accumulators nor break col() resolution (review r16: name-spliced
+    // "__n_${a}_$b" made ("a","b_c") and ("a_b","c") ambiguous)
     val base = df.select(
-      (group.as("grp") +: values.map { case (n, c) =>
-        c.cast("long").as(s"__v_$n") }): _*)
+      (group.as("grp") +: values.zipWithIndex.map { case ((_, c), i) =>
+        c.cast("long").as(s"__v_$i") }): _*)
     val pairs = for {
       i <- names.indices; j <- (i + 1) until names.size
-    } yield (names(i), names(j))
+    } yield (i, j)
     def dec(c: Column): Column = c.cast("decimal(19,0)")
     // row-grain products multiply as LONGS (codegen'd; exact while
     // |v| < ~3.03e9 — ANSI mode makes a wider value fail LOUDLY with
@@ -3734,27 +3748,27 @@ object GraftOps {
     // decimal(38,0) — the all-decimal product form was measured 2.4×
     // slower (BigDecimal multiply per row per moment)
     def dec38(c: Column): Column = c.cast("decimal(38,0)")
-    val aggs = pairs.flatMap { case (a, b) =>
-      val va = col(s"__v_$a"); val vb = col(s"__v_$b")
+    val aggs = pairs.flatMap { case (i, j) =>
+      val va = col(s"__v_$i"); val vb = col(s"__v_$j")
       val both = va.isNotNull && vb.isNotNull
       Seq(
-        sum(when(both, lit(1L))).as(s"__n_${a}_$b"),
-        sum(when(both, dec(va))).as(s"__sx_${a}_$b"),
-        sum(when(both, dec(vb))).as(s"__sy_${a}_$b"),
-        sum(when(both, dec38(va * vb))).as(s"__sxy_${a}_$b"),
-        sum(when(both, dec38(va * va))).as(s"__sxx_${a}_$b"),
-        sum(when(both, dec38(vb * vb))).as(s"__syy_${a}_$b"))
+        sum(when(both, lit(1L))).as(s"__n_${i}_$j"),
+        sum(when(both, dec(va))).as(s"__sx_${i}_$j"),
+        sum(when(both, dec(vb))).as(s"__sy_${i}_$j"),
+        sum(when(both, dec38(va * vb))).as(s"__sxy_${i}_$j"),
+        sum(when(both, dec38(va * va))).as(s"__sxx_${i}_$j"),
+        sum(when(both, dec38(vb * vb))).as(s"__syy_${i}_$j"))
     }
-    val rows = pairs.map { case (a, b) =>
-      val n = coalesce(col(s"__n_${a}_$b"), lit(0L))
+    val rows = pairs.map { case (i, j) =>
+      val n = coalesce(col(s"__n_${i}_$j"), lit(0L))
       val nd = dec(n)
-      val num = nd * col(s"__sxy_${a}_$b") -
-        col(s"__sx_${a}_$b") * col(s"__sy_${a}_$b")
-      val dx = nd * col(s"__sxx_${a}_$b") -
-        col(s"__sx_${a}_$b") * col(s"__sx_${a}_$b")
-      val dy = nd * col(s"__syy_${a}_$b") -
-        col(s"__sy_${a}_$b") * col(s"__sy_${a}_$b")
-      struct(lit(a).as("col_a"), lit(b).as("col_b"), n.as("n"),
+      val num = nd * col(s"__sxy_${i}_$j") -
+        col(s"__sx_${i}_$j") * col(s"__sy_${i}_$j")
+      val dx = nd * col(s"__sxx_${i}_$j") -
+        col(s"__sx_${i}_$j") * col(s"__sx_${i}_$j")
+      val dy = nd * col(s"__syy_${i}_$j") -
+        col(s"__sy_${i}_$j") * col(s"__sy_${i}_$j")
+      struct(lit(names(i)).as("col_a"), lit(names(j)).as("col_b"), n.as("n"),
         when(dx > 0 && dy > 0,
           num.cast("double") /
             (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))

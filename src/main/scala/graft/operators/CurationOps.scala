@@ -1362,16 +1362,21 @@ object CurationOps {
     * identically-rounded doubles, quantized to micros — the whole
     * profiling report hash-gates. Exercises [[GraftOps.corrMatrix]]. */
   private def corrPairSql(a: String, b: String): String = {
-    def s(v: String) = s"SUM(CAST(v$v AS HUGEINT))"
-    def sp(x: String, y: String) = s"SUM(CAST(v$x AS HUGEINT) * CAST(v$y AS HUGEINT))"
+    // pairwise-complete like the operator: every stat counts only rows
+    // where BOTH pair values are present (review r16 — the unfiltered
+    // draft was faithful only because lineitem has no NULLs)
+    val both = s"FILTER (WHERE v$a IS NOT NULL AND v$b IS NOT NULL)"
+    def s(v: String) = s"SUM(CAST(v$v AS HUGEINT)) $both"
+    def sp(x: String, y: String) =
+      s"SUM(CAST(v$x AS HUGEINT) * CAST(v$y AS HUGEINT)) $both"
     s"""SELECT grp, '$a' AS col_a, '$b' AS col_b, n,
       CASE WHEN nh*sxx - sx*sx > 0 AND nh*syy - sy*sy > 0 THEN
         CAST(floor(CAST(nh*sxy - sx*sy AS DOUBLE)
           / (sqrt(CAST(nh*sxx - sx*sx AS DOUBLE))
              * sqrt(CAST(nh*syy - sy*sy AS DOUBLE))) * 1000000.0) AS BIGINT)
       END AS corr_us
-    FROM (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
-            CAST(COUNT(*) AS HUGEINT) AS nh,
+    FROM (SELECT grp, CAST(COUNT(*) $both AS BIGINT) AS n,
+            CAST(COUNT(*) $both AS HUGEINT) AS nh,
             ${s(a)} AS sx, ${s(b)} AS sy, ${sp(a, b)} AS sxy,
             ${sp(a, a)} AS sxx, ${sp(b, b)} AS syy
           FROM b GROUP BY grp)"""

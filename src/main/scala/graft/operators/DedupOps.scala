@@ -750,11 +750,15 @@ object DedupOps {
                ELSE bk || '@b.example' END,
           CAST(2 AS BIGINT)
         FROM b0 WHERE doc_id % 2 = 0),
+      -- the full editDistanceJoin contract: gram blocking for names at
+      -- or above the lemma length (12 = (2+1)*4), exact-equality
+      -- distance-0 pairs below it (zero short names on this 17-char
+      -- fixture — stated for operator fidelity, review r16)
       g AS (
         SELECT DISTINCT rec_id, unnest(list_transform(
           range(1, len(name) - 3 + 1),
           i -> substr(name, CAST(i AS INTEGER), 4))) AS gram
-        FROM recs),
+        FROM recs WHERE len(name) >= 12),
       good AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
       gf AS (SELECT rec_id, gram FROM g SEMI JOIN good USING (gram)),
       cand AS (
@@ -764,7 +768,12 @@ object DedupOps {
         SELECT id_a, id_b FROM cand
         JOIN recs ka ON ka.rec_id = id_a
         JOIN recs kb ON kb.rec_id = id_b
-        WHERE levenshtein(ka.name, kb.name) <= 2),
+        WHERE levenshtein(ka.name, kb.name) <= 2
+        UNION ALL
+        SELECT x.rec_id, y.rec_id
+        FROM recs x JOIN recs y
+          ON x.name = y.name AND x.rec_id < y.rec_id
+        WHERE len(x.name) < 12),
       edges AS (
         SELECT id_a AS ea, id_b AS eb FROM pairs
         UNION SELECT id_b, id_a FROM pairs),

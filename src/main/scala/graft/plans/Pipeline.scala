@@ -181,6 +181,9 @@ trait PipelineOperatorProvider {
 
 object PipelineCompiler {
 
+  /** The only accepted input-port shape for variadic ops (rrfFuse). */
+  private[plans] val InportN = "^inport(\\d+)$".r
+
   private def arg(args: Map[String, String], k: String): String =
     args.getOrElse(k, throw new PipelineException(s"missing operator arg '$k'"))
 
@@ -896,12 +899,15 @@ object PipelineCompiler {
     // per-query ranking) in port order
     "rrfFuse" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.rrfFuse(
-        // numeric port order ("inport10" after "inport9", not after "inport1")
+        // numeric port order ("inport10" after "inport9", not after
+        // "inport1"); anything not literally inportN fails loudly — a
+        // digit-scrape would fabricate an index for a typo'd port and
+        // silently reorder the fusion weights (review r16)
         in.toSeq.sortBy { case (port, _) =>
-          port.filter(_.isDigit) match {
-            case "" => throw new PipelineException(
+          port match {
+            case PipelineCompiler.InportN(ds) => ds.toInt
+            case _ => throw new PipelineException(
               s"rrfFuse ports must be inportN; got '$port'")
-            case ds => ds.toInt
           }
         }.map(_._2),
         arg(args, "topK").toInt,

@@ -507,6 +507,15 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     // and the x-involving stats use ONLY the complete rows
     assert(got.find(r => r._1 == "g2" && r._2 == "x" && r._3 == "y").get._5 ==
       ref(Seq(1L, 3L), Seq(5L, 4L)))
+    // underscore/dot-bearing metric names cannot collide or break
+    // resolution (internal accumulators are index-keyed, review r16:
+    // ("a","b_c") and ("a_b","c") used to alias the same __n_a_b_c)
+    val tricky = GraftOps.corrMatrix(df.filter(col("g") === "g1"), col("g"),
+        Seq("a" -> col("x"), "b_c" -> col("y"), "a_b" -> col("z"),
+          "c.d" -> col("c")))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(tricky.size == 6 && tricky.contains(("a", "b_c")) &&
+      tricky.contains(("a_b", "c.d")), s"index-keyed pairs: $tricky")
   }
 
   test("jaccardJoinPrefix: lossless law vs brute force, recovers df-cap misses") {
@@ -612,6 +621,12 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     val aRanks = got.filter(col("st") === "a").select("smp_rank").collect()
       .map(_.getInt(0)).sorted.toSeq
     assert(aRanks == Seq(1, 2, 3, 4), s"dense hash ranks: $aRanks")
+    // reserved working names fail loudly (the intervalJoin pattern)
+    val clash = intercept[IllegalArgumentException] {
+      GraftOps.sampleBudget(df.withColumn("__st", lit(1)),
+        col("st"), col("id"), 3L)
+    }
+    assert(clash.getMessage.contains("__st"))
   }
 
   test("ewma: recurrence exactness, tie order, null poisoning, alpha edges") {
