@@ -3309,6 +3309,37 @@ object GraftOps {
       .withColumn("stage_reached", reached)
   }
 
+  /** Per-key state-transition (Markov) counts — the path-analysis
+    * companion to [[funnel]] (which checks ONE prescribed order) and
+    * [[cohortRetention]]: over each key's (ts, tiebreak)-ordered event
+    * stream, count every consecutive (from_state → to_state) step and
+    * report the exact transition share in integer ppm
+    * (n·10⁶ div Σ n(from) — the q54/q104 decimal-free idiom). A key's
+    * first event has no predecessor and feeds no transition; NULL
+    * states are real states (a NULL→x step counts — null-safe grouping),
+    * so instrumentation gaps show up as mass instead of vanishing.
+    * Output: (from_state, to_state, n, p_ppm).
+    *
+    * Plan: ONE shuffle on key + an in-partition lag window (the q27/q28
+    * posture), then a (from, to) hash agg — state-catalog-sized — and a
+    * from-keyed window over THAT catalog for the denominators. The
+    * corpus shuffles once; everything after is catalog-scale. */
+  def transitionCounts(df: DataFrame, key: Column, ts: Column,
+      state: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tb"))
+    df.select(key.as("__k"), ts.as("__ts"), tiebreak.as("__tb"),
+        state.as("__s"))
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .withColumn("__has_prev", lag(lit(1), 1).over(w)) // NULL state ≠ no row
+      .filter(col("__has_prev").isNotNull)
+      .groupBy(col("__prev").as("from_state"), col("__s").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot",
+        sum("n").over(Window.partitionBy(col("from_state"))))
+      .withColumn("p_ppm", expr("(n * 1000000L) div __tot"))
+      .drop("__tot")
+  }
+
   // ------------------------------------------------ cohort retention
 
   /** Cohort retention: key grouped by the calendar period of its FIRST

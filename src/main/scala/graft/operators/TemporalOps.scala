@@ -480,6 +480,37 @@ object TemporalOps {
         CAST(floor(s * 1000000.0) AS BIGINT) AS ewma_us
       FROM r ORDER BY event_id"""))
 
+  // --------------------------------------------------------------- q119
+  /** Per-user event-type transition matrix over the full event log:
+    * every consecutive step per user in (ts, event_id) order, with
+    * exact integer-ppm transition shares. Exercises
+    * [[graft.api.GraftOps.transitionCounts]]. */
+  val q119 = QueryDef("q119_transition_matrix",
+    (s, dir) =>
+      graft.api.GraftOps.transitionCounts(events(s, dir), col("user_id"),
+          col("ts"), col("event_type"), col("event_id"))
+        .orderBy("from_state", "to_state"),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev,
+          lag(1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS has_prev
+        FROM events),
+      t AS (
+        SELECT prev AS from_state, event_type AS to_state,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM e WHERE has_prev IS NOT NULL
+        GROUP BY 1, 2),
+      d AS (
+        SELECT from_state, to_state, n,
+          CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT) AS tot
+        FROM t)
+      SELECT from_state, to_state, n, (n * 1000000) // tot AS p_ppm
+      FROM d
+      ORDER BY from_state, to_state"""))
+
   val all: Seq[QueryDef] =
-    Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104, q106, q117)
+    Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104, q106, q117, q119)
 }

@@ -912,6 +912,10 @@ object PipelineCompiler {
         }.map(_._2),
         arg(args, "topK").toInt,
         args.getOrElse("kRrf", "60").toLong))),
+    "transitionCounts" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.transitionCounts(
+        in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),
+        expr(arg(args, "state")), expr(arg(args, "tiebreak"))))),
     "ewma" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.ewma(
         in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),

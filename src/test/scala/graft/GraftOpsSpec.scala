@@ -629,6 +629,35 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(clash.getMessage.contains("__st"))
   }
 
+  test("transitionCounts: first-event exclusion, NULL states count, exact ppm") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: A -> B -> A -> NULL -> A (4 transitions incl. null hops)
+      (1L, ts("2024-01-01 10:00:00"), 1L, Some("A")),
+      (1L, ts("2024-01-01 10:01:00"), 2L, Some("B")),
+      (1L, ts("2024-01-01 10:02:00"), 3L, Some("A")),
+      (1L, ts("2024-01-01 10:03:00"), 4L, Option.empty[String]),
+      (1L, ts("2024-01-01 10:04:00"), 5L, Some("A")),
+      // user 2: A -> C, plus a lone-event user 3 feeding nothing
+      (2L, ts("2024-01-01 10:00:00"), 6L, Some("A")),
+      (2L, ts("2024-01-01 10:01:00"), 7L, Some("C")),
+      (3L, ts("2024-01-01 10:00:00"), 8L, Some("A")))
+      .toDF("u", "t", "id", "s")
+    val got = GraftOps.transitionCounts(ev, col("u"), col("t"), col("s"),
+        col("id"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // from A: A->B 1, A->NULL 1, A->C 1 (3 total, 333333 ppm each)
+    val want = Map(
+      (Some("A"), Some("B")) -> (1L, 333333L),
+      (Some("A"), None) -> (1L, 333333L),
+      (Some("A"), Some("C")) -> (1L, 333333L),
+      (Some("B"), Some("A")) -> (1L, 1000000L),
+      (None, Some("A")) -> (1L, 1000000L))
+    assert(got == want, s"transition matrix: $got")
+  }
+
   test("ewma: recurrence exactness, tie order, null poisoning, alpha edges") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)

@@ -1772,6 +1772,29 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML ewma == library ewma")
   }
 
+  test("transitionCounts registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="ev" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="events"/>
+        </operator>
+        <operator name="tm" class="transitionCounts">
+          <arg key="key" value="user_id"/><arg key="ts" value="ts"/>
+          <arg key="state" value="event_type"/>
+          <arg key="tiebreak" value="event_id"/>
+        </operator>
+        <connect from="ev.outport1" to="tm.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.transitionCounts(
+      Tables.load(spark, sf001, "events"), col("user_id"), col("ts"),
+      col("event_type"), col("event_id"))
+    val got = ports("tm.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML transitionCounts == library transitionCounts")
+  }
+
   test("buildVocab/encodeTokens registry ops == library forms") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
