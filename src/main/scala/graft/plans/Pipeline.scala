@@ -912,6 +912,18 @@ object PipelineCompiler {
         }.map(_._2),
         arg(args, "topK").toInt,
         args.getOrElse("kRrf", "60").toLong))),
+    // ewmaStream: the S21 continuous twin of `ewma` (DataFrame face over
+    // the typed EwmaStream; batch == stream law spec'd in S21)
+    "ewmaStream" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.EwmaStream(
+        in("inport1").select(
+          expr(arg(args, "key")).cast("long").as("key"),
+          expr(arg(args, "ts")).cast("timestamp").as("ts"),
+          expr(arg(args, "tiebreak")).cast("long").as("tb"),
+          expr(arg(args, "value")).cast("double").as("value"))
+          .as(org.apache.spark.sql.Encoders.product[
+            graft.streaming.EwmaStream.Point]),
+        arg(args, "alphaPpm").toLong).toDF())),
     "transitionCounts" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.transitionCounts(
         in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),

@@ -1444,6 +1444,53 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("round-16 ewmaStream composes in a STREAMING XML pipeline == batch ewma") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ewma-stream-in")
+    // two keys, unordered lines within the file (in-batch sort contract)
+    val lines = Seq(
+      """{"k": 1, "t": "2024-01-01 10:02:00", "n": 3, "v": 40.0}""",
+      """{"k": 1, "t": "2024-01-01 10:00:00", "n": 1, "v": 10.0}""",
+      """{"k": 2, "t": "2024-01-01 10:00:00", "n": 2, "v": 7.5}""",
+      """{"k": 1, "t": "2024-01-01 10:01:00", "n": 2, "v": 20.0}""")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      lines.mkString("\n") + "\n")
+    val xml = s"""
+      <pipeline>
+        <operator name="src" class="fileStreamInput">
+          <arg key="schema" value="k LONG, t TIMESTAMP, n LONG, v DOUBLE"/>
+          <arg key="format" value="json"/>
+          <arg key="path" value="${dir.toUri}"/>
+        </operator>
+        <operator name="sm" class="ewmaStream">
+          <arg key="key" value="k"/><arg key="ts" value="t"/>
+          <arg key="tiebreak" value="n"/><arg key="value" value="v"/>
+          <arg key="alphaPpm" value="250000"/>
+        </operator>
+        <operator name="sink" class="memoryStreamSink">
+          <arg key="name" value="ewma_stream_out"/>
+          <arg key="triggerMs" value="0"/>
+        </operator>
+        <connect from="src.outport1" to="sm.inport1"/>
+        <connect from="sm.outport1" to="sink.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(xml), spark)
+    val q = spark.streams.active.find(_.name == "ewma_stream_out")
+      .getOrElse(fail("compiled ewmaStream pipeline did not start a query"))
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ewma_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSet
+      val batch = graft.api.GraftOps.ewma(
+          spark.read.schema("k LONG, t TIMESTAMP, n LONG, v DOUBLE")
+            .json(dir.toString),
+          col("k"), col("t"), col("v"), col("n"), 250000L)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSet
+      assert(got == batch, s"XML stream $got != batch ewma $batch")
+      assert(got.size == 4)
+    } finally q.stop()
+  }
+
   test("round-12 heavyHittersStream composes in a STREAMING XML pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("hh-stream-in")
     // 30 "hot", 6 "warm", 4 singletons — capacity 4 keeps hot+warm

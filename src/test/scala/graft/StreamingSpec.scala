@@ -1164,4 +1164,55 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(state().collect().map(r => (r.getLong(0), r.getString(4))).toSet
       == got, "retried append collapses on read")
   }
+
+  test("S21: streaming EWMA == batch ewma bit-equal; cross-batch late point fails loudly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.EwmaStream
+    import graft.streaming.EwmaStream.Point
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two keys; batch 1 rows deliberately UNORDERED within the batch
+    val chunk1 = Seq(
+      Point(1L, ts("2024-01-01 10:02:00"), 3L, 40.0),
+      Point(1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      Point(1L, ts("2024-01-01 10:01:00"), 2L, 20.0),
+      Point(2L, ts("2024-01-01 10:00:00"), 4L, 7.5))
+    val chunk2 = Seq(
+      Point(1L, ts("2024-01-01 10:03:00"), 5L, 80.0),
+      Point(2L, ts("2024-01-01 10:05:00"), 6L, 2.5))
+    val input = MemoryStream[Point]
+    val q = EwmaStream(input.toDS(), alphaPpm = 300000L)
+      .writeStream.format("memory").queryName("s21ewma")
+      .outputMode("append").start()
+    try {
+      input.addData(chunk1: _*); q.processAllAvailable()
+      input.addData(chunk2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s21ewma").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSet
+    // law: BIT-equal to the batch operator over the same points
+    val want = graft.api.GraftOps.ewma(
+        (chunk1 ++ chunk2).toDS().toDF(), col("key"), col("ts"),
+        col("value"), col("tb"), 300000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSet
+    assert(got == want, s"stream $got != batch $want")
+    assert(got.size == 6 && got.exists(r => r._1 == 1L && r._2 == 1L &&
+      r._3 == 10.0), "first point passes through as its own value")
+    // a cross-batch late point fails the query loudly, never silently
+    val input2 = MemoryStream[Point]
+    val q2 = EwmaStream(input2.toDS(), 300000L)
+      .writeStream.format("memory").queryName("s21late")
+      .outputMode("append").start()
+    try {
+      input2.addData(Point(9L, ts("2024-01-01 12:00:00"), 2L, 1.0))
+      q2.processAllAvailable()
+      input2.addData(Point(9L, ts("2024-01-01 11:00:00"), 1L, 1.0)) // LATE
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("cross-batch order violated") ||
+        Option(ex.getCause).exists(_.toString.contains("cross-batch")),
+        s"loud order failure: $ex")
+    } finally q2.stop()
+  }
 }
