@@ -3380,6 +3380,38 @@ object GraftOps {
         col("n_cohort"), col("retention_ppm"))
   }
 
+  // ------------------------------------------ rolling distinct count
+
+  /** Rolling trailing-window distinct count (the "7-day active users"
+    * shape): for every calendar day that appears in the input, the
+    * number of DISTINCT entities with at least one row in the closed
+    * trailing window [day − windowDays + 1, day]. Output grid = days
+    * present in the corpus (a day with zero rows of its own does not
+    * surface even if trailing activity covers it — the honest contract;
+    * gap-fill the grid first if a dense calendar is wanted).
+    *
+    * Spark has no distinct-over-range-window; the scale shape here is
+    * CONTRIBUTION EXPLOSION instead of a window: (entity, day) pairs
+    * are deduped once (shuffle 1, corpus-keyed), each pair fans out
+    * narrowly into the ≤ `windowDays` target days it contributes to,
+    * dedup again on (entity, target day) (shuffle 2, ≤ windowDays× the
+    * pair count — bounded, never |corpus|²), then one map-side-combined
+    * count per day. The day catalog is calendar-bounded (years → low
+    * thousands of rows) so the grid semi-join broadcasts. */
+  def rollingDistinct(df: DataFrame, entity: Column, ts: Column,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1; got $windowDays")
+    val d = df.select(entity.as("__e"), to_date(ts).as("__day")).distinct()
+    val days = d.select(col("__day").as("day")).distinct()
+    val contrib = d
+      .select(col("__e"), explode(sequence(col("__day"),
+        date_add(col("__day"), windowDays - 1))).as("day"))
+      .distinct()
+    contrib.join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active"))
+  }
+
   // ------------------------------------------------- interval join
 
   /** Interval-overlap join: pairs every left row with every right row

@@ -511,6 +511,31 @@ object TemporalOps {
       FROM d
       ORDER BY from_state, to_state"""))
 
+  // --------------------------------------------------------------- q120
+  /** Rolling 7-day distinct active users per event day — the growth
+    * dashboard's trailing-window DAU/WAU shape via contribution
+    * explosion (no distinct-over-range window exists in either
+    * engine). Exercises [[graft.api.GraftOps.rollingDistinct]]. */
+  val q120 = QueryDef("q120_rolling_active",
+    (s, dir) =>
+      graft.api.GraftOps.rollingDistinct(events(s, dir), col("user_id"),
+          col("ts"), windowDays = 7)
+        // DATE → TIMESTAMP for the driver gate (parquet date32 reads as
+        // python objects on the pandas side — the q104 convention)
+        .select(col("day").cast("timestamp").as("day"), col("active"))
+        .orderBy("day"),
+    Some("""
+      WITH d AS (
+        SELECT DISTINCT user_id AS e, CAST(ts AS DATE) AS day FROM events),
+      days AS (SELECT DISTINCT day FROM d),
+      c AS (
+        SELECT DISTINCT d.e, d.day + CAST(t.x AS INTEGER) AS day
+        FROM d, generate_series(0, 6) AS t(x))
+      SELECT CAST(c.day AS TIMESTAMP) AS day, CAST(count(*) AS BIGINT) AS active
+      FROM c JOIN days USING (day)
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104, q106, q117, q119)
+    Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104, q106, q117,
+      q119, q120)
 }

@@ -928,6 +928,10 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.transitionCounts(
         in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),
         expr(arg(args, "state")), expr(arg(args, "tiebreak"))))),
+    "rollingDistinct" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.rollingDistinct(
+        in("inport1"), expr(arg(args, "entity")), expr(arg(args, "ts")),
+        args.getOrElse("windowDays", "7").toInt))),
     "ewma" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.ewma(
         in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),

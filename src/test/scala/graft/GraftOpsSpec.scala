@@ -629,6 +629,32 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(clash.getMessage.contains("__st"))
   }
 
+  test("rollingDistinct: trailing-window dedup, grid = observed days, w=1 degenerate") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    val ev = Seq(
+      // user 1 active Jan 1 AND Jan 2 — counts ONCE for any window
+      // covering both; user 2 only Jan 1; user 3 only Jan 5
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-01")), (1L, ts("2024-01-02")),
+      (2L, ts("2024-01-01")), (3L, ts("2024-01-05")))
+      .toDF("u", "t")
+    val got = GraftOps.rollingDistinct(ev, col("u"), col("t"), windowDays = 3)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // Jan 1: {1,2}; Jan 2: {1,2}(1st still in [Dec31..Jan2])... window 3:
+    //   Jan 2 covers Dec 31..Jan 2 → {1,2}; Jan 5 covers Jan 3..5 → {3}.
+    // Jan 3/Jan 4 have no own events → absent from the grid.
+    assert(got == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L,
+      "2024-01-05" -> 1L), s"rolling: $got")
+    // windowDays=1 degenerates to plain daily distinct
+    val daily = GraftOps.rollingDistinct(ev, col("u"), col("t"), 1)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(daily == Map("2024-01-01" -> 2L, "2024-01-02" -> 1L,
+      "2024-01-05" -> 1L), s"daily: $daily")
+    intercept[IllegalArgumentException] {
+      GraftOps.rollingDistinct(ev, col("u"), col("t"), 0)
+    }
+  }
+
   test("transitionCounts: first-event exclusion, NULL states count, exact ppm") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)

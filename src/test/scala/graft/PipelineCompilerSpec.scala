@@ -1842,6 +1842,27 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML transitionCounts == library transitionCounts")
   }
 
+  test("rollingDistinct registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="ev" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="events"/>
+        </operator>
+        <operator name="ra" class="rollingDistinct">
+          <arg key="entity" value="user_id"/><arg key="ts" value="ts"/>
+          <arg key="windowDays" value="7"/>
+        </operator>
+        <connect from="ev.outport1" to="ra.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.rollingDistinct(
+      Tables.load(spark, sf001, "events"), col("user_id"), col("ts"), 7)
+    val got = ports("ra.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML rollingDistinct == library rollingDistinct")
+  }
+
   test("buildVocab/encodeTokens registry ops == library forms") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
