@@ -3412,6 +3412,44 @@ object GraftOps {
       .agg(count(lit(1)).as("active"))
   }
 
+  // ---------------------------------------------- pareto frontier
+
+  /** Per-group 2-D Pareto frontier (skyline): the DISTINCT (x, y)
+    * points not strictly dominated by any other point of their group —
+    * q dominates p iff q is better-or-equal on both axes and strictly
+    * better on at least one ("better" per `minimizeX`/`minimizeY`).
+    * Rows with NULL x or y are excluded up front (the two engines
+    * disagree on NULL sort placement, and a NULL coordinate has no
+    * domination order — the honest contract).
+    *
+    * The naive statement is an all-pairs anti-join (|G|² per group —
+    * banned shape). The 2-D frontier needs none of it: sort the
+    * group's distinct points better-x-first (ties better-y-first);
+    * a point survives iff its y is strictly better than the running
+    * best y of all STRICTLY-PRECEDING points (any dominator sorts
+    * earlier, and every earlier point with better-or-equal y is a
+    * dominator — the classic sweep, here one window pass). Plan: one
+    * distinct shuffle + one per-group window on the SAME key — the
+    * q27/q28 single-shuffle posture. A single giant group serializes
+    * into one task's sort, the standard per-group window bound. */
+  def paretoFrontier(df: DataFrame, group: Column, x: Column, y: Column,
+      minimizeX: Boolean = true, minimizeY: Boolean = true): DataFrame = {
+    val pts = df.filter(x.isNotNull && y.isNotNull)
+      .select(group.as("__g"), x.as("__x"), y.as("__y")).distinct()
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(
+        if (minimizeX) col("__x").asc else col("__x").desc,
+        if (minimizeY) col("__y").asc else col("__y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val best = if (minimizeY) min(col("__y")).over(w)
+               else max(col("__y")).over(w)
+    val strictlyBetter = if (minimizeY) col("__y") < col("__m")
+                         else col("__y") > col("__m")
+    pts.withColumn("__m", best)
+      .filter(col("__m").isNull || strictlyBetter)
+      .select(col("__g").as("group"), col("__x").as("x"), col("__y").as("y"))
+  }
+
   // ------------------------------------------------- interval join
 
   /** Interval-overlap join: pairs every left row with every right row

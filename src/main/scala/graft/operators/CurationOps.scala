@@ -1447,8 +1447,39 @@ object CurationOps {
       WHERE rr.smp_rank <= qta.quota
       ORDER BY rr.doc_id"""))
 
+  // --------------------------------------------------------------- q121
+  /** Per-priority Pareto frontier of orders: the skyline of (latest
+    * order date, lowest total price) — no order on the frontier is
+    * beaten on BOTH axes by another order of its priority class. Pure
+    * comparisons on stored values (no arithmetic), so doubles and
+    * timestamps hash-gate as-is. Exercises
+    * [[GraftOps.paretoFrontier]]. */
+  val q121 = QueryDef("q121_pareto_frontier",
+    (s, dir) =>
+      GraftOps.paretoFrontier(Tables.load(s, dir, "orders"),
+          col("o_orderpriority"), col("o_orderdate"), col("o_totalprice"),
+          minimizeX = false, minimizeY = true)
+        .select(col("group").as("priority"), col("x").as("odate"),
+          col("y").as("price"))
+        .orderBy("priority", "odate", "price"),
+    Some("""
+      WITH p AS (
+        SELECT DISTINCT o_orderpriority AS priority, o_orderdate AS odate,
+          o_totalprice AS price
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+      w AS (
+        SELECT priority, odate, price,
+          min(price) OVER (PARTITION BY priority
+            ORDER BY odate DESC, price ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+        FROM p)
+      SELECT priority, odate, price FROM w
+      WHERE m IS NULL OR price < m
+      ORDER BY priority, odate, price"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
-      q100, q105, q107, q108, q111, q113, q116)
+      q100, q105, q107, q108, q111, q113, q116, q121)
 }

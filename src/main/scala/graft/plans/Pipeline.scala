@@ -932,6 +932,12 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.rollingDistinct(
         in("inport1"), expr(arg(args, "entity")), expr(arg(args, "ts")),
         args.getOrElse("windowDays", "7").toInt))),
+    "paretoFrontier" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.paretoFrontier(
+        in("inport1"), expr(arg(args, "group")), expr(arg(args, "x")),
+        expr(arg(args, "y")),
+        args.getOrElse("minimizeX", "true").toBoolean,
+        args.getOrElse("minimizeY", "true").toBoolean))),
     "ewma" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.ewma(
         in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),

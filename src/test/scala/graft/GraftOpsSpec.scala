@@ -655,6 +655,34 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("paretoFrontier: sweep == brute-force domination; directions; NULL drop") {
+    import spark.implicits._
+    // deterministic pseudo-random points in two groups, with planted
+    // duplicates and a NULL row
+    val rnd = new scala.util.Random(42)
+    val pts = (1 to 200).map { i =>
+      (if (i % 2 == 0) "a" else "b",
+       Option(rnd.nextInt(50).toLong), Option(rnd.nextInt(50).toLong))
+    } ++ Seq(("a", Option(3L), Option.empty[Long]),
+             ("a", Option.empty[Long], Option(4L)))
+    val df = pts.toDF("g", "x", "y")
+    for (mx <- Seq(true, false); my <- Seq(true, false)) {
+      val got = GraftOps.paretoFrontier(df, col("g"), col("x"), col("y"),
+          mx, my)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // brute force: distinct non-NULL points minus strictly-dominated
+      val dpts = pts.collect { case (g, Some(x), Some(y)) => (g, x, y) }.toSet
+      def better(q: Long, p: Long, minimize: Boolean) =
+        if (minimize) q <= p else q >= p
+      def strictly(q: (String, Long, Long), p: (String, Long, Long)) =
+        q._1 == p._1 && better(q._2, p._2, mx) && better(q._3, p._3, my) &&
+          (q._2 != p._2 || q._3 != p._3)
+      val want = dpts.filter(p => !dpts.exists(q => strictly(q, p)))
+      assert(got == want, s"frontier mx=$mx my=$my: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("transitionCounts: first-event exclusion, NULL states count, exact ppm") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)

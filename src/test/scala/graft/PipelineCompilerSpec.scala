@@ -1863,6 +1863,29 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML rollingDistinct == library rollingDistinct")
   }
 
+  test("paretoFrontier registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="o" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="orders"/>
+        </operator>
+        <operator name="pf" class="paretoFrontier">
+          <arg key="group" value="o_orderpriority"/>
+          <arg key="x" value="o_orderdate"/><arg key="y" value="o_totalprice"/>
+          <arg key="minimizeX" value="false"/>
+        </operator>
+        <connect from="o.outport1" to="pf.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.paretoFrontier(
+      Tables.load(spark, sf001, "orders"), col("o_orderpriority"),
+      col("o_orderdate"), col("o_totalprice"), minimizeX = false)
+    val got = ports("pf.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML paretoFrontier == library paretoFrontier")
+  }
+
   test("buildVocab/encodeTokens registry ops == library forms") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
