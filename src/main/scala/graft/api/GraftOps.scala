@@ -3412,6 +3412,48 @@ object GraftOps {
       .agg(count(lit(1)).as("active"))
   }
 
+  // ----------------------------------------------- lexicon scoring
+
+  /** Lexicon/blocklist scoring — the curation gate "how much of this
+    * document's mass is lexicon terms" (safety blocklists, boilerplate
+    * vocabularies, domain wordlists): per document the total lexicon
+    * token hits, the distinct matched terms, and an exact integer-ppm
+    * density (`hits·10⁶ div n_tokens`; a zero-token document scores
+    * 0/0/0 — stated, never a divide). Matching is whole-token equality
+    * over [[graft.functions.Text.tokens]]; lexicon entries must be
+    * single normalized tokens — a multi-word or mixed-case entry never
+    * matches anything (normalize/split the lexicon upstream, stated
+    * contract).
+    *
+    * The lexicon is a TABLE, not a literal: real blocklists run 10⁴–10⁶
+    * terms, which must never be embedded in the plan. Plan: tokens
+    * explode narrowly, a broadcast LEFT-SEMI join against the
+    * deduped lexicon keeps only matching tokens (hit-bounded — the
+    * corpus-sized token stream never shuffles), one agg on doc id over
+    * the matches, then one doc-keyed join back onto the per-doc token
+    * counts (computed in the same scan, no second pass over text). */
+  def lexiconScore(df: DataFrame, id: Column, text: Column,
+      lexicon: DataFrame, term: Column): DataFrame = {
+    val toks = df.select(id.as("__id"), Text.tokens(text).as("__tk"))
+    val base = toks.select(col("__id"),
+      // tokens("") == [""] — an empty/whitespace doc must count 0
+      when(col("__tk") === typedLit(Seq("")), lit(0))
+        .otherwise(size(col("__tk"))).as("n_tokens"))
+    val lex = lexicon.select(term.as("__t")).distinct()
+    val hits = toks.select(col("__id"), explode(col("__tk")).as("__t"))
+      .join(broadcast(lex), Seq("__t"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__hits"),
+        countDistinct(col("__t")).as("__terms"))
+    base.join(hits, Seq("__id"), "left")
+      .select(col("__id").as("doc_id"), col("n_tokens"),
+        coalesce(col("__hits"), lit(0L)).as("hits"),
+        coalesce(col("__terms"), lit(0L)).as("n_terms"),
+        when(col("n_tokens") > 0,
+          expr("(coalesce(__hits, 0L) * 1000000L) div n_tokens"))
+          .otherwise(lit(0L)).as("hits_ppm"))
+  }
+
   // ---------------------------------------------- pareto frontier
 
   /** Per-group 2-D Pareto frontier (skyline): the DISTINCT (x, y)

@@ -621,7 +621,52 @@ object TextOps {
       FROM fr WHERE rank <= 10
       ORDER BY query_id, rank"""))
 
+  // --------------------------------------------------------------- q122
+  /** Blocklist scoring over the documents corpus: per-document hit
+    * count, distinct matched terms, and exact integer-ppm density for
+    * a six-term lexicon (here a literal fixture; the operator takes a
+    * TABLE precisely so real 10⁵-term blocklists never embed in the
+    * plan). Exercises [[graft.api.GraftOps.lexiconScore]]. */
+  val q122 = QueryDef("q122_lexicon_score",
+    (s, dir) => {
+      import s.implicits._
+      val lex = Seq("slow", "merge", "filter", "stream", "big", "vector")
+        .toDF("term")
+      graft.api.GraftOps.lexiconScore(docs(s, dir), col("doc_id"),
+          col("text"), lex, col("term"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH lex AS (
+        SELECT * FROM (VALUES ('slow'), ('merge'), ('filter'),
+          ('stream'), ('big'), ('vector')) AS v(term)),
+      t AS (
+        SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+            ' ') AS tk
+        FROM documents),
+      base AS (
+        SELECT doc_id,
+          CASE WHEN tk = ['']
+               THEN 0 ELSE CAST(len(tk) AS INTEGER) END AS n_tokens
+        FROM t),
+      m AS (
+        SELECT t.doc_id, u.tok
+        FROM t, unnest(t.tk) AS u(tok)
+        WHERE u.tok IN (SELECT term FROM lex)),
+      h AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS hits,
+          CAST(count(DISTINCT tok) AS BIGINT) AS n_terms
+        FROM m GROUP BY 1)
+      SELECT base.doc_id, base.n_tokens,
+        COALESCE(h.hits, 0) AS hits, COALESCE(h.n_terms, 0) AS n_terms,
+        CASE WHEN base.n_tokens > 0
+             THEN (COALESCE(h.hits, 0) * 1000000) // base.n_tokens
+             ELSE 0 END AS hits_ppm
+      FROM base LEFT JOIN h USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86, q101, q109,
-      q110, q112, q115)
+      q110, q112, q115, q122)
 }

@@ -932,6 +932,11 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.rollingDistinct(
         in("inport1"), expr(arg(args, "entity")), expr(arg(args, "ts")),
         args.getOrElse("windowDays", "7").toInt))),
+    // lexiconScore: inport1 = corpus, inport2 = lexicon table
+    "lexiconScore" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.lexiconScore(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
+        in("inport2"), expr(arg(args, "term"))))),
     "paretoFrontier" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.paretoFrontier(
         in("inport1"), expr(arg(args, "group")), expr(arg(args, "x")),

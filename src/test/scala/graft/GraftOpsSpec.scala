@@ -655,6 +655,27 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("lexiconScore: hit counting, distinct terms, ppm, zero-token doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Bad bad WORSE ok fine"),     // bad×2 + worse → 3 hits, 2 terms
+      (2L, "clean text only here"),       // 0 hits
+      (3L, "   "),                        // whitespace-only → 0 tokens
+      (4L, "bad")).toDF("id", "t")        // 1/1 tokens → ppm 1e6
+    val lex = Seq("bad", "worse", "very bad", "Nasty").toDF("term")
+    val got = GraftOps.lexiconScore(docs, col("id"), col("t"), lex,
+        col("term"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got(1L) == ((5, 3L, 2L, 600000L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((4, 0L, 0L, 0L)))
+    assert(got(3L) == ((0, 0L, 0L, 0L)), "zero-token doc scores 0/0/0")
+    // "very bad" (multi-word) and "Nasty" (mixed case) never match —
+    // the stated normalize-upstream contract
+    assert(got(4L) == ((1, 1L, 1L, 1000000L)))
+  }
+
   test("paretoFrontier: sweep == brute-force domination; directions; NULL drop") {
     import spark.implicits._
     // deterministic pseudo-random points in two groups, with planted

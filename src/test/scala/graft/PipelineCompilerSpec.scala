@@ -1863,6 +1863,36 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML rollingDistinct == library rollingDistinct")
   }
 
+  test("lexiconScore registry op == library form (two inports)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lexDir = java.nio.file.Files.createTempDirectory("lex").toString
+    Seq("slow", "merge", "big").toDF("term")
+      .write.mode("overwrite").parquet(s"$lexDir/lex.parquet")
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="d" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="lx" class="parquetInput">
+          <arg key="dir" value="$lexDir"/><arg key="table" value="lex"/>
+        </operator>
+        <operator name="sc" class="lexiconScore">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+          <arg key="term" value="term"/>
+        </operator>
+        <connect from="d.outport1" to="sc.inport1"/>
+        <connect from="lx.outport1" to="sc.inport2"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.lexiconScore(
+      Tables.load(spark, sf001, "documents"), col("doc_id"), col("text"),
+      Seq("slow", "merge", "big").toDF("term"), col("term"))
+    val got = ports("sc.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML lexiconScore == library lexiconScore")
+  }
+
   test("paretoFrontier registry op == library form") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
