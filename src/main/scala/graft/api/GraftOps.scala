@@ -3921,6 +3921,50 @@ object GraftOps {
       .select(col("grp"), inline(array(rows: _*)))
   }
 
+  // --------------------------------------------------- per-key trend
+
+  /** Per-key linear trend (OLS slope + intercept) over caller-quantized
+    * INTEGER coordinates — "is this user's metric drifting up or
+    * down" at corpus scale: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²),
+    * intercept = (Σy·Σx² − Σx·Σxy)/same, emitted as EXACT micro-unit
+    * integers: `sign · (|numerator|·10⁶ div denominator)` — sign split
+    * out so the one integral division runs on non-negative operands
+    * (where Spark's truncating `div` and DuckDB's flooring `//`
+    * agree; the q89 precedent). Keys with zero x-variance (single
+    * point, or all x equal) have no defined line → NULL slope and
+    * intercept, n still reported. NULL x or y drops the row up front.
+    *
+    * Exactness posture = [[corrMatrix]]: row-grain products multiply
+    * as LONGS (codegen'd; exact while |v| < ~3.03e9 — ANSI makes a
+    * wider value fail LOUDLY, never wrap; rescale the quantization if
+    * your metrics are that wide), only cross-row sums accumulate in
+    * decimal(38,0). Plan: one map-side-combined hash agg on key — the
+    * minimum possible; everything after is per-key scalar math. */
+  def groupTrend(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    def dec38(c: Column): Column = c.cast("decimal(38,0)")
+    val d = df.select(key.as("__k"), x.cast("long").as("__x"),
+        y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val nd = dec(col("n"))
+    d.groupBy(col("__k").as("key")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("__x"))).as("__sx"), sum(dec(col("__y"))).as("__sy"),
+        sum(dec38(col("__x") * col("__y"))).as("__sxy"),
+        sum(dec38(col("__x") * col("__x"))).as("__sxx"))
+      .withColumn("__num", nd * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__bnum",
+        col("__sy") * col("__sxx") - col("__sx") * col("__sxy"))
+      .withColumn("__den", nd * col("__sxx") - col("__sx") * col("__sx"))
+      .selectExpr("key", "n",
+        """CASE WHEN __den > 0 THEN
+             (CASE WHEN __num < 0 THEN -1L ELSE 1L END) *
+             ((abs(__num) * 1000000) div __den) END AS slope_us""",
+        """CASE WHEN __den > 0 THEN
+             (CASE WHEN __bnum < 0 THEN -1L ELSE 1L END) *
+             ((abs(__bnum) * 1000000) div __den) END AS icept_us""")
+  }
+
   // ------------------------------------------------- score calibration
 
   /** Per-group quantile normalization — cross-source score CALIBRATION:

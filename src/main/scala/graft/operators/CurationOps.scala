@@ -1478,8 +1478,49 @@ object CurationOps {
       WHERE m IS NULL OR price < m
       ORDER BY priority, odate, price"""))
 
+  // --------------------------------------------------------------- q123
+  /** Per-user value trend over the event log: x = event day index,
+    * y = integer cents of `value` — every user's OLS slope/intercept
+    * as exact micro-unit integers; users with all events on one day
+    * surface with NULL line fields. Exercises
+    * [[GraftOps.groupTrend]]. */
+  val q123 = QueryDef("q123_group_trend",
+    (s, dir) =>
+      GraftOps.groupTrend(
+          Tables.load(s, dir, "events").filter(col("value").isNotNull),
+          col("user_id"), expr("unix_micros(ts) div 86400000000"),
+          floor(col("value") * 100))
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id"),
+    Some("""
+      WITH b AS (
+        SELECT user_id,
+          epoch_us(ts) // 86400000000 AS x,
+          CAST(floor(value * 100) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL),
+      a AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+          SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+          SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+          SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        FROM b GROUP BY 1),
+      c AS (
+        SELECT user_id, n,
+          n * sxy - sx * sy AS num,
+          sy * sxx - sx * sxy AS bnum,
+          n * sxx - sx * sx AS den
+        FROM a)
+      SELECT user_id, n,
+        CASE WHEN den > 0 THEN CAST(
+          (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+          ((abs(num) * 1000000) // den) AS BIGINT) END AS slope_us,
+        CASE WHEN den > 0 THEN CAST(
+          (CASE WHEN bnum < 0 THEN -1 ELSE 1 END) *
+          ((abs(bnum) * 1000000) // den) AS BIGINT) END AS icept_us
+      FROM c ORDER BY user_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
-      q100, q105, q107, q108, q111, q113, q116, q121)
+      q100, q105, q107, q108, q111, q113, q116, q121, q123)
 }

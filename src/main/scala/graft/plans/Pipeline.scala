@@ -937,6 +937,10 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.lexiconScore(
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
         in("inport2"), expr(arg(args, "term"))))),
+    "groupTrend" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.groupTrend(
+        in("inport1"), expr(arg(args, "key")), expr(arg(args, "x")),
+        expr(arg(args, "y"))))),
     "paretoFrontier" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.paretoFrontier(
         in("inport1"), expr(arg(args, "group")), expr(arg(args, "x")),

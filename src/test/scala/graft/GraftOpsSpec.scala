@@ -655,6 +655,36 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("groupTrend: exact line recovery, negative slope sign, degenerate keys") {
+    import spark.implicits._
+    val pts = Seq(
+      // key 1: y = 3x + 7 exactly -> slope 3e6, icept 7e6
+      (1L, 0L, 7L), (1L, 1L, 10L), (1L, 2L, 13L), (1L, 10L, 37L),
+      // key 2: y = -2x + 100 -> slope -2e6 (sign split must hold)
+      (2L, 0L, 100L), (2L, 5L, 90L), (2L, 10L, 80L),
+      // key 3: zero x-variance -> NULL line, n reported
+      (3L, 4L, 1L), (3L, 4L, 9L),
+      // key 4: single point -> NULL line
+      (4L, 2L, 5L))
+      .toDF("k", "x", "y")
+    val got = GraftOps.groupTrend(pts, col("k"), col("x"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(1L) == ((4L, Some(3000000L), Some(7000000L))), s"k1: ${got(1L)}")
+    assert(got(2L) == ((3L, Some(-2000000L), Some(100000000L))), s"k2: ${got(2L)}")
+    assert(got(3L) == ((2L, None, None)), "zero x-variance has no line")
+    assert(got(4L) == ((1L, None, None)), "single point has no line")
+    // fractional fit: (0,0),(3,1),(6,2),(7,2) -> num 36, den 120,
+    // slope EXACTLY 0.3 -> 300000 micro-units; icept 5·94−16·29 = 6,
+    // 6·10⁶ div 120 = 50000
+    val frac = Seq((9L, 0L, 0L), (9L, 3L, 1L), (9L, 6L, 2L), (9L, 7L, 2L))
+      .toDF("k", "x", "y")
+    val f = GraftOps.groupTrend(frac, col("k"), col("x"), col("y"))
+      .collect().head
+    assert(f.getLong(2) == 300000L && f.getLong(3) == 50000L,
+      s"fractional fit: ${f.getLong(2)}, ${f.getLong(3)}")
+  }
+
   test("lexiconScore: hit counting, distinct terms, ppm, zero-token doc") {
     import spark.implicits._
     val docs = Seq(

@@ -1893,6 +1893,29 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML lexiconScore == library lexiconScore")
   }
 
+  test("groupTrend registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="ev" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="events"/>
+        </operator>
+        <operator name="tr" class="groupTrend">
+          <arg key="key" value="user_id"/>
+          <arg key="x" value="unix_micros(ts) div 86400000000"/>
+          <arg key="y" value="floor(value * 100)"/>
+        </operator>
+        <connect from="ev.outport1" to="tr.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.groupTrend(
+      Tables.load(spark, sf001, "events"), col("user_id"),
+      expr("unix_micros(ts) div 86400000000"), floor(col("value") * 100))
+    val got = ports("tr.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML groupTrend == library groupTrend")
+  }
+
   test("paretoFrontier registry op == library form") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
