@@ -924,6 +924,18 @@ object PipelineCompiler {
           .as(org.apache.spark.sql.Encoders.product[
             graft.streaming.EwmaStream.Point]),
         arg(args, "alphaPpm").toLong).toDF())),
+    // transitionStream: the S22 continuous twin of `transitionCounts`
+    // (DataFrame face over the typed TransitionStream; batch == stream
+    // law spec'd in S22)
+    "transitionStream" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.TransitionStream(
+        in("inport1").select(
+          expr(arg(args, "key")).cast("long").as("key"),
+          expr(arg(args, "ts")).cast("timestamp").as("ts"),
+          expr(arg(args, "tiebreak")).cast("long").as("tb"),
+          expr(arg(args, "state")).cast("string").as("state"))
+          .as(org.apache.spark.sql.Encoders.product[
+            graft.streaming.TransitionStream.Event])).toDF())),
     "transitionCounts" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.transitionCounts(
         in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),

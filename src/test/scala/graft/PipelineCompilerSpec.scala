@@ -1491,6 +1491,47 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("round-16 transitionStream composes in a STREAMING XML pipeline == batch steps") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("trans-stream-in")
+    val lines = Seq(
+      """{"k": 1, "t": "2024-01-01 10:01:00", "n": 2, "s": "B"}""",
+      """{"k": 1, "t": "2024-01-01 10:00:00", "n": 1, "s": "A"}""",
+      """{"k": 2, "t": "2024-01-01 10:00:00", "n": 3, "s": "C"}""",
+      """{"k": 1, "t": "2024-01-01 10:02:00", "n": 4, "s": "A"}""")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      lines.mkString("\n") + "\n")
+    val xml = s"""
+      <pipeline>
+        <operator name="src" class="fileStreamInput">
+          <arg key="schema" value="k LONG, t TIMESTAMP, n LONG, s STRING"/>
+          <arg key="format" value="json"/>
+          <arg key="path" value="${dir.toUri}"/>
+        </operator>
+        <operator name="ts" class="transitionStream">
+          <arg key="key" value="k"/><arg key="ts" value="t"/>
+          <arg key="tiebreak" value="n"/><arg key="state" value="s"/>
+        </operator>
+        <operator name="sink" class="memoryStreamSink">
+          <arg key="name" value="trans_stream_out"/>
+          <arg key="triggerMs" value="0"/>
+        </operator>
+        <connect from="src.outport1" to="ts.inport1"/>
+        <connect from="ts.outport1" to="sink.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(xml), spark)
+    val q = spark.streams.active.find(_.name == "trans_stream_out")
+      .getOrElse(fail("compiled transitionStream pipeline did not start"))
+    try {
+      q.processAllAvailable()
+      val got = spark.table("trans_stream_out")
+        .collect().map(r => (r.getLong(0), r.getLong(2),
+          r.getString(3), r.getString(4))).toSet
+      assert(got == Set((1L, 2L, "A", "B"), (1L, 4L, "B", "A")),
+        s"XML transition steps: $got")
+    } finally q.stop()
+  }
+
   test("round-12 heavyHittersStream composes in a STREAMING XML pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("hh-stream-in")
     // 30 "hot", 6 "warm", 4 singletons — capacity 4 keeps hot+warm

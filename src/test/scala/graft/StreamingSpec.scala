@@ -1165,6 +1165,65 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       == got, "retried append collapses on read")
   }
 
+  test("S22: streaming transition steps aggregate to batch transitionCounts; NULL states; late fails loudly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.TransitionStream
+    import graft.streaming.TransitionStream.Event
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // mirror the transitionCounts unit fixture: NULL is a REAL state,
+    // lone-event keys feed nothing; batch 1 arrives UNORDERED
+    val chunk1 = Seq(
+      Event(1L, ts("2024-01-01 10:01:00"), 2L, "B"),
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "A"),
+      Event(2L, ts("2024-01-01 10:00:00"), 6L, "A"),
+      Event(1L, ts("2024-01-01 10:02:00"), 3L, "A"))
+    val chunk2 = Seq(
+      Event(1L, ts("2024-01-01 10:03:00"), 4L, null),
+      Event(1L, ts("2024-01-01 10:04:00"), 5L, "A"),
+      Event(2L, ts("2024-01-01 10:01:00"), 7L, "C"),
+      Event(3L, ts("2024-01-01 10:00:00"), 8L, "A"))
+    val input = MemoryStream[Event]
+    val q = TransitionStream(input.toDS())
+      .writeStream.format("memory").queryName("s22steps")
+      .outputMode("append").start()
+    try {
+      input.addData(chunk1: _*); q.processAllAvailable()
+      input.addData(chunk2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // law: step events grouped by (from, to) == batch transitionCounts
+    val got = spark.table("s22steps")
+      .groupBy("from_state", "to_state").count()
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        r.getLong(2)).toMap
+    val batch = graft.api.GraftOps.transitionCounts(
+        (chunk1 ++ chunk2).toDS().toDF(), col("key"), col("ts"),
+        col("state"), col("tb"))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        r.getLong(2)).toMap
+    assert(got == batch, s"stream steps $got != batch counts $batch")
+    assert(got((Some("A"), None)) == 1L && got((None, Some("A"))) == 1L,
+      "NULL is a real state on the stream too")
+    // a cross-batch late point fails the query loudly
+    val input2 = MemoryStream[Event]
+    val q2 = TransitionStream(input2.toDS())
+      .writeStream.format("memory").queryName("s22late")
+      .outputMode("append").start()
+    try {
+      input2.addData(Event(9L, ts("2024-01-01 12:00:00"), 2L, "X"))
+      q2.processAllAvailable()
+      input2.addData(Event(9L, ts("2024-01-01 11:00:00"), 1L, "Y")) // LATE
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("cross-batch order violated") ||
+        Option(ex.getCause).exists(_.toString.contains("cross-batch")),
+        s"loud order failure: $ex")
+    } finally q2.stop()
+  }
+
   test("S21: streaming EWMA == batch ewma bit-equal; cross-batch late point fails loudly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
