@@ -3412,6 +3412,38 @@ object GraftOps {
       .agg(count(lit(1)).as("active"))
   }
 
+  // ---------------------------------------------- prefix rollup
+
+  /** Hierarchical prefix rollup — "which subtrees of the corpus are
+    * heavy": every row's `path` (a `sep`-joined hierarchy — URL path,
+    * source/section taxonomy, directory) contributes one count to each
+    * of its ancestor prefixes up to `maxDepth`, yielding (prefix,
+    * depth, n) for the whole tree in ONE pass. The standard input to
+    * per-subtree caps and crawl-balance reports (pair with
+    * `stratifiedFixedSample` on a chosen prefix depth to enforce a
+    * cap). NULL paths drop; empty segments are real segments (a
+    * trailing separator is a child named "" — honest, not normalized
+    * away).
+    *
+    * Plan: ancestor prefixes expand NARROWLY per row (≤ min(depth,
+    * maxDepth) structs from one codegen'd transform — no join, no
+    * window), then ONE map-side-combined agg on (prefix, depth):
+    * output is tree-sized, the corpus shuffles once at prefix grain.
+    * `sep` is regex-quoted — "." or "|" separators are literal. */
+  def prefixRollup(df: DataFrame, path: Column, sep: String = "/",
+      maxDepth: Int = Int.MaxValue): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1; got $maxDepth")
+    val segs = split(path, java.util.regex.Pattern.quote(sep))
+    val pref = transform(
+      sequence(lit(1), least(size(segs), lit(maxDepth))),
+      d => struct(array_join(slice(segs, lit(1), d), sep).as("prefix"),
+        d.as("depth")))
+    df.filter(path.isNotNull)
+      .select(explode(pref).as("__p"))
+      .groupBy(col("__p.prefix").as("prefix"), col("__p.depth").as("depth"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   // ----------------------------------------------- lexicon scoring
 
   /** Lexicon/blocklist scoring — the curation gate "how much of this

@@ -1519,8 +1519,37 @@ object CurationOps {
           ((abs(bnum) * 1000000) // den) AS BIGINT) END AS icept_us
       FROM c ORDER BY user_id"""))
 
+  // --------------------------------------------------------------- q124
+  /** Corpus subtree weights: each document filed under the 3-level
+    * taxonomy source/lang/shard (shard = doc_id mod 10, synthesized
+    * in-query like q100's URLs), rolled up to every ancestor prefix —
+    * the crawl-balance report feeding per-subtree caps. Exercises
+    * [[GraftOps.prefixRollup]]. */
+  val q124 = QueryDef("q124_prefix_rollup",
+    (s, dir) =>
+      GraftOps.prefixRollup(
+          Tables.load(s, dir, "documents").select(concat(
+            col("source"), lit("/"), col("lang"), lit("/"),
+            pmod(col("doc_id"), lit(10)).cast("string")).as("path")),
+          col("path"), "/", maxDepth = 3)
+        .orderBy("depth", "prefix"),
+    Some("""
+      WITH t AS (
+        SELECT source || '/' || lang || '/' ||
+          CAST(doc_id % 10 AS VARCHAR) AS path
+        FROM documents),
+      s AS (SELECT path, string_split(path, '/') AS segs FROM t),
+      u AS (SELECT segs,
+        unnest(generate_series(1, least(len(segs), 3))) AS d FROM s),
+      e AS (
+        SELECT array_to_string(segs[1:CAST(d AS INTEGER)], '/') AS prefix,
+          CAST(d AS INTEGER) AS depth FROM u)
+      SELECT prefix, depth, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2
+      ORDER BY depth, prefix"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
-      q100, q105, q107, q108, q111, q113, q116, q121, q123)
+      q100, q105, q107, q108, q111, q113, q116, q121, q123, q124)
 }

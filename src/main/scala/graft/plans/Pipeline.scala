@@ -949,6 +949,11 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.lexiconScore(
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
         in("inport2"), expr(arg(args, "term"))))),
+    "prefixRollup" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.prefixRollup(
+        in("inport1"), expr(arg(args, "path")),
+        args.getOrElse("sep", "/"),
+        args.get("maxDepth").map(_.toInt).getOrElse(Int.MaxValue)))),
     "groupTrend" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.groupTrend(
         in("inport1"), expr(arg(args, "key")), expr(arg(args, "x")),

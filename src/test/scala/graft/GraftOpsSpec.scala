@@ -706,6 +706,43 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got(4L) == ((1, 1L, 1L, 1000000L)))
   }
 
+  test("prefixRollup: ancestor counts, maxDepth cap, NULL drop, literal sep") {
+    import spark.implicits._
+    val paths = Seq(
+      "a/b/c", "a/b/c", "a/b/d", "a/x", "b", "a/b/c/deep", "/lead", null)
+      .toDF("p")
+    val got = GraftOps.prefixRollup(paths, col("p"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // "a" covers 5 non-null rows starting with segment a
+    assert(got(("a", 1)) == 5L && got(("a/b", 2)) == 4L &&
+      got(("a/b/c", 3)) == 3L && got(("a/b/c/deep", 4)) == 1L,
+      s"subtree counts: $got")
+    assert(got(("b", 1)) == 1L && got(("a/x", 2)) == 1L)
+    // leading separator -> empty first segment, kept honestly
+    assert(got(("", 1)) == 1L && got(("/lead", 2)) == 1L,
+      "empty segment is a real segment")
+    // NULL path contributes nowhere
+    assert(got.values.sum ==
+      Seq(3, 3, 3, 2, 1, 4, 2).sum, "each non-null row adds depth() rows")
+    // maxDepth truncates the expansion, not the rows
+    val capped = GraftOps.prefixRollup(paths, col("p"), maxDepth = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(!capped.keys.exists(_._2 > 2) && capped(("a/b", 2)) == 4L,
+      s"maxDepth=2: $capped")
+    // "." separator must be literal, not a regex wildcard
+    val dotted = Seq("x.y", "xay").toDF("p")
+    val d = GraftOps.prefixRollup(dotted, col("p"), sep = ".")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(d == Map(("x", 1) -> 1L, ("x.y", 2) -> 1L, ("xay", 1) -> 1L),
+      s"dot separator is literal: $d")
+    intercept[IllegalArgumentException] {
+      GraftOps.prefixRollup(paths, col("p"), maxDepth = 0)
+    }
+  }
+
   test("paretoFrontier: sweep == brute-force domination; directions; NULL drop") {
     import spark.implicits._
     // deterministic pseudo-random points in two groups, with planted

@@ -1934,6 +1934,28 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML lexiconScore == library lexiconScore")
   }
 
+  test("prefixRollup registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="d" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="pr" class="prefixRollup">
+          <arg key="path" value="concat(source, '/', lang)"/>
+          <arg key="maxDepth" value="2"/>
+        </operator>
+        <connect from="d.outport1" to="pr.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.prefixRollup(
+      Tables.load(spark, sf001, "documents"),
+      concat(col("source"), lit("/"), col("lang")), maxDepth = 2)
+    val got = ports("pr.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML prefixRollup == library prefixRollup")
+  }
+
   test("groupTrend registry op == library form") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
