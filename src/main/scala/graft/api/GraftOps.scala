@@ -2767,6 +2767,69 @@ object GraftOps {
         col("__z.__sm").as("ewma"))
   }
 
+  /** Per-key two-sided CUSUM change detection — the sequential
+    * drift/shift alarm (Page's cumulative-sum chart) over the (ts,
+    * tiebreak) order: s⁺ₜ = max(0, s⁺ₜ₋₁ + (xₜ − target − slack)) and
+    * s⁻ₜ = max(0, s⁻ₜ₋₁ + (target − slack − xₜ)), alarm when either
+    * side reaches `threshold`, then BOTH sides restart at 0 for the
+    * next step (the standard restart chart — each alarm is an
+    * independent detection, so state stays bounded by threshold + one
+    * step forever). `value` is CALLER-QUANTIZED to integers (the
+    * groupTrend contract — floor-cents, micros, counts), and target /
+    * slack / threshold live in the same units, so every statistic is
+    * EXACT integer arithmetic — the whole (s⁺, s⁻, alarm) series is
+    * hash-portable with no IEEE step at all (stronger than ewma's
+    * bit-equal doubles). A NULL value poisons its key's tail from that
+    * point on (stated — an unknown observation has no deviation;
+    * pre-filter or gap-fill first), distinguished EXPLICITLY on both
+    * engines since `greatest` skips NULLs rather than propagating
+    * them. Emitted s⁺/s⁻ are post-step, pre-reset — the alarm row
+    * shows the statistic that crossed.
+    *
+    * Plan: ONE shuffle on key, then the whole recurrence inside a
+    * single higher-order `aggregate` per key (the ewma fold idiom —
+    * running array re-exploded in place; no self-join, no
+    * window-per-step). Per-key history buffers in one task row (the
+    * collect_list contract — bounded per-key cardinality by design).
+    * Output: (key, ts, tiebreak, value, s_pos, s_neg, alarm). */
+  def cusum(df: DataFrame, key: Column, ts: Column, value: Column,
+      tiebreak: Column, target: Long, slack: Long,
+      threshold: Long): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0; got $slack")
+    require(threshold > 0, s"threshold must be > 0; got $threshold")
+    val stT = "struct<sp:bigint,sn:bigint>"
+    val prev = "element_at(acc, -1)"
+    val reset = s"size(acc) = 0 OR $prev.sp >= ${threshold}L" +
+      s" OR $prev.sn >= ${threshold}L"
+    df.select(key.as("__k"), ts.as("__ts"), tiebreak.as("__tb"),
+        value.cast("long").as("__x"))
+      .groupBy(col("__k"))
+      .agg(sort_array(collect_list(
+        struct(col("__ts"), col("__tb"), col("__x")))).as("__seq"))
+      .withColumn("__st", expr(
+        s"""aggregate(__seq, CAST(array() AS array<$stT>),
+            (acc, e) -> array_append(acc,
+              CASE WHEN e.__x IS NULL
+                     OR (size(acc) > 0 AND $prev IS NULL)
+                   THEN CAST(NULL AS $stT)
+                   ELSE named_struct(
+                     'sp', greatest(0L,
+                       CASE WHEN $reset THEN 0L ELSE $prev.sp END
+                         + (e.__x - ${target}L - ${slack}L)),
+                     'sn', greatest(0L,
+                       CASE WHEN $reset THEN 0L ELSE $prev.sn END
+                         + (${target}L - ${slack}L - e.__x)))
+              END))"""))
+      .select(col("__k"),
+        explode(arrays_zip(col("__seq"), col("__st"))).as("__z"))
+      .select(col("__k").as("key"), col("__z.__seq.__ts").as("ts"),
+        col("__z.__seq.__tb").as("tiebreak"),
+        col("__z.__seq.__x").as("value"),
+        col("__z.__st.sp").as("s_pos"), col("__z.__st.sn").as("s_neg"),
+        (col("__z.__st.sp") >= threshold ||
+          col("__z.__st.sn") >= threshold).as("alarm"))
+  }
+
   def interpolate(df: DataFrame, key: Column, ts: Column, value: Column,
       stepUs: Long, maxBucketsPerKey: Long = Long.MaxValue): DataFrame = {
     require(stepUs > 0, s"stepUs must be positive; got $stepUs")

@@ -480,6 +480,47 @@ object TemporalOps {
         CAST(floor(s * 1000000.0) AS BIGINT) AS ewma_us
       FROM r ORDER BY event_id"""))
 
+  // --------------------------------------------------------------- q125
+  /** Per-user two-sided CUSUM over floor-cent event values in (ts,
+    * event_id) order (target 5000¢, slack 1000¢, threshold 15000¢):
+    * the oracle restates the IDENTICAL restart recurrence as a
+    * recursive CTE stepping rn → rn+1 (the q117 pattern), and every
+    * statistic is exact integer arithmetic — the full (s⁺, s⁻, alarm)
+    * series hash-gates with no float anywhere. Exercises
+    * [[graft.api.GraftOps.cusum]]. */
+  val q125 = QueryDef("q125_cusum",
+    (s, dir) =>
+      graft.api.GraftOps.cusum(events(s, dir), col("user_id"), col("ts"),
+          floor(col("value") * lit(100)).cast("long"), col("event_id"),
+          target = 5000L, slack = 1000L, threshold = 15000L)
+        .select(col("tiebreak").as("event_id"), col("key").as("user_id"),
+          col("value"), col("s_pos"), col("s_neg"),
+          col("alarm").cast("long").as("alarm"))
+        .orderBy("event_id"),
+    Some("""
+      WITH RECURSIVE o AS (
+        SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS x,
+          CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS BIGINT) AS rn
+        FROM events),
+      r AS (
+        SELECT event_id, user_id, x, rn,
+          greatest(CAST(0 AS BIGINT), x - 5000 - 1000) AS sp,
+          greatest(CAST(0 AS BIGINT), 5000 - 1000 - x) AS sn
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.event_id, o.user_id, o.x, o.rn,
+          greatest(CAST(0 AS BIGINT),
+            CASE WHEN r.sp >= 15000 OR r.sn >= 15000 THEN 0 ELSE r.sp END
+              + (o.x - 5000 - 1000)),
+          greatest(CAST(0 AS BIGINT),
+            CASE WHEN r.sp >= 15000 OR r.sn >= 15000 THEN 0 ELSE r.sn END
+              + (5000 - 1000 - o.x))
+        FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+      SELECT event_id, user_id, x AS value, sp AS s_pos, sn AS s_neg,
+        CAST(sp >= 15000 OR sn >= 15000 AS BIGINT) AS alarm
+      FROM r ORDER BY event_id"""))
+
   // --------------------------------------------------------------- q119
   /** Per-user event-type transition matrix over the full event log:
     * every consecutive step per user in (ts, event_id) order, with
@@ -537,5 +578,5 @@ object TemporalOps {
 
   val all: Seq[QueryDef] =
     Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104, q106, q117,
-      q119, q120)
+      q119, q120, q125)
 }

@@ -936,6 +936,19 @@ object PipelineCompiler {
           expr(arg(args, "state")).cast("string").as("state"))
           .as(org.apache.spark.sql.Encoders.product[
             graft.streaming.TransitionStream.Event])).toDF())),
+    // cusumStream: the S23 continuous twin of `cusum` (DataFrame face
+    // over the typed CusumStream; batch == stream law spec'd in S23)
+    "cusumStream" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.CusumStream(
+        in("inport1").select(
+          expr(arg(args, "key")).cast("long").as("key"),
+          expr(arg(args, "ts")).cast("timestamp").as("ts"),
+          expr(arg(args, "tiebreak")).cast("long").as("tb"),
+          expr(arg(args, "value")).cast("long").as("value"))
+          .as(org.apache.spark.sql.Encoders.product[
+            graft.streaming.CusumStream.Point]),
+        arg(args, "target").toLong, arg(args, "slack").toLong,
+        arg(args, "threshold").toLong).toDF())),
     "transitionCounts" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.transitionCounts(
         in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),
@@ -969,6 +982,12 @@ object PipelineCompiler {
         in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),
         expr(arg(args, "value")), expr(arg(args, "tiebreak")),
         arg(args, "alphaPpm").toLong))),
+    "cusum" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.cusum(
+        in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),
+        expr(arg(args, "value")), expr(arg(args, "tiebreak")),
+        arg(args, "target").toLong, arg(args, "slack").toLong,
+        arg(args, "threshold").toLong))),
     "sampleBudget" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.sampleBudget(
         in("inport1"), expr(arg(args, "strata")), expr(arg(args, "key")),

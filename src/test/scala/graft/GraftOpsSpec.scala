@@ -706,6 +706,47 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got(4L) == ((1, 1L, 1L, 1000000L)))
   }
 
+  test("cusum: hand-checked alarms, restart, two sides, NULL poison, guards") {
+    import spark.implicits._
+    // target 10, slack 2, threshold 15: drift +8 per high point, +7 per
+    // low point; alarms at steps 2 (upward) and 5 (downward), each
+    // followed by a restart from 0
+    val pts = Seq(
+      (1L, 1L, Some(20L)), (1L, 2L, Some(20L)), (1L, 3L, Some(5L)),
+      (1L, 4L, Some(1L)), (1L, 5L, Some(1L)), (1L, 6L, Some(1L)),
+      (1L, 7L, Some(1L)), (1L, 8L, Some(16L)),
+      // NULL poisons the tail, including the re-observed 20
+      (2L, 1L, Some(20L)), (2L, 2L, None), (2L, 3L, Some(20L)),
+      // a single wild first point can alarm immediately
+      (3L, 1L, Some(30L)))
+      .toDF("k", "t", "x")
+    val got = GraftOps.cusum(pts, col("k"), col("t"), col("x"), col("t"),
+        target = 10L, slack = 2L, threshold = 15L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(4)), Option(r.get(5)), Option(r.get(6)))))
+      .toMap
+    val expect1 = Seq(
+      1L -> (8L, 0L, false), 2L -> (16L, 0L, true), 3L -> (0L, 3L, false),
+      4L -> (0L, 10L, false), 5L -> (0L, 17L, true), 6L -> (0L, 7L, false),
+      7L -> (0L, 14L, false), 8L -> (4L, 6L, false))
+    expect1.foreach { case (t, (sp, sn, al)) =>
+      assert(got((1L, t)) == ((Some(sp), Some(sn), Some(al))),
+        s"key1 step $t: ${got((1L, t))}")
+    }
+    assert(got((2L, 1L)) == ((Some(8L), Some(0L), Some(false))))
+    assert(got((2L, 2L)) == ((None, None, None)), "NULL point has no state")
+    assert(got((2L, 3L)) == ((None, None, None)), "poisoned tail stays NULL")
+    assert(got((3L, 1L)) == ((Some(18L), Some(0L), Some(true))),
+      "first point can alarm")
+    intercept[IllegalArgumentException] {
+      GraftOps.cusum(pts, col("k"), col("t"), col("x"), col("t"), 10L, -1L, 15L)
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.cusum(pts, col("k"), col("t"), col("x"), col("t"), 10L, 2L, 0L)
+    }
+  }
+
   test("prefixRollup: ancestor counts, maxDepth cap, NULL drop, literal sep") {
     import spark.implicits._
     val paths = Seq(

@@ -1532,6 +1532,57 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("round-16 cusumStream composes in a STREAMING XML pipeline == batch cusum") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("cusum-stream-in")
+    // key 1 drifts high and alarms at its second point (target 10,
+    // slack 2, threshold 15); unordered lines exercise the in-batch sort
+    val lines = Seq(
+      """{"k": 1, "t": "2024-01-01 10:01:00", "n": 2, "v": 20}""",
+      """{"k": 1, "t": "2024-01-01 10:00:00", "n": 1, "v": 20}""",
+      """{"k": 2, "t": "2024-01-01 10:00:00", "n": 3, "v": 9}""",
+      """{"k": 1, "t": "2024-01-01 10:02:00", "n": 4, "v": 5}""")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      lines.mkString("\n") + "\n")
+    val xml = s"""
+      <pipeline>
+        <operator name="src" class="fileStreamInput">
+          <arg key="schema" value="k LONG, t TIMESTAMP, n LONG, v LONG"/>
+          <arg key="format" value="json"/>
+          <arg key="path" value="${dir.toUri}"/>
+        </operator>
+        <operator name="cu" class="cusumStream">
+          <arg key="key" value="k"/><arg key="ts" value="t"/>
+          <arg key="tiebreak" value="n"/><arg key="value" value="v"/>
+          <arg key="target" value="10"/><arg key="slack" value="2"/>
+          <arg key="threshold" value="15"/>
+        </operator>
+        <operator name="sink" class="memoryStreamSink">
+          <arg key="name" value="cusum_stream_out"/>
+          <arg key="triggerMs" value="0"/>
+        </operator>
+        <connect from="src.outport1" to="cu.inport1"/>
+        <connect from="cu.outport1" to="sink.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(xml), spark)
+    val q = spark.streams.active.find(_.name == "cusum_stream_out")
+      .getOrElse(fail("compiled cusumStream pipeline did not start a query"))
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cusum_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5),
+          r.getBoolean(6))).toSet
+      val batch = graft.api.GraftOps.cusum(
+          spark.read.schema("k LONG, t TIMESTAMP, n LONG, v LONG")
+            .json(dir.toString),
+          col("k"), col("t"), col("v"), col("n"), 10L, 2L, 15L)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4),
+          r.getLong(5), r.getBoolean(6))).toSet
+      assert(got == batch, s"XML stream $got != batch cusum $batch")
+      assert(got.contains((1L, 2L, 16L, 0L, true)), s"key1 alarms: $got")
+    } finally q.stop()
+  }
+
   test("round-12 heavyHittersStream composes in a STREAMING XML pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("hh-stream-in")
     // 30 "hot", 6 "warm", 4 singletons — capacity 4 keeps hot+warm
@@ -1954,6 +2005,32 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     val got = ports("pr.outport1")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
       got.count() > 0, "XML prefixRollup == library prefixRollup")
+  }
+
+  test("cusum registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="ev" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="events"/>
+        </operator>
+        <operator name="cu" class="cusum">
+          <arg key="key" value="user_id"/><arg key="ts" value="ts"/>
+          <arg key="value" value="CAST(floor(value * 100) AS BIGINT)"/>
+          <arg key="tiebreak" value="event_id"/>
+          <arg key="target" value="5000"/><arg key="slack" value="1000"/>
+          <arg key="threshold" value="15000"/>
+        </operator>
+        <connect from="ev.outport1" to="cu.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.cusum(
+      Tables.load(spark, sf001, "events"), col("user_id"), col("ts"),
+      floor(col("value") * lit(100)).cast("long"), col("event_id"),
+      5000L, 1000L, 15000L)
+    val got = ports("cu.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML cusum == library cusum")
   }
 
   test("groupTrend registry op == library form") {

@@ -1224,6 +1224,69 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q2.stop()
   }
 
+  test("S23: streaming CUSUM == batch cusum; restart crosses batches; late point fails loudly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.CusumStream
+    import graft.streaming.CusumStream.Point
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // target 10, slack 2, threshold 15 — the batch spec's numbers; key 1
+    // alarms inside batch 1 and its RESTART happens in batch 2 (the
+    // cross-batch state carry), key 2 alarms on its very first point.
+    // Batch-1 rows deliberately unordered within the batch.
+    val chunk1 = Seq(
+      Point(1L, ts("2024-01-01 10:01:00"), 2L, 20L),
+      Point(1L, ts("2024-01-01 10:00:00"), 1L, 20L),
+      Point(2L, ts("2024-01-01 10:00:00"), 1L, 30L))
+    val chunk2 = Seq(
+      Point(1L, ts("2024-01-01 10:02:00"), 3L, 5L),
+      Point(1L, ts("2024-01-01 10:03:00"), 4L, 1L),
+      Point(2L, ts("2024-01-01 10:05:00"), 2L, 9L))
+    val input = MemoryStream[Point]
+    val q = CusumStream(input.toDS(), target = 10L, slack = 2L,
+        threshold = 15L)
+      .writeStream.format("memory").queryName("s23cusum")
+      .outputMode("append").start()
+    try {
+      input.addData(chunk1: _*); q.processAllAvailable()
+      input.addData(chunk2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s23cusum").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5),
+        r.getBoolean(6))).toSet
+    // law: equal cell-for-cell to the batch operator (exact integers)
+    val want = graft.api.GraftOps.cusum(
+        (chunk1 ++ chunk2).toDS().toDF(), col("key"), col("ts"),
+        col("value"), col("tb"), 10L, 2L, 15L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getBoolean(6))).toSet
+    assert(got == want, s"stream $got != batch $want")
+    // the alarm fired in batch 1, the restart is visible in batch 2
+    assert(got.contains((1L, 2L, 16L, 0L, true)), "key1 alarms at step 2")
+    assert(got.contains((1L, 3L, 0L, 3L, false)),
+      "key1 restarts from 0 across the batch boundary")
+    assert(got.contains((2L, 1L, 18L, 0L, true)),
+      "key2 alarms on its first point")
+    assert(got.contains((2L, 2L, 0L, 0L, false)),
+      "key2 restarts across the batch boundary")
+    // a cross-batch late point fails the query loudly, never silently
+    val input2 = MemoryStream[Point]
+    val q2 = CusumStream(input2.toDS(), 10L, 2L, 15L)
+      .writeStream.format("memory").queryName("s23late")
+      .outputMode("append").start()
+    try {
+      input2.addData(Point(9L, ts("2024-01-01 12:00:00"), 2L, 1L))
+      q2.processAllAvailable()
+      input2.addData(Point(9L, ts("2024-01-01 11:00:00"), 1L, 1L)) // LATE
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("cross-batch order violated") ||
+        Option(ex.getCause).exists(_.toString.contains("cross-batch")),
+        s"loud order failure: $ex")
+    } finally q2.stop()
+  }
+
   test("S21: streaming EWMA == batch ewma bit-equal; cross-batch late point fails loudly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
