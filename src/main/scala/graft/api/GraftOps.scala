@@ -2830,6 +2830,52 @@ object GraftOps {
           col("__z.__st.sn") >= threshold).as("alarm"))
   }
 
+  /** Per-key time-weighted average — the irregular-sampling mean that
+    * plain AVG silently gets wrong (a sensor reporting 100× more often
+    * while idle dominates an arithmetic mean; TWAP weighs each
+    * observation by how long it HELD): each point holds its value until
+    * the key's next point in (ts, tiebreak) order, twap = Σ(vᵢ·durᵢ) /
+    * Σdurᵢ over exact micro-second durations. The LAST observation has
+    * no successor and holds for ZERO duration (stated — extrapolating
+    * an open interval invents data; append a sentinel observation at
+    * the horizon if the tail should count). Same-timestamp ties hold
+    * zero duration each except the last of the tie (honest under the
+    * total (ts, tiebreak) order). A key with a single observation (or
+    * all at one instant) has NO average → NULL twap with n and dur_us
+    * still reported. NULL keys/timestamps/values drop up front (an
+    * unknown value has no holding interval — gap-fill first).
+    *
+    * Portability: `value` is CALLER-QUANTIZED integers (the groupTrend
+    * contract); per-row v·dur products are LONG-exact (guard your
+    * quantization: |v| · key-lifetime-µs must stay under 2⁶³), sums
+    * cross rows as decimal(38,0), and the one division is the
+    * sign-split `(|num|·10⁶) div den` on non-negative operands where
+    * Spark's truncating div equals DuckDB's flooring `//` — twap_us is
+    * the exact micro-unit average, no IEEE step anywhere.
+    *
+    * Plan: ONE shuffle on key serving both the lead() window and the
+    * final agg (same partitioning, the q27/q28 posture) — no
+    * self-join, no explosion; output is key-sized. */
+  def timeWeightedAvg(df: DataFrame, key: Column, ts: Column,
+      value: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__um"), col("__tb"))
+    df.select(key.as("__k"), unix_micros(ts).as("__um"),
+        tiebreak.as("__tb"), value.cast("long").as("__x"))
+      .filter(col("__k").isNotNull && col("__um").isNotNull &&
+        col("__x").isNotNull)
+      .withColumn("__dur",
+        coalesce(lead(col("__um"), 1).over(w) - col("__um"), lit(0L)))
+      .groupBy(col("__k").as("key"))
+      .agg(count(lit(1)).as("n"), sum(col("__dur")).as("dur_us"),
+        sum((col("__x") * col("__dur")).cast("decimal(38,0)")).as("__num"))
+      .selectExpr("key", "n", "dur_us",
+        """CASE WHEN dur_us > 0 THEN
+             (CASE WHEN __num < 0 THEN -1L ELSE 1L END) *
+             CAST((abs(__num) * 1000000) div CAST(dur_us AS decimal(38,0))
+               AS BIGINT) END AS twap_us""")
+  }
+
   def interpolate(df: DataFrame, key: Column, ts: Column, value: Column,
       stepUs: Long, maxBucketsPerKey: Long = Long.MaxValue): DataFrame = {
     require(stepUs > 0, s"stepUs must be positive; got $stepUs")

@@ -521,6 +521,40 @@ object TemporalOps {
         CAST(sp >= 15000 OR sn >= 15000 AS BIGINT) AS alarm
       FROM r ORDER BY event_id"""))
 
+  // --------------------------------------------------------------- q126
+  /** Per-user time-weighted average of floor-cent event values — the
+    * irregular-sampling mean where each event's value holds until the
+    * user's next event; exact micro-cent output via decimal sums and
+    * the sign-split integral division. Exercises
+    * [[graft.api.GraftOps.timeWeightedAvg]]. */
+  val q126 = QueryDef("q126_twap",
+    (s, dir) =>
+      graft.api.GraftOps.timeWeightedAvg(events(s, dir), col("user_id"),
+          col("ts"), floor(col("value") * lit(100)).cast("long"),
+          col("event_id"))
+        .orderBy("key")
+        .withColumnRenamed("key", "user_id"),
+    Some("""
+      WITH b AS (
+        SELECT user_id, epoch_us(ts) AS um, event_id,
+          CAST(floor(value * 100) AS BIGINT) AS x
+        FROM events),
+      d AS (
+        SELECT user_id, x,
+          coalesce(lead(um) OVER (PARTITION BY user_id
+            ORDER BY um, event_id) - um, 0) AS dur
+        FROM b),
+      a AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(dur) AS BIGINT) AS dur_us,
+          sum(CAST(x AS HUGEINT) * dur) AS num
+        FROM d GROUP BY 1)
+      SELECT user_id, n, dur_us,
+        CASE WHEN dur_us > 0 THEN
+          CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+            ((abs(num) * 1000000) // dur_us) AS BIGINT) END AS twap_us
+      FROM a ORDER BY user_id"""))
+
   // --------------------------------------------------------------- q119
   /** Per-user event-type transition matrix over the full event log:
     * every consecutive step per user in (ts, event_id) order, with
@@ -578,5 +612,5 @@ object TemporalOps {
 
   val all: Seq[QueryDef] =
     Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104, q106, q117,
-      q119, q120, q125)
+      q119, q120, q125, q126)
 }

@@ -982,6 +982,10 @@ object PipelineCompiler {
         in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),
         expr(arg(args, "value")), expr(arg(args, "tiebreak")),
         arg(args, "alphaPpm").toLong))),
+    "timeWeightedAvg" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.timeWeightedAvg(
+        in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),
+        expr(arg(args, "value")), expr(arg(args, "tiebreak"))))),
     "cusum" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.cusum(
         in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),

@@ -706,6 +706,41 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got(4L) == ((1, 1L, 1L, 1000000L)))
   }
 
+  test("timeWeightedAvg: holding weights, zero-dur tail, ties, sign, NULL drop") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val pts = Seq(
+      // key 1: 10 held 10 s + 20 held 20 s + 5 held 0 (tail) ->
+      // (100 + 400)e6 µval·µs over 30e6 µs = 16,666,666 µunits
+      (1L, ts(0), 1L, Some(10L)), (1L, ts(10), 2L, Some(20L)),
+      (1L, ts(30), 3L, Some(5L)),
+      // key 2: single observation -> no average, n/dur still reported
+      (2L, ts(5), 1L, Some(99L)),
+      // key 3: same-instant tie -> only tiebreak order, zero durations,
+      // then 7 held 10 s
+      (3L, ts(0), 1L, Some(1L)), (3L, ts(0), 2L, Some(2L)),
+      (3L, ts(0), 3L, Some(7L)), (3L, ts(10), 4L, Some(0L)),
+      // key 4: negative values exercise the sign split
+      (4L, ts(0), 1L, Some(-10L)), (4L, ts(10), 2L, Some(-20L)),
+      // key 5: NULL value drops up front -> 10 holds through to 20 s
+      (5L, ts(0), 1L, Some(10L)), (5L, ts(10), 2L, None),
+      (5L, ts(20), 3L, Some(30L)))
+      .toDF("k", "t", "n", "x")
+    val got = GraftOps.timeWeightedAvg(pts, col("k"), col("t"), col("x"),
+        col("n"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(got(1L) == ((3L, 30000000L, Some(16666666L))), s"k1: ${got(1L)}")
+    assert(got(2L) == ((1L, 0L, None)), "single point has no average")
+    assert(got(3L) == ((4L, 10000000L, Some(7000000L))),
+      s"ties hold zero, last-of-tie holds on: ${got(3L)}")
+    assert(got(4L) == ((2L, 10000000L, Some(-10000000L))),
+      s"negative twap keeps its sign exactly: ${got(4L)}")
+    assert(got(5L) == ((2L, 20000000L, Some(10000000L))),
+      s"NULL value drops, prior value holds through: ${got(5L)}")
+  }
+
   test("cusum: hand-checked alarms, restart, two sides, NULL poison, guards") {
     import spark.implicits._
     // target 10, slack 2, threshold 15: drift +8 per high point, +7 per

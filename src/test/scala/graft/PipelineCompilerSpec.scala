@@ -2007,6 +2007,29 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML prefixRollup == library prefixRollup")
   }
 
+  test("timeWeightedAvg registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="ev" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="events"/>
+        </operator>
+        <operator name="tw" class="timeWeightedAvg">
+          <arg key="key" value="user_id"/><arg key="ts" value="ts"/>
+          <arg key="value" value="CAST(floor(value * 100) AS BIGINT)"/>
+          <arg key="tiebreak" value="event_id"/>
+        </operator>
+        <connect from="ev.outport1" to="tw.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.timeWeightedAvg(
+      Tables.load(spark, sf001, "events"), col("user_id"), col("ts"),
+      floor(col("value") * lit(100)).cast("long"), col("event_id"))
+    val got = ports("tw.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML timeWeightedAvg == library timeWeightedAvg")
+  }
+
   test("cusum registry op == library form") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
