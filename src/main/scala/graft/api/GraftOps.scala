@@ -3127,6 +3127,50 @@ object GraftOps {
     * shuffles, nothing quadratic. Standard practice uses widths around
     * 8–13; the default is 13 (the common n-gram decontamination
     * convention in LLM training pipelines). */
+  /** Novelty / boilerplate-mass scoring against a reference corpus —
+    * the curation score "how much of this document is text we already
+    * have": per document, total `width`-gram shingle OCCURRENCES,
+    * occurrences whose shingle appears NOWHERE in the reference, and
+    * the exact integer-ppm novelty share (unseen·10⁶ div total). The
+    * occurrence-mass complement of [[decontaminate]] (which counts
+    * DISTINCT overlapping shingles for a drop/keep decision): here a
+    * document that repeats one known slogan fifty times scores fifty
+    * known occurrences — the boilerplate/memorization-audit weighting,
+    * low novelty → near-duplicate of the reference mass, high →
+    * genuinely new text. A document with fewer than `width` tokens has
+    * no shingles → 0/0 counts and NULL ppm (novelty of nothing is
+    * undefined — stated, never a divide).
+    *
+    * Plan: reference collapses to its DISTINCT shingle-hash vocabulary
+    * (one agg); document totals come NARROWLY from the codegen'd
+    * shingle array's size (no shuffle); only the unseen count joins —
+    * a left-anti against the vocabulary (AQE broadcasts a small
+    * vocabulary; for eval-set-sized references that posture is
+    * [[decontaminate]]'s, and a [[decontaminateBloom]]-style map-side
+    * pre-filter is the documented escape hatch past ~10⁸ shingles) —
+    * then one map-side-combined agg on doc id and one doc-keyed join
+    * back. Output: (id, n_shingles, n_unseen, novelty_ppm). */
+  def noveltyScore(df: DataFrame, id: Column, text: Column,
+      reference: DataFrame, refText: Column, width: Int = 13): DataFrame = {
+    require(width >= 1, s"width must be >= 1; got $width")
+    val refVocab = reference.select(explode(
+        graft.functions.ShingleHashes.asColumn(Text.tokens(refText), width))
+        .as("__sh")).distinct()
+    val withTot = df.select(id.as("id"),
+        graft.functions.ShingleHashesAll.asColumn(Text.tokens(text), width)
+          .as("__shs"))
+      .withColumn("__tot", size(col("__shs")).cast("long"))
+    val unseen = withTot
+      .select(col("id"), explode(col("__shs")).as("__sh"))
+      .join(refVocab, Seq("__sh"), "left_anti")
+      .groupBy(col("id")).agg(count(lit(1)).as("__un"))
+    withTot.join(unseen, Seq("id"), "left")
+      .select(col("id"), col("__tot").as("n_shingles"),
+        coalesce(col("__un"), lit(0L)).as("n_unseen"),
+        when(col("__tot") > 0, expr(
+          "coalesce(__un, 0L) * 1000000L div __tot")).as("novelty_ppm"))
+  }
+
   def decontaminate(corpus: DataFrame, id: Column, text: Column,
       eval: DataFrame, evalText: Column, width: Int = 13): DataFrame = {
     val evalSh = eval.select(explode(graft.functions.ShingleHashes.asColumn(

@@ -1548,8 +1548,50 @@ object CurationOps {
       FROM e GROUP BY 1, 2
       ORDER BY depth, prefix"""))
 
+  // --------------------------------------------------------------- q127
+  /** Novelty scoring: docs with doc_id % 5 == 0 play the reference
+    * corpus; every other doc is scored by what fraction of its 3-gram
+    * shingle OCCURRENCES appear nowhere in the reference (width 3 for
+    * the short fixture docs, as q45). Occurrence-mass — a repeated
+    * known shingle counts every time — with exact integer-ppm novelty.
+    * Exercises [[GraftOps.noveltyScore]]. */
+  val q127 = QueryDef("q127_novelty_score",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val ref = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      GraftOps.noveltyScore(corpus, col("doc_id"), col("text"),
+          ref, col("text"), width = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      dh AS (
+        SELECT doc_id, ${Duck.ph("sh_raw")} AS sh
+        FROM (SELECT doc_id, unnest(${Duck.shingles3}) AS sh_raw
+              FROM t WHERE doc_id % 5 <> 0)),
+      rv AS (
+        SELECT DISTINCT ${Duck.ph("sh_raw")} AS sh
+        FROM (SELECT unnest(list_distinct(${Duck.shingles3})) AS sh_raw
+              FROM t WHERE doc_id % 5 = 0)),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+              FROM dh GROUP BY 1),
+      un AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_unseen
+        FROM dh ANTI JOIN rv USING (sh) GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(tot.n_shingles, 0) AS n_shingles,
+        COALESCE(un.n_unseen, 0) AS n_unseen,
+        CASE WHEN COALESCE(tot.n_shingles, 0) > 0 THEN
+          (COALESCE(un.n_unseen, 0) * 1000000) // tot.n_shingles
+        END AS novelty_ppm
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+      LEFT JOIN tot USING (doc_id) LEFT JOIN un USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
-      q100, q105, q107, q108, q111, q113, q116, q121, q123, q124)
+      q100, q105, q107, q108, q111, q113, q116, q121, q123, q124, q127)
 }

@@ -962,6 +962,11 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.lexiconScore(
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
         in("inport2"), expr(arg(args, "term"))))),
+    "noveltyScore" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.noveltyScore(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
+        in("inport2"), expr(arg(args, "refText")),
+        args.get("width").map(_.toInt).getOrElse(13)))),
     "prefixRollup" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.prefixRollup(
         in("inport1"), expr(arg(args, "path")),

@@ -706,6 +706,33 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got(4L) == ((1, 1L, 1L, 1000000L)))
   }
 
+  test("noveltyScore: occurrence mass, all-known, all-new, short doc, guard") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d")).toDF("rid", "rt")
+    val docs = Seq(
+      (1L, "a b c d"),              // every occurrence known -> 0 ppm
+      (2L, "x y z w"),              // nothing known -> 1e6 ppm
+      // 7 occurrences: "a b c"×3 known (ref has it), "b c a"×2 and
+      // "c a b"×2 unseen -> 4e6 div 7 = 571428 (occurrence MASS — a
+      // distinct-shingle count would say 2/3 instead)
+      (3L, "a b c a b c a b c"),
+      (4L, "a b"))                  // too short for width 3 -> no score
+      .toDF("id", "t")
+    val got = GraftOps.noveltyScore(docs, col("id"), col("t"), ref,
+        col("rt"), width = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(got(1L) == ((2L, 0L, Some(0L))), s"all-known: ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, Some(1000000L))), s"all-new: ${got(2L)}")
+    assert(got(3L) == ((7L, 4L, Some(571428L))),
+      s"occurrence mass, not distinct types: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, None)), "short doc has no defined novelty")
+    intercept[IllegalArgumentException] {
+      GraftOps.noveltyScore(docs, col("id"), col("t"), ref, col("rt"), 0)
+    }
+  }
+
   test("timeWeightedAvg: holding weights, zero-dur tail, ties, sign, NULL drop") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)

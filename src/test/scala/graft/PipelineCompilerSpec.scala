@@ -2007,6 +2007,32 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML prefixRollup == library prefixRollup")
   }
 
+  test("noveltyScore registry op == library form (two inports)") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="d" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="r" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="nv" class="noveltyScore">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+          <arg key="refText" value="text"/><arg key="width" value="3"/>
+        </operator>
+        <connect from="d.outport1" to="nv.inport1"/>
+        <connect from="r.outport1" to="nv.inport2"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.noveltyScore(
+      Tables.load(spark, sf001, "documents"), col("doc_id"), col("text"),
+      Tables.load(spark, sf001, "documents"), col("text"), width = 3)
+    val got = ports("nv.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML noveltyScore == library noveltyScore")
+  }
+
   test("timeWeightedAvg registry op == library form") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
