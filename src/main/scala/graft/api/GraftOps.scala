@@ -1082,6 +1082,85 @@ object GraftOps {
       .select(col("probe_id"), id.as("id"), col("rank"), col("sim"))
   }
 
+  /** MMR (maximal-marginal-relevance) diversified re-rank — the
+    * diversity step between retrieval and the user: from each query's
+    * CANDIDATE list (a bounded top-N from [[knn]]/[[ivfPqTopK]]/BM25/
+    * [[rrfFuse]] — never a corpus), greedily select k documents by
+    * mmrᵢ(d) = λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s): the first
+    * pick is pure relevance (the max over an empty set contributes 0),
+    * every later pick trades relevance against similarity to what is
+    * ALREADY picked — so near-duplicate hits stop crowding out
+    * distinct aspects of the answer. λ arrives as ppm (1e6 = pure
+    * relevance, 0 = pure diversity) via one stated division; ties
+    * break (mmr desc, doc asc), fully deterministic.
+    *
+    * Portability: rel is caller-supplied (bit-portable when produced
+    * by the q13/q112 chains), candidate–candidate cosine is the
+    * sequential-fold [[graft.functions.CosineSim]], max over selected
+    * is order-free exact, and the λ-combination is the same 3-op IEEE
+    * chain both engines state — so every emitted mmr value is
+    * bit-equal to DuckDB's recursive-CTE restatement of the same
+    * greedy walk (q128). Duplicate docs within a query collapse to
+    * one selection (the rrfFuse one-row-per-doc contract — state it
+    * upstream); NULL doc/rel/vec rows drop up front (a candidate that
+    * can't score or diversify is not a candidate).
+    *
+    * Plan: ONE shuffle groups each query's candidates into a task row
+    * (candidate lists are top-N-bounded by construction); the whole
+    * greedy walk is ONE runtime `aggregate(sequence(1, k), …)` fold
+    * over the candidate array — no join, no window, no per-step
+    * shuffle, and the expression tree is CONSTANT-sized in k (an
+    * earlier k-unrolled-projection draft sent the analyzer into
+    * minutes of single-threaded expression rewriting); output is
+    * (queries × k) rows. Built for the re-rank regime (k ≲ 100), not
+    * corpus scans. */
+  def mmrRerank(df: DataFrame, query: Column, doc: Column, score: Column,
+      vec: Column, k: Int, lambdaPpm: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000,
+      s"lambdaPpm must be in [0, 1000000]; got $lambdaPpm")
+    val lam = lit(lambdaPpm).cast("double") / lit(1000000.0)
+    val grouped = df.select(query.as("__q"),
+        struct(doc.as("d"), score.cast("double").as("r"), vec.as("v"))
+          .as("__c"))
+      .filter(col("__c.d").isNotNull && col("__c.r").isNotNull &&
+        col("__c.v").isNotNull)
+      .groupBy(col("__q"))
+      .agg(sort_array(collect_list(col("__c"))).as("__cand"))
+    // state = (sel: chosen candidates, out: (doc, mmr) in pick order);
+    // the empty arrays are sliced from __cand so doc/vec types stay
+    // generic (long or string ids, any dim)
+    val emptyOut = slice(transform(col("__cand"),
+      c => struct(c("d").as("d"), lit(0.0).as("m"))), 1, 0)
+    val walk = aggregate(
+      sequence(lit(1), lit(k)),
+      struct(slice(col("__cand"), 1, 0).as("sel"), emptyOut.as("out")),
+      (acc, _) => {
+        val sel = acc("sel")
+        val selDocs = transform(sel, s => s("d"))
+        val rem = filter(col("__cand"),
+          c => !array_contains(selDocs, c("d")))
+        val scored = transform(rem, c => struct(
+          c("d").as("d"), c("r").as("r"), c("v").as("v"),
+          (lam * c("r") - (lit(1.0) - lam) * coalesce(
+            array_max(transform(sel,
+              s => graft.functions.CosineSim(c("v"), s("v")))),
+            lit(0.0))).as("m")))
+        val best = slice(array_sort(scored, (l, r) =>
+          when(l("m") > r("m"), -1).when(l("m") < r("m"), 1)
+            .when(l("d") < r("d"), -1).when(l("d") > r("d"), 1)
+            .otherwise(0)), 1, 1)
+        struct(
+          concat(sel, transform(best, b => struct(b("d").as("d"),
+            b("r").as("r"), b("v").as("v")))).as("sel"),
+          concat(acc("out"), transform(best, b => struct(b("d").as("d"),
+            b("m").as("m")))).as("out"))
+      })
+    grouped.select(col("__q").as("query"), posexplode(walk("out")))
+      .select(col("query"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.d").as("doc"), col("col.m").as("mmr"))
+  }
+
   /** IVF (inverted-file) approximate top-k similarity search.
     *
     * Cells are the per-`label` centroids (exact integer-micros means —
@@ -3952,6 +4031,68 @@ object GraftOps {
     * re-execute both corpus scans), then a full-outer join of two
     * catalog-sized aggregates — output stays catalog-sized at any
     * corpus scale. */
+  /** Categorical association (chi-square + Cramér's V) between two
+    * columns — the profiling answer to "are these metadata fields
+    * redundant or independent" (lang × source, domain × license):
+    * builds the full contingency grid INCLUDING zero-observed cells
+    * (a structurally-empty cell still contributes its expected count —
+    * dropping them understates chi² exactly where association is
+    * strongest), chi² = Σ (n_ij − e_ij)²/e_ij with e_ij = n_i·n_j/N,
+    * and V = √(χ²/(N·(min(r,c)−1))) ∈ [0,1] so tables of different
+    * sizes compare. Output is ONE row: (n, r, c, chi2_us, v_us).
+    *
+    * Portability: per-cell contributions quantize to exact integer
+    * micros BEFORE summing (a float SUM aggregate is order-dependent —
+    * the k-means integer trade, so chi2_us is order-free exact), e_ij
+    * is the 2-op IEEE chain CAST(nᵢ AS DOUBLE)·nⱼ/N on exact integers
+    * (nᵢ·nⱼ in integers would overflow at corpus scale), and V is a
+    * 4-op stated chain on the exact chi2_us — identical on both
+    * engines. A single-category axis has no V (min(r,c)−1 = 0 → NULL,
+    * never a divide; chi² is 0 there by construction). NULL categories
+    * are REAL categories (the q107 contract — null-safe joins
+    * throughout).
+    *
+    * Plan: one map-side-combined agg to the contingency table (the
+    * corpus's only shuffle, cell-grain), marginals as catalog-sized
+    * aggs of the CELLS (the corpus is not re-read), the r×c grid via a
+    * catalog² cross join + null-safe left join back, 1-row totals
+    * broadcast — everything after the first agg is catalog-sized at
+    * 100 TB. */
+  def categoricalAssociation(df: DataFrame, a: Column,
+      b: Column): DataFrame = {
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__na"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__nb"))
+    // __tot, not __N: Spark resolution is case-INSENSITIVE, so a __N
+    // beside the cell count __n is an ambiguous reference (the q116
+    // "__N silently meets __n" catch, now a compile-shape error here)
+    val tots = ra.agg(count(lit(1)).as("__r"),
+        sum(col("__na")).as("__tot"))
+      .crossJoin(cb.agg(count(lit(1)).as("__c")))
+    val grid = ra.select(col("__a").as("__ka"), col("__na"))
+      .crossJoin(cb.select(col("__b").as("__kb"), col("__nb")))
+      .join(cells, col("__ka") <=> col("__a") &&
+        col("__kb") <=> col("__b"), "left")
+      .select(col("__na"), col("__nb"),
+        coalesce(col("__n"), lit(0L)).as("__obs"))
+      .crossJoin(broadcast(tots))
+      .withColumn("__e",
+        col("__na").cast("double") * col("__nb") / col("__tot"))
+      .withColumn("__cu", floor((col("__obs") - col("__e")) *
+        (col("__obs") - col("__e")) / col("__e") * lit(1000000.0))
+        .cast("long"))
+    grid.groupBy(col("__tot"), col("__r"), col("__c"))
+      .agg(sum(col("__cu")).as("chi2_us"))
+      .select(col("__tot").as("n"), col("__r").as("r"),
+        col("__c").as("c"), col("chi2_us"),
+        when(least(col("__r"), col("__c")) > 1,
+          floor(sqrt((col("chi2_us").cast("double") / lit(1000000.0)) /
+            (col("__tot").cast("double") *
+              (least(col("__r"), col("__c")) - 1))) * lit(1000000.0))
+            .cast("long")).as("v_us"))
+  }
+
   def corpusDrift(base: DataFrame, cur: DataFrame,
       category: Column): DataFrame = {
     val b = base.groupBy(category.as("category"))
@@ -4168,6 +4309,64 @@ object GraftOps {
     * Plan: one window shuffle on the group key (the irreducible cost of
     * exact ranks); the GK-sketch alternative for hot groups is the same
     * trade [[topQuantileFilterApprox]] documents. */
+  /** Per-group WEIGHTED quantiles — the statistic plain `percentile`
+    * silently gets wrong when rows carry unequal mass (the
+    * token-weighted median quality of a corpus is NOT the median of
+    * per-doc scores; a 100k-token doc is 100k tokens of training
+    * signal, not one vote): for each requested q (as ppm), the
+    * smallest value v with W(≤ v) ≥ ⌈q · W / 10⁶⌉ — the lower
+    * weighted quantile over cumulative mass, the textbook definition
+    * stated with EXACT integer thresholds (decimal(38,0) products, so
+    * q·W never overflows at corpus mass). Weights are CALLER-QUANTIZED
+    * positive integers (token counts, bytes, exact cents); a NEGATIVE
+    * weight fails LOUDLY (negative mass corrupts every cumulative sum
+    * silently — raise_error, not a contract footnote), NULL value or
+    * NULL/zero weight rows drop (massless rows hold no quantile mass —
+    * stated), and a group whose rows all drop vanishes from the
+    * output. Value ties are handled by the RANGE cumulative frame
+    * (every row of value v sees the full W(≤ v)) — both engines'
+    * DEFAULT ordered-window frame, so tie behavior is identical by
+    * construction, with no tiebreak column needed.
+    *
+    * Plan: ONE shuffle on group, then two window passes over the SAME
+    * (group, value-asc) sort — the running mass and the group total —
+    * and one map-side-combined agg per (group); quantiles come from a
+    * conditional-min per requested q (one agg column each, no
+    * explosion); output is groups × |qs| rows. */
+  def weightedQuantiles(df: DataFrame, group: Column, value: Column,
+      weight: Column, qsPpm: Seq[Long]): DataFrame = {
+    require(qsPpm.nonEmpty, "qsPpm must name at least one quantile")
+    require(qsPpm.forall(q => q >= 0 && q <= 1000000),
+      s"each q must be in [0, 1000000] ppm; got $qsPpm")
+    val w = when(weight < 0, raise_error(concat(
+        lit("weightedQuantiles: negative weight "),
+        weight.cast("string"), lit(" — mass must be >= 0"))))
+      .otherwise(weight.cast("long"))
+    val base = df.select(group.as("group"), value.as("__v"), w.as("__w"))
+      .filter(col("group").isNotNull && col("__v").isNotNull &&
+        col("__w").isNotNull && col("__w") > 0)
+    // default ordered frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW on
+    // both engines: tie rows share the full cumulative mass W(<= v)
+    val win = Window.partitionBy(col("group")).orderBy(col("__v"))
+    val tot = Window.partitionBy(col("group"))
+    val marked = base
+      .withColumn("__cw", sum(col("__w")).over(win).cast("decimal(38,0)"))
+      .withColumn("__tw", sum(col("__w")).over(tot).cast("decimal(38,0)"))
+    val aggs = qsPpm.zipWithIndex.map { case (q, i) =>
+      min(when(col("__cw") * lit(1000000L) >= col("__tw") * lit(q),
+        col("__v"))).as(s"__p$i")
+    }
+    val allAggs = max(col("__tw")).cast("long").as("w_total") +: aggs
+    val rolled = marked.groupBy(col("group"))
+      .agg(allAggs.head, allAggs.tail: _*)
+    rolled.select(col("group"), col("w_total"),
+        posexplode(array(qsPpm.zipWithIndex.map { case (q, i) =>
+          struct(lit(q).as("q_ppm"), col(s"__p$i").as("wq"))
+        }: _*)))
+      .select(col("group"), col("col.q_ppm").as("q_ppm"),
+        col("col.wq").as("wq"), col("w_total"))
+  }
+
   def quantileNormalize(df: DataFrame, group: Column, value: Column,
       outCol: String = "qrank"): DataFrame = {
     // NULL scores must not CONSUME ranks (they'd shift every real row's

@@ -728,7 +728,51 @@ object CoreQueries {
         UNION ALL SELECT flag, 'disc', disc FROM wide)
       ORDER BY flag, measure"""))
 
+  // --------------------------------------------------------------- q129
+  /** Quantity-weighted price quantiles per return flag — each lineitem
+    * row holds l_quantity units of mass, so the weighted p50 answers
+    * "half the UNITS shipped cost at most this much per line", which
+    * the row-counting q29 cannot say. Exact integer cents + integer
+    * mass thresholds — fully hash-portable, unlike q29's quantile_cont
+    * doubles. Exercises [[graft.api.GraftOps.weightedQuantiles]]. */
+  val q129 = QueryDef("q129_weighted_quantiles",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      graft.api.GraftOps.weightedQuantiles(l, col("l_returnflag"),
+          floor(col("l_extendedprice") * lit(100)).cast("long"),
+          col("l_quantity").cast("long"),
+          Seq(250000L, 500000L, 750000L, 990000L))
+        .withColumnRenamed("group", "l_returnflag")
+        .orderBy("l_returnflag", "q_ppm")
+    },
+    Some("""
+      WITH b AS (
+        SELECT l_returnflag AS g,
+          CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+          CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_quantity > 0),
+      m AS (
+        SELECT g, v,
+          CAST(sum(w) OVER (PARTITION BY g ORDER BY v) AS HUGEINT) AS cw,
+          CAST(sum(w) OVER (PARTITION BY g) AS HUGEINT) AS tw
+        FROM b),
+      r AS (
+        SELECT g, CAST(max(tw) AS BIGINT) AS w_total,
+          min(CASE WHEN cw * 1000000 >= tw * 250000 THEN v END) AS p0,
+          min(CASE WHEN cw * 1000000 >= tw * 500000 THEN v END) AS p1,
+          min(CASE WHEN cw * 1000000 >= tw * 750000 THEN v END) AS p2,
+          min(CASE WHEN cw * 1000000 >= tw * 990000 THEN v END) AS p3
+        FROM m GROUP BY g)
+      SELECT g AS l_returnflag, CAST(q_ppm AS BIGINT) AS q_ppm, wq, w_total
+      FROM (
+        SELECT g, w_total,
+          unnest([250000, 500000, 750000, 990000]) AS q_ppm,
+          unnest([p0, p1, p2, p3]) AS wq
+        FROM r)
+      ORDER BY l_returnflag, q_ppm"""))
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q07b, q08, q08b, q09, q09b, q10, q14, q15,
-      q15b, q29, q29b, q30, q31, q32, q33, q67, q68)
+      q15b, q29, q29b, q30, q31, q32, q33, q67, q68, q129)
 }

@@ -1590,8 +1590,53 @@ object CurationOps {
       LEFT JOIN tot USING (doc_id) LEFT JOIN un USING (doc_id)
       ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q130
+  /** Lang × source association strength over the document corpus: the
+    * full contingency grid (zero-observed cells included), chi² from
+    * micros-quantized order-free contributions, Cramér's V as the
+    * stated 4-op chain. Exercises
+    * [[GraftOps.categoricalAssociation]]. */
+  val q130 = QueryDef("q130_cat_association",
+    (s, dir) =>
+      GraftOps.categoricalAssociation(docs(s, dir), col("lang"),
+          col("source"))
+        .orderBy("n"),
+    Some("""
+      WITH cells AS (
+        SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+      ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY 1),
+      cb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY 1),
+      tot AS (SELECT CAST((SELECT count(*) FROM ra) AS BIGINT) AS r,
+                     CAST((SELECT count(*) FROM cb) AS BIGINT) AS c,
+                     CAST((SELECT sum(na) FROM ra) AS BIGINT) AS N),
+      g AS (
+        -- obs/tot_n, never n/N side by side: resolution is
+        -- case-insensitive (both engines — the same collision bit the
+        -- Spark side of this query and q116 before it)
+        SELECT ra.na, cb.nb, COALESCE(cells.n, 0) AS obs,
+          tot.N AS tot_n, tot.r AS r, tot.c AS c
+        FROM ra CROSS JOIN cb CROSS JOIN tot
+        LEFT JOIN cells ON ra.a IS NOT DISTINCT FROM cells.a
+                       AND cb.b IS NOT DISTINCT FROM cells.b),
+      x AS (
+        SELECT tot_n, r, c,
+          CAST(sum(CAST(floor((obs - e) * (obs - e) / e * 1000000.0)
+            AS BIGINT)) AS BIGINT) AS chi2_us
+        FROM (SELECT tot_n, r, c, obs,
+              CAST(na AS DOUBLE) * nb / tot_n AS e FROM g)
+        GROUP BY 1, 2, 3)
+      SELECT tot_n AS n, r, c, chi2_us,
+        CASE WHEN least(r, c) > 1 THEN
+          CAST(floor(sqrt((CAST(chi2_us AS DOUBLE) / 1000000.0) /
+            (CAST(tot_n AS DOUBLE) * (least(r, c) - 1))) * 1000000.0)
+            AS BIGINT)
+        END AS v_us
+      FROM x ORDER BY n"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
-      q100, q105, q107, q108, q111, q113, q116, q121, q123, q124, q127)
+      q100, q105, q107, q108, q111, q113, q116, q121, q123, q124, q127,
+      q130)
 }

@@ -874,6 +874,67 @@ object SimilarityOps {
       FROM ranked WHERE rank <= 3
       ORDER BY probe_id, rank"""))
 
+  // --------------------------------------------------------------- q128
+  /** MMR diversified re-rank of the q13 exact top-20: 10 probes, λ =
+    * 0.7, k = 5 — relevance is the probe cosine, diversity the
+    * candidate–candidate cosine, and the oracle restates the IDENTICAL
+    * greedy walk as a recursive CTE carrying the selected set as list
+    * columns (the q117 stepping pattern applied to a SELECTION instead
+    * of a value), so every emitted mmr double is bit-equal. Exercises
+    * [[graft.api.GraftOps.mmrRerank]]. */
+  val q128 = {
+    val LAM = "(CAST(700000 AS DOUBLE) / 1000000.0)"
+    val mExpr = s"($LAM * c.r - (1.0 - $LAM) * list_aggregate(" +
+      s"""list_transform(s.sel_v, sv -> ${Duck.cosine("c.v", "sv")}), 'max'))"""
+    QueryDef("q128_mmr_rerank",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cand = graft.api.GraftOps.knn(e, e.filter(col("vec_id") < 10),
+            col("vec_id"), col("embedding"), col("vec_id"),
+            col("embedding"), k = 20)
+          .join(e.select(col("vec_id").as("id"), col("embedding")),
+            Seq("id"))
+        graft.api.GraftOps.mmrRerank(cand, col("probe_id"), col("id"),
+            col("sim"), col("embedding"), k = 5, lambdaPpm = 700000L)
+          .select(col("query").as("probe_id"), col("rank"),
+            col("doc").as("vec_id"), col("mmr"))
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""
+        WITH RECURSIVE cand AS (
+          SELECT q, d, r, v FROM (
+            SELECT p.vec_id AS q, e.vec_id AS d,
+              ${Duck.cosine("p.embedding", "e.embedding")} AS r,
+              e.embedding AS v,
+              row_number() OVER (PARTITION BY p.vec_id
+                ORDER BY ${Duck.cosine("p.embedding", "e.embedding")} DESC,
+                  e.vec_id) AS rn
+            FROM embeddings p, embeddings e
+            WHERE p.vec_id < 10 AND e.vec_id <> p.vec_id)
+          WHERE rn <= 20),
+        r AS (
+          SELECT q, 1 AS rank, d, $LAM * r AS m,
+            [d] AS sel_d, [v] AS sel_v
+          FROM (SELECT q, d, r, v, row_number() OVER (PARTITION BY q
+              ORDER BY $LAM * r DESC, d) AS rn FROM cand)
+          WHERE rn = 1
+          UNION ALL
+          SELECT q, rank + 1, d, m,
+            list_append(sel_d, d), list_append(sel_v, v)
+          FROM (
+            SELECT s.q, s.rank, c.d, c.v, s.sel_d, s.sel_v,
+              $mExpr AS m,
+              row_number() OVER (PARTITION BY s.q
+                ORDER BY $mExpr DESC, c.d) AS rn
+            FROM r s JOIN cand c
+              ON c.q = s.q AND NOT list_contains(s.sel_d, c.d)
+            WHERE s.rank < 5)
+          WHERE rn = 1)
+        SELECT q AS probe_id, CAST(rank AS INTEGER) AS rank,
+          d AS vec_id, m AS mmr
+        FROM r ORDER BY probe_id, rank"""))
+  }
+
   val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52, q60, q61,
-    q62, q66, q71, q84)
+    q62, q66, q71, q84, q128)
 }

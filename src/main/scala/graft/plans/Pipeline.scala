@@ -949,6 +949,18 @@ object PipelineCompiler {
             graft.streaming.CusumStream.Point]),
         arg(args, "target").toLong, arg(args, "slack").toLong,
         arg(args, "threshold").toLong).toDF())),
+    // rollingDistinctStream: the S24 continuous twin of `rollingDistinct`
+    // (DataFrame face over the typed RollingDistinctStream; stream-agg ==
+    // batch law spec'd in S24)
+    "rollingDistinctStream" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.RollingDistinctStream(
+        in("inport1").select(
+          expr(arg(args, "entity")).cast("long").as("entity"),
+          expr(arg(args, "ts")).cast("timestamp").as("ts"))
+          .as(org.apache.spark.sql.Encoders.product[
+            graft.streaming.RollingDistinctStream.Visit]),
+        args.get("windowDays").map(_.toInt).getOrElse(7),
+        args.get("lateDays").map(_.toInt).getOrElse(3)).toDF())),
     "transitionCounts" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.transitionCounts(
         in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),
@@ -962,6 +974,19 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.lexiconScore(
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
         in("inport2"), expr(arg(args, "term"))))),
+    "categoricalAssociation" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.categoricalAssociation(
+        in("inport1"), expr(arg(args, "a")), expr(arg(args, "b"))))),
+    "weightedQuantiles" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.weightedQuantiles(
+        in("inport1"), expr(arg(args, "group")), expr(arg(args, "value")),
+        expr(arg(args, "weight")),
+        arg(args, "qsPpm").split(",").map(_.trim.toLong).toSeq))),
+    "mmrRerank" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.mmrRerank(
+        in("inport1"), expr(arg(args, "query")), expr(arg(args, "doc")),
+        expr(arg(args, "score")), expr(arg(args, "vec")),
+        arg(args, "k").toInt, arg(args, "lambdaPpm").toLong))),
     "noveltyScore" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.noveltyScore(
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),

@@ -706,6 +706,127 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got(4L) == ((1, 1L, 1L, 1000000L)))
   }
 
+  test("categoricalAssociation: exact 2x2 chi2, zero cells count, single axis, NULL category") {
+    import spark.implicits._
+    // balanced 2x2 with e = 20 everywhere: chi2 = 4 * (10^2/20) = 20
+    // EXACTLY, V = sqrt(20/80) = 0.5 exactly
+    val t1 = (Seq.fill(30)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(30)(("y", "v"))).toDF("a", "b")
+    val r1 = GraftOps.categoricalAssociation(t1, col("a"), col("b"))
+      .collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3),
+      r1.getLong(4)) == ((80L, 2L, 2L, 20000000L, 500000L)), s"2x2: $r1")
+    // a structurally-EMPTY cell still contributes its expected count:
+    // cells (x,u)=1 (x,v)=1 (y,u)=2, missing (y,v) with e = 0.5
+    // contributes 500000 of the 1333332 total
+    val t2 = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "u"))
+      .toDF("a", "b")
+    val r2 = GraftOps.categoricalAssociation(t2, col("a"), col("b"))
+      .collect().head
+    assert(r2.getLong(3) == 1333332L,
+      s"zero-observed cell contributes: $r2")
+    assert(r2.getLong(4) ==
+      math.floor(math.sqrt(1333332L / 1000000.0 / 4.0) * 1000000.0).toLong)
+    // a single-category axis has no V (and independence -> chi2 0)
+    val t3 = Seq(("x", "u"), ("y", "u")).toDF("a", "b")
+    val r3 = GraftOps.categoricalAssociation(t3, col("a"), col("b"))
+      .collect().head
+    assert(r3.getLong(3) == 0L && r3.isNullAt(4), s"single axis: $r3")
+    // NULL is a REAL category: 3 distinct a values including null
+    val t4 = Seq((null, "u"), ("x", "u"), ("y", "v")).toDF("a", "b")
+    val r4 = GraftOps.categoricalAssociation(t4, col("a"), col("b"))
+      .collect().head
+    assert(r4.getLong(1) == 3L, s"NULL category counted: $r4")
+  }
+
+  test("weightedQuantiles: mass thresholds, ties, weighted != unweighted, drops, guards") {
+    import spark.implicits._
+    val rows = Seq(
+      // group A: W = 5; p20 -> 10, p50 -> 20 (cum 4 >= 2.5), p100 -> 30
+      ("A", Some(10L), Some(1L)), ("A", Some(20L), Some(3L)),
+      ("A", Some(30L), Some(1L)),
+      // group B: heavy head — weighted p50 = 1, the unweighted median
+      // would say 50
+      ("B", Some(1L), Some(98L)), ("B", Some(50L), Some(1L)),
+      ("B", Some(100L), Some(1L)),
+      // group C: value tie shares cumulative mass under the RANGE frame
+      ("C", Some(5L), Some(2L)), ("C", Some(5L), Some(3L)),
+      ("C", Some(9L), Some(5L)),
+      // massless / NULL rows drop
+      ("A", Some(999L), Some(0L)), ("A", Some(998L), None),
+      ("A", None, Some(7L)))
+      .toDF("g", "v", "w")
+    val got = GraftOps.weightedQuantiles(rows, col("g"), col("v"),
+        col("w"), Seq(200000L, 500000L, 1000000L))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("A", 200000L)) == ((10L, 5L)) &&
+      got(("A", 500000L)) == ((20L, 5L)) &&
+      got(("A", 1000000L)) == ((30L, 5L)), s"group A: $got")
+    assert(got(("B", 500000L)) == ((1L, 100L)),
+      "mass-weighted median ignores the row count")
+    assert(got(("C", 500000L)) == ((5L, 10L)),
+      "tie rows share the full cumulative mass")
+    // a negative weight fails loudly, never silently corrupts the sums
+    val bad = Seq(("A", 1L, -1L)).toDF("g", "v", "w")
+    val ex = intercept[Exception] {
+      GraftOps.weightedQuantiles(bad, col("g"), col("v"), col("w"),
+        Seq(500000L)).collect()
+    }
+    assert(ex.getMessage.contains("negative weight") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative weight")),
+      s"loud negative-mass failure: $ex")
+    intercept[IllegalArgumentException] {
+      GraftOps.weightedQuantiles(rows, col("g"), col("v"), col("w"), Seq())
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.weightedQuantiles(rows, col("g"), col("v"), col("w"),
+        Seq(1000001L))
+    }
+  }
+
+  test("mmrRerank: diversity beats near-dup, pure-relevance degenerates, short lists, guards") {
+    import spark.implicits._
+    // doc 2 is a near-clone of doc 1 (cos ~ 0.9999) with almost its
+    // score; doc 3 is orthogonal with half the score
+    val cand = Seq(
+      (10L, 1L, 0.90, Array(1.0f, 0.0f)),
+      (10L, 2L, 0.89, Array(0.9999f, 0.0141f)),
+      (10L, 3L, 0.50, Array(0.0f, 1.0f)),
+      // second query exercises k > candidates
+      (20L, 7L, 0.10, Array(1.0f, 0.0f)))
+      .toDF("q", "d", "r", "v")
+    def order(lamPpm: Long) =
+      GraftOps.mmrRerank(cand, col("q"), col("d"), col("r"), col("v"),
+          k = 3, lambdaPpm = lamPpm)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    // λ = 0.5: after picking doc 1, the near-clone's mmr collapses
+    // (0.445 − 0.5·0.9999 < 0) while the orthogonal doc keeps 0.25
+    val diverse = order(500000L)
+    assert(diverse(10L) == Seq(1L, 3L, 2L), s"diversified: $diverse")
+    // λ = 1.0: pure relevance — plain score order, clone and all
+    val pure = order(1000000L)
+    assert(pure(10L) == Seq(1L, 2L, 3L), s"pure relevance: $pure")
+    // k exceeding the candidate list returns what exists
+    assert(diverse(20L) == Seq(7L), "short lists return all candidates")
+    // mmr VALUES are the stated chain: first pick = λ·rel exactly
+    val first = GraftOps.mmrRerank(cand, col("q"), col("d"), col("r"),
+        col("v"), k = 1, lambdaPpm = 500000L)
+      .filter(col("query") === 10L).collect().head
+    assert(first.getDouble(3) == 0.5 * 0.90, s"first mmr: $first")
+    intercept[IllegalArgumentException] {
+      GraftOps.mmrRerank(cand, col("q"), col("d"), col("r"), col("v"),
+        0, 500000L)
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.mmrRerank(cand, col("q"), col("d"), col("r"), col("v"),
+        3, 1000001L)
+    }
+  }
+
   test("noveltyScore: occurrence mass, all-known, all-new, short doc, guard") {
     import spark.implicits._
     val ref = Seq((100L, "a b c d")).toDF("rid", "rt")

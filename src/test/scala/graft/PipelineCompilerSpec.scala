@@ -1583,6 +1583,56 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("round-16 rollingDistinctStream composes in a STREAMING XML pipeline == batch grid") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("roll-stream-in")
+    // 3 distinct (entity, day) pairs (one same-day duplicate) x window 2
+    val lines = Seq(
+      """{"e": 1, "t": "2024-03-01 09:00:00"}""",
+      """{"e": 1, "t": "2024-03-01 17:00:00"}""",
+      """{"e": 1, "t": "2024-03-02 09:00:00"}""",
+      """{"e": 2, "t": "2024-03-02 12:00:00"}""")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      lines.mkString("\n") + "\n")
+    val xml = s"""
+      <pipeline>
+        <operator name="src" class="fileStreamInput">
+          <arg key="schema" value="e LONG, t TIMESTAMP"/>
+          <arg key="format" value="json"/>
+          <arg key="path" value="${dir.toUri}"/>
+        </operator>
+        <operator name="rd" class="rollingDistinctStream">
+          <arg key="entity" value="e"/><arg key="ts" value="t"/>
+          <arg key="windowDays" value="2"/><arg key="lateDays" value="1"/>
+        </operator>
+        <operator name="sink" class="memoryStreamSink">
+          <arg key="name" value="roll_stream_out"/>
+          <arg key="triggerMs" value="0"/>
+        </operator>
+        <connect from="src.outport1" to="rd.inport1"/>
+        <connect from="rd.outport1" to="sink.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(xml), spark)
+    val q = spark.streams.active.find(_.name == "roll_stream_out")
+      .getOrElse(fail("compiled rollingDistinctStream pipeline did not start"))
+    try {
+      q.processAllAvailable()
+      val contrib = spark.table("roll_stream_out")
+      // distinct (entity, target) pairs: e1 -> Mar1..Mar3, e2 -> Mar2..Mar3
+      assert(contrib.count() == 5, s"distinct targets: ${contrib.count()}")
+      val visits = spark.read.schema("e LONG, t TIMESTAMP").json(dir.toString)
+      val want = graft.api.GraftOps.rollingDistinct(visits, col("e"),
+          col("t"), windowDays = 2)
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val days = visits.select(to_date(col("t")).as("day")).distinct()
+      val got = contrib.join(days,
+          contrib("target_day") === days("day"), "left_semi")
+        .groupBy(col("target_day")).agg(count(lit(1)).as("active"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(got == want, s"XML stream-agg $got != batch $want")
+    } finally q.stop()
+  }
+
   test("round-12 heavyHittersStream composes in a STREAMING XML pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("hh-stream-in")
     // 30 "hot", 6 "warm", 4 singletons — capacity 4 keeps hot+warm
@@ -2005,6 +2055,77 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     val got = ports("pr.outport1")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
       got.count() > 0, "XML prefixRollup == library prefixRollup")
+  }
+
+  test("categoricalAssociation registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="d" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="ca" class="categoricalAssociation">
+          <arg key="a" value="lang"/><arg key="b" value="source"/>
+        </operator>
+        <connect from="d.outport1" to="ca.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.categoricalAssociation(
+      Tables.load(spark, sf001, "documents"), col("lang"), col("source"))
+    val got = ports("ca.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML categoricalAssociation == library form")
+  }
+
+  test("weightedQuantiles registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="li" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="lineitem"/>
+        </operator>
+        <operator name="wq" class="weightedQuantiles">
+          <arg key="group" value="l_returnflag"/>
+          <arg key="value" value="CAST(floor(l_extendedprice * 100) AS BIGINT)"/>
+          <arg key="weight" value="CAST(l_quantity AS BIGINT)"/>
+          <arg key="qsPpm" value="500000, 900000"/>
+        </operator>
+        <connect from="li.outport1" to="wq.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.weightedQuantiles(
+      Tables.load(spark, sf001, "lineitem"), col("l_returnflag"),
+      floor(col("l_extendedprice") * lit(100)).cast("long"),
+      col("l_quantity").cast("long"), Seq(500000L, 900000L))
+    val got = ports("wq.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML weightedQuantiles == library weightedQuantiles")
+  }
+
+  test("mmrRerank registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="e" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="embeddings"/>
+        </operator>
+        <operator name="mm" class="mmrRerank">
+          <arg key="query" value="vec_id % 5"/><arg key="doc" value="vec_id"/>
+          <arg key="score" value="CAST(vec_id % 17 AS DOUBLE) / 17.0"/>
+          <arg key="vec" value="embedding"/>
+          <arg key="k" value="3"/><arg key="lambdaPpm" value="600000"/>
+        </operator>
+        <connect from="e.outport1" to="mm.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val want = graft.api.GraftOps.mmrRerank(emb,
+      expr("vec_id % 5"), col("vec_id"),
+      expr("CAST(vec_id % 17 AS DOUBLE) / 17.0"), col("embedding"),
+      k = 3, lambdaPpm = 600000L)
+    val got = ports("mm.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML mmrRerank == library mmrRerank")
   }
 
   test("noveltyScore registry op == library form (two inports)") {

@@ -34,12 +34,18 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     *  - q115: the fusion fixture replicates the 20-row static prior to
     *    every query id via a broadcast cross join (bounded: queries ×
     *    top-20), and embeds q112's 1-row stats cross.
+    *  - q128: the MMR candidate stage IS q13's knn — the same broadcast
+    *    non-equi probe scan; the MMR walk itself adds no join at all.
+    *  - q130: the r×c contingency grid is a catalog² broadcast cross of
+    *    the two marginal tables plus the 1-row totals cross (the q35
+    *    shape) — bounded by category cardinalities, never the corpus.
     */
   private val allowNestedLoop = Set(
     "q13_similarity_knn", "q19_embedding_neardup", "q32_cross_join",
     "q35_tfidf_topk", "q50_ann_pq", "q70_heavy_hitters",
     "q70b_heavy_hitters_sketch", "q71_ann_sq8", "q77_collocations",
-    "q81_contribution", "q112_bm25_topk", "q115_rrf_fusion")
+    "q81_contribution", "q112_bm25_topk", "q115_rrf_fusion",
+    "q128_mmr_rerank", "q130_cat_association")
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(nodes)

@@ -1224,6 +1224,73 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q2.stop()
   }
 
+  test("S24: streaming rolling-distinct contributions == batch; cross-batch dedup; bounded lateness is loud") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.RollingDistinctStream
+    import graft.streaming.RollingDistinctStream.Visit
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // windowDays = 3, lateDays = 2. Entity 1 revisits day 1 across the
+    // batch boundary (must emit nothing) and adds day 2 late-but-within
+    // bound; entity 2 visits two days.
+    val chunk1 = Seq(
+      Visit(1L, ts("2024-03-01 09:00:00")),
+      Visit(1L, ts("2024-03-01 17:30:00")),   // same-day duplicate
+      Visit(2L, ts("2024-03-01 12:00:00")))
+    val chunk2 = Seq(
+      Visit(1L, ts("2024-03-01 23:00:00")),   // cross-batch revisit
+      Visit(1L, ts("2024-03-03 08:00:00")),
+      Visit(1L, ts("2024-03-02 10:00:00")),
+      Visit(2L, ts("2024-03-04 11:00:00")))
+    // a genuinely CROSS-BATCH late (but within lateDays) NEW day:
+    // entity 2's newest is Mar 4, Mar 3 is 1 day behind — admissible
+    val chunk3 = Seq(Visit(2L, ts("2024-03-03 06:00:00")))
+    val input = MemoryStream[Visit]
+    val q = RollingDistinctStream(input.toDS(), windowDays = 3,
+        lateDays = 2)
+      .writeStream.format("memory").queryName("s24roll")
+      .outputMode("append").start()
+    try {
+      input.addData(chunk1: _*); q.processAllAvailable()
+      input.addData(chunk2: _*); q.processAllAvailable()
+      input.addData(chunk3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val contrib = spark.table("s24roll")
+    // emitted rows are the DISTINCT (entity, target) pairs: entity 1
+    // covers targets Mar1..Mar5 (5), entity 2 Mar1..Mar3 + Mar4..Mar6
+    // (6) — overlapping visit ranges announce each target ONCE
+    assert(contrib.count() == 11, s"contributions: ${contrib.count()}")
+    // law S24: counting contributions on OBSERVED days == the batch
+    // operator over the same visits
+    val visits = (chunk1 ++ chunk2 ++ chunk3).toDF()
+    val want = graft.api.GraftOps.rollingDistinct(visits, col("entity"),
+        col("ts"), windowDays = 3)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val days = visits.select(to_date(col("ts")).as("day")).distinct()
+    val got = contrib.join(days,
+        contrib("target_day") === days("day"), "left_semi")
+      .groupBy(col("target_day")).agg(count(lit(1)).as("active"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got == want, s"stream-agg $got != batch $want")
+    // a visit more than lateDays behind the entity's newest day fails
+    // loudly — its dedup record may already be pruned
+    val input2 = MemoryStream[Visit]
+    val q2 = RollingDistinctStream(input2.toDS(), 3, 2)
+      .writeStream.format("memory").queryName("s24late")
+      .outputMode("append").start()
+    try {
+      input2.addData(Visit(9L, ts("2024-03-10 09:00:00")))
+      q2.processAllAvailable()
+      input2.addData(Visit(9L, ts("2024-03-07 09:00:00"))) // 3 days behind
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("behind the newest day") ||
+        Option(ex.getCause).exists(_.toString.contains("behind the newest")),
+        s"loud lateness failure: $ex")
+    } finally q2.stop()
+  }
+
   test("S23: streaming CUSUM == batch cusum; restart crosses batches; late point fails loudly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
