@@ -4031,6 +4031,58 @@ object GraftOps {
     * re-execute both corpus scans), then a full-outer join of two
     * catalog-sized aggregates — output stays catalog-sized at any
     * corpus scale. */
+  /** Two-proportion lift report — the A/B readout "which variants beat
+    * the control, and is the difference real": per variant, trials n,
+    * successes k, the exact integer-ppm rate, the exact ppm rate
+    * DIFFERENCE vs the named `baseline` variant, and the pooled
+    * two-proportion z-score z = (p₁−p₀)/√(p̂(1−p̂)(1/n₁+1/n₀)) in
+    * micros. The baseline's own row reports its rate with NULL
+    * lift/z (it has no comparison); a missing or empty baseline
+    * variant fails LOUDLY (an empty report reads as "no winners" —
+    * raise_error, not silence); degenerate pooled rates (p̂ ∈ {0, 1} →
+    * zero standard error) have NULL z, never a divide; NULL variants
+    * drop, a NULL success is a FAILED trial only if you say so
+    * upstream — here it drops (an unobserved outcome is not a trial).
+    *
+    * Portability: n/k/rate_ppm/diff_ppm are exact integers; z is the
+    * stated 9-op IEEE chain on exact integer inputs (three divides,
+    * the pooled product, sqrt, final divide — identical on both
+    * engines), quantized to micros with floor. Plan: one
+    * map-side-combined agg to variant grain (the corpus's only
+    * shuffle), then the 1-row baseline stats broadcast-cross back (the
+    * q35/q70 shape) — output is variant-catalog-sized. */
+  def proportionLift(df: DataFrame, variant: Column, success: Column,
+      baseline: String): DataFrame = {
+    val stats = df.select(variant.as("variant"),
+        success.cast("boolean").as("__s"))
+      .filter(col("variant").isNotNull && col("__s").isNotNull)
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s").cast("long")).as("k"))
+    val base = stats.filter(col("variant") === lit(baseline))
+      .agg(coalesce(max(col("n")), lit(0L)).as("__n0"),
+        coalesce(max(col("k")), lit(0L)).as("__k0"))
+      .select(when(col("__n0") === 0, raise_error(lit(
+          s"proportionLift: baseline variant '$baseline' has no trials")))
+        .otherwise(col("__n0")).as("__n0"), col("__k0"))
+    stats.crossJoin(broadcast(base))
+      .withColumn("rate_ppm", expr("k * 1000000L div n"))
+      .withColumn("__isBase", col("variant") === lit(baseline))
+      .withColumn("__p1", col("k").cast("double") / col("n"))
+      .withColumn("__p0", col("__k0").cast("double") / col("__n0"))
+      .withColumn("__ph", (col("k") + col("__k0")).cast("double") /
+        (col("n") + col("__n0")))
+      .withColumn("__se2", col("__ph") * (lit(1.0) - col("__ph")) *
+        (lit(1.0) / col("n") + lit(1.0) / col("__n0")))
+      .select(col("variant"), col("n"), col("k"), col("rate_ppm"),
+        when(!col("__isBase"),
+          col("rate_ppm") - expr("__k0 * 1000000L div __n0"))
+          .as("diff_ppm"),
+        when(!col("__isBase") && col("__se2") > 0,
+          floor((col("__p1") - col("__p0")) / sqrt(col("__se2")) *
+            lit(1000000.0)).cast("long")).as("z_us"))
+  }
+
   /** Categorical association (chi-square + Cramér's V) between two
     * columns — the profiling answer to "are these metadata fields
     * redundant or independent" (lang × source, domain × license):

@@ -1634,9 +1634,44 @@ object CurationOps {
         END AS v_us
       FROM x ORDER BY n"""))
 
+  // --------------------------------------------------------------- q131
+  /** Variant lift over the event log: event types as variants,
+    * "value > 50" as the success predicate, 'view' as control — exact
+    * integer rates/diffs plus the pooled micros z-score as the stated
+    * IEEE chain. Exercises [[GraftOps.proportionLift]]. */
+  val q131 = QueryDef("q131_proportion_lift",
+    (s, dir) =>
+      GraftOps.proportionLift(Tables.load(s, dir, "events"),
+          col("event_type"),
+          col("value") > 50, baseline = "view")
+        .withColumnRenamed("variant", "event_type")
+        .orderBy("event_type"),
+    Some("""
+      WITH stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS k
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1),
+      base AS (
+        SELECT n AS n0, k AS k0 FROM stats WHERE event_type = 'view'),
+      j AS (SELECT stats.*, base.n0, base.k0 FROM stats CROSS JOIN base)
+      SELECT event_type, n, k, (k * 1000000) // n AS rate_ppm,
+        CASE WHEN event_type <> 'view'
+          THEN (k * 1000000) // n - (k0 * 1000000) // n0 END AS diff_ppm,
+        CASE WHEN event_type <> 'view'
+          AND CAST(k + k0 AS DOUBLE) / (n + n0) > 0
+          AND CAST(k + k0 AS DOUBLE) / (n + n0) < 1
+          THEN CAST(floor(
+            (CAST(k AS DOUBLE) / n - CAST(k0 AS DOUBLE) / n0) /
+            sqrt((CAST(k + k0 AS DOUBLE) / (n + n0)) *
+              (1.0 - CAST(k + k0 AS DOUBLE) / (n + n0)) *
+              (1.0 / n + 1.0 / n0)) * 1000000.0) AS BIGINT)
+        END AS z_us
+      FROM j ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
       q100, q105, q107, q108, q111, q113, q116, q121, q123, q124, q127,
-      q130)
+      q130, q131)
 }

@@ -974,6 +974,10 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.lexiconScore(
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
         in("inport2"), expr(arg(args, "term"))))),
+    "proportionLift" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.proportionLift(
+        in("inport1"), expr(arg(args, "variant")),
+        expr(arg(args, "success")), arg(args, "baseline")))),
     "categoricalAssociation" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.categoricalAssociation(
         in("inport1"), expr(arg(args, "a")), expr(arg(args, "b"))))),

@@ -706,6 +706,43 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got(4L) == ((1, 1L, 1L, 1000000L)))
   }
 
+  test("proportionLift: exact rates, stated z chain, baseline row, degenerate se, loud missing baseline") {
+    import spark.implicits._
+    val t = Seq(
+      ("a", Some(true)), ("a", Some(true)), ("a", Some(false)),
+      ("a", Some(false)),
+      ("b", Some(true)), ("b", Some(false)), ("b", Some(false)),
+      ("b", Some(false)),
+      // a NULL outcome is not a trial; a NULL variant drops
+      ("a", None), (null, Some(true)))
+      .toDF("v", "s")
+    val got = GraftOps.proportionLift(t, col("v"), col("s"), "b")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)), Option(r.get(5))))).toMap
+    // the identical 9-op chain, written out here in the same order
+    val zWant = math.floor((0.5 - 0.25) /
+      math.sqrt(0.375 * (1.0 - 0.375) * (1.0 / 4 + 1.0 / 4)) *
+      1000000.0).toLong
+    assert(got("a") == ((4L, 2L, 500000L, Some(250000L), Some(zWant))),
+      s"variant a: ${got("a")} want z $zWant")
+    assert(got("b") == ((4L, 1L, 250000L, None, None)),
+      "the baseline row has no comparison")
+    // pooled rate 1.0 -> zero standard error -> NULL z, diff still exact
+    val sat = Seq(("a", true), ("b", true)).toDF("v", "s")
+    val g2 = GraftOps.proportionLift(sat, col("v"), col("s"), "b")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(g2("a") == ((Some(0L), None)), s"degenerate se: $g2")
+    // a missing baseline is a loud failure, not an empty report
+    val ex = intercept[Exception] {
+      GraftOps.proportionLift(t, col("v"), col("s"), "zzz").collect()
+    }
+    assert(ex.getMessage.contains("no trials") ||
+      Option(ex.getCause).exists(_.getMessage.contains("no trials")),
+      s"loud missing baseline: $ex")
+  }
+
   test("categoricalAssociation: exact 2x2 chi2, zero cells count, single axis, NULL category") {
     import spark.implicits._
     // balanced 2x2 with e = 20 everywhere: chi2 = 4 * (10^2/20) = 20

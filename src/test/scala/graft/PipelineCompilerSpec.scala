@@ -2057,6 +2057,29 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML prefixRollup == library prefixRollup")
   }
 
+  test("proportionLift registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="ev" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="events"/>
+        </operator>
+        <operator name="pl" class="proportionLift">
+          <arg key="variant" value="event_type"/>
+          <arg key="success" value="value &gt; 50"/>
+          <arg key="baseline" value="view"/>
+        </operator>
+        <connect from="ev.outport1" to="pl.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.proportionLift(
+      Tables.load(spark, sf001, "events"), col("event_type"),
+      col("value") > 50, "view")
+    val got = ports("pl.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML proportionLift == library proportionLift")
+  }
+
   test("categoricalAssociation registry op == library form") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""

@@ -39,13 +39,15 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     *  - q130: the r×c contingency grid is a catalog² broadcast cross of
     *    the two marginal tables plus the 1-row totals cross (the q35
     *    shape) — bounded by category cardinalities, never the corpus.
+    *  - q131: the 1-row baseline stats broadcast-cross onto the
+    *    variant-grain table (the q35/q70 shape).
     */
   private val allowNestedLoop = Set(
     "q13_similarity_knn", "q19_embedding_neardup", "q32_cross_join",
     "q35_tfidf_topk", "q50_ann_pq", "q70_heavy_hitters",
     "q70b_heavy_hitters_sketch", "q71_ann_sq8", "q77_collocations",
     "q81_contribution", "q112_bm25_topk", "q115_rrf_fusion",
-    "q128_mmr_rerank", "q130_cat_association")
+    "q128_mmr_rerank", "q130_cat_association", "q131_proportion_lift")
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(nodes)
