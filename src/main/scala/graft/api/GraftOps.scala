@@ -4419,6 +4419,38 @@ object GraftOps {
         col("col.wq").as("wq"), col("w_total"))
   }
 
+  /** Per-group equal-frequency binning (quantile discretization) — the
+    * featurization step "bucket this score into deciles within its own
+    * source": each non-null row gets bin ∈ 1..nBins via the exact
+    * integer formula bin = ((rank−1)·nBins) div n + 1 over the total
+    * (value, tiebreak) order — near-equal bin sizes (they differ by at
+    * most one), fully deterministic under ties because the CALLER
+    * names the tiebreak (SQL ntile's tie placement is engine-dependent
+    * row order — the reason this is not ntile), and pure integer
+    * arithmetic, so assignments are engine-portable bit-for-bit. NULL
+    * values keep their row with a NULL bin and consume NO rank (the
+    * quantileNormalize contract — engines disagree on NULL sort
+    * placement); when nBins > n some bins are simply empty (the
+    * formula spreads n rows over the range with gaps — stated).
+    *
+    * Plan: one window shuffle on the group key serving both the rank
+    * and the group count (same sort), plus the NULL-row passthrough
+    * union — the irreducible cost of exact within-group ranks. */
+  def quantileBin(df: DataFrame, group: Column, value: Column,
+      tiebreak: Column, nBins: Int, outCol: String = "bin"): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1; got $nBins")
+    val w = Window.partitionBy(group).orderBy(value.asc, tiebreak.asc)
+    val wn = Window.partitionBy(group)
+    df.filter(value.isNotNull)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__gn", count(lit(1)).over(wn))
+      .withColumn(outCol,
+        expr(s"CAST((( __rn - 1L) * ${nBins}L) div __gn + 1L AS INT)"))
+      .drop("__rn", "__gn")
+      .unionByName(df.filter(value.isNull)
+        .withColumn(outCol, lit(null).cast("int")))
+  }
+
   def quantileNormalize(df: DataFrame, group: Column, value: Column,
       outCol: String = "qrank"): DataFrame = {
     // NULL scores must not CONSUME ranks (they'd shift every real row's

@@ -772,7 +772,39 @@ object CoreQueries {
         FROM r)
       ORDER BY l_returnflag, q_ppm"""))
 
+  // --------------------------------------------------------------- q132
+  /** Price deciles within each order priority — exact integer
+    * equal-frequency bins over (price, orderkey) total order, the
+    * deterministic ntile. Exercises
+    * [[graft.api.GraftOps.quantileBin]]. */
+  val q132 = QueryDef("q132_quantile_bin",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.api.GraftOps.quantileBin(
+          o.select(col("o_orderkey"), col("o_orderpriority"),
+            floor(col("o_totalprice") * lit(100)).cast("long").as("cents")),
+          col("o_orderpriority"), col("cents"), col("o_orderkey"),
+          nBins = 10)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+          col("bin"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH b AS (
+        SELECT o_orderkey, o_orderpriority,
+          CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      r AS (
+        SELECT o_orderkey, o_orderpriority, cents,
+          CAST(row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+          CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        FROM b)
+      SELECT o_orderkey, o_orderpriority, cents,
+        CAST(((rn - 1) * 10) // n + 1 AS INTEGER) AS bin
+      FROM r ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q07b, q08, q08b, q09, q09b, q10, q14, q15,
-      q15b, q29, q29b, q30, q31, q32, q33, q67, q68, q129)
+      q15b, q29, q29b, q30, q31, q32, q33, q67, q68, q129, q132)
 }

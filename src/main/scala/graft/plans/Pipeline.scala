@@ -974,6 +974,11 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.lexiconScore(
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
         in("inport2"), expr(arg(args, "term"))))),
+    "quantileBin" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.quantileBin(
+        in("inport1"), expr(arg(args, "group")), expr(arg(args, "value")),
+        expr(arg(args, "tiebreak")), arg(args, "nBins").toInt,
+        args.getOrElse("out", "bin")))),
     "proportionLift" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.proportionLift(
         in("inport1"), expr(arg(args, "variant")),

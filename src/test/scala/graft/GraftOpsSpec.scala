@@ -706,6 +706,40 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got(4L) == ((1, 1L, 1L, 1000000L)))
   }
 
+  test("quantileBin: near-equal sizes, tie determinism, NULL passthrough, sparse bins, guard") {
+    import spark.implicits._
+    // 7 rows, 3 bins -> sizes 3/2/2 by the floor formula
+    val t = Seq(
+      ("g", Some(10L), 1L), ("g", Some(20L), 2L), ("g", Some(30L), 3L),
+      ("g", Some(40L), 4L), ("g", Some(50L), 5L), ("g", Some(60L), 6L),
+      ("g", Some(70L), 7L),
+      // a value TIE ordered only by the tiebreak
+      ("h", Some(5L), 2L), ("h", Some(5L), 1L), ("h", Some(9L), 3L),
+      ("g", None, 99L))
+      .toDF("grp", "v", "tb")
+    val got = GraftOps.quantileBin(t, col("grp"), col("v"), col("tb"),
+        nBins = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> Option(r.get(3))).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).map(tb => got(("g", tb))) ==
+      Seq(Some(1), Some(1), Some(1), Some(2), Some(2), Some(3), Some(3)),
+      s"7 rows over 3 bins: $got")
+    // tie: tb=1 ranks before tb=2 deterministically
+    assert(got(("h", 1L)) == Some(1) && got(("h", 2L)) == Some(2) &&
+      got(("h", 3L)) == Some(3), s"tie order: $got")
+    assert(got(("g", 99L)) == None, "NULL value keeps its row, NULL bin")
+    // nBins > n leaves gaps, never errors: 3 rows over 5 bins
+    val sparse = GraftOps.quantileBin(
+        Seq(("x", 1L, 1L), ("x", 2L, 2L), ("x", 3L, 3L))
+          .toDF("grp", "v", "tb"),
+        col("grp"), col("v"), col("tb"), nBins = 5)
+      .collect().map(_.getInt(3)).sorted.toSeq
+    assert(sparse == Seq(1, 2, 4), s"sparse bins: $sparse")
+    intercept[IllegalArgumentException] {
+      GraftOps.quantileBin(t, col("grp"), col("v"), col("tb"), 0)
+    }
+  }
+
   test("proportionLift: exact rates, stated z chain, baseline row, degenerate se, loud missing baseline") {
     import spark.implicits._
     val t = Seq(

@@ -2057,6 +2057,31 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML prefixRollup == library prefixRollup")
   }
 
+  test("quantileBin registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="o" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="orders"/>
+        </operator>
+        <operator name="qb" class="quantileBin">
+          <arg key="group" value="o_orderpriority"/>
+          <arg key="value" value="CAST(floor(o_totalprice * 100) AS BIGINT)"/>
+          <arg key="tiebreak" value="o_orderkey"/>
+          <arg key="nBins" value="4"/><arg key="out" value="quartile"/>
+        </operator>
+        <connect from="o.outport1" to="qb.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.quantileBin(
+      Tables.load(spark, sf001, "orders"), col("o_orderpriority"),
+      floor(col("o_totalprice") * lit(100)).cast("long"),
+      col("o_orderkey"), 4, "quartile")
+    val got = ports("qb.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML quantileBin == library quantileBin")
+  }
+
   test("proportionLift registry op == library form") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
