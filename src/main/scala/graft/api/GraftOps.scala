@@ -2271,6 +2271,63 @@ object GraftOps {
         col("tfidf"), col("rk"))
   }
 
+  /** Per-class keyness — the corpus-linguistics answer to "what
+    * vocabulary CHARACTERIZES each class" (distinctive terms per
+    * source/language/cluster, the readable face of a quality or
+    * contamination audit): for every (class, term), the 2×2 chi² of
+    * token-occurrence vs class membership over the token stream
+    * (a = tf(t,c), margins = term total, class total, grand total),
+    * keeping only OVERREPRESENTED terms (a·N > tt·tc — an
+    * underrepresented term is the other classes' keyword, not this
+    * one's), ranked top-`topK` per class by (chi2_us desc, term asc).
+    *
+    * Portability: counts are exact integers; the overrepresentation
+    * test compares decimal(38,0)/HUGEINT products (a·N overflows LONG
+    * at corpus scale); chi² uses the 2×2 shortcut
+    * N·(ad − bc)²/(tt·(N−tt)·tc·(N−tc)) as ONE stated IEEE chain on
+    * exact integer inputs, micros-floored BEFORE ranking so the
+    * ranking key itself is an integer. Degenerate margins (tt = N or
+    * tc = N) can never pass the strict overrepresentation test, so
+    * the denominator is never zero on kept rows.
+    *
+    * Plan: tokens explode NARROWLY, one agg to (class, term) grain
+    * (the corpus's only token-grain shuffle), margins as catalog
+    * aggs of the tf table, 1-row grand total broadcast, one window
+    * per class over the CATALOG-sized scored table. Output: (group,
+    * term, tf, chi2_us, rk). */
+  def classKeyTerms(df: DataFrame, classCol: Column, text: Column,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1; got $topK")
+    val tok = df.filter(classCol.isNotNull)
+      .select(classCol.as("__cl"), explode(Text.tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col("__cl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val classTot = tf.groupBy(col("__cl")).agg(sum(col("tf")).as("__tc"))
+    val termTot = tf.groupBy(col("term")).agg(sum(col("tf")).as("__tt"))
+    val grand = classTot.agg(sum(col("__tc")).as("__tot"))
+    val w = Window.partitionBy(col("__cl"))
+      .orderBy(desc("chi2_us"), col("term"))
+    tf.join(classTot, Seq("__cl")).join(termTot, Seq("term"))
+      .crossJoin(broadcast(grand))
+      .filter(expr("CAST(tf AS decimal(38,0)) * __tot >" +
+        " CAST(__tt AS decimal(38,0)) * __tc"))
+      .withColumn("__d", col("__tot") - col("__tt") - col("__tc") +
+        col("tf"))
+      .withColumn("__diff", col("tf").cast("double") * col("__d") -
+        (col("__tt") - col("tf")).cast("double") *
+        (col("__tc") - col("tf")))
+      .withColumn("chi2_us", floor(
+        col("__tot").cast("double") * col("__diff") * col("__diff") /
+          (col("__tt").cast("double") * (col("__tot") - col("__tt")) *
+            col("__tc") * (col("__tot") - col("__tc"))) *
+          lit(1000000.0)).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("__cl").as("group"), col("term"), col("tf"),
+        col("chi2_us"), col("rk"))
+  }
+
   /** BM25-style full-text retrieval: top-`k` documents per query by the
     * Okapi relevance function, with the ONE substitution that makes the
     * whole score hash-portable across engines: the idf factor is the

@@ -1669,9 +1669,55 @@ object CurationOps {
         END AS z_us
       FROM j ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q133
+  /** Distinctive vocabulary per source: top-5 overrepresented terms by
+    * token-stream chi² keyness, micros-floored before ranking so the
+    * ranking key is an integer. Exercises
+    * [[GraftOps.classKeyTerms]]. */
+  val q133 = QueryDef("q133_class_key_terms",
+    (s, dir) =>
+      GraftOps.classKeyTerms(docs(s, dir), col("source"), col("text"),
+          topK = 5)
+        .withColumnRenamed("group", "source")
+        .orderBy("source", "rk"),
+    Some(s"""
+      WITH tok AS (
+        SELECT g, token FROM (
+          SELECT source AS g, unnest(${Duck.toks}) AS token
+          FROM documents WHERE source IS NOT NULL) u
+        WHERE token <> ''),
+      tf AS (SELECT g, token, CAST(count(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2),
+      ct AS (SELECT g, CAST(sum(tf) AS BIGINT) AS tc FROM tf GROUP BY 1),
+      tt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS tt
+             FROM tf GROUP BY 1),
+      nn AS (SELECT CAST(sum(tc) AS BIGINT) AS tot FROM ct),
+      sc AS (
+        SELECT tf.g, tf.token, tf.tf, ct.tc, tt.tt, nn.tot
+        FROM tf JOIN ct USING (g) JOIN tt USING (token) CROSS JOIN nn
+        WHERE CAST(tf.tf AS HUGEINT) * tot > CAST(tt.tt AS HUGEINT) * tc),
+      x AS (
+        SELECT g, token, tf,
+          CAST(floor(CAST(tot AS DOUBLE) *
+            (CAST(tf AS DOUBLE) * (tot - tt - tc + tf) -
+             CAST(tt - tf AS DOUBLE) * (tc - tf)) *
+            (CAST(tf AS DOUBLE) * (tot - tt - tc + tf) -
+             CAST(tt - tf AS DOUBLE) * (tc - tf)) /
+            (CAST(tt AS DOUBLE) * (tot - tt) * tc * (tot - tc)) *
+            1000000.0) AS BIGINT) AS chi2_us
+        FROM sc),
+      r AS (
+        SELECT g, token, tf, chi2_us,
+          CAST(row_number() OVER (PARTITION BY g
+            ORDER BY chi2_us DESC, token) AS INTEGER) AS rk
+        FROM x)
+      SELECT g AS source, token AS term, tf, chi2_us, rk
+      FROM r WHERE rk <= 5
+      ORDER BY source, rk"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
       q100, q105, q107, q108, q111, q113, q116, q121, q123, q124, q127,
-      q130, q131)
+      q130, q131, q133)
 }

@@ -974,6 +974,10 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.lexiconScore(
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
         in("inport2"), expr(arg(args, "term"))))),
+    "classKeyTerms" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.classKeyTerms(
+        in("inport1"), expr(arg(args, "class")), expr(arg(args, "text")),
+        arg(args, "topK").toInt))),
     "quantileBin" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.quantileBin(
         in("inport1"), expr(arg(args, "group")), expr(arg(args, "value")),

@@ -706,6 +706,37 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got(4L) == ((1, 1L, 1L, 1000000L)))
   }
 
+  test("classKeyTerms: planted keywords, exact chi2, underrepresented excluded, guard") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "alpha alpha alpha common"),
+      ("B", "beta beta beta common common common common"),
+      (null, "noise noise"))
+      .toDF("cls", "txt")
+    val got = GraftOps.classKeyTerms(docs, col("cls"), col("txt"),
+        topK = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    // A/alpha: a=3, tt=3, tc=4, N=11 -> chi2 = 11*21^2/(3*8*4*7)
+    //        = 4851/672 = 7.21875 exactly
+    assert(got(("A", "alpha")) == ((3L, 7218750L, 1)),
+      s"planted keyword with exact chi2: $got")
+    assert(got.contains(("B", "beta")) && got(("B", "beta"))._3 == 1,
+      s"B's keyword: $got")
+    // 'common' is UNDERREPRESENTED in A (1 of 4 tokens vs 5/11 overall:
+    // 1*11 < 5*4) -> excluded from A's list, but overrepresented in B
+    // (4*11 > 5*7) -> present there
+    assert(!got.contains(("A", "common")) && got.contains(("B", "common")),
+      s"one-sided keyness: $got")
+    // the NULL class vanishes entirely (and its tokens hold no margin
+    // mass: N = 11, not 13 — encoded in the alpha chi2 above)
+    assert(!got.keys.exists(_._1 == null), s"NULL class dropped: $got")
+    intercept[IllegalArgumentException] {
+      GraftOps.classKeyTerms(docs, col("cls"), col("txt"), 0)
+    }
+  }
+
   test("quantileBin: near-equal sizes, tie determinism, NULL passthrough, sparse bins, guard") {
     import spark.implicits._
     // 7 rows, 3 bins -> sizes 3/2/2 by the floor formula

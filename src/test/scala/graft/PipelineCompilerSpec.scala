@@ -2057,6 +2057,27 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML prefixRollup == library prefixRollup")
   }
 
+  test("classKeyTerms registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="d" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="kt" class="classKeyTerms">
+          <arg key="class" value="lang"/><arg key="text" value="text"/>
+          <arg key="topK" value="3"/>
+        </operator>
+        <connect from="d.outport1" to="kt.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.classKeyTerms(
+      Tables.load(spark, sf001, "documents"), col("lang"), col("text"), 3)
+    val got = ports("kt.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML classKeyTerms == library classKeyTerms")
+  }
+
   test("quantileBin registry op == library form") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
