@@ -2903,6 +2903,52 @@ object GraftOps {
         col("__z.__sm").as("ewma"))
   }
 
+  /** Top navigation paths — the product-analytics journey report
+    * "which opening sequences are most common": each key's first
+    * `maxSteps` states in (ts, tiebreak) order join into one path
+    * string, identical prefixes count together, and the `topK` most
+    * common paths come back with exact counts and integer-ppm share
+    * of ALL keys (tie order: n desc, path asc — deterministic). The
+    * whole-journey companion to [[transitionCounts]]' one-step matrix:
+    * the matrix says where users go NEXT, this says how journeys
+    * BEGIN. NULL states render as the literal "∅" segment (an
+    * instrumentation gap is part of the journey — the q119 contract),
+    * `sep` must not occur in any state (the path string would be
+    * ambiguous — checked LOUDLY per row, not a footnote); keys with
+    * fewer than maxSteps events contribute their full (shorter) path.
+    *
+    * Plan: ONE shuffle on key + the same sorted per-key fold as ewma
+    * (sort_array over collect_list — bounded per-key history, the
+    * collect_list contract), a NARROW slice+join to the path string,
+    * one map-side-combined path-grain agg, 1-row total broadcast, and
+    * a global top-K tail (TakeOrderedAndProject at catalog size). */
+  def topPaths(df: DataFrame, key: Column, ts: Column, state: Column,
+      tiebreak: Column, maxSteps: Int, topK: Int,
+      sep: String = ">"): DataFrame = {
+    require(maxSteps >= 1, s"maxSteps must be >= 1; got $maxSteps")
+    require(topK >= 1, s"topK must be >= 1; got $topK")
+    val checked = when(state.cast("string").contains(sep), raise_error(
+        concat(lit(s"topPaths: state '"), state.cast("string"),
+          lit(s"' contains the separator '$sep'"))))
+      .otherwise(coalesce(state.cast("string"), lit("∅")))
+    val paths = df.select(key.as("__k"), ts.as("__ts"),
+        tiebreak.as("__tb"), checked.as("__st"))
+      .groupBy(col("__k"))
+      .agg(sort_array(collect_list(
+        struct(col("__ts"), col("__tb"), col("__st")))).as("__seq"))
+      .select(array_join(slice(transform(col("__seq"), e => e("__st")),
+        1, maxSteps), sep).as("path"))
+    val counts = paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(
+        counts.agg(sum(col("n")).as("__tot"))))
+      .withColumn("share_ppm", expr(
+        "CAST(n AS decimal(38,0)) * 1000000 div __tot"))
+      .select(col("path"), col("n"),
+        col("share_ppm").cast("long").as("share_ppm"))
+      .orderBy(desc("n"), col("path"))
+      .limit(topK)
+  }
+
   /** Per-key two-sided CUSUM change detection — the sequential
     * drift/shift alarm (Page's cumulative-sum chart) over the (ts,
     * tiebreak) order: s⁺ₜ = max(0, s⁺ₜ₋₁ + (xₜ − target − slack)) and

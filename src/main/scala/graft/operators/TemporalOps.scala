@@ -555,6 +555,27 @@ object TemporalOps {
             ((abs(num) * 1000000) // dur_us) AS BIGINT) END AS twap_us
       FROM a ORDER BY user_id"""))
 
+  // --------------------------------------------------------------- q134
+  /** Top-10 three-step opening journeys across all users — exact
+    * counts and integer-ppm share of all user journeys, total-order
+    * tie break. Exercises [[graft.api.GraftOps.topPaths]]. */
+  val q134 = QueryDef("q134_top_paths",
+    (s, dir) =>
+      graft.api.GraftOps.topPaths(events(s, dir), col("user_id"),
+        col("ts"), col("event_type"), col("event_id"), maxSteps = 3,
+        topK = 10),
+    Some("""
+      WITH p AS (
+        SELECT array_to_string(
+          (list(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+        FROM events GROUP BY user_id),
+      c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+      SELECT path, n,
+        CAST((CAST(n AS HUGEINT) * 1000000) // tot AS BIGINT) AS share_ppm
+      FROM c CROSS JOIN t
+      ORDER BY n DESC, path LIMIT 10"""))
+
   // --------------------------------------------------------------- q119
   /** Per-user event-type transition matrix over the full event log:
     * every consecutive step per user in (ts, event_id) order, with
@@ -612,5 +633,5 @@ object TemporalOps {
 
   val all: Seq[QueryDef] =
     Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104, q106, q117,
-      q119, q120, q125, q126)
+      q119, q120, q125, q126, q134)
 }

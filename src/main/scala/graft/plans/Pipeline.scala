@@ -974,6 +974,12 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.lexiconScore(
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "text")),
         in("inport2"), expr(arg(args, "term"))))),
+    "topPaths" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.topPaths(
+        in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),
+        expr(arg(args, "state")), expr(arg(args, "tiebreak")),
+        arg(args, "maxSteps").toInt, arg(args, "topK").toInt,
+        args.getOrElse("sep", ">")))),
     "classKeyTerms" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.classKeyTerms(
         in("inport1"), expr(arg(args, "class")), expr(arg(args, "text")),

@@ -706,6 +706,43 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got(4L) == ((1, 1L, 1L, 1000000L)))
   }
 
+  test("topPaths: prefix grouping, shares, NULL segment, loud separator, guards") {
+    import spark.implicits._
+    val ev = Seq(
+      // rows deliberately unordered; tiebreak is the second long
+      (1L, 3L, Some("C")), (1L, 1L, Some("A")), (1L, 2L, Some("B")),
+      (1L, 4L, Some("D")),                       // 4th step truncated
+      (2L, 1L, Some("A")), (2L, 2L, Some("B")), (2L, 3L, Some("C")),
+      (3L, 1L, Some("A")), (3L, 2L, Some("X")),
+      (4L, 1L, Some("B")))
+      .toDF("k", "t", "s")
+    val got = GraftOps.topPaths(ev, col("k"), col("t"), col("s"),
+        col("t"), maxSteps = 3, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("A>B>C", 2L, 500000L), ("A>X", 1L, 250000L)),
+      s"top journeys: ${got.toSeq}")
+    // a NULL state is a visible ∅ segment, not a vanished step
+    val gap = Seq((9L, 1L, Some("A")), (9L, 2L, None)).toDF("k", "t", "s")
+    val g = GraftOps.topPaths(gap, col("k"), col("t"), col("s"),
+        col("t"), 3, 5).collect().head
+    assert(g.getString(0) == "A>∅", s"gap segment: $g")
+    // a state containing the separator would make paths ambiguous
+    val bad = Seq((1L, 1L, Some("a>b"))).toDF("k", "t", "s")
+    val ex = intercept[Exception] {
+      GraftOps.topPaths(bad, col("k"), col("t"), col("s"), col("t"),
+        3, 5).collect()
+    }
+    assert(ex.getMessage.contains("separator") ||
+      Option(ex.getCause).exists(_.getMessage.contains("separator")),
+      s"loud separator collision: $ex")
+    intercept[IllegalArgumentException] {
+      GraftOps.topPaths(ev, col("k"), col("t"), col("s"), col("t"), 0, 5)
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.topPaths(ev, col("k"), col("t"), col("s"), col("t"), 3, 0)
+    }
+  }
+
   test("classKeyTerms: planted keywords, exact chi2, underrepresented excluded, guard") {
     import spark.implicits._
     val docs = Seq(

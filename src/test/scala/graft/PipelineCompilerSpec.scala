@@ -2057,6 +2057,30 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       got.count() > 0, "XML prefixRollup == library prefixRollup")
   }
 
+  test("topPaths registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="ev" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="events"/>
+        </operator>
+        <operator name="tp" class="topPaths">
+          <arg key="key" value="user_id"/><arg key="ts" value="ts"/>
+          <arg key="state" value="event_type"/>
+          <arg key="tiebreak" value="event_id"/>
+          <arg key="maxSteps" value="2"/><arg key="topK" value="5"/>
+        </operator>
+        <connect from="ev.outport1" to="tp.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val want = graft.api.GraftOps.topPaths(
+      Tables.load(spark, sf001, "events"), col("user_id"), col("ts"),
+      col("event_type"), col("event_id"), 2, 5)
+    val got = ports("tp.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML topPaths == library topPaths")
+  }
+
   test("classKeyTerms registry op == library form") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
