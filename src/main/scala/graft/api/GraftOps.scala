@@ -3618,11 +3618,15 @@ object GraftOps {
     // stage names become `t_<stage>` output columns referenced by name;
     // a dot or backtick would parse as struct access / break resolution
     // with an opaque AnalysisException deep in the plan — fail at the API
-    // boundary instead (review r15)
-    val badStages = stages.filterNot(_.matches("[A-Za-z0-9_\\- ]+"))
+    // boundary instead (review r15). ONLY those two characters are the
+    // hazard: an allowlist regex here rejected previously-working
+    // non-ASCII stage names like "señal" (review r16)
+    val badStages = stages.filter(s => s.isEmpty ||
+      s.contains(".") || s.contains("`"))
     require(badStages.isEmpty,
-      s"funnel stage names must match [A-Za-z0-9_\\- ]+ (they become " +
-        s"t_<stage> output columns); got: ${badStages.mkString(", ")}")
+      "funnel stage names must be non-empty and contain no '.' or '`' " +
+        s"(they become t_<stage> output columns); got: " +
+        badStages.mkString(", "))
     val w = Window.partitionBy(col("__key"))
     var cur = df.select(key.as("__key"), ts.as("__ts"), stage.as("__st"))
       .withColumn(s"t_${stages.head}",
@@ -3896,8 +3900,12 @@ object GraftOps {
     // the bucket/endpoint working columns are reserved: withColumn would
     // silently OVERWRITE a user column of the same name and the final
     // drop would remove it (review r15) — fail at the API boundary
+    // lowercase before matching: Spark resolution is case-INSENSITIVE,
+    // so a user column named __B would be clobbered just the same
+    // (review r16 — sampleBudget's guard had this right)
     val reserved = Set("__b", "__ls", "__le", "__rs", "__re")
-    val clashes = (left.columns ++ right.columns).filter(reserved)
+    val clashes =
+      (left.columns ++ right.columns).filter(c => reserved(c.toLowerCase))
     require(clashes.isEmpty,
       s"intervalJoin reserves column names ${reserved.mkString(", ")}; " +
         s"rename the input column(s): ${clashes.distinct.mkString(", ")}")
@@ -4542,6 +4550,15 @@ object GraftOps {
   def quantileBin(df: DataFrame, group: Column, value: Column,
       tiebreak: Column, nBins: Int, outCol: String = "bin"): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1; got $nBins")
+    // working names are reserved and outCol must be fresh: withColumn
+    // would silently overwrite (and only on the non-null branch, so the
+    // union would then fail obscurely) — the intervalJoin/sampleBudget
+    // convention, case-insensitive like Spark's resolution
+    val reserved = Set("__rn", "__gn", outCol.toLowerCase)
+    val clashes = df.columns.filter(c => reserved(c.toLowerCase))
+    require(clashes.isEmpty,
+      s"quantileBin reserves column names __rn, __gn, $outCol; " +
+        s"rename the input column(s): ${clashes.distinct.mkString(", ")}")
     val w = Window.partitionBy(group).orderBy(value.asc, tiebreak.asc)
     val wn = Window.partitionBy(group)
     df.filter(value.isNotNull)

@@ -1488,7 +1488,15 @@ object CurationOps {
     (s, dir) =>
       GraftOps.groupTrend(
           Tables.load(s, dir, "events").filter(col("value").isNotNull),
-          col("user_id"), expr("unix_micros(ts) div 86400000000"),
+          col("user_id"),
+          // FLOOR division via the pmod identity, not `div`: Spark div
+          // truncates toward zero while DuckDB // floors, and a
+          // pre-1970 timestamp has negative micros — (a - pmod(a, b))/b
+          // equals DuckDB's floor semantics for every sign (review r16;
+          // the q89 normalize precedent generalized off the
+          // non-negative assumption)
+          expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+            " div 86400000000"),
           floor(col("value") * 100))
         .withColumnRenamed("key", "user_id")
         .orderBy("user_id"),

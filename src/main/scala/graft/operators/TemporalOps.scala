@@ -504,18 +504,27 @@ object TemporalOps {
             ORDER BY ts, event_id) AS BIGINT) AS rn
         FROM events),
       r AS (
+        -- NULL x poisons the tail EXPLICITLY, exactly as the operator
+        -- states it: DuckDB's greatest() SKIPS nulls rather than
+        -- propagating them, so without the CASE the oracle would
+        -- silently restart poisoned keys at 0 on NULL-bearing data
+        -- (review r16 — latent while the fixture has no NULLs)
         SELECT event_id, user_id, x, rn,
-          greatest(CAST(0 AS BIGINT), x - 5000 - 1000) AS sp,
-          greatest(CAST(0 AS BIGINT), 5000 - 1000 - x) AS sn
+          CASE WHEN x IS NULL THEN NULL ELSE
+            greatest(CAST(0 AS BIGINT), x - 5000 - 1000) END AS sp,
+          CASE WHEN x IS NULL THEN NULL ELSE
+            greatest(CAST(0 AS BIGINT), 5000 - 1000 - x) END AS sn
         FROM o WHERE rn = 1
         UNION ALL
         SELECT o.event_id, o.user_id, o.x, o.rn,
-          greatest(CAST(0 AS BIGINT),
-            CASE WHEN r.sp >= 15000 OR r.sn >= 15000 THEN 0 ELSE r.sp END
-              + (o.x - 5000 - 1000)),
-          greatest(CAST(0 AS BIGINT),
-            CASE WHEN r.sp >= 15000 OR r.sn >= 15000 THEN 0 ELSE r.sn END
-              + (5000 - 1000 - o.x))
+          CASE WHEN o.x IS NULL OR r.sp IS NULL THEN NULL ELSE
+            greatest(CAST(0 AS BIGINT),
+              CASE WHEN r.sp >= 15000 OR r.sn >= 15000 THEN 0 ELSE r.sp
+              END + (o.x - 5000 - 1000)) END,
+          CASE WHEN o.x IS NULL OR r.sp IS NULL THEN NULL ELSE
+            greatest(CAST(0 AS BIGINT),
+              CASE WHEN r.sp >= 15000 OR r.sn >= 15000 THEN 0 ELSE r.sn
+              END + (5000 - 1000 - o.x)) END
         FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
       SELECT event_id, user_id, x AS value, sp AS s_pos, sn AS s_neg,
         CAST(sp >= 15000 OR sn >= 15000 AS BIGINT) AS alarm
@@ -538,7 +547,12 @@ object TemporalOps {
       WITH b AS (
         SELECT user_id, epoch_us(ts) AS um, event_id,
           CAST(floor(value * 100) AS BIGINT) AS x
-        FROM events),
+        FROM events
+        -- the operator DROPS null values up front (the prior value
+        -- holds through); without this filter the oracle would be
+        -- faithful only while the fixture has no NULLs (review r16)
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+          AND ts IS NOT NULL),
       d AS (
         SELECT user_id, x,
           coalesce(lead(um) OVER (PARTITION BY user_id
@@ -566,8 +580,12 @@ object TemporalOps {
         topK = 10),
     Some("""
       WITH p AS (
+        -- COALESCE before listing: the operator renders NULL states as
+        -- a visible '∅' segment, while array_to_string SKIPS nulls —
+        -- latent divergence on NULL-bearing data (review r16)
         SELECT array_to_string(
-          (list(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+          (list(coalesce(event_type, '∅') ORDER BY ts, event_id))[1:3],
+          '>') AS path
         FROM events GROUP BY user_id),
       c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
       t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)

@@ -636,14 +636,12 @@ object TextOps {
           col("text"), lex, col("term"))
         .orderBy("doc_id")
     },
-    Some("""
+    Some(s"""
       WITH lex AS (
         SELECT * FROM (VALUES ('slow'), ('merge'), ('filter'),
           ('stream'), ('big'), ('vector')) AS v(term)),
       t AS (
-        SELECT doc_id,
-          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-            ' ') AS tk
+        SELECT doc_id, ${Duck.toks} AS tk
         FROM documents),
       base AS (
         SELECT doc_id,

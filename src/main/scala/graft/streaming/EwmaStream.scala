@@ -15,8 +15,10 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   *
   * Ordering contract: within a micro-batch, points sort by (ts,
   * tiebreak) before folding (arrival order inside a batch is free);
-  * ACROSS batches a key's points must arrive in nondecreasing (ts,
-  * tiebreak) order — a cross-batch late point cannot be folded into an
+  * ACROSS batches a key's points must arrive in STRICTLY increasing
+  * (ts, tiebreak) order — a replayed point at the already-folded
+  * position fails too, since folding it twice would double-apply the
+  * step; a cross-batch late point cannot be folded into an
   * already-emitted prefix with O(1) state, so it fails the query LOUDLY
   * (an [[IllegalStateException]] naming the key and positions) rather
   * than silently corrupting the recurrence. Heavily-late replays belong

@@ -16,7 +16,7 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   *
   * NULL states are REAL states here exactly as in batch: a key's first
   * event emits nothing (no predecessor), but a NULL state after a real
-  * one emits a (state → NULL) step — the stored presence flag plays the
+  * one emits a (state → NULL) step — the state row's PRESENCE plays the
   * batch operator's lag(1)-marker role, so instrumentation gaps surface
   * as transition mass instead of vanishing.
   *
@@ -29,8 +29,10 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 object TransitionStream {
 
   case class Event(key: Long, ts: Timestamp, tb: Long, state: String)
-  case class TransState(hasPrev: Boolean, lastTs: Long, lastTb: Long,
-      lastState: String)
+  // Option presence of the state row IS the "has a predecessor" flag
+  // (review r16 dropped a redundant hasPrev boolean from every keyed
+  // state-store row)
+  case class TransState(lastTs: Long, lastTb: Long, lastState: String)
   case class Step(key: Long, ts: Timestamp, tb: Long, from_state: String,
       to_state: String)
 
@@ -57,7 +59,7 @@ object TransitionStream {
                       "in batch instead")
                 Some(Step(e.key, e.ts, e.tb, p.lastState, e.state))
             }
-            st = Some(TransState(hasPrev = true, e.ts.getTime, e.tb, e.state))
+            st = Some(TransState(e.ts.getTime, e.tb, e.state))
             step
           }
           st.foreach(state.update)

@@ -3833,6 +3833,12 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
         Seq("A", "b.c"), horizonUs = 1000000L)
     }
     assert(bad.getMessage.contains("b.c"), s"names the bad stage: ${bad.getMessage}")
+    // ONLY dots/backticks are the hazard — a non-ASCII stage name is
+    // legal (review r16: an allowlist regex rejected these)
+    val intl = GraftOps.funnel(ev, col("u"), col("t"), col("s"),
+      Seq("señal", "étape"), horizonUs = 1000000L)
+    assert(intl.columns.contains("t_señal") &&
+      intl.columns.contains("t_étape"), "non-ASCII stage names resolve")
   }
 
   test("editDistanceJoin: typo pairs found, short keys exact-only, df-cap contract") {
