@@ -850,10 +850,12 @@ object GraftOps {
     * connectivity. Input is an edge LIST in any form: direction, order,
     * duplicates, and self-loops are all canonicalized away (an edge is
     * the unordered pair of its distinct endpoints). Returns one row per
-    * vertex: (node, degree, n_tri) — degree counts distinct neighbors,
-    * n_tri the triangles the vertex belongs to; Σ n_tri = 3 × total
-    * triangles. All-integer, so the full per-vertex report hash-gates
-    * (q109).
+    * vertex of the INPUT graph — every non-NULL endpoint, including a
+    * vertex whose only incident edges are self-loops, which reports
+    * (node, degree = 0, n_tri = 0) rather than vanishing — degree counts
+    * distinct non-self neighbors, n_tri the triangles the vertex belongs
+    * to; Σ n_tri = 3 × total triangles. All-integer, so the full
+    * per-vertex report hash-gates (q111).
     *
     * Plan — the degree-ordered orientation (node-iterator++ / Latapy):
     * direct every canonical edge from its (degree, id)-smaller endpoint
@@ -872,10 +874,14 @@ object GraftOps {
     * direction disjunction. No all-pairs anywhere; hot vertices are one
     * AQE-split partition. */
   def triangleCounts(edgeList: DataFrame, src: Column, dst: Column): DataFrame = {
-    val raw = edgeList
+    val ends = edgeList
       .select(src.cast("long").as("__s"), dst.cast("long").as("__d"))
-      .filter(col("__s").isNotNull && col("__d").isNotNull &&
-        col("__s") =!= col("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull)
+    // node set BEFORE the self-loop filter: a loop-only vertex is still
+    // a vertex of the graph and must surface as (node, 0, 0) (review r16)
+    val nodes = ends
+      .select(explode(array(col("__s"), col("__d"))).as("node")).distinct()
+    val raw = ends.filter(col("__s") =!= col("__d"))
     val und = raw.select(least(col("__s"), col("__d")).as("a"),
       greatest(col("__s"), col("__d")).as("b")).distinct()
     val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
@@ -902,8 +908,9 @@ object GraftOps {
     val perNode = tri
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("__nt"))
-    deg.join(perNode, Seq("node"), "left_outer")
-      .select(col("node"), col("degree"),
+    nodes.join(deg, Seq("node"), "left_outer")
+      .join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("degree"), lit(0L)).as("degree"),
         coalesce(col("__nt"), lit(0L)).as("n_tri"))
   }
 
@@ -2870,7 +2877,10 @@ object GraftOps {
     * the same recurrence; a closed-form power-sum restatement would NOT
     * be bit-equal to the recursion). A NULL value poisons its key's
     * tail from that point on (NULL propagates through the recurrence —
-    * the honest contract; pre-filter or gap-fill first).
+    * the honest contract; pre-filter or gap-fill first). Rows with a
+    * NULL ts or tiebreak drop UP FRONT (the timeWeightedAvg posture —
+    * an observation with no position in the order has no place in the
+    * recurrence, and engines disagree on where NULLs sort).
     *
     * Plan: ONE shuffle on key, then a per-key sorted fold inside a
     * single higher-order `aggregate` (the q112 fold idiom, but
@@ -2888,6 +2898,7 @@ object GraftOps {
     val aSql = s"(CAST($alphaPpm AS DOUBLE) / 1000000.0)"
     df.select(key.as("__k"), ts.as("__ts"), tiebreak.as("__tb"),
         value.cast("double").as("__x"))
+      .filter(col("__ts").isNotNull && col("__tb").isNotNull)
       .groupBy(col("__k"))
       .agg(sort_array(collect_list(
         struct(col("__ts"), col("__tb"), col("__x")))).as("__seq"))
@@ -2916,6 +2927,8 @@ object GraftOps {
     * `sep` must not occur in any state (the path string would be
     * ambiguous — checked LOUDLY per row, not a footnote); keys with
     * fewer than maxSteps events contribute their full (shorter) path.
+    * Rows with a NULL ts or tiebreak drop up front (no position in
+    * the order — the timeWeightedAvg posture; NULL STATES stay).
     *
     * Plan: ONE shuffle on key + the same sorted per-key fold as ewma
     * (sort_array over collect_list — bounded per-key history, the
@@ -2933,6 +2946,7 @@ object GraftOps {
       .otherwise(coalesce(state.cast("string"), lit("∅")))
     val paths = df.select(key.as("__k"), ts.as("__ts"),
         tiebreak.as("__tb"), checked.as("__st"))
+      .filter(col("__ts").isNotNull && col("__tb").isNotNull)
       .groupBy(col("__k"))
       .agg(sort_array(collect_list(
         struct(col("__ts"), col("__tb"), col("__st")))).as("__seq"))
@@ -2956,7 +2970,9 @@ object GraftOps {
     * side reaches `threshold`, then BOTH sides restart at 0 for the
     * next step (the standard restart chart — each alarm is an
     * independent detection, so state stays bounded by threshold + one
-    * step forever). `value` is CALLER-QUANTIZED to integers (the
+    * step forever). Rows with a NULL ts or tiebreak drop up front
+    * (no position in the order — the timeWeightedAvg posture).
+    * `value` is CALLER-QUANTIZED to integers (the
     * groupTrend contract — floor-cents, micros, counts), and target /
     * slack / threshold live in the same units, so every statistic is
     * EXACT integer arithmetic — the whole (s⁺, s⁻, alarm) series is
@@ -2985,6 +3001,7 @@ object GraftOps {
       s" OR $prev.sn >= ${threshold}L"
     df.select(key.as("__k"), ts.as("__ts"), tiebreak.as("__tb"),
         value.cast("long").as("__x"))
+      .filter(col("__ts").isNotNull && col("__tb").isNotNull)
       .groupBy(col("__k"))
       .agg(sort_array(collect_list(
         struct(col("__ts"), col("__tb"), col("__x")))).as("__seq"))
@@ -3657,6 +3674,9 @@ object GraftOps {
     * first event has no predecessor and feeds no transition; NULL
     * states are real states (a NULL→x step counts — null-safe grouping),
     * so instrumentation gaps show up as mass instead of vanishing.
+    * Rows with a NULL ts or tiebreak drop up front (no position in the
+    * order — the timeWeightedAvg posture; engines disagree on where
+    * NULLs sort inside a window ORDER BY, so the contract is explicit).
     * Output: (from_state, to_state, n, p_ppm).
     *
     * Plan: ONE shuffle on key + an in-partition lag window (the q27/q28
@@ -3668,6 +3688,7 @@ object GraftOps {
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tb"))
     df.select(key.as("__k"), ts.as("__ts"), tiebreak.as("__tb"),
         state.as("__s"))
+      .filter(col("__ts").isNotNull && col("__tb").isNotNull)
       .withColumn("__prev", lag(col("__s"), 1).over(w))
       .withColumn("__has_prev", lag(lit(1), 1).over(w)) // NULL state ≠ no row
       .filter(col("__has_prev").isNotNull)

@@ -1332,6 +1332,10 @@ object CurationOps {
         UNION ALL SELECT doc_id, (doc_id*7 + 1) % m FROM d, mm),
       und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
               FROM raw WHERE s <> t),
+      -- node set from ALL endpoints (pre self-loop filter): a loop-only
+      -- vertex surfaces as (node, 0, 0), matching the operator contract
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT s AS node FROM raw UNION ALL SELECT t FROM raw)),
       deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
         (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
       o AS (SELECT
@@ -1349,9 +1353,9 @@ object CurationOps {
         (SELECT u AS node FROM tri
          UNION ALL SELECT v1 FROM tri
          UNION ALL SELECT v2 FROM tri) GROUP BY 1)
-      SELECT deg.node, deg.degree,
+      SELECT nodes.node, COALESCE(deg.degree, CAST(0 AS BIGINT)) AS degree,
         COALESCE(pern.n_tri, CAST(0 AS BIGINT)) AS n_tri
-      FROM deg LEFT JOIN pern USING (node)
+      FROM nodes LEFT JOIN deg USING (node) LEFT JOIN pern USING (node)
       ORDER BY node"""))
 
   // --------------------------------------------------------------- q113
@@ -1505,7 +1509,9 @@ object CurationOps {
         SELECT user_id,
           epoch_us(ts) // 86400000000 AS x,
           CAST(floor(value * 100) AS BIGINT) AS y
-        FROM events WHERE value IS NOT NULL),
+        -- ts IS NOT NULL: the operator drops NULL-x rows entirely, while
+        -- an unfiltered count(*) would keep them in n (review r17)
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
       a AS (
         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
           SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,

@@ -467,7 +467,9 @@ object TemporalOps {
         SELECT event_id, user_id, value,
           CAST(row_number() OVER (PARTITION BY user_id
             ORDER BY ts, event_id) AS BIGINT) AS rn
-        FROM events),
+        -- the operator drops NULL ts/tiebreak rows up front (no
+        -- position in the order — review r17)
+        FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
       r AS (
         SELECT event_id, user_id, value, rn, CAST(value AS DOUBLE) AS s
         FROM o WHERE rn = 1
@@ -502,7 +504,8 @@ object TemporalOps {
         SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS x,
           CAST(row_number() OVER (PARTITION BY user_id
             ORDER BY ts, event_id) AS BIGINT) AS rn
-        FROM events),
+        -- NULL ts/tiebreak rows drop up front, matching the operator
+        FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
       r AS (
         -- NULL x poisons the tail EXPLICITLY, exactly as the operator
         -- states it: DuckDB's greatest() SKIPS nulls rather than
@@ -586,7 +589,9 @@ object TemporalOps {
         SELECT array_to_string(
           (list(coalesce(event_type, '∅') ORDER BY ts, event_id))[1:3],
           '>') AS path
-        FROM events GROUP BY user_id),
+        -- NULL ts/tiebreak rows drop up front, matching the operator
+        FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        GROUP BY user_id),
       c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
       t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
       SELECT path, n,
@@ -611,7 +616,9 @@ object TemporalOps {
             ORDER BY ts, event_id) AS prev,
           lag(1) OVER (PARTITION BY user_id
             ORDER BY ts, event_id) AS has_prev
-        FROM events),
+        -- NULL ts/tiebreak rows drop up front, matching the operator
+        -- (engines disagree on NULL placement in a window ORDER BY)
+        FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
       t AS (
         SELECT prev AS from_state, event_type AS to_state,
           CAST(COUNT(*) AS BIGINT) AS n

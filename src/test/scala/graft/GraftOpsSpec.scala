@@ -421,6 +421,14 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       Seq((Some(1L), Some(2L)), (None, Some(2L)), (Some(1L), None))
         .toDF("s", "d"), col("s"), col("d")).collect()
     assert(withNull.map(_.getLong(0)).toSet == Set(1L, 2L))
+    // a loop-ONLY vertex is still a vertex: (node, 0, 0), not omitted
+    // (review r17 — the node set derives from pre-canonicalization
+    // endpoints)
+    val loopOnly = GraftOps.triangleCounts(
+      Seq((10L, 10L), (11L, 12L)).toDF("s", "d"), col("s"), col("d"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(loopOnly ==
+      Map(10L -> (0L, 0L), 11L -> (1L, 0L), 12L -> (1L, 0L)))
   }
 
   test("bm25TopK: reference scores bit-equal, dup/absent/empty query contracts") {
@@ -1198,6 +1206,17 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
         col("v"), col("tb"), 0L).collect()
       .map(r => r.getLong(2) -> r.getDouble(4)).toMap
     assert(a0 == Map(1L -> 10.0, 2L -> 10.0, 3L -> 10.0))
+    // NULL ts rows DROP up front (no position in the order) and the
+    // remaining recurrence folds as if they never existed (review r17)
+    val withNullTs = Seq(
+      ("a", Some(ts("2024-01-01 10:00:00")), 1L, Some(10.0)),
+      ("a", Option.empty[Timestamp], 2L, Some(999.0)),
+      ("a", Some(ts("2024-01-01 11:00:00")), 3L, Some(20.0)))
+      .toDF("k", "t", "tb", "v")
+    val nGot = GraftOps.ewma(withNullTs, col("k"), col("t"), col("v"),
+        col("tb"), 500000L).collect()
+      .map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(nGot == Map(1L -> 10.0, 3L -> 15.0), s"null-ts drop: $nGot")
   }
 
   test("corpusDrift: exact chi-square contributions; new/vanished/null categories") {
