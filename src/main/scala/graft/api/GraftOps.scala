@@ -4783,6 +4783,130 @@ object GraftOps {
     df.withColumn(out, trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " ")))
   }
 
+  /** Initial BPE symbol state of a word: one single-character symbol
+    * per position, stated as substring probes (NOT `split(w, '')` —
+    * engines disagree on empty-regex split tails, while `substr` is
+    * identical everywhere). Empty word → empty symbol list. */
+  private def charSyms(w: Column): Column =
+    when(length(w) >= 1,
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Apply ONE BPE merge (x, y) → xy to a symbol list, greedy
+    * left-to-right non-overlapping (the reference BPE application
+    * order): fold symbols left to right; when the accumulator's last
+    * symbol is x and the incoming one is y, replace the last with xy,
+    * else append. A just-merged xy can never false-re-merge as the x
+    * of the same pass (xy == x would need y empty), so the plain fold
+    * IS the greedy semantics — no flag, no second pass. */
+  private def applyMerge(syms: Column, x: String, y: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(x) && s === lit(y),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+        .otherwise(array_append(acc, s)))
+
+  /** Byte-pair-encoding merge TRAINING — the iterative half of a real
+    * subword tokenizer (the [[buildVocab]] frequency-unigram build is
+    * the flat alternative): starting from per-character symbols of
+    * every distinct word, repeat `nMerges` times — count adjacent
+    * symbol pairs across the corpus (each POSITION counts, weighted by
+    * word frequency — the reference BPE statistic, so a run of k equal
+    * symbols contributes k−1), merge the most frequent pair everywhere
+    * (greedy left-to-right non-overlapping), record it. Ties break
+    * (count desc, left asc, right asc) — a deterministic TOTAL order,
+    * so every merge rank and count is engine-portable (q135 gates the
+    * whole table against DuckDB's unrolled recursive-CTE restatement).
+    * Stops early if pairs run out (fewer rows than requested — words
+    * fully merged). Returns (rank 1.., left, right, n).
+    *
+    * Plan: ONE corpus-wide pass (explode → word-grain hash agg) and
+    * everything after runs on the DISTINCT-WORD table — vocabulary-
+    * scale BY CONTRACT (a 100 TB corpus still has a bounded word
+    * vocabulary; the k-centroid idiom). Each iteration is one
+    * map-side-combined pair agg + a 1-ROW argmax collect (a trained
+    * constant, NOT a corpus collect) + a narrow per-word fold, with
+    * the evolving symbol table localCheckpoint'd per round (the
+    * linkRank lineage hygiene — without it iteration k recomputes all
+    * k−1 prior folds). Eager like every trainer. */
+  def bpeFit(df: DataFrame, toks: Column, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 256,
+      s"nMerges must be in [1, 256]; got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var syms = df.select(explode(toks).as("__w"))
+      .filter(col("__w").isNotNull)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .select(col("__f"), charSyms(col("__w")).as("__syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    try {
+      var rank = 1
+      var exhausted = false
+      while (rank <= nMerges && !exhausted) {
+        val top = syms.filter(size(col("__syms")) >= 2)
+          .select(col("__f"), explode(
+            transform(sequence(lit(1), size(col("__syms")) - 1),
+              j => struct(element_at(col("__syms"), j).as("s1"),
+                element_at(col("__syms"), j + lit(1)).as("s2")))).as("__p"))
+          .groupBy(col("__p.s1").as("__s1"), col("__p.s2").as("__s2"))
+          .agg(sum(col("__f")).as("__n"))
+          .orderBy(desc("__n"), col("__s1"), col("__s2"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (x, y, n) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((rank, x, y, n))
+          val prev = syms
+          syms = prev.select(col("__f"),
+              applyMerge(col("__syms"), x, y).as("__syms"))
+            .localCheckpoint(true)
+          prev.unpersist()
+          rank += 1
+        }
+      }
+      done = true
+    } finally {
+      syms.unpersist()
+      if (!done) () // collected merges are driver state; nothing cached leaks
+    }
+    merges.toSeq.toDF("rank", "left", "right", "n")
+  }
+
+  /** The encode half of BPE: adds `pieces` (array<array<string>> — one
+    * subword-piece list per input token), applying a [[bpeFit]] merge
+    * table in RANK order to each token's character symbols. Applying
+    * the ranked merges to a training word reproduces the trainer's
+    * final symbol state EXACTLY (each encode step k sees the same
+    * symbol state the trainer saw at step k — spec-pinned law), and
+    * unseen words segment deterministically with the same rule (no
+    * vocabulary probe, no OOV cliff — characters are the floor). A
+    * NULL token array stays NULL; a NULL token yields a NULL piece
+    * list (unknown word ≠ empty word); empty tokens encode to empty
+    * piece lists. Merge ranks must be dense 1..n (bpeFit's contract —
+    * loud failure, not silently reordered merges).
+    *
+    * Plan: the merge table collects to the driver (nMerges rows —
+    * MODEL-sized, the encodeTokens idiom) and ships once per task
+    * inside the codegen'd [[graft.functions.BpeSegment]] expression —
+    * a tight O(len · nMerges) JVM loop per token (the declarative
+    * n-deep chain of interpreted HOF folds computed the identical
+    * pieces ~8× slower). The CORPUS NEVER SHUFFLES — pure narrow
+    * projection at any scale. */
+  def bpeEncode(df: DataFrame, toks: Column, merges: DataFrame,
+      out: String = "pieces"): DataFrame = {
+    val ms = merges.select(col("rank").cast("int"), col("left"), col("right"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    require(ms.nonEmpty, "merge table is empty")
+    require(ms.map(_._1).toSeq == (1 to ms.length),
+      s"merge ranks must be exactly 1..${ms.length} (bpeFit's contract)")
+    df.withColumn(out, graft.functions.BpeSegment.asColumn(
+      toks, ms.map(m => (m._2, m._3)).toSeq))
+  }
+
   // --------------------------------------------- scalar quantization
 
   /** SQ8 trainer: per-dimension [lo, hi] corpus ranges — the whole model

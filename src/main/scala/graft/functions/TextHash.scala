@@ -347,6 +347,62 @@ object TextHash {
     }
     new GenericArrayData(out)
   }
+
+  /** BPE segmentation of each token (see [[BpeSegment]]): per-CODEPOINT
+    * initial symbols (the `substr` grain both engines state — never
+    * UTF-16 units, which would split surrogate pairs), then each ranked
+    * merge applied greedy left-to-right non-overlapping. `merges` rows
+    * are [left, right, left||right] (the concat precomputed once). */
+  def bpeSegment(toks: ArrayData, merges: Array[Array[String]]): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (toks.isNullAt(i)) null
+        else bpeSegmentWord(toks.getUTF8String(i).toString, merges)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def bpeSegmentWord(w: String,
+      merges: Array[Array[String]]): ArrayData = {
+    var cur = new Array[String](w.codePointCount(0, w.length))
+    var ci = 0
+    var k = 0
+    while (ci < w.length) {
+      val cp = w.codePointAt(ci)
+      cur(k) = new String(Character.toChars(cp))
+      k += 1
+      ci += Character.charCount(cp)
+    }
+    var mi = 0
+    while (mi < merges.length && cur.length >= 2) {
+      val x = merges(mi)(0)
+      val y = merges(mi)(1)
+      val xy = merges(mi)(2)
+      val buf = new Array[String](cur.length)
+      var j = 0
+      var o = 0
+      while (j < cur.length) {
+        if (j + 1 < cur.length && cur(j) == x && cur(j + 1) == y) {
+          buf(o) = xy; o += 1; j += 2
+        } else {
+          buf(o) = cur(j); o += 1; j += 1
+        }
+      }
+      cur = java.util.Arrays.copyOf(buf, o)
+      mi += 1
+    }
+    val elems = new Array[Any](cur.length)
+    var e = 0
+    while (e < cur.length) {
+      elems(e) = org.apache.spark.unsafe.types.UTF8String.fromString(cur(e))
+      e += 1
+    }
+    new GenericArrayData(elems)
+  }
 }
 
 /** `minhash_sig(shingles, n)`: array<string> → array<long> signature. */
@@ -569,6 +625,47 @@ case class TokenIds(child: Expression, vocab: Seq[String], oovId: Int)
 object TokenIds {
   def asColumn(tokens: Column, vocab: Seq[String], oovId: Int): Column =
     ColumnBridge.column(TokenIds(ColumnBridge.expression(tokens), vocab, oovId))
+}
+
+/** `bpe_segment(tokens)`: array<string> → array<array<string>> — each
+  * token segmented into BPE pieces under a trained ranked merge list
+  * (see [[graft.api.GraftOps.bpeFit]]), which ships once per task as a
+  * reference object (the TokenIds model idiom). O(len · nMerges) per
+  * token in a tight JVM loop: the declarative alternative — an
+  * nMerges-deep chain of interpreted `aggregate` HOF folds per token —
+  * computed the identical pieces at ~16 s / 500 sf0.01 docs; this runs
+  * inside whole-stage codegen. A NULL token yields a NULL piece list
+  * (unknown word ≠ empty word). */
+case class BpeSegment(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.nonEmpty, "merges must be non-empty")
+
+  @transient private lazy val table: Array[Array[String]] =
+    merges.map { case (x, y) => Array(x, y, x + y) }.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_segment expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = false),
+      containsNull = true)
+  override def prettyName: String = "bpe_segment"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.bpeSegment(v.asInstanceOf[ArrayData], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", table, "java.lang.String[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.bpeSegment($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeSegment =
+    copy(child = c)
+}
+
+object BpeSegment {
+  def asColumn(tokens: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeSegment(ColumnBridge.expression(tokens), merges))
 }
 
 /** `simhash60(tokens)`: array<string> → long. */

@@ -664,7 +664,116 @@ object TextOps {
       FROM base LEFT JOIN h USING (doc_id)
       ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- q135
+  /** DuckDB restatement of [[graft.api.GraftOps.bpeFit]]'s first
+    * `nMerges` iterations, generated as unrolled CTE blocks (the q108
+    * PageRank precedent for iterative trainers): per iteration k —
+    * p_k counts adjacent symbol pairs positionally (weighted by word
+    * frequency, overlapping positions count), m_k is the
+    * deterministic argmax (n desc, s1, s2), and r_k applies the merge
+    * to every word with a recursive CTE walking symbol positions
+    * left-to-right non-overlapping (i advances 2 on a merge, 1
+    * otherwise — EXACTLY the operator's greedy fold). `w0` starts
+    * from per-character symbols of every distinct non-empty word. */
+  private def bpeCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      w0 AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq,
+          list_transform(range(1, length(word) + 1),
+            i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+        FROM (SELECT unnest(list_filter(${Duck.toks}, x -> x <> ''))
+                AS word
+              FROM documents)
+        GROUP BY word)"""
+    for (k <- 1 to nMerges) {
+      val p = k - 1
+      sb ++= s""",
+      p$k AS MATERIALIZED (SELECT s1, s2, CAST(SUM(freq) AS BIGINT) AS n FROM (
+          SELECT freq, syms[CAST(i AS INTEGER)] AS s1,
+                 syms[CAST(i AS INTEGER) + 1] AS s2
+          FROM w$p, unnest(range(1, len(syms))) AS t(i)
+          WHERE len(syms) >= 2)
+        GROUP BY 1, 2),
+      m$k AS MATERIALIZED (SELECT s1, s2, n
+              FROM p$k ORDER BY n DESC, s1, s2 LIMIT 1),
+      r$k AS (
+        SELECT word, freq, syms, CAST([] AS VARCHAR[]) AS acc, 1 AS i
+        FROM w$p
+        UNION ALL
+        SELECT r.word, r.freq, r.syms,
+          CASE WHEN i < len(syms) AND syms[i] = m.s1 AND syms[i+1] = m.s2
+               THEN list_append(acc, m.s1 || m.s2)
+               ELSE list_append(acc, syms[i]) END,
+          CASE WHEN i < len(syms) AND syms[i] = m.s1 AND syms[i+1] = m.s2
+               THEN i + 2 ELSE i + 1 END
+        FROM r$k r, m$k m WHERE i <= len(syms)),
+      w$k AS MATERIALIZED (SELECT word, freq, acc AS syms FROM r$k
+              WHERE i = len(syms) + 1)"""
+    }
+    sb.toString
+  }
+
+  private val bpeMerges = 8
+
+  /** BPE merge training over the document corpus: 8 greedy
+    * most-frequent-pair merges from per-character symbols, every rank,
+    * pair, and exact count hash-gated against the unrolled
+    * recursive-CTE restatement ([[bpeCtes]]). Output columns alias to
+    * lhs/rhs (left/right are reserved words in SQL ORDER BY contexts —
+    * the intervalJoin naming guard precedent). Exercises
+    * [[graft.api.GraftOps.bpeFit]]. */
+  val q135 = QueryDef("q135_bpe_fit",
+    (s, dir) =>
+      graft.api.GraftOps.bpeFit(
+          docs(s, dir).select(
+            filter(Text.tokens(col("text")), t => t =!= lit(""))
+              .as("toks")),
+          col("toks"), nMerges = bpeMerges)
+        .select(col("rank"), col("left").as("lhs"), col("right").as("rhs"),
+          col("n"))
+        .orderBy("rank"),
+    Some(s"""
+      WITH RECURSIVE ${bpeCtes(bpeMerges)}
+      SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs, n FROM (
+        ${(1 to bpeMerges).map(k =>
+          s"SELECT $k AS rank, s1 AS lhs, s2 AS rhs, n FROM m$k")
+          .mkString("\n        UNION ALL ")})
+      ORDER BY rank"""))
+
+  /** BPE encoding of every document with the 8 trained merges: per-doc
+    * piece count and the full flattened piece stream, hash-gated. The
+    * oracle probes the trainer's FINAL word→pieces state as a map (the
+    * q109 map-probe idiom — every corpus token is a training word by
+    * construction), which equals applying the ranked merges per token
+    * because each encode step k sees exactly the symbol state the
+    * trainer saw at step k (the spec-pinned encode==trainer law).
+    * Exercises [[graft.api.GraftOps.bpeEncode]]. */
+  val q135b = QueryDef("q135b_bpe_encode",
+    (s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        filter(Text.tokens(col("text")), x => x =!= lit("")).as("toks"))
+      val merges = graft.api.GraftOps.bpeFit(t, col("toks"), bpeMerges)
+      graft.api.GraftOps.bpeEncode(t, col("toks"), merges)
+        .select(col("doc_id"),
+          size(flatten(col("pieces"))).as("n_pieces"),
+          array_join(transform(flatten(col("pieces")), p => p), ",")
+            .as("pieces_csv"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ${bpeCtes(bpeMerges)},
+      mp AS (SELECT map(list(word), list(syms)) AS mm FROM w$bpeMerges),
+      d AS (SELECT doc_id, list_filter(${Duck.toks}, x -> x <> '') AS toks
+            FROM documents),
+      enc AS (SELECT doc_id,
+                flatten(list_transform(toks, x -> mm[x][1])) AS pieces
+              FROM d, mp)
+      SELECT doc_id, CAST(len(pieces) AS INTEGER) AS n_pieces,
+        array_to_string(pieces, ',') AS pieces_csv
+      FROM enc ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86, q101, q109,
-      q110, q112, q115, q122)
+      q110, q112, q115, q122, q135, q135b)
 }

@@ -1071,6 +1071,14 @@ object PipelineCompiler {
     "extractText" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.extractText(in("inport1"),
         expr(arg(args, "markup")), args.getOrElse("out", "extracted")))),
+    "bpeFit" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.bpeFit(in("inport1"),
+        expr(arg(args, "toks")), arg(args, "nMerges").toInt))),
+    // bpeEncode: inport1 = corpus, inport2 = bpeFit merge table
+    "bpeEncode" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.bpeEncode(in("inport1"),
+        expr(arg(args, "toks")), in("inport2"),
+        args.getOrElse("out", "pieces")))),
     "l2Normalize" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.l2Normalize(in("inport1"),
         expr(arg(args, "vec"))))),

@@ -300,6 +300,65 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("bpeFit/bpeEncode: hand-checked merges, greedy overlap, codepoints, guards") {
+    import spark.implicits._
+    // word freqs: low=3, lower=1, newest=2. Hand-walked reference BPE:
+    //   merge 1: (l,o) 4  — ties (l,o)/(o,w) at 4 break pair-asc
+    //   merge 2: (lo,w) 4
+    //   merge 3: (e,s) 2  — four-way tie at 2 breaks to (e,s)
+    //   merge 4: (e,w) 2  — "e" sorts before "es"/"n"/"w"
+    val docs = Seq(
+      (1L, Seq("low", "low", "lower")),
+      (2L, Seq("low", "newest", "newest"))).toDF("doc_id", "toks")
+    val merges = GraftOps.bpeFit(docs, col("toks"), nMerges = 4)
+    val got = merges.orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "l", "o", 4L), (2, "lo", "w", 4L),
+      (3, "e", "s", 2L), (4, "e", "w", 2L)), s"merge table: ${got.toSeq}")
+    // encode == the trainer's final symbol state for every training word,
+    // and unseen words segment by the same ranked rules
+    val enc = GraftOps.bpeEncode(
+        Seq(Seq("low", "lower", "newest", "wes")).toDF("toks"),
+        col("toks"), merges)
+      .select(col("pieces")).collect()(0).getSeq[Seq[String]](0)
+    assert(enc == Seq(Seq("low"), Seq("low", "e", "r"),
+      Seq("n", "ew", "es", "t"), Seq("w", "es")), s"pieces: $enc")
+    // greedy left-to-right NON-OVERLAPPING: aaaaa under (a,a) → [aa,aa,a]
+    val runMerge = Seq((1, "a", "a", 0L)).toDF("rank", "left", "right", "n")
+    val run = GraftOps.bpeEncode(Seq(Seq("aaaaa")).toDF("toks"),
+        col("toks"), runMerge)
+      .select(col("pieces")).collect()(0).getSeq[Seq[String]](0)
+    assert(run == Seq(Seq("aa", "aa", "a")), s"run pieces: $run")
+    // codepoint grain: a surrogate-pair char is ONE symbol, and NULL /
+    // empty tokens keep their identities (null pieces vs empty pieces)
+    val uni = GraftOps.bpeEncode(
+        Seq(Seq(Some("𝕏a"), Some(""), Option.empty[String]))
+          .toDF("toks"), col("toks"), runMerge)
+      .select(col("pieces")).collect()(0).getSeq[Seq[String]](0)
+    assert(uni == Seq(Seq("𝕏", "a"), Seq(), null),
+      s"codepoint/null pieces: $uni")
+    // early exhaustion: a fully-merged corpus stops short of nMerges
+    val tiny = GraftOps.bpeFit(Seq(Seq("ab")).toDF("toks"),
+      col("toks"), nMerges = 5).collect()
+    assert(tiny.length == 1 &&
+      (tiny(0).getString(1), tiny(0).getString(2)) == ("a", "b"))
+    // guards: empty merge table, non-dense ranks, bad nMerges
+    intercept[IllegalArgumentException] {
+      GraftOps.bpeEncode(docs, col("toks"),
+        spark.emptyDataFrame
+          .withColumn("rank", lit(1)).withColumn("left", lit("a"))
+          .withColumn("right", lit("b")))
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.bpeEncode(docs, col("toks"),
+        Seq((1, "a", "b", 0L), (3, "b", "c", 0L))
+          .toDF("rank", "left", "right", "n"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.bpeFit(docs, col("toks"), nMerges = 0)
+    }
+  }
+
   test("extractText: blocks, tags, entity single-decode, whitespace, null") {
     import spark.implicits._
     val cases = Seq(

@@ -2377,6 +2377,44 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       eGot.count() > 0, "XML encodeTokens == library encodeTokens")
   }
 
+  test("bpeFit/bpeEncode registry ops == library forms") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="docs" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="tok" class="select">
+          <arg key="exprs" value="doc_id; split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ') AS toks"/>
+        </operator>
+        <operator name="fit" class="bpeFit">
+          <arg key="toks" value="toks"/><arg key="nMerges" value="4"/>
+        </operator>
+        <operator name="enc" class="bpeEncode">
+          <arg key="toks" value="toks"/>
+        </operator>
+        <connect from="docs.outport1" to="tok.inport1"/>
+        <connect from="tok.outport1" to="fit.inport1"/>
+        <connect from="tok.outport1" to="enc.inport1"/>
+        <connect from="fit.outport1" to="enc.inport2"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val t = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+    val fWant = graft.api.GraftOps.bpeFit(t, col("toks"), 4)
+    val fGot = ports("fit.outport1")
+    assert(fGot.exceptAll(fWant).isEmpty && fWant.exceptAll(fGot).isEmpty &&
+      fGot.count() == 4, "XML bpeFit == library bpeFit")
+    // pieces flatten to a string so exceptAll compares scalars
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        array_join(flatten(col("pieces")), ",").as("p"))
+    val eWant = flat(graft.api.GraftOps.bpeEncode(t, col("toks"), fWant))
+    val eGot = flat(ports("enc.outport1"))
+    assert(eGot.exceptAll(eWant).isEmpty && eWant.exceptAll(eGot).isEmpty &&
+      eGot.count() > 0, "XML bpeEncode == library bpeEncode")
+  }
+
   test("extractText registry op == library form") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
