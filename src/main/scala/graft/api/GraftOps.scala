@@ -4907,6 +4907,106 @@ object GraftOps {
       toks, ms.map(m => (m._2, m._3)).toSeq))
   }
 
+  /** Exact binary fixed-point log2 of the rational n_ctx/n_big ≥ 1, in
+    * units of 2⁻¹⁰ bit ("q10"): e = MSB(q30) − 30 where q30 =
+    * (n_ctx·2³⁰) div n_big (floor(log2 x) == floor(log2 floor(x)) for
+    * x ≥ 1, so the MSB of the quotient IS the integer part), then ten
+    * truncating square-and-compare steps refine the fraction — x ← x²
+    * div 2³⁰, emit a bit and halve when x ≥ 2³¹. Every op is integer
+    * (compare, multiply, truncating div, shift): NO libm anywhere, so
+    * the result is a STATED deterministic computation both engines
+    * reproduce exactly (within 2⁻²⁰ bit of the real log2 — the
+    * truncation error after 10 squarings — but bit-for-bit portable,
+    * which floor(10⁶·ln x) never is). Caller guarantees n_ctx < 2³³ so
+    * q30 fits int64 (a per-CONTEXT occurrence count — 8 billion
+    * occurrences of one leading token; shard the model first if a
+    * corpus ever gets there). */
+  private def log2Q10(df: DataFrame, nBig: String, nCtx: String,
+      out: String): DataFrame = {
+    val two30 = 1073741824L
+    val two31 = 2147483648L
+    val withQ = df.withColumn("__q30", expr(
+      s"CAST((CAST($nCtx AS DECIMAL(38,0)) * $two30) div " +
+        s"CAST($nBig AS DECIMAL(38,0)) AS BIGINT)"))
+    // MSB ladder: e = k for the largest k in 1..32 with q30 >= 2^(30+k)
+    // (k stops at 32: 2^63 has no positive int64 literal, and q30 < 2^63
+    // by the n_ctx < 2^33 contract above)
+    val eCol = (1 to 32).foldLeft(lit(0)) { (acc, k) =>
+      when(col("__q30") >= lit(1L << (30 + k)), lit(k)).otherwise(acc)
+    }
+    var cur = withQ.withColumn("__e", eCol)
+      .withColumn("__x", expr("shiftright(__q30, __e)"))
+    for (j <- 1 to 10) {
+      cur = cur
+        .withColumn(s"__xs$j", expr(s"(__x * __x) div ${two30}L"))
+        .withColumn(s"__b$j",
+          when(col(s"__xs$j") >= lit(two31), lit(1)).otherwise(lit(0)))
+        .withColumn("__x",
+          when(col(s"__xs$j") >= lit(two31), expr(s"__xs$j div 2"))
+            .otherwise(col(s"__xs$j")))
+    }
+    val frac = (1 to 10).map(j => col(s"__b$j") * lit(1 << (10 - j)))
+      .reduce(_ + _)
+    cur.withColumn(out, (col("__e") * lit(1024) + frac).cast("long"))
+      .drop("__q30" +: "__e" +: "__x" +:
+        (1 to 10).flatMap(j => Seq(s"__xs$j", s"__b$j")): _*)
+  }
+
+  /** N-gram language-model quality scoring — the perplexity-proxy
+    * filter every curation pipeline runs between cheap lexical scores
+    * ([[lexiconScore]], [[textQuality]]) and expensive embedding
+    * passes: train a bigram model on the corpus (n_big = count of each
+    * adjacent token pair, n_ctx = count of the left token as a bigram
+    * context) and score every document's total and per-position
+    * SURPRISAL under it — Σ log2(n_ctx/n_big) over the doc's bigram
+    * positions, i.e. Σ −log2 p(w₂|w₁), the standard cross-entropy
+    * numerator. Self-scoring (train == score corpus) needs no
+    * smoothing: every document bigram exists in the model by
+    * construction. Low average surprisal = repetitive/boilerplate
+    * text, high = rare-junk — both tails are curation targets (the
+    * CCNet/Gopher recipe).
+    *
+    * Portability: the log2 is [[log2Q10]]'s exact integer fixed-point
+    * ladder (q10 units — 1/1024 bit), NOT libm, so the whole report
+    * hash-gates (q136) — the first transcendental-family score in the
+    * repo gated exactly rather than rows-only. avg_q10 is the
+    * truncating integer division sur_q10 div n_bigrams (stated). Docs
+    * with < 2 tokens (or NULL token arrays) surface with n_bigrams = 0,
+    * sur_q10 = 0 and NULL avg (no positions ≠ surprisal zero — the
+    * TWAP single-observation posture).
+    *
+    * Plan: one corpus pass explodes bigram positions (the only
+    * corpus-grain shuffle, keyed by the pair for BOTH the model agg
+    * and the scoring join — the same exchange feeds both), the model
+    * is bigram-vocabulary-sized (its n_ctx window and the surprisal
+    * ladder run at model grain), scoring is one equi-join on the pair
+    * + one doc-grain agg. No window over the corpus, no self-join;
+    * a hot bigram is one AQE-split partition. */
+  def lmScore(df: DataFrame, id: Column, toks: Column): DataFrame = {
+    val base = df.select(id.as("__id"), toks.as("__t"))
+    val pos = base.filter(size(col("__t")) >= 2)
+      .select(col("__id"), explode(
+        transform(sequence(lit(1), size(col("__t")) - 1),
+          j => struct(element_at(col("__t"), j).as("w1"),
+            element_at(col("__t"), j + lit(1)).as("w2")))).as("__p"))
+      .select(col("__id"), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    val model = pos.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__nb"))
+      .withColumn("__nc",
+        sum(col("__nb")).over(Window.partitionBy(col("__w1"))))
+    val scored = log2Q10(model, "__nb", "__nc", "__sur")
+      .select(col("__w1"), col("__w2"), col("__sur"))
+    val perDoc = pos.join(scored, Seq("__w1", "__w2"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__m"), sum(col("__sur")).as("__s"))
+    base.select(col("__id"))
+      .join(perDoc, Seq("__id"), "left_outer")
+      .select(col("__id").as("key"),
+        coalesce(col("__m"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__s"), lit(0L)).as("sur_q10"),
+        when(col("__m") > 0, expr("__s div __m")).as("avg_q10"))
+  }
+
   // --------------------------------------------- scalar quantization
 
   /** SQ8 trainer: per-dimension [lo, hi] corpus ranges — the whole model

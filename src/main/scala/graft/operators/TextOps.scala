@@ -773,7 +773,73 @@ object TextOps {
         array_to_string(pieces, ',') AS pieces_csv
       FROM enc ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- q136
+  /** DuckDB restatement of [[graft.api.GraftOps.lmScore]]'s fixed-point
+    * log2 ladder (see `log2Q10` — MSB CASE + ten truncating
+    * square-and-compare steps, all integer ops), generated as chained
+    * CTE blocks over the bigram model. */
+  private def lmLadderSql: String = {
+    val eCase = (32 to 1 by -1)
+      .map(k => s"WHEN q30 >= ${1L << (30 + k)} THEN $k")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val steps = (1 to 10).map { j =>
+      val p = if (j == 1) "u0" else s"u${j - 1}"
+      s"""
+      t$j AS (SELECT w1, w2, e, frac, (x * x) // 1073741824 AS xs FROM $p),
+      u$j AS (SELECT w1, w2, e,
+          CASE WHEN xs >= 2147483648 THEN xs // 2 ELSE xs END AS x,
+          frac + CASE WHEN xs >= 2147483648 THEN ${1 << (10 - j)} ELSE 0 END
+            AS frac
+        FROM t$j)"""
+    }.mkString(",")
+    s"""
+      q AS (SELECT *, CAST((CAST(n_ctx AS HUGEINT) * 1073741824)
+              // CAST(n_big AS HUGEINT) AS BIGINT) AS q30 FROM mdl),
+      e0 AS (SELECT *, $eCase AS e FROM q),
+      u0 AS (SELECT w1, w2, e, CAST(q30 >> e AS BIGINT) AS x, 0 AS frac
+             FROM e0),$steps,
+      sur AS (SELECT w1, w2, CAST(e * 1024 + frac AS BIGINT) AS sur
+              FROM u10)"""
+  }
+
+  /** Bigram-LM surprisal scoring of every document — total and average
+    * −log2 p(w₂|w₁) in exact 1/1024-bit units under the corpus's own
+    * bigram counts; the whole report (including the fixed-point log2 of
+    * every model row) hash-gates. Exercises
+    * [[graft.api.GraftOps.lmScore]]. */
+  val q136 = QueryDef("q136_lm_score",
+    (s, dir) =>
+      graft.api.GraftOps.lmScore(
+          docs(s, dir).select(col("doc_id"),
+            filter(Text.tokens(col("text")), x => x =!= lit("")).as("toks")),
+          col("doc_id"), col("toks"))
+        .withColumnRenamed("key", "doc_id")
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH d AS (SELECT doc_id,
+             list_filter(${Duck.toks}, x -> x <> '') AS toks
+           FROM documents),
+      pos AS MATERIALIZED (
+        SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+               toks[CAST(i AS INTEGER) + 1] AS w2
+        FROM d, unnest(range(1, len(toks))) AS t(i)
+        WHERE len(toks) >= 2),
+      bm AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_big
+             FROM pos GROUP BY 1, 2),
+      mdl AS (SELECT w1, w2, n_big,
+                CAST(SUM(n_big) OVER (PARTITION BY w1) AS BIGINT) AS n_ctx
+              FROM bm),
+      ${lmLadderSql},
+      per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m,
+                CAST(SUM(sur) AS BIGINT) AS s
+              FROM pos JOIN sur USING (w1, w2) GROUP BY 1)
+      SELECT d.doc_id, COALESCE(per.m, CAST(0 AS BIGINT)) AS n_bigrams,
+        COALESCE(per.s, CAST(0 AS BIGINT)) AS sur_q10,
+        CASE WHEN per.m > 0 THEN per.s // per.m END AS avg_q10
+      FROM d LEFT JOIN per USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86, q101, q109,
-      q110, q112, q115, q122, q135, q135b)
+      q110, q112, q115, q122, q135, q135b, q136)
 }

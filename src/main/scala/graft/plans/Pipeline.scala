@@ -1071,6 +1071,9 @@ object PipelineCompiler {
     "extractText" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.extractText(in("inport1"),
         expr(arg(args, "markup")), args.getOrElse("out", "extracted")))),
+    "lmScore" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.lmScore(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "toks"))))),
     "bpeFit" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.bpeFit(in("inport1"),
         expr(arg(args, "toks")), arg(args, "nMerges").toInt))),

@@ -359,6 +359,53 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("lmScore: bigram surprisal exactness, fixed-point log2 ladder, short docs") {
+    import spark.implicits._
+    // model: (a,b) n=2/ctx(a)=2 → 0 bits; (b,a) n=1/ctx(b)=2 → 1024;
+    // (b,c) n=1/ctx(b)=2 → 1024. doc 1 positions: ab, ba, ab, bc.
+    val docs = Seq(
+      (1L, Seq("a", "b", "a", "b", "c")),
+      (2L, Seq("x")),
+      (3L, null.asInstanceOf[Seq[String]])).toDF("id", "toks")
+    val out = GraftOps.lmScore(docs, col("id"), col("toks"))
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 2048L, Some(512L)),
+      (2L, 0L, 0L, None),     // one token: no positions, NULL average
+      (3L, 0L, 0L, None)),    // missing tokens: same surface
+      s"lmScore: ${out.toSeq}")
+    // the fixed-point ladder == an independent reimplementation, and
+    // sits within 1 q10 unit of the real 1024·log2 (sanity, not gate)
+    def ladder(nBig: Long, nCtx: Long): Long = {
+      val q30 = (nCtx * (1L << 30)) / nBig
+      val e = (1 to 32).foldLeft(0) { (acc, k) =>
+        if (q30 >= (1L << (30 + k))) k else acc
+      }
+      var x = q30 >> e
+      var frac = 0
+      for (j <- 1 to 10) {
+        val xs = (x * x) / (1L << 30)
+        if (xs >= (1L << 31)) { frac += 1 << (10 - j); x = xs / 2 }
+        else x = xs
+      }
+      e * 1024L + frac
+    }
+    // ctx k appears 3×: (k,p) n=1 → ratio 3; (k,q) n=2 → ratio 1.5
+    val d3 = Seq((10L, Seq("k", "p")), (11L, Seq("k", "q")),
+      (12L, Seq("k", "q"))).toDF("id", "toks")
+    val got3 = GraftOps.lmScore(d3, col("id"), col("toks"))
+      .orderBy("key").collect().map(r => r.getLong(2))
+    assert(got3.toSeq == Seq(ladder(1, 3), ladder(2, 3), ladder(2, 3)),
+      s"ladder parity: ${got3.toSeq} vs ${(ladder(1, 3), ladder(2, 3))}")
+    for ((b, c) <- Seq((1L, 3L), (2L, 3L), (1L, 7L), (3L, 1000000L))) {
+      val real = 1024.0 * math.log(c.toDouble / b) / math.log(2.0)
+      assert(math.abs(ladder(b, c) - real) <= 1.0,
+        s"ladder($b,$c)=${ladder(b, c)} vs real $real")
+    }
+  }
+
   test("extractText: blocks, tags, entity single-decode, whitespace, null") {
     import spark.implicits._
     val cases = Seq(

@@ -2415,6 +2415,31 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       eGot.count() > 0, "XML bpeEncode == library bpeEncode")
   }
 
+  test("lmScore registry op == library form") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="docs" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="tok" class="select">
+          <arg key="exprs" value="doc_id; split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ') AS toks"/>
+        </operator>
+        <operator name="lm" class="lmScore">
+          <arg key="id" value="doc_id"/><arg key="toks" value="toks"/>
+        </operator>
+        <connect from="docs.outport1" to="tok.inport1"/>
+        <connect from="tok.outport1" to="lm.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val t = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
+    val want = graft.api.GraftOps.lmScore(t, col("doc_id"), col("toks"))
+    val got = ports("lm.outport1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0, "XML lmScore == library lmScore")
+  }
+
   test("extractText registry op == library form") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
