@@ -16,6 +16,16 @@ import graft.streaming.StreamingOps
   *  - s13_heavy:   Misra–Gries heavy-hitter summary as streaming
   *                 aggregation state (complete mode)
   *  - s5_stateful: transformWithState sessionization (RocksDB store)
+  *  - s20_upsert:  changelog-apply foreachBatch sink (per-batch winner
+  *                 reduction + parquet log append)
+  *  - s21_ewma / s22_transition / s23_cusum: per-key O(1)-state
+  *                 recurrence twins (flatMapGroupsWithState). Their
+  *                 cross-batch contract REQUIRES each key's points to
+  *                 arrive in strictly increasing (ts, tiebreak) order,
+  *                 so these replay a TIME-ORDERED chunking (see
+  *                 orderedChunked below), not the event_id-mod one.
+  *  - s24_rolling_distinct: trailing-window distinct-actives set state
+  *                 (same ordered replay — its lateness bound is in days)
   *
   * Deterministic input (event_id-chunked micro-batches), wall-clock
   * measured over processAllAvailable per shape, fresh checkpoint per
@@ -51,6 +61,35 @@ object StreamBench {
       dir.getAbsolutePath
     }
     val rawDir = chunked(e, "raw")
+    // TIME-ORDERED chunking for the S21–S24 twins: chunk i holds the
+    // i-th contiguous slice of the global (ts, event_id) order, written
+    // as sequentially-named single files with FORCED increasing mtimes
+    // so FileStreamSource (which orders new files by modification time)
+    // replays them in time order — the twins' cross-batch contract
+    // (strictly increasing (ts, tiebreak) per key) then holds by
+    // construction: later chunks only hold later positions. NULL-ts
+    // rows drop up front (the batch operators' own posture).
+    def orderedChunked(df: DataFrame, name: String): String = {
+      import org.apache.spark.sql.expressions.Window
+      val dir = new java.io.File(tmp, name); dir.mkdirs()
+      val withChunk = df.filter(col("ts").isNotNull)
+        .withColumn("__chunk",
+          ntile(nChunks).over(Window.orderBy(col("ts"), col("event_id"))))
+      withChunk.cache().count()
+      val base = System.currentTimeMillis()
+      (1 to nChunks).foreach { i =>
+        val scratch = new java.io.File(tmp, s"$name-scratch-$i")
+        withChunk.filter(col("__chunk") === i).drop("__chunk")
+          .coalesce(1).write.mode("overwrite").parquet(scratch.getAbsolutePath)
+        val part = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(dir, f"chunk-$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(base + i * 2000L)
+      }
+      withChunk.unpersist()
+      dir.getAbsolutePath
+    }
+    val orderedDir = orderedChunked(e, "ordered")
     // Kafka-shaped replay input for s1: the full event row as a JSON
     // `value` (event_id kept alongside only to drive the chunking).
     val kafkaDir = chunked(
@@ -65,6 +104,8 @@ object StreamBench {
 
     def rawStream = spark.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(rawDir)
+    def orderedStream = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(orderedDir)
     def warmRawStream = spark.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(warmRawDir)
 
@@ -102,6 +143,41 @@ object StreamBench {
           (graft.streaming.SessionizeTws(
             raw.select(col("user_id"), col("ts"), col("value"))
               .as[graft.streaming.Sessionize.Event]).toDF(), "append")
+        case "s21_ewma" =>
+          import spark.implicits._
+          val src = if (warm) warmRawStream else orderedStream
+          val pts = src.filter(col("ts").isNotNull && col("value").isNotNull)
+            .select(col("user_id").as("key"), col("ts"),
+              col("event_id").as("tb"), col("value"))
+            .as[graft.streaming.EwmaStream.Point]
+          (graft.streaming.EwmaStream(pts, alphaPpm = 300000L).toDF(), "append")
+        case "s22_transition" =>
+          import spark.implicits._
+          val src = if (warm) warmRawStream else orderedStream
+          val evs = src.filter(col("ts").isNotNull)
+            .select(col("user_id").as("key"), col("ts"),
+              col("event_id").as("tb"), col("event_type").as("state"))
+            .as[graft.streaming.TransitionStream.Event]
+          (graft.streaming.TransitionStream(evs).toDF(), "append")
+        case "s23_cusum" =>
+          import spark.implicits._
+          val src = if (warm) warmRawStream else orderedStream
+          // caller-quantized integer micros (the batch cusum contract)
+          val pts = src.filter(col("ts").isNotNull && col("value").isNotNull)
+            .select(col("user_id").as("key"), col("ts"),
+              col("event_id").as("tb"),
+              round(col("value") * 1000000).cast("long").as("value"))
+            .as[graft.streaming.CusumStream.Point]
+          (graft.streaming.CusumStream(pts, target = 500000L,
+            slack = 100000L, threshold = 5000000L).toDF(), "append")
+        case "s24_rolling_distinct" =>
+          import spark.implicits._
+          val src = if (warm) warmRawStream else orderedStream
+          val visits = src.filter(col("ts").isNotNull)
+            .select(col("user_id").as("entity"), col("ts"))
+            .as[graft.streaming.RollingDistinctStream.Visit]
+          (graft.streaming.RollingDistinctStream(visits, windowDays = 7,
+            lateDays = 1).toDF(), "append")
         case other => sys.error(s"unknown StreamBench mode: $other")
       }
     }
@@ -121,7 +197,8 @@ object StreamBench {
     }
 
     val modes = Seq("s1_parse", "s2_window", "s13_heavy", "s5_stateful",
-        "s20_upsert")
+        "s20_upsert", "s21_ewma", "s22_transition", "s23_cusum",
+        "s24_rolling_distinct")
       .filter(m => wanted.isEmpty || wanted(m))
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = modes.flatMap { mode =>
