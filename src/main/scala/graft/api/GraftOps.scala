@@ -4551,6 +4551,119 @@ object GraftOps {
         col("col.wq").as("wq"), col("w_total"))
   }
 
+  /** Histogram-refined weighted quantiles — the SKETCH TIER of
+    * [[weightedQuantiles]] for hot groups, and still EXACT: the q70b
+    * [[heavyHittersSketch]] pattern (bounded summary finds candidates →
+    * one exact pass over just the candidates) applied to rank selection
+    * instead of frequency. Same contract and output schema as the exact
+    * tier (values are CALLER-QUANTIZED integers — the q129 posture;
+    * negative weight fails loudly; NULL/zero-mass rows drop), and
+    * BIT-EQUAL to it by construction, so the same DuckDB oracle gates
+    * both (q137 == q129's oracle).
+    *
+    * How: (1) one map-side-combined agg takes each group's (min, max,
+    * total mass); (2) every row gets an EXACT-INTEGER bucket id
+    * ((v−min)·B div (max−min+1) ∈ [0, B), decimal(38,0) arithmetic —
+    * monotone in v, tie values share a bucket by construction) and one
+    * map-side-combined agg builds the G·B-row mass histogram; (3) for
+    * each requested q the smallest bucket whose cumulative mass crosses
+    * ⌈q·W/10⁶⌉ must contain the answer (W(≤v) is monotone and the
+    * crossing bucket brackets the threshold), so (4) ONE exact
+    * cumulative-mass window runs over just that bucket's rows (expected
+    * mass W/B per quantile), offset by the preceding buckets' exact
+    * cumulative mass. A group whose values all tie collapses to one
+    * bucket and the refinement degenerates to the exact tier over that
+    * group — correct, merely not cheaper (stated).
+    *
+    * Scale shape: the exact tier's irreducible cost is a FULL per-group
+    * sort shuffle of the corpus; this tier replaces it with three
+    * corpus scans that shuffle only O(G) stats, O(G·B) histogram rows,
+    * and the ~|qs|·W/B refinement slice — at 100 TB with hot groups
+    * (one group = one executor's sort spill) that trade wins by the
+    * ratio corpus/Σ(slices). Below that, prefer the exact tier's single
+    * shuffle. */
+  def weightedQuantilesHist(df: DataFrame, group: Column, value: Column,
+      weight: Column, qsPpm: Seq[Long], buckets: Int = 4096): DataFrame = {
+    require(qsPpm.nonEmpty, "qsPpm must name at least one quantile")
+    require(qsPpm.forall(q => q >= 0 && q <= 1000000),
+      s"each q must be in [0, 1000000] ppm; got $qsPpm")
+    require(buckets >= 2, s"buckets must be >= 2; got $buckets")
+    val w = when(weight < 0, raise_error(concat(
+        lit("weightedQuantilesHist: negative weight "),
+        weight.cast("string"), lit(" — mass must be >= 0"))))
+      .otherwise(weight.cast("long"))
+    val base = df.select(group.as("group"), value.cast("long").as("__v"),
+        w.as("__w"))
+      .filter(col("group").isNotNull && col("__v").isNotNull &&
+        col("__w").isNotNull && col("__w") > 0)
+    // pass 1: per-group range + total mass (map-side combined, O(G)
+    // rows). localCheckpoint (the linkRank/bpeFit lineage hygiene)
+    // materializes the tiny frame ONCE — without it every broadcast of
+    // stats/cand below re-runs its full corpus-scan lineage (measured:
+    // the un-checkpointed plan ran the lineitem scan five times).
+    val stats = base.groupBy(col("group")).agg(
+        min(col("__v")).as("__vmin"), max(col("__v")).as("__vmax"),
+        sum(col("__w")).cast("decimal(38,0)").as("__tw"))
+      .localCheckpoint()
+    // exact-integer bucket id, identical expression in both passes.
+    // Fast path: plain long `div` (codegen'd) whenever (max−min)·B
+    // cannot overflow a long — i.e. range < 2⁶³/B, every realistic
+    // quantized domain; the decimal(38,0) path is the exact fallback
+    // for astronomically wide ranges. Both branches compute the same
+    // floor((v−min)·B / (max−min+1)), so the choice is invisible.
+    def bucketId = {
+      val range = col("__vmax") - col("__vmin")
+      when(range <= lit(Long.MaxValue / buckets - 1),
+        expr(s"((__v - __vmin) * $buckets) div (__vmax - __vmin + 1)"))
+        .otherwise(((col("__v") - col("__vmin")).cast("decimal(38,0)") *
+          lit(buckets)).cast("decimal(38,0)")
+          .divide(
+            (col("__vmax") - col("__vmin") + lit(1)).cast("decimal(38,0)"))
+          .cast("long"))
+    }
+    def withB = base.join(broadcast(stats), Seq("group"))
+      .withColumn("__b", bucketId)
+    // pass 2: bucket-mass histogram (map-side combined, O(G·B) rows,
+    // checkpointed — the candidate search below must not re-scan)
+    val hist = withB.groupBy(col("group"), col("__b"))
+      .agg(sum(col("__w")).cast("decimal(38,0)").as("__bw"),
+        max(col("__tw")).as("__tw"))
+      .localCheckpoint()
+    val cum = hist.withColumn("__cb",
+      sum(col("__bw")).over(
+        Window.partitionBy(col("group")).orderBy(col("__b"))))
+    // candidate bucket per (group, q): the first cumulative crossing —
+    // min(struct) carries the crossing bucket's own and preceding mass
+    val qlit = explode(array(qsPpm.map(q => lit(q)): _*)).as("q_ppm")
+    val cand = cum.select(col("group"), col("__b"), col("__bw"),
+        col("__cb"), col("__tw"), qlit)
+      .filter(col("__cb") * lit(1000000L) >= col("__tw") * col("q_ppm"))
+      .groupBy(col("group"), col("q_ppm"))
+      .agg(min(struct(col("__b"), col("__cb"), col("__bw"),
+        col("__tw"))).as("__c"))
+      .select(col("group"), col("q_ppm"), col("__c.__b").as("__bstar"),
+        (col("__c.__cb") - col("__c.__bw")).as("__off"),
+        col("__c.__tw").as("__twq"))
+    // pass 3: exact refinement over just the candidate buckets' rows
+    // (a row serves every q whose candidate bucket it falls in)
+    val candK = cand.withColumnRenamed("group", "__cg")
+      .withColumnRenamed("__bstar", "__cb2")
+    val need = withB.select(col("group"), col("__v"), col("__w"), col("__b"))
+      .join(broadcast(candK),
+        col("group") === col("__cg") && col("__b") === col("__cb2"))
+      .drop("__cg", "__cb2")
+    val rwin = Window.partitionBy(col("group"), col("q_ppm"))
+      .orderBy(col("__v")) // RANGE default frame: ties share W(<= v)
+    need.withColumn("__cw", sum(col("__w")).over(rwin).cast("decimal(38,0)"))
+      .groupBy(col("group"), col("q_ppm"))
+      .agg(
+        min(when((col("__off") + col("__cw")) * lit(1000000L) >=
+          col("__twq") * col("q_ppm"), col("__v"))).as("wq"),
+        max(col("__twq")).cast("long").as("w_total"))
+      .select(col("group"), col("q_ppm").cast("long").as("q_ppm"),
+        col("wq"), col("w_total"))
+  }
+
   /** Per-group equal-frequency binning (quantile discretization) — the
     * featurization step "bucket this score into deciles within its own
     * source": each non-null row gets bin ∈ 1..nBins via the exact

@@ -772,6 +772,51 @@ object CoreQueries {
         FROM r)
       ORDER BY l_returnflag, q_ppm"""))
 
+  // --------------------------------------------------------------- q137
+  /** Same statistic as q129 through the SKETCH TIER — histogram
+    * bracketing + exact refinement instead of a full per-group sort —
+    * and the same oracle gates it: the tier is bit-equal by
+    * construction ([[graft.api.GraftOps.weightedQuantilesHist]]). A
+    * small bucket count (64) at sf0.01 forces real multi-row
+    * refinement windows, so the gate exercises the bracketing math,
+    * not a degenerate one-row-per-bucket histogram. */
+  val q137 = QueryDef("q137_weighted_quantiles_hist",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      graft.api.GraftOps.weightedQuantilesHist(l, col("l_returnflag"),
+          floor(col("l_extendedprice") * lit(100)).cast("long"),
+          col("l_quantity").cast("long"),
+          Seq(250000L, 500000L, 750000L, 990000L), buckets = 64)
+        .withColumnRenamed("group", "l_returnflag")
+        .orderBy("l_returnflag", "q_ppm")
+    },
+    Some("""
+      WITH b AS (
+        SELECT l_returnflag AS g,
+          CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+          CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_quantity > 0),
+      m AS (
+        SELECT g, v,
+          CAST(sum(w) OVER (PARTITION BY g ORDER BY v) AS HUGEINT) AS cw,
+          CAST(sum(w) OVER (PARTITION BY g) AS HUGEINT) AS tw
+        FROM b),
+      r AS (
+        SELECT g, CAST(max(tw) AS BIGINT) AS w_total,
+          min(CASE WHEN cw * 1000000 >= tw * 250000 THEN v END) AS p0,
+          min(CASE WHEN cw * 1000000 >= tw * 500000 THEN v END) AS p1,
+          min(CASE WHEN cw * 1000000 >= tw * 750000 THEN v END) AS p2,
+          min(CASE WHEN cw * 1000000 >= tw * 990000 THEN v END) AS p3
+        FROM m GROUP BY g)
+      SELECT g AS l_returnflag, CAST(q_ppm AS BIGINT) AS q_ppm, wq, w_total
+      FROM (
+        SELECT g, w_total,
+          unnest([250000, 500000, 750000, 990000]) AS q_ppm,
+          unnest([p0, p1, p2, p3]) AS wq
+        FROM r)
+      ORDER BY l_returnflag, q_ppm"""))
+
   // --------------------------------------------------------------- q132
   /** Price deciles within each order priority — exact integer
     * equal-frequency bins over (price, orderkey) total order, the
@@ -806,5 +851,5 @@ object CoreQueries {
 
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q07b, q08, q08b, q09, q09b, q10, q14, q15,
-      q15b, q29, q29b, q30, q31, q32, q33, q67, q68, q129, q132)
+      q15b, q29, q29b, q30, q31, q32, q33, q67, q68, q129, q132, q137)
 }

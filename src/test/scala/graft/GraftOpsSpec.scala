@@ -1039,6 +1039,44 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("weightedQuantilesHist: bit-equal to exact tier under ties/skew/tiny buckets; degenerate all-equal group; guards") {
+    import spark.implicits._
+    // adversarial mix: heavy ties, skewed head mass, an all-equal group
+    // (single-bucket degenerate), and values spanning a wide range —
+    // buckets=4 forces real bracketing with multi-row refinements
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 500).map { i =>
+      val g = s"g${i % 3}"
+      val v = if (i % 3 == 2) 7L // group g2: every value ties
+        else if (rnd.nextBoolean()) rnd.nextInt(10).toLong // tie-heavy head
+        else rnd.nextInt(1000000).toLong // long tail
+      (g, v, (rnd.nextInt(5) + 1).toLong)
+    }.toDF("g", "v", "w")
+    val qs = Seq(0L, 100000L, 250000L, 500000L, 900000L, 1000000L)
+    for (b <- Seq(2, 4, 64)) {
+      val exact = GraftOps.weightedQuantiles(rows, col("g"), col("v"),
+        col("w"), qs).collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+      val hist = GraftOps.weightedQuantilesHist(rows, col("g"), col("v"),
+        col("w"), qs, buckets = b).collect().map(r => (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(hist == exact, s"buckets=$b: sketch tier diverged from exact")
+    }
+    // negative mass fails loudly through the sketch tier too
+    val bad = Seq(("A", 1L, -1L)).toDF("g", "v", "w")
+    val ex = intercept[Exception] {
+      GraftOps.weightedQuantilesHist(bad, col("g"), col("v"), col("w"),
+        Seq(500000L)).collect()
+    }
+    assert(ex.getMessage.contains("negative weight") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative weight")),
+      s"loud negative-mass failure: $ex")
+    intercept[IllegalArgumentException] {
+      GraftOps.weightedQuantilesHist(rows, col("g"), col("v"), col("w"),
+        Seq(500000L), buckets = 1)
+    }
+  }
+
   test("mmrRerank: diversity beats near-dup, pure-relevance degenerates, short lists, guards") {
     import spark.implicits._
     // doc 2 is a near-clone of doc 1 (cos ~ 0.9999) with almost its
