@@ -1304,7 +1304,7 @@ object GraftOps {
   /** Collects a (cluster, dim, centroid) model table into the baked-
     * constant form NearestCells wants: per-cluster dim-ordered vectors,
     * cluster-ascending. */
-  private def collectModel(model: DataFrame): IndexedSeq[(Int, Seq[Double])] =
+  private[graft] def collectModel(model: DataFrame): IndexedSeq[(Int, Seq[Double])] =
     model
       .groupBy(col("cluster"))
       .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("ps"))

@@ -705,6 +705,22 @@ object PipelineCompiler {
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "payload")),
         in("inport2"),
         minMatches = args.getOrElse("minMatches", "2").toInt))),
+    // Semantic (embedding) admission tier — the S25 member of the
+    // matrix: semanticDupIndex assigns the corpus to its kmeans cells
+    // (inport1 = corpus, inport2 = trained model); semanticDupFlag emits
+    // (id, dup_of, sim) for arriving rows whose exact cosine against a
+    // routed-cell corpus row clears the threshold (inport1 = stream,
+    // inport2 = model, inport3 = index).
+    "semanticDupIndex" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.semanticDupIndex(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "vec")),
+        in("inport2")))),
+    "semanticDupFlag" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.semanticDupAgainst(
+        in("inport1"), expr(arg(args, "id")), expr(arg(args, "vec")),
+        in("inport2"), in("inport3"),
+        threshold = arg(args, "threshold").toDouble,
+        nprobe = args.getOrElse("nprobe", "1").toInt))),
     // Span-level admission tier: spanIndex is the batch repeated-window
     // index (q85 semantics); maskSpansAgainst strips indexed boilerplate
     // spans from arriving docs (inport1 = docs, inport2 = index) — pure

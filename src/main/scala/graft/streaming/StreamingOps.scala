@@ -384,6 +384,59 @@ object StreamingOps {
           .as("sim"))
   }
 
+  /** Static semantic-dup index — the EMBEDDING tier of continuous corpus
+    * admission (S25), completing the admission matrix behind the exact
+    * fingerprint (S14), banded-text (S10), and media (S16–S18) tiers:
+    * assign every corpus row to its argmax-dot cell of a batch-trained
+    * [[graft.api.GraftOps.kmeansFit]] model (the q83 SemDeDup routing —
+    * the SAME reusable trained model as the batch pipeline, so batch
+    * and stream agree on the cell geometry by construction) and keep
+    * (cluster, dup_of, __cv). One narrow assignment scan; build once in
+    * batch, caller-persisted, appendable per admitted batch like every
+    * index here. NULL vectors never index (they can never pair). */
+  def semanticDupIndex(corpus: DataFrame, id: Column, vec: Column,
+      model: DataFrame): DataFrame =
+    graft.api.GraftOps.kmeansAssign(
+        corpus.select(id.as("dup_of"), vec.as("__cv"))
+          .filter(col("__cv").isNotNull),
+        col("__cv"), model)
+      .select(col("cluster"), col("dup_of"), col("__cv"))
+
+  /** Semantic near-dup flags against the index: (id, dup_of, sim) for
+    * every ARRIVING row whose exact cosine against some routed-cell
+    * corpus row clears `threshold` — the streaming twin of the q83
+    * cluster-routing recipe. The stream side routes to its top-`nprobe`
+    * cells in one baked-constant narrow projection (the model collects
+    * ONCE at plan-build time — k·dim trained constants, never the
+    * corpus), then one stream–static equi-join on the cell id (the
+    * stream never shuffles the corpus) and an exact CosineSim verify.
+    * STATELESS by construction: an indexed corpus row holds exactly ONE
+    * argmax cell, so a (stream, corpus) pair can match at most one of
+    * the stream row's probed cells — no multi-collision, no cross-batch
+    * dedup state to accumulate, and the flag set for a replay is
+    * identical in ANY chunking (law S25). Same recall contract as
+    * batch: a near-dup straddling a cell boundary needs nprobe ≥ 2.
+    * Admission composes per micro-batch: inside a [[foreachBatchSink]]
+    * the batch is a plain DataFrame, so `batch.join(flags, "left_anti")`
+    * + index append is the fingerprintAppendSink idiom at this tier. */
+  def semanticDupAgainst(stream: DataFrame, id: Column, vec: Column,
+      model: DataFrame, index: DataFrame, threshold: Double,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
+    val cents = graft.api.GraftOps.collectModel(model)
+    require(cents.nonEmpty, "semanticDupAgainst with an empty model")
+    val routed = stream.select(id.as("id"), vec.as("__sv"))
+      .filter(col("__sv").isNotNull)
+      .select(col("id"), col("__sv"),
+        explode(slice(graft.functions.NearestCells(col("__sv"),
+          cents.map(_._2), cents.map(_._1)), 1, nprobe)).as("cluster"))
+    routed.join(index, Seq("cluster"))
+      .filter(col("id") =!= col("dup_of")) // re-ingested row is not its own dup
+      .withColumn("sim", graft.functions.CosineSim(col("__sv"), col("__cv")))
+      .filter(col("sim") >= threshold)
+      .select(col("id"), col("dup_of"), col("sim"))
+  }
+
   /** Stream–stream equi-join with watermarks on both sides and a
     * time-range condition bounding join state (SURVEY.md §2.2). */
   def streamStreamJoin(left: DataFrame, leftTs: String, right: DataFrame,

@@ -2415,6 +2415,61 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       eGot.count() > 0, "XML bpeEncode == library bpeEncode")
   }
 
+  test("semanticDupIndex/semanticDupFlag registry ops == library forms") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="emb" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="embeddings"/>
+        </operator>
+        <operator name="model" class="kmeansFit">
+          <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+          <arg key="k" value="4"/><arg key="iters" value="2"/>
+        </operator>
+        <operator name="idx" class="semanticDupIndex">
+          <arg key="id" value="vec_id"/><arg key="vec" value="embedding"/>
+        </operator>
+        <operator name="arrivals" class="select">
+          <arg key="exprs" value="vec_id + 100000 AS id; embedding"/>
+        </operator>
+        <operator name="flags" class="semanticDupFlag">
+          <arg key="id" value="id"/><arg key="vec" value="embedding"/>
+          <arg key="threshold" value="0.99"/><arg key="nprobe" value="2"/>
+        </operator>
+        <connect from="emb.outport1" to="model.inport1"/>
+        <connect from="emb.outport1" to="idx.inport1"/>
+        <connect from="model.outport1" to="idx.inport2"/>
+        <connect from="emb.outport1" to="arrivals.inport1"/>
+        <connect from="arrivals.outport1" to="flags.inport1"/>
+        <connect from="model.outport1" to="flags.inport2"/>
+        <connect from="idx.outport1" to="flags.inport3"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val e = Tables.load(spark, sf001, "embeddings")
+    val model = graft.api.GraftOps.kmeansFit(e, col("vec_id"),
+      col("embedding"), k = 4, iters = 2)
+    val idxWant = graft.streaming.StreamingOps.semanticDupIndex(e,
+      col("vec_id"), col("embedding"), model)
+    val idxGot = ports("idx.outport1")
+    def flatIdx(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cluster"), col("dup_of"))
+    assert(flatIdx(idxGot).exceptAll(flatIdx(idxWant)).isEmpty &&
+      flatIdx(idxWant).exceptAll(flatIdx(idxGot)).isEmpty &&
+      idxGot.count() === e.count(), "XML semanticDupIndex == library form")
+    val arr = e.select((col("vec_id") + 100000).as("id"), col("embedding"))
+    val fWant = graft.streaming.StreamingOps.semanticDupAgainst(arr,
+      col("id"), col("embedding"), model, idxWant, threshold = 0.99,
+      nprobe = 2)
+    val fGot = ports("flags.outport1")
+    assert(fGot.exceptAll(fWant).isEmpty && fWant.exceptAll(fGot).isEmpty,
+      "XML semanticDupFlag == library form")
+    // every row re-ingested under a shifted id self-flags at sim ~1 (its
+    // own original shares its cell at cosine 1.0 >= 0.99)
+    assert(fGot.filter(col("id") - lit(100000) === col("dup_of"))
+      .count() === e.count(),
+      "each re-ingested embedding flags its own original")
+  }
+
   test("lmScore registry op == library form") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""

@@ -633,6 +633,59 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally index.unpersist()
   }
 
+  test("S25: semantic-dup admission — stream flags == batch over any chunking; novel/NULL rows flag nothing") {
+    // The embedding tier of the admission matrix (q83's streaming twin):
+    // kmeans cells are trained ONCE in batch; arrivals route to their
+    // cells as a baked-constant projection and verify exact cosine
+    // against same-cell corpus rows. Stateless per row vs the static
+    // index, so a multi-batch replay must equal ONE batch call exactly,
+    // sims included.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps
+    import graft.api.GraftOps
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val corpus = Seq(
+      (1L, v(1.0, 0.02, 0.0)), (2L, v(0.98, 0.05, 0.0)),
+      (3L, v(0.0, 0.01, 1.0)), (4L, v(0.02, 0.0, 0.97)))
+      .toDF("doc_id", "vec")
+    val model = GraftOps.kmeansFit(corpus, col("doc_id"), col("vec"),
+      k = 2, iters = 2)
+    val index = StreamingOps.semanticDupIndex(corpus, col("doc_id"),
+      col("vec"), model).persist()
+    try {
+      val chunk1 = Seq((100L, Some(v(0.99, 0.03, 0.0)))) // near cluster A
+      val chunk2 = Seq(
+        (200L, Some(v(0.0, 0.0, 1.0))),  // near cluster B
+        (300L, Some(v(0.5, -0.5, 0.5))), // novel direction, below threshold
+        (400L, None))                    // NULL vec never flags
+      val input = MemoryStream[(Long, Option[Seq[Float]])]
+      val sdf = input.toDF().toDF("id", "vec")
+      val q = StreamingOps.semanticDupAgainst(sdf, col("id"), col("vec"),
+          model, index, threshold = 0.95)
+        .writeStream.format("memory").queryName("s25f")
+        .outputMode("append").start()
+      try {
+        input.addData(chunk1: _*); q.processAllAvailable()
+        input.addData(chunk2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("s25f").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // law S25: the two-chunk replay == one batch call, bit-equal sims
+      val batch = StreamingOps.semanticDupAgainst(
+          (chunk1 ++ chunk2).toDF("id", "vec"), col("id"), col("vec"),
+          model, index, threshold = 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.map(_._1) == Set(100L, 200L),
+        s"only the planted near-dups flag (novel + NULL stay silent): $got")
+      assert(got.filter(_._1 == 100L).map(_._2).subsetOf(Set(1L, 2L)) &&
+        got.filter(_._1 == 200L).map(_._2).subsetOf(Set(3L, 4L)),
+        s"flags point at same-cluster corpus rows: $got")
+      assert(got.forall(_._3 >= 0.95), s"every flag clears the threshold: $got")
+    } finally index.unpersist()
+  }
+
   test("S15: span-masking admission via foreachBatch equals one batch application") {
     // The span tier of continuous ingestion (q85's streaming twin, the
     // pattern of S10/S14): spanIndex is built ONCE over the corpus;
