@@ -914,6 +914,65 @@ object GraftOps {
         coalesce(col("__nt"), lit(0L)).as("n_tri"))
   }
 
+  /** k-core decomposition by iterative peeling — the graph-curation
+    * step that isolates densely-linked subgraphs (link farms, citation
+    * cliques, bot rings) the per-vertex statistics ([[triangleCounts]],
+    * [[linkRank]]) can only score row-by-row: repeatedly delete every
+    * vertex with fewer than `k` surviving neighbors until no deletion
+    * fires (or `maxRounds` peels — the output is then "the k-core after
+    * `maxRounds` peels", stated; peeling is monotone and idempotent at
+    * the fixpoint, so running EXTRA rounds never changes a converged
+    * answer — that invariant is what lets a fixed-round oracle gate the
+    * early-stopping operator, q139). Input edges canonicalize exactly
+    * like [[triangleCounts]] (undirected distinct, self-loops and NULL
+    * endpoints dropped); output is (node, degree) over the surviving
+    * subgraph — at the fixpoint every degree is ≥ k by definition.
+    *
+    * Scale shape: each round is one map-side-combined degree agg + two
+    * semi-joins, all keyed by vertex — the edge table only SHRINKS, and
+    * rounds are O(peel depth), not O(|V|) (each round deletes every
+    * currently-underdegree vertex at once). Round results are
+    * localCheckpoint'd (the [[linkRank]] lineage hygiene: an
+    * un-truncated loop would replay every prior round per action), and
+    * every superseded checkpoint is freed even on failure. */
+  def kCore(edgeList: DataFrame, src: Column, dst: Column, k: Int,
+      maxRounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    require(maxRounds >= 1 && maxRounds <= 100,
+      s"maxRounds must be in [1, 100]; got $maxRounds")
+    val raw = edgeList
+      .select(src.cast("long").as("__s"), dst.cast("long").as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull &&
+        col("__s") =!= col("__d"))
+    var toFree: List[DataFrame] = Nil
+    var und: DataFrame = raw
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .distinct().localCheckpoint(true)
+    try {
+      var cnt = und.count()
+      var stable = cnt == 0L
+      var round = 0
+      while (!stable && round < maxRounds) {
+        val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        val keep = deg.filter(col("degree") >= k).select(col("node"))
+        val pruned = und
+          .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+        val c2 = pruned.count()
+        toFree ::= und
+        und = pruned
+        stable = c2 == cnt
+        cnt = c2
+        round += 1
+      }
+      und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    } finally toFree.foreach(_.unpersist())
+  }
+
   /** SEMANTIC near-dup candidate pairs — embedding-CLUSTER routing:
     * train a [[kmeansFit]] model on the corpus embeddings, route every
     * row to its argmax-dot cell ([[kmeansAssign]] — a baked-constant
@@ -2247,6 +2306,88 @@ object GraftOps {
       .withColumn("quality_score",
         col("avg_token_len") * 0.2 + col("ttr") * 0.5 - col("stop_ratio") * 0.3)
       .drop("__ts")
+  }
+
+  /** Rule-battery document quality filter — the published pretraining
+    * heuristics stated as per-rule flags plus the composite keep
+    * decision, the explainable REPORT form a curation pipeline wants
+    * (q122's lexicon density and q23's scalar score rank documents;
+    * this one says WHICH rule a document failed, so thresholds can be
+    * audited and re-tuned without re-deriving features):
+    *
+    *  - r_wordcount: word count within [minWords, maxWords]
+    *  - r_meanlen:   mean word length within the ppm bounds
+    *  - r_alpha:     ≥ minAlphaPpm of words contain a letter
+    *  - r_sym:       symbol-to-word ratio ('#' chars + non-overlapping
+    *                 '...' runs) ≤ maxSymPpm
+    *  - r_toptok:    most frequent token's mass ≤ maxTopTokPpm
+    *                 (repetition/boilerplate proxy)
+    *  - r_stop:      ≥ minStops DISTINCT stopwords present
+    *
+    * Every statistic is an exact integer (counts, summed lengths) and
+    * every rule a division-free ppm cross-multiply, so the full report
+    * — counts, flags, keep — hash-gates (q138). NULL or empty text
+    * yields n_words = 0 → every count rule fails → keep = false
+    * (stated; a document with no content is not trainable signal).
+    *
+    * Scale shape: ONE narrow per-row projection over codegen'd array
+    * folds — zero shuffle at any corpus size, the cheapest possible
+    * filter tier (the top-token fold is O(distinct·n) per document —
+    * document-scale work, never corpus-scale). */
+  def qualityRules(df: DataFrame, id: Column, text: Column,
+      minWords: Int = 20, maxWords: Int = 100000,
+      minMeanLenPpm: Long = 3000000L, maxMeanLenPpm: Long = 10000000L,
+      minAlphaPpm: Long = 800000L, maxSymPpm: Long = 100000L,
+      maxTopTokPpm: Long = 200000L, minStops: Int = 2,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in"))
+      : DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords; got [$minWords, $maxWords]")
+    require(Seq(minMeanLenPpm, maxMeanLenPpm, minAlphaPpm, maxSymPpm,
+        maxTopTokPpm).forall(_ >= 0), "ppm thresholds must be >= 0")
+    require(minStops >= 0 && stopwords.nonEmpty,
+      "minStops must be >= 0 over a non-empty stopword set")
+    val M = lit(1000000L)
+    df.select(id.as("id"), text.as("__text"))
+      .withColumn("__toks", coalesce(
+        filter(Text.tokens(col("__text")), t => t =!= lit("")),
+        array().cast("array<string>")))
+      .withColumn("__norm", coalesce(Text.normText(col("__text")), lit("")))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn("sum_len", aggregate(col("__toks"), lit(0L),
+        (acc, t) => acc + length(t).cast("long")))
+      .withColumn("n_alpha",
+        size(filter(col("__toks"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_sym",
+        (length(col("__norm")) -
+          length(regexp_replace(col("__norm"), lit("#"), lit("")))).cast("long") +
+        ((length(col("__norm")) -
+          length(regexp_replace(col("__norm"), lit("\\.\\.\\."), lit("")))) /
+          lit(3)).cast("long"))
+      .withColumn("top_cnt", coalesce(
+        array_max(transform(array_distinct(col("__toks")),
+          t => size(filter(col("__toks"), x => x === t)).cast("long"))),
+        lit(0L)))
+      .withColumn("n_stop", size(array_intersect(array_distinct(col("__toks")),
+        array(stopwords.map(lit): _*))).cast("long"))
+      .withColumn("r_wordcount",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_meanlen", col("n_words") > 0 &&
+        col("sum_len") * M >= col("n_words") * lit(minMeanLenPpm) &&
+        col("sum_len") * M <= col("n_words") * lit(maxMeanLenPpm))
+      .withColumn("r_alpha", col("n_words") > 0 &&
+        col("n_alpha") * M >= col("n_words") * lit(minAlphaPpm))
+      .withColumn("r_sym", col("n_words") > 0 &&
+        col("n_sym") * M <= col("n_words") * lit(maxSymPpm))
+      .withColumn("r_toptok", col("n_words") > 0 &&
+        col("top_cnt") * M <= col("n_words") * lit(maxTopTokPpm))
+      .withColumn("r_stop", col("n_stop") >= minStops)
+      .withColumn("keep", col("r_wordcount") && col("r_meanlen") &&
+        col("r_alpha") && col("r_sym") && col("r_toptok") && col("r_stop"))
+      .select(col("id"), col("n_words"), col("sum_len"), col("n_alpha"),
+        col("n_sym"), col("top_cnt"), col("n_stop"), col("r_wordcount"),
+        col("r_meanlen"), col("r_alpha"), col("r_sym"), col("r_toptok"),
+        col("r_stop"), col("keep"))
   }
 
   /** Order-sensitive rolling-hash document fingerprint. */

@@ -1358,6 +1358,60 @@ object CurationOps {
       FROM nodes LEFT JOIN deg USING (node) LEFT JOIN pern USING (node)
       ORDER BY node"""))
 
+  // --------------------------------------------------------------- q139
+  /** 6-core of a planted graph: a 40-clique (every doc_id < 40 pairwise
+    * linked — the dense subgraph a link-farm audit hunts) over sparse
+    * ring (+1) and hash (×7+1) edges whose vertices peel away over
+    * several cascading rounds. The oracle restates exactly
+    * [[graft.api.GraftOps.kCore]]'s `maxRounds` peels as unrolled
+    * MATERIALIZED CTE blocks (the q108/q135 iterative precedent) —
+    * sound against the EARLY-STOPPING operator because peeling is
+    * idempotent at the fixpoint: extra oracle rounds are no-ops. */
+  private def kcorePeelCtes(rounds: Int, k: Int): String =
+    (1 to rounds).map { r =>
+      s"""
+      d$r AS (SELECT node, COUNT(*) AS degree FROM
+        (SELECT a AS node FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+        GROUP BY 1),
+      k$r AS (SELECT node FROM d$r WHERE degree >= $k),
+      e$r AS MATERIALIZED (
+        SELECT a, b FROM e${r - 1}
+        WHERE a IN (SELECT node FROM k$r) AND b IN (SELECT node FROM k$r))"""
+    }.mkString(",")
+
+  val q139 = QueryDef("q139_kcore",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val m = d.agg(max("doc_id")).collect()(0).getLong(0) + 1
+      val clique = d.filter(col("doc_id") < 40)
+        .select(col("doc_id").as("src"),
+          explode(sequence(col("doc_id") + 1, lit(39L))).as("dst"))
+        .filter(col("dst") > col("src") && col("dst") <= 39)
+      val edges = d
+        .select(col("doc_id").as("src"), ((col("doc_id") + 1) % m).as("dst"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % m).as("dst")))
+        .unionAll(clique)
+      GraftOps.kCore(edges, col("src"), col("dst"), k = 6, maxRounds = 6)
+        .orderBy("node")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id FROM documents),
+      mm AS (SELECT MAX(doc_id) + 1 AS m FROM d),
+      raw AS (
+        SELECT doc_id AS s, (doc_id + 1) % m AS t FROM d, mm
+        UNION ALL SELECT doc_id, (doc_id*7 + 1) % m FROM d, mm
+        UNION ALL
+        SELECT doc_id, unnest(range(doc_id + 1, 40)) FROM d
+        WHERE doc_id < 40),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM raw WHERE s <> t),
+      ${kcorePeelCtes(6, 6)}
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+        (SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
+      GROUP BY 1 ORDER BY node"""))
+
   // --------------------------------------------------------------- q113
   /** Pearson correlation matrix of the four lineitem money/quantity
     * metrics per returnflag: doubles quantized to exact integer cents
@@ -1733,5 +1787,5 @@ object CurationOps {
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
       q100, q105, q107, q108, q111, q113, q116, q121, q123, q124, q127,
-      q130, q131, q133)
+      q130, q131, q133, q139)
 }

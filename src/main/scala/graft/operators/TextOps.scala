@@ -664,6 +664,64 @@ object TextOps {
       FROM base LEFT JOIN h USING (doc_id)
       ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- q138
+  /** Rule-battery quality filter over the corpus — the explainable
+    * keep/drop report with per-rule flags (word-count, mean-word-length,
+    * alpha-ratio, symbol-ratio, top-token mass, stopword presence), all
+    * exact-integer ppm comparisons. Thresholds are tuned to SPLIT the
+    * fixture (a filter that keeps or drops everything gates nothing):
+    * minWords 40 fails short docs, the 4.0–4.8 mean-length band and the
+    * 12% top-token cap each cut both ways. Exercises
+    * [[graft.api.GraftOps.qualityRules]]. Booleans surface as BIGINT
+    * 0/1 (the q125 alarm precedent — engine-portable hashing). */
+  val q138 = QueryDef("q138_quality_rules",
+    (s, dir) => {
+      val flags = Seq("r_wordcount", "r_meanlen", "r_alpha", "r_sym",
+        "r_toptok", "r_stop", "keep")
+      graft.api.GraftOps.qualityRules(docs(s, dir), col("doc_id"),
+          col("text"), minWords = 40, maxWords = 100000,
+          minMeanLenPpm = 4000000L, maxMeanLenPpm = 4800000L,
+          minAlphaPpm = 800000L, maxSymPpm = 100000L,
+          maxTopTokPpm = 120000L, minStops = 2)
+        .select(Seq(col("id").as("doc_id"), col("n_words"), col("sum_len"),
+          col("n_alpha"), col("n_sym"), col("top_cnt"), col("n_stop")) ++
+          flags.map(f => col(f).cast("long").as(f)): _*)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(${Duck.toks}, tk -> tk <> '') AS toks,
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(COALESCE(list_sum(list_transform(toks, tk -> length(tk))), 0) AS BIGINT) AS sum_len,
+          CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]'))) AS BIGINT) AS n_alpha,
+          CAST(length(norm) - length(replace(norm, '#', ''))
+            + (length(norm) - length(replace(norm, '...', ''))) // 3 AS BIGINT) AS n_sym,
+          CAST(COALESCE(list_max(list_transform(list_distinct(toks),
+            tk -> len(list_filter(toks, x -> x = tk)))), 0) AS BIGINT) AS top_cnt,
+          CAST(len(list_intersect(list_distinct(toks),
+            ['the', 'a', 'of', 'and', 'to', 'in'])) AS BIGINT) AS n_stop
+        FROM t),
+      r AS (
+        SELECT *,
+          CAST(n_words >= 40 AND n_words <= 100000 AS BIGINT) AS r_wordcount,
+          CAST(n_words > 0 AND sum_len * 1000000 >= n_words * 4000000
+            AND sum_len * 1000000 <= n_words * 4800000 AS BIGINT) AS r_meanlen,
+          CAST(n_words > 0 AND n_alpha * 1000000 >= n_words * 800000 AS BIGINT) AS r_alpha,
+          CAST(n_words > 0 AND n_sym * 1000000 <= n_words * 100000 AS BIGINT) AS r_sym,
+          CAST(n_words > 0 AND top_cnt * 1000000 <= n_words * 120000 AS BIGINT) AS r_toptok,
+          CAST(n_stop >= 2 AS BIGINT) AS r_stop
+        FROM f)
+      SELECT doc_id, n_words, sum_len, n_alpha, n_sym, top_cnt, n_stop,
+        r_wordcount, r_meanlen, r_alpha, r_sym, r_toptok, r_stop,
+        CAST(r_wordcount + r_meanlen + r_alpha + r_sym + r_toptok + r_stop = 6
+          AS BIGINT) AS keep
+      FROM r ORDER BY doc_id"""))
+
   // -------------------------------------------------------------- q135
   /** DuckDB restatement of [[graft.api.GraftOps.bpeFit]]'s first
     * `nMerges` iterations, generated as unrolled CTE blocks (the q108
@@ -841,5 +899,5 @@ object TextOps {
 
   val all: Seq[QueryDef] =
     Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86, q101, q109,
-      q110, q112, q115, q122, q135, q135b, q136)
+      q110, q112, q115, q122, q135, q135b, q136, q138)
 }

@@ -903,6 +903,11 @@ object PipelineCompiler {
     "triangleCounts" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.triangleCounts(
         in("inport1"), expr(arg(args, "src")), expr(arg(args, "dst"))))),
+    "kCore" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.kCore(
+        in("inport1"), expr(arg(args, "src")), expr(arg(args, "dst")),
+        k = arg(args, "k").toInt,
+        maxRounds = arg(args, "maxRounds").toInt))),
     // bm25TopK: inport1 = document corpus, inport2 = query batch
     "bm25TopK" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.bm25TopK(
@@ -1110,6 +1115,17 @@ object PipelineCompiler {
     "textQuality" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.textQuality(in("inport1"),
         expr(arg(args, "text"))))),
+    "qualityRules" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.qualityRules(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        minWords = args.getOrElse("minWords", "20").toInt,
+        maxWords = args.getOrElse("maxWords", "100000").toInt,
+        minMeanLenPpm = args.getOrElse("minMeanLenPpm", "3000000").toLong,
+        maxMeanLenPpm = args.getOrElse("maxMeanLenPpm", "10000000").toLong,
+        minAlphaPpm = args.getOrElse("minAlphaPpm", "800000").toLong,
+        maxSymPpm = args.getOrElse("maxSymPpm", "100000").toLong,
+        maxTopTokPpm = args.getOrElse("maxTopTokPpm", "200000").toLong,
+        minStops = args.getOrElse("minStops", "2").toInt))),
     "redactPii" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.redactPii(in("inport1"),
         expr(arg(args, "text"))))),

@@ -1039,6 +1039,70 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("qualityRules: each rule fails independently; NULL/empty text drops; keep is the conjunction") {
+    import spark.implicits._
+    val good = "the quick brown fox of all and some " * 5 + "alpha beta gamma"
+    val rows = Seq(
+      (1L, Some(good)),                               // passes every rule
+      (2L, Some("the of and tiny")),                  // too short → r_wordcount
+      (3L, Some(("x " * 40) + "the of")),             // top token 'x' mass → r_toptok; mean len 1 → r_meanlen
+      (4L, Some(good + " ### ... ... ...")),          // symbols → r_sym
+      (5L, Some(("word " * 39) + "tok")),             // no stopwords → r_stop
+      (6L, Some(("12345 " * 39) + "999")),            // no alpha → r_alpha (and r_stop)
+      (7L, None),                                     // NULL text → keep false
+      (8L, Some("")))                                 // empty → keep false
+      .toDF("id", "text")
+    val got = GraftOps.qualityRules(rows, col("id"), col("text"),
+        minWords = 10, maxWords = 1000, minMeanLenPpm = 2000000L,
+        maxMeanLenPpm = 8000000L, minAlphaPpm = 800000L,
+        maxSymPpm = 50000L, maxTopTokPpm = 300000L, minStops = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, f: String) = got(id).getBoolean(got(id).fieldIndex(f))
+    assert(b(1L, "keep"), "the clean doc passes the whole battery")
+    assert(!b(2L, "r_wordcount") && !b(2L, "keep"), "short doc fails word count")
+    assert(!b(3L, "r_toptok") && !b(3L, "r_meanlen") && !b(3L, "keep"),
+      "repetitive one-char doc fails top-token mass and mean length")
+    assert(b(4L, "r_wordcount") && !b(4L, "r_sym") && !b(4L, "keep"),
+      "symbol-heavy doc fails only the symbol rule among count rules")
+    assert(!b(5L, "r_stop") && !b(5L, "keep"), "stopword-free doc fails r_stop")
+    assert(!b(6L, "r_alpha") && !b(6L, "keep"), "digit-only doc fails r_alpha")
+    for (id <- Seq(7L, 8L)) {
+      assert(got(id).getLong(got(id).fieldIndex("n_words")) == 0L &&
+        !b(id, "keep"), s"doc $id: no content → n_words 0, keep false")
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.qualityRules(rows, col("id"), col("text"), minWords = 0)
+    }
+  }
+
+  test("kCore: planted clique survives, pendant chain peels over cascading rounds, k above max degree empties") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + a pendant chain 4-10-11-12: for k=2 the chain
+    // peels one vertex per round (12 first, then 11, then 10) — three
+    // cascading rounds prove the loop really iterates
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val edges = (clique ++ chain ++ Seq((2L, 2L))).toDF("s", "t") // + self-loop noise
+    val core2 = GraftOps.kCore(edges, col("s"), col("t"), k = 2, maxRounds = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core2.keySet == Set(1L, 2L, 3L, 4L) &&
+      core2.values.forall(_ == 3L),
+      s"2-core = the clique, chain fully peeled: $core2")
+    // stopping early (maxRounds = 1) keeps the not-yet-cascaded suffix:
+    // only 12 (degree 1) peels in round 1; 10 and 11 still have degree
+    // >= 2 against each other until the NEXT rounds
+    val oneRound = GraftOps.kCore(edges, col("s"), col("t"), k = 2, maxRounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneRound == Set(1L, 2L, 3L, 4L, 10L, 11L),
+      s"after one peel only the chain tip is gone: $oneRound")
+    // k above the max degree peels everything → empty
+    assert(GraftOps.kCore(edges, col("s"), col("t"), k = 4, maxRounds = 10)
+      .count() == 0L, "4-core of a 4-clique (degree 3) is empty")
+    intercept[IllegalArgumentException] {
+      GraftOps.kCore(edges, col("s"), col("t"), k = 0, maxRounds = 5)
+    }
+  }
+
   test("weightedQuantilesHist: bit-equal to exact tier under ties/skew/tiny buckets; degenerate all-equal group; guards") {
     import spark.implicits._
     // adversarial mix: heavy ties, skewed head mass, an all-equal group

@@ -2415,6 +2415,44 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       eGot.count() > 0, "XML bpeEncode == library bpeEncode")
   }
 
+  test("qualityRules / kCore registry ops == library forms") {
+    import org.apache.spark.sql.functions._
+    val spec = PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="docs" class="parquetInput">
+          <arg key="dir" value="$sf001"/><arg key="table" value="documents"/>
+        </operator>
+        <operator name="qr" class="qualityRules">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+          <arg key="minWords" value="40"/><arg key="maxTopTokPpm" value="120000"/>
+        </operator>
+        <operator name="edges" class="select">
+          <arg key="exprs" value="doc_id AS src; (doc_id + 1) % 300 AS dst"/>
+        </operator>
+        <operator name="core" class="kCore">
+          <arg key="src" value="src"/><arg key="dst" value="dst"/>
+          <arg key="k" value="2"/><arg key="maxRounds" value="4"/>
+        </operator>
+        <connect from="docs.outport1" to="qr.inport1"/>
+        <connect from="docs.outport1" to="edges.inport1"/>
+        <connect from="edges.outport1" to="core.inport1"/>
+      </pipeline>""")
+    val ports = PipelineCompiler.compile(spec, spark)
+    val d = Tables.load(spark, sf001, "documents")
+    val qrWant = graft.api.GraftOps.qualityRules(d, col("doc_id"),
+      col("text"), minWords = 40, maxTopTokPpm = 120000L)
+    val qrGot = ports("qr.outport1")
+    assert(qrGot.exceptAll(qrWant).isEmpty && qrWant.exceptAll(qrGot).isEmpty &&
+      qrGot.count() === d.count(), "XML qualityRules == library form")
+    val e = d.select(col("doc_id").as("src"),
+      ((col("doc_id") + 1) % 300).as("dst"))
+    val cWant = graft.api.GraftOps.kCore(e, col("src"), col("dst"),
+      k = 2, maxRounds = 4)
+    val cGot = ports("core.outport1")
+    assert(cGot.exceptAll(cWant).isEmpty && cWant.exceptAll(cGot).isEmpty,
+      "XML kCore == library form")
+  }
+
   test("semanticDupIndex/semanticDupFlag registry ops == library forms") {
     import org.apache.spark.sql.functions._
     val spec = PipelineSpec.parseXml(s"""
