@@ -1326,6 +1326,20 @@ object PipelineCompiler {
       }
       Map.empty
     }),
+    // S25 semantic tier (inport1 = admitted stream, inport2 = frozen
+    // kmeans model): same per-row append == rebuild law, same
+    // model-retrain lifecycle rule as the residual-PQ sink.
+    "semanticDupAppendSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        graft.streaming.StreamingOps.semanticDupAppendSink(in("inport1"),
+          expr(arg(args, "id")), expr(arg(args, "vec")), in("inport2"),
+          path = arg(args, "path"),
+          queryName = args.getOrElse("name", "semanticDupAppendSink"),
+          checkpoint = arg(args, "checkpoint"))
+          .trigger(triggerOf(args)).start()
+      }
+      Map.empty
+    }),
     "mediaDupAppendSink" -> ((s, in, args) => {
       withQueryShufflePartitions(s, args) {
         val sink = args.getOrElse("kind", "image") match {

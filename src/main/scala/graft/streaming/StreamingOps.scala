@@ -562,6 +562,31 @@ object StreamingOps {
       videoDupIndex(batch, id, payload).write.mode("append").parquet(path)
     }
 
+  /** The S25 SEMANTIC tier's append maintenance — same law as the other
+    * per-row tiers because a cell assignment is a pure per-row function
+    * of (vector, the FROZEN model): append-then-flag == rebuild-then-
+    * flag over the union exactly, with the usual at-least-once retry
+    * caveat. Same model-lifecycle rule as [[ivfRpqAppendSink]]: if the
+    * kmeans model is ever retrained, the whole index (appended batches
+    * included) must be re-assigned — appended rows carry the OLD cell
+    * geometry and would silently stop matching re-routed arrivals. */
+  def semanticDupAppendSink(stream: DataFrame, id: Column, vec: Column,
+      model: DataFrame, path: String, queryName: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // collect the trained constants ONCE at sink build, not per batch
+    val cents = graft.api.GraftOps.collectModel(model)
+    require(cents.nonEmpty, "semanticDupAppendSink with an empty model")
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
+      batch.select(id.as("dup_of"), vec.as("__cv"))
+        .filter(col("__cv").isNotNull)
+        .withColumn("cluster",
+          element_at(graft.functions.NearestCells(col("__cv"),
+            cents.map(_._2), cents.map(_._1)), 1))
+        .select(col("cluster"), col("dup_of"), col("__cv"))
+        .write.mode("append").parquet(path)
+    }
+  }
+
   /** The SPAN tier's append maintenance: the span index is NOT per-row
     * (df counts aggregate across docs), so what appends is the MERGEABLE
     * partial — [[graft.api.GraftOps.spanIndexCounts]] per micro-batch —

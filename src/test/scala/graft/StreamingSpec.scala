@@ -904,6 +904,60 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally index.unpersist()
   }
 
+  test("S19b: semantic-dup index append == rebuild through a real stream (S25 tier)") {
+    // The S19 law at the embedding tier: cell assignment is a pure
+    // per-row function of (vector, FROZEN model), so an index grown by
+    // semanticDupAppendSink must flag exactly like a rebuild over the
+    // union — valid ONLY while the model stays frozen (the
+    // ivfRpqAppendSink lifecycle rule, restated in the sink's scaladoc).
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.api.GraftOps
+    import graft.streaming.StreamingOps
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val baseCorpus = Seq(
+      (1L, v(1.0, 0.02, 0.0)), (2L, v(0.98, 0.05, 0.0)),
+      (3L, v(0.0, 0.01, 1.0)), (4L, v(0.02, 0.0, 0.97)))
+      .toDF("doc_id", "vec")
+    val model = GraftOps.kmeansFit(baseCorpus, col("doc_id"), col("vec"),
+      k = 2, iters = 2)
+    val newRows = Seq((5L, v(0.97, 0.01, 0.0)), (6L, v(0.01, 0.0, 0.99)))
+    val arrivals = Seq(
+      (100L, v(0.975, 0.012, 0.0)), // dups base 1/2 AND appended 5
+      (200L, v(0.008, 0.0, 0.995))) // dups base 3/4 AND appended 6
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdidx-ck").toString
+    try {
+      StreamingOps.semanticDupIndex(baseCorpus, col("doc_id"), col("vec"),
+        model).write.mode("append").parquet(dir)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingOps.semanticDupAppendSink(
+        input.toDF().toDF("doc_id", "vec"), col("doc_id"), col("vec"),
+        model, dir, "s19sd", ckpt).start()
+      try {
+        input.addData(newRows.take(1): _*); q.processAllAvailable()
+        input.addData(newRows.drop(1): _*); q.processAllAvailable()
+      } finally q.stop()
+      val grown = spark.read.parquet(dir)
+      val rebuilt = StreamingOps.semanticDupIndex(
+        baseCorpus.unionByName(newRows.toDF("doc_id", "vec")),
+        col("doc_id"), col("vec"), model)
+      def flags(idx: org.apache.spark.sql.DataFrame) =
+        StreamingOps.semanticDupAgainst(arrivals.toDF("id", "vec"),
+            col("id"), col("vec"), model, idx, threshold = 0.95)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val g = flags(grown)
+      assert(g == flags(rebuilt),
+        s"appended semantic index must flag like a rebuild: $g")
+      assert(g.exists(r => r._1 == 100L && r._2 == 5L) &&
+        g.exists(r => r._1 == 200L && r._2 == 6L),
+        s"appended rows themselves catch later near-dup arrivals: $g")
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+      new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+    }
+  }
+
   test("S19: admission-index append == rebuild (fingerprint stream, span counts, media union)") {
     // The ivfPqAppendSink law extended to the admission matrix: an index
     // grown incrementally (batch-built base + per-micro-batch appends of
