@@ -3841,6 +3841,61 @@ object GraftOps {
       .drop("__tot")
   }
 
+  // ------------------------------------------- multi-touch attribution
+
+  /** Multi-touch attribution report — which channel gets credit for a
+    * conversion, under the three standard models at once: for every
+    * conversion event, its attributable touches are the same key's
+    * non-conversion events at a strictly earlier (ts, tiebreak)
+    * position within `lookbackDays`; FIRST-touch credits the earliest
+    * such touch, LAST-touch the latest, and LINEAR splits 10⁶ ppm
+    * evenly with the integer remainder going to the last touch — so
+    * every attributed conversion's linear shares sum to EXACTLY 10⁶
+    * and the whole report is integer arithmetic (hash-gates, q140).
+    * Conversions with no in-window touch are unattributable and drop
+    * (stated — report them via [[funnel]] if the zero-touch count
+    * matters). Rows with NULL key/ts/tiebreak drop up front (no
+    * position in the order — the house q117/q126 posture).
+    *
+    * Plan: ONE key equi-join (conversions × touches, range residual on
+    * the micros — never a cross product), one UNSORTED window over the
+    * conversion key (count/min/max aggregate frames — no sort pass),
+    * one channel agg. Touches per key are activity-bounded; a hot key
+    * is one AQE-split partition. */
+  def attributionReport(df: DataFrame, key: Column, ts: Column,
+      tiebreak: Column, channel: Column, isConversion: Column,
+      lookbackDays: Int): DataFrame = {
+    require(lookbackDays >= 1 && lookbackDays <= 3650,
+      s"lookbackDays must be in [1, 3650]; got $lookbackDays")
+    val base = df.select(key.as("__u"), unix_micros(ts).as("__t"),
+        tiebreak.as("__tb"), channel.as("__ch"), isConversion.as("__cv"))
+      .filter(col("__u").isNotNull && col("__t").isNotNull &&
+        col("__tb").isNotNull)
+    val conv = base.filter(col("__cv"))
+      .select(col("__u"), col("__t").as("__ct"), col("__tb").as("__ctb"))
+    val touch = base.filter(!col("__cv"))
+      .select(col("__u"), col("__t").as("__tt"), col("__tb").as("__ttb"),
+        col("__ch"))
+    val lookbackUs = lookbackDays * 86400000000L
+    val joined = conv.join(touch, Seq("__u"))
+      .filter((col("__tt") < col("__ct") ||
+        (col("__tt") === col("__ct") && col("__ttb") < col("__ctb"))) &&
+        col("__tt") >= col("__ct") - lit(lookbackUs))
+    val w = Window.partitionBy(col("__u"), col("__ct"), col("__ctb"))
+    joined
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__pos", struct(col("__tt"), col("__ttb")))
+      .withColumn("__isf", col("__pos") === min(col("__pos")).over(w))
+      .withColumn("__isl", col("__pos") === max(col("__pos")).over(w))
+      .withColumn("__lin", expr("cast(1000000 as bigint) div __n") +
+        when(col("__isl"), expr("cast(1000000 as bigint) % __n"))
+          .otherwise(lit(0L)))
+      .groupBy(col("__ch").as("channel"))
+      .agg(sum(when(col("__isf"), 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("__isl"), 1L).otherwise(0L)).as("last_touch"),
+        sum(col("__lin")).as("linear_ppm"))
+  }
+
   // ------------------------------------------------ cohort retention
 
   /** Cohort retention: key grouped by the calendar period of its FIRST

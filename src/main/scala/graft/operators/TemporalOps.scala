@@ -656,7 +656,51 @@ object TemporalOps {
       FROM c JOIN days USING (day)
       GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q140
+  /** Channel attribution of purchases under first/last/linear models,
+    * 7-day lookback: each purchase's credit goes to the user's
+    * preceding non-purchase events — exact integer counts and ppm
+    * shares (each attributed conversion's linear shares sum to exactly
+    * 10⁶, remainder to the last touch). Exercises
+    * [[graft.api.GraftOps.attributionReport]]. The oracle restates
+    * first/last via row_number over the identical (ts, event_id) order
+    * — equivalent to the operator's min/max-struct frames because the
+    * tiebreak is unique. */
+  val q140 = QueryDef("q140_attribution",
+    (s, dir) =>
+      graft.api.GraftOps.attributionReport(events(s, dir), col("user_id"),
+          col("ts"), col("event_id"), col("event_type"),
+          col("event_type") === "purchase", lookbackDays = 7)
+        .orderBy("channel"),
+    Some("""
+      WITH b AS (
+        SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+          event_id AS tb, event_type AS ch
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_id IS NOT NULL),
+      c AS (SELECT u, t AS ct, tb AS ctb FROM b WHERE ch = 'purchase'),
+      tt AS (SELECT u, t AS tt, tb AS ttb, ch FROM b WHERE ch <> 'purchase'),
+      j AS (
+        SELECT c.u, c.ct, c.ctb, tt.tt, tt.ttb, tt.ch
+        FROM c JOIN tt ON c.u = tt.u
+          AND (tt.tt < c.ct OR (tt.tt = c.ct AND tt.ttb < c.ctb))
+          AND tt.tt >= c.ct - 604800000000),
+      m AS (
+        SELECT ch,
+          CAST(COUNT(*) OVER w AS BIGINT) AS n,
+          row_number() OVER (PARTITION BY u, ct, ctb ORDER BY tt, ttb) AS ra,
+          row_number() OVER (PARTITION BY u, ct, ctb ORDER BY tt DESC, ttb DESC) AS rd
+        FROM j WINDOW w AS (PARTITION BY u, ct, ctb))
+      SELECT ch AS channel,
+        CAST(SUM(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+        CAST(SUM(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+        CAST(SUM(1000000 // n + CASE WHEN rd = 1 THEN 1000000 % n ELSE 0 END)
+          AS BIGINT) AS linear_ppm
+      FROM m GROUP BY ch
+      ORDER BY channel"""))
+
   val all: Seq[QueryDef] =
     Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104, q106, q117,
-      q119, q120, q125, q126, q134)
+      q119, q120, q125, q126, q134, q140)
 }

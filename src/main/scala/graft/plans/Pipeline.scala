@@ -552,6 +552,12 @@ object PipelineCompiler {
         expr(arg(args, "stage")),
         arg(args, "stages").split(",").map(_.trim).toSeq,
         arg(args, "horizonUs").toLong))),
+    "attributionReport" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.attributionReport(in("inport1"),
+        expr(arg(args, "key")), expr(arg(args, "ts")),
+        expr(arg(args, "tiebreak")), expr(arg(args, "channel")),
+        expr(arg(args, "isConversion")),
+        lookbackDays = arg(args, "lookbackDays").toInt))),
     "editDistanceJoin" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.editDistanceJoin(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "key")),

@@ -1039,6 +1039,43 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("attributionReport: first/last/linear credit, lookback cutoff, remainder to last, untouched conversions drop") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: touches A(click) B(view) C(click) then a purchase —
+    //   first=A(click), last=C(click), linear 333333+333333+333334
+    //   (remainder to the LAST touch)
+    // user 2: one touch outside the 7-day lookback, one inside(view) —
+    //   only the inside touch attributes (first == last == view)
+    // user 3: a purchase with NO touches — drops entirely
+    val rows = Seq(
+      (1L, ts("2024-03-10 10:00:00"), 1L, "click", false),
+      (1L, ts("2024-03-10 11:00:00"), 2L, "view", false),
+      (1L, ts("2024-03-10 12:00:00"), 3L, "click", false),
+      (1L, ts("2024-03-10 13:00:00"), 4L, "purchase", true),
+      (2L, ts("2024-03-01 00:00:00"), 5L, "click", false), // > 7d before
+      (2L, ts("2024-03-09 00:00:00"), 6L, "view", false),
+      (2L, ts("2024-03-10 00:00:00"), 7L, "purchase", true),
+      (3L, ts("2024-03-10 00:00:00"), 8L, "purchase", true))
+      .toDF("u", "ts", "tb", "ch", "cv")
+    val got = GraftOps.attributionReport(rows, col("u"), col("ts"),
+        col("tb"), col("ch"), col("cv"), lookbackDays = 7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set("click", "view"), s"channels: $got")
+    // click: first for user1 (A), never last; linear 333333 + 333334
+    assert(got("click") == ((1L, 1L, 333333L + 333334L)), s"click: $got")
+    // view: user1 middle touch 333333; user2 sole touch = first+last+1e6
+    assert(got("view") == ((1L, 1L, 333333L + 1000000L)), s"view: $got")
+    // every attributed conversion's linear shares sum to exactly 1e6
+    assert(got.values.map(_._3).sum == 2000000L,
+      "linear ppm mass == 1e6 per attributed conversion")
+    intercept[IllegalArgumentException] {
+      GraftOps.attributionReport(rows, col("u"), col("ts"), col("tb"),
+        col("ch"), col("cv"), lookbackDays = 0)
+    }
+  }
+
   test("qualityRules: each rule fails independently; NULL/empty text drops; keep is the conjunction") {
     import spark.implicits._
     val good = "the quick brown fox of all and some " * 5 + "alpha beta gamma"
