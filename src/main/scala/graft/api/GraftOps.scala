@@ -2390,6 +2390,43 @@ object GraftOps {
         col("r_stop"), col("keep"))
   }
 
+  /** Exact positional phrase matching — the primitive behind BOTH
+    * exact-phrase retrieval ("find every document containing this
+    * quoted phrase") and benchmark-leakage auditing at phrase grain
+    * (q45's shingle decontamination counts overlap mass; this pins the
+    * exact contiguous token sequence): for every (document, phrase)
+    * pair, the number of contiguous token-window matches, emitted only
+    * when ≥ 1. Tokenization is the house canon (Text.tokens), so
+    * "Table  SCAN" matches "table scan". Phrases ride as PLAN LITERALS
+    * (a query list, not a corpus — the [[kmeansAssign]] baked-constant
+    * posture), each match count is one codegen'd linear scan per row
+    * ([[graft.functions.PhraseCount]] — the interpreted HOF window form
+    * measured ~20× slower on the 5k-doc bench, per-window array
+    * allocations; the q135 BpeSegment lesson again), and the whole
+    * operator is a narrow projection + filter — ZERO shuffle at any
+    * corpus size; the tail ORDER BY in a report is the only exchange.
+    * Overlapping windows count (step-1 scan — "x x" occurs twice in
+    * "x x x", spec-pinned). Counts are exact integers (hash-gates,
+    * q142). Empty phrases are rejected loudly; NULL text yields no
+    * rows (nothing can match). */
+  def phraseMatch(df: DataFrame, id: Column, text: Column,
+      phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "phrases must be a non-empty list of non-empty token sequences")
+    require(phrases.forall(_.forall(_.nonEmpty)),
+      "phrase tokens must be non-empty strings")
+    val toks = Text.tokens(text)
+    val perPhrase = phrases.map { p =>
+      val n = coalesce(
+        graft.functions.PhraseCount.asColumn(toks, p), lit(0L))
+      struct(lit(p.mkString(" ")).as("phrase"), n.as("n_matches"))
+    }
+    df.select(id.as("id"), explode(array(perPhrase: _*)).as("__m"))
+      .select(col("id"), col("__m.phrase").as("phrase"),
+        col("__m.n_matches").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
   /** Order-sensitive rolling-hash document fingerprint. */
   def fingerprint(df: DataFrame, text: Column): DataFrame =
     df.withColumn("fingerprint",
@@ -4934,6 +4971,42 @@ object GraftOps {
       .filter(col("n") * lit(1000000L) >= lit(thrPpm) * col("__total"))
       .select(col("key"), col("n"),
         expr("(n * 1000000) div __total").as("ppm"))
+  }
+
+  /** Half-life-decayed trending leaderboard — "what is hot NOW", the
+    * recency-weighted complement of [[heavyHitters]]' all-time counts:
+    * each observation contributes 10⁶ ppm decayed by one halving per
+    * elapsed `halfLifeDays` (score = Σ 10⁶ >> (age_days div
+    * halfLife) — BUCKETED exponential decay: piecewise-constant within
+    * a half-life, exactly (1/2)^⌊age/h⌋ at the boundaries, and every
+    * term is an integer SHIFT, so the whole leaderboard hash-gates
+    * where a libm exp() never could, the q136 no-transcendentals
+    * posture). The reference instant is the input's own max(ts)
+    * (deterministic — same data, same board; pass a cutoff filter
+    * upstream to pin a different "now"). Top-`k` by (score desc, item
+    * asc) — a total order, no nondeterministic tie.
+    *
+    * Plan: one 1-row max(ts) agg broadcast back (the q35/q70
+    * broadcast-stat shape), one map-side-combined item agg, one
+    * TakeOrderedAndProject — no window, no full sort. NULL item/ts
+    * rows drop up front. Shifts ≥ 63 half-lives floor to 0 (a long
+    * shift of ≥ 63 — stated, an observation that old holds no signal). */
+  def trendingTopK(df: DataFrame, item: Column, ts: Column,
+      halfLifeDays: Int, k: Int): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1; got $halfLifeDays")
+    require(k >= 1, s"k must be >= 1; got $k")
+    val base = df.select(item.as("item"), unix_micros(ts).as("__t"))
+      .filter(col("item").isNotNull && col("__t").isNotNull)
+    val ref = base.agg(max(col("__t")).as("__ref"))
+    base.crossJoin(broadcast(ref))
+      .withColumn("__halves",
+        least(expr("((__ref - __t) div 86400000000) div " + halfLifeDays),
+          lit(63L)).cast("int"))
+      .withColumn("__w", expr("shiftright(cast(1000000 as bigint), __halves)"))
+      .groupBy(col("item"))
+      .agg(sum(col("__w")).as("score_ppm"), count(lit(1)).as("n_events"))
+      .orderBy(desc("score_ppm"), col("item"))
+      .limit(k)
   }
 
   /** Sketch-tier heavy hitters: a [[graft.functions.MisraGries]] summary

@@ -34,6 +34,29 @@ object TextHash {
   private val HEX = "0123456789abcdef".toCharArray
   private val P = 1000000007L
 
+  /** Contiguous-window phrase occurrences, overlapping counted — one
+    * linear scan, no allocation (see PhraseCount). NULL tokens never
+    * match (a phrase token is never null by construction). */
+  def phraseCount(toks: ArrayData,
+      phrase: Array[org.apache.spark.unsafe.types.UTF8String]): Long = {
+    val n = toks.numElements()
+    val k = phrase.length
+    if (n < k) return 0L
+    var c = 0L
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      var ok = true
+      while (ok && j < k) {
+        val t = toks.getUTF8String(i + j)
+        if (t == null || !t.equals(phrase(j))) ok = false else j += 1
+      }
+      if (ok) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Per-profile membership counts of a token array (see ProfileCounts). */
   def profileCounts(toks: ArrayData,
       profiles: Array[Array[org.apache.spark.unsafe.types.UTF8String]]): ArrayData = {
@@ -721,6 +744,46 @@ object FirstEqIndex {
   * once PER profile). Profiles are tiny word lists, so membership is an
   * allocation-free linear scan over UTF8String equality — identical
   * counting to SQL `IN` equality. */
+/** `phrase_count(tokens, phrase)`: number of contiguous token windows
+  * equal to the baked phrase, OVERLAPPING windows counted (step 1) —
+  * the codegen'd kernel of [[graft.api.GraftOps.phraseMatch]]: the HOF
+  * form (`size(filter(sequence(...), j => slice(toks, j, k) === lit))`)
+  * runs interpreted per WINDOW with an array allocation per probe and
+  * measured ~20× slower on the 5k-doc bench. One linear scan per row,
+  * no allocation. NULL tokens never match. */
+case class PhraseCount(child: Expression, phrase: Seq[String])
+    extends UnaryExpression {
+  require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
+    "phrase must be a non-empty sequence of non-empty tokens")
+
+  @transient private lazy val phraseArr: Array[org.apache.spark.unsafe.types.UTF8String] =
+    phrase.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"phrase_count expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phrase_count"
+
+  override def nullSafeEval(v: Any): Any =
+    TextHash.phraseCount(v.asInstanceOf[ArrayData], phraseArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phrase", phraseArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.phraseCount($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): PhraseCount =
+    copy(child = c)
+}
+
+object PhraseCount {
+  def asColumn(tokens: Column, phrase: Seq[String]): Column =
+    ColumnBridge.column(PhraseCount(ColumnBridge.expression(tokens), phrase))
+}
+
 case class ProfileCounts(child: Expression, profiles: Seq[Seq[String]])
     extends UnaryExpression {
   require(profiles.nonEmpty, "at least one profile")

@@ -700,7 +700,37 @@ object TemporalOps {
       FROM m GROUP BY ch
       ORDER BY channel"""))
 
+  // --------------------------------------------------------------- q141
+  /** Trending leaderboard over synthetic items (event_id mod 1000, the
+    * q108 derived-key idiom): top-20 by half-life-decayed score (7-day
+    * half-life, reference = the corpus's own max ts) — every decay term
+    * an integer shift, the whole board hash-portable. Exercises
+    * [[graft.api.GraftOps.trendingTopK]]. */
+  val q141 = QueryDef("q141_trending",
+    (s, dir) =>
+      graft.api.GraftOps.trendingTopK(
+          events(s, dir).select(pmod(col("event_id"), lit(1000)).as("item"),
+            col("ts")),
+          col("item"), col("ts"), halfLifeDays = 7, k = 20)
+        .orderBy(desc("score_ppm"), col("item")),
+    Some("""
+      WITH b AS (
+        SELECT event_id % 1000 AS item, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+      r AS (SELECT MAX(t) AS ref FROM b),
+      w AS (
+        SELECT item,
+          (CAST(1000000 AS BIGINT) >> CAST(LEAST(
+            ((ref - t) // 86400000000) // 7, 63) AS INTEGER)) AS w
+        FROM b, r),
+      s AS (
+        SELECT item, CAST(SUM(w) AS BIGINT) AS score_ppm,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM w GROUP BY 1)
+      SELECT item, score_ppm, n_events FROM s
+      ORDER BY score_ppm DESC, item LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104, q106, q117,
-      q119, q120, q125, q126, q134, q140)
+      q119, q120, q125, q126, q134, q140, q141)
 }

@@ -664,6 +664,37 @@ object TextOps {
       FROM base LEFT JOIN h USING (doc_id)
       ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- q142
+  /** Exact positional phrase matching over the corpus — two bigrams the
+    * fixture actually contains plus a trigram extension of one: per
+    * (doc, phrase) contiguous-window match counts, matches-only.
+    * Exercises [[graft.api.GraftOps.phraseMatch]] (phrases are plan
+    * literals; one codegen'd fold per row, zero shuffle). */
+  val q142 = QueryDef("q142_phrase_match",
+    (s, dir) =>
+      graft.api.GraftOps.phraseMatch(docs(s, dir), col("doc_id"),
+          col("text"), Seq(Seq("table", "hash"), Seq("customer", "join"),
+            Seq("part", "filter", "small")))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "phrase"),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      p(phrase, ph) AS (VALUES
+        ('table hash', ['table', 'hash']),
+        ('customer join', ['customer', 'join']),
+        ('part filter small', ['part', 'filter', 'small'])),
+      m AS (
+        SELECT doc_id, phrase,
+          CAST(CASE WHEN len(toks) >= len(ph)
+            THEN len(list_filter(range(1, len(toks) - len(ph) + 2),
+              j -> list_slice(toks, j, j + len(ph) - 1) = ph))
+            ELSE 0 END AS BIGINT) AS n_matches
+        FROM t, p)
+      SELECT doc_id, phrase, n_matches FROM m
+      WHERE n_matches > 0
+      ORDER BY doc_id, phrase"""))
+
   // -------------------------------------------------------------- q138
   /** Rule-battery quality filter over the corpus — the explainable
     * keep/drop report with per-rule flags (word-count, mean-word-length,
@@ -899,5 +930,5 @@ object TextOps {
 
   val all: Seq[QueryDef] =
     Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86, q101, q109,
-      q110, q112, q115, q122, q135, q135b, q136, q138)
+      q110, q112, q115, q122, q135, q135b, q136, q138, q142)
 }

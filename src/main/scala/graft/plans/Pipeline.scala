@@ -552,6 +552,17 @@ object PipelineCompiler {
         expr(arg(args, "stage")),
         arg(args, "stages").split(",").map(_.trim).toSeq,
         arg(args, "horizonUs").toLong))),
+    // phrases: ';'-separated phrase list, each phrase whitespace-split
+    "phraseMatch" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.phraseMatch(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        arg(args, "phrases").split(";").map(_.trim).filter(_.nonEmpty)
+          .map(_.split("\\s+").toSeq).toSeq))),
+    "trendingTopK" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.trendingTopK(in("inport1"),
+        expr(arg(args, "item")), expr(arg(args, "ts")),
+        halfLifeDays = arg(args, "halfLifeDays").toInt,
+        k = arg(args, "k").toInt))),
     "attributionReport" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.attributionReport(in("inport1"),
         expr(arg(args, "key")), expr(arg(args, "ts")),

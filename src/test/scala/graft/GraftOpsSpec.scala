@@ -1039,6 +1039,55 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("phraseMatch: overlapping windows, normalization canon, multi-phrase, NULL text, guards") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some("Table  SCAN table scan table")), // 'table scan' twice
+      (2L, Some("a table and a scan")),           // tokens present, phrase absent
+      (3L, Some("x x x")),                        // overlapping self-phrase 'x x' twice
+      (4L, Some("table")),                        // shorter than the phrase
+      (5L, None))
+      .toDF("id", "text")
+    val got = GraftOps.phraseMatch(rows, col("id"), col("text"),
+        Seq(Seq("table", "scan"), Seq("x", "x")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "table scan", 2L), (3L, "x x", 2L)),
+      s"canon-normalized contiguous matches only, overlaps counted: $got")
+    intercept[IllegalArgumentException] {
+      GraftOps.phraseMatch(rows, col("id"), col("text"), Seq(Seq()))
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.phraseMatch(rows, col("id"), col("text"), Seq())
+    }
+  }
+
+  test("trendingTopK: recent beats frequent-but-old, exact shift decay, ties break on item, guards") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // ref = max ts = 2024-03-29. item 10: 3 hits 28 days old (4 half-
+    // lives at h=7 → 62500 each = 187500). item 20: one hit today
+    // (1000000). item 30: one hit 7 days old (500000).
+    val rows = Seq(
+      (10L, ts("2024-03-01 10:00:00")), (10L, ts("2024-03-01 11:00:00")),
+      (10L, ts("2024-03-01 12:00:00")),
+      (20L, ts("2024-03-29 12:00:00")),
+      (30L, ts("2024-03-22 12:00:00")))
+      .toDF("item", "ts")
+    val got = GraftOps.trendingTopK(rows, col("item"), col("ts"),
+        halfLifeDays = 7, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((20L, 1000000L, 1L), (30L, 500000L, 1L),
+      (10L, 187500L, 3L)),
+      s"recency-decayed order, exact shift arithmetic: ${got.toSeq}")
+    // k truncates on the (score desc, item asc) total order
+    val top1 = GraftOps.trendingTopK(rows, col("item"), col("ts"), 7, 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(20L), s"k=1 keeps the hottest item: $top1")
+    intercept[IllegalArgumentException] {
+      GraftOps.trendingTopK(rows, col("item"), col("ts"), 0, 5)
+    }
+  }
+
   test("attributionReport: first/last/linear credit, lookback cutoff, remainder to last, untouched conversions drop") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
