@@ -68,6 +68,54 @@ object GraftOps {
       .distinct()
   }
 
+  /** Cross-source duplication matrix — the mixture-design question "how
+    * much does source A re-publish source B" answered from the
+    * [[minhashNearDup]] pair stream: each near-dup pair maps to its
+    * unordered source-label pair, and every (src_a ≤ src_b) cell
+    * reports the pair count, both source sizes, the number of POSSIBLE
+    * pairs for that cell (n_a·n_b across sources; n·(n−1)/2 within
+    * one), and the exact integer pairs-ppm of that possibility mass —
+    * the statistic that tells a curator "dedup these two sources
+    * against each other before mixing" (q54's mixture planner consumes
+    * exactly this). All counts exact, ppm a division-free-threshold-
+    * style integer div (hash-gates, q144). Rows with a NULL id or
+    * source never pair (stated).
+    *
+    * Plan: the q16 chain (narrow signatures, one band self-join — only
+    * candidate PAIRS shuffle) plus two id-keyed label joins (AQE
+    * broadcasts the narrow label table when it fits), one
+    * catalog-scale (src, src) agg, and a broadcast of the tiny
+    * source-sizes table. Nothing corpus-quadratic anywhere. */
+  def sourceOverlapReport(df: DataFrame, id: Column, text: Column,
+      src: Column, shingleWidth: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, minMatches: Int = 8): DataFrame = {
+    val labels = df.select(id.as("__lid"), src.as("__lsrc"))
+      .filter(col("__lid").isNotNull && col("__lsrc").isNotNull)
+    val pairs = minhashNearDup(df, id, text, shingleWidth, numHashes,
+      bands, minMatches)
+    val tagged = pairs
+      .join(labels.select(col("__lid").as("id_a"), col("__lsrc").as("__sa")),
+        Seq("id_a"))
+      .join(labels.select(col("__lid").as("id_b"), col("__lsrc").as("__sb")),
+        Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"))
+    val sizes = labels.groupBy(col("__lsrc")).agg(count(lit(1)).as("__n"))
+    tagged.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(broadcast(sizes.select(col("__lsrc").as("src_a"),
+        col("__n").as("n_docs_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("__lsrc").as("src_b"),
+        col("__n").as("n_docs_b"))), Seq("src_b"))
+      .withColumn("n_possible",
+        when(col("src_a") === col("src_b"),
+          expr("(n_docs_a * (n_docs_a - 1)) div 2"))
+          .otherwise(col("n_docs_a") * col("n_docs_b")))
+      .withColumn("pairs_ppm", expr("(n_pairs * 1000000) div n_possible"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"), col("n_docs_a"),
+        col("n_docs_b"), col("n_possible"), col("pairs_ppm"))
+  }
+
   /** SimHash near-dup: pairs within `maxHamming` (≤ 3 with 4 chunks is
     * exact by pigeonhole; larger radii need more chunks). */
   def simhashNearDup(df: DataFrame, id: Column, text: Column,
@@ -4508,6 +4556,41 @@ object GraftOps {
             (col("__tot").cast("double") *
               (least(col("__r"), col("__c")) - 1))) * lit(1000000.0))
             .cast("long")).as("v_us"))
+  }
+
+  /** k-anonymity / l-diversity audit — the release-governance check a
+    * dataset runs before rows with quasi-identifiers leave the tenant:
+    * group by the quasi-identifier columns, then one summary row of
+    * exact integers — group count, total rows, groups smaller than `k`
+    * (k-anonymity violations) and the rows inside them (re-identifiable
+    * mass), the smallest group, groups whose SENSITIVE column shows
+    * fewer than `l` distinct values (l-diversity violations — a
+    * homogeneous group leaks the attribute even at size ≥ k), and the
+    * smallest diversity. NULL quasi values form their own groups
+    * (standard GROUP BY on both engines — NULL is a disclosable value);
+    * NULL sensitive values carry no diversity (COUNT DISTINCT ignores
+    * them, both engines). Everything integer → hash-gates (q143).
+    *
+    * Plan: ONE map-side-combined agg on the quasi key (count + exact
+    * count-distinct) and one 1-row reduce — the cheapest possible audit
+    * at any scale; a hot quasi-combo is one AQE partition. */
+  def kAnonymityReport(df: DataFrame, quasi: Seq[Column],
+      sensitive: Column, k: Int, l: Int): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1; got $k")
+    require(l >= 1, s"l must be >= 1; got $l")
+    val g = df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(sensitive).as("__l"))
+    g.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("__n")).as("n_rows"),
+      sum(when(col("__n") < k, 1L).otherwise(0L)).as("k_violations"),
+      sum(when(col("__n") < k, col("__n")).otherwise(lit(0L)))
+        .as("rows_at_risk"),
+      min(col("__n")).as("min_group_size"),
+      sum(when(col("__l") < l, 1L).otherwise(0L)).as("l_violations"),
+      min(col("__l")).as("min_l"))
   }
 
   def corpusDrift(base: DataFrame, cur: DataFrame,

@@ -1412,6 +1412,32 @@ object CurationOps {
         (SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
       GROUP BY 1 ORDER BY node"""))
 
+  // --------------------------------------------------------------- q143
+  /** Release-governance audit of customer: quasi-identifiers (nation,
+    * market segment), sensitive attribute = exact account-balance
+    * cents; k = 10, l = 8. One summary row, all exact integers.
+    * Exercises [[graft.api.GraftOps.kAnonymityReport]]. */
+  val q143 = QueryDef("q143_k_anonymity",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      GraftOps.kAnonymityReport(c,
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        floor(col("c_acctbal") * lit(100)).cast("long"), k = 10, l = 8)
+    },
+    Some("""
+      WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+          COUNT(DISTINCT CAST(floor(c_acctbal * 100) AS BIGINT)) AS lv
+        FROM customer GROUP BY 1, 2)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS k_violations,
+        CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        CAST(MIN(n) AS BIGINT) AS min_group_size,
+        CAST(SUM(CASE WHEN lv < 8 THEN 1 ELSE 0 END) AS BIGINT) AS l_violations,
+        CAST(MIN(lv) AS BIGINT) AS min_l
+      FROM g"""))
+
   // --------------------------------------------------------------- q113
   /** Pearson correlation matrix of the four lineitem money/quantity
     * metrics per returnflag: doubles quantized to exact integer cents
@@ -1787,5 +1813,5 @@ object CurationOps {
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
       q100, q105, q107, q108, q111, q113, q116, q121, q123, q124, q127,
-      q130, q131, q133, q139)
+      q130, q131, q133, q139, q143)
 }

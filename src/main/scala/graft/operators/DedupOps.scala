@@ -808,7 +808,44 @@ object DedupOps {
       LEFT JOIN fe USING (entity_id)
       ORDER BY lv.entity_id"""))
 
+  // --------------------------------------------------------------- q144
+  /** Cross-source duplication matrix over the q16 near-dup pair stream:
+    * every unordered source-pair cell with exact pair counts, source
+    * sizes, possible-pair mass, and integer pairs-ppm — the
+    * dedup-before-mixing statistic. Exercises
+    * [[graft.api.GraftOps.sourceOverlapReport]]; the oracle is the q16
+    * minhash chain plus two label joins and the identical integer
+    * possibility arithmetic. */
+  val q144 = QueryDef("q144_source_overlap",
+    (s, dir) =>
+      graft.api.GraftOps.sourceOverlapReport(docs(s, dir), col("doc_id"),
+          col("text"), col("source"), shingleWidth = 3, numHashes = 16,
+          bands = 4, minMatches = 8)
+        .orderBy("src_a", "src_b"),
+    Some(s"""
+      WITH ${Duck.minhashCtes},
+      lab AS (SELECT doc_id, source FROM documents
+              WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+      tg AS (
+        SELECT least(x.source, y.source) AS src_a,
+          greatest(x.source, y.source) AS src_b
+        FROM mh_pairs p
+        JOIN lab x ON p.doc_a = x.doc_id
+        JOIN lab y ON p.doc_b = y.doc_id),
+      sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY 1),
+      agg AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+              FROM tg GROUP BY 1, 2)
+      SELECT agg.src_a, agg.src_b, n_pairs,
+        a.n AS n_docs_a, b.n AS n_docs_b,
+        CASE WHEN agg.src_a = agg.src_b THEN (a.n * (a.n - 1)) // 2
+             ELSE a.n * b.n END AS n_possible,
+        (n_pairs * 1000000) // (CASE WHEN agg.src_a = agg.src_b
+             THEN (a.n * (a.n - 1)) // 2 ELSE a.n * b.n END) AS pairs_ppm
+      FROM agg JOIN sz a ON a.source = agg.src_a
+               JOIN sz b ON b.source = agg.src_b
+      ORDER BY src_a, src_b"""))
+
   val all: Seq[QueryDef] =
     Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82, q83, q85, q92, q99,
-      q102, q114, q118)
+      q102, q114, q118, q144)
 }

@@ -1132,6 +1132,21 @@ object PipelineCompiler {
     "textQuality" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.textQuality(in("inport1"),
         expr(arg(args, "text"))))),
+    "sourceOverlapReport" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.sourceOverlapReport(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        expr(arg(args, "src")),
+        shingleWidth = args.getOrElse("shingleWidth", "3").toInt,
+        numHashes = args.getOrElse("numHashes", "16").toInt,
+        bands = args.getOrElse("bands", "4").toInt,
+        minMatches = args.getOrElse("minMatches", "8").toInt))),
+    // quasi: ';'-separated quasi-identifier expression list
+    "kAnonymityReport" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.kAnonymityReport(in("inport1"),
+        arg(args, "quasi").split(";").map(_.trim).filter(_.nonEmpty)
+          .map(expr).toSeq,
+        expr(arg(args, "sensitive")),
+        k = arg(args, "k").toInt, l = arg(args, "l").toInt))),
     "qualityRules" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.qualityRules(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "text")),

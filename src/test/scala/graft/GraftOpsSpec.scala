@@ -1039,6 +1039,53 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("kAnonymityReport: violations, rows at risk, l-diversity, NULL semantics, guards") {
+    import spark.implicits._
+    // groups: (A,1)x3 sens {10,10,20}->l=2; (A,2)x1 sens {30}->l=1;
+    // (B,1)x2 sens {40,NULL}->l=1; (NULL,1)x2 sens {50,60}->l=2
+    val rows = Seq(
+      (Some("A"), 1, Some(10L)), (Some("A"), 1, Some(10L)),
+      (Some("A"), 1, Some(20L)),
+      (Some("A"), 2, Some(30L)),
+      (Some("B"), 1, Some(40L)), (Some("B"), 1, None),
+      (None, 1, Some(50L)), (None, 1, Some(60L)))
+      .toDF("q1", "q2", "s")
+    val r = GraftOps.kAnonymityReport(rows, Seq(col("q1"), col("q2")),
+      col("s"), k = 2, l = 2).collect()(0)
+    assert(r.getLong(0) == 4L, "n_groups: NULL quasi forms its own group")
+    assert(r.getLong(1) == 8L, "n_rows")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L,
+      "one k<2 violation (the size-1 group), 1 row at risk")
+    assert(r.getLong(4) == 1L, "min group size")
+    assert(r.getLong(5) == 2L && r.getLong(6) == 1L,
+      "two l<2 violations (NULL sensitive carries no diversity); min_l 1")
+    intercept[IllegalArgumentException] {
+      GraftOps.kAnonymityReport(rows, Seq(), col("s"), 2, 2)
+    }
+  }
+
+  test("sourceOverlapReport: planted cross-source dups land in the right cell with exact possibility mass") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val rows = Seq(
+      (1L, txt, "srcA"), (2L, txt, "srcB"),      // cross-source exact dup
+      (3L, txt, "srcA"),                          // within-A dup of 1
+      (4L, other, "srcB"), (5L, "solo doc words completely different here today", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val got = GraftOps.sourceOverlapReport(rows, col("doc_id"), col("text"),
+        col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // pairs: (1,2) A-B, (1,3) A-A, (2,3) A-B → cells (A,A)=1, (A,B)=2
+    assert(got(("srcA", "srcA")) == ((1L, 3L, 3L, 3L, 333333L)),
+      s"within-A: 1 pair of 3 possible: $got")
+    assert(got(("srcA", "srcB")) == ((2L, 3L, 2L, 6L, 333333L)),
+      s"cross A-B: 2 pairs of 3x2 possible: $got")
+    assert(!got.contains(("srcB", "srcB")), "no within-B near-dups")
+  }
+
   test("phraseMatch: overlapping windows, normalization canon, multi-phrase, NULL text, guards") {
     import spark.implicits._
     val rows = Seq(
