@@ -26,6 +26,10 @@ import graft.streaming.StreamingOps
   *                 orderedChunked below), not the event_id-mod one.
   *  - s24_rolling_distinct: trailing-window distinct-actives set state
   *                 (same ordered replay — its lateness bound is in days)
+  *  - s25_semantic: semantic-dup admission flags — baked-constant cell
+  *                 routing + stream–static cell equi-join + exact cosine
+  *                 verify against a kmeans-indexed synthetic corpus
+  *                 (stateless, so the plain event_id-mod replay is fine)
   *
   * Deterministic input (event_id-chunked micro-batches), wall-clock
   * measured over processAllAvailable per shape, fresh checkpoint per
@@ -178,6 +182,13 @@ object StreamBench {
             .as[graft.streaming.RollingDistinctStream.Visit]
           (graft.streaming.RollingDistinctStream(visits, windowDays = 7,
             lateDays = 1).toDF(), "append")
+        case "s25_semantic" =>
+          // arrival id = event_id (so a flag row is (event, user) — the
+          // arriving doc vs its own corpus user vector plus cell mates)
+          val arrivals = raw.select(col("event_id").as("id"),
+            vecOf(col("user_id")).as("vec"))
+          (StreamingOps.semanticDupAgainst(arrivals, col("id"), col("vec"),
+            s25Model, s25Index, threshold = 0.95), "append")
         case other => sys.error(s"unknown StreamBench mode: $other")
       }
     }
@@ -196,9 +207,28 @@ object StreamBench {
         checkpoint = new java.io.File(tmp, s"$tag-ckpt").getAbsolutePath)
     }
 
+    // s25 setup — a deterministic synthetic 16-dim vector per user
+    // (portable-hash components), a kmeans model trained ONCE over the
+    // per-user corpus, and the cell-assigned index; the streamed events
+    // replay the SAME per-user vectors, so every arrival exercises the
+    // full route→join→cosine-verify path with real flag volume.
+    def vecOf(c: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(15)),
+        i => (pmod(hash(c * 31 + i), lit(1000)).cast("double") / 1000.0)
+          .cast("float"))
+    lazy val (s25Model, s25Index) = {
+      val corpus = e.select(col("user_id")).distinct()
+        .select(col("user_id"), vecOf(col("user_id")).as("vec"))
+      val m = graft.api.GraftOps.kmeansFit(corpus, col("user_id"),
+        col("vec"), k = 16, iters = 1)
+      val idx = StreamingOps.semanticDupIndex(corpus, col("user_id"),
+        col("vec"), m).localCheckpoint(true)
+      (m, idx)
+    }
+
     val modes = Seq("s1_parse", "s2_window", "s13_heavy", "s5_stateful",
         "s20_upsert", "s21_ewma", "s22_transition", "s23_cusum",
-        "s24_rolling_distinct")
+        "s24_rolling_distinct", "s25_semantic")
       .filter(m => wanted.isEmpty || wanted(m))
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = modes.flatMap { mode =>
