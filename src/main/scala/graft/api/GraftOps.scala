@@ -2306,6 +2306,69 @@ object GraftOps {
     df.withColumn("unit", graft.functions.L2Unit(vec))
   }
 
+  /** Key-skew audit — the measurement that DECIDES [[saltedJoin]]'s
+    * `salts` (or an AQE skew threshold, or a broadcast) before a 100 TB
+    * shuffle pays for the wrong choice: the top-`topN` hottest keys by
+    * exact count, each row carrying its integer-ppm share of all rows
+    * plus the global totals (n_rows, n_keys), ordered by the
+    * (count desc, key asc) total order. NULL keys are REAL skew — every
+    * NULL row hash-partitions together — so NULL is reported as a key
+    * like any other (its key string is NULL; stated). Keys surface CAST
+    * TO STRING so one report type serves any key type (hash-portable).
+    * All integers exact (q145).
+    *
+    * Plan: one map-side-combined key agg, one 1-row totals broadcast
+    * (the q35/q70 shape), one TakeOrderedAndProject — never a sort of
+    * the key table. */
+  def keySkewReport(df: DataFrame, key: Column, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1; got $topN")
+    val counts = df.select(key.cast("string").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__rows"),
+      count(lit(1)).as("__keys"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("ppm", expr("(n * 1000000) div __rows"))
+      .orderBy(desc("n"), col("key"))
+      .limit(topN)
+      .select(col("key"), col("n"), col("ppm"),
+        col("__rows").as("n_rows"), col("__keys").as("n_keys"))
+  }
+
+  /** Join-cardinality estimator — EXACT |A ⋈ B| without executing the
+    * join: Σ over matching keys of n_a·n_b, computed from the two
+    * key-count tables (key-cardinality scale, never row scale). The
+    * pre-flight audit that catches the accidental many-to-many before
+    * it materializes (a fanout of 10⁴×10⁴ on one hot key is 10⁸ rows
+    * the plan never warned about): reports the top-`topN` contributing
+    * keys (n_left, n_right, exact pair count) with the global exact
+    * join_rows and matched-key count on every row. NULL keys never
+    * match (equi-join semantics) and are excluded. Keys as strings,
+    * all counts exact integers (q146).
+    *
+    * Plan: two map-side-combined key aggs, one key-table equi-join
+    * (AQE broadcasts the smaller), one 1-row totals broadcast, one
+    * TakeOrderedAndProject. Cost is O(distinct keys) — the audit stays
+    * cheap precisely when the join it predicts would not be. */
+  def joinCardinalityReport(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1; got $topN")
+    val la = left.select(leftKey.cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_left"))
+    val ra = right.select(rightKey.cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_right"))
+    val m = la.join(ra, Seq("key"))
+      .withColumn("pairs", col("n_left") * col("n_right"))
+    val totals = m.agg(sum(col("pairs")).as("__jr"),
+      count(lit(1)).as("__mk"))
+    m.crossJoin(broadcast(totals))
+      .orderBy(desc("pairs"), col("key"))
+      .limit(topN)
+      .select(col("key"), col("n_left"), col("n_right"), col("pairs"),
+        col("__jr").as("join_rows"), col("__mk").as("n_keys_matched"))
+  }
+
   /** Skew-safe equi-join: the big side's hot keys are spread over `salts`
     * sub-partitions and the small side is replicated once per salt. Result
     * identical to `big.join(small, key, joinType)`; only the shuffle

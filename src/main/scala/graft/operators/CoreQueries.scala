@@ -817,6 +817,51 @@ object CoreQueries {
         FROM r)
       ORDER BY l_returnflag, q_ppm"""))
 
+  // --------------------------------------------------------------- q145
+  /** Hottest supplier keys in lineitem with integer-ppm shares — the
+    * pre-shuffle skew audit that sizes saltedJoin/AQE decisions.
+    * Exercises [[graft.api.GraftOps.keySkewReport]]. Keys surface as
+    * strings, so the (count desc, key asc) tie order is the STRING
+    * order on both engines. */
+  val q145 = QueryDef("q145_key_skew",
+    (s, dir) =>
+      graft.api.GraftOps.keySkewReport(t(s, dir, "lineitem"),
+          col("l_suppkey"), topN = 20)
+        .orderBy(desc("n"), col("key")),
+    Some("""
+      WITH c AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS key, COUNT(*) AS n
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+      SELECT key, n, (n * 1000000) // n_rows AS ppm, n_rows, n_keys
+      FROM c, t ORDER BY n DESC, key LIMIT 20"""))
+
+  // --------------------------------------------------------------- q146
+  /** Exact customer⋈orders cardinality WITHOUT executing the join —
+    * key-count tables only, top contributing keys plus the global
+    * exact join_rows. Exercises
+    * [[graft.api.GraftOps.joinCardinalityReport]]. */
+  val q146 = QueryDef("q146_join_cardinality",
+    (s, dir) =>
+      graft.api.GraftOps.joinCardinalityReport(
+          t(s, dir, "customer"), col("c_custkey"),
+          t(s, dir, "orders"), col("o_custkey"), topN = 20)
+        .orderBy(desc("pairs"), col("key")),
+    Some("""
+      WITH la AS (
+        SELECT CAST(c_custkey AS VARCHAR) AS key, COUNT(*) AS n_left
+        FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+      ra AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS n_right
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+      m AS (SELECT key, n_left, n_right, n_left * n_right AS pairs
+            FROM la JOIN ra USING (key)),
+      t AS (SELECT CAST(SUM(pairs) AS BIGINT) AS join_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_keys_matched FROM m)
+      SELECT key, n_left, n_right, pairs, join_rows, n_keys_matched
+      FROM m, t ORDER BY pairs DESC, key LIMIT 20"""))
+
   // --------------------------------------------------------------- q132
   /** Price deciles within each order priority — exact integer
     * equal-frequency bins over (price, orderkey) total order, the
@@ -851,5 +896,6 @@ object CoreQueries {
 
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q07b, q08, q08b, q09, q09b, q10, q14, q15,
-      q15b, q29, q29b, q30, q31, q32, q33, q67, q68, q129, q132, q137)
+      q15b, q29, q29b, q30, q31, q32, q33, q67, q68, q129, q132, q137,
+      q145, q146)
 }

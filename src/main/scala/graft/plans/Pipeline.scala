@@ -1132,6 +1132,15 @@ object PipelineCompiler {
     "textQuality" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.textQuality(in("inport1"),
         expr(arg(args, "text"))))),
+    "keySkewReport" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.keySkewReport(in("inport1"),
+        expr(arg(args, "key")), topN = arg(args, "topN").toInt))),
+    // inport1 = left, inport2 = right
+    "joinCardinalityReport" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.joinCardinalityReport(
+        in("inport1"), expr(arg(args, "leftKey")),
+        in("inport2"), expr(arg(args, "rightKey")),
+        topN = arg(args, "topN").toInt))),
     "sourceOverlapReport" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.sourceOverlapReport(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "text")),

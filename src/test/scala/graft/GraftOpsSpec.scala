@@ -1039,6 +1039,42 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("keySkewReport: hot keys with ppm shares, NULL is a real key, string tie order, guards") {
+    import spark.implicits._
+    val rows = (Seq.fill(6)(Some("hot")) ++ Seq.fill(2)(Option.empty[String]) ++
+      Seq(Some("a"), Some("b")))
+      .toDF("k")
+    val got = GraftOps.keySkewReport(rows, col("k"), topN = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 3 && got(0) == ((Some("hot"), 6L, 600000L, 10L, 4L)),
+      s"hottest first with exact ppm + global totals: ${got.toSeq}")
+    assert(got(1) == ((None, 2L, 200000L, 10L, 4L)),
+      s"NULL keys report as real skew: ${got.toSeq}")
+    intercept[IllegalArgumentException] {
+      GraftOps.keySkewReport(rows, col("k"), 0)
+    }
+  }
+
+  test("joinCardinalityReport: exact fanout without executing the join; NULL keys never match; guards") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 1L, 2L, 3L).map(Some(_)).toDF("x") // key1 x3, key2, key3
+    val b = (Seq(1L, 1L, 2L).map(Some(_)) :+ Option.empty[Long]).toDF("y")
+    val got = GraftOps.joinCardinalityReport(a, col("x"), b, col("y"), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // matches: key 1 (3x2=6) + key 2 (1x1=1) = 7 join rows over 2 keys
+    assert(got.toSeq == Seq(("1", 3L, 2L, 6L, 7L, 2L),
+      ("2", 1L, 1L, 1L, 7L, 2L)),
+      s"exact pair counts and totals, NULLs excluded: ${got.toSeq}")
+    // the prediction matches the real join's count
+    assert(a.join(b, col("x") === col("y")).count() == 7L,
+      "predicted join_rows equals the executed join")
+    intercept[IllegalArgumentException] {
+      GraftOps.joinCardinalityReport(a, col("x"), b, col("y"), 0)
+    }
+  }
+
   test("kAnonymityReport: violations, rows at risk, l-diversity, NULL semantics, guards") {
     import spark.implicits._
     // groups: (A,1)x3 sens {10,10,20}->l=2; (A,2)x1 sens {30}->l=1;
