@@ -2306,6 +2306,44 @@ object GraftOps {
     df.withColumn("unit", graft.functions.L2Unit(vec))
   }
 
+  /** Table profile — the dataset-card primitive every ingestion runs
+    * before anything else: one row per column with the exact-safe
+    * counts that are portable for ANY column type — rows, non-null
+    * count, null count, exact distinct count. (Min/max/mean are
+    * deliberately absent: their string/float renderings are
+    * engine-dependent across types; the declarative validation op
+    * (q57) checks typed bounds where they matter.) Column order is the
+    * schema's, surfaced as an explicit ordinal so the report is
+    * totally ordered. All integers (hash-gates, q147).
+    *
+    * Plan: ONE aggregate computes every column's count + exact
+    * count-distinct in a single corpus pass (Spark plans multi-distinct
+    * via one expand — m distinct aggregates cost one m-way row
+    * expansion, not m passes), then a 1-row → m-row literal unpivot.
+    * No per-column scans, no window. */
+  def profileTable(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(names.nonEmpty, "profileTable needs at least one column")
+    val missing = names.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
+    val aggs = count(lit(1)).as("__rows") +:
+      names.zipWithIndex.flatMap { case (c, i) =>
+        Seq(count(col(c)).as(s"__nn$i"),
+          countDistinct(col(c)).as(s"__nd$i"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(posexplode(array(names.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("column"), col("__rows").as("n_rows"),
+          col(s"__nn$i").as("n_nonnull"),
+          (col("__rows") - col(s"__nn$i")).as("n_null"),
+          col(s"__nd$i").as("n_distinct"))
+      }: _*)))
+      .select((col("pos") + 1).cast("long").as("ordinal"),
+        col("col.column").as("column"),
+        col("col.n_rows").as("n_rows"), col("col.n_nonnull").as("n_nonnull"),
+        col("col.n_null").as("n_null"), col("col.n_distinct").as("n_distinct"))
+  }
+
   /** Key-skew audit — the measurement that DECIDES [[saltedJoin]]'s
     * `salts` (or an AQE skew threshold, or a broadcast) before a 100 TB
     * shuffle pays for the wrong choice: the top-`topN` hottest keys by

@@ -862,6 +862,40 @@ object CoreQueries {
       SELECT key, n_left, n_right, pairs, join_rows, n_keys_matched
       FROM m, t ORDER BY pairs DESC, key LIMIT 20"""))
 
+  // --------------------------------------------------------------- q147
+  /** Dataset-card profile of orders: exact per-column null/distinct
+    * counts in one aggregate pass. Exercises
+    * [[graft.api.GraftOps.profileTable]]. */
+  val q147 = QueryDef("q147_profile_table",
+    (s, dir) =>
+      graft.api.GraftOps.profileTable(t(s, dir, "orders"))
+        .orderBy("ordinal"),
+    Some("""
+      WITH t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(o_orderkey) AS BIGINT) AS nn1,
+          CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+          CAST(COUNT(o_custkey) AS BIGINT) AS nn2,
+          CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd2,
+          CAST(COUNT(o_orderstatus) AS BIGINT) AS nn3,
+          CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+          CAST(COUNT(o_totalprice) AS BIGINT) AS nn4,
+          CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd4,
+          CAST(COUNT(o_orderdate) AS BIGINT) AS nn5,
+          CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd5,
+          CAST(COUNT(o_orderpriority) AS BIGINT) AS nn6,
+          CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd6
+        FROM orders)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS ordinal, 'o_orderkey' AS "column",
+          n_rows, nn1 AS n_nonnull, n_rows - nn1 AS n_null, nd1 AS n_distinct FROM t
+        UNION ALL SELECT 2, 'o_custkey', n_rows, nn2, n_rows - nn2, nd2 FROM t
+        UNION ALL SELECT 3, 'o_orderstatus', n_rows, nn3, n_rows - nn3, nd3 FROM t
+        UNION ALL SELECT 4, 'o_totalprice', n_rows, nn4, n_rows - nn4, nd4 FROM t
+        UNION ALL SELECT 5, 'o_orderdate', n_rows, nn5, n_rows - nn5, nd5 FROM t
+        UNION ALL SELECT 6, 'o_orderpriority', n_rows, nn6, n_rows - nn6, nd6 FROM t)
+      ORDER BY ordinal"""))
+
   // --------------------------------------------------------------- q132
   /** Price deciles within each order priority — exact integer
     * equal-frequency bins over (price, orderkey) total order, the
@@ -897,5 +931,5 @@ object CoreQueries {
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q07b, q08, q08b, q09, q09b, q10, q14, q15,
       q15b, q29, q29b, q30, q31, q32, q33, q67, q68, q129, q132, q137,
-      q145, q146)
+      q145, q146, q147)
 }

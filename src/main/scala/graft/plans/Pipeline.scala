@@ -1132,6 +1132,11 @@ object PipelineCompiler {
     "textQuality" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.textQuality(in("inport1"),
         expr(arg(args, "text"))))),
+    // cols: optional ';'-separated column subset (default: all)
+    "profileTable" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.profileTable(in("inport1"),
+        args.get("cols").map(_.split(";").map(_.trim).filter(_.nonEmpty)
+          .toSeq).getOrElse(Nil)))),
     "keySkewReport" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.keySkewReport(in("inport1"),
         expr(arg(args, "key")), topN = arg(args, "topN").toInt))),

@@ -1039,6 +1039,29 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("profileTable: exact null/distinct counts per column, schema order, column scoping, guards") {
+    import spark.implicits._
+    val rows = Seq(
+      (Some(1L), Some("a"), Some(1.5)),
+      (Some(2L), Some("a"), None),
+      (Some(2L), None, Some(2.5)))
+      .toDF("id", "s", "v")
+    val got = GraftOps.profileTable(rows)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, "id", 3L, 3L, 0L, 2L),
+      (2L, "s", 3L, 2L, 1L, 1L),
+      (3L, "v", 3L, 2L, 1L, 2L)),
+      s"per-column exact counts in schema order: ${got.toSeq}")
+    val scoped = GraftOps.profileTable(rows, Seq("v"))
+      .collect().map(_.getString(1)).toSeq
+    assert(scoped == Seq("v"), "column scoping")
+    intercept[IllegalArgumentException] {
+      GraftOps.profileTable(rows, Seq("nope"))
+    }
+  }
+
   test("keySkewReport: hot keys with ppm shares, NULL is a real key, string tie order, guards") {
     import spark.implicits._
     val rows = (Seq.fill(6)(Some("hot")) ++ Seq.fill(2)(Option.empty[String]) ++
