@@ -47,6 +47,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     *    path-catalog table (the q35/q70 shape).
     *  - q141: the 1-row max-ts reference-instant broadcast-cross onto
     *    the observation stream (the q35/q70 shape).
+    *  - q145/q146: the 1-row totals broadcast-cross onto the key-count
+    *    table (the q35/q70 shape, both audits).
     */
   private val allowNestedLoop = Set(
     "q13_similarity_knn", "q19_embedding_neardup", "q32_cross_join",
@@ -54,7 +56,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q70b_heavy_hitters_sketch", "q71_ann_sq8", "q77_collocations",
     "q81_contribution", "q112_bm25_topk", "q115_rrf_fusion",
     "q128_mmr_rerank", "q130_cat_association", "q131_proportion_lift",
-    "q133_class_key_terms", "q134_top_paths", "q141_trending")
+    "q133_class_key_terms", "q134_top_paths", "q141_trending",
+    "q145_key_skew", "q146_join_cardinality")
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(nodes)
