@@ -187,8 +187,13 @@ object StreamBench {
           // arriving doc vs its own corpus user vector plus cell mates)
           val arrivals = raw.select(col("event_id").as("id"),
             vecOf(col("user_id")).as("vec"))
+          // arrival ids are event_ids, index ids are user_ids — two id
+          // spaces, so the shared-id self-exclusion must be OFF (a
+          // coincidental event_id == user_id equality would silently
+          // drop a real flag — r17 ADVICE)
           (StreamingOps.semanticDupAgainst(arrivals, col("id"), col("vec"),
-            s25Model, s25Index, threshold = 0.95), "append")
+            s25Model, s25Index, threshold = 0.95,
+            sharedIdSpace = false), "append")
         case other => sys.error(s"unknown StreamBench mode: $other")
       }
     }

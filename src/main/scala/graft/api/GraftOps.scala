@@ -2349,7 +2349,9 @@ object GraftOps {
     * shuffle pays for the wrong choice: the top-`topN` hottest keys by
     * exact count, each row carrying its integer-ppm share of all rows
     * plus the global totals (n_rows, n_keys), ordered by the
-    * (count desc, key asc) total order. NULL keys are REAL skew — every
+    * (count desc, key asc NULLS LAST) total order — the NULL position
+    * is pinned explicitly because Spark and DuckDB disagree on the
+    * ascending default. NULL keys are REAL skew — every
     * NULL row hash-partitions together — so NULL is reported as a key
     * like any other (its key string is NULL; stated). Keys surface CAST
     * TO STRING so one report type serves any key type (hash-portable).
@@ -2366,7 +2368,12 @@ object GraftOps {
       count(lit(1)).as("__keys"))
     counts.crossJoin(broadcast(totals))
       .withColumn("ppm", expr("(n * 1000000) div __rows"))
-      .orderBy(desc("n"), col("key"))
+      // NULLS LAST pinned explicitly: Spark's default asc puts NULL
+      // FIRST while DuckDB defaults NULLS LAST, so a count tie between
+      // the NULL key and a non-null key would flip topN membership
+      // across engines (r17 ADVICE) — the report's total order is
+      // (count desc, key asc NULLS LAST) on both.
+      .orderBy(desc("n"), col("key").asc_nulls_last)
       .limit(topN)
       .select(col("key"), col("n"), col("ppm"),
         col("__rows").as("n_rows"), col("__keys").as("n_keys"))
@@ -2562,10 +2569,21 @@ object GraftOps {
       phrases: Seq[Seq[String]]): DataFrame = {
     require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
       "phrases must be a non-empty list of non-empty token sequences")
-    require(phrases.forall(_.forall(_.nonEmpty)),
+    // Phrase tokens go through the SAME canon as the document side
+    // (Text.tokens = lower/trim) — a caller's Seq("Table", "SCAN") must
+    // match "table scan" as the scaladoc promises, not silently match
+    // nothing because the document tokens are lowercased and the baked
+    // literals were not (r17 ADVICE). A token the canon would SPLIT
+    // (internal whitespace) can never equal one document token, so it
+    // is rejected loudly rather than baked as an unmatchable literal.
+    val canon = phrases.map(_.map(_.trim.toLowerCase(java.util.Locale.ROOT)))
+    require(canon.forall(_.forall(_.nonEmpty)),
       "phrase tokens must be non-empty strings")
+    require(canon.forall(_.forall(t => !t.exists(_.isWhitespace))),
+      "phrase tokens must be single tokens (no internal whitespace) — " +
+        "split multi-word phrases into one token per element")
     val toks = Text.tokens(text)
-    val perPhrase = phrases.map { p =>
+    val perPhrase = canon.map { p =>
       val n = coalesce(
         graft.functions.PhraseCount.asColumn(toks, p), lit(0L))
       struct(lit(p.mkString(" ")).as("phrase"), n.as("n_matches"))
@@ -4041,7 +4059,11 @@ object GraftOps {
     * Conversions with no in-window touch are unattributable and drop
     * (stated — report them via [[funnel]] if the zero-touch count
     * matters). Rows with NULL key/ts/tiebreak drop up front (no
-    * position in the order — the house q117/q126 posture).
+    * position in the order — the house q117/q126 posture). CONTRACT:
+    * (ts, tiebreak) must be unique per key among a conversion's
+    * touches — a duplicate pair at the first/last position makes the
+    * credit ambiguous and raises loudly at run time rather than
+    * over-crediting silently.
     *
     * Plan: ONE key equi-join (conversions × touches, range residual on
     * the micros — never a cross product), one UNSORTED window over the
@@ -4073,9 +4095,23 @@ object GraftOps {
       .withColumn("__pos", struct(col("__tt"), col("__ttb")))
       .withColumn("__isf", col("__pos") === min(col("__pos")).over(w))
       .withColumn("__isl", col("__pos") === max(col("__pos")).over(w))
-      .withColumn("__lin", expr("cast(1000000 as bigint) div __n") +
-        when(col("__isl"), expr("cast(1000000 as bigint) % __n"))
-          .otherwise(lit(0L)))
+      // the (ts, tiebreak) pair must be UNIQUE per key among a
+      // conversion's touches: a duplicate pair at the min or max
+      // position would credit first/last to MULTIPLE touches and push
+      // the linear remainder above 10⁶ ppm — that ambiguity fails
+      // loudly (house raise_error posture, r17 ADVICE) instead of
+      // silently over-crediting. Duplicates at interior positions are
+      // harmless and pass. Same unsorted window frames, no extra sort.
+      .withColumn("__nf", sum(when(col("__isf"), 1L).otherwise(0L)).over(w))
+      .withColumn("__nl", sum(when(col("__isl"), 1L).otherwise(0L)).over(w))
+      .withColumn("__lin",
+        when(col("__nf") > 1 || col("__nl") > 1, raise_error(concat(
+          lit("attributionReport: duplicate (ts, tiebreak) among a "),
+          lit("conversion's touches (key "), col("__u").cast("string"),
+          lit(") — first/last credit is ambiguous; pick a unique tiebreak"))))
+        .otherwise(expr("cast(1000000 as bigint) div __n") +
+          when(col("__isl"), expr("cast(1000000 as bigint) % __n"))
+            .otherwise(lit(0L))))
       .groupBy(col("__ch").as("channel"))
       .agg(sum(when(col("__isf"), 1L).otherwise(0L)).as("first_touch"),
         sum(when(col("__isl"), 1L).otherwise(0L)).as("last_touch"),
@@ -5027,15 +5063,20 @@ object GraftOps {
     // cannot overflow a long — i.e. range < 2⁶³/B, every realistic
     // quantized domain; the decimal(38,0) path is the exact fallback
     // for astronomically wide ranges. Both branches compute the same
-    // floor((v−min)·B / (max−min+1)), so the choice is invisible.
+    // floor-division bucketing, so the choice is invisible. The RANGE
+    // ITSELF is computed in decimal(38,0): a group spanning more than
+    // Long.MaxValue (e.g. Long.MinValue..Long.MaxValue) would wrap a
+    // long `__vmax - __vmin` to a NEGATIVE, silently pass the fast-path
+    // guard, and divide by a negative — non-monotone bucket ids in
+    // exactly the regime the fallback exists for (r17 ADVICE).
     def bucketId = {
-      val range = col("__vmax") - col("__vmin")
-      when(range <= lit(Long.MaxValue / buckets - 1),
+      val dec = "decimal(38,0)"
+      val rangeDec = col("__vmax").cast(dec) - col("__vmin").cast(dec)
+      when(rangeDec <= lit(Long.MaxValue / buckets - 1).cast(dec),
         expr(s"((__v - __vmin) * $buckets) div (__vmax - __vmin + 1)"))
-        .otherwise(((col("__v") - col("__vmin")).cast("decimal(38,0)") *
-          lit(buckets)).cast("decimal(38,0)")
-          .divide(
-            (col("__vmax") - col("__vmin") + lit(1)).cast("decimal(38,0)"))
+        .otherwise(((col("__v").cast(dec) - col("__vmin").cast(dec)) *
+          lit(buckets).cast(dec))
+          .divide(rangeDec + lit(1).cast(dec))
           .cast("long"))
     }
     def withB = base.join(broadcast(stats), Seq("group"))

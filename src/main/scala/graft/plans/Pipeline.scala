@@ -737,7 +737,9 @@ object PipelineCompiler {
         in("inport1"), expr(arg(args, "id")), expr(arg(args, "vec")),
         in("inport2"), in("inport3"),
         threshold = arg(args, "threshold").toDouble,
-        nprobe = args.getOrElse("nprobe", "1").toInt))),
+        nprobe = args.getOrElse("nprobe", "1").toInt,
+        sharedIdSpace =
+          args.getOrElse("sharedIdSpace", "true").toBoolean))),
     // Span-level admission tier: spanIndex is the batch repeated-window
     // index (q85 semantics); maskSpansAgainst strips indexed boilerplate
     // spans from arriving docs (inport1 = docs, inport2 = index) — pure

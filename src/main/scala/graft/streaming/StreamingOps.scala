@@ -416,12 +416,16 @@ object StreamingOps {
     * dedup state to accumulate, and the flag set for a replay is
     * identical in ANY chunking (law S25). Same recall contract as
     * batch: a near-dup straddling a cell boundary needs nprobe ≥ 2.
+    * `sharedIdSpace` (default true) drops pairs whose arriving id
+    * equals the indexed dup_of id — the re-ingestion self-dup guard;
+    * pass false when the stream and the index use DIFFERENT id spaces,
+    * where a coincidental equality would silently suppress a real flag.
     * Admission composes per micro-batch: inside a [[foreachBatchSink]]
     * the batch is a plain DataFrame, so `batch.join(flags, "left_anti")`
     * + index append is the fingerprintAppendSink idiom at this tier. */
   def semanticDupAgainst(stream: DataFrame, id: Column, vec: Column,
       model: DataFrame, index: DataFrame, threshold: Double,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1, sharedIdSpace: Boolean = true): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
     val cents = graft.api.GraftOps.collectModel(model)
     require(cents.nonEmpty, "semanticDupAgainst with an empty model")
@@ -430,8 +434,16 @@ object StreamingOps {
       .select(col("id"), col("__sv"),
         explode(slice(graft.functions.NearestCells(col("__sv"),
           cents.map(_._2), cents.map(_._1)), 1, nprobe)).as("cluster"))
-    routed.join(index, Seq("cluster"))
-      .filter(col("id") =!= col("dup_of")) // re-ingested row is not its own dup
+    val paired = routed.join(index, Seq("cluster"))
+    // self-exclusion ASSUMES the stream and the index share one id
+    // space (a re-ingested row is not its own dup). When the two sides
+    // use DIFFERENT id spaces, a coincidental numeric equality would
+    // silently suppress a legitimate near-dup flag (r17 ADVICE) — such
+    // callers pass sharedIdSpace = false to keep every pair.
+    val candidates =
+      if (sharedIdSpace) paired.filter(col("id") =!= col("dup_of"))
+      else paired
+    candidates
       .withColumn("sim", graft.functions.CosineSim(col("__sv"), col("__cv")))
       .filter(col("sim") >= threshold)
       .select(col("id"), col("dup_of"), col("sim"))

@@ -1077,6 +1077,15 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] {
       GraftOps.keySkewReport(rows, col("k"), 0)
     }
+    // count tie between NULL and a non-null key: NULLS LAST is pinned
+    // (Spark's asc default is nulls FIRST, DuckDB's is LAST — r17
+    // ADVICE), so topN=1 must keep the non-null key on both engines
+    val tied = (Seq.fill(2)(Some("a")) ++ Seq.fill(2)(Option.empty[String]) :+
+      Some("z")).toDF("k")
+    val top1 = GraftOps.keySkewReport(tied, col("k"), topN = 1)
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(top1 == Seq(Some("a")),
+      s"tie between NULL and 'a' resolves NULLS LAST: $top1")
   }
 
   test("joinCardinalityReport: exact fanout without executing the join; NULL keys never match; guards") {
@@ -1165,6 +1174,20 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] {
       GraftOps.phraseMatch(rows, col("id"), col("text"), Seq())
     }
+    // caller phrase tokens go through the same canon as the document
+    // side: Seq("Table", "SCAN") matches lowercased document tokens
+    // (r17 ADVICE — verbatim tokens silently matched nothing)
+    val mixed = GraftOps.phraseMatch(rows, col("id"), col("text"),
+        Seq(Seq("Table", "SCAN")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(mixed == Set((1L, "table scan", 2L)),
+      s"mixed-case phrase tokens normalize through the canon: $mixed")
+    // a token the canon would SPLIT can never match one document token
+    // — rejected loudly rather than baked as an unmatchable literal
+    intercept[IllegalArgumentException] {
+      GraftOps.phraseMatch(rows, col("id"), col("text"),
+        Seq(Seq("table scan")))
+    }
   }
 
   test("trendingTopK: recent beats frequent-but-old, exact shift decay, ties break on item, guards") {
@@ -1229,6 +1252,43 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       GraftOps.attributionReport(rows, col("u"), col("ts"), col("tb"),
         col("ch"), col("cv"), lookbackDays = 0)
     }
+  }
+
+  test("attributionReport: duplicate (ts, tiebreak) at first/last raises loudly; interior dups pass (r17 ADVICE)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two touches share the FIRST position exactly → ambiguous credit
+    val dupFirst = Seq(
+      (1L, ts("2024-03-10 10:00:00"), 1L, "a", false),
+      (1L, ts("2024-03-10 10:00:00"), 1L, "b", false),
+      (1L, ts("2024-03-10 11:00:00"), 2L, "c", false),
+      (1L, ts("2024-03-10 12:00:00"), 3L, "buy", true))
+      .toDF("u", "ts", "tb", "ch", "cv")
+    val ex = intercept[Exception] {
+      GraftOps.attributionReport(dupFirst, col("u"), col("ts"), col("tb"),
+        col("ch"), col("cv"), lookbackDays = 7).collect()
+    }
+    def msg(e: Throwable): String =
+      (Option(e.getMessage) ++ Option(e.getCause).map(msg)).mkString(" ")
+    assert(msg(ex).contains("ambiguous"),
+      s"duplicate first-position pair must fail loudly: $ex")
+    // a duplicate pair at an INTERIOR position is harmless: first and
+    // last stay unique, linear mass still sums to exactly 1e6
+    val dupMid = Seq(
+      (1L, ts("2024-03-10 10:00:00"), 1L, "a", false),
+      (1L, ts("2024-03-10 11:00:00"), 2L, "b", false),
+      (1L, ts("2024-03-10 11:00:00"), 2L, "b", false),
+      (1L, ts("2024-03-10 12:00:00"), 3L, "c", false),
+      (1L, ts("2024-03-10 13:00:00"), 4L, "buy", true))
+      .toDF("u", "ts", "tb", "ch", "cv")
+    val got = GraftOps.attributionReport(dupMid, col("u"), col("ts"),
+        col("tb"), col("ch"), col("cv"), lookbackDays = 7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((1L, 0L, 250000L)) && got("c") == ((0L, 1L, 250000L)),
+      s"unique first/last keep their credit: $got")
+    assert(got.values.map(_._3).sum == 1000000L,
+      s"linear mass still sums to exactly 1e6: $got")
   }
 
   test("qualityRules: each rule fails independently; NULL/empty text drops; keep is the conjunction") {
@@ -1330,6 +1390,32 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] {
       GraftOps.weightedQuantilesHist(rows, col("g"), col("v"), col("w"),
         Seq(500000L), buckets = 1)
+    }
+  }
+
+  test("weightedQuantilesHist: range wider than Long.MaxValue takes the exact decimal path (r17 ADVICE overflow)") {
+    import spark.implicits._
+    // group range = (2^63-1) - (-2^63+1) = 2^64 - 2 > Long.MaxValue: a
+    // long `__vmax - __vmin` wraps NEGATIVE, which used to pass the
+    // fast-path guard and divide by a negative (non-monotone buckets).
+    // The decimal-range guard must route this to the exact fallback and
+    // still agree bit-for-bit with the exact tier.
+    val rows = Seq(
+      ("wide", Long.MinValue + 1, 1L), ("wide", -1000000L, 2L),
+      ("wide", 0L, 3L), ("wide", 42L, 1L),
+      ("wide", Long.MaxValue - 1, 2L),
+      ("narrow", 5L, 4L), ("narrow", 9L, 1L))
+      .toDF("g", "v", "w")
+    val qs = Seq(0L, 250000L, 500000L, 750000L, 1000000L)
+    for (b <- Seq(2, 16)) {
+      val exact = GraftOps.weightedQuantiles(rows, col("g"), col("v"),
+        col("w"), qs).collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+      val hist = GraftOps.weightedQuantilesHist(rows, col("g"), col("v"),
+        col("w"), qs, buckets = b).collect().map(r => (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(hist == exact,
+        s"buckets=$b: overflow-range group diverged from exact tier")
     }
   }
 

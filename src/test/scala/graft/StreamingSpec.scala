@@ -683,6 +683,21 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
         got.filter(_._1 == 200L).map(_._2).subsetOf(Set(3L, 4L)),
         s"flags point at same-cluster corpus rows: $got")
       assert(got.forall(_._3 >= 0.95), s"every flag clears the threshold: $got")
+      // id-space semantics (r17 ADVICE): an arriving id that happens to
+      // EQUAL an indexed id is self-excluded under the default shared
+      // id space, but kept when the caller declares disjoint id spaces
+      val clash = Seq((1L, Some(v(1.0, 0.02, 0.0)))).toDF("id", "vec")
+      val shared = StreamingOps.semanticDupAgainst(clash, col("id"),
+          col("vec"), model, index, threshold = 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!shared.contains((1L, 1L)),
+        s"shared id space: a row is never its own dup: $shared")
+      val disjoint = StreamingOps.semanticDupAgainst(clash, col("id"),
+          col("vec"), model, index, threshold = 0.95,
+          sharedIdSpace = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(disjoint.contains((1L, 1L)),
+        s"disjoint id spaces keep the coincidental-equality pair: $disjoint")
     } finally index.unpersist()
   }
 
