@@ -2316,20 +2316,30 @@ object GraftOps {
     * schema's, surfaced as an explicit ordinal so the report is
     * totally ordered. All integers (hash-gates, q147).
     *
-    * Plan: ONE aggregate computes every column's count + exact
-    * count-distinct in a single corpus pass (Spark plans multi-distinct
-    * via one expand — m distinct aggregates cost one m-way row
-    * expansion, not m passes), then a 1-row → m-row literal unpivot.
-    * No per-column scans, no window. */
-  def profileTable(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    * Plan, exact tier: ONE aggregate computes every column's count +
+    * exact count-distinct in a single corpus pass (Spark plans
+    * multi-distinct via one expand — m distinct aggregates cost one
+    * m-way ROW MULTIPLICATION of the corpus through one exchange),
+    * then a 1-row → m-row literal unpivot. No per-column scans, no
+    * window. At 100 TB that Expand is exactly the wrong default for
+    * the one op that by definition scans the whole corpus — so
+    * `approx = true` swaps each countDistinct for an HLL++
+    * `approx_count_distinct` (the q15b/q29b sketch-tier precedent):
+    * same report schema, ONE map-side-combined pass with NO row
+    * expansion, n_distinct becomes an estimate (default rsd 5%;
+    * rows-only gate q147b — sketches don't hash-match DuckDB, the
+    * relative-error bound vs the exact tier is spec-pinned). */
+  def profileTable(df: DataFrame, cols: Seq[String] = Nil,
+      approx: Boolean = false): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     require(names.nonEmpty, "profileTable needs at least one column")
     val missing = names.filterNot(df.columns.contains)
     require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
+    def nd(c: String): Column =
+      if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
     val aggs = count(lit(1)).as("__rows") +:
       names.zipWithIndex.flatMap { case (c, i) =>
-        Seq(count(col(c)).as(s"__nn$i"),
-          countDistinct(col(c)).as(s"__nd$i"))
+        Seq(count(col(c)).as(s"__nn$i"), nd(c).as(s"__nd$i"))
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
     one.select(posexplode(array(names.zipWithIndex.map { case (c, i) =>
@@ -3783,6 +3793,82 @@ object GraftOps {
       .drop("__cid", "__n")
   }
 
+  /** Benchmark-contamination EVIDENCE report — the q118-style
+    * composition proof over the decontamination family ([[decontaminate]]
+    * counts overlap mass per doc, [[ngramContainment]] scores asymmetric
+    * containment, [[phraseMatch]] pins exact spans): one row per
+    * (document, benchmark) pair with every signal an audit needs to
+    * adjudicate leakage, instead of three separate reports to join by
+    * hand:
+    *
+    *  - n_bench_windows: the benchmark's DISTINCT `width`-token windows
+    *  - n_hits: positional window matches in the doc (shingle MASS —
+    *    overlapping doc windows each count)
+    *  - n_overlap: DISTINCT benchmark windows the doc contains
+    *  - containment_ppm: n_overlap·10⁶ div n_bench_windows (the q82
+    *    directional score — benchmark contained in doc; 10⁶ = every
+    *    benchmark window occurs somewhere in the doc)
+    *  - max_span_tokens: the longest CONTIGUOUS doc span all of whose
+    *    `width`-windows occur in the benchmark — the ExactSubstr
+    *    evidence grain (Lee et al. 2022): with windows overlapping by
+    *    width−1 tokens, a long span of benchmark-only windows is the
+    *    benchmark text itself up to pathological repetition
+    *  - full_span (0/1): max span covers ≥ the benchmark's whole window
+    *    count — the benchmark appears as ONE contiguous quote
+    *
+    * Pairs below `minOverlap` distinct shared windows drop (evidence
+    * report, not an annotation — [[decontaminate]] is the keep-all
+    * face). All integers (hash-gates, q149).
+    *
+    * Scale shape: benchmark suites are eval-scale, so the bench window
+    * table broadcasts (past ~10⁸ windows use [[decontaminateBloom]]'s
+    * pre-filter first); doc windows are one codegen'd positional-hash
+    * pass; ONLY matching positions shuffle, once, on (doc, benchmark);
+    * the per-pair position list is doc-length-bounded and the longest
+    * run is one sorted fold over it (the ewma/topPaths idiom) — no
+    * window function, no second shuffle, never corpus × eval. */
+  def contaminationReport(corpus: DataFrame, id: Column, text: Column,
+      eval: DataFrame, evalId: Column, evalText: Column,
+      width: Int = 13, minOverlap: Long = 1L): DataFrame = {
+    require(width >= 1, s"width must be >= 1; got $width")
+    require(minOverlap >= 1, s"minOverlap must be >= 1; got $minOverlap")
+    val bench = eval.select(evalId.as("bench_id"),
+        explode(graft.functions.ShingleHashes.asColumn(
+          Text.tokens(evalText), width)).as("__sh"))
+      .filter(col("bench_id").isNotNull)
+    val bsz = bench.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_bench_windows"))
+    val docPos = corpus.select(id.as("doc_id"),
+        posexplode(graft.functions.ShingleHashesAll.asColumn(
+          Text.tokens(text), width)))
+      .select(col("doc_id"), col("pos"), col("col").as("__sh"))
+    val hits = docPos.join(bench, Seq("__sh"))
+    // longest run of consecutive matched positions: fold the sorted
+    // distinct position list left to right (sizes, not countDistinct —
+    // no Expand; the whole agg is one pass over the hit rows)
+    val runFold =
+      """aggregate(__ps,
+           struct(CAST(-2 AS INT) AS prev, CAST(0 AS BIGINT) AS cur,
+                  CAST(0 AS BIGINT) AS best),
+           (s, p) -> named_struct(
+             'prev', p,
+             'cur', IF(p = s.prev + 1, s.cur + 1L, 1L),
+             'best', GREATEST(s.best, IF(p = s.prev + 1, s.cur + 1L, 1L))),
+           s -> s.best)"""
+    hits.groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        size(collect_set(col("__sh"))).cast("long").as("n_overlap"),
+        sort_array(collect_set(col("pos"))).as("__ps"))
+      .filter(col("n_overlap") >= minOverlap)
+      .join(broadcast(bsz), "bench_id")
+      .withColumn("__run", expr(runFold))
+      .select(col("doc_id"), col("bench_id"), col("n_bench_windows"),
+        col("n_hits"), col("n_overlap"),
+        expr("n_overlap * 1000000L div n_bench_windows").as("containment_ppm"),
+        (col("__run") + lit(width - 1)).as("max_span_tokens"),
+        (col("__run") >= col("n_bench_windows")).cast("int").as("full_span"))
+  }
+
   // ------------------------------------------------------- event time
 
   /** As-of join: for each `right` row, the nearest `left` row with the
@@ -3930,6 +4016,38 @@ object GraftOps {
         s"FILTER (WHERE `$f` IS NOT NULL)").as(f)) :+
       max(col(version)).as(s"last_$version")
     df.groupBy(key: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-batch pre-reduction for the streaming golden-record log — the
+    * S26 member of the append-log family ([[latestByKey]]'s S20 upsert
+    * shape at FIELD grain): one row per key carrying, for every field,
+    * the batch's winning (v = version, t = tiebreak, x = value) STRUCT
+    * — NULL when the batch saw no non-null value for that field — plus
+    * the batch's `last_<version>`. Per-field max over the (version,
+    * tiebreak) total order is ASSOCIATIVE and arrival-order-
+    * insensitive, so reducing any log of these deltas re-derives full
+    * survivorship exactly: [[graft.streaming.StreamingOps.goldenRecordState]]
+    * over the log == [[goldenRecord]] over all changes, for ANY
+    * chunking (law S26). Unlike [[goldenRecord]] (max_by — value never
+    * compared) the delta rides the value INSIDE the comparison struct,
+    * so fields must be orderable types (no maps); a cross-delta
+    * (version, tiebreak) tie can only be the same change replayed
+    * (at-least-once retry), where the value ties too. Columns by NAME
+    * (the S20 restart contract). */
+  def goldenRecordDelta(df: DataFrame, key: Seq[String], version: String,
+      tiebreak: String, fields: Seq[String]): DataFrame = {
+    require(key.nonEmpty, "goldenRecordDelta needs at least one key column")
+    require(fields.nonEmpty, "goldenRecordDelta needs at least one field")
+    require(fields.distinct.size == fields.size,
+      s"duplicate field names: ${fields.diff(fields.distinct).distinct.mkString(", ")}")
+    require(!fields.contains(s"last_$version"),
+      s"field 'last_$version' collides with the appended last-version column")
+    val aggs = fields.map(f =>
+      max(when(col(f).isNotNull,
+        struct(col(version).as("v"), col(tiebreak).as("t"),
+          col(f).as("x")))).as(f)) :+
+      max(col(version)).as(s"last_$version")
+    df.groupBy(key.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** SCD Type-2 history build — the other consumer of the same

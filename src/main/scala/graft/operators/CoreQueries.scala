@@ -896,6 +896,16 @@ object CoreQueries {
         UNION ALL SELECT 6, 'o_orderpriority', n_rows, nn6, n_rows - nn6, nd6 FROM t)
       ORDER BY ordinal"""))
 
+  /** Approx (HLL++) profile tier — the 100 TB default for the dataset
+    * card: no multi-distinct Expand, one map-side-combined pass. No
+    * DuckDB hash parity (different sketch), driver records rows-only;
+    * the relative-error bound vs q147's exact tier is spec-pinned. */
+  val q147b = QueryDef("q147b_profile_table_approx",
+    (s, dir) =>
+      graft.api.GraftOps.profileTable(t(s, dir, "orders"), approx = true)
+        .orderBy("ordinal"),
+    None)
+
   // --------------------------------------------------------------- q132
   /** Price deciles within each order priority — exact integer
     * equal-frequency bins over (price, orderkey) total order, the
@@ -931,5 +941,5 @@ object CoreQueries {
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q07b, q08, q08b, q09, q09b, q10, q14, q15,
       q15b, q29, q29b, q30, q31, q32, q33, q67, q68, q129, q132, q137,
-      q145, q146, q147)
+      q145, q146, q147, q147b)
 }

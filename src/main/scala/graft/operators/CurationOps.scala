@@ -295,6 +295,60 @@ object CurationOps {
       LEFT JOIN ov USING (doc_id)
       ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q149
+  /** Benchmark-contamination evidence report — q45's decontamination
+    * family COMPOSED into per-(doc, benchmark) adjudication rows:
+    * shingle mass, distinct overlap, directional containment, and the
+    * longest contiguous benchmark-window span (the ExactSubstr
+    * evidence grain). Same fixture split as q45 (doc_id % 10 == 0 =
+    * eval set), width 3 for the short fixture docs. Exercises
+    * [[graft.api.GraftOps.contaminationReport]]. */
+  val q149 = QueryDef("q149_contamination_report",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val evalSet = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      GraftOps.contaminationReport(corpus, col("doc_id"), col("text"),
+          evalSet, col("doc_id"), col("text"), width = 3)
+        .orderBy("doc_id", "bench_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      b AS (
+        SELECT doc_id AS bench_id, ${Duck.ph("sh_raw")} AS sh
+        FROM (SELECT doc_id, unnest(list_distinct(${Duck.shingles3})) AS sh_raw
+              FROM t WHERE doc_id % 10 = 0)),
+      bs AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_bench_windows
+             FROM b GROUP BY 1),
+      dp AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+          ${Duck.ph("array_to_string(list_slice(toks, i, i + 2), ' ')")} AS sh
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+              FROM t WHERE doc_id % 10 <> 0 AND len(toks) >= 3)),
+      h AS (SELECT doc_id, bench_id, pos, sh FROM dp JOIN b USING (sh)),
+      runs AS (
+        SELECT doc_id, bench_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id, bench_id
+            ORDER BY pos) AS grp
+        FROM (SELECT DISTINCT doc_id, bench_id, pos FROM h)),
+      rl AS (SELECT doc_id, bench_id, CAST(COUNT(*) AS BIGINT) AS rlen
+             FROM runs GROUP BY doc_id, bench_id, grp),
+      mr AS (SELECT doc_id, bench_id, MAX(rlen) AS max_run
+             FROM rl GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, bench_id,
+          CAST(COUNT(*) AS BIGINT) AS n_hits,
+          CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_overlap
+        FROM h GROUP BY 1, 2)
+      SELECT a.doc_id, a.bench_id, bs.n_bench_windows, a.n_hits,
+        a.n_overlap,
+        a.n_overlap * 1000000 // bs.n_bench_windows AS containment_ppm,
+        CAST(mr.max_run + 2 AS BIGINT) AS max_span_tokens,
+        CAST(CASE WHEN mr.max_run >= bs.n_bench_windows THEN 1 ELSE 0 END
+          AS INTEGER) AS full_span
+      FROM agg a JOIN bs USING (bench_id) JOIN mr USING (doc_id, bench_id)
+      ORDER BY doc_id, bench_id"""))
+
   // ---------------------------------------------------------------- q69
   /** The bloom tier of q45: same annotate-overlap semantics, but docs with
     * doc_id % 7 == 0 play the eval set and the corpus side is pre-filtered
@@ -1813,5 +1867,5 @@ object CurationOps {
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
       q100, q105, q107, q108, q111, q113, q116, q121, q123, q124, q127,
-      q130, q131, q133, q139, q143)
+      q130, q131, q133, q139, q143, q149)
 }

@@ -796,6 +796,14 @@ object PipelineCompiler {
         expr(arg(args, "id")), expr(arg(args, "text")),
         in("inport2"), expr(arg(args, "evalText")),
         width = args.getOrElse("width", "13").toInt))),
+    // Contamination evidence report: inport1 = corpus, inport2 = eval
+    // set; one row per (doc, benchmark) with mass/containment/max-span.
+    "contaminationReport" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.contaminationReport(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        in("inport2"), expr(arg(args, "evalId")), expr(arg(args, "evalText")),
+        width = args.getOrElse("width", "13").toInt,
+        minOverlap = args.getOrElse("minOverlap", "1").toLong))),
     // The bloom tier (same output, eval set rides as a bloom literal
     // instead of a broadcast hash relation — for eval sets beyond the
     // broadcast threshold).
@@ -1138,7 +1146,8 @@ object PipelineCompiler {
     "profileTable" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.profileTable(in("inport1"),
         args.get("cols").map(_.split(";").map(_.trim).filter(_.nonEmpty)
-          .toSeq).getOrElse(Nil)))),
+          .toSeq).getOrElse(Nil),
+        approx = args.getOrElse("approx", "false").toBoolean))),
     "keySkewReport" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.keySkewReport(in("inport1"),
         expr(arg(args, "key")), topN = arg(args, "topN").toInt))),
@@ -1449,6 +1458,27 @@ object PipelineCompiler {
         key = arg(args, "key").split(",").map(_.trim).toSeq,
         version = arg(args, "version"), tiebreak = arg(args, "tiebreak"),
         isDelete = expr(arg(args, "isDelete"))))),
+    // S26 golden-record family: per-batch per-field winners append to a
+    // parquet log; state = reduce-on-read (== batch goldenRecord).
+    "goldenRecordAppendSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        graft.streaming.StreamingOps.goldenRecordAppendSink(in("inport1"),
+          key = arg(args, "key").split(",").map(_.trim).toSeq,
+          version = arg(args, "version"), tiebreak = arg(args, "tiebreak"),
+          fields = arg(args, "fields").split(",").map(_.trim).toSeq,
+          path = arg(args, "path"),
+          queryName = args.getOrElse("name", "goldenRecordAppendSink"),
+          checkpoint = arg(args, "checkpoint"))
+          .trigger(triggerOf(args)).start()
+      }
+      Map.empty
+    }),
+    "goldenRecordState" -> ((s, _, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.goldenRecordState(s,
+        arg(args, "path"),
+        key = arg(args, "key").split(",").map(_.trim).toSeq,
+        version = arg(args, "version"),
+        fields = arg(args, "fields").split(",").map(_.trim).toSeq))),
     "compactUpsertLogSink" -> ((s, _, args) => {
       graft.api.GraftOps.compactUpsertLog(s, arg(args, "in"),
         arg(args, "out"),

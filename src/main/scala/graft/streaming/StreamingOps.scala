@@ -653,6 +653,46 @@ object StreamingOps {
     graft.api.GraftOps.applyChanges(spark.read.parquet(path),
       key.map(col), col(version), col(tiebreak), isDelete)
 
+  /** S26 — continuously-maintained FIELD-wise survivorship (the
+    * streaming twin of [[graft.api.GraftOps.goldenRecord]], completing
+    * the changelog family the way S20 completed row-wise upserts): each
+    * arriving micro-batch is pre-reduced to its per-key per-field
+    * winners ([[graft.api.GraftOps.goldenRecordDelta]] — at most one
+    * row per key per batch crosses the sink, each field riding its
+    * winning (version, tiebreak, value) struct) and APPENDED to a
+    * parquet log at `path`. The log is reduce-on-read
+    * ([[goldenRecordState]]) — the S19/S20 append + merge posture,
+    * never a per-batch read-modify-write of O(keys) state. Per-field
+    * max over the (version, tiebreak) total order is associative, so
+    * state == batch [[graft.api.GraftOps.goldenRecord]] over all
+    * changes for ANY chunking (law S26); an at-least-once retry
+    * re-appends identical winner structs, which the read-side max
+    * collapses (the S19 caveat and cure). Columns by NAME so a
+    * restarted sink binds against the restored plan. */
+  def goldenRecordAppendSink(stream: DataFrame, key: Seq[String],
+      version: String, tiebreak: String, fields: Seq[String], path: String,
+      queryName: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
+      graft.api.GraftOps.goldenRecordDelta(batch, key, version, tiebreak,
+          fields)
+        .write.mode("append").parquet(path)
+    }
+
+  /** Read face of [[goldenRecordAppendSink]]'s log: per key, each
+    * field's surviving value (the max winner struct's `x`) plus
+    * `last_<version>` — row-equal to [[graft.api.GraftOps.goldenRecord]]
+    * over everything ever appended (law S26). */
+  def goldenRecordState(spark: org.apache.spark.sql.SparkSession,
+      path: String, key: Seq[String], version: String,
+      fields: Seq[String]): DataFrame = {
+    val log = spark.read.parquet(path)
+    val aggs = fields.map(f => max(col(f)).as(f)) :+
+      max(col(s"last_$version")).as(s"last_$version")
+    log.groupBy(key.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select((key.map(col) ++ fields.map(f => col(f).getField("x").as(f)) :+
+        col(s"last_$version")): _*)
+  }
+
   /** Streaming heavy-hitter candidate summary — the streaming twin of
     * [[graft.api.GraftOps.heavyHittersSketch]]'s sketch half: one
     * Misra–Gries summary maintained as STREAMING AGGREGATION STATE

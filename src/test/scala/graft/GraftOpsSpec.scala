@@ -1062,6 +1062,39 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("profileTable approx tier: no Expand in the plan, exact row/null counts, HLL distinct within 3x rsd") {
+    import spark.implicits._
+    // 1000 rows, 3 columns with planted cardinalities 1000 / 100 / 11
+    // (incl. NULLs on the third) — wide enough to exercise the sketch
+    val rows = (1 to 1000).map { i =>
+      (i.toLong, s"g${i % 100}", if (i % 10 == 0) None else Some(i % 10))
+    }.toDF("id", "g", "m")
+    val exact = GraftOps.profileTable(rows)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val approxDf = GraftOps.profileTable(rows, approx = true)
+    val approx = approxDf
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for ((c, (n, nn, nul, nd)) <- exact) {
+      val (an, ann, anul, and) = approx(c)
+      assert((an, ann, anul) == ((n, nn, nul)),
+        s"$c: row/non-null/null counts are EXACT in the approx tier")
+      // HLL++ default rsd is 5%; 3x rsd is a generous deterministic bound
+      assert(math.abs(and - nd) <= math.max(1L, (nd * 0.15).toLong),
+        s"$c: approx n_distinct $and vs exact $nd exceeds 15%")
+    }
+    // the point of the tier: the exact multi-distinct plans an Expand
+    // (m-way corpus row multiplication); the sketch tier must NOT
+    val exactPlan = GraftOps.profileTable(rows)
+      .queryExecution.executedPlan.toString
+    val approxPlan = approxDf.queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "exact tier multi-distinct goes through Expand (baseline premise)")
+    assert(!approxPlan.contains("Expand"),
+      s"approx tier must avoid the Expand row multiplication:\n$approxPlan")
+  }
+
   test("keySkewReport: hot keys with ppm shares, NULL is a real key, string tie order, guards") {
     import spark.implicits._
     val rows = (Seq.fill(6)(Some("hot")) ++ Seq.fill(2)(Option.empty[String]) ++
@@ -1187,6 +1220,42 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] {
       GraftOps.phraseMatch(rows, col("id"), col("text"),
         Seq(Seq("table scan")))
+    }
+  }
+
+  test("contaminationReport: full quote vs scattered overlap vs clean doc; mass counts repeats; minOverlap; guards") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "xx yy alpha beta gamma delta zz"), // full bench quote inside
+      (2L, "alpha beta xx gamma delta"),       // scattered: 2 of 3 windows
+      (3L, "nothing shared here at all"),      // clean -> no row
+      (4L, "alpha beta alpha beta"))           // one window, twice (mass 2)
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("bid", "text")
+    val got = GraftOps.contaminationReport(corpus, col("doc_id"),
+        col("text"), bench, col("bid"), col("text"), width = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7)))).toMap
+    // bench windows (width 2): alpha-beta, beta-gamma, gamma-delta = 3
+    assert(got.keySet == Set(1L, 2L, 4L), s"clean doc emits no row: $got")
+    assert(got(1L) == ((3L, 3L, 3L, 1000000L, 4L, 1)),
+      s"doc 1: full containment, one 4-token span, full_span: ${got(1L)}")
+    assert(got(2L) == ((3L, 2L, 2L, 666666L, 2L, 0)),
+      s"doc 2: scattered 2/3 windows, max span 2 tokens: ${got(2L)}")
+    assert(got(4L) == ((3L, 2L, 1L, 333333L, 2L, 0)),
+      s"doc 4: mass 2 of ONE distinct window: ${got(4L)}")
+    // minOverlap filters pairs below the distinct-overlap floor
+    val floored = GraftOps.contaminationReport(corpus, col("doc_id"),
+        col("text"), bench, col("bid"), col("text"), width = 2,
+        minOverlap = 2).collect().map(_.getLong(0)).toSet
+    assert(floored == Set(1L, 2L), s"minOverlap=2 drops doc 4: $floored")
+    intercept[IllegalArgumentException] {
+      GraftOps.contaminationReport(corpus, col("doc_id"), col("text"),
+        bench, col("bid"), col("text"), width = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.contaminationReport(corpus, col("doc_id"), col("text"),
+        bench, col("bid"), col("text"), width = 2, minOverlap = 0)
     }
   }
 

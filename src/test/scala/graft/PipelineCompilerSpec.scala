@@ -2638,6 +2638,71 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("goldenRecordState XML == API read of a delta log; contaminationReport XML == API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-grx").toString
+    try {
+      val changes: Seq[(Long, Long, Long, Option[String], Option[String])] =
+        Seq((1L, 5L, 10L, Some("e5"), None),
+          (1L, 3L, 11L, Some("eOLD"), Some("p3")),
+          (2L, 1L, 12L, Some("x1"), Some("y1")))
+      graft.api.GraftOps.goldenRecordDelta(
+          changes.toDF("k", "v", "seq", "email", "phone"),
+          Seq("k"), "v", "seq", Seq("email", "phone"))
+        .write.mode("append").parquet(dir)
+      val spec = graft.plans.PipelineSpec.parseXml(s"""
+        <pipeline>
+          <operator name="st" class="goldenRecordState">
+            <arg key="path" value="$dir"/>
+            <arg key="key" value="k"/><arg key="version" value="v"/>
+            <arg key="fields" value="email,phone"/>
+          </operator>
+        </pipeline>""")
+      val got = graft.plans.PipelineCompiler.compile(spec, spark)("st.outport1")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      val api = graft.streaming.StreamingOps.goldenRecordState(spark, dir,
+          Seq("k"), "v", Seq("email", "phone"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      assert(got == api && got == Set((1L, "e5", "p3", 5L),
+        (2L, "x1", "y1", 1L)), s"XML state == API state: $got")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+    // contaminationReport: XML binding row-equal to the API call
+    val corpus = Seq((1L, "xx alpha beta gamma zz"), (2L, "clean text here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("cr_corpus")
+    val evalSet = Seq((9L, "alpha beta gamma")).toDF("bid", "text")
+      .createOrReplaceTempView("cr_eval")
+    val spec2 = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="c" class="viewInput"><arg key="table" value="cr_corpus"/></operator>
+        <operator name="e" class="viewInput"><arg key="table" value="cr_eval"/></operator>
+        <operator name="r" class="contaminationReport">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+          <arg key="evalId" value="bid"/><arg key="evalText" value="text"/>
+          <arg key="width" value="2"/>
+        </operator>
+        <connect from="c.outport1" to="r.inport1"/>
+        <connect from="e.outport1" to="r.inport2"/>
+      </pipeline>""")
+    val gotR = graft.plans.PipelineCompiler.compile(spec2, spark)("r.outport1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7)))
+      .toSet
+    val apiR = graft.api.GraftOps.contaminationReport(
+        spark.table("cr_corpus"), col("doc_id"), col("text"),
+        spark.table("cr_eval"), col("bid"), col("text"), width = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7)))
+      .toSet
+    assert(gotR == apiR && gotR == Set((1L, 9L, 2L, 2L, 2L, 1000000L, 3L, 1)),
+      s"XML contamination report == API: $gotR")
+  }
+
   test("bad operator args fail-fast with node name") {
     val spec = PipelineSpec(
       nodes = Seq(OpNode("in", "parquetInput", Map("dir" -> sf001, "table" -> "nope"))),

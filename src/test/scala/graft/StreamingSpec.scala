@@ -1287,6 +1287,61 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       == got, "retried append collapses on read")
   }
 
+  test("S26: streaming golden-record log — field-wise state == batch goldenRecord over any chunking") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.api.GraftOps
+    import graft.streaming.StreamingOps
+    // changelog: (key, version, seq, email, phone) — fields go stale
+    // and null independently, and versions arrive OUT OF ORDER across
+    // chunks so each field's winner comes from a different change
+    val chunk1: Seq[(Long, Long, Long, Option[String], Option[String])] = Seq(
+      (1L, 5L, 10L, Some("e5"), None),            // email at v5, no phone
+      (1L, 3L, 11L, Some("eOLD"), Some("p3")),    // phone's only value
+      (2L, 1L, 12L, Some("x1"), Some("y1")))
+    val chunk2: Seq[(Long, Long, Long, Option[String], Option[String])] = Seq(
+      (1L, 7L, 13L, None, None),                  // newest but all-null:
+                                                   //   bumps last_v only
+      (2L, 4L, 14L, None, Some("y4")),            // phone newer, email not
+      (3L, 2L, 15L, None, None))                  // key with NO field ever
+    val allRows = chunk1 ++ chunk2
+    val dir = java.nio.file.Files.createTempDirectory("graft-gr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gr-ck").toString
+    val input = MemoryStream[(Long, Long, Long, Option[String], Option[String])]
+    val q = StreamingOps.goldenRecordAppendSink(
+      input.toDF().toDF("k", "v", "seq", "email", "phone"),
+      key = Seq("k"), version = "v", tiebreak = "seq",
+      fields = Seq("email", "phone"), dir, "s26gr", ckpt).start()
+    try {
+      input.addData(chunk1: _*); q.processAllAvailable()
+      input.addData(chunk2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2)), r.getLong(3))).toSet
+    val got = snap(StreamingOps.goldenRecordState(spark, dir, Seq("k"),
+      "v", Seq("email", "phone")))
+    // law S26: stream state == batch goldenRecord over the full log
+    val want = snap(GraftOps.goldenRecord(
+      allRows.toDF("k", "v", "seq", "email", "phone"),
+      Seq(col("k")), "v", "seq", Seq("email", "phone")))
+    assert(got == want, s"stream $got != batch $want")
+    assert(got == Set(
+      (1L, Some("e5"), Some("p3"), 7L),  // field-wise winners, last_v 7
+      (2L, Some("x1"), Some("y4"), 4L),  // email kept old, phone updated
+      (3L, None, None, 2L)),             // all-null key survives with NULLs
+      s"field-wise survivorship: $got")
+    // at-least-once retry: re-appending a batch's delta is absorbed
+    GraftOps.goldenRecordDelta(chunk2.toDF("k", "v", "seq", "email", "phone"),
+        Seq("k"), "v", "seq", Seq("email", "phone"))
+      .write.mode("append").parquet(dir)
+    assert(snap(StreamingOps.goldenRecordState(spark, dir, Seq("k"), "v",
+      Seq("email", "phone"))) == got, "retried delta collapses on read")
+    // the log carries at most one row per key PER BATCH (the pre-reduce)
+    assert(spark.read.parquet(dir).count() == 8L,
+      "two batch deltas (2 + 3 keys) plus the retried delta (3 keys)")
+  }
+
   test("S22: streaming transition steps aggregate to batch transitionCounts; NULL states; late fails loudly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
