@@ -40,6 +40,14 @@ import graft.streaming.StreamingOps
   * (no modes = all four).
   */
 object StreamBench {
+  /** Every benchmarked streaming shape — the registry
+    * [[graft.tools.CheckStream]] gates the frozen envelope against
+    * (a shape added here without a STREAMBENCH row fails mechanically,
+    * the CheckFreeze pattern). */
+  val allModes: Seq[String] = Seq("s1_parse", "s2_window", "s13_heavy",
+    "s5_stateful", "s20_upsert", "s21_ewma", "s22_transition", "s23_cusum",
+    "s24_rolling_distinct", "s25_semantic", "s26_golden")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -212,6 +220,23 @@ object StreamBench {
         checkpoint = new java.io.File(tmp, s"$tag-ckpt").getAbsolutePath)
     }
 
+    /** s26 is s20's terminal shape at FIELD grain: each batch appends
+      * per-key per-field winner structs to the golden-record log (NULL
+      * ts rows drop — no position in the version order, the q117
+      * posture). */
+    def goldenWriter(warm: Boolean) = {
+      val tag = if (warm) "warm-s26" else "s26"
+      StreamingOps.goldenRecordAppendSink(
+        StreamingOps.withShufflePartitions(
+          (if (warm) warmRawStream else rawStream)
+            .filter(col("ts").isNotNull), parts),
+        key = Seq("user_id"), version = "ts", tiebreak = "event_id",
+        fields = Seq("event_type", "value"),
+        path = new java.io.File(tmp, s"$tag-log").getAbsolutePath,
+        queryName = s"sb_$tag",
+        checkpoint = new java.io.File(tmp, s"$tag-ckpt").getAbsolutePath)
+    }
+
     // s25 setup — a deterministic synthetic 16-dim vector per user
     // (portable-hash components), a kmeans model trained ONCE over the
     // per-user corpus, and the cell-assigned index; the streamed events
@@ -231,18 +256,16 @@ object StreamBench {
       (m, idx)
     }
 
-    val modes = Seq("s1_parse", "s2_window", "s13_heavy", "s5_stateful",
-        "s20_upsert", "s21_ewma", "s22_transition", "s23_cusum",
-        "s24_rolling_distinct", "s25_semantic")
-      .filter(m => wanted.isEmpty || wanted(m))
+    val modes = StreamBench.allModes.filter(m => wanted.isEmpty || wanted(m))
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = modes.flatMap { mode =>
       try {
-        if (mode == "s20_upsert") {
-          val wq = upsertWriter(warm = true).start()
+        if (mode == "s20_upsert" || mode == "s26_golden") {
+          val writer = if (mode == "s20_upsert") upsertWriter _ else goldenWriter _
+          val wq = writer(true).start()
           wq.processAllAvailable(); wq.stop()
           val t0 = System.nanoTime()
-          val q = upsertWriter(warm = false).start()
+          val q = writer(false).start()
           q.processAllAvailable()
           val sec = (System.nanoTime() - t0) / 1e9
           q.stop()

@@ -5632,6 +5632,144 @@ object GraftOps {
       toks, ms.map(m => (m._2, m._3)).toSeq))
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the
+    * probabilistic member of the tokenizer family (q109 frequency
+    * vocab, q135 greedy BPE merges): EM-prune a seed vocabulary of
+    * word substrings down to `vocabSize` pieces under exact
+    * fixed-point likelihoods, so the whole trained table hash-gates
+    * (q148) — no libm anywhere:
+    *
+    *  1. word table: distinct corpus words with counts, words longer
+    *     than `maxWordLen` codepoints dropped, top `topWords` kept by
+    *     (count desc, word asc) — training on the hot word table is
+    *     the standard sampled-corpus posture (SentencePiece trains on
+    *     a corpus sample; the q135 distinct-word precedent)
+    *  2. seed: every substring of length ≤ `maxPieceLen` with
+    *     positional multiplicity, mass = Σ word-count; ALL single
+    *     codepoints kept (coverage floor) + top (vocabSize − nChars)
+    *     multi-codepoint pieces by (mass desc, piece asc)
+    *  3. `iters` EM rounds: score each piece sur_q10 = exact
+    *     [[log2Q10]] of (total mass / piece mass); Viterbi-segment
+    *     every word under those scores ([[graft.functions.UnigramSegment]]
+    *     — min total surprisal, ties by fewer pieces then UTF-8
+    *     path order, the pinned order the oracle restates by path
+    *     enumeration); re-mass pieces by segmentation usage
+    *     (occurrences × word count); single codepoints floor at mass 1
+    *     (coverage can never be pruned), used multi pieces re-prune to
+    *     the top (vocabSize − nChars)
+    *
+    * Returns (piece, mass, sur_q10, rank) under the final masses,
+    * rank dense 1.. by (mass desc, piece asc).
+    *
+    * Plan: ONE corpus pass (explode → word hash agg, map-side
+    * combined); everything after runs at WORD-TABLE or VOCABULARY
+    * scale by contract (the bpeFit posture) — per round one narrow
+    * codegen'd segmentation over ≤ topWords rows, one tiny agg, one
+    * model-sized collect (the trained constants, never the corpus),
+    * localCheckpoint'd per round (the linkRank lineage hygiene).
+    * Loud failure when total/mass would overflow the ladder's 2³³
+    * contract or vocabSize can't hold the single-codepoint floor. */
+  def unigramFit(df: DataFrame, toks: Column, vocabSize: Int,
+      iters: Int = 2, maxPieceLen: Int = 4, topWords: Int = 400,
+      maxWordLen: Int = 16): DataFrame = {
+    require(vocabSize >= 2, s"vocabSize must be >= 2; got $vocabSize")
+    require(iters >= 1 && iters <= 16, s"iters must be in [1, 16]; got $iters")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2; got $maxPieceLen")
+    require(topWords >= 1, s"topWords must be >= 1; got $topWords")
+    require(maxWordLen >= 1, s"maxWordLen must be >= 1; got $maxWordLen")
+    val words = df.select(explode(toks).as("__w"))
+      .filter(col("__w").isNotNull && col("__w") =!= "" &&
+        length(col("__w")) <= maxWordLen)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .orderBy(desc("__n"), col("__w")).limit(topWords)
+      .localCheckpoint(true)
+    try {
+      // seed masses: every (position, length ≤ maxPieceLen) substring,
+      // with multiplicity — word-table scale, the HOF stays off the
+      // corpus
+      val sub = words.select(col("__n"), explode(expr(
+          s"""flatten(transform(sequence(1, length(__w)), i ->
+             filter(transform(sequence(1, $maxPieceLen), l ->
+               CASE WHEN i + l - 1 <= length(__w)
+                 THEN substring(__w, i, l) END), x -> x IS NOT NULL)))"""))
+          .as("piece"))
+      val mass0 = sub.groupBy(col("piece")).agg(sum(col("__n")).as("mass"))
+        .localCheckpoint(true)
+      val singles = mass0.filter(length(col("piece")) === 1)
+        .select(col("piece")).localCheckpoint(true)
+      try {
+        val nSingles = singles.count().toInt
+        require(nSingles >= 1, "unigramFit: no training words survived the filters")
+        require(vocabSize > nSingles,
+          s"vocabSize $vocabSize must exceed the $nSingles single-codepoint " +
+            "pieces (the coverage floor)")
+        def prune(masses: DataFrame): DataFrame = {
+          val s = singles.join(masses, Seq("piece"), "left")
+            .select(col("piece"), coalesce(col("mass"), lit(1L)).as("mass"))
+          val m = masses.filter(length(col("piece")) > 1)
+            .orderBy(desc("mass"), col("piece"))
+            .limit(vocabSize - nSingles)
+          s.unionByName(m)
+        }
+        def score(vocab: DataFrame): DataFrame = {
+          val t = vocab.agg(sum(col("mass")).as("t"), min(col("mass")).as("m"))
+            .head()
+          val total = t.getLong(0)
+          require(total / math.max(t.getLong(1), 1L) < (1L << 32),
+            s"unigramFit: total mass $total over min piece mass " +
+              s"${t.getLong(1)} exceeds the log2 ladder's 2^32 ratio " +
+              "contract — raise topWords granularity or shard")
+          log2Q10(vocab.withColumn("__tot", lit(total)), "mass", "__tot",
+            "sur_q10")
+        }
+        var vocab = prune(mass0).localCheckpoint(true)
+        for (_ <- 1 to iters) {
+          val model = score(vocab).select(col("piece"), col("sur_q10"))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          val usage = words.select(col("__n"), explode(element_at(
+              graft.functions.UnigramSegment.asColumn(
+                array(col("__w")), model, maxPieceLen), 1)).as("piece"))
+            .groupBy(col("piece")).agg(sum(col("__n")).as("mass"))
+          val prev = vocab
+          vocab = prune(usage).localCheckpoint(true)
+          prev.unpersist()
+        }
+        val out = score(vocab)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(desc("mass"), col("piece"))).cast("long"))
+          .select(col("piece"), col("mass"), col("sur_q10"), col("rank"))
+          .localCheckpoint(true)
+        vocab.unpersist()
+        out
+      } finally { mass0.unpersist(); singles.unpersist() }
+    } finally words.unpersist()
+  }
+
+  /** The encode half of the unigram tokenizer: adds `out`
+    * (array<array<string>> — one Viterbi piece list per input token)
+    * under a [[unigramFit]] model: the segmentation minimizing total
+    * sur_q10 under the model's FINAL scores, with the trainer's pinned
+    * tie order (the DP is spec-pinned against an enumerate-all-
+    * segmentations reference). Unknown codepoints segment as
+    * themselves at a cost above any real piece
+    * ([[graft.functions.UnigramSeg.UnkCost]]) — characters are the
+    * floor, no OOV cliff.
+    *
+    * Plan: the model collects once (vocabSize rows — MODEL-sized, the
+    * bpeEncode idiom) and ships per task inside the codegen'd
+    * expression; the corpus never shuffles. */
+  def unigramEncode(df: DataFrame, toks: Column, model: DataFrame,
+      out: String = "pieces"): DataFrame = {
+    val rows = model.select(col("piece"), col("sur_q10"),
+        length(col("piece")).as("__l"))
+      .collect()
+    require(rows.nonEmpty, "unigram model is empty")
+    val vocab = rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+    val maxLen = rows.map(_.getInt(2)).max
+    df.withColumn(out,
+      graft.functions.UnigramSegment.asColumn(toks, vocab, maxLen))
+  }
+
   /** Exact binary fixed-point log2 of the rational n_ctx/n_big ≥ 1, in
     * units of 2⁻¹⁰ bit ("q10"): e = MSB(q30) − 30 where q30 =
     * (n_ctx·2³⁰) div n_big (floor(log2 x) == floor(log2 floor(x)) for

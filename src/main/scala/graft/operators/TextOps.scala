@@ -928,7 +928,142 @@ object TextOps {
       FROM d LEFT JOIN per USING (doc_id)
       ORDER BY doc_id"""))
 
+  // -------------------------------------------------------------- q148
+  /** DuckDB restatement of [[graft.api.GraftOps.unigramFit]]'s exact
+    * fixed-point surprisal ladder, keyed by PIECE over a (piece, mass)
+    * vocabulary CTE `src` — the q136 [[lmLadderSql]] shape with the
+    * bigram key swapped for the piece key. Ends in `sur$tag(piece,
+    * sur)`. */
+  private def uniLadderSql(tag: String, src: String): String = {
+    val eCase = (32 to 1 by -1)
+      .map(k => s"WHEN q30 >= ${1L << (30 + k)} THEN $k")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val steps = (1 to 10).map { j =>
+      val p = if (j == 1) s"u0$tag" else s"u${j - 1}$tag"
+      s"""
+      t$j$tag AS (SELECT piece, e, frac, (x * x) // 1073741824 AS xs FROM $p),
+      u$j$tag AS (SELECT piece, e,
+          CASE WHEN xs >= 2147483648 THEN xs // 2 ELSE xs END AS x,
+          frac + CASE WHEN xs >= 2147483648 THEN ${1 << (10 - j)} ELSE 0 END
+            AS frac
+        FROM t$j$tag)"""
+    }.mkString(",")
+    s"""
+      tot$tag AS (SELECT CAST(SUM(mass) AS BIGINT) AS tot FROM $src),
+      q$tag AS (SELECT piece, CAST((CAST(tot AS HUGEINT) * 1073741824)
+              // CAST(mass AS HUGEINT) AS BIGINT) AS q30 FROM $src, tot$tag),
+      e0$tag AS (SELECT *, $eCase AS e FROM q$tag),
+      u0$tag AS (SELECT piece, e, CAST(q30 >> e AS BIGINT) AS x, 0 AS frac
+             FROM e0$tag),$steps,
+      sur$tag AS (SELECT piece, CAST(e * 1024 + frac AS BIGINT) AS sur
+              FROM u10$tag)"""
+  }
+
+  private val uniVocabSize = 80
+  private val uniIters = 2
+  private val uniMaxPiece = 3
+  private val uniTopWords = 50
+  private val uniMaxWordLen = 10
+
+  /** One unigram EM round as CTE text: score `vocabIn` with the ladder,
+    * Viterbi-segment every training word by ENUMERATING all
+    * segmentations (a recursive path CTE — the oracle-side statement of
+    * the DP's pinned (cost, n_pieces, path) total order), re-mass
+    * pieces by usage, floor the single-codepoint coverage set at mass
+    * 1, re-prune multis. Ends in `vocab$r(piece, mass)`. */
+  private def uniRoundSql(r: Int, vocabIn: String): String = s"""
+      ${uniLadderSql(s"v$r", vocabIn)},
+      edgs$r AS (
+        SELECT e.w, e.j0, e.j1, e.piece, s.sur
+        FROM (SELECT w.w, CAST(t.i AS INTEGER) AS j0,
+                CAST(t.i + u.l - 1 AS INTEGER) AS j1,
+                substr(w.w, CAST(t.i AS INTEGER), CAST(u.l AS INTEGER)) AS piece
+              FROM words w, unnest(range(1, len(w.w) + 1)) t(i),
+                   unnest(range(1, $uniMaxPiece + 1)) u(l)
+              WHERE t.i + u.l - 1 <= len(w.w)) e
+        JOIN surv$r s USING (piece)),
+      paths$r AS (
+        SELECT w, CAST(0 AS INTEGER) AS p, CAST(0 AS BIGINT) AS cost,
+          CAST(0 AS INTEGER) AS np, CAST('' AS VARCHAR) AS path
+        FROM words
+        UNION ALL
+        SELECT e.w, e.j1, p.cost + e.sur, p.np + 1,
+          CASE WHEN p.path = '' THEN e.piece
+               ELSE p.path || ' ' || e.piece END
+        FROM paths$r p JOIN edgs$r e ON e.w = p.w AND e.j0 = p.p + 1),
+      best$r AS (
+        SELECT w, path FROM (
+          SELECT p.w, p.path,
+            row_number() OVER (PARTITION BY p.w
+              ORDER BY p.cost, p.np, p.path) AS rn
+          FROM paths$r p JOIN words ww ON ww.w = p.w
+          WHERE p.p = len(ww.w)) WHERE rn = 1),
+      use$r AS (
+        SELECT piece, CAST(SUM(n) AS BIGINT) AS mass
+        FROM (SELECT b.w, unnest(string_split(b.path, ' ')) AS piece
+              FROM best$r b) sp
+        JOIN words USING (w) GROUP BY piece),
+      vocab$r AS (
+        SELECT s.piece, CAST(COALESCE(u.mass, 1) AS BIGINT) AS mass
+        FROM singles s LEFT JOIN use$r u USING (piece)
+        UNION ALL
+        SELECT piece, mass FROM (
+          SELECT u.piece, u.mass,
+            row_number() OVER (ORDER BY u.mass DESC, u.piece) AS rn
+          FROM use$r u WHERE len(u.piece) > 1) m, nsing
+        WHERE m.rn <= $uniVocabSize - nsing.ns)"""
+
+  /** Unigram-LM (SentencePiece-style) tokenizer training over the
+    * document corpus: seed substring masses over the top-50 word
+    * table, two EM rounds of exact-surprisal Viterbi re-segmentation,
+    * prune to 80 pieces — every piece, mass, and fixed-point score
+    * hash-gated against the unrolled recursive-CTE restatement
+    * (Viterbi = enumerate-all-paths + the pinned total order; the
+    * q135/q108 iterative-oracle precedent). Exercises
+    * [[graft.api.GraftOps.unigramFit]]. */
+  val q148 = QueryDef("q148_unigram_fit",
+    (s, dir) =>
+      graft.api.GraftOps.unigramFit(docs(s, dir),
+          Text.tokens(col("text")), vocabSize = uniVocabSize,
+          iters = uniIters, maxPieceLen = uniMaxPiece,
+          topWords = uniTopWords, maxWordLen = uniMaxWordLen)
+        .orderBy("rank"),
+    Some(s"""
+      WITH RECURSIVE
+      tk AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      words AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(toks) AS w FROM tk)
+        WHERE w <> '' AND len(w) <= $uniMaxWordLen
+        GROUP BY w ORDER BY n DESC, w LIMIT $uniTopWords),
+      sub AS (
+        SELECT substr(w.w, CAST(t.i AS INTEGER), CAST(u.l AS INTEGER)) AS piece,
+          w.n
+        FROM words w, unnest(range(1, len(w.w) + 1)) t(i),
+             unnest(range(1, $uniMaxPiece + 1)) u(l)
+        WHERE t.i + u.l - 1 <= len(w.w)),
+      mass0 AS MATERIALIZED (
+        SELECT piece, CAST(SUM(n) AS BIGINT) AS mass FROM sub GROUP BY piece),
+      singles AS MATERIALIZED (SELECT piece FROM mass0 WHERE len(piece) = 1),
+      nsing AS (SELECT CAST(COUNT(*) AS INTEGER) AS ns FROM singles),
+      vocab0 AS (
+        SELECT s.piece, m.mass FROM singles s JOIN mass0 m USING (piece)
+        UNION ALL
+        SELECT piece, mass FROM (
+          SELECT piece, mass,
+            row_number() OVER (ORDER BY mass DESC, piece) AS rn
+          FROM mass0 WHERE len(piece) > 1) mm, nsing
+        WHERE mm.rn <= $uniVocabSize - nsing.ns),
+      ${uniRoundSql(1, "vocab0")},
+      ${uniRoundSql(2, "vocab1")},
+      ${uniLadderSql("fin", s"vocab$uniIters")}
+      SELECT v.piece, v.mass, s.sur AS sur_q10,
+        CAST(row_number() OVER (ORDER BY v.mass DESC, v.piece) AS BIGINT)
+          AS "rank"
+      FROM vocab$uniIters v JOIN surfin s USING (piece)
+      ORDER BY "rank""""))
+
   val all: Seq[QueryDef] =
     Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86, q101, q109,
-      q110, q112, q115, q122, q135, q135b, q136, q138, q142)
+      q110, q112, q115, q122, q135, q135b, q136, q138, q142, q148)
 }

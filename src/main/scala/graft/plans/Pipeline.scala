@@ -1130,6 +1130,18 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.bpeEncode(in("inport1"),
         expr(arg(args, "toks")), in("inport2"),
         args.getOrElse("out", "pieces")))),
+    "unigramFit" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.unigramFit(in("inport1"),
+        expr(arg(args, "toks")), arg(args, "vocabSize").toInt,
+        iters = args.getOrElse("iters", "2").toInt,
+        maxPieceLen = args.getOrElse("maxPieceLen", "4").toInt,
+        topWords = args.getOrElse("topWords", "400").toInt,
+        maxWordLen = args.getOrElse("maxWordLen", "16").toInt))),
+    // unigramEncode: inport1 = corpus, inport2 = unigramFit model
+    "unigramEncode" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.unigramEncode(in("inport1"),
+        expr(arg(args, "toks")), in("inport2"),
+        args.getOrElse("out", "pieces")))),
     "l2Normalize" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.l2Normalize(in("inport1"),
         expr(arg(args, "vec"))))),

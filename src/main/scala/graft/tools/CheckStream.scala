@@ -1,0 +1,79 @@
+package graft.tools
+
+/** Streaming-envelope guard — the [[CheckFreeze]] pattern applied to
+  * STREAMBENCH: fails (exit 1) if any [[graft.StreamBench.allModes]]
+  * shape has no frozen median in the envelope file, or (when a current
+  * run's stdout JSON is supplied) if any shape's current throughput
+  * falls under HALF its frozen median — the envelope's own stated
+  * regression rule, previously applied only by judge eyeballing.
+  * S21–S24 landed in round 16 without envelope rows and were frozen a
+  * round later (a VERDICT finding); this makes that gap mechanical.
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.CheckStream [STREAMBENCH_rNN.json [run.json]]"
+  * With one arg: coverage check only. With two: coverage + the ½× rule
+  * against the current run (`run.json` = StreamBench's stdout line,
+  * `"modes":{"s1_parse":32631,...}`).
+  */
+object CheckStream {
+  private def pairs(text: String, key: String): Map[String, Double] = {
+    // the object following `"<key>":{ ... }` as name→number pairs
+    val start = text.indexOf("\"" + key + "\":{")
+    require(start >= 0, s"no '$key' object found")
+    val body = text.substring(start + key.length + 4,
+      text.indexOf("}", start))
+    """"(s\w+)":\s*([0-9.]+)""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val frozenPath = args.headOption.getOrElse {
+      // newest STREAMBENCH_r*.json in cwd
+      val fs = new java.io.File(".").listFiles()
+        .filter(_.getName.matches("STREAMBENCH_r\\d+\\.json"))
+      require(fs != null && fs.nonEmpty, "no STREAMBENCH_r*.json in cwd")
+      fs.maxBy(_.getName.replaceAll("\\D", "").toInt).getPath
+    }
+    val frozenText = {
+      val src = scala.io.Source.fromFile(frozenPath, "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val frozen = pairs(frozenText, "median_of_3")
+    val shapes = graft.StreamBench.allModes.toSet
+    val missing = (shapes -- frozen.keySet).toSeq.sorted
+    val stale = (frozen.keySet -- shapes).toSeq.sorted
+    if (stale.nonEmpty)
+      System.err.println(s"[check-stream] WARNING stale envelope rows " +
+        s"(no such shape): ${stale.mkString(", ")}")
+    val slow: Seq[String] = args.lift(1) match {
+      case None => Nil
+      case Some(runPath) =>
+        val runText = {
+          val src = scala.io.Source.fromFile(runPath, "UTF-8")
+          try src.mkString finally src.close()
+        }
+        val cur = pairs(runText, "modes")
+        val missingRun = (shapes -- cur.keySet).toSeq.sorted
+        if (missingRun.nonEmpty)
+          System.err.println(s"[check-stream] WARNING shapes absent from " +
+            s"the current run: ${missingRun.mkString(", ")}")
+        cur.toSeq.collect {
+          case (m, rps) if frozen.contains(m) && rps < frozen(m) / 2 =>
+            f"$m (${rps}%.0f < half of frozen ${frozen(m)}%.0f rows/s)"
+        }.sorted
+    }
+    if (missing.nonEmpty || slow.nonEmpty) {
+      if (missing.nonEmpty)
+        System.err.println(s"[check-stream] FAIL — shapes with no frozen " +
+          s"median in $frozenPath: ${missing.mkString(", ")} — run the " +
+          "3-pass quiet-host protocol and freeze them")
+      if (slow.nonEmpty)
+        System.err.println(s"[check-stream] FAIL — shapes under the " +
+          s"½× rule: ${slow.mkString("; ")}")
+      sys.exit(1)
+    }
+    println(s"[check-stream] OK — all ${shapes.size} shapes frozen in " +
+      s"$frozenPath" + (if (args.length > 1) " and the current run " +
+        "clears the ½× rule" else ""))
+  }
+}

@@ -1223,6 +1223,95 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("unigramSegment: DP == enumerate-all-segmentations under the pinned (cost, pieces, path) order; OOV floor") {
+    import spark.implicits._
+    // brute-force reference: every segmentation, picked by the stated
+    // total order — the oracle's recursive-CTE form in Scala
+    def allSegs(w: String, vocab: Map[String, Long],
+        maxLen: Int): Seq[(Long, Int, String)] =
+      if (w.isEmpty) Seq((0L, 0, ""))
+      else (1 to math.min(maxLen, w.length)).flatMap { l =>
+        val p = w.substring(0, l)
+        val c = vocab.get(p)
+          .orElse(if (l == 1) Some(graft.functions.UnigramSeg.UnkCost) else None)
+        c.toSeq.flatMap(pc => allSegs(w.substring(l), vocab, maxLen).map {
+          case (cost, np, path) =>
+            (cost + pc, np + 1, if (path.isEmpty) p else p + " " + path)
+        })
+      }
+    def ref(w: String, vocab: Map[String, Long], maxLen: Int): Seq[String] =
+      allSegs(w, vocab, maxLen)
+        .minBy(identity)(Ordering.Tuple3(Ordering.Long, Ordering.Int,
+          Ordering.String))._3.split(" ").toSeq
+    // adversarial ties: a+b+a == ab+a == a+ba on cost; np breaks the
+    // first, path order ("a ba" < "ab a") breaks the rest
+    val vocab = Seq("a" -> 5L, "b" -> 5L, "ab" -> 10L, "ba" -> 10L,
+      "c" -> 7L, "abc" -> 12L, "bc" -> 9L)
+    val vmap = vocab.toMap
+    val rnd = new scala.util.Random(7)
+    val words = Seq("aba", "abc", "abcabc", "bbb", "axa", "x") ++
+      (1 to 40).map(_ => (1 to (1 + rnd.nextInt(8)))
+        .map(_ => "abcx" (rnd.nextInt(4))).mkString)
+    val got = words.toDF("w")
+      .select(col("w"), element_at(
+        graft.functions.UnigramSegment.asColumn(array(col("w")), vocab, 3),
+        1).as("pieces"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    for (w <- words)
+      assert(got(w) == ref(w, vmap, 3),
+        s"'$w': DP ${got(w)} != reference ${ref(w, vmap, 3)}")
+    assert(got("aba") == Seq("a", "ba"),
+      s"cost+np tie resolves by UTF-8 path order: ${got("aba")}")
+    assert(got("x") == Seq("x"), "OOV codepoint segments as itself")
+    // NULL token -> NULL piece list; empty token -> empty piece list
+    val edge = Seq((1L, Seq(Some("ab"), None, Some(""))))
+      .toDF("id", "toks")
+      .select(graft.functions.UnigramSegment.asColumn(
+        expr("transform(toks, x -> x)"), vocab, 3).as("p"))
+      .collect()(0).getSeq[AnyRef](0)
+    assert(edge(0) == Seq("ab") && edge(1) == null && edge(2) == Seq(),
+      s"NULL/empty token edges: $edge")
+  }
+
+  test("unigramFit/unigramEncode: coverage floor, vocab budget, monotone scores, encode == final-model Viterbi") {
+    import spark.implicits._
+    val docs = Seq("aa ab aa ba", "ab ab aa cc", "ba aa ab dd")
+      .toDF("text")
+    val model = GraftOps.unigramFit(docs,
+      graft.functions.Text.tokens(col("text")), vocabSize = 8, iters = 2,
+      maxPieceLen = 2, topWords = 10, maxWordLen = 5)
+    val rows = model.orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every single codepoint of the training words survives (coverage)
+    val pieces = rows.map(_._1).toSet
+    assert(Set("a", "b", "c", "d").subsetOf(pieces),
+      s"single-codepoint coverage floor: $pieces")
+    assert(rows.length <= 8, s"vocab budget respected: ${rows.length}")
+    assert(rows.map(_._4).toSeq == (1L to rows.length).toSeq,
+      "rank is dense 1..n")
+    // mass desc <=> sur asc (the ladder is monotone in the ratio)
+    assert(rows.sliding(2).forall(p => p(0)._2 >= p(1)._2 &&
+      p(0)._3 <= p(1)._3), s"mass desc, surprisal asc: ${rows.toSeq}")
+    // encode applies the FINAL model's Viterbi — same expression, same
+    // vocabulary, so re-segmenting a training word matches directly
+    val enc = GraftOps.unigramEncode(
+        Seq("aa ab zz").toDF("text").select(
+          graft.functions.Text.tokens(col("text")).as("toks")),
+        col("toks"), model)
+      .collect()(0).getSeq[AnyRef](1)
+    val vocabSeq = rows.map(r => (r._1, r._3)).toSeq
+    val direct = Seq(Seq("aa", "ab", "zz")).toDF("toks")
+      .select(graft.functions.UnigramSegment.asColumn(col("toks"),
+        vocabSeq, 2).as("p"))
+      .collect()(0).getSeq[AnyRef](0)
+    assert(enc == direct, s"encode $enc != direct Viterbi $direct")
+    assert(enc(2) == Seq("z", "z"), s"OOV word falls to char floor: $enc")
+    intercept[IllegalArgumentException] {
+      GraftOps.unigramFit(docs, graft.functions.Text.tokens(col("text")),
+        vocabSize = 2, iters = 1, maxPieceLen = 2) // < coverage floor
+    }
+  }
+
   test("contaminationReport: full quote vs scattered overlap vs clean doc; mass counts repeats; minOverlap; guards") {
     import spark.implicits._
     val corpus = Seq(
