@@ -26,6 +26,9 @@ import graft.streaming.StreamingOps
   *                 orderedChunked below), not the event_id-mod one.
   *  - s24_rolling_distinct: trailing-window distinct-actives set state
   *                 (same ordered replay — its lateness bound is in days)
+  *  - s27_freqcap: frequency-cap admission (count-only O(1) state per
+  *                 key — the cheapest stateful shape; same ordered
+  *                 replay contract as s21–s23)
   *  - s25_semantic: semantic-dup admission flags — baked-constant cell
   *                 routing + stream–static cell equi-join + exact cosine
   *                 verify against a kmeans-indexed synthetic corpus
@@ -46,7 +49,7 @@ object StreamBench {
     * the CheckFreeze pattern). */
   val allModes: Seq[String] = Seq("s1_parse", "s2_window", "s13_heavy",
     "s5_stateful", "s20_upsert", "s21_ewma", "s22_transition", "s23_cusum",
-    "s24_rolling_distinct", "s25_semantic", "s26_golden")
+    "s24_rolling_distinct", "s25_semantic", "s26_golden", "s27_freqcap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -190,6 +193,18 @@ object StreamBench {
             .as[graft.streaming.RollingDistinctStream.Visit]
           (graft.streaming.RollingDistinctStream(visits, windowDays = 7,
             lateDays = 1).toDF(), "append")
+        case "s27_freqcap" =>
+          import spark.implicits._
+          // count-only O(1) state per key; same strictly-increasing
+          // (ts, tiebreak) cross-batch contract as s21–s23, so the
+          // time-ordered replay
+          val src = if (warm) warmRawStream else orderedStream
+          val evs = src
+            .filter(col("ts").isNotNull && col("user_id").isNotNull)
+            .select(col("user_id").as("key"), col("ts"),
+              col("event_id").as("tiebreak"))
+            .as[graft.streaming.FrequencyCapStream.Ev]
+          (graft.streaming.FrequencyCapStream(evs, k = 20).toDF(), "append")
         case "s25_semantic" =>
           // arrival id = event_id (so a flag row is (event, user) — the
           // arriving doc vs its own corpus user vector plus cell mates)

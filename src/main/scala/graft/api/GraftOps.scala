@@ -28,6 +28,30 @@ object GraftOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Frequency-cap dedup: keep at most `k` occurrences per key — the
+    * FIRST k in (ts, tiebreak) order, the training-data staple that
+    * bounds how often one user/domain/template can contribute ("cap
+    * each boilerplate page at k copies", "at most k events per user
+    * per feed"). Deterministic under the house unique-(key, ts,
+    * tiebreak) contract (the q140 posture: a duplicate (ts, tiebreak)
+    * within a key would make membership at the k boundary
+    * engine-arbitrary — pass a unique id as the tiebreak). NULL key or
+    * ts rows drop up front (no position in the order — the r17 NULL-ts
+    * rule). One shuffle on the key + in-partition ordered rank — the
+    * q06/q12 top-k-per-group shape; a hot key ships its history once,
+    * never a self-join. Streaming twin:
+    * [[graft.streaming.FrequencyCapStream]] (S27 — count-only O(1)
+    * state per key, admitted set == this operator over any chunked
+    * in-order replay). */
+  def frequencyCap(df: DataFrame, key: Column, ts: Column,
+      tiebreak: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    df.filter(key.isNotNull && ts.isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** MinHash+LSH near-dup candidates: (idA, idB, est_jaccard) for document
     * pairs whose signatures agree on ≥ `minMatches` of `numHashes` family
     * members, found via `bands` LSH bands. */
@@ -174,6 +198,65 @@ object GraftOps {
         (col("__sza") + col("__szb") - col("__inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken local
+    * fingerprinting, SIGMOD'03 — the MOSS algorithm): positional
+    * `kgram`-token window hashes → the DISTINCT minimum of every
+    * `window` consecutive hashes, exploded as (id, fp) rows. The
+    * deterministic-recall member of the near-dup family: a shared token
+    * run of ≥ window + kgram − 1 tokens GUARANTEES a shared fingerprint
+    * (MinHash/SimHash recall is only probabilistic), while per-doc
+    * state is the winnowed subset — ~2/(window+1) of all positions —
+    * not every window the way span-level exact-substring masking (q85)
+    * keeps. One codegen'd narrow map per document
+    * ([[graft.functions.WinnowSelect]] over
+    * [[graft.functions.ShingleHashesAll]] — the q85 positional hash, so
+    * fingerprints are comparable across both operators); docs shorter
+    * than one window still yield one fingerprint (min over all their
+    * hashes); docs under `kgram` tokens yield none. */
+  def winnowFingerprints(df: DataFrame, id: Column, text: Column,
+      kgram: Int = 4, window: Int = 5): DataFrame = {
+    require(kgram >= 1, s"kgram must be >= 1; got $kgram")
+    require(window >= 1, s"window must be >= 1; got $window")
+    df.select(id.as("id"),
+      explode(graft.functions.WinnowSelect.asColumn(
+        graft.functions.ShingleHashesAll.asColumn(Text.tokens(text), kgram),
+        window)).as("fp"))
+  }
+
+  /** Fingerprint-overlap report over [[winnowFingerprints]] — the
+    * plagiarism/provenance grain between whole-doc MinHash similarity
+    * (q16) and byte-level exact-substring spans (q85): unordered pairs
+    * sharing ≥ `minShared` winnowed fingerprints, with both capped
+    * fingerprint-set sizes and the integer containment score
+    * n_shared·10⁶ div min(|A|,|B|). Inverted-index join on the
+    * fingerprint (the q18 shape — only candidate pairs shuffle, never
+    * all-pairs); fingerprints appearing in > `dfCap` docs drop from
+    * BOTH sides (boilerplate mass — the q18/q82 stopword-gram
+    * contract, mirrored in the oracle), and sizes count the CAPPED
+    * sets so the containment denominator matches the join's evidence
+    * universe. All-integer output — engine-portable. */
+  def winnowOverlapReport(df: DataFrame, id: Column, text: Column,
+      kgram: Int = 4, window: Int = 5, dfCap: Int = 100,
+      minShared: Int = 2): DataFrame = {
+    require(dfCap >= 1, s"dfCap must be >= 1; got $dfCap")
+    require(minShared >= 1, s"minShared must be >= 1; got $minShared")
+    val fp = winnowFingerprints(df, id, text, kgram, window)
+      .select(col("id").as("__id"), col("fp").as("__fp"))
+    val ff = dfCapPosting(fp, "__fp", dfCap).select(col("__id"), col("__fp"))
+    val sizes = ff.groupBy(col("__id")).agg(count(lit(1)).as("__nf"))
+    ff.as("a").join(ff.as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("__id").as("id_a"), col("__nf").as("fp_a")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__nf").as("fp_b")), "id_b")
+      .withColumn("containment_ppm",
+        expr("(n_shared * 1000000) div least(fp_a, fp_b)"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("fp_a"),
+        col("fp_b"), col("containment_ppm"))
   }
 
   /** Edit-distance near-key join — typo-tolerant matching of short keys
@@ -5383,6 +5466,174 @@ object GraftOps {
       .filter(col("n") * lit(1000000L) >= lit(thrPpm) * col("__total"))
       .select(col("key"), col("n"),
         expr("(n * 1000000) div __total").as("ppm"))
+  }
+
+  // ---------------------------------------------------- sketch algebra
+
+  /** Count-min sketch of a key column: a depth × width counter grid,
+    * cell (j, b) = count of rows whose j-th seeded portable hash lands
+    * in bucket b. The hash family is md5-derived
+    * ([[graft.functions.Portable]]), so the sketch — and every estimate
+    * read from it — is DETERMINISTIC and engine-portable: unlike the
+    * opaque-register HLL tier (q15b, rows-only by design) this sketch
+    * hash-gates against DuckDB computing the identical counters. The
+    * frequency complement of [[heavyHittersSketch]]: MG bounds the
+    * CANDIDATE set, CMS bounds the whole COUNTER state — shuffle
+    * carries at most depth·width cells per task after map-side partial
+    * aggregation, never the key space (the depth× row expansion exists
+    * map-side only, the bounded analogue of q147's Expand). Returns
+    * (j, bucket, c). Mergeable: the sketch of a union is the cell-wise
+    * sum of the parts' sketches (spec-pinned law), so per-shard
+    * sketches fold into a corpus sketch without a re-scan. */
+  def cmsSketch(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16]; got $depth")
+    require(width >= 2, s"width must be >= 2; got $width")
+    val ks = df.select(key.cast("string").as("key")).filter(col("key").isNotNull)
+    ks.select(explode(array((0 until depth).map(j =>
+          struct(lit(j).as("j"),
+            pmod(Portable.phash(concat(lit(s"cms$j|"), col("key"))),
+              lit(width.toLong)).as("bucket"))): _*)).as("__c"))
+      .groupBy(col("__c.j").as("j"), col("__c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query a [[cmsSketch]]: estimated count per distinct query
+    * key = min over the `depth` counter cells the key hashes to. The
+    * CMS guarantee — est ≥ true count, ALWAYS (counters only ever
+    * overcount) — is spec-pinned over every key of the fixture. The
+    * sketch side broadcasts (≤ depth·width rows by construction);
+    * cells no row ever hit are not materialized, so absent cells read
+    * as 0 through the left join (a never-seen key estimates 0). */
+  def cmsQuery(sketch: DataFrame, keys: DataFrame, key: Column,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16]; got $depth")
+    require(width >= 2, s"width must be >= 2; got $width")
+    keys.select(key.cast("string").as("key")).filter(col("key").isNotNull)
+      .distinct()
+      .select(col("key"), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"),
+          pmod(Portable.phash(concat(lit(s"cms$j|"), col("key"))),
+            lit(width.toLong)).as("bucket"))): _*)).as("__l"))
+      .select(col("key"), col("__l.j").as("j"), col("__l.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** CMS adjudication report: the exact top-`topN` keys (count desc,
+    * key asc — a total order) with true count, [[cmsSketch]] estimate,
+    * and the overcount — the face that lets the driver hash-gate the
+    * sketch family end to end (q150). The exact pass exists FOR the
+    * report; the scale faces are [[cmsSketch]]/[[cmsQuery]] alone,
+    * whose state never exceeds depth·width cells regardless of key
+    * cardinality. */
+  def cmsFrequencyReport(df: DataFrame, key: Column, depth: Int,
+      width: Int, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1; got $topN")
+    val ks = df.select(key.cast("string").as("key")).filter(col("key").isNotNull)
+    val top = ks.groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("key")).limit(topN)
+    cmsQuery(cmsSketch(df, key, depth, width), top, col("key"), depth, width)
+      .join(top, Seq("key"))
+      .select(col("key"), col("n"), col("est"),
+        (col("est") - col("n")).as("overcount"))
+      .orderBy(desc("n"), col("key"))
+  }
+
+  /** KMV (k-minimum-values / bottom-k theta) distinct sketch per group:
+    * the `k` smallest DISTINCT 40-bit portable hashes of `value` within
+    * each group, as (grp, h) rows. The hash is the md5 60-bit portable
+    * hash truncated to 40 bits (shiftright 20) so every estimator
+    * downstream stays in exact BIGINT arithmetic (cnt·2⁴⁰ ≤ 2⁴⁸ —
+    * both engines floor-divide identically; a decimal path would round
+    * at engine-specific scales). Truncation bias is negligible by
+    * construction: only the BOTTOM-k region matters, and two values
+    * colliding inside it needs a k²/2⁴¹ event — independent of corpus
+    * cardinality. Build = one distinct on (grp, hash) — the only
+    * corpus-scale shuffle — then a per-group bottom-k over the
+    * already-distinct hash table; sketches are |groups|·k rows
+    * (broadcast-sized). Mergeable: the sketch of a union is the
+    * bottom-k of the parts' sketches (spec-pinned law). NULL groups
+    * and NULL values drop. */
+  def kmvSketch(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2; got $k")
+    val d = df.select(group.cast("string").as("grp"),
+        shiftright(Portable.phash(concat(lit("kmv|"), value)), 20).as("h"))
+      .filter(col("grp").isNotNull && col("h").isNotNull)
+      .distinct()
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    d.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("grp"), col("h"))
+  }
+
+  /** Distinct-cardinality set algebra over [[kmvSketch]] — the
+    * theta-sketch estimators, all in exact integer arithmetic: per
+    * unordered group pair, estimated distinct counts of each side
+    * (est_a/est_b — EXACT when a group holds < k distinct hashes,
+    * since then theta = 2⁴⁰ and the sketch IS the value set),
+    * estimated intersection and union cardinalities, and an integer
+    * Jaccard. Estimator: theta_g = k-th smallest hash when saturated
+    * (else 2⁴⁰); retained = hashes < theta; est = |retained|·2⁴⁰ div
+    * theta. Pairwise: theta = min(theta_a, theta_b); n_common =
+    * |sk_a ∩ sk_b below theta|; est_inter = n_common·2⁴⁰ div theta;
+    * union via inclusion–exclusion of below-theta counts;
+    * jaccard_ppm = n_common·10⁶ div union_count (theta cancels — the
+    * floor-free form). The sketch build is the only corpus-scale
+    * stage; every pairwise stage runs on |groups|·k rows. The
+    * hash-gated complement of approx_count_distinct: HLL registers
+    * are engine-opaque (q15b stays rows-only), KMV bottom-k sets are
+    * portable values both engines reproduce bit-for-bit (q151). */
+  def kmvOverlapReport(df: DataFrame, group: Column, value: Column,
+      k: Int): DataFrame = {
+    val TWO40 = 1099511627776L
+    // the report fans the sketch into four consumers (stats, two
+    // below-theta counts, the common-hash join): localCheckpoint the
+    // |groups|·k-row sketch eagerly so the corpus-scale distinct runs
+    // ONCE, not once per consumer (the q137 lineage-hygiene idiom)
+    val sk = kmvSketch(df, group, value, k).localCheckpoint(true)
+    val th = sk.groupBy(col("grp"))
+      .agg(count(lit(1)).as("__sz"), max(col("h")).as("__hmax"))
+      .withColumn("theta",
+        when(col("__sz") < k, lit(TWO40)).otherwise(col("__hmax")))
+      .withColumn("cnt",
+        when(col("__sz") < k, col("__sz")).otherwise(lit((k - 1).toLong)))
+      .withColumn("est", expr(s"(cnt * $TWO40) div greatest(theta, 1)"))
+    val pairs = th.select(col("grp").as("grp_a"), col("theta").as("__tha"),
+        col("est").as("est_a"))
+      .crossJoin(th.select(col("grp").as("grp_b"), col("theta").as("__thb"),
+        col("est").as("est_b")))
+      .filter(col("grp_a") < col("grp_b"))
+      .withColumn("__thmin", least(col("__tha"), col("__thb")))
+    def below(side: String) =
+      sk.select(col("grp").as(s"grp_$side"), col("h"))
+        .join(pairs.select(col("grp_a"), col("grp_b"), col("__thmin")),
+          Seq(s"grp_$side"))
+        .filter(col("h") < col("__thmin"))
+        .groupBy(col("grp_a"), col("grp_b"))
+        .agg(count(lit(1)).as(s"__n$side"))
+    val common = sk.select(col("grp").as("grp_a"), col("h"))
+      .join(sk.select(col("grp").as("grp_b"), col("h")), Seq("h"))
+      .filter(col("grp_a") < col("grp_b"))
+      .join(pairs.select(col("grp_a"), col("grp_b"), col("__thmin")),
+        Seq("grp_a", "grp_b"))
+      .filter(col("h") < col("__thmin"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(below("a"), Seq("grp_a", "grp_b"), "left")
+      .join(below("b"), Seq("grp_a", "grp_b"), "left")
+      .join(common, Seq("grp_a", "grp_b"), "left")
+      .na.fill(0L, Seq("__na", "__nb", "n_common"))
+      .withColumn("__u", col("__na") + col("__nb") - col("n_common"))
+      .withColumn("est_inter",
+        expr(s"(n_common * $TWO40) div greatest(__thmin, 1)"))
+      .withColumn("est_union",
+        expr(s"(__u * $TWO40) div greatest(__thmin, 1)"))
+      .withColumn("jaccard_ppm",
+        expr("(n_common * 1000000) div greatest(__u, 1)"))
+      .select(col("grp_a"), col("grp_b"), col("est_a"), col("est_b"),
+        col("n_common"), col("est_inter"), col("est_union"),
+        col("jaccard_ppm"))
   }
 
   /** Collocation mining over an adjacent-token bigram column: ranks

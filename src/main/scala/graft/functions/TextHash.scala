@@ -228,6 +228,44 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Distinct window-minimum selection over a positional hash array —
+    * the winnowing fingerprint set (Schleimer–Wilkerson–Aiken local
+    * fingerprinting): for every length-`window` window over
+    * [[shingleHashesAll]]'s positional k-gram hashes, select the
+    * window's minimum value; the fingerprint set is the DISTINCT
+    * selected values. Value identity is all overlap joins consume, so
+    * the tie POSITION is irrelevant — any tie rule yields the same set
+    * (classic winnowing's rightmost-tie rule only matters for
+    * position-bearing fingerprints). Guarantee: two documents sharing
+    * a token run of ≥ window + kgramWidth − 1 tokens share ≥ 1
+    * fingerprint — deterministic recall MinHash can't promise. Fewer
+    * hashes than `window` → one window over all (short docs still
+    * fingerprint); empty input → empty. O(n·window) single pass —
+    * cheaper than a monotone deque for the small constant windows
+    * fingerprinting uses. */
+  def winnowSelect(hashes: ArrayData, window: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val wins = math.max(n - window + 1, 1)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < wins) {
+      var m = hashes.getLong(i)
+      var k = 1
+      while (k < window && i + k < n) {
+        val v = hashes.getLong(i + k)
+        if (v < m) m = v
+        k += 1
+      }
+      out.add(m)
+      i += 1
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator(); var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Count of positions where two int64 signatures agree (the verify
     * step of every near-dup band join; see SigMatchCount). Counts over
     * the shorter length — identical to the HOF form's zip semantics. */
@@ -492,6 +530,22 @@ case class ShingleHashesAll(child: Expression, width: Int)
     copy(child = c)
 }
 
+/** `winnow_select(hashes, window)`: array<long> positional window hashes →
+  * array<long> distinct window minima — the winnowing fingerprint set
+  * (codegen'd; semantics and the recall guarantee in
+  * [[TextHash.winnowSelect]]). */
+case class WinnowSelect(child: Expression, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_select"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.winnowSelect(v.asInstanceOf[ArrayData], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.winnowSelect($c, $window)")
+  override protected def withNewChildInternal(c: Expression): WinnowSelect =
+    copy(child = c)
+}
+
 /** `sig_match_count(a, b)`: number of positions where two array<long>
   * signatures agree — the codegen'd form of
   * `size(filter(zip_with(a, b, _ === _), identity))`, which runs
@@ -726,6 +780,10 @@ object ExciseSpans {
   def asColumn(tokens: Column, starts: Column, width: Int): Column =
     ColumnBridge.column(ExciseSpans(ColumnBridge.expression(tokens),
       ColumnBridge.expression(starts), width))
+}
+object WinnowSelect {
+  def asColumn(hashes: Column, window: Int): Column =
+    ColumnBridge.column(WinnowSelect(ColumnBridge.expression(hashes), window))
 }
 object SigMatchCount {
   def asColumn(a: Column, b: Column): Column =

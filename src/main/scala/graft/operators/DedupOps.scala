@@ -845,7 +845,115 @@ object DedupOps {
                JOIN sz b ON b.source = agg.src_b
       ORDER BY src_a, src_b"""))
 
+  // --------------------------------------------------------------- q151
+  /** KMV distinct-sketch set algebra between sources: per source pair,
+    * estimated distinct-3-shingle cardinalities of each side, the
+    * estimated shingle-vocabulary intersection/union, and an integer
+    * Jaccard — "how much PHRASE vocabulary do two ingestion sources
+    * share", the curation complement of q144's document-pair overlap
+    * (two sources can share zero near-dup documents yet heavy
+    * vocabulary). The whole sketch algebra is exact BIGINT arithmetic
+    * over md5-derived bottom-k hash sets, so the APPROXIMATE estimates
+    * themselves hash-gate against DuckDB (the portable counterpart of
+    * rows-only HLL q15b). Exercises [[graft.api.GraftOps.kmvSketch]] /
+    * kmvOverlapReport. */
+  val q151 = QueryDef("q151_kmv_source_overlap",
+    (s, dir) => {
+      val sh = docs(s, dir).select(col("source"),
+        explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+      graft.api.GraftOps.kmvOverlapReport(sh, col("source"), col("sh"),
+          k = 128)
+        .orderBy("grp_a", "grp_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT source, ${Duck.toks} AS toks FROM documents),
+      sr AS (SELECT source AS grp, unnest(${Duck.shingles3}) AS sh
+             FROM t WHERE source IS NOT NULL),
+      hs AS (SELECT DISTINCT grp, (${Duck.ph("'kmv|' || sh")} >> 20) AS h
+             FROM sr),
+      r AS (SELECT grp, h,
+              row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM hs),
+      sk AS (SELECT grp, h FROM r WHERE rn <= 128),
+      th0 AS (SELECT grp, COUNT(*) AS sz, MAX(h) AS hmax FROM sk GROUP BY grp),
+      th AS (SELECT grp,
+               CASE WHEN sz < 128 THEN 1099511627776 ELSE hmax END AS theta,
+               CASE WHEN sz < 128 THEN sz ELSE 127 END AS cnt
+             FROM th0),
+      t3 AS (SELECT grp, theta,
+               CAST((cnt * 1099511627776) // greatest(theta, 1) AS BIGINT) AS est
+             FROM th),
+      p AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+              least(a.theta, b.theta) AS th_min,
+              a.est AS est_a, b.est AS est_b
+            FROM t3 a JOIN t3 b ON a.grp < b.grp),
+      na AS (SELECT grp_a, grp_b, COUNT(*) AS n_a FROM p
+             JOIN sk ON sk.grp = p.grp_a AND sk.h < p.th_min GROUP BY 1, 2),
+      nb AS (SELECT grp_a, grp_b, COUNT(*) AS n_b FROM p
+             JOIN sk ON sk.grp = p.grp_b AND sk.h < p.th_min GROUP BY 1, 2),
+      nc AS (SELECT grp_a, grp_b, COUNT(*) AS n_c FROM p
+             JOIN sk x ON x.grp = p.grp_a AND x.h < p.th_min
+             JOIN sk y ON y.grp = p.grp_b AND y.h = x.h GROUP BY 1, 2),
+      f AS (SELECT p.grp_a, p.grp_b, p.est_a, p.est_b, p.th_min,
+              COALESCE(na.n_a, 0) AS n_a, COALESCE(nb.n_b, 0) AS n_b,
+              COALESCE(nc.n_c, 0) AS n_common
+            FROM p LEFT JOIN na ON p.grp_a = na.grp_a AND p.grp_b = na.grp_b
+                   LEFT JOIN nb ON p.grp_a = nb.grp_a AND p.grp_b = nb.grp_b
+                   LEFT JOIN nc ON p.grp_a = nc.grp_a AND p.grp_b = nc.grp_b)
+      SELECT grp_a, grp_b, est_a, est_b, n_common,
+        CAST((n_common * 1099511627776) // greatest(th_min, 1) AS BIGINT) AS est_inter,
+        CAST(((n_a + n_b - n_common) * 1099511627776) // greatest(th_min, 1) AS BIGINT) AS est_union,
+        CAST((n_common * 1000000) // greatest(n_a + n_b - n_common, 1) AS BIGINT) AS jaccard_ppm
+      FROM f
+      ORDER BY grp_a, grp_b"""))
+
+  // --------------------------------------------------------------- q152
+  /** Winnowing fingerprint overlap (the MOSS plagiarism grain): pairs
+    * of documents sharing ≥ 2 winnowed 4-gram fingerprints with set
+    * sizes and integer containment — DETERMINISTIC recall (any shared
+    * run of ≥ window+kgram−1 = 8 tokens is caught; MinHash q16 only
+    * catches it probabilistically) at winnowed cost (~2/(window+1) of
+    * positions indexed; q85's span index keeps every window).
+    * Exercises [[graft.api.GraftOps.winnowFingerprints]] /
+    * winnowOverlapReport (codegen'd WinnowSelect over the q85
+    * positional hash). */
+  val q152 = QueryDef("q152_winnow_overlap",
+    (s, dir) =>
+      graft.api.GraftOps.winnowOverlapReport(docs(s, dir), col("doc_id"),
+          col("text"), kgram = 4, window = 5, dfCap = 100, minShared = 2)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("n_shared"), col("fp_a"), col("fp_b"), col("containment_ppm"))
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 4
+          THEN list_transform(range(1, len(toks) - 2),
+            i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+          ELSE CAST([] AS VARCHAR[]) END AS shs FROM t),
+      hs AS (SELECT doc_id,
+        list_transform(shs, s -> ${Duck.ph("s")}) AS hs FROM sh),
+      fp0 AS (SELECT doc_id,
+        CASE WHEN len(hs) >= 1
+          THEN list_distinct(list_transform(
+            range(0, greatest(len(hs) - 4, 1)),
+            i -> list_min(list_slice(hs, i + 1, i + 5))))
+          ELSE CAST([] AS BIGINT[]) END AS fps FROM hs),
+      fpr AS (SELECT doc_id, unnest(fps) AS fp FROM fp0),
+      rare AS (SELECT fp FROM fpr GROUP BY fp HAVING COUNT(*) <= 100),
+      ff AS (SELECT fpr.doc_id, fpr.fp FROM fpr JOIN rare USING (fp)),
+      sz AS (SELECT doc_id, COUNT(*) AS nf FROM ff GROUP BY doc_id),
+      pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared
+             FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT doc_a, doc_b, n_shared, za.nf AS fp_a, zb.nf AS fp_b,
+        (n_shared * 1000000) // least(za.nf, zb.nf) AS containment_ppm
+      FROM pr JOIN sz za ON doc_a = za.doc_id
+              JOIN sz zb ON doc_b = zb.doc_id
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[QueryDef] =
     Seq(q11, q16, q17, q18, q19, q40, q41, q76, q82, q83, q85, q92, q99,
-      q102, q114, q118, q144)
+      q102, q114, q118, q144, q151, q152)
 }

@@ -730,7 +730,30 @@ object TemporalOps {
       SELECT item, score_ppm, n_events FROM s
       ORDER BY score_ppm DESC, item LIMIT 20"""))
 
+  // --------------------------------------------------------------- q153
+  /** Frequency-cap dedup: each user's first 3 events in (ts, event_id)
+    * order — the contribution bound every training-data feed applies
+    * before mixing. Exercises [[graft.api.GraftOps.frequencyCap]]
+    * (NULL key/ts rows drop up front; one shuffle + ordered rank, the
+    * top-k-per-group shape); the streaming twin admits the same set
+    * through a real chunked replay (law S27). */
+  val q153 = QueryDef("q153_frequency_cap",
+    (s, dir) =>
+      graft.api.GraftOps.frequencyCap(events(s, dir), col("user_id"),
+          col("ts"), col("event_id"), k = 3)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id, user_id, ts, event_type FROM (
+        SELECT event_id, user_id, ts, event_type,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL) t
+      WHERE rn <= 3
+      ORDER BY event_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104, q106, q117,
-      q119, q120, q125, q126, q134, q140, q141)
+      q119, q120, q125, q126, q134, q140, q141, q153)
 }

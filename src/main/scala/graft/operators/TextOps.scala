@@ -242,6 +242,42 @@ object TextOps {
         .orderBy(desc("n"), col("bg")),
     Some(hhOracle))
 
+  // --------------------------------------------------------------- q150
+  /** Count-min sketch adjudication over the SAME bigram stream as q70:
+    * the exact top-20 bigrams with true count, the CMS (depth 4 ×
+    * width 2048, md5 hash family) estimate, and the overcount. Every
+    * counter is deterministic in both engines, so — uniquely among the
+    * approximate tiers — the sketch path itself hash-gates (HLL q15b /
+    * GK q29b stay rows-only by register opacity). Exercises
+    * [[graft.api.GraftOps.cmsSketch]] / cmsQuery / cmsFrequencyReport. */
+  val q150 = QueryDef("q150_cms_frequency",
+    (s, dir) =>
+      graft.api.GraftOps.cmsFrequencyReport(bigramRows(s, dir), col("bg"),
+          depth = 4, width = 256, topN = 20)
+        .withColumnRenamed("key", "bg")
+        .orderBy(desc("n"), col("bg")),
+    Some(s"""
+      WITH t AS (SELECT ${Duck.toks} AS tk FROM documents),
+      b AS (SELECT unnest(list_filter(list_transform(range(1, len(tk)),
+          i -> CASE WHEN tk[i] <> '' AND tk[i+1] <> '' THEN tk[i] || ' ' || tk[i+1] ELSE NULL END),
+          x -> x IS NOT NULL)) AS bg FROM t),
+      cnt AS (SELECT bg, COUNT(*) AS n FROM b GROUP BY bg),
+      top AS (SELECT bg, n FROM cnt ORDER BY n DESC, bg LIMIT 20),
+      cells AS (
+        SELECT d.j, ${Duck.ph("'cms' || CAST(d.j AS VARCHAR) || '|' || bg")} % 256 AS bucket,
+          COUNT(*) AS c
+        FROM b, (SELECT unnest(range(0, 4)) AS j) d
+        GROUP BY 1, 2),
+      est AS (
+        SELECT tp.bg, MIN(COALESCE(c.c, 0)) AS est
+        FROM top tp CROSS JOIN (SELECT unnest(range(0, 4)) AS j) d
+        LEFT JOIN cells c ON c.j = d.j
+          AND c.bucket = ${Duck.ph("'cms' || CAST(d.j AS VARCHAR) || '|' || tp.bg")} % 256
+        GROUP BY tp.bg)
+      SELECT tp.bg, tp.n, e.est, e.est - tp.n AS overcount
+      FROM top tp JOIN est e ON tp.bg = e.bg
+      ORDER BY tp.n DESC, tp.bg"""))
+
   // ---------------------------------------------------------------- q73
   /** Robust per-language length outliers: |len − median| / MAD > 2.0 —
     * the quality screen for truncated/concatenated documents that a
@@ -1065,5 +1101,5 @@ object TextOps {
 
   val all: Seq[QueryDef] =
     Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86, q101, q109,
-      q110, q112, q115, q122, q135, q135b, q136, q138, q142, q148)
+      q110, q112, q115, q122, q135, q135b, q136, q138, q142, q148, q150)
 }

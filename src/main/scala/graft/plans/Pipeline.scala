@@ -1009,6 +1009,22 @@ object PipelineCompiler {
             graft.streaming.RollingDistinctStream.Visit]),
         args.get("windowDays").map(_.toInt).getOrElse(7),
         args.get("lateDays").map(_.toInt).getOrElse(3)).toDF())),
+    "frequencyCap" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.frequencyCap(in("inport1"),
+        expr(arg(args, "key")), expr(arg(args, "ts")),
+        expr(arg(args, "tiebreak")), k = arg(args, "k").toInt))),
+    // frequencyCapStream: the S27 continuous twin of `frequencyCap`
+    // (DataFrame face over the typed FrequencyCapStream; admitted set ==
+    // batch law spec'd in S27)
+    "frequencyCapStream" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.FrequencyCapStream(
+        in("inport1").select(
+          expr(arg(args, "key")).cast("long").as("key"),
+          expr(arg(args, "ts")).cast("timestamp").as("ts"),
+          expr(arg(args, "tiebreak")).cast("long").as("tiebreak"))
+          .as(org.apache.spark.sql.Encoders.product[
+            graft.streaming.FrequencyCapStream.Ev]),
+        k = arg(args, "k").toInt).toDF())),
     "transitionCounts" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.transitionCounts(
         in("inport1"), expr(arg(args, "key")), expr(arg(args, "ts")),
@@ -1169,6 +1185,42 @@ object PipelineCompiler {
         in("inport1"), expr(arg(args, "leftKey")),
         in("inport2"), expr(arg(args, "rightKey")),
         topN = arg(args, "topN").toInt))),
+    // Deterministic sketch algebra (md5 hash family — estimates themselves
+    // are engine-portable; see GraftOps scaladoc for the 100 TB postures).
+    "cmsSketch" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.cmsSketch(in("inport1"),
+        expr(arg(args, "key")), depth = arg(args, "depth").toInt,
+        width = arg(args, "width").toInt))),
+    // inport1 = sketch (from cmsSketch), inport2 = query keys
+    "cmsQuery" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.cmsQuery(in("inport1"),
+        in("inport2"), expr(arg(args, "key")),
+        depth = arg(args, "depth").toInt,
+        width = arg(args, "width").toInt))),
+    "cmsFrequencyReport" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.cmsFrequencyReport(in("inport1"),
+        expr(arg(args, "key")), depth = arg(args, "depth").toInt,
+        width = arg(args, "width").toInt, topN = arg(args, "topN").toInt))),
+    "kmvSketch" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.kmvSketch(in("inport1"),
+        expr(arg(args, "group")), expr(arg(args, "value")),
+        k = arg(args, "k").toInt))),
+    "kmvOverlapReport" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.kmvOverlapReport(in("inport1"),
+        expr(arg(args, "group")), expr(arg(args, "value")),
+        k = arg(args, "k").toInt))),
+    "winnowFingerprints" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.winnowFingerprints(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        kgram = args.getOrElse("kgram", "4").toInt,
+        window = args.getOrElse("window", "5").toInt))),
+    "winnowOverlapReport" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.winnowOverlapReport(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        kgram = args.getOrElse("kgram", "4").toInt,
+        window = args.getOrElse("window", "5").toInt,
+        dfCap = args.getOrElse("dfCap", "100").toInt,
+        minShared = args.getOrElse("minShared", "2").toInt))),
     "sourceOverlapReport" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.sourceOverlapReport(in("inport1"),
         expr(arg(args, "id")), expr(arg(args, "text")),

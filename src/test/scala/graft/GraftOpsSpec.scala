@@ -4608,4 +4608,147 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(current.exceptAll(applied).isEmpty &&
       applied.exceptAll(current).isEmpty)
   }
+
+  test("cmsSketch/cmsQuery: never undercounts any key; mergeable; absent keys; report; guards") {
+    import spark.implicits._
+    val keys = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ (1 to 60).map(i => s"k$i")
+    val df = keys.toDF("k")
+    val (d, w) = (3, 16) // width 16 forces collisions — the property must hold anyway
+    val sk = GraftOps.cmsSketch(df, col("k"), d, w)
+    val truth = df.groupBy("k").agg(count(lit(1)).as("n"))
+    val joined = GraftOps.cmsQuery(sk, truth, col("k"), d, w)
+      .join(truth.withColumnRenamed("k", "key"), "key").collect()
+    assert(joined.length == 62 && joined.forall(r =>
+      r.getAs[Long]("est") >= r.getAs[Long]("n")),
+      "CMS guarantee: est >= true count for EVERY key")
+    // a never-seen key still answers (its cells may collide; >= 0 is the contract)
+    val ghost = GraftOps.cmsQuery(sk, Seq("zzz-never").toDF("k"), col("k"), d, w)
+      .collect()
+    assert(ghost.length == 1 && ghost(0).getLong(1) >= 0L)
+    // mergeability: sketch(h1 ++ h2) == cell-wise sum of the halves' sketches
+    val (h1, h2) = keys.splitAt(50)
+    val merged = GraftOps.cmsSketch(h1.toDF("k"), col("k"), d, w)
+      .union(GraftOps.cmsSketch(h2.toDF("k"), col("k"), d, w))
+      .groupBy("j", "bucket").agg(sum("c").as("c"))
+    val whole = GraftOps.cmsSketch(df, col("k"), d, w)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "per-shard sketches fold into the corpus sketch")
+    // report: top keys in (n desc, key asc) order, overcount = est - n >= 0
+    val rep = GraftOps.cmsFrequencyReport(df, col("k"), d, w, 2).collect()
+    assert(rep.map(_.getString(0)).toSeq == Seq("a", "b") &&
+      rep.forall(r => r.getAs[Long]("overcount") >= 0L))
+    intercept[IllegalArgumentException] { GraftOps.cmsSketch(df, col("k"), 0, w) }
+    intercept[IllegalArgumentException] { GraftOps.cmsSketch(df, col("k"), d, 1) }
+    intercept[IllegalArgumentException] { GraftOps.cmsFrequencyReport(df, col("k"), d, w, 0) }
+  }
+
+  test("kmvSketch/kmvOverlapReport: exact set algebra when unsaturated; mergeable; saturated estimator") {
+    import spark.implicits._
+    // |A|=30, |B|=25, |A∩B|=10, |A∪B|=45 — all under k, so theta = 2^40
+    // and the whole report is EXACT
+    val rows = ((1 to 30).map(i => ("g1", s"v$i")) ++
+      (21 to 45).map(i => ("g2", s"v$i"))).toDF("g", "v")
+    val rep = GraftOps.kmvOverlapReport(rows, col("g"), col("v"), k = 128)
+      .collect()
+    assert(rep.length == 1)
+    val r = rep(0)
+    assert((r.getAs[Long]("est_a"), r.getAs[Long]("est_b"),
+      r.getAs[Long]("n_common"), r.getAs[Long]("est_inter"),
+      r.getAs[Long]("est_union")) == ((30L, 25L, 10L, 10L, 45L)),
+      s"unsaturated KMV is exact set algebra: $r")
+    assert(r.getAs[Long]("jaccard_ppm") == 10L * 1000000L / 45L)
+    // mergeability at a saturating k: bottom-k of the union of two
+    // halves' sketches == the whole input's sketch
+    val p1 = ((1 to 15).map(i => ("g1", s"v$i")) ++
+      (21 to 33).map(i => ("g2", s"v$i"))).toDF("g", "v")
+    val p2 = ((16 to 30).map(i => ("g1", s"v$i")) ++
+      (34 to 45).map(i => ("g2", s"v$i"))).toDF("g", "v")
+    val k = 12
+    val mergedSk = GraftOps.kmvSketch(p1, col("g"), col("v"), k)
+      .union(GraftOps.kmvSketch(p2, col("g"), col("v"), k)).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("h")
+    val remerged = mergedSk.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select("grp", "h")
+    val whole = GraftOps.kmvSketch(rows, col("g"), col("v"), k)
+    assert(remerged.exceptAll(whole).isEmpty &&
+      whole.exceptAll(remerged).isEmpty,
+      "bottom-k of merged sketches == sketch of the union")
+    // saturated: identical 2000-value sets must read jaccard exactly 10^6,
+    // and the distinct estimate must sit inside a loose 3/sqrt(k) band
+    val big = ((1 to 2000).map(i => ("g1", s"x$i")) ++
+      (1 to 2000).map(i => ("g2", s"x$i"))).toDF("g", "v")
+    val rs = GraftOps.kmvOverlapReport(big, col("g"), col("v"), k = 128)
+      .collect()(0)
+    assert(rs.getAs[Long]("jaccard_ppm") == 1000000L,
+      s"identical saturated sets read 10^6 ppm: $rs")
+    assert(rs.getAs[Long]("est_a") > 1400L && rs.getAs[Long]("est_a") < 2600L,
+      s"saturated estimate within the 3/sqrt(k) band of 2000: $rs")
+    assert(rs.getAs[Long]("est_a") == rs.getAs[Long]("est_b"),
+      "identical sets, identical sketches, identical estimates")
+    intercept[IllegalArgumentException] {
+      GraftOps.kmvSketch(rows, col("g"), col("v"), 1)
+    }
+  }
+
+  test("winnowFingerprints/winnowOverlapReport: recall guarantee, reference DP, short docs, set semantics, report math") {
+    import spark.implicits._
+    // Scala reference of the winnowing selection (same md5 hash as the
+    // codegen'd expression — Portable.phashJvm IS pair()._1)
+    def ref(text: String, kg: Int, w: Int): Set[Long] = {
+      val toks = text.toLowerCase.trim.split("\\s+").toVector
+      if (toks.length < kg) return Set.empty
+      val hs = toks.sliding(kg)
+        .map(g => graft.functions.Portable.phashJvm(g.mkString(" "))).toVector
+      val wins = math.max(hs.length - w + 1, 1)
+      (0 until wins).map(i => hs.slice(i, math.min(i + w, hs.length)).min).toSet
+    }
+    // recall law: a shared run of window + kgram − 1 = 8 tokens
+    // GUARANTEES >= 1 shared fingerprint (MinHash can only say "probably")
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val t1 = s"unique one two three $shared nine ten eleven"
+    val t2 = s"$shared completely different tail words here now"
+    val t3 = "nothing in common with the others at all whatsoever truly"
+    val df = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("id", "txt")
+    val byDoc = GraftOps.winnowFingerprints(df, col("id"), col("txt"),
+        kgram = 4, window = 5)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "shared 8-token run must share a fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty,
+      "no shared 4-gram, no shared fingerprint")
+    assert(byDoc(1L) == ref(t1, 4, 5) && byDoc(2L) == ref(t2, 4, 5) &&
+      byDoc(3L) == ref(t3, 4, 5), "codegen'd selection == reference")
+    // short doc: 5 tokens → 2 positional hashes < window → ONE window over all
+    val short = GraftOps.winnowFingerprints(
+      Seq((9L, "a b c d e")).toDF("id", "txt"), col("id"), col("txt"), 4, 5)
+      .collect()
+    assert(short.length == 1 &&
+      short(0).getLong(1) == ref("a b c d e", 4, 5).head)
+    // under kgram tokens → no fingerprints at all
+    assert(GraftOps.winnowFingerprints(
+      Seq((8L, "a b c")).toDF("id", "txt"), col("id"), col("txt"), 4, 5)
+      .count() == 0L)
+    // repeated phrase inside one doc: fingerprints stay a SET
+    val dup = Seq((7L, "p q r s p q r s p q r s p q r s")).toDF("id", "txt")
+    val fps = GraftOps.winnowFingerprints(dup, col("id"), col("txt"), 4, 5)
+      .collect().map(_.getLong(1))
+    assert(fps.distinct.length == fps.length, "fingerprint set, no dup values")
+    assert(fps.toSet == ref("p q r s p q r s p q r s p q r s", 4, 5))
+    // report: only the planted pair qualifies; containment math is integer
+    val rep = GraftOps.winnowOverlapReport(df, col("id"), col("txt"),
+      4, 5, dfCap = 100, minShared = 1).collect()
+    assert(rep.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val rr = rep(0)
+    assert(rr.getAs[Long]("containment_ppm") ==
+      rr.getAs[Long]("n_shared") * 1000000L /
+        math.min(rr.getAs[Long]("fp_a"), rr.getAs[Long]("fp_b")))
+    intercept[IllegalArgumentException] {
+      GraftOps.winnowFingerprints(df, col("id"), col("txt"), 0, 5)
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.winnowOverlapReport(df, col("id"), col("txt"), 4, 5, 0, 1)
+    }
+  }
 }

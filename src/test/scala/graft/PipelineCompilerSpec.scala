@@ -1491,6 +1491,70 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("frequencyCap XML == API; frequencyCapStream composes in a STREAMING XML pipeline == batch cap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // batch face: XML binding row-equal to the API call
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 2L),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 3L),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 4L))
+      .toDF("k", "t", "n").createOrReplaceTempView("fc_rows")
+    val spec = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="in1" class="viewInput"><arg key="table" value="fc_rows"/></operator>
+        <operator name="cap" class="frequencyCap">
+          <arg key="key" value="k"/><arg key="ts" value="t"/>
+          <arg key="tiebreak" value="n"/><arg key="k" value="2"/>
+        </operator>
+        <connect from="in1.outport1" to="cap.inport1"/>
+      </pipeline>""")
+    val got = graft.plans.PipelineCompiler.compile(spec, spark)("cap.outport1")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val api = graft.api.GraftOps.frequencyCap(spark.table("fc_rows"),
+        col("k"), col("t"), col("n"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == api && got == Set((1L, 1L), (1L, 2L), (2L, 4L)),
+      s"XML cap == API cap: $got")
+    // streaming face: XML pipeline through a file stream == batch
+    val dir = java.nio.file.Files.createTempDirectory("fcap-stream-in")
+    val lines = Seq(
+      """{"k": 1, "t": "2024-01-01 10:02:00", "n": 3}""",
+      """{"k": 1, "t": "2024-01-01 10:00:00", "n": 1}""",
+      """{"k": 2, "t": "2024-01-01 10:00:00", "n": 4}""",
+      """{"k": 1, "t": "2024-01-01 10:01:00", "n": 2}""")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      lines.mkString("\n") + "\n")
+    val xml = s"""
+      <pipeline>
+        <operator name="src" class="fileStreamInput">
+          <arg key="schema" value="k LONG, t TIMESTAMP, n LONG"/>
+          <arg key="format" value="json"/>
+          <arg key="path" value="${dir.toUri}"/>
+        </operator>
+        <operator name="fc" class="frequencyCapStream">
+          <arg key="key" value="k"/><arg key="ts" value="t"/>
+          <arg key="tiebreak" value="n"/><arg key="k" value="2"/>
+        </operator>
+        <operator name="sink" class="memoryStreamSink">
+          <arg key="name" value="fcap_stream_out"/>
+          <arg key="triggerMs" value="0"/>
+        </operator>
+        <connect from="src.outport1" to="fc.inport1"/>
+        <connect from="fc.outport1" to="sink.inport1"/>
+      </pipeline>"""
+    PipelineCompiler.compile(PipelineSpec.parseXml(xml), spark)
+    val q = spark.streams.active.find(_.name == "fcap_stream_out")
+      .getOrElse(fail("compiled frequencyCapStream pipeline did not start"))
+    try {
+      q.processAllAvailable()
+      val sGot = spark.table("fcap_stream_out")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(sGot == Set((1L, 1L), (1L, 2L), (2L, 4L)),
+        s"XML stream cap: $sGot")
+    } finally q.stop()
+  }
+
   test("round-16 transitionStream composes in a STREAMING XML pipeline == batch steps") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("trans-stream-in")
@@ -2701,6 +2765,105 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       .toSet
     assert(gotR == apiR && gotR == Set((1L, 9L, 2L, 2L, 2L, 1000000L, 3L, 1)),
       s"XML contamination report == API: $gotR")
+  }
+
+  test("sketch-algebra (cms/kmv) + winnowing registry ops: XML == API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (Seq.fill(30)("a") ++ Seq.fill(10)("b") ++ (1 to 20).map(i => s"k$i"))
+      .toDF("k").createOrReplaceTempView("sk_keys")
+    // cmsSketch → cmsQuery wired through ports (sketch on inport1, query
+    // keys on inport2) + the one-shot report, all vs API compositions
+    val spec = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="in1" class="viewInput"><arg key="table" value="sk_keys"/></operator>
+        <operator name="sk" class="cmsSketch">
+          <arg key="key" value="k"/><arg key="depth" value="3"/><arg key="width" value="16"/>
+        </operator>
+        <operator name="q" class="cmsQuery">
+          <arg key="key" value="k"/><arg key="depth" value="3"/><arg key="width" value="16"/>
+        </operator>
+        <operator name="rep" class="cmsFrequencyReport">
+          <arg key="key" value="k"/><arg key="depth" value="3"/>
+          <arg key="width" value="16"/><arg key="topN" value="2"/>
+        </operator>
+        <connect from="in1.outport1" to="sk.inport1"/>
+        <connect from="sk.outport1" to="q.inport1"/>
+        <connect from="in1.outport1" to="q.inport2"/>
+        <connect from="in1.outport1" to="rep.inport1"/>
+      </pipeline>""")
+    val outs = graft.plans.PipelineCompiler.compile(spec, spark)
+    val keysDf = spark.table("sk_keys")
+    val apiSk = graft.api.GraftOps.cmsSketch(keysDf, col("k"), 3, 16)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cells(outs("sk.outport1")) == cells(apiSk), "XML sketch == API sketch")
+    val apiQ = graft.api.GraftOps.cmsQuery(apiSk, keysDf, col("k"), 3, 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(outs("q.outport1").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == apiQ,
+      "XML query == API query")
+    val apiRep = graft.api.GraftOps.cmsFrequencyReport(keysDf, col("k"), 3, 16, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(outs("rep.outport1").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == apiRep, "XML report == API report")
+    // kmvSketch / kmvOverlapReport
+    ((1 to 30).map(i => ("g1", s"v$i")) ++ (21 to 45).map(i => ("g2", s"v$i")))
+      .toDF("g", "v").createOrReplaceTempView("kmv_rows")
+    val spec2 = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="in1" class="viewInput"><arg key="table" value="kmv_rows"/></operator>
+        <operator name="sk" class="kmvSketch">
+          <arg key="group" value="g"/><arg key="value" value="v"/><arg key="k" value="12"/>
+        </operator>
+        <operator name="rep" class="kmvOverlapReport">
+          <arg key="group" value="g"/><arg key="value" value="v"/><arg key="k" value="12"/>
+        </operator>
+        <connect from="in1.outport1" to="sk.inport1"/>
+        <connect from="in1.outport1" to="rep.inport1"/>
+      </pipeline>""")
+    val outs2 = graft.plans.PipelineCompiler.compile(spec2, spark)
+    val rowsDf = spark.table("kmv_rows")
+    assert(outs2("sk.outport1").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      graft.api.GraftOps.kmvSketch(rowsDf, col("g"), col("v"), 12)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+      "XML kmv sketch == API")
+    assert(outs2("rep.outport1").collect().map(_.toSeq).toSet ==
+      graft.api.GraftOps.kmvOverlapReport(rowsDf, col("g"), col("v"), 12)
+        .collect().map(_.toSeq).toSet,
+      "XML kmv report == API")
+    // winnowFingerprints / winnowOverlapReport (defaults resolved in XML)
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    Seq((1L, s"one two three $shared nine"), (2L, s"$shared tail words here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("wn_docs")
+    val spec3 = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="in1" class="viewInput"><arg key="table" value="wn_docs"/></operator>
+        <operator name="fp" class="winnowFingerprints">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+        </operator>
+        <operator name="rep" class="winnowOverlapReport">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+          <arg key="minShared" value="1"/>
+        </operator>
+        <connect from="in1.outport1" to="fp.inport1"/>
+        <connect from="in1.outport1" to="rep.inport1"/>
+      </pipeline>""")
+    val outs3 = graft.plans.PipelineCompiler.compile(spec3, spark)
+    val docsDf = spark.table("wn_docs")
+    assert(outs3("fp.outport1").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      graft.api.GraftOps.winnowFingerprints(docsDf, col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "XML winnow fingerprints == API")
+    assert(outs3("rep.outport1").collect().map(_.toSeq).toSet ==
+      graft.api.GraftOps.winnowOverlapReport(docsDf, col("doc_id"),
+          col("text"), minShared = 1)
+        .collect().map(_.toSeq).toSet,
+      "XML winnow report == API")
   }
 
   test("bad operator args fail-fast with node name") {

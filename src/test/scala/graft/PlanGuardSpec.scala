@@ -49,6 +49,10 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     *    the observation stream (the q35/q70 shape).
     *  - q145/q146: the 1-row totals broadcast-cross onto the key-count
     *    table (the q35/q70 shape, both audits).
+    *  - q151: the KMV pairwise stage crosses the per-group THETA table
+    *    with itself (|groups|² rows, group-cardinality scale — the
+    *    sketch algebra never touches corpus rows; the corpus-scale
+    *    stage is the equi-shaped distinct inside kmvSketch).
     */
   private val allowNestedLoop = Set(
     "q13_similarity_knn", "q19_embedding_neardup", "q32_cross_join",
@@ -57,7 +61,7 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q81_contribution", "q112_bm25_topk", "q115_rrf_fusion",
     "q128_mmr_rerank", "q130_cat_association", "q131_proportion_lift",
     "q133_class_key_terms", "q134_top_paths", "q141_trending",
-    "q145_key_skew", "q146_join_cardinality")
+    "q145_key_skew", "q146_join_cardinality", "q151_kmv_source_overlap")
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(nodes)

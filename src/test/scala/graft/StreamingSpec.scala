@@ -1401,6 +1401,64 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q2.stop()
   }
 
+  test("S27: streaming frequency-cap admitted set == batch over any in-order chunking; regression is loud") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.FrequencyCapStream
+    import graft.streaming.FrequencyCapStream.Ev
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // k = 2. Key 1 straddles the cap across the batch boundary (one
+    // admitted in chunk1, one in chunk2, the rest dropped); key 2 fills
+    // the cap inside chunk1 (chunk2 arrivals all dropped); key 3 never
+    // reaches it. chunk2's key-1 rows arrive INTRA-BATCH disordered —
+    // the per-batch sort must absorb that.
+    val chunk1 = Seq(
+      Ev(1L, ts("2024-03-01 09:00:00"), 10L),
+      Ev(2L, ts("2024-03-01 09:05:00"), 11L),
+      Ev(2L, ts("2024-03-01 09:06:00"), 12L))
+    val chunk2 = Seq(
+      Ev(1L, ts("2024-03-01 10:30:00"), 21L), // disordered within batch
+      Ev(1L, ts("2024-03-01 10:00:00"), 20L),
+      Ev(1L, ts("2024-03-01 11:00:00"), 22L),
+      Ev(2L, ts("2024-03-01 10:00:00"), 23L),
+      Ev(3L, ts("2024-03-01 10:00:00"), 24L))
+    val input = MemoryStream[Ev]
+    val q = FrequencyCapStream(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("s27cap")
+      .outputMode("append").start()
+    try {
+      input.addData(chunk1: _*); q.processAllAvailable()
+      input.addData(chunk2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s27cap")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // law S27: admitted set == batch frequencyCap over the same events
+    val events = (chunk1 ++ chunk2).toDF()
+    val want = graft.api.GraftOps.frequencyCap(events, col("key"),
+        col("ts"), col("tiebreak"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == want &&
+      got == Set((1L, 10L), (1L, 20L), (2L, 11L), (2L, 12L), (3L, 24L)),
+      s"stream admitted $got != batch $want")
+    // a cross-batch regression (event at or before the key's newest
+    // seen (ts, tiebreak)) fails loudly — the counter cannot re-order
+    val input2 = MemoryStream[Ev]
+    val q2 = FrequencyCapStream(input2.toDS(), k = 2)
+      .writeStream.format("memory").queryName("s27late")
+      .outputMode("append").start()
+    try {
+      input2.addData(Ev(9L, ts("2024-03-10 09:00:00"), 50L))
+      q2.processAllAvailable()
+      input2.addData(Ev(9L, ts("2024-03-09 09:00:00"), 51L)) // behind
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("not after the newest seen") ||
+        Option(ex.getCause).exists(_.toString.contains("not after the newest")),
+        s"loud regression failure: $ex")
+    } finally q2.stop()
+  }
+
   test("S24: streaming rolling-distinct contributions == batch; cross-batch dedup; bounded lateness is loud") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
