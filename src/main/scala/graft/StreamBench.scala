@@ -29,6 +29,8 @@ import graft.streaming.StreamingOps
   *  - s27_freqcap: frequency-cap admission (count-only O(1) state per
   *                 key — the cheapest stateful shape; same ordered
   *                 replay contract as s21–s23)
+  *  - s28_holt:    Holt level+trend recurrence twin (the s21 shape
+  *                 with a second accumulator; same ordered replay)
   *  - s25_semantic: semantic-dup admission flags — baked-constant cell
   *                 routing + stream–static cell equi-join + exact cosine
   *                 verify against a kmeans-indexed synthetic corpus
@@ -49,7 +51,8 @@ object StreamBench {
     * the CheckFreeze pattern). */
   val allModes: Seq[String] = Seq("s1_parse", "s2_window", "s13_heavy",
     "s5_stateful", "s20_upsert", "s21_ewma", "s22_transition", "s23_cusum",
-    "s24_rolling_distinct", "s25_semantic", "s26_golden", "s27_freqcap")
+    "s24_rolling_distinct", "s25_semantic", "s26_golden", "s27_freqcap",
+    "s28_holt")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -166,6 +169,15 @@ object StreamBench {
               col("event_id").as("tb"), col("value"))
             .as[graft.streaming.EwmaStream.Point]
           (graft.streaming.EwmaStream(pts, alphaPpm = 300000L).toDF(), "append")
+        case "s28_holt" =>
+          import spark.implicits._
+          val src = if (warm) warmRawStream else orderedStream
+          val pts = src.filter(col("ts").isNotNull && col("value").isNotNull)
+            .select(col("user_id").as("key"), col("ts"),
+              col("event_id").as("tb"), col("value"))
+            .as[graft.streaming.HoltStream.Point]
+          (graft.streaming.HoltStream(pts, alphaPpm = 300000L,
+            betaPpm = 200000L).toDF(), "append")
         case "s22_transition" =>
           import spark.implicits._
           val src = if (warm) warmRawStream else orderedStream

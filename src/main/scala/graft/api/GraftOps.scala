@@ -2370,6 +2370,199 @@ object GraftOps {
       graft.functions.PlaneDots(checked, rpPlanes(inDim, outDim, seed)))
   }
 
+  // --------------------------------------------------------- PCA family
+
+  /** Exact integer Gram/second-moment matrix of an embedding column —
+    * the sufficient statistic PCA, whitening, and covariance analysis
+    * start from, computed so that it HASH-GATES even though it
+    * summarizes float data: each component quantizes to floor-micros
+    * (the q21/q48 exact-decimal convention) and cell (i, j) is the
+    * exact Long sum of quantized products. ONE
+    * [[graft.functions.GramAgg]] pass — a typed Aggregator with
+    * O(dim²) state per task and element-wise merge, so map-side
+    * combine applies and NOTHING row-scale ever shuffles (the
+    * explode-then-regroup form would ship dim²× rows); the single
+    * packed row then unpivots to (i, j, g) upper-triangle rows
+    * (i ≤ j) via baked index literals. Exactness contract in the
+    * aggregator scaladoc (unit-scale embeddings: exact to ~9M rows
+    * per aggregate; shard-and-fold in decimal beyond — the summary is
+    * mergeable by construction). */
+  def gramMatrix(df: DataFrame, vec: Column, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 512, s"dim must be in [1,512]; got $dim")
+    val gramLen = dim * (dim + 1) / 2
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+    val ga = udaf(new graft.functions.GramAgg(dim), enc)
+    val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    val iArr = typedLit(pairs.map(_._1))
+    val jArr = typedLit(pairs.map(_._2))
+    df.select(ga(vec).as("__s"))
+      .select(posexplode(slice(col("__s"), dim + 2, gramLen))
+        .as(Seq("__p", "g")))
+      .select(element_at(iArr, col("__p") + 1).as("i"),
+        element_at(jArr, col("__p") + 1).as("j"), col("g"))
+      .orderBy("i", "j")
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic by construction (fixed sweep order, fixed
+    * convergence threshold, eigenpairs sorted by (eigenvalue desc,
+    * original index asc), each eigenvector sign-pinned so its
+    * largest-|component| entry — first on ties — is positive). Runs on
+    * the DRIVER over a model-sized dim×dim matrix (the
+    * codebook/centroid collect posture); the corpus never sees it. */
+  private def jacobiEigen(aIn: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = aIn.length
+    val a = Array.tabulate(n, n)((i, j) => aIn(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-22) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - sn * aiq
+              a(i)(q) = sn * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - sn * aqi
+              a(q)(i) = sn * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - sn * viq
+              v(i)(q) = sn * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { ci =>
+      val colv = Array.tabulate(n)(r => v(r)(ci))
+      val m = colv.indices.maxBy(i => (math.abs(colv(i)), -i))
+      if (colv(m) < 0.0) colv.map(x => -x) else colv
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** PCA fit — top-`k` principal components of an embedding column
+    * from ONE [[graft.functions.GramAgg]] corpus pass: the exact
+    * integer (count, sums, Gram) summary collects as a single
+    * model-sized row, the covariance C = G/N − μμᵀ derives from it in
+    * doubles, and a deterministic driver-side Jacobi solve (see
+    * [[jacobiEigen]] — fixed sweep order, sign-pinned eigenvectors)
+    * yields the components. Returns a MODEL table that flows by port
+    * like the codebook/centroid models (q50/q66): one row per
+    * (component, dim) with the loading `weight` and the component's
+    * `eigenvalue`, plus component = −1 rows carrying the column means
+    * μ (the centering the projection needs). The model is rows-only
+    * territory by design — eigenvectors are iterative float output no
+    * SQL engine restates — so its laws are spec-pinned instead:
+    * orthonormality, the eigen residual ‖Cv − λv‖, descending
+    * eigenvalues, planted-direction recovery, and run-to-run
+    * determinism. The CORPUS-side statistic it consumes is exactly
+    * [[gramMatrix]], which IS hash-gated (q154). */
+  def pcaFit(df: DataFrame, vec: Column, dim: Int, k: Int): DataFrame = {
+    require(dim >= 1 && dim <= 512, s"dim must be in [1,512]; got $dim")
+    require(k >= 1 && k <= dim, s"need 1 <= k <= dim; got k=$k dim=$dim")
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+    val ga = udaf(new graft.functions.GramAgg(dim), enc)
+    // one row, 1 + dim + dim(dim+1)/2 longs — the model-sized collect
+    val s = df.select(ga(vec).as("__s")).head().getSeq[Long](0)
+    val n = s.head.toDouble
+    require(n >= 2.0, s"pcaFit needs >= 2 rows; got ${s.head}")
+    val mu = Array.tabulate(dim)(i => s(1 + i) * 1e-6 / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var p = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = s(p) * 1e-12 / n - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        p += 1; j += 1
+      }
+      i += 1
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    val session = df.sparkSession
+    import session.implicits._
+    val rows =
+      (0 until dim).map(d => (-1, d, mu(d), 0.0)) ++
+        (for { c <- 0 until k; d <- 0 until dim }
+          yield (c, d, vecs(c)(d), vals(c)))
+    rows.toDF("component", "dim", "weight", "eigenvalue")
+  }
+
+  /** PCA projection — scores = V·(x − μ) for a [[pcaFit]] model: the
+    * k×dim loading matrix and mean collect driver-side (model-sized,
+    * the codebook posture), the matrix product is ONE codegen'd
+    * [[graft.functions.PlaneDots]] pass (the q61 machinery — the HOF
+    * form re-walks the embedding once per component, interpreted), and
+    * centering folds into the affine constant V·μ subtracted from the
+    * k-length output (never an elementwise x − μ walk per row). Adds
+    * `proj` (array<double>, length k). Pure narrow map — zero shuffle,
+    * scan speed at any scale; wrong-length vectors fail loudly (the
+    * randomProject guard — a silent prefix fold would project degraded
+    * geometry with no signal). */
+  def pcaProject(df: DataFrame, vec: Column, model: DataFrame,
+      dim: Int): DataFrame = {
+    val rows = model.select(col("component"), col("dim"), col("weight"))
+      .collect()
+    val mu = new Array[Double](dim)
+    rows.filter(_.getInt(0) == -1)
+      .foreach(r => mu(r.getInt(1)) = r.getDouble(2))
+    val comps = rows.filter(_.getInt(0) >= 0)
+    require(comps.nonEmpty, "pcaProject: model has no component rows")
+    val k = comps.map(_.getInt(0)).max + 1
+    val mat = Array.ofDim[Double](k, dim)
+    comps.foreach(r => mat(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val planes = IndexedSeq.tabulate(k, dim)((c, d) => mat(c)(d))
+    val offset = planes.map(rowv =>
+      rowv.iterator.zip(mu.iterator).map { case (w, m) => w * m }.sum)
+    val vecSize = coalesce(size(vec), lit(-1))
+    val checked = when(vecSize === dim || vecSize === -1, vec)
+      .otherwise(raise_error(concat(
+        lit(s"pcaProject: expected $dim-component vectors, got "),
+        vecSize.cast("string"))))
+    df.withColumn("proj",
+      zip_with(graft.functions.PlaneDots(checked, planes),
+        typedLit(offset), (a, b) => a - b))
+  }
+
   /** L2 (unit-norm) embedding normalization — the preprocessing step the
     * dot-scored routing family ASSUMES (see [[ivfTopK]]/[[kmeansFit]]:
     * cell assignment ranks raw dot products, which biases toward
@@ -3350,6 +3543,57 @@ object GraftOps {
       .select(col("__k").as("key"), col("__z.__seq.__ts").as("ts"),
         col("__z.__seq.__tb").as("tiebreak"), col("__z.__seq.__x").as("value"),
         col("__z.__sm").as("ewma"))
+  }
+
+  /** Holt double-exponential smoothing — per-key level + trend, the
+    * member of the smoothing family EWMA can't express: EWMA (q117)
+    * tracks a level only, so it lags a drifting series by a constant;
+    * Holt carries a trend term (l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1});
+    * b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}) and `level + trend` IS the
+    * one-step-ahead forecast — the anomaly baseline / capacity-planning
+    * primitive. Initialization pinned: l_1 = x_1, b_1 = 0 (stated — the
+    * x_2−x_1 seed would make every downstream value depend on a second
+    * row existing). Same exactness posture as ewma: the fold is a fixed
+    * IEEE op chain over the (ts, tiebreak)-sorted per-key sequence, so
+    * both engines — and the S28 streaming twin — produce BIT-EQUAL
+    * doubles. NULL ts/tiebreak rows drop up front (no position in the
+    * order). Plan: ONE shuffle on key + a sorted per-key fold
+    * (sort_array over collect_list — bounded per-key history, the
+    * collect_list contract), then a narrow explode back to rows.
+    * Streaming twin: [[graft.streaming.HoltStream]] (S28 — O(1) state
+    * per key, bit-equal law). */
+  def holt(df: DataFrame, key: Column, ts: Column, value: Column,
+      tiebreak: Column, alphaPpm: Long, betaPpm: Long): DataFrame = {
+    require(alphaPpm >= 0 && alphaPpm <= 1000000,
+      s"alphaPpm must be in [0, 1000000]; got $alphaPpm")
+    require(betaPpm >= 0 && betaPpm <= 1000000,
+      s"betaPpm must be in [0, 1000000]; got $betaPpm")
+    val aSql = s"(CAST($alphaPpm AS DOUBLE) / 1000000.0)"
+    val bSql = s"(CAST($betaPpm AS DOUBLE) / 1000000.0)"
+    df.select(key.as("__k"), ts.as("__ts"), tiebreak.as("__tb"),
+        value.cast("double").as("__x"))
+      .filter(col("__ts").isNotNull && col("__tb").isNotNull)
+      .groupBy(col("__k"))
+      .agg(sort_array(collect_list(
+        struct(col("__ts"), col("__tb"), col("__x")))).as("__seq"))
+      .withColumn("__sm", expr(
+        s"""aggregate(__seq,
+            CAST(array() AS array<struct<l: double, b: double>>),
+            (acc, e) -> array_append(acc,
+              CASE WHEN size(acc) = 0
+                THEN named_struct('l', e.__x, 'b', CAST(0.0 AS DOUBLE))
+                ELSE named_struct(
+                  'l', $aSql * e.__x + (1.0 - $aSql) *
+                       (element_at(acc, -1).l + element_at(acc, -1).b),
+                  'b', $bSql * (($aSql * e.__x + (1.0 - $aSql) *
+                       (element_at(acc, -1).l + element_at(acc, -1).b)) -
+                       element_at(acc, -1).l) +
+                       (1.0 - $bSql) * element_at(acc, -1).b) END))"""))
+      .select(col("__k"),
+        explode(arrays_zip(col("__seq"), col("__sm"))).as("__z"))
+      .select(col("__k").as("key"), col("__z.__seq.__ts").as("ts"),
+        col("__z.__seq.__tb").as("tiebreak"), col("__z.__seq.__x").as("value"),
+        col("__z.__sm.l").as("level"), col("__z.__sm.b").as("trend"))
   }
 
   /** Top navigation paths — the product-analytics journey report

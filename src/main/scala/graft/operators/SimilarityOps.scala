@@ -935,6 +935,51 @@ object SimilarityOps {
         FROM r ORDER BY probe_id, rank"""))
   }
 
+  // --------------------------------------------------------------- q154
+  /** Exact integer Gram matrix of the embeddings table — the sufficient
+    * statistic PCA/whitening starts from, hash-gated because every cell
+    * is an exact Long sum of floor-micros products (the q21/q48
+    * convention applied to second moments). One GramAgg pass, O(dim²)
+    * task state, zero row expansion; the oracle restates the identical
+    * integer arithmetic over the 2,080 (i ≤ j) dim pairs. Exercises
+    * [[graft.api.GraftOps.gramMatrix]]. */
+  val q154 = QueryDef("q154_gram_matrix",
+    (s, dir) =>
+      graft.api.GraftOps.gramMatrix(emb(s, dir), col("embedding"), DIM),
+    Some(s"""
+      WITH p AS (
+        SELECT CAST(a.i AS INTEGER) - 1 AS i, CAST(b.i AS INTEGER) - 1 AS j,
+          CAST(a.i AS BIGINT) AS ii, CAST(b.i AS BIGINT) AS jj
+        FROM (SELECT unnest(range(1, ${DIM + 1})) AS i) a,
+             (SELECT unnest(range(1, ${DIM + 1})) AS i) b
+        WHERE a.i <= b.i)
+      SELECT p.i, p.j,
+        CAST(SUM(
+          CAST(floor(CAST(embedding[p.ii] AS DOUBLE) * 1000000) AS BIGINT) *
+          CAST(floor(CAST(embedding[p.jj] AS DOUBLE) * 1000000) AS BIGINT))
+        AS BIGINT) AS g
+      FROM embeddings, p
+      GROUP BY 1, 2
+      ORDER BY i, j"""))
+
+  /** PCA projection of every embedding onto the top-8 principal
+    * components (fit + project, model flowing as a table). Rows-only
+    * by design — eigenvectors are iterative float output no SQL engine
+    * restates; the laws live in the suite (orthonormality, eigen
+    * residual, descending eigenvalues, planted-direction recovery,
+    * determinism) and the corpus-side statistic the fit consumes is
+    * exactly q154's hash-gated Gram. Exercises
+    * [[graft.api.GraftOps.pcaFit]] / pcaProject. */
+  val q154b = QueryDef("q154b_pca_project",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val model = graft.api.GraftOps.pcaFit(e, col("embedding"), DIM, k = 8)
+      graft.api.GraftOps.pcaProject(e, col("embedding"), model, DIM)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "value")))
+        .orderBy("vec_id", "dim")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52, q60, q61,
-    q62, q66, q71, q84, q128)
+    q62, q66, q71, q84, q128, q154, q154b)
 }

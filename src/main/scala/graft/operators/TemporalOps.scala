@@ -753,7 +753,51 @@ object TemporalOps {
       WHERE rn <= 3
       ORDER BY event_id"""))
 
+  // --------------------------------------------------------------- q155
+  /** Holt level+trend smoothing per user (α = 0.3, β = 0.2) — the
+    * drifting-series member of the smoothing family (q117 EWMA lags a
+    * trend by a constant; level+trend here is the one-step forecast).
+    * Both engines run the identical sequential IEEE fold over the
+    * (ts, event_id)-sorted per-user values, so the floor-micros
+    * projections hash-gate exactly (the q117 precedent with a second
+    * carried accumulator). Exercises [[graft.api.GraftOps.holt]];
+    * the S28 streaming twin is bit-equal by law. */
+  val q155 = QueryDef("q155_holt_trend",
+    (s, dir) =>
+      graft.api.GraftOps.holt(events(s, dir), col("user_id"), col("ts"),
+          col("value"), col("event_id"), alphaPpm = 300000L,
+          betaPpm = 200000L)
+        .select(col("tiebreak").as("event_id"), col("key").as("user_id"),
+          col("value"),
+          floor(col("level") * lit(1000000.0)).as("level_us"),
+          floor(col("trend") * lit(1000000.0)).as("trend_us"))
+        .orderBy("event_id"),
+    Some("""
+      WITH RECURSIVE o AS (
+        SELECT event_id, user_id, value,
+          CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS BIGINT) AS rn
+        FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+      r AS (
+        SELECT event_id, user_id, value, rn,
+          CAST(value AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.event_id, o.user_id, o.value, o.rn,
+          (CAST(300000 AS DOUBLE) / 1000000.0) * o.value +
+            (1.0 - (CAST(300000 AS DOUBLE) / 1000000.0)) * (r.l + r.b) AS l,
+          (CAST(200000 AS DOUBLE) / 1000000.0) *
+            (((CAST(300000 AS DOUBLE) / 1000000.0) * o.value +
+              (1.0 - (CAST(300000 AS DOUBLE) / 1000000.0)) * (r.l + r.b))
+             - r.l) +
+            (1.0 - (CAST(200000 AS DOUBLE) / 1000000.0)) * r.b AS b
+        FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+      SELECT event_id, user_id, value,
+        CAST(floor(l * 1000000.0) AS BIGINT) AS level_us,
+        CAST(floor(b * 1000000.0) AS BIGINT) AS trend_us
+      FROM r ORDER BY event_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q27, q28, q58, q72, q75, q96, q97, q98, q103, q104, q106, q117,
-      q119, q120, q125, q126, q134, q140, q141, q153)
+      q119, q120, q125, q126, q134, q140, q141, q153, q155)
 }

@@ -972,6 +972,24 @@ object PipelineCompiler {
           .as(org.apache.spark.sql.Encoders.product[
             graft.streaming.EwmaStream.Point]),
         arg(args, "alphaPpm").toLong).toDF())),
+    "holt" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.holt(in("inport1"),
+        expr(arg(args, "key")), expr(arg(args, "ts")),
+        expr(arg(args, "value")), expr(arg(args, "tiebreak")),
+        arg(args, "alphaPpm").toLong, arg(args, "betaPpm").toLong))),
+    // holtStream: the S28 continuous twin of `holt` (DataFrame face over
+    // the typed HoltStream; bit-equal batch == stream law spec'd in S28)
+    "holtStream" -> ((_, in, args) =>
+      Map("outport1" -> graft.streaming.HoltStream(
+        in("inport1").select(
+          expr(arg(args, "key")).cast("long").as("key"),
+          expr(arg(args, "ts")).cast("timestamp").as("ts"),
+          expr(arg(args, "tiebreak")).cast("long").as("tb"),
+          expr(arg(args, "value")).cast("double").as("value"))
+          .as(org.apache.spark.sql.Encoders.product[
+            graft.streaming.HoltStream.Point]),
+        arg(args, "alphaPpm").toLong,
+        arg(args, "betaPpm").toLong).toDF())),
     // transitionStream: the S22 continuous twin of `transitionCounts`
     // (DataFrame face over the typed TransitionStream; batch == stream
     // law spec'd in S22)
@@ -1187,6 +1205,19 @@ object PipelineCompiler {
         topN = arg(args, "topN").toInt))),
     // Deterministic sketch algebra (md5 hash family — estimates themselves
     // are engine-portable; see GraftOps scaladoc for the 100 TB postures).
+    "gramMatrix" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.gramMatrix(in("inport1"),
+        expr(arg(args, "vec")), dim = arg(args, "dim").toInt))),
+    "pcaFit" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.pcaFit(in("inport1"),
+        expr(arg(args, "vec")), dim = arg(args, "dim").toInt,
+        k = arg(args, "k").toInt))),
+    // inport1 = data, inport2 = the pcaFit model table (model-by-port,
+    // the q50/q66 codebook convention)
+    "pcaProject" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.pcaProject(in("inport1"),
+        expr(arg(args, "vec")), in("inport2"),
+        dim = arg(args, "dim").toInt))),
     "cmsSketch" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.cmsSketch(in("inport1"),
         expr(arg(args, "key")), depth = arg(args, "depth").toInt,

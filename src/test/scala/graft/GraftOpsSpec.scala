@@ -4609,6 +4609,96 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       applied.exceptAll(current).isEmpty)
   }
 
+  test("gramMatrix/pcaFit/pcaProject: exact gram, eigen laws, planted direction, centering, determinism") {
+    import spark.implicits._
+    // planted 4-dim data: dominant variance along (1,1,0,0)/sqrt(2),
+    // a constant-ish third dim, small noise elsewhere
+    val rnd = new scala.util.Random(7)
+    val data = IndexedSeq.tabulate(400) { _ =>
+      val t = rnd.nextGaussian() * 2.0
+      val n1 = rnd.nextGaussian() * 0.05
+      val n2 = rnd.nextGaussian() * 0.05
+      IndexedSeq((t + n1).toFloat, (t - n1).toFloat, (0.3 + n2).toFloat,
+        (rnd.nextGaussian() * 0.1).toFloat)
+    }
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    // gram == brute force over the same floor-micros quantization
+    def qz(x: Float) = math.floor(x.toDouble * 1e6).toLong
+    val got = GraftOps.gramMatrix(df, col("v"), 4).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val want = (for { i <- 0 until 4; j <- i until 4 } yield
+      ((i, j), data.map(v => qz(v(i)) * qz(v(j))).sum)).toMap
+    assert(got == want, "gram matrix == brute-force reference")
+    // fit laws
+    val modelDf = GraftOps.pcaFit(df, col("v"), 4, 4)
+    val model = modelDf.collect()
+    val comps = model.filter(_.getInt(0) >= 0)
+    val vecs = (0 until 4).map(c => (0 until 4).map(d =>
+      comps.find(r => r.getInt(0) == c && r.getInt(1) == d).get.getDouble(2)))
+    val vals = (0 until 4).map(c =>
+      comps.find(_.getInt(0) == c).get.getDouble(3))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b - 1e-12 },
+      s"eigenvalues descending: $vals")
+    for (a <- 0 until 4; b <- 0 until 4) {
+      val dot = (0 until 4).map(d => vecs(a)(d) * vecs(b)(d)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9,
+        s"orthonormality ($a,$b): $dot")
+    }
+    // eigen residual against the covariance rebuilt in the test
+    val nn = data.length.toDouble
+    val qd = data.map(_.map(qz))
+    val mu = (0 until 4).map(d => qd.map(_(d)).sum * 1e-6 / nn)
+    val cov = Array.tabulate(4, 4)((i, j) =>
+      qd.map(v => v(i) * v(j)).sum * 1e-12 / nn - mu(i) * mu(j))
+    for (c <- 0 until 4) {
+      val cv = (0 until 4).map(i =>
+        (0 until 4).map(j => cov(i)(j) * vecs(c)(j)).sum)
+      val resid = math.sqrt((0 until 4)
+        .map(i => math.pow(cv(i) - vals(c) * vecs(c)(i), 2)).sum)
+      assert(resid < 1e-8, s"eigen residual c=$c: $resid")
+    }
+    // planted direction recovered; sign pin (largest-|.| entry positive)
+    val e = 1.0 / math.sqrt(2.0)
+    assert(math.abs(vecs(0)(0) - e) < 0.02 && math.abs(vecs(0)(1) - e) < 0.02 &&
+      math.abs(vecs(0)(2)) < 0.05 && math.abs(vecs(0)(3)) < 0.05,
+      s"planted (1,1,0,0)/sqrt2 direction: ${vecs(0)}")
+    assert(vecs.forall(vv =>
+      vv(vv.indices.maxBy(i => (math.abs(vv(i)), -i))) > 0.0), "sign pin")
+    // determinism: a second fit is bit-identical
+    val model2 = GraftOps.pcaFit(df, col("v"), 4, 4).collect()
+    assert(model.map(_.toSeq).toSeq == model2.map(_.toSeq).toSeq,
+      "run-to-run determinism")
+    // projection: centered scores, descending projected variance,
+    // full-k reconstruction
+    val proj = GraftOps.pcaProject(df, col("v"), modelDf, 4)
+      .orderBy("id").select("proj").collect().map(_.getSeq[Double](0))
+    val pmean = (0 until 4).map(c => proj.map(_(c)).sum / proj.length)
+    assert(pmean.forall(m => math.abs(m) < 1e-5), s"centered scores: $pmean")
+    val pvar = (0 until 4).map { c =>
+      val xs = proj.map(_(c)); val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    assert(pvar.zip(pvar.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"projected variance descending: $pvar")
+    val x0 = data.head.map(_.toDouble)
+    val recon = (0 until 4).map(d =>
+      mu(d) + (0 until 4).map(c => proj.head(c) * vecs(c)(d)).sum)
+    val rerr = math.sqrt((0 until 4).map(d => math.pow(recon(d) - x0(d), 2)).sum)
+    assert(rerr < 1e-4, s"full-k reconstruction error: $rerr")
+    intercept[IllegalArgumentException] {
+      GraftOps.pcaFit(df, col("v"), 4, 5)
+    }
+    // wrong-length vectors fail loudly at projection time
+    val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      GraftOps.pcaProject(bad, col("v"), modelDf, 4).collect()
+    }
+    assert(ex.getMessage.contains("expected 4-component") ||
+      Option(ex.getCause).exists(_.getMessage.contains("expected 4-component")),
+      s"loud shape failure: ${ex.getMessage}")
+  }
+
   test("cmsSketch/cmsQuery: never undercounts any key; mergeable; absent keys; report; guards") {
     import spark.implicits._
     val keys = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ (1 to 60).map(i => s"k$i")

@@ -2767,6 +2767,48 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       s"XML contamination report == API: $gotR")
   }
 
+  test("PCA registry ops: gramMatrix XML == API; pcaFit model flows by port into pcaProject") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    IndexedSeq.tabulate(60) { i =>
+      val t = rnd.nextGaussian()
+      (i.toLong, IndexedSeq(t.toFloat, (-t).toFloat,
+        (rnd.nextGaussian() * 0.1).toFloat))
+    }.toDF("id", "v").createOrReplaceTempView("pca_rows")
+    val spec = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="in1" class="viewInput"><arg key="table" value="pca_rows"/></operator>
+        <operator name="g" class="gramMatrix">
+          <arg key="vec" value="v"/><arg key="dim" value="3"/>
+        </operator>
+        <operator name="fit" class="pcaFit">
+          <arg key="vec" value="v"/><arg key="dim" value="3"/><arg key="k" value="2"/>
+        </operator>
+        <operator name="prj" class="pcaProject">
+          <arg key="vec" value="v"/><arg key="dim" value="3"/>
+        </operator>
+        <connect from="in1.outport1" to="g.inport1"/>
+        <connect from="in1.outport1" to="fit.inport1"/>
+        <connect from="in1.outport1" to="prj.inport1"/>
+        <connect from="fit.outport1" to="prj.inport2"/>
+      </pipeline>""")
+    val outs = graft.plans.PipelineCompiler.compile(spec, spark)
+    val dataDf = spark.table("pca_rows")
+    assert(outs("g.outport1").collect().map(_.toSeq).toSet ==
+      graft.api.GraftOps.gramMatrix(dataDf, col("v"), 3)
+        .collect().map(_.toSeq).toSet, "XML gram == API gram")
+    val apiModel = graft.api.GraftOps.pcaFit(dataDf, col("v"), 3, 2)
+    assert(outs("fit.outport1").collect().map(_.toSeq).toSet ==
+      apiModel.collect().map(_.toSeq).toSet, "XML model == API model")
+    val apiProj = graft.api.GraftOps.pcaProject(dataDf, col("v"), apiModel, 3)
+      .select("id", "proj").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val xmlProj = outs("prj.outport1").select("id", "proj").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(xmlProj == apiProj, "XML projection == API projection")
+  }
+
   test("sketch-algebra (cms/kmv) + winnowing registry ops: XML == API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -1401,6 +1401,63 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q2.stop()
   }
 
+  test("S28: streaming Holt level+trend BIT-EQUAL to batch over a chunked replay; regression is loud") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.HoltStream
+    import graft.streaming.HoltStream.Point
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 1 folds across the batch boundary (the recurrence carries
+    // level AND trend over); chunk2's rows arrive intra-batch
+    // disordered — the per-batch sort must absorb that
+    val chunk1 = Seq(
+      Point(1L, ts("2024-03-01 09:00:00"), 1L, 10.0),
+      Point(1L, ts("2024-03-01 09:01:00"), 2L, 14.0),
+      Point(2L, ts("2024-03-01 09:00:00"), 3L, 5.0))
+    val chunk2 = Seq(
+      Point(1L, ts("2024-03-01 09:03:00"), 5L, 22.0), // disordered
+      Point(1L, ts("2024-03-01 09:02:00"), 4L, 18.0),
+      Point(2L, ts("2024-03-01 09:01:00"), 6L, 5.5))
+    val input = MemoryStream[Point]
+    val q = HoltStream(input.toDS(), alphaPpm = 300000L, betaPpm = 200000L)
+      .writeStream.format("memory").queryName("s28holt")
+      .outputMode("append").start()
+    try {
+      input.addData(chunk1: _*); q.processAllAvailable()
+      input.addData(chunk2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // BIT-equality: exact double compare, no tolerance
+    val got = spark.table("s28holt").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getDouble(4), r.getDouble(5))).toMap
+    val batch = graft.api.GraftOps.holt((chunk1 ++ chunk2).toDF(),
+        col("key"), col("ts"), col("value"), col("tb"),
+        alphaPpm = 300000L, betaPpm = 200000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getDouble(4), r.getDouble(5))).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(got.size == 6)
+    // level + trend really tracks a drifting series: the planted key-1
+    // ramp (+4/min) pulls the trend positive
+    assert(got((1L, 5L))._2 > 0.5, s"trend learns the ramp: ${got((1L, 5L))}")
+    // a replayed point at the already-folded position fails loudly
+    val input2 = MemoryStream[Point]
+    val q2 = HoltStream(input2.toDS(), 300000L, 200000L)
+      .writeStream.format("memory").queryName("s28late")
+      .outputMode("append").start()
+    try {
+      input2.addData(Point(9L, ts("2024-03-10 09:00:00"), 50L, 1.0))
+      q2.processAllAvailable()
+      input2.addData(Point(9L, ts("2024-03-10 09:00:00"), 50L, 1.0))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("cross-batch order violated") ||
+        Option(ex.getCause).exists(_.toString.contains("cross-batch order")),
+        s"loud replay failure: $ex")
+    } finally q2.stop()
+  }
+
   test("S27: streaming frequency-cap admitted set == batch over any in-order chunking; regression is loud") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
