@@ -3041,6 +3041,77 @@ object GraftOps {
         col("rank"), col("score"))
   }
 
+  /** Proximity-scored retrieval — the relevance signal between bag-of-
+    * words BM25 (q112, position-blind) and exact phrase matching (q142,
+    * order- and adjacency-strict): per (query, doc), how many unordered
+    * pairs of distinct query terms co-occur within `window` token
+    * positions somewhere in the doc (n_prox_pairs — 0/1 per term PAIR,
+    * the coverage grain), plus the matched-term count. Ranking total
+    * order: (n_prox_pairs desc, n_terms desc, doc asc), top `k` per
+    * query. All integers — hash-gateable.
+    *
+    * Scale shape — O(n·window), never a position-pair quadratic: the
+    * windowed co-occurrence set is computed per DOC (query-independent
+    * — (doc, ta, tb) for term pairs within `window`), by exploding
+    * each query-vocabulary position into its next `window` target
+    * positions and EQUI-joining back on (doc, position) — an
+    * adversarial doc repeating one stopword 10⁶ times costs 10⁶·window
+    * rows, linear, where the naive per-(query, doc) position self-join
+    * squares it (the first draft did exactly that and ground to a halt
+    * on the sf1 degenerate-vocabulary fixture — kept as the cautionary
+    * note). Query-term pairs (|q|²-scale, broadcast) then join the doc
+    * pair set by (ta, tb); postings are built only for the query
+    * vocabulary (left-semi — prunes hard when queries are selective,
+    * harmless when they are not). */
+  def proximityTopK(docs: DataFrame, id: Column, text: Column,
+      queries: DataFrame, qid: Column, qtext: Column, window: Int,
+      k: Int = 5): DataFrame = {
+    require(window >= 1, s"window must be >= 1; got $window")
+    require(k >= 1, s"k must be >= 1; got $k")
+    val qt = queries.select(qid.as("__qid"),
+        explode(array_distinct(
+          filter(Text.tokens(qtext), t => t =!= lit("")))).as("__t"))
+      .distinct()
+    val vocab = qt.select(col("__t")).distinct()
+    val post = docs.select(id.as("__doc"),
+        posexplode(Text.tokens(text)).as(Seq("__pos", "__t")))
+      .filter(col("__t") =!= "")
+      .join(vocab, Seq("__t"), "left_semi")
+    // windowed co-occurrence per doc: position i pairs with each of its
+    // next `window` positions via one equi-join — O(n·window) exactly
+    val a = post.select(col("__doc"), col("__t").as("__t1"),
+        explode(sequence(col("__pos") + 1, col("__pos") + window))
+          .as("__pb"))
+    val dpairs = a.join(
+        post.select(col("__doc"), col("__t").as("__t2"),
+          col("__pos").as("__pb")),
+        Seq("__doc", "__pb"))
+      .filter(col("__t1") =!= col("__t2"))
+      .select(col("__doc"), least(col("__t1"), col("__t2")).as("__ta"),
+        greatest(col("__t1"), col("__t2")).as("__tb"))
+      .distinct()
+    // query-term pairs: |q|²-scale, broadcast by AQE
+    val qa = qt.select(col("__qid"), col("__t").as("__ta"))
+    val qb = qt.select(col("__qid"), col("__t").as("__tb"))
+    val qpairs = qa.join(qb, Seq("__qid"))
+      .filter(col("__ta") < col("__tb"))
+    val prox = dpairs.join(qpairs, Seq("__ta", "__tb"))
+      .groupBy(col("__qid"), col("__doc"))
+      .agg(count(lit(1)).as("n_prox_pairs"))
+    val terms = post.select(col("__doc"), col("__t")).distinct()
+      .join(qt, Seq("__t"))
+      .groupBy(col("__qid"), col("__doc"))
+      .agg(count(lit(1)).as("n_terms"))
+    val wR = Window.partitionBy(col("__qid"))
+      .orderBy(desc("n_prox_pairs"), desc("n_terms"), col("__doc"))
+    terms.join(prox, Seq("__qid", "__doc"), "left")
+      .na.fill(0L, Seq("n_prox_pairs"))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("__doc").as("doc_id"),
+        col("rank"), col("n_prox_pairs"), col("n_terms"))
+  }
+
   /** Deterministic stratified Bernoulli sample: keep a row iff the
     * portable hash of its `key` lands under the stratum's rate (in
     * millionths). Pure narrow filter — zero shuffle, reproducible across

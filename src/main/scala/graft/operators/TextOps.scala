@@ -278,6 +278,63 @@ object TextOps {
       FROM top tp JOIN est e ON tp.bg = e.bg
       ORDER BY tp.n DESC, tp.bg"""))
 
+  // --------------------------------------------------------------- q156
+  /** Proximity-scored retrieval over the q112 query set: top-5 docs per
+    * query by the number of distinct query-term PAIRS co-occurring
+    * within 6 token positions (then matched-term count, then doc id) —
+    * the relevance grain between position-blind BM25 (q112) and
+    * adjacency-strict phrase match (q142). The doc-side co-occurrence
+    * set is query-independent and O(n·window) by construction (each
+    * position equi-joins its next 6 — never a per-(query, doc)
+    * position self-join, which ground to a halt on this fixture's
+    * degenerate ~150-word vocabulary at sf1). All integers. Exercises
+    * [[graft.api.GraftOps.proximityTopK]]. */
+  val q156 = QueryDef("q156_proximity_topk",
+    (s, dir) => {
+      val d = docs(s, dir)
+      graft.api.GraftOps.proximityTopK(d, col("doc_id"), col("text"),
+          bmQueries(d), col("qid"), col("qtext"), window = 6, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, ${Duck.toks} AS toks FROM documents),
+      qt AS (SELECT doc_id // 50 AS qid,
+               unnest(list_distinct(list_slice(
+                 list_filter(toks, x -> x <> ''), 1, 4))) AS t
+             FROM t WHERE doc_id % 50 = 0),
+      vocab AS (SELECT DISTINCT t FROM qt),
+      post AS (SELECT doc_id, toks[i] AS t, i AS pos
+               FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+               WHERE toks[i] <> ''
+                 AND toks[i] IN (SELECT t FROM vocab)),
+      dp AS (SELECT DISTINCT a.doc_id,
+               least(a.t, b.t) AS ta, greatest(a.t, b.t) AS tb
+             FROM post a JOIN post b
+               ON b.doc_id = a.doc_id
+              AND b.pos > a.pos AND b.pos <= a.pos + 6
+              AND a.t <> b.t),
+      qp AS (SELECT x.qid, x.t AS ta, y.t AS tb
+             FROM qt x JOIN qt y ON x.qid = y.qid AND x.t < y.t),
+      prox AS (SELECT qp.qid, dp.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_prox_pairs
+               FROM dp JOIN qp ON dp.ta = qp.ta AND dp.tb = qp.tb
+               GROUP BY 1, 2),
+      terms AS (SELECT q.qid, p.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_terms
+                FROM (SELECT DISTINCT doc_id, t FROM post) p
+                JOIN qt q ON p.t = q.t
+                GROUP BY 1, 2),
+      r AS (SELECT t2.qid, t2.doc_id,
+              COALESCE(p2.n_prox_pairs, 0) AS n_prox_pairs, t2.n_terms,
+              CAST(row_number() OVER (PARTITION BY t2.qid
+                ORDER BY COALESCE(p2.n_prox_pairs, 0) DESC,
+                         t2.n_terms DESC, t2.doc_id) AS INTEGER) AS rank
+            FROM terms t2 LEFT JOIN prox p2
+              ON t2.qid = p2.qid AND t2.doc_id = p2.doc_id)
+      SELECT qid AS query_id, doc_id, rank, n_prox_pairs, n_terms
+      FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   // ---------------------------------------------------------------- q73
   /** Robust per-language length outliers: |len − median| / MAD > 2.0 —
     * the quality screen for truncated/concatenated documents that a
@@ -1101,5 +1158,6 @@ object TextOps {
 
   val all: Seq[QueryDef] =
     Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86, q101, q109,
-      q110, q112, q115, q122, q135, q135b, q136, q138, q142, q148, q150)
+      q110, q112, q115, q122, q135, q135b, q136, q138, q142, q148, q150,
+      q156)
 }

@@ -1205,6 +1205,13 @@ object PipelineCompiler {
         topN = arg(args, "topN").toInt))),
     // Deterministic sketch algebra (md5 hash family — estimates themselves
     // are engine-portable; see GraftOps scaladoc for the 100 TB postures).
+    // inport1 = docs, inport2 = queries
+    "proximityTopK" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.proximityTopK(in("inport1"),
+        expr(arg(args, "id")), expr(arg(args, "text")),
+        in("inport2"), expr(arg(args, "qid")), expr(arg(args, "qtext")),
+        window = arg(args, "window").toInt,
+        k = args.getOrElse("k", "5").toInt))),
     "gramMatrix" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.gramMatrix(in("inport1"),
         expr(arg(args, "vec")), dim = arg(args, "dim").toInt))),

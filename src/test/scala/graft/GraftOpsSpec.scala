@@ -4609,6 +4609,40 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       applied.exceptAll(current).isEmpty)
   }
 
+  test("proximityTopK: window semantics, pair-coverage grain, tie order, guards") {
+    import spark.implicits._
+    // query terms: alpha, beta. doc 1 has them adjacent; doc 2 has them
+    // 7 apart (outside window 6); doc 3 has only alpha
+    val docs = Seq(
+      (1L, "alpha beta filler filler filler"),
+      (2L, "alpha w1 w2 w3 w4 w5 w6 beta"),
+      (3L, "alpha filler filler filler filler"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "alpha beta")).toDF("qid", "qtext")
+    val got = GraftOps.proximityTopK(docs, col("doc_id"), col("text"),
+        qs, col("qid"), col("qtext"), window = 6, k = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    // doc 1: pair within window (1 prox pair, 2 terms); doc 2: both
+    // terms but 7 apart (0 pairs, 2 terms); doc 3: alpha only
+    assert(got.toSeq == Seq((1L, 1, 1L, 2L), (2L, 2, 0L, 2L),
+      (3L, 3, 0L, 1L)), s"ranking and scores: ${got.toSeq}")
+    // coverage grain: a doc repeating the pair many times still counts
+    // it ONCE (0/1 per term pair), and a late occurrence inside the
+    // window is found — no position cap to miss it
+    val rep = Seq((7L, "alpha f1 f2 f3 f4 f5 f6 f7 alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val r1 = GraftOps.proximityTopK(rep, col("doc_id"), col("text"),
+        qs, col("qid"), col("qtext"), window = 6, k = 5)
+      .collect()(0)
+    assert(r1.getLong(3) == 1L && r1.getLong(4) == 2L,
+      s"pair coverage is 0/1 per term pair: $r1")
+    intercept[IllegalArgumentException] {
+      GraftOps.proximityTopK(docs, col("doc_id"), col("text"), qs,
+        col("qid"), col("qtext"), window = 0)
+    }
+  }
+
   test("gramMatrix/pcaFit/pcaProject: exact gram, eigen laws, planted direction, centering, determinism") {
     import spark.implicits._
     // planted 4-dim data: dominant variance along (1,1,0,0)/sqrt(2),

@@ -2767,6 +2767,35 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       s"XML contamination report == API: $gotR")
   }
 
+  test("proximityTopK registry op: XML (docs inport1, queries inport2) == API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Seq((1L, "alpha beta x"), (2L, "alpha y beta"))
+      .toDF("doc_id", "text").createOrReplaceTempView("px_docs")
+    Seq((10L, "alpha beta")).toDF("qid", "qtext")
+      .createOrReplaceTempView("px_qs")
+    val spec = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="d" class="viewInput"><arg key="table" value="px_docs"/></operator>
+        <operator name="q" class="viewInput"><arg key="table" value="px_qs"/></operator>
+        <operator name="px" class="proximityTopK">
+          <arg key="id" value="doc_id"/><arg key="text" value="text"/>
+          <arg key="qid" value="qid"/><arg key="qtext" value="qtext"/>
+          <arg key="window" value="3"/>
+        </operator>
+        <connect from="d.outport1" to="px.inport1"/>
+        <connect from="q.outport1" to="px.inport2"/>
+      </pipeline>""")
+    val got = graft.plans.PipelineCompiler.compile(spec, spark)("px.outport1")
+      .collect().map(_.toSeq).toSeq
+    val api = graft.api.GraftOps.proximityTopK(spark.table("px_docs"),
+        col("doc_id"), col("text"), spark.table("px_qs"),
+        col("qid"), col("qtext"), window = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(got.toSet == api.toSet && got.nonEmpty,
+      s"XML proximity == API: $got")
+  }
+
   test("PCA registry ops: gramMatrix XML == API; pcaFit model flows by port into pcaProject") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
