@@ -2542,9 +2542,13 @@ object GraftOps {
       dim: Int): DataFrame = {
     val rows = model.select(col("component"), col("dim"), col("weight"))
       .collect()
+    val muRows = rows.filter(_.getInt(0) == -1)
+    // a model without mean rows would silently project UNCENTERED —
+    // different scores with no signal; fail loudly instead
+    require(muRows.nonEmpty,
+      "pcaProject: model has no component = -1 mean rows (not a pcaFit model?)")
     val mu = new Array[Double](dim)
-    rows.filter(_.getInt(0) == -1)
-      .foreach(r => mu(r.getInt(1)) = r.getDouble(2))
+    muRows.foreach(r => mu(r.getInt(1)) = r.getDouble(2))
     val comps = rows.filter(_.getInt(0) >= 0)
     require(comps.nonEmpty, "pcaProject: model has no component rows")
     val k = comps.map(_.getInt(0)).max + 1

@@ -1581,6 +1581,36 @@ object PipelineCompiler {
         key = arg(args, "key").split(",").map(_.trim).toSeq,
         version = arg(args, "version"),
         fields = arg(args, "fields").split(",").map(_.trim).toSeq))),
+    // S29/S30 sketch-algebra streaming faces: per-batch sketches append
+    // to a parquet log; state = reduce-on-read by each sketch's merge law.
+    "cmsAppendSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        graft.streaming.StreamingOps.cmsAppendSink(in("inport1"),
+          key = arg(args, "key"), depth = arg(args, "depth").toInt,
+          width = arg(args, "width").toInt, path = arg(args, "path"),
+          queryName = args.getOrElse("name", "cmsAppendSink"),
+          checkpoint = arg(args, "checkpoint"))
+          .trigger(triggerOf(args)).start()
+      }
+      Map.empty
+    }),
+    "cmsState" -> ((s, _, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.cmsState(s,
+        arg(args, "path")))),
+    "kmvAppendSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        graft.streaming.StreamingOps.kmvAppendSink(in("inport1"),
+          group = arg(args, "group"), value = arg(args, "value"),
+          k = arg(args, "k").toInt, path = arg(args, "path"),
+          queryName = args.getOrElse("name", "kmvAppendSink"),
+          checkpoint = arg(args, "checkpoint"))
+          .trigger(triggerOf(args)).start()
+      }
+      Map.empty
+    }),
+    "kmvState" -> ((s, _, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.kmvState(s,
+        arg(args, "path"), k = arg(args, "k").toInt))),
     "compactUpsertLogSink" -> ((s, _, args) => {
       graft.api.GraftOps.compactUpsertLog(s, arg(args, "in"),
         arg(args, "out"),

@@ -693,6 +693,71 @@ object StreamingOps {
         col(s"last_$version")): _*)
   }
 
+  /** S29 — continuously-maintained count-min sketch (the streaming face
+    * of [[graft.api.GraftOps.cmsSketch]], the S19/S20/S26 append +
+    * reduce-on-read posture applied to the sketch algebra): each
+    * micro-batch's OWN sketch cells append to a parquet log at `path`
+    * with the batch id (≤ depth·width rows per batch — the log grows
+    * with batches, never with keys), and [[cmsState]] folds the log by
+    * the q150 merge law (sketch of a union == cell-wise sum), so state
+    * == batch cmsSketch over everything for ANY chunking (law S29).
+    * Retry absorption is NOT free for a summed sketch the way it is for
+    * the max/distinct sinks — a re-appended batch would double-count —
+    * so cells carry `batch_id` and the read side collapses replayed
+    * batches by max-per-(batch_id, cell) BEFORE summing (a retried
+    * foreachBatch re-emits identical cells for the same id — the S19
+    * caveat with the sum-specific cure; spec'd). */
+  def cmsAppendSink(stream: DataFrame, key: String, depth: Int, width: Int,
+      path: String, queryName: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, id) =>
+      graft.api.GraftOps.cmsSketch(batch, col(key), depth, width)
+        .withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(path)
+    }
+
+  /** Read face of [[cmsAppendSink]]'s log: one row per live cell —
+    * row-equal to batch [[graft.api.GraftOps.cmsSketch]] over every row
+    * ever streamed (law S29); feed it to
+    * [[graft.api.GraftOps.cmsQuery]] unchanged. */
+  def cmsState(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("batch_id"), col("j"), col("bucket"))
+      .agg(max(col("c")).as("c")) // collapse at-least-once re-appends
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+
+  /** S30 — continuously-maintained KMV distinct sketch (the streaming
+    * face of [[graft.api.GraftOps.kmvSketch]]): each micro-batch's own
+    * bottom-k per group appends (≤ |groups|·k rows per batch), and
+    * [[kmvState]] re-derives the global bottom-k from the log — any
+    * hash in the TRUE bottom-k of the union is in its own batch's
+    * bottom-k, so state == batch kmvSketch over everything for ANY
+    * chunking (law S30). Hash values are content-deterministic, so an
+    * at-least-once retry re-appends identical (grp, h) rows and the
+    * read-side distinct collapses them (the S19 cure, free here). */
+  def kmvAppendSink(stream: DataFrame, group: String, value: String,
+      k: Int, path: String, queryName: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
+      graft.api.GraftOps.kmvSketch(batch, col(group), col(value), k)
+        .write.mode("append").parquet(path)
+    }
+
+  /** Read face of [[kmvAppendSink]]'s log: the global per-group
+    * bottom-k — row-equal to batch [[graft.api.GraftOps.kmvSketch]]
+    * over every row ever streamed (law S30). */
+  def kmvState(spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"))
+    spark.read.parquet(path).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("grp"), col("h"))
+  }
+
   /** Streaming heavy-hitter candidate summary — the streaming twin of
     * [[graft.api.GraftOps.heavyHittersSketch]]'s sketch half: one
     * Misra–Gries summary maintained as STREAMING AGGREGATION STATE

@@ -2767,6 +2767,32 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       s"XML contamination report == API: $gotR")
   }
 
+  test("cmsState / kmvState XML == API read of sketch logs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq(("g1", "a"), ("g1", "b"), ("g2", "a")).toDF("g", "v")
+    val cdir = java.nio.file.Files.createTempDirectory("graft-cmsx").toString
+    graft.api.GraftOps.cmsSketch(rows, col("v"), 3, 8)
+      .withColumn("batch_id", lit(0L)).write.mode("append").parquet(cdir)
+    val kdir = java.nio.file.Files.createTempDirectory("graft-kmvx").toString
+    graft.api.GraftOps.kmvSketch(rows, col("g"), col("v"), 4)
+      .write.mode("append").parquet(kdir)
+    val spec = graft.plans.PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="cs" class="cmsState"><arg key="path" value="$cdir"/></operator>
+        <operator name="ks" class="kmvState">
+          <arg key="path" value="$kdir"/><arg key="k" value="4"/>
+        </operator>
+      </pipeline>""")
+    val outs = graft.plans.PipelineCompiler.compile(spec, spark)
+    assert(outs("cs.outport1").collect().map(_.toSeq).toSet ==
+      graft.streaming.StreamingOps.cmsState(spark, cdir)
+        .collect().map(_.toSeq).toSet, "XML cms state == API")
+    assert(outs("ks.outport1").collect().map(_.toSeq).toSet ==
+      graft.streaming.StreamingOps.kmvState(spark, kdir, 4)
+        .collect().map(_.toSeq).toSet, "XML kmv state == API")
+  }
+
   test("proximityTopK registry op: XML (docs inport1, queries inport2) == API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

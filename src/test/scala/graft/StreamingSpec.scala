@@ -1287,6 +1287,61 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       == got, "retried append collapses on read")
   }
 
+  test("S29/S30: streaming sketch logs — cms cell-sum state and kmv bottom-k state == batch sketches; retries absorbed") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.api.GraftOps
+    import graft.streaming.StreamingOps
+    val chunk1 = Seq(("g1", "a"), ("g1", "b"), ("g2", "a"), ("g1", "a"))
+    val chunk2 = Seq(("g1", "c"), ("g2", "d"), ("g2", "a"), ("g1", "a"))
+    val all = chunk1 ++ chunk2
+    // --- S29: count-min cells over the key column
+    val cdir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val cck = java.nio.file.Files.createTempDirectory("graft-cms-ck").toString
+    val in1 = MemoryStream[(String, String)]
+    val q1 = StreamingOps.cmsAppendSink(in1.toDF().toDF("g", "v"),
+      key = "v", depth = 3, width = 8, cdir, "s29cms", cck).start()
+    try {
+      in1.addData(chunk1: _*); q1.processAllAvailable()
+      in1.addData(chunk2: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val cmsGot = cells(StreamingOps.cmsState(spark, cdir))
+    val cmsWant = cells(GraftOps.cmsSketch(all.toDF("g", "v"), col("v"), 3, 8))
+    assert(cmsGot == cmsWant, s"S29 cms state $cmsGot != batch $cmsWant")
+    // at-least-once retry: the SAME batch id re-appends identical cells
+    // — the max-per-(batch_id, cell) collapse absorbs it (a plain sum
+    // over the log would double-count; spec'd as the sum-specific cure)
+    val lastId = spark.read.parquet(cdir).agg(max("batch_id")).head().getLong(0)
+    GraftOps.cmsSketch(chunk2.toDF("g", "v"), col("v"), 3, 8)
+      .withColumn("batch_id", lit(lastId))
+      .write.mode("append").parquet(cdir)
+    assert(cells(StreamingOps.cmsState(spark, cdir)) == cmsWant,
+      "retried cms batch collapses on read")
+    // --- S30: kmv bottom-k per group over (g, v)
+    val kdir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    val kck = java.nio.file.Files.createTempDirectory("graft-kmv-ck").toString
+    val in2 = MemoryStream[(String, String)]
+    val q2 = StreamingOps.kmvAppendSink(in2.toDF().toDF("g", "v"),
+      group = "g", value = "v", k = 2, kdir, "s30kmv", kck).start()
+    try {
+      in2.addData(chunk1: _*); q2.processAllAvailable()
+      in2.addData(chunk2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    def hs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val kmvGot = hs(StreamingOps.kmvState(spark, kdir, k = 2))
+    val kmvWant = hs(GraftOps.kmvSketch(all.toDF("g", "v"), col("g"),
+      col("v"), 2))
+    assert(kmvGot == kmvWant, s"S30 kmv state $kmvGot != batch $kmvWant")
+    // retry: identical (grp, h) rows, distinct collapses them for free
+    GraftOps.kmvSketch(chunk2.toDF("g", "v"), col("g"), col("v"), 2)
+      .write.mode("append").parquet(kdir)
+    assert(hs(StreamingOps.kmvState(spark, kdir, k = 2)) == kmvWant,
+      "retried kmv batch collapses on read")
+  }
+
   test("S26: streaming golden-record log — field-wise state == batch goldenRecord over any chunking") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
