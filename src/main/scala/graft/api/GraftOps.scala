@@ -2634,6 +2634,53 @@ object GraftOps {
         col("col.n_null").as("n_null"), col("col.n_distinct").as("n_distinct"))
   }
 
+  /** Dataset-card DRIFT report — [[profileTable]] of two snapshots of
+    * the "same" table FULL-OUTER joined by column name: per column,
+    * both row counts, exact integer null-ppm on both sides with the
+    * delta, and both exact distinct counts with the delta — the
+    * regression check every scheduled ingest runs against its previous
+    * card before publishing (a null-rate jump or a cardinality collapse
+    * is a broken upstream, caught at the card, not by a consumer).
+    * SCHEMA drift is first-class, not an error: a column present on
+    * only one side still reports, its missing side NULL and `status`
+    * saying added/removed/common — the full-outer complement of q107's
+    * value-distribution drift (one column, deep) at the whole-schema
+    * grain (every column, shallow). Deltas on added/removed columns are
+    * NULL (there is no honest number). Cost = the two profile passes
+    * (the q147 single-aggregate shape each; `approx = true` routes both
+    * through the HLL tier — the 100 TB default) plus a column-count-
+    * sized join. Total order: current-side ordinal (base ordinal for
+    * removed columns), then column name. */
+  def profileDrift(base: DataFrame, cur: DataFrame,
+      cols: Seq[String] = Nil, approx: Boolean = false): DataFrame = {
+    val b = profileTable(base, cols, approx)
+      .select(col("ordinal").as("__ob"), col("column"),
+        col("n_rows").as("rows_base"), col("n_null").as("__nb"),
+        col("n_distinct").as("distinct_base"))
+    val c = profileTable(cur, cols, approx)
+      .select(col("ordinal").as("__oc"), col("column"),
+        col("n_rows").as("rows_cur"), col("n_null").as("__nc"),
+        col("n_distinct").as("distinct_cur"))
+    b.join(c, Seq("column"), "full_outer")
+      .withColumn("status",
+        when(col("__ob").isNull, lit("added"))
+          .when(col("__oc").isNull, lit("removed"))
+          .otherwise(lit("common")))
+      .withColumn("null_ppm_base",
+        expr("(__nb * 1000000) div greatest(rows_base, 1)"))
+      .withColumn("null_ppm_cur",
+        expr("(__nc * 1000000) div greatest(rows_cur, 1)"))
+      .withColumn("null_ppm_delta",
+        col("null_ppm_cur") - col("null_ppm_base"))
+      .withColumn("distinct_delta",
+        col("distinct_cur") - col("distinct_base"))
+      .orderBy(coalesce(col("__oc"), col("__ob")), col("column"))
+      .select(col("column"), col("status"), col("rows_base"),
+        col("rows_cur"), col("null_ppm_base"), col("null_ppm_cur"),
+        col("null_ppm_delta"), col("distinct_base"), col("distinct_cur"),
+        col("distinct_delta"))
+  }
+
   /** Key-skew audit — the measurement that DECIDES [[saltedJoin]]'s
     * `salts` (or an AQE skew threshold, or a broadcast) before a 100 TB
     * shuffle pays for the wrong choice: the top-`topN` hottest keys by

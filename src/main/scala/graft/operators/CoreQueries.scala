@@ -906,6 +906,88 @@ object CoreQueries {
         .orderBy("ordinal"),
     None)
 
+  // --------------------------------------------------------------- q157
+  /** Dataset-card drift between two snapshots of orders: the current
+    * side drops urgent orders, loses o_orderpriority, and gains a
+    * derived o_year — so the report exercises all three statuses
+    * (common columns with exact null-ppm/distinct deltas, one removed,
+    * one added, missing sides NULL). Exercises
+    * [[graft.api.GraftOps.profileDrift]] (two q147 single-aggregate
+    * profile passes + a column-count-sized full-outer join). */
+  val q157 = QueryDef("q157_profile_drift",
+    (s, dir) => {
+      val base = t(s, dir, "orders")
+      val cur = base.filter(col("o_orderpriority") =!= "1-URGENT")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .drop("o_orderpriority")
+      graft.api.GraftOps.profileDrift(base, cur)
+    },
+    Some("""
+      WITH bt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(o_orderkey) AS BIGINT) AS nn1,
+          CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+          CAST(COUNT(o_custkey) AS BIGINT) AS nn2,
+          CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd2,
+          CAST(COUNT(o_orderstatus) AS BIGINT) AS nn3,
+          CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+          CAST(COUNT(o_totalprice) AS BIGINT) AS nn4,
+          CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd4,
+          CAST(COUNT(o_orderdate) AS BIGINT) AS nn5,
+          CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd5,
+          CAST(COUNT(o_orderpriority) AS BIGINT) AS nn6,
+          CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd6
+        FROM orders),
+      cr AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          o_orderdate, EXTRACT(YEAR FROM o_orderdate) AS o_year
+        FROM orders WHERE o_orderpriority <> '1-URGENT'),
+      ct AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(o_orderkey) AS BIGINT) AS nn1,
+          CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+          CAST(COUNT(o_custkey) AS BIGINT) AS nn2,
+          CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd2,
+          CAST(COUNT(o_orderstatus) AS BIGINT) AS nn3,
+          CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+          CAST(COUNT(o_totalprice) AS BIGINT) AS nn4,
+          CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd4,
+          CAST(COUNT(o_orderdate) AS BIGINT) AS nn5,
+          CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd5,
+          CAST(COUNT(o_year) AS BIGINT) AS nn6,
+          CAST(COUNT(DISTINCT o_year) AS BIGINT) AS nd6
+        FROM cr),
+      pb AS (
+        SELECT CAST(1 AS BIGINT) AS ordinal, 'o_orderkey' AS "column",
+          n_rows, n_rows - nn1 AS n_null, nd1 AS n_distinct FROM bt
+        UNION ALL SELECT 2, 'o_custkey', n_rows, n_rows - nn2, nd2 FROM bt
+        UNION ALL SELECT 3, 'o_orderstatus', n_rows, n_rows - nn3, nd3 FROM bt
+        UNION ALL SELECT 4, 'o_totalprice', n_rows, n_rows - nn4, nd4 FROM bt
+        UNION ALL SELECT 5, 'o_orderdate', n_rows, n_rows - nn5, nd5 FROM bt
+        UNION ALL SELECT 6, 'o_orderpriority', n_rows, n_rows - nn6, nd6 FROM bt),
+      pc AS (
+        SELECT CAST(1 AS BIGINT) AS ordinal, 'o_orderkey' AS "column",
+          n_rows, n_rows - nn1 AS n_null, nd1 AS n_distinct FROM ct
+        UNION ALL SELECT 2, 'o_custkey', n_rows, n_rows - nn2, nd2 FROM ct
+        UNION ALL SELECT 3, 'o_orderstatus', n_rows, n_rows - nn3, nd3 FROM ct
+        UNION ALL SELECT 4, 'o_totalprice', n_rows, n_rows - nn4, nd4 FROM ct
+        UNION ALL SELECT 5, 'o_orderdate', n_rows, n_rows - nn5, nd5 FROM ct
+        UNION ALL SELECT 6, 'o_year', n_rows, n_rows - nn6, nd6 FROM ct)
+      SELECT COALESCE(pb."column", pc."column") AS "column",
+        CASE WHEN pb."column" IS NULL THEN 'added'
+             WHEN pc."column" IS NULL THEN 'removed'
+             ELSE 'common' END AS status,
+        pb.n_rows AS rows_base, pc.n_rows AS rows_cur,
+        (pb.n_null * 1000000) // greatest(pb.n_rows, 1) AS null_ppm_base,
+        (pc.n_null * 1000000) // greatest(pc.n_rows, 1) AS null_ppm_cur,
+        (pc.n_null * 1000000) // greatest(pc.n_rows, 1)
+          - (pb.n_null * 1000000) // greatest(pb.n_rows, 1) AS null_ppm_delta,
+        pb.n_distinct AS distinct_base, pc.n_distinct AS distinct_cur,
+        pc.n_distinct - pb.n_distinct AS distinct_delta
+      FROM pb FULL OUTER JOIN pc ON pb."column" = pc."column"
+      ORDER BY COALESCE(pc.ordinal, pb.ordinal),
+        COALESCE(pb."column", pc."column")"""))
+
   // --------------------------------------------------------------- q132
   /** Price deciles within each order priority — exact integer
     * equal-frequency bins over (price, orderkey) total order, the
@@ -941,5 +1023,5 @@ object CoreQueries {
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q07b, q08, q08b, q09, q09b, q10, q14, q15,
       q15b, q29, q29b, q30, q31, q32, q33, q67, q68, q129, q132, q137,
-      q145, q146, q147, q147b)
+      q145, q146, q147, q147b, q157)
 }

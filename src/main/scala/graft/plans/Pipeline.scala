@@ -1194,6 +1194,13 @@ object PipelineCompiler {
         args.get("cols").map(_.split(";").map(_.trim).filter(_.nonEmpty)
           .toSeq).getOrElse(Nil),
         approx = args.getOrElse("approx", "false").toBoolean))),
+    // inport1 = base snapshot, inport2 = current snapshot
+    "profileDrift" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.profileDrift(in("inport1"),
+        in("inport2"),
+        args.get("cols").map(_.split(";").map(_.trim).filter(_.nonEmpty)
+          .toSeq).getOrElse(Nil),
+        approx = args.getOrElse("approx", "false").toBoolean))),
     "keySkewReport" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.keySkewReport(in("inport1"),
         expr(arg(args, "key")), topN = arg(args, "topN").toInt))),

@@ -4609,6 +4609,32 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       applied.exceptAll(current).isEmpty)
   }
 
+  test("profileDrift: common/added/removed statuses, exact ppm deltas, NULL on schema drift") {
+    import spark.implicits._
+    val base = Seq((Option(1L), Option("a")), (Option(2L), Option.empty[String]),
+      (Option.empty[Long], Option("b"))).toDF("k", "v")
+    val cur = base.filter(col("k").isNotNull)
+      .withColumn("w", lit(1)).drop("v")
+    val got = GraftOps.profileDrift(base, cur).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("k", "v", "w"))
+    val k = got("k")
+    assert(k.getString(1) == "common" && k.getLong(2) == 3L &&
+      k.getLong(3) == 2L, s"common row counts: $k")
+    // base k: 1 NULL of 3 → 333333 ppm; cur k: 0 of 2 → 0; delta exact
+    assert(k.getLong(4) == 333333L && k.getLong(5) == 0L &&
+      k.getLong(6) == -333333L, s"exact integer ppm delta: $k")
+    assert(k.getLong(7) == 2L && k.getLong(8) == 2L && k.getLong(9) == 0L)
+    val v = got("v")
+    assert(v.getString(1) == "removed" && v.isNullAt(3) && v.isNullAt(5) &&
+      v.isNullAt(6) && v.isNullAt(9),
+      s"removed column: cur side and deltas NULL: $v")
+    val w = got("w")
+    assert(w.getString(1) == "added" && w.isNullAt(2) && w.isNullAt(4) &&
+      w.isNullAt(6) && w.getLong(8) == 1L,
+      s"added column: base side and deltas NULL: $w")
+  }
+
   test("proximityTopK: window semantics, pair-coverage grain, tie order, guards") {
     import spark.implicits._
     // query terms: alpha, beta. doc 1 has them adjacent; doc 2 has them

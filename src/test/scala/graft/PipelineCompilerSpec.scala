@@ -2767,6 +2767,28 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       s"XML contamination report == API: $gotR")
   }
 
+  test("profileDrift registry op: XML (base inport1, cur inport2) == API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Seq((Option(1L), Option("a")), (Option.empty[Long], Option("b")))
+      .toDF("k", "v").createOrReplaceTempView("pd_base")
+    spark.table("pd_base").filter(col("k").isNotNull).drop("v")
+      .withColumn("w", lit(2)).createOrReplaceTempView("pd_cur")
+    val spec = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="b" class="viewInput"><arg key="table" value="pd_base"/></operator>
+        <operator name="c" class="viewInput"><arg key="table" value="pd_cur"/></operator>
+        <operator name="d" class="profileDrift"/>
+        <connect from="b.outport1" to="d.inport1"/>
+        <connect from="c.outport1" to="d.inport2"/>
+      </pipeline>""")
+    val got = graft.plans.PipelineCompiler.compile(spec, spark)("d.outport1")
+      .collect().map(_.toSeq).toSeq
+    val api = graft.api.GraftOps.profileDrift(spark.table("pd_base"),
+      spark.table("pd_cur")).collect().map(_.toSeq).toSeq
+    assert(got == api && got.length == 3, s"XML drift == API: $got")
+  }
+
   test("cmsState / kmvState XML == API read of sketch logs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
