@@ -3163,6 +3163,55 @@ object GraftOps {
         col("rank"), col("n_prox_pairs"), col("n_terms"))
   }
 
+  /** Rank-biased overlap (Webber–Moffat–Zobel RBO, truncated): how
+    * similar are two RANKINGS of the same query set — the eval-pipeline
+    * statistic for "did the new retriever actually change results",
+    * comparing prefix by prefix with top-weighted persistence `p`:
+    * score = (1−p)·Σ_{i=1..depth} p^(i−1)·|prefix_i(A) ∩ prefix_i(B)|/i.
+    * Complements [[rrfFuse]] (which COMBINES rankings) with the
+    * MEASUREMENT between them. The q117/q155 exactness posture applied
+    * to ranking comparison: p arrives as ppm (one stated division),
+    * p^(i−1) by REPEATED MULTIPLICATION inside one pinned ascending
+    * fold (never libm pow), every step the same IEEE op chain — so the
+    * score hash-gates against a recursive-CTE oracle stepping the
+    * identical recurrence. Doc ids compare as strings (one report type
+    * for any id type). Inner-join semantics: only queries present in
+    * BOTH rankings report (a one-sided query has no overlap to
+    * measure — stated). Ranking contract: rank unique per (query,
+    * list); lists truncate to `depth` (shorter lists are fine — slice
+    * clamps, and the missing tail simply can't overlap).
+    *
+    * Plan: ranking-sized end to end (two bounded per-query collects of
+    * ≤ depth rows each, one equi-join on query, one narrow fold per
+    * row) — the corpus never appears. */
+  def rboCompare(a: DataFrame, b: DataFrame, qid: Column, doc: Column,
+      rank: Column, pPpm: Long, depth: Int): DataFrame = {
+    require(pPpm > 0 && pPpm < 1000000,
+      s"pPpm must be in (0, 1e6) exclusive; got $pPpm")
+    require(depth >= 1 && depth <= 1000,
+      s"depth must be in [1,1000]; got $depth")
+    val pSql = s"(CAST($pPpm AS DOUBLE) / 1000000.0)"
+    def lists(df: DataFrame, out: String) =
+      df.select(qid.as("__q"), doc.cast("string").as("__d"),
+          rank.as("__r"))
+        .groupBy(col("__q"))
+        .agg(expr(s"slice(transform(sort_array(collect_list(" +
+          s"struct(__r, __d))), x -> x.__d), 1, $depth)").as(out))
+    lists(a, "la").join(lists(b, "lb"), Seq("__q"))
+      .withColumn("__f", expr(
+        s"""aggregate(sequence(1, $depth),
+            named_struct('pw', CAST(1.0 AS DOUBLE), 's', CAST(0.0 AS DOUBLE)),
+            (acc, i) -> named_struct(
+              'pw', acc.pw * $pSql,
+              's', acc.s + acc.pw *
+                (CAST(size(array_intersect(slice(la, 1, i), slice(lb, 1, i))) AS DOUBLE)
+                 / CAST(i AS DOUBLE))))"""))
+      .select(col("__q").as("query_id"),
+        expr(s"(1.0 - $pSql) * __f.s").as("rbo"),
+        size(col("la")).as("n_a"), size(col("lb")).as("n_b"),
+        size(array_intersect(col("la"), col("lb"))).as("overlap_at_depth"))
+  }
+
   /** Deterministic stratified Bernoulli sample: keep a row iff the
     * portable hash of its `key` lands under the stratum's rate (in
     * millionths). Pure narrow filter — zero shuffle, reproducible across

@@ -714,6 +714,83 @@ object TextOps {
       FROM fr WHERE rank <= 10
       ORDER BY query_id, rank"""))
 
+  // --------------------------------------------------------------- q158
+  /** Rank-biased overlap between the q112 BM25 top-20 and the q115
+    * static length-prior top-20 (p = 0.9, depth 20) — "how much did
+    * relevance ranking change the prior's order", per query: the
+    * measurement companion of q115's fusion over the SAME two
+    * rankings. The p-powers come from repeated multiplication inside
+    * one pinned ascending fold, so the float score hash-gates against
+    * the oracle's recursive CTE stepping the identical recurrence.
+    * Exercises [[graft.api.GraftOps.rboCompare]]. */
+  val q158 = QueryDef("q158_rbo_rankings",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val qs = bmQueries(d)
+      val bm = graft.api.GraftOps.bm25TopK(d, col("doc_id"), col("text"),
+          qs, col("qid"), col("qtext"), k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val w = Window.orderBy(desc("n_chars"), col("doc_id"))
+      val prior20 = d.select(col("doc_id"), col("n_chars"))
+        .orderBy(desc("n_chars"), col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val prior = qs.select(col("qid").as("query_id")).crossJoin(prior20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      graft.api.GraftOps.rboCompare(bm, prior, col("query_id"),
+          col("doc_id"), col("rank"), pPpm = 900000L, depth = 20)
+        .withColumn("rbo_us", floor(col("rbo") * lit(1000000.0)))
+        .drop("rbo")
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $bm25Cte,
+      bm AS (SELECT qid AS query_id, doc_id, rank FROM r WHERE rank <= 20),
+      pr AS (SELECT doc_id, CAST(row_number() OVER
+               (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+             FROM documents QUALIFY rank <= 20),
+      qids AS (SELECT DISTINCT doc_id // 50 AS query_id
+               FROM documents WHERE doc_id % 50 = 0),
+      pb AS (SELECT q.query_id, p.doc_id, p.rank FROM qids q, pr p),
+      la0 AS (SELECT query_id, list_transform(list_sort(list(
+                struct_pack(r := rank, d := CAST(doc_id AS VARCHAR)))),
+                x -> x.d) AS la
+              FROM bm GROUP BY 1),
+      lb0 AS (SELECT query_id, list_transform(list_sort(list(
+                struct_pack(r := rank, d := CAST(doc_id AS VARCHAR)))),
+                x -> x.d) AS lb
+              FROM pb GROUP BY 1),
+      j AS MATERIALIZED (SELECT la0.query_id, list_slice(la, 1, 20) AS la,
+              list_slice(lb, 1, 20) AS lb
+            FROM la0 JOIN lb0 ON la0.query_id = lb0.query_id),
+      -- MATERIALIZED: the recursion below references ov once per level;
+      -- left inline, DuckDB re-evaluates the whole bm25 chain per level
+      -- (OOM at sf1)
+      ov AS MATERIALIZED (SELECT j.query_id, d.i,
+               CAST(len(list_intersect(list_slice(j.la, 1, d.i),
+                 list_slice(j.lb, 1, d.i))) AS INTEGER) AS inter
+             FROM j, (SELECT unnest(range(1, 21)) AS i) d),
+      rec AS (
+        SELECT o.query_id, o.i,
+          CAST(1.0 AS DOUBLE) * (CAST(900000 AS DOUBLE) / 1000000.0) AS pw,
+          CAST(0.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) *
+            (CAST(o.inter AS DOUBLE) / CAST(o.i AS DOUBLE)) AS s
+        FROM ov o WHERE o.i = 1
+        UNION ALL
+        SELECT o.query_id, o.i,
+          r2.pw * (CAST(900000 AS DOUBLE) / 1000000.0),
+          r2.s + r2.pw * (CAST(o.inter AS DOUBLE) / CAST(o.i AS DOUBLE))
+        FROM ov o JOIN rec r2
+          ON o.query_id = r2.query_id AND o.i = r2.i + 1)
+      SELECT j.query_id,
+        CAST(len(j.la) AS INTEGER) AS n_a,
+        CAST(len(j.lb) AS INTEGER) AS n_b,
+        CAST(len(list_intersect(j.la, j.lb)) AS INTEGER) AS overlap_at_depth,
+        CAST(floor(((1.0 - (CAST(900000 AS DOUBLE) / 1000000.0)) * rec.s)
+          * 1000000.0) AS BIGINT) AS rbo_us
+      FROM j JOIN rec ON j.query_id = rec.query_id AND rec.i = 20
+      ORDER BY j.query_id"""))
+
   // --------------------------------------------------------------- q122
   /** Blocklist scoring over the documents corpus: per-document hit
     * count, distinct matched terms, and exact integer-ppm density for
@@ -1159,5 +1236,5 @@ object TextOps {
   val all: Seq[QueryDef] =
     Seq(q12, q22, q23, q24, q25, q70, q70b, q73, q77, q86, q101, q109,
       q110, q112, q115, q122, q135, q135b, q136, q138, q142, q148, q150,
-      q156)
+      q156, q158)
 }

@@ -1212,6 +1212,12 @@ object PipelineCompiler {
         topN = arg(args, "topN").toInt))),
     // Deterministic sketch algebra (md5 hash family — estimates themselves
     // are engine-portable; see GraftOps scaladoc for the 100 TB postures).
+    // inport1 = ranking A, inport2 = ranking B
+    "rboCompare" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.rboCompare(in("inport1"),
+        in("inport2"), expr(arg(args, "qid")), expr(arg(args, "doc")),
+        expr(arg(args, "rank")), pPpm = arg(args, "pPpm").toLong,
+        depth = arg(args, "depth").toInt))),
     // inport1 = docs, inport2 = queries
     "proximityTopK" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.proximityTopK(in("inport1"),

@@ -4609,6 +4609,48 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       applied.exceptAll(current).isEmpty)
   }
 
+  test("rboCompare: identical/disjoint closed forms, hand-computed partial overlap, inner-join semantics, guards") {
+    import spark.implicits._
+    val p = 0.9
+    def ranking(q: Long, ds: Seq[String]) =
+      ds.zipWithIndex.map { case (d, i) => (q, d, (i + 1).toLong) }
+    // identical rankings → RBO = (1-p)·Σ p^(i-1) = 1 − p^depth
+    val same = ranking(1L, Seq("a", "b", "c", "d")).toDF("q", "d", "r")
+    val rSame = GraftOps.rboCompare(same, same, col("q"), col("d"),
+      col("r"), pPpm = 900000L, depth = 4).collect()(0)
+    assert(math.abs(rSame.getDouble(1) - (1.0 - math.pow(p, 4))) < 1e-12,
+      s"identical rankings hit the geometric closed form: $rSame")
+    assert(rSame.getInt(4) == 4)
+    // disjoint rankings → RBO = 0 exactly
+    val other = ranking(1L, Seq("x", "y", "z", "w")).toDF("q", "d", "r")
+    val rDis = GraftOps.rboCompare(same, other, col("q"), col("d"),
+      col("r"), 900000L, 4).collect()(0)
+    assert(rDis.getDouble(1) == 0.0 && rDis.getInt(4) == 0)
+    // hand-computed partial overlap at depth 2, p = 0.5:
+    // A = [a, b], B = [b, a]: inter_1 = 0, inter_2 = 2
+    // → rbo = 0.5 · (1·0 + 0.5·(2/2)) = 0.25
+    val a2 = ranking(1L, Seq("a", "b")).toDF("q", "d", "r")
+    val b2 = ranking(1L, Seq("b", "a")).toDF("q", "d", "r")
+    val rHalf = GraftOps.rboCompare(a2, b2, col("q"), col("d"), col("r"),
+      pPpm = 500000L, depth = 2).collect()(0)
+    assert(math.abs(rHalf.getDouble(1) - 0.25) < 1e-15,
+      s"hand-computed swap case: $rHalf")
+    // inner-join semantics: a query on one side only does not report
+    val aq = (ranking(1L, Seq("a")) ++ ranking(2L, Seq("a")))
+      .toDF("q", "d", "r")
+    val bq = ranking(1L, Seq("a")).toDF("q", "d", "r")
+    assert(GraftOps.rboCompare(aq, bq, col("q"), col("d"), col("r"),
+      900000L, 4).count() == 1L)
+    intercept[IllegalArgumentException] {
+      GraftOps.rboCompare(same, other, col("q"), col("d"), col("r"),
+        1000000L, 4)
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.rboCompare(same, other, col("q"), col("d"), col("r"),
+        900000L, 0)
+    }
+  }
+
   test("profileDrift: common/added/removed statuses, exact ppm deltas, NULL on schema drift") {
     import spark.implicits._
     val base = Seq((Option(1L), Option("a")), (Option(2L), Option.empty[String]),

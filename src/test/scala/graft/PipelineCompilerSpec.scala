@@ -2767,6 +2767,33 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       s"XML contamination report == API: $gotR")
   }
 
+  test("rboCompare registry op: XML (two ranking inports) == API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("q", "d", "r")
+      .createOrReplaceTempView("rbo_a")
+    Seq((1L, "b", 1L), (1L, "a", 2L)).toDF("q", "d", "r")
+      .createOrReplaceTempView("rbo_b")
+    val spec = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="a" class="viewInput"><arg key="table" value="rbo_a"/></operator>
+        <operator name="b" class="viewInput"><arg key="table" value="rbo_b"/></operator>
+        <operator name="rb" class="rboCompare">
+          <arg key="qid" value="q"/><arg key="doc" value="d"/>
+          <arg key="rank" value="r"/><arg key="pPpm" value="500000"/>
+          <arg key="depth" value="2"/>
+        </operator>
+        <connect from="a.outport1" to="rb.inport1"/>
+        <connect from="b.outport1" to="rb.inport2"/>
+      </pipeline>""")
+    val got = graft.plans.PipelineCompiler.compile(spec, spark)("rb.outport1")
+      .collect().map(_.toSeq).toSeq
+    val api = graft.api.GraftOps.rboCompare(spark.table("rbo_a"),
+        spark.table("rbo_b"), col("q"), col("d"), col("r"), 500000L, 2)
+      .collect().map(_.toSeq).toSeq
+    assert(got == api && got.length == 1, s"XML rbo == API: $got")
+  }
+
   test("profileDrift registry op: XML (base inport1, cur inport2) == API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

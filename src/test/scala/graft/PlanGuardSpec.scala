@@ -53,6 +53,10 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     *    with itself (|groups|² rows, group-cardinality scale — the
     *    sketch algebra never touches corpus rows; the corpus-scale
     *    stage is the equi-shaped distinct inside kmvSketch).
+    *  - q158: inherits q115's two declared crosses verbatim — q112's
+    *    1-row bm25 stats broadcast and the 20-row length prior
+    *    replicated per query (bounded: queries × top-20); the RBO fold
+    *    itself adds one equi-join on query id.
     */
   private val allowNestedLoop = Set(
     "q13_similarity_knn", "q19_embedding_neardup", "q32_cross_join",
@@ -61,7 +65,8 @@ class PlanGuardSpec extends AnyFunSuite with SharedSpark {
     "q81_contribution", "q112_bm25_topk", "q115_rrf_fusion",
     "q128_mmr_rerank", "q130_cat_association", "q131_proportion_lift",
     "q133_class_key_terms", "q134_top_paths", "q141_trending",
-    "q145_key_skew", "q146_join_cardinality", "q151_kmv_source_overlap")
+    "q145_key_skew", "q146_join_cardinality", "q151_kmv_source_overlap",
+    "q158_rbo_rankings")
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] =
     p +: p.children.flatMap(nodes)
