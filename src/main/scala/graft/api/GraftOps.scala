@@ -35,9 +35,12 @@ object GraftOps {
     * per feed"). Deterministic under the house unique-(key, ts,
     * tiebreak) contract (the q140 posture: a duplicate (ts, tiebreak)
     * within a key would make membership at the k boundary
-    * engine-arbitrary — pass a unique id as the tiebreak). NULL key or
-    * ts rows drop up front (no position in the order — the r17 NULL-ts
-    * rule). One shuffle on the key + in-partition ordered rank — the
+    * engine-arbitrary — pass a unique id as the tiebreak). NULL key,
+    * ts, or tiebreak rows drop up front (no position in the order —
+    * the r17 NULL-ts rule; a NULL tiebreak at the k boundary would
+    * otherwise diverge across engines' NULL-sort defaults, and the
+    * streaming twin's contract is non-null throughout). One shuffle on
+    * the key + in-partition ordered rank — the
     * q06/q12 top-k-per-group shape; a hot key ships its history once,
     * never a self-join. Streaming twin:
     * [[graft.streaming.FrequencyCapStream]] (S27 — count-only O(1)
@@ -47,7 +50,7 @@ object GraftOps {
       tiebreak: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1; got $k")
     val w = Window.partitionBy(key).orderBy(ts, tiebreak)
-    df.filter(key.isNotNull && ts.isNotNull)
+    df.filter(key.isNotNull && ts.isNotNull && tiebreak.isNotNull)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
@@ -3181,9 +3184,13 @@ object GraftOps {
     * list); lists truncate to `depth` (shorter lists are fine — slice
     * clamps, and the missing tail simply can't overlap).
     *
-    * Plan: ranking-sized end to end (two bounded per-query collects of
-    * ≤ depth rows each, one equi-join on query, one narrow fold per
-    * row) — the corpus never appears. */
+    * Plan: ranking-sized end to end, with per-query state bounded by
+    * CONSTRUCTION: a row_number over rank ORDER (not rank value, so
+    * sparse ranks stay correct) keeps only the top `depth` rows per
+    * query BEFORE the list collect, so even an accidental full-corpus
+    * ranking input costs O(depth) per-group state, never O(|docs|).
+    * Then one equi-join on query and one narrow fold per row — the
+    * corpus never appears. */
   def rboCompare(a: DataFrame, b: DataFrame, qid: Column, doc: Column,
       rank: Column, pPpm: Long, depth: Int): DataFrame = {
     require(pPpm > 0 && pPpm < 1000000,
@@ -3191,12 +3198,16 @@ object GraftOps {
     require(depth >= 1 && depth <= 1000,
       s"depth must be in [1,1000]; got $depth")
     val pSql = s"(CAST($pPpm AS DOUBLE) / 1000000.0)"
-    def lists(df: DataFrame, out: String) =
+    def lists(df: DataFrame, out: String) = {
+      val wD = Window.partitionBy(col("__q")).orderBy(col("__r"), col("__d"))
       df.select(qid.as("__q"), doc.cast("string").as("__d"),
           rank.as("__r"))
+        .withColumn("__rn", row_number().over(wD))
+        .filter(col("__rn") <= depth)
         .groupBy(col("__q"))
         .agg(expr(s"slice(transform(sort_array(collect_list(" +
           s"struct(__r, __d))), x -> x.__d), 1, $depth)").as(out))
+    }
     lists(a, "la").join(lists(b, "lb"), Seq("__q"))
       .withColumn("__f", expr(
         s"""aggregate(sequence(1, $depth),

@@ -20,6 +20,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * shard and fold the (mergeable) summaries in decimal. The oracle
   * (q154) restates the identical integer arithmetic, so the Gram matrix
   * hash-gates even though it summarizes float data.
+  *
+  * Malformed input fails LOUDLY: a vector whose length differs from
+  * `dim` throws (the same wrong-length guard as pcaProject /
+  * randomProject — silently zero-padding or truncating would degrade
+  * the fitted model with no signal). NULL vectors are skipped (absent,
+  * not malformed); non-finite components throw for the same reason
+  * (floor(NaN) would silently map to 0).
   */
 class GramAgg(dim: Int)
     extends Aggregator[Seq[Float], Array[Long], Seq[Long]] {
@@ -31,10 +38,16 @@ class GramAgg(dim: Int)
 
   override def reduce(b: Array[Long], v: Seq[Float]): Array[Long] = {
     if (v == null) return b
+    if (v.length != dim) throw new IllegalArgumentException(
+      s"GramAgg: embedding length ${v.length} != declared dim $dim")
     val q = new Array[Long](dim)
     var i = 0
-    while (i < dim && i < v.length) {
-      q(i) = math.floor(v(i).toDouble * 1000000.0).toLong
+    while (i < dim) {
+      val x = v(i)
+      if (java.lang.Float.isNaN(x) || java.lang.Float.isInfinite(x))
+        throw new IllegalArgumentException(
+          s"GramAgg: non-finite component $x at index $i")
+      q(i) = math.floor(x.toDouble * 1000000.0).toLong
       i += 1
     }
     b(0) += 1L

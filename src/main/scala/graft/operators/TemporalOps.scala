@@ -734,7 +734,7 @@ object TemporalOps {
   /** Frequency-cap dedup: each user's first 3 events in (ts, event_id)
     * order — the contribution bound every training-data feed applies
     * before mixing. Exercises [[graft.api.GraftOps.frequencyCap]]
-    * (NULL key/ts rows drop up front; one shuffle + ordered rank, the
+    * (NULL key/ts/tiebreak rows drop up front; one shuffle + ordered rank, the
     * top-k-per-group shape); the streaming twin admits the same set
     * through a real chunked replay (law S27). */
   val q153 = QueryDef("q153_frequency_cap",
@@ -749,7 +749,8 @@ object TemporalOps {
         SELECT event_id, user_id, ts, event_type,
           row_number() OVER (PARTITION BY user_id
             ORDER BY ts, event_id) AS rn
-        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL) t
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_id IS NOT NULL) t
       WHERE rn <= 3
       ORDER BY event_id"""))
 

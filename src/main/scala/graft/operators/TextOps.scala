@@ -245,7 +245,7 @@ object TextOps {
   // --------------------------------------------------------------- q150
   /** Count-min sketch adjudication over the SAME bigram stream as q70:
     * the exact top-20 bigrams with true count, the CMS (depth 4 ×
-    * width 2048, md5 hash family) estimate, and the overcount. Every
+    * width 256, md5 hash family) estimate, and the overcount. Every
     * counter is deterministic in both engines, so — uniquely among the
     * approximate tiers — the sketch path itself hash-gates (HLL q15b /
     * GK q29b stay rows-only by register opacity). Exercises

@@ -736,23 +736,39 @@ object StreamingOps {
     * bottom-k, so state == batch kmvSketch over everything for ANY
     * chunking (law S30). Hash values are content-deterministic, so an
     * at-least-once retry re-appends identical (grp, h) rows and the
-    * read-side distinct collapses them (the S19 cure, free here). */
+    * read-side distinct collapses them (the S19 cure, free here). The
+    * sink's `k` is persisted with every appended row (`sink_k`) so the
+    * read face can PROVE the law's premise instead of assuming it. */
   def kmvAppendSink(stream: DataFrame, group: String, value: String,
       k: Int, path: String, queryName: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     foreachBatchSink(stream, queryName, checkpoint) { (batch, _) =>
       graft.api.GraftOps.kmvSketch(batch, col(group), col(value), k)
+        .withColumn("sink_k", lit(k))
         .write.mode("append").parquet(path)
     }
 
   /** Read face of [[kmvAppendSink]]'s log: the global per-group
     * bottom-k — row-equal to batch [[graft.api.GraftOps.kmvSketch]]
-    * over every row ever streamed (law S30). */
+    * over every row ever streamed (law S30). The law only holds when
+    * the requested `k` is ≤ the k EVERY appended batch kept (a batch
+    * that kept fewer may have discarded a hash in the true global
+    * bottom-k), so this read validates `k` against the persisted
+    * `sink_k` and fails loudly on violation — one driver-side min over
+    * the batch-count-sized log, never a silent undersized sketch. */
   def kmvState(spark: org.apache.spark.sql.SparkSession, path: String,
       k: Int): DataFrame = {
+    val log = spark.read.parquet(path)
+    if (log.columns.contains("sink_k")) {
+      val minK = log.agg(min(col("sink_k"))).first().getInt(0)
+      require(k <= minK,
+        s"kmvState: requested k=$k exceeds the smallest k any appended " +
+          s"batch kept (sink_k=$minK) — the global bottom-$k is not " +
+          "recoverable from this log")
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("h"))
-    spark.read.parquet(path).distinct()
+    log.select(col("grp"), col("h")).distinct()
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("grp"), col("h"))

@@ -4649,6 +4649,26 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       GraftOps.rboCompare(same, other, col("q"), col("d"), col("r"),
         900000L, 0)
     }
+    // state bound: an over-length (corpus-scale) ranking input is
+    // truncated to the top `depth` by rank order BEFORE the list
+    // collect — result identical to feeding the pre-truncated prefix,
+    // including with SPARSE ranks (order, not value, decides the cut)
+    val longA = ranking(1L, (1 to 500).map(i => f"d$i%04d")).toDF("q", "d", "r")
+    val longB = ranking(1L, (1 to 500).map(i => f"e$i%04d")
+      .updated(0, "d0001")).toDF("q", "d", "r")
+    val sparseA = longA.withColumn("r", col("r") * 1000L) // sparse ranks
+    val full = GraftOps.rboCompare(longA, longB, col("q"), col("d"),
+      col("r"), 900000L, 4).collect()(0)
+    val pre = GraftOps.rboCompare(longA.filter(col("r") <= 4),
+      longB.filter(col("r") <= 4), col("q"), col("d"), col("r"),
+      900000L, 4).collect()(0)
+    val sparse = GraftOps.rboCompare(sparseA, longB, col("q"), col("d"),
+      col("r"), 900000L, 4).collect()(0)
+    assert(full.getDouble(1) == pre.getDouble(1) &&
+      full.getInt(2) == 4 && full.getInt(3) == 4,
+      s"over-length ranking == pre-truncated prefix: $full vs $pre")
+    assert(sparse.getDouble(1) == full.getDouble(1),
+      s"sparse rank values cut at the same ORDER boundary: $sparse")
   }
 
   test("profileDrift: common/added/removed statuses, exact ppm deltas, NULL on schema drift") {
@@ -4799,6 +4819,32 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(ex.getMessage.contains("expected 4-component") ||
       Option(ex.getCause).exists(_.getMessage.contains("expected 4-component")),
       s"loud shape failure: ${ex.getMessage}")
+    // ...and at FIT time too: GramAgg rejects wrong-length and
+    // non-finite vectors instead of silently zero-padding/truncating
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder(Option(c.getMessage).getOrElse(""))
+      while (c.getCause != null) { c = c.getCause
+        sb.append(" | ").append(Option(c.getMessage).getOrElse("")) }
+      sb.toString
+    }
+    val exFit = intercept[Exception] {
+      GraftOps.gramMatrix(bad, col("v"), 4).collect()
+    }
+    assert(rootMsg(exFit).contains("embedding length 3 != declared dim 4"),
+      s"loud fit-time shape failure: ${rootMsg(exFit)}")
+    val nan = Seq((1L, Seq(1.0f, Float.NaN, 3.0f, 4.0f))).toDF("id", "v")
+    val exNan = intercept[Exception] {
+      GraftOps.gramMatrix(nan, col("v"), 4).collect()
+    }
+    assert(rootMsg(exNan).contains("non-finite component"),
+      s"loud non-finite failure: ${rootMsg(exNan)}")
+    // NULL vectors are absent, not malformed: skipped, count unaffected
+    val withNull = df.union(Seq((9999L, Option.empty[Seq[Float]]))
+      .toDF("id", "v"))
+    assert(GraftOps.gramMatrix(withNull, col("v"), 4).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap == got,
+      "NULL embedding rows are skipped")
   }
 
   test("cmsSketch/cmsQuery: never undercounts any key; mergeable; absent keys; report; guards") {

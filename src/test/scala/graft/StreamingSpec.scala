@@ -1336,10 +1336,26 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       col("v"), 2))
     assert(kmvGot == kmvWant, s"S30 kmv state $kmvGot != batch $kmvWant")
     // retry: identical (grp, h) rows, distinct collapses them for free
+    // (a sink retry re-emits the same sink_k column it always writes)
     GraftOps.kmvSketch(chunk2.toDF("g", "v"), col("g"), col("v"), 2)
+      .withColumn("sink_k", lit(2))
       .write.mode("append").parquet(kdir)
     assert(hs(StreamingOps.kmvState(spark, kdir, k = 2)) == kmvWant,
       "retried kmv batch collapses on read")
+    // reading with k above what the sink kept is NOT recoverable —
+    // kmvState validates against the persisted sink_k and fails loudly
+    // instead of returning a silently undersized sketch
+    val exK = intercept[IllegalArgumentException] {
+      StreamingOps.kmvState(spark, kdir, k = 3)
+    }
+    assert(exK.getMessage.contains("not") &&
+      exK.getMessage.contains("recoverable"), s"loud k guard: $exK")
+    // reading with a SMALLER k than the sink wrote is always fine:
+    // bottom-1 per group == the min hash of the batch bottom-2
+    val want1 = kmvWant.groupBy(_._1).map { case (g, hsForG) =>
+      (g, hsForG.map(_._2).min) }.toSet
+    assert(hs(StreamingOps.kmvState(spark, kdir, k = 1)) == want1,
+      "smaller read-k == bottom-1 of the batch sketch")
   }
 
   test("S26: streaming golden-record log — field-wise state == batch goldenRecord over any chunking") {
