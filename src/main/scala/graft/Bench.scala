@@ -64,12 +64,55 @@ object Bench {
         catch { case scala.util.control.NonFatal(_) => -1 }
       (heapMb, storeMb, nRdds, nBcast)
     }
+    // Host-contention counters (the r17/r18 drift adjudications as
+    // data): a snapshot of /proc/stat's aggregate cpu ticks and this
+    // JVM's own utime+stime from /proc/self/stat. The per-run DELTA
+    // separates "the host was busy with OUR work" from "someone else
+    // was burning the machine": foreign = (non-idle host ticks) −
+    // (our own process ticks), as ppm of total host ticks over the
+    // run window; steal ppm is the VM-level equivalent. loadavg (1-min,
+    // ×100) rides along as the coarse cross-check. All best-effort:
+    // unreadable counters record -1 and never fail the bench.
+    def hostTicks(): (Long, Long, Long, Long) =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1)
+          .map(_.toLong)
+        val total = cpu.sum
+        val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L) // idle+iowait
+        val steal = if (cpu.length > 7) cpu(7) else 0L
+        val self = scala.io.Source.fromFile("/proc/self/stat").mkString
+          .split("\\)\\s+").last.split("\\s+") // fields after the comm field
+        // utime and stime are fields 14 and 15 of /proc/self/stat; after
+        // splitting off "pid (comm)" they sit at offsets 11 and 12
+        val own = self(11).toLong + self(12).toLong
+        (total, idle, steal, own)
+      } catch { case scala.util.control.NonFatal(_) => (-1L, -1L, -1L, -1L) }
+    def loadAvg100(): Long =
+      try math.round(scala.io.Source.fromFile("/proc/loadavg").mkString
+        .trim.split("\\s+")(0).toDouble * 100)
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    def envDelta(before: (Long, Long, Long, Long)): (Long, Long, Long) = {
+      val after = hostTicks()
+      if (before._1 < 0 || after._1 < 0 || after._1 <= before._1)
+        (-1L, -1L, loadAvg100())
+      else {
+        val total = after._1 - before._1
+        val busy = total - (after._2 - before._2)
+        val steal = after._3 - before._3
+        val own = after._4 - before._4
+        val foreignPpm = math.max(0L, busy - own) * 1000000L / total
+        val stealPpm = math.max(0L, steal) * 1000000L / total
+        (foreignPpm, stealPpm, loadAvg100())
+      }
+    }
     val results = selected.map { case (name, fn) =>
       val timed = (1 to runs).flatMap { _ =>
+        val ticks0 = hostTicks()
         val t0 = System.nanoTime()
         val res = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some(((System.nanoTime() - t0) / 1e9, diag()))
+          Some(((System.nanoTime() - t0) / 1e9, diag(), envDelta(ticks0)))
         } catch { case e: Throwable =>
           if (!failed.contains(name)) failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -94,16 +137,17 @@ object Bench {
       }
       val times = timed.map(_._1)
       val diags = timed.map(_._2)
+      val envs = timed.map(_._3)
       val sec =
         if (times.isEmpty) 0.0
         else times.sorted.apply((times.size - 1) / 2) // lower median
       System.err.println(
         f"[bench] $name%-28s $sec%8.2f s  (runs: ${times.map(t => f"$t%.2f").mkString(" ")})")
-      (name, sec, times, diags)
+      (name, sec, times, diags, envs)
     }
     // a failed query must not masquerade as a fast one in the JSON record
     val ok = results.filterNot(r => failed.contains(r._1))
-    val qs = ok.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }
+    val qs = ok.map { case (k, v, _, _, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     // Every per-query number lives in BENCH_RUNS.json, NOT on stdout: the
     // driver keeps only the last ~2000 bytes of stdout, and at 88+ queries
@@ -111,21 +155,30 @@ object Bench {
     // the line start and making it unparseable (this nulled BENCH_r05,
     // _r11 and _r12's parse). The stdout line carries only the totals —
     // metric/value/n/failed/sf, a few hundred bytes at any registry size.
-    val runsJson = ok.map { case (k, _, ts, _) =>
+    val runsJson = ok.map { case (k, _, ts, _, _) =>
         "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     // one diag object per run: [heapMB, storageUsedMB, persistentRdds,
     // broadcastBlocks] — see diag() above
-    val diagJson = ok.map { case (k, _, _, ds) =>
+    val diagJson = ok.map { case (k, _, _, ds, _) =>
         "\"" + k + "\":" + ds.map { case (h, st, r, b) => s"[$h,$st,$r,$b]" }
           .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+    // one env triple per run: [foreignPpm, stealPpm, load100] — the
+    // host-contention record CheckFreeze's classifier reads (an
+    // over-threshold query with a foreign/steal spike on its slow runs
+    // is "contended" — host noise, not a plan regression)
+    val envJson = ok.map { case (k, _, _, _, es) =>
+        "\"" + k + "\":" + es.map { case (f, s, l) => s"[$f,$s,$l]" }
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val ncpu = Runtime.getRuntime.availableProcessors()
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total sums the SAME filtered set as `queries` — a failed query's
     // partial/zero time must not silently skew the headline number
     val total = ok.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${ok.size},"failed":$failedJson,"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"diag":$diagJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"diag":$diagJson,"env":$envJson,"ncpu":$ncpu,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_RUNS.json", "UTF-8")
       try w.println(full) finally w.close()

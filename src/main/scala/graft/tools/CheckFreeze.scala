@@ -13,10 +13,61 @@ package graft.tools
   * (q145–q147 landed after the r17 regeneration — a judge finding) —
   * so a missing PLAN_AUDIT row fails too.
   *
-  * Usage: sbt "runMain graft.tools.CheckFreeze [BASELINE.md [PLAN_AUDIT.md]]"
+  * Also runs the CONTENTION CLASSIFIER over `BENCH_RUNS.json` (the
+  * r17/r18 drift-adjudication protocol as code): every query whose
+  * bench median exceeds `threshold`× its frozen baseline is labeled
+  * either CONTENDED — its slow runs coincide with a host-noise
+  * signature (CPU ticks burned OUTSIDE this JVM, hypervisor steal, or
+  * loadavg far above the core count) — or SUSPECT — the host was clean
+  * while it ran slow, so the plan itself deserves the two-clean-pair
+  * isolated protocol (BASELINE.md "adjudication protocol" section).
+  * Classification is informational (exit stays 0): "contended" is
+  * evidence to RE-RUN, "suspect" is evidence to INVESTIGATE; neither
+  * is a verdict a coverage guard should hard-fail on.
+  *
+  * Usage: sbt "runMain graft.tools.CheckFreeze [BASELINE.md [PLAN_AUDIT.md [BENCH_RUNS.json]]]"
   * Run it with CheckSf1/CheckSurvey after any round that adds queries.
   */
 object CheckFreeze {
+
+  /** One over-threshold query's label + human-readable evidence. */
+  final case class Verdict(label: String, detail: String)
+
+  /** Pure classifier (spec'd in CheckFreezeSpec). `times` are the
+    * query's per-run seconds, `env` the paired per-run host triples
+    * [foreignPpm, stealPpm, load100] Bench records (-1 = unreadable).
+    * Returns None when the lower median is within `threshold`× of
+    * `frozenSec` OR within the 0.3 s absolute noise floor (a ratio on
+    * a 0.05 s query measures scheduler jitter, not a plan); otherwise
+    * labels the query from the env rows of its SLOW runs only:
+    * CONTENDED on hypervisor steal ≥ 0.5%, foreign (non-this-JVM) CPU
+    * ≥ 15% of the host, or 1-min loadavg > 1.4× the core count —
+    * SUSPECT when every slow run saw a clean host. Missing env rows
+    * (old artifact, unreadable /proc) classify as SUSPECT with a
+    * "no host telemetry" note — absence of evidence must not absolve. */
+  def classify(times: Seq[Double], frozenSec: Double,
+      env: Seq[(Long, Long, Long)], ncpu: Int,
+      threshold: Double = 1.5): Option[Verdict] = {
+    if (times.isEmpty || frozenSec <= 0) return None
+    val median = times.sorted.apply((times.size - 1) / 2)
+    val ratio = median / frozenSec
+    if (ratio <= threshold || median - frozenSec < 0.3) return None
+    val slowEnv = times.zip(env).collect {
+      case (t, e) if t > threshold * frozenSec => e
+    }
+    if (slowEnv.isEmpty)
+      return Some(Verdict("suspect",
+        f"$ratio%.2fx of freeze, no host telemetry for its slow runs"))
+    val maxForeign = slowEnv.map(_._1).max
+    val maxSteal = slowEnv.map(_._2).max
+    val maxLoad = slowEnv.map(_._3).max
+    val noisy = maxSteal >= 5000L || maxForeign >= 150000L ||
+      (maxLoad >= 0 && ncpu > 0 && maxLoad > 140L * ncpu)
+    val evidence = f"$ratio%.2fx of freeze; slow-run host: foreign " +
+      f"${maxForeign / 10000.0}%.1f%% of cpu, steal ${maxSteal / 10000.0}%.1f%%, " +
+      f"load ${if (maxLoad < 0) "?" else (maxLoad / 100.0).toString} on $ncpu cores"
+    Some(Verdict(if (noisy) "contended" else "suspect", evidence))
+  }
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("BASELINE.md")
     val auditPath = args.drop(1).headOption.getOrElse("PLAN_AUDIT.md")
@@ -50,6 +101,55 @@ object CheckFreeze {
         Some(f"headline $h%.2f s != table re-sum $tableSum%.2f s")
       case None => Some("no 'suite wall-clock' headline found")
       case _ => None
+    }
+    // --- contention classifier over the latest bench sweep ---
+    val benchPath = args.drop(2).headOption.getOrElse("BENCH_RUNS.json")
+    if (new java.io.File(benchPath).exists()) {
+      try {
+        import org.json4s._
+        val j = org.json4s.jackson.JsonMethods.parse(
+          scala.io.Source.fromFile(benchPath, "UTF-8").mkString)
+        def num(v: JValue): Double = v match {
+          case JDouble(d) => d; case JInt(i) => i.toDouble
+          case JLong(l) => l.toDouble; case JDecimal(d) => d.toDouble
+          case _ => Double.NaN
+        }
+        val runTimes = (j \ "runs") match {
+          case JObject(fs) => fs.collect {
+            case (k, JArray(a)) => k -> a.map(num)
+          }.toMap
+          case _ => Map.empty[String, Seq[Double]]
+        }
+        val envRows = (j \ "env") match {
+          case JObject(fs) => fs.collect {
+            case (k, JArray(a)) => k -> a.collect {
+              case JArray(t) if t.size == 3 =>
+                (num(t(0)).toLong, num(t(1)).toLong, num(t(2)).toLong)
+            }
+          }.toMap
+          case _ => Map.empty[String, Seq[(Long, Long, Long)]]
+        }
+        val ncpu = num(j \ "ncpu").toInt match {
+          case n if n > 0 => n
+          case _ => Runtime.getRuntime.availableProcessors()
+        }
+        val verdicts = runTimes.toSeq.sortBy(_._1).flatMap { case (q, ts) =>
+          frozen.get(q).flatMap(f =>
+            classify(ts, f, envRows.getOrElse(q, Nil), ncpu)
+              .map(v => (q, v)))
+        }
+        verdicts.foreach { case (q, v) =>
+          System.err.println(s"[check-freeze] ${v.label.toUpperCase} $q — ${v.detail}")
+        }
+        val nCont = verdicts.count(_._2.label == "contended")
+        val nSusp = verdicts.size - nCont
+        println(s"[check-freeze] contention classifier over $benchPath: " +
+          s"${runTimes.size} queries, $nCont contended (re-run), " +
+          s"$nSusp suspect (investigate the plan)")
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[check-freeze] WARNING could not classify " +
+          s"$benchPath: ${e.getMessage}")
+      }
     }
     if (missing.nonEmpty || sumDrift.nonEmpty || unaudited.nonEmpty) {
       if (missing.nonEmpty)
