@@ -35,6 +35,11 @@ import graft.streaming.StreamingOps
   *                 routing + stream–static cell equi-join + exact cosine
   *                 verify against a kmeans-indexed synthetic corpus
   *                 (stateless, so the plain event_id-mod replay is fine)
+  *  - s29_cms / s30_kmv / s31_gram: sketch/model-stat append-log sinks
+  *                 (the S29/S30/S31 foreachBatch faces — per-batch CMS
+  *                 cell grid, per-group bottom-k, and packed Gram
+  *                 summary appended to parquet logs; the s20 terminal
+  *                 shape with sketch-sized per-batch output)
   *
   * Deterministic input (event_id-chunked micro-batches), wall-clock
   * measured over processAllAvailable per shape, fresh checkpoint per
@@ -52,7 +57,7 @@ object StreamBench {
   val allModes: Seq[String] = Seq("s1_parse", "s2_window", "s13_heavy",
     "s5_stateful", "s20_upsert", "s21_ewma", "s22_transition", "s23_cusum",
     "s24_rolling_distinct", "s25_semantic", "s26_golden", "s27_freqcap",
-    "s28_holt")
+    "s28_holt", "s29_cms", "s30_kmv", "s31_gram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -264,6 +269,44 @@ object StreamBench {
         checkpoint = new java.io.File(tmp, s"$tag-ckpt").getAbsolutePath)
     }
 
+    /** s29/s30/s31 — the sketch/model-stat append faces: per-batch
+      * sketch computation + a sketch-sized parquet append (the s20
+      * terminal pattern; state is recovered at READ time by each
+      * sketch's merge law, so the streaming side carries no state). */
+    def cmsWriter(warm: Boolean) = {
+      val tag = if (warm) "warm-s29" else "s29"
+      StreamingOps.cmsAppendSink(
+        StreamingOps.withShufflePartitions(
+          if (warm) warmRawStream else rawStream, parts),
+        key = "user_id", depth = 4, width = 256,
+        path = new java.io.File(tmp, s"$tag-log").getAbsolutePath,
+        queryName = s"sb_$tag",
+        checkpoint = new java.io.File(tmp, s"$tag-ckpt").getAbsolutePath)
+    }
+    def kmvWriter(warm: Boolean) = {
+      val tag = if (warm) "warm-s30" else "s30"
+      StreamingOps.kmvAppendSink(
+        StreamingOps.withShufflePartitions(
+          if (warm) warmRawStream else rawStream, parts),
+        group = "event_type", value = "user_id", k = 128,
+        path = new java.io.File(tmp, s"$tag-log").getAbsolutePath,
+        queryName = s"sb_$tag",
+        checkpoint = new java.io.File(tmp, s"$tag-ckpt").getAbsolutePath)
+    }
+    def gramWriter(warm: Boolean) = {
+      val tag = if (warm) "warm-s31" else "s31"
+      // same deterministic synthetic per-user embedding as s25 — every
+      // row pays a real 16-dim quantize + outer-product accumulate
+      val src = (if (warm) warmRawStream else rawStream)
+        .select(vecOf(col("user_id")).as("vec"))
+      StreamingOps.gramAppendSink(
+        StreamingOps.withShufflePartitions(src, parts),
+        vec = "vec", dim = 16,
+        path = new java.io.File(tmp, s"$tag-log").getAbsolutePath,
+        queryName = s"sb_$tag",
+        checkpoint = new java.io.File(tmp, s"$tag-ckpt").getAbsolutePath)
+    }
+
     // s25 setup — a deterministic synthetic 16-dim vector per user
     // (portable-hash components), a kmeans model trained ONCE over the
     // per-user corpus, and the cell-assigned index; the streamed events
@@ -283,12 +326,19 @@ object StreamBench {
       (m, idx)
     }
 
+    // every foreachBatch terminal shape routes through the same
+    // warm-then-measure path; adding a face here and to allModes is the
+    // whole registration
+    val terminalWriters = Map[String, Boolean => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]](
+      "s20_upsert" -> upsertWriter _, "s26_golden" -> goldenWriter _,
+      "s29_cms" -> cmsWriter _, "s30_kmv" -> kmvWriter _,
+      "s31_gram" -> gramWriter _)
     val modes = StreamBench.allModes.filter(m => wanted.isEmpty || wanted(m))
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = modes.flatMap { mode =>
       try {
-        if (mode == "s20_upsert" || mode == "s26_golden") {
-          val writer = if (mode == "s20_upsert") upsertWriter _ else goldenWriter _
+        if (terminalWriters.contains(mode)) {
+          val writer = terminalWriters(mode)
           val wq = writer(true).start()
           wq.processAllAvailable(); wq.stop()
           val t0 = System.nanoTime()

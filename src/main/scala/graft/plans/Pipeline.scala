@@ -1232,6 +1232,14 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.pcaFit(in("inport1"),
         expr(arg(args, "vec")), dim = arg(args, "dim").toInt,
         k = arg(args, "k").toInt))),
+    "gramSummaryRows" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.gramSummaryRows(in("inport1"),
+        expr(arg(args, "vec")), dim = arg(args, "dim").toInt))),
+    // inport1 = an already-aggregated gramSummaryRows summary (batch or
+    // the S31 gramState read face)
+    "pcaFitFromSummary" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.pcaFitFromSummary(in("inport1"),
+        dim = arg(args, "dim").toInt, k = arg(args, "k").toInt))),
     // inport1 = data, inport2 = the pcaFit model table (model-by-port,
     // the q50/q66 codebook convention)
     "pcaProject" -> ((_, in, args) =>
@@ -1624,6 +1632,23 @@ object PipelineCompiler {
     "kmvState" -> ((s, _, args) =>
       Map("outport1" -> graft.streaming.StreamingOps.kmvState(s,
         arg(args, "path"), k = arg(args, "k").toInt))),
+    // S31 Gram/PCA model-stat streaming face: per-batch packed Gram
+    // summaries append; state = idx-wise sum (== batch gramSummaryRows);
+    // pcaFitFromSummary turns the state into a fresh PCA model.
+    "gramAppendSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        graft.streaming.StreamingOps.gramAppendSink(in("inport1"),
+          vec = arg(args, "vec"), dim = arg(args, "dim").toInt,
+          path = arg(args, "path"),
+          queryName = args.getOrElse("name", "gramAppendSink"),
+          checkpoint = arg(args, "checkpoint"))
+          .trigger(triggerOf(args)).start()
+      }
+      Map.empty
+    }),
+    "gramState" -> ((s, _, args) =>
+      Map("outport1" -> graft.streaming.StreamingOps.gramState(s,
+        arg(args, "path")))),
     "compactUpsertLogSink" -> ((s, _, args) => {
       graft.api.GraftOps.compactUpsertLog(s, arg(args, "in"),
         arg(args, "out"),

@@ -774,6 +774,40 @@ object StreamingOps {
       .select(col("grp"), col("h"))
   }
 
+  /** S31 — continuously-maintained Gram/PCA model statistic (the
+    * streaming face of [[graft.api.GraftOps.gramSummaryRows]]): each
+    * micro-batch's own packed Gram summary appends tagged with the
+    * batch id (1 + dim + dim(dim+1)/2 rows per batch — model-sized,
+    * never row-scale), and [[gramState]] folds the log by the summary's
+    * merge law (summary of a union == idx-wise Long sum), so state ==
+    * batch gramSummaryRows over everything for ANY chunking (law S31).
+    * Like the S29 cells, a summed statistic cannot absorb an
+    * at-least-once replay for free — rows carry `batch_id` and the
+    * read side collapses replays by max-per-(batch_id, idx) BEFORE
+    * summing. Feed [[gramState]]'s output to
+    * [[graft.api.GraftOps.pcaFitFromSummary]] for a fresh PCA model
+    * per read — streaming model maintenance with no history re-scan. */
+  def gramAppendSink(stream: DataFrame, vec: String, dim: Int,
+      path: String, queryName: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, id) =>
+      graft.api.GraftOps.gramSummaryRows(batch, col(vec), dim)
+        .withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(path)
+    }
+
+  /** Read face of [[gramAppendSink]]'s log: the (idx, v) packed Gram
+    * summary — row-equal to batch
+    * [[graft.api.GraftOps.gramSummaryRows]] over every row ever
+    * streamed (law S31). */
+  def gramState(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("batch_id"), col("idx"))
+      .agg(max(col("v")).as("v")) // collapse at-least-once re-appends
+      .groupBy(col("idx"))
+      .agg(sum(col("v")).as("v"))
+
   /** Streaming heavy-hitter candidate summary — the streaming twin of
     * [[graft.api.GraftOps.heavyHittersSketch]]'s sketch half: one
     * Misra–Gries summary maintained as STREAMING AGGREGATION STATE

@@ -2842,6 +2842,48 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
         .collect().map(_.toSeq).toSet, "XML kmv state == API")
   }
 
+  test("gramSummaryRows / gramState / pcaFitFromSummary XML == API (S31 faces)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val data = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(0.5f, -1.0f, 0.25f)),
+      (3L, Seq(-0.1f, 0.4f, 2.0f)))
+    data.toDF("id", "vec").createOrReplaceTempView("gs_rows")
+    // a two-batch gram log, written the way gramAppendSink writes it
+    val gdir = java.nio.file.Files.createTempDirectory("graft-gramx").toString
+    graft.api.GraftOps.gramSummaryRows(data.take(2).toDF("id", "vec"),
+        col("vec"), 3)
+      .withColumn("batch_id", lit(0L)).write.mode("append").parquet(gdir)
+    graft.api.GraftOps.gramSummaryRows(data.drop(2).toDF("id", "vec"),
+        col("vec"), 3)
+      .withColumn("batch_id", lit(1L)).write.mode("append").parquet(gdir)
+    val spec = graft.plans.PipelineSpec.parseXml(s"""
+      <pipeline>
+        <operator name="sr" class="gramSummaryRows">
+          <arg key="vec" value="vec"/><arg key="dim" value="3"/>
+        </operator>
+        <operator name="v" class="viewInput"><arg key="table" value="gs_rows"/></operator>
+        <operator name="st" class="gramState"><arg key="path" value="$gdir"/></operator>
+        <operator name="fit" class="pcaFitFromSummary">
+          <arg key="dim" value="3"/><arg key="k" value="2"/>
+        </operator>
+        <connect from="v.outport1" to="sr.inport1"/>
+        <connect from="st.outport1" to="fit.inport1"/>
+      </pipeline>""")
+    val outs = graft.plans.PipelineCompiler.compile(spec, spark)
+    assert(outs("sr.outport1").collect().map(_.toSeq).toSet ==
+      graft.api.GraftOps.gramSummaryRows(spark.table("gs_rows"),
+        col("vec"), 3).collect().map(_.toSeq).toSet,
+      "XML gram summary == API")
+    assert(outs("st.outport1").collect().map(_.toSeq).toSet ==
+      graft.streaming.StreamingOps.gramState(spark, gdir)
+        .collect().map(_.toSeq).toSet, "XML gram state == API")
+    // the model flows from the log state: XML fit == API fit over the
+    // same summary == pcaFit over the raw rows (the S31 law by port)
+    assert(outs("fit.outport1").collect().map(_.toSeq).toSeq ==
+      graft.api.GraftOps.pcaFit(spark.table("gs_rows"), col("vec"), 3, 2)
+        .collect().map(_.toSeq).toSeq, "XML model-from-log == batch pcaFit")
+  }
+
   test("proximityTopK registry op: XML (docs inport1, queries inport2) == API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

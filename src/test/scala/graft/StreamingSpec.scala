@@ -1358,6 +1358,54 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       "smaller read-k == bottom-1 of the batch sketch")
   }
 
+  test("S31: streaming gram log — idx-wise-sum state == batch gramSummaryRows; pcaFitFromSummary == pcaFit; retries absorbed") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.api.GraftOps
+    import graft.streaming.StreamingOps
+    val chunk1 = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(-0.5f, 0.25f, 1.5f)))
+    val chunk2 = Seq((3L, Seq(0.1f, -0.2f, 0.3f)),
+      (4L, Seq(2.0f, 1.0f, -1.0f)), (5L, Seq(0.0f, 0.5f, 0.25f)))
+    val all = chunk1 ++ chunk2
+    val dir = java.nio.file.Files.createTempDirectory("graft-gram").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-gram-ck").toString
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.gramAppendSink(in.toDF().toDF("id", "vec"),
+      vec = "vec", dim = 3, dir, "s31gram", ck).start()
+    try {
+      in.addData(chunk1: _*); q.processAllAvailable()
+      in.addData(chunk2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val got = rows(StreamingOps.gramState(spark, dir))
+    val want = rows(GraftOps.gramSummaryRows(all.toDF("id", "vec"),
+      col("vec"), 3))
+    assert(got == want, s"S31 gram state $got != batch $want")
+    // packed layout: 1 count + 3 sums + 6 triangle = 10 rows, count = 5
+    assert(got.size == 10 && got(0) == 5L, s"packed layout: $got")
+    // at-least-once retry: the SAME batch id re-appends identical rows
+    // — max-per-(batch_id, idx) absorbs it (a plain sum would
+    // double-count the summed statistic, the S29 cure)
+    val lastId = spark.read.parquet(dir).agg(max("batch_id")).head().getLong(0)
+    GraftOps.gramSummaryRows(chunk2.toDF("id", "vec"), col("vec"), 3)
+      .withColumn("batch_id", lit(lastId))
+      .write.mode("append").parquet(dir)
+    assert(rows(StreamingOps.gramState(spark, dir)) == want,
+      "retried gram batch collapses on read")
+    // the model face: a PCA model fit from the streaming state is
+    // BIT-EQUAL to pcaFit over every row ever streamed
+    val mState = GraftOps.pcaFitFromSummary(
+      StreamingOps.gramState(spark, dir), 3, 2).collect().map(_.toSeq).toSeq
+    val mBatch = GraftOps.pcaFit(all.toDF("id", "vec"), col("vec"), 3, 2)
+      .collect().map(_.toSeq).toSeq
+    assert(mState == mBatch, "pcaFitFromSummary(state) == batch pcaFit")
+    // wrong-dim read fails loudly (layout mismatch, never a wrong model)
+    intercept[IllegalArgumentException] {
+      GraftOps.pcaFitFromSummary(StreamingOps.gramState(spark, dir), 4, 2)
+    }
+  }
+
   test("S26: streaming golden-record log — field-wise state == batch goldenRecord over any chunking") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
