@@ -1,9 +1,5 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-import graft.functions.{CosineSim, Portable, Text}
 
 /** The reusable operator API: every LLM-data-pipeline operator as a
   * parametric `DataFrame => DataFrame` transformation, independent of any
@@ -16,6610 +12,11 @@ import graft.functions.{CosineSim, Portable, Text}
   * deterministic (explicit survivors, tiebreaks, total-order sorts are the
   * caller's choice).
   */
-object GraftOps {
-
-  // ------------------------------------------------------------ dedup
-
-  /** Exact dedup: keep the row with the smallest `tiebreak` per key.
-    * Deterministic survivor (unlike dropDuplicates' arbitrary row). */
-  def dedupExact(df: DataFrame, key: Column, tiebreak: Column): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(tiebreak)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
-
-  /** Frequency-cap dedup: keep at most `k` occurrences per key — the
-    * FIRST k in (ts, tiebreak) order, the training-data staple that
-    * bounds how often one user/domain/template can contribute ("cap
-    * each boilerplate page at k copies", "at most k events per user
-    * per feed"). Deterministic under the house unique-(key, ts,
-    * tiebreak) contract (the q140 posture: a duplicate (ts, tiebreak)
-    * within a key would make membership at the k boundary
-    * engine-arbitrary — pass a unique id as the tiebreak). NULL key,
-    * ts, or tiebreak rows drop up front (no position in the order —
-    * the r17 NULL-ts rule; a NULL tiebreak at the k boundary would
-    * otherwise diverge across engines' NULL-sort defaults, and the
-    * streaming twin's contract is non-null throughout). One shuffle on
-    * the key + in-partition ordered rank — the
-    * q06/q12 top-k-per-group shape; a hot key ships its history once,
-    * never a self-join. Streaming twin:
-    * [[graft.streaming.FrequencyCapStream]] (S27 — count-only O(1)
-    * state per key, admitted set == this operator over any chunked
-    * in-order replay). */
-  def frequencyCap(df: DataFrame, key: Column, ts: Column,
-      tiebreak: Column, k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1; got $k")
-    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
-    df.filter(key.isNotNull && ts.isNotNull && tiebreak.isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k).drop("__rn")
-  }
-
-  /** MinHash+LSH near-dup candidates: (idA, idB, est_jaccard) for document
-    * pairs whose signatures agree on ≥ `minMatches` of `numHashes` family
-    * members, found via `bands` LSH bands. */
-  def minhashNearDup(df: DataFrame, id: Column, text: Column,
-      shingleWidth: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      minMatches: Int = 8): DataFrame = {
-    val rows = numHashes / bands
-    // Signature hashing is CPU-bound: rebalance the (narrow) id+text
-    // projection across all cores first — a single-row-group parquet file
-    // otherwise pins the whole corpus hash on one task. The shuffle moves
-    // only id+text, and a dedup pipeline shuffles the corpus by band key
-    // right after anyway.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val sig = df.select(id.as("__id"), text.as("__text")).repartition(par)
-      .select(col("__id"),
-        graft.functions.MinHashSigTokens.asColumn(
-          Text.tokens(col("__text")), shingleWidth, numHashes).as("__sig"))
-      .filter(col("__sig").isNotNull)
-    // Carry the (narrow, 16-int) signature THROUGH the band explode so the
-    // band self-join yields both pair signatures directly: the two sides
-    // are the identical subplan — one shuffle, computed once, reused — and
-    // the md5 signature map runs exactly once over the corpus, vs the
-    // candidates-then-two-lookup-joins form which recomputes it 3× and
-    // shuffles twice more. Multi-band collisions are deduped AFTER the
-    // (cheap, 16-element) match count, on the final narrow columns.
-    val bandsDf = sig.select(col("__id"), col("__sig"),
-      posexplode(Text.lshBands(col("__sig"), bands, rows)).as(Seq("__b", "__key")))
-    bandsDf.as("x").join(bandsDf.as("y"),
-        col("x.__b") === col("y.__b") && col("x.__key") === col("y.__key") &&
-          col("x.__id") < col("y.__id"))
-      // codegen'd signature-agreement count (the HOF zip_with/filter/size
-      // form runs interpreted per candidate row; same values)
-      .withColumn("__m", graft.functions.SigMatchCount.asColumn(
-        col("x.__sig"), col("y.__sig")))
-      .filter(col("__m") >= minMatches)
-      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
-        (col("__m").cast("double") / numHashes.toDouble).as("est_jaccard"))
-      .distinct()
-  }
-
-  /** Cross-source duplication matrix — the mixture-design question "how
-    * much does source A re-publish source B" answered from the
-    * [[minhashNearDup]] pair stream: each near-dup pair maps to its
-    * unordered source-label pair, and every (src_a ≤ src_b) cell
-    * reports the pair count, both source sizes, the number of POSSIBLE
-    * pairs for that cell (n_a·n_b across sources; n·(n−1)/2 within
-    * one), and the exact integer pairs-ppm of that possibility mass —
-    * the statistic that tells a curator "dedup these two sources
-    * against each other before mixing" (q54's mixture planner consumes
-    * exactly this). All counts exact, ppm a division-free-threshold-
-    * style integer div (hash-gates, q144). Rows with a NULL id or
-    * source never pair (stated).
-    *
-    * Plan: the q16 chain (narrow signatures, one band self-join — only
-    * candidate PAIRS shuffle) plus two id-keyed label joins (AQE
-    * broadcasts the narrow label table when it fits), one
-    * catalog-scale (src, src) agg, and a broadcast of the tiny
-    * source-sizes table. Nothing corpus-quadratic anywhere. */
-  def sourceOverlapReport(df: DataFrame, id: Column, text: Column,
-      src: Column, shingleWidth: Int = 3, numHashes: Int = 16,
-      bands: Int = 4, minMatches: Int = 8): DataFrame = {
-    val labels = df.select(id.as("__lid"), src.as("__lsrc"))
-      .filter(col("__lid").isNotNull && col("__lsrc").isNotNull)
-    val pairs = minhashNearDup(df, id, text, shingleWidth, numHashes,
-      bands, minMatches)
-    val tagged = pairs
-      .join(labels.select(col("__lid").as("id_a"), col("__lsrc").as("__sa")),
-        Seq("id_a"))
-      .join(labels.select(col("__lid").as("id_b"), col("__lsrc").as("__sb")),
-        Seq("id_b"))
-      .select(least(col("__sa"), col("__sb")).as("src_a"),
-        greatest(col("__sa"), col("__sb")).as("src_b"))
-    val sizes = labels.groupBy(col("__lsrc")).agg(count(lit(1)).as("__n"))
-    tagged.groupBy(col("src_a"), col("src_b"))
-      .agg(count(lit(1)).as("n_pairs"))
-      .join(broadcast(sizes.select(col("__lsrc").as("src_a"),
-        col("__n").as("n_docs_a"))), Seq("src_a"))
-      .join(broadcast(sizes.select(col("__lsrc").as("src_b"),
-        col("__n").as("n_docs_b"))), Seq("src_b"))
-      .withColumn("n_possible",
-        when(col("src_a") === col("src_b"),
-          expr("(n_docs_a * (n_docs_a - 1)) div 2"))
-          .otherwise(col("n_docs_a") * col("n_docs_b")))
-      .withColumn("pairs_ppm", expr("(n_pairs * 1000000) div n_possible"))
-      .select(col("src_a"), col("src_b"), col("n_pairs"), col("n_docs_a"),
-        col("n_docs_b"), col("n_possible"), col("pairs_ppm"))
-  }
-
-  /** SimHash near-dup: pairs within `maxHamming` (≤ 3 with 4 chunks is
-    * exact by pigeonhole; larger radii need more chunks). */
-  def simhashNearDup(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      s"simhashNearDup with 4 x 15-bit chunks is only exhaustive for maxHamming <= 3 " +
-        s"(pigeonhole); got $maxHamming — raise the chunk count instead of the radius")
-    val sh = df.select(id.as("__id"), Text.simhash(Text.tokens(text)).as("__sh"))
-    val chunks = sh.select(col("__id"), col("__sh"),
-      posexplode(array((0 to 3).map(i => Text.simhashChunk(col("__sh"), i)): _*))
-        .as(Seq("__c", "__chunk")))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.__c") === col("y.__c") && col("x.__chunk") === col("y.__chunk") &&
-          col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
-        col("x.__sh").as("__ha"), col("y.__sh").as("__hb"))
-      .distinct()
-      .withColumn("hamming", bit_count(expr("__ha ^ __hb")).cast("int"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-  }
-
-  /** df-cap a posting list on its `gram` column: aggregate gram
-    * frequencies (map-side-combined, the survivor list AQE-broadcastable)
-    * + LEFT SEMI back — never `count().over(partitionBy(gram))`, which
-    * would full-sort-shuffle the posting list. The shared skeleton of
-    * every inverted-index candidate generator (q18 / q82 / q102). */
-  private def dfCapPosting(posting: DataFrame, gram: String,
-      dfCap: Int): DataFrame = {
-    val good = posting.groupBy(col(gram)).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= dfCap).select(col(gram))
-    posting.join(good, Seq(gram), "left_semi")
-  }
-
-  /** Exact n-gram Jaccard ≥ `threshold` via inverted-index join with a
-    * document-frequency cap (shingles in > `dfCap` docs are dropped from
-    * BOTH sides — bounds fanout; semantics documented to the caller). */
-  def ngramJaccard(df: DataFrame, id: Column, text: Column,
-      shingleWidth: Int = 3, dfCap: Int = 100, threshold: Double = 0.6): DataFrame = {
-    // codegen'd one-pass shingle hashing (tokens → distinct int64 keys);
-    // the posting list feeds 3 consumers, so per-recompute cost matters
-    val sh = df.select(id.as("__id"),
-        explode(graft.functions.ShingleHashes.asColumn(
-          Text.tokens(text), shingleWidth)).as("__sh"))
-    val sf = dfCapPosting(sh, "__sh", dfCap)
-      .select(col("__id"), col("__sh"))
-    val sizes = sf.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
-    sf.as("a").join(sf.as("b"),
-        col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .agg(count(lit(1)).as("__inter"))
-      // sizes is O(corpus): no broadcast hint, AQE decides (see minhashNearDup)
-      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sza")), "id_a")
-      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__szb")), "id_b")
-      .withColumn("jaccard", col("__inter").cast("double") /
-        (col("__sza") + col("__szb") - col("__inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
-
-  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken local
-    * fingerprinting, SIGMOD'03 — the MOSS algorithm): positional
-    * `kgram`-token window hashes → the DISTINCT minimum of every
-    * `window` consecutive hashes, exploded as (id, fp) rows. The
-    * deterministic-recall member of the near-dup family: a shared token
-    * run of ≥ window + kgram − 1 tokens GUARANTEES a shared fingerprint
-    * (MinHash/SimHash recall is only probabilistic), while per-doc
-    * state is the winnowed subset — ~2/(window+1) of all positions —
-    * not every window the way span-level exact-substring masking (q85)
-    * keeps. One codegen'd narrow map per document
-    * ([[graft.functions.WinnowSelect]] over
-    * [[graft.functions.ShingleHashesAll]] — the q85 positional hash, so
-    * fingerprints are comparable across both operators); docs shorter
-    * than one window still yield one fingerprint (min over all their
-    * hashes); docs under `kgram` tokens yield none. */
-  def winnowFingerprints(df: DataFrame, id: Column, text: Column,
-      kgram: Int = 4, window: Int = 5): DataFrame = {
-    require(kgram >= 1, s"kgram must be >= 1; got $kgram")
-    require(window >= 1, s"window must be >= 1; got $window")
-    df.select(id.as("id"),
-      explode(graft.functions.WinnowSelect.asColumn(
-        graft.functions.ShingleHashesAll.asColumn(Text.tokens(text), kgram),
-        window)).as("fp"))
-  }
-
-  /** Fingerprint-overlap report over [[winnowFingerprints]] — the
-    * plagiarism/provenance grain between whole-doc MinHash similarity
-    * (q16) and byte-level exact-substring spans (q85): unordered pairs
-    * sharing ≥ `minShared` winnowed fingerprints, with both capped
-    * fingerprint-set sizes and the integer containment score
-    * n_shared·10⁶ div min(|A|,|B|). Inverted-index join on the
-    * fingerprint (the q18 shape — only candidate pairs shuffle, never
-    * all-pairs); fingerprints appearing in > `dfCap` docs drop from
-    * BOTH sides (boilerplate mass — the q18/q82 stopword-gram
-    * contract, mirrored in the oracle), and sizes count the CAPPED
-    * sets so the containment denominator matches the join's evidence
-    * universe. All-integer output — engine-portable. */
-  def winnowOverlapReport(df: DataFrame, id: Column, text: Column,
-      kgram: Int = 4, window: Int = 5, dfCap: Int = 100,
-      minShared: Int = 2): DataFrame = {
-    require(dfCap >= 1, s"dfCap must be >= 1; got $dfCap")
-    require(minShared >= 1, s"minShared must be >= 1; got $minShared")
-    val fp = winnowFingerprints(df, id, text, kgram, window)
-      .select(col("id").as("__id"), col("fp").as("__fp"))
-    val ff = dfCapPosting(fp, "__fp", dfCap).select(col("__id"), col("__fp"))
-    val sizes = ff.groupBy(col("__id")).agg(count(lit(1)).as("__nf"))
-    ff.as("a").join(ff.as("b"),
-        col("a.__fp") === col("b.__fp") && col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .join(sizes.select(col("__id").as("id_a"), col("__nf").as("fp_a")), "id_a")
-      .join(sizes.select(col("__id").as("id_b"), col("__nf").as("fp_b")), "id_b")
-      .withColumn("containment_ppm",
-        expr("(n_shared * 1000000) div least(fp_a, fp_b)"))
-      .select(col("id_a"), col("id_b"), col("n_shared"), col("fp_a"),
-        col("fp_b"), col("containment_ppm"))
-  }
-
-  /** Edit-distance near-key join — typo-tolerant matching of short keys
-    * (titles, product codes, names): unordered pairs whose
-    * `levenshtein(key_a, key_b) <= maxDist`. Never all-pairs: candidates
-    * come from a character-q-gram inverted index (the [[ngramJaccard]]
-    * shape at character grain) — df-cap via aggregate + semi-join, pair
-    * distinct, then ONE exact levenshtein per surviving candidate pair.
-    *
-    * Recall contract (the q-gram lemma): two strings at edit distance
-    * ≤ d share at least `max(len) − gramWidth + 1 − d·gramWidth` grams,
-    * so for keys of length ≥ (d+1)·gramWidth the blocking is LOSSLESS.
-    * Shorter keys skip the gram index but are NOT dropped: they take a
-    * cheap exact-equality self-join instead (equi-join on the key —
-    * occupancy-bounded, never all-pairs), so byte-identical short keys
-    * still pair at distance 0 (review r15: the old full exclusion made
-    * `dist <= maxDist` quietly return nothing for short keys). Short-key
-    * pairs at distance 1..maxDist remain out of contract — finding them
-    * needs all-pairs, the banned shape (documented, spec'd). A long-key
-    * pair whose every shared gram exceeds `dfCap` is missed — same
-    * stopword-gram contract as q18/q82; size dfCap to the corpus'
-    * hot-gram profile (a pair of real near-dup keys virtually always
-    * shares a rare gram too). */
-  def editDistanceJoin(df: DataFrame, id: Column, key: Column,
-      maxDist: Int, gramWidth: Int = 3, dfCap: Int = 1000): DataFrame = {
-    require(maxDist >= 0, s"maxDist must be >= 0; got $maxDist")
-    require(gramWidth >= 1, s"gramWidth must be >= 1; got $gramWidth")
-    require(dfCap >= 1, s"dfCap must be >= 1; got $dfCap")
-    // exclusion matches the LOSSLESS domain exactly: below
-    // (maxDist+1)·gramWidth the lemma's bound hits zero and the blocking
-    // would silently lose pairs (review r15: >= gramWidth alone admitted
-    // a lossy band, e.g. "abcdef"/"azcdzf" at d=2 share no trigram)
-    val minLen = (maxDist + 1) * gramWidth
-    val all = df.select(id.as("__id"), key.as("__k"))
-      .filter(col("__k").isNotNull)
-    val base = all.filter(length(col("__k")) >= minLen)
-    // sub-lemma-length keys: distance-0 pairs via exact-equality
-    // equi-join (quadratic only in per-value duplicate count, like any
-    // dedup equi-join; a hot identical key is one AQE-split partition)
-    val short0 = all.filter(length(col("__k")) < minLen)
-    val shortPairs = short0.as("a").join(short0.as("b"),
-        col("a.__k") === col("b.__k") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        lit(0L).as("dist"))
-    val grams = base.select(col("__id"),
-        explode(expr(s"transform(sequence(1, length(__k) - ${gramWidth - 1}), " +
-          s"i -> substring(__k, i, $gramWidth))")).as("__g"))
-      .distinct()
-    val gf = dfCapPosting(grams, "__g", dfCap)
-    val cands = gf.as("a").join(gf.as("b"),
-        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
-    cands
-      .join(base.select(col("__id").as("id_a"), col("__k").as("__ka")), "id_a")
-      .join(base.select(col("__id").as("id_b"), col("__k").as("__kb")), "id_b")
-      .withColumn("dist", levenshtein(col("__ka"), col("__kb")).cast("long"))
-      .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
-      .unionAll(shortPairs)
-  }
-
-  /** LOSSLESS exact-Jaccard similarity join via PREFIX FILTERING — the
-    * tier of [[ngramJaccard]] with NO recall caveat: where the df-cap
-    * drops hot shingles from both sides (pairs whose every shared
-    * shingle is hot are silently missed — the documented stopword-gram
-    * contract), the prefix filter keeps every shingle and still never
-    * goes all-pairs. The classic AllPairs/PPJoin recipe: order every
-    * document's shingle set by GLOBAL rarity — the (df, hash) pair IS
-    * the total order, no global rank table to materialize — and index
-    * only each set's PREFIX of length |S| − ⌈t·|S|⌉ + 1 (its rarest
-    * shingles). Any pair with Jaccard ≥ t shares ≥ ⌈t·max(|A|,|B|)⌉
-    * shingles, and the globally-first shared shingle provably falls in
-    * BOTH prefixes (else either side's suffix would have to hold more
-    * shared shingles than it has positions) — so the prefix equi-join
-    * loses nothing, while indexing the rare END of each set keeps
-    * posting lists short exactly where df-capping would have had to
-    * drop data. Exact verification on the full sorted sets follows.
-    *
-    * Plan: one df aggregate + posting join (shuffle on shingle), one
-    * per-doc sort-agg (shuffle on id), prefix explode + equi-join on
-    * shingle (candidates bounded by prefix-posting occupancy — prefixes
-    * hold each corpus's RAREST shingles, so lists are short by
-    * construction; a pathological corpus-wide-hot prefix shingle is one
-    * AQE-split key), distinct narrow id pairs, then two id-keyed joins
-    * fetch the full sets for the exact `array_intersect` verify. Higher
-    * thresholds ⇒ shorter prefixes ⇒ fewer candidates — cost scales
-    * DOWN with strictness, the signature PPJoin property (a df-cap's
-    * cost is threshold-blind). */
-  def jaccardJoinPrefix(df: DataFrame, id: Column, text: Column,
-      shingleWidth: Int = 3, threshold: Double = 0.6): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1]; got $threshold")
-    val sh = df.select(id.as("__id"),
-      explode(graft.functions.ShingleHashes.asColumn(
-        Text.tokens(text), shingleWidth)).as("__sh"))
-    val dfreq = sh.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
-    val ordered = sh.join(dfreq, "__sh")
-      .groupBy(col("__id")).agg(
-        sort_array(collect_list(struct(col("__df"), col("__sh")))).as("__ord"))
-      .select(col("__id"),
-        expr("transform(__ord, x -> x.__sh)").as("__set"))
-      .withColumn("__sz", size(col("__set")))
-      .withColumn("__plen",
-        col("__sz") - ceil(col("__sz") * lit(threshold)).cast("int") + 1)
-    val pre = ordered.select(col("__id"),
-      explode(slice(col("__set"), lit(1), col("__plen"))).as("__sh"))
-    val cands = pre.as("a").join(pre.as("b"),
-        col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .distinct()
-    val sets = ordered.select(col("__id"), col("__set"), col("__sz"))
-    cands
-      .join(sets.select(col("__id").as("id_a"), col("__set").as("__sa"),
-        col("__sz").as("__za")), "id_a")
-      .join(sets.select(col("__id").as("id_b"), col("__set").as("__sb"),
-        col("__sz").as("__zb")), "id_b")
-      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
-      .withColumn("jaccard", col("__inter").cast("double") /
-        (col("__za") + col("__zb") - col("__inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
-
-  /** N-gram CONTAINMENT detection — the asymmetric near-dup case Jaccard
-    * misses: a document embedded inside a larger one (quoted articles,
-    * concatenated pages, boilerplate-wrapped reposts) shares most of ITS
-    * shingles while the union is dominated by the container, so Jaccard
-    * stays low but containment |sh(A)∩sh(B)| / |sh(A)| is high. Emits
-    * ORDERED pairs (contained_id, container_id, containment ≥ threshold);
-    * both directions of a pair can appear (mutual containment = exact
-    * near-dup).
-    *
-    * Same scale shape as [[ngramJaccard]]: codegen'd one-pass shingle
-    * hashing, df-cap via aggregate + semi join (never a window over the
-    * posting list), posting-list self-join bounded by the cap — the
-    * intersection is computed ONCE per unordered pair and emitted in
-    * whichever directions clear the threshold. */
-  def ngramContainment(df: DataFrame, id: Column, text: Column,
-      shingleWidth: Int = 3, dfCap: Int = 100,
-      threshold: Double = 0.9): DataFrame = {
-    val sh = df.select(id.as("__id"),
-        explode(graft.functions.ShingleHashes.asColumn(
-          Text.tokens(text), shingleWidth)).as("__sh"))
-    val sf = dfCapPosting(sh, "__sh", dfCap)
-      .select(col("__id"), col("__sh"))
-    val sizes = sf.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
-    val inter = sf.as("a").join(sf.as("b"),
-        col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .agg(count(lit(1)).as("__inter"))
-      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sza")), "id_a")
-      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__szb")), "id_b")
-    val ab = inter.select(col("id_a").as("contained_id"),
-      col("id_b").as("container_id"),
-      (col("__inter").cast("double") / col("__sza").cast("double"))
-        .as("containment"))
-    val ba = inter.select(col("id_b").as("contained_id"),
-      col("id_a").as("container_id"),
-      (col("__inter").cast("double") / col("__szb").cast("double"))
-        .as("containment"))
-    ab.unionByName(ba).filter(col("containment") >= threshold)
-  }
-
-  /** SPAN-level exact-substring dedup — the passage-granular family the
-    * document-level ops (q11 exact, q16–q18/q82 near-dup) can't express:
-    * a boilerplate paragraph or license header repeated across ≥ `minDf`
-    * documents is MASKED OUT of every document it appears in, while the
-    * surrounding unique text survives (the "remove repeated passages, keep
-    * the documents" dedup of Lee et al. 2022's ExactSubstr, re-expressed
-    * over a token inverted index instead of a suffix array — a suffix
-    * array needs a global corpus order, which is exactly what a
-    * distributed engine should not build; `width`-token window hashes
-    * give the same ≥width-token repeated-span guarantee).
-    *
-    * Semantics: token t of document d is masked iff some window
-    * [s, s+width) ∋ t of d has a window hash appearing in ≥ `minDf`
-    * DISTINCT documents. Output per input row: (doc_id, n_tokens,
-    * n_masked, masked_text) — masked_text is the kept tokens space-joined
-    * in order ('' when everything masked); docs with < width tokens pass
-    * through unmasked; NULL-text docs stay present with NULL counts and
-    * '' text (spec-pinned).
-    *
-    * Scale shape (the 100 TB posture): one codegen'd positional-hash pass
-    * ([[graft.functions.ShingleHashesAll]]) → posexplode; the repeated
-    * set is an aggregate + semi join on the window hash (map-side
-    * combined, never a window over the posting list — the q18 df-cap
-    * shape inverted: we KEEP hot shingles instead of capping them);
-    * coverage explodes each hot occurrence to its `width` covered
-    * positions (bounded by width × hot occurrences, and hot occurrences
-    * are the thing being removed — self-limiting); the rebuild is one
-    * anti join + one per-doc sorted aggregate. Everything shuffles on
-    * (doc_id) or (hash) — no all-pairs product anywhere. */
-  def maskRepeatedSpans(df: DataFrame, id: Column, text: Column,
-      width: Int = 5, minDf: Int = 2, minCount: Int = 0): DataFrame = {
-    require(width >= 1, s"width must be >= 1; got $width")
-    require(minDf >= 2, s"minDf must be >= 2 (1 would mask every token); got $minDf")
-    require(minCount == 0 || minCount >= 2,
-      s"minCount must be 0 (off) or >= 2; got $minCount")
-    val base = df.select(id.as("doc_id"), Text.tokens(text).as("__toks"))
-    val occ = spanOccurrences(base, width)
-    maskWithRep(base, occ, repeatedSet(occ, minDf, minCount), width)
-  }
-
-  /** The repeated-window set of an occurrence frame: hashes in ≥ `minDf`
-    * distinct docs, OR (when `minCount` > 0 — the full ExactSubstr
-    * semantics) with ≥ `minCount` TOTAL occurrences, which also catches a
-    * passage repeated within ONE document. One map-side-combined agg
-    * computes both counts. */
-  private def repeatedSet(occ: DataFrame, minDf: Int, minCount: Int): DataFrame =
-    countsFilter(occCounts(occ), minDf, minCount)
-
-  /** Per-hash (distinct-doc, total-occurrence) counts of an occurrence
-    * frame — the mergeable PARTIAL form behind [[spanIndexCounts]]. */
-  private def occCounts(occ: DataFrame): DataFrame =
-    occ.groupBy(col("__sh"))
-      .agg(count_distinct(col("doc_id")).as("__df"), count(lit(1)).as("__n"))
-
-  private def countsFilter(counts: DataFrame, minDf: Int,
-      minCount: Int): DataFrame =
-    counts.filter(col("__df") >= minDf ||
-        (if (minCount > 0) col("__n") >= minCount else lit(false)))
-      .select(col("__sh"))
-
-  /** Positional window-hash occurrences of a (doc_id, __toks) frame:
-    * (doc_id, __pos, __sh), one row per window start. */
-  private def spanOccurrences(base: DataFrame, width: Int): DataFrame =
-    base.filter(size(col("__toks")) >= width)
-      .select(col("doc_id"), posexplode(graft.functions.ShingleHashesAll
-        .asColumn(col("__toks"), width)).as(Seq("__pos", "__sh")))
-
-  /** The masking tail shared by [[maskRepeatedSpans]] (rep derived from
-    * the corpus itself) and [[maskSpansAgainst]] (rep = a prebuilt
-    * [[spanIndex]]): hot window STARTS aggregated per doc (span-grain —
-    * one element per hot occurrence, never one row per token), then one
-    * linear-merge [[graft.functions.ExciseSpans]] pass per row rebuilds
-    * the kept text. Shuffles only (hash) for the semi join and (doc_id)
-    * for the starts agg + join — the former token-grain posexplode +
-    * anti-join (205M rows at the StressSpans top rung) is gone.
-    * `rep` needs one column `__sh`. */
-  private def maskWithRep(base: DataFrame, occ: DataFrame, rep: DataFrame,
-      width: Int): DataFrame = {
-    val hot = occ.join(rep, Seq("__sh"), "left_semi")
-    // sorted hot-start array per doc; overlapping/adjacent starts are
-    // fine (ExciseSpans' covered-until merge is a max)
-    val starts = hot.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
-    base.join(starts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("__toks"),
-        when(col("__starts").isNull, col("__toks"))
-          .otherwise(graft.functions.ExciseSpans.asColumn(
-            col("__toks"), col("__starts"), width)).as("__kept"))
-      .select(col("doc_id"), size(col("__toks")).as("n_tokens"),
-        (size(col("__toks")) - size(col("__kept"))).as("n_masked"),
-        coalesce(array_join(col("__kept"), " "), lit("")).as("masked_text"))
-  }
-
-  /** The repeated-span INDEX of a corpus — the static half of continuous
-    * span-level dedup (the [[maskRepeatedSpans]] analog of the
-    * fingerprint/near-dup admission indexes in
-    * [[graft.streaming.StreamingOps]]): one `__sh` column holding every
-    * width-token window hash appearing in ≥ `minDf` distinct documents.
-    * Build once in batch, persist, reuse across a stream's lifetime;
-    * self-index law: masking a corpus against ITS OWN index equals
-    * [[maskRepeatedSpans]] exactly (spec-asserted).
-    *
-    * `minDf = 1` is allowed HERE (unlike [[maskRepeatedSpans]], where it
-    * would mask every token) because the index is meant for a DIFFERENT
-    * corpus than the one being masked — the eval-span-scrubbing form of
-    * decontamination: index EVERY window of the eval/benchmark set
-    * (minDf = 1), then [[maskSpansAgainst]] the TRAINING corpus to excise
-    * quoted eval passages while keeping the documents ([[decontaminate]]
-    * is the doc-DROPPING tier of the same defense; this is the
-    * span-excising tier — spec-asserted on planted quotes). */
-  def spanIndex(corpus: DataFrame, id: Column, text: Column,
-      width: Int = 5, minDf: Int = 2, minCount: Int = 0): DataFrame = {
-    require(width >= 1, s"width must be >= 1; got $width")
-    require(minDf >= 1, s"minDf >= 1; got $minDf")
-    require(minCount == 0 || minCount >= 2,
-      s"minCount must be 0 (off) or >= 2; got $minCount")
-    repeatedSet(spanOccurrences(corpus.select(id.as("doc_id"),
-      Text.tokens(text).as("__toks")), width), minDf, minCount)
-  }
-
-  /** The MERGEABLE partial form of [[spanIndex]] — incremental index
-    * maintenance for the span admission tier (round 14, the
-    * ivfPqAppendSink idea on the span axis): one (__sh, __df, __n) row
-    * per window hash of THIS corpus slice. Because `__df` counts
-    * DISTINCT docs within the slice, partials merge EXACTLY (plain sums
-    * in [[spanIndexFromCounts]]) as long as each document lives in one
-    * slice — true of a stream where every doc arrives once; a
-    * crash-retried batch double-counts, the same at-least-once caveat
-    * [[graft.streaming.StreamingOps.ivfPqAppendSink]] documents.
-    * Append these per-batch to parquet, derive the index on read. */
-  def spanIndexCounts(corpus: DataFrame, id: Column, text: Column,
-      width: Int = 5): DataFrame = {
-    require(width >= 1, s"width must be >= 1; got $width")
-    occCounts(spanOccurrences(corpus.select(id.as("doc_id"),
-      Text.tokens(text).as("__toks")), width))
-  }
-
-  /** Re-aggregate accumulated [[spanIndexCounts]] partials into the
-    * `__sh` index [[maskSpansAgainst]] consumes. Law (spec'd):
-    * `spanIndexFromCounts(countsOf(A) ∪ countsOf(B)) == spanIndex(A ∪ B)`
-    * for doc-disjoint slices — so a corpus indexed incrementally masks
-    * exactly like one indexed in a single batch pass. */
-  def spanIndexFromCounts(counts: DataFrame, minDf: Int = 2,
-      minCount: Int = 0): DataFrame = {
-    require(minDf >= 1, s"minDf >= 1; got $minDf")
-    require(minCount == 0 || minCount >= 2,
-      s"minCount must be 0 (off) or >= 2; got $minCount")
-    countsFilter(counts.groupBy(col("__sh"))
-      .agg(sum(col("__df")).as("__df"), sum(col("__n")).as("__n")),
-      minDf, minCount)
-  }
-
-  /** The AUDIT face of span-level dedup: the top-`k` repeated spans
-    * themselves — "what boilerplate dominates this corpus?" — with their
-    * document reach and total occurrence count. The curation analyst's
-    * view of what [[maskRepeatedSpans]] is about to remove (run it
-    * BEFORE masking: the report justifies the width/minDf choice).
-    *
-    * Shape: one positional-hash pass, one map-side-combined agg on the
-    * window hash (both counts at once), a deterministic REPRESENTATIVE
-    * occurrence per hash (min (doc_id, pos) — so the emitted span TEXT
-    * is reproducible), one equi-join back to that doc's token array for
-    * the slice, TakeOrderedAndProject top-k. The window sorts |repeated
-    * hashes| rows, never occurrences. Ordering: n_docs desc,
-    * n_occurrences desc, span_text asc — total (distinct spans have
-    * distinct texts, collisions aside). */
-  def topRepeatedSpans(df: DataFrame, id: Column, text: Column,
-      width: Int = 5, minDf: Int = 2, k: Int = 20): DataFrame = {
-    require(width >= 1, s"width must be >= 1; got $width")
-    require(minDf >= 2, s"minDf must be >= 2; got $minDf")
-    require(k >= 1, s"k must be >= 1; got $k")
-    val base = df.select(id.as("doc_id"), Text.tokens(text).as("__toks"))
-    val occ = spanOccurrences(base, width)
-    val stats = occ.groupBy(col("__sh")).agg(
-        count_distinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"),
-        min(struct(col("doc_id"), col("__pos"))).as("__first"))
-      .filter(col("n_docs") >= minDf)
-      .select(col("__sh"), col("n_docs"), col("n_occurrences"),
-        col("__first.doc_id").as("__fdoc"), col("__first.__pos").as("__fpos"))
-    stats.join(base.select(col("doc_id").as("__fdoc"), col("__toks")), "__fdoc")
-      .select(array_join(slice(col("__toks"), col("__fpos") + 1, lit(width)), " ")
-          .as("span_text"),
-        col("n_docs"), col("n_occurrences"))
-      .orderBy(desc("n_docs"), desc("n_occurrences"), col("span_text"))
-      .limit(k)
-  }
-
-  /** Mask arriving documents against a PREBUILT [[spanIndex]]: per-row
-    * semantics identical to [[maskRepeatedSpans]] except the repeated set
-    * is the frozen index, not the batch itself — so each document's
-    * masking depends only on (its text, the index), making per-micro-batch
-    * application over a stream EXACTLY equal to one batch application
-    * (the agreement law the S-series spec pins). Use inside foreachBatch
-    * for continuous ingestion: boilerplate already known to the corpus is
-    * stripped from every arriving document at admission time. */
-  def maskSpansAgainst(df: DataFrame, id: Column, text: Column,
-      index: DataFrame, width: Int = 5): DataFrame = {
-    require(width >= 1, s"width must be >= 1; got $width")
-    val base = df.select(id.as("doc_id"), Text.tokens(text).as("__toks"))
-    maskWithRep(base, spanOccurrences(base, width),
-      index.select(col("__sh")), width)
-  }
-
-  /** Connected-component resolution of near-dup candidate pairs — the last
-    * stage of a real dedup pipeline: q16–q19-style `(id_a, id_b)` pairs
-    * become `(survivor, member)` cluster assignments where the survivor is
-    * the minimum id of each connected component (deterministic, so
-    * "keep the survivor, drop other members" is reproducible).
-    *
-    * Routing (broadcast-join logic applied to graph resolution): the raw
-    * pair count is measured once (map-side-combined count, no shuffle —
-    * an upper bound on the distinct count, so routing errs distributed);
-    * at or under `driverLimit` (default 1M pairs — collected as
-    * primitive-specialized (Long, Long) tuples that's ~32 MB transient,
-    * plus the union-find map and the ≤ 2·pairs result array: ~100 MB
-    * worst-case on the driver, sized like a broadcast side) the pairs
-    * collect to the driver and resolve via iterative union-find — one
-    * job, exact same (survivor, member) output, returned as a
-    * parallelized dataset with an explicit broadcast hint so downstream
-    * anti-joins broadcast it. Near-dup pair sets are naturally this
-    * small relative to the corpus (pairs exist only where documents
-    * nearly collide); the distributed loop below is the scale path for
-    * anything larger, and `driverLimit = 0` forces it.
-    *
-    * Algorithm (distributed path): min-label propagation with pointer
-    * jumping (the
-    * Shiloach–Vishkin shortcut, same O(log n) round bound as the
-    * large-star/small-star MapReduce formulation). Every id starts labeled
-    * with itself; each round, every vertex takes the min of (its own
-    * label, its neighbors' labels, its label's label). The neighbor step
-    * is one equi-join on the symmetric edge list + one map-side-combined
-    * min agg; the jump step is one self-equi-join of the (narrow) label
-    * table — lbl(lbl(v)) halves the distance to the component minimum each
-    * round, so chain-shaped components (web-scale near-dup graphs have
-    * them) converge in O(log diameter) rounds instead of O(diameter):
-    * a 500-vertex path resolves in ~10 rounds (spec-asserted). Shallow
-    * star/clique-ish components still finish in 2–3 rounds. No driver
-    * state beyond the loop counter. Each round is eagerly
-    * LOCAL-CHECKPOINTED, not persisted: a persist caches the data but
-    * leaves the logical plan referencing every prior round (with the jump
-    * self-join the tree grows ~4^rounds — analysis itself OOMs near round
-    * 10), while the checkpoint truncates lineage to a leaf, keeping
-    * per-round planning O(1). The convergence check is exact (labels only
-    * decrease ⇒ fixpoint iff no label decreased); a non-converged result
-    * would be silently wrong, so exceeding `maxIter` throws rather than
-    * returns.
-    *
-    * Scale shape: per round, work is O(|edges| + |vertices|) shuffled on
-    * vertex id — never materializes anything quadratic; `maxIter` bounds
-    * total cost. Input ids are cast to long.
-    *
-    * Caching contract: nothing is registered in the catalog-level cache
-    * except the edge list, which is unpersisted before returning (on the
-    * throw path too) — library callers' own persisted frames are never
-    * touched, and `spark.sharedState.cacheManager` stays as the caller
-    * left it (spec-asserted). Round checkpoints live in executor
-    * block storage and are reclaimed by the ContextCleaner as the loop
-    * drops its references. (localCheckpoint trades fault recovery for
-    * speed — an executor loss mid-consumption fails the job; on a
-    * long-lived cluster pipeline, write the result out instead.) */
-  def dedupClusters(pairs: DataFrame, idA: Column, idB: Column,
-      maxIter: Int = 30, driverLimit: Long = 1000000L): DataFrame = {
-    // Null ids are dropped EXPLICITLY: left in, they would fall out of the
-    // round joins silently (null never equi-matches), yielding a result
-    // that quietly ignored some input pairs — an explicit filter makes the
-    // contract visible (pairs with a null endpoint carry no information).
-    val half = pairs.select(idA.cast("long").as("a"), idB.cast("long").as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull)
-    // Routed on the RAW pair count (a map-side-combined count, no
-    // shuffle): an upper bound on the distinct count, so routing is
-    // conservative, and the fast path then needs no distinct at all —
-    // union-find absorbs duplicate and self edges natively.
-    val halfP = half.persist()
-    val nPairs =
-      try halfP.count()
-      catch { case t: Throwable => halfP.unpersist(); throw t }
-    // Small-graph fast path — the same routing logic as a broadcast join:
-    // near-dup candidate pairs are, by construction, orders of magnitude
-    // fewer than corpus rows (they only exist where two documents nearly
-    // collide), so the typical pair set fits on the driver like any
-    // broadcast side. Collect once via the primitive tuple encoder
-    // (specialized (Long, Long) tuples, ~32 B/pair — a Row collect boxes
-    // every field and costs several× more at the limit), resolve with
-    // union-find (path-halving, iterative — no recursion depth limit).
-    // The distributed pointer-jumping loop below remains the path for
-    // genuinely large pair sets (StressClusters exercises it at 3M+
-    // edges); `driverLimit = 0` forces it, e.g. for testing.
-    if (nPairs <= driverLimit) {
-      val sess = pairs.sparkSession
-      import sess.implicits._
-      val collected =
-        try halfP.as[(Long, Long)].collect()
-        finally halfP.unpersist()
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x0: Long): Long = {
-        var x = parent.getOrElseUpdate(x0, x0)
-        if (x == x0) return x0
-        while (parent(x) != x) { // path halving
-          parent(x0) = parent(x); x = parent(x)
-        }
-        parent(x0) = x; x
-      }
-      collected.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      // union-by-min keeps every root at its component minimum, so the
-      // final find IS the deterministic survivor id.
-      val resolved = parent.keys.toArray.sorted.map(v => (find(v), v)).toIndexedSeq
-      // Parallelized, NOT a LocalRelation: a local relation embeds the
-      // rows in the logical plan and re-serializes them into every
-      // downstream plan that references the result; an RDD holds them
-      // once on the driver and tasks pull partitions. The explicit
-      // broadcast hint keeps what LocalRelation stats used to give for
-      // free — downstream joins (applyDedup's anti-join) broadcast the
-      // small cluster table instead of shuffling the corpus; the size is
-      // bounded by driverLimit, so the hint is always safe.
-      val slices = math.max(1, math.min(sess.sparkContext.defaultParallelism,
-        resolved.length / 100000 + 1))
-      return broadcast(
-        sess.sparkContext.parallelize(resolved, slices).toDF("survivor", "member"))
-    }
-    // symmetric closure for the distributed rounds; the single distinct
-    // collapses multi-edges from overlapping candidate generators (e.g. a
-    // union of q16+q18 pairs) in the same exchange that symmetrizes
-    val edges = halfP.union(halfP.select(col("b").as("a"), col("a").as("b")))
-      .distinct().persist()
-    var converged = false
-    var iter = 0
-    var labels: DataFrame = null
-    // Each round both CHECKPOINTS (truncate lineage — the plan otherwise
-    // grows ~4^rounds and analysis OOMs) and REPLACES the checkpoint's
-    // inherited statistics (size-only join estimation multiplies child
-    // sizes, so preserved stats compound ~4× in exponent per round — by
-    // round ~12 one stats pass is minutes of BigInteger math; see
-    // StatsBridge) with the honest estimate rows × width: the vertex
-    // count is invariant across rounds (inner joins on id preserve every
-    // vertex), so one count on the first checkpoint prices all of them —
-    // small label tables keep broadcasting, huge ones keep shuffling.
-    // Both failure modes are invisible at 2–4 rounds and bite on deep
-    // graphs — exactly the case pointer jumping exists for.
-    var nVertices = -1L
-    def roundCheckpoint(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint(eager = true)
-      if (nVertices < 0) nVertices = ck.count()
-      org.apache.spark.sql.graftbridge.StatsBridge.withStats(ck,
-        BigInt(nVertices) * (16L + 8L * ck.schema.length),
-        Some(BigInt(nVertices)))
-    }
-    try {
-      labels = roundCheckpoint(edges.select(col("a").as("id")).distinct()
-        .withColumn("lbl", col("id")))
-      // halfP is released only AFTER the eager checkpoint above has
-      // materialized `edges` into its cache — unpersisting earlier lets
-      // the pair blocks be evicted before the union's two branches read
-      // them, rescanning the upstream source twice. (The finally below
-      // covers the throw path; unpersist is idempotent.)
-      halfP.unpersist()
-      while (!converged && iter < maxIter) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("b"), col("lbl").as("__nlbl")), "b")
-          .groupBy(col("a").as("id")).agg(min(col("__nlbl")).as("__nmin"))
-        // pointer jump: lbl(lbl(v)). Every label value is a vertex id
-        // (init = self; each round propagates existing labels), so the
-        // inner self-join on lbl = id always finds its row. Round 1 skips
-        // it — labels are still the identity map, so lbl(lbl(v)) = v and
-        // the self-join would be pure overhead (shallow graphs finish in
-        // 2-3 rounds; one join saved matters there).
-        val withNbr = labels.select(col("id"), col("lbl").as("__old"))
-          .join(nbrMin, Seq("id")) // every vertex has ≥1 edge by construction
-        val stepped =
-          if (iter == 0)
-            withNbr.select(col("id"),
-              least(col("__old"), col("__nmin")).as("lbl"), col("__old"))
-          else {
-            val jump = labels
-              .join(labels.select(col("id").as("lbl"), col("lbl").as("__jlbl")),
-                Seq("lbl"))
-              .select(col("id"), col("__jlbl"))
-            withNbr.join(jump, Seq("id"))
-              .select(col("id"),
-                least(col("__old"), col("__nmin"), col("__jlbl")).as("lbl"),
-                col("__old"))
-          }
-        val next = roundCheckpoint(stepped)
-        // labels are monotone non-increasing, so "no label decreased" is an
-        // exact fixpoint test; the count is a cheap checkpoint scan.
-        converged = next.filter(col("lbl") < col("__old")).count() == 0
-        labels = next.select(col("id"), col("lbl"))
-        iter += 1
-      }
-    } finally {
-      halfP.unpersist()
-      edges.unpersist()
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"dedupClusters did not converge in $maxIter rounds — component " +
-          "diameter exceeds the pointer-jumping bound; raise maxIter")
-    labels.select(col("lbl").as("survivor"), col("id").as("member"))
-  }
-
-  /** The apply step of near-dup dedup: given the corpus and candidate
-    * pairs (from any of the near-dup generators, or a union of several),
-    * drop every non-survivor cluster member and keep the rest of the
-    * corpus untouched. Composition of [[dedupClusters]] + one left-anti
-    * join on id — the complete pairs → components → filtered-corpus
-    * pipeline in one call. */
-  def applyDedup(df: DataFrame, id: Column, pairs: DataFrame,
-      idA: Column, idB: Column, maxIter: Int = 30,
-      driverLimit: Long = 1000000L): DataFrame = {
-    val nonSurvivors = dedupClusters(pairs, idA, idB, maxIter, driverLimit)
-      .filter(col("member") =!= col("survivor"))
-      .select(col("member").as("__drop_id"))
-    df.join(nonSurvivors, id === col("__drop_id"), "left_anti")
-  }
-
-  /** [[applyDedup]] with a QUALITY survivor policy: per near-dup cluster
-    * keep the member with the greatest `score` (ties → smallest id)
-    * instead of the smallest id — the curation-grade apply step: when
-    * near-dups differ (truncation, boilerplate, OCR noise), min-id keeps
-    * an arbitrary copy; this keeps the best one. Rows outside any
-    * cluster are untouched.
-    *
-    * Plan: cluster resolution is [[dedupClusters]] (pair-bounded, tiny
-    * vs corpus); scores join in on the member ids, one row_number window
-    * over clusters picks survivors, and the corpus sees a single
-    * left-anti join against the non-survivor ids — the cluster table
-    * never exceeds 2·|pairs| rows, so every join is AQE-broadcast-sized
-    * at any corpus scale. NULL scores rank below every non-NULL score
-    * (a member with no score never beats a scored one). */
-  def applyDedupBest(df: DataFrame, id: Column, score: Column,
-      pairs: DataFrame, idA: Column, idB: Column, maxIter: Int = 30,
-      driverLimit: Long = 1000000L): DataFrame = {
-    val clusters = dedupClusters(pairs, idA, idB, maxIter, driverLimit)
-    val members = df.select(id.as("__m_id"), score.as("__m_score"))
-      .join(clusters, col("__m_id") === col("member"))
-    val w = Window.partitionBy(col("survivor"))
-      .orderBy(col("__m_score").desc_nulls_last, col("member"))
-    val drop = members.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") > 1).select(col("member").as("__drop_id"))
-    df.join(drop, id === col("__drop_id"), "left_anti")
-  }
-
-  /** Link-graph authority scoring — EXACT-INTEGER PageRank over a
-    * directed edge list, the crawl-corpus quality signal ("which pages
-    * does the web itself vouch for") that ranks alongside content
-    * quality scores in a curation pipeline. All arithmetic is 64-bit
-    * integer: ranks are units of a fixed `totalMass` budget, damping is
-    * ppm, and every division truncates — so the result is bit-portable
-    * across engines (q108 hash-gates three full iterations against
-    * DuckDB) where the textbook double-precision iteration is not (the
-    * per-node inflow sum is order-dependent in floats). Truncation
-    * bleeds < 1 unit per division, so with `totalMass` = 10¹² the
-    * relative error per iteration is ~n/10¹² — noise for any ranking
-    * use (mass-conservation law spec'd).
-    *
-    * Per iteration: r'(v) = base + (d · (inflow(v) + dangle/n)) div 1M,
-    * with base = ((T div n) · (1M − d)) div 1M, inflow(v) =
-    * Σ_{u→v} r(u) div outdeg(u), and dangle = Σ ranks of nodes with no
-    * out-edges (their mass redistributes uniformly — the standard
-    * dangling-node treatment). Nodes = src ∪ dst; edges with a NULL (or
-    * un-castable) endpoint are ignored — a phantom NULL node would
-    * otherwise silently absorb rank as permanently-dangling mass.
-    *
-    * Plan: outdeg, the node set, and the (iteration-invariant) dangling
-    * node set are computed once; each iteration is one inner join of
-    * ranks to outdeg feeding the per-edge contribution join + one hash
-    * agg on dst + a left join back to the node set — rank-table-sized
-    * shuffles, never corpus-sized, the classic iterative-Spark shape.
-    * Ranks are eagerly `localCheckpoint`ed per round (the
-    * [[dedupClusters]] idiom: truncate lineage so the per-round
-    * dangling aggregate and the next join don't re-execute the whole
-    * chain); the dangling mass is ONE long collected per round — a
-    * model-sized scalar, not a corpus collect. At cluster scale, bucket
-    * the edge list by src once and every iteration's big join
-    * co-locates; `iterations` is bounded because authority signals
-    * saturate in single digits. */
-  def linkRank(edgeList: DataFrame, src: Column, dst: Column,
-      iterations: Int, dampingPpm: Long = 850000L,
-      totalMass: Long = 1000000000000L): DataFrame = {
-    require(iterations >= 1 && iterations <= 100,
-      s"iterations must be in [1, 100]; got $iterations")
-    require(dampingPpm >= 0 && dampingPpm <= 1000000,
-      s"dampingPpm must be in [0, 1000000]; got $dampingPpm")
-    // d·(inflow + dangleShare) ≤ 1e6·totalMass must fit a long (ANSI
-    // mode would otherwise kill an iteration mid-flight with an opaque
-    // ARITHMETIC_OVERFLOW); the base multiply has the same bound
-    require(totalMass > 0 && totalMass <= Long.MaxValue / 1000000L,
-      s"totalMass must be in (0, ${Long.MaxValue / 1000000L}]; got $totalMass")
-    val e = edgeList
-      .select(src.cast("long").as("src"), dst.cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .persist()
-    // every cached intermediate is released even if an iteration throws
-    // (review r15: the loop used to strand up to `iterations` superseded
-    // rank tables + the edge list in the block manager); the RETURNED
-    // ranks is the one survivor — its lineage is its own checkpoint, so
-    // freeing nodes/outdeg/dangling cannot invalidate it
-    var toFree: List[DataFrame] = Nil
-    var inFlight: DataFrame = null
-    var done = false
-    try {
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .localCheckpoint(true)
-      toFree ::= nodes
-      val n = nodes.count()
-      if (n == 0)
-        throw new IllegalArgumentException(
-          "linkRank needs at least one edge with non-null endpoints")
-      val outdeg = e.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("__deg")).localCheckpoint(true)
-      toFree ::= outdeg
-      // the dangling SET is iteration-invariant (who has out-edges never
-      // changes) — only its rank mass moves; classify once
-      val danglingNodes = nodes.join(outdeg, Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      toFree ::= danglingNodes
-      val base = ((totalMass / n) * (1000000L - dampingPpm)) / 1000000L
-      var ranks = nodes.withColumn("rank", lit(totalMass / n))
-        .localCheckpoint(true)
-      inFlight = ranks
-      for (_ <- 1 to iterations) {
-        val dangle = ranks.join(danglingNodes, Seq("node"), "left_semi")
-          .agg(coalesce(sum("rank"), lit(0L))).collect()(0).getLong(0)
-        val dangleShare = dangle / n
-        val inflow = ranks.join(outdeg, Seq("node"))
-          .select(col("node"), expr("rank div __deg").as("__contrib"))
-          .join(e.select(col("src").as("node"), col("dst")), Seq("node"))
-          .groupBy(col("dst").as("node")).agg(sum("__contrib").as("__in"))
-        // `div`, not `/`: Spark's Divide on bigints returns double — the
-        // truncating integral division is the portability contract here
-        val prev = ranks
-        ranks = nodes.join(inflow, Seq("node"), "left_outer")
-          .select(col("node"),
-            expr(s"${base}L + (${dampingPpm}L * (coalesce(__in, 0L) + " +
-              s"${dangleShare}L)) div 1000000").as("rank"))
-          .localCheckpoint(true) // eager — prev's blocks are now dead
-        inFlight = ranks
-        prev.unpersist()
-      }
-      done = true
-      ranks
-    } finally {
-      e.unpersist()
-      toFree.foreach(_.unpersist())
-      // on the throw path the in-flight rank table is stranded too;
-      // on success it IS the returned survivor and must stay cached
-      if (!done && inFlight != null) inFlight.unpersist()
-    }
-  }
-
-  /** Per-vertex triangle counts over an undirected graph — the local
-    * clustering signal of a link corpus (link farms and boilerplate nav
-    * rings are triangle-dense; organic citation is triangle-sparse),
-    * complementing [[linkRank]]'s global authority and [[dedupClusters]]'
-    * connectivity. Input is an edge LIST in any form: direction, order,
-    * duplicates, and self-loops are all canonicalized away (an edge is
-    * the unordered pair of its distinct endpoints). Returns one row per
-    * vertex of the INPUT graph — every non-NULL endpoint, including a
-    * vertex whose only incident edges are self-loops, which reports
-    * (node, degree = 0, n_tri = 0) rather than vanishing — degree counts
-    * distinct non-self neighbors, n_tri the triangles the vertex belongs
-    * to; Σ n_tri = 3 × total triangles. All-integer, so the full
-    * per-vertex report hash-gates (q111).
-    *
-    * Plan — the degree-ordered orientation (node-iterator++ / Latapy):
-    * direct every canonical edge from its (degree, id)-smaller endpoint
-    * to the larger, so each wedge is generated exactly once, at its
-    * lowest-rank vertex, and out-degrees are bounded by O(√m) on ANY
-    * graph (a vertex's out-neighbors all have rank ≥ its own) — the
-    * wedge fanout Σ outdeg² stays ≤ O(m^1.5) even on power-law graphs
-    * where the naive per-vertex wedge count is quadratic in the hub
-    * degree. Three shuffle-bounded phases: (1) canonicalize + distinct
-    * on the edge pair; (2) two node-keyed joins to attach endpoint
-    * degrees (AQE broadcasts the degree table when it fits); (3) the
-    * wedge equi-join on the shared low vertex + the closing-edge
-    * equi-join on the (v1, v2) pair — the closing edge is looked up in
-    * ORIENTED form (rank-ordered wedge ⇒ the closer, if present, is
-    * oriented v1→v2), so the probe is a plain equi-join, never a
-    * direction disjunction. No all-pairs anywhere; hot vertices are one
-    * AQE-split partition. */
-  def triangleCounts(edgeList: DataFrame, src: Column, dst: Column): DataFrame = {
-    val ends = edgeList
-      .select(src.cast("long").as("__s"), dst.cast("long").as("__d"))
-      .filter(col("__s").isNotNull && col("__d").isNotNull)
-    // node set BEFORE the self-loop filter: a loop-only vertex is still
-    // a vertex of the graph and must surface as (node, 0, 0) (review r16)
-    val nodes = ends
-      .select(explode(array(col("__s"), col("__d"))).as("node")).distinct()
-    val raw = ends.filter(col("__s") =!= col("__d"))
-    val und = raw.select(least(col("__s"), col("__d")).as("a"),
-      greatest(col("__s"), col("__d")).as("b")).distinct()
-    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    val withDeg = und
-      .join(deg.select(col("node").as("a"), col("degree").as("__da")), "a")
-      .join(deg.select(col("node").as("b"), col("degree").as("__db")), "b")
-    // rank(x) = (degree(x), x); orient low rank → high rank
-    val lowerA = col("__da") < col("__db") ||
-      (col("__da") === col("__db") && col("a") < col("b"))
-    val oriented = withDeg.select(
-      when(lowerA, col("a")).otherwise(col("b")).as("u"),
-      when(lowerA, col("b")).otherwise(col("a")).as("v"),
-      when(lowerA, col("__db")).otherwise(col("__da")).as("__dv"))
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") &&
-          (col("e1.__dv") < col("e2.__dv") ||
-            (col("e1.__dv") === col("e2.__dv") && col("e1.v") < col("e2.v"))))
-      .select(col("e1.u").as("u"), col("e1.v").as("v1"), col("e2.v").as("v2"))
-    val tri = wedges.join(oriented.select(col("u").as("v1"), col("v").as("v2")),
-      Seq("v1", "v2"))
-    // one generate pass, not a 3-branch union (which would re-execute
-    // the whole triangle pipeline once per role)
-    val perNode = tri
-      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("__nt"))
-    nodes.join(deg, Seq("node"), "left_outer")
-      .join(perNode, Seq("node"), "left_outer")
-      .select(col("node"), coalesce(col("degree"), lit(0L)).as("degree"),
-        coalesce(col("__nt"), lit(0L)).as("n_tri"))
-  }
-
-  /** k-core decomposition by iterative peeling — the graph-curation
-    * step that isolates densely-linked subgraphs (link farms, citation
-    * cliques, bot rings) the per-vertex statistics ([[triangleCounts]],
-    * [[linkRank]]) can only score row-by-row: repeatedly delete every
-    * vertex with fewer than `k` surviving neighbors until no deletion
-    * fires (or `maxRounds` peels — the output is then "the k-core after
-    * `maxRounds` peels", stated; peeling is monotone and idempotent at
-    * the fixpoint, so running EXTRA rounds never changes a converged
-    * answer — that invariant is what lets a fixed-round oracle gate the
-    * early-stopping operator, q139). Input edges canonicalize exactly
-    * like [[triangleCounts]] (undirected distinct, self-loops and NULL
-    * endpoints dropped); output is (node, degree) over the surviving
-    * subgraph — at the fixpoint every degree is ≥ k by definition.
-    *
-    * Scale shape: each round is one map-side-combined degree agg + two
-    * semi-joins, all keyed by vertex — the edge table only SHRINKS, and
-    * rounds are O(peel depth), not O(|V|) (each round deletes every
-    * currently-underdegree vertex at once). Round results are
-    * localCheckpoint'd (the [[linkRank]] lineage hygiene: an
-    * un-truncated loop would replay every prior round per action), and
-    * every superseded checkpoint is freed even on failure. */
-  def kCore(edgeList: DataFrame, src: Column, dst: Column, k: Int,
-      maxRounds: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1; got $k")
-    require(maxRounds >= 1 && maxRounds <= 100,
-      s"maxRounds must be in [1, 100]; got $maxRounds")
-    val raw = edgeList
-      .select(src.cast("long").as("__s"), dst.cast("long").as("__d"))
-      .filter(col("__s").isNotNull && col("__d").isNotNull &&
-        col("__s") =!= col("__d"))
-    var toFree: List[DataFrame] = Nil
-    var und: DataFrame = raw
-      .select(least(col("__s"), col("__d")).as("a"),
-        greatest(col("__s"), col("__d")).as("b"))
-      .distinct().localCheckpoint(true)
-    try {
-      var cnt = und.count()
-      var stable = cnt == 0L
-      var round = 0
-      while (!stable && round < maxRounds) {
-        val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
-          .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-        val keep = deg.filter(col("degree") >= k).select(col("node"))
-        val pruned = und
-          .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .localCheckpoint(true)
-        val c2 = pruned.count()
-        toFree ::= und
-        und = pruned
-        stable = c2 == cnt
-        cnt = c2
-        round += 1
-      }
-      und.select(explode(array(col("a"), col("b"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    } finally toFree.foreach(_.unpersist())
-  }
-
-  /** SEMANTIC near-dup candidate pairs — embedding-CLUSTER routing:
-    * train a [[kmeansFit]] model on the corpus embeddings, route every
-    * row to its argmax-dot cell ([[kmeansAssign]] — a baked-constant
-    * narrow projection, zero shuffle), then emit exact-cosine pairs
-    * ≥ `threshold` WITHIN each cell only. The SemDeDup recipe: where
-    * [[embeddingNearDup]]'s hyperplane-LSH finds pairs that collide in
-    * random-projection buckets, this finds pairs that share a LEARNED
-    * cluster — the routing adapts to the corpus's actual density, and
-    * the same trained model is reusable across pipeline stages
-    * ([[ivfTopK]] cells, mixture audits).
-    *
-    * Scale shape: the pair step is an equi-join on the cell id — never a
-    * global product. Cost is O(Σ|cell|²) ≈ O(n²/k) expected, so k is the
-    * knob: grow it proportionally to corpus size to hold cell blocks
-    * constant (SemDeDup runs k ≈ n/10⁴ at corpus scale). Cells shuffle-
-    * partition independently, so a 1000-executor cluster works k cells
-    * in parallel; one hot cell is one skewed partition — AQE skew-join
-    * splits it. Rows with a NULL vector get a NULL cell and never pair
-    * (null never equi-matches), same contract as [[embeddingNearDup]].
-    * Cross-cell near-dups are missed by construction — the documented
-    * approximate contract of every clustered dedup; raise k-means
-    * `iters` or fall back to [[embeddingNearDup]] when recall across
-    * cell boundaries matters more than model reuse.
-    *
-    * Output: (id_a, id_b, sim), id_a < id_b, exact cosine — drop-in for
-    * the [[dedupClusters]] / [[applyDedupBest]] chain. Eager like every
-    * trainer (kmeansFit runs `iters` Lloyd rounds when called).
-    *
-    * `nprobe` (round 14) is the opt-in CROSS-CELL recall tier: each row
-    * routes to its top-`nprobe` cells (the same sorted argmax-dot list
-    * ivfTopK probes), and a pair forms when the two rows share ANY
-    * routed cell — so a near-dup pair straddling one cell boundary is
-    * found at nprobe = 2 (RecallSpec plants one and measures it missed
-    * at 1, found at 2). Still an equi-join on the cell id, never an
-    * all-pairs product (PlanGuard-pinned); expected cost scales ×~nprobe²
-    * candidate rows. nprobe = 1 keeps the historic single-cell plan
-    * bit-for-bit (the q83 oracle path). */
-  def semanticDedupPairs(df: DataFrame, id: Column, vec: Column, k: Int,
-      threshold: Double, iters: Int = 2, nprobe: Int = 1): DataFrame = {
-    require(k > 0, s"k must be positive; got $k")
-    require(nprobe >= 1 && nprobe <= k,
-      s"nprobe must be in [1, k=$k]; got $nprobe")
-    val model = kmeansFit(df, id, vec, k, iters)
-    val base = df.select(id.as("__sd_id"), vec.as("__sd_v"))
-    val assigned =
-      if (nprobe == 1) kmeansAssign(base, col("__sd_v"), model)
-      else {
-        val cents = collectModel(model)
-        require(cents.nonEmpty, "semanticDedupPairs with an empty model")
-        // NULL vectors yield a NULL cell list -> explode drops the row:
-        // same never-pairs contract as the argmax path
-        base.select(col("__sd_id"), col("__sd_v"),
-          explode(slice(graft.functions.NearestCells(col("__sd_v"),
-            cents.map(_._2), cents.map(_._1)), 1, nprobe)).as("cluster"))
-      }
-    val a = assigned.select(col("cluster").as("__ca"),
-      col("__sd_id").as("id_a"), col("__sd_v").as("__ea"))
-    val b = assigned.select(col("cluster").as("__cb"),
-      col("__sd_id").as("id_b"), col("__sd_v").as("__eb"))
-    val pairs = a.join(b, col("__ca") === col("__cb") && col("id_a") < col("id_b"))
-      .withColumn("sim", graft.functions.CosineSim(col("__ea"), col("__eb")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
-    // a pair sharing BOTH probed cells collides twice; identical rows
-    // (exact cosine of the same two vectors), so the collapse is safe
-    if (nprobe == 1) pairs else pairs.dropDuplicates("id_a", "id_b")
-  }
-
-  /** End-to-end semantic dedup: [[semanticDedupPairs]] → connected
-    * components ([[dedupClusters]]) → keep each cluster's best-`score`
-    * member ([[applyDedupBest]] policy — ties to smallest id), rest of
-    * the corpus untouched. One call from raw embeddings to the deduped
-    * corpus; the pair/cluster tables are pair-bounded (tiny vs corpus),
-    * so the corpus itself sees exactly one left-anti join. */
-  def semanticDedup(df: DataFrame, id: Column, score: Column, vec: Column,
-      k: Int, threshold: Double, iters: Int = 2, maxIter: Int = 30,
-      driverLimit: Long = 1000000L, nprobe: Int = 1): DataFrame =
-    applyDedupBest(df, id, score,
-      semanticDedupPairs(df, id, vec, k, threshold, iters, nprobe),
-      col("id_a"), col("id_b"), maxIter, driverLimit)
-
-  /** Deterministic hyperplane component for the near-dup LSH bands (same
-    * portable-hash recipe as SimilarityOps' ANN planes, distinct salt). */
-  private def ndPlane(j: Int, dim: Int): Seq[Double] =
-    (0 until dim).map(i =>
-      (graft.functions.Portable.phashJvm(s"nd${j}_$i") % 2001 - 1000).toDouble / 1000.0)
-
-  /** Embedding-cosine near-dup pairs ≥ `threshold`. Corpora at or under
-    * `quadraticLimit` rows (or `allowQuadratic = true`) use the exact
-    * broadcast block product; anything larger is routed through banded
-    * random-hyperplane LSH candidate generation (`bands` OR-amplified
-    * bands of `rowsPerBand` sign bits → band-bucket equi-join, no n²
-    * product) with exact cosine verification of every candidate — the
-    * brute-force form must never run silently on a real corpus. Recall of
-    * the LSH path with 8×4 bands is 1−(1−p^4)^8 per pair (p = 1−θ/π) —
-    * MEASURED at 1.000 over 200 planted pairs at sim ≥ 0.95 (RecallSpec;
-    * README "ANN recall" has the numbers). Pairs in no shared bucket are
-    * missed, which is the documented approximate contract at scale.
-    *
-    * Routing: pass `sizeHint` (approximate row count — e.g. from catalog
-    * stats or a prior count) to pick the path without any eager work. With
-    * no hint and `allowQuadratic = false`, a bounded count job runs ONCE at
-    * plan-construction time (an eager action — it re-executes the upstream
-    * plan and is illegal on streaming inputs; hint or flag avoid it).
-    * The LSH path requires every vector to have exactly `dim` components
-    * and fails loudly otherwise — silently hashing a prefix would degrade
-    * recall with no signal. */
-  def embeddingNearDup(df: DataFrame, id: Column, vec: Column,
-      threshold: Double, dim: Int = 64, bands: Int = 8, rowsPerBand: Int = 4,
-      allowQuadratic: Boolean = false, quadraticLimit: Long = 65536L,
-      sizeHint: Option[Long] = None): DataFrame = {
-    require(quadraticLimit >= 0 && quadraticLimit < Int.MaxValue,
-      s"quadraticLimit must be in [0, Int.MaxValue); got $quadraticLimit " +
-        "(0 = always take the LSH path)")
-    val quadratic = allowQuadratic || sizeHint.map(_ <= quadraticLimit).getOrElse(
-      df.select(id).limit(quadraticLimit.toInt + 1).count() <= quadraticLimit)
-    val pairs =
-      if (quadratic) {
-        val a = df.select(id.as("id_a"), vec.as("__ea"))
-        val b = df.select(id.as("id_b"), vec.as("__eb"))
-        a.join(broadcast(b), col("id_a") < col("id_b"))
-      } else {
-        // all band sign bits in ONE codegen'd pass over the embedding
-        // (PlaneSigns), then each band's key is a cheap shift/mask slice
-        val planes = (0 until bands * rowsPerBand)
-          .map(j => ndPlane(j, dim).toIndexedSeq)
-        // coalesce both the test and the message: a NULL vector makes
-        // size(...) null, which would otherwise null the === (falling to
-        // raise_error) AND null the concat'd message — the job would die
-        // with a blank error. This way null vectors fail with a readable
-        // diagnostic like any other wrong-shape input.
-        val vecSize = coalesce(size(col("__e0")), lit(-1))
-        val checkedVec = when(vecSize === dim, col("__e0"))
-          .otherwise(raise_error(concat(
-            lit(s"embeddingNearDup: LSH path expects $dim-component vectors, got "),
-            when(vecSize === -1, lit("null")).otherwise(vecSize.cast("string")),
-            lit(" — pass the actual dim or fix the input"))))
-        val sig = df.select(id.as("__id"), vec.as("__e0"))
-          .select(col("__id"), checkedVec.as("__e"))
-          .withColumn("__sg", graft.functions.PlaneSigns(col("__e"), planes))
-        val bandKeys = array((0 until bands).map { bnd =>
-          struct(lit(bnd).as("b"),
-            shiftright(col("__sg"), bnd * rowsPerBand)
-              .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("k"))
-        }.toIndexedSeq: _*)
-        // carry the vectors through the band self-join (reused exchange,
-        // like minhashNearDup) instead of two lookup joins back to sig;
-        // multi-band collisions dedup after the verify on narrow columns
-        val bd = sig.select(col("__id"), col("__e"), explode(bandKeys).as("__bk"))
-        bd.as("x").join(bd.as("y"),
-            col("x.__bk") === col("y.__bk") && col("x.__id") < col("y.__id"))
-          .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
-            col("x.__e").as("__ea"), col("y.__e").as("__eb"))
-      }
-    val out = pairs.withColumn("sim", CosineSim(col("__ea"), col("__eb")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
-    if (quadratic) out else out.distinct() // multi-band collisions
-  }
-
-  // ------------------------------------------------------- similarity
-
-  /** Exact top-k cosine neighbors of each probe (probes broadcast, corpus
-    * scanned once, per-probe ranking window). */
-  def knn(corpus: DataFrame, probes: DataFrame, id: Column, vec: Column,
-      probeId: Column, probeVec: Column, k: Int): DataFrame = {
-    val p = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), id)
-    corpus.join(broadcast(p), id =!= col("probe_id"))
-      .withColumn("sim", CosineSim(col("__pv"), vec))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), id.as("id"), col("rank"), col("sim"))
-  }
-
-  /** MMR (maximal-marginal-relevance) diversified re-rank — the
-    * diversity step between retrieval and the user: from each query's
-    * CANDIDATE list (a bounded top-N from [[knn]]/[[ivfPqTopK]]/BM25/
-    * [[rrfFuse]] — never a corpus), greedily select k documents by
-    * mmrᵢ(d) = λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s): the first
-    * pick is pure relevance (the max over an empty set contributes 0),
-    * every later pick trades relevance against similarity to what is
-    * ALREADY picked — so near-duplicate hits stop crowding out
-    * distinct aspects of the answer. λ arrives as ppm (1e6 = pure
-    * relevance, 0 = pure diversity) via one stated division; ties
-    * break (mmr desc, doc asc), fully deterministic.
-    *
-    * Portability: rel is caller-supplied (bit-portable when produced
-    * by the q13/q112 chains), candidate–candidate cosine is the
-    * sequential-fold [[graft.functions.CosineSim]], max over selected
-    * is order-free exact, and the λ-combination is the same 3-op IEEE
-    * chain both engines state — so every emitted mmr value is
-    * bit-equal to DuckDB's recursive-CTE restatement of the same
-    * greedy walk (q128). Duplicate docs within a query collapse to
-    * one selection (the rrfFuse one-row-per-doc contract — state it
-    * upstream); NULL doc/rel/vec rows drop up front (a candidate that
-    * can't score or diversify is not a candidate).
-    *
-    * Plan: ONE shuffle groups each query's candidates into a task row
-    * (candidate lists are top-N-bounded by construction); the whole
-    * greedy walk is ONE runtime `aggregate(sequence(1, k), …)` fold
-    * over the candidate array — no join, no window, no per-step
-    * shuffle, and the expression tree is CONSTANT-sized in k (an
-    * earlier k-unrolled-projection draft sent the analyzer into
-    * minutes of single-threaded expression rewriting); output is
-    * (queries × k) rows. Built for the re-rank regime (k ≲ 100), not
-    * corpus scans. */
-  def mmrRerank(df: DataFrame, query: Column, doc: Column, score: Column,
-      vec: Column, k: Int, lambdaPpm: Long): DataFrame = {
-    require(k >= 1, s"k must be >= 1; got $k")
-    require(lambdaPpm >= 0 && lambdaPpm <= 1000000,
-      s"lambdaPpm must be in [0, 1000000]; got $lambdaPpm")
-    val lam = lit(lambdaPpm).cast("double") / lit(1000000.0)
-    val grouped = df.select(query.as("__q"),
-        struct(doc.as("d"), score.cast("double").as("r"), vec.as("v"))
-          .as("__c"))
-      .filter(col("__c.d").isNotNull && col("__c.r").isNotNull &&
-        col("__c.v").isNotNull)
-      .groupBy(col("__q"))
-      .agg(sort_array(collect_list(col("__c"))).as("__cand"))
-    // state = (sel: chosen candidates, out: (doc, mmr) in pick order);
-    // the empty arrays are sliced from __cand so doc/vec types stay
-    // generic (long or string ids, any dim)
-    val emptyOut = slice(transform(col("__cand"),
-      c => struct(c("d").as("d"), lit(0.0).as("m"))), 1, 0)
-    val walk = aggregate(
-      sequence(lit(1), lit(k)),
-      struct(slice(col("__cand"), 1, 0).as("sel"), emptyOut.as("out")),
-      (acc, _) => {
-        val sel = acc("sel")
-        val selDocs = transform(sel, s => s("d"))
-        val rem = filter(col("__cand"),
-          c => !array_contains(selDocs, c("d")))
-        val scored = transform(rem, c => struct(
-          c("d").as("d"), c("r").as("r"), c("v").as("v"),
-          (lam * c("r") - (lit(1.0) - lam) * coalesce(
-            array_max(transform(sel,
-              s => graft.functions.CosineSim(c("v"), s("v")))),
-            lit(0.0))).as("m")))
-        val best = slice(array_sort(scored, (l, r) =>
-          when(l("m") > r("m"), -1).when(l("m") < r("m"), 1)
-            .when(l("d") < r("d"), -1).when(l("d") > r("d"), 1)
-            .otherwise(0)), 1, 1)
-        struct(
-          concat(sel, transform(best, b => struct(b("d").as("d"),
-            b("r").as("r"), b("v").as("v")))).as("sel"),
-          concat(acc("out"), transform(best, b => struct(b("d").as("d"),
-            b("m").as("m")))).as("out"))
-      })
-    grouped.select(col("__q").as("query"), posexplode(walk("out")))
-      .select(col("query"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.d").as("doc"), col("col.m").as("mmr"))
-  }
-
-  /** IVF (inverted-file) approximate top-k similarity search.
-    *
-    * Cells are the per-`label` centroids (exact integer-micros means —
-    * engine-portable, see SimilarityOps q21); the K-cell table is computed
-    * distributed, collected (K·dim doubles, tiny — a trained-model
-    * constant), and baked into ONE sorted-struct literal per row, giving
-    * BOTH the corpus assignment (first cell) and each probe's `nprobe`
-    * search cells (first n) with zero extra shuffle. The search itself is
-    * an equi-join on cell id — corpus/K work per probed cell. `nprobe`
-    * trades recall for cost; `nprobe = K` degenerates to exact kNN
-    * (spec-asserted). Ordering ties: score desc, label asc; rank ties:
-    * sim desc, id asc — all deterministic.
-    *
-    * `broadcastProbes` (default true) hints the probe side — right for the
-    * common few-probes case, but each probe row is replicated `nprobe`
-    * times carrying its full embedding, so a LARGE probe set would exceed
-    * the broadcast limit: pass false there and AQE picks the join strategy
-    * from the runtime size instead.
-    *
-    * Note: cell assignment ranks centroids by raw dot product (see
-    * NearestCells), which assumes ~unit-norm embeddings — for strongly
-    * unnormalized vectors it biases assignment toward long-norm centroids.
-    * Normalize embeddings upstream (or accept the bias; the final `sim` is
-    * always true cosine, only the cell routing is dot-scored). */
-  def ivfTopK(corpus: DataFrame, id: Column, vec: Column, label: Column,
-      isProbe: Column, k: Int, nprobe: Int = 1,
-      broadcastProbes: Boolean = true): DataFrame = {
-    val e = corpus.select(id.as("__vid"), vec.as("__v"), isProbe.as("__isp"),
-      label.as("__lbl"))
-    val cent = e
-      .select(col("__lbl"), posexplode(col("__v")).as(Seq("dim", "v0")))
-      .groupBy(col("__lbl"), col("dim"))
-      .agg((sum(floor(col("v0").cast("double") * lit(1000000.0)).cast("long"))
-        .cast("double") / 1000000.0 / count(lit(1))).as("cv"))
-      .groupBy(col("__lbl"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
-      .select(col("__lbl"), transform(col("pairs"), p => p.getField("cv")).as("cvec"))
-    val centRows = cent.collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    // nearest-first label list in ONE codegen'd pass over the embedding
-    // (NearestCells): element 1 = assignment cell, 1..nprobe = the
-    // probe's search cells
-    val cellsOrdered = graft.functions.NearestCells(col("__v"),
-      centRows.map(_._2).toIndexedSeq, centRows.map(_._1).toIndexedSeq)
-    val scored = e.withColumn("__sc", cellsOrdered)
-    val assigned = scored
-      .withColumn("cell", element_at(col("__sc"), 1))
-      .select(col("__vid"), col("__v"), col("cell"))
-    val probes = scored.filter(col("__isp"))
-      .select(col("__vid").as("probe_id"), col("__v").as("__pv"),
-        explode(slice(col("__sc"), 1, nprobe)).as("cell"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("__vid"))
-    val probeSide = if (broadcastProbes) broadcast(probes) else probes
-    assigned.join(probeSide, Seq("cell"))
-      .filter(col("__vid") =!= col("probe_id"))
-      .withColumn("sim", CosineSim(col("__pv"), col("__v")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("sim"))
-  }
-
-  /** Distributed Lloyd's k-means trainer — the training seam for
-    * [[ivfTopK]]'s coarse quantizer (IVF assumes a trained centroid
-    * table; this produces one, with the same integer-micros +
-    * sequential-dot engine-portable arithmetic as the q21/q34 family).
-    *
-    * Deterministic end to end: seeds are the `k` rows with the smallest
-    * portable hash of `id` (id tiebreak), quantized to exact micros;
-    * each round assigns every vector to its argmax-dot centroid (one
-    * codegen'd NearestCells pass; score ties → lower cluster id) and
-    * recomputes centroids as exact integer-micros means. Dot-scored
-    * assignment assumes ~unit-norm embeddings (see [[ivfTopK]]).
-    * Clusters that lose every member are DROPPED from subsequent rounds
-    * and the output — the documented contract (silently carrying a dead
-    * centroid forward would claim a cluster the data no longer has).
-    *
-    * Scale shape: per round, assignment is a NARROW per-row projection
-    * against the k·dim baked model (no corpus×k join, no shuffle) and
-    * the update is one map-side-combined hash agg on (cluster, dim) —
-    * the canonical 100 TB Lloyd's round: broadcast the model out,
-    * aggregate the update back. The per-round k·dim collect is a
-    * trained-model constant, same as ivfTopK's cell table. `iters`
-    * bounds total cost explicitly; there is deliberately no per-round
-    * convergence job (one more scan per check — callers choose depth).
-    *
-    * Eager at plan-construction: running `iters` rounds executes
-    * `iters` Spark jobs when CALLED (the returned frame's plan bakes
-    * the final assignment) — like any trainer, illegal on streaming
-    * inputs.
-    *
-    * Returns (cluster, dim, centroid, n): the trained model exploded
-    * per dimension (n = member count, repeated across a cluster's
-    * dims). */
-  def kmeansFit(df: DataFrame, id: Column, vec: Column, k: Int,
-      iters: Int): DataFrame = {
-    require(k > 0, s"k must be positive; got $k")
-    require(iters >= 1, s"iters must be >= 1; got $iters")
-    val base = df.select(id.as("__id"), vec.as("__v"))
-      .filter(col("__v").isNotNull)
-    val seeds = base
-      .orderBy(Portable.phash(concat(lit("km|"), col("__id").cast("string"))),
-        col("__id"))
-      .limit(k).select(col("__v")).collect()
-    require(seeds.nonEmpty, "kmeansFit on an empty corpus")
-    // Seed centroids quantized to exact micros: float→double is exact,
-    // then one IEEE multiply + floor + one divide — bit-identical in any
-    // IEEE-754 engine (the raw float values would be portable too, but
-    // quantizing keeps EVERY centroid the model ever has on the same
-    // exact-integer-derived footing as the round updates).
-    var cents: IndexedSeq[(Int, Seq[Double])] = seeds.toIndexedSeq.zipWithIndex
-      .map { case (r, j) =>
-        j -> r.getSeq[Float](0).map(f => math.floor(f.toDouble * 1e6) / 1e6)
-      }
-    def assign(m: IndexedSeq[(Int, Seq[Double])]): DataFrame =
-      base.withColumn("cluster",
-        element_at(graft.functions.NearestCells(col("__v"),
-          m.map(_._2), m.map(_._1)), 1))
-    // integer-micros mean — order-free long sums, one double divide
-    // chain, same derivation as the q21 oracle
-    def update(assigned: DataFrame): DataFrame = assigned
-      .select(col("cluster"), posexplode(col("__v")).as(Seq("dim", "__val")))
-      .groupBy(col("cluster"), col("dim"))
-      .agg((sum(floor(col("__val").cast("double") * lit(1000000.0)).cast("long"))
-        .cast("double") / 1000000.0 / count(lit(1))).as("centroid"),
-        count(lit(1)).as("n"))
-    var model: DataFrame = update(assign(cents))
-    for (_ <- 2 to iters) {
-      cents = collectModel(model)
-      model = update(assign(cents))
-    }
-    model
-  }
-
-  /** Collects a (cluster, dim, centroid) model table into the baked-
-    * constant form NearestCells wants: per-cluster dim-ordered vectors,
-    * cluster-ascending. */
-  private[graft] def collectModel(model: DataFrame): IndexedSeq[(Int, Seq[Double])] =
-    model
-      .groupBy(col("cluster"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("ps"))
-      .select(col("cluster"),
-        transform(col("ps"), p => p.getField("centroid")).as("cvec"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .sortBy(_._1).toIndexedSeq
-
-  /** The inference half of [[kmeansFit]]: tag each row with its
-    * argmax-dot cluster from a trained model (collected once at call
-    * time — a trained-model constant; the tagging itself is a narrow
-    * codegen'd projection, zero shuffle at any scale). The `cluster`
-    * column then slots straight into [[ivfTopK]]'s `label` argument.
-    * Model-size ceiling: baking k·dim doubles into the plan is ideal at
-    * the declared scales (k ≤ 64 coarse, 16/subspace PQ) but a flat
-    * index with k ≫ 10⁴ would bloat the plan/task binaries — at that
-    * size switch to [[kmeansAssignJoin]] (corpus ⋈ broadcast(model) with
-    * a per-row argmax), trading one broadcast for plan bloat. */
-  def kmeansAssign(df: DataFrame, vec: Column, model: DataFrame): DataFrame = {
-    val cents = collectModel(model)
-    require(cents.nonEmpty, "kmeansAssign with an empty model")
-    df.withColumn("cluster",
-      element_at(graft.functions.NearestCells(vec,
-        cents.map(_._2), cents.map(_._1)), 1))
-  }
-
-  /** The broadcast-join tier of [[kmeansAssign]]: identical output (same
-    * argmax-dot fold, same lowest-cluster tie rule — spec-asserted
-    * bit-equal), but the model travels as DATA. The model table is
-    * aggregated to ONE row holding the cluster-ascending (cluster, cvec)
-    * cell array, broadcast-cross-joined onto the corpus (a 1-row
-    * BroadcastNestedLoopJoin — no shuffle of the corpus side), and a
-    * codegen'd [[graft.functions.NearestCellDyn]] folds the per-row
-    * argmax. Use when k·dim is too large to bake as a plan constant
-    * (k ≫ 10⁴: codegen references and task binaries grow linearly on the
-    * baked path — `tools/StressKmeans` measures the cliff); below that,
-    * [[kmeansAssign]]'s baked form stays preferable (no join node at
-    * all). Null vectors get a null cluster on both paths. */
-  def kmeansAssignJoin(df: DataFrame, vec: Column, model: DataFrame): DataFrame = {
-    val cells = model
-      .groupBy(col("cluster"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("ps"))
-      .select(struct(col("cluster"),
-        transform(col("ps"), p => p.getField("centroid")).as("cvec")).as("cell"))
-      .agg(array_sort(collect_list(col("cell"))).as("__cells"))
-    df.crossJoin(broadcast(cells))
-      .withColumn("cluster", graft.functions.NearestCellDyn(vec, col("__cells")))
-      .drop("__cells")
-  }
-
-  /** Product-quantization trainer: one [[kmeansFit]] per length-`dim/m`
-    * subvector slice — the memory-compression half of an IVF-PQ index
-    * (IVF prunes WHICH rows a probe scores; PQ shrinks WHAT each scored
-    * row stores, `dim` floats → `m` small ints). All arithmetic is the
-    * kmeansFit family's engine-portable machinery (portable-hash seeds —
-    * the same `k` seed ROWS in every subspace — micros-quantized
-    * centroids, sequential-dot assignment, integer-micros means).
-    *
-    * Returns (subspace, cluster, dim, centroid, n) with `dim` the
-    * within-subspace index; feed it to [[pqEncode]] / [[pqTopK]]. Eager
-    * like any trainer (runs `m`·`iters` rounds when called). */
-  def pqFit(df: DataFrame, id: Column, vec: Column, dim: Int, m: Int,
-      ksub: Int, iters: Int): DataFrame = {
-    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
-    require(ksub > 0, s"ksub must be positive; got $ksub")
-    require(iters >= 1, s"iters must be >= 1; got $iters")
-    val sub = dim / m
-    val base = df.select(id.as("__id"), vec.as("__v"))
-      .filter(col("__v").isNotNull)
-    // The SAME ksub hash-min seed rows serve every subspace (sliced per
-    // subspace) — selected in ONE top-k pass, not m. Arithmetic is
-    // bit-identical to the per-subspace kmeansFit this fuses: quantized
-    // seed slices, argmax sequential-dot assignment (cluster-asc ties),
-    // integer-micros means, empty clusters dropped.
-    val seedRows = base
-      .orderBy(Portable.phash(concat(lit("km|"), col("__id").cast("string"))),
-        col("__id"))
-      .limit(ksub).select(col("__v")).collect()
-    require(seedRows.nonEmpty, "pqFit on an empty corpus")
-    // Generic element read (works for array<float> embeddings AND the
-    // array<double> residual frames pqFitResidual feeds through here):
-    // Float.doubleValue is the same exact widening the float path took.
-    var models: IndexedSeq[IndexedSeq[(Int, Seq[Double])]] =
-      IndexedSeq.tabulate(m) { s =>
-        seedRows.toIndexedSeq.zipWithIndex.map { case (r, j) =>
-          j -> r.getSeq[Number](0).slice(s * sub, s * sub + sub)
-            .map(f => math.floor(f.doubleValue * 1e6) / 1e6)
-        }
-      }
-    // One Lloyd round for ALL m subspaces in ONE corpus scan: per row,
-    // m codegen'd NearestCells passes (each over its slice against its
-    // baked sub-model), explode to (subspace, cluster, dim, component) —
-    // the same dim rows/input-row a single full-vector posexplode costs —
-    // and one map-side-combined hash agg. The unioned per-subspace form
-    // this replaces scanned the corpus m times per round; at 100 TB that
-    // factor is the difference between one pass and sixteen.
-    def round(ms: IndexedSeq[IndexedSeq[(Int, Seq[Double])]]): DataFrame =
-      base.select(explode(array((0 until m).map { s =>
-          struct(lit(s).as("subspace"),
-            element_at(graft.functions.NearestCells(
-              slice(col("__v"), s * sub + 1, sub),
-              ms(s).map(_._2), ms(s).map(_._1)), 1).as("cluster"),
-            slice(col("__v"), s * sub + 1, sub).as("sv"))
-        }: _*)).as("e"))
-        .select(col("e.subspace").as("subspace"), col("e.cluster").as("cluster"),
-          posexplode(col("e.sv")).as(Seq("dim", "__val")))
-        .groupBy(col("subspace"), col("cluster"), col("dim"))
-        .agg((sum(floor(col("__val").cast("double") * lit(1000000.0)).cast("long"))
-          .cast("double") / 1000000.0 / count(lit(1))).as("centroid"),
-          count(lit(1)).as("n"))
-    var model: DataFrame = round(models)
-    for (_ <- 2 to iters) {
-      models = collectPqModel(model).map { case (labels, cvecs) =>
-        (labels zip cvecs).toIndexedSeq
-      }
-      model = round(models)
-    }
-    model
-  }
-
-  /** Collects a pqFit model into per-subspace (ascending labels, matching
-    * centroid vectors) — the baked-constant form the PQ expressions want.
-    * A trained-model constant: m·ksub·(dim/m) doubles total. */
-  private def collectPqModel(model: DataFrame): IndexedSeq[(IndexedSeq[Int], IndexedSeq[Seq[Double]])] = {
-    val rows = model
-      .groupBy(col("subspace"), col("cluster"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("ps"))
-      .select(col("subspace"), col("cluster"),
-        transform(col("ps"), p => p.getField("centroid")).as("cvec"))
-      .collect()
-    require(rows.nonEmpty, "pq model is empty")
-    val bySub = rows.groupBy(_.getInt(0))
-    (0 to bySub.keys.max).map { s =>
-      val cs = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
-        .map(r => (r.getInt(1), r.getSeq[Double](2))).sortBy(_._1)
-      require(cs.nonEmpty, s"pq model has no centroids for subspace $s")
-      (cs.map(_._1).toIndexedSeq, cs.map(_._2).toIndexedSeq)
-    }
-  }
-
-  private def pqCodesCol(vec: Column,
-      mdl: IndexedSeq[(IndexedSeq[Int], IndexedSeq[Seq[Double]])], dim: Int): Column = {
-    val m = mdl.size
-    require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
-    val sub = dim / m
-    array((0 until m).map { s =>
-      element_at(graft.functions.NearestCells(
-        slice(vec, s * sub + 1, sub), mdl(s)._2, mdl(s)._1), 1)
-    }: _*)
-  }
-
-  /** The encode half of PQ: adds `codes` (array<int>, one sub-centroid id
-    * per subspace — argmax sequential dot, cluster-asc ties, one codegen'd
-    * NearestCells pass per subspace). A narrow zero-shuffle projection; at
-    * rest the codes column replaces the embedding at ~`4·m` bytes/row. */
-  def pqEncode(df: DataFrame, vec: Column, model: DataFrame, dim: Int): DataFrame =
-    df.withColumn("codes", pqCodesCol(vec, collectPqModel(model), dim))
-
-  /** PQ approximate top-k by asymmetric distance (ADC): corpus rows carry
-    * ONLY their codes (the probe keeps its full vector), each candidate is
-    * scored by one codegen'd [[graft.functions.PqAdcScore]] — the dot of
-    * the probe against the row's reconstruction, never materializing it.
-    *
-    * Scale shape: the scan side is (id, m ints) — the point of PQ: at
-    * 100 TB the ADC pass reads the compact code column, not the `dim`
-    * floats; probes broadcast (same non-equi shape as [[knn]], so this
-    * scans corpus×probes — [[ivfPqTopK]] is the composed form that also
-    * prunes the corpus side via coarse-cell routing). Ordering: adc desc,
-    * id asc — deterministic. */
-  def pqTopK(corpus: DataFrame, id: Column, vec: Column, isProbe: Column,
-      model: DataFrame, dim: Int, k: Int): DataFrame = {
-    val mdl = collectPqModel(model)
-    val e = corpus.select(id.as("__vid"), vec.as("__v"), isProbe.as("__isp"))
-    val coded = e.select(col("__vid"), pqCodesCol(col("__v"), mdl, dim).as("codes"))
-    val probes = e.filter(col("__isp"))
-      .select(col("__vid").as("probe_id"), col("__v").as("__pv"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("__vid"))
-    coded.join(broadcast(probes), col("__vid") =!= col("probe_id"))
-      .withColumn("adc", graft.functions.PqAdcScore(col("__pv"), col("codes"),
-        mdl.map(_._2), mdl.map(_._1)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
-  }
-
-  /** The at-rest search entry point for PQ: scores STORED [[pqEncode]]
-    * output (corpus = id + codes — the embeddings can be dropped after
-    * encoding) against full-vector probes. Identical scoring/ordering to
-    * [[pqTopK]] (spec-asserted equal); this overload is what makes the
-    * compression story real — at 100 TB the corpus keeps `4·m` bytes/row
-    * and only probes retain floats. */
-  def pqTopKCoded(coded: DataFrame, codedId: Column, codes: Column,
-      probes: DataFrame, probeId: Column, probeVec: Column,
-      model: DataFrame, k: Int): DataFrame = {
-    val mdl = collectPqModel(model)
-    val c = coded.select(codedId.as("__vid"), codes.as("__codes"))
-    val p = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("__vid"))
-    c.join(broadcast(p), col("__vid") =!= col("probe_id"))
-      .withColumn("adc", graft.functions.PqAdcScore(col("__pv"), col("__codes"),
-        mdl.map(_._2), mdl.map(_._1)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
-  }
-
-  /** The composed IVF×PQ index — the full 100 TB ANN story in one
-    * operator: a coarse [[kmeansFit]] model routes (IVF prunes WHICH rows
-    * a probe scores), a [[pqFit]] model compresses (PQ shrinks WHAT each
-    * scored row stores), and the search is an equi-join on cell id where
-    * the corpus side carries ONLY (cell, id, m ints).
-    *
-    * Per row, ONE codegen'd NearestCells pass against the baked coarse
-    * model yields both the corpus assignment (element 1) and each probe's
-    * `nprobe` search cells (elements 1..nprobe) — same zero-extra-shuffle
-    * trick as [[ivfTopK]]. ADC work per probe is ~corpus·nprobe/K instead
-    * of [[pqTopK]]'s full corpus scan. Both model collects are
-    * trained-model constants. Ordering: adc desc, id asc — deterministic.
-    *
-    * `rerank` > 0 switches on the standard TWO-STAGE search: the ADC pass
-    * shortlists `rerank` candidates per probe (cheap, quantization-
-    * approximate), then the shortlist alone is scored by EXACT cosine
-    * against the stored vectors and the final `k` keep the exact order
-    * (sim desc, id asc). Recall@k improves strictly whenever ADC's
-    * code-level ordering misranks inside the shortlist — the usual case
-    * at small m — and the exact work is |probes|·rerank dot products
-    * instead of the corpus scan a fully-exact search would need: the
-    * shortlist (with its probe vectors) broadcasts back onto ONE pass
-    * over the vector table. Output gains a `sim` column (the exact
-    * score; `adc` stays for diagnostics) and `rank` becomes the exact
-    * rank. `rerank = 0` (default) = raw-ADC ranks, output unchanged. */
-  def ivfPqTopK(corpus: DataFrame, id: Column, vec: Column, isProbe: Column,
-      coarseModel: DataFrame, pqModel: DataFrame, dim: Int, k: Int,
-      nprobe: Int = 1, rerank: Int = 0): DataFrame = {
-    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
-    require(rerank == 0 || rerank >= k,
-      s"rerank shortlist must be 0 (off) or >= k=$k; got $rerank")
-    val cents = collectModel(coarseModel)
-    require(cents.nonEmpty, "ivfPqTopK with an empty coarse model")
-    val mdl = collectPqModel(pqModel)
-    val e = corpus.select(id.as("__vid"), vec.as("__v"), isProbe.as("__isp"))
-    val scored = e.withColumn("__sc", graft.functions.NearestCells(col("__v"),
-      cents.map(_._2), cents.map(_._1)))
-    val coded = scored.select(col("__vid"),
-      element_at(col("__sc"), 1).as("cell"),
-      pqCodesCol(col("__v"), mdl, dim).as("codes"))
-    val probes = scored.filter(col("__isp"))
-      .select(col("__vid").as("probe_id"), col("__v").as("__pv"),
-        explode(slice(col("__sc"), 1, nprobe)).as("cell"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("__vid"))
-    val adcRanked = coded.join(broadcast(probes), Seq("cell"))
-      .filter(col("__vid") =!= col("probe_id"))
-      .withColumn("adc", graft.functions.PqAdcScore(col("__pv"), col("codes"),
-        mdl.map(_._2), mdl.map(_._1)))
-      .withColumn("rank", row_number().over(w))
-    if (rerank == 0)
-      adcRanked.filter(col("rank") <= k)
-        .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
-    else {
-      val shortlist = adcRanked.filter(col("rank") <= rerank)
-        .select(col("probe_id"), col("__pv"), col("__vid"), col("adc"))
-      val w2 = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("__vid"))
-      // one scan of the vector table with the tiny shortlist broadcast in
-      e.select(col("__vid"), col("__v")).join(broadcast(shortlist), Seq("__vid"))
-        .withColumn("sim", CosineSim(col("__pv"), col("__v")))
-        .withColumn("rank", row_number().over(w2))
-        .filter(col("rank") <= k)
-        .select(col("probe_id"), col("__vid").as("id"), col("rank"),
-          col("adc"), col("sim"))
-    }
-  }
-
-  /** The standalone exact re-rank stage for the STORED-index path: takes
-    * any ANN shortlist (probe id, candidate id — e.g. [[ivfPqTopKCoded]]
-    * run at k = k′), the probe vectors, and the full vector table, and
-    * returns the exact-cosine top-`k` per probe. This is how a two-stage
-    * search composes over a persisted [[ivfPqEncode]] index at 100 TB:
-    * the code table answers the cheap shortlist, and ONE equi-join pass
-    * over the at-rest vector table — shortlist and probes both broadcast
-    * (|probes|·k′ rows) — refunds the quantization error for the final
-    * k. Ordering: sim desc, id asc — deterministic. */
-  def rerankTopK(shortlist: DataFrame, slProbeId: Column, slCandId: Column,
-      probes: DataFrame, probeId: Column, probeVec: Column,
-      vectors: DataFrame, vecId: Column, vecCol: Column, k: Int): DataFrame = {
-    val sl = shortlist.select(slProbeId.as("probe_id"), slCandId.as("id"))
-    val p = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
-    val v = vectors.select(vecId.as("id"), vecCol.as("__cv"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("id"))
-    v.join(broadcast(sl.join(broadcast(p), Seq("probe_id"))), Seq("id"))
-      .withColumn("sim", CosineSim(col("__pv"), col("__cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("id"), col("rank"), col("sim"))
-  }
-
-  /** The build half of a STORED IVF×PQ index: tag each row with its
-    * coarse cell (argmax-dot against the baked [[kmeansFit]] model) and
-    * its PQ codes — the (id, cell, codes) table you persist to parquet,
-    * partitioned by cell if you like. A narrow zero-shuffle projection;
-    * after writing it the embedding column can be dropped. Search with
-    * [[ivfPqTopKCoded]]. */
-  def ivfPqEncode(df: DataFrame, id: Column, vec: Column,
-      coarseModel: DataFrame, pqModel: DataFrame, dim: Int): DataFrame =
-    ivfPqEncoder(id, vec, coarseModel, pqModel, dim)(df)
-
-  /** The reusable-encoder form of [[ivfPqEncode]]: collects both model
-    * tables ONCE and returns a pure `DataFrame => DataFrame` that tags any
-    * frame with (id, cell, codes) against those frozen constants. This is
-    * the seam incremental index maintenance needs — a foreachBatch append
-    * path encodes every micro-batch with the SAME baked models instead of
-    * re-running the model plans per batch (see
-    * [[graft.streaming.StreamingOps.ivfPqAppendSink]]). */
-  def ivfPqEncoder(id: Column, vec: Column, coarseModel: DataFrame,
-      pqModel: DataFrame, dim: Int): DataFrame => DataFrame = {
-    val cents = collectModel(coarseModel)
-    require(cents.nonEmpty, "ivfPqEncode with an empty coarse model")
-    val mdl = collectPqModel(pqModel)
-    df => df.select(id.as("id"),
-      element_at(graft.functions.NearestCells(vec,
-        cents.map(_._2), cents.map(_._1)), 1).as("cell"),
-      pqCodesCol(vec, mdl, dim).as("codes"))
-  }
-
-  /** Coarse-model maintenance for a STORED index: re-route every at-rest
-    * (id, cell, codes) row to its cell under a NEW coarse model WITHOUT
-    * re-encoding the PQ codes. Valid because codes are a pure function of
-    * (raw vector, pq model) and never of the coarse model — the SURVEY
-    * §2.4 raw-vector-encode design choice — so after a coarse retrain
-    * (e.g. on a corpus an [[graft.streaming.StreamingOps.ivfPqAppendSink]]
-    * stream has grown) only the routing column goes stale. One equi-join
-    * of the index against the vector table re-reads each vector for the
-    * new assignment (same baked NearestCells routing as [[ivfPqEncode]]);
-    * the `m` code ints per row pass through untouched. Output is
-    * (id, cell, codes), bit-identical to a full re-encode under
-    * (new coarse, same pq) — the PqSpec drift law. At 100 TB this is the
-    * difference between one join pass and re-running the PQ encode's
-    * m·NearestCells work per row — and it needs no PQ model at all. */
-  def reindexCells(coded: DataFrame, codedId: Column, codes: Column,
-      vectors: DataFrame, vecId: Column, vecCol: Column,
-      coarseModel: DataFrame): DataFrame = {
-    val cents = collectModel(coarseModel)
-    require(cents.nonEmpty, "reindexCells with an empty coarse model")
-    val c = coded.select(codedId.as("id"), codes.as("codes"))
-    val v = vectors.select(vecId.as("id"), vecCol.as("__v"))
-    c.join(v, Seq("id"))
-      .select(col("id"),
-        element_at(graft.functions.NearestCells(col("__v"),
-          cents.map(_._2), cents.map(_._1)), 1).as("cell"),
-        col("codes"))
-  }
-
-  /** Index compaction — the maintenance terminal of the at-rest ANN
-    * lifecycle (append → [[reindexCells]] → compact): rewrite the stored
-    * (id, cell, codes) table into a CELL-PARTITIONED layout with each
-    * cell's rows co-located in one task (`repartition(cell)` →
-    * `partitionBy("cell")` ⇒ exactly one file per cell instead of the
-    * one-file-per-(micro-batch × task) sprawl `ivfPqAppendSink`
-    * accumulates). The payoff is more than file count: the search side
-    * routes cells through a BROADCAST join ([[ivfPqTopKCoded]]), and a
-    * broadcast join against a partition column triggers Spark's dynamic
-    * partition pruning — after compaction a search with nprobe=p reads
-    * ~p/K of the index from disk instead of scanning everything and
-    * filtering (PqSpec asserts the `dynamicpruning` subquery in the
-    * plan and search parity with the uncompacted table). Pure layout:
-    * rows, schema, and every search result are unchanged. */
-  /** Z-ORDER curve value of two pre-normalized coordinates — the
-    * multi-column data-layout primitive (the Delta/Iceberg OPTIMIZE
-    * ZORDER idea as a plain column): interleave the low `bits` bits of
-    * `x` (even positions) and `y` (odd positions), so rows close in BOTH
-    * dimensions land close on the 1-D curve. Pure integer shifts/masks —
-    * codegen'd end to end and bit-portable (q89 hash-checks every
-    * z-value). Inputs must already sit in [0, 2^bits); see
-    * [[zorderNormalize]]. */
-  def zorderValue(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]; got $bits")
-    (0 until bits).map { i =>
-      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
-    }.reduce(_ + _)
-  }
-
-  /** k-COLUMN z-order value with PER-COLUMN bit widths (round 14 — real
-    * OPTIMIZE-ZORDER takes 3–4 columns): round-robin bit interleave,
-    * ascending bit level, columns in declaration order, columns whose
-    * width is exhausted drop out of later rounds. The 2-column equal-bits
-    * case reproduces [[zorderValue]] bit for bit (spec-asserted — so the
-    * q89 oracle proof carries over to this form). Total bits ≤ 63. */
-  def zorderValueN(cols: Seq[(Column, Int)]): Column = {
-    require(cols.size >= 2, s"zorderValueN needs >= 2 columns; got ${cols.size}")
-    cols.foreach { case (_, b) =>
-      require(b >= 1 && b <= 31, s"bits must be in [1, 31]; got $b") }
-    require(cols.map(_._2).sum <= 63,
-      s"total interleaved bits must be <= 63; got ${cols.map(_._2).sum}")
-    var pos = 0
-    val terms = for {
-      i <- 0 until cols.map(_._2).max
-      (c, b) <- cols if i < b
-    } yield {
-      val t = shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << pos)
-      pos += 1
-      t
-    }
-    terms.reduce(_ + _)
-  }
-
-  /** Min/max normalization of an integer column into [0, 2^bits):
-    * `(v − lo) · (2^bits − 1) div max(hi − lo, 1)` — exact integer
-    * arithmetic (the div is computed as `(n − n mod span) / span`, whose
-    * IEEE division is exact because the numerator is a multiple of the
-    * divisor — identical to the oracle's `//` on non-negative operands).
-    * `lo`/`hi` are trained-stats constants (2 longs — collect them like
-    * any model). Sound while (hi − lo)·(2^bits − 1) < 2^53. */
-  def zorderNormalize(v: Column, lo: Long, hi: Long, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]; got $bits")
-    require(hi >= lo, s"hi must be >= lo; got [$lo, $hi]")
-    val span = math.max(hi - lo, 1L)
-    val num = (v.cast("long") - lit(lo)) * lit((1L << bits) - 1)
-    ((num - pmod(num, lit(span))) / lit(span)).cast("long")
-  }
-
-  /** HILBERT-curve value of two pre-normalized coordinates — the locality
-    * upgrade over [[zorderValue]]: consecutive curve positions are ALWAYS
-    * unit-adjacent cells (the Z curve takes long diagonal jumps at
-    * power-of-two boundaries), so range-partitioned files cover even
-    * tighter 2-D regions. One codegen'd [[graft.functions.HilbertD]] call
-    * per row; pure integer ops stated identically in the oracle's
-    * unrolled per-level SQL (q90 hash-checks every value). Inputs from
-    * [[zorderNormalize]]. */
-  def hilbertValue(x: Column, y: Column, bits: Int): Column =
-    graft.functions.HilbertD(x, y, bits)
-
-  /** k-DIMENSIONAL Hilbert value (round 14): Skilling's transpose
-    * algorithm ("Programming the Hilbert curve", AIP Conf. Proc. 707,
-    * 2004 — the standard public n-D formulation) via one codegen'd
-    * [[graft.functions.HilbertDN]] call per row. Same locality guarantee
-    * as the 2-D walk — consecutive curve positions are unit-adjacent
-    * cells in k-space (spec-proven over the full 3-D grid) — with
-    * uniform `bits` per column; columns of genuinely different
-    * cardinality normalize into the same [0, 2^bits) domain via
-    * [[zorderNormalize]] first (Hamilton's compact-Hilbert is the known
-    * per-column-bits extension; the Z tier [[zorderValueN]] covers that
-    * need here). NOTE: for k = 2 this is a different (reflected)
-    * orientation than [[hilbertValue]]'s classic walk — both are Hilbert
-    * curves; the 2-D op keeps its q90-hash-proven layout. */
-  def hilbertValueN(cols: Seq[Column], bits: Int): Column = {
-    require(cols.size >= 2, s"hilbertValueN needs >= 2 columns; got ${cols.size}")
-    require(cols.size * bits <= 63,
-      s"k*bits must be <= 63; got ${cols.size} * $bits")
-    // NULL propagates like the z path's arithmetic does (CreateArray
-    // would otherwise hand ArrayData a null element that reads as
-    // coordinate 0 — a silently WRONG curve position)
-    when(cols.map(_.isNull).reduce(_ || _), lit(null).cast("bigint"))
-      .otherwise(graft.functions.HilbertDN(array(cols: _*), bits))
-  }
-
-  /** Z-ORDERED parquet write — the multi-column locality layout for
-    * min/max scan pruning at 100 TB: normalize both columns against
-    * collected corpus stats (4 longs — a trained-stats constant), compute
-    * the interleaved curve value, RANGE-partition on it into `nFiles`
-    * tasks and sort within each — so every output file covers one tight
-    * z-range and a box predicate on (x, y) concentrates its matches in
-    * few files, letting parquet row-group/file stats skip the rest
-    * (spec-measured: the same box query touches ~4× fewer files than a
-    * hash layout on the oracle fixture). Pure layout — rows unchanged. */
-  def zorderWrite(df: DataFrame, x: Column, y: Column, bits: Int,
-      path: String, nFiles: Int, curve: String = "z"): Unit = {
-    require(nFiles >= 1, s"nFiles must be >= 1; got $nFiles")
-    require(curve == "z" || curve == "hilbert",
-      s"curve must be 'z' or 'hilbert'; got '$curve'")
-    val st = df.agg(min(x.cast("long")), max(x.cast("long")),
-      min(y.cast("long")), max(y.cast("long"))).collect()(0)
-    require(!st.isNullAt(0), "zorderWrite on an empty corpus")
-    val xn = zorderNormalize(x, st.getLong(0), st.getLong(1), bits)
-    val yn = zorderNormalize(y, st.getLong(2), st.getLong(3), bits)
-    val z = if (curve == "hilbert") hilbertValue(xn, yn, bits)
-            else zorderValue(xn, yn, bits)
-    df.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
-  }
-
-  /** COMPACT Hilbert value with PER-COLUMN bit widths (round 14, closing
-    * the mixed-width Hilbert gap [[hilbertValueN]] documents): Hamilton &
-    * Rau-Chaplin's compact Hilbert index via one codegen'd
-    * [[graft.functions.CompactHilbertDN]] call per row — bijects
-    * [0, 2^Σbits) with NO index bits wasted on short columns, while
-    * preserving the uniform walk's visit order over the box (the
-    * spec-pinned defining law), so range-partitioned files keep Hilbert
-    * locality even when key cardinalities differ by orders of magnitude.
-    * Equal widths reduce to the uniform walk exactly. NULL coordinates
-    * yield NULL, matching [[zorderValueN]]. */
-  def compactHilbertValue(cols: Seq[(Column, Int)]): Column = {
-    require(cols.size >= 2,
-      s"compactHilbertValue needs >= 2 columns; got ${cols.size}")
-    require(cols.map(_._2).sum <= 63,
-      s"total bits must be <= 63; got ${cols.map(_._2).sum}")
-    when(cols.map(_._1.isNull).reduce(_ || _), lit(null).cast("bigint"))
-      .otherwise(graft.functions.CompactHilbertDN(
-        array(cols.map(_._1): _*), cols.map(_._2)))
-  }
-
-  /** k-COLUMN z-ordered/Hilbert parquet write — [[zorderWrite]] for the
-    * 3–4-column layouts real OPTIMIZE-ZORDER runs: normalize every
-    * column against collected corpus stats (2k longs), compute the
-    * k-column curve value ([[zorderValueN]] round-robin interleave or
-    * the Skilling [[hilbertValueN]] walk), range-partition + in-file
-    * sort. A k-D box predicate concentrates its matches in few files
-    * (spec-measured in 3-D); pure layout — rows unchanged. */
-  def zorderWriteN(df: DataFrame, cols: Seq[Column], bits: Int,
-      path: String, nFiles: Int, curve: String = "z"): Unit =
-    zorderWriteNW(df, cols.map(_ -> bits), path, nFiles, curve)
-
-  /** [[zorderWriteN]] with PER-COLUMN bit widths (the q94 form): the z
-    * curve and `curve = "compactHilbert"` (Hamilton — Hilbert locality
-    * at mixed widths) both accept them; the plain Skilling
-    * `curve = "hilbert"` needs a uniform hypercube and is rejected
-    * loudly rather than silently degraded. */
-  def zorderWriteNW(df: DataFrame, cols: Seq[(Column, Int)],
-      path: String, nFiles: Int, curve: String = "z"): Unit = {
-    require(cols.size >= 2, s"zorderWriteN needs >= 2 columns; got ${cols.size}")
-    require(nFiles >= 1, s"nFiles must be >= 1; got $nFiles")
-    require(curve == "z" || curve == "hilbert" || curve == "compactHilbert",
-      s"curve must be 'z', 'hilbert', or 'compactHilbert'; got '$curve'")
-    require(curve != "hilbert" || cols.map(_._2).distinct.size == 1,
-      "curve=hilbert needs uniform bits (use compactHilbert for mixed widths)")
-    val aggs = cols.flatMap { case (c, _) =>
-      Seq(min(c.cast("long")), max(c.cast("long"))) }
-    val st = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    require(!st.isNullAt(0), "zorderWriteN on an empty corpus")
-    val normed = cols.zipWithIndex.map { case ((c, b), j) =>
-      zorderNormalize(c, st.getLong(2 * j), st.getLong(2 * j + 1), b) -> b }
-    val z = curve match {
-      case "hilbert" => hilbertValueN(normed.map(_._1), cols.head._2)
-      case "compactHilbert" => compactHilbertValue(normed)
-      case _ => zorderValueN(normed)
-    }
-    df.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
-  }
-
-  def compactIndex(spark: SparkSession, inPath: String, outPath: String): Unit =
-    spark.read.parquet(inPath)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(outPath)
-
-  /** GENERAL small-files compaction — the Delta/Iceberg OPTIMIZE
-    * bin-packing idea as an engine primitive (round 14): a long-running
-    * curation pipeline (streaming appends, per-batch writes, heavily
-    * partitioned sinks) accretes thousands of tiny parquet files whose
-    * per-file open/footer cost eventually dominates scans at 100 TB.
-    * This measures the directory's ACTUAL on-disk bytes via the Hadoop
-    * FS (not row counts — compression ratio varies), targets
-    * `ceil(bytes / targetBytes)` output files, and rewrites with a
-    * round-robin repartition (even sizes, no skew key needed). Pure
-    * layout: same rows (spec-asserted), fewer files. Sort-preserving
-    * layouts ([[zorderWrite]]/[[zorderWriteN]]) have their own
-    * terminals — re-run those instead when curve order must survive. */
-  def compactOutput(spark: SparkSession, inPath: String, outPath: String,
-      targetBytes: Long = 128L * 1024 * 1024): Long = {
-    require(targetBytes >= 1, s"targetBytes must be >= 1; got $targetBytes")
-    val path = new org.apache.hadoop.fs.Path(inPath)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Sum DATA files only (skip _SUCCESS / _metadata / .crc side files —
-    // getContentSummary counts them, inflating the target file count on
-    // heavily-partitioned sinks; ADVICE r14). Still an estimate of the
-    // rewritten size: re-encoding can change bytes either way.
-    var bytes = 0L
-    val it = fs.listFiles(path, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val n = f.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) bytes += f.getLen
-    }
-    require(bytes > 0, s"compactOutput on an empty directory: $inPath")
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-    require(nFiles <= Int.MaxValue,
-      s"compactOutput: $bytes bytes at targetBytes=$targetBytes needs " +
-        s"$nFiles files — raise targetBytes (Int partition-count limit)")
-    spark.read.parquet(inPath)
-      .repartition(nFiles.toInt)
-      .write.mode("overwrite").parquet(outPath)
-    nFiles
-  }
-
-  /** Compaction for the PER-ROW admission indexes (fingerprint / image /
-    * audio / video append sinks) — closes the at-least-once caveat: a
-    * crash-retried micro-batch re-appends IDENTICAL index rows (every
-    * row is a pure function of its payload), so a full-row `distinct`
-    * restores exactly the rebuild-from-scratch index — flag outputs
-    * drop their duplicates and nothing else changes (spec'd with a
-    * simulated retry). Run it periodically, like any log-structured
-    * index's merge pass. */
-  def compactAdmissionIndex(spark: SparkSession, inPath: String,
-      outPath: String): Unit =
-    spark.read.parquet(inPath).distinct()
-      .write.mode("overwrite").parquet(outPath)
-
-  /** Compaction merge pass for the S20 upsert log
-    * ([[graft.streaming.StreamingOps.upsertAppendSink]]): reduce the
-    * accumulated per-batch winner rows to ONE row per key — TOMBSTONES
-    * INCLUDED (a compaction that dropped them would let an out-of-order
-    * older update resurrect a deleted key on the next merge; only the
-    * read face filters deletes). The derived table
-    * ([[graft.streaming.StreamingOps.upsertState]]) is identical before
-    * and after (spec'd — latestByKey is associative), the log shrinks
-    * from O(batches × keys) to O(keys). */
-  def compactUpsertLog(spark: SparkSession, inPath: String, outPath: String,
-      key: Seq[String], version: String, tiebreak: String): Unit =
-    latestByKey(spark.read.parquet(inPath), key.map(col),
-        col(version), col(tiebreak))
-      .write.mode("overwrite").parquet(outPath)
-
-  /** Compaction for the SPAN tier's accumulated [[spanIndexCounts]]
-    * partials: re-aggregate to ONE row per window hash (what
-    * [[spanIndexFromCounts]] would compute on read, materialized) — the
-    * derived index is identical before and after (spec'd), the table
-    * shrinks from O(batches × hashes) to O(hashes). NOTE this cannot
-    * un-double-count a crash-retried batch (partials with equal counts
-    * from different batches are legitimate and indistinguishable); a
-    * retry can only OVER-count, which only ADDS spans to the index —
-    * the conservative direction for dedup/decontamination (masks more,
-    * never leaks a repeated span). Exactly-once span counts need the
-    * affected slice re-counted, the documented recovery. */
-  def compactSpanCounts(spark: SparkSession, inPath: String,
-      outPath: String): Unit =
-    spark.read.parquet(inPath)
-      .groupBy(col("__sh"))
-      .agg(sum(col("__df")).as("__df"), sum(col("__n")).as("__n"))
-      .write.mode("overwrite").parquet(outPath)
-
-  /** The search half over a STORED index ([[ivfPqEncode]] output read
-    * back — id + cell + codes, NO vectors): probes carry full vectors and
-    * route to their `nprobe` nearest cells via the same baked coarse
-    * model; ADC scores only inside probed cells. Spec-asserted equal to
-    * the inline [[ivfPqTopK]] — together with [[pqTopKCoded]] this makes
-    * the whole index family build-once/search-many: at 100 TB the index
-    * build is one pass over the embeddings, and every search afterwards
-    * reads only the compact code table plus two tiny model tables. */
-  def ivfPqTopKCoded(coded: DataFrame, codedId: Column, cell: Column,
-      codes: Column, probes: DataFrame, probeId: Column, probeVec: Column,
-      coarseModel: DataFrame, pqModel: DataFrame, k: Int,
-      nprobe: Int = 1): DataFrame = {
-    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
-    val cents = collectModel(coarseModel)
-    require(cents.nonEmpty, "ivfPqTopKCoded with an empty coarse model")
-    val mdl = collectPqModel(pqModel)
-    val c = coded.select(codedId.as("__vid"), cell.as("cell"), codes.as("__codes"))
-    val p = probes
-      .select(probeId.as("probe_id"), probeVec.as("__pv"),
-        explode(slice(graft.functions.NearestCells(probeVec,
-          cents.map(_._2), cents.map(_._1)), 1, nprobe)).as("cell"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("__vid"))
-    c.join(broadcast(p), Seq("cell"))
-      .filter(col("__vid") =!= col("probe_id"))
-      .withColumn("adc", graft.functions.PqAdcScore(col("__pv"), col("__codes"),
-        mdl.map(_._2), mdl.map(_._1)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
-  }
-
-  /** Residual product-quantization trainer — the opt-in recall tier the
-    * SURVEY §2.4 design note reserves (vs the default raw-vector pqFit
-    * lifecycle): quantize `v − c(v)` (each vector minus its coarse cell's
-    * centroid, the classic IVFADC encoding) instead of `v` itself. Inside
-    * a cell, residual magnitudes span a CELL radius, not a corpus radius,
-    * so the same (m, ksub) codebook budget spends its resolution on a
-    * smaller ball — measured on the oracle fixture (RecallSpec) the
-    * residual tier beats the equal-bytes rich tier's recall@3.
-    *
-    * The trade the default avoids: residual codes are a function of
-    * (vector, coarse model, pq model) — a coarse retrain invalidates every
-    * stored code (no [[reindexCells]] cheap path), which is why raw-vector
-    * PQ remains the default lifecycle and this tier is opt-in for the
-    * recall-critical case with a FROZEN coarse model.
-    *
-    * Mechanics: route each row (baked NearestCells argmax), subtract the
-    * selected centroid (one codegen'd [[graft.functions.CellResidual]]
-    * pass — a single IEEE subtract per component, bit-portable), then the
-    * standard [[pqFit]] machinery trains on the residual frame (same
-    * portable-hash seed rows — the hash is over the ids, which the
-    * residual frame shares). Output schema matches [[pqFit]]. */
-  def pqFitResidual(df: DataFrame, id: Column, vec: Column,
-      coarseModel: DataFrame, dim: Int, m: Int, ksub: Int,
-      iters: Int): DataFrame = {
-    val cents = collectModel(coarseModel)
-    require(cents.nonEmpty, "pqFitResidual with an empty coarse model")
-    val resid = df
-      .select(id.as("__rid"), vec.as("__fv"))
-      .withColumn("__cell", element_at(graft.functions.NearestCells(
-        col("__fv"), cents.map(_._2), cents.map(_._1)), 1))
-      .select(col("__rid"), graft.functions.CellResidual(col("__fv"),
-        col("__cell"), cents.map(_._2), cents.map(_._1)).as("__rv"))
-    pqFit(resid, col("__rid"), col("__rv"), dim, m, ksub, iters)
-  }
-
-  /** The build half of a STORED residual-PQ (IVFADC) index: tag each row
-    * with its coarse cell and its RESIDUAL codes — same (id, cell, codes)
-    * persistence shape as [[ivfPqEncode]], same narrow zero-shuffle
-    * projection, but `codes` quantize `v − c(v)` under a [[pqFitResidual]]
-    * model. The coarse model must be the SAME frozen model the pq model
-    * was trained against (codes are meaningless under any other). */
-  def ivfRpqEncode(df: DataFrame, id: Column, vec: Column,
-      coarseModel: DataFrame, rpqModel: DataFrame, dim: Int): DataFrame =
-    ivfRpqEncoder(id, vec, coarseModel, rpqModel, dim)(df)
-
-  /** The reusable-encoder form of [[ivfRpqEncode]] (the residual twin of
-    * [[ivfPqEncoder]]): collects both frozen models ONCE and returns a
-    * pure `DataFrame => DataFrame`. Residual encode is still a pure
-    * per-row function of the frozen (coarse, residual-pq) model PAIR —
-    * codes never depend on other rows — so append-then-search equals
-    * rebuild-then-search exactly, same as the raw tier
-    * ([[graft.streaming.StreamingOps.ivfRpqAppendSink]], spec-asserted).
-    * The lifecycle asymmetry is only in RETRAINS: a new coarse model
-    * invalidates residual codes (no [[reindexCells]] path). */
-  def ivfRpqEncoder(id: Column, vec: Column, coarseModel: DataFrame,
-      rpqModel: DataFrame, dim: Int): DataFrame => DataFrame = {
-    val cents = collectModel(coarseModel)
-    require(cents.nonEmpty, "ivfRpqEncode with an empty coarse model")
-    val mdl = collectPqModel(rpqModel)
-    df => df.select(id.as("id"), vec.as("__fv"))
-      .withColumn("cell", element_at(graft.functions.NearestCells(
-        col("__fv"), cents.map(_._2), cents.map(_._1)), 1))
-      .withColumn("__rv", graft.functions.CellResidual(col("__fv"),
-        col("cell"), cents.map(_._2), cents.map(_._1)))
-      .select(col("id"), col("cell"), pqCodesCol(col("__rv"), mdl, dim).as("codes"))
-  }
-
-  /** Residual-PQ (IVFADC) search, inline form: identical routing and join
-    * shape to [[ivfPqTopK]] (coarse cells route, candidates live in probed
-    * cells, probes broadcast), but the score reconstructs through the cell:
-    * `adc = ⟨p, c(v)⟩ + ⟨p, r̂(v)⟩` — the cell-centroid dot (one
-    * [[graft.functions.PlaneDots]] pass per probe against the baked coarse
-    * model, computed ONCE per (probe, cell), i.e. nprobe values per probe,
-    * not per candidate) plus the residual ADC ([[graft.functions.PqAdcScore]]
-    * against the residual codebooks, one codegen'd call per candidate).
-    * Since every candidate in a probed cell shares the celldot term, the
-    * per-candidate work is exactly [[ivfPqTopK]]'s; what changes is WHERE
-    * the codebook resolution went. Ordering: adc desc, id asc. `rerank` as
-    * in [[ivfPqTopK]]: ADC shortlist → exact cosine over one vector-table
-    * pass. */
-  def ivfRpqTopK(corpus: DataFrame, id: Column, vec: Column, isProbe: Column,
-      coarseModel: DataFrame, rpqModel: DataFrame, dim: Int, k: Int,
-      nprobe: Int = 1, rerank: Int = 0): DataFrame = {
-    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
-    require(rerank == 0 || rerank >= k,
-      s"rerank shortlist must be 0 (off) or >= k=$k; got $rerank")
-    val cents = collectModel(coarseModel)
-    require(cents.nonEmpty, "ivfRpqTopK with an empty coarse model")
-    val labels = cents.map(_._1)
-    val cvecs = cents.map(_._2)
-    val mdl = collectPqModel(rpqModel)
-    val e = corpus.select(id.as("__vid"), vec.as("__v"), isProbe.as("__isp"))
-    val scored = e.withColumn("__sc", graft.functions.NearestCells(col("__v"),
-      cvecs, labels))
-    val coded = scored
-      .withColumn("cell", element_at(col("__sc"), 1))
-      .withColumn("__rv", graft.functions.CellResidual(col("__v"), col("cell"),
-        cvecs, labels))
-      .select(col("__vid"), col("cell"), pqCodesCol(col("__rv"), mdl, dim).as("codes"))
-    val probes = scored.filter(col("__isp"))
-      .withColumn("__dots", graft.functions.PlaneDots(col("__v"), cvecs))
-      .select(col("__vid").as("probe_id"), col("__v").as("__pv"),
-        explode(slice(col("__sc"), 1, nprobe)).as("cell"), col("__dots"))
-      .withColumn("celldot", element_at(col("__dots"),
-        array_position(array(labels.map(lit): _*), col("cell")).cast("int")))
-      .drop("__dots")
-    val w = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("__vid"))
-    val adcRanked = coded.join(broadcast(probes), Seq("cell"))
-      .filter(col("__vid") =!= col("probe_id"))
-      .withColumn("adc", col("celldot") + graft.functions.PqAdcScore(col("__pv"),
-        col("codes"), mdl.map(_._2), mdl.map(_._1)))
-      .withColumn("rank", row_number().over(w))
-    if (rerank == 0)
-      adcRanked.filter(col("rank") <= k)
-        .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
-    else {
-      val shortlist = adcRanked.filter(col("rank") <= rerank)
-        .select(col("probe_id"), col("__pv"), col("__vid"), col("adc"))
-      val w2 = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("__vid"))
-      e.select(col("__vid"), col("__v")).join(broadcast(shortlist), Seq("__vid"))
-        .withColumn("sim", CosineSim(col("__pv"), col("__v")))
-        .withColumn("rank", row_number().over(w2))
-        .filter(col("rank") <= k)
-        .select(col("probe_id"), col("__vid").as("id"), col("rank"),
-          col("adc"), col("sim"))
-    }
-  }
-
-  /** The search half over a STORED residual index ([[ivfRpqEncode]] output
-    * read back — id + cell + codes, NO vectors): same broadcast-route /
-    * DPP-friendly cell equi-join as [[ivfPqTopKCoded]], scored through the
-    * cell like [[ivfRpqTopK]] (spec-asserted equal to the inline form). */
-  def ivfRpqTopKCoded(coded: DataFrame, codedId: Column, cell: Column,
-      codes: Column, probes: DataFrame, probeId: Column, probeVec: Column,
-      coarseModel: DataFrame, rpqModel: DataFrame, k: Int,
-      nprobe: Int = 1): DataFrame = {
-    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
-    val cents = collectModel(coarseModel)
-    require(cents.nonEmpty, "ivfRpqTopKCoded with an empty coarse model")
-    val labels = cents.map(_._1)
-    val cvecs = cents.map(_._2)
-    val mdl = collectPqModel(rpqModel)
-    val c = coded.select(codedId.as("__vid"), cell.as("cell"), codes.as("__codes"))
-    val p = probes
-      .select(probeId.as("probe_id"), probeVec.as("__pv"))
-      .withColumn("__sc", graft.functions.NearestCells(col("__pv"), cvecs, labels))
-      .withColumn("__dots", graft.functions.PlaneDots(col("__pv"), cvecs))
-      .select(col("probe_id"), col("__pv"),
-        explode(slice(col("__sc"), 1, nprobe)).as("cell"), col("__dots"))
-      .withColumn("celldot", element_at(col("__dots"),
-        array_position(array(labels.map(lit): _*), col("cell")).cast("int")))
-      .drop("__dots")
-    val w = Window.partitionBy(col("probe_id")).orderBy(desc("adc"), col("__vid"))
-    c.join(broadcast(p), Seq("cell"))
-      .filter(col("__vid") =!= col("probe_id"))
-      .withColumn("adc", col("celldot") + graft.functions.PqAdcScore(col("__pv"),
-        col("__codes"), mdl.map(_._2), mdl.map(_._1)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("adc"))
-  }
-
-  /** The deterministic ±1/√k projection plane family used by
-    * [[randomProject]]: sign of entry (j, i) comes from the portable md5
-    * hash of `rp<seed>|<j>_<i>`, so the SAME constants can be baked into
-    * both the Spark plan and a generated oracle SQL literal (the
-    * [[graft.functions.PlaneSigns]] hyperplane trick). 1/√k is a single
-    * IEEE sqrt + divide — correctly rounded in any IEEE engine, so the
-    * pre-scaled entries are bit-identical on both sides. */
-  def rpPlanes(inDim: Int, outDim: Int, seed: Int): IndexedSeq[IndexedSeq[Double]] = {
-    val scale = 1.0 / math.sqrt(outDim.toDouble)
-    IndexedSeq.tabulate(outDim, inDim) { (j, i) =>
-      if (Portable.phashJvm(s"rp$seed|${j}_$i") % 2 == 0) scale else -scale
-    }
-  }
-
-  /** Johnson–Lindenstrauss random projection — the dim-reduction step a
-    * 100 TB embedding pipeline runs BEFORE indexing: project
-    * `array<float>` vectors onto `outDim` deterministic ±1/√k planes
-    * (Achlioptas-style sign matrix; pairwise distances are preserved
-    * within the JL ε with high probability, and k counts far less than
-    * the constant in front). Adds `proj` (array<double>, length
-    * `outDim`). A pure narrow map — zero shuffle, scan speed at any
-    * scale — and the k-plane product is ONE codegen'd
-    * [[graft.functions.PlaneDots]] pass (the HOF form re-walks the
-    * embedding once per output dim, interpreted). Deterministic across
-    * runs/engines: planes derive from the portable hash via
-    * [[rpPlanes]], so projected corpora are reproducible and
-    * oracle-checkable (q61). A different `seed` draws an independent
-    * projection without touching the data. */
-  def randomProject(df: DataFrame, vec: Column, inDim: Int, outDim: Int,
-      seed: Int = 0): DataFrame = {
-    require(inDim > 0 && outDim > 0 && outDim <= inDim,
-      s"need 0 < outDim <= inDim; got inDim=$inDim outDim=$outDim")
-    // Wrong-shape vectors fail loudly: PlaneDots (like the rest of the
-    // CosineSim family) folds over min(len, planeLen) elements, so a short
-    // embedding would silently project a PREFIX — degraded geometry with
-    // no signal. NULL vectors null-propagate (proj = null), matching the
-    // family convention; null ELEMENTS inside the array remain the
-    // caller's contract (embedding columns are containsNull=false).
-    val vecSize = coalesce(size(vec), lit(-1))
-    val checked = when(vecSize === inDim || vecSize === -1, vec)
-      .otherwise(raise_error(concat(
-        lit(s"randomProject: expected $inDim-component vectors, got "),
-        vecSize.cast("string"), lit(" — pass the actual inDim or fix the input"))))
-    df.withColumn("proj",
-      graft.functions.PlaneDots(checked, rpPlanes(inDim, outDim, seed)))
-  }
-
-  // --------------------------------------------------------- PCA family
-
-  /** Exact integer Gram/second-moment matrix of an embedding column —
-    * the sufficient statistic PCA, whitening, and covariance analysis
-    * start from, computed so that it HASH-GATES even though it
-    * summarizes float data: each component quantizes to floor-micros
-    * (the q21/q48 exact-decimal convention) and cell (i, j) is the
-    * exact Long sum of quantized products. ONE
-    * [[graft.functions.GramAgg]] pass — a typed Aggregator with
-    * O(dim²) state per task and element-wise merge, so map-side
-    * combine applies and NOTHING row-scale ever shuffles (the
-    * explode-then-regroup form would ship dim²× rows); the single
-    * packed row then unpivots to (i, j, g) upper-triangle rows
-    * (i ≤ j) via baked index literals. Exactness contract in the
-    * aggregator scaladoc (unit-scale embeddings: exact to ~9M rows
-    * per aggregate; shard-and-fold in decimal beyond — the summary is
-    * mergeable by construction). */
-  def gramMatrix(df: DataFrame, vec: Column, dim: Int): DataFrame = {
-    require(dim >= 1 && dim <= 512, s"dim must be in [1,512]; got $dim")
-    val gramLen = dim * (dim + 1) / 2
-    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
-    val ga = udaf(new graft.functions.GramAgg(dim), enc)
-    val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
-    val iArr = typedLit(pairs.map(_._1))
-    val jArr = typedLit(pairs.map(_._2))
-    df.select(ga(vec).as("__s"))
-      .select(posexplode(slice(col("__s"), dim + 2, gramLen))
-        .as(Seq("__p", "g")))
-      .select(element_at(iArr, col("__p") + 1).as("i"),
-        element_at(jArr, col("__p") + 1).as("j"), col("g"))
-      .orderBy("i", "j")
-  }
-
-  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
-    * deterministic by construction (fixed sweep order, fixed
-    * convergence threshold, eigenpairs sorted by (eigenvalue desc,
-    * original index asc), each eigenvector sign-pinned so its
-    * largest-|component| entry — first on ties — is positive). Runs on
-    * the DRIVER over a model-sized dim×dim matrix (the
-    * codebook/centroid collect posture); the corpus never sees it. */
-  private def jacobiEigen(aIn: Array[Array[Double]])
-      : (Array[Double], Array[Array[Double]]) = {
-    val n = aIn.length
-    val a = Array.tabulate(n, n)((i, j) => aIn(i)(j))
-    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
-    def off(): Double = {
-      var s = 0.0
-      var i = 0
-      while (i < n) {
-        var j = i + 1
-        while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }
-        i += 1
-      }
-      s
-    }
-    var sweep = 0
-    while (sweep < 64 && off() > 1e-22) {
-      var p = 0
-      while (p < n - 1) {
-        var q = p + 1
-        while (q < n) {
-          val apq = a(p)(q)
-          if (math.abs(apq) > 1e-300) {
-            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t =
-              if (theta == 0.0) 1.0
-              else math.signum(theta) /
-                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
-            val c = 1.0 / math.sqrt(t * t + 1.0)
-            val sn = t * c
-            var i = 0
-            while (i < n) {
-              val aip = a(i)(p); val aiq = a(i)(q)
-              a(i)(p) = c * aip - sn * aiq
-              a(i)(q) = sn * aip + c * aiq
-              i += 1
-            }
-            i = 0
-            while (i < n) {
-              val api = a(p)(i); val aqi = a(q)(i)
-              a(p)(i) = c * api - sn * aqi
-              a(q)(i) = sn * api + c * aqi
-              i += 1
-            }
-            i = 0
-            while (i < n) {
-              val vip = v(i)(p); val viq = v(i)(q)
-              v(i)(p) = c * vip - sn * viq
-              v(i)(q) = sn * vip + c * viq
-              i += 1
-            }
-          }
-          q += 1
-        }
-        p += 1
-      }
-      sweep += 1
-    }
-    val order = (0 until n).sortBy(i => (-a(i)(i), i))
-    val vals = order.map(i => a(i)(i)).toArray
-    val vecs = order.map { ci =>
-      val colv = Array.tabulate(n)(r => v(r)(ci))
-      val m = colv.indices.maxBy(i => (math.abs(colv(i)), -i))
-      if (colv(m) < 0.0) colv.map(x => -x) else colv
-    }.toArray
-    (vals, vecs)
-  }
-
-  /** PCA fit — top-`k` principal components of an embedding column
-    * from ONE [[graft.functions.GramAgg]] corpus pass: the exact
-    * integer (count, sums, Gram) summary collects as a single
-    * model-sized row, the covariance C = G/N − μμᵀ derives from it in
-    * doubles, and a deterministic driver-side Jacobi solve (see
-    * [[jacobiEigen]] — fixed sweep order, sign-pinned eigenvectors)
-    * yields the components. Returns a MODEL table that flows by port
-    * like the codebook/centroid models (q50/q66): one row per
-    * (component, dim) with the loading `weight` and the component's
-    * `eigenvalue`, plus component = −1 rows carrying the column means
-    * μ (the centering the projection needs). The model is rows-only
-    * territory by design — eigenvectors are iterative float output no
-    * SQL engine restates — so its laws are spec-pinned instead:
-    * orthonormality, the eigen residual ‖Cv − λv‖, descending
-    * eigenvalues, planted-direction recovery, and run-to-run
-    * determinism. The CORPUS-side statistic it consumes is exactly
-    * [[gramMatrix]], which IS hash-gated (q154). */
-  def pcaFit(df: DataFrame, vec: Column, dim: Int, k: Int): DataFrame = {
-    require(dim >= 1 && dim <= 512, s"dim must be in [1,512]; got $dim")
-    require(k >= 1 && k <= dim, s"need 1 <= k <= dim; got k=$k dim=$dim")
-    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
-    val ga = udaf(new graft.functions.GramAgg(dim), enc)
-    // one row, 1 + dim + dim(dim+1)/2 longs — the model-sized collect
-    val s = df.select(ga(vec).as("__s")).head().getSeq[Long](0)
-    val n = s.head.toDouble
-    require(n >= 2.0, s"pcaFit needs >= 2 rows; got ${s.head}")
-    val mu = Array.tabulate(dim)(i => s(1 + i) * 1e-6 / n)
-    val cov = Array.ofDim[Double](dim, dim)
-    var p = 1 + dim
-    var i = 0
-    while (i < dim) {
-      var j = i
-      while (j < dim) {
-        val c = s(p) * 1e-12 / n - mu(i) * mu(j)
-        cov(i)(j) = c; cov(j)(i) = c
-        p += 1; j += 1
-      }
-      i += 1
-    }
-    val (vals, vecs) = jacobiEigen(cov)
-    val session = df.sparkSession
-    import session.implicits._
-    val rows =
-      (0 until dim).map(d => (-1, d, mu(d), 0.0)) ++
-        (for { c <- 0 until k; d <- 0 until dim }
-          yield (c, d, vecs(c)(d), vals(c)))
-    rows.toDF("component", "dim", "weight", "eigenvalue")
-  }
-
-  /** PCA projection — scores = V·(x − μ) for a [[pcaFit]] model: the
-    * k×dim loading matrix and mean collect driver-side (model-sized,
-    * the codebook posture), the matrix product is ONE codegen'd
-    * [[graft.functions.PlaneDots]] pass (the q61 machinery — the HOF
-    * form re-walks the embedding once per component, interpreted), and
-    * centering folds into the affine constant V·μ subtracted from the
-    * k-length output (never an elementwise x − μ walk per row). Adds
-    * `proj` (array<double>, length k). Pure narrow map — zero shuffle,
-    * scan speed at any scale; wrong-length vectors fail loudly (the
-    * randomProject guard — a silent prefix fold would project degraded
-    * geometry with no signal). */
-  def pcaProject(df: DataFrame, vec: Column, model: DataFrame,
-      dim: Int): DataFrame = {
-    val rows = model.select(col("component"), col("dim"), col("weight"))
-      .collect()
-    val muRows = rows.filter(_.getInt(0) == -1)
-    // a model without mean rows would silently project UNCENTERED —
-    // different scores with no signal; fail loudly instead
-    require(muRows.nonEmpty,
-      "pcaProject: model has no component = -1 mean rows (not a pcaFit model?)")
-    val mu = new Array[Double](dim)
-    muRows.foreach(r => mu(r.getInt(1)) = r.getDouble(2))
-    val comps = rows.filter(_.getInt(0) >= 0)
-    require(comps.nonEmpty, "pcaProject: model has no component rows")
-    val k = comps.map(_.getInt(0)).max + 1
-    val mat = Array.ofDim[Double](k, dim)
-    comps.foreach(r => mat(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    val planes = IndexedSeq.tabulate(k, dim)((c, d) => mat(c)(d))
-    val offset = planes.map(rowv =>
-      rowv.iterator.zip(mu.iterator).map { case (w, m) => w * m }.sum)
-    val vecSize = coalesce(size(vec), lit(-1))
-    val checked = when(vecSize === dim || vecSize === -1, vec)
-      .otherwise(raise_error(concat(
-        lit(s"pcaProject: expected $dim-component vectors, got "),
-        vecSize.cast("string"))))
-    df.withColumn("proj",
-      zip_with(graft.functions.PlaneDots(checked, planes),
-        typedLit(offset), (a, b) => a - b))
-  }
-
-  /** L2 (unit-norm) embedding normalization — the preprocessing step the
-    * dot-scored routing family ASSUMES (see [[ivfTopK]]/[[kmeansFit]]:
-    * cell assignment ranks raw dot products, which biases toward
-    * long-norm vectors unless inputs are ~unit-norm; this op closes that
-    * documented caveat). Adds `unit` (array<double>). Pure narrow HOF
-    * map, zero shuffle, scan speed at any scale: ONE codegen'd
-    * [[graft.functions.L2Unit]] pass per row (sequential zero-seeded
-    * sum-of-squares fold — bit-identical to the oracle's first-element-
-    * seeded `list_reduce` since squares are non-negative — then one
-    * divide per component; the HOF `aggregate`+`transform` form ran
-    * interpreted and ~5× slower, measured). Zero-norm vectors yield NULL
-    * components — 0/0 would be an engine-dependent NaN/Inf; NULL
-    * *vectors* null-propagate to a NULL array (the family convention). */
-  def l2Normalize(df: DataFrame, vec: Column): DataFrame = {
-    require(!df.columns.contains("unit"),
-      "l2Normalize adds a `unit` column; the input already has one — rename it first")
-    df.withColumn("unit", graft.functions.L2Unit(vec))
-  }
-
-  /** Table profile — the dataset-card primitive every ingestion runs
-    * before anything else: one row per column with the exact-safe
-    * counts that are portable for ANY column type — rows, non-null
-    * count, null count, exact distinct count. (Min/max/mean are
-    * deliberately absent: their string/float renderings are
-    * engine-dependent across types; the declarative validation op
-    * (q57) checks typed bounds where they matter.) Column order is the
-    * schema's, surfaced as an explicit ordinal so the report is
-    * totally ordered. All integers (hash-gates, q147).
-    *
-    * Plan, exact tier: ONE aggregate computes every column's count +
-    * exact count-distinct in a single corpus pass (Spark plans
-    * multi-distinct via one expand — m distinct aggregates cost one
-    * m-way ROW MULTIPLICATION of the corpus through one exchange),
-    * then a 1-row → m-row literal unpivot. No per-column scans, no
-    * window. At 100 TB that Expand is exactly the wrong default for
-    * the one op that by definition scans the whole corpus — so
-    * `approx = true` swaps each countDistinct for an HLL++
-    * `approx_count_distinct` (the q15b/q29b sketch-tier precedent):
-    * same report schema, ONE map-side-combined pass with NO row
-    * expansion, n_distinct becomes an estimate (default rsd 5%;
-    * rows-only gate q147b — sketches don't hash-match DuckDB, the
-    * relative-error bound vs the exact tier is spec-pinned). */
-  def profileTable(df: DataFrame, cols: Seq[String] = Nil,
-      approx: Boolean = false): DataFrame = {
-    val names = if (cols.nonEmpty) cols else df.columns.toSeq
-    require(names.nonEmpty, "profileTable needs at least one column")
-    val missing = names.filterNot(df.columns.contains)
-    require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
-    def nd(c: String): Column =
-      if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
-    val aggs = count(lit(1)).as("__rows") +:
-      names.zipWithIndex.flatMap { case (c, i) =>
-        Seq(count(col(c)).as(s"__nn$i"), nd(c).as(s"__nd$i"))
-      }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    one.select(posexplode(array(names.zipWithIndex.map { case (c, i) =>
-        struct(lit(c).as("column"), col("__rows").as("n_rows"),
-          col(s"__nn$i").as("n_nonnull"),
-          (col("__rows") - col(s"__nn$i")).as("n_null"),
-          col(s"__nd$i").as("n_distinct"))
-      }: _*)))
-      .select((col("pos") + 1).cast("long").as("ordinal"),
-        col("col.column").as("column"),
-        col("col.n_rows").as("n_rows"), col("col.n_nonnull").as("n_nonnull"),
-        col("col.n_null").as("n_null"), col("col.n_distinct").as("n_distinct"))
-  }
-
-  /** Dataset-card DRIFT report — [[profileTable]] of two snapshots of
-    * the "same" table FULL-OUTER joined by column name: per column,
-    * both row counts, exact integer null-ppm on both sides with the
-    * delta, and both exact distinct counts with the delta — the
-    * regression check every scheduled ingest runs against its previous
-    * card before publishing (a null-rate jump or a cardinality collapse
-    * is a broken upstream, caught at the card, not by a consumer).
-    * SCHEMA drift is first-class, not an error: a column present on
-    * only one side still reports, its missing side NULL and `status`
-    * saying added/removed/common — the full-outer complement of q107's
-    * value-distribution drift (one column, deep) at the whole-schema
-    * grain (every column, shallow). Deltas on added/removed columns are
-    * NULL (there is no honest number). Cost = the two profile passes
-    * (the q147 single-aggregate shape each; `approx = true` routes both
-    * through the HLL tier — the 100 TB default) plus a column-count-
-    * sized join. Total order: current-side ordinal (base ordinal for
-    * removed columns), then column name. */
-  def profileDrift(base: DataFrame, cur: DataFrame,
-      cols: Seq[String] = Nil, approx: Boolean = false): DataFrame = {
-    val b = profileTable(base, cols, approx)
-      .select(col("ordinal").as("__ob"), col("column"),
-        col("n_rows").as("rows_base"), col("n_null").as("__nb"),
-        col("n_distinct").as("distinct_base"))
-    val c = profileTable(cur, cols, approx)
-      .select(col("ordinal").as("__oc"), col("column"),
-        col("n_rows").as("rows_cur"), col("n_null").as("__nc"),
-        col("n_distinct").as("distinct_cur"))
-    b.join(c, Seq("column"), "full_outer")
-      .withColumn("status",
-        when(col("__ob").isNull, lit("added"))
-          .when(col("__oc").isNull, lit("removed"))
-          .otherwise(lit("common")))
-      .withColumn("null_ppm_base",
-        expr("(__nb * 1000000) div greatest(rows_base, 1)"))
-      .withColumn("null_ppm_cur",
-        expr("(__nc * 1000000) div greatest(rows_cur, 1)"))
-      .withColumn("null_ppm_delta",
-        col("null_ppm_cur") - col("null_ppm_base"))
-      .withColumn("distinct_delta",
-        col("distinct_cur") - col("distinct_base"))
-      .orderBy(coalesce(col("__oc"), col("__ob")), col("column"))
-      .select(col("column"), col("status"), col("rows_base"),
-        col("rows_cur"), col("null_ppm_base"), col("null_ppm_cur"),
-        col("null_ppm_delta"), col("distinct_base"), col("distinct_cur"),
-        col("distinct_delta"))
-  }
-
-  /** Key-skew audit — the measurement that DECIDES [[saltedJoin]]'s
-    * `salts` (or an AQE skew threshold, or a broadcast) before a 100 TB
-    * shuffle pays for the wrong choice: the top-`topN` hottest keys by
-    * exact count, each row carrying its integer-ppm share of all rows
-    * plus the global totals (n_rows, n_keys), ordered by the
-    * (count desc, key asc NULLS LAST) total order — the NULL position
-    * is pinned explicitly because Spark and DuckDB disagree on the
-    * ascending default. NULL keys are REAL skew — every
-    * NULL row hash-partitions together — so NULL is reported as a key
-    * like any other (its key string is NULL; stated). Keys surface CAST
-    * TO STRING so one report type serves any key type (hash-portable).
-    * All integers exact (q145).
-    *
-    * Plan: one map-side-combined key agg, one 1-row totals broadcast
-    * (the q35/q70 shape), one TakeOrderedAndProject — never a sort of
-    * the key table. */
-  def keySkewReport(df: DataFrame, key: Column, topN: Int): DataFrame = {
-    require(topN >= 1, s"topN must be >= 1; got $topN")
-    val counts = df.select(key.cast("string").as("key"))
-      .groupBy(col("key")).agg(count(lit(1)).as("n"))
-    val totals = counts.agg(sum(col("n")).as("__rows"),
-      count(lit(1)).as("__keys"))
-    counts.crossJoin(broadcast(totals))
-      .withColumn("ppm", expr("(n * 1000000) div __rows"))
-      // NULLS LAST pinned explicitly: Spark's default asc puts NULL
-      // FIRST while DuckDB defaults NULLS LAST, so a count tie between
-      // the NULL key and a non-null key would flip topN membership
-      // across engines (r17 ADVICE) — the report's total order is
-      // (count desc, key asc NULLS LAST) on both.
-      .orderBy(desc("n"), col("key").asc_nulls_last)
-      .limit(topN)
-      .select(col("key"), col("n"), col("ppm"),
-        col("__rows").as("n_rows"), col("__keys").as("n_keys"))
-  }
-
-  /** Join-cardinality estimator — EXACT |A ⋈ B| without executing the
-    * join: Σ over matching keys of n_a·n_b, computed from the two
-    * key-count tables (key-cardinality scale, never row scale). The
-    * pre-flight audit that catches the accidental many-to-many before
-    * it materializes (a fanout of 10⁴×10⁴ on one hot key is 10⁸ rows
-    * the plan never warned about): reports the top-`topN` contributing
-    * keys (n_left, n_right, exact pair count) with the global exact
-    * join_rows and matched-key count on every row. NULL keys never
-    * match (equi-join semantics) and are excluded. Keys as strings,
-    * all counts exact integers (q146).
-    *
-    * Plan: two map-side-combined key aggs, one key-table equi-join
-    * (AQE broadcasts the smaller), one 1-row totals broadcast, one
-    * TakeOrderedAndProject. Cost is O(distinct keys) — the audit stays
-    * cheap precisely when the join it predicts would not be. */
-  def joinCardinalityReport(left: DataFrame, leftKey: Column,
-      right: DataFrame, rightKey: Column, topN: Int): DataFrame = {
-    require(topN >= 1, s"topN must be >= 1; got $topN")
-    val la = left.select(leftKey.cast("string").as("key"))
-      .filter(col("key").isNotNull)
-      .groupBy(col("key")).agg(count(lit(1)).as("n_left"))
-    val ra = right.select(rightKey.cast("string").as("key"))
-      .filter(col("key").isNotNull)
-      .groupBy(col("key")).agg(count(lit(1)).as("n_right"))
-    val m = la.join(ra, Seq("key"))
-      .withColumn("pairs", col("n_left") * col("n_right"))
-    val totals = m.agg(sum(col("pairs")).as("__jr"),
-      count(lit(1)).as("__mk"))
-    m.crossJoin(broadcast(totals))
-      .orderBy(desc("pairs"), col("key"))
-      .limit(topN)
-      .select(col("key"), col("n_left"), col("n_right"), col("pairs"),
-        col("__jr").as("join_rows"), col("__mk").as("n_keys_matched"))
-  }
-
-  /** Skew-safe equi-join: the big side's hot keys are spread over `salts`
-    * sub-partitions and the small side is replicated once per salt. Result
-    * identical to `big.join(small, key, joinType)`; only the shuffle
-    * layout changes. The salt source is per-row and content-independent
-    * (`monotonically_increasing_id`) — hashing row CONTENT would send
-    * fully-duplicate hot rows (exactly the skew case) to one salt, and
-    * fails analysis on map-typed columns. (Salt ids themselves are NOT
-    * deterministic across repartitions — output rows are.) Use when a
-    * key's row count dwarfs the rest and AQE's skew split can't apply
-    * (e.g. aggregation-free pipelines on a pinned partitioner).
-    *
-    * `joinType` may be `inner` (default) or `left_outer`/`left`: a big
-    * row carries exactly ONE salt, so an unmatched big-side key
-    * null-extends exactly once — same rows as the unsalted left join
-    * (spec-asserted under planted skew). Right/full outer are rejected:
-    * the small side is REPLICATED per salt, so its unmatched keys would
-    * null-extend `salts` times — that shape needs the plain join. */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-      salts: Int, joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left_outer", "left").contains(joinType),
-      s"saltedJoin supports inner and left_outer (small side replicates " +
-        s"per salt — right/full would null-extend its misses $salts times); " +
-        s"got '$joinType'")
-    val bigS = big.withColumn("__salt",
-      pmod(Portable.fastHash(col(key), monotonically_increasing_id()), lit(salts)).cast("int"))
-    val smallS = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(salts - 1))))
-    bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")
-  }
-
-  // ------------------------------------------------------------- text
-
-  /** Per-document text-quality features (integer-derived, deterministic).
-    * All integer inputs come from one codegen'd TokenStats pass; the
-    * ratios are single IEEE divides of those exact ints (portable). */
-  def textQuality(df: DataFrame, text: Column,
-      stopwords: Seq[String] = Seq("the", "a", "of", "and")): DataFrame = {
-    df.withColumn("__ts",
-        graft.functions.TokenStats.asColumn(Text.tokens(text), stopwords))
-      .withColumn("n_tokens", col("__ts.n_tokens"))
-      .withColumn("avg_token_len",
-        col("__ts.sum_len").cast("double") / col("n_tokens"))
-      .withColumn("stop_ratio",
-        col("__ts.n_stop").cast("double") / col("n_tokens"))
-      .withColumn("ttr", col("__ts.n_distinct").cast("double") / col("n_tokens"))
-      .withColumn("quality_score",
-        col("avg_token_len") * 0.2 + col("ttr") * 0.5 - col("stop_ratio") * 0.3)
-      .drop("__ts")
-  }
-
-  /** Rule-battery document quality filter — the published pretraining
-    * heuristics stated as per-rule flags plus the composite keep
-    * decision, the explainable REPORT form a curation pipeline wants
-    * (q122's lexicon density and q23's scalar score rank documents;
-    * this one says WHICH rule a document failed, so thresholds can be
-    * audited and re-tuned without re-deriving features):
-    *
-    *  - r_wordcount: word count within [minWords, maxWords]
-    *  - r_meanlen:   mean word length within the ppm bounds
-    *  - r_alpha:     ≥ minAlphaPpm of words contain a letter
-    *  - r_sym:       symbol-to-word ratio ('#' chars + non-overlapping
-    *                 '...' runs) ≤ maxSymPpm
-    *  - r_toptok:    most frequent token's mass ≤ maxTopTokPpm
-    *                 (repetition/boilerplate proxy)
-    *  - r_stop:      ≥ minStops DISTINCT stopwords present
-    *
-    * Every statistic is an exact integer (counts, summed lengths) and
-    * every rule a division-free ppm cross-multiply, so the full report
-    * — counts, flags, keep — hash-gates (q138). NULL or empty text
-    * yields n_words = 0 → every count rule fails → keep = false
-    * (stated; a document with no content is not trainable signal).
-    *
-    * Scale shape: ONE narrow per-row projection over codegen'd array
-    * folds — zero shuffle at any corpus size, the cheapest possible
-    * filter tier (the top-token fold is O(distinct·n) per document —
-    * document-scale work, never corpus-scale). */
-  def qualityRules(df: DataFrame, id: Column, text: Column,
-      minWords: Int = 20, maxWords: Int = 100000,
-      minMeanLenPpm: Long = 3000000L, maxMeanLenPpm: Long = 10000000L,
-      minAlphaPpm: Long = 800000L, maxSymPpm: Long = 100000L,
-      maxTopTokPpm: Long = 200000L, minStops: Int = 2,
-      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in"))
-      : DataFrame = {
-    require(minWords >= 1 && maxWords >= minWords,
-      s"need 1 <= minWords <= maxWords; got [$minWords, $maxWords]")
-    require(Seq(minMeanLenPpm, maxMeanLenPpm, minAlphaPpm, maxSymPpm,
-        maxTopTokPpm).forall(_ >= 0), "ppm thresholds must be >= 0")
-    require(minStops >= 0 && stopwords.nonEmpty,
-      "minStops must be >= 0 over a non-empty stopword set")
-    val M = lit(1000000L)
-    df.select(id.as("id"), text.as("__text"))
-      .withColumn("__toks", coalesce(
-        filter(Text.tokens(col("__text")), t => t =!= lit("")),
-        array().cast("array<string>")))
-      .withColumn("__norm", coalesce(Text.normText(col("__text")), lit("")))
-      .withColumn("n_words", size(col("__toks")).cast("long"))
-      .withColumn("sum_len", aggregate(col("__toks"), lit(0L),
-        (acc, t) => acc + length(t).cast("long")))
-      .withColumn("n_alpha",
-        size(filter(col("__toks"), t => t.rlike("[a-z]"))).cast("long"))
-      .withColumn("n_sym",
-        (length(col("__norm")) -
-          length(regexp_replace(col("__norm"), lit("#"), lit("")))).cast("long") +
-        ((length(col("__norm")) -
-          length(regexp_replace(col("__norm"), lit("\\.\\.\\."), lit("")))) /
-          lit(3)).cast("long"))
-      .withColumn("top_cnt", coalesce(
-        array_max(transform(array_distinct(col("__toks")),
-          t => size(filter(col("__toks"), x => x === t)).cast("long"))),
-        lit(0L)))
-      .withColumn("n_stop", size(array_intersect(array_distinct(col("__toks")),
-        array(stopwords.map(lit): _*))).cast("long"))
-      .withColumn("r_wordcount",
-        col("n_words") >= minWords && col("n_words") <= maxWords)
-      .withColumn("r_meanlen", col("n_words") > 0 &&
-        col("sum_len") * M >= col("n_words") * lit(minMeanLenPpm) &&
-        col("sum_len") * M <= col("n_words") * lit(maxMeanLenPpm))
-      .withColumn("r_alpha", col("n_words") > 0 &&
-        col("n_alpha") * M >= col("n_words") * lit(minAlphaPpm))
-      .withColumn("r_sym", col("n_words") > 0 &&
-        col("n_sym") * M <= col("n_words") * lit(maxSymPpm))
-      .withColumn("r_toptok", col("n_words") > 0 &&
-        col("top_cnt") * M <= col("n_words") * lit(maxTopTokPpm))
-      .withColumn("r_stop", col("n_stop") >= minStops)
-      .withColumn("keep", col("r_wordcount") && col("r_meanlen") &&
-        col("r_alpha") && col("r_sym") && col("r_toptok") && col("r_stop"))
-      .select(col("id"), col("n_words"), col("sum_len"), col("n_alpha"),
-        col("n_sym"), col("top_cnt"), col("n_stop"), col("r_wordcount"),
-        col("r_meanlen"), col("r_alpha"), col("r_sym"), col("r_toptok"),
-        col("r_stop"), col("keep"))
-  }
-
-  /** Exact positional phrase matching — the primitive behind BOTH
-    * exact-phrase retrieval ("find every document containing this
-    * quoted phrase") and benchmark-leakage auditing at phrase grain
-    * (q45's shingle decontamination counts overlap mass; this pins the
-    * exact contiguous token sequence): for every (document, phrase)
-    * pair, the number of contiguous token-window matches, emitted only
-    * when ≥ 1. Tokenization is the house canon (Text.tokens), so
-    * "Table  SCAN" matches "table scan". Phrases ride as PLAN LITERALS
-    * (a query list, not a corpus — the [[kmeansAssign]] baked-constant
-    * posture), each match count is one codegen'd linear scan per row
-    * ([[graft.functions.PhraseCount]] — the interpreted HOF window form
-    * measured ~20× slower on the 5k-doc bench, per-window array
-    * allocations; the q135 BpeSegment lesson again), and the whole
-    * operator is a narrow projection + filter — ZERO shuffle at any
-    * corpus size; the tail ORDER BY in a report is the only exchange.
-    * Overlapping windows count (step-1 scan — "x x" occurs twice in
-    * "x x x", spec-pinned). Counts are exact integers (hash-gates,
-    * q142). Empty phrases are rejected loudly; NULL text yields no
-    * rows (nothing can match). */
-  def phraseMatch(df: DataFrame, id: Column, text: Column,
-      phrases: Seq[Seq[String]]): DataFrame = {
-    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
-      "phrases must be a non-empty list of non-empty token sequences")
-    // Phrase tokens go through the SAME canon as the document side
-    // (Text.tokens = lower/trim) — a caller's Seq("Table", "SCAN") must
-    // match "table scan" as the scaladoc promises, not silently match
-    // nothing because the document tokens are lowercased and the baked
-    // literals were not (r17 ADVICE). A token the canon would SPLIT
-    // (internal whitespace) can never equal one document token, so it
-    // is rejected loudly rather than baked as an unmatchable literal.
-    val canon = phrases.map(_.map(_.trim.toLowerCase(java.util.Locale.ROOT)))
-    require(canon.forall(_.forall(_.nonEmpty)),
-      "phrase tokens must be non-empty strings")
-    require(canon.forall(_.forall(t => !t.exists(_.isWhitespace))),
-      "phrase tokens must be single tokens (no internal whitespace) — " +
-        "split multi-word phrases into one token per element")
-    val toks = Text.tokens(text)
-    val perPhrase = canon.map { p =>
-      val n = coalesce(
-        graft.functions.PhraseCount.asColumn(toks, p), lit(0L))
-      struct(lit(p.mkString(" ")).as("phrase"), n.as("n_matches"))
-    }
-    df.select(id.as("id"), explode(array(perPhrase: _*)).as("__m"))
-      .select(col("id"), col("__m.phrase").as("phrase"),
-        col("__m.n_matches").as("n_matches"))
-      .filter(col("n_matches") > 0)
-  }
-
-  /** Order-sensitive rolling-hash document fingerprint. */
-  def fingerprint(df: DataFrame, text: Column): DataFrame =
-    df.withColumn("fingerprint",
-      graft.functions.RollingFingerprint(Text.tokens(text)))
-
-  /** Top-`k` TF-IDF terms per document. The idf factor is the exact
-    * rational `n_docs / df` (one IEEE divide — portable), not `log(N/df)`
-    * (libm, not bit-portable): same ranking monotonicity for fixed tf.
-    * Plan shape: explode → (doc,term) count → term df (map-side combined)
-    * joined back on term (AQE broadcasts the df table when small) → one
-    * ranking window per doc. No driver-side state; `n_docs` rides along
-    * as a broadcast 1-row cross join. */
-  def tfidfTopK(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
-    val tok = df.select(id.as("__id"), explode(Text.tokens(text)).as("token"))
-      .filter(col("token") =!= "")
-    val tf = tok.groupBy(col("__id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val total = df.agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy(col("__id")).orderBy(desc("tfidf"), col("token"))
-    tf.join(dft, "token")
-      .crossJoin(broadcast(total))
-      .withColumn("tfidf",
-        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("__id").as("id"), col("token"), col("tf"), col("df"),
-        col("tfidf"), col("rk"))
-  }
-
-  /** Per-class keyness — the corpus-linguistics answer to "what
-    * vocabulary CHARACTERIZES each class" (distinctive terms per
-    * source/language/cluster, the readable face of a quality or
-    * contamination audit): for every (class, term), the 2×2 chi² of
-    * token-occurrence vs class membership over the token stream
-    * (a = tf(t,c), margins = term total, class total, grand total),
-    * keeping only OVERREPRESENTED terms (a·N > tt·tc — an
-    * underrepresented term is the other classes' keyword, not this
-    * one's), ranked top-`topK` per class by (chi2_us desc, term asc).
-    *
-    * Portability: counts are exact integers; the overrepresentation
-    * test compares decimal(38,0)/HUGEINT products (a·N overflows LONG
-    * at corpus scale); chi² uses the 2×2 shortcut
-    * N·(ad − bc)²/(tt·(N−tt)·tc·(N−tc)) as ONE stated IEEE chain on
-    * exact integer inputs, micros-floored BEFORE ranking so the
-    * ranking key itself is an integer. Degenerate margins (tt = N or
-    * tc = N) can never pass the strict overrepresentation test, so
-    * the denominator is never zero on kept rows.
-    *
-    * Plan: tokens explode NARROWLY, one agg to (class, term) grain
-    * (the corpus's only token-grain shuffle), margins as catalog
-    * aggs of the tf table, 1-row grand total broadcast, one window
-    * per class over the CATALOG-sized scored table. Output: (group,
-    * term, tf, chi2_us, rk). */
-  def classKeyTerms(df: DataFrame, classCol: Column, text: Column,
-      topK: Int): DataFrame = {
-    require(topK >= 1, s"topK must be >= 1; got $topK")
-    val tok = df.filter(classCol.isNotNull)
-      .select(classCol.as("__cl"), explode(Text.tokens(text)).as("term"))
-      .filter(col("term") =!= "")
-    val tf = tok.groupBy(col("__cl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val classTot = tf.groupBy(col("__cl")).agg(sum(col("tf")).as("__tc"))
-    val termTot = tf.groupBy(col("term")).agg(sum(col("tf")).as("__tt"))
-    val grand = classTot.agg(sum(col("__tc")).as("__tot"))
-    val w = Window.partitionBy(col("__cl"))
-      .orderBy(desc("chi2_us"), col("term"))
-    tf.join(classTot, Seq("__cl")).join(termTot, Seq("term"))
-      .crossJoin(broadcast(grand))
-      .filter(expr("CAST(tf AS decimal(38,0)) * __tot >" +
-        " CAST(__tt AS decimal(38,0)) * __tc"))
-      .withColumn("__d", col("__tot") - col("__tt") - col("__tc") +
-        col("tf"))
-      .withColumn("__diff", col("tf").cast("double") * col("__d") -
-        (col("__tt") - col("tf")).cast("double") *
-        (col("__tc") - col("tf")))
-      .withColumn("chi2_us", floor(
-        col("__tot").cast("double") * col("__diff") * col("__diff") /
-          (col("__tt").cast("double") * (col("__tot") - col("__tt")) *
-            col("__tc") * (col("__tot") - col("__tc"))) *
-          lit(1000000.0)).cast("long"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("__cl").as("group"), col("term"), col("tf"),
-        col("chi2_us"), col("rk"))
-  }
-
-  /** BM25-style full-text retrieval: top-`k` documents per query by the
-    * Okapi relevance function, with the ONE substitution that makes the
-    * whole score hash-portable across engines: the idf factor is the
-    * RAW Robertson–Spärck Jones odds ratio (N − df + ½)/(df + ½) —
-    * stated as the exact-integer ratio (2(N−df)+1)/(2df+1) — instead of
-    * its logarithm (libm, never bit-portable; the ratio is strictly
-    * monotone in df, so per-term orderings are preserved — absolute
-    * scores are on a different scale than textbook BM25, rankings of
-    * single-term queries identical; multi-term mixes weigh rare terms
-    * harder, the documented contract). k1/b arrive as ppm integers and
-    * become doubles via one stated division each; every remaining step
-    * is a fixed-order IEEE chain, and the per-(query, doc) term sum is
-    * a SORTED left fold (collect terms, sort by term, fold) — never a
-    * float SUM aggregate, whose addend order is engine-dependent. q112
-    * hash-gates rank AND micros-quantized score end to end.
-    *
-    * Semantics: tf = term count in doc, dl = doc token count, both over
-    * non-empty tokens; N and total-token count over docs with ≥ 1
-    * token (empty docs are outside the collection — they can never
-    * match); duplicate query terms count once; query terms absent from
-    * the corpus contribute nothing; a query with no surviving terms
-    * emits no rows. Ties break (score desc, doc_id asc), exact.
-    *
-    * Plan: posting list tf/dl/df aggregates (map-side combined, keyed
-    * by (doc, term) / doc / term — the tfidfTopK shapes); corpus stats
-    * are ONE 1-row aggregate crossJoin-broadcast back (no driver
-    * collect); candidates = query-terms ⋈ posting on term — the
-    * inverted-index retrieval cost Σ_t df(t)·q(t), never |docs|×|queries|;
-    * per-(query, doc) agg + per-query top-k window both shuffle
-    * candidate-sized data only. A stopword-heavy query term is one hot
-    * key — AQE skew-split, or pre-drop stopwords from queries (the
-    * dfCapPosting contract applied query-side). */
-  def bm25TopK(docs: DataFrame, id: Column, text: Column,
-      queries: DataFrame, qid: Column, qtext: Column, k: Int,
-      k1Ppm: Long = 1200000L, bPpm: Long = 750000L): DataFrame = {
-    require(k >= 1, s"k must be >= 1; got $k")
-    require(k1Ppm >= 0, s"k1Ppm must be >= 0; got $k1Ppm")
-    require(bPpm >= 0 && bPpm <= 1000000,
-      s"bPpm must be in [0, 1000000]; got $bPpm")
-    val k1 = k1Ppm.toDouble / 1000000.0
-    val b = bPpm.toDouble / 1000000.0
-    val tok = docs.select(id.as("__doc"), explode(Text.tokens(text)).as("__t"))
-      .filter(col("__t") =!= "")
-    val tf = tok.groupBy(col("__doc"), col("__t")).agg(count(lit(1)).as("__tf"))
-    // dl = Σ tf per doc — exactly the token count, but aggregated from
-    // the (far smaller) posting list, whose exchange the plan reuses,
-    // instead of a second pass over the raw token stream
-    val dl = tf.groupBy(col("__doc")).agg(sum("__tf").as("__dl"))
-    val st = dl.agg(count(lit(1)).as("__n"), sum("__dl").as("__tot"))
-    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-    val qterms = queries
-      .select(qid.as("__q"), explode(Text.tokens(qtext)).as("__t"))
-      .filter(col("__t") =!= "").distinct()
-    val cand = qterms.join(tf, "__t").join(dfreq, "__t")
-      .join(dl, "__doc")
-      .crossJoin(broadcast(st))
-      .withColumn("__x",
-        (col("__dl") * col("__n")).cast("double") / col("__tot").cast("double"))
-      .withColumn("__idf",
-        ((col("__n") - col("__df")) * 2 + 1).cast("double") /
-          (col("__df") * 2 + 1).cast("double"))
-      .withColumn("__tfp",
-        (col("__tf") * lit(k1 + 1.0)) /
-          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__x"))))
-      .withColumn("__c", col("__idf") * col("__tfp"))
-    val w = Window.partitionBy(col("__q")).orderBy(desc("score"), col("__doc"))
-    cand.groupBy(col("__q"), col("__doc"))
-      .agg(sort_array(collect_list(struct(col("__t"), col("__c")))).as("__lst"))
-      .withColumn("score", expr("aggregate(__lst, 0D, (acc, x) -> acc + x.__c)"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("__q").as("query_id"), col("__doc").as("doc_id"),
-        col("rank"), col("score"))
-  }
-
-  /** Proximity-scored retrieval — the relevance signal between bag-of-
-    * words BM25 (q112, position-blind) and exact phrase matching (q142,
-    * order- and adjacency-strict): per (query, doc), how many unordered
-    * pairs of distinct query terms co-occur within `window` token
-    * positions somewhere in the doc (n_prox_pairs — 0/1 per term PAIR,
-    * the coverage grain), plus the matched-term count. Ranking total
-    * order: (n_prox_pairs desc, n_terms desc, doc asc), top `k` per
-    * query. All integers — hash-gateable.
-    *
-    * Scale shape — O(n·window), never a position-pair quadratic: the
-    * windowed co-occurrence set is computed per DOC (query-independent
-    * — (doc, ta, tb) for term pairs within `window`), by exploding
-    * each query-vocabulary position into its next `window` target
-    * positions and EQUI-joining back on (doc, position) — an
-    * adversarial doc repeating one stopword 10⁶ times costs 10⁶·window
-    * rows, linear, where the naive per-(query, doc) position self-join
-    * squares it (the first draft did exactly that and ground to a halt
-    * on the sf1 degenerate-vocabulary fixture — kept as the cautionary
-    * note). Query-term pairs (|q|²-scale, broadcast) then join the doc
-    * pair set by (ta, tb); postings are built only for the query
-    * vocabulary (left-semi — prunes hard when queries are selective,
-    * harmless when they are not). */
-  def proximityTopK(docs: DataFrame, id: Column, text: Column,
-      queries: DataFrame, qid: Column, qtext: Column, window: Int,
-      k: Int = 5): DataFrame = {
-    require(window >= 1, s"window must be >= 1; got $window")
-    require(k >= 1, s"k must be >= 1; got $k")
-    val qt = queries.select(qid.as("__qid"),
-        explode(array_distinct(
-          filter(Text.tokens(qtext), t => t =!= lit("")))).as("__t"))
-      .distinct()
-    val vocab = qt.select(col("__t")).distinct()
-    val post = docs.select(id.as("__doc"),
-        posexplode(Text.tokens(text)).as(Seq("__pos", "__t")))
-      .filter(col("__t") =!= "")
-      .join(vocab, Seq("__t"), "left_semi")
-    // windowed co-occurrence per doc: position i pairs with each of its
-    // next `window` positions via one equi-join — O(n·window) exactly
-    val a = post.select(col("__doc"), col("__t").as("__t1"),
-        explode(sequence(col("__pos") + 1, col("__pos") + window))
-          .as("__pb"))
-    val dpairs = a.join(
-        post.select(col("__doc"), col("__t").as("__t2"),
-          col("__pos").as("__pb")),
-        Seq("__doc", "__pb"))
-      .filter(col("__t1") =!= col("__t2"))
-      .select(col("__doc"), least(col("__t1"), col("__t2")).as("__ta"),
-        greatest(col("__t1"), col("__t2")).as("__tb"))
-      .distinct()
-    // query-term pairs: |q|²-scale, broadcast by AQE
-    val qa = qt.select(col("__qid"), col("__t").as("__ta"))
-    val qb = qt.select(col("__qid"), col("__t").as("__tb"))
-    val qpairs = qa.join(qb, Seq("__qid"))
-      .filter(col("__ta") < col("__tb"))
-    val prox = dpairs.join(qpairs, Seq("__ta", "__tb"))
-      .groupBy(col("__qid"), col("__doc"))
-      .agg(count(lit(1)).as("n_prox_pairs"))
-    val terms = post.select(col("__doc"), col("__t")).distinct()
-      .join(qt, Seq("__t"))
-      .groupBy(col("__qid"), col("__doc"))
-      .agg(count(lit(1)).as("n_terms"))
-    val wR = Window.partitionBy(col("__qid"))
-      .orderBy(desc("n_prox_pairs"), desc("n_terms"), col("__doc"))
-    terms.join(prox, Seq("__qid", "__doc"), "left")
-      .na.fill(0L, Seq("n_prox_pairs"))
-      .withColumn("rank", row_number().over(wR))
-      .filter(col("rank") <= k)
-      .select(col("__qid").as("query_id"), col("__doc").as("doc_id"),
-        col("rank"), col("n_prox_pairs"), col("n_terms"))
-  }
-
-  /** Rank-biased overlap (Webber–Moffat–Zobel RBO, truncated): how
-    * similar are two RANKINGS of the same query set — the eval-pipeline
-    * statistic for "did the new retriever actually change results",
-    * comparing prefix by prefix with top-weighted persistence `p`:
-    * score = (1−p)·Σ_{i=1..depth} p^(i−1)·|prefix_i(A) ∩ prefix_i(B)|/i.
-    * Complements [[rrfFuse]] (which COMBINES rankings) with the
-    * MEASUREMENT between them. The q117/q155 exactness posture applied
-    * to ranking comparison: p arrives as ppm (one stated division),
-    * p^(i−1) by REPEATED MULTIPLICATION inside one pinned ascending
-    * fold (never libm pow), every step the same IEEE op chain — so the
-    * score hash-gates against a recursive-CTE oracle stepping the
-    * identical recurrence. Doc ids compare as strings (one report type
-    * for any id type). Inner-join semantics: only queries present in
-    * BOTH rankings report (a one-sided query has no overlap to
-    * measure — stated). Ranking contract: rank unique per (query,
-    * list); lists truncate to `depth` (shorter lists are fine — slice
-    * clamps, and the missing tail simply can't overlap).
-    *
-    * Plan: ranking-sized end to end, with per-query state bounded by
-    * CONSTRUCTION: a row_number over rank ORDER (not rank value, so
-    * sparse ranks stay correct) keeps only the top `depth` rows per
-    * query BEFORE the list collect, so even an accidental full-corpus
-    * ranking input costs O(depth) per-group state, never O(|docs|).
-    * Then one equi-join on query and one narrow fold per row — the
-    * corpus never appears. */
-  def rboCompare(a: DataFrame, b: DataFrame, qid: Column, doc: Column,
-      rank: Column, pPpm: Long, depth: Int): DataFrame = {
-    require(pPpm > 0 && pPpm < 1000000,
-      s"pPpm must be in (0, 1e6) exclusive; got $pPpm")
-    require(depth >= 1 && depth <= 1000,
-      s"depth must be in [1,1000]; got $depth")
-    val pSql = s"(CAST($pPpm AS DOUBLE) / 1000000.0)"
-    def lists(df: DataFrame, out: String) = {
-      val wD = Window.partitionBy(col("__q")).orderBy(col("__r"), col("__d"))
-      df.select(qid.as("__q"), doc.cast("string").as("__d"),
-          rank.as("__r"))
-        .withColumn("__rn", row_number().over(wD))
-        .filter(col("__rn") <= depth)
-        .groupBy(col("__q"))
-        .agg(expr(s"slice(transform(sort_array(collect_list(" +
-          s"struct(__r, __d))), x -> x.__d), 1, $depth)").as(out))
-    }
-    lists(a, "la").join(lists(b, "lb"), Seq("__q"))
-      .withColumn("__f", expr(
-        s"""aggregate(sequence(1, $depth),
-            named_struct('pw', CAST(1.0 AS DOUBLE), 's', CAST(0.0 AS DOUBLE)),
-            (acc, i) -> named_struct(
-              'pw', acc.pw * $pSql,
-              's', acc.s + acc.pw *
-                (CAST(size(array_intersect(slice(la, 1, i), slice(lb, 1, i))) AS DOUBLE)
-                 / CAST(i AS DOUBLE))))"""))
-      .select(col("__q").as("query_id"),
-        expr(s"(1.0 - $pSql) * __f.s").as("rbo"),
-        size(col("la")).as("n_a"), size(col("lb")).as("n_b"),
-        size(array_intersect(col("la"), col("lb"))).as("overlap_at_depth"))
-  }
-
-  /** Deterministic stratified Bernoulli sample: keep a row iff the
-    * portable hash of its `key` lands under the stratum's rate (in
-    * millionths). Pure narrow filter — zero shuffle, reproducible across
-    * runs/engines, and each stratum's kept fraction converges to its
-    * rate. `rates` maps stratum value → ppm; misses use `defaultPpm`.
-    * Output schema equals the input's; pass `bucketCol` to additionally
-    * surface the row's hash bucket (0..999999) under that name — no
-    * undocumented temporary leaks otherwise. */
-  def stratifiedSample(df: DataFrame, strata: Column, key: Column,
-      rates: Map[String, Int], defaultPpm: Int,
-      bucketCol: Option[String] = None): DataFrame = {
-    val bucket = pmod(Portable.phash(concat(lit("smp|"), key.cast("string"))),
-      lit(1000000))
-    val rate = rates.foldLeft(lit(defaultPpm)) { case (acc, (s, ppm)) =>
-      when(strata === s, lit(ppm)).otherwise(acc)
-    }
-    val kept = df.withColumn("__bucket", bucket).filter(col("__bucket") < rate)
-    bucketCol match {
-      case Some(c) => kept.withColumnRenamed("__bucket", c)
-      case None    => kept.drop("__bucket")
-    }
-  }
-
-  /** Deterministic WEIGHTED Bernoulli sample — quality-biased corpus
-    * selection: each row's inclusion probability is `weight · ratePpm/1e6`
-    * (capped at 1), decided by the same portable hash machinery as
-    * [[stratifiedSample]] (distinct salt), so membership is a pure
-    * function of (key, weight) — reproducible across runs, engines, and
-    * partitionings, and monotone in weight: raising a row's weight can
-    * only ever ADD it to the sample, never drop it (same bucket, higher
-    * bar). Zero shuffle, pure narrow filter.
-    *
-    * Weight handling is explicit, not clamped silently: weight ≤ 0 or
-    * NULL keeps nothing (a row with no weight has no business in a
-    * weighted sample), weight ≥ 1e6/ratePpm saturates to always-keep.
-    * `floor(weight · ratePpm)` is one IEEE double multiply of exact
-    * inputs — engine-portable (oracle-hashed, q74). */
-  def weightedSample(df: DataFrame, key: Column, weight: Column,
-      ratePpm: Long, bucketCol: Option[String] = None): DataFrame = {
-    require(ratePpm > 0 && ratePpm <= 1000000L,
-      s"ratePpm must be in (0, 1e6]; got $ratePpm")
-    val bucket = pmod(Portable.phash(concat(lit("wsm|"), key.cast("string"))),
-      lit(1000000))
-    // least() skips NULLs in both Spark and DuckDB — least(1e6, NULL)
-    // would silently saturate a NULL weight to always-keep; gate on
-    // non-null explicitly so NULL keeps nothing, as documented.
-    val keepPpm = when(weight.isNotNull, least(lit(1000000L),
-      floor(weight.cast("double") * lit(ratePpm.toDouble)).cast("long")))
-    val kept = df.withColumn("__bucket", bucket).filter(col("__bucket") < keepPpm)
-    bucketCol match {
-      case Some(c) => kept.withColumnRenamed("__bucket", c)
-      case None    => kept.drop("__bucket")
-    }
-  }
-
-  /** Deterministic train/validation/test splitting — the dataset-split
-    * step every training pipeline runs before anything touches the data:
-    * each row is assigned the split whose cumulative ppm range its
-    * portable key-hash bucket (0..999999) lands in, so membership is a
-    * pure function of the key — reproducible across runs, engines, and
-    * re-partitioning, and a row can never drift between splits as the
-    * corpus grows (the q36-proven hash machinery, distinct salt). Adds
-    * `split`; rows past the last range (when ppms sum < 1e6) get NULL —
-    * surfaced, never silently binned. Pure narrow projection, zero
-    * shuffle. `splits` is (name, ppm) in DECLARED order; ppms must be
-    * positive and sum to at most 1e6. */
-  def assignSplits(df: DataFrame, key: Column,
-      splits: Seq[(String, Int)]): DataFrame = {
-    require(splits.nonEmpty, "assignSplits needs at least one split")
-    require(splits.forall(_._2 > 0),
-      s"split ppms must be positive; got ${splits.map(_._2).mkString(",")}")
-    require(splits.map(_._2.toLong).sum <= 1000000L,
-      s"split ppms sum to ${splits.map(_._2.toLong).sum} > 1e6")
-    require(splits.map(_._1).distinct.size == splits.size,
-      s"split names must be distinct; got ${splits.map(_._1).mkString(",")}")
-    require(!df.columns.contains("split"),
-      "assignSplits adds a `split` column; the input already has one — rename it first")
-    val bucket = pmod(Portable.phash(concat(lit("spl|"), key.cast("string"))),
-      lit(1000000))
-    val bounds = splits.scanLeft(0L) { case (acc, (_, ppm)) => acc + ppm }.tail
-    val assigned = splits.zip(bounds).foldRight(lit(null).cast("string")) {
-      case (((name, _), upper), acc) => when(bucket < upper, lit(name)).otherwise(acc)
-    }
-    df.withColumn("split", assigned)
-  }
-
-  /** Snapshot diff between two corpus versions — the dataset-versioning
-    * primitive: classify every key as added / removed / changed /
-    * unchanged by comparing the md5 of its content across versions.
-    * Presence is tracked with explicit indicator columns, NOT the hash
-    * (a present row with NULL content must read as present — its hash is
-    * NULL); content equality is null-safe (`<=>`), so NULL==NULL content
-    * is `unchanged`. One full-outer equi-join on the key — the canonical
-    * shape; at 100 TB both sides shuffle once on the key (or co-locate
-    * via bucketing) and the hash is computed in the scan projection.
-    * Returns (key, status). Keys must be unique per side — this is a
-    * version diff, not a multiset diff; a duplicated key would cross-
-    * match in the full-outer join and emit one status row per pair.
-    * Content is canonicalized by `cast(string)` before hashing, so two
-    * distinct values with identical string renderings (or an md5
-    * collision, ~2^-64 odds) read as `unchanged` — acceptable for the
-    * change-detection contract, not a cryptographic guarantee. */
-  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
-      oldKey: Column, newKey: Column,
-      oldContent: Column, newContent: Column): DataFrame = {
-    val o = oldDf.select(oldKey.as("key"), md5(oldContent.cast("string")).as("__ho"),
-      lit(true).as("__po"))
-    val n = newDf.select(newKey.as("key"), md5(newContent.cast("string")).as("__hn"),
-      lit(true).as("__pn"))
-    o.join(n, Seq("key"), "full_outer")
-      .select(col("key"),
-        when(col("__po").isNull, "added")
-          .when(col("__pn").isNull, "removed")
-          .when(!(col("__ho") <=> col("__hn")), "changed")
-          .otherwise("unchanged").as("status"))
-  }
-
-  /** Concat-and-chunk sequence packing — the batching step of an LLM
-    * training pipeline: documents are conceptually concatenated per
-    * `strata` in `order`, the token stream is cut every `budget` tokens,
-    * and each document is assigned the bin its first token lands in.
-    * Adds `tok_offset` (the document's start position in its stratum's
-    * token stream) and `bin`. One shuffle on strata + an in-partition
-    * running sum — deterministic, integer-exact, and a document may
-    * straddle a cut (bin totals ≤ budget + max doc tokens), which is the
-    * standard concat-then-chunk contract. */
-  def packByTokenBudget(df: DataFrame, strata: Column, order: Column,
-      nTokens: Column, budget: Long): DataFrame = {
-    require(budget > 0, s"budget must be positive; got $budget")
-    val w = Window.partitionBy(strata).orderBy(order)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("tok_offset", (sum(nTokens).over(w) - nTokens).cast("long"))
-      .withColumn("bin", expr(s"tok_offset div ${budget}L")) // exact int div
-  }
-
-  /** Document CHUNKING — the windowing step in front of embedding/training
-    * pipelines (the complement of [[packByTokenBudget]], which concatenates
-    * small docs; this SPLITS large ones): each document becomes overlapping
-    * fixed-token windows, chunk i covering token positions
-    * [i·stride, i·stride + maxTokens) with the tail clamped. Chunk count =
-    * 1 when n ≤ maxTokens else 1 + ⌈(n − maxTokens)/stride⌉ — every token
-    * is covered, the last chunk is the only short one, and overlap =
-    * maxTokens − stride is the usual context-continuity knob. Emits
-    * (doc_id, chunk_id, n_chunk_tokens, chunk_text) — all integer
-    * arithmetic plus deterministic token slices, so the chunk TEXT is
-    * oracle-portable (q86).
-    *
-    * Scale shape: pure narrow — tokenize, one integer chunk-count column,
-    * one explode (the row multiplier IS the output), per-row slice/join.
-    * Zero shuffles at any corpus size; Spark parallelizes by input
-    * partition. NULL text ⇒ no token stream ⇒ the doc emits NO chunks
-    * (spec-pinned; [[maskRepeatedSpans]] instead keeps such rows with
-    * NULL counts — different ops, different row contracts). */
-  def chunkDocuments(df: DataFrame, id: Column, text: Column,
-      maxTokens: Int, stride: Int): DataFrame = {
-    require(maxTokens >= 1, s"maxTokens must be >= 1; got $maxTokens")
-    require(stride >= 1 && stride <= maxTokens,
-      s"stride must be in [1, maxTokens=$maxTokens]; got $stride")
-    val base = df.select(id.as("doc_id"), Text.tokens(text).as("__toks"))
-      .withColumn("__n", size(col("__toks")))
-    // exact integer ceil-division — no doubles anywhere in the count
-    val nChunks = when(col("__n") <= maxTokens, lit(1))
-      .otherwise(lit(1) +
-        expr(s"(__n - $maxTokens + ${stride - 1}) div $stride").cast("int"))
-    base.withColumn("__nc", nChunks)
-      .select(col("doc_id"), col("__toks"),
-        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id"))
-      .withColumn("__ct", slice(col("__toks"),
-        col("chunk_id") * stride + 1, lit(maxTokens)))
-      .select(col("doc_id"), col("chunk_id"),
-        size(col("__ct")).as("n_chunk_tokens"),
-        array_join(col("__ct"), " ").as("chunk_text"))
-  }
-
-  /** Fixed-size deterministic stratified sample: exactly `n` rows per
-    * stratum (fewer if the stratum is smaller), chosen by ranking the
-    * portable hash of `key` — reproducible across runs and engines, and
-    * complementary to [[stratifiedSample]]'s rate-based variant. One
-    * shuffle on strata + an in-partition top-n. Adds `smp_rank` (1..n
-    * within stratum). */
-  def stratifiedFixedSample(df: DataFrame, strata: Column, key: Column,
-      n: Int): DataFrame = {
-    require(n > 0, s"n must be positive; got $n")
-    val w = Window.partitionBy(strata)
-      .orderBy(Portable.phash(concat(lit("fix|"), key.cast("string"))), key)
-    df.withColumn("smp_rank", row_number().over(w))
-      .filter(col("smp_rank") <= n)
-  }
-
-  /** Budgeted PROPORTIONAL stratified sample — the missing middle
-    * between [[stratifiedSample]] (per-stratum rates, total size
-    * floats) and [[stratifiedFixedSample]] (fixed n per stratum, mix
-    * distorted): "give me exactly `budget` rows that preserve the
-    * corpus mix". Quotas are the largest-remainder (Hamilton)
-    * apportionment of `budget` by stratum size — base floor((budget·n_g)
-    * div N) everywhere, the Σbase..budget leftover seats to the largest
-    * remainders ((budget·n_g) mod N desc, stratum asc — fully
-    * deterministic, NULL stratum first) — so Σ quotas == budget EXACTLY
-    * (for budget ≤ N; a budget ≥ N returns the whole input: every base
-    * is already ≥ n_g) and no stratum is off its exact share by more
-    * than one row. Rows within a stratum are picked by the portable-
-    * hash rank (the [[stratifiedFixedSample]] membership idiom — stable
-    * under corpus growth only in the fixed-n sense; quotas re-apportion
-    * by design). `budget·n_g` must fit int64 (ANSI fails loudly beyond).
-    * Adds `smp_rank` (1..quota within stratum).
-    *
-    * Plan: stratum sizes = one map-side-combined agg; apportionment =
-    * two single-partition windows over the CATALOG-sized stratum table
-    * (strata are langs/sources/shards by contract, never a corpus
-    * dimension — the buildVocab posture); quotas broadcast back; one
-    * per-stratum rank window over the corpus (the one corpus shuffle,
-    * keyed by stratum; hot strata are AQE-split). */
-  def sampleBudget(df: DataFrame, strata: Column, key: Column,
-      budget: Long): DataFrame = {
-    require(budget >= 1, s"budget must be >= 1; got $budget")
-    // the quota join's working names are reserved (the intervalJoin
-    // loud-fail pattern): an input __st/__quota would make the join
-    // condition ambiguous / be silently dropped. smp_rank is the
-    // documented OUTPUT column (shared with stratifiedFixedSample) and
-    // overwrites any input column of that name.
-    val reserved = Set("__st", "__quota")
-    val clashes = df.columns.filter(c => reserved(c.toLowerCase))
-    require(clashes.isEmpty,
-      s"sampleBudget reserves column names ${reserved.mkString(", ")}; " +
-        s"rename the input column(s): ${clashes.mkString(", ")}")
-    val whole = Window.partitionBy()
-    // NB: "__N" would silently OVERWRITE "__n" (Spark resolution is
-    // case-insensitive by default) — hence "__tot"
-    val sizes = df.groupBy(strata.as("__st")).agg(count(lit(1)).as("__n"))
-      .withColumn("__tot", sum("__n").over(whole))
-      .withColumn("__base", expr(s"(${budget}L * __n) div __tot"))
-      .withColumn("__rem", expr(s"(${budget}L * __n) % __tot"))
-      .withColumn("__left", lit(budget) - sum("__base").over(whole))
-      .withColumn("__rk", row_number().over(
-        Window.orderBy(desc("__rem"), col("__st").asc_nulls_first)))
-    val quotas = sizes.select(col("__st"),
-      (col("__base") + when(col("__rk") <= col("__left"), lit(1L))
-        .otherwise(lit(0L))).as("__quota"))
-    val w = Window.partitionBy(strata)
-      .orderBy(Portable.phash(concat(lit("bud|"), key.cast("string"))), key)
-    df.withColumn("smp_rank", row_number().over(w))
-      .join(quotas, strata <=> col("__st"))
-      .filter(col("smp_rank") <= col("__quota"))
-      .drop("__st", "__quota")
-  }
-
-  /** Weighted FIXED-SIZE stratified sampling — priority sampling: per
-    * stratum keep the `n` rows with the smallest rank = u / weight,
-    * where u is the portable key-hash mapped into (0, 1] — inclusion
-    * probability scales with weight (probability-proportional-to-size
-    * without replacement), yet membership stays a pure function of
-    * (key, weight): deterministic across runs, engines, partitionings.
-    * The exact-size complement of [[weightedSample]] (rate-based) and
-    * the weighted complement of [[stratifiedFixedSample]] (uniform).
-    * Rows with NULL or non-positive weight never sample (filtered up
-    * front, same contract as weightedSample). Adds `smp_rank` (1..n
-    * within stratum, rank order). One shuffle on strata; the rank
-    * arithmetic is one IEEE double division of exact inputs —
-    * oracle-portable (q78). */
-  def weightedFixedSample(df: DataFrame, strata: Column, key: Column,
-      weight: Column, n: Int): DataFrame = {
-    require(n > 0, s"n must be positive; got $n")
-    val u = (pmod(Portable.phash(concat(lit("wfx|"), key.cast("string"))),
-      lit(1000000)) + lit(1)).cast("double") / 1000000.0
-    val w = Window.partitionBy(strata)
-      .orderBy((u / weight.cast("double")).asc, key)
-    // NaN must be excluded EXPLICITLY: Spark orders NaN greater than
-    // every number, so `weight > 0` PASSES a NaN weight — in an
-    // underfull stratum (< n positive-weight rows) it would sample,
-    // violating the "NULL or non-positive weight never samples" contract.
-    df.filter(weight.isNotNull && weight > 0 &&
-        !isnan(weight.cast("double")))
-      .withColumn("smp_rank", row_number().over(w))
-      .filter(col("smp_rank") <= n)
-  }
-
-  /** Weighted corpus mixing — the epoch-weighting step of an LLM training
-    * pipeline: each stratum gets a fractional repeat factor (in millionths
-    * of a copy, e.g. 2_250_000 ppm = 2.25 epochs). A row emits
-    * `floor(w)` copies plus one more iff the portable hash of its `key`
-    * lands under the fractional remainder — so upsampling (w > 1),
-    * passthrough (w = 1), and downsampling (w < 1) are one operator, all
-    * integer-exact and reproducible across runs/engines. Adds `copy_idx`
-    * (1..n per surviving row). Pure narrow map + explode — zero shuffle;
-    * at 100 TB this runs at scan speed and the output lands directly in
-    * the writer's partitioning. Nulls: a null stratum takes `defaultPpm`
-    * (it never equi-matches a weight entry); a null key hashes to null,
-    * so its fractional extra never fires — exactly floor(w) copies,
-    * deterministically (spec-pinned).
-    *
-    * Composing with [[shardCorpus]]: shard on a key that INCLUDES
-    * `copy_idx` (e.g. `concat(key, lit("|"), col("copy_idx"))`), not on
-    * `key` alone — every epoch copy of a document shares its `key`, so
-    * sharding on the bare key gives all copies an identical
-    * (shard, shuffle_key) and they land adjacent in the written layout,
-    * defeating exactly the shuffle quality the shard op provides. */
-  def mixCorpus(df: DataFrame, strata: Column, key: Column,
-      weightsPpm: Map[String, Long], defaultPpm: Long): DataFrame = {
-    require(defaultPpm >= 0, s"defaultPpm must be >= 0; got $defaultPpm")
-    require(weightsPpm.values.forall(_ >= 0), "weights must be >= 0")
-    val wppm = weightsPpm.foldLeft(lit(defaultPpm)) { case (acc, (s, w)) =>
-      when(strata === s, lit(w)).otherwise(acc)
-    }
-    val bucket = pmod(Portable.phash(concat(lit("mix|"), key.cast("string"))),
-      lit(1000000L))
-    df.withColumn("__w", wppm)
-      .withColumn("__n", // exact integer div/mod — no double rounding
-        expr("__w div 1000000") +
-          when(bucket < pmod(col("__w"), lit(1000000L)), 1L).otherwise(0L))
-      .filter(col("__n") >= 1)
-      .withColumn("copy_idx", explode(sequence(lit(1L), col("__n"))))
-      .drop("__w", "__n")
-  }
-
-  /** Score-quantile filtering — score-BASED selection, the complement of
-    * the hash-based random samplers: keep each stratum's rows whose
-    * `score` clears the stratum's EXACT q-quantile (the same
-    * interpolated order statistic the q29 family proved engine-portable:
-    * Spark `percentile` == DuckDB `quantile_cont`). Ties at the
-    * threshold all survive — deterministic; with discrete scores the
-    * kept fraction is >= (1−q) rather than exact. The |strata|-row
-    * threshold table broadcasts back; the corpus side is one scan +
-    * filter (the percentile agg is the one shuffle). Adds `q_threshold`
-    * (the input must not already carry that column — checked); otherwise
-    * schema-preserving. The threshold join is NULL-SAFE: rows with a
-    * NULL stratum form their own group, get their own threshold, and are
-    * filtered against it like any other stratum (a plain equi-join would
-    * silently drop them). Rows whose SCORE is NULL never clear any
-    * threshold (SQL three-valued filter) — dropped, as for any
-    * non-qualifying score. The common instantiation: keep each source's
-    * top 30% by quality score before packing. */
-  def topQuantileFilter(df: DataFrame, strata: Column, score: Column,
-      quantile: Double): DataFrame = {
-    require(quantile > 0.0 && quantile < 1.0,
-      s"quantile must be in (0,1); got $quantile")
-    require(!df.columns.contains("q_threshold"),
-      "topQuantileFilter adds a q_threshold column; the input already has " +
-        "one — rename it first")
-    val thr = df.select(strata.as("__st"), score.cast("double").as("__sc"))
-      .groupBy(col("__st"))
-      .agg(expr(s"percentile(__sc, $quantile)").as("q_threshold"))
-    df.withColumn("__s", strata)
-      .join(broadcast(thr), col("__s") <=> col("__st"))
-      .filter(score.cast("double") >= col("q_threshold"))
-      .drop("__s", "__st")
-  }
-
-  /** The SCALE tier of [[topQuantileFilter]]: same selection contract,
-    * but the per-stratum threshold comes from `approx_percentile`
-    * (Greenwald-Khanna sketch, bounded memory) instead of exact
-    * `percentile`. One real semantic difference survives even a
-    * rank-exact sketch: exact `percentile` INTERPOLATES between adjacent
-    * data values at fractional quantile ranks, while `approx_percentile`
-    * returns an actual data value — so this tier's threshold can sit one
-    * distinct score below the exact tier's, keeping that boundary value's
-    * rows too (exact-kept ⊆ approx-kept; the extras all score exactly the
-    * sketched threshold). The
-    * exact aggregate buffers EVERY value of a stratum in one aggregation
-    * buffer — at 100 TB a hot stratum is an executor OOM, not a slow
-    * query; the sketch holds O(accuracy) per stratum regardless of row
-    * count. The threshold lands within 1/accuracy quantile rank of
-    * exact (so the kept fraction is (1−q) ± 1/accuracy); ties at the
-    * sketched threshold all survive, same as the exact tier.
-    * `accuracy` trades memory for rank error (default 10000 = ±0.01%). */
-  def topQuantileFilterApprox(df: DataFrame, strata: Column, score: Column,
-      quantile: Double, accuracy: Int = 10000): DataFrame = {
-    require(quantile > 0.0 && quantile < 1.0,
-      s"quantile must be in (0,1); got $quantile")
-    require(accuracy > 0, s"accuracy must be positive; got $accuracy")
-    require(!df.columns.contains("q_threshold"),
-      "topQuantileFilterApprox adds a q_threshold column; the input " +
-        "already has one — rename it first")
-    val thr = df.select(strata.as("__st"), score.cast("double").as("__sc"))
-      .groupBy(col("__st"))
-      .agg(expr(s"approx_percentile(__sc, $quantile, $accuracy)")
-        .as("q_threshold"))
-    df.withColumn("__s", strata)
-      .join(broadcast(thr), col("__s") <=> col("__st"))
-      .filter(score.cast("double") >= col("q_threshold"))
-      .drop("__s", "__st")
-  }
-
-  /** Time-bucket gap filling — densify a per-key time series: one row
-    * per key per `stepUs` bucket between that key's first and last
-    * events, with `n` = event count (0 where the series is silent). The
-    * bucket spine is generated PER KEY with sequence() off one min/max
-    * agg — no driver-side calendar, no cross join — and counts rejoin on
-    * (key, bucket). Bucket ids are `unix_micros div stepUs` (trunc
-    * division; equals floor division for post-epoch data — pre-1970
-    * timestamps would need explicit floor semantics). Output:
-    * (key, bucket, n). One agg + one equi-join shuffle, both keyed by
-    * (key, bucket); spine size = keys × their ACTIVE spans.
-    *
-    * Rows with a NULL key or NULL timestamp are EXCLUDED up front — from
-    * the spine AND the counts (without the explicit filter they'd land in
-    * a NULL counts group that the spine's NULL-ignoring min/max and the
-    * equi-join both silently miss, breaking the conserved-counts
-    * invariant: sum(n) == number of non-NULL input events, exactly).
-    *
-    * `maxBucketsPerKey` caps the PER-KEY spine: one key whose span covers
-    * decades at a small `stepUs` makes `sequence(mn, mx)` emit one
-    * enormous array (Spark hard-fails past ~2³¹ elements; well before
-    * that it OOMs an executor). Past the cap the job fails LOUDLY with
-    * the offending key and its span — a hostile key must be a diagnosed
-    * data problem, not a 3-day-in OOM. Default Long.MaxValue = unguarded. */
-  def gapFill(df: DataFrame, key: Column, ts: Column, stepUs: Long,
-      maxBucketsPerKey: Long = Long.MaxValue): DataFrame = {
-    require(stepUs > 0, s"stepUs must be positive; got $stepUs")
-    require(maxBucketsPerKey > 0,
-      s"maxBucketsPerKey must be positive; got $maxBucketsPerKey")
-    val b = df.select(key.as("key"), unix_micros(ts).as("__um"))
-      .filter(col("key").isNotNull && col("__um").isNotNull)
-      .select(col("key"), expr(s"__um div ${stepUs}L").as("bucket"))
-    val counts = b.groupBy(col("key"), col("bucket")).agg(count(lit(1)).as("__n"))
-    bucketSpine(b, "gapFill", stepUs, maxBucketsPerKey)
-      .join(counts, Seq("key", "bucket"), "left")
-      .select(col("key"), col("bucket"), coalesce(col("__n"), lit(0L)).as("n"))
-  }
-
-  /** The dense per-key (key, bucket) spine shared by [[gapFill]] and
-    * [[interpolate]]: min..max bucket per key via explode(sequence) —
-    * spine size = keys × their ACTIVE spans, never keys × global
-    * calendar — with the hostile-key guard failing loudly. */
-  private def bucketSpine(b: DataFrame, opName: String, stepUs: Long,
-      maxBucketsPerKey: Long): DataFrame = {
-    val bounds = b.groupBy(col("key"))
-      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
-    val guarded =
-      if (maxBucketsPerKey == Long.MaxValue) bounds
-      else bounds.withColumn("__mn",
-        when(col("__mx") - col("__mn") >= maxBucketsPerKey,
-          raise_error(concat(
-            lit(s"$opName: key "), col("key").cast("string"),
-            lit(" spans "), (col("__mx") - col("__mn") + 1L).cast("string"),
-            lit(s" buckets > maxBucketsPerKey=$maxBucketsPerKey at stepUs=$stepUs"))))
-          .otherwise(col("__mn")))
-    guarded.select(col("key"), explode(sequence(col("__mn"), col("__mx"))).as("bucket"))
-  }
-
-  /** Linear interpolation over the gap-filled bucket spine — [[gapFill]]
-    * for a VALUE series: each key's silent buckets get the straight line
-    * between the nearest observed buckets either side; before the first
-    * (after the last) observation the series carries backward (forward)
-    * flat. `fill_method` says which rule produced every row (observed /
-    * interpolated / ffill / bfill) — a synthetic point that can't say it
-    * is synthetic poisons downstream statistics silently.
-    *
-    * Portability: per-bucket observations are exact integer-cent
-    * averages (`sum(floor(v·100)) / 100.0 / n` — the q28 recipe) and the
-    * interpolation is one fixed-order IEEE expression
-    * `ff + (bf − ff) · ((b − fb)/(nb − fb))`, so results hash-match any
-    * IEEE engine running the same shape (q75).
-    *
-    * Plan shape: one agg + one spine join keyed (key, bucket), then ONE
-    * window sort per key serving both direction frames — same single
-    * irreducible per-key ordering as sessionize; AQE skew-split applies.
-    * Same `maxBucketsPerKey` loud-fail guard as gapFill. */
-  /** Per-key exponentially-weighted moving average — the streaming-shaped
-    * smoother/anomaly baseline (s₁ = x₁; sₜ = α·xₜ + (1−α)·sₜ₋₁ over the
-    * (ts, tiebreak) order): one `ewma` column per input row. α arrives
-    * as ppm and becomes a double via one stated division, and the
-    * recursion is stated as EXACTLY that two-multiply-one-add chain per
-    * step — so the whole smoothed series is hash-portable (q117 gates
-    * every smoothed value against DuckDB's recursive-CTE restatement of
-    * the same recurrence; a closed-form power-sum restatement would NOT
-    * be bit-equal to the recursion). A NULL value poisons its key's
-    * tail from that point on (NULL propagates through the recurrence —
-    * the honest contract; pre-filter or gap-fill first). Rows with a
-    * NULL ts or tiebreak drop UP FRONT (the timeWeightedAvg posture —
-    * an observation with no position in the order has no place in the
-    * recurrence, and engines disagree on where NULLs sort).
-    *
-    * Plan: ONE shuffle on key, then a per-key sorted fold inside a
-    * single higher-order `aggregate` (the q112 fold idiom, but
-    * emitting the running array, re-exploded in place) — no self-join,
-    * no window-per-step. Each key's full history is buffered in ONE
-    * task row (the collect_list contract: per-key cardinality is
-    * bounded — days × events/day, never a corpus dimension; cap or
-    * bucket key history upstream if a key can grow unbounded, since an
-    * AQE skew split cannot divide a single row). Output: (key, ts,
-    * tiebreak, value, ewma). */
-  def ewma(df: DataFrame, key: Column, ts: Column, value: Column,
-      tiebreak: Column, alphaPpm: Long): DataFrame = {
-    require(alphaPpm >= 0 && alphaPpm <= 1000000,
-      s"alphaPpm must be in [0, 1000000]; got $alphaPpm")
-    val aSql = s"(CAST($alphaPpm AS DOUBLE) / 1000000.0)"
-    df.select(key.as("__k"), ts.as("__ts"), tiebreak.as("__tb"),
-        value.cast("double").as("__x"))
-      .filter(col("__ts").isNotNull && col("__tb").isNotNull)
-      .groupBy(col("__k"))
-      .agg(sort_array(collect_list(
-        struct(col("__ts"), col("__tb"), col("__x")))).as("__seq"))
-      .withColumn("__sm", expr(
-        s"""aggregate(__seq, CAST(array() AS array<double>),
-            (acc, e) -> array_append(acc,
-              CASE WHEN size(acc) = 0 THEN e.__x
-                   ELSE $aSql * e.__x +
-                        (1.0 - $aSql) * element_at(acc, -1) END))"""))
-      .select(col("__k"), explode(arrays_zip(col("__seq"), col("__sm"))).as("__z"))
-      .select(col("__k").as("key"), col("__z.__seq.__ts").as("ts"),
-        col("__z.__seq.__tb").as("tiebreak"), col("__z.__seq.__x").as("value"),
-        col("__z.__sm").as("ewma"))
-  }
-
-  /** Holt double-exponential smoothing — per-key level + trend, the
-    * member of the smoothing family EWMA can't express: EWMA (q117)
-    * tracks a level only, so it lags a drifting series by a constant;
-    * Holt carries a trend term (l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1});
-    * b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}) and `level + trend` IS the
-    * one-step-ahead forecast — the anomaly baseline / capacity-planning
-    * primitive. Initialization pinned: l_1 = x_1, b_1 = 0 (stated — the
-    * x_2−x_1 seed would make every downstream value depend on a second
-    * row existing). Same exactness posture as ewma: the fold is a fixed
-    * IEEE op chain over the (ts, tiebreak)-sorted per-key sequence, so
-    * both engines — and the S28 streaming twin — produce BIT-EQUAL
-    * doubles. NULL ts/tiebreak rows drop up front (no position in the
-    * order). Plan: ONE shuffle on key + a sorted per-key fold
-    * (sort_array over collect_list — bounded per-key history, the
-    * collect_list contract), then a narrow explode back to rows.
-    * Streaming twin: [[graft.streaming.HoltStream]] (S28 — O(1) state
-    * per key, bit-equal law). */
-  def holt(df: DataFrame, key: Column, ts: Column, value: Column,
-      tiebreak: Column, alphaPpm: Long, betaPpm: Long): DataFrame = {
-    require(alphaPpm >= 0 && alphaPpm <= 1000000,
-      s"alphaPpm must be in [0, 1000000]; got $alphaPpm")
-    require(betaPpm >= 0 && betaPpm <= 1000000,
-      s"betaPpm must be in [0, 1000000]; got $betaPpm")
-    val aSql = s"(CAST($alphaPpm AS DOUBLE) / 1000000.0)"
-    val bSql = s"(CAST($betaPpm AS DOUBLE) / 1000000.0)"
-    df.select(key.as("__k"), ts.as("__ts"), tiebreak.as("__tb"),
-        value.cast("double").as("__x"))
-      .filter(col("__ts").isNotNull && col("__tb").isNotNull)
-      .groupBy(col("__k"))
-      .agg(sort_array(collect_list(
-        struct(col("__ts"), col("__tb"), col("__x")))).as("__seq"))
-      .withColumn("__sm", expr(
-        s"""aggregate(__seq,
-            CAST(array() AS array<struct<l: double, b: double>>),
-            (acc, e) -> array_append(acc,
-              CASE WHEN size(acc) = 0
-                THEN named_struct('l', e.__x, 'b', CAST(0.0 AS DOUBLE))
-                ELSE named_struct(
-                  'l', $aSql * e.__x + (1.0 - $aSql) *
-                       (element_at(acc, -1).l + element_at(acc, -1).b),
-                  'b', $bSql * (($aSql * e.__x + (1.0 - $aSql) *
-                       (element_at(acc, -1).l + element_at(acc, -1).b)) -
-                       element_at(acc, -1).l) +
-                       (1.0 - $bSql) * element_at(acc, -1).b) END))"""))
-      .select(col("__k"),
-        explode(arrays_zip(col("__seq"), col("__sm"))).as("__z"))
-      .select(col("__k").as("key"), col("__z.__seq.__ts").as("ts"),
-        col("__z.__seq.__tb").as("tiebreak"), col("__z.__seq.__x").as("value"),
-        col("__z.__sm.l").as("level"), col("__z.__sm.b").as("trend"))
-  }
-
-  /** Top navigation paths — the product-analytics journey report
-    * "which opening sequences are most common": each key's first
-    * `maxSteps` states in (ts, tiebreak) order join into one path
-    * string, identical prefixes count together, and the `topK` most
-    * common paths come back with exact counts and integer-ppm share
-    * of ALL keys (tie order: n desc, path asc — deterministic). The
-    * whole-journey companion to [[transitionCounts]]' one-step matrix:
-    * the matrix says where users go NEXT, this says how journeys
-    * BEGIN. NULL states render as the literal "∅" segment (an
-    * instrumentation gap is part of the journey — the q119 contract),
-    * `sep` must not occur in any state (the path string would be
-    * ambiguous — checked LOUDLY per row, not a footnote); keys with
-    * fewer than maxSteps events contribute their full (shorter) path.
-    * Rows with a NULL ts or tiebreak drop up front (no position in
-    * the order — the timeWeightedAvg posture; NULL STATES stay).
-    *
-    * Plan: ONE shuffle on key + the same sorted per-key fold as ewma
-    * (sort_array over collect_list — bounded per-key history, the
-    * collect_list contract), a NARROW slice+join to the path string,
-    * one map-side-combined path-grain agg, 1-row total broadcast, and
-    * a global top-K tail (TakeOrderedAndProject at catalog size). */
-  def topPaths(df: DataFrame, key: Column, ts: Column, state: Column,
-      tiebreak: Column, maxSteps: Int, topK: Int,
-      sep: String = ">"): DataFrame = {
-    require(maxSteps >= 1, s"maxSteps must be >= 1; got $maxSteps")
-    require(topK >= 1, s"topK must be >= 1; got $topK")
-    val checked = when(state.cast("string").contains(sep), raise_error(
-        concat(lit(s"topPaths: state '"), state.cast("string"),
-          lit(s"' contains the separator '$sep'"))))
-      .otherwise(coalesce(state.cast("string"), lit("∅")))
-    val paths = df.select(key.as("__k"), ts.as("__ts"),
-        tiebreak.as("__tb"), checked.as("__st"))
-      .filter(col("__ts").isNotNull && col("__tb").isNotNull)
-      .groupBy(col("__k"))
-      .agg(sort_array(collect_list(
-        struct(col("__ts"), col("__tb"), col("__st")))).as("__seq"))
-      .select(array_join(slice(transform(col("__seq"), e => e("__st")),
-        1, maxSteps), sep).as("path"))
-    val counts = paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
-    counts.crossJoin(broadcast(
-        counts.agg(sum(col("n")).as("__tot"))))
-      .withColumn("share_ppm", expr(
-        "CAST(n AS decimal(38,0)) * 1000000 div __tot"))
-      .select(col("path"), col("n"),
-        col("share_ppm").cast("long").as("share_ppm"))
-      .orderBy(desc("n"), col("path"))
-      .limit(topK)
-  }
-
-  /** Per-key two-sided CUSUM change detection — the sequential
-    * drift/shift alarm (Page's cumulative-sum chart) over the (ts,
-    * tiebreak) order: s⁺ₜ = max(0, s⁺ₜ₋₁ + (xₜ − target − slack)) and
-    * s⁻ₜ = max(0, s⁻ₜ₋₁ + (target − slack − xₜ)), alarm when either
-    * side reaches `threshold`, then BOTH sides restart at 0 for the
-    * next step (the standard restart chart — each alarm is an
-    * independent detection, so state stays bounded by threshold + one
-    * step forever). Rows with a NULL ts or tiebreak drop up front
-    * (no position in the order — the timeWeightedAvg posture).
-    * `value` is CALLER-QUANTIZED to integers (the
-    * groupTrend contract — floor-cents, micros, counts), and target /
-    * slack / threshold live in the same units, so every statistic is
-    * EXACT integer arithmetic — the whole (s⁺, s⁻, alarm) series is
-    * hash-portable with no IEEE step at all (stronger than ewma's
-    * bit-equal doubles). A NULL value poisons its key's tail from that
-    * point on (stated — an unknown observation has no deviation;
-    * pre-filter or gap-fill first), distinguished EXPLICITLY on both
-    * engines since `greatest` skips NULLs rather than propagating
-    * them. Emitted s⁺/s⁻ are post-step, pre-reset — the alarm row
-    * shows the statistic that crossed.
-    *
-    * Plan: ONE shuffle on key, then the whole recurrence inside a
-    * single higher-order `aggregate` per key (the ewma fold idiom —
-    * running array re-exploded in place; no self-join, no
-    * window-per-step). Per-key history buffers in one task row (the
-    * collect_list contract — bounded per-key cardinality by design).
-    * Output: (key, ts, tiebreak, value, s_pos, s_neg, alarm). */
-  def cusum(df: DataFrame, key: Column, ts: Column, value: Column,
-      tiebreak: Column, target: Long, slack: Long,
-      threshold: Long): DataFrame = {
-    require(slack >= 0, s"slack must be >= 0; got $slack")
-    require(threshold > 0, s"threshold must be > 0; got $threshold")
-    val stT = "struct<sp:bigint,sn:bigint>"
-    val prev = "element_at(acc, -1)"
-    val reset = s"size(acc) = 0 OR $prev.sp >= ${threshold}L" +
-      s" OR $prev.sn >= ${threshold}L"
-    df.select(key.as("__k"), ts.as("__ts"), tiebreak.as("__tb"),
-        value.cast("long").as("__x"))
-      .filter(col("__ts").isNotNull && col("__tb").isNotNull)
-      .groupBy(col("__k"))
-      .agg(sort_array(collect_list(
-        struct(col("__ts"), col("__tb"), col("__x")))).as("__seq"))
-      .withColumn("__st", expr(
-        s"""aggregate(__seq, CAST(array() AS array<$stT>),
-            (acc, e) -> array_append(acc,
-              CASE WHEN e.__x IS NULL
-                     OR (size(acc) > 0 AND $prev IS NULL)
-                   THEN CAST(NULL AS $stT)
-                   ELSE named_struct(
-                     'sp', greatest(0L,
-                       CASE WHEN $reset THEN 0L ELSE $prev.sp END
-                         + (e.__x - ${target}L - ${slack}L)),
-                     'sn', greatest(0L,
-                       CASE WHEN $reset THEN 0L ELSE $prev.sn END
-                         + (${target}L - ${slack}L - e.__x)))
-              END))"""))
-      .select(col("__k"),
-        explode(arrays_zip(col("__seq"), col("__st"))).as("__z"))
-      .select(col("__k").as("key"), col("__z.__seq.__ts").as("ts"),
-        col("__z.__seq.__tb").as("tiebreak"),
-        col("__z.__seq.__x").as("value"),
-        col("__z.__st.sp").as("s_pos"), col("__z.__st.sn").as("s_neg"),
-        (col("__z.__st.sp") >= threshold ||
-          col("__z.__st.sn") >= threshold).as("alarm"))
-  }
-
-  /** Per-key time-weighted average — the irregular-sampling mean that
-    * plain AVG silently gets wrong (a sensor reporting 100× more often
-    * while idle dominates an arithmetic mean; TWAP weighs each
-    * observation by how long it HELD): each point holds its value until
-    * the key's next point in (ts, tiebreak) order, twap = Σ(vᵢ·durᵢ) /
-    * Σdurᵢ over exact micro-second durations. The LAST observation has
-    * no successor and holds for ZERO duration (stated — extrapolating
-    * an open interval invents data; append a sentinel observation at
-    * the horizon if the tail should count). Same-timestamp ties hold
-    * zero duration each except the last of the tie (honest under the
-    * total (ts, tiebreak) order). A key with a single observation (or
-    * all at one instant) has NO average → NULL twap with n and dur_us
-    * still reported. NULL keys/timestamps/values drop up front (an
-    * unknown value has no holding interval — gap-fill first).
-    *
-    * Portability: `value` is CALLER-QUANTIZED integers (the groupTrend
-    * contract); per-row v·dur products are LONG-exact (guard your
-    * quantization: |v| · key-lifetime-µs must stay under 2⁶³), sums
-    * cross rows as decimal(38,0), and the one division is the
-    * sign-split `(|num|·10⁶) div den` on non-negative operands where
-    * Spark's truncating div equals DuckDB's flooring `//` — twap_us is
-    * the exact micro-unit average, no IEEE step anywhere.
-    *
-    * Plan: ONE shuffle on key serving both the lead() window and the
-    * final agg (same partitioning, the q27/q28 posture) — no
-    * self-join, no explosion; output is key-sized. */
-  def timeWeightedAvg(df: DataFrame, key: Column, ts: Column,
-      value: Column, tiebreak: Column): DataFrame = {
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__um"), col("__tb"))
-    df.select(key.as("__k"), unix_micros(ts).as("__um"),
-        tiebreak.as("__tb"), value.cast("long").as("__x"))
-      .filter(col("__k").isNotNull && col("__um").isNotNull &&
-        col("__x").isNotNull)
-      .withColumn("__dur",
-        coalesce(lead(col("__um"), 1).over(w) - col("__um"), lit(0L)))
-      .groupBy(col("__k").as("key"))
-      .agg(count(lit(1)).as("n"), sum(col("__dur")).as("dur_us"),
-        sum((col("__x") * col("__dur")).cast("decimal(38,0)")).as("__num"))
-      .selectExpr("key", "n", "dur_us",
-        """CASE WHEN dur_us > 0 THEN
-             (CASE WHEN __num < 0 THEN -1L ELSE 1L END) *
-             CAST((abs(__num) * 1000000) div CAST(dur_us AS decimal(38,0))
-               AS BIGINT) END AS twap_us""")
-  }
-
-  def interpolate(df: DataFrame, key: Column, ts: Column, value: Column,
-      stepUs: Long, maxBucketsPerKey: Long = Long.MaxValue): DataFrame = {
-    require(stepUs > 0, s"stepUs must be positive; got $stepUs")
-    require(maxBucketsPerKey > 0,
-      s"maxBucketsPerKey must be positive; got $maxBucketsPerKey")
-    val b = df.select(key.as("key"), unix_micros(ts).as("__um"),
-        floor(value.cast("double") * lit(100)).cast("long").as("__cents"))
-      .filter(col("key").isNotNull && col("__um").isNotNull)
-      .select(col("key"), expr(s"__um div ${stepUs}L").as("bucket"), col("__cents"))
-    val obs = b.groupBy(col("key"), col("bucket"))
-      .agg(sum(col("__cents")).as("__sc"), count(lit(1)).as("__n"))
-      .select(col("key"), col("bucket"), col("__n"),
-        (col("__sc").cast("double") / 100.0 / col("__n").cast("double")).as("__v"))
-    val spine = bucketSpine(b.select(col("key"), col("bucket")),
-        "interpolate", stepUs, maxBucketsPerKey)
-      .join(obs, Seq("key", "bucket"), "left")
-      .select(col("key"), col("bucket"),
-        coalesce(col("__n"), lit(0L)).as("n"), col("__v"))
-    // Both carries are RUNNING frames ([unboundedPreceding, currentRow]),
-    // the backward one over descending bucket order: Spark evaluates a
-    // running frame incrementally (O(n) per partition) but re-scans a
-    // [currentRow, unboundedFollowing] frame for every row (O(n²)) — the
-    // frame-direction swap took q75 from 35.7 s to sub-second at sf0.1.
-    // Same key partitioning → one exchange, two in-partition sorts.
-    val wf = Window.partitionBy(col("key")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wb = Window.partitionBy(col("key")).orderBy(col("bucket").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // One struct carry per direction (2 window functions, not 4): the
-    // (value, anchor-bucket) pair travels together, halving per-row
-    // window work — and a struct can never mix value/anchor from
-    // different observations.
-    val obsPoint = when(col("__v").isNotNull,
-      struct(col("__v").as("v"), col("bucket").as("b")))
-    val marked = spine
-      .withColumn("__f", last(obsPoint, ignoreNulls = true).over(wf))
-      .withColumn("__b", last(obsPoint, ignoreNulls = true).over(wb))
-      .withColumn("__fv", col("__f.v")).withColumn("__fb", col("__f.b"))
-      .withColumn("__bv", col("__b.v")).withColumn("__bb", col("__b.b"))
-    marked
-      .withColumn("value",
-        when(col("__v").isNotNull, col("__v"))
-          .when(col("__fv").isNotNull && col("__bv").isNotNull,
-            col("__fv") + (col("__bv") - col("__fv")) *
-              ((col("bucket") - col("__fb")).cast("double") /
-               (col("__bb") - col("__fb")).cast("double")))
-          .when(col("__fv").isNotNull, col("__fv"))
-          .otherwise(col("__bv")))
-      .withColumn("fill_method",
-        when(col("__v").isNotNull, "observed")
-          .when(col("__fv").isNotNull && col("__bv").isNotNull, "interpolated")
-          .when(col("__fv").isNotNull, "ffill")
-          .when(col("__bv").isNotNull, "bfill")
-          .otherwise("empty"))
-      .select(col("key"), col("bucket"), col("n"), col("value"), col("fill_method"))
-  }
-
-  /** Declarative corpus validation — the admission-control step of a
-    * training-data pipeline: each named check is a boolean Column; the op
-    * adds `violations` (array of the FAILED check names, declaration
-    * order) and `is_valid`. A pure narrow projection — zero shuffle,
-    * works unchanged on streams — so the common 100 TB pattern is one
-    * pass that routes `is_valid` rows onward and quarantines the rest
-    * WITH their reasons (a dropped row that can't say why it was dropped
-    * is un-debuggable at corpus scale). NULL check results count as
-    * violations: an unevaluable constraint is a failed constraint. */
-  def withViolations(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
-    require(checks.nonEmpty, "withViolations needs at least one named check")
-    require(checks.map(_._1).distinct.size == checks.size,
-      "check names must be unique")
-    val tagged = array(checks.map { case (name, c) =>
-      when(coalesce(c, lit(false)), lit(null).cast("string")).otherwise(lit(name))
-    }: _*)
-    df.withColumn("violations", filter(tagged, v => v.isNotNull))
-      .withColumn("is_valid", size(col("violations")) === 0)
-  }
-
-  /** Mixture PLANNING — the budgeting step before sampling a blended
-    * training corpus: given per-row token counts, a target share per
-    * source (ppm of the token budget), and the budget itself, emit one
-    * row per source with its deterministic keep-rate:
-    *   target_tokens = floor(share_ppm · budget / 1e6)
-    *   rate_ppm      = least(1e6, floor(target_tokens · 1e6 / total_tokens))
-    *   deficit_tokens = greatest(0, target_tokens − total_tokens)
-    * An under-provisioned source (fewer tokens than its target) keeps
-    * everything and the shortfall is SURFACED as `deficit_tokens` —
-    * never silently re-spread over the other sources; re-weighting is
-    * the caller's policy decision. The ratio arithmetic is plain IEEE
-    * double division of exact long aggregates (identical in any IEEE
-    * engine — oracle-hashed); `budgetTokens` must stay strictly below
-    * 2^53 so the double math is exact (9e15 tokens ≈ a 36-PB text
-    * corpus).
-    *
-    * Scale shape: ONE map-side-combined hash agg on source; output rows
-    * = |sources| (tiny — broadcastable into [[applyMixture]]). */
-  def mixtureRates(df: DataFrame, source: Column, tokens: Column,
-      sharesPpm: Map[String, Int], defaultSharePpm: Int,
-      budgetTokens: Long): DataFrame = {
-    require(budgetTokens >= 0 && budgetTokens < (1L << 53),
-      s"budgetTokens must be in [0, 2^53); got $budgetTokens")
-    require(defaultSharePpm >= 0 && sharesPpm.values.forall(_ >= 0),
-      "shares must be >= 0")
-    val share = sharesPpm.foldLeft(lit(defaultSharePpm)) { case (acc, (s, p)) =>
-      when(col("source") === s, lit(p)).otherwise(acc)
-    }
-    df.groupBy(source.as("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("total_tokens"))
-      .withColumn("share_ppm", share.cast("long"))
-      .withColumn("target_tokens",
-        floor(col("share_ppm").cast("double") * lit(budgetTokens.toDouble) /
-          lit(1000000.0)))
-      .withColumn("rate_ppm",
-        // a zero-token source has no sampleable mass: rate 0, stated
-        // explicitly (0/0 NaN handling differs between engines)
-        when(col("total_tokens") <= 0, lit(0L)).otherwise(
-          least(lit(1000000L), floor(col("target_tokens").cast("double") *
-            lit(1000000.0) / col("total_tokens").cast("double")))))
-      .withColumn("deficit_tokens",
-        greatest(lit(0L), col("target_tokens") - col("total_tokens")))
-  }
-
-  /** Apply a [[mixtureRates]] plan: deterministic per-source Bernoulli
-    * keep at the planned `rate_ppm` — the |sources|-row plan broadcasts
-    * back onto the corpus and the keep decision is the q36 portable-hash
-    * bucket test (prefix `mixw|`, so mixture sampling is independent of
-    * any other sampler on the same keys). Output schema equals the
-    * input's — the joined rate rides under a reserved `__rate_ppm`
-    * alias, so a user column named `rate_ppm` on `df` passes through
-    * untouched. Zero shuffle on the corpus side at any scale.
-    *
-    * A source with NO row in `rates` is dropped entirely (inner join):
-    * no plan = no budget. Rows whose `source` is NULL are likewise
-    * always dropped — an equi-join never matches NULL keys, even
-    * against a NULL-source plan row. That is the right default when the
-    * plan came from [[mixtureRates]] over the SAME corpus (every present
-    * non-NULL source gets a row); if the plan was trained elsewhere,
-    * union a default row per missing source first — silence here would
-    * be a policy decision this operator refuses to make implicitly. */
-  def applyMixture(df: DataFrame, source: Column, key: Column,
-      rates: DataFrame): DataFrame = {
-    val bucket = pmod(Portable.phash(concat(lit("mixw|"), key.cast("string"))),
-      lit(1000000L))
-    df.withColumn("__src", source)
-      .join(broadcast(rates.select(col("source").as("__src"),
-        col("rate_ppm").as("__rate_ppm"))), "__src")
-      .filter(bucket < col("__rate_ppm"))
-      .drop("__src", "__rate_ppm")
-  }
-
-  /** Deterministic shard-shuffle — the write-layout step of a training
-    * pipeline: assigns each row a shard (0..nShards-1) and an in-shard
-    * order key, both from independent seeded portable hashes of `key`.
-    * Writing with `partitionBy("shard")` + `sortWithinPartitions
-    * ("shuffle_key")` yields a globally shuffled, reproducible corpus
-    * layout without any global sort: the op itself is a pure narrow
-    * projection (zero shuffle), and the write is range-free — no
-    * single-partition bottleneck at 100 TB. A different `seed` reshuffles
-    * the corpus without touching the data. Nulls: a null key yields a
-    * null shard/order key — surfaced, never silently bucketed.
-    *
-    * `key` must be UNIQUE PER ROW for the layout to be a true shuffle:
-    * rows sharing a key (e.g. epoch copies from [[mixCorpus]], which
-    * share the document key) get identical (shard, shuffle_key) and land
-    * adjacent — include the disambiguator in the key
-    * (`concat(key, lit("|"), col("copy_idx"))`). */
-  def shardCorpus(df: DataFrame, key: Column, seed: Int,
-      nShards: Int): DataFrame = {
-    require(nShards > 0, s"nShards must be positive; got $nShards")
-    df.withColumn("shard",
-        pmod(Portable.phash(concat(lit(s"shard|$seed|"), key.cast("string"))),
-          lit(nShards.toLong)).cast("int"))
-      .withColumn("shuffle_key",
-        Portable.phash(concat(lit(s"ord|$seed|"), key.cast("string"))))
-  }
-
-  /** The write-side completion of [[shardCorpus]]: materializes the
-    * shuffled corpus layout as `path/shard=N/` partitions whose files are
-    * internally ordered by `shuffle_key`. One hash exchange on the shard
-    * id groups each shard into a writing task (NOT a global range sort —
-    * no single hot partition at any scale), and the in-task sort is
-    * spill-safe. Readers that consume shards as files (training-data
-    * loaders) see a reproducible global shuffle; re-running with the same
-    * seed rewrites the identical layout. */
-  def writeShardedCorpus(df: DataFrame, path: String, key: Column,
-      seed: Int, nShards: Int, format: String = "parquet"): Unit =
-    shardCorpus(df, key, seed, nShards)
-      .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("shuffle_key"))
-      .write.partitionBy("shard").format(format).mode("overwrite").save(path)
-
-  /** PII redaction: replaces email/phone shapes with placeholder tags and
-    * counts the hits. Patterns restricted to the RE2-compatible subset
-    * both Spark (Java regex) and the oracle (RE2) evaluate identically.
-    * Narrow projection — at 100 TB this is a pure map stage.
-    *
-    * Matched shapes (the contract — anything else passes through):
-    *  - Email: `local@domain.tld`, case-insensitive (`(?i)`), local part
-    *    over `[a-z0-9._%+-]`, ≥ 2-letter TLD.
-    *  - Phone: `[+C[-. ]] [(AAA) |AAA[-. ]] NNN[-. ]NNNN` — optional 1-2
-    *    digit country code, optional 3-digit area code (parenthesized or
-    *    separator-delimited), then 3+4 digits; separators `-`, `.`, space.
-    *    Covers `+1-555-0042`, `(555) 123-4567`, `555.123.4567`, `123-4567`.
-    *    The phone must sit at a token boundary: RE2 has no lookaround, so
-    *    the boundary is a CONSUMED char on each side (group 1 before:
-    *    start-of-string or anything but a digit/`.`/`-`; group 5 after:
-    *    end-of-string or a non-digit), reinserted by the replacement.
-    *    This stops matches inside longer digit/separator runs — version
-    *    strings `10.123.45678`, IDs `987-654-32101` pass through intact.
-    *    Consumed boundaries mean two phones separated by a SINGLE
-    *    character redact only the first (documented contract edge).
-    * Both patterns avoid lookaround/backrefs so Java regex and RE2 agree
-    * (leftmost-first, greedy — identical spans on both engines); the
-    * replacement templates differ only in syntax (`$1` vs `\1`). */
-  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  /** Group 2 = the phone itself; groups 1/5 = the consumed boundary chars. */
-  val PhoneRe = "(^|[^0-9.-])((\\+[0-9]{1,2}[-. ])?(\\([0-9]{3}\\) ?|[0-9]{3}[-. ])?[0-9]{3}[-. ][0-9]{4})([^0-9]|$)"
-  def redactPii(df: DataFrame, text: Column): DataFrame =
-    df.withColumn("n_emails", size(regexp_extract_all(text, lit(EmailRe), lit(0))))
-      .withColumn("n_phones", size(regexp_extract_all(text, lit(PhoneRe), lit(2))))
-      .withColumn("redacted",
-        regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe,
-          "$1<PHONE>$5"))
-
-  /** Trigram repetition score: 1 − distinct/total trigrams — the
-    * boilerplate/repetition quality signal. Distinct trigrams reuse the
-    * codegen'd one-pass shingle hasher (no shingle strings materialize). */
-  def repetitionScore(df: DataFrame, text: Column, width: Int = 3): DataFrame =
-    df.withColumn("__toks", Text.tokens(text))
-      .withColumn("n_ngrams", greatest(size(col("__toks")) - lit(width - 1), lit(0)))
-      .withColumn("n_uniq",
-        size(graft.functions.ShingleHashes.asColumn(col("__toks"), width)))
-      .withColumn("rep_ratio",
-        when(col("n_ngrams") > 0,
-          lit(1.0) - col("n_uniq").cast("double") / col("n_ngrams").cast("double"))
-        .otherwise(lit(0.0)))
-      .drop("__toks")
-
-  /** Benchmark decontamination — the training-data hygiene step: annotate
-    * each corpus document with the count of its distinct `width`-gram
-    * shingles that also occur anywhere in `eval` (a benchmark/test set).
-    * Docs with `n_contam > 0` share verbatim n-grams with the eval set
-    * and are candidate leaks; callers filter at their chosen threshold.
-    *
-    * Scale shape: both sides reduce to distinct int64 shingle hashes
-    * (codegen'd one-pass, no shingle strings materialize), the eval set
-    * collapses to ONE distinct hash set (benchmarks are small relative to
-    * a training corpus → AQE broadcasts it), and the overlap count is a
-    * map-side-combined aggregate over the corpus posting list — no string
-    * shuffles, nothing quadratic. Standard practice uses widths around
-    * 8–13; the default is 13 (the common n-gram decontamination
-    * convention in LLM training pipelines). */
-  /** Novelty / boilerplate-mass scoring against a reference corpus —
-    * the curation score "how much of this document is text we already
-    * have": per document, total `width`-gram shingle OCCURRENCES,
-    * occurrences whose shingle appears NOWHERE in the reference, and
-    * the exact integer-ppm novelty share (unseen·10⁶ div total). The
-    * occurrence-mass complement of [[decontaminate]] (which counts
-    * DISTINCT overlapping shingles for a drop/keep decision): here a
-    * document that repeats one known slogan fifty times scores fifty
-    * known occurrences — the boilerplate/memorization-audit weighting,
-    * low novelty → near-duplicate of the reference mass, high →
-    * genuinely new text. A document with fewer than `width` tokens has
-    * no shingles → 0/0 counts and NULL ppm (novelty of nothing is
-    * undefined — stated, never a divide).
-    *
-    * Plan: reference collapses to its DISTINCT shingle-hash vocabulary
-    * (one agg); document totals come NARROWLY from the codegen'd
-    * shingle array's size (no shuffle); only the unseen count joins —
-    * a left-anti against the vocabulary (AQE broadcasts a small
-    * vocabulary; for eval-set-sized references that posture is
-    * [[decontaminate]]'s, and a [[decontaminateBloom]]-style map-side
-    * pre-filter is the documented escape hatch past ~10⁸ shingles) —
-    * then one map-side-combined agg on doc id and one doc-keyed join
-    * back. Output: (id, n_shingles, n_unseen, novelty_ppm). */
-  def noveltyScore(df: DataFrame, id: Column, text: Column,
-      reference: DataFrame, refText: Column, width: Int = 13): DataFrame = {
-    require(width >= 1, s"width must be >= 1; got $width")
-    val refVocab = reference.select(explode(
-        graft.functions.ShingleHashes.asColumn(Text.tokens(refText), width))
-        .as("__sh")).distinct()
-    val withTot = df.select(id.as("id"),
-        graft.functions.ShingleHashesAll.asColumn(Text.tokens(text), width)
-          .as("__shs"))
-      .withColumn("__tot", size(col("__shs")).cast("long"))
-    val unseen = withTot
-      .select(col("id"), explode(col("__shs")).as("__sh"))
-      .join(refVocab, Seq("__sh"), "left_anti")
-      .groupBy(col("id")).agg(count(lit(1)).as("__un"))
-    withTot.join(unseen, Seq("id"), "left")
-      .select(col("id"), col("__tot").as("n_shingles"),
-        coalesce(col("__un"), lit(0L)).as("n_unseen"),
-        when(col("__tot") > 0, expr(
-          "coalesce(__un, 0L) * 1000000L div __tot")).as("novelty_ppm"))
-  }
-
-  def decontaminate(corpus: DataFrame, id: Column, text: Column,
-      eval: DataFrame, evalText: Column, width: Int = 13): DataFrame = {
-    val evalSh = eval.select(explode(graft.functions.ShingleHashes.asColumn(
-        Text.tokens(evalText), width)).as("__sh")).distinct()
-    val docSh = corpus.select(id.as("__cid"), explode(
-        graft.functions.ShingleHashes.asColumn(Text.tokens(text), width))
-        .as("__sh"))
-    val overlap = docSh.join(evalSh, Seq("__sh"))
-      .groupBy(col("__cid")).agg(count(lit(1)).as("__n"))
-    corpus.join(overlap, id === col("__cid"), "left")
-      .withColumn("n_contam", coalesce(col("__n"), lit(0L)))
-      .drop("__cid", "__n")
-  }
-
-  /** The bloom tier of [[decontaminate]] — bit-identical output, built for
-    * eval sets too large to broadcast as a hash relation. [[decontaminate]]
-    * relies on AQE broadcasting the distinct eval-shingle set; once that
-    * set outgrows the broadcast threshold (~10⁸ shingles) the overlap join
-    * shuffles the ENTIRE corpus posting list — the classic 100 TB cliff.
-    * Here the eval set is first collapsed to a bloom filter (~`bloomBits`/8
-    * bytes regardless of eval size — a MODEL, like a k-means codebook, so
-    * the one driver collect is bounded by the parameter, never by data)
-    * embedded as a literal into a codegen'd `might_contain` predicate.
-    * Corpus shingles that miss the bloom — in a decontamination setting,
-    * almost all of them — are dropped map-side, BEFORE any shuffle; only
-    * bloom-positive candidates reach the exact confirm join, which kills
-    * the false positives. `fpp` therefore affects only the candidate
-    * volume, never the answer: output == [[decontaminate]] exactly
-    * (spec-asserted), which is also why the two share one oracle shape.
-    *
-    * Sizing: ~1.44·n·log₂(1/fpp) bits for n distinct eval shingles — the
-    * default 2²³ bits (1 MB, Spark's own runtime-filter default) holds
-    * ~600k shingles at 1% fpp; size UP for big eval sets (the literal
-    * rides in every task binary, so keep it ≤ a few MB). The bloom is
-    * built distributed (one [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
-    * pass, partial blooms OR-merged), not on the driver. */
-  def decontaminateBloom(corpus: DataFrame, id: Column, text: Column,
-      eval: DataFrame, evalText: Column, width: Int = 13,
-      expectedItems: Long = 1L << 20, bloomBits: Long = 1L << 23): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
-    val evalSh = eval.select(explode(graft.functions.ShingleHashes.asColumn(
-        Text.tokens(evalText), width)).as("__sh")).distinct()
-    val bloomBytes = evalSh.agg(ColumnBridge.column(
-        new BloomFilterAggregate(ColumnBridge.expression(col("__sh")),
-          Literal(expectedItems), Literal(bloomBits)).toAggregateExpression())
-        .as("__bf")).head().getAs[Array[Byte]](0)
-    val docSh = corpus.select(id.as("__cid"), explode(
-        graft.functions.ShingleHashes.asColumn(Text.tokens(text), width))
-        .as("__sh"))
-    // empty eval set -> no bloom (aggregate over zero rows yields NULL):
-    // nothing can overlap, skip both joins
-    val overlap =
-      if (bloomBytes == null)
-        docSh.select(col("__cid"), lit(0L).as("__n")).limit(0)
-      else
-        docSh.filter(ColumnBridge.column(BloomFilterMightContain(
-            Literal(bloomBytes, BinaryType),
-            ColumnBridge.expression(col("__sh")))))
-          .join(evalSh, Seq("__sh"))
-          .groupBy(col("__cid")).agg(count(lit(1)).as("__n"))
-    corpus.join(overlap, id === col("__cid"), "left")
-      .withColumn("n_contam", coalesce(col("__n"), lit(0L)))
-      .drop("__cid", "__n")
-  }
-
-  /** Benchmark-contamination EVIDENCE report — the q118-style
-    * composition proof over the decontamination family ([[decontaminate]]
-    * counts overlap mass per doc, [[ngramContainment]] scores asymmetric
-    * containment, [[phraseMatch]] pins exact spans): one row per
-    * (document, benchmark) pair with every signal an audit needs to
-    * adjudicate leakage, instead of three separate reports to join by
-    * hand:
-    *
-    *  - n_bench_windows: the benchmark's DISTINCT `width`-token windows
-    *  - n_hits: positional window matches in the doc (shingle MASS —
-    *    overlapping doc windows each count)
-    *  - n_overlap: DISTINCT benchmark windows the doc contains
-    *  - containment_ppm: n_overlap·10⁶ div n_bench_windows (the q82
-    *    directional score — benchmark contained in doc; 10⁶ = every
-    *    benchmark window occurs somewhere in the doc)
-    *  - max_span_tokens: the longest CONTIGUOUS doc span all of whose
-    *    `width`-windows occur in the benchmark — the ExactSubstr
-    *    evidence grain (Lee et al. 2022): with windows overlapping by
-    *    width−1 tokens, a long span of benchmark-only windows is the
-    *    benchmark text itself up to pathological repetition
-    *  - full_span (0/1): max span covers ≥ the benchmark's whole window
-    *    count — the benchmark appears as ONE contiguous quote
-    *
-    * Pairs below `minOverlap` distinct shared windows drop (evidence
-    * report, not an annotation — [[decontaminate]] is the keep-all
-    * face). All integers (hash-gates, q149).
-    *
-    * Scale shape: benchmark suites are eval-scale, so the bench window
-    * table broadcasts (past ~10⁸ windows use [[decontaminateBloom]]'s
-    * pre-filter first); doc windows are one codegen'd positional-hash
-    * pass; ONLY matching positions shuffle, once, on (doc, benchmark);
-    * the per-pair position list is doc-length-bounded and the longest
-    * run is one sorted fold over it (the ewma/topPaths idiom) — no
-    * window function, no second shuffle, never corpus × eval. */
-  def contaminationReport(corpus: DataFrame, id: Column, text: Column,
-      eval: DataFrame, evalId: Column, evalText: Column,
-      width: Int = 13, minOverlap: Long = 1L): DataFrame = {
-    require(width >= 1, s"width must be >= 1; got $width")
-    require(minOverlap >= 1, s"minOverlap must be >= 1; got $minOverlap")
-    val bench = eval.select(evalId.as("bench_id"),
-        explode(graft.functions.ShingleHashes.asColumn(
-          Text.tokens(evalText), width)).as("__sh"))
-      .filter(col("bench_id").isNotNull)
-    val bsz = bench.groupBy(col("bench_id"))
-      .agg(count(lit(1)).as("n_bench_windows"))
-    val docPos = corpus.select(id.as("doc_id"),
-        posexplode(graft.functions.ShingleHashesAll.asColumn(
-          Text.tokens(text), width)))
-      .select(col("doc_id"), col("pos"), col("col").as("__sh"))
-    val hits = docPos.join(bench, Seq("__sh"))
-    // longest run of consecutive matched positions: fold the sorted
-    // distinct position list left to right (sizes, not countDistinct —
-    // no Expand; the whole agg is one pass over the hit rows)
-    val runFold =
-      """aggregate(__ps,
-           struct(CAST(-2 AS INT) AS prev, CAST(0 AS BIGINT) AS cur,
-                  CAST(0 AS BIGINT) AS best),
-           (s, p) -> named_struct(
-             'prev', p,
-             'cur', IF(p = s.prev + 1, s.cur + 1L, 1L),
-             'best', GREATEST(s.best, IF(p = s.prev + 1, s.cur + 1L, 1L))),
-           s -> s.best)"""
-    hits.groupBy(col("doc_id"), col("bench_id"))
-      .agg(count(lit(1)).as("n_hits"),
-        size(collect_set(col("__sh"))).cast("long").as("n_overlap"),
-        sort_array(collect_set(col("pos"))).as("__ps"))
-      .filter(col("n_overlap") >= minOverlap)
-      .join(broadcast(bsz), "bench_id")
-      .withColumn("__run", expr(runFold))
-      .select(col("doc_id"), col("bench_id"), col("n_bench_windows"),
-        col("n_hits"), col("n_overlap"),
-        expr("n_overlap * 1000000L div n_bench_windows").as("containment_ppm"),
-        (col("__run") + lit(width - 1)).as("max_span_tokens"),
-        (col("__run") >= col("n_bench_windows")).cast("int").as("full_span"))
-  }
-
-  // ------------------------------------------------------- event time
-
-  /** As-of join: for each `right` row, the nearest `left` row with the
-    * same key at-or-before its timestamp — or at-or-after with
-    * `forward = true` (union-marker window plan — one shuffle on the key,
-    * no range self-join). Left value columns surface prefixed
-    * (`asof_<col>`); right columns pass through untouched — the left side
-    * is renamed BEFORE the union so same-named right columns are never
-    * merged/dropped. `tiebreak` orders left rows sharing a (key, ts): the
-    * greatest tiebreak value wins deterministically, in either direction.
-    * `toleranceUs` bounds the match: a nearest left row farther than the
-    * tolerance yields NULL asof columns (the row is kept — as-of is a
-    * left-outer enrichment, never a filter).
-    *
-    * Scale shape is direction-independent: the forward plan is the same
-    * single shuffle with the sort order reversed, NOT a second pass or a
-    * reversed copy of the data. */
-  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-      leftPrefix: String = "asof_", tiebreak: Option[String] = None,
-      forward: Boolean = false, toleranceUs: Long = Long.MaxValue): DataFrame = {
-    require(toleranceUs >= 0, s"toleranceUs must be non-negative; got $toleranceUs")
-    val lCols = left.columns.filter(c => c != key && c != ts).toIndexedSeq
-    val pre = s"__l_"
-    val lRenamed = lCols.foldLeft(left)((df, c) => df.withColumnRenamed(c, s"$pre$c"))
-      .withColumnRenamed(ts, s"$pre$ts")
-      .withColumn(key, col(key)) // keep the join key shared
-      .withColumn("__kind", lit(0))
-      .withColumn("__ts", col(s"$pre$ts"))
-    val rTagged = right.withColumn("__kind", lit(1)).withColumn("__ts", col(ts))
-    val all = lRenamed.unionByName(rTagged, allowMissingColumns = true)
-    // Backward: ts asc, so preceding rows are at-or-before. Forward: ts
-    // desc, so preceding rows are at-or-AFTER and last() picks the one
-    // closest to (i.e. the earliest at-or-after) the current right row.
-    // kind stays ascending either way: a left row at the exact right ts
-    // sorts before it, making both bounds inclusive.
-    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
-    val orderCols = Seq(tsOrder, col("__kind")) ++
-      tiebreak.map(t => col(s"$pre$t").asc_nulls_first)
-    val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // Carry the WHOLE left row as one struct through a single last(...)
-    // window: per-column carries would backfill a null field from an OLDER
-    // left row, mixing values across rows. The struct is non-null iff the
-    // row is a left row, so ignoreNulls picks the latest left row intact.
-    val lValueCols = lCols :+ ts
-    val lStruct = struct(lValueCols.map(c => col(s"$pre$c").as(c)): _*)
-    val withAsof = all
-      .withColumn("__lrow",
-        last(when(col("__kind") === 0, lStruct), ignoreNulls = true).over(w))
-    val bounded =
-      if (toleranceUs == Long.MaxValue) withAsof
-      else withAsof.withColumn("__lrow",
-        when(abs(unix_micros(col("__ts")) -
-            unix_micros(col("__lrow").getField(ts))) <= toleranceUs,
-          col("__lrow")))
-    lValueCols.foldLeft(bounded) { (df, c) =>
-        df.withColumn(s"$leftPrefix$c", col("__lrow").getField(c))
-      }
-      .filter(col("__kind") === 1)
-      .drop("__kind", "__ts", "__lrow")
-      .drop(lValueCols.map(c => s"$pre$c"): _*)
-  }
-
-  /** Gap-based sessionization: assigns `sess_id` per key, sessions split
-    * when consecutive events are more than `gapUs` micros apart. */
-  def sessionize(df: DataFrame, key: Column, ts: Column, gapUs: Long,
-      tiebreak: Column): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__prev", lag(ts, 1).over(w))
-      .withColumn("__new", when(col("__prev").isNull ||
-        unix_micros(ts) - unix_micros(col("__prev")) > gapUs, 1).otherwise(0))
-      .withColumn("sess_id", sum(col("__new")).over(wRun).cast("long"))
-      .drop("__prev", "__new")
-  }
-
-  // ---------------------------------------- changelog apply / SCD2
-
-  /** CDC apply — lakehouse MERGE-INTO semantics as one batch operator:
-    * reduce a changelog (insert/update/delete rows keyed by `key`,
-    * totally ordered per key by (`version`, `tiebreak`)) to the table
-    * state it describes. Each key's LATEST change wins; keys whose
-    * latest change satisfies `isDelete` vanish (tombstone). The same
-    * reduction Delta/Iceberg MERGE or a Flink upsert-changelog sink
-    * performs, expressed Spark-first as ONE two-phase hash aggregate:
-    * `max_by(struct(*), struct(version, tiebreak))` computes per-key
-    * maxima map-side BEFORE the shuffle, so a key with a million
-    * updates ships at most one row per input task — where the
-    * row_number-window formulation (the oracle states that form) would
-    * shuffle and sort every version of every key. `version` must be
-    * non-null (null ordering keys would silently lose to any non-null
-    * change); `tiebreak` makes the winner deterministic when versions
-    * collide. Streaming twin: [[graft.streaming.StreamingOps]] S20
-    * applies the same changelog continuously through keyed state. */
-  def applyChanges(df: DataFrame, key: Seq[Column], version: Column,
-      tiebreak: Column, isDelete: Column): DataFrame =
-    // NULL delete flag = NOT a tombstone (coalesce — a bare !isDelete
-    // would SQL-filter the winner out, silently deleting the key; a CDC
-    // source with occasional null op columns must not lose keys)
-    latestByKey(df, key, version, tiebreak)
-      .filter(coalesce(!isDelete, lit(true)))
-
-  /** The reduction inside [[applyChanges]] WITHOUT the tombstone filter:
-    * one winning row per key, deletes still present as rows. This is
-    * what a continuously-maintained upsert STATE must store — dropping
-    * tombstones from state would let an out-of-order older update
-    * resurrect a deleted key (S20 spec pins that exact scenario); the
-    * read face filters them ([[graft.streaming.StreamingOps.upsertState]]). */
-  def latestByKey(df: DataFrame, key: Seq[Column], version: Column,
-      tiebreak: Column): DataFrame = {
-    require(key.nonEmpty, "latestByKey needs at least one key column")
-    val cols = df.columns
-    df.groupBy(key: _*)
-      .agg(max_by(struct(cols.map(col): _*), struct(version, tiebreak))
-        .as("__last"))
-      .select(cols.map(c => col(s"__last.`$c`").as(c)): _*)
-  }
-
-  /** Golden-record survivorship merge — the MDM consumer of a changelog:
-    * one row per key carrying, for EACH field independently, the value
-    * of the latest change where that field was NON-NULL (a sparse
-    * update stream — each change touches some fields — merges into the
-    * complete current profile), plus `last_<version>`. Extends
-    * [[applyChanges]] field-wise: apply keeps the whole winning row
-    * (a null field in the winner nulls the profile); survivorship keeps
-    * each field's own winner.
-    *
-    * ONE two-phase hash aggregate — per-field
-    * `max_by(field, (version, tiebreak)) FILTER (WHERE field IS NOT
-    * NULL)` — so partial per-key/per-field winners combine map-side and
-    * a hot key never ships its history (the q96 posture); no window, no
-    * per-field self-joins (the oracle states that per-field row_number
-    * form). Columns by NAME (the S20 restart contract). `version` must
-    * be non-null, ties break on `tiebreak`. */
-  def goldenRecord(df: DataFrame, key: Seq[Column], version: String,
-      tiebreak: String, fields: Seq[String]): DataFrame = {
-    require(key.nonEmpty, "goldenRecord needs at least one key column")
-    require(fields.nonEmpty, "goldenRecord needs at least one field")
-    require(fields.distinct.size == fields.size,
-      s"duplicate field names: ${fields.diff(fields.distinct).distinct.mkString(", ")}")
-    require(!fields.contains(s"last_$version"),
-      s"field 'last_$version' collides with the appended last-version column")
-    val aggs = fields.map(f =>
-      expr(s"max_by(`$f`, struct(`$version`, `$tiebreak`)) " +
-        s"FILTER (WHERE `$f` IS NOT NULL)").as(f)) :+
-      max(col(version)).as(s"last_$version")
-    df.groupBy(key: _*).agg(aggs.head, aggs.tail: _*)
-  }
-
-  /** Per-batch pre-reduction for the streaming golden-record log — the
-    * S26 member of the append-log family ([[latestByKey]]'s S20 upsert
-    * shape at FIELD grain): one row per key carrying, for every field,
-    * the batch's winning (v = version, t = tiebreak, x = value) STRUCT
-    * — NULL when the batch saw no non-null value for that field — plus
-    * the batch's `last_<version>`. Per-field max over the (version,
-    * tiebreak) total order is ASSOCIATIVE and arrival-order-
-    * insensitive, so reducing any log of these deltas re-derives full
-    * survivorship exactly: [[graft.streaming.StreamingOps.goldenRecordState]]
-    * over the log == [[goldenRecord]] over all changes, for ANY
-    * chunking (law S26). Unlike [[goldenRecord]] (max_by — value never
-    * compared) the delta rides the value INSIDE the comparison struct,
-    * so fields must be orderable types (no maps); a cross-delta
-    * (version, tiebreak) tie can only be the same change replayed
-    * (at-least-once retry), where the value ties too. Columns by NAME
-    * (the S20 restart contract). */
-  def goldenRecordDelta(df: DataFrame, key: Seq[String], version: String,
-      tiebreak: String, fields: Seq[String]): DataFrame = {
-    require(key.nonEmpty, "goldenRecordDelta needs at least one key column")
-    require(fields.nonEmpty, "goldenRecordDelta needs at least one field")
-    require(fields.distinct.size == fields.size,
-      s"duplicate field names: ${fields.diff(fields.distinct).distinct.mkString(", ")}")
-    require(!fields.contains(s"last_$version"),
-      s"field 'last_$version' collides with the appended last-version column")
-    val aggs = fields.map(f =>
-      max(when(col(f).isNotNull,
-        struct(col(version).as("v"), col(tiebreak).as("t"),
-          col(f).as("x")))).as(f)) :+
-      max(col(version)).as(s"last_$version")
-    df.groupBy(key.map(col): _*).agg(aggs.head, aggs.tail: _*)
-  }
-
-  /** SCD Type-2 history build — the other consumer of the same
-    * changelog: every surviving change becomes a versioned dimension
-    * row effective [`effective_from`, `effective_to`) with
-    * `is_current` marking each key's open row. Delete tombstones emit
-    * no row of their own but still CLOSE the predecessor's interval
-    * (its `effective_to` is the delete's timestamp) and leave the key
-    * with no current row — the standard warehouse contract for hard
-    * deletes in a type-2 dimension.
-    *
-    * Plan: one shuffle on `key` + one in-partition ordered window
-    * (lead) — no self-join; at 100 TB the changelog partitions on its
-    * natural key and AQE skew-split handles hot keys, the q27/q28
-    * posture. */
-  def scd2(df: DataFrame, key: Seq[Column], ts: Column, tiebreak: Column,
-      isDelete: Column): DataFrame = {
-    require(key.nonEmpty, "scd2 needs at least one key column")
-    val w = Window.partitionBy(key: _*).orderBy(ts, tiebreak)
-    df.withColumn("effective_from", ts)
-      .withColumn("effective_to", lead(ts, 1).over(w))
-      // a closed-by-delete row keeps its non-null effective_to; NULL
-      // delete flags are NOT tombstones (the applyChanges contract)
-      .filter(coalesce(!isDelete, lit(true)))
-      .withColumn("is_current", col("effective_to").isNull)
-  }
-
-  // -------------------------------------------------- funnel analysis
-
-  /** Ordered-sequence funnel: for every key, the first time each stage
-    * of `stages` was reached IN ORDER — stage i counts only strictly
-    * after stage i−1's first completion and within `horizonUs` of stage
-    * 0's (the classic product-analytics funnel; MATCH_RECOGNIZE-lite).
-    * Returns one row per key: `t_<stage>` timestamps (NULL from the
-    * first unreached stage on — reaching stage i without i−1 is
-    * impossible by construction) and `stage_reached` (0..n).
-    *
-    * Plan: ONE shuffle on `key`, then n windowed conditional-min passes
-    * over the same partitioning (Catalyst collapses them — no
-    * per-stage re-shuffle, no self-joins, no row explosion), then a
-    * same-key aggregate that reuses the partitioning. Skewed keys →
-    * AQE, the q27/q28 posture. */
-  def funnel(df: DataFrame, key: Column, ts: Column, stage: Column,
-      stages: Seq[String], horizonUs: Long): DataFrame = {
-    require(stages.nonEmpty, "funnel needs at least one stage")
-    require(stages.distinct.size == stages.size, "funnel stages must be distinct")
-    require(horizonUs > 0, s"horizonUs must be positive; got $horizonUs")
-    // stage names become `t_<stage>` output columns referenced by name;
-    // a dot or backtick would parse as struct access / break resolution
-    // with an opaque AnalysisException deep in the plan — fail at the API
-    // boundary instead (review r15). ONLY those two characters are the
-    // hazard: an allowlist regex here rejected previously-working
-    // non-ASCII stage names like "señal" (review r16)
-    val badStages = stages.filter(s => s.isEmpty ||
-      s.contains(".") || s.contains("`"))
-    require(badStages.isEmpty,
-      "funnel stage names must be non-empty and contain no '.' or '`' " +
-        s"(they become t_<stage> output columns); got: " +
-        badStages.mkString(", "))
-    val w = Window.partitionBy(col("__key"))
-    var cur = df.select(key.as("__key"), ts.as("__ts"), stage.as("__st"))
-      .withColumn(s"t_${stages.head}",
-        min(when(col("__st") === stages.head, col("__ts"))).over(w))
-    val deadline = unix_micros(col(s"t_${stages.head}")) + horizonUs
-    for (i <- 1 until stages.size) {
-      cur = cur.withColumn(s"t_${stages(i)}",
-        min(when(col("__st") === stages(i) &&
-            col("__ts") > col(s"t_${stages(i - 1)}") &&
-            unix_micros(col("__ts")) <= deadline,
-          col("__ts"))).over(w))
-    }
-    val tAggs = stages.map(s => min(col(s"t_$s")).as(s"t_$s"))
-    val reached = stages
-      .map(s => when(col(s"t_$s").isNotNull, 1).otherwise(0))
-      .reduce(_ + _)
-    cur.groupBy(col("__key").as("key"))
-      .agg(tAggs.head, tAggs.tail: _*)
-      .withColumn("stage_reached", reached)
-  }
-
-  /** Per-key state-transition (Markov) counts — the path-analysis
-    * companion to [[funnel]] (which checks ONE prescribed order) and
-    * [[cohortRetention]]: over each key's (ts, tiebreak)-ordered event
-    * stream, count every consecutive (from_state → to_state) step and
-    * report the exact transition share in integer ppm
-    * (n·10⁶ div Σ n(from) — the q54/q104 decimal-free idiom). A key's
-    * first event has no predecessor and feeds no transition; NULL
-    * states are real states (a NULL→x step counts — null-safe grouping),
-    * so instrumentation gaps show up as mass instead of vanishing.
-    * Rows with a NULL ts or tiebreak drop up front (no position in the
-    * order — the timeWeightedAvg posture; engines disagree on where
-    * NULLs sort inside a window ORDER BY, so the contract is explicit).
-    * Output: (from_state, to_state, n, p_ppm).
-    *
-    * Plan: ONE shuffle on key + an in-partition lag window (the q27/q28
-    * posture), then a (from, to) hash agg — state-catalog-sized — and a
-    * from-keyed window over THAT catalog for the denominators. The
-    * corpus shuffles once; everything after is catalog-scale. */
-  def transitionCounts(df: DataFrame, key: Column, ts: Column,
-      state: Column, tiebreak: Column): DataFrame = {
-    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tb"))
-    df.select(key.as("__k"), ts.as("__ts"), tiebreak.as("__tb"),
-        state.as("__s"))
-      .filter(col("__ts").isNotNull && col("__tb").isNotNull)
-      .withColumn("__prev", lag(col("__s"), 1).over(w))
-      .withColumn("__has_prev", lag(lit(1), 1).over(w)) // NULL state ≠ no row
-      .filter(col("__has_prev").isNotNull)
-      .groupBy(col("__prev").as("from_state"), col("__s").as("to_state"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("__tot",
-        sum("n").over(Window.partitionBy(col("from_state"))))
-      .withColumn("p_ppm", expr("(n * 1000000L) div __tot"))
-      .drop("__tot")
-  }
-
-  // ------------------------------------------- multi-touch attribution
-
-  /** Multi-touch attribution report — which channel gets credit for a
-    * conversion, under the three standard models at once: for every
-    * conversion event, its attributable touches are the same key's
-    * non-conversion events at a strictly earlier (ts, tiebreak)
-    * position within `lookbackDays`; FIRST-touch credits the earliest
-    * such touch, LAST-touch the latest, and LINEAR splits 10⁶ ppm
-    * evenly with the integer remainder going to the last touch — so
-    * every attributed conversion's linear shares sum to EXACTLY 10⁶
-    * and the whole report is integer arithmetic (hash-gates, q140).
-    * Conversions with no in-window touch are unattributable and drop
-    * (stated — report them via [[funnel]] if the zero-touch count
-    * matters). Rows with NULL key/ts/tiebreak drop up front (no
-    * position in the order — the house q117/q126 posture). CONTRACT:
-    * (ts, tiebreak) must be unique per key among a conversion's
-    * touches — a duplicate pair at the first/last position makes the
-    * credit ambiguous and raises loudly at run time rather than
-    * over-crediting silently.
-    *
-    * Plan: ONE key equi-join (conversions × touches, range residual on
-    * the micros — never a cross product), one UNSORTED window over the
-    * conversion key (count/min/max aggregate frames — no sort pass),
-    * one channel agg. Touches per key are activity-bounded; a hot key
-    * is one AQE-split partition. */
-  def attributionReport(df: DataFrame, key: Column, ts: Column,
-      tiebreak: Column, channel: Column, isConversion: Column,
-      lookbackDays: Int): DataFrame = {
-    require(lookbackDays >= 1 && lookbackDays <= 3650,
-      s"lookbackDays must be in [1, 3650]; got $lookbackDays")
-    val base = df.select(key.as("__u"), unix_micros(ts).as("__t"),
-        tiebreak.as("__tb"), channel.as("__ch"), isConversion.as("__cv"))
-      .filter(col("__u").isNotNull && col("__t").isNotNull &&
-        col("__tb").isNotNull)
-    val conv = base.filter(col("__cv"))
-      .select(col("__u"), col("__t").as("__ct"), col("__tb").as("__ctb"))
-    val touch = base.filter(!col("__cv"))
-      .select(col("__u"), col("__t").as("__tt"), col("__tb").as("__ttb"),
-        col("__ch"))
-    val lookbackUs = lookbackDays * 86400000000L
-    val joined = conv.join(touch, Seq("__u"))
-      .filter((col("__tt") < col("__ct") ||
-        (col("__tt") === col("__ct") && col("__ttb") < col("__ctb"))) &&
-        col("__tt") >= col("__ct") - lit(lookbackUs))
-    val w = Window.partitionBy(col("__u"), col("__ct"), col("__ctb"))
-    joined
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__pos", struct(col("__tt"), col("__ttb")))
-      .withColumn("__isf", col("__pos") === min(col("__pos")).over(w))
-      .withColumn("__isl", col("__pos") === max(col("__pos")).over(w))
-      // the (ts, tiebreak) pair must be UNIQUE per key among a
-      // conversion's touches: a duplicate pair at the min or max
-      // position would credit first/last to MULTIPLE touches and push
-      // the linear remainder above 10⁶ ppm — that ambiguity fails
-      // loudly (house raise_error posture, r17 ADVICE) instead of
-      // silently over-crediting. Duplicates at interior positions are
-      // harmless and pass. Same unsorted window frames, no extra sort.
-      .withColumn("__nf", sum(when(col("__isf"), 1L).otherwise(0L)).over(w))
-      .withColumn("__nl", sum(when(col("__isl"), 1L).otherwise(0L)).over(w))
-      .withColumn("__lin",
-        when(col("__nf") > 1 || col("__nl") > 1, raise_error(concat(
-          lit("attributionReport: duplicate (ts, tiebreak) among a "),
-          lit("conversion's touches (key "), col("__u").cast("string"),
-          lit(") — first/last credit is ambiguous; pick a unique tiebreak"))))
-        .otherwise(expr("cast(1000000 as bigint) div __n") +
-          when(col("__isl"), expr("cast(1000000 as bigint) % __n"))
-            .otherwise(lit(0L))))
-      .groupBy(col("__ch").as("channel"))
-      .agg(sum(when(col("__isf"), 1L).otherwise(0L)).as("first_touch"),
-        sum(when(col("__isl"), 1L).otherwise(0L)).as("last_touch"),
-        sum(col("__lin")).as("linear_ppm"))
-  }
-
-  // ------------------------------------------------ cohort retention
-
-  /** Cohort retention: key grouped by the calendar period of its FIRST
-    * activity (`date_trunc(unit, min ts)`), then for every (cohort,
-    * period-offset) the count of cohort members active in that period —
-    * the standard growth-analytics retention triangle. `retention_ppm`
-    * is exact integer ppm (`n_active·10⁶ div n_cohort` — the q54/q80
-    * decimal-free share idiom).
-    *
-    * Plan: one agg on key (first activity), one (key, period) distinct,
-    * one key equi-join, one (cohort, period) agg, one broadcast-sized
-    * cohort-sizes join — every shuffle keyed by key or by the
-    * catalog-scale (cohort, period) pair; no window, no self-join over
-    * the event log. Period offsets are exact integer divisions of
-    * truncated-boundary differences (UTC — no DST shear). */
-  def cohortRetention(df: DataFrame, key: Column, ts: Column,
-      unit: String = "week"): DataFrame = {
-    val periodUs: Long = unit match {
-      case "week" => 7L * 86400 * 1000000
-      case "day" => 86400L * 1000000
-      case other => throw new IllegalArgumentException(
-        s"cohortRetention unit must be 'week' or 'day'; got '$other'")
-    }
-    val firsts = df.groupBy(key.as("__k")).agg(min(ts).as("__t0"))
-      .select(col("__k"), date_trunc(unit, col("__t0")).as("cohort"))
-    val active = df.select(key.as("__k"), date_trunc(unit, ts).as("__wk"))
-      .distinct()
-    val sizes = firsts.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
-    active.join(firsts, "__k")
-      .groupBy(col("cohort"), col("__wk"))
-      .agg(count(lit(1)).as("n_active"))
-      .join(sizes, "cohort")
-      .withColumn("period_offset",
-        expr(s"(unix_micros(__wk) - unix_micros(cohort)) div ${periodUs}L"))
-      .withColumn("retention_ppm",
-        expr("(n_active * 1000000L) div n_cohort"))
-      .select(col("cohort"), col("period_offset"), col("n_active"),
-        col("n_cohort"), col("retention_ppm"))
-  }
-
-  // ------------------------------------------ rolling distinct count
-
-  /** Rolling trailing-window distinct count (the "7-day active users"
-    * shape): for every calendar day that appears in the input, the
-    * number of DISTINCT entities with at least one row in the closed
-    * trailing window [day − windowDays + 1, day]. Output grid = days
-    * present in the corpus (a day with zero rows of its own does not
-    * surface even if trailing activity covers it — the honest contract;
-    * gap-fill the grid first if a dense calendar is wanted).
-    *
-    * Spark has no distinct-over-range-window; the scale shape here is
-    * CONTRIBUTION EXPLOSION instead of a window: (entity, day) pairs
-    * are deduped once (shuffle 1, corpus-keyed), each pair fans out
-    * narrowly into the ≤ `windowDays` target days it contributes to,
-    * dedup again on (entity, target day) (shuffle 2, ≤ windowDays× the
-    * pair count — bounded, never |corpus|²), then one map-side-combined
-    * count per day. The day catalog is calendar-bounded (years → low
-    * thousands of rows) so the grid semi-join broadcasts. */
-  def rollingDistinct(df: DataFrame, entity: Column, ts: Column,
-      windowDays: Int = 7): DataFrame = {
-    require(windowDays >= 1, s"windowDays must be >= 1; got $windowDays")
-    val d = df.select(entity.as("__e"), to_date(ts).as("__day")).distinct()
-    val days = d.select(col("__day").as("day")).distinct()
-    val contrib = d
-      .select(col("__e"), explode(sequence(col("__day"),
-        date_add(col("__day"), windowDays - 1))).as("day"))
-      .distinct()
-    contrib.join(broadcast(days), Seq("day"), "left_semi")
-      .groupBy(col("day"))
-      .agg(count(lit(1)).as("active"))
-  }
-
-  // ---------------------------------------------- prefix rollup
-
-  /** Hierarchical prefix rollup — "which subtrees of the corpus are
-    * heavy": every row's `path` (a `sep`-joined hierarchy — URL path,
-    * source/section taxonomy, directory) contributes one count to each
-    * of its ancestor prefixes up to `maxDepth`, yielding (prefix,
-    * depth, n) for the whole tree in ONE pass. The standard input to
-    * per-subtree caps and crawl-balance reports (pair with
-    * `stratifiedFixedSample` on a chosen prefix depth to enforce a
-    * cap). NULL paths drop; empty segments are real segments (a
-    * trailing separator is a child named "" — honest, not normalized
-    * away).
-    *
-    * Plan: ancestor prefixes expand NARROWLY per row (≤ min(depth,
-    * maxDepth) structs from one codegen'd transform — no join, no
-    * window), then ONE map-side-combined agg on (prefix, depth):
-    * output is tree-sized, the corpus shuffles once at prefix grain.
-    * `sep` is regex-quoted — "." or "|" separators are literal. */
-  def prefixRollup(df: DataFrame, path: Column, sep: String = "/",
-      maxDepth: Int = Int.MaxValue): DataFrame = {
-    require(maxDepth >= 1, s"maxDepth must be >= 1; got $maxDepth")
-    val segs = split(path, java.util.regex.Pattern.quote(sep))
-    val pref = transform(
-      sequence(lit(1), least(size(segs), lit(maxDepth))),
-      d => struct(array_join(slice(segs, lit(1), d), sep).as("prefix"),
-        d.as("depth")))
-    df.filter(path.isNotNull)
-      .select(explode(pref).as("__p"))
-      .groupBy(col("__p.prefix").as("prefix"), col("__p.depth").as("depth"))
-      .agg(count(lit(1)).as("n"))
-  }
-
-  // ----------------------------------------------- lexicon scoring
-
-  /** Lexicon/blocklist scoring — the curation gate "how much of this
-    * document's mass is lexicon terms" (safety blocklists, boilerplate
-    * vocabularies, domain wordlists): per document the total lexicon
-    * token hits, the distinct matched terms, and an exact integer-ppm
-    * density (`hits·10⁶ div n_tokens`; a zero-token document scores
-    * 0/0/0 — stated, never a divide). Matching is whole-token equality
-    * over [[graft.functions.Text.tokens]]; lexicon entries must be
-    * single normalized tokens — a multi-word or mixed-case entry never
-    * matches anything (normalize/split the lexicon upstream, stated
-    * contract).
-    *
-    * The lexicon is a TABLE, not a literal: real blocklists run 10⁴–10⁶
-    * terms, which must never be embedded in the plan. Plan: tokens
-    * explode narrowly, a broadcast LEFT-SEMI join against the
-    * deduped lexicon keeps only matching tokens (hit-bounded — the
-    * corpus-sized token stream never shuffles), one agg on doc id over
-    * the matches, then one doc-keyed join back onto the per-doc token
-    * counts (computed in the same scan, no second pass over text). */
-  def lexiconScore(df: DataFrame, id: Column, text: Column,
-      lexicon: DataFrame, term: Column): DataFrame = {
-    val toks = df.select(id.as("__id"), Text.tokens(text).as("__tk"))
-    val base = toks.select(col("__id"),
-      // tokens("") == [""] — an empty/whitespace doc must count 0
-      when(col("__tk") === typedLit(Seq("")), lit(0))
-        .otherwise(size(col("__tk"))).as("n_tokens"))
-    val lex = lexicon.select(term.as("__t")).distinct()
-    val hits = toks.select(col("__id"), explode(col("__tk")).as("__t"))
-      .join(broadcast(lex), Seq("__t"), "left_semi")
-      .groupBy(col("__id"))
-      .agg(count(lit(1)).as("__hits"),
-        countDistinct(col("__t")).as("__terms"))
-    base.join(hits, Seq("__id"), "left")
-      .select(col("__id").as("doc_id"), col("n_tokens"),
-        coalesce(col("__hits"), lit(0L)).as("hits"),
-        coalesce(col("__terms"), lit(0L)).as("n_terms"),
-        when(col("n_tokens") > 0,
-          expr("(coalesce(__hits, 0L) * 1000000L) div n_tokens"))
-          .otherwise(lit(0L)).as("hits_ppm"))
-  }
-
-  // ---------------------------------------------- pareto frontier
-
-  /** Per-group 2-D Pareto frontier (skyline): the DISTINCT (x, y)
-    * points not strictly dominated by any other point of their group —
-    * q dominates p iff q is better-or-equal on both axes and strictly
-    * better on at least one ("better" per `minimizeX`/`minimizeY`).
-    * Rows with NULL x or y are excluded up front (the two engines
-    * disagree on NULL sort placement, and a NULL coordinate has no
-    * domination order — the honest contract).
-    *
-    * The naive statement is an all-pairs anti-join (|G|² per group —
-    * banned shape). The 2-D frontier needs none of it: sort the
-    * group's distinct points better-x-first (ties better-y-first);
-    * a point survives iff its y is strictly better than the running
-    * best y of all STRICTLY-PRECEDING points (any dominator sorts
-    * earlier, and every earlier point with better-or-equal y is a
-    * dominator — the classic sweep, here one window pass). Plan: one
-    * distinct shuffle + one per-group window on the SAME key — the
-    * q27/q28 single-shuffle posture. A single giant group serializes
-    * into one task's sort, the standard per-group window bound. */
-  def paretoFrontier(df: DataFrame, group: Column, x: Column, y: Column,
-      minimizeX: Boolean = true, minimizeY: Boolean = true): DataFrame = {
-    val pts = df.filter(x.isNotNull && y.isNotNull)
-      .select(group.as("__g"), x.as("__x"), y.as("__y")).distinct()
-    val w = Window.partitionBy(col("__g"))
-      .orderBy(
-        if (minimizeX) col("__x").asc else col("__x").desc,
-        if (minimizeY) col("__y").asc else col("__y").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val best = if (minimizeY) min(col("__y")).over(w)
-               else max(col("__y")).over(w)
-    val strictlyBetter = if (minimizeY) col("__y") < col("__m")
-                         else col("__y") > col("__m")
-    pts.withColumn("__m", best)
-      .filter(col("__m").isNull || strictlyBetter)
-      .select(col("__g").as("group"), col("__x").as("x"), col("__y").as("y"))
-  }
-
-  // ------------------------------------------------- interval join
-
-  /** Interval-overlap join: pairs every left row with every right row
-    * whose closed time interval [rStart, rEnd] overlaps the left's
-    * [lStart, lEnd] (overlap iff lStart ≤ rEnd AND rStart ≤ lEnd),
-    * optionally under an extra equi-key. Right columns surface under
-    * `rightPrefix`.
-    *
-    * Spark's own planner turns a pure range predicate into a broadcast
-    * nested-loop — all-pairs, the one shape this engine bans (q14
-    * precedent). Instead each interval explodes into the fixed-width
-    * `spanUs` BUCKETS it covers and the join is an EQUI-join on
-    * (bucket, key): two intervals can only overlap if they share a
-    * covered bucket, so candidates are bucket-local — shuffle-bounded
-    * by occupancy, never |L|×|R|. A pair sharing several buckets is
-    * emitted exactly once, STATELESSLY: only from the FIRST shared
-    * bucket, which for contiguous intervals is
-    * `greatest(bucket0(lStart), bucket0(rStart))` — a per-row
-    * predicate, no dropDuplicates (the S16 collapse idea in batch).
-    * Exact overlap is then verified on the real endpoints.
-    *
-    * `spanUs` is the scale knob: row inflation = interval length /
-    * span (pick span ≈ typical interval length — each side then
-    * explodes ~2×); bucket occupancy bounds the worst key's work, and
-    * AQE skew-split handles a hot bucket. Rows with NULL or inverted
-    * (end < start) intervals join nothing, on either side (documented:
-    * `sequence()` would walk BACKWARD on inverted bounds rather than
-    * fail). Bucket ids use `div` — trunc division, == floor on the
-    * post-1970 data (the gapFill precedent). */
-  def intervalJoin(left: DataFrame, right: DataFrame,
-      lStart: Column, lEnd: Column, rStart: Column, rEnd: Column,
-      spanUs: Long, key: Option[(String, String)] = None,
-      rightPrefix: String = "r_"): DataFrame = {
-    require(spanUs > 0, s"spanUs must be positive; got $spanUs")
-    // the bucket/endpoint working columns are reserved: withColumn would
-    // silently OVERWRITE a user column of the same name and the final
-    // drop would remove it (review r15) — fail at the API boundary
-    // lowercase before matching: Spark resolution is case-INSENSITIVE,
-    // so a user column named __B would be clobbered just the same
-    // (review r16 — sampleBudget's guard had this right)
-    val reserved = Set("__b", "__ls", "__le", "__rs", "__re")
-    val clashes =
-      (left.columns ++ right.columns).filter(c => reserved(c.toLowerCase))
-    require(clashes.isEmpty,
-      s"intervalJoin reserves column names ${reserved.mkString(", ")}; " +
-        s"rename the input column(s): ${clashes.distinct.mkString(", ")}")
-    def prep(df: DataFrame, s: Column, e: Column, tag: String): DataFrame =
-      df.filter(s.isNotNull && e.isNotNull && s <= e)
-        .withColumn(s"__${tag}s", unix_micros(s))
-        .withColumn(s"__${tag}e", unix_micros(e))
-        .withColumn("__b", explode(sequence(
-          expr(s"__${tag}s div ${spanUs}L"), expr(s"__${tag}e div ${spanUs}L"))))
-    val l = prep(left, lStart, lEnd, "l")
-    val r0 = prep(right, rStart, rEnd, "r")
-    // prefix every ORIGINAL right column — including user columns that
-    // happen to start with __ (review r15: a startsWith("__") test let
-    // them escape the rename and collide ambiguously with left columns)
-    val rWorking = Set("__b", "__rs", "__re")
-    val r = r0.select(r0.columns.map(c =>
-      if (rWorking(c)) col(c) else col(c).as(s"$rightPrefix$c")): _*)
-    val keyCond = key.map { case (lk, rk) =>
-      l(lk) === r(s"$rightPrefix$rk") }.getOrElse(lit(true))
-    l.join(r,
-        l("__b") === r("__b") && keyCond &&
-          l("__ls") <= r("__re") && r("__rs") <= l("__le") &&
-          l("__b") === greatest(expr(s"__ls div ${spanUs}L"),
-            expr(s"__rs div ${spanUs}L")))
-      .drop("__b", "__ls", "__le", "__rs", "__re")
-  }
-
-  // --------------------------------------- intra-doc segment dedup
-
-  /** Intra-document repeated-segment trim — the Gopher-style boilerplate
-    * removal that operates INSIDE one document (repeated headers,
-    * footers, navigation blocks), complementing [[maskRepeatedSpans]]'s
-    * cross-document masking and q38's repetition SCORE (this one
-    * transforms): cut the token stream into consecutive `width`-token
-    * segments, drop every segment that already occurred in the same
-    * document (first occurrence kept, order preserved), re-join. One
-    * codegen'd [[graft.functions.DedupSegments]] pass per row — pure
-    * narrow, ZERO shuffles at any scale (the chunkDocuments posture).
-    * Adds `out` (trimmed text), `n_segs`, `n_kept`. */
-  def trimRepeatedSegments(df: DataFrame, text: Column, width: Int,
-      out: String = "trimmed_text"): DataFrame = {
-    require(width >= 1, s"width must be >= 1; got $width")
-    // empty/whitespace text is ZERO segments, not one: split("", " ")
-    // yields [""], which would re-enter as a phantom single-token segment
-    // and diverge from any list-arithmetic restatement (review r15 — the
-    // q101 oracle computes 0 for an empty token list)
-    df.withColumn("__toks",
-        when(length(trim(text)) === 0, array().cast("array<string>"))
-          .otherwise(graft.functions.Text.tokens(text)))
-      .withColumn("__kept",
-        graft.functions.DedupSegments.asColumn(col("__toks"), width))
-      .withColumn("n_segs", // exact integer ceil-division (q86 precedent)
-        expr(s"(size(__toks) + ${width - 1}) div $width").cast("long"))
-      .withColumn("n_kept", size(col("__kept")).cast("long"))
-      .withColumn(out, array_join(col("__kept"), " "))
-      .drop("__toks", "__kept")
-  }
-
-  // ------------------------------------------------- robust outliers
-
-  /** Robust per-group outlier scoring via median/MAD — the data-quality
-    * screen that survives the contamination it hunts (mean/stddev move
-    * with the outliers; median/MAD don't). Adds `med`, `mad` (group
-    * medians, exact interpolated percentile — same portable aggregate as
-    * q29) and `score` = |value − med| / mad (NULL when MAD is 0: a
-    * degenerate group where >half the values sit ON the median scores
-    * nothing rather than everything).
-    *
-    * Plan: two hash aggregates on the group key with the per-group stats
-    * broadcast back — group cardinality is assumed catalog-scale (langs,
-    * sources, shards), so each join is a broadcast, never a corpus
-    * shuffle; the corpus itself is scanned narrow, twice. At 100 TB the
-    * alternative single-pass approximate tier is `percentile_approx` on
-    * both aggs (GK sketch, not oracle-portable — q29b precedent). */
-  def robustOutliers(df: DataFrame, group: Column, value: Column): DataFrame =
-    robustOutliersImpl(df, group, value, exact = true, accuracy = 0)
-
-  /** The bounded-memory tier of [[robustOutliers]] for groups too hot to
-    * buffer exactly: both medians come from `percentile_approx`'s GK
-    * sketch (O(accuracy) state per group vs the exact aggregate
-    * buffering every value — the q29b/topQuantileFilterApprox trade).
-    * Same output contract; scores are approximate with the sketch's
-    * rank-error bound (spec-asserted close to exact at fixture scale),
-    * so this tier is NOT oracle-portable — use it for scale, the exact
-    * tier for the gate. */
-  def robustOutliersApprox(df: DataFrame, group: Column, value: Column,
-      accuracy: Int = 10000): DataFrame = {
-    require(accuracy > 0, s"accuracy must be positive; got $accuracy")
-    robustOutliersImpl(df, group, value, exact = false, accuracy = accuracy)
-  }
-
-  /** Per-group winsorization — outlier CAPPING where [[robustOutliers]]
-    * only scores and [[topQuantileFilter]] drops: every value clamped to
-    * its group's exact [pLo, pHi] percentile band (`clamped` column;
-    * in-band values pass through BIT-identical in the value's own type —
-    * clamping must never alter inliers, and `clamped` keeps the input
-    * column's type). NULL values pass through NULL; a NULL GROUP is a
-    * group like any other (null-safe join — no row is ever dropped).
-    * Group stats broadcast back — the corpus never shuffles on the
-    * group key (the robustOutliers plan). The GK-sketch tier for groups
-    * too hot to buffer exactly is [[topQuantileFilterApprox]]'s same
-    * trade — compose with `percentile_approx` directly when needed (not
-    * oracle-portable).
-    *
-    * Bounds are DISCRETE percentiles (inverse CDF — the smallest value
-    * whose cume_dist ≥ p): the textbook winsorization replaces tails
-    * with actual order STATISTICS, and a discrete bound is an existing
-    * data value, so no interpolation arithmetic exists to diverge
-    * between engines (the interpolated form lost a ulp to DuckDB's
-    * `lo + (hi−lo)·g` at sf1 — measured, round 15). Spark's
-    * `percentile_disc` aggregate emits the bound as a double, so it is
-    * cast back to the value's type here; for integral values beyond
-    * 2^53 the BOUND itself travels through double and may round — only
-    * the bound, never an in-band value. */
-  def winsorize(df: DataFrame, group: Column, value: Column,
-      pLo: Double, pHi: Double, out: String = "clamped"): DataFrame = {
-    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
-      s"need 0 <= pLo < pHi <= 1; got [$pLo, $pHi]")
-    val d = df.withColumn("__g", group).withColumn("__v", value)
-    val vType = d.schema("__v").dataType
-    val bounds = d.groupBy(col("__g")).agg(
-      expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY __v)")
-        .cast(vType).as("__lo"),
-      expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY __v)")
-        .cast(vType).as("__hi"))
-      .withColumnRenamed("__g", "__gb")
-    d.join(broadcast(bounds), col("__g") <=> col("__gb"))
-      .withColumn(out,
-        when(col("__v") < col("__lo"), col("__lo"))
-          .when(col("__v") > col("__hi"), col("__hi"))
-          .otherwise(col("__v")))
-      .drop("__g", "__gb", "__v", "__lo", "__hi")
-  }
-
-  private def robustOutliersImpl(df: DataFrame, group: Column, value: Column,
-      exact: Boolean, accuracy: Int): DataFrame = {
-    def med(c: String): String =
-      if (exact) s"percentile($c, 0.5)"
-      else s"percentile_approx($c, 0.5, $accuracy)"
-    val d = df.withColumn("__g", group).withColumn("__v", value.cast("double"))
-    val m = d.groupBy(col("__g"))
-      .agg(expr(med("__v")).cast("double").as("med"))
-    val withMed = d.join(broadcast(m), Seq("__g"))
-    val mad = withMed.groupBy(col("__g"))
-      .agg(expr(med("abs(__v - med)")).cast("double").as("mad"))
-    withMed.join(broadcast(mad), Seq("__g"))
-      .withColumn("score",
-        when(col("mad") > 0, abs(col("__v") - col("med")) / col("mad")))
-      .drop("__g", "__v")
-  }
-
-  // ------------------------------------------------- corpus profiling
-
-  /** Per-group equi-width histogram — the corpus-audit primitive (length/
-    * score distributions per source before and after every curation
-    * step). `nBins` bins over [lo, hi); values below lo clamp into bin 0,
-    * at-or-above hi into bin nBins−1 (out-of-range data is SHOWN at the
-    * edges, not dropped — a spike at an edge bin is the audit signal
-    * that the range is wrong); NULL values are excluded. Emits one row
-    * per OCCUPIED (group, bin) with the bin's [lo, hi) edges and exact
-    * count. Bin ids are `floor((v−lo)/(hi−lo)·nBins)` clamped — one
-    * fixed-order IEEE expression, oracle-portable (q80).
-    *
-    * Plan: one map-side-combined hash agg on (group, bin) — cardinality
-    * ≤ groups·nBins, broadcast-size output at any corpus scale. */
-  def histogram(df: DataFrame, group: Column, value: Column,
-      lo: Double, hi: Double, nBins: Int): DataFrame = {
-    require(nBins > 0, s"nBins must be positive; got $nBins")
-    require(lo < hi, s"need lo < hi; got [$lo, $hi)")
-    val v = value.cast("double")
-    val bin = least(lit(nBins - 1), greatest(lit(0),
-      floor((v - lit(lo)) / lit(hi - lo) * lit(nBins)).cast("int")))
-    df.filter(v.isNotNull)
-      .groupBy(group.as("group"), bin.as("bin"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("group"), col("bin"),
-        (lit(lo) + col("bin").cast("double") * lit((hi - lo)) / lit(nBins))
-          .as("bin_lo"),
-        (lit(lo) + (col("bin") + 1).cast("double") * lit((hi - lo)) / lit(nBins))
-          .as("bin_hi"),
-        col("n"))
-  }
-
-  /** Cumulative contribution report — "which sources make up the top 90%
-    * of the corpus": per-group exact totals of `weight` (e.g. token
-    * counts), ranked descending, with each group's integer-ppm share and
-    * RUNNING cumulative share. The budget-allocation view every mixture
-    * decision starts from; all arithmetic is exact (long totals, the
-    * ppm shares via decimal(38,0) so `w * 1e6` cannot overflow a long —
-    * token-count weights at corpus scale exceed 9.2e12, the point where
-    * long `w * 1000000` silently wraps), oracle-portable (q81). One agg
-    * + one |groups|-row window — the window sorts group TOTALS, never
-    * corpus rows. */
-  def contributionReport(df: DataFrame, group: Column,
-      weight: Column): DataFrame = {
-    val totals = df.groupBy(group.as("group"))
-      .agg(sum(weight.cast("long")).as("w"))
-    val grand = totals.agg(sum(col("w")).as("__t"))
-    totals.crossJoin(broadcast(grand))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(desc("w"), col("group"))))
-      .withColumn("share_ppm",
-        expr("(cast(w as decimal(38,0)) * 1000000) div __t"))
-      .withColumn("cum_ppm", expr("(cast(sum(w) OVER (ORDER BY w DESC, " +
-        "group ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
-        "as decimal(38,0)) * 1000000) div __t"))
-      .select(col("group"), col("w"), col("rank"), col("share_ppm"),
-        col("cum_ppm"))
-  }
-
-  /** Corpus drift report between two snapshots of one population — the
-    * audit that catches "this week's crawl has a different language /
-    * source / event mix than last week's" before the shift poisons a
-    * training run. Per category (null-safe — a NULL category is a
-    * category like any other): exact counts in both snapshots (absent
-    * = 0), each snapshot's integer-ppm share, the share delta, and the
-    * chi-square drift contribution `(n_cur − exp)² / exp` against the
-    * baseline mix, with `exp = total_cur · n_base / total_base` (NULL
-    * for categories NEW in the current snapshot — no smoothing constant
-    * is invented; a new category is its own signal, `delta_ppm ==
-    * cur_ppm`). An EMPTY snapshot yields NULL shares (a share of
-    * nothing is undefined — the counts still report; spec'd) rather
-    * than an ANSI division error. Sum `chi2_contrib` for the classic
-    * statistic; quantize
-    * each contribution to micros first when the sum itself must be
-    * order-free exact (q107 gates the per-category micros — the k-means
-    * integer-quantization trade).
-    *
-    * Plan: one map-side-combined hash agg per snapshot (the shuffle
-    * moves category-cardinality rows per task, never the corpus — and
-    * each corpus is scanned exactly ONCE: the totals come from a
-    * single-partition window over the already-catalog-sized join, not
-    * from a second aggregation of the same lineage, which would
-    * re-execute both corpus scans), then a full-outer join of two
-    * catalog-sized aggregates — output stays catalog-sized at any
-    * corpus scale. */
-  /** Two-proportion lift report — the A/B readout "which variants beat
-    * the control, and is the difference real": per variant, trials n,
-    * successes k, the exact integer-ppm rate, the exact ppm rate
-    * DIFFERENCE vs the named `baseline` variant, and the pooled
-    * two-proportion z-score z = (p₁−p₀)/√(p̂(1−p̂)(1/n₁+1/n₀)) in
-    * micros. The baseline's own row reports its rate with NULL
-    * lift/z (it has no comparison); a missing or empty baseline
-    * variant fails LOUDLY (an empty report reads as "no winners" —
-    * raise_error, not silence); degenerate pooled rates (p̂ ∈ {0, 1} →
-    * zero standard error) have NULL z, never a divide; NULL variants
-    * drop, a NULL success is a FAILED trial only if you say so
-    * upstream — here it drops (an unobserved outcome is not a trial).
-    *
-    * Portability: n/k/rate_ppm/diff_ppm are exact integers; z is the
-    * stated 9-op IEEE chain on exact integer inputs (three divides,
-    * the pooled product, sqrt, final divide — identical on both
-    * engines), quantized to micros with floor. Plan: one
-    * map-side-combined agg to variant grain (the corpus's only
-    * shuffle), then the 1-row baseline stats broadcast-cross back (the
-    * q35/q70 shape) — output is variant-catalog-sized. */
-  def proportionLift(df: DataFrame, variant: Column, success: Column,
-      baseline: String): DataFrame = {
-    val stats = df.select(variant.as("variant"),
-        success.cast("boolean").as("__s"))
-      .filter(col("variant").isNotNull && col("__s").isNotNull)
-      .groupBy(col("variant"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("__s").cast("long")).as("k"))
-    val base = stats.filter(col("variant") === lit(baseline))
-      .agg(coalesce(max(col("n")), lit(0L)).as("__n0"),
-        coalesce(max(col("k")), lit(0L)).as("__k0"))
-      .select(when(col("__n0") === 0, raise_error(lit(
-          s"proportionLift: baseline variant '$baseline' has no trials")))
-        .otherwise(col("__n0")).as("__n0"), col("__k0"))
-    stats.crossJoin(broadcast(base))
-      .withColumn("rate_ppm", expr("k * 1000000L div n"))
-      .withColumn("__isBase", col("variant") === lit(baseline))
-      .withColumn("__p1", col("k").cast("double") / col("n"))
-      .withColumn("__p0", col("__k0").cast("double") / col("__n0"))
-      .withColumn("__ph", (col("k") + col("__k0")).cast("double") /
-        (col("n") + col("__n0")))
-      .withColumn("__se2", col("__ph") * (lit(1.0) - col("__ph")) *
-        (lit(1.0) / col("n") + lit(1.0) / col("__n0")))
-      .select(col("variant"), col("n"), col("k"), col("rate_ppm"),
-        when(!col("__isBase"),
-          col("rate_ppm") - expr("__k0 * 1000000L div __n0"))
-          .as("diff_ppm"),
-        when(!col("__isBase") && col("__se2") > 0,
-          floor((col("__p1") - col("__p0")) / sqrt(col("__se2")) *
-            lit(1000000.0)).cast("long")).as("z_us"))
-  }
-
-  /** Categorical association (chi-square + Cramér's V) between two
-    * columns — the profiling answer to "are these metadata fields
-    * redundant or independent" (lang × source, domain × license):
-    * builds the full contingency grid INCLUDING zero-observed cells
-    * (a structurally-empty cell still contributes its expected count —
-    * dropping them understates chi² exactly where association is
-    * strongest), chi² = Σ (n_ij − e_ij)²/e_ij with e_ij = n_i·n_j/N,
-    * and V = √(χ²/(N·(min(r,c)−1))) ∈ [0,1] so tables of different
-    * sizes compare. Output is ONE row: (n, r, c, chi2_us, v_us).
-    *
-    * Portability: per-cell contributions quantize to exact integer
-    * micros BEFORE summing (a float SUM aggregate is order-dependent —
-    * the k-means integer trade, so chi2_us is order-free exact), e_ij
-    * is the 2-op IEEE chain CAST(nᵢ AS DOUBLE)·nⱼ/N on exact integers
-    * (nᵢ·nⱼ in integers would overflow at corpus scale), and V is a
-    * 4-op stated chain on the exact chi2_us — identical on both
-    * engines. A single-category axis has no V (min(r,c)−1 = 0 → NULL,
-    * never a divide; chi² is 0 there by construction). NULL categories
-    * are REAL categories (the q107 contract — null-safe joins
-    * throughout).
-    *
-    * Plan: one map-side-combined agg to the contingency table (the
-    * corpus's only shuffle, cell-grain), marginals as catalog-sized
-    * aggs of the CELLS (the corpus is not re-read), the r×c grid via a
-    * catalog² cross join + null-safe left join back, 1-row totals
-    * broadcast — everything after the first agg is catalog-sized at
-    * 100 TB. */
-  def categoricalAssociation(df: DataFrame, a: Column,
-      b: Column): DataFrame = {
-    val cells = df.select(a.as("__a"), b.as("__b"))
-      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
-    val ra = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__na"))
-    val cb = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__nb"))
-    // __tot, not __N: Spark resolution is case-INSENSITIVE, so a __N
-    // beside the cell count __n is an ambiguous reference (the q116
-    // "__N silently meets __n" catch, now a compile-shape error here)
-    val tots = ra.agg(count(lit(1)).as("__r"),
-        sum(col("__na")).as("__tot"))
-      .crossJoin(cb.agg(count(lit(1)).as("__c")))
-    val grid = ra.select(col("__a").as("__ka"), col("__na"))
-      .crossJoin(cb.select(col("__b").as("__kb"), col("__nb")))
-      .join(cells, col("__ka") <=> col("__a") &&
-        col("__kb") <=> col("__b"), "left")
-      .select(col("__na"), col("__nb"),
-        coalesce(col("__n"), lit(0L)).as("__obs"))
-      .crossJoin(broadcast(tots))
-      .withColumn("__e",
-        col("__na").cast("double") * col("__nb") / col("__tot"))
-      .withColumn("__cu", floor((col("__obs") - col("__e")) *
-        (col("__obs") - col("__e")) / col("__e") * lit(1000000.0))
-        .cast("long"))
-    grid.groupBy(col("__tot"), col("__r"), col("__c"))
-      .agg(sum(col("__cu")).as("chi2_us"))
-      .select(col("__tot").as("n"), col("__r").as("r"),
-        col("__c").as("c"), col("chi2_us"),
-        when(least(col("__r"), col("__c")) > 1,
-          floor(sqrt((col("chi2_us").cast("double") / lit(1000000.0)) /
-            (col("__tot").cast("double") *
-              (least(col("__r"), col("__c")) - 1))) * lit(1000000.0))
-            .cast("long")).as("v_us"))
-  }
-
-  /** k-anonymity / l-diversity audit — the release-governance check a
-    * dataset runs before rows with quasi-identifiers leave the tenant:
-    * group by the quasi-identifier columns, then one summary row of
-    * exact integers — group count, total rows, groups smaller than `k`
-    * (k-anonymity violations) and the rows inside them (re-identifiable
-    * mass), the smallest group, groups whose SENSITIVE column shows
-    * fewer than `l` distinct values (l-diversity violations — a
-    * homogeneous group leaks the attribute even at size ≥ k), and the
-    * smallest diversity. NULL quasi values form their own groups
-    * (standard GROUP BY on both engines — NULL is a disclosable value);
-    * NULL sensitive values carry no diversity (COUNT DISTINCT ignores
-    * them, both engines). Everything integer → hash-gates (q143).
-    *
-    * Plan: ONE map-side-combined agg on the quasi key (count + exact
-    * count-distinct) and one 1-row reduce — the cheapest possible audit
-    * at any scale; a hot quasi-combo is one AQE partition. */
-  def kAnonymityReport(df: DataFrame, quasi: Seq[Column],
-      sensitive: Column, k: Int, l: Int): DataFrame = {
-    require(quasi.nonEmpty, "need at least one quasi-identifier column")
-    require(k >= 1, s"k must be >= 1; got $k")
-    require(l >= 1, s"l must be >= 1; got $l")
-    val g = df.groupBy(quasi: _*)
-      .agg(count(lit(1)).as("__n"),
-        countDistinct(sensitive).as("__l"))
-    g.agg(
-      count(lit(1)).as("n_groups"),
-      sum(col("__n")).as("n_rows"),
-      sum(when(col("__n") < k, 1L).otherwise(0L)).as("k_violations"),
-      sum(when(col("__n") < k, col("__n")).otherwise(lit(0L)))
-        .as("rows_at_risk"),
-      min(col("__n")).as("min_group_size"),
-      sum(when(col("__l") < l, 1L).otherwise(0L)).as("l_violations"),
-      min(col("__l")).as("min_l"))
-  }
-
-  def corpusDrift(base: DataFrame, cur: DataFrame,
-      category: Column): DataFrame = {
-    val b = base.groupBy(category.as("category"))
-      .agg(count(lit(1)).as("n_base"))
-    val c = cur.groupBy(category.as("category"))
-      .agg(count(lit(1)).as("n_cur"))
-    val j = b.join(c, b("category") <=> c("category"), "full_outer")
-      .select(coalesce(b("category"), c("category")).as("category"),
-        coalesce(col("n_base"), lit(0L)).as("n_base"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val all = Window.partitionBy(lit(1))
-    // an EMPTY snapshot has no mix to take a share of: its ppm columns
-    // (and everything derived from them) are NULL rather than a
-    // DIVIDE_BY_ZERO under ANSI mode — the degenerate all-new /
-    // all-vanished report still carries the exact counts
-    j.withColumn("__tb", sum("n_base").over(all))
-      .withColumn("__tc", sum("n_cur").over(all))
-      .withColumn("base_ppm", expr(
-        "CASE WHEN __tb > 0 THEN " +
-          "(cast(n_base as decimal(38,0)) * 1000000) div __tb END"))
-      .withColumn("cur_ppm", expr(
-        "CASE WHEN __tc > 0 THEN " +
-          "(cast(n_cur as decimal(38,0)) * 1000000) div __tc END"))
-      .withColumn("delta_ppm", col("cur_ppm") - col("base_ppm"))
-      .withColumn("__exp",
-        col("__tc").cast("double") * col("n_base") / col("__tb"))
-      .withColumn("chi2_contrib",
-        when(col("n_base") > 0 && col("__tc") > 0,
-          (col("n_cur") - col("__exp")) * (col("n_cur") - col("__exp"))
-            / col("__exp")))
-      .drop("__tb", "__tc", "__exp")
-  }
-
-  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
-    * (BM25 ⊕ dense ANN ⊕ static priors) that needs NO score calibration
-    * because it consumes only RANKS: each input list contributes
-    * 1/(kRrf + rank) per (query, doc) and the fused score is the sum —
-    * a doc several retrievers agree on beats a doc one retriever loves,
-    * with `kRrf` (classically 60) damping the head. Every input must be
-    * a per-query ranking with columns (query_id, doc_id, rank) and one
-    * row per (query, doc) per list — a duplicated doc within one list
-    * would double-count by construction (the ranking contract, not a
-    * silent dedup).
-    *
-    * Hash-portable by the q112 recipe: each contribution is one IEEE
-    * divide of exact integers, and the per-(query, doc) sum is a fold
-    * in LIST-INDEX order (collect the ≤ |rankings| contributions, sort
-    * by source index, fold) — never a float SUM aggregate. Final ranks
-    * tie-break (score desc, doc_id asc), exact.
-    *
-    * Plan: union of the (already small — each list is a per-query
-    * top-k) inputs, ONE hash agg on (query, doc), one per-query window —
-    * everything is ranking-sized, the corpus never appears. */
-  def rrfFuse(rankings: Seq[DataFrame], topK: Int,
-      kRrf: Long = 60L): DataFrame = {
-    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
-    require(topK >= 1, s"topK must be >= 1; got $topK")
-    require(kRrf >= 1, s"kRrf must be >= 1; got $kRrf")
-    val tagged = rankings.zipWithIndex.map { case (r, i) =>
-      r.select(col("query_id"), col("doc_id"), lit(i).as("__src"),
-        (lit(1.0) / (col("rank") + lit(kRrf)).cast("double")).as("__c"))
-    }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("rrf"), col("doc_id"))
-    tagged.reduce(_ unionAll _)
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("__src"), col("__c"))))
-        .as("__l"))
-      .withColumn("rrf", expr("aggregate(__l, 0D, (a, x) -> a + x.__c)"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("doc_id"), col("rank"), col("rrf"))
-  }
-
-  /** Per-group Pearson correlation matrix over pre-quantized LONG metric
-    * columns — the data-profiling step that surfaces redundant or
-    * entangled quality signals before they mislead a mixture plan (two
-    * scores at ρ ≈ 1 are one signal counted twice). Values must already
-    * be integer-exact (the caller quantizes doubles with the portable
-    * `floor(x·10^s)` idiom); all moment sums then run in decimal(38,0) —
-    * EXACT, order-free, so the whole statistic is reproducible run to
-    * run and hash-portable engine to engine: ρ's numerator n·Sxy − Sx·Sy
-    * and variance terms are exact integers, and only the final
-    * ratio/sqrt is a three-op IEEE chain on identically-rounded doubles
-    * (the float-sum covariance of textbook one-pass formulas is
-    * order-dependent and could never gate). NULL handling is pairwise-
-    * complete: each pair's stats count only rows where BOTH values are
-    * present. `corr` is NULL for a degenerate pair (either variance 0,
-    * e.g. a constant column, or n = 0) — never NaN, never ±∞.
-    *
-    * Output: one row per (grp, col_a, col_b), col_a < col_b by the
-    * caller's `values` order, with n (pairwise count) and corr.
-    *
-    * Plan: ONE map-side-combined hash aggregate computes every pair's
-    * five moments in a single corpus pass (C(m,2)·5 agg expressions —
-    * m is a handful of metrics by contract, so tens of counters per
-    * task, model-sized); the grouped result is group-cardinality-sized
-    * and the pair rows `inline` out of it narrow — the corpus shuffles
-    * ONCE, group-keyed, at any scale (q80/q81 posture). */
-  def corrMatrix(df: DataFrame, group: Column,
-      values: Seq[(String, Column)]): DataFrame = {
-    require(values.size >= 2,
-      s"corrMatrix needs at least two value columns; got ${values.size}")
-    require(values.map(_._1).distinct.size == values.size,
-      "corrMatrix value names must be distinct")
-    val names = values.map(_._1)
-    // internal columns are keyed by INDEX, not by the caller's names —
-    // a name containing '_' or '.' can neither collide two pairs'
-    // accumulators nor break col() resolution (review r16: name-spliced
-    // "__n_${a}_$b" made ("a","b_c") and ("a_b","c") ambiguous)
-    val base = df.select(
-      (group.as("grp") +: values.zipWithIndex.map { case ((_, c), i) =>
-        c.cast("long").as(s"__v_$i") }): _*)
-    val pairs = for {
-      i <- names.indices; j <- (i + 1) until names.size
-    } yield (i, j)
-    def dec(c: Column): Column = c.cast("decimal(19,0)")
-    // row-grain products multiply as LONGS (codegen'd; exact while
-    // |v| < ~3.03e9 — ANSI mode makes a wider value fail LOUDLY with
-    // ARITHMETIC_OVERFLOW, never wrap; rescale the quantization if your
-    // metrics are that wide) and only the cross-row SUM accumulates in
-    // decimal(38,0) — the all-decimal product form was measured 2.4×
-    // slower (BigDecimal multiply per row per moment)
-    def dec38(c: Column): Column = c.cast("decimal(38,0)")
-    val aggs = pairs.flatMap { case (i, j) =>
-      val va = col(s"__v_$i"); val vb = col(s"__v_$j")
-      val both = va.isNotNull && vb.isNotNull
-      Seq(
-        sum(when(both, lit(1L))).as(s"__n_${i}_$j"),
-        sum(when(both, dec(va))).as(s"__sx_${i}_$j"),
-        sum(when(both, dec(vb))).as(s"__sy_${i}_$j"),
-        sum(when(both, dec38(va * vb))).as(s"__sxy_${i}_$j"),
-        sum(when(both, dec38(va * va))).as(s"__sxx_${i}_$j"),
-        sum(when(both, dec38(vb * vb))).as(s"__syy_${i}_$j"))
-    }
-    val rows = pairs.map { case (i, j) =>
-      val n = coalesce(col(s"__n_${i}_$j"), lit(0L))
-      val nd = dec(n)
-      val num = nd * col(s"__sxy_${i}_$j") -
-        col(s"__sx_${i}_$j") * col(s"__sy_${i}_$j")
-      val dx = nd * col(s"__sxx_${i}_$j") -
-        col(s"__sx_${i}_$j") * col(s"__sx_${i}_$j")
-      val dy = nd * col(s"__syy_${i}_$j") -
-        col(s"__sy_${i}_$j") * col(s"__sy_${i}_$j")
-      struct(lit(names(i)).as("col_a"), lit(names(j)).as("col_b"), n.as("n"),
-        when(dx > 0 && dy > 0,
-          num.cast("double") /
-            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
-          .as("corr"))
-    }
-    base.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
-      .select(col("grp"), inline(array(rows: _*)))
-  }
-
-  // --------------------------------------------------- per-key trend
-
-  /** Per-key linear trend (OLS slope + intercept) over caller-quantized
-    * INTEGER coordinates — "is this user's metric drifting up or
-    * down" at corpus scale: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²),
-    * intercept = (Σy·Σx² − Σx·Σxy)/same, emitted as EXACT micro-unit
-    * integers: `sign · (|numerator|·10⁶ div denominator)` — sign split
-    * out so the one integral division runs on non-negative operands
-    * (where Spark's truncating `div` and DuckDB's flooring `//`
-    * agree; the q89 precedent). Keys with zero x-variance (single
-    * point, or all x equal) have no defined line → NULL slope and
-    * intercept, n still reported. NULL x or y drops the row up front.
-    *
-    * Exactness posture = [[corrMatrix]]: row-grain products multiply
-    * as LONGS (codegen'd; exact while |v| < ~3.03e9 — ANSI makes a
-    * wider value fail LOUDLY, never wrap; rescale the quantization if
-    * your metrics are that wide), only cross-row sums accumulate in
-    * decimal(38,0). Plan: one map-side-combined hash agg on key — the
-    * minimum possible; everything after is per-key scalar math. */
-  def groupTrend(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
-    def dec(c: Column): Column = c.cast("decimal(19,0)")
-    def dec38(c: Column): Column = c.cast("decimal(38,0)")
-    val d = df.select(key.as("__k"), x.cast("long").as("__x"),
-        y.cast("long").as("__y"))
-      .filter(col("__x").isNotNull && col("__y").isNotNull)
-    val nd = dec(col("n"))
-    d.groupBy(col("__k").as("key")).agg(
-        count(lit(1)).as("n"),
-        sum(dec(col("__x"))).as("__sx"), sum(dec(col("__y"))).as("__sy"),
-        sum(dec38(col("__x") * col("__y"))).as("__sxy"),
-        sum(dec38(col("__x") * col("__x"))).as("__sxx"))
-      .withColumn("__num", nd * col("__sxy") - col("__sx") * col("__sy"))
-      .withColumn("__bnum",
-        col("__sy") * col("__sxx") - col("__sx") * col("__sxy"))
-      .withColumn("__den", nd * col("__sxx") - col("__sx") * col("__sx"))
-      .selectExpr("key", "n",
-        """CASE WHEN __den > 0 THEN
-             (CASE WHEN __num < 0 THEN -1L ELSE 1L END) *
-             ((abs(__num) * 1000000) div __den) END AS slope_us""",
-        """CASE WHEN __den > 0 THEN
-             (CASE WHEN __bnum < 0 THEN -1L ELSE 1L END) *
-             ((abs(__bnum) * 1000000) div __den) END AS icept_us""")
-  }
-
-  // ------------------------------------------------- score calibration
-
-  /** Per-group quantile normalization — cross-source score CALIBRATION:
-    * replaces each row's raw score with its quantile rank inside its own
-    * group (`percent_rank` = (rank−1)/(n−1) ∈ [0,1]), so scores from
-    * sources with different scales/distributions become comparable and a
-    * single global threshold means the same thing everywhere — the step
-    * before any cross-source quality cut ([[topQuantileFilter]] keeps
-    * per-stratum thresholds instead; this rewrites the scores
-    * themselves). Ties share a rank (equal raw scores get equal
-    * normalized scores — deterministic with no tiebreak), single-row
-    * groups normalize to 0.0, NULL scores stay NULL and consume no rank.
-    * The arithmetic is one integer ratio in IEEE double — exact, so the
-    * output is oracle-portable (q79).
-    *
-    * Plan: one window shuffle on the group key (the irreducible cost of
-    * exact ranks); the GK-sketch alternative for hot groups is the same
-    * trade [[topQuantileFilterApprox]] documents. */
-  /** Per-group WEIGHTED quantiles — the statistic plain `percentile`
-    * silently gets wrong when rows carry unequal mass (the
-    * token-weighted median quality of a corpus is NOT the median of
-    * per-doc scores; a 100k-token doc is 100k tokens of training
-    * signal, not one vote): for each requested q (as ppm), the
-    * smallest value v with W(≤ v) ≥ ⌈q · W / 10⁶⌉ — the lower
-    * weighted quantile over cumulative mass, the textbook definition
-    * stated with EXACT integer thresholds (decimal(38,0) products, so
-    * q·W never overflows at corpus mass). Weights are CALLER-QUANTIZED
-    * positive integers (token counts, bytes, exact cents); a NEGATIVE
-    * weight fails LOUDLY (negative mass corrupts every cumulative sum
-    * silently — raise_error, not a contract footnote), NULL value or
-    * NULL/zero weight rows drop (massless rows hold no quantile mass —
-    * stated), and a group whose rows all drop vanishes from the
-    * output. Value ties are handled by the RANGE cumulative frame
-    * (every row of value v sees the full W(≤ v)) — both engines'
-    * DEFAULT ordered-window frame, so tie behavior is identical by
-    * construction, with no tiebreak column needed.
-    *
-    * Plan: ONE shuffle on group, then two window passes over the SAME
-    * (group, value-asc) sort — the running mass and the group total —
-    * and one map-side-combined agg per (group); quantiles come from a
-    * conditional-min per requested q (one agg column each, no
-    * explosion); output is groups × |qs| rows. */
-  def weightedQuantiles(df: DataFrame, group: Column, value: Column,
-      weight: Column, qsPpm: Seq[Long]): DataFrame = {
-    require(qsPpm.nonEmpty, "qsPpm must name at least one quantile")
-    require(qsPpm.forall(q => q >= 0 && q <= 1000000),
-      s"each q must be in [0, 1000000] ppm; got $qsPpm")
-    val w = when(weight < 0, raise_error(concat(
-        lit("weightedQuantiles: negative weight "),
-        weight.cast("string"), lit(" — mass must be >= 0"))))
-      .otherwise(weight.cast("long"))
-    val base = df.select(group.as("group"), value.as("__v"), w.as("__w"))
-      .filter(col("group").isNotNull && col("__v").isNotNull &&
-        col("__w").isNotNull && col("__w") > 0)
-    // default ordered frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW on
-    // both engines: tie rows share the full cumulative mass W(<= v)
-    val win = Window.partitionBy(col("group")).orderBy(col("__v"))
-    val tot = Window.partitionBy(col("group"))
-    val marked = base
-      .withColumn("__cw", sum(col("__w")).over(win).cast("decimal(38,0)"))
-      .withColumn("__tw", sum(col("__w")).over(tot).cast("decimal(38,0)"))
-    val aggs = qsPpm.zipWithIndex.map { case (q, i) =>
-      min(when(col("__cw") * lit(1000000L) >= col("__tw") * lit(q),
-        col("__v"))).as(s"__p$i")
-    }
-    val allAggs = max(col("__tw")).cast("long").as("w_total") +: aggs
-    val rolled = marked.groupBy(col("group"))
-      .agg(allAggs.head, allAggs.tail: _*)
-    rolled.select(col("group"), col("w_total"),
-        posexplode(array(qsPpm.zipWithIndex.map { case (q, i) =>
-          struct(lit(q).as("q_ppm"), col(s"__p$i").as("wq"))
-        }: _*)))
-      .select(col("group"), col("col.q_ppm").as("q_ppm"),
-        col("col.wq").as("wq"), col("w_total"))
-  }
-
-  /** Histogram-refined weighted quantiles — the SKETCH TIER of
-    * [[weightedQuantiles]] for hot groups, and still EXACT: the q70b
-    * [[heavyHittersSketch]] pattern (bounded summary finds candidates →
-    * one exact pass over just the candidates) applied to rank selection
-    * instead of frequency. Same contract and output schema as the exact
-    * tier (values are CALLER-QUANTIZED integers — the q129 posture;
-    * negative weight fails loudly; NULL/zero-mass rows drop), and
-    * BIT-EQUAL to it by construction, so the same DuckDB oracle gates
-    * both (q137 == q129's oracle).
-    *
-    * How: (1) one map-side-combined agg takes each group's (min, max,
-    * total mass); (2) every row gets an EXACT-INTEGER bucket id
-    * ((v−min)·B div (max−min+1) ∈ [0, B), decimal(38,0) arithmetic —
-    * monotone in v, tie values share a bucket by construction) and one
-    * map-side-combined agg builds the G·B-row mass histogram; (3) for
-    * each requested q the smallest bucket whose cumulative mass crosses
-    * ⌈q·W/10⁶⌉ must contain the answer (W(≤v) is monotone and the
-    * crossing bucket brackets the threshold), so (4) ONE exact
-    * cumulative-mass window runs over just that bucket's rows (expected
-    * mass W/B per quantile), offset by the preceding buckets' exact
-    * cumulative mass. A group whose values all tie collapses to one
-    * bucket and the refinement degenerates to the exact tier over that
-    * group — correct, merely not cheaper (stated).
-    *
-    * Scale shape: the exact tier's irreducible cost is a FULL per-group
-    * sort shuffle of the corpus; this tier replaces it with three
-    * corpus scans that shuffle only O(G) stats, O(G·B) histogram rows,
-    * and the ~|qs|·W/B refinement slice — at 100 TB with hot groups
-    * (one group = one executor's sort spill) that trade wins by the
-    * ratio corpus/Σ(slices). Below that, prefer the exact tier's single
-    * shuffle. */
-  def weightedQuantilesHist(df: DataFrame, group: Column, value: Column,
-      weight: Column, qsPpm: Seq[Long], buckets: Int = 4096): DataFrame = {
-    require(qsPpm.nonEmpty, "qsPpm must name at least one quantile")
-    require(qsPpm.forall(q => q >= 0 && q <= 1000000),
-      s"each q must be in [0, 1000000] ppm; got $qsPpm")
-    require(buckets >= 2, s"buckets must be >= 2; got $buckets")
-    val w = when(weight < 0, raise_error(concat(
-        lit("weightedQuantilesHist: negative weight "),
-        weight.cast("string"), lit(" — mass must be >= 0"))))
-      .otherwise(weight.cast("long"))
-    val base = df.select(group.as("group"), value.cast("long").as("__v"),
-        w.as("__w"))
-      .filter(col("group").isNotNull && col("__v").isNotNull &&
-        col("__w").isNotNull && col("__w") > 0)
-    // pass 1: per-group range + total mass (map-side combined, O(G)
-    // rows). localCheckpoint (the linkRank/bpeFit lineage hygiene)
-    // materializes the tiny frame ONCE — without it every broadcast of
-    // stats/cand below re-runs its full corpus-scan lineage (measured:
-    // the un-checkpointed plan ran the lineitem scan five times).
-    val stats = base.groupBy(col("group")).agg(
-        min(col("__v")).as("__vmin"), max(col("__v")).as("__vmax"),
-        sum(col("__w")).cast("decimal(38,0)").as("__tw"))
-      .localCheckpoint()
-    // exact-integer bucket id, identical expression in both passes.
-    // Fast path: plain long `div` (codegen'd) whenever (max−min)·B
-    // cannot overflow a long — i.e. range < 2⁶³/B, every realistic
-    // quantized domain; the decimal(38,0) path is the exact fallback
-    // for astronomically wide ranges. Both branches compute the same
-    // floor-division bucketing, so the choice is invisible. The RANGE
-    // ITSELF is computed in decimal(38,0): a group spanning more than
-    // Long.MaxValue (e.g. Long.MinValue..Long.MaxValue) would wrap a
-    // long `__vmax - __vmin` to a NEGATIVE, silently pass the fast-path
-    // guard, and divide by a negative — non-monotone bucket ids in
-    // exactly the regime the fallback exists for (r17 ADVICE).
-    def bucketId = {
-      val dec = "decimal(38,0)"
-      val rangeDec = col("__vmax").cast(dec) - col("__vmin").cast(dec)
-      when(rangeDec <= lit(Long.MaxValue / buckets - 1).cast(dec),
-        expr(s"((__v - __vmin) * $buckets) div (__vmax - __vmin + 1)"))
-        .otherwise(((col("__v").cast(dec) - col("__vmin").cast(dec)) *
-          lit(buckets).cast(dec))
-          .divide(rangeDec + lit(1).cast(dec))
-          .cast("long"))
-    }
-    def withB = base.join(broadcast(stats), Seq("group"))
-      .withColumn("__b", bucketId)
-    // pass 2: bucket-mass histogram (map-side combined, O(G·B) rows,
-    // checkpointed — the candidate search below must not re-scan)
-    val hist = withB.groupBy(col("group"), col("__b"))
-      .agg(sum(col("__w")).cast("decimal(38,0)").as("__bw"),
-        max(col("__tw")).as("__tw"))
-      .localCheckpoint()
-    val cum = hist.withColumn("__cb",
-      sum(col("__bw")).over(
-        Window.partitionBy(col("group")).orderBy(col("__b"))))
-    // candidate bucket per (group, q): the first cumulative crossing —
-    // min(struct) carries the crossing bucket's own and preceding mass
-    val qlit = explode(array(qsPpm.map(q => lit(q)): _*)).as("q_ppm")
-    val cand = cum.select(col("group"), col("__b"), col("__bw"),
-        col("__cb"), col("__tw"), qlit)
-      .filter(col("__cb") * lit(1000000L) >= col("__tw") * col("q_ppm"))
-      .groupBy(col("group"), col("q_ppm"))
-      .agg(min(struct(col("__b"), col("__cb"), col("__bw"),
-        col("__tw"))).as("__c"))
-      .select(col("group"), col("q_ppm"), col("__c.__b").as("__bstar"),
-        (col("__c.__cb") - col("__c.__bw")).as("__off"),
-        col("__c.__tw").as("__twq"))
-    // pass 3: exact refinement over just the candidate buckets' rows
-    // (a row serves every q whose candidate bucket it falls in)
-    val candK = cand.withColumnRenamed("group", "__cg")
-      .withColumnRenamed("__bstar", "__cb2")
-    val need = withB.select(col("group"), col("__v"), col("__w"), col("__b"))
-      .join(broadcast(candK),
-        col("group") === col("__cg") && col("__b") === col("__cb2"))
-      .drop("__cg", "__cb2")
-    val rwin = Window.partitionBy(col("group"), col("q_ppm"))
-      .orderBy(col("__v")) // RANGE default frame: ties share W(<= v)
-    need.withColumn("__cw", sum(col("__w")).over(rwin).cast("decimal(38,0)"))
-      .groupBy(col("group"), col("q_ppm"))
-      .agg(
-        min(when((col("__off") + col("__cw")) * lit(1000000L) >=
-          col("__twq") * col("q_ppm"), col("__v"))).as("wq"),
-        max(col("__twq")).cast("long").as("w_total"))
-      .select(col("group"), col("q_ppm").cast("long").as("q_ppm"),
-        col("wq"), col("w_total"))
-  }
-
-  /** Per-group equal-frequency binning (quantile discretization) — the
-    * featurization step "bucket this score into deciles within its own
-    * source": each non-null row gets bin ∈ 1..nBins via the exact
-    * integer formula bin = ((rank−1)·nBins) div n + 1 over the total
-    * (value, tiebreak) order — near-equal bin sizes (they differ by at
-    * most one), fully deterministic under ties because the CALLER
-    * names the tiebreak (SQL ntile's tie placement is engine-dependent
-    * row order — the reason this is not ntile), and pure integer
-    * arithmetic, so assignments are engine-portable bit-for-bit. NULL
-    * values keep their row with a NULL bin and consume NO rank (the
-    * quantileNormalize contract — engines disagree on NULL sort
-    * placement); when nBins > n some bins are simply empty (the
-    * formula spreads n rows over the range with gaps — stated).
-    *
-    * Plan: one window shuffle on the group key serving both the rank
-    * and the group count (same sort), plus the NULL-row passthrough
-    * union — the irreducible cost of exact within-group ranks. */
-  def quantileBin(df: DataFrame, group: Column, value: Column,
-      tiebreak: Column, nBins: Int, outCol: String = "bin"): DataFrame = {
-    require(nBins >= 1, s"nBins must be >= 1; got $nBins")
-    // working names are reserved and outCol must be fresh: withColumn
-    // would silently overwrite (and only on the non-null branch, so the
-    // union would then fail obscurely) — the intervalJoin/sampleBudget
-    // convention, case-insensitive like Spark's resolution
-    val reserved = Set("__rn", "__gn", outCol.toLowerCase)
-    val clashes = df.columns.filter(c => reserved(c.toLowerCase))
-    require(clashes.isEmpty,
-      s"quantileBin reserves column names __rn, __gn, $outCol; " +
-        s"rename the input column(s): ${clashes.distinct.mkString(", ")}")
-    val w = Window.partitionBy(group).orderBy(value.asc, tiebreak.asc)
-    val wn = Window.partitionBy(group)
-    df.filter(value.isNotNull)
-      .withColumn("__rn", row_number().over(w).cast("long"))
-      .withColumn("__gn", count(lit(1)).over(wn))
-      .withColumn(outCol,
-        expr(s"CAST((( __rn - 1L) * ${nBins}L) div __gn + 1L AS INT)"))
-      .drop("__rn", "__gn")
-      .unionByName(df.filter(value.isNull)
-        .withColumn(outCol, lit(null).cast("int")))
-  }
-
-  def quantileNormalize(df: DataFrame, group: Column, value: Column,
-      outCol: String = "qrank"): DataFrame = {
-    // NULL scores must not CONSUME ranks (they'd shift every real row's
-    // ratio, and Spark/DuckDB disagree on NULL sort order) — rank only
-    // the non-null rows, pass NULL rows through with a NULL qrank.
-    val w = Window.partitionBy(group).orderBy(value.asc)
-    df.filter(value.isNotNull)
-      .withColumn(outCol, percent_rank().over(w))
-      .unionByName(df.filter(value.isNull)
-        .withColumn(outCol, lit(null).cast("double")))
-  }
-
-  // ------------------------------------------------- frequent items
-
-  /** Exact heavy hitters: every key whose share of the input is at least
-    * `thrPpm` parts-per-million, with its exact count and integer-ppm
-    * share. All arithmetic is integer (count · 10⁶ compares and integer
-    * division), so the output is engine-portable bit-for-bit.
-    *
-    * Scale shape: one full hash aggregate over the key space — correct
-    * but shuffle-heavy when keys are high-cardinality (token/n-gram
-    * vocabularies at 100 TB); [[heavyHittersSketch]] is the tier that
-    * bounds the shuffle by `capacity` instead of the vocabulary. */
-  def heavyHitters(df: DataFrame, key: Column, thrPpm: Long): DataFrame = {
-    require(thrPpm > 0 && thrPpm <= 1000000L,
-      s"thrPpm must be in (0, 1e6]; got $thrPpm")
-    val ks = df.select(key.as("key")).filter(col("key").isNotNull)
-    val counts = ks.groupBy(col("key")).agg(count(lit(1)).as("n"))
-    val total = ks.agg(count(lit(1)).as("__total"))
-    counts.crossJoin(broadcast(total))
-      .filter(col("n") * lit(1000000L) >= lit(thrPpm) * col("__total"))
-      .select(col("key"), col("n"),
-        expr("(n * 1000000) div __total").as("ppm"))
-  }
-
-  /** Half-life-decayed trending leaderboard — "what is hot NOW", the
-    * recency-weighted complement of [[heavyHitters]]' all-time counts:
-    * each observation contributes 10⁶ ppm decayed by one halving per
-    * elapsed `halfLifeDays` (score = Σ 10⁶ >> (age_days div
-    * halfLife) — BUCKETED exponential decay: piecewise-constant within
-    * a half-life, exactly (1/2)^⌊age/h⌋ at the boundaries, and every
-    * term is an integer SHIFT, so the whole leaderboard hash-gates
-    * where a libm exp() never could, the q136 no-transcendentals
-    * posture). The reference instant is the input's own max(ts)
-    * (deterministic — same data, same board; pass a cutoff filter
-    * upstream to pin a different "now"). Top-`k` by (score desc, item
-    * asc) — a total order, no nondeterministic tie.
-    *
-    * Plan: one 1-row max(ts) agg broadcast back (the q35/q70
-    * broadcast-stat shape), one map-side-combined item agg, one
-    * TakeOrderedAndProject — no window, no full sort. NULL item/ts
-    * rows drop up front. Shifts ≥ 63 half-lives floor to 0 (a long
-    * shift of ≥ 63 — stated, an observation that old holds no signal). */
-  def trendingTopK(df: DataFrame, item: Column, ts: Column,
-      halfLifeDays: Int, k: Int): DataFrame = {
-    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1; got $halfLifeDays")
-    require(k >= 1, s"k must be >= 1; got $k")
-    val base = df.select(item.as("item"), unix_micros(ts).as("__t"))
-      .filter(col("item").isNotNull && col("__t").isNotNull)
-    val ref = base.agg(max(col("__t")).as("__ref"))
-    base.crossJoin(broadcast(ref))
-      .withColumn("__halves",
-        least(expr("((__ref - __t) div 86400000000) div " + halfLifeDays),
-          lit(63L)).cast("int"))
-      .withColumn("__w", expr("shiftright(cast(1000000 as bigint), __halves)"))
-      .groupBy(col("item"))
-      .agg(sum(col("__w")).as("score_ppm"), count(lit(1)).as("n_events"))
-      .orderBy(desc("score_ppm"), col("item"))
-      .limit(k)
-  }
-
-  /** Sketch-tier heavy hitters: a [[graft.functions.MisraGries]] summary
-    * finds a SUPERSET of the answer in one pass with O(capacity) state
-    * per task (map-side partials, one tiny final merge — no key-space
-    * shuffle), then one exact recount pass over just those candidates
-    * (broadcast semi-join, ≤ `capacity` rows) makes the result EXACT.
-    * Bit-equal to [[heavyHitters]] by construction — the guard below is
-    * the MG superset condition thr > n/(capacity+1) expressed in ppm, so
-    * no true heavy hitter can be evicted; sketch counters never reach the
-    * output. Two corpus scans instead of one full-vocabulary shuffle:
-    * at 100 TB vocabularies (n-grams, URLs) that trade wins by orders of
-    * magnitude; below broadcast-threshold key counts, prefer the exact
-    * tier's single pass. Keys must be strings (cast upstream). */
-  def heavyHittersSketch(df: DataFrame, key: Column, thrPpm: Long,
-      capacity: Int): DataFrame = {
-    require(thrPpm > 0 && thrPpm <= 1000000L,
-      s"thrPpm must be in (0, 1e6]; got $thrPpm")
-    require(thrPpm * (capacity + 1L) > 1000000L,
-      s"capacity $capacity too small for thrPpm=$thrPpm: need " +
-        s"thrPpm·(capacity+1) > 1e6 or a true heavy hitter could be evicted")
-    val ks = df.select(key.cast("string").as("key")).filter(col("key").isNotNull)
-    val mg = udaf(new graft.functions.MisraGries(capacity),
-      org.apache.spark.sql.Encoders.STRING)
-    val cand = ks.agg(mg(col("key")).as("__s"))
-      .select(explode(map_keys(col("__s"))).as("key"))
-    val total = ks.agg(count(lit(1)).as("__total"))
-    ks.join(broadcast(cand), Seq("key"), "left_semi")
-      .groupBy(col("key")).agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(total))
-      .filter(col("n") * lit(1000000L) >= lit(thrPpm) * col("__total"))
-      .select(col("key"), col("n"),
-        expr("(n * 1000000) div __total").as("ppm"))
-  }
-
-  // ---------------------------------------------------- sketch algebra
-
-  /** Count-min sketch of a key column: a depth × width counter grid,
-    * cell (j, b) = count of rows whose j-th seeded portable hash lands
-    * in bucket b. The hash family is md5-derived
-    * ([[graft.functions.Portable]]), so the sketch — and every estimate
-    * read from it — is DETERMINISTIC and engine-portable: unlike the
-    * opaque-register HLL tier (q15b, rows-only by design) this sketch
-    * hash-gates against DuckDB computing the identical counters. The
-    * frequency complement of [[heavyHittersSketch]]: MG bounds the
-    * CANDIDATE set, CMS bounds the whole COUNTER state — shuffle
-    * carries at most depth·width cells per task after map-side partial
-    * aggregation, never the key space (the depth× row expansion exists
-    * map-side only, the bounded analogue of q147's Expand). Returns
-    * (j, bucket, c). Mergeable: the sketch of a union is the cell-wise
-    * sum of the parts' sketches (spec-pinned law), so per-shard
-    * sketches fold into a corpus sketch without a re-scan. */
-  def cmsSketch(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
-    require(depth >= 1 && depth <= 16, s"depth must be in [1,16]; got $depth")
-    require(width >= 2, s"width must be >= 2; got $width")
-    val ks = df.select(key.cast("string").as("key")).filter(col("key").isNotNull)
-    ks.select(explode(array((0 until depth).map(j =>
-          struct(lit(j).as("j"),
-            pmod(Portable.phash(concat(lit(s"cms$j|"), col("key"))),
-              lit(width.toLong)).as("bucket"))): _*)).as("__c"))
-      .groupBy(col("__c.j").as("j"), col("__c.bucket").as("bucket"))
-      .agg(count(lit(1)).as("c"))
-  }
-
-  /** Point-query a [[cmsSketch]]: estimated count per distinct query
-    * key = min over the `depth` counter cells the key hashes to. The
-    * CMS guarantee — est ≥ true count, ALWAYS (counters only ever
-    * overcount) — is spec-pinned over every key of the fixture. The
-    * sketch side broadcasts (≤ depth·width rows by construction);
-    * cells no row ever hit are not materialized, so absent cells read
-    * as 0 through the left join (a never-seen key estimates 0). */
-  def cmsQuery(sketch: DataFrame, keys: DataFrame, key: Column,
-      depth: Int, width: Int): DataFrame = {
-    require(depth >= 1 && depth <= 16, s"depth must be in [1,16]; got $depth")
-    require(width >= 2, s"width must be >= 2; got $width")
-    keys.select(key.cast("string").as("key")).filter(col("key").isNotNull)
-      .distinct()
-      .select(col("key"), explode(array((0 until depth).map(j =>
-        struct(lit(j).as("j"),
-          pmod(Portable.phash(concat(lit(s"cms$j|"), col("key"))),
-            lit(width.toLong)).as("bucket"))): _*)).as("__l"))
-      .select(col("key"), col("__l.j").as("j"), col("__l.bucket").as("bucket"))
-      .join(broadcast(sketch), Seq("j", "bucket"), "left")
-      .groupBy(col("key"))
-      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
-  }
-
-  /** CMS adjudication report: the exact top-`topN` keys (count desc,
-    * key asc — a total order) with true count, [[cmsSketch]] estimate,
-    * and the overcount — the face that lets the driver hash-gate the
-    * sketch family end to end (q150). The exact pass exists FOR the
-    * report; the scale faces are [[cmsSketch]]/[[cmsQuery]] alone,
-    * whose state never exceeds depth·width cells regardless of key
-    * cardinality. */
-  def cmsFrequencyReport(df: DataFrame, key: Column, depth: Int,
-      width: Int, topN: Int): DataFrame = {
-    require(topN >= 1, s"topN must be >= 1; got $topN")
-    val ks = df.select(key.cast("string").as("key")).filter(col("key").isNotNull)
-    val top = ks.groupBy(col("key")).agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), col("key")).limit(topN)
-    cmsQuery(cmsSketch(df, key, depth, width), top, col("key"), depth, width)
-      .join(top, Seq("key"))
-      .select(col("key"), col("n"), col("est"),
-        (col("est") - col("n")).as("overcount"))
-      .orderBy(desc("n"), col("key"))
-  }
-
-  /** KMV (k-minimum-values / bottom-k theta) distinct sketch per group:
-    * the `k` smallest DISTINCT 40-bit portable hashes of `value` within
-    * each group, as (grp, h) rows. The hash is the md5 60-bit portable
-    * hash truncated to 40 bits (shiftright 20) so every estimator
-    * downstream stays in exact BIGINT arithmetic (cnt·2⁴⁰ ≤ 2⁴⁸ —
-    * both engines floor-divide identically; a decimal path would round
-    * at engine-specific scales). Truncation bias is negligible by
-    * construction: only the BOTTOM-k region matters, and two values
-    * colliding inside it needs a k²/2⁴¹ event — independent of corpus
-    * cardinality. Build = one distinct on (grp, hash) — the only
-    * corpus-scale shuffle — then a per-group bottom-k over the
-    * already-distinct hash table; sketches are |groups|·k rows
-    * (broadcast-sized). Mergeable: the sketch of a union is the
-    * bottom-k of the parts' sketches (spec-pinned law). NULL groups
-    * and NULL values drop. */
-  def kmvSketch(df: DataFrame, group: Column, value: Column, k: Int): DataFrame = {
-    require(k >= 2, s"k must be >= 2; got $k")
-    val d = df.select(group.cast("string").as("grp"),
-        shiftright(Portable.phash(concat(lit("kmv|"), value)), 20).as("h"))
-      .filter(col("grp").isNotNull && col("h").isNotNull)
-      .distinct()
-    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
-    d.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
-      .select(col("grp"), col("h"))
-  }
-
-  /** Distinct-cardinality set algebra over [[kmvSketch]] — the
-    * theta-sketch estimators, all in exact integer arithmetic: per
-    * unordered group pair, estimated distinct counts of each side
-    * (est_a/est_b — EXACT when a group holds < k distinct hashes,
-    * since then theta = 2⁴⁰ and the sketch IS the value set),
-    * estimated intersection and union cardinalities, and an integer
-    * Jaccard. Estimator: theta_g = k-th smallest hash when saturated
-    * (else 2⁴⁰); retained = hashes < theta; est = |retained|·2⁴⁰ div
-    * theta. Pairwise: theta = min(theta_a, theta_b); n_common =
-    * |sk_a ∩ sk_b below theta|; est_inter = n_common·2⁴⁰ div theta;
-    * union via inclusion–exclusion of below-theta counts;
-    * jaccard_ppm = n_common·10⁶ div union_count (theta cancels — the
-    * floor-free form). The sketch build is the only corpus-scale
-    * stage; every pairwise stage runs on |groups|·k rows. The
-    * hash-gated complement of approx_count_distinct: HLL registers
-    * are engine-opaque (q15b stays rows-only), KMV bottom-k sets are
-    * portable values both engines reproduce bit-for-bit (q151). */
-  def kmvOverlapReport(df: DataFrame, group: Column, value: Column,
-      k: Int): DataFrame = {
-    val TWO40 = 1099511627776L
-    // the report fans the sketch into four consumers (stats, two
-    // below-theta counts, the common-hash join): localCheckpoint the
-    // |groups|·k-row sketch eagerly so the corpus-scale distinct runs
-    // ONCE, not once per consumer (the q137 lineage-hygiene idiom)
-    val sk = kmvSketch(df, group, value, k).localCheckpoint(true)
-    val th = sk.groupBy(col("grp"))
-      .agg(count(lit(1)).as("__sz"), max(col("h")).as("__hmax"))
-      .withColumn("theta",
-        when(col("__sz") < k, lit(TWO40)).otherwise(col("__hmax")))
-      .withColumn("cnt",
-        when(col("__sz") < k, col("__sz")).otherwise(lit((k - 1).toLong)))
-      .withColumn("est", expr(s"(cnt * $TWO40) div greatest(theta, 1)"))
-    val pairs = th.select(col("grp").as("grp_a"), col("theta").as("__tha"),
-        col("est").as("est_a"))
-      .crossJoin(th.select(col("grp").as("grp_b"), col("theta").as("__thb"),
-        col("est").as("est_b")))
-      .filter(col("grp_a") < col("grp_b"))
-      .withColumn("__thmin", least(col("__tha"), col("__thb")))
-    def below(side: String) =
-      sk.select(col("grp").as(s"grp_$side"), col("h"))
-        .join(pairs.select(col("grp_a"), col("grp_b"), col("__thmin")),
-          Seq(s"grp_$side"))
-        .filter(col("h") < col("__thmin"))
-        .groupBy(col("grp_a"), col("grp_b"))
-        .agg(count(lit(1)).as(s"__n$side"))
-    val common = sk.select(col("grp").as("grp_a"), col("h"))
-      .join(sk.select(col("grp").as("grp_b"), col("h")), Seq("h"))
-      .filter(col("grp_a") < col("grp_b"))
-      .join(pairs.select(col("grp_a"), col("grp_b"), col("__thmin")),
-        Seq("grp_a", "grp_b"))
-      .filter(col("h") < col("__thmin"))
-      .groupBy(col("grp_a"), col("grp_b"))
-      .agg(count(lit(1)).as("n_common"))
-    pairs
-      .join(below("a"), Seq("grp_a", "grp_b"), "left")
-      .join(below("b"), Seq("grp_a", "grp_b"), "left")
-      .join(common, Seq("grp_a", "grp_b"), "left")
-      .na.fill(0L, Seq("__na", "__nb", "n_common"))
-      .withColumn("__u", col("__na") + col("__nb") - col("n_common"))
-      .withColumn("est_inter",
-        expr(s"(n_common * $TWO40) div greatest(__thmin, 1)"))
-      .withColumn("est_union",
-        expr(s"(__u * $TWO40) div greatest(__thmin, 1)"))
-      .withColumn("jaccard_ppm",
-        expr("(n_common * 1000000) div greatest(__u, 1)"))
-      .select(col("grp_a"), col("grp_b"), col("est_a"), col("est_b"),
-        col("n_common"), col("est_inter"), col("est_union"),
-        col("jaccard_ppm"))
-  }
-
-  /** Collocation mining over an adjacent-token bigram column: ranks
-    * bigrams by LIFT — observed co-occurrence over the independence
-    * expectation from the bigram table's own margins,
-    * `n_xy · N / (n_x· · n_·y)` — the log-free core of PMI (log is
-    * monotone, so the ranking is identical and the arithmetic stays
-    * engine-portable: exact long counts, two IEEE multiplies, one
-    * divide; exact while counts stay under 2⁵³). `minCount` suppresses
-    * the classic PMI failure mode (rare pairs with sky-high lift).
-    *
-    * Plan: one hash agg over the bigram vocabulary, two margin aggs +
-    * equi-joins keyed by token, and a TakeOrderedAndProject for the
-    * top-k — no global sort materializes past k rows. */
-  def collocations(df: DataFrame, bigram: Column, minCount: Long,
-      k: Int): DataFrame = {
-    require(minCount >= 1, s"minCount must be >= 1; got $minCount")
-    require(k >= 1, s"k must be >= 1; got $k")
-    val c = df.select(bigram.as("bg")).filter(col("bg").isNotNull)
-      .groupBy(col("bg")).agg(count(lit(1)).as("n"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .withColumn("w2", substring_index(col("bg"), " ", -1))
-    val m1 = c.groupBy(col("w1")).agg(sum(col("n")).as("n1"))
-    val m2 = c.groupBy(col("w2")).agg(sum(col("n")).as("n2"))
-    val tot = c.agg(sum(col("n")).as("__total"))
-    c.filter(col("n") >= minCount)
-      .join(m1, "w1").join(m2, "w2")
-      .crossJoin(broadcast(tot))
-      .withColumn("lift",
-        col("n").cast("double") * col("__total").cast("double") /
-          (col("n1").cast("double") * col("n2").cast("double")))
-      .select(col("bg"), col("n"), col("n1"), col("n2"), col("lift"))
-      .orderBy(desc("lift"), col("bg"))
-      .limit(k)
-  }
-
-  // --------------------------------------------- vocabulary encoding
-
-  /** Frequency vocabulary over a token-array column: the `topK` most
-    * frequent tokens, each assigned a DENSE integer id 0..K−1 by
-    * (count desc, token asc) — a deterministic TOTAL order, so the id
-    * assignment (including ties at the K boundary) is engine-portable
-    * (q109 gates it). Returns (token, token_id int, n long). NULL
-    * tokens are ignored (an id for SQL-missing would be meaningless).
-    *
-    * Plan: one map-side-combined hash agg over the token vocabulary +
-    * a TakeOrderedAndProject at topK — the corpus ships partial
-    * per-token counts, never rows; the id assignment is a
-    * single-partition window over the ALREADY-topK-bounded rows,
-    * which is model-sized BY CONTRACT (topK is a tokenizer's vocab
-    * budget — 2¹⁵–2¹⁸ — not a corpus dimension; the k-centroid
-    * idiom). At 100 TB the vocabulary agg is the only corpus-wide
-    * cost and it is exactly [[heavyHitters]]'s shape. */
-  def buildVocab(df: DataFrame, toks: Column, topK: Int): DataFrame = {
-    require(topK >= 1 && topK <= 1000000,
-      s"topK must be in [1, 1e6]; got $topK")
-    val counts = df.select(explode(toks).as("token"))
-      .filter(col("token").isNotNull)
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), col("token")).limit(topK)
-    val w = Window.orderBy(desc("n"), col("token"))
-    counts.withColumn("token_id", (row_number().over(w) - 1).cast("int"))
-      .select(col("token"), col("token_id"), col("n"))
-  }
-
-  /** Token→id encoding against a [[buildVocab]] vocabulary: adds
-    * `token_ids` (array<int>) — each token replaced by its vocab id,
-    * out-of-vocabulary tokens by `oovId`. A NULL token array stays
-    * NULL, an empty one encodes to `[]` (missing text and empty text
-    * are different facts). The vocabulary must carry dense unique ids
-    * 0..n−1 ([[buildVocab]]'s contract — anything else fails loudly
-    * here, not as silently-garbled ids).
-    *
-    * Plan: the vocabulary collects to the driver (topK-bounded —
-    * MODEL-sized, the sqEncode/k-centroid idiom, NOT a corpus collect)
-    * and ships once per task inside the codegen'd
-    * [[graft.functions.TokenIds]] expression, which probes a real
-    * HashMap — O(1) per token. The CORPUS NEVER SHUFFLES: no
-    * explode → join → re-assemble round trip on doc_id (two
-    * token-grain shuffles), and no `try_element_at` over a Catalyst
-    * map literal (an O(K) linear scan per token — measured 7× this
-    * query's cost at K=512). Pure narrow projection at any scale. */
-  def encodeTokens(df: DataFrame, toks: Column, vocab: DataFrame,
-      oovId: Int = -1): DataFrame = {
-    val rows = vocab.select(col("token"), col("token_id")).collect()
-      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._2)
-    require(rows.nonEmpty, "vocabulary is empty")
-    require(rows.map(_._2).toSeq == rows.indices,
-      s"vocab ids must be exactly 0..${rows.length - 1} (buildVocab's contract)")
-    require(rows.map(_._1).distinct.length == rows.length,
-      "vocab tokens must be unique")
-    df.withColumn("token_ids",
-      graft.functions.TokenIds.asColumn(toks, rows.map(_._1).toSeq, oovId))
-  }
-
-  /** Markup→text extraction — the first transform a crawled HTML corpus
-    * goes through before any quality/dedup pass: drops `<script>` and
-    * `<style>` blocks WITH their contents, strips every remaining tag
-    * (replaced by a space so `a</p><p>b` never word-joins), decodes the
-    * five core entities (`&lt; &gt; &quot; &#39;` first, `&amp;`
-    * deliberately LAST — single-pass HTML semantics, so literal
-    * `&amp;lt;` decodes to `&lt;`, never double-decodes to `<`; entities
-    * outside the set pass through verbatim), then collapses whitespace
-    * runs (explicit `[ \t\n\r\f]` class — RE2 and Java disagree on `\s`
-    * vs vertical tab, so the contract names its characters) and trims.
-    * Every step is a stock codegen'd string function both engines can
-    * state verbatim — q110 hash-gates the full chain. NULL markup stays
-    * NULL.
-    *
-    * Plan: pure narrow projection, zero shuffles at any scale — the
-    * chunkDocuments posture; regex work is per-row and codegen'd
-    * (no UDF, no mapPartitions). */
-  def extractText(df: DataFrame, markup: Column,
-      out: String = "extracted"): DataFrame = {
-    val noScript =
-      regexp_replace(markup, "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle =
-      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
-    df.withColumn(out, trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " ")))
-  }
-
-  /** Initial BPE symbol state of a word: one single-character symbol
-    * per position, stated as substring probes (NOT `split(w, '')` —
-    * engines disagree on empty-regex split tails, while `substr` is
-    * identical everywhere). Empty word → empty symbol list. */
-  private def charSyms(w: Column): Column =
-    when(length(w) >= 1,
-      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
-      .otherwise(array().cast("array<string>"))
-
-  /** Apply ONE BPE merge (x, y) → xy to a symbol list, greedy
-    * left-to-right non-overlapping (the reference BPE application
-    * order): fold symbols left to right; when the accumulator's last
-    * symbol is x and the incoming one is y, replace the last with xy,
-    * else append. A just-merged xy can never false-re-merge as the x
-    * of the same pass (xy == x would need y empty), so the plain fold
-    * IS the greedy semantics — no flag, no second pass. */
-  private def applyMerge(syms: Column, x: String, y: String): Column =
-    aggregate(syms, array().cast("array<string>"),
-      (acc, s) => when(
-        size(acc) > 0 && element_at(acc, -1) === lit(x) && s === lit(y),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
-        .otherwise(array_append(acc, s)))
-
-  /** Byte-pair-encoding merge TRAINING — the iterative half of a real
-    * subword tokenizer (the [[buildVocab]] frequency-unigram build is
-    * the flat alternative): starting from per-character symbols of
-    * every distinct word, repeat `nMerges` times — count adjacent
-    * symbol pairs across the corpus (each POSITION counts, weighted by
-    * word frequency — the reference BPE statistic, so a run of k equal
-    * symbols contributes k−1), merge the most frequent pair everywhere
-    * (greedy left-to-right non-overlapping), record it. Ties break
-    * (count desc, left asc, right asc) — a deterministic TOTAL order,
-    * so every merge rank and count is engine-portable (q135 gates the
-    * whole table against DuckDB's unrolled recursive-CTE restatement).
-    * Stops early if pairs run out (fewer rows than requested — words
-    * fully merged). Returns (rank 1.., left, right, n).
-    *
-    * Plan: ONE corpus-wide pass (explode → word-grain hash agg) and
-    * everything after runs on the DISTINCT-WORD table — vocabulary-
-    * scale BY CONTRACT (a 100 TB corpus still has a bounded word
-    * vocabulary; the k-centroid idiom). Each iteration is one
-    * map-side-combined pair agg + a 1-ROW argmax collect (a trained
-    * constant, NOT a corpus collect) + a narrow per-word fold, with
-    * the evolving symbol table localCheckpoint'd per round (the
-    * linkRank lineage hygiene — without it iteration k recomputes all
-    * k−1 prior folds). Eager like every trainer. */
-  def bpeFit(df: DataFrame, toks: Column, nMerges: Int): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 256,
-      s"nMerges must be in [1, 256]; got $nMerges")
-    val spark = df.sparkSession
-    import spark.implicits._
-    var syms = df.select(explode(toks).as("__w"))
-      .filter(col("__w").isNotNull)
-      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
-      .select(col("__f"), charSyms(col("__w")).as("__syms"))
-      .localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var done = false
-    try {
-      var rank = 1
-      var exhausted = false
-      while (rank <= nMerges && !exhausted) {
-        val top = syms.filter(size(col("__syms")) >= 2)
-          .select(col("__f"), explode(
-            transform(sequence(lit(1), size(col("__syms")) - 1),
-              j => struct(element_at(col("__syms"), j).as("s1"),
-                element_at(col("__syms"), j + lit(1)).as("s2")))).as("__p"))
-          .groupBy(col("__p.s1").as("__s1"), col("__p.s2").as("__s2"))
-          .agg(sum(col("__f")).as("__n"))
-          .orderBy(desc("__n"), col("__s1"), col("__s2"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (x, y, n) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((rank, x, y, n))
-          val prev = syms
-          syms = prev.select(col("__f"),
-              applyMerge(col("__syms"), x, y).as("__syms"))
-            .localCheckpoint(true)
-          prev.unpersist()
-          rank += 1
-        }
-      }
-      done = true
-    } finally {
-      syms.unpersist()
-      if (!done) () // collected merges are driver state; nothing cached leaks
-    }
-    merges.toSeq.toDF("rank", "left", "right", "n")
-  }
-
-  /** The encode half of BPE: adds `pieces` (array<array<string>> — one
-    * subword-piece list per input token), applying a [[bpeFit]] merge
-    * table in RANK order to each token's character symbols. Applying
-    * the ranked merges to a training word reproduces the trainer's
-    * final symbol state EXACTLY (each encode step k sees the same
-    * symbol state the trainer saw at step k — spec-pinned law), and
-    * unseen words segment deterministically with the same rule (no
-    * vocabulary probe, no OOV cliff — characters are the floor). A
-    * NULL token array stays NULL; a NULL token yields a NULL piece
-    * list (unknown word ≠ empty word); empty tokens encode to empty
-    * piece lists. Merge ranks must be dense 1..n (bpeFit's contract —
-    * loud failure, not silently reordered merges).
-    *
-    * Plan: the merge table collects to the driver (nMerges rows —
-    * MODEL-sized, the encodeTokens idiom) and ships once per task
-    * inside the codegen'd [[graft.functions.BpeSegment]] expression —
-    * a tight O(len · nMerges) JVM loop per token (the declarative
-    * n-deep chain of interpreted HOF folds computed the identical
-    * pieces ~8× slower). The CORPUS NEVER SHUFFLES — pure narrow
-    * projection at any scale. */
-  def bpeEncode(df: DataFrame, toks: Column, merges: DataFrame,
-      out: String = "pieces"): DataFrame = {
-    val ms = merges.select(col("rank").cast("int"), col("left"), col("right"))
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
-      .sortBy(_._1)
-    require(ms.nonEmpty, "merge table is empty")
-    require(ms.map(_._1).toSeq == (1 to ms.length),
-      s"merge ranks must be exactly 1..${ms.length} (bpeFit's contract)")
-    df.withColumn(out, graft.functions.BpeSegment.asColumn(
-      toks, ms.map(m => (m._2, m._3)).toSeq))
-  }
-
-  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the
-    * probabilistic member of the tokenizer family (q109 frequency
-    * vocab, q135 greedy BPE merges): EM-prune a seed vocabulary of
-    * word substrings down to `vocabSize` pieces under exact
-    * fixed-point likelihoods, so the whole trained table hash-gates
-    * (q148) — no libm anywhere:
-    *
-    *  1. word table: distinct corpus words with counts, words longer
-    *     than `maxWordLen` codepoints dropped, top `topWords` kept by
-    *     (count desc, word asc) — training on the hot word table is
-    *     the standard sampled-corpus posture (SentencePiece trains on
-    *     a corpus sample; the q135 distinct-word precedent)
-    *  2. seed: every substring of length ≤ `maxPieceLen` with
-    *     positional multiplicity, mass = Σ word-count; ALL single
-    *     codepoints kept (coverage floor) + top (vocabSize − nChars)
-    *     multi-codepoint pieces by (mass desc, piece asc)
-    *  3. `iters` EM rounds: score each piece sur_q10 = exact
-    *     [[log2Q10]] of (total mass / piece mass); Viterbi-segment
-    *     every word under those scores ([[graft.functions.UnigramSegment]]
-    *     — min total surprisal, ties by fewer pieces then UTF-8
-    *     path order, the pinned order the oracle restates by path
-    *     enumeration); re-mass pieces by segmentation usage
-    *     (occurrences × word count); single codepoints floor at mass 1
-    *     (coverage can never be pruned), used multi pieces re-prune to
-    *     the top (vocabSize − nChars)
-    *
-    * Returns (piece, mass, sur_q10, rank) under the final masses,
-    * rank dense 1.. by (mass desc, piece asc).
-    *
-    * Plan: ONE corpus pass (explode → word hash agg, map-side
-    * combined); everything after runs at WORD-TABLE or VOCABULARY
-    * scale by contract (the bpeFit posture) — per round one narrow
-    * codegen'd segmentation over ≤ topWords rows, one tiny agg, one
-    * model-sized collect (the trained constants, never the corpus),
-    * localCheckpoint'd per round (the linkRank lineage hygiene).
-    * Loud failure when total/mass would overflow the ladder's 2³³
-    * contract or vocabSize can't hold the single-codepoint floor. */
-  def unigramFit(df: DataFrame, toks: Column, vocabSize: Int,
-      iters: Int = 2, maxPieceLen: Int = 4, topWords: Int = 400,
-      maxWordLen: Int = 16): DataFrame = {
-    require(vocabSize >= 2, s"vocabSize must be >= 2; got $vocabSize")
-    require(iters >= 1 && iters <= 16, s"iters must be in [1, 16]; got $iters")
-    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2; got $maxPieceLen")
-    require(topWords >= 1, s"topWords must be >= 1; got $topWords")
-    require(maxWordLen >= 1, s"maxWordLen must be >= 1; got $maxWordLen")
-    val words = df.select(explode(toks).as("__w"))
-      .filter(col("__w").isNotNull && col("__w") =!= "" &&
-        length(col("__w")) <= maxWordLen)
-      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
-      .orderBy(desc("__n"), col("__w")).limit(topWords)
-      .localCheckpoint(true)
-    try {
-      // seed masses: every (position, length ≤ maxPieceLen) substring,
-      // with multiplicity — word-table scale, the HOF stays off the
-      // corpus
-      val sub = words.select(col("__n"), explode(expr(
-          s"""flatten(transform(sequence(1, length(__w)), i ->
-             filter(transform(sequence(1, $maxPieceLen), l ->
-               CASE WHEN i + l - 1 <= length(__w)
-                 THEN substring(__w, i, l) END), x -> x IS NOT NULL)))"""))
-          .as("piece"))
-      val mass0 = sub.groupBy(col("piece")).agg(sum(col("__n")).as("mass"))
-        .localCheckpoint(true)
-      val singles = mass0.filter(length(col("piece")) === 1)
-        .select(col("piece")).localCheckpoint(true)
-      try {
-        val nSingles = singles.count().toInt
-        require(nSingles >= 1, "unigramFit: no training words survived the filters")
-        require(vocabSize > nSingles,
-          s"vocabSize $vocabSize must exceed the $nSingles single-codepoint " +
-            "pieces (the coverage floor)")
-        def prune(masses: DataFrame): DataFrame = {
-          val s = singles.join(masses, Seq("piece"), "left")
-            .select(col("piece"), coalesce(col("mass"), lit(1L)).as("mass"))
-          val m = masses.filter(length(col("piece")) > 1)
-            .orderBy(desc("mass"), col("piece"))
-            .limit(vocabSize - nSingles)
-          s.unionByName(m)
-        }
-        def score(vocab: DataFrame): DataFrame = {
-          val t = vocab.agg(sum(col("mass")).as("t"), min(col("mass")).as("m"))
-            .head()
-          val total = t.getLong(0)
-          require(total / math.max(t.getLong(1), 1L) < (1L << 32),
-            s"unigramFit: total mass $total over min piece mass " +
-              s"${t.getLong(1)} exceeds the log2 ladder's 2^32 ratio " +
-              "contract — raise topWords granularity or shard")
-          log2Q10(vocab.withColumn("__tot", lit(total)), "mass", "__tot",
-            "sur_q10")
-        }
-        var vocab = prune(mass0).localCheckpoint(true)
-        for (_ <- 1 to iters) {
-          val model = score(vocab).select(col("piece"), col("sur_q10"))
-            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-          val usage = words.select(col("__n"), explode(element_at(
-              graft.functions.UnigramSegment.asColumn(
-                array(col("__w")), model, maxPieceLen), 1)).as("piece"))
-            .groupBy(col("piece")).agg(sum(col("__n")).as("mass"))
-          val prev = vocab
-          vocab = prune(usage).localCheckpoint(true)
-          prev.unpersist()
-        }
-        val out = score(vocab)
-          .withColumn("rank", row_number().over(
-            Window.orderBy(desc("mass"), col("piece"))).cast("long"))
-          .select(col("piece"), col("mass"), col("sur_q10"), col("rank"))
-          .localCheckpoint(true)
-        vocab.unpersist()
-        out
-      } finally { mass0.unpersist(); singles.unpersist() }
-    } finally words.unpersist()
-  }
-
-  /** The encode half of the unigram tokenizer: adds `out`
-    * (array<array<string>> — one Viterbi piece list per input token)
-    * under a [[unigramFit]] model: the segmentation minimizing total
-    * sur_q10 under the model's FINAL scores, with the trainer's pinned
-    * tie order (the DP is spec-pinned against an enumerate-all-
-    * segmentations reference). Unknown codepoints segment as
-    * themselves at a cost above any real piece
-    * ([[graft.functions.UnigramSeg.UnkCost]]) — characters are the
-    * floor, no OOV cliff.
-    *
-    * Plan: the model collects once (vocabSize rows — MODEL-sized, the
-    * bpeEncode idiom) and ships per task inside the codegen'd
-    * expression; the corpus never shuffles. */
-  def unigramEncode(df: DataFrame, toks: Column, model: DataFrame,
-      out: String = "pieces"): DataFrame = {
-    val rows = model.select(col("piece"), col("sur_q10"),
-        length(col("piece")).as("__l"))
-      .collect()
-    require(rows.nonEmpty, "unigram model is empty")
-    val vocab = rows.map(r => (r.getString(0), r.getLong(1))).toSeq
-    val maxLen = rows.map(_.getInt(2)).max
-    df.withColumn(out,
-      graft.functions.UnigramSegment.asColumn(toks, vocab, maxLen))
-  }
-
-  /** Exact binary fixed-point log2 of the rational n_ctx/n_big ≥ 1, in
-    * units of 2⁻¹⁰ bit ("q10"): e = MSB(q30) − 30 where q30 =
-    * (n_ctx·2³⁰) div n_big (floor(log2 x) == floor(log2 floor(x)) for
-    * x ≥ 1, so the MSB of the quotient IS the integer part), then ten
-    * truncating square-and-compare steps refine the fraction — x ← x²
-    * div 2³⁰, emit a bit and halve when x ≥ 2³¹. Every op is integer
-    * (compare, multiply, truncating div, shift): NO libm anywhere, so
-    * the result is a STATED deterministic computation both engines
-    * reproduce exactly (within 2⁻²⁰ bit of the real log2 — the
-    * truncation error after 10 squarings — but bit-for-bit portable,
-    * which floor(10⁶·ln x) never is). Caller guarantees n_ctx < 2³³ so
-    * q30 fits int64 (a per-CONTEXT occurrence count — 8 billion
-    * occurrences of one leading token; shard the model first if a
-    * corpus ever gets there). */
-  private def log2Q10(df: DataFrame, nBig: String, nCtx: String,
-      out: String): DataFrame = {
-    val two30 = 1073741824L
-    val two31 = 2147483648L
-    val withQ = df.withColumn("__q30", expr(
-      s"CAST((CAST($nCtx AS DECIMAL(38,0)) * $two30) div " +
-        s"CAST($nBig AS DECIMAL(38,0)) AS BIGINT)"))
-    // MSB ladder: e = k for the largest k in 1..32 with q30 >= 2^(30+k)
-    // (k stops at 32: 2^63 has no positive int64 literal, and q30 < 2^63
-    // by the n_ctx < 2^33 contract above)
-    val eCol = (1 to 32).foldLeft(lit(0)) { (acc, k) =>
-      when(col("__q30") >= lit(1L << (30 + k)), lit(k)).otherwise(acc)
-    }
-    var cur = withQ.withColumn("__e", eCol)
-      .withColumn("__x", expr("shiftright(__q30, __e)"))
-    for (j <- 1 to 10) {
-      cur = cur
-        .withColumn(s"__xs$j", expr(s"(__x * __x) div ${two30}L"))
-        .withColumn(s"__b$j",
-          when(col(s"__xs$j") >= lit(two31), lit(1)).otherwise(lit(0)))
-        .withColumn("__x",
-          when(col(s"__xs$j") >= lit(two31), expr(s"__xs$j div 2"))
-            .otherwise(col(s"__xs$j")))
-    }
-    val frac = (1 to 10).map(j => col(s"__b$j") * lit(1 << (10 - j)))
-      .reduce(_ + _)
-    cur.withColumn(out, (col("__e") * lit(1024) + frac).cast("long"))
-      .drop("__q30" +: "__e" +: "__x" +:
-        (1 to 10).flatMap(j => Seq(s"__xs$j", s"__b$j")): _*)
-  }
-
-  /** N-gram language-model quality scoring — the perplexity-proxy
-    * filter every curation pipeline runs between cheap lexical scores
-    * ([[lexiconScore]], [[textQuality]]) and expensive embedding
-    * passes: train a bigram model on the corpus (n_big = count of each
-    * adjacent token pair, n_ctx = count of the left token as a bigram
-    * context) and score every document's total and per-position
-    * SURPRISAL under it — Σ log2(n_ctx/n_big) over the doc's bigram
-    * positions, i.e. Σ −log2 p(w₂|w₁), the standard cross-entropy
-    * numerator. Self-scoring (train == score corpus) needs no
-    * smoothing: every document bigram exists in the model by
-    * construction. Low average surprisal = repetitive/boilerplate
-    * text, high = rare-junk — both tails are curation targets (the
-    * CCNet/Gopher recipe).
-    *
-    * Portability: the log2 is [[log2Q10]]'s exact integer fixed-point
-    * ladder (q10 units — 1/1024 bit), NOT libm, so the whole report
-    * hash-gates (q136) — the first transcendental-family score in the
-    * repo gated exactly rather than rows-only. avg_q10 is the
-    * truncating integer division sur_q10 div n_bigrams (stated). Docs
-    * with < 2 tokens (or NULL token arrays) surface with n_bigrams = 0,
-    * sur_q10 = 0 and NULL avg (no positions ≠ surprisal zero — the
-    * TWAP single-observation posture).
-    *
-    * Plan: one corpus pass explodes bigram positions (the only
-    * corpus-grain shuffle, keyed by the pair for BOTH the model agg
-    * and the scoring join — the same exchange feeds both), the model
-    * is bigram-vocabulary-sized (its n_ctx window and the surprisal
-    * ladder run at model grain), scoring is one equi-join on the pair
-    * + one doc-grain agg. No window over the corpus, no self-join;
-    * a hot bigram is one AQE-split partition. */
-  def lmScore(df: DataFrame, id: Column, toks: Column): DataFrame = {
-    val base = df.select(id.as("__id"), toks.as("__t"))
-    val pos = base.filter(size(col("__t")) >= 2)
-      .select(col("__id"), explode(
-        transform(sequence(lit(1), size(col("__t")) - 1),
-          j => struct(element_at(col("__t"), j).as("w1"),
-            element_at(col("__t"), j + lit(1)).as("w2")))).as("__p"))
-      .select(col("__id"), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
-    val model = pos.groupBy(col("__w1"), col("__w2"))
-      .agg(count(lit(1)).as("__nb"))
-      .withColumn("__nc",
-        sum(col("__nb")).over(Window.partitionBy(col("__w1"))))
-    val scored = log2Q10(model, "__nb", "__nc", "__sur")
-      .select(col("__w1"), col("__w2"), col("__sur"))
-    val perDoc = pos.join(scored, Seq("__w1", "__w2"))
-      .groupBy(col("__id"))
-      .agg(count(lit(1)).as("__m"), sum(col("__sur")).as("__s"))
-    base.select(col("__id"))
-      .join(perDoc, Seq("__id"), "left_outer")
-      .select(col("__id").as("key"),
-        coalesce(col("__m"), lit(0L)).as("n_bigrams"),
-        coalesce(col("__s"), lit(0L)).as("sur_q10"),
-        when(col("__m") > 0, expr("__s div __m")).as("avg_q10"))
-  }
-
-  // --------------------------------------------- scalar quantization
-
-  /** SQ8 trainer: per-dimension [lo, hi] corpus ranges — the whole model
-    * is 2·dim doubles (vs PQ's m·ksub·sub codebooks), and encode/decode
-    * are pure arithmetic, no codebook search. Returns (dim, lo, hi) with
-    * `dim` 0-based. min/max of floats cast to double is value-exact, so
-    * the model is engine-portable with no quantization step. */
-  def sqFit(df: DataFrame, vec: Column): DataFrame =
-    df.select(posexplode(vec).as(Seq("dim", "__c")))
-      .groupBy(col("dim"))
-      .agg(min(col("__c").cast("double")).as("lo"),
-        max(col("__c").cast("double")).as("hi"))
-
-  private def collectSqModel(model: DataFrame): (Array[Double], Array[Double]) = {
-    val rows = model.select(col("dim"), col("lo"), col("hi")).collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
-    require(rows.nonEmpty, "sq model is empty")
-    require(rows.map(_._1).toSeq == rows.indices.toSeq,
-      s"sq model dims must be exactly 0..${rows.length - 1}")
-    (rows.map(_._2), rows.map(_._3))
-  }
-
-  /** The encode half of SQ8: adds `codes` (array<tinyint>, one byte per
-    * dimension — code 0..255 stored offset by −128). A narrow zero-shuffle
-    * codegen'd projection; at rest the codes column replaces the embedding
-    * at 1 byte/dim — 4× smaller than the floats, model-free to decode.
-    * Code = floor((v−lo)·255/(hi−lo)) clamped to [0,255] (degenerate
-    * hi==lo dims encode 0) — the exact formulation the oracle SQL repeats,
-    * so scores derived from codes hash-match across engines. */
-  def sqEncode(df: DataFrame, vec: Column, model: DataFrame): DataFrame = {
-    val (lo, hi) = collectSqModel(model)
-    df.withColumn("codes", graft.functions.Sq8Encode(vec, lo.toSeq, hi.toSeq))
-  }
-
-  /** SQ8 approximate top-k: corpus rows carry ONLY their byte codes, each
-    * candidate scored by one codegen'd [[graft.functions.Sq8Dot]] — the
-    * sequential-fold dot of the full-precision probe against the row's
-    * dequantized reconstruction (lo + code·(hi−lo)/255 per dim), never
-    * materializing it. Same broadcast-probe / scan-corpus shape as
-    * [[pqTopK]]; ordering (score desc, id asc) is deterministic. */
-  def sqTopK(corpus: DataFrame, id: Column, vec: Column, isProbe: Column,
-      model: DataFrame, k: Int): DataFrame = {
-    val (lo, hi) = collectSqModel(model)
-    val e = corpus.select(id.as("__vid"), vec.as("__v"), isProbe.as("__isp"))
-    val coded = e.select(col("__vid"),
-      graft.functions.Sq8Encode(col("__v"), lo.toSeq, hi.toSeq).as("codes"))
-    val probes = e.filter(col("__isp"))
-      .select(col("__vid").as("probe_id"), col("__v").as("__pv"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sq"), col("__vid"))
-    coded.join(broadcast(probes), col("__vid") =!= col("probe_id"))
-      .withColumn("sq", graft.functions.Sq8Dot(col("__pv"), col("codes"),
-        lo.toSeq, hi.toSeq))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("sq"))
-  }
-
-  /** At-rest SQ8 search: scores STORED [[sqEncode]] output against
-    * full-vector probes — identical scoring/ordering to [[sqTopK]]
-    * (spec-asserted equal). The compression story made real: the corpus
-    * keeps 1 byte/dim and only probes retain floats. */
-  def sqTopKCoded(coded: DataFrame, codedId: Column, codes: Column,
-      probes: DataFrame, probeId: Column, probeVec: Column,
-      model: DataFrame, k: Int): DataFrame = {
-    val (lo, hi) = collectSqModel(model)
-    val c = coded.select(codedId.as("__vid"), codes.as("__codes"))
-    val p = probes.select(probeId.as("probe_id"), probeVec.as("__pv"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sq"), col("__vid"))
-    c.join(broadcast(p), col("__vid") =!= col("probe_id"))
-      .withColumn("sq", graft.functions.Sq8Dot(col("__pv"), col("__codes"),
-        lo.toSeq, hi.toSeq))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("__vid").as("id"), col("rank"), col("sq"))
-  }
-}
+object GraftOps
+    extends DedupApi
+    with SimilarityApi
+    with ModelStatApi
+    with TextApi
+    with TemporalApi
+    with ProfilingApi
+    with SketchApi
