@@ -29,18 +29,45 @@ object CheckSurvey {
     val ops = graft.plans.PipelineCompiler.resolvedRegistry.keySet
     val missingOps = ops.filterNot(mentioned).toSeq.sorted
 
-    if (missingQ.nonEmpty || missingOps.nonEmpty) {
+    // §2.4 header freshness: the implementation-map title must carry the
+    // CURRENT round (= newest CORRECTNESS_r<N>.json + 1 — the artifacts
+    // the driver stamps each completed round). The header sat at
+    // "round 6" for twelve rounds before an r18 judge finding; this
+    // makes that drift mechanical.
+    val staleHeader: Option[String] = {
+      val dir = new java.io.File(path).getAbsoluteFile.getParentFile
+      val rounds = Option(dir.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "^CORRECTNESS_r(\\d+)\\.json$".r
+          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      if (rounds.isEmpty) None // no round artifacts to compare against
+      else {
+        val current = rounds.max + 1
+        val Header = """### 2\.4 Coverage status \(round (\d+) """.r
+        Header.findFirstMatchIn(text) match {
+          case Some(m) if m.group(1).toInt == current => None
+          case Some(m) => Some(s"§2.4 header says round ${m.group(1)} " +
+            s"but the current round is $current (newest CORRECTNESS " +
+            s"artifact + 1) — retitle it")
+          case None => Some("no '### 2.4 Coverage status (round N ...)' " +
+            "header found — keep the round-stamped title")
+        }
+      }
+    }
+
+    if (missingQ.nonEmpty || missingOps.nonEmpty || staleHeader.nonEmpty) {
       if (missingQ.nonEmpty)
         System.err.println(s"[check-survey] FAIL — query ids with no " +
           s"SURVEY.md mention: ${missingQ.mkString(", ")}")
       if (missingOps.nonEmpty)
         System.err.println(s"[check-survey] FAIL — registry ops with no " +
           s"SURVEY.md mention: ${missingOps.mkString(", ")}")
+      staleHeader.foreach(d =>
+        System.err.println(s"[check-survey] FAIL — $d"))
       System.err.println("[check-survey] add the §2.2 row (or extend an " +
         "existing row's op list) before shipping.")
       sys.exit(1)
     }
     println(s"[check-survey] OK — ${queryIds.size} query ids and " +
-      s"${ops.size} registry ops all declared in $path")
+      s"${ops.size} registry ops all declared in $path, §2.4 header current")
   }
 }
