@@ -16,8 +16,23 @@ import org.apache.spark.sql.functions._
   * event times over 30 days. region/nation are copied verbatim from the
   * source SF dir (dims don't scale).
   *
-  * Usage: GenSf <srcSfDir> <outDir> <scale>  — scale multiplies the
-  * sf0.01 row counts (scale=100 → sf1: 6M lineitem, 1M events, 50k docs).
+  * Usage: GenSf <srcSfDir> <outDir> <scale> [vocab]  — scale multiplies
+  * the sf0.01 row counts (scale=100 → sf1: 6M lineitem, 1M events, 50k
+  * docs). `vocab` selects the documents vocabulary tier:
+  *  - `degenerate` (default) — the original ~30-word soup. ADVERSARIAL
+  *    STRESS: every text query's candidate/result grain is maximally
+  *    dense (any two docs share most shingles), so costs here are upper
+  *    bounds driven by pathological density, not representative ones
+  *    (the q156 first draft died on exactly this).
+  *  - `zipf` — a deterministic ~10k-word Zipf(s≈1) vocabulary: word
+  *    rank = floor(V^u) for a hash-uniform u (log-uniform ranks ⇒
+  *    P(rank r) ∝ 1/r, the natural-text law), surface form = 'w' +
+  *    digits-to-letters of the rank (short common words, long rare
+  *    ones). REPRESENTATIVE COST tier for the text family: shingle/
+  *    posting densities mirror real corpora. Same doc-length, near-dup
+  *    (~20%) and exact-dup (~5%) structure as the degenerate tier, and
+  *    equally seed-stable — every cell is still a pure hash of its key,
+  *    and both engines read the identical parquet.
   *
   * `events.ts` is written as µs TIMESTAMP rather than the originals'
   * TIMESTAMP(NANOS): Tables.load normalizes NANOS to µs on read anyway,
@@ -27,20 +42,25 @@ import org.apache.spark.sql.functions._
 object GenSf {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: GenSf <srcSfDir> <outDir> <scale>")
-    val Array(src, out, scaleS) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: GenSf <srcSfDir> <outDir> <scale> [degenerate|zipf]")
+    val Array(src, out, scaleS) = args.take(3)
     val scale = scaleS.toInt
+    val vocabMode = args.lift(3).getOrElse("degenerate")
+    require(vocabMode == "degenerate" || vocabMode == "zipf",
+      s"vocab must be 'degenerate' or 'zipf'; got $vocabMode")
     val spark = graft.GraftSession.configure(
       SparkSession.builder().master(
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
         .appName("graft-gensf"),
       shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, scale)
+    generate(spark, src, out, scale, vocabMode)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, scale: Int): Unit = {
+  def generate(spark: SparkSession, src: String, out: String, scale: Int,
+      vocabMode: String = "degenerate"): Unit = {
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[gensf] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
@@ -149,6 +169,21 @@ object GenSf {
       "part", "hash", "batch", "window", "spark", "order", "data", "column",
       "join", "small", "line", "customer", "query", "big", "merge", "stream",
       "filter", "sort", "vector", "the", "a", "shuffle")
+    // the word at draw-hash `hc`: degenerate tier picks uniformly from
+    // the 30-word soup; zipf tier maps a uniform u ∈ [0,1) to rank
+    // floor(V^u) ∈ [1, V] (log-uniform ranks ⇒ Zipf s≈1) and renders
+    // the rank's digits as letters — deterministic, engine-free, and
+    // short words are exactly the frequent ones
+    val zipfV = 10000
+    def wordOf(hc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (vocabMode == "zipf") {
+        val u = pmod(hc, lit(1000000)).cast("double") / 1000000.0
+        val rank = floor(pow(lit(zipfV.toDouble), u)).cast("long")
+        concat(lit("w"), translate(rank.cast("string"),
+          "0123456789", "aeioubkmtz"))
+      } else
+        element_at(array(vocab.map(lit): _*),
+          (pmod(hc, lit(vocab.size)) + 1).cast("int"))
     val docs = spark.range(nDocs)
       .withColumn("__mode", pmod(h("dm", col("id")), lit(100)))
       // canonical source of this doc's base text: itself, or (near/exact
@@ -158,15 +193,12 @@ object GenSf {
           .otherwise(col("id")))
       .withColumn("__ntok", (pmod(h("dn", col("__canon")), lit(41)) + 40).cast("int"))
       .withColumn("__base", array_join(transform(sequence(lit(1), col("__ntok")),
-        i => element_at(array(vocab.map(lit): _*),
-          (pmod(h("dw", col("__canon"), i), lit(vocab.size)) + 1).cast("int"))), " "))
+        i => wordOf(h("dw", col("__canon"), i))), " "))
       // near-dup (mode<20): one extra tail token → high-but-not-1 jaccard;
       // exact dup (20<=mode<25): byte-identical text
       .withColumn("text",
         when(col("id") >= 100 && col("__mode") < 20,
-          concat(col("__base"), lit(" "),
-            element_at(array(vocab.map(lit): _*),
-              (pmod(h("dx", col("id")), lit(vocab.size)) + 1).cast("int"))))
+          concat(col("__base"), lit(" "), wordOf(h("dx", col("id")))))
           .otherwise(col("__base")))
     write("documents", docs.select(
       col("id").as("doc_id"),
