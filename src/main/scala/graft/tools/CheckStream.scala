@@ -55,9 +55,7 @@ object CheckStream {
     val shapes = graft.StreamBench.allModes.toSet
     // exemption staleness: a law listed as exempt must not ALSO have a
     // shape — if someone adds one, the exemption row must be deleted
-    val staleExempt = exemptFaces.keySet.filter(e =>
-      shapes.exists(s => s.startsWith(e.takeWhile(_ != '_'))
-        && s == e))
+    val staleExempt = exemptFaces.keySet.filter(shapes.contains)
     if (staleExempt.nonEmpty) {
       System.err.println(s"[check-stream] FAIL — exempted faces now have " +
         s"shapes in allModes; delete the exemption: ${staleExempt.mkString(", ")}")
