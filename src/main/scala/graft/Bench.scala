@@ -73,15 +73,19 @@ object Bench {
     // run window; steal ppm is the VM-level equivalent. loadavg (1-min,
     // ×100) rides along as the coarse cross-check. All best-effort:
     // unreadable counters record -1 and never fail the bench.
+    // NIO one-shot reads (no lingering BufferedSource descriptors — a
+    // 167-query × 3-run sweep makes ~2,500 of these reads)
+    def readProc(p: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
     def hostTicks(): (Long, Long, Long, Long) =
       try {
-        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        val cpu = readProc("/proc/stat").linesIterator
           .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1)
           .map(_.toLong)
         val total = cpu.sum
         val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L) // idle+iowait
         val steal = if (cpu.length > 7) cpu(7) else 0L
-        val self = scala.io.Source.fromFile("/proc/self/stat").mkString
+        val self = readProc("/proc/self/stat")
           .split("\\)\\s+").last.split("\\s+") // fields after the comm field
         // utime and stime are fields 14 and 15 of /proc/self/stat; after
         // splitting off "pid (comm)" they sit at offsets 11 and 12
@@ -89,7 +93,7 @@ object Bench {
         (total, idle, steal, own)
       } catch { case scala.util.control.NonFatal(_) => (-1L, -1L, -1L, -1L) }
     def loadAvg100(): Long =
-      try math.round(scala.io.Source.fromFile("/proc/loadavg").mkString
+      try math.round(readProc("/proc/loadavg")
         .trim.split("\\s+")(0).toDouble * 100)
       catch { case scala.util.control.NonFatal(_) => -1L }
     def envDelta(before: (Long, Long, Long, Long)): (Long, Long, Long) = {

@@ -755,16 +755,29 @@ object StreamingOps {
     * that kept fewer may have discarded a hash in the true global
     * bottom-k), so this read validates `k` against the persisted
     * `sink_k` and fails loudly on violation — one driver-side min over
-    * the batch-count-sized log, never a silent undersized sketch. */
+    * the batch-count-sized log, never a silent undersized sketch. The
+    * guard is BEST-EFFORT on logs that predate the `sink_k` column
+    * (or mix in pre-upgrade files): rows without a recorded k can't
+    * prove anything, so they are warned about and the check applies to
+    * the rows that carry one. */
   def kmvState(spark: org.apache.spark.sql.SparkSession, path: String,
       k: Int): DataFrame = {
     val log = spark.read.parquet(path)
     if (log.columns.contains("sink_k")) {
-      val minK = log.agg(min(col("sink_k"))).first().getInt(0)
-      require(k <= minK,
-        s"kmvState: requested k=$k exceeds the smallest k any appended " +
-          s"batch kept (sink_k=$minK) — the global bottom-$k is not " +
-          "recoverable from this log")
+      val agg = log.agg(min(col("sink_k")),
+        count(lit(1)), count(col("sink_k"))).first()
+      val (nRows, nWithK) = (agg.getLong(1), agg.getLong(2))
+      if (nWithK < nRows)
+        System.err.println(s"[kmvState] WARNING: ${nRows - nWithK} of " +
+          s"$nRows rows in $path carry no sink_k (pre-upgrade batches) — " +
+          "bottom-" + k + " recoverability cannot be proven for them")
+      if (!agg.isNullAt(0)) {
+        val minK = agg.getInt(0)
+        require(k <= minK,
+          s"kmvState: requested k=$k exceeds the smallest k any appended " +
+            s"batch kept (sink_k=$minK) — the global bottom-$k is not " +
+            "recoverable from this log")
+      }
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("h"))
@@ -793,20 +806,33 @@ object StreamingOps {
     foreachBatchSink(stream, queryName, checkpoint) { (batch, id) =>
       graft.api.GraftOps.gramSummaryRows(batch, col(vec), dim)
         .withColumn("batch_id", lit(id))
+        .withColumn("sink_dim", lit(dim))
         .write.mode("append").parquet(path)
     }
 
   /** Read face of [[gramAppendSink]]'s log: the (idx, v) packed Gram
     * summary — row-equal to batch
     * [[graft.api.GraftOps.gramSummaryRows]] over every row ever
-    * streamed (law S31). */
+    * streamed (law S31). Summaries of DIFFERENT dims must never sum
+    * (a dim-3 triangle row would silently add into a dim-4 mean-sum
+    * slot and fit a garbage model downstream — the kmv sink_k failure
+    * class), so the sink persists `sink_dim` with every row and this
+    * read fails loudly on a mixed-dim log. */
   def gramState(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    spark.read.parquet(path)
-      .groupBy(col("batch_id"), col("idx"))
+      path: String): DataFrame = {
+    val log = spark.read.parquet(path)
+    if (log.columns.contains("sink_dim")) {
+      val dims = log.select(col("sink_dim")).filter(col("sink_dim").isNotNull)
+        .distinct().collect().map(_.getInt(0)).sorted
+      require(dims.length <= 1,
+        s"gramState: log at $path mixes summaries of different dims " +
+          s"(${dims.mkString(", ")}) — their packed layouts must never sum")
+    }
+    log.groupBy(col("batch_id"), col("idx"))
       .agg(max(col("v")).as("v")) // collapse at-least-once re-appends
       .groupBy(col("idx"))
       .agg(sum(col("v")).as("v"))
+  }
 
   /** Streaming heavy-hitter candidate summary — the streaming twin of
     * [[graft.api.GraftOps.heavyHittersSketch]]'s sketch half: one

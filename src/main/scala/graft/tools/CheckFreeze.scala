@@ -61,11 +61,19 @@ object CheckFreeze {
     val maxForeign = slowEnv.map(_._1).max
     val maxSteal = slowEnv.map(_._2).max
     val maxLoad = slowEnv.map(_._3).max
+    // every counter unreadable (-1) on every slow run = telemetry was
+    // recorded but carries nothing — same "absence never absolves"
+    // posture as missing rows, and the evidence must SAY so rather
+    // than print unreadable counters as a measured-clean host
+    if (maxForeign < 0 && maxSteal < 0 && maxLoad < 0)
+      return Some(Verdict("suspect",
+        f"$ratio%.2fx of freeze, no host telemetry readable on its slow runs"))
     val noisy = maxSteal >= 5000L || maxForeign >= 150000L ||
       (maxLoad >= 0 && ncpu > 0 && maxLoad > 140L * ncpu)
+    def pct(v: Long) = if (v < 0) "?" else f"${v / 10000.0}%.1f%%"
     val evidence = f"$ratio%.2fx of freeze; slow-run host: foreign " +
-      f"${maxForeign / 10000.0}%.1f%% of cpu, steal ${maxSteal / 10000.0}%.1f%%, " +
-      f"load ${if (maxLoad < 0) "?" else (maxLoad / 100.0).toString} on $ncpu cores"
+      s"${pct(maxForeign)} of cpu, steal ${pct(maxSteal)}, " +
+      s"load ${if (maxLoad < 0) "?" else (maxLoad / 100.0).toString} on $ncpu cores"
     Some(Verdict(if (noisy) "contended" else "suspect", evidence))
   }
   def main(args: Array[String]): Unit = {

@@ -66,10 +66,20 @@ class CheckFreezeSpec extends AnyFunSuite {
     val got = classify(Seq(2.0, 2.1, 2.2), 1.0, Nil, ncpu)
     assert(got.exists(v => v.label == "suspect" &&
       v.detail.contains("no host telemetry")), s"$got")
-    // unreadable (-1) counters on the slow runs are not a noise signature
+    // unreadable (-1) counters on the slow runs are not a noise
+    // signature, and the evidence must SAY the telemetry was
+    // unreadable rather than render -1 as a measured-clean host
     val got2 = classify(Seq(2.0, 2.1, 2.2), 1.0,
       Seq.fill(3)((-1L, -1L, -1L)), ncpu)
-    assert(got2.exists(_.label == "suspect"), s"$got2")
+    assert(got2.exists(v => v.label == "suspect" &&
+      v.detail.contains("no host telemetry readable")), s"$got2")
+    // partially readable: the unreadable counter prints as '?', the
+    // readable ones as numbers, and a readable noise signal still wins
+    val got3 = classify(Seq(2.0, 2.1, 2.2), 1.0,
+      Seq.fill(3)((-1L, 9000L, -1L)), ncpu)
+    assert(got3.exists(v => v.label == "contended" &&
+      v.detail.contains("foreign ?") && v.detail.contains("steal 0.9%")),
+      s"$got3")
   }
 
   test("loadavg threshold scales with the core count") {

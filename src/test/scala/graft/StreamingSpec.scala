@@ -1356,6 +1356,14 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       (g, hsForG.map(_._2).min) }.toSet
     assert(hs(StreamingOps.kmvState(spark, kdir, k = 1)) == want1,
       "smaller read-k == bottom-1 of the batch sketch")
+    // a log whose only appends were EMPTY batches (schema-only parquet,
+    // every sink_k value null on read): no NPE, empty state
+    val edir = java.nio.file.Files.createTempDirectory("graft-kmv-empty")
+      .toString
+    Seq.empty[(String, Long, Int)].toDF("grp", "h", "sink_k")
+      .write.mode("append").parquet(edir)
+    assert(StreamingOps.kmvState(spark, edir, k = 2).count() == 0L,
+      "empty kmv log reads as an empty state")
   }
 
   test("S31: streaming gram log — idx-wise-sum state == batch gramSummaryRows; pcaFitFromSummary == pcaFit; retries absorbed") {
@@ -1389,10 +1397,25 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     // double-count the summed statistic, the S29 cure)
     val lastId = spark.read.parquet(dir).agg(max("batch_id")).head().getLong(0)
     GraftOps.gramSummaryRows(chunk2.toDF("id", "vec"), col("vec"), 3)
-      .withColumn("batch_id", lit(lastId))
+      .withColumn("batch_id", lit(lastId)).withColumn("sink_dim", lit(3))
       .write.mode("append").parquet(dir)
     assert(rows(StreamingOps.gramState(spark, dir)) == want,
       "retried gram batch collapses on read")
+    // a log that mixes summaries of DIFFERENT dims must fail loudly —
+    // misaligned packed layouts would silently sum into a garbage model
+    val mixDir = java.nio.file.Files.createTempDirectory("graft-gram-mix")
+      .toString
+    for (d <- Seq(3, 4))
+      GraftOps.gramSummaryRows(chunk1.toDF("id", "vec")
+          .withColumn("vec", expr(s"slice(concat(vec, array(0.0f)), 1, $d)")),
+          col("vec"), d)
+        .withColumn("batch_id", lit(d.toLong)).withColumn("sink_dim", lit(d))
+        .write.mode("append").parquet(mixDir)
+    val exDim = intercept[IllegalArgumentException] {
+      StreamingOps.gramState(spark, mixDir)
+    }
+    assert(exDim.getMessage.contains("mixes summaries of different dims"),
+      s"loud mixed-dim guard: $exDim")
     // the model face: a PCA model fit from the streaming state is
     // BIT-EQUAL to pcaFit over every row ever streamed
     val mState = GraftOps.pcaFitFromSummary(
