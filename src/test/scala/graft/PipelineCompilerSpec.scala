@@ -2884,6 +2884,47 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
         .collect().map(_.toSeq).toSeq, "XML model-from-log == batch pcaFit")
   }
 
+  test("gramAppendSink composes in a STREAMING XML pipeline; gramState over its log == batch summary") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("gram-stream-in")
+    java.nio.file.Files.writeString(in.resolve("a.json"),
+      """{"id": 1, "vec": [1.0, 2.0, 3.0]}
+        |{"id": 2, "vec": [-0.5, 0.25, 1.5]}
+        |{"id": 3, "vec": [0.1, -0.2, 0.3]}
+        |""".stripMargin)
+    val log = java.nio.file.Files.createTempDirectory("gram-stream-log")
+    val ck = java.nio.file.Files.createTempDirectory("gram-stream-ck")
+    val xml = s"""
+      <pipeline>
+        <operator name="src" class="fileStreamInput">
+          <arg key="schema" value="id LONG, vec ARRAY&lt;FLOAT&gt;"/>
+          <arg key="format" value="json"/>
+          <arg key="path" value="${in.toUri}"/>
+        </operator>
+        <operator name="g" class="gramAppendSink">
+          <arg key="vec" value="vec"/><arg key="dim" value="3"/>
+          <arg key="path" value="$log"/>
+          <arg key="checkpoint" value="$ck"/>
+          <arg key="name" value="gram_stream_sink"/>
+          <arg key="triggerMs" value="0"/>
+        </operator>
+        <connect from="src.outport1" to="g.inport1"/>
+      </pipeline>"""
+    graft.plans.PipelineCompiler.compile(
+      graft.plans.PipelineSpec.parseXml(xml), spark)
+    val q = spark.streams.active.find(_.name == "gram_stream_sink")
+      .getOrElse(fail("compiled gramAppendSink pipeline did not start"))
+    try q.processAllAvailable() finally q.stop()
+    val got = graft.streaming.StreamingOps.gramState(spark, log.toString)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val want = graft.api.GraftOps.gramSummaryRows(
+        Seq(Seq(1.0f, 2.0f, 3.0f), Seq(-0.5f, 0.25f, 1.5f),
+          Seq(0.1f, -0.2f, 0.3f)).toDF("vec"), col("vec"), 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got == want, s"XML-streamed gram log == batch summary: $got")
+  }
+
   test("proximityTopK registry op: XML (docs inport1, queries inport2) == API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
