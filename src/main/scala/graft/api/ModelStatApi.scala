@@ -253,6 +253,157 @@ private[api] trait ModelStatApi { self: GraftOps.type =>
         typedLit(offset), (a, b) => a - b))
   }
 
+  /** Ridge-regression fit over an embedding column — the quality-scorer
+    * trainer of the CCNet/fastText filtering workflow ("fit a linear
+    * scorer on labeled documents, apply it at corpus scale"): solves
+    * the CENTERED normal equations (Cxx + λI)β = Cxy with intercept
+    * b = ȳ − β·x̄, where every sufficient statistic comes from ONE
+    * [[graft.functions.GramAgg]] pass over the target-AUGMENTED vector
+    * (x ++ [y] at dim+1 — the augmented Gram contains XᵀX, Xᵀy and yᵀy
+    * at once, so fitting costs exactly the q154 summary pass and
+    * NOTHING row-scale ever shuffles). The solve is a deterministic
+    * driver-side Cholesky on the model-sized (dim×dim) system (fixed
+    * elimination order — bit-reproducible run to run); λ arrives as
+    * ppm (λ = 0 is ordinary least squares and fails LOUDLY on a
+    * non-positive pivot instead of returning a garbage model).
+    *
+    * Returns a model table in the pcaFit convention: one (dim, weight)
+    * row per input dimension plus a dim = −1 intercept row — flows by
+    * port into [[ridgeApply]]. Rows-only territory by design (the
+    * solve is float output no SQL engine restates); its laws are
+    * spec-pinned instead: exact planted-relation recovery, shrinkage
+    * monotonicity in λ, bit-equal determinism, and bit-equality with
+    * [[ridgeFitFromSummary]] over the same augmented summary. */
+  def ridgeFit(df: DataFrame, vec: Column, target: Column, dim: Int,
+      lambdaPpm: Long): DataFrame = {
+    require(dim >= 1 && dim <= 511, s"dim must be in [1,511]; got $dim")
+    require(lambdaPpm >= 0, s"lambdaPpm must be >= 0; got $lambdaPpm")
+    val aug = concat(vec, array(target.cast("float")))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+    val ga = udaf(new graft.functions.GramAgg(dim + 1), enc)
+    val s = df.select(ga(aug).as("__s")).head().getSeq[Long](0)
+    ridgeFromPacked(df.sparkSession, s, dim, lambdaPpm)
+  }
+
+  /** [[ridgeFit]] from an ALREADY-AGGREGATED augmented summary — the
+    * [[pcaFitFromSummary]] pattern: feed it
+    * `gramSummaryRows(df, concat(vec, array(y)), dim + 1)` batch rows
+    * or the S31 [[graft.streaming.StreamingOps.gramState]] read of a
+    * log appended with the augmented vector, and the quality model
+    * refreshes with no history re-scan. Fails loudly on a summary
+    * whose row count doesn't match the dim+1 packed layout. */
+  def ridgeFitFromSummary(summary: DataFrame, dim: Int,
+      lambdaPpm: Long): DataFrame = {
+    require(dim >= 1 && dim <= 511, s"dim must be in [1,511]; got $dim")
+    require(lambdaPpm >= 0, s"lambdaPpm must be >= 0; got $lambdaPpm")
+    val d1 = dim + 1
+    val len = 1 + d1 + d1 * (d1 + 1) / 2
+    val rows = summary
+      .select(col("idx").cast("int"), col("v").cast("long")).collect()
+    require(rows.length == len,
+      s"ridgeFitFromSummary: ${rows.length} summary rows != expected $len " +
+        s"for dim=$dim (augmented dim+1 layout) — wrong dim or truncated")
+    val s = new Array[Long](len)
+    rows.foreach(r => s(r.getInt(0)) = r.getLong(1))
+    ridgeFromPacked(summary.sparkSession, s.toSeq, dim, lambdaPpm)
+  }
+
+  /** Shared driver-side tail of [[ridgeFit]]/[[ridgeFitFromSummary]]:
+    * augmented packed summary → centered covariance → Cholesky solve. */
+  private def ridgeFromPacked(session: org.apache.spark.sql.SparkSession,
+      s: Seq[Long], dim: Int, lambdaPpm: Long): DataFrame = {
+    val d1 = dim + 1
+    val n = s.head.toDouble
+    require(n >= 2.0, s"ridgeFit needs >= 2 rows; got ${s.head}")
+    val mu = Array.tabulate(d1)(i => s(1 + i) * 1e-6 / n)
+    val cov = Array.ofDim[Double](d1, d1)
+    var p = 1 + d1
+    var i = 0
+    while (i < d1) {
+      var j = i
+      while (j < d1) {
+        val c = s(p) * 1e-12 / n - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        p += 1; j += 1
+      }
+      i += 1
+    }
+    val lam = lambdaPpm.toDouble / 1e6
+    // Cholesky of A = Cxx + λI (fixed elimination order — deterministic)
+    val a = Array.tabulate(dim, dim)((r, c) =>
+      cov(r)(c) + (if (r == c) lam else 0.0))
+    val l = Array.ofDim[Double](dim, dim)
+    var r = 0
+    while (r < dim) {
+      var c = 0
+      while (c <= r) {
+        var sum = a(r)(c)
+        var k2 = 0
+        while (k2 < c) { sum -= l(r)(k2) * l(c)(k2); k2 += 1 }
+        if (r == c) {
+          // relative floor, not > 0: an exactly-collinear design gives a
+          // zero pivot that rounds to ±1e-16·scale — that must be LOUD,
+          // not a sqrt of rounding noise feeding a garbage model
+          require(sum > 1e-12 * math.max(1.0, math.abs(a(r)(r))),
+            s"ridgeFit: non-positive pivot $sum at dim $r — the design " +
+              "matrix is rank-deficient at lambda=0; raise lambdaPpm")
+          l(r)(r) = math.sqrt(sum)
+        } else l(r)(c) = sum / l(c)(c)
+        c += 1
+      }
+      r += 1
+    }
+    // solve L y = Cxy, then Lᵀ β = y
+    val y = new Array[Double](dim)
+    i = 0
+    while (i < dim) {
+      var sum = cov(i)(dim)
+      var k2 = 0
+      while (k2 < i) { sum -= l(i)(k2) * y(k2); k2 += 1 }
+      y(i) = sum / l(i)(i)
+      i += 1
+    }
+    val beta = new Array[Double](dim)
+    i = dim - 1
+    while (i >= 0) {
+      var sum = y(i)
+      var k2 = i + 1
+      while (k2 < dim) { sum -= l(k2)(i) * beta(k2); k2 += 1 }
+      beta(i) = sum / l(i)(i)
+      i -= 1
+    }
+    val intercept = mu(dim) -
+      (0 until dim).iterator.map(d => beta(d) * mu(d)).sum
+    import session.implicits._
+    ((0 until dim).map(d => (d, beta(d))) :+ (-1, intercept))
+      .toDF("dim", "weight")
+  }
+
+  /** Apply a [[ridgeFit]] model: adds `score` = β·x + b. The weights
+    * collect driver-side (model-sized), the dot product is ONE
+    * codegen'd [[graft.functions.PlaneDots]] pass with the intercept
+    * folded into the affine constant — pure narrow map, zero shuffle,
+    * scan speed at any scale; wrong-length vectors fail loudly (the
+    * pcaProject guard). */
+  def ridgeApply(df: DataFrame, vec: Column, model: DataFrame,
+      dim: Int): DataFrame = {
+    val rows = model.select(col("dim"), col("weight")).collect()
+    val bRow = rows.filter(_.getInt(0) == -1)
+    require(bRow.nonEmpty,
+      "ridgeApply: model has no dim = -1 intercept row (not a ridgeFit model?)")
+    val w = new Array[Double](dim)
+    rows.filter(_.getInt(0) >= 0).foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    val b = bRow.head.getDouble(1)
+    val vecSize = coalesce(size(vec), lit(-1))
+    val checked = when(vecSize === dim || vecSize === -1, vec)
+      .otherwise(raise_error(concat(
+        lit(s"ridgeApply: expected $dim-component vectors, got "),
+        vecSize.cast("string"))))
+    df.withColumn("score",
+      element_at(graft.functions.PlaneDots(checked,
+        IndexedSeq(w.toIndexedSeq)), 1) + lit(b))
+  }
+
   /** L2 (unit-norm) embedding normalization — the preprocessing step the
     * dot-scored routing family ASSUMES (see [[ivfTopK]]/[[kmeansFit]]:
     * cell assignment ranks raw dot products, which biases toward

@@ -980,6 +980,29 @@ object SimilarityOps {
     },
     None)
 
+  // --------------------------------------------------------------- q159
+  /** Ridge quality-scorer fit + corpus-scale apply (λ = 0.1): train a
+    * linear scorer of `label` on the embeddings and score every vector
+    * — the CCNet/fastText quality-filter workflow end to end. Rows-only
+    * by design (the Cholesky solve is float output no SQL engine
+    * restates, the q154b posture); the laws live in the suite (exact
+    * planted-relation recovery, λ-shrinkage, determinism, bit-equality
+    * with the summary-fed fit) and the ONE corpus statistic the fit
+    * consumes is the q154-hash-gated augmented Gram. Scores surface as
+    * floor-micros so the dump is integer-stable. Exercises
+    * [[graft.api.GraftOps.ridgeFit]] / ridgeApply. */
+  val q159 = QueryDef("q159_ridge_score",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val model = graft.api.GraftOps.ridgeFit(e, col("embedding"),
+        col("label").cast("double"), DIM, lambdaPpm = 100000L)
+      graft.api.GraftOps.ridgeApply(e, col("embedding"), model, DIM)
+        .select(col("vec_id"), col("label"),
+          floor(col("score") * lit(1000000.0)).as("score_us"))
+        .orderBy("vec_id")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52, q60, q61,
-    q62, q66, q71, q84, q128, q154, q154b)
+    q62, q66, q71, q84, q128, q154, q154b, q159)
 }

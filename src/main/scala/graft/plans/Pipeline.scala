@@ -1240,6 +1240,22 @@ object PipelineCompiler {
     "pcaFitFromSummary" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.pcaFitFromSummary(in("inport1"),
         dim = arg(args, "dim").toInt, k = arg(args, "k").toInt))),
+    "ridgeFit" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.ridgeFit(in("inport1"),
+        expr(arg(args, "vec")), expr(arg(args, "target")),
+        dim = arg(args, "dim").toInt,
+        lambdaPpm = arg(args, "lambdaPpm").toLong))),
+    // inport1 = an augmented (dim+1) gram summary — batch rows or the
+    // S31 gramState read of a log appended with concat(vec, array(y))
+    "ridgeFitFromSummary" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.ridgeFitFromSummary(in("inport1"),
+        dim = arg(args, "dim").toInt,
+        lambdaPpm = arg(args, "lambdaPpm").toLong))),
+    // inport1 = data, inport2 = the ridgeFit model table
+    "ridgeApply" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.ridgeApply(in("inport1"),
+        expr(arg(args, "vec")), in("inport2"),
+        dim = arg(args, "dim").toInt))),
     // inport1 = data, inport2 = the pcaFit model table (model-by-port,
     // the q50/q66 codebook convention)
     "pcaProject" -> ((_, in, args) =>

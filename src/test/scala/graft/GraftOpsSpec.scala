@@ -4847,6 +4847,68 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       "NULL embedding rows are skipped")
   }
 
+  test("ridgeFit/ridgeFitFromSummary/ridgeApply: planted relation, shrinkage, determinism, summary bit-equality, guards") {
+    import spark.implicits._
+    // planted EXACT linear relation y = 2·x0 − 3·x1 + 0.5 over a
+    // well-conditioned deterministic design (no noise, λ = 0 → OLS
+    // must recover it to quantization precision: components are
+    // floor-micros quantized, so ~1e-3 tolerance)
+    val data = IndexedSeq.tabulate(300) { i =>
+      val x0 = ((i * 37 % 101) - 50) / 50.0
+      val x1 = ((i * 53 % 97) - 48) / 48.0
+      val x2 = ((i * 71 % 89) - 44) / 44.0
+      (Seq(x0.toFloat, x1.toFloat, x2.toFloat),
+        2.0 * x0 - 3.0 * x1 + 0.5)
+    }
+    val df = data.toDF("v", "y")
+    val model = GraftOps.ridgeFit(df, col("v"), col("y"), 3, lambdaPpm = 0L)
+    val w = model.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(w(0) - 2.0) < 1e-3 && math.abs(w(1) + 3.0) < 1e-3 &&
+      math.abs(w(2)) < 1e-3 && math.abs(w(-1) - 0.5) < 1e-3,
+      s"planted relation recovered: $w")
+    // shrinkage: λ strictly shrinks the coefficient norm
+    val wR = GraftOps.ridgeFit(df, col("v"), col("y"), 3, 500000L)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def norm(m: Map[Int, Double]) =
+      math.sqrt((0 until 3).map(d => m(d) * m(d)).sum)
+    assert(norm(wR) < norm(w), s"shrinkage: ${norm(wR)} < ${norm(w)}")
+    // determinism + bit-equality with the summary-fed fit (the S31 path)
+    val again = GraftOps.ridgeFit(df, col("v"), col("y"), 3, 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(again == model.collect().map(_.toSeq).toSeq, "bit-equal re-fit")
+    val summary = GraftOps.gramSummaryRows(
+      df.select(concat(col("v"), array(col("y").cast("float"))).as("a")),
+      col("a"), 4)
+    val fromSummary = GraftOps.ridgeFitFromSummary(summary, 3, 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(fromSummary == again, "fit == fit-from-augmented-summary")
+    // apply: score == β·x + b exactly (one PlaneDots dot + affine)
+    val scored = GraftOps.ridgeApply(df, col("v"), model, 3)
+      .select(col("y"), col("score")).collect()
+    assert(scored.forall(r => math.abs(r.getDouble(1) - r.getDouble(0)) < 2e-3),
+      "scores reproduce the planted target")
+    // guards: wrong-length loud at apply; rank-deficiency loud at λ=0;
+    // negative λ and bad summaries rejected
+    val bad = Seq((Seq(1.0f, 2.0f), 0.0)).toDF("v", "y")
+    val exLen = intercept[Exception] {
+      GraftOps.ridgeApply(bad, col("v"), model, 3).collect()
+    }
+    assert(exLen.getMessage.contains("expected 3-component") ||
+      Option(exLen.getCause).exists(_.getMessage.contains("expected 3-component")))
+    val degenerate = data.map { case (v, y) =>
+      (Seq(v(0), v(0), v(0)), y) }.toDF("v", "y") // rank-1 design
+    val exPivot = intercept[IllegalArgumentException] {
+      GraftOps.ridgeFit(degenerate, col("v"), col("y"), 3, 0L)
+    }
+    assert(exPivot.getMessage.contains("non-positive pivot"), s"$exPivot")
+    intercept[IllegalArgumentException] {
+      GraftOps.ridgeFit(df, col("v"), col("y"), 3, -1L)
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.ridgeFitFromSummary(summary, 4, 0L) // wrong dim vs layout
+    }
+  }
+
   test("cmsSketch/cmsQuery: never undercounts any key; mergeable; absent keys; report; guards") {
     import spark.implicits._
     val keys = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ (1 to 60).map(i => s"k$i")

@@ -2925,6 +2925,50 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(got == want, s"XML-streamed gram log == batch summary: $got")
   }
 
+  test("ridgeFit / ridgeFitFromSummary / ridgeApply XML == API (model flows by port)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val data = Seq.tabulate(50) { i =>
+      val x0 = (i % 7 - 3) / 3.0; val x1 = (i % 11 - 5) / 5.0
+      (Seq(x0.toFloat, x1.toFloat), x0 - 2.0 * x1 + 1.0)
+    }
+    data.toDF("v", "y").createOrReplaceTempView("ridge_rows")
+    val spec = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="d" class="viewInput"><arg key="table" value="ridge_rows"/></operator>
+        <operator name="fit" class="ridgeFit">
+          <arg key="vec" value="v"/><arg key="target" value="y"/>
+          <arg key="dim" value="2"/><arg key="lambdaPpm" value="100000"/>
+        </operator>
+        <operator name="sr" class="gramSummaryRows">
+          <arg key="vec" value="concat(v, array(cast(y as float)))"/>
+          <arg key="dim" value="3"/>
+        </operator>
+        <operator name="fit2" class="ridgeFitFromSummary">
+          <arg key="dim" value="2"/><arg key="lambdaPpm" value="100000"/>
+        </operator>
+        <operator name="ap" class="ridgeApply">
+          <arg key="vec" value="v"/><arg key="dim" value="2"/>
+        </operator>
+        <connect from="d.outport1" to="fit.inport1"/>
+        <connect from="d.outport1" to="sr.inport1"/>
+        <connect from="sr.outport1" to="fit2.inport1"/>
+        <connect from="d.outport1" to="ap.inport1"/>
+        <connect from="fit.outport1" to="ap.inport2"/>
+      </pipeline>""")
+    val outs = graft.plans.PipelineCompiler.compile(spec, spark)
+    val apiModel = graft.api.GraftOps.ridgeFit(spark.table("ridge_rows"),
+      col("v"), col("y"), 2, 100000L)
+    assert(outs("fit.outport1").collect().map(_.toSeq).toSeq ==
+      apiModel.collect().map(_.toSeq).toSeq, "XML fit == API")
+    assert(outs("fit2.outport1").collect().map(_.toSeq).toSeq ==
+      apiModel.collect().map(_.toSeq).toSeq,
+      "XML summary-fed fit == direct fit")
+    assert(outs("ap.outport1").collect().map(_.toSeq).toSeq ==
+      graft.api.GraftOps.ridgeApply(spark.table("ridge_rows"), col("v"),
+        apiModel, 2).collect().map(_.toSeq).toSeq, "XML apply == API")
+  }
+
   test("proximityTopK registry op: XML (docs inport1, queries inport2) == API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
