@@ -13,6 +13,48 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
 
   // ------------------------------------------------- corpus profiling
 
+  /** Model-calibration (reliability-diagram) report — the eval-pipeline
+    * companion of a fitted scorer ([[ridgeFit]]/[[ridgeApply]], or any
+    * quality model): bucket predictions into `buckets` equal-width bins
+    * over [0, 1] and report, per bin, how often the label was actually
+    * positive — a well-calibrated scorer's positive rate tracks its
+    * bin. One map-side-combined hash agg over at most `buckets` groups
+    * — nothing row-scale ever shuffles, scan speed at any corpus size.
+    *
+    * Exactness/portability contract (hash-gates): output is all
+    * integers — n, n_pos, sum_score_us (the sum of per-row
+    * floor-micros scores — mean_score = sum/n to whatever precision
+    * the reader wants, with no float in the artifact), and pos_ppm
+    * (n_pos·10⁶ div n, integer division). Bin assignment is
+    * least(floor(score · buckets), buckets−1), the same IEEE op chain
+    * the oracle states. Scores must arrive NORMALIZED to [0, 1]:
+    * out-of-range or NaN scores raise_error (a reliability diagram of
+    * unnormalized scores is a silent lie — the q140 loud posture);
+    * NULL score or label rows drop up front (no bin, no verdict). */
+  def calibrationReport(df: DataFrame, score: Column, label: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2,1000]; got $buckets")
+    val s = score.cast("double")
+    val checked = when(s.isNull, s)
+      .when(s >= 0.0 && s <= 1.0, s)
+      .otherwise(raise_error(concat(
+        lit("calibrationReport: score outside [0,1]: "), s.cast("string"))))
+    df.filter(score.isNotNull && label.isNotNull)
+      .select(
+        least(floor(checked * lit(buckets)), lit(buckets - 1))
+          .cast("int").as("bucket"),
+        floor(checked * lit(1000000.0)).cast("long").as("__s_us"),
+        label.cast("boolean").cast("int").as("__pos"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__pos")).cast("long").as("n_pos"),
+        sum(col("__s_us")).as("sum_score_us"))
+      .withColumn("pos_ppm", expr("n_pos * 1000000L DIV n")) // integer ppm
+      .select(col("bucket"), col("n"), col("n_pos"), col("sum_score_us"),
+        col("pos_ppm"))
+      .orderBy("bucket")
+  }
+
   /** Per-group equi-width histogram — the corpus-audit primitive (length/
     * score distributions per source before and after every curation
     * step). `nBins` bins over [lo, hi); values below lo clamp into bin 0,

@@ -1817,6 +1817,31 @@ object CurationOps {
         END AS z_us
       FROM j ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q160
+  /** Model-calibration (reliability-diagram) report over the event log:
+    * score = value/1000 (covers every fixture tier's value range), label =
+    * purchase, 10 bins — per bin the exact integer (n, positives,
+    * floor-micros score mass, positive-rate ppm). Bin assignment and
+    * every output integer restate the identical IEEE/integer op chain
+    * in both engines, so the whole diagram hash-gates. Exercises
+    * [[GraftOps.calibrationReport]]. */
+  val q160 = QueryDef("q160_calibration",
+    (s, dir) =>
+      GraftOps.calibrationReport(Tables.load(s, dir, "events"),
+        col("value") / 1000.0, col("event_type") === "purchase",
+        buckets = 10),
+    Some("""
+      SELECT CAST(LEAST(FLOOR((value / 1000.0) * 10), 9) AS INTEGER) AS bucket,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+          AS n_pos,
+        CAST(SUM(CAST(FLOOR((value / 1000.0) * 1000000.0) AS BIGINT))
+          AS BIGINT) AS sum_score_us,
+        (CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+          * 1000000) // CAST(count(*) AS BIGINT) AS pos_ppm
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1 ORDER BY bucket"""))
+
   // --------------------------------------------------------------- q133
   /** Distinctive vocabulary per source: top-5 overrepresented terms by
     * token-stream chi² keyness, micros-floored before ranking so the
@@ -1867,5 +1892,5 @@ object CurationOps {
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
       q100, q105, q107, q108, q111, q113, q116, q121, q123, q124, q127,
-      q130, q131, q133, q139, q143, q149)
+      q130, q131, q133, q139, q143, q149, q160)
 }

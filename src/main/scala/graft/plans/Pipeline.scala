@@ -1256,6 +1256,10 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.ridgeApply(in("inport1"),
         expr(arg(args, "vec")), in("inport2"),
         dim = arg(args, "dim").toInt))),
+    "calibrationReport" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.calibrationReport(in("inport1"),
+        expr(arg(args, "score")), expr(arg(args, "label")),
+        buckets = arg(args, "buckets").toInt))),
     // inport1 = data, inport2 = the pcaFit model table (model-by-port,
     // the q50/q66 codebook convention)
     "pcaProject" -> ((_, in, args) =>

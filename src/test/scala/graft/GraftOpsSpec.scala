@@ -4847,6 +4847,37 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       "NULL embedding rows are skipped")
   }
 
+  test("calibrationReport: hand-computed bins, 1.0 clamps to the last bucket, NULL drop, loud out-of-range, guards") {
+    import spark.implicits._
+    val rows = Seq(
+      (0.05, true), (0.08, false),          // bucket 0: n=2, pos=1
+      (0.55, true), (0.58, true),           // bucket 5: n=2, pos=2
+      (1.0, true),                          // exactly 1.0 → bucket 9
+      (0.95, false))                        // bucket 9: with ↑ n=2, pos=1
+      .map { case (s, l) => (Option(s), Option(l)) } ++
+      Seq((None, Option(true)), (Option(0.5), Option.empty[Boolean]))
+    val df = rows.toDF("s", "l")
+    val got = GraftOps.calibrationReport(df, col("s"), col("l"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0, 2L, 1L, 130000L, 500000L),
+      (5, 2L, 2L, 1130000L, 1000000L),
+      (9, 2L, 1L, 1950000L, 500000L)),
+      s"hand-computed reliability diagram: ${got.toSeq}")
+    val ex = intercept[Exception] {
+      GraftOps.calibrationReport(Seq((1.5, true)).toDF("s", "l"),
+        col("s"), col("l"), 10).collect()
+    }
+    def msgs(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => " | " + msgs(c)).getOrElse("")
+    assert(msgs(ex).contains("score outside [0,1]"), s"loud: ${msgs(ex)}")
+    intercept[IllegalArgumentException] {
+      GraftOps.calibrationReport(df, col("s"), col("l"), 1)
+    }
+  }
+
   test("ridgeFit/ridgeFitFromSummary/ridgeApply: planted relation, shrinkage, determinism, summary bit-equality, guards") {
     import spark.implicits._
     // planted EXACT linear relation y = 2·x0 − 3·x1 + 0.5 over a

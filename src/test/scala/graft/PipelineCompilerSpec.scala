@@ -2925,6 +2925,27 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(got == want, s"XML-streamed gram log == batch summary: $got")
   }
 
+  test("calibrationReport registry op: XML == API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Seq((0.1, true), (0.2, false), (0.85, true))
+      .toDF("s", "l").createOrReplaceTempView("cal_rows")
+    val spec = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="d" class="viewInput"><arg key="table" value="cal_rows"/></operator>
+        <operator name="c" class="calibrationReport">
+          <arg key="score" value="s"/><arg key="label" value="l"/>
+          <arg key="buckets" value="4"/>
+        </operator>
+        <connect from="d.outport1" to="c.inport1"/>
+      </pipeline>""")
+    val got = graft.plans.PipelineCompiler.compile(spec, spark)("c.outport1")
+      .collect().map(_.toSeq).toSeq
+    val api = graft.api.GraftOps.calibrationReport(spark.table("cal_rows"),
+      col("s"), col("l"), 4).collect().map(_.toSeq).toSeq
+    assert(got == api && got.length == 2, s"XML calibration == API: $got")
+  }
+
   test("ridgeFit / ridgeFitFromSummary / ridgeApply XML == API (model flows by port)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
