@@ -55,6 +55,47 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
       .orderBy("bucket")
   }
 
+  /** Exact tie-aware ROC-AUC report — the DISCRIMINATION companion of
+    * [[calibrationReport]] (fit q159 → calibrate q160 → discriminate):
+    * AUC == the Mann–Whitney statistic, P(score⁺ > score⁻) + ½P(tie),
+    * computed EXACTLY from rank sums with average-rank tie handling.
+    * One hash agg to per-distinct-score (n, n_pos) groups, one
+    * cumulative window over the score-DISTINCT table (value-scale by
+    * contract — distinct scores, not rows; the q129 exact-quantile
+    * frame posture), one 1-row reduce. Doubled rank sums keep ties
+    * integral: 2·Σ_pos avgrank = Σ_values n_pos·(2·cum_before + n + 1),
+    * so every output is an exact integer and the report HASH-GATES —
+    * u2 = 2U (numerator), denom = 2·n_pos·n_neg, and auc_ppm =
+    * u2·10⁶ div denom (exact while u2·10⁶ fits a Long — n ≲ 3·10⁶ rows
+    * per report; beyond that read u2/denom, carried exactly).
+    * Single-class inputs raise_error (an AUC of one class is
+    * undefined — loud, never NaN); NULL score/label rows drop. */
+  def aucReport(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val g = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.cast("double").as("__s"),
+        label.cast("boolean").cast("long").as("__p"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__p")).as("__np"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("__c", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .agg(sum(expr("__np * (2 * __c + __n + 1)")).as("__sum2r"),
+        sum(col("__np")).as("n_pos"), sum(col("__n")).as("n"))
+      .select(col("n"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        col("__sum2r"))
+      .withColumn("__guard",
+        when(col("n_pos") === 0 || col("n_neg") === 0,
+          raise_error(concat(lit("aucReport: single-class input (n_pos="),
+            col("n_pos").cast("string"), lit(", n_neg="),
+            col("n_neg").cast("string"), lit(") — AUC undefined"))))
+          .otherwise(lit(0)))
+      .withColumn("u2", expr("__sum2r - n_pos * (n_pos + 1) + __guard"))
+      .withColumn("denom", expr("2 * n_pos * n_neg"))
+      .select(col("n"), col("n_pos"), col("n_neg"), col("u2"), col("denom"),
+        expr("u2 * 1000000L DIV denom").as("auc_ppm"))
+      .orderBy("n")
+  }
+
   /** Per-group equi-width histogram — the corpus-audit primitive (length/
     * score distributions per source before and after every curation
     * step). `nBins` bins over [lo, hi); values below lo clamp into bin 0,

@@ -1842,6 +1842,42 @@ object CurationOps {
       FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
       GROUP BY 1 ORDER BY bucket"""))
 
+  // --------------------------------------------------------------- q161
+  /** Exact ROC-AUC of "value predicts purchase" over the event log —
+    * the discrimination statistic completing the scorer-eval triplet
+    * (q159 fit, q160 calibration): tie-aware Mann–Whitney from doubled
+    * rank sums, every output an exact integer (u2/denom carried
+    * exactly; auc_ppm = integer-division ppm), so the report
+    * hash-gates. Exercises [[GraftOps.aucReport]]. */
+  val q161 = QueryDef("q161_roc_auc",
+    (s, dir) =>
+      GraftOps.aucReport(Tables.load(s, dir, "events"),
+        col("value"), col("event_type") === "purchase"),
+    Some("""
+      WITH b AS (
+        SELECT value AS s, (event_type = 'purchase') AS p
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      g AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE p) AS BIGINT) AS np
+        FROM b GROUP BY s),
+      c AS (
+        SELECT s, n, np,
+          COALESCE(SUM(n) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            CAST(0 AS BIGINT)) AS cum
+        FROM g),
+      a AS (
+        SELECT CAST(SUM(np * (2 * cum + n + 1)) AS BIGINT) AS sum2r,
+          CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n
+        FROM c)
+      SELECT n, n_pos, n - n_pos AS n_neg,
+        CAST(sum2r - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+        CAST(2 * n_pos * (n - n_pos) AS BIGINT) AS denom,
+        CAST((sum2r - n_pos * (n_pos + 1)) * 1000000
+          // (2 * n_pos * (n - n_pos)) AS BIGINT) AS auc_ppm
+      FROM a ORDER BY n"""))
+
   // --------------------------------------------------------------- q133
   /** Distinctive vocabulary per source: top-5 overrepresented terms by
     * token-stream chi² keyness, micros-floored before ranking so the
@@ -1892,5 +1928,5 @@ object CurationOps {
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
       q100, q105, q107, q108, q111, q113, q116, q121, q123, q124, q127,
-      q130, q131, q133, q139, q143, q149, q160)
+      q130, q131, q133, q139, q143, q149, q160, q161)
 }

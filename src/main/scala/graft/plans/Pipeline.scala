@@ -1260,6 +1260,9 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.calibrationReport(in("inport1"),
         expr(arg(args, "score")), expr(arg(args, "label")),
         buckets = arg(args, "buckets").toInt))),
+    "aucReport" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.aucReport(in("inport1"),
+        expr(arg(args, "score")), expr(arg(args, "label"))))),
     // inport1 = data, inport2 = the pcaFit model table (model-by-port,
     // the q50/q66 codebook convention)
     "pcaProject" -> ((_, in, args) =>

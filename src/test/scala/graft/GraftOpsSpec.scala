@@ -4878,6 +4878,42 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("aucReport: perfect/reversed/all-tied closed forms, hand-computed ties, NULL drop, single-class loud") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Boolean)]): (Long, Long, Long) = {
+      val r = GraftOps.aucReport(rows.toDF("s", "l"), col("s"), col("l"))
+        .collect()(0)
+      (r.getAs[Long]("u2"), r.getAs[Long]("denom"), r.getAs[Long]("auc_ppm"))
+    }
+    // perfect separation → AUC = 1; reversed → 0
+    val sep = Seq((0.1, false), (0.2, false), (0.8, true), (0.9, true))
+    assert(auc(sep) == (8L, 8L, 1000000L), s"perfect: ${auc(sep)}")
+    val rev = sep.map { case (s, l) => (s, !l) }
+    assert(auc(rev) == (0L, 8L, 0L), s"reversed: ${auc(rev)}")
+    // all scores tied → AUC = 1/2 exactly (u2 == n_pos·n_neg)
+    val tied = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+    assert(auc(tied) == (4L, 8L, 500000L), s"all-tied: ${auc(tied)}")
+    // hand-computed mixed ties: scores (1,−), (2,+), (2,−), (3,+)
+    // pairs: (+2,−1)=1, (+2,−2)=tie ½, (+3,−1)=1, (+3,−2)=1 → U=3.5 of 4
+    val mixed = Seq((1.0, false), (2.0, true), (2.0, false), (3.0, true))
+    assert(auc(mixed) == (7L, 8L, 875000L), s"mixed ties: ${auc(mixed)}")
+    // NULL score/label rows drop before anything
+    val withNulls = mixed.map { case (s, l) => (Option(s), Option(l)) } ++
+      Seq((None, Option(true)), (Option(9.9), Option.empty[Boolean]))
+    val rn = GraftOps.aucReport(withNulls.toDF("s", "l"), col("s"), col("l"))
+      .collect()(0)
+    assert(rn.getAs[Long]("n") == 4L && rn.getAs[Long]("auc_ppm") == 875000L)
+    // single-class input is loud, never NaN
+    val ex = intercept[Exception] {
+      GraftOps.aucReport(Seq((0.1, true), (0.9, true)).toDF("s", "l"),
+        col("s"), col("l")).collect()
+    }
+    def msgs(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => " | " + msgs(c)).getOrElse("")
+    assert(msgs(ex).contains("single-class input"), s"loud: ${msgs(ex)}")
+  }
+
   test("ridgeFit/ridgeFitFromSummary/ridgeApply: planted relation, shrinkage, determinism, summary bit-equality, guards") {
     import spark.implicits._
     // planted EXACT linear relation y = 2·x0 − 3·x1 + 0.5 over a

@@ -2946,6 +2946,26 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(got == api && got.length == 2, s"XML calibration == API: $got")
   }
 
+  test("aucReport registry op: XML == API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Seq((0.1, false), (0.4, true), (0.4, false), (0.9, true))
+      .toDF("s", "l").createOrReplaceTempView("auc_rows")
+    val spec = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="d" class="viewInput"><arg key="table" value="auc_rows"/></operator>
+        <operator name="a" class="aucReport">
+          <arg key="score" value="s"/><arg key="label" value="l"/>
+        </operator>
+        <connect from="d.outport1" to="a.inport1"/>
+      </pipeline>""")
+    val got = graft.plans.PipelineCompiler.compile(spec, spark)("a.outport1")
+      .collect().map(_.toSeq).toSeq
+    val api = graft.api.GraftOps.aucReport(spark.table("auc_rows"),
+      col("s"), col("l")).collect().map(_.toSeq).toSeq
+    assert(got == api && got.length == 1, s"XML auc == API: $got")
+  }
+
   test("ridgeFit / ridgeFitFromSummary / ridgeApply XML == API (model flows by port)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
