@@ -273,15 +273,24 @@ private[api] trait ModelStatApi { self: GraftOps.type =>
     * solve is float output no SQL engine restates); its laws are
     * spec-pinned instead: exact planted-relation recovery, shrinkage
     * monotonicity in λ, bit-equal determinism, and bit-equality with
-    * [[ridgeFitFromSummary]] over the same augmented summary. */
+    * [[ridgeFitFromSummary]] over the same augmented summary. NULL vec
+    * OR target rows drop up front (the [[calibrationReport]] NULL-drop
+    * convention — a NULL target inside the augmented array would
+    * otherwise die in the encoder with an unhelpful error). */
   def ridgeFit(df: DataFrame, vec: Column, target: Column, dim: Int,
       lambdaPpm: Long): DataFrame = {
     require(dim >= 1 && dim <= 511, s"dim must be in [1,511]; got $dim")
     require(lambdaPpm >= 0, s"lambdaPpm must be >= 0; got $lambdaPpm")
+    // drop NULL vec/target rows UP FRONT (the calibrationReport/aucReport
+    // NULL-drop convention): a non-NULL vec with a NULL target would
+    // otherwise concat to an array with a NULL element, which the
+    // Seq[Float] encoder rejects with an opaque null-decode error that
+    // GramAgg's dim/finite guards never get to see
     val aug = concat(vec, array(target.cast("float")))
     val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
     val ga = udaf(new graft.functions.GramAgg(dim + 1), enc)
-    val s = df.select(ga(aug).as("__s")).head().getSeq[Long](0)
+    val s = df.filter(vec.isNotNull && target.isNotNull)
+      .select(ga(aug).as("__s")).head().getSeq[Long](0)
     ridgeFromPacked(df.sparkSession, s, dim, lambdaPpm)
   }
 

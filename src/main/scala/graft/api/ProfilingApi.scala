@@ -68,8 +68,9 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
     * u2 = 2U (numerator), denom = 2·n_pos·n_neg, and auc_ppm =
     * u2·10⁶ div denom (exact while u2·10⁶ fits a Long — n ≲ 3·10⁶ rows
     * per report; beyond that read u2/denom, carried exactly).
-    * Single-class inputs raise_error (an AUC of one class is
-    * undefined — loud, never NaN); NULL score/label rows drop. */
+    * Single-class — and EMPTY (every row NULL-dropped) — inputs
+    * raise_error (an AUC of one class is undefined — loud, never NaN
+    * and never a silent all-NULL row); NULL score/label rows drop. */
   def aucReport(df: DataFrame, score: Column, label: Column): DataFrame = {
     val g = df.filter(score.isNotNull && label.isNotNull)
       .select(score.cast("double").as("__s"),
@@ -83,13 +84,21 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
         sum(col("__np")).as("n_pos"), sum(col("__n")).as("n"))
       .select(col("n"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
         col("__sum2r"))
-      .withColumn("__guard",
-        when(col("n_pos") === 0 || col("n_neg") === 0,
-          raise_error(concat(lit("aucReport: single-class input (n_pos="),
-            col("n_pos").cast("string"), lit(", n_neg="),
-            col("n_neg").cast("string"), lit(") — AUC undefined"))))
-          .otherwise(lit(0)))
-      .withColumn("u2", expr("__sum2r - n_pos * (n_pos + 1) + __guard"))
+      // the loud guard lives INSIDE the n output column, not in an
+      // arithmetic term: (a) n_pos.isNull covers EMPTY/all-NULL input,
+      // where the global agg yields one all-NULL row and `=== 0` alone
+      // evaluates NULL; (b) a `+ guard` term is silently SKIPPED by
+      // Spark's null-safe Add when the other operand is NULL — exactly
+      // the degenerate case — so the guard must be a projected CASE
+      // whose condition always evaluates (both r19 ADVICE findings)
+      .withColumn("n",
+        when(col("n_pos").isNull || col("n_pos") === 0 || col("n_neg") === 0,
+          raise_error(concat(lit("aucReport: single-class or empty input (n_pos="),
+            coalesce(col("n_pos").cast("string"), lit("0")), lit(", n_neg="),
+            coalesce(col("n_neg").cast("string"), lit("0")),
+            lit(") — AUC undefined"))).cast("long"))
+          .otherwise(col("n")))
+      .withColumn("u2", expr("__sum2r - n_pos * (n_pos + 1)"))
       .withColumn("denom", expr("2 * n_pos * n_neg"))
       .select(col("n"), col("n_pos"), col("n_neg"), col("u2"), col("denom"),
         expr("u2 * 1000000L DIV denom").as("auc_ppm"))

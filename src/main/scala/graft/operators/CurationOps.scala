@@ -1831,7 +1831,13 @@ object CurationOps {
         col("value") / 1000.0, col("event_type") === "purchase",
         buckets = 10),
     Some("""
-      SELECT CAST(LEAST(FLOOR((value / 1000.0) * 10), 9) AS INTEGER) AS bucket,
+      -- the CASE mirrors the Spark side's raise_error on scores outside
+      -- [0,1]: both engines must FAIL on an unnormalized fixture, not
+      -- diverge (Spark aborting while the oracle buckets negatives)
+      SELECT CASE WHEN value / 1000.0 BETWEEN 0 AND 1
+          THEN CAST(LEAST(FLOOR((value / 1000.0) * 10), 9) AS INTEGER)
+          ELSE error('q160: score outside [0,1]: ' || (value / 1000.0))
+        END AS bucket,
         CAST(count(*) AS BIGINT) AS n,
         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
           AS n_pos,

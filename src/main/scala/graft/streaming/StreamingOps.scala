@@ -464,6 +464,32 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch(f)
 
+  /** The streaming query's STABLE id, read from `<checkpoint>/metadata`
+    * (Spark writes it at query start, before the first batch runs). This
+    * is the one discriminator with exactly the lifetime the summed
+    * append logs ([[cmsAppendSink]]/[[gramAppendSink]]) need: it stays
+    * the SAME across restarts from one checkpoint (so an at-least-once
+    * replay of batch N still collapses with its first attempt) and is
+    * FRESH for a new checkpoint (where batch ids restart at 0 — without
+    * it, two distinct lifetimes' batch-0 summaries would silently
+    * max-collapse into each other and corrupt the summed state). The
+    * per-START `runId` would be wrong here: a batch replayed across a
+    * restart carries a new runId and would double-count. */
+  private[streaming] def checkpointQueryId(
+      spark: org.apache.spark.sql.SparkSession, checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt) match {
+      case Some(m) => m.group(1)
+      case None => throw new IllegalArgumentException(
+        s"checkpointQueryId: no query id in $p — not a streaming checkpoint?")
+    }
+  }
+
   /** Incremental maintenance of a STORED IVF×PQ index: every arriving
     * micro-batch is encoded against the SAME frozen coarse/PQ models
     * (collected ONCE here, not per batch) and its (id, cell, codes) rows
@@ -703,30 +729,53 @@ object StreamingOps {
     * == batch cmsSketch over everything for ANY chunking (law S29).
     * Retry absorption is NOT free for a summed sketch the way it is for
     * the max/distinct sinks — a re-appended batch would double-count —
-    * so cells carry `batch_id` and the read side collapses replayed
-    * batches by max-per-(batch_id, cell) BEFORE summing (a retried
-    * foreachBatch re-emits identical cells for the same id — the S19
-    * caveat with the sum-specific cure; spec'd). */
+    * so cells carry `batch_id` plus the checkpoint lifetime's stable
+    * `sink_query_id` ([[checkpointQueryId]]) and the read side collapses
+    * replayed batches by max-per-(query id, batch id, cell) BEFORE
+    * summing (a retried foreachBatch re-emits identical cells for the
+    * same id — the S19 caveat with the sum-specific cure; spec'd). The
+    * query-id scope matters: batch ids RESTART AT 0 under a fresh
+    * checkpoint, so a path that outlives its checkpoint (or is shared
+    * by two queries) would otherwise silently max-collapse DISTINCT
+    * batches into each other; with the id, separate lifetimes sum. */
   def cmsAppendSink(stream: DataFrame, key: String, depth: Int, width: Int,
       path: String, queryName: String,
-      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the stable query id (cached after the first batch) disambiguates
+    // CHECKPOINT LIFETIMES: under a fresh checkpoint batch ids restart
+    // at 0, and without it two distinct batches sharing an id would
+    // silently max-collapse on read — see [[checkpointQueryId]]
+    var qid: String = null
     foreachBatchSink(stream, queryName, checkpoint) { (batch, id) =>
+      if (qid == null) qid = checkpointQueryId(batch.sparkSession, checkpoint)
       graft.api.GraftOps.cmsSketch(batch, col(key), depth, width)
         .withColumn("batch_id", lit(id))
+        .withColumn("sink_query_id", lit(qid))
         .write.mode("append").parquet(path)
     }
+  }
 
   /** Read face of [[cmsAppendSink]]'s log: one row per live cell —
     * row-equal to batch [[graft.api.GraftOps.cmsSketch]] over every row
     * ever streamed (law S29); feed it to
     * [[graft.api.GraftOps.cmsQuery]] unchanged. */
   def cmsState(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    spark.read.parquet(path)
-      .groupBy(col("batch_id"), col("j"), col("bucket"))
+      path: String): DataFrame = {
+    val log = spark.read.parquet(path)
+    // replay collapse is scoped per CHECKPOINT LIFETIME: (query id,
+    // batch id) — batch ids alone restart at 0 under a fresh checkpoint
+    // and would silently merge distinct batches. Logs (or rows) that
+    // predate the sink_query_id column can't be disambiguated; they
+    // keep the old batch-id-only collapse under one sentinel lifetime.
+    val runKey =
+      if (log.columns.contains("sink_query_id"))
+        coalesce(col("sink_query_id"), lit("pre-upgrade"))
+      else lit("pre-upgrade")
+    log.groupBy(runKey.as("__run"), col("batch_id"), col("j"), col("bucket"))
       .agg(max(col("c")).as("c")) // collapse at-least-once re-appends
       .groupBy(col("j"), col("bucket"))
       .agg(sum(col("c")).as("c"))
+  }
 
   /** S30 — continuously-maintained KMV distinct sketch (the streaming
     * face of [[graft.api.GraftOps.kmvSketch]]): each micro-batch's own
@@ -795,20 +844,31 @@ object StreamingOps {
     * merge law (summary of a union == idx-wise Long sum), so state ==
     * batch gramSummaryRows over everything for ANY chunking (law S31).
     * Like the S29 cells, a summed statistic cannot absorb an
-    * at-least-once replay for free — rows carry `batch_id` and the
-    * read side collapses replays by max-per-(batch_id, idx) BEFORE
-    * summing. Feed [[gramState]]'s output to
+    * at-least-once replay for free — rows carry `batch_id` plus the
+    * checkpoint lifetime's stable `sink_query_id` and the read side
+    * collapses replays by max-per-(query id, batch id, idx) BEFORE
+    * summing (batch ids restart at 0 under a fresh checkpoint; the
+    * query id keeps distinct lifetimes from max-collapsing — the
+    * cmsAppendSink note). Feed [[gramState]]'s output to
     * [[graft.api.GraftOps.pcaFitFromSummary]] for a fresh PCA model
     * per read — streaming model maintenance with no history re-scan. */
   def gramAppendSink(stream: DataFrame, vec: String, dim: Int,
       path: String, queryName: String,
-      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // stable query id per checkpoint lifetime — see [[checkpointQueryId]]
+    // and the cmsAppendSink note: a fresh checkpoint restarts batch ids
+    // at 0, and a summed statistic must never max-collapse two DISTINCT
+    // batches that merely share an id
+    var qid: String = null
     foreachBatchSink(stream, queryName, checkpoint) { (batch, id) =>
+      if (qid == null) qid = checkpointQueryId(batch.sparkSession, checkpoint)
       graft.api.GraftOps.gramSummaryRows(batch, col(vec), dim)
         .withColumn("batch_id", lit(id))
+        .withColumn("sink_query_id", lit(qid))
         .withColumn("sink_dim", lit(dim))
         .write.mode("append").parquet(path)
     }
+  }
 
   /** Read face of [[gramAppendSink]]'s log: the (idx, v) packed Gram
     * summary — row-equal to batch
@@ -828,7 +888,14 @@ object StreamingOps {
         s"gramState: log at $path mixes summaries of different dims " +
           s"(${dims.mkString(", ")}) — their packed layouts must never sum")
     }
-    log.groupBy(col("batch_id"), col("idx"))
+    // replay collapse scoped per checkpoint lifetime (the cmsState
+    // posture): batch ids restart at 0 under a fresh checkpoint, and a
+    // summed Gram must never max-collapse two distinct batch-0s
+    val runKey =
+      if (log.columns.contains("sink_query_id"))
+        coalesce(col("sink_query_id"), lit("pre-upgrade"))
+      else lit("pre-upgrade")
+    log.groupBy(runKey.as("__run"), col("batch_id"), col("idx"))
       .agg(max(col("v")).as("v")) // collapse at-least-once re-appends
       .groupBy(col("idx"))
       .agg(sum(col("v")).as("v"))

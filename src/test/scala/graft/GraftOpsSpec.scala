@@ -4911,7 +4911,23 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     def msgs(t: Throwable): String =
       Option(t.getMessage).getOrElse("") +
         Option(t.getCause).map(c => " | " + msgs(c)).getOrElse("")
-    assert(msgs(ex).contains("single-class input"), s"loud: ${msgs(ex)}")
+    assert(msgs(ex).contains("single-class or empty"), s"loud: ${msgs(ex)}")
+    // EMPTY input (and all-NULL input) is loud too — the global agg
+    // yields one all-NULL row and `=== 0` alone would evaluate NULL,
+    // silently emitting a NULL report row (r19 ADVICE finding)
+    val exEmpty = intercept[Exception] {
+      GraftOps.aucReport(Seq.empty[(Double, Boolean)].toDF("s", "l"),
+        col("s"), col("l")).collect()
+    }
+    assert(msgs(exEmpty).contains("single-class or empty"),
+      s"empty loud: ${msgs(exEmpty)}")
+    val exAllNull = intercept[Exception] {
+      GraftOps.aucReport(
+        Seq((Option.empty[Double], Option(true))).toDF("s", "l"),
+        col("s"), col("l")).collect()
+    }
+    assert(msgs(exAllNull).contains("single-class or empty"),
+      s"all-NULL loud: ${msgs(exAllNull)}")
   }
 
   test("ridgeFit/ridgeFitFromSummary/ridgeApply: planted relation, shrinkage, determinism, summary bit-equality, guards") {
@@ -4974,6 +4990,16 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] {
       GraftOps.ridgeFitFromSummary(summary, 4, 0L) // wrong dim vs layout
     }
+    // NULL vec OR NULL target rows drop up front (the NULL-drop
+    // convention) — a NULL target used to reach the Seq[Float] encoder
+    // inside the augmented array and die with an opaque null-decode
+    // error (r19 ADVICE finding); the fit must equal the clean fit
+    val withNullRows = data.map { case (v, y) => (Option(v), Option(y)) } ++
+      Seq((Option.empty[Seq[Float]], Option(1.0)),
+        (Option(Seq(1.0f, 2.0f, 3.0f)), Option.empty[Double]))
+    val mNulls = GraftOps.ridgeFit(withNullRows.toDF("v", "y"),
+      col("v"), col("y"), 3, 0L).collect().map(_.toSeq).toSeq
+    assert(mNulls == again, "NULL vec/target rows drop; fit unchanged")
   }
 
   test("cmsSketch/cmsQuery: never undercounts any key; mergeable; absent keys; report; guards") {

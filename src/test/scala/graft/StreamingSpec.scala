@@ -1310,15 +1310,37 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     val cmsGot = cells(StreamingOps.cmsState(spark, cdir))
     val cmsWant = cells(GraftOps.cmsSketch(all.toDF("g", "v"), col("v"), 3, 8))
     assert(cmsGot == cmsWant, s"S29 cms state $cmsGot != batch $cmsWant")
-    // at-least-once retry: the SAME batch id re-appends identical cells
-    // — the max-per-(batch_id, cell) collapse absorbs it (a plain sum
-    // over the log would double-count; spec'd as the sum-specific cure)
-    val lastId = spark.read.parquet(cdir).agg(max("batch_id")).head().getLong(0)
+    // at-least-once retry: the SAME (query id, batch id) re-appends
+    // identical cells — the max-per-(query id, batch id, cell) collapse
+    // absorbs it (a plain sum over the log would double-count; spec'd
+    // as the sum-specific cure). A real retry replays within the same
+    // checkpoint lifetime, so it carries the SAME sink_query_id.
+    val cLog0 = spark.read.parquet(cdir)
+    val lastId = cLog0.agg(max("batch_id")).head().getLong(0)
+    val cQid = cLog0.agg(max("sink_query_id")).head().getString(0)
+    assert(cQid != null && cQid.nonEmpty, "sink persisted its query id")
     GraftOps.cmsSketch(chunk2.toDF("g", "v"), col("v"), 3, 8)
       .withColumn("batch_id", lit(lastId))
+      .withColumn("sink_query_id", lit(cQid))
       .write.mode("append").parquet(cdir)
     assert(cells(StreamingOps.cmsState(spark, cdir)) == cmsWant,
       "retried cms batch collapses on read")
+    // a SECOND checkpoint lifetime appending to the SAME path: its
+    // batch ids restart at 0 (colliding with the first lifetime's),
+    // but its fresh query id keeps the two batches from max-collapsing
+    // — the state SUMS both lifetimes (r19 ADVICE finding, fixed here)
+    val chunk3 = Seq(("g1", "a"), ("g2", "b"))
+    val cck2 = java.nio.file.Files.createTempDirectory("graft-cms-ck2")
+      .toString
+    val in1b = MemoryStream[(String, String)]
+    val q1b = StreamingOps.cmsAppendSink(in1b.toDF().toDF("g", "v"),
+      key = "v", depth = 3, width = 8, cdir, "s29cms2", cck2).start()
+    try { in1b.addData(chunk3: _*); q1b.processAllAvailable() }
+    finally q1b.stop()
+    val cmsWantAll = cells(GraftOps.cmsSketch((all ++ chunk3).toDF("g", "v"),
+      col("v"), 3, 8))
+    assert(cells(StreamingOps.cmsState(spark, cdir)) == cmsWantAll,
+      "a fresh checkpoint lifetime SUMS into the state (no batch-0 collapse)")
     // --- S30: kmv bottom-k per group over (g, v)
     val kdir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
     val kck = java.nio.file.Files.createTempDirectory("graft-kmv-ck").toString
@@ -1392,15 +1414,36 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(got == want, s"S31 gram state $got != batch $want")
     // packed layout: 1 count + 3 sums + 6 triangle = 10 rows, count = 5
     assert(got.size == 10 && got(0) == 5L, s"packed layout: $got")
-    // at-least-once retry: the SAME batch id re-appends identical rows
-    // — max-per-(batch_id, idx) absorbs it (a plain sum would
-    // double-count the summed statistic, the S29 cure)
-    val lastId = spark.read.parquet(dir).agg(max("batch_id")).head().getLong(0)
+    // at-least-once retry: the SAME (query id, batch id) re-appends
+    // identical rows — max-per-(query id, batch id, idx) absorbs it (a
+    // plain sum would double-count the summed statistic, the S29 cure).
+    // A real retry replays within one checkpoint lifetime → same id.
+    val gLog0 = spark.read.parquet(dir)
+    val lastId = gLog0.agg(max("batch_id")).head().getLong(0)
+    val gQid = gLog0.agg(max("sink_query_id")).head().getString(0)
+    assert(gQid != null && gQid.nonEmpty, "sink persisted its query id")
     GraftOps.gramSummaryRows(chunk2.toDF("id", "vec"), col("vec"), 3)
-      .withColumn("batch_id", lit(lastId)).withColumn("sink_dim", lit(3))
+      .withColumn("batch_id", lit(lastId))
+      .withColumn("sink_query_id", lit(gQid))
+      .withColumn("sink_dim", lit(3))
       .write.mode("append").parquet(dir)
     assert(rows(StreamingOps.gramState(spark, dir)) == want,
       "retried gram batch collapses on read")
+    // a SECOND checkpoint lifetime on the SAME path: batch ids restart
+    // at 0, the fresh query id keeps the two batch-0 summaries from
+    // max-collapsing — the state SUMS both lifetimes (r19 ADVICE fix)
+    val chunk3 = Seq((6L, Seq(1.0f, 1.0f, 1.0f)))
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-gram-ck2")
+      .toString
+    val inB = MemoryStream[(Long, Seq[Float])]
+    val qB = StreamingOps.gramAppendSink(inB.toDF().toDF("id", "vec"),
+      vec = "vec", dim = 3, dir, "s31gram2", ck2).start()
+    try { inB.addData(chunk3: _*); qB.processAllAvailable() }
+    finally qB.stop()
+    val wantAll = rows(GraftOps.gramSummaryRows(
+      (all ++ chunk3).toDF("id", "vec"), col("vec"), 3))
+    assert(rows(StreamingOps.gramState(spark, dir)) == wantAll,
+      "a fresh checkpoint lifetime SUMS into the gram state")
     // a log that mixes summaries of DIFFERENT dims must fail loudly —
     // misaligned packed layouts would silently sum into a garbage model
     val mixDir = java.nio.file.Files.createTempDirectory("graft-gram-mix")
@@ -1417,10 +1460,11 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(exDim.getMessage.contains("mixes summaries of different dims"),
       s"loud mixed-dim guard: $exDim")
     // the model face: a PCA model fit from the streaming state is
-    // BIT-EQUAL to pcaFit over every row ever streamed
+    // BIT-EQUAL to pcaFit over every row ever streamed (both lifetimes)
     val mState = GraftOps.pcaFitFromSummary(
       StreamingOps.gramState(spark, dir), 3, 2).collect().map(_.toSeq).toSeq
-    val mBatch = GraftOps.pcaFit(all.toDF("id", "vec"), col("vec"), 3, 2)
+    val mBatch = GraftOps.pcaFit((all ++ chunk3).toDF("id", "vec"),
+        col("vec"), 3, 2)
       .collect().map(_.toSeq).toSeq
     assert(mState == mBatch, "pcaFitFromSummary(state) == batch pcaFit")
     // wrong-dim read fails loudly (layout mismatch, never a wrong model)
