@@ -32,7 +32,23 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
     * unnormalized scores is a silent lie — the q140 loud posture);
     * NULL score or label rows drop up front (no bin, no verdict). */
   def calibrationReport(df: DataFrame, score: Column, label: Column,
-      buckets: Int): DataFrame = {
+      buckets: Int): DataFrame =
+    calibrationCore(df, None, score, label, buckets)
+
+  /** Sliced (per-group) [[calibrationReport]] — per-language/per-source
+    * calibration is how a quality scorer is actually audited before a
+    * mixture decision (the q54/q55 consumers): a scorer can be
+    * calibrated globally while one slice runs systematically hot.
+    * One row per occupied (group, bucket); same all-integer posture and
+    * the same loud out-of-range contract as the global face. NULL
+    * group rows drop with the NULL score/label rows (no slice, no
+    * verdict). Still ONE hash agg over ≤ groups·buckets cells. */
+  def calibrationReportBy(df: DataFrame, group: Column, score: Column,
+      label: Column, buckets: Int): DataFrame =
+    calibrationCore(df, Some(group), score, label, buckets)
+
+  private def calibrationCore(df: DataFrame, groupOpt: Option[Column],
+      score: Column, label: Column, buckets: Int): DataFrame = {
     require(buckets >= 2 && buckets <= 1000,
       s"buckets must be in [2,1000]; got $buckets")
     val s = score.cast("double")
@@ -40,19 +56,27 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
       .when(s >= 0.0 && s <= 1.0, s)
       .otherwise(raise_error(concat(
         lit("calibrationReport: score outside [0,1]: "), s.cast("string"))))
-    df.filter(score.isNotNull && label.isNotNull)
-      .select(
+    val kept = groupOpt match {
+      case Some(grp) =>
+        df.filter(grp.isNotNull && score.isNotNull && label.isNotNull)
+      case None => df.filter(score.isNotNull && label.isNotNull)
+    }
+    val projected = kept.select(
+      (groupOpt.map(g => Seq(g.as("group"))).getOrElse(Nil) ++ Seq(
         least(floor(checked * lit(buckets)), lit(buckets - 1))
           .cast("int").as("bucket"),
         floor(checked * lit(1000000.0)).cast("long").as("__s_us"),
-        label.cast("boolean").cast("int").as("__pos"))
-      .groupBy(col("bucket"))
+        label.cast("boolean").cast("int").as("__pos"))): _*)
+    val keys = groupOpt.map(_ => Seq(col("group"))).getOrElse(Nil) :+
+      col("bucket")
+    projected
+      .groupBy(keys: _*)
       .agg(count(lit(1)).as("n"), sum(col("__pos")).cast("long").as("n_pos"),
         sum(col("__s_us")).as("sum_score_us"))
       .withColumn("pos_ppm", expr("n_pos * 1000000L DIV n")) // integer ppm
-      .select(col("bucket"), col("n"), col("n_pos"), col("sum_score_us"),
-        col("pos_ppm"))
-      .orderBy("bucket")
+      .select(keys ++ Seq(col("n"), col("n_pos"), col("sum_score_us"),
+        col("pos_ppm")): _*)
+      .orderBy(keys: _*)
   }
 
   /** Exact tie-aware ROC-AUC report — the DISCRIMINATION companion of
@@ -62,47 +86,173 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
     * One hash agg to per-distinct-score (n, n_pos) groups, one
     * cumulative window over the score-DISTINCT table (value-scale by
     * contract — distinct scores, not rows; the q129 exact-quantile
-    * frame posture), one 1-row reduce. Doubled rank sums keep ties
-    * integral: 2·Σ_pos avgrank = Σ_values n_pos·(2·cum_before + n + 1),
+    * frame posture — [[aucReportMicros]] is the tier that BOUNDS that
+    * value scale for float scorer outputs, and [[aucReportBy]]
+    * distributes the window across slices), one 1-row reduce. Doubled
+    * rank sums keep ties integral:
+    * 2·Σ_pos avgrank = Σ_values n_pos·(2·cum_before + n + 1),
     * so every output is an exact integer and the report HASH-GATES —
     * u2 = 2U (numerator), denom = 2·n_pos·n_neg, and auc_ppm =
-    * u2·10⁶ div denom (exact while u2·10⁶ fits a Long — n ≲ 3·10⁶ rows
-    * per report; beyond that read u2/denom, carried exactly).
+    * u2·10⁶ div denom, the ×10⁶ carried in decimal(38,0) so the
+    * division is exact at ANY n (no Long ceiling on the ppm).
     * Single-class — and EMPTY (every row NULL-dropped) — inputs
     * raise_error (an AUC of one class is undefined — loud, never NaN
     * and never a silent all-NULL row); NULL score/label rows drop. */
-  def aucReport(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val g = df.filter(score.isNotNull && label.isNotNull)
-      .select(score.cast("double").as("__s"),
-        label.cast("boolean").cast("long").as("__p"))
-      .groupBy(col("__s"))
+  def aucReport(df: DataFrame, score: Column, label: Column): DataFrame =
+    aucCore(df, None, score, label, quantizeMicros = false)
+
+  /** [[aucReport]] on floor-micros-quantized scores — the SCALE tier
+    * for float scorer outputs (e.g. [[ridgeApply]] scores, where
+    * distinct values ≈ rows and the exact tier's value-scale window
+    * would sort the whole eval set on one executor): scores floor to
+    * micros BEFORE the distinct, so the window input is bounded by the
+    * score RANGE ×10⁶ values by construction — ≤ 10⁶+1 rows for
+    * normalized [0,1] scores — regardless of row count. This is a
+    * STATED precision contract, not an approximation of one: the
+    * quantization is exactly [[calibrationReport]]'s floor-micros
+    * posture, ties within a micro-bucket count as ties, and on inputs
+    * already quantized at micros (integer-valued scores included) the
+    * report is BIT-EQUAL to the exact tier (spec-pinned, the q69/q70b
+    * tier-equality pattern). */
+  def aucReportMicros(df: DataFrame, score: Column, label: Column): DataFrame =
+    aucCore(df, None, score, label, quantizeMicros = true)
+
+  /** Sliced (per-group) [[aucReport]] — one AUC row per slice
+    * (language, source, segment): a scorer's global AUC can hide a
+    * slice where it is anti-correlated, and per-slice discrimination
+    * is what a mixture decision (q54/q55) actually audits. Grouping
+    * also makes the cumulative window `partitionBy(group)` — the
+    * value-scale sort DISTRIBUTES across slices instead of running on
+    * one executor. A single-class SLICE raises loudly, naming the
+    * slice (an AUC of one class is undefined; dropping the slice
+    * silently would hide exactly the segment that needs attention);
+    * NULL group/score/label rows drop; empty input yields an empty
+    * report (no slices — the grouped faces' convention). Set
+    * `quantizeMicros` for the [[aucReportMicros]] scale tier per
+    * slice. */
+  def aucReportBy(df: DataFrame, group: Column, score: Column,
+      label: Column, quantizeMicros: Boolean = false): DataFrame =
+    aucCore(df, Some(group), score, label, quantizeMicros)
+
+  private def aucCore(df: DataFrame, groupOpt: Option[Column], score: Column,
+      label: Column, quantizeMicros: Boolean): DataFrame = {
+    val sRaw = score.cast("double")
+    val sKey =
+      if (quantizeMicros) floor(sRaw * lit(1000000.0)).cast("long")
+      else sRaw
+    val kept = groupOpt match {
+      case Some(grp) =>
+        df.filter(grp.isNotNull && score.isNotNull && label.isNotNull)
+      case None => df.filter(score.isNotNull && label.isNotNull)
+    }
+    val groupSel = groupOpt.map(g => Seq(g.as("group"))).getOrElse(Nil)
+    val keys = groupOpt.map(_ => Seq(col("group"))).getOrElse(Nil)
+    val g = kept
+      .select(groupSel ++ Seq(sKey.as("__s"),
+        label.cast("boolean").cast("long").as("__p")): _*)
+      .groupBy(keys :+ col("__s"): _*)
       .agg(count(lit(1)).as("__n"), sum(col("__p")).as("__np"))
-    val w = Window.orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("__c", coalesce(sum(col("__n")).over(w), lit(0L)))
+    val w = (groupOpt match {
+      case Some(_) => Window.partitionBy(col("group")).orderBy(col("__s"))
+      case None => Window.orderBy(col("__s"))
+    }).rowsBetween(Window.unboundedPreceding, -1)
+    val summed = g
+      .withColumn("__c", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .groupBy(keys: _*)
       .agg(sum(expr("__np * (2 * __c + __n + 1)")).as("__sum2r"),
         sum(col("__np")).as("n_pos"), sum(col("__n")).as("n"))
-      .select(col("n"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
-        col("__sum2r"))
-      // the loud guard lives INSIDE the n output column, not in an
-      // arithmetic term: (a) n_pos.isNull covers EMPTY/all-NULL input,
-      // where the global agg yields one all-NULL row and `=== 0` alone
-      // evaluates NULL; (b) a `+ guard` term is silently SKIPPED by
-      // Spark's null-safe Add when the other operand is NULL — exactly
-      // the degenerate case — so the guard must be a projected CASE
-      // whose condition always evaluates (both r19 ADVICE findings)
+      .select(keys ++ Seq(col("n"), col("n_pos"),
+        (col("n") - col("n_pos")).as("n_neg"), col("__sum2r")): _*)
+    val slice = groupOpt.map(_ =>
+      concat(lit(" in group "), col("group").cast("string")))
+      .getOrElse(lit(""))
+    // the loud guard lives INSIDE the n output column, not in an
+    // arithmetic term: (a) n_pos.isNull covers EMPTY/all-NULL input,
+    // where the GLOBAL agg yields one all-NULL row and `=== 0` alone
+    // evaluates NULL; (b) a `+ guard` term is silently SKIPPED by
+    // Spark's null-safe Add when the other operand is NULL — exactly
+    // the degenerate case — so the guard must be a projected CASE
+    // whose condition always evaluates (both r19 ADVICE findings)
+    summed
       .withColumn("n",
         when(col("n_pos").isNull || col("n_pos") === 0 || col("n_neg") === 0,
-          raise_error(concat(lit("aucReport: single-class or empty input (n_pos="),
+          raise_error(concat(lit("aucReport: single-class or empty input"),
+            slice, lit(" (n_pos="),
             coalesce(col("n_pos").cast("string"), lit("0")), lit(", n_neg="),
             coalesce(col("n_neg").cast("string"), lit("0")),
             lit(") — AUC undefined"))).cast("long"))
           .otherwise(col("n")))
       .withColumn("u2", expr("__sum2r - n_pos * (n_pos + 1)"))
       .withColumn("denom", expr("2 * n_pos * n_neg"))
-      .select(col("n"), col("n_pos"), col("n_neg"), col("u2"), col("denom"),
-        expr("u2 * 1000000L DIV denom").as("auc_ppm"))
-      .orderBy("n")
+      .select(keys ++ Seq(col("n"), col("n_pos"), col("n_neg"), col("u2"),
+        col("denom"),
+        // ×10⁶ in decimal(38,0): exact ppm at any n (a Long u2·10⁶
+        // wraps past n ≈ 3·10⁶ rows — the q81 decimal trick)
+        expr("CAST(CAST(u2 AS DECIMAL(38,0)) * 1000000 DIV denom AS BIGINT)")
+          .as("auc_ppm")): _*)
+      .orderBy(groupOpt.map(_ => Seq(col("group"))).getOrElse(Seq(col("n"))): _*)
+  }
+
+  /** Exact tie-aware precision–recall curve + average precision — the
+    * RANK-QUALITY companion completing the scorer-eval family (fit
+    * q159 → calibrate q160 → discriminate q161 → rank q162): ROC-AUC
+    * flatters under the class imbalance quality-filter labels actually
+    * have (a few percent positives), so mixture decisions read the PR
+    * face. One row per DISTINCT score, descending (= every achievable
+    * retrieval cut): the block's (n, n_pos), the cumulative
+    * (cum_n, cum_pos) at that cut, exact integer-ppm precision@cut and
+    * recall@cut, and `ap_ppm` — the RUNNING average precision in ppm,
+    * whose last row (the row with the smallest score, cum_n = total n)
+    * is the report's AP. Tie handling is block-atomic (a cut can only
+    * fall between distinct scores — the q161 convention).
+    *
+    * Exactness contract: AP is the step-wise sum
+    * Σ_blocks (recall_i − recall_{i−1})·precision_i with each block's
+    * term floored to ppm BEFORE summing —
+    * term_i = (np_i·cum_pos_i·10⁶) div (n_pos·cum_n_i), carried in
+    * decimal(38,0) so it is exact at any scale — making every output
+    * an order-independent exact integer that HASH-GATES (a float AP
+    * would depend on engine summation order). Stated precision: the
+    * floor costs < |blocks| µ of AP, i.e. AP_true − AP_reported <
+    * distinct_scores·10⁻⁶ — the same stated-precision posture as q160.
+    *
+    * Plan: one hash agg to distinct scores, one cumulative window over
+    * the score-DISTINCT table (value-scale by contract, the q161
+    * posture — quantize scores upstream for float scorers), one
+    * broadcast-joined 1-row total. Zero-positive inputs raise loudly
+    * (AP undefined); all-positive inputs are defined (AP = 1); NULL
+    * score/label rows drop; empty input yields an empty curve. */
+  def prCurveReport(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val g = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.cast("double").as("s"),
+        label.cast("boolean").cast("long").as("__p"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("n_pos"))
+    val desc = Window.orderBy(col("s").desc)
+    val cum = desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = desc.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    g.withColumn("cum_n", sum(col("n")).over(cum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+      .withColumn("__tot_pos", sum(col("n_pos")).over(full))
+      // zero positives anywhere → AP undefined; raise on every row
+      // (inside an always-evaluated output column, the aucReport rule)
+      .withColumn("cum_n",
+        when(col("__tot_pos") === 0,
+          raise_error(lit("prCurveReport: no positive labels — " +
+            "precision–recall undefined")).cast("long"))
+          .otherwise(col("cum_n")))
+      .withColumn("prec_ppm",
+        expr("CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000 DIV cum_n AS BIGINT)"))
+      .withColumn("recall_ppm",
+        expr("CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000 DIV __tot_pos AS BIGINT)"))
+      .withColumn("__term",
+        expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * cum_pos * 1000000 " +
+          "DIV (CAST(__tot_pos AS DECIMAL(38,0)) * cum_n) AS BIGINT)"))
+      .withColumn("ap_ppm", sum(col("__term")).over(cum))
+      .select(col("s"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        col("prec_ppm"), col("recall_ppm"), col("ap_ppm"))
+      .orderBy(col("s").desc)
   }
 
   /** Per-group equi-width histogram — the corpus-audit primitive (length/

@@ -1880,9 +1880,158 @@ object CurationOps {
       SELECT n, n_pos, n - n_pos AS n_neg,
         CAST(sum2r - n_pos * (n_pos + 1) AS BIGINT) AS u2,
         CAST(2 * n_pos * (n - n_pos) AS BIGINT) AS denom,
-        CAST((sum2r - n_pos * (n_pos + 1)) * 1000000
+        CAST(CAST(sum2r - n_pos * (n_pos + 1) AS HUGEINT) * 1000000
           // (2 * n_pos * (n - n_pos)) AS BIGINT) AS auc_ppm
       FROM a ORDER BY n"""))
+
+  // -------------------------------------------------------------- q161b
+  /** The floor-micros SCALE tier of q161 over genuinely fractional
+    * scores (value/1000 — micro-quantization actually coarsens):
+    * distinct window input bounded by the score range ×10⁶ by
+    * construction, the identical FLOOR(s·10⁶) stated in both engines,
+    * every output still an exact integer. Exercises
+    * [[GraftOps.aucReportMicros]]; the bit-equality law with the exact
+    * tier on already-quantized inputs is spec-pinned. */
+  val q161b = QueryDef("q161b_auc_micros",
+    (s, dir) =>
+      GraftOps.aucReportMicros(Tables.load(s, dir, "events"),
+        col("value") / 1000.0, col("event_type") === "purchase"),
+    Some("""
+      WITH b AS (
+        SELECT CAST(FLOOR((value / 1000.0) * 1000000.0) AS BIGINT) AS s,
+          (event_type = 'purchase') AS p
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      g AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE p) AS BIGINT) AS np
+        FROM b GROUP BY s),
+      c AS (
+        SELECT s, n, np,
+          COALESCE(SUM(n) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            CAST(0 AS BIGINT)) AS cum
+        FROM g),
+      a AS (
+        SELECT CAST(SUM(np * (2 * cum + n + 1)) AS BIGINT) AS sum2r,
+          CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n
+        FROM c)
+      SELECT n, n_pos, n - n_pos AS n_neg,
+        CAST(sum2r - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+        CAST(2 * n_pos * (n - n_pos) AS BIGINT) AS denom,
+        CAST(CAST(sum2r - n_pos * (n_pos + 1) AS HUGEINT) * 1000000
+          // (2 * n_pos * (n - n_pos)) AS BIGINT) AS auc_ppm
+      FROM a ORDER BY n"""))
+
+  // --------------------------------------------------------------- q162
+  /** Exact tie-aware precision–recall curve + running average
+    * precision of "value predicts purchase" — the rank-quality face
+    * completing the scorer-eval family (q159 fit, q160 calibration,
+    * q161 discrimination): one row per distinct score descending
+    * (= every achievable retrieval cut), block-atomic tie handling,
+    * every column an exact integer (per-block AP terms floored to ppm
+    * in decimal(38,0) BEFORE summing, so the running `ap_ppm` is
+    * order-independent; its last row is the report's AP). Exercises
+    * [[GraftOps.prCurveReport]]. */
+  val q162 = QueryDef("q162_pr_curve",
+    (s, dir) =>
+      GraftOps.prCurveReport(Tables.load(s, dir, "events"),
+        col("value"), col("event_type") === "purchase"),
+    Some("""
+      WITH b AS (
+        SELECT value AS s, (event_type = 'purchase') AS p
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      g AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE p) AS BIGINT) AS n_pos
+        FROM b GROUP BY s),
+      c AS (
+        SELECT s, n, n_pos,
+          CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+          CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+          CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+        FROM g
+        WINDOW w AS (ORDER BY s DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      t AS (
+        SELECT *, CAST(CAST(n_pos AS HUGEINT) * cum_pos * 1000000
+            // (CAST(tot_pos AS HUGEINT) * cum_n) AS BIGINT) AS term
+        FROM c)
+      SELECT s, n, n_pos, cum_n, cum_pos,
+        CAST(CAST(cum_pos AS HUGEINT) * 1000000 // cum_n AS BIGINT)
+          AS prec_ppm,
+        CAST(CAST(cum_pos AS HUGEINT) * 1000000 // tot_pos AS BIGINT)
+          AS recall_ppm,
+        CAST(SUM(term) OVER (ORDER BY s DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS ap_ppm
+      FROM t ORDER BY s DESC"""))
+
+  // --------------------------------------------------------------- q163
+  /** Sliced ROC-AUC: one exact tie-aware AUC row per user segment
+    * (user_id % 4) — the per-slice discrimination audit a mixture
+    * decision reads (a global AUC hides an anti-correlated slice), and
+    * the shape that DISTRIBUTES q161's value-scale window by
+    * partitioning it on the slice. Exercises
+    * [[GraftOps.aucReportBy]]. */
+  val q163 = QueryDef("q163_auc_by_group",
+    (s, dir) =>
+      GraftOps.aucReportBy(Tables.load(s, dir, "events"),
+        col("user_id") % 4, col("value"), col("event_type") === "purchase"),
+    Some("""
+      WITH b AS (
+        SELECT user_id % 4 AS grp, value AS s, (event_type = 'purchase') AS p
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL),
+      g AS (
+        SELECT grp, s, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE p) AS BIGINT) AS np
+        FROM b GROUP BY grp, s),
+      c AS (
+        SELECT grp, s, n, np,
+          COALESCE(SUM(n) OVER (PARTITION BY grp ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            CAST(0 AS BIGINT)) AS cum
+        FROM g),
+      a AS (
+        SELECT grp, CAST(SUM(np * (2 * cum + n + 1)) AS BIGINT) AS sum2r,
+          CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n
+        FROM c GROUP BY grp)
+      SELECT grp AS "group", n, n_pos, n - n_pos AS n_neg,
+        CAST(sum2r - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+        CAST(2 * n_pos * (n - n_pos) AS BIGINT) AS denom,
+        CAST(CAST(sum2r - n_pos * (n_pos + 1) AS HUGEINT) * 1000000
+          // (2 * n_pos * (n - n_pos)) AS BIGINT) AS auc_ppm
+      FROM a ORDER BY "group""""))
+
+  // --------------------------------------------------------------- q164
+  /** Sliced model-calibration report: the q160 reliability diagram per
+    * user segment (user_id % 4) — per-slice calibration is the audit
+    * that catches a scorer running systematically hot on one slice
+    * while globally calibrated. Exercises
+    * [[GraftOps.calibrationReportBy]]. */
+  val q164 = QueryDef("q164_calibration_by_group",
+    (s, dir) =>
+      GraftOps.calibrationReportBy(Tables.load(s, dir, "events"),
+        col("user_id") % 4, col("value") / 1000.0,
+        col("event_type") === "purchase", buckets = 10),
+    Some("""
+      SELECT user_id % 4 AS "group",
+        CASE WHEN value / 1000.0 BETWEEN 0 AND 1
+          THEN CAST(LEAST(FLOOR((value / 1000.0) * 10), 9) AS INTEGER)
+          ELSE error('q164: score outside [0,1]: ' || (value / 1000.0))
+        END AS bucket,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+          AS n_pos,
+        CAST(SUM(CAST(FLOOR((value / 1000.0) * 1000000.0) AS BIGINT))
+          AS BIGINT) AS sum_score_us,
+        (CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+          * 1000000) // CAST(count(*) AS BIGINT) AS pos_ppm
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2 ORDER BY "group", bucket"""))
 
   // --------------------------------------------------------------- q133
   /** Distinctive vocabulary per source: top-5 overrepresented terms by
@@ -1934,5 +2083,6 @@ object CurationOps {
     Seq(q35, q36, q37, q38, q42, q43, q44, q45, q46, q47, q54, q55, q57, q59,
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
       q100, q105, q107, q108, q111, q113, q116, q121, q123, q124, q127,
-      q130, q131, q133, q139, q143, q149, q160, q161)
+      q130, q131, q133, q139, q143, q149, q160, q161, q161b, q162, q163,
+      q164)
 }

@@ -1260,8 +1260,31 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.calibrationReport(in("inport1"),
         expr(arg(args, "score")), expr(arg(args, "label")),
         buckets = arg(args, "buckets").toInt))),
+    // sliced calibration: one reliability row per (group, bucket)
+    "calibrationReportBy" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.calibrationReportBy(in("inport1"),
+        expr(arg(args, "group")),
+        expr(arg(args, "score")), expr(arg(args, "label")),
+        buckets = arg(args, "buckets").toInt))),
     "aucReport" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.aucReport(in("inport1"),
+        expr(arg(args, "score")), expr(arg(args, "label"))))),
+    // the floor-micros scale tier: value-scale window input bounded by
+    // the score range ×10⁶, for float scorer outputs
+    "aucReportMicros" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.aucReportMicros(in("inport1"),
+        expr(arg(args, "score")), expr(arg(args, "label"))))),
+    // sliced AUC: one row per group; optional scoreMicros="true" for
+    // the quantized tier per slice
+    "aucReportBy" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.aucReportBy(in("inport1"),
+        expr(arg(args, "group")),
+        expr(arg(args, "score")), expr(arg(args, "label")),
+        quantizeMicros =
+          args.getOrElse("scoreMicros", "false").toBoolean))),
+    // exact tie-aware PR curve + running average precision (rank face)
+    "prCurveReport" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.prCurveReport(in("inport1"),
         expr(arg(args, "score")), expr(arg(args, "label"))))),
     // inport1 = data, inport2 = the pcaFit model table (model-by-port,
     // the q50/q66 codebook convention)

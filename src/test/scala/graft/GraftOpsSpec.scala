@@ -4930,6 +4930,159 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       s"all-NULL loud: ${msgs(exAllNull)}")
   }
 
+  test("aucReportMicros: bit-equal to the exact tier on quantized inputs; coarsens sub-micro distinctions to ties") {
+    import spark.implicits._
+    // tier-equality law (the q69/q70b pattern): on scores already
+    // quantized at micros — integer-valued here — the quantized tier
+    // is BIT-EQUAL to the exact tier
+    val quantized = Seq((1.0, false), (2.0, true), (2.0, false), (3.0, true),
+      (7.0, false), (9.0, true))
+    val exact = GraftOps.aucReport(quantized.toDF("s", "l"),
+      col("s"), col("l")).collect().map(_.toSeq).toSeq
+    val micros = GraftOps.aucReportMicros(quantized.toDF("s", "l"),
+      col("s"), col("l")).collect().map(_.toSeq).toSeq
+    assert(micros == exact, s"tier equality: $micros != $exact")
+    // sub-micro distinctions COARSEN to ties (the stated precision
+    // contract): two scores inside one micro bucket become a tie —
+    // exact tier sees perfect separation (AUC 1); micros tier scores
+    // one +/− pair as a tie: U = (1 + ½ + 1 + 1)/4 = 0.875
+    val fine = Seq((0.1000001, false), (0.10000011, true), (0.9, true),
+      (0.05, false))
+    val fineExact = GraftOps.aucReport(fine.toDF("s", "l"), col("s"), col("l"))
+      .collect()(0).getAs[Long]("auc_ppm")
+    val fineMicros = GraftOps.aucReportMicros(fine.toDF("s", "l"),
+      col("s"), col("l")).collect()(0).getAs[Long]("auc_ppm")
+    assert(fineExact == 1000000L && fineMicros == 875000L,
+      s"coarsening: exact $fineExact, micros $fineMicros")
+  }
+
+  test("aucReportBy: per-slice rows == per-slice global reports; window partitioned; single-class slice loud with the slice named; NULL group drops") {
+    import spark.implicits._
+    val rows = Seq(
+      ("en", 0.1, false), ("en", 0.4, true), ("en", 0.4, false),
+      ("en", 0.9, true),
+      ("de", 0.2, true), ("de", 0.3, false), ("de", 0.8, true),
+      ("fr", 0.5, true), ("fr", 0.6, false))
+    val by = GraftOps.aucReportBy(rows.toDF("g", "s", "l"),
+      col("g"), col("s"), col("l"))
+    assert(by.columns.toSeq ==
+      Seq("group", "n", "n_pos", "n_neg", "u2", "denom", "auc_ppm"))
+    val got = by.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // slice law: each group's row equals the global report on that slice
+    for (g <- Seq("de", "en", "fr")) {
+      val solo = GraftOps.aucReport(
+        rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("s", "l"),
+        col("s"), col("l")).collect()(0).toSeq
+      assert(got(g) == solo, s"slice $g: ${got(g)} != $solo")
+    }
+    // output is ordered by group
+    assert(by.collect().map(_.getString(0)).toSeq == Seq("de", "en", "fr"))
+    // a single-class SLICE raises loudly and NAMES the slice
+    def msgs(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => " | " + msgs(c)).getOrElse("")
+    val oneClass = rows ++ Seq(("xx", 0.4, true), ("xx", 0.6, true))
+    val ex = intercept[Exception] {
+      GraftOps.aucReportBy(oneClass.toDF("g", "s", "l"),
+        col("g"), col("s"), col("l")).collect()
+    }
+    assert(msgs(ex).contains("in group xx"), s"slice named: ${msgs(ex)}")
+    // NULL group rows drop (no slice, no verdict); empty input → empty
+    val withNullG = rows.map { case (g, s, l) => (Option(g), s, l) } ++
+      Seq((Option.empty[String], 0.99, true))
+    val gotNull = GraftOps.aucReportBy(withNullG.toDF("g", "s", "l"),
+      col("g"), col("s"), col("l")).collect()
+    assert(gotNull.length == 3 &&
+      gotNull.map(r => r.getString(0) -> r.toSeq.drop(1)).toMap == got)
+    assert(GraftOps.aucReportBy(Seq.empty[(String, Double, Boolean)]
+      .toDF("g", "s", "l"), col("g"), col("s"), col("l")).count() == 0L)
+    // the micros arg applies per slice (tier equality on quantized data)
+    val q = Seq(("a", 1.0, true), ("a", 2.0, false), ("b", 3.0, false),
+      ("b", 4.0, true))
+    assert(GraftOps.aucReportBy(q.toDF("g", "s", "l"), col("g"), col("s"),
+        col("l"), quantizeMicros = true).collect().map(_.toSeq).toSeq ==
+      GraftOps.aucReportBy(q.toDF("g", "s", "l"), col("g"), col("s"),
+        col("l")).collect().map(_.toSeq).toSeq)
+  }
+
+  test("calibrationReportBy: per-slice rows == per-slice global reports; NULL group drops") {
+    import spark.implicits._
+    val rows = Seq(
+      ("en", 0.1, false), ("en", 0.12, true), ("en", 0.9, true),
+      ("de", 0.3, false), ("de", 0.35, true), ("de", 0.95, true),
+      ("de", 0.31, false))
+    val by = GraftOps.calibrationReportBy(rows.toDF("g", "s", "l"),
+      col("g"), col("s"), col("l"), 10)
+    assert(by.columns.toSeq ==
+      Seq("group", "bucket", "n", "n_pos", "sum_score_us", "pos_ppm"))
+    val got = by.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.toSeq.drop(2)).toMap
+    for (g <- Seq("de", "en")) {
+      val solo = GraftOps.calibrationReport(
+        rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("s", "l"),
+        col("s"), col("l"), 10).collect()
+        .map(r => (g, r.getInt(0)) -> r.toSeq.drop(1)).toMap
+      assert(got.filter(_._1._1 == g) == solo, s"slice $g")
+    }
+    // NULL group drops; totally ordered by (group, bucket)
+    val withNullG = rows.map { case (g, s, l) => (Option(g), s, l) } ++
+      Seq((Option.empty[String], 0.5, true))
+    assert(GraftOps.calibrationReportBy(withNullG.toDF("g", "s", "l"),
+        col("g"), col("s"), col("l"), 10).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.toSeq.drop(2)).toMap
+      == got)
+    val order = by.collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(order == order.sorted, s"total order: $order")
+  }
+
+  test("prCurveReport: hand-computed curve and AP, block-atomic ties, all-positive defined, zero-positive loud, NULL drop") {
+    import spark.implicits._
+    // scores desc 0.9(+), 0.8(−), 0.7(+): AP = ½·(1/1 + 2/3) = 0.8333…
+    // with per-block ppm flooring: 500000 + 0 + 333333 = 833333
+    val basic = Seq((0.9, true), (0.8, false), (0.7, true))
+    val c1 = GraftOps.prCurveReport(basic.toDF("s", "l"), col("s"), col("l"))
+      .collect()
+    assert(c1.map(_.getDouble(0)).toSeq == Seq(0.9, 0.8, 0.7), "desc order")
+    val last1 = c1.last
+    assert(last1.getAs[Long]("ap_ppm") == 833333L &&
+      last1.getAs[Long]("cum_n") == 3L && last1.getAs[Long]("cum_pos") == 2L,
+      s"AP: ${c1.mkString(" | ")}")
+    assert(c1.head.getAs[Long]("prec_ppm") == 1000000L &&
+      c1.head.getAs[Long]("recall_ppm") == 500000L, "first cut p=1, r=1/2")
+    // block-atomic tie: 0.9(+), then a tied block {0.5(+), 0.5(−)} —
+    // term₂ = 1·2·10⁶ div (2·3) = 333333, AP = 833333
+    val tied = Seq((0.9, true), (0.5, true), (0.5, false))
+    val c2 = GraftOps.prCurveReport(tied.toDF("s", "l"), col("s"), col("l"))
+      .collect()
+    assert(c2.length == 2 && c2.last.getAs[Long]("ap_ppm") == 833333L &&
+      c2.last.getAs[Long]("n") == 2L && c2.last.getAs[Long]("n_pos") == 1L,
+      s"tied: ${c2.mkString(" | ")}")
+    // all-positive input is DEFINED: AP = 1 up to per-block flooring
+    // (3 singleton blocks of 3 rows: 3 × (10⁶ div 3) = 999999)
+    val allPos = Seq((0.1, true), (0.2, true), (0.3, true))
+    val c3 = GraftOps.prCurveReport(allPos.toDF("s", "l"), col("s"), col("l"))
+      .collect()
+    assert(c3.last.getAs[Long]("ap_ppm") == 999999L &&
+      c3.forall(_.getAs[Long]("prec_ppm") == 1000000L),
+      s"all-positive: ${c3.mkString(" | ")}")
+    // zero positives → loud (AP undefined), never an all-zero curve
+    def msgs(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => " | " + msgs(c)).getOrElse("")
+    val ex = intercept[Exception] {
+      GraftOps.prCurveReport(Seq((0.1, false), (0.2, false)).toDF("s", "l"),
+        col("s"), col("l")).collect()
+    }
+    assert(msgs(ex).contains("no positive labels"), s"loud: ${msgs(ex)}")
+    // NULL score/label rows drop; empty input → empty curve
+    val withNulls = basic.map { case (s, l) => (Option(s), Option(l)) } ++
+      Seq((None, Option(true)), (Option(0.99), Option.empty[Boolean]))
+    assert(GraftOps.prCurveReport(withNulls.toDF("s", "l"), col("s"),
+        col("l")).collect().map(_.toSeq).toSeq == c1.map(_.toSeq).toSeq)
+    assert(GraftOps.prCurveReport(Seq.empty[(Double, Boolean)].toDF("s", "l"),
+      col("s"), col("l")).count() == 0L)
+  }
+
   test("ridgeFit/ridgeFitFromSummary/ridgeApply: planted relation, shrinkage, determinism, summary bit-equality, guards") {
     import spark.implicits._
     // planted EXACT linear relation y = 2·x0 − 3·x1 + 0.5 over a

@@ -2966,6 +2966,51 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(got == api && got.length == 1, s"XML auc == API: $got")
   }
 
+  test("aucReportMicros / aucReportBy / calibrationReportBy / prCurveReport registry ops: XML == API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Seq(("a", 0.1, false), ("a", 0.4, true), ("b", 0.4, false),
+      ("b", 0.9, true), ("a", 0.7, false), ("b", 0.2, false))
+      .toDF("g", "s", "l").createOrReplaceTempView("eval_rows")
+    val spec = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="d" class="viewInput"><arg key="table" value="eval_rows"/></operator>
+        <operator name="m" class="aucReportMicros">
+          <arg key="score" value="s"/><arg key="label" value="l"/>
+        </operator>
+        <operator name="ab" class="aucReportBy">
+          <arg key="group" value="g"/>
+          <arg key="score" value="s"/><arg key="label" value="l"/>
+          <arg key="scoreMicros" value="true"/>
+        </operator>
+        <operator name="cb" class="calibrationReportBy">
+          <arg key="group" value="g"/>
+          <arg key="score" value="s"/><arg key="label" value="l"/>
+          <arg key="buckets" value="4"/>
+        </operator>
+        <operator name="pr" class="prCurveReport">
+          <arg key="score" value="s"/><arg key="label" value="l"/>
+        </operator>
+        <connect from="d.outport1" to="m.inport1"/>
+        <connect from="d.outport1" to="ab.inport1"/>
+        <connect from="d.outport1" to="cb.inport1"/>
+        <connect from="d.outport1" to="pr.inport1"/>
+      </pipeline>""")
+    val out = graft.plans.PipelineCompiler.compile(spec, spark)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(out("m.outport1")) == rows(graft.api.GraftOps.aucReportMicros(
+      spark.table("eval_rows"), col("s"), col("l"))), "micros XML == API")
+    assert(rows(out("ab.outport1")) == rows(graft.api.GraftOps.aucReportBy(
+      spark.table("eval_rows"), col("g"), col("s"), col("l"),
+      quantizeMicros = true)), "by-group XML == API (micros arg through)")
+    assert(rows(out("cb.outport1")) == rows(
+      graft.api.GraftOps.calibrationReportBy(spark.table("eval_rows"),
+        col("g"), col("s"), col("l"), 4)), "sliced calibration XML == API")
+    assert(rows(out("pr.outport1")) == rows(graft.api.GraftOps.prCurveReport(
+      spark.table("eval_rows"), col("s"), col("l"))), "pr curve XML == API")
+  }
+
   test("ridgeFit / ridgeFitFromSummary / ridgeApply XML == API (model flows by port)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
