@@ -388,6 +388,175 @@ private[api] trait ModelStatApi { self: GraftOps.type =>
       .toDF("dim", "weight")
   }
 
+  /** Logistic-regression quality scorer — the model class the
+    * CCNet/fastText filter actually is (ridge q159 is its linear
+    * sibling): fixed-iteration IRLS (Newton) where EVERY iteration
+    * costs exactly ONE [[graft.functions.GramAgg]] pass over the
+    * labeled set plus a driver-side Cholesky on the model-sized
+    * system. Per iteration, with p = σ(β·x + b) and w = p(1−p), the
+    * Newton update solves (X′ᵀWX′ + λI)θ = X′ᵀWz for the working
+    * response z = η + (y−p)/w over the intercept-augmented design
+    * X′ = [x, 1]; both sides of that system arrive in ONE unweighted
+    * Gram pass over the scaled augmented vector
+    * a = [√w·x, √w, (√w·η + (y−p)/√w)/64] at dim+2 — the √w folds the
+    * weight into the raw second moments (a aᵀ's top-left block is
+    * X′ᵀWX′, its last column ×64 is X′ᵀWz), and the /64 keeps the
+    * working-response component UNIT-SCALE so GramAgg's exact-Long
+    * bound holds at the same ~9M-rows-per-aggregate posture as q154.
+    * η clips to ±ln(999) (p pinned to [10⁻³, 1−10⁻³]) — the standard
+    * saturation guard, which also floors w and bounds every component:
+    * |√w·η| ≤ 3.46, |(y−p)/√w| ≤ 31.6, /64 → ≤ 0.55. Deterministic by
+    * construction (integer Gram sums are order-independent; fixed
+    * driver elimination order), spec-pinned: planted-model recovery,
+    * loss decrease, λ-shrinkage, bit-equal determinism, NULL-drop.
+    *
+    * λ (ppm) penalizes the non-intercept coefficients only (standard);
+    * λ = 0 is plain MLE and fails LOUDLY on a rank-deficient design
+    * (the ridge pivot guard). `iters` is FIXED (no data-dependent
+    * stopping — determinism and a bounded pass count at any scale);
+    * 4–8 reaches working precision on well-scaled features. Unlike
+    * [[ridgeFit]] there is deliberately NO fit-from-summary face: the
+    * IRLS weights depend on the CURRENT β, so a static summary log
+    * cannot honestly maintain the fit — each refresh re-scans the
+    * labeled set (which is model-training-set-sized, not corpus-sized,
+    * by the workflow's nature). Returns the [[ridgeFit]] model shape —
+    * (dim, weight) rows + dim = −1 intercept — so the model flows by
+    * port into [[logisticApply]]. NULL vec/target rows drop up front. */
+  def logisticFit(df: DataFrame, vec: Column, target: Column, dim: Int,
+      iters: Int, lambdaPpm: Long): DataFrame = {
+    require(dim >= 1 && dim <= 510, s"dim must be in [1,510]; got $dim")
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50]; got $iters")
+    require(lambdaPpm >= 0, s"lambdaPpm must be >= 0; got $lambdaPpm")
+    val etaClip = math.log(999.0) // p in [1e-3, 1-1e-3]; floors w too
+    val kept = df.filter(vec.isNotNull && target.isNotNull)
+      .select(vec.as("__v"), target.cast("boolean").cast("double").as("__y"))
+    // deterministic init: β = 0, intercept = clipped logit of the base
+    // rate (one cheap agg; the first iteration's η is then constant)
+    val base = kept.agg(count(lit(1)), sum(col("__y"))).head()
+    val n0 = base.getLong(0)
+    require(n0 >= 2, s"logisticFit needs >= 2 labeled rows; got $n0")
+    val pBar = math.min(1.0 - 1e-3,
+      math.max(1e-3, base.getDouble(1) / n0.toDouble))
+    var beta = new Array[Double](dim)
+    var b = math.log(pBar / (1.0 - pBar))
+    val d2 = dim + 2
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+    val ga = udaf(new graft.functions.GramAgg(d2), enc)
+    val vecSize = coalesce(size(col("__v")), lit(-1))
+    var it = 0
+    while (it < iters) {
+      val checked = when(vecSize === dim, col("__v"))
+        .otherwise(raise_error(concat(
+          lit(s"logisticFit: expected $dim-component vectors, got "),
+          vecSize.cast("string"))))
+      val etaRaw = element_at(
+        graft.functions.PlaneDots(checked, IndexedSeq(beta.toIndexedSeq)), 1) +
+        lit(b)
+      // η, p, √w staged as columns so each is computed ONCE per row
+      // (inlining them into the dim-element transform would re-walk
+      // the PlaneDots dot per component)
+      val staged = kept
+        .withColumn("__eta", least(greatest(etaRaw, lit(-etaClip)),
+          lit(etaClip)))
+        .withColumn("__p", lit(1.0) / (lit(1.0) + exp(-col("__eta"))))
+        .withColumn("__sw", sqrt(col("__p") * (lit(1.0) - col("__p"))))
+      // a = [√w·x, √w, (√w·η + (y−p)/√w)/64] — dim+2 components, all
+      // unit-scale (see scaladoc); one unweighted exact Gram pass
+      val aug = concat(
+        transform(col("__v"), x => (x * col("__sw")).cast("float")),
+        array(col("__sw").cast("float")),
+        array(((col("__sw") * col("__eta") +
+          (col("__y") - col("__p")) / col("__sw")) / lit(64.0))
+          .cast("float")))
+      val s = staged.select(ga(aug).as("__s")).head().getSeq[Long](0)
+      val upd = logisticSolve(s, dim, lambdaPpm)
+      beta = upd._1; b = upd._2
+      it += 1
+    }
+    import df.sparkSession.implicits._
+    ((0 until dim).map(d => (d, beta(d))) :+ (-1, b))
+      .toDF("dim", "weight")
+  }
+
+  /** Driver-side Newton step of [[logisticFit]]: the packed dim+2
+    * Gram summary of the scaled augmented vectors → raw moment blocks
+    * (X′ᵀWX′, X′ᵀWz·1/64) → ridge-regularized Cholesky solve (fixed
+    * elimination order, the ridgeFromPacked pivot guard; λ skips the
+    * intercept row). Returns (β, intercept). */
+  private def logisticSolve(s: Seq[Long], dim: Int,
+      lambdaPpm: Long): (Array[Double], Double) = {
+    val d2 = dim + 2
+    val n = s.head.toDouble
+    val d1 = dim + 1 // the [x, 1] design incl. intercept column
+    // raw second moments from the packed triangle (quantized ×1e-12)
+    val m = Array.ofDim[Double](d2, d2)
+    var p = 1 + d2
+    var i = 0
+    while (i < d2) {
+      var j = i
+      while (j < d2) {
+        val c = s(p) * 1e-12
+        m(i)(j) = c; m(j)(i) = c
+        p += 1; j += 1
+      }
+      i += 1
+    }
+    val lam = lambdaPpm.toDouble / 1e6
+    val a = Array.tabulate(d1, d1)((r, c) =>
+      m(r)(c) + (if (r == c && r < dim) lam else 0.0))
+    val rhs = Array.tabulate(d1)(r => m(r)(d2 - 1) * 64.0)
+    // Cholesky with the ridge relative pivot floor (loud, deterministic)
+    val l = Array.ofDim[Double](d1, d1)
+    var r = 0
+    while (r < d1) {
+      var c = 0
+      while (c <= r) {
+        var sum = a(r)(c)
+        var k2 = 0
+        while (k2 < c) { sum -= l(r)(k2) * l(c)(k2); k2 += 1 }
+        if (r == c) {
+          require(sum > 1e-12 * math.max(1.0, math.abs(a(r)(r))),
+            s"logisticFit: non-positive pivot $sum at dim $r (n=$n) — the " +
+              "weighted design is rank-deficient at lambda=0; raise lambdaPpm")
+          l(r)(r) = math.sqrt(sum)
+        } else l(r)(c) = sum / l(c)(c)
+        c += 1
+      }
+      r += 1
+    }
+    val y = new Array[Double](d1)
+    i = 0
+    while (i < d1) {
+      var sum = rhs(i)
+      var k2 = 0
+      while (k2 < i) { sum -= l(i)(k2) * y(k2); k2 += 1 }
+      y(i) = sum / l(i)(i)
+      i += 1
+    }
+    val theta = new Array[Double](d1)
+    i = d1 - 1
+    while (i >= 0) {
+      var sum = y(i)
+      var k2 = i + 1
+      while (k2 < d1) { sum -= l(k2)(i) * theta(k2); k2 += 1 }
+      theta(i) = sum / l(i)(i)
+      i -= 1
+    }
+    (theta.take(dim), theta(dim))
+  }
+
+  /** Apply a [[logisticFit]] model: adds `score` = σ(β·x + b) ∈ (0, 1)
+    * — the normalized quality probability [[calibrationReport]] and
+    * the mixture ops consume directly. Same plan as [[ridgeApply]]
+    * (whose model shape it shares): one codegen'd PlaneDots dot with
+    * the intercept folded in, plus one scalar sigmoid — pure narrow
+    * map, zero shuffle, scan speed at any scale; wrong-length vectors
+    * fail loudly. */
+  def logisticApply(df: DataFrame, vec: Column, model: DataFrame,
+      dim: Int): DataFrame =
+    ridgeApply(df, vec, model, dim)
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("score"))))
+
   /** Apply a [[ridgeFit]] model: adds `score` = β·x + b. The weights
     * collect driver-side (model-sized), the dot product is ONE
     * codegen'd [[graft.functions.PlaneDots]] pass with the intercept

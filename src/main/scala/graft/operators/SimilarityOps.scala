@@ -1003,6 +1003,31 @@ object SimilarityOps {
     },
     None)
 
+  // --------------------------------------------------------------- q165
+  /** Logistic quality-scorer fit + corpus-scale apply: IRLS-train a
+    * probability-of-quality model of "label ≥ 5" on the embeddings
+    * (4 Newton iterations, λ = 0.1 — each iteration ONE exact Gram
+    * pass) and score every vector with σ(β·x + b) — the actual
+    * CCNet/fastText model class (q159's ridge is its linear sibling;
+    * this face emits normalized (0,1) probabilities that q160's
+    * calibration consumes directly). Rows-only by design (iterative
+    * float IRLS — no SQL restatement; the q159 posture) with the laws
+    * spec-pinned: planted-model recovery, loss decrease, λ-shrinkage,
+    * bit-equal determinism. Scores surface as floor-micros so the dump
+    * is integer-stable. Exercises
+    * [[graft.api.GraftOps.logisticFit]] / logisticApply. */
+  val q165 = QueryDef("q165_logistic_score",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val model = graft.api.GraftOps.logisticFit(e, col("embedding"),
+        col("label") >= 5, DIM, iters = 4, lambdaPpm = 100000L)
+      graft.api.GraftOps.logisticApply(e, col("embedding"), model, DIM)
+        .select(col("vec_id"), col("label"),
+          floor(col("score") * lit(1000000.0)).as("score_us"))
+        .orderBy("vec_id")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(q13, q20, q21, q34, q48, q50, q52, q60, q61,
-    q62, q66, q71, q84, q128, q154, q154b, q159)
+    q62, q66, q71, q84, q128, q154, q154b, q159, q165)
 }

@@ -1256,6 +1256,18 @@ object PipelineCompiler {
       Map("outport1" -> graft.api.GraftOps.ridgeApply(in("inport1"),
         expr(arg(args, "vec")), in("inport2"),
         dim = arg(args, "dim").toInt))),
+    // fixed-iteration IRLS logistic scorer (one Gram pass per iteration)
+    "logisticFit" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.logisticFit(in("inport1"),
+        expr(arg(args, "vec")), expr(arg(args, "target")),
+        dim = arg(args, "dim").toInt,
+        iters = arg(args, "iters").toInt,
+        lambdaPpm = arg(args, "lambdaPpm").toLong))),
+    // inport1 = data, inport2 = the logisticFit model table
+    "logisticApply" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.logisticApply(in("inport1"),
+        expr(arg(args, "vec")), in("inport2"),
+        dim = arg(args, "dim").toInt))),
     "calibrationReport" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.calibrationReport(in("inport1"),
         expr(arg(args, "score")), expr(arg(args, "label")),

@@ -78,6 +78,7 @@ class CoreQueriesSpec extends AnyFunSuite with SharedSpark {
       "q147b_profile_table_approx", // HLL profile tier — sketch, like q15b
       "q154b_pca_project", // iterative float eigenvectors; laws spec-pinned
       "q159_ridge_score",  // Cholesky-solve floats; laws spec-pinned like q154b
+      "q165_logistic_score", // iterative IRLS floats; laws spec-pinned
       "q49_image_codec_roundtrip", // no SQL engine decodes PNG; spec-exact instead
       "q51_gif_frames_roundtrip",  // ditto for GIF; spec-exact in GraftOpsSpec
       "q53_mjpeg_video_roundtrip",  // ditto for AVI/JPEG; spec-bounded luma

@@ -5155,6 +5155,87 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(mNulls == again, "NULL vec/target rows drop; fit unchanged")
   }
 
+  test("logisticFit/logisticApply: planted-model recovery, loss decrease, shrinkage, determinism, sigmoid face, NULL drop, guards") {
+    import spark.implicits._
+    // labels drawn from a KNOWN logistic model β* = (1.5, −2, 0),
+    // b* = 0.3 via a deterministic pseudo-uniform — the MLE must land
+    // near β* (n = 4000 ⇒ se ≈ 0.06 per coefficient)
+    val bStar = Array(1.5, -2.0, 0.0); val b0Star = 0.3
+    val data = IndexedSeq.tabulate(4000) { i =>
+      val x0 = ((i * 37 % 101) - 50) / 50.0
+      val x1 = ((i * 53 % 97) - 48) / 48.0
+      val x2 = ((i * 71 % 89) - 44) / 44.0
+      val eta = bStar(0) * x0 + bStar(1) * x1 + bStar(2) * x2 + b0Star
+      val u = ((i * 2654435761L) % 100000L).toDouble / 100000.0
+      (Seq(x0.toFloat, x1.toFloat, x2.toFloat),
+        u < 1.0 / (1.0 + math.exp(-eta)))
+    }
+    val df = data.toDF("v", "y")
+    val model = GraftOps.logisticFit(df, col("v"), col("y"), 3,
+      iters = 8, lambdaPpm = 0L)
+    val w = model.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(w(0) - 1.5) < 0.25 && math.abs(w(1) + 2.0) < 0.25 &&
+      math.abs(w(2)) < 0.25 && math.abs(w(-1) - 0.3) < 0.25,
+      s"planted logistic model recovered: $w")
+    // loss decreases across Newton iterations (mean log-loss via apply)
+    def loss(m: org.apache.spark.sql.DataFrame): Double =
+      GraftOps.logisticApply(df, col("v"), m, 3)
+        .select(avg(when(col("y"), -log(col("score")))
+          .otherwise(-log(lit(1.0) - col("score"))))).head().getDouble(0)
+    val l1 = loss(GraftOps.logisticFit(df, col("v"), col("y"), 3, 1, 0L))
+    val l4 = loss(GraftOps.logisticFit(df, col("v"), col("y"), 3, 4, 0L))
+    val l8 = loss(model)
+    assert(l4 < l1 && l8 <= l4 + 1e-4, s"loss decreases: $l1 -> $l4 -> $l8")
+    // λ shrinks the coefficient norm (intercept unpenalized)
+    val wR = GraftOps.logisticFit(df, col("v"), col("y"), 3, 8, 500000L)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def norm(m: Map[Int, Double]) =
+      math.sqrt((0 until 3).map(d => m(d) * m(d)).sum)
+    assert(norm(wR) < norm(w), s"shrinkage: ${norm(wR)} < ${norm(w)}")
+    // bit-equal determinism (integer Gram sums + fixed driver order)
+    val again = GraftOps.logisticFit(df, col("v"), col("y"), 3, 8, 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(again == model.collect().map(_.toSeq).toSeq, "bit-equal re-fit")
+    // the apply face is exactly σ(ridgeApply raw) on the same model
+    // table, and every score lands strictly inside (0, 1)
+    val viaRidge = GraftOps.ridgeApply(df, col("v"), model, 3)
+      .select((lit(1.0) / (lit(1.0) + exp(-col("score")))).as("score"))
+      .collect().map(_.getDouble(0)).toSeq
+    val viaLogistic = GraftOps.logisticApply(df, col("v"), model, 3)
+      .select(col("score")).collect().map(_.getDouble(0)).toSeq
+    assert(viaLogistic == viaRidge &&
+      viaLogistic.forall(s => s > 0.0 && s < 1.0), "sigmoid face")
+    // NULL vec/target rows drop up front (the ridgeFit convention)
+    val withNulls = data.map { case (v, y) => (Option(v), Option(y)) } ++
+      Seq((Option.empty[Seq[Float]], Option(true)),
+        (Option(Seq(1.0f, 2.0f, 3.0f)), Option.empty[Boolean]))
+    assert(GraftOps.logisticFit(withNulls.toDF("v", "y"), col("v"), col("y"),
+      3, 8, 0L).collect().map(_.toSeq).toSeq == again, "NULL rows drop")
+    // guards: iters/λ ranges; rank-deficient design loud at λ = 0
+    intercept[IllegalArgumentException] {
+      GraftOps.logisticFit(df, col("v"), col("y"), 3, 0, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      GraftOps.logisticFit(df, col("v"), col("y"), 3, 4, -1L)
+    }
+    val degenerate = data.map { case (v, y) =>
+      (Seq(v(0), v(0), v(0)), y) }.toDF("v", "y")
+    val exPivot = intercept[IllegalArgumentException] {
+      GraftOps.logisticFit(degenerate, col("v"), col("y"), 3, 2, 0L)
+    }
+    assert(exPivot.getMessage.contains("non-positive pivot"), s"$exPivot")
+    // wrong-length vectors fail loudly inside the fit's Gram pass
+    val exLen = intercept[Exception] {
+      GraftOps.logisticFit(
+        Seq((Seq(1.0f, 2.0f), true), (Seq(3.0f, 4.0f), false)).toDF("v", "y"),
+        col("v"), col("y"), 3, 1, 0L)
+    }
+    def msgs(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => " | " + msgs(c)).getOrElse("")
+    assert(msgs(exLen).contains("expected 3-component"), s"${msgs(exLen)}")
+  }
+
   test("cmsSketch/cmsQuery: never undercounts any key; mergeable; absent keys; report; guards") {
     import spark.implicits._
     val keys = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ (1 to 60).map(i => s"k$i")

@@ -3011,6 +3011,39 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       spark.table("eval_rows"), col("s"), col("l"))), "pr curve XML == API")
   }
 
+  test("logisticFit / logisticApply XML == API (model flows by port)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val data = Seq.tabulate(80) { i =>
+      val x0 = (i % 7 - 3) / 3.0; val x1 = (i % 11 - 5) / 5.0
+      (Seq(x0.toFloat, x1.toFloat), x0 - 2.0 * x1 + 0.25 > 0.0)
+    }
+    data.toDF("v", "y").createOrReplaceTempView("logit_rows")
+    val spec = graft.plans.PipelineSpec.parseXml("""
+      <pipeline>
+        <operator name="d" class="viewInput"><arg key="table" value="logit_rows"/></operator>
+        <operator name="fit" class="logisticFit">
+          <arg key="vec" value="v"/><arg key="target" value="y"/>
+          <arg key="dim" value="2"/><arg key="iters" value="3"/>
+          <arg key="lambdaPpm" value="200000"/>
+        </operator>
+        <operator name="ap" class="logisticApply">
+          <arg key="vec" value="v"/><arg key="dim" value="2"/>
+        </operator>
+        <connect from="d.outport1" to="fit.inport1"/>
+        <connect from="d.outport1" to="ap.inport1"/>
+        <connect from="fit.outport1" to="ap.inport2"/>
+      </pipeline>""")
+    val out = graft.plans.PipelineCompiler.compile(spec, spark)
+    val apiModel = graft.api.GraftOps.logisticFit(spark.table("logit_rows"),
+      col("v"), col("y"), 2, 3, 200000L)
+    assert(out("fit.outport1").collect().map(_.toSeq).toSeq ==
+      apiModel.collect().map(_.toSeq).toSeq, "XML fit == API fit")
+    assert(out("ap.outport1").collect().map(_.toSeq).toSeq ==
+      graft.api.GraftOps.logisticApply(spark.table("logit_rows"), col("v"),
+        apiModel, 2).collect().map(_.toSeq).toSeq, "XML apply == API apply")
+  }
+
   test("ridgeFit / ridgeFitFromSummary / ridgeApply XML == API (model flows by port)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
