@@ -40,6 +40,12 @@ import graft.streaming.StreamingOps
   *                 cell grid, per-group bottom-k, and packed Gram
   *                 summary appended to parquet logs; the s20 terminal
   *                 shape with sketch-sized per-batch output)
+  *  - s32_score:   streaming scoring face (S32) — per batch: fold the
+  *                 seeded gram log, driver-Cholesky ridge refit, then
+  *                 one PlaneDots narrow map over every row (16-dim
+  *                 synthetic vectors) + a ROW-SCALE scored parquet
+  *                 append (the output-heaviest terminal: s20's append
+  *                 volume plus a per-row dot product)
   *
   * Deterministic input (event_id-chunked micro-batches), wall-clock
   * measured over processAllAvailable per shape, fresh checkpoint per
@@ -57,7 +63,7 @@ object StreamBench {
   val allModes: Seq[String] = Seq("s1_parse", "s2_window", "s13_heavy",
     "s5_stateful", "s20_upsert", "s21_ewma", "s22_transition", "s23_cusum",
     "s24_rolling_distinct", "s25_semantic", "s26_golden", "s27_freqcap",
-    "s28_holt", "s29_cms", "s30_kmv", "s31_gram")
+    "s28_holt", "s29_cms", "s30_kmv", "s31_gram", "s32_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -293,6 +299,35 @@ object StreamBench {
         queryName = s"sb_$tag",
         checkpoint = new java.io.File(tmp, s"$tag-ckpt").getAbsolutePath)
     }
+    /** s32 — the S32 live-scoring loop face: a gram log seeded ONCE from
+      * the per-user corpus (the training set), then every streamed batch
+      * pays the log fold + driver refit (model-sized — trivial) plus the
+      * REAL per-row cost: a 16-dim synthetic-vector build, one PlaneDots
+      * dot, and a row-scale scored parquet append. */
+    lazy val s32GramLog: String = {
+      val dir = new java.io.File(tmp, "s32-gram-seed").getAbsolutePath
+      val corpus = e.select(col("user_id")).distinct()
+        .select(vecOf(col("user_id")).as("vec"),
+          (pmod(col("user_id"), lit(997)).cast("double") / 997.0).as("y"))
+      graft.api.GraftOps.gramSummaryRows(corpus,
+          concat(col("vec"), array(col("y").cast("float"))), 17)
+        .withColumn("batch_id", lit(0L))
+        .withColumn("sink_query_id", lit("sb-s32-seed"))
+        .withColumn("sink_dim", lit(17))
+        .write.mode("append").parquet(dir)
+      dir
+    }
+    def scoreWriter(warm: Boolean) = {
+      val tag = if (warm) "warm-s32" else "s32"
+      val src = (if (warm) warmRawStream else rawStream)
+        .select(col("event_id"), vecOf(col("user_id")).as("vec"))
+      StreamingOps.ridgeScoreStreamSink(
+        StreamingOps.withShufflePartitions(src, parts),
+        vec = "vec", dim = 16, gramLog = s32GramLog, lambdaPpm = 1000L,
+        path = new java.io.File(tmp, s"$tag-log").getAbsolutePath,
+        queryName = s"sb_$tag",
+        checkpoint = new java.io.File(tmp, s"$tag-ckpt").getAbsolutePath)
+    }
     def gramWriter(warm: Boolean) = {
       val tag = if (warm) "warm-s31" else "s31"
       // same deterministic synthetic per-user embedding as s25 — every
@@ -332,7 +367,7 @@ object StreamBench {
     val terminalWriters = Map[String, Boolean => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]](
       "s20_upsert" -> upsertWriter _, "s26_golden" -> goldenWriter _,
       "s29_cms" -> cmsWriter _, "s30_kmv" -> kmvWriter _,
-      "s31_gram" -> gramWriter _)
+      "s31_gram" -> gramWriter _, "s32_score" -> scoreWriter _)
     val modes = StreamBench.allModes.filter(m => wanted.isEmpty || wanted(m))
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = modes.flatMap { mode =>

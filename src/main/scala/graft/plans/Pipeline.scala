@@ -1707,6 +1707,35 @@ object PipelineCompiler {
     "gramState" -> ((s, _, args) =>
       Map("outport1" -> graft.streaming.StreamingOps.gramState(s,
         arg(args, "path")))),
+    // S32 scoring faces: apply a stored model table (ridge | logistic |
+    // pca, re-read once per batch) or the S31 gram log's live ridge
+    // refit to every micro-batch as a pure narrow map; scored rows
+    // append to `path`
+    "scoreStreamSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        graft.streaming.StreamingOps.scoreStreamSink(in("inport1"),
+          vec = arg(args, "vec"), dim = arg(args, "dim").toInt,
+          modelPath = arg(args, "model"), modelKind = arg(args, "kind"),
+          path = arg(args, "path"),
+          queryName = args.getOrElse("name", "scoreStreamSink"),
+          checkpoint = arg(args, "checkpoint"))
+          .trigger(triggerOf(args)).start()
+      }
+      Map.empty
+    }),
+    "ridgeScoreStreamSink" -> ((s, in, args) => {
+      withQueryShufflePartitions(s, args) {
+        graft.streaming.StreamingOps.ridgeScoreStreamSink(in("inport1"),
+          vec = arg(args, "vec"), dim = arg(args, "dim").toInt,
+          gramLog = arg(args, "gramLog"),
+          lambdaPpm = arg(args, "lambdaPpm").toLong,
+          path = arg(args, "path"),
+          queryName = args.getOrElse("name", "ridgeScoreStreamSink"),
+          checkpoint = arg(args, "checkpoint"))
+          .trigger(triggerOf(args)).start()
+      }
+      Map.empty
+    }),
     "compactUpsertLogSink" -> ((s, _, args) => {
       graft.api.GraftOps.compactUpsertLog(s, arg(args, "in"),
         arg(args, "out"),

@@ -901,6 +901,87 @@ object StreamingOps {
       .agg(sum(col("v")).as("v"))
   }
 
+  /** S32 — the streaming SCORING face over a STORED model table:
+    * apply a fitted quality/projection model to a live stream as a
+    * pure per-row narrow map (the batch
+    * [[graft.api.GraftOps.ridgeApply]]/`logisticApply`/`pcaProject`
+    * plans, unchanged — zero shuffle, scan speed at any batch volume)
+    * and append each batch's scored rows (plus `batch_id`) to `path`.
+    *
+    * The model parquet at `modelPath` is re-read ONCE PER BATCH
+    * (model-sized — (dim+1) rows — never row-scale), so a model
+    * REFRESHED mid-stream (a nightly `logisticFit` re-train, a
+    * [[graft.api.GraftOps.ridgeFitFromSummary]] over the S31 log)
+    * takes effect on the NEXT micro-batch with no query restart —
+    * within one batch every row is scored by ONE consistent model
+    * snapshot. Scoring is a deterministic per-row function of
+    * (row, model), so for a FIXED model the appended scores are
+    * BIT-EQUAL to the batch apply over the same rows for ANY chunking
+    * (law S32). `modelKind` picks the apply face: `ridge` (adds
+    * `score` = β·x + b), `logistic` (adds `score` = σ(β·x + b) —
+    * feed [[graft.api.GraftOps.calibrationReport]] directly), `pca`
+    * (adds `proj`, the k-length centered projection). Wrong-length
+    * vectors and a model table missing its intercept/mean rows fail
+    * loudly inside the batch (the batch faces' own guards). */
+  def scoreStreamSink(stream: DataFrame, vec: String, dim: Int,
+      modelPath: String, modelKind: String, path: String,
+      queryName: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val kinds = Set("ridge", "logistic", "pca")
+    require(kinds(modelKind),
+      s"scoreStreamSink: unknown modelKind '$modelKind' " +
+        s"(expected one of ${kinds.toSeq.sorted.mkString(", ")})")
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, id) =>
+      val model = batch.sparkSession.read.parquet(modelPath)
+      val scored = modelKind match {
+        case "ridge" =>
+          graft.api.GraftOps.ridgeApply(batch, col(vec), model, dim)
+        case "logistic" =>
+          graft.api.GraftOps.logisticApply(batch, col(vec), model, dim)
+        case "pca" =>
+          graft.api.GraftOps.pcaProject(batch, col(vec), model, dim)
+      }
+      scored.withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(path)
+    }
+  }
+
+  /** S32, loop-closing face: score a live stream against the ridge
+    * model the S31 GRAM LOG maintains — per micro-batch, fold the log
+    * ([[gramState]], model-sized × batches, never row-scale), refit
+    * via [[graft.api.GraftOps.ridgeFitFromSummary]] (driver Cholesky
+    * over dim×dim — no history re-scan), and score the batch with the
+    * batch [[graft.api.GraftOps.ridgeApply]] narrow map. This closes
+    * the streaming-model loop: `gramAppendSink` (appending the
+    * target-AUGMENTED dim+1 vectors) keeps the sufficient statistics
+    * current; this sink turns them into live corpus scores — each
+    * batch is scored by the model state AS OF that batch (training
+    * data appended mid-stream sharpens the very next batch's scores).
+    * Output rows carry `batch_id` plus `model_n` — the training-row
+    * count of the state that scored them (the model's provenance
+    * stamp; two batches scored by the same log state share it).
+    * `dim` is the FEATURE dim (the log holds dim+1 augmented
+    * summaries); a log of the wrong dim fails loudly in the refit's
+    * packed-layout check, an un-fittable state (n < 2, rank-deficient
+    * at λ=0) fails loudly in the solve — never silent zero scores. */
+  def ridgeScoreStreamSink(stream: DataFrame, vec: String, dim: Int,
+      gramLog: String, lambdaPpm: Long, path: String,
+      queryName: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(stream, queryName, checkpoint) { (batch, id) =>
+      val s = batch.sparkSession
+      // one tiny log fold shared by the refit and the provenance stamp
+      // (localCheckpoint: the state is model-sized × batches)
+      val state = gramState(s, gramLog).localCheckpoint(true)
+      val model =
+        graft.api.GraftOps.ridgeFitFromSummary(state, dim, lambdaPpm)
+      val n = state.filter(col("idx") === 0).head().getLong(1)
+      graft.api.GraftOps.ridgeApply(batch, col(vec), model, dim)
+        .withColumn("batch_id", lit(id))
+        .withColumn("model_n", lit(n))
+        .write.mode("append").parquet(path)
+    }
+
   /** Streaming heavy-hitter candidate summary — the streaming twin of
     * [[graft.api.GraftOps.heavyHittersSketch]]'s sketch half: one
     * Misra–Gries summary maintained as STREAMING AGGREGATION STATE

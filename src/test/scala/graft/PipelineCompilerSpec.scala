@@ -2925,6 +2925,81 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
     assert(got == want, s"XML-streamed gram log == batch summary: $got")
   }
 
+  test("scoreStreamSink / ridgeScoreStreamSink compose in STREAMING XML pipelines; scores == batch apply (S32 faces)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p)
+    // a ridge model table + the same model as an S31-layout gram log
+    val train = Seq((Seq(1.0f, 0.0f), 2.25), (Seq(0.0f, 1.0f), -0.75),
+      (Seq(1.0f, 1.0f), 1.25), (Seq(-1.0f, 0.5f), -2.25),
+      (Seq(0.5f, -0.5f), 1.75)).toDF("vec", "y")
+    val model = graft.api.GraftOps.ridgeFit(train, col("vec"), col("y"),
+      2, 0L)
+    val mdir = tmp("s32x-model"); model.write.mode("overwrite")
+      .parquet(mdir.toString)
+    val glog = tmp("s32x-glog")
+    graft.api.GraftOps.gramSummaryRows(train,
+        concat(col("vec"), array(col("y").cast("float"))), 3)
+      .withColumn("batch_id", lit(0L))
+      .withColumn("sink_query_id", lit("s32x"))
+      .withColumn("sink_dim", lit(3))
+      .write.mode("append").parquet(glog.toString)
+    val in = tmp("s32x-in")
+    java.nio.file.Files.writeString(in.resolve("a.json"),
+      """{"id": 1, "vec": [0.5, -0.25]}
+        |{"id": 2, "vec": [-1.0, 1.0]}
+        |{"id": 3, "vec": [0.25, 0.75]}
+        |""".stripMargin)
+    val outA = tmp("s32x-outA"); val outB = tmp("s32x-outB")
+    val xml = s"""
+      <pipeline>
+        <operator name="src" class="fileStreamInput">
+          <arg key="schema" value="id LONG, vec ARRAY&lt;FLOAT&gt;"/>
+          <arg key="format" value="json"/>
+          <arg key="path" value="${in.toUri}"/>
+        </operator>
+        <operator name="sc" class="scoreStreamSink">
+          <arg key="vec" value="vec"/><arg key="dim" value="2"/>
+          <arg key="model" value="$mdir"/><arg key="kind" value="logistic"/>
+          <arg key="path" value="$outA"/>
+          <arg key="checkpoint" value="${tmp("s32x-ckA")}"/>
+          <arg key="name" value="s32_xml_score"/>
+          <arg key="triggerMs" value="0"/>
+        </operator>
+        <operator name="rs" class="ridgeScoreStreamSink">
+          <arg key="vec" value="vec"/><arg key="dim" value="2"/>
+          <arg key="gramLog" value="$glog"/><arg key="lambdaPpm" value="0"/>
+          <arg key="path" value="$outB"/>
+          <arg key="checkpoint" value="${tmp("s32x-ckB")}"/>
+          <arg key="name" value="s32_xml_ridge"/>
+          <arg key="triggerMs" value="0"/>
+        </operator>
+        <connect from="src.outport1" to="sc.inport1"/>
+        <connect from="src.outport1" to="rs.inport1"/>
+      </pipeline>"""
+    graft.plans.PipelineCompiler.compile(
+      graft.plans.PipelineSpec.parseXml(xml), spark)
+    for (n <- Seq("s32_xml_score", "s32_xml_ridge")) {
+      val q = spark.streams.active.find(_.name == n)
+        .getOrElse(fail(s"compiled $n did not start"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    val rows = Seq((1L, Seq(0.5f, -0.25f)), (2L, Seq(-1.0f, 1.0f)),
+      (3L, Seq(0.25f, 0.75f))).toDF("id", "vec")
+    val wantA = graft.api.GraftOps.logisticApply(rows, col("vec"), model, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val gotA = spark.read.parquet(outA.toString).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(gotA == wantA, s"XML scoreStreamSink == batch logisticApply: $gotA")
+    val wantB = graft.api.GraftOps.ridgeApply(rows, col("vec"), model, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val gotB = spark.read.parquet(outB.toString).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(4))).toMap
+    assert(gotB.view.mapValues(_._1).toMap == wantB &&
+      gotB.values.forall(_._2 == 5L),
+      s"XML ridgeScoreStreamSink == batch ridgeApply, model_n = 5: $gotB")
+  }
+
   test("calibrationReport registry op: XML == API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -1473,6 +1473,122 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("S32: streaming scoring face — fixed-model stream scores == batch apply over any chunking (ridge/logistic/pca); loop face re-reads the gram log per batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.api.GraftOps
+    import graft.streaming.StreamingOps
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    // labeled training rows with a planted relation y ≈ 2x₀ − x₁ + 0.25
+    val train = IndexedSeq.tabulate(64) { i =>
+      val x0 = ((i * 37 % 31) - 15) / 15.0
+      val x1 = ((i * 53 % 29) - 14) / 14.0
+      (Seq(x0.toFloat, x1.toFloat), 2.0 * x0 - x1 + 0.25)
+    }
+    val trainDf = train.toDF("vec", "y")
+    val ridgeModel = GraftOps.ridgeFit(trainDf, col("vec"), col("y"), 2, 0L)
+    val mdir = tmp("graft-s32-model")
+    ridgeModel.write.mode("overwrite").parquet(mdir)
+    // two arbitrary chunkings of the SAME scoring rows
+    val rows1 = Seq((1L, Seq(0.5f, -0.25f)), (2L, Seq(-1.0f, 1.0f)))
+    val rows2 = Seq((3L, Seq(0.0f, 0.0f)), (4L, Seq(0.75f, 0.5f)),
+      (5L, Seq(-0.3f, -0.6f)))
+    val allRows = rows1 ++ rows2
+    def runScore(kind: String, modelDir: String,
+        chunks: Seq[Seq[(Long, Seq[Float])]]): Map[Long, Seq[Any]] = {
+      val out = tmp(s"graft-s32-out-$kind")
+      val ck = tmp(s"graft-s32-ck-$kind")
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingOps.scoreStreamSink(in.toDF().toDF("id", "vec"),
+        vec = "vec", dim = 2, modelPath = modelDir, modelKind = kind,
+        path = out, queryName = s"s32$kind", checkpoint = ck).start()
+      try chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.read.parquet(out).drop("batch_id").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    }
+    // law: ANY chunking — one batch vs two — is bit-equal to batch apply
+    val batchRidge = GraftOps.ridgeApply(allRows.toDF("id", "vec"),
+        col("vec"), ridgeModel, 2)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    assert(runScore("ridge", mdir, Seq(rows1, rows2)) == batchRidge,
+      "two-chunk ridge stream scores == batch ridgeApply")
+    assert(runScore("ridge", mdir, Seq(allRows)) == batchRidge,
+      "one-chunk ridge stream scores == batch ridgeApply")
+    // logistic face: σ of the same plan (model shape shared)
+    val batchLogistic = GraftOps.logisticApply(allRows.toDF("id", "vec"),
+        col("vec"), ridgeModel, 2)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    assert(runScore("logistic", mdir, Seq(rows1, rows2)) == batchLogistic,
+      "logistic stream scores == batch logisticApply")
+    // pca face: k-length centered projection (its own model table)
+    val pcaModel = GraftOps.pcaFit(trainDf, col("vec"), 2, 1)
+    val pdir = tmp("graft-s32-pca-model")
+    pcaModel.write.mode("overwrite").parquet(pdir)
+    val batchPca = GraftOps.pcaProject(allRows.toDF("id", "vec"),
+        col("vec"), pcaModel, 2)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    assert(runScore("pca", pdir, Seq(rows1, rows2)) == batchPca,
+      "pca stream projections == batch pcaProject")
+    // unknown model kind fails loudly at sink construction
+    val exKind = intercept[IllegalArgumentException] {
+      StreamingOps.scoreStreamSink(rows1.toDF("id", "vec").limit(0),
+        "vec", 2, mdir, "svm", tmp("s32-bad"), "s32bad", tmp("s32-badck"))
+    }
+    assert(exKind.getMessage.contains("unknown modelKind"), s"$exKind")
+    // -------- loop face: the gram log is re-read ONCE PER BATCH --------
+    // gram log seeded with HALF the training rows; the second half is
+    // appended BETWEEN scoring batches — batch 0 must score with the
+    // half-data model, batch 1 with the full-data model (live refresh,
+    // no query restart), each stamped with its state's model_n
+    val (trainA, trainB) = train.splitAt(32)
+    val glog = tmp("graft-s32-glog")
+    def appendSummary(rows: IndexedSeq[(Seq[Float], Double)],
+        batchId: Long): Unit =
+      GraftOps.gramSummaryRows(rows.toDF("vec", "y"),
+          concat(col("vec"), array(col("y").cast("float"))), 3)
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("sink_query_id", lit("s32-seed"))
+        .withColumn("sink_dim", lit(3))
+        .write.mode("append").parquet(glog)
+    appendSummary(trainA, 0L)
+    val out2 = tmp("graft-s32-loop-out")
+    val in2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingOps.ridgeScoreStreamSink(in2.toDF().toDF("id", "vec"),
+      vec = "vec", dim = 2, gramLog = glog, lambdaPpm = 0L,
+      path = out2, queryName = "s32loop",
+      checkpoint = tmp("graft-s32-loop-ck")).start()
+    try {
+      in2.addData(rows1: _*); q2.processAllAvailable()
+      appendSummary(trainB, 1L) // training data lands mid-stream
+      in2.addData(rows2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val scored = spark.read.parquet(out2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    val modelHalf = GraftOps.ridgeFit(trainA.toDF("vec", "y"),
+      col("vec"), col("y"), 2, 0L)
+    val modelFull = GraftOps.ridgeFit(train.toDF("vec", "y"),
+      col("vec"), col("y"), 2, 0L)
+    val wantHalf = GraftOps.ridgeApply(rows1.toDF("id", "vec"),
+        col("vec"), modelHalf, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val wantFull = GraftOps.ridgeApply(rows2.toDF("id", "vec"),
+        col("vec"), modelFull, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows1.foreach { case (id, _) =>
+      val (got, bid, mn) = scored(id)
+      assert(got == wantHalf(id) && bid == 0L && mn == 32L,
+        s"batch 0 row $id scored by the 32-row state: $got (want ${wantHalf(id)})")
+    }
+    rows2.foreach { case (id, _) =>
+      val (got, bid, mn) = scored(id)
+      assert(got == wantFull(id) && bid == 1L && mn == 64L,
+        s"batch 1 row $id scored by the refreshed 64-row state: $got (want ${wantFull(id)})")
+    }
+  }
+
   test("S26: streaming golden-record log — field-wise state == batch goldenRecord over any chunking") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
