@@ -222,25 +222,74 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
     * broadcast-joined 1-row total. Zero-positive inputs raise loudly
     * (AP undefined); all-positive inputs are defined (AP = 1); NULL
     * score/label rows drop; empty input yields an empty curve. */
-  def prCurveReport(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val g = df.filter(score.isNotNull && label.isNotNull)
-      .select(score.cast("double").as("s"),
-        label.cast("boolean").cast("long").as("__p"))
-      .groupBy(col("s"))
+  def prCurveReport(df: DataFrame, score: Column, label: Column): DataFrame =
+    prCore(df, None, score, label, quantizeMicros = false)
+
+  /** [[prCurveReport]] on floor-micros-quantized scores — the SCALE
+    * tier for float scorer outputs (the [[aucReportMicros]] posture
+    * verbatim): scores floor to micros BEFORE the distinct, so the
+    * descending value-scale window — AND the curve itself, one row per
+    * distinct cut — is bounded by the score range ×10⁶ by construction,
+    * regardless of row count. A STATED precision contract: ties within
+    * a micro-bucket count as one block-atomic cut, and on inputs
+    * already quantized at micros the report is BIT-EQUAL to the exact
+    * tier (spec-pinned, the q161b tier-equality pattern). */
+  def prCurveReportMicros(df: DataFrame, score: Column,
+      label: Column): DataFrame =
+    prCore(df, None, score, label, quantizeMicros = true)
+
+  /** Sliced (per-group) [[prCurveReport]] — one PR curve and running
+    * AP per slice (language, source, segment): class imbalance is
+    * usually slice-dependent (the very reason the PR face exists), so
+    * the per-slice curve is what a mixture decision reads. Grouping
+    * makes every window `partitionBy(group)` — the value-scale sort
+    * distributes across slices (the q163 shape). A ZERO-POSITIVE
+    * slice raises loudly NAMING the slice (AP undefined there;
+    * dropping it silently would hide exactly the starved segment);
+    * NULL group/score/label rows drop; empty input yields an empty
+    * report. Set `quantizeMicros` for the micros tier per slice. */
+  def prCurveReportBy(df: DataFrame, group: Column, score: Column,
+      label: Column, quantizeMicros: Boolean = false): DataFrame =
+    prCore(df, Some(group), score, label, quantizeMicros)
+
+  private def prCore(df: DataFrame, groupOpt: Option[Column], score: Column,
+      label: Column, quantizeMicros: Boolean): DataFrame = {
+    val sRaw = score.cast("double")
+    val sKey =
+      if (quantizeMicros) floor(sRaw * lit(1000000.0)).cast("long")
+      else sRaw
+    val kept = groupOpt match {
+      case Some(grp) =>
+        df.filter(grp.isNotNull && score.isNotNull && label.isNotNull)
+      case None => df.filter(score.isNotNull && label.isNotNull)
+    }
+    val groupSel = groupOpt.map(g => Seq(g.as("group"))).getOrElse(Nil)
+    val keys = groupOpt.map(_ => Seq(col("group"))).getOrElse(Nil)
+    val g = kept
+      .select(groupSel ++ Seq(sKey.as("s"),
+        label.cast("boolean").cast("long").as("__p")): _*)
+      .groupBy(keys :+ col("s"): _*)
       .agg(count(lit(1)).as("n"), sum(col("__p")).as("n_pos"))
-    val desc = Window.orderBy(col("s").desc)
+    val desc = (groupOpt match {
+      case Some(_) => Window.partitionBy(col("group"))
+      case None => Window.partitionBy()
+    }).orderBy(col("s").desc)
     val cum = desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val full = desc.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
+    val slice = groupOpt.map(_ =>
+      concat(lit(" in group "), col("group").cast("string")))
+      .getOrElse(lit(""))
     g.withColumn("cum_n", sum(col("n")).over(cum))
       .withColumn("cum_pos", sum(col("n_pos")).over(cum))
       .withColumn("__tot_pos", sum(col("n_pos")).over(full))
-      // zero positives anywhere → AP undefined; raise on every row
-      // (inside an always-evaluated output column, the aucReport rule)
+      // zero positives anywhere (in the slice, for the grouped face) →
+      // AP undefined; raise on every row of that slice (inside an
+      // always-evaluated output column, the aucReport rule)
       .withColumn("cum_n",
         when(col("__tot_pos") === 0,
-          raise_error(lit("prCurveReport: no positive labels — " +
-            "precision–recall undefined")).cast("long"))
+          raise_error(concat(lit("prCurveReport: no positive labels"),
+            slice, lit(" — precision–recall undefined"))).cast("long"))
           .otherwise(col("cum_n")))
       .withColumn("prec_ppm",
         expr("CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000 DIV cum_n AS BIGINT)"))
@@ -250,9 +299,10 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
         expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * cum_pos * 1000000 " +
           "DIV (CAST(__tot_pos AS DECIMAL(38,0)) * cum_n) AS BIGINT)"))
       .withColumn("ap_ppm", sum(col("__term")).over(cum))
-      .select(col("s"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
-        col("prec_ppm"), col("recall_ppm"), col("ap_ppm"))
-      .orderBy(col("s").desc)
+      .select(keys ++ Seq(col("s"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"), col("prec_ppm"), col("recall_ppm"),
+        col("ap_ppm")): _*)
+      .orderBy(keys :+ col("s").desc: _*)
   }
 
   /** Per-group equi-width histogram — the corpus-audit primitive (length/

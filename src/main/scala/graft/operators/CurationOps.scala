@@ -2033,6 +2033,55 @@ object CurationOps {
         AND event_type IS NOT NULL
       GROUP BY 1, 2 ORDER BY "group", bucket"""))
 
+  // --------------------------------------------------------------- q166
+  /** Sliced PR curve on the micros tier: one exact tie-aware
+    * precision–recall curve + running AP per user segment (user_id %
+    * 4) over genuinely FRACTIONAL scores (value/1000, floor-micros
+    * quantized — the q161b posture), completing the scorer-eval
+    * family's symmetry (AUC has its sliced q163 + quantized q161b
+    * faces, calibration its sliced q164; this is BOTH for the rank
+    * face in one hash-gated query: every window partitionBy(group),
+    * curve length bounded by the score range ×10⁶ per slice).
+    * Exercises [[GraftOps.prCurveReportBy]] with quantizeMicros. */
+  val q166 = QueryDef("q166_pr_by_group",
+    (s, dir) =>
+      GraftOps.prCurveReportBy(Tables.load(s, dir, "events"),
+        col("user_id") % 4, col("value") / 1000.0,
+        col("event_type") === "purchase", quantizeMicros = true),
+    Some("""
+      WITH b AS (
+        SELECT user_id % 4 AS grp,
+          CAST(FLOOR((value / 1000.0) * 1000000.0) AS BIGINT) AS s,
+          (event_type = 'purchase') AS p
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL),
+      g AS (
+        SELECT grp, s, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE p) AS BIGINT) AS n_pos
+        FROM b GROUP BY grp, s),
+      c AS (
+        SELECT grp, s, n, n_pos,
+          CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+          CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+          CAST(SUM(n_pos) OVER (PARTITION BY grp) AS BIGINT) AS tot_pos
+        FROM g
+        WINDOW w AS (PARTITION BY grp ORDER BY s DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      t AS (
+        SELECT *, CAST(CAST(n_pos AS HUGEINT) * cum_pos * 1000000
+            // (CAST(tot_pos AS HUGEINT) * cum_n) AS BIGINT) AS term
+        FROM c)
+      SELECT grp AS "group", s, n, n_pos, cum_n, cum_pos,
+        CAST(CAST(cum_pos AS HUGEINT) * 1000000 // cum_n AS BIGINT)
+          AS prec_ppm,
+        CAST(CAST(cum_pos AS HUGEINT) * 1000000 // tot_pos AS BIGINT)
+          AS recall_ppm,
+        CAST(SUM(term) OVER (PARTITION BY grp ORDER BY s DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS ap_ppm
+      FROM t ORDER BY "group", s DESC"""))
+
   // --------------------------------------------------------------- q133
   /** Distinctive vocabulary per source: top-5 overrepresented terms by
     * token-stream chi² keyness, micros-floored before ranking so the
@@ -2084,5 +2133,5 @@ object CurationOps {
       q63, q64, q65, q69, q74, q78, q79, q80, q81, q89, q90, q93, q94, q95,
       q100, q105, q107, q108, q111, q113, q116, q121, q123, q124, q127,
       q130, q131, q133, q139, q143, q149, q160, q161, q161b, q162, q163,
-      q164)
+      q164, q166)
 }

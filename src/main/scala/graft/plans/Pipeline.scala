@@ -1298,6 +1298,19 @@ object PipelineCompiler {
     "prCurveReport" -> ((_, in, args) =>
       Map("outport1" -> graft.api.GraftOps.prCurveReport(in("inport1"),
         expr(arg(args, "score")), expr(arg(args, "label"))))),
+    // the floor-micros scale tier: curve + window bounded by the score
+    // range ×10⁶, for float scorer outputs
+    "prCurveReportMicros" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.prCurveReportMicros(in("inport1"),
+        expr(arg(args, "score")), expr(arg(args, "label"))))),
+    // sliced PR curve: one curve + running AP per group; optional
+    // scoreMicros="true" for the quantized tier per slice
+    "prCurveReportBy" -> ((_, in, args) =>
+      Map("outport1" -> graft.api.GraftOps.prCurveReportBy(in("inport1"),
+        expr(arg(args, "group")),
+        expr(arg(args, "score")), expr(arg(args, "label")),
+        quantizeMicros =
+          args.getOrElse("scoreMicros", "false").toBoolean))),
     // inport1 = data, inport2 = the pcaFit model table (model-by-port,
     // the q50/q66 codebook convention)
     "pcaProject" -> ((_, in, args) =>

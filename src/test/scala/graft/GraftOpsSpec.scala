@@ -5083,6 +5083,61 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
       col("s"), col("l")).count() == 0L)
   }
 
+  test("prCurveReportMicros/prCurveReportBy: tier-equality on quantized inputs, sliced == per-slice exact, zero-positive slice loud by name, NULL group drop") {
+    import spark.implicits._
+    // micros tier == exact tier on inputs already quantized at micros
+    // (every column except the score key, which carries floor-micros
+    // longs instead of the doubles it floors from — the q161b pattern)
+    val quant = Seq((0.25, true), (0.5, false), (0.5, true), (0.75, false),
+      (1.0, true))
+    val exact = GraftOps.prCurveReport(quant.toDF("s", "l"),
+      col("s"), col("l")).collect()
+    val micros = GraftOps.prCurveReportMicros(quant.toDF("s", "l"),
+      col("s"), col("l")).collect()
+    assert(micros.map(_.toSeq.drop(1)).toSeq ==
+      exact.map(_.toSeq.drop(1)).toSeq, "tier equality modulo the score key")
+    assert(micros.map(_.getLong(0)).toSeq ==
+      exact.map(r => math.floor(r.getDouble(0) * 1e6).toLong).toSeq,
+      "micros key == floor(score · 10⁶)")
+    // micros BOUNDS the curve: two scores inside one micro-bucket
+    // collapse to one block-atomic cut
+    val sub = Seq((0.5000001, true), (0.5000004, false))
+    assert(GraftOps.prCurveReportMicros(sub.toDF("s", "l"),
+      col("s"), col("l")).count() == 1L, "sub-micro scores share a cut")
+    // sliced face == the exact face run per slice (group col dropped)
+    val sliced = Seq(("a", 0.9, true), ("a", 0.8, false), ("a", 0.7, true),
+      ("b", 0.6, true), ("b", 0.5, true))
+    val by = GraftOps.prCurveReportBy(sliced.toDF("g", "s", "l"),
+      col("g"), col("s"), col("l")).collect()
+    for (grp <- Seq("a", "b")) {
+      val want = GraftOps.prCurveReport(
+        sliced.filter(_._1 == grp).map(t => (t._2, t._3)).toDF("s", "l"),
+        col("s"), col("l")).collect().map(_.toSeq).toSeq
+      val got = by.filter(_.getString(0) == grp).map(_.toSeq.drop(1)).toSeq
+      assert(got == want, s"slice $grp == exact per-slice: $got")
+    }
+    // a zero-positive SLICE raises loudly, naming the slice
+    def msgs(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => " | " + msgs(c)).getOrElse("")
+    val starved = sliced ++ Seq(("c", 0.4, false), ("c", 0.3, false))
+    val ex = intercept[Exception] {
+      GraftOps.prCurveReportBy(starved.toDF("g", "s", "l"),
+        col("g"), col("s"), col("l")).collect()
+    }
+    assert(msgs(ex).contains("no positive labels") &&
+      msgs(ex).contains("in group c"), s"loud by name: ${msgs(ex)}")
+    // NULL group rows drop (with NULL score/label); empty input → empty
+    val withNullG = sliced.map { case (g, s, l) => (Option(g), s, l) } ++
+      Seq((Option.empty[String], 0.99, false))
+    assert(GraftOps.prCurveReportBy(withNullG.toDF("g", "s", "l"),
+        col("g"), col("s"), col("l")).collect().map(_.toSeq).toSeq ==
+      by.map(_.toSeq).toSeq, "NULL group drops")
+    assert(GraftOps.prCurveReportBy(
+      Seq.empty[(String, Double, Boolean)].toDF("g", "s", "l"),
+      col("g"), col("s"), col("l")).count() == 0L)
+  }
+
   test("ridgeFit/ridgeFitFromSummary/ridgeApply: planted relation, shrinkage, determinism, summary bit-equality, guards") {
     import spark.implicits._
     // planted EXACT linear relation y = 2·x0 − 3·x1 + 0.5 over a

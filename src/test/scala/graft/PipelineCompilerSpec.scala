@@ -3066,10 +3066,20 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
         <operator name="pr" class="prCurveReport">
           <arg key="score" value="s"/><arg key="label" value="l"/>
         </operator>
+        <operator name="pm" class="prCurveReportMicros">
+          <arg key="score" value="s"/><arg key="label" value="l"/>
+        </operator>
+        <operator name="pb" class="prCurveReportBy">
+          <arg key="group" value="g"/>
+          <arg key="score" value="s"/><arg key="label" value="l"/>
+          <arg key="scoreMicros" value="true"/>
+        </operator>
         <connect from="d.outport1" to="m.inport1"/>
         <connect from="d.outport1" to="ab.inport1"/>
         <connect from="d.outport1" to="cb.inport1"/>
         <connect from="d.outport1" to="pr.inport1"/>
+        <connect from="d.outport1" to="pm.inport1"/>
+        <connect from="d.outport1" to="pb.inport1"/>
       </pipeline>""")
     val out = graft.plans.PipelineCompiler.compile(spec, spark)
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -3084,6 +3094,13 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
         col("g"), col("s"), col("l"), 4)), "sliced calibration XML == API")
     assert(rows(out("pr.outport1")) == rows(graft.api.GraftOps.prCurveReport(
       spark.table("eval_rows"), col("s"), col("l"))), "pr curve XML == API")
+    assert(rows(out("pm.outport1")) == rows(
+      graft.api.GraftOps.prCurveReportMicros(spark.table("eval_rows"),
+        col("s"), col("l"))), "pr micros XML == API")
+    assert(rows(out("pb.outport1")) == rows(
+      graft.api.GraftOps.prCurveReportBy(spark.table("eval_rows"),
+        col("g"), col("s"), col("l"), quantizeMicros = true)),
+      "sliced pr XML == API (micros arg through)")
   }
 
   test("logisticFit / logisticApply XML == API (model flows by port)") {
