@@ -317,6 +317,57 @@ private[api] trait ModelStatApi { self: GraftOps.type =>
     ridgeFromPacked(summary.sparkSession, s.toSeq, dim, lambdaPpm)
   }
 
+  /** Shared deterministic driver-side Cholesky solve of A θ = rhs —
+    * the ONE factorization both model fitters use (fixed elimination
+    * order, bit-reproducible run to run), with the RELATIVE pivot
+    * floor: an exactly-collinear design yields a pivot at rounding
+    * scale (±1e-16·diag), which must fail LOUDLY under the caller's
+    * name — never a sqrt of rounding noise feeding a garbage model.
+    * Extracting it keeps the pivot guard, elimination order, and
+    * determinism contract in one place instead of two copies that
+    * could silently diverge. */
+  private def choleskySolve(a: Array[Array[Double]], rhs: Array[Double],
+      who: String): Array[Double] = {
+    val m = a.length
+    val l = Array.ofDim[Double](m, m)
+    var r = 0
+    while (r < m) {
+      var c = 0
+      while (c <= r) {
+        var sum = a(r)(c)
+        var k2 = 0
+        while (k2 < c) { sum -= l(r)(k2) * l(c)(k2); k2 += 1 }
+        if (r == c) {
+          require(sum > 1e-12 * math.max(1.0, math.abs(a(r)(r))),
+            s"$who: non-positive pivot $sum at dim $r — the design is " +
+              "rank-deficient at lambda=0; raise lambdaPpm")
+          l(r)(r) = math.sqrt(sum)
+        } else l(r)(c) = sum / l(c)(c)
+        c += 1
+      }
+      r += 1
+    }
+    val y = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      var sum = rhs(i)
+      var k2 = 0
+      while (k2 < i) { sum -= l(i)(k2) * y(k2); k2 += 1 }
+      y(i) = sum / l(i)(i)
+      i += 1
+    }
+    val theta = new Array[Double](m)
+    i = m - 1
+    while (i >= 0) {
+      var sum = y(i)
+      var k2 = i + 1
+      while (k2 < m) { sum -= l(k2)(i) * theta(k2); k2 += 1 }
+      theta(i) = sum / l(i)(i)
+      i -= 1
+    }
+    theta
+  }
+
   /** Shared driver-side tail of [[ridgeFit]]/[[ridgeFitFromSummary]]:
     * augmented packed summary → centered covariance → Cholesky solve. */
   private def ridgeFromPacked(session: org.apache.spark.sql.SparkSession,
@@ -338,49 +389,11 @@ private[api] trait ModelStatApi { self: GraftOps.type =>
       i += 1
     }
     val lam = lambdaPpm.toDouble / 1e6
-    // Cholesky of A = Cxx + λI (fixed elimination order — deterministic)
+    // Cholesky of A = Cxx + λI (shared deterministic solver)
     val a = Array.tabulate(dim, dim)((r, c) =>
       cov(r)(c) + (if (r == c) lam else 0.0))
-    val l = Array.ofDim[Double](dim, dim)
-    var r = 0
-    while (r < dim) {
-      var c = 0
-      while (c <= r) {
-        var sum = a(r)(c)
-        var k2 = 0
-        while (k2 < c) { sum -= l(r)(k2) * l(c)(k2); k2 += 1 }
-        if (r == c) {
-          // relative floor, not > 0: an exactly-collinear design gives a
-          // zero pivot that rounds to ±1e-16·scale — that must be LOUD,
-          // not a sqrt of rounding noise feeding a garbage model
-          require(sum > 1e-12 * math.max(1.0, math.abs(a(r)(r))),
-            s"ridgeFit: non-positive pivot $sum at dim $r — the design " +
-              "matrix is rank-deficient at lambda=0; raise lambdaPpm")
-          l(r)(r) = math.sqrt(sum)
-        } else l(r)(c) = sum / l(c)(c)
-        c += 1
-      }
-      r += 1
-    }
-    // solve L y = Cxy, then Lᵀ β = y
-    val y = new Array[Double](dim)
-    i = 0
-    while (i < dim) {
-      var sum = cov(i)(dim)
-      var k2 = 0
-      while (k2 < i) { sum -= l(i)(k2) * y(k2); k2 += 1 }
-      y(i) = sum / l(i)(i)
-      i += 1
-    }
-    val beta = new Array[Double](dim)
-    i = dim - 1
-    while (i >= 0) {
-      var sum = y(i)
-      var k2 = i + 1
-      while (k2 < dim) { sum -= l(k2)(i) * beta(k2); k2 += 1 }
-      beta(i) = sum / l(i)(i)
-      i -= 1
-    }
+    val beta = choleskySolve(a,
+      Array.tabulate(dim)(i2 => cov(i2)(dim)), "ridgeFit")
     val intercept = mu(dim) -
       (0 until dim).iterator.map(d => beta(d) * mu(d)).sum
     import session.implicits._
@@ -505,43 +518,7 @@ private[api] trait ModelStatApi { self: GraftOps.type =>
     val a = Array.tabulate(d1, d1)((r, c) =>
       m(r)(c) + (if (r == c && r < dim) lam else 0.0))
     val rhs = Array.tabulate(d1)(r => m(r)(d2 - 1) * 64.0)
-    // Cholesky with the ridge relative pivot floor (loud, deterministic)
-    val l = Array.ofDim[Double](d1, d1)
-    var r = 0
-    while (r < d1) {
-      var c = 0
-      while (c <= r) {
-        var sum = a(r)(c)
-        var k2 = 0
-        while (k2 < c) { sum -= l(r)(k2) * l(c)(k2); k2 += 1 }
-        if (r == c) {
-          require(sum > 1e-12 * math.max(1.0, math.abs(a(r)(r))),
-            s"logisticFit: non-positive pivot $sum at dim $r (n=$n) — the " +
-              "weighted design is rank-deficient at lambda=0; raise lambdaPpm")
-          l(r)(r) = math.sqrt(sum)
-        } else l(r)(c) = sum / l(c)(c)
-        c += 1
-      }
-      r += 1
-    }
-    val y = new Array[Double](d1)
-    i = 0
-    while (i < d1) {
-      var sum = rhs(i)
-      var k2 = 0
-      while (k2 < i) { sum -= l(i)(k2) * y(k2); k2 += 1 }
-      y(i) = sum / l(i)(i)
-      i += 1
-    }
-    val theta = new Array[Double](d1)
-    i = d1 - 1
-    while (i >= 0) {
-      var sum = y(i)
-      var k2 = i + 1
-      while (k2 < d1) { sum -= l(k2)(i) * theta(k2); k2 += 1 }
-      theta(i) = sum / l(i)(i)
-      i -= 1
-    }
+    val theta = choleskySolve(a, rhs, "logisticFit")
     (theta.take(dim), theta(dim))
   }
 

@@ -136,7 +136,16 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
 
   private def aucCore(df: DataFrame, groupOpt: Option[Column], score: Column,
       label: Column, quantizeMicros: Boolean): DataFrame = {
-    val sRaw = score.cast("double")
+    // NaN is loud in BOTH tiers (the calibrationReport range-guard
+    // posture): the exact tier would rank NaN above every real score
+    // while the micros tier's floor(NaN)→0 cast would merge it with
+    // genuine zero-micro scores — two silently DIFFERENT answers for
+    // garbage input; an evaluation over NaN scores is undefined
+    val sRaw0 = score.cast("double")
+    val sRaw = when(isnan(sRaw0),
+      raise_error(lit("aucReport: NaN score — rank undefined"))
+        .cast("double"))
+      .otherwise(sRaw0)
     val sKey =
       if (quantizeMicros) floor(sRaw * lit(1000000.0)).cast("long")
       else sRaw
@@ -166,22 +175,25 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
     val slice = groupOpt.map(_ =>
       concat(lit(" in group "), col("group").cast("string")))
       .getOrElse(lit(""))
-    // the loud guard lives INSIDE the n output column, not in an
-    // arithmetic term: (a) n_pos.isNull covers EMPTY/all-NULL input,
-    // where the GLOBAL agg yields one all-NULL row and `=== 0` alone
-    // evaluates NULL; (b) a `+ guard` term is silently SKIPPED by
-    // Spark's null-safe Add when the other operand is NULL — exactly
-    // the degenerate case — so the guard must be a projected CASE
-    // whose condition always evaluates (both r19 ADVICE findings)
+    // the loud guard is a FILTER, not a projected column: (a)
+    // n_pos.isNull covers EMPTY/all-NULL input, where the GLOBAL agg
+    // yields one all-NULL row and `=== 0` alone evaluates NULL; (b) a
+    // `+ guard` term is silently SKIPPED by Spark's null-safe Add when
+    // the other operand is NULL — exactly the degenerate case (both
+    // r19 ADVICE findings); (c) a guard living in ONE projected column
+    // is column-PRUNED for any consumer that doesn't select it
+    // (.select("auc_ppm") on a single-class input surfaced a raw
+    // divide-by-zero instead of this message — measured), and a filter
+    // survives every projection
     summed
-      .withColumn("n",
+      .filter(
         when(col("n_pos").isNull || col("n_pos") === 0 || col("n_neg") === 0,
           raise_error(concat(lit("aucReport: single-class or empty input"),
             slice, lit(" (n_pos="),
             coalesce(col("n_pos").cast("string"), lit("0")), lit(", n_neg="),
             coalesce(col("n_neg").cast("string"), lit("0")),
-            lit(") — AUC undefined"))).cast("long"))
-          .otherwise(col("n")))
+            lit(") — AUC undefined"))).cast("boolean"))
+          .otherwise(lit(true)))
       .withColumn("u2", expr("__sum2r - n_pos * (n_pos + 1)"))
       .withColumn("denom", expr("2 * n_pos * n_neg"))
       .select(keys ++ Seq(col("n"), col("n_pos"), col("n_neg"), col("u2"),
@@ -254,7 +266,14 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
 
   private def prCore(df: DataFrame, groupOpt: Option[Column], score: Column,
       label: Column, quantizeMicros: Boolean): DataFrame = {
-    val sRaw = score.cast("double")
+    // NaN scores raise in both tiers — the aucCore rule (the exact
+    // tier would rank NaN as the largest score, the micros tier would
+    // merge it with zero-micro scores; neither is an answer)
+    val sRaw0 = score.cast("double")
+    val sRaw = when(isnan(sRaw0),
+      raise_error(lit("prCurveReport: NaN score — rank undefined"))
+        .cast("double"))
+      .otherwise(sRaw0)
     val sKey =
       if (quantizeMicros) floor(sRaw * lit(1000000.0)).cast("long")
       else sRaw
@@ -284,13 +303,14 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
       .withColumn("cum_pos", sum(col("n_pos")).over(cum))
       .withColumn("__tot_pos", sum(col("n_pos")).over(full))
       // zero positives anywhere (in the slice, for the grouped face) →
-      // AP undefined; raise on every row of that slice (inside an
-      // always-evaluated output column, the aucReport rule)
-      .withColumn("cum_n",
+      // AP undefined; raise on every row of that slice — as a FILTER,
+      // never a projected column, so no downstream projection can
+      // column-prune the guard away (the aucCore rule)
+      .filter(
         when(col("__tot_pos") === 0,
           raise_error(concat(lit("prCurveReport: no positive labels"),
-            slice, lit(" — precision–recall undefined"))).cast("long"))
-          .otherwise(col("cum_n")))
+            slice, lit(" — precision–recall undefined"))).cast("boolean"))
+          .otherwise(lit(true)))
       .withColumn("prec_ppm",
         expr("CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000 DIV cum_n AS BIGINT)"))
       .withColumn("recall_ppm",

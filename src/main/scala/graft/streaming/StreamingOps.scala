@@ -761,7 +761,12 @@ object StreamingOps {
     * [[graft.api.GraftOps.cmsQuery]] unchanged. */
   def cmsState(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val log = spark.read.parquet(path)
+    // mergeSchema: a log mixing pre-upgrade files (no sink_query_id
+    // column) with post-upgrade ones must not let Spark sample its
+    // schema from an OLD footer and silently drop the column for every
+    // row — that would reintroduce the fresh-checkpoint batch-0
+    // max-collapse this column exists to prevent
+    val log = spark.read.option("mergeSchema", "true").parquet(path)
     // replay collapse is scoped per CHECKPOINT LIFETIME: (query id,
     // batch id) — batch ids alone restart at 0 under a fresh checkpoint
     // and would silently merge distinct batches. Logs (or rows) that
@@ -811,7 +816,9 @@ object StreamingOps {
     * the rows that carry one. */
   def kmvState(spark: org.apache.spark.sql.SparkSession, path: String,
       k: Int): DataFrame = {
-    val log = spark.read.parquet(path)
+    // mergeSchema: never let a pre-upgrade footer hide the sink_k
+    // column of newer appends (the cmsState note)
+    val log = spark.read.option("mergeSchema", "true").parquet(path)
     if (log.columns.contains("sink_k")) {
       val agg = log.agg(min(col("sink_k")),
         count(lit(1)), count(col("sink_k"))).first()
@@ -880,7 +887,9 @@ object StreamingOps {
     * read fails loudly on a mixed-dim log. */
   def gramState(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val log = spark.read.parquet(path)
+    // mergeSchema: never let a pre-upgrade footer hide the sink_dim /
+    // sink_query_id columns of newer appends (the cmsState note)
+    val log = spark.read.option("mergeSchema", "true").parquet(path)
     if (log.columns.contains("sink_dim")) {
       val dims = log.select(col("sink_dim")).filter(col("sink_dim").isNotNull)
         .distinct().collect().map(_.getInt(0)).sorted
@@ -906,7 +915,8 @@ object StreamingOps {
     * pure per-row narrow map (the batch
     * [[graft.api.GraftOps.ridgeApply]]/`logisticApply`/`pcaProject`
     * plans, unchanged — zero shuffle, scan speed at any batch volume)
-    * and append each batch's scored rows (plus `batch_id`) to `path`.
+    * and write each batch's scored rows under `path` (read back with
+    * `sink_query_id`/`batch_id` partition columns).
     *
     * The model parquet at `modelPath` is re-read ONCE PER BATCH
     * (model-sized — (dim+1) rows — never row-scale), so a model
@@ -922,7 +932,20 @@ object StreamingOps {
     * feed [[graft.api.GraftOps.calibrationReport]] directly), `pca`
     * (adds `proj`, the k-length centered projection). Wrong-length
     * vectors and a model table missing its intercept/mean rows fail
-    * loudly inside the batch (the batch faces' own guards). */
+    * loudly inside the batch (the batch faces' own guards).
+    *
+    * At-least-once cure: foreachBatch can REPLAY a batch (append
+    * succeeded, checkpoint commit didn't) — and by then the model may
+    * have been refreshed, so a replayed append would write CONFLICTING
+    * score rows no read-side dedup could adjudicate. Each batch
+    * therefore OVERWRITES its own partition directory
+    * `path/sink_query_id=<qid>/batch_id=<id>` instead of appending: a
+    * replay replaces its first attempt wholesale (last attempt wins,
+    * consistent within the batch — exactly-once output from an
+    * at-least-once contract), and the query-id level keeps a second
+    * checkpoint lifetime's batch-0 from clobbering the first's (the
+    * gramAppendSink discriminator). Readers just
+    * `spark.read.parquet(path)` — both levels surface as columns. */
   def scoreStreamSink(stream: DataFrame, vec: String, dim: Int,
       modelPath: String, modelKind: String, path: String,
       queryName: String,
@@ -931,7 +954,9 @@ object StreamingOps {
     require(kinds(modelKind),
       s"scoreStreamSink: unknown modelKind '$modelKind' " +
         s"(expected one of ${kinds.toSeq.sorted.mkString(", ")})")
+    var qid: String = null
     foreachBatchSink(stream, queryName, checkpoint) { (batch, id) =>
+      if (qid == null) qid = checkpointQueryId(batch.sparkSession, checkpoint)
       val model = batch.sparkSession.read.parquet(modelPath)
       val scored = modelKind match {
         case "ridge" =>
@@ -941,8 +966,8 @@ object StreamingOps {
         case "pca" =>
           graft.api.GraftOps.pcaProject(batch, col(vec), model, dim)
       }
-      scored.withColumn("batch_id", lit(id))
-        .write.mode("append").parquet(path)
+      scored.write.mode("overwrite")
+        .parquet(s"$path/sink_query_id=$qid/batch_id=$id")
     }
   }
 
@@ -963,12 +988,23 @@ object StreamingOps {
     * `dim` is the FEATURE dim (the log holds dim+1 augmented
     * summaries); a log of the wrong dim fails loudly in the refit's
     * packed-layout check, an un-fittable state (n < 2, rank-deficient
-    * at λ=0) fails loudly in the solve — never silent zero scores. */
+    * at λ=0) fails loudly in the solve — never silent zero scores.
+    *
+    * At-least-once cure (sharper here than in [[scoreStreamSink]]: a
+    * replayed batch refolds a possibly-GROWN gram log, so its re-fit
+    * model — and every score and `model_n` — can legitimately differ
+    * from the first attempt's): each batch OVERWRITES its own
+    * `path/sink_query_id=<qid>/batch_id=<id>` partition directory, so
+    * the replay REPLACES the first attempt (one consistent
+    * model-per-batch in the log, never two conflicting copies), and
+    * distinct checkpoint lifetimes keep distinct directories. */
   def ridgeScoreStreamSink(stream: DataFrame, vec: String, dim: Int,
       gramLog: String, lambdaPpm: Long, path: String,
       queryName: String,
-      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    var qid: String = null
     foreachBatchSink(stream, queryName, checkpoint) { (batch, id) =>
+      if (qid == null) qid = checkpointQueryId(batch.sparkSession, checkpoint)
       val s = batch.sparkSession
       // one tiny log fold shared by the refit and the provenance stamp
       // (localCheckpoint: the state is model-sized × batches)
@@ -977,10 +1013,11 @@ object StreamingOps {
         graft.api.GraftOps.ridgeFitFromSummary(state, dim, lambdaPpm)
       val n = state.filter(col("idx") === 0).head().getLong(1)
       graft.api.GraftOps.ridgeApply(batch, col(vec), model, dim)
-        .withColumn("batch_id", lit(id))
         .withColumn("model_n", lit(n))
-        .write.mode("append").parquet(path)
+        .write.mode("overwrite")
+        .parquet(s"$path/sink_query_id=$qid/batch_id=$id")
     }
+  }
 
   /** Streaming heavy-hitter candidate summary — the streaming twin of
     * [[graft.api.GraftOps.heavyHittersSketch]]'s sketch half: one

@@ -4928,6 +4928,28 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
     assert(msgs(exAllNull).contains("single-class or empty"),
       s"all-NULL loud: ${msgs(exAllNull)}")
+    // the guard survives COLUMN PRUNING: a consumer projecting only
+    // auc_ppm still gets the NAMED error, not a raw divide-by-zero or
+    // a silent NULL (the guard is a filter, not a projected column —
+    // r20 self-review finding, failure measured before the fix)
+    val exPruned = intercept[Exception] {
+      GraftOps.aucReport(Seq((0.1, true), (0.9, true)).toDF("s", "l"),
+        col("s"), col("l")).select("auc_ppm").collect()
+    }
+    assert(msgs(exPruned).contains("single-class or empty"),
+      s"projection-proof guard: ${msgs(exPruned)}")
+    // NaN scores are loud in BOTH tiers: the exact tier would rank NaN
+    // above every real score while the micros tier's floor→long cast
+    // would merge it with zero-micro scores — two silently different
+    // answers for garbage input
+    for (tier <- Seq(false, true)) {
+      val exNan = intercept[Exception] {
+        val df = Seq((0.1, true), (Double.NaN, false)).toDF("s", "l")
+        (if (tier) GraftOps.aucReportMicros(df, col("s"), col("l"))
+         else GraftOps.aucReport(df, col("s"), col("l"))).collect()
+      }
+      assert(msgs(exNan).contains("NaN score"), s"NaN loud ($tier): ${msgs(exNan)}")
+    }
   }
 
   test("aucReportMicros: bit-equal to the exact tier on quantized inputs; coarsens sub-micro distinctions to ties") {
@@ -5136,6 +5158,23 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(GraftOps.prCurveReportBy(
       Seq.empty[(String, Double, Boolean)].toDF("g", "s", "l"),
       col("g"), col("s"), col("l")).count() == 0L)
+    // the zero-positive guard survives column pruning (filter, not a
+    // projected column — the aucReport rule), and NaN scores are loud
+    // in both tiers
+    val exPruned = intercept[Exception] {
+      GraftOps.prCurveReport(Seq((0.1, false), (0.2, false)).toDF("s", "l"),
+        col("s"), col("l")).select("ap_ppm").collect()
+    }
+    assert(msgs(exPruned).contains("no positive labels"),
+      s"projection-proof guard: ${msgs(exPruned)}")
+    for (tier <- Seq(false, true)) {
+      val exNan = intercept[Exception] {
+        val df = Seq((0.1, true), (Double.NaN, false)).toDF("s", "l")
+        (if (tier) GraftOps.prCurveReportMicros(df, col("s"), col("l"))
+         else GraftOps.prCurveReport(df, col("s"), col("l"))).collect()
+      }
+      assert(msgs(exNan).contains("NaN score"), s"NaN loud ($tier): ${msgs(exNan)}")
+    }
   }
 
   test("ridgeFit/ridgeFitFromSummary/ridgeApply: planted relation, shrinkage, determinism, summary bit-equality, guards") {

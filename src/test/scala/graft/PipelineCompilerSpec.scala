@@ -2988,13 +2988,15 @@ class PipelineCompilerSpec extends AnyFunSuite with SharedSpark {
       (3L, Seq(0.25f, 0.75f))).toDF("id", "vec")
     val wantA = graft.api.GraftOps.logisticApply(rows, col("vec"), model, 2)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    val gotA = spark.read.parquet(outA.toString).collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val gotA = spark.read.parquet(outA.toString)
+      .select("id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(gotA == wantA, s"XML scoreStreamSink == batch logisticApply: $gotA")
     val wantB = graft.api.GraftOps.ridgeApply(rows, col("vec"), model, 2)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    val gotB = spark.read.parquet(outB.toString).collect()
-      .map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(4))).toMap
+    val gotB = spark.read.parquet(outB.toString)
+      .select("id", "score", "model_n").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(gotB.view.mapValues(_._1).toMap == wantB &&
       gotB.values.forall(_._2 == 5L),
       s"XML ridgeScoreStreamSink == batch ridgeApply, model_n = 5: $gotB")

@@ -1444,6 +1444,24 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       (all ++ chunk3).toDF("id", "vec"), col("vec"), 3))
     assert(rows(StreamingOps.gramState(spark, dir)) == wantAll,
       "a fresh checkpoint lifetime SUMS into the gram state")
+    // a log MIXING pre-upgrade files (no sink_query_id column) with
+    // post-upgrade ones must not let the read sample its schema from
+    // an old footer and silently drop the column for every row — the
+    // state read uses mergeSchema, so the post-upgrade lifetime's
+    // batch-0 stays distinct from the pre-upgrade batch-0 (r20
+    // self-review finding)
+    val mixLog = java.nio.file.Files.createTempDirectory("graft-gram-mixlog")
+      .toString
+    GraftOps.gramSummaryRows(chunk1.toDF("id", "vec"), col("vec"), 3)
+      .withColumn("batch_id", lit(0L)).withColumn("sink_dim", lit(3))
+      .write.mode("append").parquet(mixLog) // pre-upgrade layout
+    GraftOps.gramSummaryRows(chunk2.toDF("id", "vec"), col("vec"), 3)
+      .withColumn("batch_id", lit(0L))
+      .withColumn("sink_query_id", lit("upgraded-lifetime"))
+      .withColumn("sink_dim", lit(3))
+      .write.mode("append").parquet(mixLog) // post-upgrade, same batch id
+    assert(rows(StreamingOps.gramState(spark, mixLog)) == want,
+      "mixed-schema log: pre- and post-upgrade batch-0s SUM, never collapse")
     // a log that mixes summaries of DIFFERENT dims must fail loudly —
     // misaligned packed layouts would silently sum into a garbage model
     val mixDir = java.nio.file.Files.createTempDirectory("graft-gram-mix")
@@ -1505,8 +1523,9 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
         path = out, queryName = s"s32$kind", checkpoint = ck).start()
       try chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
       finally q.stop()
-      spark.read.parquet(out).drop("batch_id").collect()
-        .map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+      val outCol = if (kind == "pca") "proj" else "score"
+      spark.read.parquet(out).select(col("id"), col(outCol)).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     }
     // law: ANY chunking — one batch vs two — is bit-equal to batch apply
     val batchRidge = GraftOps.ridgeApply(allRows.toDF("id", "vec"),
@@ -1564,9 +1583,12 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       appendSummary(trainB, 1L) // training data lands mid-stream
       in2.addData(rows2: _*); q2.processAllAvailable()
     } finally q2.stop()
-    val scored = spark.read.parquet(out2).collect()
+    val scored = spark.read.parquet(out2)
+      .select(col("id"), col("score"), col("batch_id").cast("long"),
+        col("model_n"))
+      .collect()
       .map(r => r.getLong(0) ->
-        (r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
     val modelHalf = GraftOps.ridgeFit(trainA.toDF("vec", "y"),
       col("vec"), col("y"), 2, 0L)
     val modelFull = GraftOps.ridgeFit(train.toDF("vec", "y"),
@@ -1587,6 +1609,46 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       assert(got == wantFull(id) && bid == 1L && mn == 64L,
         s"batch 1 row $id scored by the refreshed 64-row state: $got (want ${wantFull(id)})")
     }
+    // replay cure: each batch owns an OVERWRITE-mode partition dir
+    // sink_query_id=<qid>/batch_id=<id>, so an at-least-once replay
+    // (possibly against a GROWN gram log) REPLACES its first attempt
+    // instead of appending a second, conflicting copy
+    val qidDirs = new java.io.File(out2).listFiles()
+      .filter(_.getName.startsWith("sink_query_id=")).toSeq
+    assert(qidDirs.length == 1 &&
+      qidDirs.head.listFiles().map(_.getName).toSet
+        .filter(_.startsWith("batch_id=")) == Set("batch_id=0", "batch_id=1"),
+      s"per-(query id, batch) overwrite layout: ${qidDirs.map(_.getName)}")
+    // simulate the replay: re-score batch 1's rows against the grown
+    // log and overwrite its directory the way the sink does — the read
+    // still sees exactly ONE copy of each row, scores unchanged
+    graft.api.GraftOps.ridgeApply(rows2.toDF("id", "vec"),
+        col("vec"), modelFull, 2)
+      .withColumn("model_n", lit(64L))
+      .write.mode("overwrite")
+      .parquet(qidDirs.head.getAbsolutePath + "/batch_id=1")
+    val replayed = spark.read.parquet(out2)
+      .select(col("id"), col("score"), col("batch_id").cast("long"),
+        col("model_n"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(replayed == scored,
+      "a replayed batch REPLACES its first attempt — no duplicate rows")
+    // a SECOND checkpoint lifetime on the SAME out path keeps its own
+    // sink_query_id directory — lifetimes coexist, batch-0s never clobber
+    val in3 = MemoryStream[(Long, Seq[Float])]
+    val q3 = StreamingOps.ridgeScoreStreamSink(in3.toDF().toDF("id", "vec"),
+      vec = "vec", dim = 2, gramLog = glog, lambdaPpm = 0L,
+      path = out2, queryName = "s32loop2",
+      checkpoint = tmp("graft-s32-loop-ck2")).start()
+    val rows3 = Seq((6L, Seq(1.0f, 1.0f)))
+    try { in3.addData(rows3: _*); q3.processAllAvailable() }
+    finally q3.stop()
+    val after = spark.read.parquet(out2)
+    assert(after.select(col("sink_query_id")).distinct().count() == 2L &&
+      after.count() == (rows1 ++ rows2 ++ rows3).size.toLong,
+      "two checkpoint lifetimes coexist under distinct query-id dirs")
   }
 
   test("S26: streaming golden-record log — field-wise state == batch goldenRecord over any chunking") {
