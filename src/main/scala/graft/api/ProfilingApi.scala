@@ -621,11 +621,23 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
     }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("rrf"), col("doc_id"))
+    // List-index-order fold, slot form (r21): one codegen'd conditional
+    // SUM per input list replaces the object-mode collect_list +
+    // sort_array + fold. Bitwise equal under the ranking contract (one
+    // row per (query, doc) per list — each slot sum covers at most one
+    // row); slots fold in list-index order, every contribution is a
+    // positive finite double, and x + 0.0 == x exactly, so an absent
+    // list is the identity. The list count is STATIC (rankings.size) —
+    // no data-dependent plan. On out-of-contract input (a doc duplicated
+    // within one list) both forms double-count; only the addend order
+    // within the offending list differs.
+    val slots = rankings.indices.map(i =>
+      sum(when(col("__src") === i, col("__c"))).as(s"__s$i"))
     tagged.reduce(_ unionAll _)
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("__src"), col("__c"))))
-        .as("__l"))
-      .withColumn("rrf", expr("aggregate(__l, 0D, (a, x) -> a + x.__c)"))
+      .agg(slots.head, slots.tail: _*)
+      .withColumn("rrf", rankings.indices.foldLeft(lit(0.0)) {
+        (acc, i) => acc + coalesce(col(s"__s$i"), lit(0.0)) })
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("doc_id"), col("rank"), col("rrf"))

@@ -288,7 +288,15 @@ private[api] trait TextApi { self: GraftOps.type =>
       s"bPpm must be in [0, 1000000]; got $bPpm")
     val k1 = k1Ppm.toDouble / 1000000.0
     val b = bPpm.toDouble / 1000000.0
-    val tok = docs.select(id.as("__doc"), explode(Text.tokens(text)).as("__t"))
+    // NULL doc ids drop up front (r21): a doc that can never be returned
+    // should not shape the corpus statistics either — and the explicit
+    // base filter makes the tf/dl/df/st subtrees CANONICALLY IDENTICAL,
+    // so ReuseExchange collapses what used to be four separate
+    // scan+tokenize+partial-agg passes over the corpus into ONE (the
+    // join-inferred isnotnull(__doc) used to appear on only two of the
+    // four branches, defeating exchange reuse — guide §2.4).
+    val tok = docs.filter(id.isNotNull)
+      .select(id.as("__doc"), explode(Text.tokens(text)).as("__t"))
       .filter(col("__t") =!= "")
     val tf = tok.groupBy(col("__doc"), col("__t")).agg(count(lit(1)).as("__tf"))
     // dl = Σ tf per doc — exactly the token count, but aggregated from
@@ -296,11 +304,24 @@ private[api] trait TextApi { self: GraftOps.type =>
     // instead of a second pass over the raw token stream
     val dl = tf.groupBy(col("__doc")).agg(sum("__tf").as("__dl"))
     val st = dl.agg(count(lit(1)).as("__n"), sum("__dl").as("__tot"))
-    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    // df = rows of tf per term. The `__tf >= 1` predicate is a tautology
+    // (count(*) of a present group is >= 1) kept ONLY so column pruning
+    // does not strip __tf from this branch and rewrite it into a separate
+    // distinct pass: with __tf alive, the subtree below the (doc, term)
+    // exchange is canonically identical to tf's and ReuseExchange serves
+    // df from the SAME shuffle files (one corpus pass, guide §2.4).
+    val dfreq = tf.filter(col("__tf") >= 1)
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     val qterms = queries
       .select(qid.as("__q"), explode(Text.tokens(qtext)).as("__t"))
       .filter(col("__t") =!= "").distinct()
-    val cand = qterms.join(tf, "__t").join(dfreq, "__t")
+    // Each query term's rank in ITS query's term order (string asc —
+    // exactly sort_array's struct order over (__t, __c)): the per-
+    // (query, doc) score fold below adds contributions in slot order,
+    // which IS term order, so the IEEE chain is unchanged (r21).
+    val qtr = qterms.withColumn("__r", row_number().over(
+      Window.partitionBy(col("__q")).orderBy(col("__t"))))
+    val cand = qtr.join(tf, "__t").join(dfreq, "__t")
       .join(dl, "__doc")
       .crossJoin(broadcast(st))
       .withColumn("__x",
@@ -313,9 +334,35 @@ private[api] trait TextApi { self: GraftOps.type =>
           (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__x"))))
       .withColumn("__c", col("__idf") * col("__tfp"))
     val w = Window.partitionBy(col("__q")).orderBy(desc("score"), col("__doc"))
-    cand.groupBy(col("__q"), col("__doc"))
-      .agg(sort_array(collect_list(struct(col("__t"), col("__c")))).as("__lst"))
-      .withColumn("score", expr("aggregate(__lst, 0D, (acc, x) -> acc + x.__c)"))
+    // Per-(query, doc) term fold, slot form (r21): the sorted-list fold
+    // (ObjectHashAggregate collect_list + sort_array + aggregate — object
+    // mode, no codegen) is replaced by one codegen'd conditional SUM per
+    // term rank plus a left-to-right `coalesce(s_r, 0.0)` fold. Bitwise
+    // equal to the list fold: each slot sum covers at most ONE row (term
+    // ranks are unique per query), slot order is term order, every __c is
+    // a positive finite double, and x + 0.0 == x exactly in IEEE — an
+    // absent slot is the identity. rMax is a query-table statistic
+    // (model-sized driver scalar, the max-scalar-agg contract); an
+    // adversarially wide query table (> 256 distinct terms in one query)
+    // falls back to the list fold rather than exploding the plan.
+    val rMaxRow = qtr.agg(max(col("__r"))).head()
+    val rMax = if (rMaxRow.isNullAt(0)) 0 else rMaxRow.getInt(0)
+    val scored =
+      if (rMax >= 1 && rMax <= 256) {
+        val slots = (1 to rMax).map(r =>
+          sum(when(col("__r") === r, col("__c"))).as(s"__s$r"))
+        cand.groupBy(col("__q"), col("__doc"))
+          .agg(slots.head, slots.tail: _*)
+          .withColumn("score", (1 to rMax).foldLeft(lit(0.0)) {
+            (acc, r) => acc + coalesce(col(s"__s$r"), lit(0.0)) })
+      } else {
+        cand.groupBy(col("__q"), col("__doc"))
+          .agg(sort_array(collect_list(struct(col("__t"), col("__c"))))
+            .as("__lst"))
+          .withColumn("score",
+            expr("aggregate(__lst, 0D, (acc, x) -> acc + x.__c)"))
+      }
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("__q").as("query_id"), col("__doc").as("doc_id"),
