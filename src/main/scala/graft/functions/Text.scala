@@ -24,12 +24,23 @@ object Text {
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")
 
+  /** Evaluate `c` ONCE per row and hand the bound value to `f`: inside a
+    * higher-order-function lambda, a captured expression tree is
+    * re-evaluated per ELEMENT, so a per-position lambda over an
+    * expensive array expression (tokenize = regex + split) silently
+    * multiplies that cost by the array length (r21: Text.shingles was
+    * re-running the whole tokenizer once per shingle position). The
+    * single-element transform binds the value to a lambda variable. */
+  private def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** k-token shingles: ["a b c","b c d",…]; empty array when < k tokens. */
-  def shingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+  def shingles(toks: Column, k: Int): Column = bindOnce(toks) { t =>
+    when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(k)))))
       .otherwise(typedLit(Seq.empty[String]))
+  }
 
   /** Portable seeded 60-bit hash usable inside HOF lambdas. */
   private def ph(seed: Column, s: Column): Column =
@@ -42,11 +53,14 @@ object Text {
   def minhashSignature(sh: Column, n: Int): Column = MinHashSig(sh, n)
 
   /** LSH band keys: md5 over each `rows`-wide slice of the signature.
-    * Docs sharing any band key become candidate pairs. */
-  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    * Docs sharing any band key become candidate pairs. (Signature bound
+    * once per row — see [[bindOnce]]; a captured signature expression
+    * would re-hash the whole MinHash family once per band.) */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column = bindOnce(sig) { s =>
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws(",",
-        transform(slice(sig, b * lit(rows) + lit(1), lit(rows)), x => x.cast("string")))))
+        transform(slice(s, b * lit(rows) + lit(1), lit(rows)), x => x.cast("string")))))
+  }
 
   /** 60-bit SimHash over the token multiset: bit b is set iff the majority
     * of token hashes have bit b set — codegen'd [[SimHash60]] expression. */
