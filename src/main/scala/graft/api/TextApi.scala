@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 import graft.functions.{CosineSim, Portable, Text}
 /** text family: tokenization, retrieval (BM25/proximity/RBO/RRF), quality, splits, sampling, mixture, time-series smoothing — members of [[GraftOps]], split out of the former single
@@ -911,29 +911,52 @@ private[api] trait TextApi { self: GraftOps.type =>
       .filter(col("key").isNotNull && col("__um").isNotNull)
       .select(col("key"), expr(s"__um div ${stepUs}L").as("bucket"))
     val counts = b.groupBy(col("key"), col("bucket")).agg(count(lit(1)).as("__n"))
-    bucketSpine(b, "gapFill", stepUs, maxBucketsPerKey)
-      .join(counts, Seq("key", "bucket"), "left")
-      .select(col("key"), col("bucket"), coalesce(col("__n"), lit(0L)).as("n"))
+    // Single-pass gap explode (r21): each observed bucket emits itself
+    // plus the silent buckets up to (not incl.) the NEXT observed bucket
+    // via one lead() window — the spine rows appear as generated rows
+    // instead of a (key, bucket) spine join, deleting the second corpus
+    // pass (bounds agg), the spine exchange, and the join. Window input
+    // is OBSERVED-bucket-sized, never spine-sized; per-key first/last
+    // observed buckets bound the spine exactly as before.
+    val wLead = Window.partitionBy(col("key")).orderBy(col("bucket"))
+    spineExplode(counts, "gapFill", stepUs, maxBucketsPerKey, wLead)
+      .select(col("key"), col("__bkt").as("bucket"),
+        when(col("__bkt") === col("bucket"), col("__n")).otherwise(lit(0L))
+          .as("n"))
   }
 
-  /** The dense per-key (key, bucket) spine shared by [[gapFill]] and
-    * [[interpolate]]: min..max bucket per key via explode(sequence) —
-    * spine size = keys × their ACTIVE spans, never keys × global
-    * calendar — with the hostile-key guard failing loudly. */
-  private def bucketSpine(b: DataFrame, opName: String, stepUs: Long,
-      maxBucketsPerKey: Long): DataFrame = {
-    val bounds = b.groupBy(col("key"))
-      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+  /** The per-key gap explode shared by [[gapFill]] and [[interpolate]]
+    * (r21 — replaces the former bucketSpine join): appends `__bkt` rows
+    * covering [bucket, nextBucket) per observed row (last row emits just
+    * itself), so the union over a key is exactly its min..max spine.
+    * The hostile-key guard fails loudly BEFORE the explode: per-key
+    * min/max come from two O(1) running-frame window firsts over the
+    * same sorts the callers already pay, never a separate agg pass. */
+  private def spineExplode(obs: DataFrame, opName: String, stepUs: Long,
+      maxBucketsPerKey: Long, wLead: WindowSpec): DataFrame = {
+    val withNext = obs.withColumn("__nb", lead(col("bucket"), 1).over(wLead))
     val guarded =
-      if (maxBucketsPerKey == Long.MaxValue) bounds
-      else bounds.withColumn("__mn",
-        when(col("__mx") - col("__mn") >= maxBucketsPerKey,
-          raise_error(concat(
-            lit(s"$opName: key "), col("key").cast("string"),
-            lit(" spans "), (col("__mx") - col("__mn") + 1L).cast("string"),
-            lit(s" buckets > maxBucketsPerKey=$maxBucketsPerKey at stepUs=$stepUs"))))
-          .otherwise(col("__mn")))
-    guarded.select(col("key"), explode(sequence(col("__mn"), col("__mx"))).as("bucket"))
+      if (maxBucketsPerKey == Long.MaxValue) withNext
+      else {
+        val wfRun = Window.partitionBy(col("key")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wbRun = Window.partitionBy(col("key")).orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        withNext
+          .withColumn("__mn", first(col("bucket")).over(wfRun))
+          .withColumn("__mx", first(col("bucket")).over(wbRun))
+          .withColumn("__nb",
+            when(col("__mx") - col("__mn") >= maxBucketsPerKey,
+              raise_error(concat(
+                lit(s"$opName: key "), col("key").cast("string"),
+                lit(" spans "), (col("__mx") - col("__mn") + 1L).cast("string"),
+                lit(s" buckets > maxBucketsPerKey=$maxBucketsPerKey at stepUs=$stepUs")
+              )).cast("long"))
+            .otherwise(col("__nb")))
+          .drop("__mn", "__mx")
+      }
+    guarded.withColumn("__bkt", explode(
+      sequence(col("bucket"), coalesce(col("__nb") - 1, col("bucket")))))
   }
 
   /** Linear interpolation over the gap-filled bucket spine — [[gapFill]]
@@ -1226,48 +1249,58 @@ private[api] trait TextApi { self: GraftOps.type =>
       .agg(sum(col("__cents")).as("__sc"), count(lit(1)).as("__n"))
       .select(col("key"), col("bucket"), col("__n"),
         (col("__sc").cast("double") / 100.0 / col("__n").cast("double")).as("__v"))
-    val spine = bucketSpine(b.select(col("key"), col("bucket")),
-        "interpolate", stepUs, maxBucketsPerKey)
-      .join(obs, Seq("key", "bucket"), "left")
-      .select(col("key"), col("bucket"),
-        coalesce(col("__n"), lit(0L)).as("n"), col("__v"))
     // Both carries are RUNNING frames ([unboundedPreceding, currentRow]),
     // the backward one over descending bucket order: Spark evaluates a
     // running frame incrementally (O(n) per partition) but re-scans a
     // [currentRow, unboundedFollowing] frame for every row (O(n²)) — the
     // frame-direction swap took q75 from 35.7 s to sub-second at sf0.1.
-    // Same key partitioning → one exchange, two in-partition sorts.
+    // Since r21 the windows run over the OBSERVED buckets only, never the
+    // dense spine: silent buckets are GENERATED per observed row by
+    // [[spineExplode]], with the anchors they inherit carried on the
+    // emitting row — deleting the spine build, its join, and their
+    // exchanges; window volume drops from keys×spans to observed rows.
+    // Same key partitioning → one exchange, in-partition sorts only.
     val wf = Window.partitionBy(col("key")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wb = Window.partitionBy(col("key")).orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(col("key")).orderBy(col("bucket"))
     // One struct carry per direction (2 window functions, not 4): the
     // (value, anchor-bucket) pair travels together, halving per-row
     // window work — and a struct can never mix value/anchor from
     // different observations.
     val obsPoint = when(col("__v").isNotNull,
       struct(col("__v").as("v"), col("bucket").as("b")))
-    val marked = spine
+    val marked = obs
       .withColumn("__f", last(obsPoint, ignoreNulls = true).over(wf))
-      .withColumn("__b", last(obsPoint, ignoreNulls = true).over(wb))
+      // first observation point at or AFTER this observed bucket
+      .withColumn("__bk", last(obsPoint, ignoreNulls = true).over(wb))
+      // backward anchor a GAP row emitted from this row inherits: the
+      // first observation point at or after the NEXT observed bucket
+      .withColumn("__nbk", lead(col("__bk"), 1).over(wLead))
+    val isObs = col("__bkt") === col("bucket")
+    spineExplode(marked, "interpolate", stepUs, maxBucketsPerKey, wLead)
+      .withColumn("__vv", when(isObs, col("__v")))
       .withColumn("__fv", col("__f.v")).withColumn("__fb", col("__f.b"))
-      .withColumn("__bv", col("__b.v")).withColumn("__bb", col("__b.b"))
-    marked
+      .withColumn("__bv", when(isObs, col("__bk.v")).otherwise(col("__nbk.v")))
+      .withColumn("__bb", when(isObs, col("__bk.b")).otherwise(col("__nbk.b")))
       .withColumn("value",
-        when(col("__v").isNotNull, col("__v"))
+        when(col("__vv").isNotNull, col("__vv"))
           .when(col("__fv").isNotNull && col("__bv").isNotNull,
             col("__fv") + (col("__bv") - col("__fv")) *
-              ((col("bucket") - col("__fb")).cast("double") /
+              ((col("__bkt") - col("__fb")).cast("double") /
                (col("__bb") - col("__fb")).cast("double")))
           .when(col("__fv").isNotNull, col("__fv"))
           .otherwise(col("__bv")))
       .withColumn("fill_method",
-        when(col("__v").isNotNull, "observed")
+        when(col("__vv").isNotNull, "observed")
           .when(col("__fv").isNotNull && col("__bv").isNotNull, "interpolated")
           .when(col("__fv").isNotNull, "ffill")
           .when(col("__bv").isNotNull, "bfill")
           .otherwise("empty"))
-      .select(col("key"), col("bucket"), col("n"), col("value"), col("fill_method"))
+      .select(col("key"), col("__bkt").as("bucket"),
+        when(isObs, col("__n")).otherwise(lit(0L)).as("n"),
+        col("value"), col("fill_method"))
   }
 
   /** Declarative corpus validation — the admission-control step of a

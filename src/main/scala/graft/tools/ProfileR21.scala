@@ -136,6 +136,33 @@ object ProfileR21 {
           col("sh"), k = 128)
         time(spark, "kmvOverlapReport full")(full)
 
+      case "q114" =>
+        val sh = docs.select(col("doc_id").as("__id"),
+          explode(graft.functions.ShingleHashes.asColumn(
+            Text.tokens(col("text")), 3)).as("__sh"))
+        time(spark, "sh explode")(sh)
+        val dfreq = sh.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+        time(spark, "dfreq")(dfreq)
+        val ordered = sh.join(dfreq, "__sh")
+          .groupBy(col("__id")).agg(
+            sort_array(collect_list(struct(col("__df"), col("__sh")))).as("__ord"))
+          .select(col("__id"),
+            expr("transform(__ord, x -> x.__sh)").as("__set"))
+          .withColumn("__sz", size(col("__set")))
+          .withColumn("__plen",
+            col("__sz") - ceil(col("__sz") * lit(0.6)).cast("int") + 1)
+        time(spark, "ordered (join+collect)")(ordered)
+        val pre = ordered.select(col("__id"),
+          explode(slice(col("__set"), lit(1), col("__plen"))).as("__sh"))
+        val cands = pre.as("a").join(pre.as("b"),
+            col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
+          .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+          .distinct()
+        time(spark, "cands (prefix self-join)")(cands)
+        val full = graft.api.GraftOps.jaccardJoinPrefix(docs, col("doc_id"),
+          col("text"), 3, 0.6)
+        time(spark, "jaccardJoinPrefix full")(full)
+
       case other => sys.error(s"unknown section $other")
     }
     spark.stop()
