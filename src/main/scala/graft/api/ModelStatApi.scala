@@ -425,7 +425,13 @@ private[api] trait ModelStatApi { self: GraftOps.type =>
     *
     * λ (ppm) penalizes the non-intercept coefficients only (standard);
     * λ = 0 is plain MLE and fails LOUDLY on a rank-deficient design
-    * (the ridge pivot guard). `iters` is FIXED (no data-dependent
+    * (the ridge pivot guard). SCALE NOTE (r20 ADVICE): λ here adds to
+    * the RAW (sum-loss) weighted moments, while [[ridgeFit]] adds λ to
+    * the n-NORMALIZED covariance — the same lambdaPpm therefore
+    * regularizes this fit ~n× more weakly, and a fit comparable to
+    * ridge's needs lambdaPpm ≈ n × the ridge value. Documented rather
+    * than changed: the sum-loss scale is the textbook penalized-IRLS
+    * form, and rescaling would silently alter every existing fit. `iters` is FIXED (no data-dependent
     * stopping — determinism and a bounded pass count at any scale);
     * 4–8 reaches working precision on well-scaled features. Unlike
     * [[ridgeFit]] there is deliberately NO fit-from-summary face: the
@@ -441,8 +447,14 @@ private[api] trait ModelStatApi { self: GraftOps.type =>
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50]; got $iters")
     require(lambdaPpm >= 0, s"lambdaPpm must be >= 0; got $lambdaPpm")
     val etaClip = math.log(999.0) // p in [1e-3, 1-1e-3]; floors w too
+    // The labeled projection is scanned once per Newton step plus once
+    // for the base rate; localCheckpoint it (training-set-sized by the
+    // workflow's nature — the scaladoc's honesty note) so the iterations
+    // re-read materialized rows instead of re-running the source scan +
+    // NULL-drop `iters` times (r20 verdict polish note; r21).
     val kept = df.filter(vec.isNotNull && target.isNotNull)
       .select(vec.as("__v"), target.cast("boolean").cast("double").as("__y"))
+      .localCheckpoint(true)
     // deterministic init: β = 0, intercept = clipped logit of the base
     // rate (one cheap agg; the first iteration's η is then constant)
     val base = kept.agg(count(lit(1)), sum(col("__y"))).head()
@@ -499,7 +511,10 @@ private[api] trait ModelStatApi { self: GraftOps.type =>
   private def logisticSolve(s: Seq[Long], dim: Int,
       lambdaPpm: Long): (Array[Double], Double) = {
     val d2 = dim + 2
-    val n = s.head.toDouble
+    // defensive at THIS layer too (r20 ADVICE): logisticFit's caller
+    // guard already rejects n < 2, but a future caller must not reach
+    // the Cholesky with a degenerate summary
+    require(s.head >= 2, s"logisticSolve needs >= 2 summarized rows; got ${s.head}")
     val d1 = dim + 1 // the [x, 1] design incl. intercept column
     // raw second moments from the packed triangle (quantized ×1e-12)
     val m = Array.ofDim[Double](d2, d2)
