@@ -142,8 +142,14 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
     // genuine zero-micro scores — two silently DIFFERENT answers for
     // garbage input; an evaluation over NaN scores is undefined
     val sRaw0 = score.cast("double")
-    val sRaw = when(isnan(sRaw0),
-      raise_error(lit("aucReport: NaN score — rank undefined"))
+    // ±Infinity raises like NaN (r20 ADVICE): the exact tier would key
+    // on the Infinity double while the micros tier's floor(±Inf·10⁶)
+    // cast saturates to ±Long.Max, silently merging it with any finite
+    // score past ~9.2e12 — the same two-tier divergence the NaN guard
+    // exists for
+    val sRaw = when(isnan(sRaw0) ||
+        sRaw0 === Double.PositiveInfinity || sRaw0 === Double.NegativeInfinity,
+      raise_error(lit("aucReport: NaN or infinite score — rank undefined"))
         .cast("double"))
       .otherwise(sRaw0)
     val sKey =
@@ -266,12 +272,14 @@ private[api] trait ProfilingApi { self: GraftOps.type =>
 
   private def prCore(df: DataFrame, groupOpt: Option[Column], score: Column,
       label: Column, quantizeMicros: Boolean): DataFrame = {
-    // NaN scores raise in both tiers — the aucCore rule (the exact
-    // tier would rank NaN as the largest score, the micros tier would
-    // merge it with zero-micro scores; neither is an answer)
+    // NaN and ±Infinity scores raise in both tiers — the aucCore rule
+    // (the exact tier would rank NaN/±Inf at an extreme, the micros
+    // tier's floor cast saturates them to ±Long.Max / 0; neither is an
+    // answer — r20 ADVICE extended the guard to infinities)
     val sRaw0 = score.cast("double")
-    val sRaw = when(isnan(sRaw0),
-      raise_error(lit("prCurveReport: NaN score — rank undefined"))
+    val sRaw = when(isnan(sRaw0) ||
+        sRaw0 === Double.PositiveInfinity || sRaw0 === Double.NegativeInfinity,
+      raise_error(lit("prCurveReport: NaN or infinite score — rank undefined"))
         .cast("double"))
       .otherwise(sRaw0)
     val sKey =

@@ -483,11 +483,18 @@ object StreamingOps {
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt) match {
-      case Some(m) => m.group(1)
-      case None => throw new IllegalArgumentException(
+    // Proper JSON parse (r20 ADVICE — a regex over raw text would
+    // silently pick up any other "id" key a future metadata format
+    // puts first); Jackson rides on Spark's classpath
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"checkpointQueryId: unparseable metadata JSON in $p: ${e.getMessage}") }
+    val idNode = node.get("id")
+    if (idNode == null || !idNode.isTextual || idNode.asText.isEmpty)
+      throw new IllegalArgumentException(
         s"checkpointQueryId: no query id in $p — not a streaming checkpoint?")
-    }
+    idNode.asText
   }
 
   /** Incremental maintenance of a STORED IVF×PQ index: every arriving
