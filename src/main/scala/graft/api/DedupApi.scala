@@ -181,6 +181,12 @@ private[api] trait DedupApi { self: GraftOps.type =>
     val sh = df.select(id.as("__id"),
         explode(graft.functions.ShingleHashes.asColumn(
           Text.tokens(text), shingleWidth)).as("__sh"))
+    // NOTE (r21): a per-doc window carrying __sz through the self-join
+    // was tried and measured SLOWER here (q18 2.9s -> 3.4s): the extra
+    // column widens every row of the candidate fan-out — the one big
+    // shuffle — to save two joins against the SMALL pairs table. The
+    // sizes-join form stays; winnowOverlapReport (winnowed ~1/(window+1)
+    // postings, small fan-out) keeps the window form, where it wins.
     val sf = dfCapPosting(sh, "__sh", dfCap)
       .select(col("__id"), col("__sh"))
     val sizes = sf.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
@@ -241,15 +247,16 @@ private[api] trait DedupApi { self: GraftOps.type =>
     require(minShared >= 1, s"minShared must be >= 1; got $minShared")
     val fp = winnowFingerprints(df, id, text, kgram, window)
       .select(col("id").as("__id"), col("fp").as("__fp"))
+    // per-doc capped-set size via the doc-bounded window — the
+    // ngramJaccard r21 shape (one fingerprint pass, no sizes joins)
     val ff = dfCapPosting(fp, "__fp", dfCap).select(col("__id"), col("__fp"))
-    val sizes = ff.groupBy(col("__id")).agg(count(lit(1)).as("__nf"))
+      .withColumn("__nf", count(lit(1)).over(Window.partitionBy(col("__id"))))
     ff.as("a").join(ff.as("b"),
         col("a.__fp") === col("b.__fp") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("a.__nf")).as("fp_a"), first(col("b.__nf")).as("fp_b"))
       .filter(col("n_shared") >= minShared)
-      .join(sizes.select(col("__id").as("id_a"), col("__nf").as("fp_a")), "id_a")
-      .join(sizes.select(col("__id").as("id_b"), col("__nf").as("fp_b")), "id_b")
       .withColumn("containment_ppm",
         expr("(n_shared * 1000000) div least(fp_a, fp_b)"))
       .select(col("id_a"), col("id_b"), col("n_shared"), col("fp_a"),
