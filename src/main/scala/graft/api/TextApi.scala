@@ -380,17 +380,25 @@ private[api] trait TextApi { self: GraftOps.type =>
     *
     * Scale shape — O(n·window), never a position-pair quadratic: the
     * windowed co-occurrence set is computed per DOC (query-independent
-    * — (doc, ta, tb) for term pairs within `window`), by exploding
-    * each query-vocabulary position into its next `window` target
-    * positions and EQUI-joining back on (doc, position) — an
-    * adversarial doc repeating one stopword 10⁶ times costs 10⁶·window
-    * rows, linear, where the naive per-(query, doc) position self-join
-    * squares it (the first draft did exactly that and ground to a halt
-    * on the sf1 degenerate-vocabulary fixture — kept as the cautionary
-    * note). Query-term pairs (|q|²-scale, broadcast) then join the doc
-    * pair set by (ta, tb); postings are built only for the query
-    * vocabulary (left-semi — prunes hard when queries are selective,
-    * harmless when they are not). */
+    * — (doc, ta, tb) for term pairs within `window`), by one compiled
+    * [[graft.functions.WindowTermPairs]] pass over each doc's
+    * position-sorted query-vocabulary postings (r21 — formerly a
+    * ×window position explode + (doc, position) equi-join + corpus-wide
+    * distinct; the compiled scan emits each doc's DISTINCT pair set
+    * directly, deleting the explode fan-out, the join and the distinct
+    * exchange). The inner scan breaks at the first position gap >
+    * `window`, so an adversarial doc repeating one stopword 10⁶ times
+    * costs 10⁶·window comparisons, linear, where the naive per-(query,
+    * doc) position self-join squares it (the first draft did exactly
+    * that and ground to a halt on the sf1 degenerate-vocabulary fixture
+    * — kept as the cautionary note). Per-doc collected state is
+    * doc-length-bounded — the winnow-window grain, posture-safe; both
+    * the pair set and the matched-term set ride ONE collect per doc
+    * (the second consumer reuses the exchange). Query-term pairs
+    * (|q|²-scale, broadcast) then join the doc pair set by (ta, tb);
+    * postings are built only for the query vocabulary (left-semi —
+    * prunes hard when queries are selective, harmless when they are
+    * not). */
   def proximityTopK(docs: DataFrame, id: Column, text: Column,
       queries: DataFrame, qid: Column, qtext: Column, window: Int,
       k: Int = 5): DataFrame = {
@@ -405,19 +413,22 @@ private[api] trait TextApi { self: GraftOps.type =>
         posexplode(Text.tokens(text)).as(Seq("__pos", "__t")))
       .filter(col("__t") =!= "")
       .join(vocab, Seq("__t"), "left_semi")
-    // windowed co-occurrence per doc: position i pairs with each of its
-    // next `window` positions via one equi-join — O(n·window) exactly
-    val a = post.select(col("__doc"), col("__t").as("__t1"),
-        explode(sequence(col("__pos") + 1, col("__pos") + window))
-          .as("__pb"))
-    val dpairs = a.join(
-        post.select(col("__doc"), col("__t").as("__t2"),
-          col("__pos").as("__pb")),
-        Seq("__doc", "__pb"))
-      .filter(col("__t1") =!= col("__t2"))
-      .select(col("__doc"), least(col("__t1"), col("__t2")).as("__ta"),
-        greatest(col("__t1"), col("__t2")).as("__tb"))
-      .distinct()
+    // windowed co-occurrence per doc: one compiled pass over the
+    // position-sorted postings emits the distinct pair set — O(n·window)
+    // exactly, with the inner scan breaking at the first gap > window.
+    // sort_array orders by the struct's FIRST field (__pos, unique per
+    // doc via posexplode) — fully deterministic.
+    val byDoc = post.groupBy(col("__doc"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__t"))))
+        .as("__ps"))
+    // per-doc pairs are distinct by construction and __doc is in the
+    // key, so no corpus-wide distinct is needed (equal to the former
+    // global distinct over (doc, ta, tb))
+    val dpairs = byDoc.select(col("__doc"),
+        explode(graft.functions.WindowTermPairs.asColumn(col("__ps"), window))
+          .as("__p"))
+      .select(col("__doc"), col("__p.__ta").as("__ta"),
+        col("__p.__tb").as("__tb"))
     // query-term pairs: |q|²-scale, broadcast by AQE
     val qa = qt.select(col("__qid"), col("__t").as("__ta"))
     val qb = qt.select(col("__qid"), col("__t").as("__tb"))
@@ -426,7 +437,10 @@ private[api] trait TextApi { self: GraftOps.type =>
     val prox = dpairs.join(qpairs, Seq("__ta", "__tb"))
       .groupBy(col("__qid"), col("__doc"))
       .agg(count(lit(1)).as("n_prox_pairs"))
-    val terms = post.select(col("__doc"), col("__t")).distinct()
+    // matched terms ride the SAME per-doc collect (ReusedExchange), so
+    // the corpus is scanned+tokenized once, not three times
+    val terms = byDoc.select(col("__doc"),
+        explode(array_distinct(col("__ps.__t"))).as("__t"))
       .join(qt, Seq("__t"))
       .groupBy(col("__qid"), col("__doc"))
       .agg(count(lit(1)).as("n_terms"))

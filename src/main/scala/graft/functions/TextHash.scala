@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.unsafe.types.UTF8String
 
 /** JVM implementations of the portable text-hash signatures, exposed as
   * codegen'd Catalyst expressions.
@@ -264,6 +265,51 @@ object TextHash {
     val it = out.iterator(); var j = 0
     while (it.hasNext) { arr(j) = it.next(); j += 1 }
     new GenericArrayData(arr)
+  }
+
+  /** Distinct unordered term pairs co-occurring within `window` token
+    * positions, from a per-document (pos, term) array SORTED by
+    * position (r21 — the compiled core of proximityTopK's windowed
+    * co-occurrence; replaces the (doc, pos) equi-join + global
+    * distinct). Positions are strictly increasing, so the inner scan
+    * breaks as soon as the position gap exceeds `window` — O(n·window)
+    * exactly, never a position quadratic. Pair identity is
+    * (min(t1,t2), max(t1,t2)) by binary string order — identical to
+    * least/greatest — and equal terms never pair. */
+  def windowTermPairs(arr: ArrayData, window: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.LinkedHashSet[(UTF8String, UTF8String)]()
+    var i = 0
+    while (i < n) {
+      val ri = arr.getStruct(i, 2)
+      val pi = ri.getInt(0)
+      val ti = ri.getUTF8String(1)
+      var j = i + 1
+      var go = true
+      while (go && j < n) {
+        val rj = arr.getStruct(j, 2)
+        if (rj.getInt(0) - pi > window) go = false
+        else {
+          val tj = rj.getUTF8String(1)
+          val c = ti.compareTo(tj)
+          if (c != 0) {
+            // clone: the struct getters may expose reused buffers
+            if (c < 0) out.add((ti.clone(), tj.clone()))
+            else out.add((tj.clone(), ti.clone()))
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val rows = new Array[Any](out.size())
+    val it = out.iterator(); var k = 0
+    while (it.hasNext) {
+      val (a, b) = it.next()
+      rows(k) = org.apache.spark.sql.catalyst.InternalRow(a, b)
+      k += 1
+    }
+    new GenericArrayData(rows)
   }
 
   /** Count of positions where two int64 signatures agree (the verify
@@ -630,6 +676,48 @@ case class DedupSegments(child: Expression, width: Int)
 object DedupSegments {
   def asColumn(tokens: Column, width: Int): Column =
     ColumnBridge.column(DedupSegments(ColumnBridge.expression(tokens), width))
+}
+
+/** `window_term_pairs(postings, window)`: array<struct<pos:int,
+  * term:string>> (sorted by pos asc, positions strictly increasing) →
+  * array<struct<ta:string, tb:string>> — the DISTINCT unordered term
+  * pairs co-occurring within `window` positions (see
+  * [[TextHash.windowTermPairs]]). The compiled core of proximityTopK's
+  * per-doc co-occurrence: replaces the ×window position explode + (doc,
+  * pos) equi-join + corpus-wide distinct with one narrow pass over each
+  * doc's collected postings. Per-doc state is doc-length-bounded (the
+  * winnow-window grain, posture-safe); the output is bounded by both
+  * n·window and |vocab|². */
+case class WindowTermPairs(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window >= 1, s"window must be >= 1; got $window")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.length == 2 && s(0).dataType == IntegerType &&
+          s(1).dataType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"window_term_pairs expects array<struct<pos:int, term:string>>, " +
+        s"got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("__ta", StringType, nullable = false),
+    StructField("__tb", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "window_term_pairs"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.windowTermPairs(v.asInstanceOf[ArrayData], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.windowTermPairs($c, $window)")
+  override protected def withNewChildInternal(c: Expression): WindowTermPairs =
+    copy(child = c)
+}
+
+object WindowTermPairs {
+  def asColumn(postings: Column, window: Int): Column =
+    ColumnBridge.column(
+      WindowTermPairs(ColumnBridge.expression(postings), window))
 }
 
 /** `first_eq_index(a, b)`: smallest position where two array<long>

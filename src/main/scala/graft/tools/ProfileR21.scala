@@ -163,6 +163,52 @@ object ProfileR21 {
           col("text"), 3, 0.6)
         time(spark, "jaccardJoinPrefix full")(full)
 
+      case "q156" =>
+        val window = 4
+        val qs = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(expr("doc_id div 50").as("qid"),
+            concat_ws(" ", slice(
+              filter(Text.tokens(col("text")), t => t =!= lit("")), 1, 4))
+              .as("qtext"))
+        val qt = qs.select(col("qid").as("__qid"),
+            explode(array_distinct(
+              filter(Text.tokens(col("qtext")), t => t =!= lit("")))).as("__t"))
+          .distinct()
+        val vocab = qt.select(col("__t")).distinct()
+        val post = docs.select(col("doc_id").as("__doc"),
+            posexplode(Text.tokens(col("text"))).as(Seq("__pos", "__t")))
+          .filter(col("__t") =!= "")
+          .join(vocab, Seq("__t"), "left_semi")
+        time(spark, "post (vocab-filtered postings)")(post)
+        val a = post.select(col("__doc"), col("__t").as("__t1"),
+            explode(sequence(col("__pos") + 1, col("__pos") + window))
+              .as("__pb"))
+        val dpairs = a.join(
+            post.select(col("__doc"), col("__t").as("__t2"),
+              col("__pos").as("__pb")),
+            Seq("__doc", "__pb"))
+          .filter(col("__t1") =!= col("__t2"))
+          .select(col("__doc"), least(col("__t1"), col("__t2")).as("__ta"),
+            greatest(col("__t1"), col("__t2")).as("__tb"))
+          .distinct()
+        time(spark, "dpairs (join + distinct)")(dpairs)
+        val qa = qt.select(col("__qid"), col("__t").as("__ta"))
+        val qb = qt.select(col("__qid"), col("__t").as("__tb"))
+        val qpairs = qa.join(qb, Seq("__qid"))
+          .filter(col("__ta") < col("__tb"))
+        val prox = dpairs.join(qpairs, Seq("__ta", "__tb"))
+          .groupBy(col("__qid"), col("__doc"))
+          .agg(count(lit(1)).as("n_prox_pairs"))
+        time(spark, "prox (qpairs join + agg)")(prox)
+        val terms = post.select(col("__doc"), col("__t")).distinct()
+          .join(qt, Seq("__t"))
+          .groupBy(col("__qid"), col("__doc"))
+          .agg(count(lit(1)).as("n_terms"))
+        time(spark, "terms")(terms)
+        val full = graft.api.GraftOps.proximityTopK(docs, col("doc_id"),
+          col("text"), qs, col("qid"), col("qtext"), window = 4, k = 5)
+        time(spark, "proximityTopK full")(full)
+
       case other => sys.error(s"unknown section $other")
     }
     spark.stop()

@@ -151,6 +151,42 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     assert(sql.toSeq == both.map(_.getInt(0)).toSeq)
   }
 
+  test("WindowTermPairs equals the naive quadratic pair set (r21 q156 core)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    // strictly increasing gappy positions — the posexplode contract
+    val rows: Seq[Seq[(Int, String)]] = Seq.fill(40) {
+      var p = 0
+      Seq.fill(rnd.nextInt(30)) {
+        p += 1 + rnd.nextInt(5)
+        (p, vocab(rnd.nextInt(vocab.size)))
+      }
+    } ++ Seq(Seq.empty, Seq((1, "a")),
+      Seq((1, "a"), (2, "a"), (3, "a")), // equal terms never pair
+      Seq((1, "a"), (10, "b")))          // gap > window: no pair
+    val window = 3
+    def naive(ps: Seq[(Int, String)]): Set[(String, String)] =
+      (for {
+        i <- ps.indices; j <- ps.indices
+        if i < j && ps(j)._1 - ps(i)._1 <= window && ps(i)._2 != ps(j)._2
+      } yield {
+        val (a, b) = (ps(i)._2, ps(j)._2); if (a < b) (a, b) else (b, a)
+      }).toSet
+    val df = rows.zipWithIndex.toDF("ps", "i")
+    val got = df.select(col("i"),
+        graft.functions.WindowTermPairs.asColumn(col("ps"), window).as("prs"))
+      .collect()
+    got.foreach { r =>
+      val i = r.getInt(0)
+      val prs = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getString(0), p.getString(1)))
+      assert(prs.distinct.size == prs.size, s"row $i: duplicate pairs")
+      assert(prs.toSet == naive(rows(i)), s"row $i: pair-set mismatch")
+      prs.foreach { case (a, b) => assert(a < b, s"row $i: unordered pair") }
+    }
+  }
+
   test("codegen RollingFingerprint equals the HOF fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
