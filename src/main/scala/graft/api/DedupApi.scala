@@ -860,16 +860,8 @@ private[api] trait DedupApi { self: GraftOps.type =>
       pairs: DataFrame, idA: Column, idB: Column, maxIter: Int = 30,
       driverLimit: Long = 1000000L): DataFrame = {
     val clusters = dedupClusters(pairs, idA, idB, maxIter, driverLimit)
-    // join BEFORE projecting the score (r21): `score` is typically an
-    // expensive derived column (q76 passes textQuality's TokenStats
-    // expression); projected first, it evaluates over the whole corpus
-    // only to be discarded by the member join. With the (broadcast,
-    // pair-bounded) join underneath the project, the score evaluates on
-    // cluster members only — the ranking branch costs member-sized
-    // compute, not a corpus pass.
-    val members = df.join(clusters, id === col("member"))
-      .select(id.as("__m_id"), score.as("__m_score"),
-        col("survivor"), col("member"))
+    val members = df.select(id.as("__m_id"), score.as("__m_score"))
+      .join(clusters, col("__m_id") === col("member"))
     val w = Window.partitionBy(col("survivor"))
       .orderBy(col("__m_score").desc_nulls_last, col("member"))
     val drop = members.withColumn("__rk", row_number().over(w))
