@@ -34,8 +34,19 @@ object ExplainDump {
         case m => df.queryExecution.explainString(m)
       }
       val f = outDir.resolve(s"${name}_$tag.txt")
-      java.nio.file.Files.write(f, txt.getBytes("UTF-8"))
-      println(s"[explain-dump] $f (${txt.length} chars)")
+      // the static formatted plan shows the AQE-INITIAL shape only;
+      // runtime exchange reuse (ReusedExchange) and join conversions
+      // appear in the final adaptive plan — execute via the noop sink
+      // and append it so plan claims about reuse are checkable (r21)
+      val full = if (sys.env.get("SPARK_GRAFT_EXPLAIN_EXEC").contains("1")) {
+        // drive the df's OWN QueryExecution (a .write would plan a fresh
+        // command and leave this plan isFinalPlan=false with no reuse)
+        df.queryExecution.executedPlan.execute().count()
+        txt + "\n\n== Final Plan (executed, AQE) ==\n" +
+          df.queryExecution.executedPlan.toString
+      } else txt
+      java.nio.file.Files.write(f, full.getBytes("UTF-8"))
+      println(s"[explain-dump] $f (${full.length} chars)")
     }
     spark.stop()
   }

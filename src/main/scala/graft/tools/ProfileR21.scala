@@ -209,6 +209,30 @@ object ProfileR21 {
           col("text"), qs, col("qid"), col("qtext"), window = 4, k = 5)
         time(spark, "proximityTopK full")(full)
 
+      case "plantax" =>
+        // split per-invocation PLANNING (analysis+optimize+physical —
+        // paid by the bench on every run and by a cluster driver on
+        // every submission) from EXECUTION, for queries whose bench
+        // median exceeds their profiled steady state. args(3) = query
+        // names, comma-separated.
+        val names = args.lift(3).getOrElse("q114_prefix_jaccard_join")
+          .split(",").toSeq
+        names.foreach { n =>
+          val q = graft.SparkEntry.registry.find(_.name == n)
+            .getOrElse(sys.error(s"no registry query named $n"))
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            val df = q.run(spark, dir)
+            val _ = df.queryExecution.executedPlan // force plan
+            val t1 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            val t2 = System.nanoTime()
+            ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+          }
+          println(f"[plantax] $n%-28s " + ts.map { case (p, e) =>
+            f"plan=$p%.2f exec=$e%.2f" }.mkString("  "))
+        }
+
       case other => sys.error(s"unknown section $other")
     }
     spark.stop()
