@@ -4938,17 +4938,20 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
     assert(msgs(exPruned).contains("single-class or empty"),
       s"projection-proof guard: ${msgs(exPruned)}")
-    // NaN scores are loud in BOTH tiers: the exact tier would rank NaN
-    // above every real score while the micros tier's floor→long cast
-    // would merge it with zero-micro scores — two silently different
-    // answers for garbage input
-    for (tier <- Seq(false, true)) {
+    // NaN and ±Inf scores are loud in BOTH tiers (r21, ADVICE #3): the
+    // exact tier would rank NaN above every real score while the micros
+    // tier's floor→long cast saturates ±Inf to ±Long.Max — two silently
+    // different answers for garbage input
+    for (tier <- Seq(false, true);
+         bad <- Seq(Double.NaN, Double.PositiveInfinity,
+           Double.NegativeInfinity)) {
       val exNan = intercept[Exception] {
-        val df = Seq((0.1, true), (Double.NaN, false)).toDF("s", "l")
+        val df = Seq((0.1, true), (bad, false)).toDF("s", "l")
         (if (tier) GraftOps.aucReportMicros(df, col("s"), col("l"))
          else GraftOps.aucReport(df, col("s"), col("l"))).collect()
       }
-      assert(msgs(exNan).contains("NaN score"), s"NaN loud ($tier): ${msgs(exNan)}")
+      assert(msgs(exNan).contains("NaN or infinite score"),
+        s"non-finite loud ($tier, $bad): ${msgs(exNan)}")
     }
   }
 
@@ -5167,13 +5170,16 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     }
     assert(msgs(exPruned).contains("no positive labels"),
       s"projection-proof guard: ${msgs(exPruned)}")
-    for (tier <- Seq(false, true)) {
+    for (tier <- Seq(false, true);
+         bad <- Seq(Double.NaN, Double.PositiveInfinity,
+           Double.NegativeInfinity)) {
       val exNan = intercept[Exception] {
-        val df = Seq((0.1, true), (Double.NaN, false)).toDF("s", "l")
+        val df = Seq((0.1, true), (bad, false)).toDF("s", "l")
         (if (tier) GraftOps.prCurveReportMicros(df, col("s"), col("l"))
          else GraftOps.prCurveReport(df, col("s"), col("l"))).collect()
       }
-      assert(msgs(exNan).contains("NaN score"), s"NaN loud ($tier): ${msgs(exNan)}")
+      assert(msgs(exNan).contains("NaN or infinite score"),
+        s"non-finite loud ($tier, $bad): ${msgs(exNan)}")
     }
   }
 
