@@ -429,12 +429,17 @@ private[api] trait TextApi { self: GraftOps.type =>
           .as("__p"))
       .select(col("__doc"), col("__p.__ta").as("__ta"),
         col("__p.__tb").as("__tb"))
-    // query-term pairs: |q|²-scale, broadcast by AQE
+    // query-term pairs: |q|²-scale — broadcast EXPLICITLY: the compiled
+    // pair generator's explode carries no cardinality estimate, so the
+    // planner would otherwise build the hash relation on the
+    // corpus-derived pair stream (observed at the sf1 degenerate grain:
+    // a BuildLeft flip broadcasting 22M doc pairs, 2.3× the whole
+    // query); the hint pins the build side to the model-sized table.
     val qa = qt.select(col("__qid"), col("__t").as("__ta"))
     val qb = qt.select(col("__qid"), col("__t").as("__tb"))
     val qpairs = qa.join(qb, Seq("__qid"))
       .filter(col("__ta") < col("__tb"))
-    val prox = dpairs.join(qpairs, Seq("__ta", "__tb"))
+    val prox = dpairs.join(broadcast(qpairs), Seq("__ta", "__tb"))
       .groupBy(col("__qid"), col("__doc"))
       .agg(count(lit(1)).as("n_prox_pairs"))
     // matched terms ride the SAME per-doc collect (ReusedExchange), so

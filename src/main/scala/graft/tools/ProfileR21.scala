@@ -209,6 +209,58 @@ object ProfileR21 {
           col("text"), qs, col("qid"), col("qtext"), window = 4, k = 5)
         time(spark, "proximityTopK full")(full)
 
+      case "q156new" =>
+        // sub-DAGs of the COMPILED proximity form (r21 change 6) — run
+        // on the sf1 degenerate fixtures to locate the adversarial-
+        // density regression vs the join form
+        val window = 4
+        val qs = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(expr("doc_id div 50").as("qid"),
+            concat_ws(" ", slice(
+              filter(Text.tokens(col("text")), t => t =!= lit("")), 1, 4))
+              .as("qtext"))
+        val qt = qs.select(col("qid").as("__qid"),
+            explode(array_distinct(
+              filter(Text.tokens(col("qtext")), t => t =!= lit("")))).as("__t"))
+          .distinct()
+        val vocab = qt.select(col("__t")).distinct()
+        val post = docs.select(col("doc_id").as("__doc"),
+            posexplode(Text.tokens(col("text"))).as(Seq("__pos", "__t")))
+          .filter(col("__t") =!= "")
+          .join(vocab, Seq("__t"), "left_semi")
+        val byDoc = post.groupBy(col("__doc"))
+          .agg(sort_array(collect_list(struct(col("__pos"), col("__t"))))
+            .as("__ps"))
+        time(spark, "byDoc (collect+sort)")(byDoc)
+        val dpairs = byDoc.select(col("__doc"),
+            explode(graft.functions.WindowTermPairs.asColumn(col("__ps"), window))
+              .as("__p"))
+          .select(col("__doc"), col("__p.__ta").as("__ta"),
+            col("__p.__tb").as("__tb"))
+        time(spark, "dpairs (compiled pairs)")(dpairs)
+        val qa = qt.select(col("__qid"), col("__t").as("__ta"))
+        val qb = qt.select(col("__qid"), col("__t").as("__tb"))
+        val qpairs = qa.join(qb, Seq("__qid"))
+          .filter(col("__ta") < col("__tb"))
+        val prox = dpairs.join(qpairs, Seq("__ta", "__tb"))
+          .groupBy(col("__qid"), col("__doc"))
+          .agg(count(lit(1)).as("n_prox_pairs"))
+        time(spark, "prox (qpairs join + agg)")(prox)
+        val terms = byDoc.select(col("__doc"),
+            explode(array_distinct(col("__ps.__t"))).as("__t"))
+          .join(qt, Seq("__t"))
+          .groupBy(col("__qid"), col("__doc"))
+          .agg(count(lit(1)).as("n_terms"))
+        time(spark, "terms (from byDoc)")(terms)
+        val termsOld = post.select(col("__doc"), col("__t")).distinct()
+          .join(qt, Seq("__t"))
+          .groupBy(col("__qid"), col("__doc"))
+          .agg(count(lit(1)).as("n_terms"))
+        time(spark, "terms (old distinct form)")(termsOld)
+        val full = graft.api.GraftOps.proximityTopK(docs, col("doc_id"),
+          col("text"), qs, col("qid"), col("qtext"), window = 4, k = 5)
+        time(spark, "proximityTopK full (new)")(full)
+
       case "plantax" =>
         // split per-invocation PLANNING (analysis+optimize+physical —
         // paid by the bench on every run and by a cluster driver on
