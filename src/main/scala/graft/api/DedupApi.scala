@@ -171,6 +171,56 @@ private[api] trait DedupApi { self: GraftOps.type =>
     posting.join(good, Seq(gram), "left_semi")
   }
 
+  /** One-pass candidate intersections over a (__id, __sh) posting list
+    * (r22 — the q18/q82 core): returns (inter, sizes) where `inter` is
+    * one row per unordered candidate pair (id_a < id_b, __inter = count
+    * of shared df-capped grams) and `sizes` is each doc's CAPPED posting
+    * count (__id, __sz) — bit-identical to the former df-cap semi-join +
+    * posting self-join + per-doc count, which re-ran the corpus
+    * scan+tokenize+shingle pass once per consumer (11 scans in q18's
+    * executed plan; guide §2.4). The fused [[graft.functions.CappedLongIds]]
+    * aggregate replaces the count-agg + semi-join (group state and
+    * shuffled bytes cap-bounded per map partition — a corpus-hot
+    * boilerplate gram buffers `dfCap` ids, never its posting list), and
+    * the codegen'd [[graft.functions.SortedLongPairs]] generator emits
+    * each group's pair multiset locally — exactly the self-join's output
+    * restricted to that gram (sorted-ascending ids, strict <), so the
+    * pair fan-out enters the same map-side-combined (id_a, id_b) partial
+    * aggregate without a join. Long ids take this path; any other id
+    * type keeps the join form (same results — spec'd equivalent). */
+  private def postingIntersections(sh: DataFrame,
+      dfCap: Int): (DataFrame, DataFrame) = {
+    if (sh.schema("__id").dataType ==
+        org.apache.spark.sql.types.LongType) {
+      val grouped = sh.groupBy(col("__sh"))
+        .agg(graft.functions.CappedLongIds.asColumn(col("__id"), dfCap)
+          .as("__ids"))
+        .filter(col("__ids").isNotNull)
+      val inter = grouped
+        .select(explode(graft.functions.SortedLongPairs.asColumn(col("__ids")))
+          .as("__p"))
+        .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("__inter"))
+      // capped per-doc sizes off the SAME grouped exchange (ReusedExchange
+      // serves both branches); NULL-id size rows of the old form are
+      // dropped here — they never survived the inner join on non-null
+      // pair ids, so results are identical
+      val sizes = grouped.select(explode(col("__ids")).as("__id"))
+        .groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+      (inter, sizes)
+    } else {
+      val sf = dfCapPosting(sh, "__sh", dfCap)
+        .select(col("__id"), col("__sh"))
+      val sizes = sf.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+      val inter = sf.as("a").join(sf.as("b"),
+          col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
+        .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+        .agg(count(lit(1)).as("__inter"))
+      (inter, sizes)
+    }
+  }
+
   /** Exact n-gram Jaccard ≥ `threshold` via inverted-index join with a
     * document-frequency cap (shingles in > `dfCap` docs are dropped from
     * BOTH sides — bounds fanout; semantics documented to the caller). */
@@ -187,13 +237,10 @@ private[api] trait DedupApi { self: GraftOps.type =>
     // shuffle — to save two joins against the SMALL pairs table. The
     // sizes-join form stays; winnowOverlapReport (winnowed ~1/(window+1)
     // postings, small fan-out) keeps the window form, where it wins.
-    val sf = dfCapPosting(sh, "__sh", dfCap)
-      .select(col("__id"), col("__sh"))
-    val sizes = sf.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
-    sf.as("a").join(sf.as("b"),
-        col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .agg(count(lit(1)).as("__inter"))
+    // r22: the candidate core is the one-pass capped-collect form — see
+    // postingIntersections.
+    val (inter, sizes) = postingIntersections(sh, dfCap)
+    inter
       // sizes is O(corpus): no broadcast hint, AQE decides (see minhashNearDup)
       .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sza")), "id_a")
       .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__szb")), "id_b")
@@ -404,13 +451,9 @@ private[api] trait DedupApi { self: GraftOps.type =>
     val sh = df.select(id.as("__id"),
         explode(graft.functions.ShingleHashes.asColumn(
           Text.tokens(text), shingleWidth)).as("__sh"))
-    val sf = dfCapPosting(sh, "__sh", dfCap)
-      .select(col("__id"), col("__sh"))
-    val sizes = sf.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
-    val inter = sf.as("a").join(sf.as("b"),
-        col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .agg(count(lit(1)).as("__inter"))
+    // r22: one-pass capped-collect candidate core (see postingIntersections)
+    val (inter0, sizes) = postingIntersections(sh, dfCap)
+    val inter = inter0
       .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sza")), "id_a")
       .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__szb")), "id_b")
     val ab = inter.select(col("id_a").as("contained_id"),

@@ -23,7 +23,8 @@ object ExplainDump {
         shufflePartitions = 8)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val outDir = java.nio.file.Paths.get("plans", "r21")
+    val outDir = java.nio.file.Paths.get("plans",
+      sys.env.getOrElse("SPARK_GRAFT_PLAN_ROUND", "r22"))
     java.nio.file.Files.createDirectories(outDir)
     args.tail.foreach { name =>
       val q = SparkEntry.registry.find(_.name == name).getOrElse(

@@ -187,6 +187,51 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("CappedLongIds + SortedLongPairs equal the count/semi-join/self-join form (r22 q18 core)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(22)
+    val cap = 4
+    // posting rows (gram, id) with hot grams past the cap, singleton
+    // grams, duplicate ids within a gram, and NULL ids (count toward the
+    // df cap, never collected) — shuffled across partitions so the
+    // partial/merge/serialize path of the imperative buffer is exercised
+    val postings: Seq[(Long, Option[Long])] =
+      (1 to 300).map { _ =>
+        (rnd.nextInt(25).toLong,
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(12).toLong))
+      } ++ Seq((100L, Some(7L))) // singleton gram: size 1, no pairs
+    val df = postings.toDF("g", "id").repartition(7)
+    val grouped = df.groupBy(col("g"))
+      .agg(graft.functions.CappedLongIds.asColumn(col("id"), cap).as("ids"))
+    val got = grouped.collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    val byGram = postings.groupBy(_._1)
+    byGram.foreach { case (g, rows) =>
+      val want =
+        if (rows.size > cap) None
+        else Some(rows.flatMap(_._2).sorted)
+      assert(got(g) == want, s"gram $g: got ${got(g)} want $want")
+    }
+    // pair generation: multiset equal to the strict-< self-join per group
+    val pairs = grouped.filter(col("ids").isNotNull)
+      .select(col("g"),
+        graft.functions.SortedLongPairs.asColumn(col("ids")).as("prs"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getLong(1))))
+      .toMap
+    byGram.filter(_._2.size <= cap).foreach { case (g, rows) =>
+      val ids = rows.flatMap(_._2)
+      val want = (for {
+        i <- ids.indices; j <- ids.indices
+        if i < j && ids(i) != ids(j)
+      } yield (math.min(ids(i), ids(j)), math.max(ids(i), ids(j))))
+        .sorted
+      assert(pairs(g).sorted == want, s"gram $g pairs: ${pairs(g)} want $want")
+      pairs(g).foreach { case (a, b) => assert(a < b) }
+    }
+  }
+
   test("codegen RollingFingerprint equals the HOF fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -2616,6 +2616,40 @@ class GraftOpsSpec extends AnyFunSuite with SharedSpark {
     assert(out == expect, "asofJoin diverges from the reference")
   }
 
+  test("ngramJaccard one-pass candidate core matches the df-cap brute force (r22)") {
+    import spark.implicits._
+    val words = Vector("red", "blue", "green", "stone", "river", "cloud",
+      "amber", "pine", "flint", "moss")
+    def doc(seed: Int, n: Int): String =
+      (0 until n).map(i => words((seed * 5 + i * 7) % words.size)).mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, doc(i, 14)))
+    val dups = (0 until 6).map(i =>
+      (200L + i, base(i * 5)._2.replaceFirst("\\S+$", "kappa")))
+    val df = (base ++ dups).toDF("id", "text").repartition(5)
+    val (cap, thr) = (8, 0.4) // low cap: hot shingles really overflow
+    val got = GraftOps.ngramJaccard(df, col("id"), col("text"),
+        shingleWidth = 3, dfCap = cap, threshold = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // reference: df-cap on posting rows, then pairwise exact Jaccard of
+    // the CAPPED sets — the q18 contract the one-pass form must preserve
+    val sets = (base ++ dups).map { case (i, t) =>
+      i -> spark.range(1).select(graft.functions.ShingleHashes.asColumn(
+          graft.functions.Text.tokens(lit(t)), 3).as("s"))
+        .collect().head.getSeq[Long](0).toSet
+    }.toMap
+    val dfreq = sets.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    val rare: Set[Long] = dfreq.filter(_._2 <= cap).keySet.toSet
+    val capped = sets.map { case (i, s) => i -> (s intersect rare) }
+    val want = (for {
+      a <- capped.keys; b <- capped.keys if a < b
+      inter = (capped(a) intersect capped(b)).size if inter > 0
+      j = inter.toDouble / (capped(a).size + capped(b).size - inter)
+      if j >= thr
+    } yield (a, b) -> j).toMap
+    assert(want.nonEmpty, "fixture must plant qualifying pairs")
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("ngramContainment flags doc-inside-doc that Jaccard misses") {
     import spark.implicits._
     val small = "alpha beta gamma delta epsilon zeta eta theta"
