@@ -354,12 +354,15 @@ private[api] trait DedupApi { self: GraftOps.type =>
         lit(0L).as("dist"))
     val grams = base.select(col("__id"),
         explode(expr(s"transform(sequence(1, length(__k) - ${gramWidth - 1}), " +
-          s"i -> substring(__k, i, $gramWidth))")).as("__g"))
+          s"i -> substring(__k, i, $gramWidth))")).as("__sh"))
       .distinct()
-    val gf = dfCapPosting(grams, "__g", dfCap)
-    val cands = gf.as("a").join(gf.as("b"),
-        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
+    // r22: one-pass capped-collect candidate core (see
+    // [[postingIntersections]]) — the df-cap count+semi-join, posting
+    // self-join and pair distinct collapse into one grouped pass + one
+    // pair aggregate. Pair set identical: the grouped (id_a, id_b) keys
+    // with __inter >= 1 ARE the old distinct candidate pairs.
+    val (inter, _) = postingIntersections(grams, dfCap)
+    val cands = inter.select(col("id_a"), col("id_b"))
     cands
       .join(base.select(col("__id").as("id_a"), col("__k").as("__ka")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__k").as("__kb")), "id_b")
@@ -852,10 +855,15 @@ private[api] trait DedupApi { self: GraftOps.type =>
                 least(col("__old"), col("__nmin"), col("__jlbl")).as("lbl"),
                 col("__old"))
           }
-        val next = roundCheckpoint(stepped)
-        // labels are monotone non-increasing, so "no label decreased" is an
-        // exact fixpoint test; the count is a cheap checkpoint scan.
-        converged = next.filter(col("lbl") < col("__old")).count() == 0
+        // labels are monotone non-increasing, so "no label decreased" is
+        // an exact fixpoint test — harvested from the checkpoint job
+        // itself (r22, the linkRank observe idiom): sum(when(decreased))
+        // is NULL iff no label decreased, so the former per-round count
+        // job over the checkpoint disappears.
+        val decObs = org.apache.spark.sql.Observation()
+        val next = roundCheckpoint(stepped.observe(decObs,
+          sum(when(col("lbl") < col("__old"), 1L)).as("__dec")))
+        converged = decObs.getAsJava.get("__dec") == null
         labels = next.select(col("id"), col("lbl"))
         iter += 1
       }
@@ -933,19 +941,22 @@ private[api] trait DedupApi { self: GraftOps.type =>
     * un-castable) endpoint are ignored — a phantom NULL node would
     * otherwise silently absorb rank as permanently-dangling mass.
     *
-    * Plan: outdeg, the node set, and the (iteration-invariant) dangling
-    * node set are computed once; each iteration is one inner join of
-    * ranks to outdeg feeding the per-edge contribution join + one hash
-    * agg on dst + a left join back to the node set — rank-table-sized
-    * shuffles, never corpus-sized, the classic iterative-Spark shape.
-    * Ranks are eagerly `localCheckpoint`ed per round (the
-    * [[dedupClusters]] idiom: truncate lineage so the per-round
-    * dangling aggregate and the next join don't re-execute the whole
-    * chain); the dangling mass is ONE long collected per round — a
-    * model-sized scalar, not a corpus collect. At cluster scale, bucket
-    * the edge list by src once and every iteration's big join
-    * co-locates; `iterations` is bounded because authority signals
-    * saturate in single digits. */
+    * Plan (r22 — two rank-table-sized shuffles and two jobs per
+    * iteration deleted vs r21, guide §2.4/§5): ONE node-state
+    * checkpoint (node, __deg — NULL for dangling nodes) replaces the
+    * former three (nodes, outdeg, dangling set), and the __deg column
+    * RIDES every rank table, so the per-iteration ranks⋈outdeg join
+    * and the ranks⋈dangling semi-join are both gone — each iteration
+    * is one narrow contribution projection feeding the per-edge join +
+    * one hash agg on dst + one left join back to the node state. Ranks
+    * are eagerly `localCheckpoint`ed per round (the [[dedupClusters]]
+    * idiom: truncate lineage so the next join doesn't re-execute the
+    * whole chain), and the NEXT round's dangling mass is harvested
+    * from that same materialization job via `Dataset.observe` — a
+    * model-sized scalar metric, not a separate aggregate job (nor a
+    * corpus collect). At cluster scale, bucket the edge list by src
+    * once and every iteration's big join co-locates; `iterations` is
+    * bounded because authority signals saturate in single digits. */
   def linkRank(edgeList: DataFrame, src: Column, dst: Column,
       iterations: Int, dampingPpm: Long = 850000L,
       totalMass: Long = 1000000000000L): DataFrame = {
@@ -971,47 +982,61 @@ private[api] trait DedupApi { self: GraftOps.type =>
     var inFlight: DataFrame = null
     var done = false
     try {
-      val nodes = e.select(col("src").as("node"))
+      // one checkpoint for the whole iteration-invariant node state:
+      // node ∪-set with its out-degree attached, __deg NULL ⇔ dangling
+      // (the dangling SET is iteration-invariant — who has out-edges
+      // never changes; only its rank mass moves)
+      val state = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
+        .join(e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("__deg")), Seq("node"), "left_outer")
         .localCheckpoint(true)
-      toFree ::= nodes
-      val n = nodes.count()
+      toFree ::= state
+      val n = state.count()
       if (n == 0)
         throw new IllegalArgumentException(
           "linkRank needs at least one edge with non-null endpoints")
-      val outdeg = e.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("__deg")).localCheckpoint(true)
-      toFree ::= outdeg
-      // the dangling SET is iteration-invariant (who has out-edges never
-      // changes) — only its rank mass moves; classify once
-      val danglingNodes = nodes.join(outdeg, Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      toFree ::= danglingNodes
       val base = ((totalMass / n) * (1000000L - dampingPpm)) / 1000000L
-      var ranks = nodes.withColumn("rank", lit(totalMass / n))
-        .localCheckpoint(true)
+      // each rank materialization doubles as the dangling-mass
+      // aggregate for the NEXT round: the observe metric is computed
+      // while the checkpoint job streams the rows — exact (Long sum,
+      // order-independent), no extra job, no join
+      def checkpointWithDangle(df: DataFrame)
+          : (DataFrame, org.apache.spark.sql.Observation) = {
+        val obs = org.apache.spark.sql.Observation()
+        (df.observe(obs,
+            sum(when(col("__deg").isNull, col("rank"))).as("__dangle"))
+          .localCheckpoint(true), obs)
+      }
+      def dangleOf(obs: org.apache.spark.sql.Observation): Long =
+        Option(obs.getAsJava.get("__dangle"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      var (ranks, obs) = checkpointWithDangle(
+        state.withColumn("rank", lit(totalMass / n)))
       inFlight = ranks
       for (_ <- 1 to iterations) {
-        val dangle = ranks.join(danglingNodes, Seq("node"), "left_semi")
-          .agg(coalesce(sum("rank"), lit(0L))).collect()(0).getLong(0)
-        val dangleShare = dangle / n
-        val inflow = ranks.join(outdeg, Seq("node"))
+        val dangleShare = dangleOf(obs) / n
+        val inflow = ranks.filter(col("__deg").isNotNull)
           .select(col("node"), expr("rank div __deg").as("__contrib"))
           .join(e.select(col("src").as("node"), col("dst")), Seq("node"))
           .groupBy(col("dst").as("node")).agg(sum("__contrib").as("__in"))
         // `div`, not `/`: Spark's Divide on bigints returns double — the
         // truncating integral division is the portability contract here
         val prev = ranks
-        ranks = nodes.join(inflow, Seq("node"), "left_outer")
-          .select(col("node"),
-            expr(s"${base}L + (${dampingPpm}L * (coalesce(__in, 0L) + " +
-              s"${dangleShare}L)) div 1000000").as("rank"))
-          .localCheckpoint(true) // eager — prev's blocks are now dead
+        val (next, nextObs) = checkpointWithDangle(
+          state.join(inflow, Seq("node"), "left_outer")
+            .select(col("node"), col("__deg"),
+              expr(s"${base}L + (${dampingPpm}L * (coalesce(__in, 0L) + " +
+                s"${dangleShare}L)) div 1000000").as("rank")))
+        ranks = next // eager — prev's blocks are now dead
+        obs = nextObs
         inFlight = ranks
         prev.unpersist()
       }
       done = true
-      ranks
+      // narrow projection over the checkpointed survivor — freeing
+      // state/e below cannot invalidate it
+      ranks.select(col("node"), col("rank"))
     } finally {
       e.unpersist()
       toFree.foreach(_.unpersist())
