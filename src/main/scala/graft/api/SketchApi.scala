@@ -353,37 +353,46 @@ private[api] trait SketchApi { self: GraftOps.type =>
       s"nMerges must be in [1, 256]; got $nMerges")
     val spark = df.sparkSession
     import spark.implicits._
-    var syms = df.select(explode(toks).as("__w"))
+    // r22 (guide §5 — one pass per merge round instead of two): each
+    // round's most-frequent-pair argmax is harvested from the SAME job
+    // that materializes the round's symbol table, via `Dataset.observe`
+    // of the [[graft.functions.TopAdjacentPair]] aggregate (the former
+    // explode + groupBy + orderBy-limit-1 collect, bit-identical —
+    // integer counts, the same UTF-8-binary tie order).
+    def checkpointWithTop(df0: DataFrame)
+        : (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (df0.observe(obs, graft.functions.TopAdjacentPair.asColumn(
+          col("__f"), col("__syms")).as("__top"))
+        .localCheckpoint(true), obs)
+    }
+    def topOf(obs: org.apache.spark.sql.Observation)
+        : Option[(String, String, Long)] =
+      Option(obs.getAsJava.get("__top")).map { v =>
+        val r = v.asInstanceOf[org.apache.spark.sql.Row]
+        (r.getString(0), r.getString(1), r.getLong(2))
+      }
+    var (syms, obs) = checkpointWithTop(df.select(explode(toks).as("__w"))
       .filter(col("__w").isNotNull)
       .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
-      .select(col("__f"), charSyms(col("__w")).as("__syms"))
-      .localCheckpoint(true)
+      .select(col("__f"), charSyms(col("__w")).as("__syms")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     try {
       var rank = 1
       var exhausted = false
       while (rank <= nMerges && !exhausted) {
-        val top = syms.filter(size(col("__syms")) >= 2)
-          .select(col("__f"), explode(
-            transform(sequence(lit(1), size(col("__syms")) - 1),
-              j => struct(element_at(col("__syms"), j).as("s1"),
-                element_at(col("__syms"), j + lit(1)).as("s2")))).as("__p"))
-          .groupBy(col("__p.s1").as("__s1"), col("__p.s2").as("__s2"))
-          .agg(sum(col("__f")).as("__n"))
-          .orderBy(desc("__n"), col("__s1"), col("__s2"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (x, y, n) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((rank, x, y, n))
-          val prev = syms
-          syms = prev.select(col("__f"),
-              applyMerge(col("__syms"), x, y).as("__syms"))
-            .localCheckpoint(true)
-          prev.unpersist()
-          rank += 1
+        topOf(obs) match {
+          case None => exhausted = true
+          case Some((x, y, n)) =>
+            merges += ((rank, x, y, n))
+            val prev = syms
+            val (next, nextObs) = checkpointWithTop(prev.select(col("__f"),
+              applyMerge(col("__syms"), x, y).as("__syms")))
+            syms = next
+            obs = nextObs
+            prev.unpersist()
+            rank += 1
         }
       }
       done = true
@@ -487,12 +496,26 @@ private[api] trait SketchApi { self: GraftOps.type =>
                CASE WHEN i + l - 1 <= length(__w)
                  THEN substring(__w, i, l) END), x -> x IS NOT NULL)))"""))
           .as("piece"))
+      // r22 (guide §5 — fewer jobs per fit at equal hashes): the
+      // single-codepoint count and each vocabulary's (Σ mass, min mass)
+      // scalars are harvested from the SAME materialization job that
+      // checkpoints the table (`Dataset.observe` — exact Long
+      // aggregates, order-independent), deleting one count job and one
+      // agg-head job per EM round (+ the final one). The tiny `singles`
+      // table KEEPS its own checkpoint: replacing it with a lazy filter
+      // over mass0's cached blocks was measured SLOWER (q148 plantax
+      // 1.8 → 2.7 s) — the LogicalRDD filter carries no usable size
+      // estimate, so the per-round survivor join loses its broadcast.
+      val mass0Obs = org.apache.spark.sql.Observation()
       val mass0 = sub.groupBy(col("piece")).agg(sum(col("__n")).as("mass"))
+        .observe(mass0Obs,
+          sum(when(length(col("piece")) === 1, 1L)).as("__nSingles"))
         .localCheckpoint(true)
       val singles = mass0.filter(length(col("piece")) === 1)
         .select(col("piece")).localCheckpoint(true)
       try {
-        val nSingles = singles.count().toInt
+        val nSingles = Option(mass0Obs.getAsJava.get("__nSingles"))
+          .map(_.asInstanceOf[Long].toInt).getOrElse(0)
         require(nSingles >= 1, "unigramFit: no training words survived the filters")
         require(vocabSize > nSingles,
           s"vocabSize $vocabSize must exceed the $nSingles single-codepoint " +
@@ -505,30 +528,39 @@ private[api] trait SketchApi { self: GraftOps.type =>
             .limit(vocabSize - nSingles)
           s.unionByName(m)
         }
-        def score(vocab: DataFrame): DataFrame = {
-          val t = vocab.agg(sum(col("mass")).as("t"), min(col("mass")).as("m"))
-            .head()
-          val total = t.getLong(0)
-          require(total / math.max(t.getLong(1), 1L) < (1L << 32),
+        def checkpointWithTotals(df: DataFrame)
+            : (DataFrame, org.apache.spark.sql.Observation) = {
+          val obs = org.apache.spark.sql.Observation()
+          (df.observe(obs, sum(col("mass")).as("__t"),
+            min(col("mass")).as("__m")).localCheckpoint(true), obs)
+        }
+        def score(vocab: DataFrame,
+            obs: org.apache.spark.sql.Observation): DataFrame = {
+          val m = obs.getAsJava
+          val total = m.get("__t").asInstanceOf[Long]
+          val minMass = m.get("__m").asInstanceOf[Long]
+          require(total / math.max(minMass, 1L) < (1L << 32),
             s"unigramFit: total mass $total over min piece mass " +
-              s"${t.getLong(1)} exceeds the log2 ladder's 2^32 ratio " +
+              s"$minMass exceeds the log2 ladder's 2^32 ratio " +
               "contract — raise topWords granularity or shard")
           log2Q10(vocab.withColumn("__tot", lit(total)), "mass", "__tot",
             "sur_q10")
         }
-        var vocab = prune(mass0).localCheckpoint(true)
+        var (vocab, vObs) = checkpointWithTotals(prune(mass0))
         for (_ <- 1 to iters) {
-          val model = score(vocab).select(col("piece"), col("sur_q10"))
+          val model = score(vocab, vObs).select(col("piece"), col("sur_q10"))
             .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
           val usage = words.select(col("__n"), explode(element_at(
               graft.functions.UnigramSegment.asColumn(
                 array(col("__w")), model, maxPieceLen), 1)).as("piece"))
             .groupBy(col("piece")).agg(sum(col("__n")).as("mass"))
           val prev = vocab
-          vocab = prune(usage).localCheckpoint(true)
+          val (nextVocab, nextObs) = checkpointWithTotals(prune(usage))
+          vocab = nextVocab
+          vObs = nextObs
           prev.unpersist()
         }
-        val out = score(vocab)
+        val out = score(vocab, vObs)
           .withColumn("rank", row_number().over(
             Window.orderBy(desc("mass"), col("piece"))).cast("long"))
           .select(col("piece"), col("mass"), col("sur_q10"), col("rank"))

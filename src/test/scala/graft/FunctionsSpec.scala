@@ -232,6 +232,52 @@ class FunctionsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("TopAdjacentPair equals the explode/groupBy/orderBy-limit-1 argmax (r22 q135 core)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(135)
+    val alphabet = Seq("a", "b", "é", "ß", "z", "aa", "ab")
+    // weighted symbol rows: runs of equal symbols (k−1 positions), short
+    // arrays (< 2 symbols — contribute nothing), engineered count ties
+    // (broken by UTF-8-binary (left, right)), shuffled across partitions
+    // so the partial/merge/serialize path is exercised
+    val rows: Seq[(Long, Seq[String])] =
+      (1 to 120).map { _ =>
+        val n = rnd.nextInt(6)
+        (rnd.nextInt(5).toLong + 1L,
+          Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))))
+      } ++ Seq((3L, Seq("a", "a", "a")), (1L, Seq.empty[String]),
+        (2L, Seq("only")))
+    val df = rows.toDF("f", "syms").repartition(7)
+    val want = df.filter(size(col("syms")) >= 2)
+      .select(col("f"), explode(
+        transform(sequence(lit(1), size(col("syms")) - 1),
+          j => struct(element_at(col("syms"), j).as("s1"),
+            element_at(col("syms"), j + lit(1)).as("s2")))).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum(col("f")).as("n"))
+      .orderBy(desc("n"), col("s1"), col("s2"))
+      .limit(1).collect()(0)
+    val got = df.select(graft.functions.TopAdjacentPair.asColumn(
+      col("f"), col("syms")).as("top")).collect()(0).getStruct(0)
+    assert((got.getString(0), got.getString(1), got.getLong(2)) ==
+      ((want.getString(0), want.getString(1), want.getLong(2))))
+    // the observe + localCheckpoint harvest path (the bpeFit usage)
+    val obs = org.apache.spark.sql.Observation()
+    val ck = df.observe(obs, graft.functions.TopAdjacentPair.asColumn(
+      col("f"), col("syms")).as("top")).localCheckpoint(true)
+    try {
+      val o = obs.getAsJava.get("top").asInstanceOf[org.apache.spark.sql.Row]
+      assert((o.getString(0), o.getString(1), o.getLong(2)) ==
+        ((want.getString(0), want.getString(1), want.getLong(2))))
+    } finally ck.unpersist()
+    // no row with >= 2 symbols -> NULL (the bpeFit exhaustion signal)
+    val none = Seq((1L, Seq("x")), (2L, Seq.empty[String]))
+      .toDF("f", "syms")
+      .select(graft.functions.TopAdjacentPair.asColumn(
+        col("f"), col("syms")).as("top")).collect()(0)
+    assert(none.isNullAt(0))
+  }
+
   test("codegen RollingFingerprint equals the HOF fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
