@@ -266,7 +266,10 @@ private[api] trait TextApi { self: GraftOps.type =>
     * Semantics: tf = term count in doc, dl = doc token count, both over
     * non-empty tokens; N and total-token count over docs with ≥ 1
     * token (empty docs are outside the collection — they can never
-    * match); duplicate query terms count once; query terms absent from
+    * match); NULL-id docs are outside the collection ENTIRELY — they
+    * can never be returned, so they shape no corpus statistic either
+    * (r22: the q112/q115/q158 oracle CTE states the same filter);
+    * duplicate query terms count once; query terms absent from
     * the corpus contribute nothing; a query with no surviving terms
     * emits no rows. Ties break (score desc, doc_id asc), exact.
     *
@@ -349,11 +352,25 @@ private[api] trait TextApi { self: GraftOps.type =>
     val rMax = if (rMaxRow.isNullAt(0)) 0 else rMaxRow.getInt(0)
     val scored =
       if (rMax >= 1 && rMax <= 256) {
+        // r22 (ADVICE): a defensive overflow slot makes a stale rMax fail
+        // LOUDLY instead of silently under-scoring — if the queries plan
+        // is non-deterministic (sampling, rand) or its source moved
+        // between the snapshot job and execution, a recomputed __r > rMax
+        // would otherwise match no slot and drop its term contribution.
+        // The fold base evaluates 0.0 whenever the guard slot is NULL
+        // (always, on deterministic input), so the IEEE chain is
+        // unchanged: raise_error fires only on actual overflow.
         val slots = (1 to rMax).map(r =>
-          sum(when(col("__r") === r, col("__c"))).as(s"__s$r"))
+          sum(when(col("__r") === r, col("__c"))).as(s"__s$r")) :+
+          sum(when(col("__r") > rMax, col("__c"))).as("__sOver")
         cand.groupBy(col("__q"), col("__doc"))
           .agg(slots.head, slots.tail: _*)
-          .withColumn("score", (1 to rMax).foldLeft(lit(0.0)) {
+          .withColumn("score", (1 to rMax).foldLeft(
+            when(col("__sOver").isNotNull, raise_error(lit(
+              s"bm25TopK: a query term rank exceeded the rMax=$rMax " +
+                "snapshot — the queries plan re-evaluated differently " +
+                "than when the slot layout was built (non-deterministic " +
+                "or moving source)")).cast("double")).otherwise(lit(0.0))) {
             (acc, r) => acc + coalesce(col(s"__s$r"), lit(0.0)) })
       } else {
         cand.groupBy(col("__q"), col("__doc"))
@@ -435,11 +452,21 @@ private[api] trait TextApi { self: GraftOps.type =>
     // corpus-derived pair stream (observed at the sf1 degenerate grain:
     // a BuildLeft flip broadcasting 22M doc pairs, 2.3× the whole
     // query); the hint pins the build side to the model-sized table.
+    // r22 (ADVICE): the hint is GUARDED by the exact pair count — one
+    // model-sized scalar aggregate over the query-term table (the bm25
+    // rMax idiom) — so an adversarially wide query table past the
+    // threshold keeps the planner's shuffle fallback instead of pinning
+    // an oversized broadcast into driver/executor memory.
     val qa = qt.select(col("__qid"), col("__t").as("__ta"))
     val qb = qt.select(col("__qid"), col("__t").as("__tb"))
     val qpairs = qa.join(qb, Seq("__qid"))
       .filter(col("__ta") < col("__tb"))
-    val prox = dpairs.join(broadcast(qpairs), Seq("__ta", "__tb"))
+    val nPairsRow = qt.groupBy(col("__qid")).agg(count(lit(1)).as("__nt"))
+      .agg(sum(expr("__nt * (__nt - 1) div 2"))).head()
+    val nPairs = if (nPairsRow.isNullAt(0)) 0L else nPairsRow.getLong(0)
+    val qpairsPinned =
+      if (nPairs <= 4000000L) broadcast(qpairs) else qpairs
+    val prox = dpairs.join(qpairsPinned, Seq("__ta", "__tb"))
       .groupBy(col("__qid"), col("__doc"))
       .agg(count(lit(1)).as("n_prox_pairs"))
     // matched terms ride the SAME per-doc collect (ReusedExchange), so

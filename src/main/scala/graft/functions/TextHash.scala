@@ -687,7 +687,14 @@ object DedupSegments {
   * pos) equi-join + corpus-wide distinct with one narrow pass over each
   * doc's collected postings. Per-doc state is doc-length-bounded (the
   * winnow-window grain, posture-safe); the output is bounded by both
-  * n·window and |vocab|². */
+  * n·window and |vocab|². ALLOCATION NOTE (r21 ADVICE): the dedup set
+  * holds one cloned UTF8String pair per DISTINCT in-window pair — an
+  * adversarial doc whose in-window vocabulary is huge pays an
+  * allocation storm up to min(n·window, |vocab|²) entries; the
+  * query-vocabulary semi-join upstream is the admission cap (|vocab| =
+  * the QUERY term universe, model-sized by contract), so a hostile
+  * CORPUS cannot widen it — only a hostile query table can, and that
+  * is the caller's stated model-sized contract. */
 case class WindowTermPairs(child: Expression, window: Int)
     extends UnaryExpression {
   require(window >= 1, s"window must be >= 1; got $window")

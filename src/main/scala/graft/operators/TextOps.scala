@@ -603,7 +603,8 @@ object TextOps {
     * q115's fusion oracle so both gates state the identical scoring. */
   private val bm25Cte: String = s"""
       t AS (SELECT doc_id,
-        list_filter(${Duck.toks}, x -> x <> '') AS toks FROM documents),
+        list_filter(${Duck.toks}, x -> x <> '') AS toks FROM documents
+        WHERE doc_id IS NOT NULL),
       tok AS (SELECT doc_id, unnest(toks) AS t FROM t),
       tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
              FROM tok GROUP BY 1, 2),
