@@ -455,6 +455,7 @@ private[api] trait ModelStatApi { self: GraftOps.type =>
     val kept = df.filter(vec.isNotNull && target.isNotNull)
       .select(vec.as("__v"), target.cast("boolean").cast("double").as("__y"))
       .localCheckpoint(true)
+    try {
     // deterministic init: β = 0, intercept = clipped logit of the base
     // rate (one cheap agg; the first iteration's η is then constant)
     val base = kept.agg(count(lit(1)), sum(col("__y"))).head()
@@ -501,6 +502,11 @@ private[api] trait ModelStatApi { self: GraftOps.type =>
     import df.sparkSession.implicits._
     ((0 until dim).map(d => (d, beta(d))) :+ (-1, b))
       .toDF("dim", "weight")
+    // the returned model is driver-built (collected per-iteration
+    // summaries are all that is needed) — the training-set-sized
+    // checkpoint blocks must not outlive the fit (r21 ADVICE: many fits
+    // in one long session would otherwise accumulate storage memory)
+    } finally kept.unpersist()
   }
 
   /** Driver-side Newton step of [[logisticFit]]: the packed dim+2
